@@ -1,0 +1,263 @@
+"""Decode stage — flatten, type dispatch, timestamp extraction, row assembly.
+
+This is the one place Python executes in the engine (SURVEY §2.11): the
+reference's per-record hot path (main.go:237-377) works on dynamically-shaped
+records, which cannot be a static Column expression. Everything downstream of
+this module is Catalyst-native.
+
+Semantics ported (with file:line citations into /root/reference):
+
+- ``flatten``            — pkg/flatten/flatten.go:11-66
+- ``dispatch_value``     — main.go:262-310 (Go type-switch)
+- ``extract_timestamp``  — main.go:85-103
+- ``record_to_row``      — main.go:312-351 (envelope routing, forced numbers,
+                           key normalization) + main.go:256-260 (row assembly)
+
+Vectorization: ``decode_dataframe`` applies the per-record pipeline over Arrow
+batches via ``mapInPandas`` so the Python boundary is batch-at-a-time, not
+row-at-a-time (the reference loops row-at-a-time in Go, main.go:240-355 — on
+Spark the Arrow batch transfer is the scale-path equivalent).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from datetime import datetime, timezone
+from typing import Any, Iterable, Iterator
+
+from pyspark.sql import DataFrame
+
+from .config import EngineConfig
+from .schema import (
+    APP_KEY_FALLBACK,
+    APP_KEY_PRIMARY,
+    ENVELOPE_KEYS,
+    LOG_SCHEMA,
+)
+
+
+class FlattenError(ValueError):
+    """Raised for non-map/slice top-level input (flatten.go:47-51)."""
+
+
+def _flatten_into(out: dict[str, Any], prefix: str, value: Any) -> None:
+    # flatten.go:36-46 — maps recurse with key join, slices with index join.
+    if isinstance(value, dict):
+        for k, v in value.items():
+            key = str(k)
+            _flatten_into(out, key if not prefix else f"{prefix}_{key}", v)
+    elif isinstance(value, (list, tuple)):
+        for i, v in enumerate(value):
+            key = str(i)
+            _flatten_into(out, key if not prefix else f"{prefix}_{key}", v)
+    else:
+        # scalar leaf — flatten.go:53-55
+        out[prefix] = value
+
+
+def flatten(value: Any) -> dict[str, Any]:
+    """Flatten nested maps/slices to a flat dict with ``_``-joined keys.
+
+    Port of pkg/flatten/flatten.go:11-66: top-level keys get no prefix
+    (flatten.go:59-63), array elements use the index as a key segment
+    (flatten.go:42-46), scalar top-level input is an error (flatten.go:47-51).
+    """
+    if not isinstance(value, (dict, list, tuple)):
+        raise FlattenError(f"cannot flatten input of type {type(value).__name__}")
+    out: dict[str, Any] = {}
+    _flatten_into(out, "", value)
+    return out
+
+
+def dispatch_value(value: Any) -> tuple[str, float, bool, bool]:
+    """Classify a flattened leaf -> (string_value, number_value, is_number, is_nil).
+
+    Port of the Go type-switch main.go:268-310:
+    nil -> dropped (main.go:269-270); string/bytes -> string; every numeric
+    width -> float64; anything else -> ``%v`` stringification (main.go:308-309).
+    Python note: bool is an int subclass but Go's switch treats bool as
+    "other" -> fmt.Sprintf("%v") i.e. "true"/"false" — replicated here.
+    """
+    if value is None:
+        return "", 0.0, False, True
+    if isinstance(value, bool):
+        return ("true" if value else "false"), 0.0, False, False
+    if isinstance(value, str):
+        return value, 0.0, False, False
+    if isinstance(value, (bytes, bytearray)):
+        return value.decode("utf-8", errors="replace"), 0.0, False, False
+    if isinstance(value, int):
+        return "", float(value), True, False
+    if isinstance(value, float):
+        if math.isnan(value) or math.isinf(value):
+            # JSON can't carry these anyway; Go would pass them through as
+            # float64 — normalize to stringified form to keep maps hashable.
+            return str(value), 0.0, False, False
+        return "", value, True, False
+    return str(value), 0.0, False, False
+
+
+def extract_timestamp(ts: Any, now: datetime | None = None) -> datetime:
+    """Event-time extraction with fallback-to-now, main.go:85-103.
+
+    Accepts epoch seconds as int/float (uint64 branch main.go:89-91 and
+    FLBTime branch :87-88 collapse to this in the JSON-lines model), an ISO
+    string, or a [seconds, ...] pair (FB >=2.1 nested form main.go:92-97).
+    Unparseable -> now() with no drop (main.go:99-102).
+    """
+    if now is None:
+        now = datetime.now(timezone.utc).replace(tzinfo=None)
+    try:
+        if isinstance(ts, bool) or ts is None:
+            return now
+        if isinstance(ts, (int, float)):
+            return datetime.fromtimestamp(float(ts), tz=timezone.utc).replace(
+                tzinfo=None
+            )
+        if isinstance(ts, (list, tuple)) and ts:
+            return extract_timestamp(ts[0], now)
+        if isinstance(ts, str):
+            try:
+                return datetime.fromtimestamp(float(ts), tz=timezone.utc).replace(
+                    tzinfo=None
+                )
+            except ValueError:
+                return datetime.fromisoformat(ts.replace("Z", "+00:00")).astimezone(
+                    timezone.utc
+                ).replace(tzinfo=None)
+    except (ValueError, OverflowError, OSError):
+        pass
+    return now
+
+
+def record_to_row(
+    ts: Any,
+    record: dict[str, Any],
+    config: EngineConfig | None = None,
+    now: datetime | None = None,
+) -> dict[str, Any]:
+    """Flattened-record -> logs row. Port of main.go:246-354.
+
+    Envelope routing by exact key match (main.go:313-328); `app` aliasing with
+    deterministic k8s-app precedence (main.go:318-321, SURVEY §7); nil values
+    never stored (main.go:269-270, 312); Force_Number_Fields membership is
+    checked on the RAW key while storage uses the underscore-formatted key —
+    the reference's quirk at main.go:339 vs :331-334, replicated exactly.
+    """
+    config = config or _DEFAULT_CONFIG
+    flat = flatten(record)
+    row: dict[str, Any] = {
+        "timestamp": extract_timestamp(ts, now),
+        "cluster": None,
+        "namespace": None,
+        "app": None,
+        "pod_name": None,
+        "container_name": None,
+        "host": None,
+        "fields_string": {},
+        "fields_number": {},
+        "log": None,
+    }
+    app_from_fallback: str | None = None
+    force = set(config.force_number_fields)
+    for k, v in flat.items():
+        string_value, number_value, is_number, is_nil = dispatch_value(v)
+        if is_nil:  # main.go:312 — nil fields are never stored
+            continue
+        col = ENVELOPE_KEYS.get(k)
+        if col is not None:
+            row[col] = string_value if not is_number else _num_to_str(number_value)
+            continue
+        if k == APP_KEY_PRIMARY:
+            row["app"] = string_value if not is_number else _num_to_str(number_value)
+            continue
+        if k == APP_KEY_FALLBACK:
+            app_from_fallback = (
+                string_value if not is_number else _num_to_str(number_value)
+            )
+            continue
+        # key normalization: Force_Underscores rewrites '.' -> '_'
+        # (main.go:331-334); note membership check below uses raw k.
+        key = k.replace(".", "_") if config.force_underscores else k
+        if is_number:
+            row["fields_number"][key] = number_value
+        elif k in force:  # raw-key quirk, main.go:339
+            try:
+                row["fields_number"][key] = float(string_value)
+            except ValueError:  # fallback path main.go:342-345
+                row["fields_string"][key] = string_value
+        else:
+            row["fields_string"][key] = string_value
+    if row["app"] is None and app_from_fallback is not None:
+        row["app"] = app_from_fallback
+    return row
+
+
+def _num_to_str(x: float) -> str:
+    # An envelope key that arrived numeric is stringified (the reference
+    # routes envelope keys through the same switch, main.go:313-328).
+    return str(int(x)) if x == int(x) else str(x)
+
+
+_DEFAULT_CONFIG = EngineConfig()
+
+
+def decode_json_lines(
+    lines: Iterable[str],
+    config: EngineConfig | None = None,
+    now: datetime | None = None,
+) -> Iterator[dict[str, Any]]:
+    """Decode raw JSON-lines events into logs rows.
+
+    Each line is ``{"ts": ..., "record": {...}}`` (FIXTURES.md F-RAW) or a bare
+    record object. Flatten failure on one record logs-and-skips that record
+    only — a deliberate deviation from the reference, which aborts the whole
+    chunk (main.go:251-254); documented in SURVEY §7 step 1.
+    """
+    for line in lines:
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            obj = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if isinstance(obj, dict) and "record" in obj:
+            ts, record = obj.get("ts"), obj["record"]
+        else:
+            ts, record = None, obj
+        if not isinstance(record, dict):
+            continue
+        try:
+            yield record_to_row(ts, record, config, now)
+        except FlattenError:
+            continue
+
+
+def decode_dataframe(
+    raw: DataFrame,
+    config: EngineConfig | None = None,
+    value_column: str = "value",
+) -> DataFrame:
+    """Vectorized decode: DataFrame[value: string] -> DataFrame[LOG_SCHEMA].
+
+    The Spark-native equivalent of the plugin flush loop (main.go:240-355):
+    ``mapInPandas`` moves whole Arrow batches across the Python boundary, the
+    per-record work happens in plain Python dicts, and the result lands back
+    as Arrow. Works identically for batch and Structured Streaming inputs.
+    """
+    cfg = config or _DEFAULT_CONFIG
+
+    def _decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for batch in batches:
+            rows = list(decode_json_lines(batch[value_column].tolist(), cfg))
+            if not rows:
+                continue
+            yield pd.DataFrame(
+                {name: [r[name] for r in rows] for name in LOG_SCHEMA.fieldNames()}
+            )
+
+    return raw.mapInPandas(_decode, schema=LOG_SCHEMA)

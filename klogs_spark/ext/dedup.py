@@ -1,0 +1,311 @@
+"""Deduplication operators — exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+No reference equivalent (kobsio/klogs ships none); mandated by the driver
+north star (BASELINE.json). Design stance for 100 TB:
+
+- Everything is Column-expression based (JVM, whole-stage codegen) — zero
+  Python in these paths.
+- Candidate generation is always a *bucketed equi-join* (LSH bands, simhash
+  prefixes), never a cross join; the exact verifications run only on
+  candidates. Brute-force pairwise variants exist for oracle checks and small
+  inputs only.
+- All hashes are md5-prefix integers (ext.hashing) so results reproduce
+  bit-for-bit in any engine.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .hashing import HASH_PRIME, md5_long, perm_params
+
+NUM_PERM = 16          # minhash signature length
+LSH_BANDS = 4          # bands x rows_per_band == NUM_PERM
+LSH_ROWS = 4
+SIMHASH_BITS = 60      # md5-prefix of 15 hex chars -> 60-bit token hashes
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokens with empties removed (both engines keep trailing
+    empties on split — filter them so token counts agree)."""
+    return F.filter(F.split(text, " "), lambda t: t != "")
+
+
+def shingles_col(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles; empty array for docs shorter than n
+    tokens (sequence() would go negative-descending otherwise)."""
+    toks = tokens_col(text)
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+# --- exact dedup ------------------------------------------------------------
+def exact_dedup(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Hash-groupBy exact dedup: one survivor (min id) per distinct text.
+
+    Scale: a single shuffle on md5(text); with map-side partial aggregation
+    the shuffled data is one row per distinct text per task.
+    Returns (survivor_id, n_copies).
+    """
+    return (
+        df.groupBy(F.md5(F.col(text)).alias("text_hash"))
+        .agg(
+            F.min(id_col).alias("survivor_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("survivor_id", "n_copies")
+    )
+
+
+# --- n-gram Jaccard ---------------------------------------------------------
+def doc_shingles(df: DataFrame, text: str = "text", id_col: str = "doc_id",
+                 n: int = 3) -> DataFrame:
+    """Exploded (id, shingle) pairs — the shared substrate for exact Jaccard."""
+    return (
+        df.select(F.col(id_col).alias("id"), shingles_col(F.col(text), n).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .select("id", F.explode("sh").alias("shingle"))
+    )
+
+
+def jaccard_pairs(shingled: DataFrame, min_jaccard: float,
+                  candidates: DataFrame | None = None) -> DataFrame:
+    """Exact pairwise Jaccard via a shingle-equi-join (NOT a cross join):
+    only pairs sharing >=1 shingle materialize, |A∩B| falls out of the join
+    group-count, |A∪B| = |A|+|B|-|A∩B|.
+
+    ``candidates`` (id_a, id_b) restricts verification to an LSH candidate set
+    — the 100 TB path where the full equi-join would still be too hot.
+    Returns (id_a, id_b, jaccard).
+    """
+    sizes = shingled.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = shingled.alias("a")
+    b = shingled.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --- MinHash + LSH ----------------------------------------------------------
+def minhash_signatures(df: DataFrame, text: str = "text",
+                       id_col: str = "doc_id", k: int = NUM_PERM) -> DataFrame:
+    """MinHash signatures: shingle -> 32-bit md5 hash h, signature_i =
+    min((a_i*h + b_i) mod P) over the doc's shingles.
+
+    One explode + one hash-aggregate; k mins compute in a single pass
+    (map-side partial min per permutation — shuffle carries k longs per doc).
+    Returns (id, mh_0..mh_{k-1}).
+    """
+    a, b = perm_params(k)
+    sh = doc_shingles(df, text, id_col)
+    h = md5_long(F.col("shingle"))
+    return sh.groupBy("id").agg(
+        *[
+            F.min((F.lit(a[i]) * h + F.lit(b[i])) % F.lit(HASH_PRIME)).alias(
+                f"mh_{i}"
+            )
+            for i in range(k)
+        ]
+    )
+
+
+def lsh_candidate_pairs(signatures: DataFrame, bands: int = LSH_BANDS,
+                        rows: int = LSH_ROWS) -> DataFrame:
+    """LSH banding: hash each band of the signature, equi-join per band bucket.
+
+    The banded self-join is the scale path: collision probability
+    1-(1-s^rows)^bands, and the join key (band_id, band_hash) shards
+    uniformly. Returns distinct (id_a, id_b), id_a < id_b.
+    """
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band_id"),
+                F.md5(
+                    F.concat_ws(
+                        "_", *[F.col(f"mh_{j * rows + r}") for r in range(rows)]
+                    )
+                ).alias("band_hash"),
+            )
+            for j in range(bands)
+        ]
+    )
+    banded = signatures.select(
+        "id", F.explode(band_structs).alias("band")
+    ).select("id", "band.band_id", "band.band_hash")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup(df: DataFrame, text: str = "text", id_col: str = "doc_id",
+                  min_jaccard: float = 0.5) -> DataFrame:
+    """Full near-dup pipeline: MinHash -> LSH bands -> exact-Jaccard verify."""
+    sigs = minhash_signatures(df, text, id_col)
+    cands = lsh_candidate_pairs(sigs)
+    return jaccard_pairs(doc_shingles(df, text, id_col), min_jaccard, cands)
+
+
+# --- SimHash ----------------------------------------------------------------
+def simhash(df: DataFrame, text: str = "text", id_col: str = "doc_id",
+            bits: int = SIMHASH_BITS) -> DataFrame:
+    """Per-doc SimHash over token hashes: bit_j = sign(sum_t (+1 if bit_j(h(t))
+    else -1)). Single explode + single aggregate; the ``bits`` per-bit sums are
+    partial-aggregated map-side. Returns (id, simhash).
+    """
+    toks = (
+        df.select(F.col(id_col).alias("id"),
+                  F.explode(tokens_col(F.col(text))).alias("tok"))
+    )
+    h = md5_long(F.col("tok"), chars=15)  # 60-bit token hash
+    bit_sums = toks.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"s_{j}")
+            for j in range(bits)
+        ]
+    )
+    sim = reduce(
+        lambda acc, j: acc
+        + F.when(F.col(f"s_{j}") > 0, F.lit(2**j).cast("long")).otherwise(0),
+        range(bits),
+        F.lit(0).cast("long"),
+    )
+    return bit_sums.select("id", sim.alias("simhash"))
+
+
+def simhash_pairs(sims: DataFrame, max_hamming: int) -> DataFrame:
+    """Near-dup pairs by Hamming distance on SimHash.
+
+    Small-input form is a pairwise join; at scale, pre-bucket by signature
+    prefix (pigeonhole: any pair within d of each other shares one of d+1
+    prefix blocks) — see ``simhash_pairs_bucketed``.
+    Returns (id_a, id_b, hamming).
+    """
+    a = sims.alias("a")
+    b = sims.alias("b")
+    hamming = F.bit_count(F.expr("a.simhash").bitwiseXOR(F.expr("b.simhash")))
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_pairs_bucketed(sims: DataFrame, max_hamming: int,
+                           blocks: int | None = None,
+                           bits: int = SIMHASH_BITS) -> DataFrame:
+    """Scale path: split the signature into ``max_hamming+1`` blocks; any pair
+    with hamming <= max_hamming agrees exactly on >=1 block (pigeonhole), so an
+    equi-join per block finds all of them without a cross join."""
+    blocks = blocks or (max_hamming + 1)
+    width = bits // blocks
+    block_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("block_id"),
+                F.shiftright(F.col("simhash"), j * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("block_val"),
+            )
+            for j in range(blocks)
+        ]
+    )
+    blocked = sims.select("id", "simhash", F.explode(block_structs).alias("blk")) \
+        .select("id", "simhash", "blk.block_id", "blk.block_val")
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    hamming = F.bit_count(F.expr("a.simhash").bitwiseXOR(F.expr("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.block_id") == F.col("b.block_id"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# --- embedding cosine near-dup ----------------------------------------------
+def cosine_col(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<float|double> columns, computed in
+    double with left-to-right accumulation (deterministic across engines)."""
+    da = a.cast("array<double>")
+    db = b.cast("array<double>")
+    dot = F.aggregate(F.zip_with(da, db, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(F.transform(da, lambda x: x * x),
+                            F.lit(0.0), lambda acc, v: acc + v))
+    nb = F.sqrt(F.aggregate(F.transform(db, lambda x: x * x),
+                            F.lit(0.0), lambda acc, v: acc + v))
+    return dot / (na * nb)
+
+
+def embedding_neardup(emb: DataFrame, threshold: float,
+                      id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Pairs with cosine >= threshold. Pairwise form (oracle/small inputs);
+    the scale path routes through similarity.lsh_bucket_assignments first.
+    Returns (id_a, id_b, cosine)."""
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_col(F.col("va"), F.col("vb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,146 @@
+"""Text analysis operators — language-ID, quality scoring, token counting,
+document fingerprinting.
+
+Driver-mandated EXT surface (BASELINE.json). Pure Column expressions over the
+``documents`` table; every number reproduces exactly in the DuckDB oracle
+(rounding and hash constants shared via ext.hashing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import shingles_col, tokens_col
+from .hashing import md5_long
+
+# Stopword lists for the n-gram/stopword language heuristic. The driver corpus
+# is synthetic word-soup, so the predictor is a deterministic scoring function
+# (checked value-for-value by the oracle), not a real-language classifier.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "es": ["el", "la", "los", "y", "es"],
+}
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, or single non-space symbols
+# (the GPT-2-style pretoken split, minus unicode classes both regex engines
+# would disagree on).
+BPE_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+FINGERPRINT_NGRAM = 3
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (empties dropped)."""
+    return F.size(tokens_col(text))
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Count of BPE-ish pretokens via regexp extraction."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_REGEX), F.lit(0)))
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    toks = tokens_col(text)
+    stops = F.filter(
+        toks, lambda t: t.isin(*STOPWORDS[lang]) if hasattr(t, "isin") else t
+    )
+    return F.size(stops) / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_features(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per-doc quality features: length, token stats, punct/space/stopword
+    ratios, and a composite quality score in [0, 1].
+
+    The score formula is arbitrary-but-deterministic: it rewards mid-length
+    docs with low punctuation and a healthy stopword rate — the standard
+    shape of pretraining-corpus quality filters.
+    """
+    text = F.col(text_col)
+    toks = tokens_col(text)
+    n_chars = F.length(text)
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS["en"])))
+    n_punct = F.size(
+        F.regexp_extract_all(text, F.lit("[^A-Za-z0-9 ]"), F.lit(0))
+    )
+    avg_tok_len = F.when(
+        n_tokens > 0,
+        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+        / n_tokens.cast("double"),
+    ).otherwise(0.0)
+    stop_ratio = n_stop / F.greatest(n_tokens, F.lit(1)).cast("double")
+    punct_ratio = n_punct / F.greatest(n_chars, F.lit(1)).cast("double")
+    len_score = F.least(n_tokens.cast("double") / 50.0, F.lit(1.0))
+    score = (
+        F.lit(0.4) * len_score
+        + F.lit(0.3) * F.least(stop_ratio * 5, F.lit(1.0))
+        + F.lit(0.3) * (1 - F.least(punct_ratio * 10, F.lit(1.0)))
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(avg_tok_len, 4).alias("avg_tok_len"),
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        # 6 decimals: the weight formula can land exactly on a 5-decimal
+        # half-way point (e.g. 0.86875) where engines' round() implementations
+        # disagree; at 6 decimals no finite-decimal boundary is reachable.
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def language_scores(text: Column) -> dict[str, Column]:
+    """Per-language stopword-hit ratio (the n-gram heuristic's scoring half)."""
+    toks = tokens_col(text)
+    n = F.greatest(F.size(toks), F.lit(1)).cast("double")
+    return {
+        lang: F.size(F.filter(toks, lambda t: t.isin(*words))) / n
+        for lang, words in STOPWORDS.items()
+    }
+
+
+def language_id(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Language-ID: argmax over per-language stopword scores with a
+    deterministic tie-break (language name order), 'und' when all scores are 0.
+    Returns (id, predicted_lang, lang_score)."""
+    scores = language_scores(F.col(text_col))
+    pairs = F.array(
+        *[
+            F.struct(F.round(score, 6).alias("score"), F.lit(lang).alias("lang"))
+            for lang, score in sorted(scores.items())
+        ]
+    )
+    best = F.array_max(pairs)  # struct compare: score first, then lang
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.when(best["score"] > 0, best["lang"]).otherwise("und").alias(
+            "predicted_lang"
+        ),
+        best["score"].alias("lang_score"),
+    )
+
+
+def fingerprints(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", n: int = FINGERPRINT_NGRAM) -> DataFrame:
+    """Document fingerprint: min/max/count over hashed word n-grams (the
+    1-permutation MinHash / winnowing-style rolling summary).
+    Returns (id, fp_min, fp_max, n_shingles)."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        shingles_col(F.col(text_col), n).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    hashes = sh.select(
+        "id", F.transform(F.col("sh"), lambda s: md5_long(s)).alias("hs")
+    )
+    return hashes.select(
+        "id",
+        F.array_min("hs").alias("fp_min"),
+        F.array_max("hs").alias("fp_max"),
+        F.size("hs").alias("n_shingles"),
+    )

@@ -1,0 +1,402 @@
+"""EXT operator checks — dedup, similarity search, text analysis.
+
+Every Spark pipeline here is hash-checked against DuckDB running a
+mechanically-generated equivalent query: the hash constants (md5-prefix
+integers, universal-hash (a,b) pairs, LSH hyperplanes) are shared Python
+literals embedded into both sides, so even the sketch operators (MinHash,
+SimHash, sign-LSH) verify value-for-value, not just rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..ext import dedup as dd
+from ..ext import similarity as sim
+from ..ext import text as tx
+from ..ext.hashing import HASH_PRIME, MD5_CHARS, hyperplanes, md5_long_sql, perm_params
+from ..views import load_table
+from . import QuerySpec
+
+# Thresholds tuned on the sf0.01 corpus (planted near-dups: max pairwise
+# 3-gram Jaccard 0.989, min SimHash hamming 0; embedding cosine max ~0.51).
+MINHASH_JACCARD = 0.5
+NGRAM_JACCARD = 0.05
+SIMHASH_MAX_HAMMING = 5
+COSINE_NEARDUP = 0.45
+
+_PLANES = hyperplanes(sim.N_PLANES, sim.EMB_DIM)
+_A, _B = perm_params(dd.NUM_PERM)
+
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments
+# ---------------------------------------------------------------------------
+TOKENS_CTE = """
+tk AS (
+  SELECT doc_id AS id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+  FROM documents
+)"""
+
+SHINGLES_CTE = TOKENS_CTE + """,
+sh AS (
+  SELECT id, unnest(list_distinct(list_transform(
+           generate_series(0, len(tk) - 3),
+           i -> array_to_string(tk[i+1:i+3], ' ')))) AS shingle
+  FROM tk WHERE len(tk) >= 3
+),
+hs AS (SELECT id, """ + md5_long_sql("shingle") + """ AS h FROM sh)"""
+
+_SIG_COLS = ", ".join(
+    f"min(({_A[i]} * h + {_B[i]}) % {HASH_PRIME}) AS mh_{i}"
+    for i in range(dd.NUM_PERM)
+)
+SIG_CTE = SHINGLES_CTE + f""",
+sig AS (SELECT id, {_SIG_COLS} FROM hs GROUP BY id)"""
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup: exact
+# ---------------------------------------------------------------------------
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+SQL_DEDUP_EXACT = """
+SELECT min(doc_id) AS survivor_id, count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup: MinHash signatures + LSH pipeline
+# ---------------------------------------------------------------------------
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.minhash_signatures(load_table(spark, sf_dir, "documents"))
+
+
+SQL_MINHASH_SIGNATURES = f"WITH {SIG_CTE} SELECT * FROM sig"
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.minhash_dedup(
+        load_table(spark, sf_dir, "documents"), min_jaccard=MINHASH_JACCARD
+    )
+
+
+_BAND_SELECTS = " UNION ALL ".join(
+    "SELECT id, {j} AS band_id, md5(concat_ws('_', {cols})) AS band_hash FROM sig"
+    .format(
+        j=j,
+        cols=", ".join(f"mh_{j * dd.LSH_ROWS + r}" for r in range(dd.LSH_ROWS)),
+    )
+    for j in range(dd.LSH_BANDS)
+)
+
+SQL_MINHASH_LSH = f"""
+WITH {SIG_CTE},
+bands AS ({_BAND_SELECTS}),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.id < b.id
+),
+sizes AS (SELECT id, count(*) AS sz FROM hs GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b,
+       round(i.n * 1.0 / (sa.sz + sb.sz - i.n), 6) AS jaccard
+FROM inter i
+JOIN cand c ON i.id_a = c.id_a AND i.id_b = c.id_b
+JOIN sizes sa ON i.id_a = sa.id
+JOIN sizes sb ON i.id_b = sb.id
+WHERE i.n * 1.0 / (sa.sz + sb.sz - i.n) >= {MINHASH_JACCARD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup: exact n-gram Jaccard (no candidate pre-filter)
+# ---------------------------------------------------------------------------
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.jaccard_pairs(dd.doc_shingles(docs), min_jaccard=NGRAM_JACCARD)
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH {SHINGLES_CTE},
+sizes AS (SELECT id, count(*) AS sz FROM hs GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b,
+       round(i.n * 1.0 / (sa.sz + sb.sz - i.n), 6) AS jaccard
+FROM inter i JOIN sizes sa ON i.id_a = sa.id JOIN sizes sb ON i.id_b = sb.id
+WHERE round(i.n * 1.0 / (sa.sz + sb.sz - i.n), 6) >= {NGRAM_JACCARD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup: SimHash signatures + pairs
+# ---------------------------------------------------------------------------
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.simhash(load_table(spark, sf_dir, "documents"))
+
+
+_BIT_SUMS = ", ".join(
+    f"CASE WHEN sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
+    f"THEN CAST({1 << j} AS BIGINT) ELSE 0 END AS b_{j}"
+    for j in range(dd.SIMHASH_BITS)
+)
+_BIT_ADD = " + ".join(f"b_{j}" for j in range(dd.SIMHASH_BITS))
+
+SIMHASH_CTE = TOKENS_CTE + f""",
+tok AS (SELECT id, unnest(tk) AS t FROM tk),
+th AS (SELECT id, {md5_long_sql('t', 15)} AS h FROM tok),
+bits AS (SELECT id, {_BIT_SUMS} FROM th GROUP BY id),
+simh AS (SELECT id, {_BIT_ADD} AS simhash FROM bits)"""
+
+SQL_SIMHASH = f"WITH {SIMHASH_CTE} SELECT id, simhash FROM simh"
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sims = dd.simhash(load_table(spark, sf_dir, "documents"))
+    return dd.simhash_pairs_bucketed(sims, max_hamming=SIMHASH_MAX_HAMMING)
+
+
+SQL_SIMHASH_PAIRS = f"""
+WITH {SIMHASH_CTE}
+SELECT a.id AS id_a, b.id AS id_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM simh a JOIN simh b ON a.id < b.id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup: embedding cosine near-dup
+# ---------------------------------------------------------------------------
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.embedding_neardup(
+        load_table(spark, sf_dir, "embeddings"), threshold=COSINE_NEARDUP
+    )
+
+
+SQL_EMBEDDING_NEARDUP = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({_cos_sql('a.v', 'b.v')}, 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round({_cos_sql('a.v', 'b.v')}, 6) >= {COSINE_NEARDUP}
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
+    row = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == vec_id)
+        .select("embedding")
+        .collect()[0]
+    )
+    return [float(x) for x in row.embedding]
+
+
+def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.brute_force_topk(emb, _query_vec(spark, sf_dir), k=10)
+
+
+SQL_ANN_BRUTEFORCE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+SELECT e.vec_id AS id, round({_cos_sql('e.v', 'q.qv')}, 6) AS cosine
+FROM e, q
+ORDER BY cosine DESC, id
+LIMIT 10
+"""
+
+
+def _plane_sql_literal(plane: list[float]) -> str:
+    return "[" + ", ".join(repr(w) for w in plane) + "]"
+
+
+_BUCKET_SQL = " + ".join(
+    f"CASE WHEN list_dot_product(v, {_plane_sql_literal(p)}) > 0 "
+    f"THEN CAST({1 << j} AS BIGINT) ELSE 0 END"
+    for j, p in enumerate(_PLANES)
+)
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.lsh_topk(emb, _query_vec(spark, sf_dir), k=5, planes=_PLANES)
+
+
+SQL_ANN_LSH = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+bk AS (SELECT vec_id, v, {_BUCKET_SQL} AS bucket FROM e),
+q AS (SELECT v AS qv, bucket AS qb FROM bk WHERE vec_id = 0)
+SELECT bk.vec_id AS id, round({_cos_sql('bk.v', 'q.qv')}, 6) AS cosine
+FROM bk, q
+WHERE bk.bucket = q.qb
+ORDER BY cosine DESC, id
+LIMIT 5
+"""
+
+
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return sim.knn_join(emb, queries, k=5)
+
+
+SQL_KNN_JOIN = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round({_cos_sql('e.v', 'q.qv')}, 6) AS cosine
+  FROM e, q WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cosine, rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM scored
+) WHERE rnk <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("id"),
+        F.length("text").alias("n_chars"),
+        tx.token_count(F.col("text")).alias("n_tokens"),
+        tx.bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
+SQL_TOKEN_STATS = f"""
+SELECT doc_id AS id, length(text) AS n_chars,
+       len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens,
+       len(regexp_extract_all(text, '{tx.BPE_REGEX}')) AS n_bpe_tokens
+FROM documents
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.quality_features(load_table(spark, sf_dir, "documents"))
+
+
+_EN_STOPS = ", ".join(f"'{w}'" for w in tx.STOPWORDS["en"])
+
+SQL_TEXT_QUALITY = f"""
+WITH {TOKENS_CTE},
+feat AS (
+  SELECT d.doc_id AS id,
+         length(d.text) AS n_chars,
+         len(t.tk) AS n_tokens,
+         len(list_filter(t.tk, x -> x IN ({_EN_STOPS}))) AS n_stop,
+         len(regexp_extract_all(d.text, '[^A-Za-z0-9 ]')) AS n_punct,
+         length(replace(d.text, ' ', '')) AS tok_chars
+  FROM documents d JOIN tk t ON d.doc_id = t.id
+)
+SELECT id, n_chars, n_tokens,
+       round(CASE WHEN n_tokens > 0
+                  THEN tok_chars / CAST(n_tokens AS DOUBLE) ELSE 0.0 END, 4)
+         AS avg_tok_len,
+       round(n_stop / CAST(greatest(n_tokens, 1) AS DOUBLE), 4) AS stop_ratio,
+       round(n_punct / CAST(greatest(n_chars, 1) AS DOUBLE), 4) AS punct_ratio,
+       round(0.4 * least(n_tokens / 50.0, 1.0)
+           + 0.3 * least(n_stop / CAST(greatest(n_tokens, 1) AS DOUBLE) * 5, 1.0)
+           + 0.3 * (1 - least(n_punct / CAST(greatest(n_chars, 1) AS DOUBLE) * 10,
+                              1.0)), 6) AS quality_score
+FROM feat
+"""
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.language_id(load_table(spark, sf_dir, "documents"))
+
+
+_LANG_STRUCTS = ", ".join(
+    "{{'score': round(len(list_filter(tk, x -> x IN ({words}))) "
+    "/ CAST(greatest(len(tk), 1) AS DOUBLE), 6), 'lang': '{lang}'}}".format(
+        words=", ".join(f"'{w}'" for w in tx.STOPWORDS[lang]), lang=lang
+    )
+    for lang in sorted(tx.STOPWORDS)
+)
+
+SQL_LANGID = f"""
+WITH {TOKENS_CTE},
+scored AS (
+  SELECT id, list_aggregate([{_LANG_STRUCTS}], 'max') AS best FROM tk
+)
+SELECT id,
+       CASE WHEN best.score > 0 THEN best.lang ELSE 'und' END AS predicted_lang,
+       best.score AS lang_score
+FROM scored
+"""
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+SQL_FINGERPRINTS = f"""
+WITH {SHINGLES_CTE}
+SELECT id, min(h) AS fp_min, max(h) AS fp_max, count(*) AS n_shingles
+FROM hs GROUP BY id
+"""
+
+
+SPECS = {
+    "dedup_exact": QuerySpec(q_dedup_exact, SQL_DEDUP_EXACT,
+                             "exact hash-groupBy dedup"),
+    "dedup_minhash_signatures": QuerySpec(q_minhash_signatures,
+                                          SQL_MINHASH_SIGNATURES,
+                                          "16-perm MinHash signatures"),
+    "dedup_minhash_lsh": QuerySpec(q_minhash_lsh, SQL_MINHASH_LSH,
+                                   "MinHash->LSH bands->Jaccard verify"),
+    "dedup_ngram_jaccard": QuerySpec(q_ngram_jaccard, SQL_NGRAM_JACCARD,
+                                     "exact 3-gram Jaccard pairs"),
+    "dedup_simhash": QuerySpec(q_simhash, SQL_SIMHASH,
+                               "60-bit SimHash signatures"),
+    "dedup_simhash_pairs": QuerySpec(q_simhash_pairs, SQL_SIMHASH_PAIRS,
+                                     "SimHash near-dup pairs (pigeonhole blocks)"),
+    "dedup_embedding_cosine": QuerySpec(q_embedding_neardup,
+                                        SQL_EMBEDDING_NEARDUP,
+                                        "embedding cosine near-dup pairs"),
+    "ann_cosine_topk": QuerySpec(q_ann_bruteforce, SQL_ANN_BRUTEFORCE,
+                                 "brute-force cosine top-10"),
+    "ann_lsh_topk": QuerySpec(q_ann_lsh, SQL_ANN_LSH,
+                              "sign-LSH bucketed ANN top-5"),
+    "similarity_knn_join": QuerySpec(q_knn_join, SQL_KNN_JOIN,
+                                     "batch 5-NN join"),
+    "text_token_stats": QuerySpec(q_token_stats, SQL_TOKEN_STATS,
+                                  "whitespace + BPE-ish token counts"),
+    "text_quality": QuerySpec(q_text_quality, SQL_TEXT_QUALITY,
+                              "quality features + composite score"),
+    "text_langid": QuerySpec(q_langid, SQL_LANGID,
+                             "stopword-heuristic language ID"),
+    "text_fingerprints": QuerySpec(q_fingerprints, SQL_FINGERPRINTS,
+                                   "hashed-shingle fingerprints"),
+}

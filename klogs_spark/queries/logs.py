@@ -1,0 +1,304 @@
+"""klogs query-surface parity checks (SURVEY §2.3/2.5/2.7/2.9).
+
+Spark runs each query through the real engine API (views.derive_logs_from_events
+-> LogsQuery / transform helpers, i.e. map-typed columns); the DuckDB oracle
+inlines the identical derivation as flat scalar columns (LOGS_CTE) and answers
+with plain SQL. Equal results prove the map-based data model computes the same
+answers as the reference's ClickHouse surface would.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..query import LogsQuery
+from ..transform import field_number, field_string, has_field, promote_string_field
+from ..views import derive_logs_from_events
+from . import QuerySpec
+
+# Keep in sync with views.derive_logs_from_events.
+LOGS_CTE = """
+WITH logs AS (
+  SELECT
+    ts AS "timestamp",
+    'prod' AS cluster,
+    'ns-' || CAST(user_id % 5 AS VARCHAR) AS namespace,
+    event_type AS app,
+    'pod-' || CAST(user_id % 50 AS VARCHAR) AS pod_name,
+    'c-' || event_type AS container_name,
+    'node-' || CAST(user_id % 8 AS VARCHAR) AS host,
+    CASE WHEN event_type = 'error' THEN 'error'
+         WHEN event_type = 'signup' THEN 'warn'
+         ELSE 'info' END AS f_level,
+    'src-' || CAST(user_id % 10 AS VARCHAR) AS f_source,
+    CASE WHEN user_id % 3 = 0 THEN 'on' END AS f_flag,
+    value AS f_value,
+    TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) AS f_k,
+    CASE WHEN event_type IN ('click','view') THEN value * 10 END AS f_latency_ms,
+    'type=' || event_type || ' user=' || CAST(user_id AS VARCHAR)
+      || ' k=' || json_extract_string(props, '$.k')
+      || CASE WHEN event_type = 'error' THEN ' error occurred' ELSE ' ok' END AS log
+  FROM events
+)
+"""
+
+_T0, _T1 = "2024-01-05 00:00:00", "2024-01-15 00:00:00"
+
+
+def _logs(spark: SparkSession, sf_dir: str) -> LogsQuery:
+    return LogsQuery(derive_logs_from_events(spark, sf_dir))
+
+
+# --- F1+F2+F3+A1: the canonical klogs question (SURVEY §7 step 2) -----------
+def q_env_map_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _logs(spark, sf_dir)
+        .time_range(_T0, _T1)
+        .where_env(namespace="ns-1")
+        .where_field_eq("level", "error")
+        .count_all()
+    )
+
+
+SQL_ENV_MAP_COUNT = LOGS_CTE + f"""
+SELECT count(*) AS cnt FROM logs
+WHERE "timestamp" BETWEEN '{_T0}' AND '{_T1}'
+  AND namespace = 'ns-1' AND f_level = 'error'
+"""
+
+
+# --- F4+A4: numeric aggregates over a dynamic field -------------------------
+def q_number_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = (
+        _logs(spark, sf_dir)
+        .where_number("value", ">", 100.0)
+        .number_stats("value", "namespace")
+    )
+    return df.select(
+        "namespace",
+        "cnt",
+        F.round("avg_v", 4).alias("avg_v"),
+        F.round("min_v", 2).alias("min_v"),
+        F.round("max_v", 2).alias("max_v"),
+        F.round("sum_v", 2).alias("sum_v"),
+    )
+
+
+SQL_NUMBER_STATS = LOGS_CTE + """
+SELECT namespace,
+       count(f_value) AS cnt,
+       round(avg(f_value), 4) AS avg_v,
+       round(min(f_value), 2) AS min_v,
+       round(max(f_value), 2) AS max_v,
+       round(sum(f_value), 2) AS sum_v
+FROM logs WHERE f_value > 100.0
+GROUP BY namespace
+"""
+
+
+# --- F5: map-key existence --------------------------------------------------
+def q_field_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _logs(spark, sf_dir).where_exists("flag").count_by("app")
+
+
+SQL_FIELD_EXISTS = LOGS_CTE + """
+SELECT app, count(*) AS cnt FROM logs WHERE f_flag IS NOT NULL GROUP BY app
+"""
+
+
+# --- F6: full-text substring on the raw line --------------------------------
+def q_fulltext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _logs(spark, sf_dir).where_log_contains("error occurred").count_by(
+        "namespace"
+    )
+
+
+SQL_FULLTEXT = LOGS_CTE + """
+SELECT namespace, count(*) AS cnt FROM logs
+WHERE log LIKE '%error occurred%' GROUP BY namespace
+"""
+
+
+# --- F6 regex variant -------------------------------------------------------
+def q_log_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _logs(spark, sf_dir).where_log_rlike("user=1[0-9] ").count_by("app")
+
+
+SQL_LOG_REGEX = LOGS_CTE + """
+SELECT app, count(*) AS cnt FROM logs
+WHERE regexp_matches(log, 'user=1[0-9] ') GROUP BY app
+"""
+
+
+# --- A2: hourly log-volume histogram ----------------------------------------
+def q_hourly_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _logs(spark, sf_dir).time_range(_T0, "2024-01-08 00:00:00").df
+    return (
+        df.groupBy(F.date_trunc("hour", F.col("timestamp")).alias("bucket_start"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+SQL_HOURLY_HISTOGRAM = LOGS_CTE + f"""
+SELECT date_trunc('hour', "timestamp") AS bucket_start, count(*) AS cnt
+FROM logs
+WHERE "timestamp" BETWEEN '{_T0}' AND '2024-01-08 00:00:00'
+GROUP BY 1
+"""
+
+
+# --- A3: per-namespace/app counts -------------------------------------------
+def q_env_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _logs(spark, sf_dir).count_by("namespace", "app")
+
+
+SQL_ENV_COUNTS = LOGS_CTE + """
+SELECT namespace, app, count(*) AS cnt FROM logs GROUP BY namespace, app
+"""
+
+
+# --- A4 on the JSON-parsed field (P5 coercion path) -------------------------
+def q_parsed_field_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _logs(spark, sf_dir).df
+    v = field_number("k")
+    return (
+        df.filter(v.isNotNull())
+        .groupBy("app")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.avg(v), 4).alias("avg_k"),
+            F.round(F.sum(v), 2).alias("sum_k"),
+        )
+    )
+
+
+SQL_PARSED_FIELD_STATS = LOGS_CTE + """
+SELECT app, count(*) AS cnt,
+       round(avg(f_k), 4) AS avg_k, round(sum(f_k), 2) AS sum_k
+FROM logs WHERE f_k IS NOT NULL GROUP BY app
+"""
+
+
+# --- A5: distinct field values ----------------------------------------------
+def q_distinct_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _logs(spark, sf_dir).distinct_field_values("source")
+
+
+SQL_DISTINCT_SOURCES = LOGS_CTE + """
+SELECT count(DISTINCT f_source) AS distinct_cnt FROM logs
+"""
+
+
+# --- A7: exact percentiles over a numeric field -----------------------------
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _logs(spark, sf_dir).df
+    v = field_number("value")
+    return df.filter(v.isNotNull()).agg(
+        *[
+            F.round(F.expr(f"percentile(element_at(fields_number, 'value'), {q})"), 4).alias(
+                f"p{int(q * 100)}"
+            )
+            for q in (0.5, 0.9, 0.95, 0.99)
+        ]
+    )
+
+
+SQL_VALUE_PERCENTILES = LOGS_CTE + """
+SELECT round(percentile_cont(0.50) WITHIN GROUP (ORDER BY f_value), 4) AS p50,
+       round(percentile_cont(0.90) WITHIN GROUP (ORDER BY f_value), 4) AS p90,
+       round(percentile_cont(0.95) WITHIN GROUP (ORDER BY f_value), 4) AS p95,
+       round(percentile_cont(0.99) WITHIN GROUP (ORDER BY f_value), 4) AS p99
+FROM logs WHERE f_value IS NOT NULL
+"""
+
+
+# --- O1/O3: newest-first log view (top-k, no full sort) ---------------------
+def q_newest_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # events timestamps are unique (TESTDATA seed) -> deterministic top-100.
+    return (
+        _logs(spark, sf_dir)
+        .where_env(namespace="ns-2")
+        .newest(100)
+        .select("timestamp", "namespace", "app", "pod_name", "log")
+    )
+
+
+SQL_NEWEST_LOGS = LOGS_CTE + """
+SELECT "timestamp", namespace, app, pod_name, log FROM logs
+WHERE namespace = 'ns-2'
+ORDER BY "timestamp" DESC LIMIT 100
+"""
+
+
+# --- promoted materialized column parity (README.md:69-91) ------------------
+def q_promoted_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = promote_string_field(
+        derive_logs_from_events(spark, sf_dir), "level", "content_level"
+    )
+    # Filter on the promoted column; also prove equivalence with the map path.
+    return (
+        df.filter(F.col("content_level") == field_string("level"))
+        .groupBy(F.col("content_level").alias("level"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+SQL_PROMOTED_LEVEL = LOGS_CTE + """
+SELECT f_level AS level, count(*) AS cnt FROM logs GROUP BY f_level
+"""
+
+
+# --- EXT window: top-3 pods by volume per namespace -------------------------
+def q_top_pods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    counts = _logs(spark, sf_dir).count_by("namespace", "pod_name")
+    w = Window.partitionBy("namespace").orderBy(
+        F.col("cnt").desc(), F.col("pod_name")
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("namespace", "pod_name", "cnt", "rnk")
+    )
+
+
+SQL_TOP_PODS = LOGS_CTE + """
+SELECT namespace, pod_name, cnt, rnk FROM (
+  SELECT namespace, pod_name, count(*) AS cnt,
+         ROW_NUMBER() OVER (PARTITION BY namespace
+                            ORDER BY count(*) DESC, pod_name) AS rnk
+  FROM logs GROUP BY namespace, pod_name
+) WHERE rnk <= 3
+"""
+
+
+SPECS = {
+    "logs_env_map_count": QuerySpec(q_env_map_count, SQL_ENV_MAP_COUNT,
+                                    "F1+F2+F3+A1 canonical klogs count"),
+    "logs_number_stats": QuerySpec(q_number_stats, SQL_NUMBER_STATS,
+                                   "F4+A4 dynamic-number aggregates"),
+    "logs_field_exists": QuerySpec(q_field_exists, SQL_FIELD_EXISTS,
+                                   "F5 map-key existence"),
+    "logs_fulltext": QuerySpec(q_fulltext, SQL_FULLTEXT, "F6 substring"),
+    "logs_log_regex": QuerySpec(q_log_regex, SQL_LOG_REGEX, "F6 regex"),
+    "logs_hourly_histogram": QuerySpec(q_hourly_histogram, SQL_HOURLY_HISTOGRAM,
+                                       "A2 time-bucketed counts"),
+    "logs_env_counts": QuerySpec(q_env_counts, SQL_ENV_COUNTS,
+                                 "A3 envelope-dim counts"),
+    "logs_parsed_field_stats": QuerySpec(q_parsed_field_stats,
+                                         SQL_PARSED_FIELD_STATS,
+                                         "A4 over JSON-coerced field"),
+    "logs_distinct_sources": QuerySpec(q_distinct_sources, SQL_DISTINCT_SOURCES,
+                                       "A5 count distinct"),
+    "logs_value_percentiles": QuerySpec(q_value_percentiles,
+                                        SQL_VALUE_PERCENTILES,
+                                        "A7 exact percentiles"),
+    "logs_newest": QuerySpec(q_newest_logs, SQL_NEWEST_LOGS,
+                             "O3 newest-first top-k"),
+    "logs_promoted_level": QuerySpec(q_promoted_level, SQL_PROMOTED_LEVEL,
+                                     "promoted-column parity README.md:69-91"),
+    "logs_top_pods": QuerySpec(q_top_pods, SQL_TOP_PODS,
+                               "EXT window top-k per group"),
+}

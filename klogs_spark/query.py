@@ -1,0 +1,145 @@
+"""The read surface — filters F1-F6, aggregations A1-A7, sorts O1-O3.
+
+The reference ships no query executor; its query surface is what the
+ClickHouse DDL makes fast plus the README's demonstrated queries (SURVEY
+§2.3/2.5/2.7). This module exposes that surface as a small fluent API over
+any logs-shaped DataFrame. Every method is a pure Column expression —
+predicates push down to the parquet scan, partition pruning applies to
+time ranges, aggregates get map-side partial aggregation from Catalyst.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .transform import field_number, field_string, has_field
+
+
+class LogsQuery:
+    """Fluent builder over a logs DataFrame.
+
+    ``LogsQuery(df).time_range(a, b).where_env(namespace="x").where_field_eq
+    ("content.level", "error").count_all()`` — the canonical klogs question
+    (SURVEY §7 step 2).
+    """
+
+    def __init__(self, df: DataFrame):
+        self.df = df
+
+    # --- filters -----------------------------------------------------------
+    def time_range(self, start: datetime | str, end: datetime | str) -> "LogsQuery":
+        """F1 — prunes daily partitions (schema.sql:17)."""
+        return LogsQuery(self.df.filter(F.col("timestamp").between(start, end)))
+
+    def where_env(self, **eq: str) -> "LogsQuery":
+        """F2 — envelope equality, served by the cluster-key sort (schema.sql:18)."""
+        out = self.df
+        for col, val in eq.items():
+            out = out.filter(F.col(col) == val)
+        return LogsQuery(out)
+
+    def where_field_eq(self, key: str, value: str) -> "LogsQuery":
+        """F3 — ``fields_string['k'] = 'v'`` (README.md:69-70)."""
+        return LogsQuery(self.df.filter(field_string(key) == value))
+
+    def where_field_like(self, key: str, pattern: str) -> "LogsQuery":
+        """F3 — LIKE on a dynamic string field."""
+        return LogsQuery(self.df.filter(field_string(key).like(pattern)))
+
+    def where_field_rlike(self, key: str, pattern: str) -> "LogsQuery":
+        """F3 — regex on a dynamic string field."""
+        return LogsQuery(self.df.filter(field_string(key).rlike(pattern)))
+
+    def where_number(self, key: str, op: str, value: float) -> "LogsQuery":
+        """F4 — ``fields_number['k'] <op> n`` (README.md:72-73)."""
+        col = field_number(key)
+        ops = {
+            ">": col > value, ">=": col >= value,
+            "<": col < value, "<=": col <= value,
+            "=": col == value, "!=": col != value,
+        }
+        return LogsQuery(self.df.filter(ops[op]))
+
+    def where_exists(self, key: str, in_numbers: bool = False) -> "LogsQuery":
+        """F5 — ``mapContains(fields_string|fields_number, 'k')``."""
+        col = "fields_number" if in_numbers else "fields_string"
+        return LogsQuery(self.df.filter(has_field(col, key)))
+
+    def where_log_contains(self, needle: str) -> "LogsQuery":
+        """F6 — full-text substring on the raw line (``log LIKE '%…%'``)."""
+        return LogsQuery(self.df.filter(F.col("log").contains(needle)))
+
+    def where_log_rlike(self, pattern: str) -> "LogsQuery":
+        """F6 — regex over the raw line."""
+        return LogsQuery(self.df.filter(F.col("log").rlike(pattern)))
+
+    def where(self, cond: Column) -> "LogsQuery":
+        return LogsQuery(self.df.filter(cond))
+
+    # --- aggregations ------------------------------------------------------
+    def count_all(self) -> DataFrame:
+        """A1 — count(*) (README.md:146,149)."""
+        return self.df.agg(F.count(F.lit(1)).alias("cnt"))
+
+    def histogram(self, bucket: str = "1 hour") -> DataFrame:
+        """A2 — time-bucketed counts, the canonical log-volume chart
+        (enabled by schema.sql:17-18). Returns (bucket_start, cnt)."""
+        return (
+            self.df.groupBy(
+                F.window(F.col("timestamp"), bucket).start.alias("bucket_start")
+            )
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    def count_by(self, *dims: str) -> DataFrame:
+        """A3 — group-by envelope dims (LowCardinality dims, schema.sql:6-11)."""
+        return self.df.groupBy(*dims).agg(F.count(F.lit(1)).alias("cnt"))
+
+    def number_stats(self, key: str, *dims: str) -> DataFrame:
+        """A4 — avg/min/max/sum over ``fields_number['k']`` — the reason the
+        number map exists (schema.sql:13, main.go:336-345)."""
+        v = field_number(key)
+        grouped = self.df.filter(v.isNotNull()).groupBy(*dims) if dims else \
+            self.df.filter(v.isNotNull()).groupBy()
+        return grouped.agg(
+            F.count(v).alias("cnt"),
+            F.avg(v).alias("avg_v"),
+            F.min(v).alias("min_v"),
+            F.max(v).alias("max_v"),
+            F.sum(v).alias("sum_v"),
+        )
+
+    def distinct_field_values(self, key: str, approx: bool = False) -> DataFrame:
+        """A5 — (approx_)count_distinct of a dynamic field (EXT)."""
+        v = field_string(key)
+        agg = (
+            F.approx_count_distinct(v) if approx else F.count_distinct(v)
+        ).alias("distinct_cnt")
+        return self.df.agg(agg)
+
+    def percentiles(self, key: str, qs: list[float] | None = None) -> DataFrame:
+        """A7 — p50/p90/p95/p99 summaries (parity with the reference's
+        self-instrumentation quantiles, main.go:62-73)."""
+        qs = qs or [0.5, 0.9, 0.95, 0.99]
+        v = field_number(key)
+        return self.df.filter(v.isNotNull()).agg(
+            *[
+                F.percentile_approx(v, q).alias(f"p{int(q * 100)}")
+                for q in qs
+            ]
+        )
+
+    # --- sorts / limits ----------------------------------------------------
+    def preview(self, n: int = 10) -> DataFrame:
+        """O1 — LIMIT n (README.md:147,150)."""
+        return self.df.limit(n)
+
+    def newest(self, n: int = 100) -> DataFrame:
+        """O3 — ORDER BY timestamp DESC LIMIT n: the canonical log-view query.
+        Spark plans this as TakeOrderedAndProject (distributed top-k per
+        partition + driver-side merge of n rows — no full sort at any scale).
+        """
+        return self.df.orderBy(F.col("timestamp").desc()).limit(n)

@@ -1,0 +1,63 @@
+"""Differential gate: every registry query vs its DuckDB oracle at sf0.01.
+
+Replicates the driver's t2 comparison: row count, column names, and
+order-insensitive value comparison (rows sorted; columns compared by sorted
+name). Exact equality — if a query needs tolerance it must round identically
+on both sides instead.
+"""
+
+from __future__ import annotations
+
+import math
+from datetime import datetime
+
+import pytest
+
+from klogs_spark.queries import registry
+from tests.conftest import SF_ORACLE
+
+SPECS = registry()
+ORACLE_CASES = [n for n, s in SPECS.items() if s.oracle is not None]
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # collapse -0.0/0.0 and float noise already handled by query-side rounding
+        return repr(v + 0.0)
+    if isinstance(v, datetime):
+        return v.isoformat()
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return repr(v)
+
+
+def _canon(rows, columns):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+
+
+@pytest.mark.parametrize("name", ORACLE_CASES)
+def test_query_matches_oracle(name, spark, duck):
+    spec = SPECS[name]
+    sdf = spec.fn(spark, SF_ORACLE)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    res = duck.execute(spec.oracle)
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch {spark_cols} vs {duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
+    )
+    s_canon = _canon(spark_rows, spark_cols)
+    d_canon = _canon(duck_rows, duck_cols)
+    mism = [
+        (a, b) for a, b in zip(s_canon, d_canon) if a != b
+    ]
+    assert not mism, f"{name}: first value mismatches: {mism[:3]}"

@@ -71,9 +71,16 @@ def exact_dedup(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> Da
 # --- n-gram Jaccard ---------------------------------------------------------
 def doc_shingles(df: DataFrame, text: str = "text", id_col: str = "doc_id",
                  n: int = 3) -> DataFrame:
-    """Exploded (id, shingle) pairs — the shared substrate for exact Jaccard."""
+    """Exploded (id, shingle) pairs — the shared substrate for exact Jaccard.
+
+    ``repartition(id)`` first: corpus files are often few/large, and the
+    downstream explode+md5 work is CPU-bound — spreading by id keys the
+    parallelism to the cluster width instead of the input file count.
+    """
     return (
-        df.select(F.col(id_col).alias("id"), shingles_col(F.col(text), n).alias("sh"))
+        df.select(F.col(id_col).alias("id"), F.col(text).alias("t"))
+        .repartition(F.col("id"))
+        .select("id", shingles_col(F.col("t"), n).alias("sh"))
         .filter(F.size("sh") > 0)
         .select("id", F.explode("sh").alias("shingle"))
     )
@@ -90,16 +97,29 @@ def jaccard_pairs(shingled: DataFrame, min_jaccard: float,
     Returns (id_a, id_b, jaccard).
     """
     sizes = shingled.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    a = shingled.alias("a")
-    b = shingled.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
     if candidates is not None:
-        inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
+        # Verify-only-candidates path: route the candidate pair list through
+        # the shingle table twice (id_a then id_b+shingle equi-joins) so the
+        # intersection count materializes ONLY for candidate pairs — the
+        # full shingle self-join below never runs. At scale this is
+        # |candidates| x shingles_per_doc, independent of corpus size.
+        a = shingled.select(F.col("id").alias("id_a"), "shingle")
+        b = shingled.select(F.col("id").alias("id_b"), "shingle")
+        inter = (
+            candidates.join(a, "id_a")
+            .join(b, ["id_b", "shingle"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+    else:
+        a = shingled.alias("a")
+        b = shingled.alias("b")
+        inter = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
     return (
@@ -127,10 +147,16 @@ def minhash_signatures(df: DataFrame, text: str = "text",
     (map-side partial min per permutation — shuffle carries k longs per doc).
     Returns (id, mh_0..mh_{k-1}).
     """
+    return minhash_signatures_from_shingles(doc_shingles(df, text, id_col), k)
+
+
+def minhash_signatures_from_shingles(shingled: DataFrame,
+                                     k: int = NUM_PERM) -> DataFrame:
+    """Signatures from an existing (id, shingle) table — lets pipelines share
+    one shingle materialization between signing and verification."""
     a, b = perm_params(k)
-    sh = doc_shingles(df, text, id_col)
     h = md5_long(F.col("shingle"))
-    return sh.groupBy("id").agg(
+    return shingled.groupBy("id").agg(
         *[
             F.min((F.lit(a[i]) * h + F.lit(b[i])) % F.lit(HASH_PRIME)).alias(
                 f"mh_{i}"
@@ -180,10 +206,18 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = LSH_BANDS,
 
 def minhash_dedup(df: DataFrame, text: str = "text", id_col: str = "doc_id",
                   min_jaccard: float = 0.5) -> DataFrame:
-    """Full near-dup pipeline: MinHash -> LSH bands -> exact-Jaccard verify."""
-    sigs = minhash_signatures(df, text, id_col)
+    """Full near-dup pipeline: MinHash -> LSH bands -> exact-Jaccard verify.
+
+    The signature and shingle tables are cached: each feeds both sides of a
+    self-join, and without materialization Spark would re-derive the whole
+    explode+aggregate lineage once per join side. Both are tiny relative to
+    the corpus (k longs per doc; shingle strings per doc) — at 100 TB these
+    are the tables you'd persist as the dedup index anyway.
+    """
+    sh = doc_shingles(df, text, id_col).cache()
+    sigs = minhash_signatures_from_shingles(sh).cache()
     cands = lsh_candidate_pairs(sigs)
-    return jaccard_pairs(doc_shingles(df, text, id_col), min_jaccard, cands)
+    return jaccard_pairs(sh, min_jaccard, cands)
 
 
 # --- SimHash ----------------------------------------------------------------
@@ -194,8 +228,9 @@ def simhash(df: DataFrame, text: str = "text", id_col: str = "doc_id",
     partial-aggregated map-side. Returns (id, simhash).
     """
     toks = (
-        df.select(F.col(id_col).alias("id"),
-                  F.explode(tokens_col(F.col(text))).alias("tok"))
+        df.select(F.col(id_col).alias("id"), F.col(text).alias("t"))
+        .repartition(F.col("id"))  # parallelize past the input file count
+        .select("id", F.explode(tokens_col(F.col("t"))).alias("tok"))
     )
     h = md5_long(F.col("tok"), chars=15)  # 60-bit token hash
     bit_sums = toks.groupBy("id").agg(

@@ -1,0 +1,103 @@
+"""Ingest observability — parity with the reference's Prometheus surface.
+
+Reference (T6, SURVEY §2.10): counters ``input_records_total`` /
+``errors_total`` (main.go:52-60), summaries ``batch_size`` /
+``flush_time_seconds`` with p50/p90/p95/p99 (main.go:62-73), a log counter by
+level (pkg/instrument/logger/logger.go:17,61), and a /metrics + /health HTTP
+server (pkg/instrument/metrics/metrics.go:26-57).
+
+Spark-native mapping: a StreamingQueryListener accumulates the same series
+from micro-batch progress events — no HTTP server needed in-engine (cluster
+metric sinks scrape the driver); ``render_prometheus`` produces the
+text-format exposition for parity and tests.
+"""
+
+from __future__ import annotations
+
+import threading
+from dataclasses import dataclass, field
+
+from pyspark.sql.streaming import StreamingQueryListener
+
+
+def _quantiles(values: list[float], qs: tuple[float, ...]) -> dict[float, float]:
+    if not values:
+        return {q: 0.0 for q in qs}
+    s = sorted(values)
+    out = {}
+    for q in qs:
+        idx = min(int(q * len(s)), len(s) - 1)
+        out[q] = s[idx]
+    return out
+
+
+@dataclass
+class IngestMetrics:
+    """Counter/summary store, one per pipeline (thread-safe like the
+    reference's promauto registry)."""
+
+    input_records_total: int = 0       # main.go:52-55
+    errors_total: int = 0              # main.go:57-60
+    batch_sizes: list[float] = field(default_factory=list)   # main.go:62-67
+    flush_seconds: list[float] = field(default_factory=list)  # main.go:69-73
+    _lock: threading.Lock = field(default_factory=threading.Lock, repr=False)
+
+    QUANTILES = (0.5, 0.9, 0.95, 0.99)  # main.go:65,72
+
+    def observe_batch(self, n_rows: int, seconds: float) -> None:
+        with self._lock:
+            self.input_records_total += int(n_rows)
+            self.batch_sizes.append(float(n_rows))
+            self.flush_seconds.append(float(seconds))
+
+    def observe_error(self) -> None:
+        with self._lock:
+            self.errors_total += 1
+
+    def render_prometheus(self, prefix: str = "klogs_spark") -> str:
+        """Text exposition matching the reference's metric names
+        (clickhouse_* family, main.go:52-73)."""
+        with self._lock:
+            lines = [
+                f"{prefix}_input_records_total {self.input_records_total}",
+                f"{prefix}_errors_total {self.errors_total}",
+            ]
+            for name, series in (
+                ("batch_size", self.batch_sizes),
+                ("flush_time_seconds", self.flush_seconds),
+            ):
+                for q, v in _quantiles(series, self.QUANTILES).items():
+                    lines.append(
+                        f'{prefix}_{name}{{quantile="{q}"}} {v}'
+                    )
+                lines.append(f"{prefix}_{name}_count {len(series)}")
+                lines.append(f"{prefix}_{name}_sum {sum(series)}")
+        return "\n".join(lines) + "\n"
+
+    def healthy(self) -> bool:
+        """/health equivalent (metrics.go:51-53)."""
+        return True
+
+
+class IngestMetricsListener(StreamingQueryListener):
+    """Feeds IngestMetrics from Structured Streaming progress events —
+    the engine-side replacement for the plugin's inline instrumentation
+    (main.go:246, 371-373)."""
+
+    def __init__(self, metrics: IngestMetrics | None = None):
+        self.metrics = metrics or IngestMetrics()
+
+    def onQueryStarted(self, event) -> None:  # noqa: N802 (Spark API)
+        pass
+
+    def onQueryProgress(self, event) -> None:  # noqa: N802
+        p = event.progress
+        seconds = (p.batchDuration or 0) / 1000.0
+        self.metrics.observe_batch(p.numInputRows, seconds)
+
+    def onQueryIdle(self, event) -> None:  # noqa: N802
+        pass
+
+    def onQueryTerminated(self, event) -> None:  # noqa: N802
+        if event.exception is not None:
+            self.metrics.observe_error()

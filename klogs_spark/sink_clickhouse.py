@@ -1,0 +1,94 @@
+"""ClickHouse batched-INSERT sink — shape parity with pkg/clickhouse.
+
+Reference (S3/S4/S6, SURVEY §2.1): one prepared ``INSERT INTO <db>.logs
+(10 cols) VALUES`` per flush inside a transaction, per-row Exec, commit, then
+buffer reset (clickhouse.go:59-108); optional ``SETTINGS async_insert=1,
+wait_for_async_insert=0|1`` appended (clickhouse.go:65-73); bounded
+connection pool (clickhouse.go:137-139).
+
+Engine mapping: the micro-batch *is* the buffer (S5 — no code), so the sink
+is a ``foreachBatch``-compatible callable that writes each decoded batch via
+``foreachPartition`` — one DBAPI connection per partition, executemany, one
+commit. The connection factory is injected so tests (and environments without
+a ClickHouse server or driver) run against a fake; failure raises, which in
+Structured Streaming leaves the batch uncommitted in the checkpoint -> replay
+-> at-least-once, matching the reference's FLB_ERROR retry contract
+(main.go:364-369, T4).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Iterator
+
+from pyspark.sql import DataFrame, Row
+
+from .config import EngineConfig
+from .schema import LOG_COLUMNS
+
+# Column list and order of the reference INSERT statement, clickhouse.go:76.
+INSERT_SQL_TEMPLATE = (
+    "INSERT INTO {database}.logs (timestamp, cluster, namespace, app, "
+    "pod_name, container_name, host, fields_string, fields_number, log) "
+    "VALUES ({placeholders})"
+)
+
+
+def build_insert_sql(config: EngineConfig) -> str:
+    """INSERT text incl. async-insert settings suffix (clickhouse.go:61-74)."""
+    sql = INSERT_SQL_TEMPLATE.format(
+        database=config.database, placeholders=", ".join(["?"] * len(LOG_COLUMNS))
+    )
+    if config.async_insert:
+        wait = 1 if config.wait_for_async_insert else 0
+        sql += f" SETTINGS async_insert = 1, wait_for_async_insert = {wait}"
+    return sql
+
+
+class ClickHouseSink:
+    """foreachBatch sink writing decoded log rows through a DBAPI connection.
+
+    ``connection_factory`` returns an object with ``cursor()``, ``commit()``,
+    ``rollback()`` and ``close()`` (DBAPI-2 shape — clickhouse-connect /
+    clickhouse-driver both satisfy it). It must be picklable: it is shipped
+    to executors and invoked once per partition (the Spark analogue of the
+    reference's per-flush transaction, with parallelism across partitions;
+    pool bounds map to max_open_conns, clickhouse.go:137-139).
+    """
+
+    def __init__(
+        self,
+        config: EngineConfig,
+        connection_factory: Callable[[], Any],
+    ):
+        self.config = config
+        self.connection_factory = connection_factory
+        self.insert_sql = build_insert_sql(config)
+
+    def write_batch(self, df: DataFrame, batch_id: int) -> None:
+        """Write one micro-batch: per-partition transactional executemany.
+
+        Raises on failure -> the streaming checkpoint replays the batch
+        (at-least-once, reference main.go:364-369).
+        """
+        sql = self.insert_sql
+        factory = self.connection_factory
+
+        def write_partition(rows: Iterator[Row]) -> None:
+            buffered = [tuple(row[c] for c in LOG_COLUMNS) for row in rows]
+            if not buffered:
+                return
+            conn = factory()
+            try:
+                cur = conn.cursor()
+                cur.executemany(sql, buffered)
+                conn.commit()
+            except Exception:
+                conn.rollback()
+                raise  # surface to Spark -> batch retry (T4)
+            finally:
+                conn.close()
+
+        df.foreachPartition(write_partition)
+
+    def __call__(self, df: DataFrame, batch_id: int) -> None:
+        self.write_batch(df, batch_id)

@@ -1,0 +1,131 @@
+"""Structured Streaming ingest — the engine's FLBPluginFlushCtx equivalent.
+
+Reference hot path (main.go:237-377): msgpack chunk -> per-record decode ->
+buffer -> size-or-time flush -> batched INSERT. Spark mapping (SURVEY §3.2):
+
+    readStream (json-lines files / any streaming source)        <- S1/S7
+      -> foreachBatch:
+           decode_dataframe (flatten+dispatch, Arrow batches)   <- P1,P2,S2
+           sink.write(batch)                                    <- S3
+      trigger(processingTime=flush_interval)                    <- T1
+      checkpointLocation=...                                    <- T2/T4
+
+Delivery semantics: at-least-once, same as the reference (flush failure ->
+FLB_ERROR -> Fluent Bit redelivers the chunk, main.go:364-369). Structured
+Streaming's checkpoint replays an uncommitted micro-batch after failure; the
+parquet sink appends (duplicates possible on replay, exactly like the
+reference), while a transactional sink could consume ``batch_id`` for
+idempotence.
+
+Trigger duality (T1): the reference flushes on size OR time
+(main.go:357-361). Spark triggers are time-based; the size half maps to
+source rate caps (maxFilesPerTrigger / maxOffsetsPerTrigger) bounding each
+micro-batch — documented approximation (SURVEY §2.10 T1).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from .config import EngineConfig
+from .decode import decode_dataframe
+from .table import write_logs
+
+
+def read_json_lines_stream(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """S1/S7: file-source stream of raw JSON-lines events (one event per
+    line). ``maxFilesPerTrigger`` is the size-half of the reference's
+    size-or-time flush policy."""
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def start_ingest(
+    raw_stream: DataFrame,
+    sink: Callable[[DataFrame, int], None] | str,
+    config: EngineConfig | None = None,
+    checkpoint_dir: str | None = None,
+    query_name: str = "klogs-ingest",
+) -> StreamingQuery:
+    """Wire decode -> sink inside foreachBatch and start the query.
+
+    ``sink`` is either a path (parquet logs table via table.write_logs) or a
+    callable ``(decoded_batch_df, batch_id) -> None`` (e.g.
+    sink_clickhouse.ClickHouseSink.write_batch).
+
+    The trigger honors the reference's Flush_Interval default (60 s,
+    main.go:38) via config.flush_interval_s; checkpointing gives T2
+    (final drain — restart resumes the uncommitted batch) and T4
+    (at-least-once redelivery).
+    """
+    cfg = config or EngineConfig()
+    ckpt = checkpoint_dir or cfg.checkpoint_dir
+    if not ckpt:
+        raise ValueError("checkpoint_dir is required (T2/T4 delivery semantics)")
+
+    if isinstance(sink, str):
+        sink_path = sink
+
+        def sink_fn(batch: DataFrame, batch_id: int) -> None:
+            write_logs(batch, sink_path, mode="append")
+    else:
+        sink_fn = sink
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        decoded = decode_dataframe(batch_df, cfg)
+        sink_fn(decoded, batch_id)
+
+    return (
+        raw_stream.writeStream.queryName(query_name)
+        .foreachBatch(process_batch)
+        .trigger(processingTime=f"{cfg.flush_interval_s} seconds")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+
+
+def run_ingest_once(
+    raw_stream: DataFrame,
+    sink: Callable[[DataFrame, int], None] | str,
+    config: EngineConfig | None = None,
+    checkpoint_dir: str | None = None,
+) -> None:
+    """Drain everything currently available, then stop (availableNow).
+
+    The batch-mode twin of :func:`start_ingest`; also the shutdown-drain
+    path — the reference's FLBPluginExitCtx final BufferWrite
+    (main.go:386-396) is this plus checkpoint bookkeeping.
+    """
+    cfg = config or EngineConfig()
+    ckpt = checkpoint_dir or cfg.checkpoint_dir
+    if not ckpt:
+        raise ValueError("checkpoint_dir is required")
+
+    if isinstance(sink, str):
+        sink_path = sink
+
+        def sink_fn(batch: DataFrame, batch_id: int) -> None:
+            write_logs(batch, sink_path, mode="append")
+    else:
+        sink_fn = sink
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        decoded = decode_dataframe(batch_df, cfg)
+        sink_fn(decoded, batch_id)
+
+    q = (
+        raw_stream.writeStream.foreachBatch(process_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination()

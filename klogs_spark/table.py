@@ -41,7 +41,10 @@ def write_logs(df: DataFrame, path: str, mode: str = "append") -> None:
     (
         df.withColumn(PARTITION_COLUMN, F.to_date(F.col("timestamp")))
         .repartition(F.col(PARTITION_COLUMN))
-        .sortWithinPartitions(*CLUSTER_KEY)
+        # date leads the sort: FileFormatWriter requires ordering by the
+        # partition column and would otherwise inject its own sort on date
+        # alone, destroying the cluster-key order inside each file.
+        .sortWithinPartitions(PARTITION_COLUMN, *CLUSTER_KEY)
         .write.mode(mode)
         .partitionBy(PARTITION_COLUMN)
         .parquet(path)

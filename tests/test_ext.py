@@ -1,0 +1,150 @@
+"""EXT operator unit tests on synthetic corpora — behaviors the driver
+tables can't exercise (planted exact dups, recall of sketch pipelines,
+multimodal plumbing, metrics)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from klogs_spark.ext import dedup as dd
+from klogs_spark.ext import multimodal as mm
+from klogs_spark.ext import similarity as sim
+from klogs_spark.metrics import IngestMetrics
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    base = ("the quick brown fox jumps over the lazy dog while the calm "
+            "grey owl watches from a tall oak tree near the quiet river "
+            "bank under a bright summer sky every single day")
+    rows = [
+        (0, base),
+        (1, base),                                      # exact dup of 0
+        (2, base + " indeed"),          # near dup (jaccard ~0.97, caught by
+                                        # the fixed LSH bands deterministically)
+        (3, "completely different text about spark query engines at scale"),
+        (4, "another unrelated document mentioning parquet files and shuffles"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_collapses_exact_copies(corpus):
+    out = {r.survivor_id: r.n_copies for r in dd.exact_dedup(corpus).collect()}
+    assert out[0] == 2          # doc 1 collapsed into doc 0
+    assert 1 not in out
+    assert out[2] == out[3] == out[4] == 1
+
+
+def test_minhash_identical_docs_identical_signatures(corpus):
+    sigs = {r["id"]: tuple(r)[1:] for r in dd.minhash_signatures(corpus).collect()}
+    assert sigs[0] == sigs[1]
+    assert sigs[0] != sigs[3]
+
+
+def test_minhash_lsh_finds_exact_and_near_dups(corpus):
+    pairs = {(r.id_a, r.id_b): r.jaccard
+             for r in dd.minhash_dedup(corpus, min_jaccard=0.3).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs or (1, 2) in pairs
+    assert all(not {3, 4} & set(p) for p in pairs)
+
+
+def test_simhash_identical_docs_zero_hamming(corpus):
+    sims = dd.simhash(corpus)
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in dd.simhash_pairs(sims, max_hamming=60).collect()}
+    assert pairs[(0, 1)] == 0
+    # near dup closer than unrelated docs
+    assert pairs[(0, 2)] < pairs[(0, 3)]
+
+
+def test_simhash_bucketed_matches_pairwise(corpus):
+    sims = dd.simhash(corpus).cache()
+    brute = {(r.id_a, r.id_b) for r in
+             dd.simhash_pairs(sims, max_hamming=10).collect()}
+    bucketed = {(r.id_a, r.id_b) for r in
+                dd.simhash_pairs_bucketed(sims, max_hamming=10).collect()}
+    assert bucketed == brute  # pigeonhole blocking is lossless
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),   # near 0
+        (2, [0.0, 1.0, 0.0, 0.0]),      # orthogonal
+        (3, [-1.0, 0.0, 0.0, 0.0]),     # opposite
+        (4, [0.7, 0.7, 0.0, 0.0]),      # diagonal
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_brute_force_topk_ordering(vectors):
+    got = [r["id"] for r in sim.brute_force_topk(vectors, [1.0, 0, 0, 0], k=3).collect()]
+    assert got == [0, 1, 4]
+
+
+def test_embedding_neardup_threshold(vectors):
+    pairs = {(r.id_a, r.id_b) for r in
+             dd.embedding_neardup(vectors, threshold=0.99).collect()}
+    assert pairs == {(0, 1)}
+
+
+def test_lsh_bucket_groups_similar_vectors(vectors):
+    planes = [[0.5, 0.1, -0.2, 0.3], [-0.1, 0.4, 0.2, -0.3],
+              [0.2, -0.3, 0.1, 0.4]]
+    buckets = {r["id"]: r.bucket
+               for r in sim.lsh_bucket_assignments(vectors, planes=planes).collect()}
+    assert buckets[0] == buckets[1]      # near-identical vectors collide
+    assert buckets[0] != buckets[3]      # opposite vectors split
+
+
+def test_knn_join_excludes_self_and_ranks(vectors):
+    out = sim.knn_join(vectors, vectors.filter(F.col("vec_id") == 0), k=2)
+    rows = sorted(out.collect(), key=lambda r: r.rnk)
+    assert [r.neighbor_id for r in rows] == [1, 4]
+    assert all(r.query_id == 0 for r in rows)
+
+
+def test_multimodal_feature_extraction(spark):
+    rows = [
+        (1, "image", "image/png", b"\x89PNG fake bytes", len(b"\x89PNG fake bytes"),
+         4, 4, None),
+        (2, "video", "video/mp4", b"\x00mp4", 4, 16, 9, 3.5),
+        (3, "audio", "audio/wav", None, 0, None, None, 1.0),
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    feats = {r.media_id: r for r in mm.extract_features(media, dim=8).collect()}
+    assert feats[1].sha256 != feats[2].sha256
+    assert feats[1].feature_dim == 8 and feats[1].feature_norm > 0
+    assert feats[3].n_bytes == 0  # null payload handled
+
+    # deterministic fake: same payload -> same features
+    feats2 = {r.media_id: r for r in mm.extract_features(media, dim=8).collect()}
+    assert feats[1].feature_norm == feats2[1].feature_norm
+
+
+def test_multimodal_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(b"bytes")
+
+
+def test_frame_sampling_worklist(spark):
+    rows = [(2, "video", "video/mp4", b"x", 1, 16, 9, 2.5)]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    frames = mm.sample_frames(media, every_s=1.0).collect()
+    assert [r.frame_ts for r in frames] == [0.0, 1.0, 2.0]
+
+
+def test_ingest_metrics_quantiles_and_render():
+    m = IngestMetrics()
+    for i in range(100):
+        m.observe_batch(n_rows=i, seconds=i / 100)
+    m.observe_error()
+    assert m.input_records_total == sum(range(100))
+    assert m.errors_total == 1
+    text = m.render_prometheus()
+    assert "input_records_total 4950" in text
+    assert 'batch_size{quantile="0.5"} 50.0' in text
+    assert "flush_time_seconds_count 100" in text

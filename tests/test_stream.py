@@ -1,0 +1,110 @@
+"""Streaming ingest tests — trigger/drain/at-least-once (SURVEY §5.4)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from klogs_spark.config import EngineConfig
+from klogs_spark.stream import read_json_lines_stream, run_ingest_once
+from klogs_spark.table import read_logs
+
+EVENTS = [
+    {"ts": 1755043200 + i,
+     "record": {
+         "cluster": "kind",
+         "kubernetes": {"namespace_name": f"ns-{i % 2}", "pod_name": f"p{i}",
+                        "container_name": "c", "host": "h",
+                        "labels": {"app": "web"}},
+         "log": f"line {i}",
+         "content": {"level": "error" if i % 3 == 0 else "info",
+                     "duration": str(1.5 * i)},
+     }}
+    for i in range(20)
+]
+
+
+@pytest.fixture()
+def raw_dir(tmp_path):
+    d = tmp_path / "raw"
+    d.mkdir()
+    for chunk in range(2):
+        with open(d / f"chunk-{chunk}.json", "w") as f:
+            for ev in EVENTS[chunk * 10:(chunk + 1) * 10]:
+                f.write(json.dumps(ev) + "\n")
+    return str(d)
+
+
+def test_ingest_end_to_end(spark, raw_dir, tmp_path):
+    out = str(tmp_path / "logs")
+    cfg = EngineConfig(force_number_fields=["content_duration"])
+    stream = read_json_lines_stream(spark, raw_dir)
+    run_ingest_once(stream, out, cfg, checkpoint_dir=str(tmp_path / "ckpt"))
+
+    logs = read_logs(spark, out)
+    assert logs.count() == 20
+    row = logs.filter("pod_name = 'p3'").collect()[0]
+    assert row.namespace == "ns-1"
+    assert row.app == "web"
+    assert row.fields_string["content_level"] == "error"
+    assert row.fields_number["content_duration"] == pytest.approx(4.5)
+
+
+def test_checkpoint_no_reprocess_on_rerun(spark, raw_dir, tmp_path):
+    """T2/T4: a second availableNow run over the same checkpoint must not
+    duplicate rows (files already committed)."""
+    out = str(tmp_path / "logs")
+    ckpt = str(tmp_path / "ckpt")
+    stream = read_json_lines_stream(spark, raw_dir)
+    run_ingest_once(stream, out, checkpoint_dir=ckpt)
+    run_ingest_once(read_json_lines_stream(spark, raw_dir), out,
+                    checkpoint_dir=ckpt)
+    assert read_logs(spark, out).count() == 20
+
+
+def test_new_files_picked_up_incrementally(spark, raw_dir, tmp_path):
+    out = str(tmp_path / "logs")
+    ckpt = str(tmp_path / "ckpt")
+    run_ingest_once(read_json_lines_stream(spark, raw_dir), out,
+                    checkpoint_dir=ckpt)
+    with open(f"{raw_dir}/chunk-2.json", "w") as f:
+        f.write(json.dumps({"ts": 1755043300,
+                            "record": {"log": "late", "k": 1}}) + "\n")
+    run_ingest_once(read_json_lines_stream(spark, raw_dir), out,
+                    checkpoint_dir=ckpt)
+    logs = read_logs(spark, out)
+    assert logs.count() == 21
+    assert logs.filter("log = 'late'").count() == 1
+
+
+def test_at_least_once_on_sink_failure(spark, raw_dir, tmp_path):
+    """T4: a failing sink aborts the query; rerun with the same checkpoint
+    redelivers the batch (reference FLB_ERROR retry, main.go:364-369)."""
+    out = str(tmp_path / "logs")
+    ckpt = str(tmp_path / "ckpt")
+    flag = tmp_path / "fail-once"
+    flag.write_text("arm")
+
+    fail_path = str(flag)
+
+    def flaky_sink(batch_df, batch_id):
+        import os
+
+        from klogs_spark.table import write_logs
+
+        if os.path.exists(fail_path):
+            os.remove(fail_path)
+            raise RuntimeError("injected sink failure")
+        write_logs(batch_df, out, mode="append")
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException):
+        run_ingest_once(read_json_lines_stream(spark, raw_dir), flaky_sink,
+                        checkpoint_dir=ckpt)
+    # retry: same checkpoint -> batch replayed, rows delivered exactly once
+    # here because the failed attempt wrote nothing
+    run_ingest_once(read_json_lines_stream(spark, raw_dir), flaky_sink,
+                    checkpoint_dir=ckpt)
+    assert read_logs(spark, out).count() == 20

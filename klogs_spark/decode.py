@@ -123,9 +123,10 @@ def extract_timestamp(ts: Any, now: datetime | None = None) -> datetime:
                     tzinfo=None
                 )
             except ValueError:
-                return datetime.fromisoformat(ts.replace("Z", "+00:00")).astimezone(
-                    timezone.utc
-                ).replace(tzinfo=None)
+                parsed = datetime.fromisoformat(ts.replace("Z", "+00:00"))
+                if parsed.tzinfo is None:
+                    return parsed  # naive ISO strings are UTC by convention
+                return parsed.astimezone(timezone.utc).replace(tzinfo=None)
     except (ValueError, OverflowError, OSError):
         pass
     return now

@@ -75,12 +75,18 @@ def decode_image(payload: bytes) -> "object":
 def fake_feature_vector(payload: bytes, dim: int = 8) -> list[float]:
     """Deterministic FAKE feature extractor (clearly marked): hashes the
     payload into ``dim`` floats in [0, 1). Stands in for a real encoder so
-    the distributed plumbing (batching, schema, partitioning) is testable."""
+    the distributed plumbing (batching, schema, partitioning) is testable.
+
+    Construction is SQL-reproducible for the oracle gate: suffix is the ASCII
+    digit of i (dim <= 10), and only 56 hash bits are used so the integer
+    stays inside signed int64 in any engine.
+    """
+    assert dim <= 10, "fake extractor supports dim <= 10 (single-digit suffix)"
     out = []
     h = payload or b""
     for i in range(dim):
-        d = hashlib.sha256(h + bytes([i])).digest()
-        out.append(int.from_bytes(d[:8], "big") / 2**64)
+        d = hashlib.sha256(h + str(i).encode()).digest()
+        out.append(int.from_bytes(d[:7], "big") / 2**56)
     return out
 
 

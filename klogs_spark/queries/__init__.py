@@ -24,10 +24,10 @@ class QuerySpec:
 
 
 def registry() -> dict[str, QuerySpec]:
-    from . import logs, tpch, ext
+    from . import ext, ingest, logs, tpch
 
     merged: dict[str, QuerySpec] = {}
-    for mod in (logs, tpch, ext):
+    for mod in (logs, tpch, ext, ingest):
         overlap = merged.keys() & mod.SPECS.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")

@@ -282,6 +282,51 @@ SELECT query_id, neighbor_id, cosine, rnk FROM (
 
 
 # ---------------------------------------------------------------------------
+# multimodal: binary columns + Arrow-batched feature extraction
+# ---------------------------------------------------------------------------
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text bytes as opaque media payloads -> mapInPandas feature
+    extraction (the stub-backed multimodal plumbing, ext.multimodal)."""
+    from ..ext import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit(mm.KIND_IMAGE).alias("kind"),
+        F.lit("text/plain").alias("mime"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.length(F.col("text")).cast("long").alias("n_bytes"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("double").alias("duration_s"),
+    )
+    feats = mm.extract_features(media, dim=4)
+    return feats.select(
+        F.col("media_id"),
+        F.col("n_bytes"),
+        F.col("sha256"),
+        F.round(F.col("feature_norm"), 6).alias("feature_norm"),
+    )
+
+
+# fake_feature_vector parity: h_i = first 7 bytes of sha256(payload || str(i))
+# as int / 2^56 (ext/multimodal.py) — 14 hex chars stay inside signed int64.
+_FEAT_TERMS = " + ".join(
+    f"POW(CAST('0x' || substr(sha256(text || '{i}'), 1, 14) AS BIGINT)"
+    f" / 72057594037927936.0, 2)"
+    for i in range(4)
+)
+
+SQL_MULTIMODAL_FEATURES = f"""
+SELECT doc_id AS media_id,
+       strlen(text) AS n_bytes,
+       sha256(text) AS sha256,
+       round(sqrt({_FEAT_TERMS}), 6) AS feature_norm
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -391,6 +436,9 @@ SPECS = {
                               "sign-LSH bucketed ANN top-5"),
     "similarity_knn_join": QuerySpec(q_knn_join, SQL_KNN_JOIN,
                                      "batch 5-NN join"),
+    "multimodal_features": QuerySpec(q_multimodal_features,
+                                     SQL_MULTIMODAL_FEATURES,
+                                     "binary payload -> Arrow-batched features"),
     "text_token_stats": QuerySpec(q_token_stats, SQL_TOKEN_STATS,
                                   "whitespace + BPE-ish token counts"),
     "text_quality": QuerySpec(q_text_quality, SQL_TEXT_QUALITY,

@@ -247,6 +247,59 @@ FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
 """
 
 
+# --- cube (A6) --------------------------------------------------------------
+def q_lineitem_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        )
+    )
+
+
+SQL_LINEITEM_CUBE = """
+SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+       round(avg(l_discount), 6) AS avg_disc
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+# --- window lead: inter-order gaps per customer -----------------------------
+def q_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gap_days = (
+        F.datediff(F.lead("o_orderdate").over(w), F.col("o_orderdate"))
+    )
+    return (
+        o.withColumn("gap", gap_days)
+        .filter(F.col("gap").isNotNull())
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.round(F.avg("gap"), 4).alias("avg_gap_days"),
+            F.max("gap").alias("max_gap_days"),
+        )
+    )
+
+
+SQL_ORDER_GAPS = """
+WITH g AS (
+  SELECT o_custkey,
+         date_diff('day', o_orderdate,
+                   LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                                           ORDER BY o_orderdate, o_orderkey))
+           AS gap
+  FROM orders
+)
+SELECT o_custkey, count(*) AS n_gaps,
+       round(avg(gap), 4) AS avg_gap_days, max(gap) AS max_gap_days
+FROM g WHERE gap IS NOT NULL GROUP BY o_custkey
+"""
+
+
 # --- set ops: customers with orders in '97 but not '98 ----------------------
 def q_churned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
@@ -345,6 +398,10 @@ SPECS = {
                                    "row_number + running sum"),
     "agg_orders_rollup": QuerySpec(q_orders_rollup, SQL_ORDERS_ROLLUP,
                                    "A6 rollup"),
+    "agg_lineitem_cube": QuerySpec(q_lineitem_cube, SQL_LINEITEM_CUBE,
+                                   "A6 cube"),
+    "window_order_gaps": QuerySpec(q_order_gaps, SQL_ORDER_GAPS,
+                                   "lead() inter-order gaps"),
     "setop_churned_customers": QuerySpec(q_churned_customers, SQL_CHURNED,
                                          "EXCEPT set op"),
     "join_parts_never_ordered": QuerySpec(q_parts_never_ordered,

@@ -1,0 +1,161 @@
+"""EXT streaming operators — windowed/session aggregations and custom state.
+
+The reference has NO event-time windowing or watermarks (SURVEY §1.4, §2.10
+T5: order/lateness handled only by storing event-time and sorting at rest) —
+these are driver-mandated extensions, built on Structured Streaming's native
+stateful operators:
+
+- tumbling/sliding window counts with watermark-bounded state
+- session windows (native ``session_window``)
+- a custom stateful operator (per-key running anomaly counter) via
+  ``applyInPandasWithState`` — the pattern slot for operators Spark lacks
+
+All functions accept either a streaming or batch DataFrame (Spark's unified
+semantics); tests exercise both plus watermark-driven late-data drops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+
+def windowed_counts(
+    logs: DataFrame,
+    bucket: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+    dims: tuple[str, ...] = ("namespace",),
+) -> DataFrame:
+    """Tumbling (or sliding) event-time counts per dimension.
+
+    Watermark bounds state: buckets older than max(event_time) - watermark
+    finalize and evict — state size is O(dims x active windows) regardless of
+    stream length. Returns (window_start, window_end, *dims, cnt).
+    """
+    ts = F.col("timestamp")
+    df = logs.withWatermark("timestamp", watermark) if logs.isStreaming else logs
+    win = F.window(ts, bucket, slide) if slide else F.window(ts, bucket)
+    return (
+        df.groupBy(win.alias("w"), *dims)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *dims,
+            "cnt",
+        )
+    )
+
+
+def session_counts(
+    logs: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+    key: str = "pod_name",
+) -> DataFrame:
+    """Session windows per key: a session closes after ``gap`` of silence.
+
+    Native ``session_window`` — state merges adjacent events server-side, the
+    watermark finalizes sessions; this is the streaming twin of the batch
+    gap-sessionization in queries/tpch.py (events_sessionize).
+    """
+    df = logs.withWatermark("timestamp", watermark) if logs.isStreaming else logs
+    return (
+        df.groupBy(F.session_window(F.col("timestamp"), gap).alias("w"), key)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            key,
+            "n_events",
+        )
+    )
+
+
+ANOMALY_STATE_SCHEMA = StructType(
+    [StructField("error_run", LongType(), False)]
+)
+ANOMALY_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("namespace", StringType(), True),
+        StructField("timestamp", TimestampType(), True),
+        StructField("error_run", LongType(), True),
+    ]
+)
+
+
+def error_run_tracker(logs: DataFrame, threshold: int = 3) -> DataFrame:
+    """Custom stateful operator: per-namespace running count of consecutive
+    error-level records; emits a row whenever the run reaches ``threshold``.
+
+    Demonstrates the ``applyInPandasWithState`` pattern (SURVEY §2.10 T5) for
+    semantics no built-in operator has — per-key ordered state machines. In
+    batch mode falls back to an equivalent window-function computation.
+    """
+    level = F.element_at(F.col("fields_string"), "level")
+
+    if not logs.isStreaming:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("namespace").orderBy("timestamp")
+        is_err = F.when(level == "error", 1).otherwise(0)
+        # run length: rows since last non-error, via difference of counters
+        grp = (
+            F.count(F.lit(1)).over(w)
+            - F.sum(is_err).over(w)
+        )
+        run = F.row_number().over(
+            Window.partitionBy("namespace", grp).orderBy("timestamp")
+        )
+        return (
+            logs.withColumn("_is_err", is_err)
+            .withColumn("_grp", grp)
+            .withColumn("error_run", run)
+            .filter((F.col("_is_err") == 1) & (F.col("error_run") >= threshold))
+            .select("namespace", "timestamp", "error_run")
+        )
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def track(key, pdf_iter, state: "GroupState"):
+        import pandas as pd
+
+        (namespace,) = key
+        run = state.get[0] if state.exists else 0
+        out_ns, out_ts, out_run = [], [], []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values("timestamp")
+            levels = pdf["fields_string"].map(
+                lambda m: (m or {}).get("level")
+            )
+            for ts, lv in zip(pdf["timestamp"], levels):
+                run = run + 1 if lv == "error" else 0
+                if run >= threshold:
+                    out_ns.append(namespace)
+                    out_ts.append(ts)
+                    out_run.append(run)
+        state.update((run,))
+        if out_ns:
+            yield pd.DataFrame(
+                {"namespace": out_ns, "timestamp": out_ts, "error_run": out_run}
+            )
+
+    return (
+        logs.select("namespace", "timestamp", "fields_string")
+        .groupBy("namespace")
+        .applyInPandasWithState(
+            track,
+            outputStructType=ANOMALY_OUTPUT_SCHEMA,
+            stateStructType=ANOMALY_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

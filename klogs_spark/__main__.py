@@ -1,0 +1,99 @@
+"""Command-line surface: ``python -m klogs_spark <command>``.
+
+A user of the reference operates it as: Fluent Bit ships logs in; ClickHouse
+answers SQL. The engine's equivalents:
+
+    ingest     raw JSON-lines dir -> logs table (batch drain or continuous)
+    query      SQL over the logs table (view name: logs)
+    retention  drop partitions older than the TTL window
+    compact    merge one partition's small files
+    metrics    print the ingest metrics exposition after a drain
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from .config import EngineConfig
+from .session import get_spark
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="klogs_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pi = sub.add_parser("ingest", help="JSON-lines dir -> logs table")
+    pi.add_argument("source")
+    pi.add_argument("table")
+    pi.add_argument("--checkpoint", required=True)
+    pi.add_argument("--continuous", action="store_true",
+                    help="run a continuous trigger instead of drain-once")
+    pi.add_argument("--flush-interval", type=int, default=60)
+    pi.add_argument("--batch-size", type=int, default=10_000)
+    pi.add_argument("--force-number-fields", default="")
+    pi.add_argument("--force-underscores", action="store_true")
+
+    pq = sub.add_parser("query", help="SQL over the logs table")
+    pq.add_argument("table")
+    pq.add_argument("sql", help="SQL text; the table is registered as `logs`")
+    pq.add_argument("--limit", type=int, default=20)
+
+    pr = sub.add_parser("retention", help="drop partitions past the TTL")
+    pr.add_argument("table")
+    pr.add_argument("--days", type=int, default=30)
+
+    pc = sub.add_parser("compact", help="compact one partition")
+    pc.add_argument("table")
+    pc.add_argument("partition", help="e.g. date=2026-01-01")
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "retention":
+        from .table import apply_retention
+
+        dropped = apply_retention(args.table, args.days)
+        print(f"dropped {len(dropped)} partition(s): {dropped}")
+        return 0
+
+    spark = get_spark("klogs-spark-cli")
+
+    if args.cmd == "ingest":
+        from .stream import read_json_lines_stream, run_ingest_once, start_ingest
+
+        cfg = EngineConfig(
+            flush_interval_s=args.flush_interval,
+            batch_size=args.batch_size,
+            force_number_fields=[
+                s for s in args.force_number_fields.split(",") if s
+            ],
+            force_underscores=args.force_underscores,
+        )
+        stream = read_json_lines_stream(spark, args.source)
+        if args.continuous:
+            q = start_ingest(stream, args.table, cfg, args.checkpoint)
+            q.awaitTermination()
+        else:
+            run_ingest_once(stream, args.table, cfg, args.checkpoint)
+            print("ingest drained")
+        return 0
+
+    if args.cmd == "query":
+        from .table import register_view
+
+        register_view(spark, args.table, "logs")
+        spark.sql(args.sql).show(args.limit, truncate=False)
+        return 0
+
+    if args.cmd == "compact":
+        from .table import compact_partition
+
+        n = compact_partition(spark, args.table, args.partition)
+        print(f"compacted {args.partition} -> {n} file(s)")
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -61,6 +61,64 @@ def register_view(spark: SparkSession, path: str, name: str = "logs") -> None:
     read_logs(spark, path).createOrReplaceTempView(name)
 
 
+def write_logs_promoted(
+    df: DataFrame,
+    path: str,
+    promotions: dict[str, str],
+    mode: str = "append",
+) -> None:
+    """Write logs with materialized fast-path columns for hot map keys.
+
+    Parity with the reference's promoted-column recipe (README.md:69-91:
+    ``ADD COLUMN content_level String DEFAULT fields_string['content.level']``
+    + MATERIALIZE) — SURVEY §4 option (b): promote at write, no Catalyst rule.
+    ``promotions`` maps map-key -> column name. Filters on the promoted
+    column scan a dictionary-encoded parquet column and benefit from
+    row-group stats; the map column is never touched (Catalyst prunes it).
+    """
+    from .transform import promote_string_field
+
+    out = df
+    for key, column in promotions.items():
+        out = promote_string_field(out, key, column)
+    write_logs(out, path, mode)
+
+
+def compact_partition(
+    spark: SparkSession,
+    path: str,
+    partition: str,
+    target_file_bytes: int = 512 * 1024 * 1024,
+) -> int:
+    """Compact one day-partition's small files into ~target-sized files.
+
+    The MergeTree background-merge equivalent: streaming ingest appends one
+    file set per micro-batch, so a day accumulates many small files; query
+    cost grows with file count (task scheduling + footer reads). Rewrites a
+    SINGLE partition directory (never the table) preserving the cluster-key
+    sort; safe to run per-day behind the watermark of active ingest.
+    Returns the resulting file count.
+    """
+    part_dir = Path(path) / partition
+    if not part_dir.exists():
+        return 0
+    total_bytes = sum(f.stat().st_size for f in part_dir.glob("*.parquet"))
+    n_files = max(1, round(total_bytes / target_file_bytes))
+    df = spark.read.parquet(str(part_dir))
+    tmp_dir = part_dir.with_name(part_dir.name + "._compacting")
+    (
+        df.repartition(n_files)
+        .sortWithinPartitions(*CLUSTER_KEY)
+        .write.mode("overwrite")
+        .parquet(str(tmp_dir))
+    )
+    # atomic-ish swap: parquet writes land under _temporary until committed,
+    # so tmp_dir is complete here; replace the old dir
+    shutil.rmtree(part_dir)
+    tmp_dir.rename(part_dir)
+    return len(list(part_dir.glob("*.parquet")))
+
+
 def apply_retention(
     path: str, retention_days: int = 30, today: date | None = None
 ) -> list[str]:

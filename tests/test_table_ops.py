@@ -1,0 +1,73 @@
+"""Promoted-column writes and partition compaction."""
+
+from __future__ import annotations
+
+from datetime import datetime
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from klogs_spark.schema import CLUSTER_KEY
+from klogs_spark.table import compact_partition, write_logs, write_logs_promoted
+
+
+@pytest.fixture()
+def logs_df(spark):
+    rows = [
+        (datetime(2026, 1, 1, h, m, 0), "prod", "ns", "app", f"pod-{m % 3}",
+         "c", "h", {"content.level": "error" if m % 2 else "info"},
+         {"v": float(m)}, f"line {h}:{m}")
+        for h in range(2)
+        for m in range(10)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "timestamp timestamp, cluster string, namespace string, app string, "
+        "pod_name string, container_name string, host string, "
+        "fields_string map<string,string>, fields_number map<string,double>, "
+        "log string",
+    )
+
+
+def test_promoted_column_written_and_prunable(spark, logs_df, tmp_path):
+    path = str(tmp_path / "logs")
+    write_logs_promoted(logs_df, path, {"content.level": "content_level"})
+    back = spark.read.parquet(path)
+    assert "content_level" in back.columns
+    # promoted column equals the map lookup on every row
+    mismatch = back.filter(
+        F.col("content_level") != F.element_at("fields_string", "content.level")
+    ).count()
+    assert mismatch == 0
+    # filter on the promoted column pushes to the scan
+    plan = (
+        back.filter(F.col("content_level") == "error")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters" in plan and "content_level" in plan
+
+
+def test_compact_partition_merges_files_preserving_rows(spark, logs_df, tmp_path):
+    path = str(tmp_path / "logs")
+    # simulate micro-batch appends -> many small files in one partition
+    for i in range(5):
+        write_logs(logs_df.filter(F.minute("timestamp") % 5 == i), path)
+    part = "date=2026-01-01"
+    before_files = len(list((Path(path) / part).glob("*.parquet")))
+    before_rows = spark.read.parquet(path).count()
+    assert before_files >= 5
+
+    n = compact_partition(spark, path, part)
+    after_files = len(list((Path(path) / part).glob("*.parquet")))
+    assert n == after_files == 1
+    assert spark.read.parquet(path).count() == before_rows
+    # compaction preserves the cluster-key sort inside the file
+    for f in (Path(path) / part).glob("*.parquet"):
+        pdf = spark.read.parquet(str(f)).select(*CLUSTER_KEY).toPandas()
+        key = list(map(tuple, pdf.itertuples(index=False)))
+        assert key == sorted(key)
+
+
+def test_compact_missing_partition_noop(spark, tmp_path):
+    assert compact_partition(spark, str(tmp_path), "date=1999-01-01") == 0

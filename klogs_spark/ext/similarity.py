@@ -20,7 +20,9 @@ from pyspark.sql import functions as F
 from .dedup import cosine_col
 from .hashing import hyperplanes
 
-N_PLANES = 12
+# 2^N_PLANES buckets; sized so the test corpora (500-2000 vectors) keep
+# meaningful bucket occupancy. At real scale, choose log2(corpus/target_bucket).
+N_PLANES = 6
 EMB_DIM = 64
 
 

@@ -259,6 +259,22 @@ LIMIT 5
 """
 
 
+def q_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index-build statistics: vectors per sign-LSH bucket. The histogram
+    is what you'd inspect before choosing plane count at scale (bucket
+    occupancy ~ corpus / 2^planes)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    buckets = sim.lsh_bucket_assignments(emb, planes=_PLANES)
+    return buckets.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_vectors"))
+
+
+SQL_LSH_BUCKET_STATS = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+bk AS (SELECT vec_id, {_BUCKET_SQL} AS bucket FROM e)
+SELECT bucket, count(*) AS n_vectors FROM bk GROUP BY bucket
+"""
+
+
 def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
@@ -436,6 +452,8 @@ SPECS = {
                               "sign-LSH bucketed ANN top-5"),
     "similarity_knn_join": QuerySpec(q_knn_join, SQL_KNN_JOIN,
                                      "batch 5-NN join"),
+    "ann_lsh_bucket_stats": QuerySpec(q_lsh_bucket_stats, SQL_LSH_BUCKET_STATS,
+                                      "ANN index bucket occupancy"),
     "multimodal_features": QuerySpec(q_multimodal_features,
                                      SQL_MULTIMODAL_FEATURES,
                                      "binary payload -> Arrow-batched features"),

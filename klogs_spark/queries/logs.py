@@ -249,6 +249,77 @@ SELECT f_level AS level, count(*) AS cnt FROM logs GROUP BY f_level
 """
 
 
+# --- P5 at rest: force_numbers read-path coercion ---------------------------
+def q_force_numbers_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A string-typed numeric field stored in fields_string is coerced into
+    fields_number by transform.force_numbers (the at-rest twin of the ingest
+    Force_Number_Fields path, main.go:339-345), then aggregated from the
+    number map — proving the value really moved."""
+    from ..transform import force_numbers
+
+    df = derive_logs_from_events(spark, sf_dir)
+    ev_logs = df.withColumn(
+        "fields_string",
+        F.map_concat(
+            F.col("fields_string"),
+            F.create_map(
+                F.lit("k_str"),
+                F.element_at(F.col("fields_number"), "k").cast("long").cast(
+                    "string"
+                ),
+            ),
+        ),
+    )
+    coerced = force_numbers(ev_logs, ["k_str"])
+    return coerced.groupBy("app").agg(
+        F.count(F.when(has_field("fields_number", "k_str"), 1)).alias("n_moved"),
+        F.count(F.when(has_field("fields_string", "k_str"), 1)).alias(
+            "n_left_string"
+        ),
+        F.round(F.sum(field_number("k_str")), 2).alias("sum_k"),
+    )
+
+
+SQL_FORCE_NUMBERS_READ = LOGS_CTE + """
+SELECT app, count(f_k) AS n_moved, 0 AS n_left_string,
+       round(sum(f_k), 2) AS sum_k
+FROM logs GROUP BY app
+"""
+
+
+# --- P4 at rest: key normalization ------------------------------------------
+def q_normalize_keys_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dotted map keys rewritten '.'->'_' by transform.normalize_keys
+    (Force_Underscores at rest, main.go:331-334)."""
+    from ..transform import normalize_keys
+
+    df = derive_logs_from_events(spark, sf_dir)
+    dotted = df.withColumn(
+        "fields_string",
+        F.map_concat(
+            F.col("fields_string"),
+            F.create_map(F.lit("content.level"), field_string("level")),
+        ),
+    )
+    normalized = dotted.withColumn(
+        "fields_string", normalize_keys(F.col("fields_string"))
+    )
+    return normalized.groupBy(
+        F.element_at("fields_string", "content_level").alias("level")
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(
+            F.when(has_field("fields_string", "content.level"), 1).otherwise(0)
+        ).alias("n_dotted_left"),
+    )
+
+
+SQL_NORMALIZE_KEYS_READ = LOGS_CTE + """
+SELECT f_level AS level, count(*) AS cnt, 0 AS n_dotted_left
+FROM logs GROUP BY f_level
+"""
+
+
 # --- EXT window: top-3 pods by volume per namespace -------------------------
 def q_top_pods(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
@@ -301,4 +372,10 @@ SPECS = {
                                      "promoted-column parity README.md:69-91"),
     "logs_top_pods": QuerySpec(q_top_pods, SQL_TOP_PODS,
                                "EXT window top-k per group"),
+    "logs_force_numbers_read": QuerySpec(q_force_numbers_read,
+                                         SQL_FORCE_NUMBERS_READ,
+                                         "P5 at-rest forced-number coercion"),
+    "logs_normalize_keys_read": QuerySpec(q_normalize_keys_read,
+                                          SQL_NORMALIZE_KEYS_READ,
+                                          "P4 at-rest key normalization"),
 }

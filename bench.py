@@ -26,6 +26,8 @@ HEADLINE = [
     "logs_env_counts",
     "logs_newest",
     "logs_top_pods",
+    # ingest hot path (real decode over nested JSON)
+    "ingest_decode_pipeline",
     # generic analytics
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",

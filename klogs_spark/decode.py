@@ -147,6 +147,9 @@ def record_to_row(
     the reference's quirk at main.go:339 vs :331-334, replicated exactly.
     """
     config = config or _DEFAULT_CONFIG
+    force = config._force_set if hasattr(config, "_force_set") else set(
+        config.force_number_fields
+    )
     flat = flatten(record)
     row: dict[str, Any] = {
         "timestamp": extract_timestamp(ts, now),
@@ -161,7 +164,6 @@ def record_to_row(
         "log": None,
     }
     app_from_fallback: str | None = None
-    force = set(config.force_number_fields)
     for k, v in flat.items():
         string_value, number_value, is_number, is_nil = dispatch_value(v)
         if is_nil:  # main.go:312 — nil fields are never stored
@@ -249,6 +251,16 @@ def decode_dataframe(
     as Arrow. Works identically for batch and Structured Streaming inputs.
     """
     cfg = config or _DEFAULT_CONFIG
+    # pre-resolve the force-number membership set once (hot loop: per record)
+    cfg._force_set = set(cfg.force_number_fields)
+
+    if not raw.isStreaming:
+        # batch inputs often arrive as a handful of large files; the decode
+        # is CPU-bound Python, so spread it across the cluster width first
+        # (streaming inputs are partitioned by the source rate instead)
+        parallelism = raw.sparkSession.sparkContext.defaultParallelism
+        if raw.rdd.getNumPartitions() < parallelism:
+            raw = raw.repartition(parallelism)
 
     def _decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd

@@ -103,6 +103,93 @@ def lsh_topk(emb: DataFrame, query_vec: list[float], k: int = 5,
     )
 
 
+def ivf_assign(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest centroid.
+
+    ``centroids`` is (centroid_id, centroid) — tiny, so it broadcasts; the
+    corpus never shuffles for assignment. argmin is a single min_by per
+    vector (no window). At scale the result is written bucketed by
+    ``centroid_id`` — the inverted-file index.
+    """
+    c = F.broadcast(
+        centroids.select(
+            F.col("centroid_id"), F.col("centroid").alias("cv")
+        )
+    )
+    scored = (
+        emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .crossJoin(c)
+        .select(
+            "id", "v", "centroid_id",
+            cosine_col(F.col("v"), F.col("cv")).alias("sim"),
+        )
+    )
+    return scored.groupBy("id").agg(
+        F.max_by("centroid_id", F.struct(F.col("sim"), -F.col("centroid_id")))
+        .alias("centroid_id"),
+        F.first("v").alias("v"),
+    )
+
+
+def deterministic_centroids(
+    emb: DataFrame, k: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Centroid seed set: the k lowest-id vectors. A stand-in for a k-means
+    fit (deterministic so the oracle can reproduce it); the IVF mechanics —
+    assignment, bucketing, probing — are identical either way."""
+    return (
+        emb.filter(F.col(id_col) < k)
+        .select(
+            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid")
+        )
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    centroids: DataFrame,
+    query_vec: list[float],
+    k: int = 5,
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF cell-probe search: rank centroids against the query, scan only the
+    ``n_probe`` nearest cells, exact top-k inside them.
+
+    At scale the assignment table is stored bucketed by centroid_id, so the
+    probe is n_probe bucket reads — corpus-size-independent like LSH, but
+    with data-adaptive cells. Returns (id, cosine) desc.
+    """
+    assigned = ivf_assign(emb, centroids, id_col, vec_col)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    probe_cells = [
+        r.centroid_id
+        for r in (
+            centroids.select(
+                "centroid_id",
+                cosine_col(F.col("centroid"), q).alias("sim"),
+            )
+            .orderBy(F.col("sim").desc(), F.col("centroid_id"))
+            .limit(n_probe)
+            .collect()
+        )
+    ]
+    return (
+        assigned.filter(F.col("centroid_id").isin(probe_cells))
+        .select(
+            "id", F.round(cosine_col(F.col("v"), q), 6).alias("cosine")
+        )
+        .orderBy(F.col("cosine").desc(), F.col("id"))
+        .limit(k)
+    )
+
+
 def knn_join(emb: DataFrame, queries: DataFrame, k: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding",
              q_id: str = "vec_id", q_vec: str = "embedding") -> DataFrame:

@@ -275,6 +275,45 @@ SELECT bucket, count(*) AS n_vectors FROM bk GROUP BY bucket
 """
 
 
+IVF_K = 16       # centroid count
+IVF_NPROBE = 2   # cells scanned per query
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = sim.deterministic_centroids(emb, IVF_K)
+    return sim.ivf_topk(
+        emb, cents, _query_vec(spark, sf_dir), k=5, n_probe=IVF_NPROBE
+    )
+
+
+SQL_ANN_IVF = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < {IVF_K}),
+assigned AS (
+  SELECT id, v, centroid_id FROM (
+    SELECT e.vec_id AS id, e.v, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_cos_sql('e.v', 'c.cv')} DESC, c.centroid_id
+           ) AS rn
+    FROM e, cents c
+  ) WHERE rn = 1
+),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+probe AS (
+  SELECT centroid_id FROM cents, q
+  ORDER BY {_cos_sql('cents.cv', 'q.qv')} DESC, centroid_id
+  LIMIT {IVF_NPROBE}
+)
+SELECT a.id, round({_cos_sql('a.v', 'q.qv')}, 6) AS cosine
+FROM assigned a, q
+WHERE a.centroid_id IN (SELECT centroid_id FROM probe)
+ORDER BY cosine DESC, a.id
+LIMIT 5
+"""
+
+
 def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
@@ -450,6 +489,8 @@ SPECS = {
                                  "brute-force cosine top-10"),
     "ann_lsh_topk": QuerySpec(q_ann_lsh, SQL_ANN_LSH,
                               "sign-LSH bucketed ANN top-5"),
+    "ann_ivf_topk": QuerySpec(q_ann_ivf, SQL_ANN_IVF,
+                              "IVF cell-probe ANN top-5"),
     "similarity_knn_join": QuerySpec(q_knn_join, SQL_KNN_JOIN,
                                      "batch 5-NN join"),
     "ann_lsh_bucket_stats": QuerySpec(q_lsh_bucket_stats, SQL_LSH_BUCKET_STATS,

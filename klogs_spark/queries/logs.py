@@ -320,6 +320,47 @@ FROM logs GROUP BY f_level
 """
 
 
+# --- T5 EXT: session windows over the logs stream (batch-mode check) --------
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window sessionization of the logs view (streaming twin
+    in streaming_ext.session_counts — session end = last event + gap)."""
+    from ..streaming_ext import session_counts
+
+    logs = derive_logs_from_events(spark, sf_dir)
+    return session_counts(logs, gap="30 minutes", key="pod_name")
+
+
+SQL_SESSION_WINDOWS = LOGS_CTE + """,
+flagged AS (
+  SELECT pod_name, "timestamp" AS ts,
+         CASE WHEN epoch("timestamp") - epoch(LAG("timestamp") OVER w) IS NULL
+                OR epoch("timestamp") - epoch(LAG("timestamp") OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM logs WINDOW w AS (PARTITION BY pod_name ORDER BY "timestamp")
+), islands AS (
+  SELECT pod_name, ts,
+         SUM(new_s) OVER (PARTITION BY pod_name ORDER BY ts
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS sid
+  FROM flagged
+)
+SELECT min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       pod_name, count(*) AS n_events
+FROM islands GROUP BY pod_name, sid
+"""
+
+
+# --- A5: approx_count_distinct (rows-only driver check: HLL estimates are
+# engine-specific, so no SQL oracle is declared for this one) ---------------
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    logs = derive_logs_from_events(spark, sf_dir)
+    return logs.agg(
+        F.approx_count_distinct("pod_name").alias("approx_pods"),
+        F.approx_count_distinct("log").alias("approx_lines"),
+    )
+
+
 # --- EXT window: top-3 pods by volume per namespace -------------------------
 def q_top_pods(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
@@ -378,4 +419,8 @@ SPECS = {
     "logs_normalize_keys_read": QuerySpec(q_normalize_keys_read,
                                           SQL_NORMALIZE_KEYS_READ,
                                           "P4 at-rest key normalization"),
+    "logs_session_windows": QuerySpec(q_session_windows, SQL_SESSION_WINDOWS,
+                                      "T5 session_window sessionization"),
+    "logs_approx_distinct": QuerySpec(q_approx_distinct, None,
+                                      "A5 approx_count_distinct (rows-only)"),
 }

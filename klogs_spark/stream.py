@@ -49,6 +49,36 @@ def read_json_lines_stream(
     return reader.load(path)
 
 
+def read_kafka_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    max_offsets_per_trigger: int | None = None,
+    starting_offsets: str = "latest",
+) -> DataFrame:
+    """S1 alternative: Kafka source of raw JSON events (value = one event).
+
+    ``maxOffsetsPerTrigger`` is the Batch_Size half of the reference's
+    size-or-time flush duality (main.go:357-361) — it caps each micro-batch
+    like the 10k-row buffer cap. Requires the spark-sql-kafka package on the
+    classpath; not exercised in this repo's tests (no broker in the
+    environment) — the decode/sink pipeline downstream is source-agnostic.
+    """
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+    )
+    if max_offsets_per_trigger is not None:
+        reader = reader.option("maxOffsetsPerTrigger", max_offsets_per_trigger)
+    from pyspark.sql import functions as F
+
+    return reader.load().select(
+        F.col("value").cast("string").alias("value")
+    )
+
+
 def start_ingest(
     raw_stream: DataFrame,
     sink: Callable[[DataFrame, int], None] | str,

@@ -233,17 +233,19 @@ def simhash(df: DataFrame, text: str = "text", id_col: str = "doc_id",
         .select("id", F.explode(tokens_col(F.col("t"))).alias("tok"))
     )
     h = md5_long(F.col("tok"), chars=15)  # 60-bit token hash
+    # bit j majority: sum(±1) > 0  ⇔  2*popcount_j > n — the popcount form
+    # avoids a branch per token per bit in the generated code
     bit_sums = toks.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n"),
         *[
-            F.sum(
-                F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"s_{j}")
+            F.sum(F.shiftright(h, j).bitwiseAND(F.lit(1))).alias(f"s_{j}")
             for j in range(bits)
-        ]
+        ],
     )
     sim = reduce(
         lambda acc, j: acc
-        + F.when(F.col(f"s_{j}") > 0, F.lit(2**j).cast("long")).otherwise(0),
+        + F.when(F.col(f"s_{j}") * 2 > F.col("n"), F.lit(2**j).cast("long"))
+        .otherwise(0),
         range(bits),
         F.lit(0).cast("long"),
     )
@@ -258,6 +260,7 @@ def simhash_pairs(sims: DataFrame, max_hamming: int) -> DataFrame:
     prefix blocks) — see ``simhash_pairs_bucketed``.
     Returns (id_a, id_b, hamming).
     """
+    sims = sims.cache()  # feeds both join sides; avoid double signature agg
     a = sims.alias("a")
     b = sims.alias("b")
     hamming = F.bit_count(F.expr("a.simhash").bitwiseXOR(F.expr("b.simhash")))
@@ -291,8 +294,11 @@ def simhash_pairs_bucketed(sims: DataFrame, max_hamming: int,
             for j in range(blocks)
         ]
     )
-    blocked = sims.select("id", "simhash", F.explode(block_structs).alias("blk")) \
+    blocked = (
+        sims.select("id", "simhash", F.explode(block_structs).alias("blk"))
         .select("id", "simhash", "blk.block_id", "blk.block_val")
+        .cache()  # feeds both join sides; avoid double signature agg
+    )
     a = blocked.alias("a")
     b = blocked.alias("b")
     hamming = F.bit_count(F.expr("a.simhash").bitwiseXOR(F.expr("b.simhash")))

@@ -210,13 +210,15 @@ def decode_json_lines(
     lines: Iterable[str],
     config: EngineConfig | None = None,
     now: datetime | None = None,
+    rejects: list[str] | None = None,
 ) -> Iterator[dict[str, Any]]:
     """Decode raw JSON-lines events into logs rows.
 
     Each line is ``{"ts": ..., "record": {...}}`` (FIXTURES.md F-RAW) or a bare
-    record object. Flatten failure on one record logs-and-skips that record
-    only — a deliberate deviation from the reference, which aborts the whole
-    chunk (main.go:251-254); documented in SURVEY §7 step 1.
+    record object. Flatten failure on one record skips that record only — a
+    deliberate deviation from the reference, which aborts the whole chunk
+    (main.go:251-254); documented in SURVEY §7 step 1. Undecodable lines are
+    appended to ``rejects`` when provided (the dead-letter channel).
     """
     for line in lines:
         line = line.strip()
@@ -225,16 +227,22 @@ def decode_json_lines(
         try:
             obj = json.loads(line)
         except json.JSONDecodeError:
+            if rejects is not None:
+                rejects.append(line)
             continue
         if isinstance(obj, dict) and "record" in obj:
             ts, record = obj.get("ts"), obj["record"]
         else:
             ts, record = None, obj
         if not isinstance(record, dict):
+            if rejects is not None:
+                rejects.append(line)
             continue
         try:
             yield record_to_row(ts, record, config, now)
         except FlattenError:
+            if rejects is not None:
+                rejects.append(line)
             continue
 
 

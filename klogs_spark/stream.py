@@ -85,6 +85,7 @@ def start_ingest(
     config: EngineConfig | None = None,
     checkpoint_dir: str | None = None,
     query_name: str = "klogs-ingest",
+    dead_letter_dir: str | None = None,
 ) -> StreamingQuery:
     """Wire decode -> sink inside foreachBatch and start the query.
 
@@ -95,24 +96,16 @@ def start_ingest(
     The trigger honors the reference's Flush_Interval default (60 s,
     main.go:38) via config.flush_interval_s; checkpointing gives T2
     (final drain — restart resumes the uncommitted batch) and T4
-    (at-least-once redelivery).
+    (at-least-once redelivery). ``dead_letter_dir`` quarantines undecodable
+    lines for replay instead of dropping them.
     """
     cfg = config or EngineConfig()
     ckpt = checkpoint_dir or cfg.checkpoint_dir
     if not ckpt:
         raise ValueError("checkpoint_dir is required (T2/T4 delivery semantics)")
 
-    if isinstance(sink, str):
-        sink_path = sink
-
-        def sink_fn(batch: DataFrame, batch_id: int) -> None:
-            write_logs(batch, sink_path, mode="append")
-    else:
-        sink_fn = sink
-
-    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        decoded = decode_dataframe(batch_df, cfg)
-        sink_fn(decoded, batch_id)
+    sink_fn = _resolve_sink(sink)
+    process_batch = _make_batch_processor(cfg, sink_fn, dead_letter_dir)
 
     return (
         raw_stream.writeStream.queryName(query_name)
@@ -123,11 +116,73 @@ def start_ingest(
     )
 
 
+def _resolve_sink(
+    sink: Callable[[DataFrame, int], None] | str,
+) -> Callable[[DataFrame, int], None]:
+    if isinstance(sink, str):
+        sink_path = sink
+
+        def sink_fn(batch: DataFrame, batch_id: int) -> None:
+            write_logs(batch, sink_path, mode="append")
+
+        return sink_fn
+    return sink
+
+
+def _make_batch_processor(
+    cfg: EngineConfig,
+    sink_fn: Callable[[DataFrame, int], None],
+    dead_letter_dir: str | None,
+) -> Callable[[DataFrame, int], None]:
+    """decode -> sink, with undecodable lines quarantined as text.
+
+    The reference only warns-and-drops bad records (main.go:251-254); a
+    dead-letter directory makes them replayable instead — each micro-batch
+    appends its reject lines so nothing is silently lost.
+    """
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        decoded = decode_dataframe(batch_df, cfg)
+        sink_fn(decoded, batch_id)
+        if dead_letter_dir:
+            def _find_rejects(batches):
+                import json as _json
+
+                import pandas as pd
+
+                for batch in batches:
+                    rejects = []
+                    for line in batch["value"].tolist():
+                        line = line.strip()
+                        if not line:
+                            continue
+                        try:
+                            obj = _json.loads(line)
+                        except _json.JSONDecodeError:
+                            rejects.append(line)
+                            continue
+                        record = (
+                            obj.get("record")
+                            if isinstance(obj, dict) and "record" in obj
+                            else obj
+                        )
+                        if not isinstance(record, dict):
+                            rejects.append(line)
+                    if rejects:
+                        yield pd.DataFrame({"value": rejects})
+
+            bad = batch_df.mapInPandas(_find_rejects, schema="value string")
+            bad.write.mode("append").text(dead_letter_dir)
+
+    return process_batch
+
+
 def run_ingest_once(
     raw_stream: DataFrame,
     sink: Callable[[DataFrame, int], None] | str,
     config: EngineConfig | None = None,
     checkpoint_dir: str | None = None,
+    dead_letter_dir: str | None = None,
 ) -> None:
     """Drain everything currently available, then stop (availableNow).
 
@@ -140,18 +195,9 @@ def run_ingest_once(
     if not ckpt:
         raise ValueError("checkpoint_dir is required")
 
-    if isinstance(sink, str):
-        sink_path = sink
-
-        def sink_fn(batch: DataFrame, batch_id: int) -> None:
-            write_logs(batch, sink_path, mode="append")
-    else:
-        sink_fn = sink
-
-    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        decoded = decode_dataframe(batch_df, cfg)
-        sink_fn(decoded, batch_id)
-
+    process_batch = _make_batch_processor(
+        cfg, _resolve_sink(sink), dead_letter_dir
+    )
     q = (
         raw_stream.writeStream.foreachBatch(process_batch)
         .trigger(availableNow=True)

@@ -78,6 +78,24 @@ def test_new_files_picked_up_incrementally(spark, raw_dir, tmp_path):
     assert logs.filter("log = 'late'").count() == 1
 
 
+def test_dead_letter_quarantines_bad_lines(spark, tmp_path):
+    d = tmp_path / "raw"
+    d.mkdir()
+    with open(d / "mixed.json", "w") as f:
+        f.write(json.dumps({"ts": 1, "record": {"log": "good"}}) + "\n")
+        f.write("THIS IS NOT JSON\n")
+        f.write(json.dumps({"ts": 2, "record": 42}) + "\n")
+        f.write(json.dumps({"log": "bare"}) + "\n")
+    out, dl = str(tmp_path / "logs"), str(tmp_path / "dead")
+    run_ingest_once(
+        read_json_lines_stream(spark, str(d)), out,
+        checkpoint_dir=str(tmp_path / "ckpt"), dead_letter_dir=dl,
+    )
+    assert read_logs(spark, out).count() == 2  # good + bare
+    dead = {r.value for r in spark.read.text(dl).collect()}
+    assert dead == {"THIS IS NOT JSON", json.dumps({"ts": 2, "record": 42})}
+
+
 def test_at_least_once_on_sink_failure(spark, raw_dir, tmp_path):
     """T4: a failing sink aborts the query; rerun with the same checkpoint
     redelivers the batch (reference FLB_ERROR retry, main.go:364-369)."""

@@ -33,6 +33,10 @@ def main(argv: list[str] | None = None) -> int:
     pi.add_argument("--batch-size", type=int, default=10_000)
     pi.add_argument("--force-number-fields", default="")
     pi.add_argument("--force-underscores", action="store_true")
+    pi.add_argument("--dead-letter", default=None,
+                    help="quarantine undecodable lines to this dir")
+    pi.add_argument("--exactly-once", action="store_true",
+                    help="idempotent parquet sink (skip replayed batches)")
 
     pq = sub.add_parser("query", help="SQL over the logs table")
     pq.add_argument("table")
@@ -70,11 +74,18 @@ def main(argv: list[str] | None = None) -> int:
             force_underscores=args.force_underscores,
         )
         stream = read_json_lines_stream(spark, args.source)
+        sink = args.table
+        if args.exactly_once:
+            from .stream import exactly_once_sink
+
+            sink = exactly_once_sink(args.table)
         if args.continuous:
-            q = start_ingest(stream, args.table, cfg, args.checkpoint)
+            q = start_ingest(stream, sink, cfg, args.checkpoint,
+                             dead_letter_dir=args.dead_letter)
             q.awaitTermination()
         else:
-            run_ingest_once(stream, args.table, cfg, args.checkpoint)
+            run_ingest_once(stream, sink, cfg, args.checkpoint,
+                            dead_letter_dir=args.dead_letter)
             print("ingest drained")
         return 0
 

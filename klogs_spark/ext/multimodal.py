@@ -128,6 +128,44 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
     )
 
 
+def resize_images(
+    media: DataFrame,
+    width: int,
+    height: int,
+    kernel=None,
+) -> DataFrame:
+    """Arrow-batched image resize over binary payloads.
+
+    ``kernel(payload, width, height) -> bytes`` is the decode+resize+encode
+    step — STUBBED by default (raises via decode_image; no imaging libs in
+    this container). The distributed plumbing (batch transfer, schema,
+    metadata update) is real: pass any callable kernel (tests use an
+    identity fake) and it runs per Arrow batch on executors.
+    """
+    if kernel is None:
+        def kernel(payload: bytes, w: int, h: int) -> bytes:  # pragma: no cover
+            decode_image(payload)  # raises NotImplementedError
+            raise AssertionError("unreachable")
+
+    out_schema = MEDIA_SCHEMA
+
+    def _resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for batch in batches:
+            payloads = [
+                kernel(p, width, height) if p is not None else None
+                for p in batch["payload"]
+            ]
+            batch = batch.assign(
+                payload=payloads,
+                n_bytes=[len(p) if p is not None else 0 for p in payloads],
+                width=width,
+                height=height,
+            )
+            yield batch
+
+    return media.mapInPandas(_resize, schema=out_schema)
+
+
 def with_partitioning_for_media(
     media: DataFrame, target_partition_bytes: int = 128 * 1024 * 1024
 ) -> DataFrame:

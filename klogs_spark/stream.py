@@ -116,6 +116,30 @@ def start_ingest(
     )
 
 
+def exactly_once_sink(path: str) -> Callable[[DataFrame, int], None]:
+    """Idempotent parquet sink: exactly-once table contents across replays.
+
+    The reference is at-least-once (redelivered chunks insert twice,
+    main.go:364-369). Structured Streaming hands foreachBatch a stable
+    ``batch_id`` per epoch; recording committed ids makes the replayed batch
+    a no-op, upgrading the parquet sink to exactly-once without a
+    transactional store. Commit markers live under ``<path>/_commits/``.
+    """
+    import os
+
+    def sink_fn(batch: DataFrame, batch_id: int) -> None:
+        marker_dir = os.path.join(path, "_commits")
+        marker = os.path.join(marker_dir, f"batch-{batch_id}")
+        if os.path.exists(marker):
+            return  # replayed epoch: already fully written
+        write_logs(batch, path, mode="append")
+        os.makedirs(marker_dir, exist_ok=True)
+        with open(marker, "w") as f:
+            f.write("committed\n")
+
+    return sink_fn
+
+
 def _resolve_sink(
     sink: Callable[[DataFrame, int], None] | str,
 ) -> Callable[[DataFrame, int], None]:

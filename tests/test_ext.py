@@ -125,6 +125,25 @@ def test_multimodal_feature_extraction(spark):
     assert feats[1].feature_norm == feats2[1].feature_norm
 
 
+def test_multimodal_resize_plumbing(spark):
+    rows = [(1, "image", "image/png", b"0123456789", 10, 100, 50, None),
+            (2, "image", "image/png", None, 0, None, None, None)]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+
+    def fake_kernel(payload, w, h):
+        return payload[: w * h // 1000 + 4]  # deterministic truncation "resize"
+
+    out = {r.media_id: r for r in
+           mm.resize_images(media, 16, 16, kernel=fake_kernel).collect()}
+    assert out[1].width == 16 and out[1].height == 16
+    assert out[1].n_bytes == len(out[1].payload) == 4
+    assert out[2].payload is None and out[2].n_bytes == 0
+
+    # default kernel is the stub -> loud failure, not fake decode
+    with pytest.raises(Exception):
+        mm.resize_images(media, 8, 8).collect()
+
+
 def test_multimodal_decode_stub_raises():
     with pytest.raises(NotImplementedError):
         mm.decode_image(b"bytes")

@@ -96,6 +96,58 @@ def test_dead_letter_quarantines_bad_lines(spark, tmp_path):
     assert dead == {"THIS IS NOT JSON", json.dumps({"ts": 2, "record": 42})}
 
 
+def test_exactly_once_sink_skips_replayed_batch(spark, tmp_path):
+    """The idempotent sink ignores a re-delivered epoch: same batch_id twice
+    writes once (foreachBatch replay after a downstream failure)."""
+    from klogs_spark.stream import exactly_once_sink
+
+    out = str(tmp_path / "logs")
+    df = spark.createDataFrame(
+        [(__import__("datetime").datetime(2026, 1, 1), "c", "ns", "a", "p",
+          "ct", "h", {}, {}, "line")],
+        "timestamp timestamp, cluster string, namespace string, app string, "
+        "pod_name string, container_name string, host string, "
+        "fields_string map<string,string>, fields_number map<string,double>, "
+        "log string",
+    )
+    sink = exactly_once_sink(out)
+    sink(df, 7)
+    sink(df, 7)   # replayed epoch -> no-op
+    sink(df, 8)   # new epoch -> appended
+    assert read_logs(spark, out).count() == 2
+
+
+def test_exactly_once_end_to_end_with_failure(spark, raw_dir, tmp_path):
+    """Failure before any write + replay with the same checkpoint: the table
+    ends with exactly one copy of every event."""
+    from klogs_spark.stream import exactly_once_sink
+
+    out = str(tmp_path / "logs")
+    ckpt = str(tmp_path / "ckpt")
+    flag = tmp_path / "fail-once"
+    flag.write_text("arm")
+    fail_path, inner = str(flag), exactly_once_sink(out)
+
+    def flaky(batch_df, batch_id):
+        import os
+
+        if os.path.exists(fail_path):
+            os.remove(fail_path)
+            raise RuntimeError("injected failure before write")
+        inner(batch_df, batch_id)
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException):
+        run_ingest_once(read_json_lines_stream(spark, raw_dir), flaky,
+                        checkpoint_dir=ckpt)
+    run_ingest_once(read_json_lines_stream(spark, raw_dir), flaky,
+                    checkpoint_dir=ckpt)
+    logs = read_logs(spark, out)
+    assert logs.count() == 20
+    assert logs.select("log").distinct().count() == 20
+
+
 def test_at_least_once_on_sink_failure(spark, raw_dir, tmp_path):
     """T4: a failing sink aborts the query; rerun with the same checkpoint
     redelivers the batch (reference FLB_ERROR retry, main.go:364-369)."""

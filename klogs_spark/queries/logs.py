@@ -320,6 +320,59 @@ FROM logs GROUP BY f_level
 """
 
 
+# --- type-flap: same key string in some rows, number in others --------------
+def q_type_flap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §7 hard part: a field whose runtime type flaps across rows
+    lands in fields_number on numeric rows and fields_string on string rows
+    (per-row winner, main.go:336-349). Queries consult the map they name;
+    coalesce(number, try_cast(string)) is the cross-type read. Both
+    populations and the merged aggregate are checked."""
+    df = derive_logs_from_events(spark, sf_dir)
+    # user_id parity decides the runtime type of 'flappy'
+    uid = F.element_at(F.col("fields_number"), "k")  # stand-in deterministic src
+    flap_num = F.when(uid % 2 == 0, uid * 2)
+    flap_str = F.when(uid % 2 == 1, F.concat(F.lit("s"), uid.cast("long").cast("string")))
+    flapped = df.withColumn(
+        "fields_number",
+        F.map_concat(
+            F.col("fields_number"),
+            F.map_filter(F.create_map(F.lit("flappy"), flap_num),
+                         lambda _, v: v.isNotNull()),
+        ),
+    ).withColumn(
+        "fields_string",
+        F.map_concat(
+            F.col("fields_string"),
+            F.map_filter(F.create_map(F.lit("flappy"), flap_str),
+                         lambda _, v: v.isNotNull()),
+        ),
+    )
+    num_side = F.element_at(F.col("fields_number"), "flappy")
+    str_side = F.element_at(F.col("fields_string"), "flappy")
+    merged = F.coalesce(
+        num_side, F.regexp_extract(str_side, "^s([0-9]+)$", 1).try_cast("double")
+    )
+    return flapped.groupBy("app").agg(
+        F.count(num_side).alias("n_number_rows"),
+        F.count(str_side).alias("n_string_rows"),
+        F.round(F.sum(num_side), 2).alias("sum_number_side"),
+        F.round(F.sum(merged), 2).alias("sum_merged"),
+    )
+
+
+SQL_TYPE_FLAP = LOGS_CTE + """
+SELECT app,
+       count(CASE WHEN CAST(f_k AS BIGINT) % 2 = 0 THEN 1 END) AS n_number_rows,
+       count(CASE WHEN CAST(f_k AS BIGINT) % 2 = 1 THEN 1 END) AS n_string_rows,
+       round(sum(CASE WHEN CAST(f_k AS BIGINT) % 2 = 0 THEN f_k * 2 END), 2)
+         AS sum_number_side,
+       round(sum(CASE WHEN CAST(f_k AS BIGINT) % 2 = 0 THEN f_k * 2
+                      ELSE f_k END), 2) AS sum_merged
+FROM logs WHERE f_k IS NOT NULL
+GROUP BY app
+"""
+
+
 # --- T5 EXT: session windows over the logs stream (batch-mode check) --------
 def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native session_window sessionization of the logs view (streaming twin
@@ -421,6 +474,8 @@ SPECS = {
                                           "P4 at-rest key normalization"),
     "logs_session_windows": QuerySpec(q_session_windows, SQL_SESSION_WINDOWS,
                                       "T5 session_window sessionization"),
+    "logs_type_flap": QuerySpec(q_type_flap, SQL_TYPE_FLAP,
+                                "string/number type-flap semantics (SURVEY §7)"),
     "logs_approx_distinct": QuerySpec(q_approx_distinct, None,
                                       "A5 approx_count_distinct (rows-only)"),
 }

@@ -247,6 +247,44 @@ FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
 """
 
 
+# --- Q18-style large-volume customers (subquery + HAVING + join) ------------
+def q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 200)
+    )
+    return (
+        big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            F.round(F.col("o_totalprice"), 2).alias("totalprice"),
+            F.round(F.col("total_qty"), 2).alias("total_qty"),
+        )
+        .orderBy(F.col("total_qty").desc(), F.col("o_orderkey"))
+        .limit(50)
+    )
+
+
+SQL_Q18 = """
+SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+       round(o_totalprice, 2) AS totalprice,
+       round(total_qty, 2) AS total_qty
+FROM (
+  SELECT l_orderkey, sum(l_quantity) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 200
+) big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_qty DESC, o_orderkey
+LIMIT 50
+"""
+
+
 # --- cube (A6) --------------------------------------------------------------
 def q_lineitem_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
@@ -394,6 +432,8 @@ SPECS = {
                                           "selective filter + single agg"),
     "tpch_q10_returned_items": QuerySpec(q10_returned_items, SQL_Q10,
                                          "join + group + top-k"),
+    "tpch_q18_big_orders": QuerySpec(q18_big_orders, SQL_Q18,
+                                     "HAVING subquery + joins + top-k"),
     "window_order_rank": QuerySpec(q_order_rank, SQL_ORDER_RANK,
                                    "row_number + running sum"),
     "agg_orders_rollup": QuerySpec(q_orders_rollup, SQL_ORDERS_ROLLUP,

@@ -148,6 +148,38 @@ GROUP BY 1
 """
 
 
+# --- A2 via native window(): 5-minute tumbling buckets ----------------------
+def q_window_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark-native window() bucketing (epoch-aligned tumbling windows);
+    oracle reproduces the alignment with pure epoch arithmetic."""
+    df = _logs(spark, sf_dir).time_range(_T0, "2024-01-06 00:00:00").df
+    w = F.window(F.col("timestamp"), "5 minutes")
+    return (
+        df.groupBy(w.alias("w"), "namespace")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("w.start").alias("bucket_start"),
+            F.col("w.end").alias("bucket_end"),
+            "namespace",
+            "cnt",
+        )
+    )
+
+
+SQL_WINDOW_5M = LOGS_CTE + f"""
+SELECT TIMESTAMP '1970-01-01'
+         + to_seconds(CAST(floor(epoch("timestamp") / 300) * 300 AS BIGINT))
+         AS bucket_start,
+       TIMESTAMP '1970-01-01'
+         + to_seconds(CAST(floor(epoch("timestamp") / 300) * 300 + 300 AS BIGINT))
+         AS bucket_end,
+       namespace, count(*) AS cnt
+FROM logs
+WHERE "timestamp" BETWEEN '{_T0}' AND '2024-01-06 00:00:00'
+GROUP BY 1, 2, namespace
+"""
+
+
 # --- A3: per-namespace/app counts -------------------------------------------
 def q_env_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _logs(spark, sf_dir).count_by("namespace", "app")
@@ -450,6 +482,8 @@ SPECS = {
     "logs_log_regex": QuerySpec(q_log_regex, SQL_LOG_REGEX, "F6 regex"),
     "logs_hourly_histogram": QuerySpec(q_hourly_histogram, SQL_HOURLY_HISTOGRAM,
                                        "A2 time-bucketed counts"),
+    "logs_window_5m": QuerySpec(q_window_5m, SQL_WINDOW_5M,
+                                "A2 native window() tumbling buckets"),
     "logs_env_counts": QuerySpec(q_env_counts, SQL_ENV_COUNTS,
                                  "A3 envelope-dim counts"),
     "logs_parsed_field_stats": QuerySpec(q_parsed_field_stats,

@@ -80,6 +80,24 @@ def session_counts(
     )
 
 
+def dedup_events(
+    logs: DataFrame,
+    keys: tuple[str, ...] = ("timestamp", "pod_name", "log"),
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming deduplication — the replay-dedupe extension noted in SURVEY
+    §2.10 T4 (the reference is at-least-once and stores duplicates).
+
+    ``dropDuplicates`` keyed on event identity with watermark-bounded state:
+    a redelivered record inside the watermark horizon is dropped; state for
+    horizons past the watermark is evicted, so memory is bounded by the
+    duplicate window, not the stream length. Works identically in batch mode
+    (plain distinct-on-keys).
+    """
+    df = logs.withWatermark("timestamp", watermark) if logs.isStreaming else logs
+    return df.dropDuplicates(list(keys))
+
+
 ANOMALY_STATE_SCHEMA = StructType(
     [StructField("error_run", LongType(), False)]
 )

@@ -1,0 +1,71 @@
+"""Physical-plan regression tests — the scale properties README promises.
+
+These assert the *plan shape*, not timing: predicate pushdown reaching the
+scan, column pruning, broadcast (never sort-merge) dimension joins, top-k via
+TakeOrderedAndProject, and partial aggregation. A regression here is a 100 TB
+performance bug even if sf0.01 timings look fine.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from klogs_spark.queries import registry
+from tests.conftest import SF_ORACLE
+
+SPECS = registry()
+
+
+def _plan(spark, name: str) -> str:
+    df = SPECS[name].fn(spark, SF_ORACLE)
+    jvm = spark._sc._jvm
+    return jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_q6_pushdown_and_pruning(spark):
+    plan = _plan(spark, "tpch_q6_forecast_revenue")
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    # column pruning: only the 4 referenced columns reach the scan
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert read.count(":") - 1 == 4, read
+
+
+def test_join_queries_broadcast_dimensions(spark):
+    for name in ("tpch_q3_shipping_priority", "tpch_q5_local_supplier",
+                 "tpch_q10_returned_items"):
+        plan = _plan(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_topk_plans_as_take_ordered(spark):
+    for name in ("logs_newest", "tpch_q3_shipping_priority"):
+        plan = _plan(spark, name)
+        assert "TakeOrderedAndProject" in plan, name
+
+
+def test_aggregations_are_partial(spark):
+    plan = _plan(spark, "tpch_q1_pricing_summary")
+    # partial + final HashAggregate pair around one exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_logs_table_partition_filter_prunes(spark, tmp_path):
+    """End-to-end: written table + date predicate -> scan reads only the
+    matching partition (the F1 pruning contract on real storage)."""
+    from pyspark.sql import functions as F
+
+    from klogs_spark.table import read_logs, write_logs
+    from klogs_spark.views import derive_logs_from_events
+
+    path = str(tmp_path / "logs")
+    write_logs(
+        derive_logs_from_events(spark, "/root/testdata/sf0.001"), path
+    )
+    df = read_logs(spark, path).filter("date = DATE'2024-01-10'")
+    files = [r[0] for r in df.select(F.input_file_name()).distinct().collect()]
+    assert files and all("date=2024-01-10" in f for f in files)

@@ -126,6 +126,57 @@ def language_id(df: DataFrame, text_col: str = "text",
     )
 
 
+def tfidf_doc_scores(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Corpus-relative rarity score per document: mean inverse document
+    frequency (ln(N/df)) over the doc's distinct tokens.
+
+    The standard "is this document unusual for the corpus" signal in
+    pretraining pipelines. Two aggregations: token->df (map-side combined),
+    then per-doc mean over an equi-join on token — no cross joins, both
+    shuffles keyed on token/doc. Returns (id, n_distinct_tokens, mean_idf).
+    """
+    toks = (
+        df.select(F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("tk"))
+        .select("id", F.explode(F.array_distinct("tk")).alias("tok"))
+    )
+    n_docs = df.count()
+    doc_freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf = doc_freq.withColumn("idf", F.log(F.lit(float(n_docs)) / F.col("df")))
+    return (
+        toks.join(idf, "tok")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_tokens"),
+            F.round(F.avg("idf"), 6).alias("mean_idf"),
+        )
+    )
+
+
+def contamination_check(docs: DataFrame, probes: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        probe_id: str = "probe_id",
+                        probe_text: str = "probe") -> DataFrame:
+    """Benchmark-contamination scan: which documents contain which probe
+    strings (eval-set fragments) as exact substrings.
+
+    The probe set is tiny next to the corpus — broadcast it; each doc row
+    tests all probes in one codegen'd pass (contains), so the corpus is
+    scanned once regardless of probe count. For huge probe sets, switch to
+    the shingle-hash join in dedup.jaccard_pairs instead.
+    Returns (doc_id, probe_id).
+    """
+    p = F.broadcast(
+        probes.select(F.col(probe_id), F.col(probe_text).alias("_probe"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
+        .crossJoin(p)
+        .filter(F.col("_t").contains(F.col("_probe")))
+        .select("doc_id", probe_id)
+    )
+
+
 def fingerprints(df: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id", n: int = FINGERPRINT_NGRAM) -> DataFrame:
     """Document fingerprint: min/max/count over hashed word n-grams (the

@@ -457,6 +457,53 @@ FROM scored
 """
 
 
+def q_tfidf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.tfidf_doc_scores(load_table(spark, sf_dir, "documents"))
+
+
+SQL_TFIDF_SCORES = f"""
+WITH {TOKENS_CTE},
+toks AS (SELECT id, unnest(list_distinct(tk)) AS tok FROM tk),
+n AS (SELECT count(*) AS n_docs FROM documents),
+idf AS (
+  SELECT tok, ln(CAST(n.n_docs AS DOUBLE) / count(*)) AS idf
+  FROM toks, n GROUP BY tok, n.n_docs
+)
+SELECT t.id, count(*) AS n_distinct_tokens, round(avg(i.idf), 6) AS mean_idf
+FROM toks t JOIN idf i ON t.tok = i.tok
+GROUP BY t.id
+"""
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probes derived deterministically from the corpus itself: the first 5
+    tokens of docs 0-4 (so some docs must match their own probe, and near-dup
+    docs cross-match)."""
+    docs = load_table(spark, sf_dir, "documents")
+    probes = (
+        docs.filter(F.col("doc_id") < 5)
+        .select(
+            F.col("doc_id").alias("probe_id"),
+            F.concat_ws(
+                " ", F.slice(F.split(F.col("text"), " "), 1, 5)
+            ).alias("probe"),
+        )
+    )
+    return tx.contamination_check(docs, probes)
+
+
+SQL_CONTAMINATION = """
+WITH probes AS (
+  SELECT doc_id AS probe_id,
+         array_to_string(string_split(text, ' ')[1:5], ' ') AS probe
+  FROM documents WHERE doc_id < 5
+)
+SELECT d.doc_id, p.probe_id
+FROM documents d, probes p
+WHERE contains(d.text, p.probe)
+"""
+
+
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.fingerprints(load_table(spark, sf_dir, "documents"))
 
@@ -506,4 +553,8 @@ SPECS = {
                              "stopword-heuristic language ID"),
     "text_fingerprints": QuerySpec(q_fingerprints, SQL_FINGERPRINTS,
                                    "hashed-shingle fingerprints"),
+    "text_tfidf_scores": QuerySpec(q_tfidf_scores, SQL_TFIDF_SCORES,
+                                   "corpus-relative mean-idf rarity score"),
+    "text_contamination": QuerySpec(q_contamination, SQL_CONTAMINATION,
+                                    "benchmark-contamination substring scan"),
 }

@@ -247,6 +247,40 @@ FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
 """
 
 
+# --- Q4-style order priority check (correlated EXISTS -> semi join) ---------
+def q4_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    late = o.join(
+        l,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.filter(
+            (F.col("o_orderdate") >= "1997-01-01")
+            & (F.col("o_orderdate") < "1997-04-01")
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+SQL_Q4 = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1997-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+"""
+
+
 # --- Q18-style large-volume customers (subquery + HAVING + join) ------------
 def q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
@@ -434,6 +468,8 @@ SPECS = {
                                          "join + group + top-k"),
     "tpch_q18_big_orders": QuerySpec(q18_big_orders, SQL_Q18,
                                      "HAVING subquery + joins + top-k"),
+    "tpch_q4_priority_check": QuerySpec(q4_priority_check, SQL_Q4,
+                                        "correlated EXISTS as semi join"),
     "window_order_rank": QuerySpec(q_order_rank, SQL_ORDER_RANK,
                                    "row_number + running sum"),
     "agg_orders_rollup": QuerySpec(q_orders_rollup, SQL_ORDERS_ROLLUP,

@@ -504,6 +504,29 @@ WHERE contains(d.text, p.probe)
 """
 
 
+def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus n-gram frequency table (top 20): the substrate for corpus-level
+    contamination indexes and LM frequency filters."""
+    sh = dd.doc_shingles(load_table(spark, sf_dir, "documents"))
+    return (
+        sh.groupBy("shingle")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy(F.col("n_docs").desc(), F.col("shingle"))
+        .limit(20)
+    )
+
+
+SQL_TOP_NGRAMS = f"""
+WITH {SHINGLES_CTE}
+SELECT shingle, count(*) AS n_docs
+FROM sh GROUP BY shingle
+ORDER BY n_docs DESC, shingle
+LIMIT 20
+"""
+
+
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.fingerprints(load_table(spark, sf_dir, "documents"))
 
@@ -557,4 +580,6 @@ SPECS = {
                                    "corpus-relative mean-idf rarity score"),
     "text_contamination": QuerySpec(q_contamination, SQL_CONTAMINATION,
                                     "benchmark-contamination substring scan"),
+    "text_top_ngrams": QuerySpec(q_top_ngrams, SQL_TOP_NGRAMS,
+                                 "corpus n-gram frequency top-k"),
 }

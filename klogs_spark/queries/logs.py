@@ -212,6 +212,37 @@ FROM logs WHERE f_k IS NOT NULL GROUP BY app
 """
 
 
+# --- schema discovery: which dynamic field keys exist, with what frequency --
+def q_field_key_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The "what fields exist?" question a klogs UI asks before offering
+    filter autocomplete: every dynamic key with its row count and value type,
+    from map_keys explosion over both maps."""
+    df = _logs(spark, sf_dir).df
+    s = df.select(
+        F.explode(F.map_keys(F.col("fields_string"))).alias("key")
+    ).withColumn("value_type", F.lit("string"))
+    n = df.select(
+        F.explode(F.map_keys(F.col("fields_number"))).alias("key")
+    ).withColumn("value_type", F.lit("number"))
+    return (
+        s.unionByName(n)
+        .groupBy("key", "value_type")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+SQL_FIELD_KEY_STATS = LOGS_CTE + """
+SELECT key, value_type, count(*) AS n_rows FROM (
+  SELECT 'level' AS key, 'string' AS value_type FROM logs
+  UNION ALL SELECT 'source', 'string' FROM logs
+  UNION ALL SELECT 'flag', 'string' FROM logs WHERE f_flag IS NOT NULL
+  UNION ALL SELECT 'value', 'number' FROM logs
+  UNION ALL SELECT 'k', 'number' FROM logs WHERE f_k IS NOT NULL
+  UNION ALL SELECT 'latency_ms', 'number' FROM logs WHERE f_latency_ms IS NOT NULL
+) GROUP BY key, value_type
+"""
+
+
 # --- A5: distinct field values ----------------------------------------------
 def q_distinct_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _logs(spark, sf_dir).distinct_field_values("source")
@@ -491,6 +522,8 @@ SPECS = {
                                          "A4 over JSON-coerced field"),
     "logs_distinct_sources": QuerySpec(q_distinct_sources, SQL_DISTINCT_SOURCES,
                                        "A5 count distinct"),
+    "logs_field_key_stats": QuerySpec(q_field_key_stats, SQL_FIELD_KEY_STATS,
+                                      "dynamic-schema key discovery"),
     "logs_value_percentiles": QuerySpec(q_value_percentiles,
                                         SQL_VALUE_PERCENTILES,
                                         "A7 exact percentiles"),

@@ -27,14 +27,20 @@ EMB_DIM = 64
 
 
 def _dot_literal(vec: Column, plane: list[float]) -> Column:
-    """Dot product of an array column with a literal hyperplane — unrolled to
-    a flat sum of products so it stays a single codegen expression."""
-    terms = [
-        F.element_at(vec, i + 1).cast("double") * F.lit(w)
-        for i, w in enumerate(plane)
-        if w != 0.0
-    ]
-    return reduce(lambda a, b: a + b, terms)
+    """Dot product of an array column with a literal hyperplane.
+
+    Array-literal + zip_with + left-fold aggregate: same sequential
+    left-to-right double summation as an unrolled term sum (and as DuckDB's
+    list_dot_product), but the generated code stays tiny — a fully unrolled
+    64-term sum times several planes breaks the JVM's 64KB method limit and
+    drops the whole stage to interpreted eval.
+    """
+    lits = F.array(*[F.lit(float(w)) for w in plane])
+    return F.aggregate(
+        F.zip_with(vec.cast("array<double>"), lits, lambda x, w: x * w),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
 
 
 def lsh_bucket(vec: Column, planes: list[list[float]] | None = None) -> Column:

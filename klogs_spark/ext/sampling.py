@@ -1,0 +1,48 @@
+"""Deterministic sampling and corpus-balance operators.
+
+Training-data pipelines need reproducible subsets: the same sample must come
+out of every run, on any cluster, regardless of partitioning — so sampling is
+keyed on a content hash, never on ``rand()``. Both operators reproduce
+exactly in the DuckDB oracle via the shared md5-prefix hash (ext.hashing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .hashing import md5_long
+
+# 8 hex chars -> hash universe [0, 2^32)
+_HASH_UNIVERSE = float(2**32)
+
+
+def hash_sample(df: DataFrame, key: Column | str, fraction: float) -> DataFrame:
+    """Keep rows whose md5-prefix hash of ``key`` falls under ``fraction``.
+
+    Deterministic, partition-independent, and stable under corpus growth (a
+    row's membership never changes when other rows appear) — the property
+    that makes incremental dataset rebuilds reproducible. The filter is a
+    pure Column expression, so it pushes into the scan's data filters.
+    """
+    key_col = F.col(key) if isinstance(key, str) else key
+    threshold = int(fraction * _HASH_UNIVERSE)
+    return df.filter(md5_long(key_col.cast("string")) < threshold)
+
+
+def top_n_per_group(
+    df: DataFrame,
+    group: str,
+    order_by: list[Column],
+    n: int,
+) -> DataFrame:
+    """Corpus balancing: cap each group (source, domain, language) at its N
+    best rows. One window per group partition; at scale the partition key
+    shards the shuffle and no group's ranking leaves its reducer."""
+    w = Window.partitionBy(group).orderBy(*order_by)
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n)
+        .drop("_rk")
+    )

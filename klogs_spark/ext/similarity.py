@@ -156,6 +156,46 @@ def deterministic_centroids(
     )
 
 
+def kmeans_refine(
+    emb: DataFrame,
+    centroids: DataFrame,
+    iterations: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd iterations over the coarse quantizer, pure DataFrame ops.
+
+    Each round: broadcast-assign every vector to its nearest centroid
+    (cosine), then recompute each centroid as the element-wise mean of its
+    members — posexplode to (cluster, position, value), one keyed aggregate,
+    reassemble with an ordered collect. No driver-side math beyond plan
+    construction; each iteration is two shuffles (assign output is
+    broadcast-joined, mean is keyed on (cluster, pos)).
+    Returns (centroid_id, centroid) like the input.
+    """
+    current = centroids
+    for _ in range(iterations):
+        assigned = ivf_assign(emb, current, id_col, vec_col)
+        means = (
+            assigned.select(
+                "centroid_id",
+                F.posexplode(F.col("v").cast("array<double>")).alias("pos", "val"),
+            )
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("val").alias("m"))
+        )
+        current = (
+            means.groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("centroid")
+            )
+        )
+    return current
+
+
 def ivf_topk(
     emb: DataFrame,
     centroids: DataFrame,

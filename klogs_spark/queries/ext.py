@@ -314,6 +314,42 @@ LIMIT 5
 """
 
 
+def q_kmeans_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration of the IVF coarse quantizer: assignment + per-dim
+    member means, exposed exploded (centroid_id, pos, m) so the oracle
+    compares scalar values."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = sim.deterministic_centroids(emb, IVF_K)
+    assigned = sim.ivf_assign(emb, cents)
+    return (
+        assigned.select(
+            "centroid_id",
+            F.posexplode(F.col("v").cast("array<double>")).alias("pos", "val"),
+        )
+        .groupBy("centroid_id", "pos")
+        .agg(F.round(F.avg("val"), 6).alias("m"))
+    )
+
+
+SQL_KMEANS_ITERATION = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < {IVF_K}),
+assigned AS (
+  SELECT id, v, centroid_id FROM (
+    SELECT e.vec_id AS id, e.v, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_cos_sql('e.v', 'c.cv')} DESC, c.centroid_id
+           ) AS rn
+    FROM e, cents c
+  ) WHERE rn = 1
+)
+SELECT centroid_id, i - 1 AS pos, round(avg(v[i]), 6) AS m
+FROM assigned, generate_series(1, 64) AS t(i)
+GROUP BY centroid_id, i - 1
+"""
+
+
 def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
@@ -333,6 +369,48 @@ SELECT query_id, neighbor_id, cosine, rnk FROM (
                                ORDER BY cosine DESC, neighbor_id) AS rnk
   FROM scored
 ) WHERE rnk <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# sampling / corpus balance
+# ---------------------------------------------------------------------------
+SAMPLE_FRACTION = 0.2
+
+
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.sampling import hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_sample(docs, "doc_id", SAMPLE_FRACTION).select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+SQL_HASH_SAMPLE = f"""
+SELECT doc_id, source, n_chars FROM documents
+WHERE {md5_long_sql("CAST(doc_id AS VARCHAR)")} < {int(SAMPLE_FRACTION * 2**32)}
+"""
+
+
+def q_balance_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap each source at its 10 longest documents — the per-domain budget
+    trim every corpus-balance stage performs."""
+    from ..ext.sampling import top_n_per_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    return top_n_per_group(
+        docs, "source", [F.col("n_chars").desc(), F.col("doc_id")], 10
+    ).select("source", "doc_id", "n_chars")
+
+
+SQL_BALANCE_SOURCES = """
+SELECT source, doc_id, n_chars FROM (
+  SELECT source, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rk
+  FROM documents
+) WHERE rk <= 10
 """
 
 
@@ -561,10 +639,16 @@ SPECS = {
                               "sign-LSH bucketed ANN top-5"),
     "ann_ivf_topk": QuerySpec(q_ann_ivf, SQL_ANN_IVF,
                               "IVF cell-probe ANN top-5"),
+    "ann_kmeans_iteration": QuerySpec(q_kmeans_iteration, SQL_KMEANS_ITERATION,
+                                      "Lloyd-step centroid means"),
     "similarity_knn_join": QuerySpec(q_knn_join, SQL_KNN_JOIN,
                                      "batch 5-NN join"),
     "ann_lsh_bucket_stats": QuerySpec(q_lsh_bucket_stats, SQL_LSH_BUCKET_STATS,
                                       "ANN index bucket occupancy"),
+    "sample_hash_deterministic": QuerySpec(q_hash_sample, SQL_HASH_SAMPLE,
+                                           "content-hash reproducible sampling"),
+    "sample_balance_sources": QuerySpec(q_balance_sources, SQL_BALANCE_SOURCES,
+                                        "per-source top-N corpus balancing"),
     "multimodal_features": QuerySpec(q_multimodal_features,
                                      SQL_MULTIMODAL_FEATURES,
                                      "binary payload -> Arrow-batched features"),

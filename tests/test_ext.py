@@ -100,6 +100,42 @@ def test_lsh_bucket_groups_similar_vectors(vectors):
     assert buckets[0] != buckets[3]      # opposite vectors split
 
 
+def test_kmeans_refine_converges_to_cluster_means(spark):
+    # two obvious clusters around (1,0) and (0,1); bad initial centroids
+    rows = [
+        (0, [1.0, 0.05]), (1, [0.95, 0.0]), (2, [1.05, -0.05]),
+        (3, [0.0, 1.0]), (4, [0.05, 0.95]), (5, [-0.05, 1.05]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    seed = spark.createDataFrame(
+        [(0, [1.0, 0.05]), (1, [0.0, 1.0])],
+        "centroid_id long, centroid array<double>",
+    )
+    refined = {r.centroid_id: r.centroid
+               for r in sim.kmeans_refine(emb, seed, iterations=2).collect()}
+    assert refined[0][0] == pytest.approx(1.0, abs=0.1)
+    assert refined[0][1] == pytest.approx(0.0, abs=0.1)
+    assert refined[1][0] == pytest.approx(0.0, abs=0.1)
+    assert refined[1][1] == pytest.approx(1.0, abs=0.1)
+    # refined centroids are proper element-wise means of their members
+    assert refined[0] == pytest.approx([1.0, 0.0], abs=0.05)
+
+
+def test_hash_sample_deterministic_and_stable(spark):
+    from klogs_spark.ext.sampling import hash_sample
+
+    df = spark.range(0, 1000).withColumnRenamed("id", "k")
+    s1 = {r.k for r in hash_sample(df, "k", 0.3).collect()}
+    s2 = {r.k for r in hash_sample(df, "k", 0.3).collect()}
+    assert s1 == s2                       # reproducible
+    assert 200 < len(s1) < 400            # roughly the fraction
+    bigger = {r.k for r in hash_sample(df, "k", 0.5).collect()}
+    assert s1 <= bigger                   # nested: membership is monotone in f
+    # membership independent of other rows present
+    half = {r.k for r in hash_sample(df.filter("k < 500"), "k", 0.3).collect()}
+    assert half == {k for k in s1 if k < 500}
+
+
 def test_knn_join_excludes_self_and_ranks(vectors):
     out = sim.knn_join(vectors, vectors.filter(F.col("vec_id") == 0), k=2)
     rows = sorted(out.collect(), key=lambda r: r.rnk)

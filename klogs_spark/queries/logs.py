@@ -212,6 +212,83 @@ FROM logs WHERE f_k IS NOT NULL GROUP BY app
 """
 
 
+# --- logfmt parsing of the raw line (read-path structured extraction) -------
+def q_parse_logfmt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse the derived ``type=... user=... k=...`` line with str_to_map and
+    prove the extracted fields agree with the envelope/maps they came from."""
+    from ..transform import parse_logfmt
+
+    df = _logs(spark, sf_dir).df
+    parsed = parse_logfmt(F.col("log"))
+    return (
+        df.withColumn("p", parsed)
+        .groupBy("app")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(
+                F.when(F.element_at("p", "type") == F.col("app"), 1).otherwise(0)
+            ).alias("n_type_matches"),
+            F.round(
+                F.sum(F.element_at("p", "user").try_cast("double")), 2
+            ).alias("sum_user"),
+            F.sum(
+                F.when(
+                    F.element_at("p", "k").try_cast("double")
+                    == F.element_at("fields_number", "k"),
+                    1,
+                ).otherwise(0)
+            ).alias("n_k_matches"),
+        )
+    )
+
+
+SQL_PARSE_LOGFMT = LOGS_CTE + """
+SELECT app, count(*) AS cnt,
+       count(*) AS n_type_matches,
+       round(sum(CAST(regexp_extract(log, 'user=([0-9]+)', 1) AS DOUBLE)), 2)
+         AS sum_user,
+       count(f_k) AS n_k_matches
+FROM logs GROUP BY app
+"""
+
+
+# --- Merge_Log: JSON raw lines parsed into the string map -------------------
+def q_merge_json_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.props (a JSON object string) as the raw log line, merged into
+    fields_string by merge_log_json (reference Merge_Log,
+    cluster/fluent-bit.yaml:83-84), then queried through the map."""
+    from ..transform import merge_log_json
+    from ..views import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    logs = ev.select(
+        F.col("ts").alias("timestamp"),
+        F.col("event_type").alias("app"),
+        F.create_map(F.lit("orig"), F.lit("x")).alias("fields_string"),
+        F.create_map().cast("map<string,double>").alias("fields_number"),
+        F.col("props").alias("log"),
+    )
+    merged = merge_log_json(logs)
+    return merged.groupBy("app").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(
+            F.sum(F.element_at("fields_string", "k").try_cast("double")), 2
+        ).alias("sum_k"),
+        F.sum(
+            F.when(F.element_at("fields_string", "orig") == "x", 1).otherwise(0)
+        ).alias("n_orig_kept"),
+    )
+
+
+SQL_MERGE_JSON_LOG = """
+SELECT event_type AS app, count(*) AS cnt,
+       round(sum(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)), 2)
+         AS sum_k,
+       count(*) AS n_orig_kept
+FROM events GROUP BY event_type
+"""
+
+
 # --- schema discovery: which dynamic field keys exist, with what frequency --
 def q_field_key_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The "what fields exist?" question a klogs UI asks before offering
@@ -524,6 +601,10 @@ SPECS = {
                                        "A5 count distinct"),
     "logs_field_key_stats": QuerySpec(q_field_key_stats, SQL_FIELD_KEY_STATS,
                                       "dynamic-schema key discovery"),
+    "logs_parse_logfmt": QuerySpec(q_parse_logfmt, SQL_PARSE_LOGFMT,
+                                   "str_to_map logfmt extraction"),
+    "logs_merge_json_log": QuerySpec(q_merge_json_log, SQL_MERGE_JSON_LOG,
+                                     "Merge_Log JSON line merge"),
     "logs_value_percentiles": QuerySpec(q_value_percentiles,
                                         SQL_VALUE_PERCENTILES,
                                         "A7 exact percentiles"),

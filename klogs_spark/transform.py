@@ -66,6 +66,37 @@ def force_numbers(df: DataFrame, keys: list[str]) -> DataFrame:
     return out
 
 
+def parse_logfmt(log: Column) -> Column:
+    """Parse a logfmt-style line (``k=v k2=v2 ...``) into a string map.
+
+    The read-path twin of Fluent Bit's logfmt parser: tokens without ``=``
+    become null-valued entries and are dropped (P6 semantics). Pure
+    ``str_to_map`` — stays in codegen.
+    """
+    return drop_null_values(F.str_to_map(log, F.lit(" "), F.lit("=")))
+
+
+def merge_log_json(df: DataFrame, log_col: str = "log") -> DataFrame:
+    """Merge_Log equivalent (reference cluster/fluent-bit.yaml:83-84): when
+    the raw line is a JSON object, parse it and merge its scalar fields into
+    ``fields_string`` (stringified, like the upstream filter does before the
+    plugin's type dispatch). Non-JSON lines pass through unchanged."""
+    parsed = F.from_json(F.col(log_col), "map<string,string>")
+    # existing keys win: map_concat raises on duplicates under the default
+    # dedup policy, so restrict the merged map to genuinely-new keys
+    new_entries = F.map_filter(
+        drop_null_values(parsed),
+        lambda k, _: ~F.array_contains(F.map_keys(F.col("fields_string")), k),
+    )
+    return df.withColumn(
+        "fields_string",
+        F.when(
+            parsed.isNotNull(),
+            F.map_concat(F.col("fields_string"), new_entries),
+        ).otherwise(F.col("fields_string")),
+    )
+
+
 def promote_string_field(df: DataFrame, key: str, column: str) -> DataFrame:
     """Materialized fast-path column for a hot map key.
 

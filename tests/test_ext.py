@@ -185,6 +185,16 @@ def test_multimodal_decode_stub_raises():
         mm.decode_image(b"bytes")
 
 
+def test_media_byte_budget_partitioning(spark):
+    # skewed payload sizes: partition count follows total bytes, not rows
+    rows = [(i, "image", "x", b"A" * (1000 if i < 2 else 10),
+             1000 if i < 2 else 10, None, None, None) for i in range(100)]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = mm.with_partitioning_for_media(media, target_partition_bytes=1500)
+    assert out.count() == 100
+    assert out.rdd.getNumPartitions() == (2 * 1000 + 98 * 10) // 1500 + 1
+
+
 def test_frame_sampling_worklist(spark):
     rows = [(2, "video", "video/mp4", b"x", 1, 16, 9, 2.5)]
     media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)

@@ -129,3 +129,71 @@ def test_random_predicates_match_oracle(env, spec):
     assert (s_sum is None) == (d_sum is None), f"sum null mismatch for {spec}"
     if s_sum is not None:
         assert s_sum == pytest.approx(d_sum, abs=1e-9), f"sum mismatch {spec}"
+
+
+# ---------------------------------------------------------------------------
+# documents corpus: random text predicates + token aggregates
+# ---------------------------------------------------------------------------
+_DOCS = None
+
+
+@pytest.fixture(scope="module")
+def docs_env(spark):
+    global _DOCS
+    duck = duckdb.connect()
+    duck.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_SMOKE}/documents.parquet'"
+    )
+    if _DOCS is None:
+        from klogs_spark.views import load_table
+
+        _DOCS = load_table(spark, SF_SMOKE, "documents").cache()
+        _DOCS.count()
+    return duck, _DOCS
+
+
+doc_predicate = st.fixed_dictionaries(
+    {
+        "lang": st.one_of(st.none(), st.sampled_from(["en", "de", "fr", "es", "zh"])),
+        "source_mod": st.one_of(st.none(), st.integers(0, 4)),
+        "chars_lo": st.integers(0, 400),
+        "chars_hi_extra": st.integers(0, 300),
+        "needle": st.one_of(st.none(), st.sampled_from(
+            ["spark", "window", "agg", "zzz-not-there"])),
+    }
+)
+
+
+@given(spec=doc_predicate)
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+    derandomize=True,
+)
+def test_random_document_predicates_match_oracle(docs_env, spec):
+    from klogs_spark.ext.text import token_count
+
+    duck, docs = docs_env
+    hi = spec["chars_lo"] + spec["chars_hi_extra"]
+    sdf = docs.filter(F.col("n_chars").between(spec["chars_lo"], hi))
+    where = [f"n_chars BETWEEN {spec['chars_lo']} AND {hi}"]
+    if spec["lang"] is not None:
+        sdf = sdf.filter(F.col("lang") == spec["lang"])
+        where.append(f"lang = '{spec['lang']}'")
+    if spec["source_mod"] is not None:
+        sdf = sdf.filter(F.col("source") == f"src{spec['source_mod']}")
+        where.append(f"source = 'src{spec['source_mod']}'")
+    if spec["needle"] is not None:
+        sdf = sdf.filter(F.col("text").contains(spec["needle"]))
+        where.append(f"contains(text, '{spec['needle']}')")
+    row = sdf.agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum(token_count(F.col("text"))).alias("t"),
+    ).collect()[0]
+    d_c, d_t = duck.execute(
+        "SELECT count(*), sum(len(list_filter(string_split(text,' '), "
+        "t -> t <> ''))) FROM documents WHERE " + " AND ".join(where)
+    ).fetchone()
+    assert row.c == d_c, f"count mismatch for {spec}"
+    assert (row.t or 0) == (d_t or 0), f"token sum mismatch for {spec}"

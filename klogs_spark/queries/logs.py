@@ -353,6 +353,64 @@ FROM logs WHERE f_value IS NOT NULL
 """
 
 
+# --- A7 grouped: latency percentiles per namespace --------------------------
+def q_grouped_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _logs(spark, sf_dir).df
+    v = field_number("latency_ms")
+    return (
+        df.filter(v.isNotNull())
+        .groupBy("namespace")
+        .agg(
+            F.round(
+                F.expr("percentile(element_at(fields_number, 'latency_ms'), 0.5)"), 4
+            ).alias("p50"),
+            F.round(
+                F.expr("percentile(element_at(fields_number, 'latency_ms'), 0.99)"), 4
+            ).alias("p99"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+SQL_GROUPED_PERCENTILES = LOGS_CTE + """
+SELECT namespace,
+       round(percentile_cont(0.50) WITHIN GROUP (ORDER BY f_latency_ms), 4) AS p50,
+       round(percentile_cont(0.99) WITHIN GROUP (ORDER BY f_latency_ms), 4) AS p99,
+       count(*) AS cnt
+FROM logs WHERE f_latency_ms IS NOT NULL
+GROUP BY namespace
+"""
+
+
+# --- error-rate timeseries (conditional aggregation per bucket) -------------
+def q_error_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily error-rate per namespace — the alerting timeseries every log
+    platform derives; rate = conditional count over total, rounded."""
+    df = _logs(spark, sf_dir).df
+    is_err = F.when(field_string("level") == "error", 1).otherwise(0)
+    return (
+        df.groupBy(
+            F.to_date("timestamp").alias("day"),
+            "namespace",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.sum(is_err).alias("n_errors"),
+            F.round(F.sum(is_err) / F.count(F.lit(1)), 6).alias("error_rate"),
+        )
+    )
+
+
+SQL_ERROR_RATE = LOGS_CTE + """
+SELECT CAST("timestamp" AS DATE) AS day, namespace,
+       count(*) AS total,
+       sum(CASE WHEN f_level = 'error' THEN 1 ELSE 0 END) AS n_errors,
+       round(sum(CASE WHEN f_level = 'error' THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS error_rate
+FROM logs GROUP BY 1, 2
+"""
+
+
 # --- O1/O3: newest-first log view (top-k, no full sort) ---------------------
 def q_newest_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # events timestamps are unique (TESTDATA seed) -> deterministic top-100.
@@ -608,6 +666,11 @@ SPECS = {
     "logs_value_percentiles": QuerySpec(q_value_percentiles,
                                         SQL_VALUE_PERCENTILES,
                                         "A7 exact percentiles"),
+    "logs_grouped_percentiles": QuerySpec(q_grouped_percentiles,
+                                          SQL_GROUPED_PERCENTILES,
+                                          "A7 per-group latency quantiles"),
+    "logs_error_rate": QuerySpec(q_error_rate, SQL_ERROR_RATE,
+                                 "daily error-rate timeseries"),
     "logs_newest": QuerySpec(q_newest_logs, SQL_NEWEST_LOGS,
                              "O3 newest-first top-k"),
     "logs_promoted_level": QuerySpec(q_promoted_level, SQL_PROMOTED_LEVEL,

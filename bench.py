@@ -52,8 +52,14 @@ def main() -> None:
     spark = get_spark("klogs-spark-bench")
     specs = registry()
 
-    # JVM/codegen warm-up outside the timed region
+    # JVM/codegen warm-up outside the timed region; the throwaway parquet
+    # write also warms the FileFormatWriter/committer classes so the timed
+    # table-write section measures the operator, not one-time class loading.
+    import tempfile
+
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    with tempfile.TemporaryDirectory(prefix="bench-warm-") as warm_dir:
+        spark.range(1_000).write.mode("overwrite").parquet(warm_dir + "/w")
 
     trials = int(os.environ.get("BENCH_TRIALS", "2"))
     timings: dict[str, float] = {}

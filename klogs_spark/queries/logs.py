@@ -385,7 +385,10 @@ GROUP BY namespace
 # --- error-rate timeseries (conditional aggregation per bucket) -------------
 def q_error_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily error-rate per namespace — the alerting timeseries every log
-    platform derives; rate = conditional count over total, rounded."""
+    platform derives.  The rate is emitted as integer parts-per-million via
+    integer division (Spark ``div`` == DuckDB ``//`` for non-negative longs),
+    which is tie-proof: no float rounding is involved, so the cross-engine
+    hash can never disagree on a half-boundary (the round-1 red row)."""
     df = _logs(spark, sf_dir).df
     is_err = F.when(field_string("level") == "error", 1).otherwise(0)
     return (
@@ -396,7 +399,10 @@ def q_error_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("total"),
             F.sum(is_err).alias("n_errors"),
-            F.round(F.sum(is_err) / F.count(F.lit(1)), 6).alias("error_rate"),
+        )
+        .withColumn(
+            "error_rate_ppm",
+            F.expr("CAST((n_errors * CAST(1000000 AS BIGINT)) div total AS BIGINT)"),
         )
     )
 
@@ -405,8 +411,8 @@ SQL_ERROR_RATE = LOGS_CTE + """
 SELECT CAST("timestamp" AS DATE) AS day, namespace,
        count(*) AS total,
        sum(CASE WHEN f_level = 'error' THEN 1 ELSE 0 END) AS n_errors,
-       round(sum(CASE WHEN f_level = 'error' THEN 1 ELSE 0 END)
-             / CAST(count(*) AS DOUBLE), 6) AS error_rate
+       CAST(sum(CASE WHEN f_level = 'error' THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS error_rate_ppm
 FROM logs GROUP BY 1, 2
 """
 

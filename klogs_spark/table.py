@@ -30,22 +30,40 @@ from pyspark.sql import functions as F
 from .schema import CLUSTER_KEY, LOG_COLUMNS, PARTITION_COLUMN
 
 
-def write_logs(df: DataFrame, path: str, mode: str = "append") -> None:
+def write_logs(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    max_records_per_file: int = 4_000_000,
+) -> None:
     """Write logs rows as date-partitioned, cluster-sorted parquet.
 
     Equivalent of one MergeTree part flush: daily partition dirs
     (schema.sql:17), rows sorted by the cluster key within each file
-    (schema.sql:18). ``repartition(date)`` keeps one writer task per day per
-    shuffle partition so small files don't proliferate at scale.
+    (schema.sql:18).  The shuffle is an AQE REBALANCE on the date: small days
+    coalesce to one writer (small-file hygiene), while a hot day is SPLIT
+    across many writer tasks by advisory partition size
+    (``spark.sql.adaptive.optimizeSkewsInRebalancePartitions.enabled``, on by
+    default) — so at 100 TB/day the day's data fans out over parallel writers
+    instead of funnelling through one task, the exact MergeTree
+    parallel-part-write contract (schema.sql:16-18; each resulting file is an
+    internally cluster-sorted "part"; parts may overlap in key space, and
+    row-group min/max stats still skip granules).  A plain
+    ``repartitionByRange`` was rejected because its boundary sampling
+    recomputes the full upstream lineage (a second decode pass on the ingest
+    path); REBALANCE sizes partitions from shuffle statistics instead.
+    ``maxRecordsPerFile`` caps any single file; :func:`compact_partition`
+    handles file-count hygiene per day.
     """
     (
         df.withColumn(PARTITION_COLUMN, F.to_date(F.col("timestamp")))
-        .repartition(F.col(PARTITION_COLUMN))
+        .hint("rebalance", PARTITION_COLUMN)
         # date leads the sort: FileFormatWriter requires ordering by the
         # partition column and would otherwise inject its own sort on date
         # alone, destroying the cluster-key order inside each file.
         .sortWithinPartitions(PARTITION_COLUMN, *CLUSTER_KEY)
         .write.mode(mode)
+        .option("maxRecordsPerFile", max_records_per_file)
         .partitionBy(PARTITION_COLUMN)
         .parquet(path)
     )

@@ -336,13 +336,99 @@ def cosine_col(a: Column, b: Column) -> Column:
 
 def embedding_neardup(emb: DataFrame, threshold: float,
                       id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Pairs with cosine >= threshold. Pairwise form (oracle/small inputs);
-    the scale path routes through similarity.lsh_bucket_assignments first.
-    Returns (id_a, id_b, cosine)."""
+    """Pairs with cosine >= threshold, EXACT all-pairs form — O(n²), kept only
+    as the small-input oracle double and recall baseline. The default/scale
+    path is :func:`embedding_neardup_lsh`. Returns (id_a, id_b, cosine)."""
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_col(F.col("va"), F.col("vb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+# Multi-table sign-LSH parameters for the bucketed near-dup default: fewer
+# planes per table than the ANN index (wider buckets -> higher per-table
+# recall at near-dup thresholds), several independent tables OR-ed together.
+# Recall for a pair at angle θ is 1 - (1 - (1-θ/π)^PLANES)^TABLES.
+EMB_LSH_TABLES = 8
+EMB_LSH_PLANES = 4
+
+
+def emb_plane_tables(dim: int = 64, tables: int = EMB_LSH_TABLES,
+                     planes_per_table: int = EMB_LSH_PLANES,
+                     seed: int = 11) -> list[list[list[float]]]:
+    """Deterministic hyperplane tables (shared literals with the oracle SQL);
+    seed differs from the ANN index planes so the two surfaces decorrelate."""
+    from .hashing import hyperplanes
+
+    pool = hyperplanes(tables * planes_per_table, dim, seed=seed)
+    return [
+        pool[t * planes_per_table:(t + 1) * planes_per_table]
+        for t in range(tables)
+    ]
+
+
+def embedding_neardup_lsh(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    plane_tables: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """Bucketed near-dup — the 100 TB default path.
+
+    Same candidates-then-verify shape as :func:`minhash_dedup`: candidate
+    pairs come from a bucket EQUI-join per LSH table (cost ~ sum of squared
+    bucket occupancies — corpus-size-linear for well-spread buckets), and the
+    exact cosine runs on candidates only. Never a cross join. The bucket
+    table is cached because it feeds both sides of the self-join (and at
+    scale it's the index you'd persist, bucketed on (table_id, bucket)).
+    Semantics are approximate by design: a pair missed by every table is not
+    reported (tune TABLES/PLANES for the recall target).
+    Returns (id_a, id_b, cosine).
+    """
+    from .similarity import lsh_bucket
+
+    plane_tables = plane_tables or emb_plane_tables()
+    v = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    table_structs = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table_id"),
+                lsh_bucket(F.col("v"), planes).alias("bucket"),
+            )
+            for t, planes in enumerate(plane_tables)
+        ]
+    )
+    buckets = (
+        v.repartition(F.col("id"))  # parallelize past the input file count
+        .select("id", F.explode(table_structs).alias("tb"))
+        .select("id", "tb.table_id", "tb.bucket")
+        .cache()
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.table_id") == F.col("b.table_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    va = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    vb = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
         .select(
             "id_a",
             "id_b",

@@ -203,6 +203,49 @@ WHERE round({_cos_sql('a.v', 'b.v')}, 6) >= {COSINE_NEARDUP}
 """
 
 
+# --- bucketed (default/scale) embedding near-dup ---------------------------
+def _plane_sql_literal(plane: list[float]) -> str:
+    return "[" + ", ".join(repr(w) for w in plane) + "]"
+
+
+_EMB_TABLES = dd.emb_plane_tables()
+
+
+def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.embedding_neardup_lsh(
+        load_table(spark, sf_dir, "embeddings"),
+        threshold=COSINE_NEARDUP,
+        plane_tables=_EMB_TABLES,
+    )
+
+
+def _bucket_sql_for(planes: list[list[float]]) -> str:
+    return " + ".join(
+        f"CASE WHEN list_dot_product(v, {_plane_sql_literal(p)}) > 0 "
+        f"THEN CAST({1 << j} AS BIGINT) ELSE 0 END"
+        for j, p in enumerate(planes)
+    )
+
+
+_EMB_TABLE_SELECTS = " UNION ALL ".join(
+    f"SELECT vec_id, {t} AS table_id, {_bucket_sql_for(planes)} AS bucket FROM e"
+    for t, planes in enumerate(_EMB_TABLES)
+)
+
+SQL_EMBEDDING_NEARDUP_LSH = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+bk AS ({_EMB_TABLE_SELECTS}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bk a JOIN bk b
+    ON a.table_id = b.table_id AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT c.id_a, c.id_b, round({_cos_sql('ea.v', 'eb.v')}, 6) AS cosine
+FROM cand c JOIN e ea ON c.id_a = ea.vec_id JOIN e eb ON c.id_b = eb.vec_id
+WHERE round({_cos_sql('ea.v', 'eb.v')}, 6) >= {COSINE_NEARDUP}
+"""
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
@@ -229,10 +272,6 @@ FROM e, q
 ORDER BY cosine DESC, id
 LIMIT 10
 """
-
-
-def _plane_sql_literal(plane: list[float]) -> str:
-    return "[" + ", ".join(repr(w) for w in plane) + "]"
 
 
 _BUCKET_SQL = " + ".join(
@@ -633,6 +672,10 @@ SPECS = {
     "dedup_embedding_cosine": QuerySpec(q_embedding_neardup,
                                         SQL_EMBEDDING_NEARDUP,
                                         "embedding cosine near-dup pairs"),
+    "dedup_embedding_lsh": QuerySpec(q_embedding_neardup_lsh,
+                                     SQL_EMBEDDING_NEARDUP_LSH,
+                                     "bucketed (multi-table sign-LSH) "
+                                     "embedding near-dup — the scale path"),
     "ann_cosine_topk": QuerySpec(q_ann_bruteforce, SQL_ANN_BRUTEFORCE,
                                  "brute-force cosine top-10"),
     "ann_lsh_topk": QuerySpec(q_ann_lsh, SQL_ANN_LSH,

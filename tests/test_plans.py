@@ -54,6 +54,17 @@ def test_aggregations_are_partial(spark):
     assert "Exchange" in plan
 
 
+def test_bucketed_candidate_paths_never_cross_join(spark):
+    """The scale dedup paths (LSH bands, simhash blocks, embedding LSH) must
+    plan as bucket EQUI-joins — a CartesianProduct/BroadcastNestedLoopJoin
+    here is the O(n²) bug the bucketing exists to prevent."""
+    for name in ("dedup_minhash_lsh", "dedup_simhash_pairs",
+                 "dedup_embedding_lsh"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
 def test_logs_table_partition_filter_prunes(spark, tmp_path):
     """End-to-end: written table + date predicate -> scan reads only the
     matching partition (the F1 pruning contract on real storage)."""

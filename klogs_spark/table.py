@@ -20,14 +20,24 @@ maintain; writes scale horizontally because partitions are independent.
 
 from __future__ import annotations
 
-import shutil
 from datetime import date, timedelta
-from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .schema import CLUSTER_KEY, LOG_COLUMNS, PARTITION_COLUMN
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path-class, root-Path) for ``path`` via Hadoop's FS API —
+    the same abstraction Spark itself writes through, so every table-lifecycle
+    operation below works identically on file://, hdfs://, s3a://, etc.
+    (the round-1 implementation used pathlib/shutil and was local-only)."""
+    jvm = spark._jvm
+    hpath_cls = jvm.org.apache.hadoop.fs.Path
+    root = hpath_cls(path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath_cls, root
 
 
 def write_logs(
@@ -117,48 +127,75 @@ def compact_partition(
     sort; safe to run per-day behind the watermark of active ingest.
     Returns the resulting file count.
     """
-    part_dir = Path(path) / partition
-    if not part_dir.exists():
+    fs, hpath_cls, root = _hadoop_fs(spark, path)
+    part_path = hpath_cls(root, partition)
+    if not fs.exists(part_path):
         return 0
-    total_bytes = sum(f.stat().st_size for f in part_dir.glob("*.parquet"))
+
+    def _parquet_files():
+        return [
+            s
+            for s in fs.listStatus(part_path)
+            if s.getPath().getName().endswith(".parquet")
+        ]
+
+    total_bytes = sum(s.getLen() for s in _parquet_files())
     n_files = max(1, round(total_bytes / target_file_bytes))
-    df = spark.read.parquet(str(part_dir))
-    tmp_dir = part_dir.with_name(part_dir.name + "._compacting")
+    col, _, val = partition.partition("=")
+    # Spark-native single-partition INSERT OVERWRITE: read the one partition
+    # directory, restore the partition column from the dir name, and rewrite
+    # through the committer with dynamic partition overwrite — only this
+    # partition is replaced, the swap happens at job commit (a rename on
+    # HDFS/local), and no engine-external rmtree/rename is involved, so the
+    # operation is safe wherever the table lives. For stronger isolation
+    # under concurrent readers on object stores, front the table with a
+    # transactional format (Delta) — documented production option.
+    df = spark.read.parquet(f"{path}/{partition}").withColumn(
+        col, F.lit(val).cast("date" if col == PARTITION_COLUMN else "string")
+    )
     (
         df.repartition(n_files)
         .sortWithinPartitions(*CLUSTER_KEY)
         .write.mode("overwrite")
-        .parquet(str(tmp_dir))
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(col)
+        .parquet(path)
     )
-    # atomic-ish swap: parquet writes land under _temporary until committed,
-    # so tmp_dir is complete here; replace the old dir
-    shutil.rmtree(part_dir)
-    tmp_dir.rename(part_dir)
-    return len(list(part_dir.glob("*.parquet")))
+    return len(_parquet_files())
 
 
 def apply_retention(
-    path: str, retention_days: int = 30, today: date | None = None
+    path: str,
+    retention_days: int = 30,
+    today: date | None = None,
+    spark: SparkSession | None = None,
 ) -> list[str]:
     """TTL job: drop day-partitions older than the retention window.
 
     Parity with ``TTL toDateTime(timestamp) + INTERVAL 30 DAY`` (schema.sql:19)
     — ClickHouse enforces it in storage; Spark needs an explicit partition-drop
     job (SURVEY §1.3). Deleting whole partition directories is O(#days), never
-    a data rewrite, so it holds at any scale. Returns dropped partition names.
+    a data rewrite, so it holds at any scale; deletion goes through the Hadoop
+    FileSystem API so it works on object stores, not just file://.
+    Returns dropped partition names.
     """
+    spark = spark or SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
     today = today or date.today()
     cutoff = today - timedelta(days=retention_days)
     dropped: list[str] = []
-    root = Path(path)
-    if not root.exists():
+    fs, _, root = _hadoop_fs(spark, path)
+    if not fs.exists(root):
         return dropped
-    for part in sorted(root.glob(f"{PARTITION_COLUMN}=*")):
+    prefix = f"{PARTITION_COLUMN}="
+    for status in sorted(fs.listStatus(root), key=lambda s: s.getPath().getName()):
+        name = status.getPath().getName()
+        if not (status.isDirectory() and name.startswith(prefix)):
+            continue
         try:
-            part_date = date.fromisoformat(part.name.split("=", 1)[1])
+            part_date = date.fromisoformat(name.split("=", 1)[1])
         except ValueError:
             continue
         if part_date < cutoff:
-            shutil.rmtree(part)
-            dropped.append(part.name)
+            fs.delete(status.getPath(), True)
+            dropped.append(name)
     return dropped

@@ -71,3 +71,21 @@ def test_compact_partition_merges_files_preserving_rows(spark, logs_df, tmp_path
 
 def test_compact_missing_partition_noop(spark, tmp_path):
     assert compact_partition(spark, str(tmp_path), "date=1999-01-01") == 0
+
+
+def test_compact_overwrites_only_target_partition(spark, logs_df, tmp_path):
+    """Dynamic partition overwrite contract: compacting day A must leave day
+    B's files byte-identical (a static overwrite would clobber the table)."""
+    path = str(tmp_path / "logs")
+    day_b = logs_df.withColumn("timestamp", F.col("timestamp") + F.expr("INTERVAL 1 DAY"))
+    for i in range(3):
+        write_logs(logs_df.filter(F.minute("timestamp") % 3 == i), path)
+    write_logs(day_b, path)
+    other = Path(path) / "date=2026-01-02"
+    before = sorted((f.name, f.stat().st_size) for f in other.glob("*.parquet"))
+    rows_before = spark.read.parquet(path).count()
+
+    compact_partition(spark, path, "date=2026-01-01")
+    after = sorted((f.name, f.stat().st_size) for f in other.glob("*.parquet"))
+    assert after == before
+    assert spark.read.parquet(path).count() == rows_before

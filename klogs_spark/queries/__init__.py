@@ -44,6 +44,9 @@ DRIVER_PRIORITY: list[str] = [
     "sample_balance_sources",
     "multimodal_features",
     "ann_lsh_bucket_stats",
+    # new in round 2
+    "multimodal_dimensions",
+    "dedup_embedding_lsh",
 ]
 
 

@@ -498,6 +498,62 @@ FROM documents
 """
 
 
+def q_multimodal_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip proof that the header sniffing is real: synthesize
+    structurally-valid PNG/JPEG/WAV payloads per doc (deterministic formulas
+    on doc_id), then recover width/height/duration by parsing the BYTES with
+    sniff_media_metadata — the oracle recomputes the formulas directly, so
+    any sniffer bug breaks the hash match."""
+    from ..ext import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def _synth(batches):
+        import pandas as pd
+
+        for b in batches:
+            kinds, payloads = [], []
+            for i in (int(x) for x in b["doc_id"]):
+                if i % 3 == 0:
+                    kinds.append(mm.KIND_IMAGE)
+                    payloads.append(mm.synth_png(i % 640 + 1, i % 480 + 1))
+                elif i % 3 == 1:
+                    kinds.append(mm.KIND_IMAGE)
+                    payloads.append(mm.synth_jpeg(i % 640 + 1, i % 480 + 1))
+                else:
+                    kinds.append(mm.KIND_AUDIO)
+                    payloads.append(mm.synth_wav((i % 100 + 1) * 10))
+            yield pd.DataFrame(
+                {"media_id": b["doc_id"], "kind": kinds, "payload": payloads}
+            )
+
+    media = docs.repartition(F.col("doc_id")).mapInPandas(
+        _synth, schema="media_id long, kind string, payload binary"
+    )
+    meta = mm.extract_media_metadata(media)
+    # WAV synth uses rate=1000 Hz, so duration_s * 1000 is the exact frame
+    # count up to one ulp — round() recovers the integer; no rounding-tie
+    # exposure because the oracle compares integers, not floats.
+    return meta.select(
+        "media_id",
+        "fmt",
+        "width",
+        "height",
+        F.round(F.col("duration_s") * 1000).cast("bigint").alias("duration_ms"),
+    )
+
+
+SQL_MULTIMODAL_DIMENSIONS = """
+SELECT doc_id AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS fmt,
+       CASE WHEN doc_id % 3 < 2 THEN CAST(doc_id % 640 + 1 AS INTEGER) END AS width,
+       CASE WHEN doc_id % 3 < 2 THEN CAST(doc_id % 480 + 1 AS INTEGER) END AS height,
+       CASE WHEN doc_id % 3 = 2 THEN CAST((doc_id % 100 + 1) * 10 AS BIGINT) END
+         AS duration_ms
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
@@ -695,6 +751,10 @@ SPECS = {
     "multimodal_features": QuerySpec(q_multimodal_features,
                                      SQL_MULTIMODAL_FEATURES,
                                      "binary payload -> Arrow-batched features"),
+    "multimodal_dimensions": QuerySpec(q_multimodal_dimensions,
+                                       SQL_MULTIMODAL_DIMENSIONS,
+                                       "real PNG/JPEG/WAV header sniffing "
+                                       "round-trip"),
     "text_token_stats": QuerySpec(q_token_stats, SQL_TOKEN_STATS,
                                   "whitespace + BPE-ish token counts"),
     "text_quality": QuerySpec(q_text_quality, SQL_TEXT_QUALITY,

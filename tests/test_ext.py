@@ -185,6 +185,52 @@ def test_multimodal_decode_stub_raises():
         mm.decode_image(b"bytes")
 
 
+def test_sniff_png_jpeg_gif_wav_headers():
+    assert mm.sniff_media_metadata(mm.synth_png(640, 480)) == (
+        "png", 640, 480, None)
+    # the synth JPEG carries a COM segment before SOF0 — the marker walk
+    # must skip it rather than read dimensions from the wrong offset
+    assert mm.sniff_media_metadata(mm.synth_jpeg(123, 45)) == (
+        "jpeg", 123, 45, None)
+    gif = b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little")
+    assert mm.sniff_media_metadata(gif) == ("gif", 320, 200, None)
+    # 2500 frames at 1000 Hz -> 2.5 s
+    assert mm.sniff_media_metadata(mm.synth_wav(2500)) == (
+        "wav", None, None, 2.5)
+    # stereo 16-bit 8 kHz: duration independent of channel count
+    assert mm.sniff_media_metadata(
+        mm.synth_wav(4000, sample_rate=8000, channels=2)
+    ) == ("wav", None, None, 0.5)
+
+
+def test_sniff_wav_skips_unknown_chunks():
+    wav = bytearray(mm.synth_wav(1000))
+    # splice a LIST chunk between fmt and data (offsets: RIFF hdr 12 + fmt 24)
+    extra = b"LIST" + (4).to_bytes(4, "little") + b"INFO"
+    spliced = bytes(wav[:36]) + extra + bytes(wav[36:])
+    fixed = b"RIFF" + (len(spliced) - 8).to_bytes(4, "little") + spliced[8:]
+    assert mm.sniff_media_metadata(fixed) == ("wav", None, None, 1.0)
+
+
+def test_sniff_corrupt_payloads_return_none():
+    for junk in (None, b"", b"\x89PNG", b"\xff\xd8\xff", b"RIFFxxxx",
+                 b"GIF12a\x00\x00\x00\x00", b"not media at all"):
+        assert mm.sniff_media_metadata(junk) == (None, None, None, None)
+
+
+def test_extract_media_metadata_dataframe(spark):
+    rows = [
+        (1, "image", "image/png", mm.synth_png(32, 16), 0, None, None, None),
+        (2, "audio", "audio/wav", mm.synth_wav(500), 0, None, None, None),
+        (3, "image", "image/png", b"corrupt", 7, None, None, None),
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = {r.media_id: r for r in mm.extract_media_metadata(media).collect()}
+    assert (out[1].fmt, out[1].width, out[1].height) == ("png", 32, 16)
+    assert (out[2].fmt, out[2].duration_s) == ("wav", 0.5)
+    assert out[3].fmt is None and out[3].width is None
+
+
 def test_media_byte_budget_partitioning(spark):
     # skewed payload sizes: partition count follows total bytes, not rows
     rows = [(i, "image", "x", b"A" * (1000 if i < 2 else 10),

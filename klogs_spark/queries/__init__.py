@@ -47,6 +47,9 @@ DRIVER_PRIORITY: list[str] = [
     # new in round 2
     "multimodal_dimensions",
     "dedup_embedding_lsh",
+    "tpch_q12_priority_counts",
+    "tpch_q14_promo_revenue",
+    "tpch_q19_disjunctive_revenue",
 ]
 
 

@@ -455,6 +455,122 @@ FROM per_session GROUP BY user_id
 """
 
 
+# --- Q12-style priority-by-class counts (join + dual conditional agg) -------
+# The driver testdata carries no l_shipmode column, so l_returnflag stands in
+# for the mode dimension; the operator shape under test — fact-fact equi-join
+# feeding two CASE-sums per group — is TPC-H Q12's exactly.
+def q12_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+SQL_Q12 = """
+SELECT l_returnflag,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM orders, lineitem
+WHERE o_orderkey = l_orderkey
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag
+"""
+
+
+# --- Q14-style promotion revenue share (join + conditional-sum ratio) -------
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    l = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= "1996-03-01")
+            & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100
+                * F.sum(
+                    F.when(F.col("p_type").like("PROMO%"), rev).otherwise(0.0)
+                )
+                / F.sum(rev),
+                6,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+SQL_Q14 = """
+SELECT round(100.00 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                               THEN l_extendedprice * (1 - l_discount)
+                               ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND l_shipdate >= TIMESTAMP '1996-03-01'
+  AND l_shipdate < TIMESTAMP '1996-04-01'
+"""
+
+
+# --- Q19-style disjunctive revenue (join + OR-of-ANDs multi-range) ----------
+# Adapted to the available columns (no p_container/l_shipmode in testdata):
+# three brand/size/quantity conjunction arms OR-ed together — the disjunctive
+# join-predicate shape of TPC-H Q19.
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    l = load_table(spark, sf_dir, "lineitem")
+    arm = (
+        lambda brand, size_hi, q_lo, q_hi: (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, size_hi)
+        & F.col("l_quantity").between(q_lo, q_hi)
+    )
+    return (
+        # manual coarse pushdown: every arm requires quantity <= 30, so the
+        # big fact scan prunes before the join regardless of the disjunction
+        # (Catalyst won't derive a common bound across OR arms on its own)
+        l.filter(F.col("l_quantity").between(1, 30))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(
+            arm("Brand#12", 15, 1, 11)
+            | arm("Brand#23", 25, 10, 20)
+            | arm("Brand#34", 35, 20, 30)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+SQL_Q19 = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+        AND l_quantity BETWEEN 1 AND 11)
+    OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+        AND l_quantity BETWEEN 10 AND 20)
+    OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+        AND l_quantity BETWEEN 20 AND 30))
+"""
+
+
 SPECS = {
     "tpch_q1_pricing_summary": QuerySpec(q1_pricing_summary, SQL_Q1,
                                          "scan+filter+multi-agg group-by"),
@@ -470,6 +586,12 @@ SPECS = {
                                      "HAVING subquery + joins + top-k"),
     "tpch_q4_priority_check": QuerySpec(q4_priority_check, SQL_Q4,
                                         "correlated EXISTS as semi join"),
+    "tpch_q12_priority_counts": QuerySpec(q12_priority_counts, SQL_Q12,
+                                          "fact-fact join + dual CASE-sums"),
+    "tpch_q14_promo_revenue": QuerySpec(q14_promo_revenue, SQL_Q14,
+                                        "conditional-sum ratio over join"),
+    "tpch_q19_disjunctive_revenue": QuerySpec(q19_disjunctive_revenue, SQL_Q19,
+                                              "OR-of-ANDs multi-range join"),
     "window_order_rank": QuerySpec(q_order_rank, SQL_ORDER_RANK,
                                    "row_number + running sum"),
     "agg_orders_rollup": QuerySpec(q_orders_rollup, SQL_ORDERS_ROLLUP,

@@ -37,6 +37,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="quarantine undecodable lines to this dir")
     pi.add_argument("--exactly-once", action="store_true",
                     help="idempotent parquet sink (skip replayed batches)")
+    pi.add_argument("--metrics-address", default=None,
+                    help="serve /metrics + /health here (e.g. 0.0.0.0:2021), "
+                         "parity with the reference's metrics server")
 
     pq = sub.add_parser("query", help="SQL over the logs table")
     pq.add_argument("table")
@@ -79,14 +82,31 @@ def main(argv: list[str] | None = None) -> int:
             from .stream import exactly_once_sink
 
             sink = exactly_once_sink(args.table)
-        if args.continuous:
-            q = start_ingest(stream, sink, cfg, args.checkpoint,
-                             dead_letter_dir=args.dead_letter)
-            q.awaitTermination()
-        else:
-            run_ingest_once(stream, sink, cfg, args.checkpoint,
-                            dead_letter_dir=args.dead_letter)
-            print("ingest drained")
+        server = None
+        metrics = None
+        if args.metrics_address:
+            from .metrics import IngestMetrics, MetricsServer
+
+            metrics = IngestMetrics()
+            server = MetricsServer(metrics, args.metrics_address)
+            server.start()
+            print(f"metrics server on port {server.port}")
+        try:
+            if args.continuous:
+                q = start_ingest(stream, sink, cfg, args.checkpoint,
+                                 dead_letter_dir=args.dead_letter,
+                                 metrics=metrics)
+                q.awaitTermination()
+            else:
+                run_ingest_once(stream, sink, cfg, args.checkpoint,
+                                dead_letter_dir=args.dead_letter,
+                                metrics=metrics)
+                print("ingest drained")
+                if metrics is not None:
+                    print(metrics.render_prometheus(), end="")
+        finally:
+            if server is not None:
+                server.stop()
         return 0
 
     if args.cmd == "query":

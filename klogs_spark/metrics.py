@@ -7,9 +7,9 @@ level (pkg/instrument/logger/logger.go:17,61), and a /metrics + /health HTTP
 server (pkg/instrument/metrics/metrics.go:26-57).
 
 Spark-native mapping: a StreamingQueryListener accumulates the same series
-from micro-batch progress events — no HTTP server needed in-engine (cluster
-metric sinks scrape the driver); ``render_prometheus`` produces the
-text-format exposition for parity and tests.
+from micro-batch progress events; ``render_prometheus`` produces the
+text-format exposition; ``MetricsServer`` serves it on /metrics with a
+/health endpoint — full parity with the reference's metrics service.
 """
 
 from __future__ import annotations
@@ -77,6 +77,66 @@ class IngestMetrics:
     def healthy(self) -> bool:
         """/health equivalent (metrics.go:51-53)."""
         return True
+
+
+class MetricsServer:
+    """/metrics + /health HTTP server — parity with the reference's metrics
+    service (pkg/instrument/metrics/metrics.go:26-57: Start/Stop lifecycle,
+    ``/health`` answering ``OK``, ``/metrics`` serving the Prometheus text
+    exposition). stdlib-only; runs on a daemon thread next to the driver.
+
+    On a real cluster you'd usually scrape Spark's own metrics sink instead,
+    but the reference ships this surface, so the engine does too.
+    """
+
+    def __init__(self, metrics: IngestMetrics, address: str = "127.0.0.1:0"):
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+        host, _, port = address.rpartition(":")
+        outer = self
+
+        class _Handler(BaseHTTPRequestHandler):
+            def do_GET(self):  # noqa: N802 (stdlib API)
+                if self.path == "/health":
+                    body = b"OK" if outer.metrics.healthy() else b"UNHEALTHY"
+                    code = 200 if outer.metrics.healthy() else 503
+                    ctype = "text/plain"
+                elif self.path == "/metrics":
+                    body = outer.metrics.render_prometheus().encode()
+                    code, ctype = 200, "text/plain; version=0.0.4"
+                else:
+                    body, code, ctype = b"not found", 404, "text/plain"
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *args) -> None:  # quiet: no per-scrape spam
+                pass
+
+        self.metrics = metrics
+        self._httpd = ThreadingHTTPServer((host, int(port)), _Handler)
+        self._thread: threading.Thread | None = None
+
+    @property
+    def port(self) -> int:
+        return self._httpd.server_address[1]
+
+    def start(self) -> None:
+        """metrics.go:26-34 — serve until stopped; daemon thread so an
+        un-stopped server never blocks driver shutdown."""
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, name="metrics-server", daemon=True
+        )
+        self._thread.start()
+
+    def stop(self) -> None:
+        """Graceful shutdown (metrics.go:37-47)."""
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        if self._thread is not None:
+            self._thread.join(timeout=10)
 
 
 class IngestMetricsListener(StreamingQueryListener):

@@ -86,6 +86,7 @@ def start_ingest(
     checkpoint_dir: str | None = None,
     query_name: str = "klogs-ingest",
     dead_letter_dir: str | None = None,
+    metrics: "IngestMetrics | None" = None,
 ) -> StreamingQuery:
     """Wire decode -> sink inside foreachBatch and start the query.
 
@@ -105,7 +106,7 @@ def start_ingest(
         raise ValueError("checkpoint_dir is required (T2/T4 delivery semantics)")
 
     sink_fn = _resolve_sink(sink)
-    process_batch = _make_batch_processor(cfg, sink_fn, dead_letter_dir)
+    process_batch = _make_batch_processor(cfg, sink_fn, dead_letter_dir, metrics)
 
     return (
         raw_stream.writeStream.queryName(query_name)
@@ -157,17 +158,35 @@ def _make_batch_processor(
     cfg: EngineConfig,
     sink_fn: Callable[[DataFrame, int], None],
     dead_letter_dir: str | None,
+    metrics: "IngestMetrics | None" = None,
 ) -> Callable[[DataFrame, int], None]:
     """decode -> sink, with undecodable lines quarantined as text.
 
     The reference only warns-and-drops bad records (main.go:251-254); a
     dead-letter directory makes them replayable instead — each micro-batch
     appends its reject lines so nothing is silently lost.
+
+    ``metrics`` hooks the flush path inline, exactly where the reference
+    instruments (main.go:246, 371-373) — counting the raw input lines and
+    timing the decode+sink flush. (A StreamingQueryListener would need the
+    py4j callback server, which headless drivers may not run.)
     """
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import time as _time
+
+        t0 = _time.perf_counter()
         decoded = decode_dataframe(batch_df, cfg)
-        sink_fn(decoded, batch_id)
+        try:
+            sink_fn(decoded, batch_id)
+        except Exception:
+            if metrics is not None:
+                metrics.observe_error()
+            raise
+        if metrics is not None:
+            metrics.observe_batch(
+                batch_df.count(), _time.perf_counter() - t0
+            )
         if dead_letter_dir:
             def _find_rejects(batches):
                 import json as _json
@@ -207,6 +226,7 @@ def run_ingest_once(
     config: EngineConfig | None = None,
     checkpoint_dir: str | None = None,
     dead_letter_dir: str | None = None,
+    metrics: "IngestMetrics | None" = None,
 ) -> None:
     """Drain everything currently available, then stop (availableNow).
 
@@ -220,7 +240,7 @@ def run_ingest_once(
         raise ValueError("checkpoint_dir is required")
 
     process_batch = _make_batch_processor(
-        cfg, _resolve_sink(sink), dead_letter_dir
+        cfg, _resolve_sink(sink), dead_letter_dir, metrics
     )
     q = (
         raw_stream.writeStream.foreachBatch(process_batch)

@@ -259,3 +259,33 @@ def test_ingest_metrics_quantiles_and_render():
     assert "input_records_total 4950" in text
     assert 'batch_size{quantile="0.5"} 50.0' in text
     assert "flush_time_seconds_count 100" in text
+
+
+def test_metrics_http_server_serves_metrics_and_health():
+    """Reference parity: /health answers OK, /metrics serves the exposition
+    (pkg/instrument/metrics/metrics.go:26-57), unknown paths 404."""
+    import urllib.error
+    import urllib.request
+
+    from klogs_spark.metrics import MetricsServer
+
+    m = IngestMetrics()
+    m.observe_batch(n_rows=7, seconds=0.2)
+    server = MetricsServer(m, "127.0.0.1:0")  # ephemeral port
+    server.start()
+    try:
+        base = f"http://127.0.0.1:{server.port}"
+        with urllib.request.urlopen(f"{base}/health", timeout=5) as r:
+            assert r.status == 200 and r.read() == b"OK"
+        with urllib.request.urlopen(f"{base}/metrics", timeout=5) as r:
+            body = r.read().decode()
+            assert r.status == 200
+            assert "klogs_spark_input_records_total 7" in body
+            assert 'batch_size{quantile="0.5"} 7.0' in body
+        try:
+            urllib.request.urlopen(f"{base}/nope", timeout=5)
+            raise AssertionError("expected 404")
+        except urllib.error.HTTPError as exc:
+            assert exc.code == 404
+    finally:
+        server.stop()

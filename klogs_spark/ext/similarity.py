@@ -162,6 +162,7 @@ def kmeans_refine(
     iterations: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_decimals: int | None = None,
 ) -> DataFrame:
     """Lloyd iterations over the coarse quantizer, pure DataFrame ops.
 
@@ -171,18 +172,26 @@ def kmeans_refine(
     reassemble with an ordered collect. No driver-side math beyond plan
     construction; each iteration is two shuffles (assign output is
     broadcast-joined, mean is keyed on (cluster, pos)).
+
+    ``round_decimals`` rounds each centroid component after every iteration:
+    float summation order differs across engines (and shuffles), so chained
+    iterations only stay cross-engine reproducible when the intermediates are
+    pinned to a fixed precision both sides compute identically.
     Returns (centroid_id, centroid) like the input.
     """
     current = centroids
     for _ in range(iterations):
         assigned = ivf_assign(emb, current, id_col, vec_col)
+        mean_expr = F.avg("val")
+        if round_decimals is not None:
+            mean_expr = F.round(mean_expr, round_decimals)
         means = (
             assigned.select(
                 "centroid_id",
                 F.posexplode(F.col("v").cast("array<double>")).alias("pos", "val"),
             )
             .groupBy("centroid_id", "pos")
-            .agg(F.avg("val").alias("m"))
+            .agg(mean_expr.alias("m"))
         )
         current = (
             means.groupBy("centroid_id")

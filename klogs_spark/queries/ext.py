@@ -316,32 +316,63 @@ SELECT bucket, count(*) AS n_vectors FROM bk GROUP BY bucket
 
 IVF_K = 16       # centroid count
 IVF_NPROBE = 2   # cells scanned per query
+IVF_REFINE_ITERS = 2   # Lloyd rounds in the index build
+IVF_ROUND = 6    # centroid-component precision pinned for cross-engine parity
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with a k-means-REFINED coarse quantizer: the index build runs
+    Lloyd iterations from the deterministic seed set, then the search probes
+    the refined cells — data-adaptive centroids instead of arbitrary seeds."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = sim.deterministic_centroids(emb, IVF_K)
+    seeds = sim.deterministic_centroids(emb, IVF_K)
+    cents = sim.kmeans_refine(
+        emb, seeds, iterations=IVF_REFINE_ITERS, round_decimals=IVF_ROUND
+    )
     return sim.ivf_topk(
         emb, cents, _query_vec(spark, sf_dir), k=5, n_probe=IVF_NPROBE
     )
 
 
-SQL_ANN_IVF = f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-cents AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < {IVF_K}),
-assigned AS (
+def _assign_cte(cent_table: str, out: str) -> str:
+    """DuckDB CTE: nearest-centroid assignment under ``cent_table``."""
+    return f"""{out} AS (
   SELECT id, v, centroid_id FROM (
     SELECT e.vec_id AS id, e.v, c.centroid_id,
            ROW_NUMBER() OVER (
              PARTITION BY e.vec_id
              ORDER BY {_cos_sql('e.v', 'c.cv')} DESC, c.centroid_id
            ) AS rn
-    FROM e, cents c
+    FROM e, {cent_table} c
   ) WHERE rn = 1
-),
+)"""
+
+
+def _refine_cte(assign_table: str, out: str) -> str:
+    """DuckDB CTE: Lloyd mean-recompute (components rounded like Spark)."""
+    return f"""{out} AS (
+  SELECT centroid_id, list(m ORDER BY pos) AS cv FROM (
+    SELECT centroid_id, i - 1 AS pos, round(avg(v[i]), {IVF_ROUND}) AS m
+    FROM {assign_table}, generate_series(1, 64) AS t(i)
+    GROUP BY centroid_id, i - 1
+  ) GROUP BY centroid_id
+)"""
+
+
+_REFINE_CHAIN = ",\n".join(
+    f"{_assign_cte(f'c{i}', f'a{i + 1}')},\n{_refine_cte(f'a{i + 1}', f'c{i + 1}')}"
+    for i in range(IVF_REFINE_ITERS)
+)
+_FINAL_C = f"c{IVF_REFINE_ITERS}"
+
+SQL_ANN_IVF = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c0 AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < {IVF_K}),
+{_REFINE_CHAIN},
+{_assign_cte(_FINAL_C, 'assigned')},
 q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
 probe AS (
-  SELECT centroid_id FROM cents, q
+  SELECT centroid_id FROM {_FINAL_C} cents, q
   ORDER BY {_cos_sql('cents.cv', 'q.qv')} DESC, centroid_id
   LIMIT {IVF_NPROBE}
 )

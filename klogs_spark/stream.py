@@ -122,21 +122,58 @@ def exactly_once_sink(path: str) -> Callable[[DataFrame, int], None]:
 
     The reference is at-least-once (redelivered chunks insert twice,
     main.go:364-369). Structured Streaming hands foreachBatch a stable
-    ``batch_id`` per epoch; recording committed ids makes the replayed batch
-    a no-op, upgrading the parquet sink to exactly-once without a
-    transactional store. Commit markers live under ``<path>/_commits/``.
+    ``batch_id`` per epoch; the publication protocol makes any replay
+    converge to exactly one copy, with NO duplication window:
+
+    1. marker exists -> batch fully published on an earlier attempt; no-op.
+    2. purge ``b<id>-*`` files from the table — leftovers of a previous
+       attempt that crashed mid-publish (batch-id-prefixed names make the
+       partial attempt identifiable without a manifest).
+    3. write the batch to ``<path>/_staging/batch-<id>`` (overwrite: a
+       crashed STAGING attempt is simply rewritten).
+    4. publish: rename each staged file into its day partition under the
+       ``b<id>-`` prefix, then create the marker under ``<path>/_commits/``.
+
+    A crash after step 4's renames but before the marker re-runs 2-4 — the
+    purge removes exactly what the dead attempt published. All paths go
+    through the Hadoop FileSystem API (object-store-safe; on S3A the rename
+    is a server-side copy). Readers never see a duplicate row; they can see
+    a batch's rows appear slightly before its marker — same visibility as
+    any non-transactional parquet append. ``_staging``/``_commits`` start
+    with ``_`` so Spark's partition discovery ignores them.
     """
-    import os
+    from .table import _hadoop_fs
 
     def sink_fn(batch: DataFrame, batch_id: int) -> None:
-        marker_dir = os.path.join(path, "_commits")
-        marker = os.path.join(marker_dir, f"batch-{batch_id}")
-        if os.path.exists(marker):
-            return  # replayed epoch: already fully written
-        write_logs(batch, path, mode="append")
-        os.makedirs(marker_dir, exist_ok=True)
-        with open(marker, "w") as f:
-            f.write("committed\n")
+        spark = batch.sparkSession
+        fs, hpath_cls, root = _hadoop_fs(spark, path)
+        marker = hpath_cls(root, f"_commits/batch-{batch_id}")
+        if fs.exists(marker):
+            return  # replayed epoch: already fully published
+        prefix = f"b{batch_id}-"
+        if fs.exists(root):  # purge a crashed attempt's partial publication
+            for part in fs.listStatus(root):
+                if not (part.isDirectory()
+                        and part.getPath().getName().startswith("date=")):
+                    continue
+                for f in fs.listStatus(part.getPath()):
+                    if f.getPath().getName().startswith(prefix):
+                        fs.delete(f.getPath(), False)
+        staging = hpath_cls(root, f"_staging/batch-{batch_id}")
+        write_logs(batch, f"{path}/_staging/batch-{batch_id}", mode="overwrite")
+        for part in fs.listStatus(staging):
+            if not (part.isDirectory()
+                    and part.getPath().getName().startswith("date=")):
+                continue
+            target_dir = hpath_cls(root, part.getPath().getName())
+            fs.mkdirs(target_dir)
+            for f in fs.listStatus(part.getPath()):
+                name = f.getPath().getName()
+                if name.endswith(".parquet"):
+                    fs.rename(f.getPath(), hpath_cls(target_dir, prefix + name))
+        fs.mkdirs(hpath_cls(root, "_commits"))
+        fs.create(marker, True).close()
+        fs.delete(staging, True)
 
     return sink_fn
 

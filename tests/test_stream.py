@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import json
+from pathlib import Path
 
 import pytest
 
@@ -115,6 +116,35 @@ def test_exactly_once_sink_skips_replayed_batch(spark, tmp_path):
     sink(df, 7)   # replayed epoch -> no-op
     sink(df, 8)   # new epoch -> appended
     assert read_logs(spark, out).count() == 2
+
+
+def test_exactly_once_replay_after_publish_crash_no_duplicates(spark, tmp_path):
+    """Crash AFTER files were published but BEFORE the marker: the replay
+    must purge the dead attempt's files and end with exactly one copy
+    (the round-1 implementation duplicated the batch in this window)."""
+    from klogs_spark.stream import exactly_once_sink
+
+    out = str(tmp_path / "logs")
+    df = spark.createDataFrame(
+        [(__import__("datetime").datetime(2026, 1, 1), "c", "ns", "a", "p",
+          "ct", "h", {}, {}, f"line-{i}") for i in range(5)],
+        "timestamp timestamp, cluster string, namespace string, app string, "
+        "pod_name string, container_name string, host string, "
+        "fields_string map<string,string>, fields_number map<string,double>, "
+        "log string",
+    )
+    sink = exactly_once_sink(out)
+    sink(df, 7)
+    # simulate the crashed attempt: files are in the table (b7- prefix),
+    # marker is gone -> Structured Streaming replays batch 7
+    (Path(out) / "_commits" / "batch-7").unlink()
+    sink(df, 7)
+    logs = read_logs(spark, out)
+    assert logs.count() == 5
+    assert logs.select("log").distinct().count() == 5
+    assert (Path(out) / "_commits" / "batch-7").exists()
+    # staging cleaned up
+    assert not list((Path(out) / "_staging").glob("batch-*"))
 
 
 def test_exactly_once_end_to_end_with_failure(spark, raw_dir, tmp_path):

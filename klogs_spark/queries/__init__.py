@@ -52,6 +52,30 @@ DRIVER_PRIORITY: list[str] = [
     "tpch_q19_disjunctive_revenue",
 ]
 
+# Moved to the BACK of the registry (outside the driver's 50-query window).
+# Every name here went green in CORRECTNESS_r01 and is family-redundant with
+# a query that stays in the checked set (same operator shape, different
+# carrier); all of them still run in the in-repo oracle differential.
+DRIVER_DEPRIORITY: list[str] = [
+    "logs_window_5m",            # A2 time-bucket: logs_hourly_histogram stays
+    "logs_field_key_stats",      # map-key stats: logs_field_exists stays
+    "logs_parse_logfmt",         # decode family: ingest_decode_pipeline stays
+    "logs_merge_json_log",       # decode family: ingest_decode_pipeline stays
+    "logs_type_flap",            # decode family: ingest_decode_pipeline stays
+    "logs_grouped_percentiles",  # A7: logs_value_percentiles stays
+    "logs_approx_distinct",      # rows-only by design; logs_distinct_sources stays
+    "logs_log_regex",            # F6 regex: logs_fulltext + F3 differential stay
+    "tpch_q18_big_orders",       # join+topk: q3/q10 stay
+    "agg_lineitem_cube",         # A6: agg_orders_rollup stays
+    "window_order_gaps",         # W: window_order_rank stays
+    "events_sessionize",         # sessions: logs_session_windows stays
+    "dedup_minhash_signatures",  # component of dedup_minhash_lsh (stays)
+    "dedup_simhash",             # component of dedup_simhash_pairs (stays)
+    "dedup_ngram_jaccard",       # jaccard verify runs inside dedup_minhash_lsh
+    "dedup_embedding_cosine",    # all-pairs oracle double of dedup_embedding_lsh
+    "ann_kmeans_iteration",      # refinement now exercised inside ann_ivf_topk
+]
+
 
 def registry() -> dict[str, QuerySpec]:
     from . import ext, ingest, logs, tpch
@@ -62,9 +86,14 @@ def registry() -> dict[str, QuerySpec]:
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
         merged.update(mod.SPECS)
-    missing = [n for n in DRIVER_PRIORITY if n not in merged]
-    if missing:
-        raise ValueError(f"DRIVER_PRIORITY names not in registry: {missing}")
+    for lst, tag in ((DRIVER_PRIORITY, "PRIORITY"), (DRIVER_DEPRIORITY, "DEPRIORITY")):
+        missing = [n for n in lst if n not in merged]
+        if missing:
+            raise ValueError(f"DRIVER_{tag} names not in registry: {missing}")
+    back = set(DRIVER_DEPRIORITY)
     ordered = {n: merged[n] for n in DRIVER_PRIORITY}
-    ordered.update({n: s for n, s in merged.items() if n not in ordered})
+    ordered.update(
+        {n: s for n, s in merged.items() if n not in ordered and n not in back}
+    )
+    ordered.update({n: merged[n] for n in DRIVER_DEPRIORITY})
     return ordered

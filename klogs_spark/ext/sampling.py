@@ -46,3 +46,34 @@ def top_n_per_group(
         .filter(F.col("_rk") <= n)
         .drop("_rk")
     )
+
+
+def pack_by_token_budget(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    order_by: str,
+    partition_col: str | None = None,
+) -> DataFrame:
+    """Assign documents to training shards by cumulative token budget.
+
+    shard = floor(running-token-count-before-this-doc / budget) along a
+    deterministic document order — the sequence-packing prelude every
+    pretraining pipeline runs (each shard then concatenates to ~budget
+    tokens). A doc larger than the budget gets its own shard(s) upstream;
+    this operator only assigns, it never splits.
+
+    Scale: a single unpartitioned window serializes the whole corpus through
+    one task, so pass ``partition_col`` (date, source, bucket-of-hash) to
+    pack within parallel partitions — shard ids are then (partition, shard).
+    The unpartitioned form exists for exact small-corpus oracles.
+    Adds ``shard`` to the input rows.
+    """
+    base = (
+        Window.partitionBy(partition_col) if partition_col else Window
+    ).orderBy(order_by)
+    before = base.rowsBetween(Window.unboundedPreceding, -1)
+    running = F.coalesce(F.sum(token_col).over(before), F.lit(0))
+    return df.withColumn(
+        "shard", F.floor(running / F.lit(budget)).cast("bigint")
+    )

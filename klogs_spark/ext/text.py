@@ -177,6 +177,118 @@ def contamination_check(docs: DataFrame, probes: DataFrame,
     )
 
 
+# Email shape both regex engines (Java util.regex, DuckDB RE2) parse the
+# same way — no lookarounds, no unicode classes.
+EMAIL_REGEX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_EMAIL_TOKEN = "<EMAIL>"
+
+
+def redact_emails(text: Column) -> Column:
+    """PII scrub: replace every email address with a redaction token.
+    regexp_replace replaces ALL matches in both Spark and DuckDB('g')."""
+    return F.regexp_replace(text, EMAIL_REGEX, PII_EMAIL_TOKEN)
+
+
+def count_emails(text: Column) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(EMAIL_REGEX), F.lit(0)))
+
+
+def repetition_features(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition signals per document: the share of tokens
+    taken by the single most frequent token / bigram, and the fraction of
+    trigram occurrences that are duplicates. High values mark boilerplate
+    and degenerate generations — the standard pretraining repetition filter.
+
+    Shape: one explode per n-gram size feeding (id, gram) hash-aggregates
+    with map-side partial counts, then a per-id max — all shuffles keyed on
+    id, corpus-size-linear. Returns (id, n_tokens, top_token_frac,
+    top_bigram_frac, dup_trigram_frac), ratios rounded at 6.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("tk")
+    ).repartition(F.col("id"))
+
+    def gram_stats(n: int, out_prefix: str) -> DataFrame:
+        grams = base.select(
+            "id",
+            F.explode(
+                F.when(
+                    F.size("tk") >= n,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("tk") - n),
+                        lambda i: F.concat_ws(" ", F.slice(F.col("tk"), i + 1, n)),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("gram"),
+        )
+        per_gram = grams.groupBy("id", "gram").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        return per_gram.groupBy("id").agg(
+            F.sum("c").alias(f"{out_prefix}_total"),
+            F.max("c").alias(f"{out_prefix}_top"),
+            F.count(F.lit(1)).alias(f"{out_prefix}_distinct"),
+        )
+
+    uni = gram_stats(1, "t1")
+    bi = gram_stats(2, "t2")
+    tri = gram_stats(3, "t3")
+    # ratios as integer parts-per-million via integer division: a rounded
+    # double ratio of small ints can land on a cross-engine rounding tie
+    # (the logs_error_rate lesson); integers can't.
+    ppm = "CAST({num} * CAST(1000000 AS BIGINT) div {den} AS BIGINT)"
+    return (
+        uni.join(bi, "id", "left")
+        .join(tri, "id", "left")
+        .select(
+            "id",
+            F.col("t1_total").alias("n_tokens"),
+            F.expr(ppm.format(num="t1_top", den="t1_total")).alias(
+                "top_token_ppm"
+            ),
+            F.coalesce(
+                F.expr(ppm.format(num="t2_top", den="t2_total")),
+                F.lit(0).cast("bigint"),
+            ).alias("top_bigram_ppm"),
+            F.coalesce(
+                F.expr(ppm.format(num="(t3_total - t3_distinct)", den="t3_total")),
+                F.lit(0).cast("bigint"),
+            ).alias("dup_trigram_ppm"),
+        )
+    )
+
+
+def kmv_distinct_tokens(df: DataFrame, k: int = 64, text_col: str = "text") -> DataFrame:
+    """KMV (k-minimum-values) distinct-token sketch over the corpus.
+
+    Unlike HLL, KMV is exactly reproducible across engines: hash every
+    distinct token with the shared md5-prefix hash, keep the k smallest, and
+    estimate |distinct| as (k-1) * U / h_(k) over the 32-bit universe. The
+    k-min set plans as TakeOrdered (per-partition top-k, O(k) to the
+    driver) and is trivially mergeable — at 100 TB each partition/day keeps
+    its own k-mins and the union re-sketches. Returns one row:
+    (k_used, kth_min_hash, est_distinct, exact_distinct) — integers only,
+    no float-tie exposure.
+    """
+    hashes = (
+        df.select(F.explode(tokens_col(F.col(text_col))).alias("tok"))
+        .select(md5_long(F.col("tok")).alias("h"))
+        .distinct()
+    )
+    kmin = hashes.orderBy("h").limit(k)
+    return kmin.agg(
+        F.count(F.lit(1)).alias("k_used"),
+        F.max("h").alias("kth_min_hash"),
+        F.expr(
+            f"CAST((count(1) - 1) * CAST(4294967296 AS BIGINT) div max(h) "
+            f"AS BIGINT)"
+        ).alias("est_distinct"),
+    ).crossJoin(
+        hashes.agg(F.count(F.lit(1)).alias("exact_distinct"))
+    )
+
+
 def fingerprints(df: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id", n: int = FINGERPRINT_NGRAM) -> DataFrame:
     """Document fingerprint: min/max/count over hashed word n-grams (the

@@ -43,13 +43,16 @@ DRIVER_PRIORITY: list[str] = [
     "sample_hash_deterministic",
     "sample_balance_sources",
     "multimodal_features",
-    "ann_lsh_bucket_stats",
     # new in round 2
     "multimodal_dimensions",
     "dedup_embedding_lsh",
     "tpch_q12_priority_counts",
     "tpch_q14_promo_revenue",
     "tpch_q19_disjunctive_revenue",
+    "text_repetition",
+    "text_pii_redact",
+    "text_kmv_distinct",
+    "sample_token_budget_pack",
 ]
 
 # Moved to the BACK of the registry (outside the driver's 50-query window).
@@ -74,6 +77,12 @@ DRIVER_DEPRIORITY: list[str] = [
     "dedup_ngram_jaccard",       # jaccard verify runs inside dedup_minhash_lsh
     "dedup_embedding_cosine",    # all-pairs oracle double of dedup_embedding_lsh
     "ann_kmeans_iteration",      # refinement now exercised inside ann_ivf_topk
+    "logs_parsed_field_stats",   # A4: logs_number_stats stays
+    "logs_top_pods",             # grouped top-k: window_order_rank stays
+    "text_top_ngrams",           # shingle aggregate: text_fingerprints +
+                                 # text_repetition stay
+    "ann_lsh_bucket_stats",      # diagnostics over the same bucket expr
+                                 # ann_lsh_topk exercises
 ]
 
 

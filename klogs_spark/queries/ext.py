@@ -731,6 +731,154 @@ LIMIT 20
 """
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.repetition_features(load_table(spark, sf_dir, "documents"))
+
+
+def _gram_cte(n: int, tag: str) -> str:
+    if n == 1:
+        grams = f"g{tag} AS (SELECT id, unnest(tk) AS gram FROM tk)"
+    else:
+        grams = (
+            f"g{tag} AS (SELECT id, unnest(list_transform("
+            f"generate_series(0, len(tk) - {n}), "
+            f"i -> array_to_string(tk[i+1:i+{n}], ' '))) AS gram "
+            f"FROM tk WHERE len(tk) >= {n})"
+        )
+    return (
+        grams
+        + f""",
+s{tag} AS (
+  SELECT id, sum(c) AS total, max(c) AS top, count(*) AS dist
+  FROM (SELECT id, gram, count(*) AS c FROM g{tag} GROUP BY 1, 2)
+  GROUP BY id
+)"""
+    )
+
+
+SQL_TEXT_REPETITION = f"""
+WITH {TOKENS_CTE},
+{_gram_cte(1, '1')},
+{_gram_cte(2, '2')},
+{_gram_cte(3, '3')}
+SELECT s1.id, s1.total AS n_tokens,
+       CAST(s1.top * 1000000 // s1.total AS BIGINT) AS top_token_ppm,
+       COALESCE(CAST(s2.top * 1000000 // s2.total AS BIGINT), 0)
+         AS top_bigram_ppm,
+       COALESCE(CAST((s3.total - s3.dist) * 1000000 // s3.total AS BIGINT), 0)
+         AS dup_trigram_ppm
+FROM s1 LEFT JOIN s2 ON s1.id = s2.id LEFT JOIN s3 ON s1.id = s3.id
+"""
+
+
+PII_SUFFIX_EVERY = 5  # every 5th doc gets a synthetic email appended
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub round-trip: inject a deterministic synthetic email into
+    every 5th doc, then count and redact — comparing the md5 of the redacted
+    text proves the replacement is byte-identical across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_pii = docs.withColumn(
+        "_t",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % PII_SUFFIX_EVERY == 0,
+                F.concat(
+                    F.lit(" contact: u"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return with_pii.select(
+        "doc_id",
+        tx.count_emails(F.col("_t")).alias("n_emails"),
+        F.md5(tx.redact_emails(F.col("_t"))).alias("redacted_md5"),
+    )
+
+
+SQL_PII_REDACT = f"""
+WITH t AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % {PII_SUFFIX_EVERY} = 0
+                      THEN ' contact: u' || CAST(doc_id AS VARCHAR)
+                           || '@example.com'
+                      ELSE '' END AS t2
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(t2, '{tx.EMAIL_REGEX}')) AS n_emails,
+       md5(regexp_replace(t2, '{tx.EMAIL_REGEX}', '{tx.PII_EMAIL_TOKEN}', 'g'))
+         AS redacted_md5
+FROM t
+"""
+
+
+KMV_K = 64
+
+
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.kmv_distinct_tokens(
+        load_table(spark, sf_dir, "documents"), k=KMV_K
+    )
+
+
+SQL_KMV_DISTINCT = f"""
+WITH {TOKENS_CTE},
+toks AS (
+  SELECT DISTINCT {md5_long_sql('t')} AS h
+  FROM (SELECT unnest(tk) AS t FROM tk)
+),
+kmin AS (SELECT h FROM toks ORDER BY h LIMIT {KMV_K})
+SELECT (SELECT count(*) FROM kmin) AS k_used,
+       (SELECT max(h) FROM kmin) AS kth_min_hash,
+       CAST(((SELECT count(*) FROM kmin) - 1) * CAST(4294967296 AS BIGINT)
+            // (SELECT max(h) FROM kmin) AS BIGINT) AS est_distinct,
+       (SELECT count(*) FROM toks) AS exact_distinct
+"""
+
+
+PACK_BUDGET = 2000  # tokens per training shard
+
+
+def q_token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sharding: running token count in doc_id order, shard =
+    floor-div by budget, then per-shard totals (the packing manifest)."""
+    from ..ext.sampling import pack_by_token_budget
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", tx.token_count(F.col("text")).alias("n_tokens"))
+    packed = pack_by_token_budget(
+        d, "n_tokens", budget=PACK_BUDGET, order_by="doc_id"
+    )
+    return packed.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("shard_tokens"),
+    )
+
+
+SQL_TOKEN_BUDGET_PACK = f"""
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+  FROM documents
+),
+r AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS before
+  FROM t
+)
+SELECT CAST(before // {PACK_BUDGET} AS BIGINT) AS shard,
+       count(*) AS n_docs, sum(n_tokens) AS shard_tokens
+FROM r GROUP BY 1
+"""
+
+
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.fingerprints(load_table(spark, sf_dir, "documents"))
 
@@ -800,4 +948,15 @@ SPECS = {
                                     "benchmark-contamination substring scan"),
     "text_top_ngrams": QuerySpec(q_top_ngrams, SQL_TOP_NGRAMS,
                                  "corpus n-gram frequency top-k"),
+    "text_repetition": QuerySpec(q_text_repetition, SQL_TEXT_REPETITION,
+                                 "Gopher-style repetition filters (ppm ints)"),
+    "text_pii_redact": QuerySpec(q_pii_redact, SQL_PII_REDACT,
+                                 "email PII count + byte-identical redaction"),
+    "text_kmv_distinct": QuerySpec(q_kmv_distinct, SQL_KMV_DISTINCT,
+                                   "KMV distinct-token sketch (exactly "
+                                   "reproducible, unlike HLL)"),
+    "sample_token_budget_pack": QuerySpec(q_token_budget_pack,
+                                          SQL_TOKEN_BUDGET_PACK,
+                                          "token-budget training-shard "
+                                          "packing manifest"),
 }

@@ -53,6 +53,8 @@ DRIVER_PRIORITY: list[str] = [
     "text_pii_redact",
     "text_kmv_distinct",
     "sample_token_budget_pack",
+    "join_events_asof_orders",
+    "join_events_range_pairs",
 ]
 
 # Moved to the BACK of the registry (outside the driver's 50-query window).
@@ -83,6 +85,8 @@ DRIVER_DEPRIORITY: list[str] = [
                                  # text_repetition stay
     "ann_lsh_bucket_stats",      # diagnostics over the same bucket expr
                                  # ann_lsh_topk exercises
+    "tpch_q10_returned_items",   # join+group+topk: tpch_q3 stays
+    "logs_distinct_sources",     # A5: text_kmv_distinct (hash-checked) stays
 ]
 
 

@@ -879,6 +879,75 @@ FROM r GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# time-series joins (as-of / range) — operators Spark lacks natively
+# ---------------------------------------------------------------------------
+def q_asof_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event as-of join to the user's most recent order at-or-before the
+    event, aggregated per user. Right side is pre-deduped to one row per
+    (custkey, orderdate) so tie handling is deterministic in both engines."""
+    from ..ext.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    od = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    joined = asof_join(
+        ev, od, "user_id", "o_custkey", "ts", "o_orderdate", ["o_orderkey"]
+    )
+    return joined.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("o_orderkey").alias("n_matched"),
+        F.max("o_orderkey").alias("last_orderkey"),
+    )
+
+
+SQL_ASOF_ORDERS = """
+WITH od AS (
+  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY 1, 2
+),
+j AS (
+  SELECT e.user_id, e.event_id, od.o_orderkey
+  FROM events e ASOF LEFT JOIN od
+    ON e.user_id = od.o_custkey AND e.ts >= od.o_orderdate
+)
+SELECT user_id, count(*) AS n_events, count(o_orderkey) AS n_matched,
+       max(o_orderkey) AS last_orderkey
+FROM j GROUP BY user_id
+"""
+
+
+RANGE_WINDOW_S = 300
+
+
+def q_range_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-window self range-join: ordered event pairs per user with
+    0 < delta <= 300 s (whole-second precision), counted per user — the
+    "activity burst" primitive, bucketized so it never cross-joins."""
+    from ..ext.asof import range_join_within
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    pairs = range_join_within(
+        ev, ev.select("user_id", "ts"), "user_id", "user_id", "ts", "ts",
+        RANGE_WINDOW_S,
+    )
+    return pairs.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+SQL_RANGE_PAIRS = f"""
+SELECT a.user_id, count(*) AS n_pairs
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND CAST(floor(epoch(b.ts)) AS BIGINT) > CAST(floor(epoch(a.ts)) AS BIGINT)
+ AND CAST(floor(epoch(b.ts)) AS BIGINT)
+     <= CAST(floor(epoch(a.ts)) AS BIGINT) + {RANGE_WINDOW_S}
+GROUP BY a.user_id
+"""
+
+
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.fingerprints(load_table(spark, sf_dir, "documents"))
 
@@ -959,4 +1028,10 @@ SPECS = {
                                           SQL_TOKEN_BUDGET_PACK,
                                           "token-budget training-shard "
                                           "packing manifest"),
+    "join_events_asof_orders": QuerySpec(q_asof_orders, SQL_ASOF_ORDERS,
+                                         "as-of join via union + "
+                                         "carry-forward window"),
+    "join_events_range_pairs": QuerySpec(q_range_pairs, SQL_RANGE_PAIRS,
+                                         "bounded range join via time-bucket "
+                                         "equi-join"),
 }

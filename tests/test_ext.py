@@ -248,6 +248,57 @@ def test_frame_sampling_worklist(spark):
     assert [r.frame_ts for r in frames] == [0.0, 1.0, 2.0]
 
 
+def test_asof_join_matches_and_left_semantics(spark):
+    from datetime import datetime
+
+    from klogs_spark.ext.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, datetime(2026, 1, 1, 0, 0, 30)),
+         (1, 11, datetime(2026, 1, 1, 0, 2, 0)),
+         (2, 20, datetime(2026, 1, 1, 0, 0, 5)),   # before any right row
+         (3, 30, datetime(2026, 1, 1, 0, 1, 0))],  # key with no right rows
+        "k long, id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, datetime(2026, 1, 1, 0, 0, 30), "a"),   # same instant as id=10
+         (1, datetime(2026, 1, 1, 0, 1, 0), "b"),
+         (2, datetime(2026, 1, 1, 0, 0, 10), "c")],
+        "k long, ts timestamp, v string",
+    )
+    out = {r.id: r.v for r in
+           asof_join(left, right, "k", "k", "ts", "ts", ["v"]).collect()}
+    assert out == {10: "a",   # inclusive: same-instant right row matches
+                   11: "b",   # latest at-or-before
+                   20: None,  # left row precedes all right rows
+                   30: None}  # no right rows for the key
+
+
+def test_range_join_within_bounds_and_key_isolation(spark):
+    from datetime import datetime
+
+    from klogs_spark.ext.asof import range_join_within
+
+    base = datetime(2026, 1, 1)
+
+    def at(s):
+        return datetime(2026, 1, 1, s // 3600, (s // 60) % 60, s % 60)
+
+    ev = spark.createDataFrame(
+        [(1, 100, at(0)), (1, 101, at(250)),   # pair within 300 s
+         (1, 102, at(601)),                    # 351 s after 101: out
+         (2, 200, at(10))],                    # other key, near in time
+        "k long, id long, ts timestamp",
+    )
+    pairs = range_join_within(
+        ev, ev.select("k", "ts"), "k", "k", "ts", "ts", 300
+    ).collect()
+    got = sorted((r.id, r.r_ts.minute * 60 + r.r_ts.second + r.r_ts.hour * 3600)
+                 for r in pairs)
+    # only (100 -> 250s) and (101 -> 250+351=601s? no: 601-250=351 > 300)
+    assert got == [(100, 250)]
+
+
 def test_ingest_metrics_quantiles_and_render():
     m = IngestMetrics()
     for i in range(100):

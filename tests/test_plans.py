@@ -59,7 +59,8 @@ def test_bucketed_candidate_paths_never_cross_join(spark):
     plan as bucket EQUI-joins — a CartesianProduct/BroadcastNestedLoopJoin
     here is the O(n²) bug the bucketing exists to prevent."""
     for name in ("dedup_minhash_lsh", "dedup_simhash_pairs",
-                 "dedup_embedding_lsh"):
+                 "dedup_embedding_lsh", "join_events_asof_orders",
+                 "join_events_range_pairs"):
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name

@@ -21,6 +21,9 @@ from .session import get_spark
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="klogs_spark")
+    from .version import print_info
+
+    p.add_argument("--version", action="version", version=print_info())
     sub = p.add_subparsers(dest="cmd", required=True)
 
     pi = sub.add_parser("ingest", help="JSON-lines dir -> logs table")

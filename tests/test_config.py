@@ -41,3 +41,12 @@ def test_invalid_values_fall_back_to_defaults():
     assert cfg.flush_interval_s == 60
     # empty force list -> no phantom empty-string key
     assert EngineConfig.from_dict({"force_number_fields": ""}).force_number_fields == []
+
+
+def test_version_info_renders():
+    from klogs_spark.version import info, print_info
+
+    i = info()
+    assert i["version"] and i["pyspark_version"]
+    text = print_info("klogs_spark")
+    assert "klogs_spark, version" in text and "pyspark version" in text

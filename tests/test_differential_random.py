@@ -197,3 +197,106 @@ def test_random_document_predicates_match_oracle(docs_env, spec):
     ).fetchone()
     assert row.c == d_c, f"count mismatch for {spec}"
     assert (row.t or 0) == (d_t or 0), f"token sum mismatch for {spec}"
+
+
+# ---------------------------------------------------------------------------
+# time-series joins: random windows / key subsets vs DuckDB (incl. its
+# NATIVE ASOF JOIN — an independent formulation of the same semantics)
+# ---------------------------------------------------------------------------
+_JOIN_ENV = None
+
+
+@pytest.fixture(scope="module")
+def join_env(spark):
+    global _JOIN_ENV
+    if _JOIN_ENV is None:
+        from klogs_spark.views import load_table
+
+        duck = duckdb.connect()
+        for t in ("events", "orders"):
+            duck.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{SF_SMOKE}/{t}.parquet'"
+            )
+        ev = load_table(spark, SF_SMOKE, "events").select(
+            "user_id", "event_id", "ts"
+        ).cache()
+        od = (
+            load_table(spark, SF_SMOKE, "orders")
+            .groupBy("o_custkey", "o_orderdate")
+            .agg(F.max("o_orderkey").alias("o_orderkey"))
+            .cache()
+        )
+        ev.count(), od.count()
+        _JOIN_ENV = duck, ev, od
+    return _JOIN_ENV
+
+
+join_spec = st.fixed_dictionaries(
+    {
+        "delta_s": st.sampled_from([30, 60, 300, 900, 3600]),
+        "user_mod": st.sampled_from([2, 3, 5, 7]),
+        "user_rem": st.integers(0, 2),
+    }
+)
+
+
+@given(spec=join_spec)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+    derandomize=True,
+)
+def test_random_range_join_matches_oracle(join_env, spec):
+    from klogs_spark.ext.asof import range_join_within
+
+    duck, ev, _ = join_env
+    m, r, d = spec["user_mod"], spec["user_rem"], spec["delta_s"]
+    sub = ev.filter(F.col("user_id") % m == r)
+    n = (
+        range_join_within(sub, sub.select("user_id", "ts"),
+                          "user_id", "user_id", "ts", "ts", d)
+        .count()
+    )
+    (dn,) = duck.execute(f"""
+        WITH s AS (SELECT user_id, ts FROM events WHERE user_id % {m} = {r})
+        SELECT count(*) FROM s a JOIN s b
+          ON a.user_id = b.user_id
+         AND CAST(floor(epoch(b.ts)) AS BIGINT)
+             > CAST(floor(epoch(a.ts)) AS BIGINT)
+         AND CAST(floor(epoch(b.ts)) AS BIGINT)
+             <= CAST(floor(epoch(a.ts)) AS BIGINT) + {d}
+    """).fetchone()
+    assert n == dn, f"range-join count mismatch for {spec}"
+
+
+@given(spec=st.fixed_dictionaries(
+    {"user_mod": st.sampled_from([2, 3, 5]), "user_rem": st.integers(0, 1)}
+))
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+    derandomize=True,
+)
+def test_random_asof_join_matches_native_oracle(join_env, spec):
+    from klogs_spark.ext.asof import asof_join
+
+    duck, ev, od = join_env
+    m, r = spec["user_mod"], spec["user_rem"]
+    sub = ev.filter(F.col("user_id") % m == r)
+    srows = sorted(
+        (row.event_id, row.o_orderkey)
+        for row in asof_join(sub, od, "user_id", "o_custkey", "ts",
+                             "o_orderdate", ["o_orderkey"]).collect()
+    )
+    drows = sorted(map(tuple, duck.execute(f"""
+        WITH od AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS k
+                    FROM orders GROUP BY 1, 2),
+        s AS (SELECT user_id, event_id, ts FROM events
+              WHERE user_id % {m} = {r})
+        SELECT s.event_id, od.k
+        FROM s ASOF LEFT JOIN od
+          ON s.user_id = od.o_custkey AND s.ts >= od.o_orderdate
+    """).fetchall()))
+    assert srows == drows, f"asof mismatch for {spec}"

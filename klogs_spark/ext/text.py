@@ -289,6 +289,51 @@ def kmv_distinct_tokens(df: DataFrame, k: int = 64, text_col: str = "text") -> D
     )
 
 
+def chunk_documents(df: DataFrame, chunk_tokens: int, overlap: int = 0,
+                    text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Split documents into fixed-token-count chunks with optional overlap —
+    the context-window packing step before tokenization/training.
+
+    Pure Column expressions: one sequence+transform builds the chunk starts,
+    one explode emits (doc, chunk) rows; the token array slices per chunk
+    without re-splitting the text. Shuffle-free (narrow) — chunk rows stay
+    in their document's partition, so a 100 TB corpus chunks in a single
+    map stage. Returns (id, chunk_id, n_chunk_tokens, chunk_text).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(
+            F.floor(
+                (F.size(F.col("tk")) - 1 - F.lit(overlap)) / F.lit(stride)
+            ),
+            F.lit(0),
+        ).cast("int"),
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("tk")
+        )
+        .filter(F.size("tk") > 0)
+        .select("id", "tk", F.explode(starts).alias("chunk_id"))
+        .select(
+            "id",
+            "chunk_id",
+            F.slice(
+                F.col("tk"), F.col("chunk_id") * stride + 1, chunk_tokens
+            ).alias("chunk"),
+        )
+        .select(
+            "id",
+            "chunk_id",
+            F.size("chunk").alias("n_chunk_tokens"),
+            F.concat_ws(" ", "chunk").alias("chunk_text"),
+        )
+    )
+
+
 def fingerprints(df: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id", n: int = FINGERPRINT_NGRAM) -> DataFrame:
     """Document fingerprint: min/max/count over hashed word n-grams (the

@@ -55,6 +55,7 @@ DRIVER_PRIORITY: list[str] = [
     "sample_token_budget_pack",
     "join_events_asof_orders",
     "join_events_range_pairs",
+    "text_chunk_documents",
 ]
 
 # Moved to the BACK of the registry (outside the driver's 50-query window).
@@ -87,6 +88,8 @@ DRIVER_DEPRIORITY: list[str] = [
                                  # ann_lsh_topk exercises
     "tpch_q10_returned_items",   # join+group+topk: tpch_q3 stays
     "logs_distinct_sources",     # A5: text_kmv_distinct (hash-checked) stays
+    "text_fingerprints",         # shingle-hash summary: kmv/repetition/dedup
+                                 # sketches keep the hashing family checked
 ]
 
 

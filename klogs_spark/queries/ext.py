@@ -948,6 +948,38 @@ GROUP BY a.user_id
 """
 
 
+CHUNK_TOKENS = 50
+CHUNK_OVERLAP = 10
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.chunk_documents(
+        load_table(spark, sf_dir, "documents"),
+        chunk_tokens=CHUNK_TOKENS,
+        overlap=CHUNK_OVERLAP,
+    )
+
+
+_CHUNK_STRIDE = CHUNK_TOKENS - CHUNK_OVERLAP
+
+SQL_CHUNK_DOCUMENTS = f"""
+WITH {TOKENS_CTE},
+ch AS (
+  SELECT id, tk,
+         unnest(generate_series(0,
+           GREATEST(CAST((len(tk) - 1 - {CHUNK_OVERLAP}) // {_CHUNK_STRIDE}
+                    AS INT), 0))) AS chunk_id
+  FROM tk WHERE len(tk) > 0
+)
+SELECT id, chunk_id,
+       len(tk[chunk_id * {_CHUNK_STRIDE} + 1 :
+              chunk_id * {_CHUNK_STRIDE} + {CHUNK_TOKENS}]) AS n_chunk_tokens,
+       array_to_string(tk[chunk_id * {_CHUNK_STRIDE} + 1 :
+              chunk_id * {_CHUNK_STRIDE} + {CHUNK_TOKENS}], ' ') AS chunk_text
+FROM ch
+"""
+
+
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.fingerprints(load_table(spark, sf_dir, "documents"))
 
@@ -1034,4 +1066,7 @@ SPECS = {
     "join_events_range_pairs": QuerySpec(q_range_pairs, SQL_RANGE_PAIRS,
                                          "bounded range join via time-bucket "
                                          "equi-join"),
+    "text_chunk_documents": QuerySpec(q_chunk_documents, SQL_CHUNK_DOCUMENTS,
+                                      "fixed-token chunking with overlap "
+                                      "(shuffle-free)"),
 }

@@ -164,6 +164,40 @@ def compact_partition(
     return len(_parquet_files())
 
 
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    max_files_per_partition: int = 8,
+    target_file_bytes: int = 512 * 1024 * 1024,
+) -> dict[str, int]:
+    """Maintenance sweep: compact every day-partition whose file count
+    exceeds the threshold — the scheduled equivalent of MergeTree's
+    background merges (streaming ingest appends one file set per
+    micro-batch, so file counts grow until merged). O(#days) listing via
+    the FS API; only oversized partitions rewrite. Returns
+    {partition: resulting_file_count} for the partitions compacted.
+    """
+    fs, _, root = _hadoop_fs(spark, path)
+    if not fs.exists(root):
+        return {}
+    compacted: dict[str, int] = {}
+    prefix = f"{PARTITION_COLUMN}="
+    for status in sorted(fs.listStatus(root), key=lambda s: s.getPath().getName()):
+        name = status.getPath().getName()
+        if not (status.isDirectory() and name.startswith(prefix)):
+            continue
+        n_files = sum(
+            1
+            for f in fs.listStatus(status.getPath())
+            if f.getPath().getName().endswith(".parquet")
+        )
+        if n_files > max_files_per_partition:
+            compacted[name] = compact_partition(
+                spark, path, name, target_file_bytes
+            )
+    return compacted
+
+
 def apply_retention(
     path: str,
     retention_days: int = 30,

@@ -73,6 +73,22 @@ def test_compact_missing_partition_noop(spark, tmp_path):
     assert compact_partition(spark, str(tmp_path), "date=1999-01-01") == 0
 
 
+def test_compact_table_sweeps_only_fragmented_partitions(spark, logs_df, tmp_path):
+    from klogs_spark.table import compact_table
+
+    path = str(tmp_path / "logs")
+    day_b = logs_df.withColumn(
+        "timestamp", F.col("timestamp") + F.expr("INTERVAL 1 DAY")
+    )
+    for i in range(4):  # day A: 4 appends -> fragmented
+        write_logs(logs_df.filter(F.minute("timestamp") % 4 == i), path)
+    write_logs(day_b, path)  # day B: single append -> left alone
+    rows = spark.read.parquet(path).count()
+    result = compact_table(spark, path, max_files_per_partition=2)
+    assert set(result) == {"date=2026-01-01"} and result["date=2026-01-01"] == 1
+    assert spark.read.parquet(path).count() == rows
+
+
 def test_compact_overwrites_only_target_partition(spark, logs_df, tmp_path):
     """Dynamic partition overwrite contract: compacting day A must leave day
     B's files byte-identical (a static overwrite would clobber the table)."""

@@ -56,6 +56,7 @@ DRIVER_PRIORITY: list[str] = [
     "join_events_asof_orders",
     "join_events_range_pairs",
     "text_chunk_documents",
+    "tpch_q8_market_share",
 ]
 
 # Moved to the BACK of the registry (outside the driver's 50-query window).
@@ -90,6 +91,10 @@ DRIVER_DEPRIORITY: list[str] = [
     "logs_distinct_sources",     # A5: text_kmv_distinct (hash-checked) stays
     "text_fingerprints",         # shingle-hash summary: kmv/repetition/dedup
                                  # sketches keep the hashing family checked
+    "tpch_q5_local_supplier",    # broadcast join chain: tpch_q8 (8-way) stays
+    "tpch_q7_volume_shipping",   # breadth beyond the window; oracle-green
+    "tpch_q13_customer_distribution",  # breadth; oracle-green in-repo
+    "tpch_q22_dormant_customers",      # breadth; oracle-green in-repo
 ]
 
 

@@ -35,7 +35,7 @@ def test_q6_pushdown_and_pruning(spark):
 
 def test_join_queries_broadcast_dimensions(spark):
     for name in ("tpch_q3_shipping_priority", "tpch_q5_local_supplier",
-                 "tpch_q10_returned_items"):
+                 "tpch_q10_returned_items", "tpch_q8_market_share"):
         plan = _plan(spark, name)
         assert "BroadcastHashJoin" in plan, name
         assert "SortMergeJoin" not in plan, name

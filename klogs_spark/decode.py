@@ -122,7 +122,13 @@ def dispatch_value(value: Any) -> tuple[str, float, bool, bool]:
     if isinstance(value, (bytes, bytearray)):
         return value.decode("utf-8", errors="replace"), 0.0, False, False
     if isinstance(value, int):
-        return "", float(value), True, False
+        # JSON permits integer literals beyond float64 range (Go's decoder
+        # would map them to ±Inf); float() raising would kill a whole Arrow
+        # batch, so stringify like any other undispatchable value.
+        try:
+            return "", float(value), True, False
+        except OverflowError:
+            return str(value), 0.0, False, False
     if isinstance(value, float):
         if math.isnan(value) or math.isinf(value):
             # JSON can't carry these anyway; Go would pass them through as
@@ -215,7 +221,10 @@ def record_to_row(
             string_value = "true" if v else "false"
             number_value, is_number = 0.0, False
         elif tv is int:
-            string_value, number_value, is_number = "", float(v), True
+            try:
+                string_value, number_value, is_number = "", float(v), True
+            except OverflowError:  # beyond float64 — mirror dispatch_value
+                string_value, number_value, is_number = str(v), 0.0, False
         else:
             string_value, number_value, is_number, is_nil = dispatch_value(v)
             if is_nil:  # main.go:312 — nil fields are never stored

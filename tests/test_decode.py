@@ -232,3 +232,18 @@ class TestDecodeJsonLines:
             k for k, v in record.items() if v is not None and k not in envelope
         }
         assert in_string | in_number == expected
+
+
+def test_huge_json_integer_does_not_kill_the_batch():
+    """A JSON integer literal beyond float64 range must degrade to a string
+    field (one record), never raise out of the decode loop (whole batch)."""
+    from klogs_spark.decode import decode_json_lines, dispatch_value
+
+    big = "9" * 400
+    line = '{"ts": 1700000000, "record": {"n": ' + big + ', "ok": 1}}'
+    rows = list(decode_json_lines([line]))
+    assert len(rows) == 1
+    assert rows[0]["fields_string"]["n"] == big
+    assert rows[0]["fields_number"]["ok"] == 1.0
+    s, _, is_num, is_nil = dispatch_value(int(big))
+    assert (s, is_num, is_nil) == (big, False, False)

@@ -291,6 +291,14 @@ def decode_json_lines(
             if rejects is not None:
                 rejects.append(line)
             continue
+        except RecursionError:
+            # pathologically deep nesting overflows json.loads' parser stack;
+            # treat like any other undecodable line (dead-letter, not batch
+            # death) — the Go reference would hit msgpack depth limits the
+            # same way (main.go:251-254 warn-and-drop)
+            if rejects is not None:
+                rejects.append(line)
+            continue
         if isinstance(obj, dict) and "record" in obj:
             ts, record = obj.get("ts"), obj["record"]
         else:

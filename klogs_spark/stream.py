@@ -238,7 +238,7 @@ def _make_batch_processor(
                             continue
                         try:
                             obj = _json.loads(line)
-                        except _json.JSONDecodeError:
+                        except (_json.JSONDecodeError, RecursionError):
                             rejects.append(line)
                             continue
                         record = (

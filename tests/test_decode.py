@@ -247,3 +247,15 @@ def test_huge_json_integer_does_not_kill_the_batch():
     assert rows[0]["fields_number"]["ok"] == 1.0
     s, _, is_num, is_nil = dispatch_value(int(big))
     assert (s, is_num, is_nil) == (big, False, False)
+
+
+def test_pathologically_deep_json_is_dead_lettered():
+    from klogs_spark.decode import decode_json_lines
+
+    deep = "[" * 5000 + "]" * 5000
+    bad = '{"ts": 1, "record": {"d": ' + deep + "}}"
+    good = '{"ts": 2, "record": {"ok": 1}}'
+    rejects: list[str] = []
+    rows = list(decode_json_lines([bad, good], rejects=rejects))
+    assert len(rows) == 1 and rows[0]["fields_number"]["ok"] == 1.0
+    assert rejects == [bad]

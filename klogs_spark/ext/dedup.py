@@ -436,3 +436,70 @@ def embedding_neardup_lsh(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# --- near-dup cluster resolution (connected components) ---------------------
+def cluster_components(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Resolve near-duplicate PAIRS into dedup CLUSTERS: assign every node the
+    minimum id reachable through the pair graph (connected components), the
+    step every training-data pipeline needs between "these documents match"
+    and "keep one representative per group".
+
+    ``pairs`` has (id_a, id_b); ``nodes`` has (id).  Returns (id, cluster_id)
+    for EVERY node — singletons cluster to themselves.
+
+    100 TB design: iterative min-label propagation.  Each round every active
+    node adopts min(own label, neighbours' labels) — one shuffle equi-join of
+    the edge list against the label table plus one aggregation, all JVM-side;
+    rounds = O(longest chain of near-dup docs), which for dedup graphs is a
+    handful (clusters are shallow; a pathological 1000-doc chain still
+    converges in ~10 doubling rounds of the min).  Only nodes that appear in
+    at least one pair enter the loop; the (vastly larger) singleton set joins
+    back once at the end.  ``localCheckpoint`` truncates lineage each round so
+    the plan does not grow with iteration count, and the driver sees ONE
+    scalar per round (the convergence count) — the label table itself never
+    leaves the executors.
+    """
+    sym = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    sym = sym.localCheckpoint(eager=True)  # compute the pair graph ONCE
+
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        nbr_min = (
+            sym.join(labels.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("label").alias("nbr"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least("label", F.coalesce("nbr", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_changed = (
+            new_labels.withColumnRenamed("label", "new")
+            .join(labels, "id")
+            .filter(F.col("new") < F.col("label"))
+            .count()
+        )
+        labels = new_labels
+        if n_changed == 0:
+            break
+
+    return (
+        nodes.join(labels, "id", "left")
+        .select("id", F.coalesce("label", F.col("id")).alias("cluster_id"))
+    )

@@ -57,6 +57,10 @@ DRIVER_PRIORITY: list[str] = [
     "join_events_range_pairs",
     "text_chunk_documents",
     "tpch_q8_market_share",
+    # iterative connected-components — a shape (driver-looped DataFrame
+    # iteration) nothing else in the checked window exercises; pushes the
+    # boundary ANN trio (lsh/ivf/knn_join, all r1-green) just past the window
+    "dedup_cluster_components",
 ]
 
 # Moved to the BACK of the registry (outside the driver's 50-query window).

@@ -149,6 +149,51 @@ WHERE round(i.n * 1.0 / (sa.sz + sb.sz - i.n), 6) >= {NGRAM_JACCARD}
 
 
 # ---------------------------------------------------------------------------
+# dedup: pairs -> clusters (connected components)
+# ---------------------------------------------------------------------------
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair graph (exact 3-gram Jaccard edges) resolved into dedup
+    clusters: every document labelled with the min doc_id reachable through
+    the graph.  The Spark side is iterative min-label propagation
+    (``dedup.cluster_components``); the oracle computes the same components
+    as a recursive transitive closure — tiny-input-only, which is exactly why
+    the engine side is the iterative distributed form."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.jaccard_pairs(dd.doc_shingles(docs), min_jaccard=NGRAM_JACCARD)
+    return dd.cluster_components(
+        pairs, docs.select(F.col("doc_id").alias("id"))
+    ).select(F.col("id").alias("doc_id"), "cluster_id")
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {SHINGLES_CTE},
+sizes AS (SELECT id, count(*) AS sz FROM hs GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT i.id_a, i.id_b
+  FROM inter i JOIN sizes sa ON i.id_a = sa.id JOIN sizes sb ON i.id_b = sb.id
+  WHERE round(i.n * 1.0 / (sa.sz + sb.sz - i.n), 6) >= {{thr}}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT src AS node, src AS r FROM edges
+  UNION
+  SELECT reach.node, e.dst FROM reach JOIN edges e ON e.src = reach.r
+),
+comp AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
+SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+""".format(thr=NGRAM_JACCARD)
+
+
+# ---------------------------------------------------------------------------
 # dedup: SimHash signatures + pairs
 # ---------------------------------------------------------------------------
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1001,6 +1046,9 @@ SPECS = {
                                    "MinHash->LSH bands->Jaccard verify"),
     "dedup_ngram_jaccard": QuerySpec(q_ngram_jaccard, SQL_NGRAM_JACCARD,
                                      "exact 3-gram Jaccard pairs"),
+    "dedup_cluster_components": QuerySpec(
+        q_dedup_clusters, SQL_DEDUP_CLUSTERS,
+        "near-dup pairs -> dedup clusters (iterative min-label propagation)"),
     "dedup_simhash": QuerySpec(q_simhash, SQL_SIMHASH,
                                "60-bit SimHash signatures"),
     "dedup_simhash_pairs": QuerySpec(q_simhash_pairs, SQL_SIMHASH_PAIRS,

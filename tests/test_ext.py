@@ -340,3 +340,28 @@ def test_metrics_http_server_serves_metrics_and_health():
             assert exc.code == 404
     finally:
         server.stop()
+
+
+def test_cluster_components_chain_and_singletons(spark):
+    # chain 1-2-3 (transitive: 3 never pairs with 1 directly), pair 10-11,
+    # singleton 20; node 99 appears only on the right side of a pair
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (98, 99)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 10, 11, 20, 98, 99)], "id long"
+    )
+    out = {r.id: r.cluster_id
+           for r in dd.cluster_components(pairs, nodes).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 98: 98, 99: 98}
+
+
+def test_cluster_components_long_chain_converges(spark):
+    # a 12-node chain needs multiple propagation rounds; min label must
+    # still flood to the far end
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(13)], "id long")
+    out = dd.cluster_components(pairs, nodes)
+    assert out.filter(F.col("cluster_id") != 0).count() == 0

@@ -300,3 +300,50 @@ def test_random_asof_join_matches_native_oracle(join_env, spec):
           ON s.user_id = od.o_custkey AND s.ts >= od.o_orderdate
     """).fetchall()))
     assert srows == drows, f"asof mismatch for {spec}"
+
+
+# ---------------------------------------------------------------------------
+# connected components vs a pure-Python union-find oracle
+# ---------------------------------------------------------------------------
+def _union_find_components(n_nodes: int, edges: list[tuple[int, int]]) -> dict:
+    parent = list(range(n_nodes))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min id reachable == root under min-union
+    return {i: find(i) for i in range(n_nodes)}
+
+
+@given(spec=st.fixed_dictionaries({
+    "n_nodes": st.integers(2, 30),
+    "edges": st.lists(st.tuples(st.integers(0, 29), st.integers(0, 29)),
+                      max_size=40),
+}))
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+    derandomize=True,
+)
+def test_random_graph_components_match_union_find(spark, spec):
+    from klogs_spark.ext.dedup import cluster_components
+
+    n = spec["n_nodes"]
+    # drop self-loops, clamp ids into range, order pairs like the LSH output
+    edges = sorted({(min(a, b) % n, max(a, b) % n)
+                    for a, b in spec["edges"] if a % n != b % n})
+    pairs = spark.createDataFrame(
+        edges or [(0, 0)], "id_a long, id_b long"
+    ).filter(F.col("id_a") != F.col("id_b"))  # empty-edge case stays valid
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    got = {r.id: r.cluster_id
+           for r in cluster_components(pairs, nodes).collect()}
+    assert got == _union_find_components(n, edges), f"mismatch for {spec}"

@@ -806,7 +806,7 @@ WITH {TOKENS_CTE},
 {_gram_cte(1, '1')},
 {_gram_cte(2, '2')},
 {_gram_cte(3, '3')}
-SELECT s1.id, s1.total AS n_tokens,
+SELECT s1.id, CAST(s1.total AS BIGINT) AS n_tokens,
        CAST(s1.top * 1000000 // s1.total AS BIGINT) AS top_token_ppm,
        COALESCE(CAST(s2.top * 1000000 // s2.total AS BIGINT), 0)
          AS top_bigram_ppm,
@@ -919,7 +919,7 @@ r AS (
   FROM t
 )
 SELECT CAST(before // {PACK_BUDGET} AS BIGINT) AS shard,
-       count(*) AS n_docs, sum(n_tokens) AS shard_tokens
+       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
 FROM r GROUP BY 1
 """
 

@@ -108,8 +108,10 @@ SELECT event_type AS app,
        round(sum(value), 2) AS sum_value,
        round(sum(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)), 2)
          AS sum_k,
-       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
-       sum(CASE WHEN user_id % 4 = 0 THEN 1 ELSE 0 END) AS n_flag,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_error,
+       CAST(sum(CASE WHEN user_id % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_flag,
        count(*) AS n_tag1,
        count(*) AS n_dotted,
        count(DISTINCT 'ns-' || CAST(user_id % 5 AS VARCHAR)) AS n_namespaces

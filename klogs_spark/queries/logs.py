@@ -410,7 +410,8 @@ def q_error_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_ERROR_RATE = LOGS_CTE + """
 SELECT CAST("timestamp" AS DATE) AS day, namespace,
        count(*) AS total,
-       sum(CASE WHEN f_level = 'error' THEN 1 ELSE 0 END) AS n_errors,
+       CAST(sum(CASE WHEN f_level = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_errors,
        CAST(sum(CASE WHEN f_level = 'error' THEN 1 ELSE 0 END) * 1000000
             // count(*) AS BIGINT) AS error_rate_ppm
 FROM logs GROUP BY 1, 2

@@ -61,3 +61,24 @@ def test_query_matches_oracle(name, spark, duck):
         (a, b) for a, b in zip(s_canon, d_canon) if a != b
     ]
     assert not mism, f"{name}: first value mismatches: {mism[:3]}"
+
+
+@pytest.mark.parametrize("name", ORACLE_CASES)
+def test_oracle_emits_no_hugeint(name, duck):
+    """Driver-fetch parity guard: DuckDB ``sum()`` over integers returns
+    HUGEINT (int128), which the external driver's pandas/arrow fetch mangles
+    into float64 ("29.0" vs Spark's "29" -> hash mismatch) even though
+    ``fetchall()`` — used by the differential above — returns exact ints.
+    Every red CORRECTNESS row in rounds 1-2 was exactly this. Oracles must
+    CAST integer sums to BIGINT.
+    """
+    rel = duck.sql(SPECS[name].oracle)
+    bad = [
+        (c, str(t))
+        for c, t in zip(rel.columns, rel.types)
+        if "HUGEINT" in str(t).upper()
+    ]
+    assert not bad, (
+        f"{name}: oracle emits int128 columns {bad}; "
+        "CAST(sum(...) AS BIGINT) — the driver fetch mangles HUGEINT"
+    )

@@ -452,17 +452,23 @@ def cluster_components(
     ``pairs`` has (id_a, id_b); ``nodes`` has (id).  Returns (id, cluster_id)
     for EVERY node — singletons cluster to themselves.
 
-    100 TB design: iterative min-label propagation.  Each round every active
-    node adopts min(own label, neighbours' labels) — one shuffle equi-join of
-    the edge list against the label table plus one aggregation, all JVM-side;
-    rounds = O(longest chain of near-dup docs), which for dedup graphs is a
-    handful (clusters are shallow; a pathological 1000-doc chain still
-    converges in ~10 doubling rounds of the min).  Only nodes that appear in
-    at least one pair enter the loop; the (vastly larger) singleton set joins
-    back once at the end.  ``localCheckpoint`` truncates lineage each round so
-    the plan does not grow with iteration count, and the driver sees ONE
-    scalar per round (the convergence count) — the label table itself never
-    leaves the executors.
+    100 TB design: min-label propagation WITH pointer doubling.  Each round
+    every active node adopts min(own label, neighbours' labels) — one shuffle
+    equi-join of the edge list against the label table plus one aggregation —
+    and then shortcuts through the label table itself (label := label[label],
+    a self-join of the label table; labels are always node ids of the same
+    component, so the lookup is total).  The shortcut halves the remaining
+    pointer-chain depth each round, so rounds = O(log(diameter)) — a
+    pathological 1000-doc duplicate chain converges in ~10 rounds, where
+    plain one-hop propagation would need ~1000.  All JVM-side; only nodes
+    that appear in at least one pair enter the loop; the (vastly larger)
+    singleton set joins back once at the end.  ``localCheckpoint`` truncates
+    lineage each round so the plan does not grow with iteration count, and
+    the driver sees ONE scalar per round (the convergence count) — the label
+    table itself never leaves the executors.
+
+    Raises ``RuntimeError`` if the loop exits before convergence (never
+    silently returns partially-merged clusters).
     """
     sym = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
@@ -475,17 +481,27 @@ def cluster_components(
         .withColumn("label", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iterations):
         nbr_min = (
             sym.join(labels.withColumnRenamed("id", "src"), "src")
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("label").alias("nbr"))
         )
+        stepped = labels.join(nbr_min, "id", "left").select(
+            "id",
+            F.least("label", F.coalesce("nbr", "label")).alias("label"),
+        )
+        # pointer doubling: label := min(label, label[label]) — shortcut
+        # through the label table so chain depth halves every round.
+        grandparent = stepped.select(
+            F.col("id").alias("label"), F.col("label").alias("gp")
+        )
         new_labels = (
-            labels.join(nbr_min, "id", "left")
+            stepped.join(grandparent, "label", "left")
             .select(
                 "id",
-                F.least("label", F.coalesce("nbr", "label")).alias("label"),
+                F.least("label", F.coalesce("gp", "label")).alias("label"),
             )
             .localCheckpoint(eager=True)
         )
@@ -497,7 +513,13 @@ def cluster_components(
         )
         labels = new_labels
         if n_changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"cluster_components did not converge in {max_iterations} rounds"
+            " — clusters would be wrong; raise max_iterations"
+        )
 
     return (
         nodes.join(labels, "id", "left")

@@ -357,11 +357,22 @@ def test_cluster_components_chain_and_singletons(spark):
 
 
 def test_cluster_components_long_chain_converges(spark):
-    # a 12-node chain needs multiple propagation rounds; min label must
-    # still flood to the far end
+    # a 240-node chain has diameter >> the default round budget; pointer
+    # doubling must still flood the min label to the far end in O(log n)
+    # rounds (plain one-hop propagation would need ~240 and raise)
     pairs = spark.createDataFrame(
-        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+        [(i, i + 1) for i in range(240)], "id_a long, id_b long"
     )
-    nodes = spark.createDataFrame([(i,) for i in range(13)], "id long")
+    nodes = spark.createDataFrame([(i,) for i in range(241)], "id long")
     out = dd.cluster_components(pairs, nodes)
     assert out.filter(F.col("cluster_id") != 0).count() == 0
+
+
+def test_cluster_components_raises_on_nonconvergence(spark):
+    # never silently return partially-merged clusters
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(65)], "id long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dd.cluster_components(pairs, nodes, max_iterations=2)

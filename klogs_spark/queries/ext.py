@@ -924,6 +924,47 @@ FROM r GROUP BY 1
 """
 
 
+def q_token_budget_pack_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale form of token-budget sharding: pack within each ``source``
+    partition in parallel (shard ids are (source, shard)) instead of
+    serializing the whole corpus through one unpartitioned window — at 100 TB
+    the partition column (date, source, hash-bucket) is what keeps every
+    window task bounded."""
+    from ..ext.sampling import pack_by_token_budget
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "source", tx.token_count(F.col("text")).alias("n_tokens")
+    )
+    packed = pack_by_token_budget(
+        d, "n_tokens", budget=PACK_BUDGET, order_by="doc_id",
+        partition_col="source",
+    )
+    return packed.groupBy("source", "shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("shard_tokens"),
+    )
+
+
+SQL_TOKEN_BUDGET_PACK_PARTITIONED = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+  FROM documents
+),
+r AS (
+  SELECT doc_id, source, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS before
+  FROM t
+)
+SELECT source, CAST(before // {PACK_BUDGET} AS BIGINT) AS shard,
+       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
+FROM r GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # time-series joins (as-of / range) — operators Spark lacks natively
 # ---------------------------------------------------------------------------
@@ -1108,6 +1149,11 @@ SPECS = {
                                           SQL_TOKEN_BUDGET_PACK,
                                           "token-budget training-shard "
                                           "packing manifest"),
+    "sample_token_budget_pack_partitioned": QuerySpec(
+        q_token_budget_pack_partitioned,
+        SQL_TOKEN_BUDGET_PACK_PARTITIONED,
+        "per-source parallel packing — the 100 TB form",
+    ),
     "join_events_asof_orders": QuerySpec(q_asof_orders, SQL_ASOF_ORDERS,
                                          "as-of join via union + "
                                          "carry-forward window"),

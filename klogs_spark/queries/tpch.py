@@ -744,6 +744,114 @@ GROUP BY c_nationkey
 """
 
 
+# --- Q17-style small-quantity revenue (correlated scalar avg) ---------------
+# Adapted columns (testdata lacks p_container): the part filter is
+# p_brand = 'Brand#4' AND p_size < 15; the shape — per-part correlated
+# average threshold, then a single summed revenue — is Q17's.
+Q17_BRAND = "Brand#4"
+Q17_MAX_SIZE = 15
+
+
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery as aggregate-then-broadcast-join: compute
+    0.2*avg(l_quantity) per part once (map-side partial agg), broadcast the
+    small per-part threshold table back onto lineitem, keep rows under the
+    threshold, sum. No per-row subquery execution — at 100 TB the threshold
+    table is |parts| rows, not |lineitem|, and the probe is one broadcast.
+    l_quantity is integral so avg() is order-independent in both engines."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == Q17_BRAND) & (F.col("p_size") < Q17_MAX_SIZE)
+    )
+    thresholds = (
+        l.join(F.broadcast(p.select("p_partkey")),
+               F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey")
+        .agg((F.avg("l_quantity") * 0.2).alias("qty_threshold"))
+    )
+    return (
+        l.join(F.broadcast(thresholds), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+SQL_Q17 = f"""
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem, part
+WHERE p_partkey = l_partkey
+  AND p_brand = '{Q17_BRAND}' AND p_size < {Q17_MAX_SIZE}
+  AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem
+                    WHERE l_partkey = p_partkey)
+"""
+
+
+# --- Q21-style waiting-supplier check (EXISTS + NOT EXISTS chain) ------------
+# Adapted columns (testdata lacks l_receiptdate/l_commitdate): a line "failed"
+# its order when l_returnflag = 'R'; Q21's shape — the only supplier whose
+# line failed on a multi-supplier finished order — is preserved exactly:
+# one semi join (another supplier participated) + one anti join (no other
+# supplier's line failed).
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS/NOT EXISTS as left-semi / left-anti joins on (orderkey) with a
+    supplier-inequality residual condition — Spark extracts the equi key for
+    the shuffle and applies the <> as a join residual, so both probes are
+    hash joins on l_orderkey, never a cartesian. Supplier dim broadcasts."""
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    l1 = (
+        l.filter(F.col("l_returnflag") == "R")
+        .join(o.select("o_orderkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    l2 = l.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = l.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")
+    )
+    waited = (
+        l1.join(l2, (F.col("l_orderkey") == F.col("k2"))
+                & (F.col("l_suppkey") != F.col("s2")), "left_semi")
+        .join(l3, (F.col("l_orderkey") == F.col("k3"))
+              & (F.col("l_suppkey") != F.col("s3")), "left_anti")
+    )
+    return (
+        waited.join(F.broadcast(s),
+                    F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
+SQL_Q21 = """
+SELECT s_name, count(*) AS numwait
+FROM supplier, lineitem l1, orders
+WHERE s_suppkey = l1.l_suppkey
+  AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F'
+  AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
 SPECS = {
     "tpch_q1_pricing_summary": QuerySpec(q1_pricing_summary, SQL_Q1,
                                          "scan+filter+multi-agg group-by"),
@@ -774,6 +882,12 @@ SPECS = {
                                                 "left join + 2-level agg"),
     "tpch_q22_dormant_customers": QuerySpec(q22_dormant_customers, SQL_Q22,
                                             "scalar subquery + anti join"),
+    "tpch_q17_small_quantity": QuerySpec(q17_small_quantity, SQL_Q17,
+                                         "correlated scalar avg as "
+                                         "broadcast threshold join"),
+    "tpch_q21_waiting_suppliers": QuerySpec(q21_waiting_suppliers, SQL_Q21,
+                                            "EXISTS+NOT EXISTS semi/anti "
+                                            "chain"),
     "window_order_rank": QuerySpec(q_order_rank, SQL_ORDER_RANK,
                                    "row_number + running sum"),
     "agg_orders_rollup": QuerySpec(q_orders_rollup, SQL_ORDERS_ROLLUP,

@@ -21,9 +21,16 @@ from .session import get_spark
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="klogs_spark")
-    from .version import print_info
 
-    p.add_argument("--version", action="version", version=print_info())
+    class _Version(argparse.Action):
+        # computed lazily: print_info shells out to git and imports pyspark,
+        # which every other subcommand should not pay for
+        def __call__(self, parser, namespace, values, option_string=None):
+            from .version import print_info
+
+            parser.exit(message=print_info() + "\n")
+
+    p.add_argument("--version", action=_Version, nargs=0)
     sub = p.add_subparsers(dest="cmd", required=True)
 
     pi = sub.add_parser("ingest", help="JSON-lines dir -> logs table")

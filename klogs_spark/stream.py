@@ -214,6 +214,8 @@ def _make_batch_processor(
 
         t0 = _time.perf_counter()
         decoded = decode_dataframe(batch_df, cfg)
+        if metrics is not None:
+            decoded = decoded.persist()
         try:
             sink_fn(decoded, batch_id)
         except Exception:
@@ -221,9 +223,12 @@ def _make_batch_processor(
                 metrics.observe_error()
             raise
         if metrics is not None:
-            metrics.observe_batch(
-                batch_df.count(), _time.perf_counter() - t0
-            )
+            # elapsed captured BEFORE the count so the count job's runtime
+            # is not folded into the flush duration; the count reads the
+            # persisted decode output instead of re-scanning the source
+            elapsed = _time.perf_counter() - t0
+            metrics.observe_batch(decoded.count(), elapsed)
+            decoded.unpersist()
         if dead_letter_dir:
             def _find_rejects(batches):
                 import json as _json

@@ -28,7 +28,10 @@ def main(argv: list[str] | None = None) -> int:
         def __call__(self, parser, namespace, values, option_string=None):
             from .version import print_info
 
-            parser.exit(message=print_info() + "\n")
+            # stdout, not parser.exit(message=...) which writes stderr —
+            # `klogs_spark --version | ...` scripting depends on stdout
+            print(print_info())
+            parser.exit()
 
     p.add_argument("--version", action=_Version, nargs=0)
     sub = p.add_subparsers(dest="cmd", required=True)

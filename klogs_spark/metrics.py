@@ -44,10 +44,19 @@ class IngestMetrics:
 
     QUANTILES = (0.5, 0.9, 0.95, 0.99)  # main.go:65,72
 
-    def observe_batch(self, n_rows: int, seconds: float) -> None:
+    def observe_batch(
+        self, n_rows: int, seconds: float, decoded_rows: int | None = None
+    ) -> None:
+        """Record one flush. ``n_rows`` is the RAW received-record count —
+        the reference increments input_records_total per received record
+        BEFORE decode (main.go:246), so rejected/blank lines are counted.
+        ``decoded_rows`` (defaults to ``n_rows``) is the flushed buffer
+        size feeding the batch_size summary (main.go:62-67)."""
         with self._lock:
             self.input_records_total += int(n_rows)
-            self.batch_sizes.append(float(n_rows))
+            self.batch_sizes.append(
+                float(n_rows if decoded_rows is None else decoded_rows)
+            )
             self.flush_seconds.append(float(seconds))
 
     def observe_error(self) -> None:

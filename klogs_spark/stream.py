@@ -141,8 +141,19 @@ def exactly_once_sink(path: str) -> Callable[[DataFrame, int], None]:
     a batch's rows appear slightly before its marker — same visibility as
     any non-transactional parquet append. ``_staging``/``_commits`` start
     with ``_`` so Spark's partition discovery ignores them.
+
+    Hadoop ``FileSystem.rename/delete/mkdirs`` report failure by returning
+    **false**, not raising (the classic S3A copy-rename hazard). Every
+    boolean here is checked and failure raises, so the micro-batch fails
+    and Structured Streaming replays it — a silently dropped staged file
+    can never be committed under the marker.
     """
     from .table import _hadoop_fs
+
+    def _must(ok: bool, op: str, target) -> None:
+        if not ok:
+            raise IOError(f"exactly_once_sink: {op} failed for {target} "
+                          "(Hadoop FS returned false); failing batch for replay")
 
     def sink_fn(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -158,7 +169,8 @@ def exactly_once_sink(path: str) -> Callable[[DataFrame, int], None]:
                     continue
                 for f in fs.listStatus(part.getPath()):
                     if f.getPath().getName().startswith(prefix):
-                        fs.delete(f.getPath(), False)
+                        _must(fs.delete(f.getPath(), False),
+                              "purge-delete", f.getPath())
         staging = hpath_cls(root, f"_staging/batch-{batch_id}")
         write_logs(batch, f"{path}/_staging/batch-{batch_id}", mode="overwrite")
         for part in fs.listStatus(staging):
@@ -166,13 +178,18 @@ def exactly_once_sink(path: str) -> Callable[[DataFrame, int], None]:
                     and part.getPath().getName().startswith("date=")):
                 continue
             target_dir = hpath_cls(root, part.getPath().getName())
-            fs.mkdirs(target_dir)
+            _must(fs.mkdirs(target_dir), "mkdirs", target_dir)
             for f in fs.listStatus(part.getPath()):
                 name = f.getPath().getName()
                 if name.endswith(".parquet"):
-                    fs.rename(f.getPath(), hpath_cls(target_dir, prefix + name))
-        fs.mkdirs(hpath_cls(root, "_commits"))
+                    _must(fs.rename(f.getPath(),
+                                    hpath_cls(target_dir, prefix + name)),
+                          "publish-rename", f.getPath())
+        _must(fs.mkdirs(hpath_cls(root, "_commits")), "mkdirs", "_commits")
         fs.create(marker, True).close()
+        # staging cleanup is best-effort: the marker is already durable, so a
+        # false here must NOT fail (and replay) an already-published batch —
+        # leftover staging files are overwritten by any later attempt.
         fs.delete(staging, True)
 
     return sink_fn
@@ -204,31 +221,44 @@ def _make_batch_processor(
     appends its reject lines so nothing is silently lost.
 
     ``metrics`` hooks the flush path inline, exactly where the reference
-    instruments (main.go:246, 371-373) — counting the raw input lines and
-    timing the decode+sink flush. (A StreamingQueryListener would need the
-    py4j callback server, which headless drivers may not run.)
+    instruments (main.go:246, 371-373) — ``input_records_total`` counts the
+    RAW received lines before decode (reference semantics: rejects/blanks
+    are received records too), ``batch_size`` summarizes the decoded rows
+    actually flushed, and ``flush_time_seconds`` times decode+sink. (A
+    StreamingQueryListener would need the py4j callback server, which
+    headless drivers may not run.)
     """
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         import time as _time
 
         t0 = _time.perf_counter()
+        if metrics is not None:
+            batch_df = batch_df.persist()
         decoded = decode_dataframe(batch_df, cfg)
         if metrics is not None:
             decoded = decoded.persist()
         try:
-            sink_fn(decoded, batch_id)
-        except Exception:
+            try:
+                sink_fn(decoded, batch_id)
+            except Exception:
+                if metrics is not None:
+                    metrics.observe_error()
+                raise
             if metrics is not None:
-                metrics.observe_error()
-            raise
-        if metrics is not None:
-            # elapsed captured BEFORE the count so the count job's runtime
-            # is not folded into the flush duration; the count reads the
-            # persisted decode output instead of re-scanning the source
-            elapsed = _time.perf_counter() - t0
-            metrics.observe_batch(decoded.count(), elapsed)
-            decoded.unpersist()
+                # elapsed captured BEFORE the counts so the count jobs'
+                # runtime is not folded into the flush duration; both counts
+                # read persisted data instead of re-scanning the source
+                elapsed = _time.perf_counter() - t0
+                metrics.observe_batch(
+                    batch_df.count(), elapsed, decoded_rows=decoded.count()
+                )
+        finally:
+            # unpersist even when the sink raises — a long-running stream
+            # must not leak one cached DataFrame per failed micro-batch
+            if metrics is not None:
+                decoded.unpersist()
+                batch_df.unpersist()
         if dead_letter_dir:
             def _find_rejects(batches):
                 import json as _json

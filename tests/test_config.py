@@ -50,3 +50,18 @@ def test_version_info_renders():
     assert i["version"] and i["pyspark_version"]
     text = print_info("klogs_spark")
     assert "klogs_spark, version" in text and "pyspark version" in text
+
+
+def test_version_flag_writes_stdout_not_stderr(capsys):
+    """`klogs_spark --version | ...` scripting needs stdout (the original
+    parser.exit(message=...) wrote stderr)."""
+    import pytest
+
+    from klogs_spark.__main__ import main
+
+    with pytest.raises(SystemExit) as exc:
+        main(["--version"])
+    assert exc.value.code in (0, None)
+    captured = capsys.readouterr()
+    assert "version" in captured.out
+    assert captured.err == ""

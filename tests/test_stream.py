@@ -147,6 +147,53 @@ def test_exactly_once_replay_after_publish_crash_no_duplicates(spark, tmp_path):
     assert not list((Path(out) / "_staging").glob("batch-*"))
 
 
+def test_exactly_once_sink_raises_on_failed_rename(spark, tmp_path, monkeypatch):
+    """Hadoop FS rename reports failure by returning FALSE, not raising (the
+    S3A copy-rename hazard). A false rename must fail the batch (so streaming
+    replays it) and must NOT write the commit marker — otherwise the staged
+    file's rows are silently lost forever under the exactly-once contract."""
+    from klogs_spark import table as table_mod
+    from klogs_spark.stream import exactly_once_sink
+
+    real_hadoop_fs = table_mod._hadoop_fs
+
+    class _RenameFailsFS:
+        def __init__(self, inner):
+            self._inner = inner
+
+        def rename(self, src, dst):
+            return False  # object-store rename failure: false, no exception
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+    def fake_hadoop_fs(spark_, path_):
+        fs, hpath_cls, root = real_hadoop_fs(spark_, path_)
+        return _RenameFailsFS(fs), hpath_cls, root
+
+    monkeypatch.setattr(table_mod, "_hadoop_fs", fake_hadoop_fs)
+
+    out = str(tmp_path / "logs")
+    df = spark.createDataFrame(
+        [(__import__("datetime").datetime(2026, 1, 1), "c", "ns", "a", "p",
+          "ct", "h", {}, {}, "line")],
+        "timestamp timestamp, cluster string, namespace string, app string, "
+        "pod_name string, container_name string, host string, "
+        "fields_string map<string,string>, fields_number map<string,double>, "
+        "log string",
+    )
+    sink = exactly_once_sink(out)
+    with pytest.raises(IOError, match="publish-rename"):
+        sink(df, 7)
+    assert not (Path(out) / "_commits" / "batch-7").exists()
+
+    # after the transient failure clears, the replayed batch publishes fully
+    monkeypatch.setattr(table_mod, "_hadoop_fs", real_hadoop_fs)
+    exactly_once_sink(out)(df, 7)
+    assert read_logs(spark, out).count() == 1
+    assert (Path(out) / "_commits" / "batch-7").exists()
+
+
 def test_exactly_once_end_to_end_with_failure(spark, raw_dir, tmp_path):
     """Failure before any write + replay with the same checkpoint: the table
     ends with exactly one copy of every event."""
@@ -176,6 +223,45 @@ def test_exactly_once_end_to_end_with_failure(spark, raw_dir, tmp_path):
     logs = read_logs(spark, out)
     assert logs.count() == 20
     assert logs.select("log").distinct().count() == 20
+
+
+def test_metrics_count_raw_inputs_and_decoded_batch_sizes(spark, tmp_path):
+    """T6 counter semantics: input_records_total counts RAW received lines
+    (reference main.go:246 increments before decode — rejects/blanks count),
+    batch_size summarizes the DECODED rows actually flushed."""
+    from klogs_spark.metrics import IngestMetrics
+
+    d = tmp_path / "raw"
+    d.mkdir()
+    with open(d / "mixed.json", "w") as f:
+        f.write(json.dumps({"ts": 1, "record": {"log": "good-1"}}) + "\n")
+        f.write("NOT JSON\n")
+        f.write(json.dumps({"ts": 2, "record": {"log": "good-2"}}) + "\n")
+    m = IngestMetrics()
+    run_ingest_once(read_json_lines_stream(spark, str(d)),
+                    str(tmp_path / "logs"),
+                    checkpoint_dir=str(tmp_path / "ckpt"), metrics=m)
+    assert m.input_records_total == 3      # raw lines, incl. the reject
+    assert m.batch_sizes == [2.0]          # decoded rows flushed
+    assert len(m.flush_seconds) == 1
+
+
+def test_no_cache_leak_when_sink_fails(spark, raw_dir, tmp_path):
+    """A failing sink must not leak the persisted micro-batch DataFrames
+    (one leak per failed batch would accumulate in a long-running stream)."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from klogs_spark.metrics import IngestMetrics
+
+    def always_fail(batch_df, batch_id):
+        raise RuntimeError("injected sink failure")
+
+    m = IngestMetrics()
+    with pytest.raises(StreamingQueryException):
+        run_ingest_once(read_json_lines_stream(spark, raw_dir), always_fail,
+                        checkpoint_dir=str(tmp_path / "ckpt"), metrics=m)
+    assert m.errors_total == 1
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
 
 
 def test_at_least_once_on_sink_failure(spark, raw_dir, tmp_path):

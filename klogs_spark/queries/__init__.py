@@ -31,44 +31,128 @@ class QuerySpec:
 #   1. Queries with NO past hash-green external check come FIRST, in natural
 #      module order.  That includes every newly added query (a new name is
 #      never in the verified ledger, so it cannot ship outside the checked
-#      window) and any query whose last external check failed.
+#      window) and any query whose impl or oracle changed since its green
+#      check (the ledger is keyed by content hash, not just name).
 #   2. Externally verified queries follow, in natural module order.
 #
-# DRIVER_VERIFIED is the ledger: names hash-green in a past external run
-# (source: CORRECTNESS_r01.json + CORRECTNESS_r02.json at the repo root).
-# After each round, append that round's newly green names — nothing is ever
-# removed from the ledger, and no name may be positioned by hand.
-DRIVER_VERIFIED: frozenset = frozenset({
-    # green in CORRECTNESS_r01.json and/or CORRECTNESS_r02.json
-    "agg_lineitem_cube", "agg_orders_rollup", "ann_cosine_topk",
-    "ann_ivf_topk", "ann_kmeans_iteration", "ann_lsh_topk",
-    "dedup_cluster_components", "dedup_embedding_cosine",
-    "dedup_embedding_lsh", "dedup_exact", "dedup_minhash_lsh",
-    "dedup_minhash_signatures", "dedup_ngram_jaccard", "dedup_simhash",
-    "dedup_simhash_pairs", "events_sessionize", "join_events_asof_orders",
-    "join_events_range_pairs", "join_parts_never_ordered",
-    "logs_distinct_sources", "logs_env_counts", "logs_env_map_count",
-    "logs_field_exists", "logs_field_key_stats", "logs_force_numbers_read",
-    "logs_fulltext", "logs_grouped_percentiles", "logs_hourly_histogram",
-    "logs_log_regex", "logs_merge_json_log", "logs_newest",
-    "logs_normalize_keys_read", "logs_number_stats", "logs_parse_logfmt",
-    "logs_parsed_field_stats", "logs_promoted_level", "logs_session_windows",
-    "logs_top_pods", "logs_type_flap", "logs_value_percentiles",
-    "logs_window_5m", "multimodal_dimensions", "multimodal_features",
-    "sample_balance_sources", "sample_hash_deterministic",
-    "setop_churned_customers", "similarity_knn_join", "text_chunk_documents",
-    "text_contamination", "text_fingerprints", "text_kmv_distinct",
-    "text_langid", "text_pii_redact", "text_quality", "text_tfidf_scores",
-    "text_token_stats", "text_top_ngrams", "tpch_q10_returned_items",
-    "tpch_q14_promo_revenue", "tpch_q18_big_orders",
-    "tpch_q19_disjunctive_revenue", "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority", "tpch_q4_priority_check",
-    "tpch_q5_local_supplier", "tpch_q6_forecast_revenue",
-    "tpch_q8_market_share", "window_order_gaps", "window_order_rank",
-})
+# DRIVER_VERIFIED is the ledger: name -> content hash (spec_content_hash of
+# the query fn source + oracle SQL) at the time the driver recorded the query
+# hash-green (source: CORRECTNESS_r0*.json at the repo root).  A rewritten
+# query no longer matches its recorded hash and re-enters the checked window
+# automatically.  After each round, append that round's newly green names
+# with their current hashes (print_ledger_line below emits the lines);
+# nothing is ever removed, and no name may be positioned by hand.
 
 
-def registry() -> dict:
+def spec_content_hash(spec: "QuerySpec") -> str:
+    """Stable fingerprint of a query's externally-checked surface: the
+    implementation function's source plus the oracle SQL."""
+    import hashlib
+    import inspect
+
+    src = inspect.getsource(spec.fn)
+    return hashlib.sha256(
+        (src + "\x00" + (spec.oracle or "")).encode()
+    ).hexdigest()[:12]
+
+
+# name -> content hash at green-check time. r01/r02 names were hashed at the
+# round-4 tree (code untouched since their green checks); r03/r04 additions
+# hashed the same way.
+DRIVER_VERIFIED: dict = {
+    "agg_lineitem_cube": "81d8d103592e",
+    "agg_orders_rollup": "4c2a39d1c076",
+    "ann_cosine_topk": "190ce4e437dc",
+    "ann_ivf_topk": "374920a3f05a",
+    "ann_kmeans_iteration": "5636a85fa623",
+    "ann_lsh_bucket_stats": "855956740694",
+    "ann_lsh_topk": "c5f75789aa00",
+    "dedup_cluster_components": "805b5db22e1c",
+    "dedup_embedding_cosine": "353ae1ce1faa",
+    "dedup_embedding_lsh": "4c11674d7fb2",
+    "dedup_exact": "121118bc87f7",
+    "dedup_minhash_lsh": "00f7ea1e63d3",
+    "dedup_minhash_signatures": "3c638f294ec6",
+    "dedup_ngram_jaccard": "4a116e5ba3da",
+    "dedup_simhash": "b38416ad54cf",
+    "dedup_simhash_pairs": "228750d7e6db",
+    "events_sessionize": "2c817605b7a0",
+    "ingest_decode_pipeline": "4c00851918c6",
+    "join_events_asof_orders": "024317b75c1e",
+    "join_events_range_pairs": "739f75d2fbb8",
+    "join_parts_never_ordered": "48fa42b00fb1",
+    "logs_distinct_sources": "7a745fe159b7",
+    "logs_env_counts": "1e77de1cd5c7",
+    "logs_env_map_count": "047446fefdf4",
+    "logs_error_rate": "110d1ba32f6a",
+    "logs_field_exists": "7e13014cbdee",
+    "logs_field_key_stats": "24aade66ad3b",
+    "logs_force_numbers_read": "188d8a0d7d90",
+    "logs_fulltext": "a2f2e2b3966a",
+    "logs_grouped_percentiles": "1cac6e50761c",
+    "logs_hourly_histogram": "92fce61d78f3",
+    "logs_log_regex": "1d9a0f6bd5bd",
+    "logs_merge_json_log": "2bae330a1458",
+    "logs_newest": "89ff9bf4ba68",
+    "logs_normalize_keys_read": "4a49b0cb53be",
+    "logs_number_stats": "307c039cb588",
+    "logs_parse_logfmt": "91966585f0b8",
+    "logs_parsed_field_stats": "49c44421d33e",
+    "logs_promoted_level": "cc9d9e0ddd65",
+    "logs_session_windows": "6c8770a860b0",
+    "logs_top_pods": "14be86e5c6ac",
+    "logs_type_flap": "e3cac8275597",
+    "logs_value_percentiles": "bcdd9b0d3e65",
+    "logs_window_5m": "00f54511d538",
+    "multimodal_dimensions": "4156ee77b4ba",
+    "multimodal_features": "6251489a260f",
+    "sample_balance_sources": "84ad1b244e7c",
+    "sample_hash_deterministic": "f248348905ce",
+    "sample_token_budget_pack": "caf18ed700e3",
+    "sample_token_budget_pack_partitioned": "a013577061bc",
+    "setop_churned_customers": "cbc7e5a39415",
+    "similarity_knn_join": "7b0fdc42b9c5",
+    "text_chunk_documents": "b11ed9a0602f",
+    "text_contamination": "55b916bc881a",
+    "text_fingerprints": "59486855a3ef",
+    "text_kmv_distinct": "df0f05ccc33b",
+    "text_langid": "b16f242d7d79",
+    "text_pii_redact": "95cba5f53f52",
+    "text_quality": "ddca4d14616f",
+    "text_repetition": "7e346f2bcb0c",
+    "text_tfidf_scores": "23d071b7e1df",
+    "text_token_stats": "63fbd40b35d3",
+    "text_top_ngrams": "3ee82a7b136b",
+    "tpch_q10_returned_items": "4deebf737ccb",
+    "tpch_q12_priority_counts": "93f336531876",
+    "tpch_q13_customer_distribution": "b0a58086c713",
+    "tpch_q14_promo_revenue": "8f8d7090861b",
+    "tpch_q17_small_quantity": "45b8dcd70c18",
+    "tpch_q18_big_orders": "3e25e3e273c6",
+    "tpch_q19_disjunctive_revenue": "173bb6e26d50",
+    "tpch_q1_pricing_summary": "b6d81979682a",
+    "tpch_q21_waiting_suppliers": "3de6ca922159",
+    "tpch_q22_dormant_customers": "525a9def8c2b",
+    "tpch_q3_shipping_priority": "67eb929f0ca8",
+    "tpch_q4_priority_check": "8d8ebd29d1c9",
+    "tpch_q5_local_supplier": "bdd940dd5a00",
+    "tpch_q6_forecast_revenue": "9fdeb0d96d01",
+    "tpch_q7_volume_shipping": "f6b589bbeea4",
+    "tpch_q8_market_share": "749628230189",
+    "window_order_gaps": "5291510adf3f",
+    "window_order_rank": "b89b673ca4bb",
+}
+
+
+def print_ledger_lines(names: list[str] | None = None) -> None:
+    """Maintenance helper: emit DRIVER_VERIFIED lines for the given names
+    (default: all current registry names) with their current content hashes."""
+    specs = _merged_specs()
+    for n in sorted(names or specs):
+        print(f'    "{n}": "{spec_content_hash(specs[n])}",')
+
+
+def _merged_specs() -> dict:
     from . import ext, ingest, logs, tpch
 
     merged: dict[str, QuerySpec] = {}
@@ -77,9 +161,18 @@ def registry() -> dict:
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
         merged.update(mod.SPECS)
-    unknown = DRIVER_VERIFIED - merged.keys()
+    return merged
+
+
+def registry() -> dict:
+    merged = _merged_specs()
+    unknown = DRIVER_VERIFIED.keys() - merged.keys()
     if unknown:
         raise ValueError(f"DRIVER_VERIFIED names not in registry: {unknown}")
-    ordered = {n: s for n, s in merged.items() if n not in DRIVER_VERIFIED}
-    ordered.update({n: s for n, s in merged.items() if n in DRIVER_VERIFIED})
+    verified = {
+        n for n, s in merged.items()
+        if DRIVER_VERIFIED.get(n) == spec_content_hash(s)
+    }
+    ordered = {n: s for n, s in merged.items() if n not in verified}
+    ordered.update({n: s for n, s in merged.items() if n in verified})
     return ordered

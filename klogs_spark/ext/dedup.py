@@ -220,6 +220,83 @@ def minhash_dedup(df: DataFrame, text: str = "text", id_col: str = "doc_id",
     return jaccard_pairs(sh, min_jaccard, cands)
 
 
+# --- paragraph-level dedup --------------------------------------------------
+PARA_KEY = 100_000  # paragraph key = doc_id * PARA_KEY + paragraph index
+
+
+def paragraph_chunks(df: DataFrame, paragraph_tokens: int = 30,
+                     text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Paragraph substrate for sub-document dedup: fixed token windows as
+    pseudo-paragraphs (a corpus with real structure would split on blank
+    lines first; this testdata is single-line text). Narrow map stage only —
+    no shuffle. The paragraph key packs (doc, index) into one orderable
+    long so the whole MinHash/LSH machinery below runs unchanged on
+    paragraphs. Returns (pid, id, chunk_id, chunk_text).
+    """
+    from .text import chunk_documents
+
+    paras = chunk_documents(df, paragraph_tokens, 0, text, id_col)
+    return paras.select(
+        (F.col("id") * PARA_KEY + F.col("chunk_id")).alias("pid"),
+        "id", "chunk_id", "chunk_text",
+    )
+
+
+def paragraph_exact_dedup(df: DataFrame, paragraph_tokens: int = 30,
+                          text: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicated paragraphs across the corpus (pretraining boilerplate
+    removal at sub-document granularity). One shuffle on md5(paragraph) with
+    map-side partial aggregation — same scale profile as exact_dedup.
+    Returns (para_hash, n_copies, n_docs, survivor_doc, survivor_para) for
+    paragraphs occurring more than once.
+    """
+    paras = paragraph_chunks(df, paragraph_tokens, text, id_col)
+    return (
+        paras.groupBy(F.md5("chunk_text").alias("para_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("id").alias("n_docs"),
+            F.min("pid").alias("_skey"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .select(
+            "para_hash", "n_copies", "n_docs",
+            F.expr(f"_skey div {PARA_KEY}").alias("survivor_doc"),
+            (F.col("_skey") % PARA_KEY).alias("survivor_para"),
+        )
+    )
+
+
+def paragraph_minhash_dedup(df: DataFrame, paragraph_tokens: int = 30,
+                            min_jaccard: float = 0.5, text: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """Near-dup paragraphs: the existing MinHash -> LSH bands -> exact-Jaccard
+    pipeline fed paragraph-granularity shingles. Same-document pairs are
+    dropped (paragraph dedup targets cross-document repetition); candidate
+    generation stays a banded equi-join, so the paragraph explosion only
+    multiplies the *rows*, not the join shape — scale-safe at 100 TB.
+    Returns (doc_a, para_a, doc_b, para_b, jaccard).
+    """
+    paras = paragraph_chunks(df, paragraph_tokens, text, id_col)
+    sh = doc_shingles(paras, text="chunk_text", id_col="pid").cache()
+    sigs = minhash_signatures_from_shingles(sh).cache()
+    cands = lsh_candidate_pairs(sigs)
+    pairs = jaccard_pairs(sh, min_jaccard, cands)
+    return (
+        pairs.filter(
+            F.expr(f"id_a div {PARA_KEY} <> id_b div {PARA_KEY}")
+        )
+        .select(
+            F.expr(f"id_a div {PARA_KEY}").alias("doc_a"),
+            (F.col("id_a") % PARA_KEY).alias("para_a"),
+            F.expr(f"id_b div {PARA_KEY}").alias("doc_b"),
+            (F.col("id_b") % PARA_KEY).alias("para_b"),
+            "jaccard",
+        )
+    )
+
+
 # --- SimHash ----------------------------------------------------------------
 def simhash(df: DataFrame, text: str = "text", id_col: str = "doc_id",
             bits: int = SIMHASH_BITS) -> DataFrame:

@@ -126,6 +126,99 @@ WHERE i.n * 1.0 / (sa.sz + sb.sz - i.n) >= {MINHASH_JACCARD}
 
 
 # ---------------------------------------------------------------------------
+# dedup: paragraph granularity (exact + MinHash/LSH near-dup)
+# ---------------------------------------------------------------------------
+PARA_TOKENS = 30
+PARA_JACCARD = 0.5
+
+
+def q_paragraph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.paragraph_exact_dedup(
+        load_table(spark, sf_dir, "documents"), paragraph_tokens=PARA_TOKENS
+    )
+
+
+# paragraph CTE: fixed token windows keyed as did*PARA_KEY+cid — mirrors
+# dedup.paragraph_chunks exactly (same tokenization as TOKENS_CTE).
+PARA_CTE = f"""
+ptk AS (
+  SELECT doc_id AS did, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+  FROM documents
+),
+pch AS (
+  SELECT did, unnest(generate_series(0,
+           GREATEST(CAST((len(tk) - 1) // {PARA_TOKENS} AS INT), 0))) AS cid, tk
+  FROM ptk WHERE len(tk) > 0
+),
+para AS (
+  SELECT did * {dd.PARA_KEY} + cid AS id, did, cid,
+         tk[cid * {PARA_TOKENS} + 1 : cid * {PARA_TOKENS} + {PARA_TOKENS}] AS pt
+  FROM pch
+)"""
+
+SQL_PARAGRAPH_EXACT = f"""
+WITH {PARA_CTE}
+SELECT md5(array_to_string(pt, ' ')) AS para_hash,
+       CAST(count(*) AS BIGINT) AS n_copies,
+       CAST(count(DISTINCT did) AS BIGINT) AS n_docs,
+       min(id) // {dd.PARA_KEY} AS survivor_doc,
+       min(id) % {dd.PARA_KEY} AS survivor_para
+FROM para
+GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+def q_paragraph_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.paragraph_minhash_dedup(
+        load_table(spark, sf_dir, "documents"),
+        paragraph_tokens=PARA_TOKENS, min_jaccard=PARA_JACCARD,
+    )
+
+
+_PBAND_SELECTS = " UNION ALL ".join(
+    "SELECT id, {j} AS band_id, md5(concat_ws('_', {cols})) AS band_hash"
+    " FROM psig".format(
+        j=j,
+        cols=", ".join(f"mh_{j * dd.LSH_ROWS + r}" for r in range(dd.LSH_ROWS)),
+    )
+    for j in range(dd.LSH_BANDS)
+)
+
+SQL_PARAGRAPH_MINHASH = f"""
+WITH {PARA_CTE},
+psh AS (
+  SELECT id, unnest(list_distinct(list_transform(
+           generate_series(0, len(pt) - 3),
+           i -> array_to_string(pt[i+1:i+3], ' ')))) AS shingle
+  FROM para WHERE len(pt) >= 3
+),
+phs AS (SELECT id, {md5_long_sql("shingle")} AS h FROM psh),
+psig AS (SELECT id, {_SIG_COLS} FROM phs GROUP BY id),
+pbands AS ({_PBAND_SELECTS}),
+pcand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM pbands a JOIN pbands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.id < b.id
+),
+psizes AS (SELECT id, count(*) AS sz FROM psh GROUP BY id),
+pinter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n
+  FROM psh a JOIN psh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT i.id_a // {dd.PARA_KEY} AS doc_a, i.id_a % {dd.PARA_KEY} AS para_a,
+       i.id_b // {dd.PARA_KEY} AS doc_b, i.id_b % {dd.PARA_KEY} AS para_b,
+       round(i.n * 1.0 / (sa.sz + sb.sz - i.n), 6) AS jaccard
+FROM pinter i
+JOIN pcand c ON i.id_a = c.id_a AND i.id_b = c.id_b
+JOIN psizes sa ON i.id_a = sa.id
+JOIN psizes sb ON i.id_b = sb.id
+WHERE i.n * 1.0 / (sa.sz + sb.sz - i.n) >= {PARA_JACCARD}
+  AND i.id_a // {dd.PARA_KEY} <> i.id_b // {dd.PARA_KEY}
+"""
+
+
+# ---------------------------------------------------------------------------
 # dedup: exact n-gram Jaccard (no candidate pre-filter)
 # ---------------------------------------------------------------------------
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1087,6 +1180,13 @@ SPECS = {
                                    "MinHash->LSH bands->Jaccard verify"),
     "dedup_ngram_jaccard": QuerySpec(q_ngram_jaccard, SQL_NGRAM_JACCARD,
                                      "exact 3-gram Jaccard pairs"),
+    "dedup_paragraph_exact": QuerySpec(q_paragraph_exact, SQL_PARAGRAPH_EXACT,
+                                       "cross-doc duplicated paragraphs "
+                                       "(sub-document exact dedup)"),
+    "dedup_paragraph_minhash": QuerySpec(q_paragraph_minhash,
+                                         SQL_PARAGRAPH_MINHASH,
+                                         "paragraph-granularity MinHash/LSH "
+                                         "near-dup pairs"),
     "dedup_cluster_components": QuerySpec(
         q_dedup_clusters, SQL_DEDUP_CLUSTERS,
         "near-dup pairs -> dedup clusters (iterative min-label propagation)"),

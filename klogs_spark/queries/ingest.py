@@ -120,10 +120,106 @@ GROUP BY event_type
 """
 
 
+WM_DAY = "2024-01-10"          # a day with both on-time and late traffic
+WM_SPLIT = f"{WM_DAY} 06:00:00"
+WM_END = f"{WM_DAY} 12:00:00"
+WM_SENTINEL = "2024-01-11 12:00:00"
+
+
+def q_stream_windowed_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 watermark semantics under a REAL Structured Streaming run, checked
+    against a batch oracle. Three deterministic micro-batches through
+    ``streaming_ext.windowed_counts`` (1h tumbling windows, 10 min watermark,
+    append mode):
+
+    1. on-time rows  [06:00, 12:00) of WM_DAY  -> watermark advances to
+       max(ts)-10min (~11:46, no window-boundary ties on this data);
+    2. late rows     [00:00, 06:00)            -> ALL below the watermark,
+       dropped by the engine — the oracle simply excludes them;
+    3. a sentinel row a day ahead              -> pushes the watermark past
+       every real window so append mode finalizes and emits them all; the
+       sentinel's own window stays open forever and never emits.
+
+    The oracle is the plain hourly GROUP BY over the on-time rows only —
+    equality proves late-drop, window finalization, and no-sentinel-leak in
+    one hash. Each drain is an ``availableNow`` run over a file-source
+    directory grown by exactly one write, so batch boundaries (and therefore
+    watermark advancement) are fully deterministic.
+    """
+    import tempfile
+
+    from ..streaming_ext import windowed_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    logs = ev.select(
+        F.col("ts").alias("timestamp"),
+        F.concat(F.lit("ns-"), (F.col("user_id") % 5).cast("string")).alias(
+            "namespace"
+        ),
+    )
+    on_time = logs.filter(
+        (F.col("timestamp") >= WM_SPLIT) & (F.col("timestamp") < WM_END)
+    )
+    late = logs.filter(
+        (F.col("timestamp") >= f"{WM_DAY} 00:00:00")
+        & (F.col("timestamp") < WM_SPLIT)
+    )
+    sentinel = spark.sql(
+        f"SELECT TIMESTAMP '{WM_SENTINEL}' AS timestamp, "
+        "'zz-sentinel' AS namespace"
+    )
+
+    base = tempfile.mkdtemp(prefix="klogs-wm-")
+    src, ckpt, outp = f"{base}/src", f"{base}/ckpt", f"{base}/out"
+
+    def drain() -> None:
+        stream = spark.readStream.schema(
+            "timestamp timestamp, namespace string"
+        ).parquet(src)
+        agg = windowed_counts(
+            stream, bucket="1 hour", watermark="10 minutes",
+            dims=("namespace",),
+        )
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", outp)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    for batch in (on_time, late, sentinel):
+        batch.coalesce(1).write.mode("append").parquet(src)
+        drain()
+
+    return spark.read.parquet(outp).select(
+        "window_start", "window_end", "namespace", "cnt"
+    )
+
+
+SQL_STREAM_WINDOWED_WATERMARK = f"""
+SELECT date_trunc('hour', ts) AS window_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+       'ns-' || CAST(user_id % 5 AS VARCHAR) AS namespace,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM events
+WHERE ts >= TIMESTAMP '{WM_SPLIT}' AND ts < TIMESTAMP '{WM_END}'
+GROUP BY 1, 2, 3
+"""
+
+
 SPECS = {
     "ingest_decode_pipeline": QuerySpec(
         q_ingest_pipeline,
         SQL_INGEST_PIPELINE,
         "full decode hot path (flatten/dispatch/routing) vs direct oracle",
+    ),
+    "stream_windowed_watermark": QuerySpec(
+        q_stream_windowed_watermark,
+        SQL_STREAM_WINDOWED_WATERMARK,
+        "watermarked tumbling-window counts: late-drop + append finalization "
+        "under a real 3-batch stream vs batch oracle",
     ),
 }

@@ -609,14 +609,37 @@ FROM islands GROUP BY pod_name, sid
 """
 
 
-# --- A5: approx_count_distinct (rows-only driver check: HLL estimates are
-# engine-specific, so no SQL oracle is declared for this one) ---------------
+# --- A5: approx_count_distinct. HLL estimates are engine-specific, so the
+# estimate itself cannot be hash-compared against DuckDB; instead the query
+# emits the EXACT distinct counts (oracle-hashable) plus booleans asserting
+# the HLL estimate landed within 2x the requested rsd — the oracle declares
+# the booleans true, so a drifting estimator fails the external hash check
+# instead of being permanently unverifiable. -------------------------------
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     logs = derive_logs_from_events(spark, sf_dir)
+    rsd = 0.05  # approx_count_distinct default
     return logs.agg(
-        F.approx_count_distinct("pod_name").alias("approx_pods"),
-        F.approx_count_distinct("log").alias("approx_lines"),
+        F.countDistinct("pod_name").alias("exact_pods"),
+        F.countDistinct("log").alias("exact_lines"),
+        F.approx_count_distinct("pod_name", rsd).alias("_a_pods"),
+        F.approx_count_distinct("log", rsd).alias("_a_lines"),
+    ).select(
+        "exact_pods",
+        "exact_lines",
+        (F.abs(F.col("_a_pods") - F.col("exact_pods"))
+         <= 2 * rsd * F.col("exact_pods")).alias("pods_within_rsd"),
+        (F.abs(F.col("_a_lines") - F.col("exact_lines"))
+         <= 2 * rsd * F.col("exact_lines")).alias("lines_within_rsd"),
     )
+
+
+SQL_APPROX_DISTINCT = LOGS_CTE + """
+SELECT CAST(count(DISTINCT pod_name) AS BIGINT) AS exact_pods,
+       CAST(count(DISTINCT log) AS BIGINT) AS exact_lines,
+       true AS pods_within_rsd,
+       true AS lines_within_rsd
+FROM logs
+"""
 
 
 # --- EXT window: top-3 pods by volume per namespace -------------------------
@@ -694,6 +717,7 @@ SPECS = {
                                       "T5 session_window sessionization"),
     "logs_type_flap": QuerySpec(q_type_flap, SQL_TYPE_FLAP,
                                 "string/number type-flap semantics (SURVEY §7)"),
-    "logs_approx_distinct": QuerySpec(q_approx_distinct, None,
-                                      "A5 approx_count_distinct (rows-only)"),
+    "logs_approx_distinct": QuerySpec(
+        q_approx_distinct, SQL_APPROX_DISTINCT,
+        "A5 approx_count_distinct, exact counts + rsd-bound booleans"),
 }

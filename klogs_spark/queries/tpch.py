@@ -852,6 +852,57 @@ LIMIT 100
 """
 
 
+# --- Q15: top supplier over a quarterly revenue view ------------------------
+# Adapted columns (testdata supplier lacks s_address/s_phone): output is
+# (s_suppkey, s_name, total_revenue); the shape — revenue view + scalar-max
+# selection of the top supplier(s) — is Q15's.
+Q15_START, Q15_END = "1996-01-01", "1996-04-01"
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15's CREATE VIEW revenue is just a reusable aggregate: one shuffle
+    on l_suppkey with map-side partial sums. The scalar max is a 1-row
+    aggregate broadcast back onto the view (no re-aggregation, no per-row
+    subquery), and the supplier dim broadcasts — at 100 TB the only big
+    exchange is the |suppliers|-key revenue shuffle. Revenue is rounded to
+    2dp on both engines BEFORE the max so tie selection is identical."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    revenue = (
+        l.filter((F.col("l_shipdate") >= Q15_START)
+                 & (F.col("l_shipdate") < Q15_END))
+        .groupBy("l_suppkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount"))), 2)
+             .alias("total_revenue"))
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("_max_rev"))
+    return (
+        revenue.join(F.broadcast(max_rev),
+                     F.col("total_revenue") == F.col("_max_rev"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+SQL_Q15 = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{Q15_START}'
+    AND l_shipdate < TIMESTAMP '{Q15_END}'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier, revenue
+WHERE s_suppkey = supplier_no
+  AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
 SPECS = {
     "tpch_q1_pricing_summary": QuerySpec(q1_pricing_summary, SQL_Q1,
                                          "scan+filter+multi-agg group-by"),
@@ -888,6 +939,9 @@ SPECS = {
     "tpch_q21_waiting_suppliers": QuerySpec(q21_waiting_suppliers, SQL_Q21,
                                             "EXISTS+NOT EXISTS semi/anti "
                                             "chain"),
+    "tpch_q15_top_supplier": QuerySpec(q15_top_supplier, SQL_Q15,
+                                       "revenue view + scalar-max top "
+                                       "supplier"),
     "window_order_rank": QuerySpec(q_order_rank, SQL_ORDER_RANK,
                                    "row_number + running sum"),
     "agg_orders_rollup": QuerySpec(q_orders_rollup, SQL_ORDERS_ROLLUP,

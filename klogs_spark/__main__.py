@@ -46,8 +46,11 @@ def main(argv: list[str] | None = None) -> int:
     pi.add_argument("--batch-size", type=int, default=10_000)
     pi.add_argument("--force-number-fields", default="")
     pi.add_argument("--force-underscores", action="store_true")
+    pi.add_argument("--input-format", choices=("json", "msgpack"),
+                    default="json",
+                    help="json lines or Fluent Bit msgpack chunk files")
     pi.add_argument("--dead-letter", default=None,
-                    help="quarantine undecodable lines to this dir")
+                    help="quarantine undecodable lines to this dir (json only)")
     pi.add_argument("--exactly-once", action="store_true",
                     help="idempotent parquet sink (skip replayed batches)")
     pi.add_argument("--metrics-address", default=None,
@@ -89,7 +92,12 @@ def main(argv: list[str] | None = None) -> int:
             ],
             force_underscores=args.force_underscores,
         )
-        stream = read_json_lines_stream(spark, args.source)
+        if args.input_format == "msgpack":
+            from .stream import read_msgpack_chunk_stream
+
+            stream = read_msgpack_chunk_stream(spark, args.source)
+        else:
+            stream = read_json_lines_stream(spark, args.source)
         sink = args.table
         if args.exactly_once:
             from .stream import exactly_once_sink
@@ -108,12 +116,14 @@ def main(argv: list[str] | None = None) -> int:
             if args.continuous:
                 q = start_ingest(stream, sink, cfg, args.checkpoint,
                                  dead_letter_dir=args.dead_letter,
-                                 metrics=metrics)
+                                 metrics=metrics,
+                                 input_format=args.input_format)
                 q.awaitTermination()
             else:
                 run_ingest_once(stream, sink, cfg, args.checkpoint,
                                 dead_letter_dir=args.dead_letter,
-                                metrics=metrics)
+                                metrics=metrics,
+                                input_format=args.input_format)
                 print("ingest drained")
                 if metrics is not None:
                     print(metrics.render_prometheus(), end="")

@@ -315,6 +315,80 @@ def decode_json_lines(
             continue
 
 
+def decode_msgpack_events(
+    chunks: Iterable[bytes],
+    config: EngineConfig | None = None,
+    now: datetime | None = None,
+    bad_chunks: list[bytes] | None = None,
+) -> Iterator[dict[str, Any]]:
+    """Decode Fluent Bit msgpack chunks into logs rows.
+
+    Each chunk is back-to-back ``[timestamp, record]`` events
+    (main.go:240-247); the timestamp may be an FLBTime ext (decoded to float
+    epoch by msgpack_lite), a plain uint, or the v2.1 nested
+    ``[[ts, metadata], record]`` form — all already handled by
+    ``extract_timestamp`` (main.go:85-103). A malformed chunk stops at the
+    failure point and keeps the events decoded so far (the reference
+    warn-and-drops the remainder the same way, main.go:251-254); fully
+    undecodable chunks land in ``bad_chunks`` when provided.
+    """
+    from .msgpack_lite import MsgpackError, unpack_stream
+
+    for chunk in chunks:
+        yielded = False
+        try:
+            for event in unpack_stream(chunk):
+                if (
+                    not isinstance(event, (list, tuple))
+                    or len(event) != 2
+                    or not isinstance(event[1], dict)
+                ):
+                    continue  # not a [ts, record] event — skip, keep reading
+                ts, record = event
+                try:
+                    yield record_to_row(ts, record, config, now)
+                    yielded = True
+                except FlattenError:
+                    continue
+        except MsgpackError:
+            if not yielded and bad_chunks is not None:
+                bad_chunks.append(chunk)
+            continue
+
+
+def decode_msgpack_dataframe(
+    raw: DataFrame,
+    config: EngineConfig | None = None,
+    content_column: str = "content",
+) -> DataFrame:
+    """Vectorized msgpack decode: DataFrame[content: binary] -> LOG_SCHEMA.
+
+    The binary twin of :func:`decode_dataframe` — one Arrow batch of chunk
+    blobs in, decoded rows out; pairs with ``stream.read_msgpack_chunk_stream``
+    (binaryFile source) for the reference's true ingest shape (S1).
+    """
+    cfg = config or _DEFAULT_CONFIG
+    cfg._force_set = set(cfg.force_number_fields)
+
+    if not raw.isStreaming:
+        parallelism = raw.sparkSession.sparkContext.defaultParallelism
+        if raw.rdd.getNumPartitions() < parallelism:
+            raw = raw.repartition(parallelism)
+
+    def _decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for batch in batches:
+            rows = list(decode_msgpack_events(batch[content_column].tolist(), cfg))
+            if not rows:
+                continue
+            yield pd.DataFrame(
+                {name: [r[name] for r in rows] for name in LOG_SCHEMA.fieldNames()}
+            )
+
+    return raw.mapInPandas(_decode, schema=LOG_SCHEMA)
+
+
 def decode_dataframe(
     raw: DataFrame,
     config: EngineConfig | None = None,

@@ -1,0 +1,157 @@
+"""Minimal pure-Python msgpack decoder for Fluent Bit chunk ingest (S1).
+
+The reference's actual wire input is a Fluent Bit msgpack chunk: back-to-back
+``[timestamp, record]`` events, where the timestamp is either an FLBTime ext
+value (type 0, 8 bytes: big-endian seconds + nanoseconds), a plain uint
+epoch, or — since Fluent Bit v2.1 — ``[[FLBTime, metadata], record]``
+(/root/reference/main.go:85-103, 238-244). No msgpack library ships in this
+environment, so this module implements the public msgpack spec
+(github.com/msgpack/msgpack/blob/master/spec.md) for DECODING only — small,
+dependency-free, and sufficient for every type Fluent Bit emits.
+
+Ext handling: type 0 ("event time") decodes to float epoch seconds
+(sec + nsec/1e9), which ``decode.extract_timestamp`` already accepts; any
+other ext type decodes to its raw payload bytes and stringifies downstream
+like every other undispatchable value.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Any, Iterator
+
+_F32 = struct.Struct(">f")
+_F64 = struct.Struct(">d")
+_FLBTIME = struct.Struct(">II")  # seconds, nanoseconds (flb_time ext payload)
+
+EVENT_TIME_EXT = 0
+
+
+class MsgpackError(ValueError):
+    """Malformed or truncated msgpack data."""
+
+
+def _decode_ext(ext_type: int, payload: bytes) -> Any:
+    if ext_type == EVENT_TIME_EXT and len(payload) == 8:
+        sec, nsec = _FLBTIME.unpack(payload)
+        return sec + nsec / 1e9
+    return payload
+
+
+def _unpack(buf: bytes, pos: int) -> tuple[Any, int]:
+    """Decode one object at ``pos``; return (value, next_pos)."""
+    try:
+        b = buf[pos]
+    except IndexError:
+        raise MsgpackError("truncated: no object at end of buffer") from None
+    pos += 1
+    # fix-family single bytes first (the overwhelmingly common cases)
+    if b <= 0x7F:                      # positive fixint
+        return b, pos
+    if b >= 0xE0:                      # negative fixint
+        return b - 0x100, pos
+    if 0xA0 <= b <= 0xBF:              # fixstr
+        n = b & 0x1F
+        return _take(buf, pos, n).decode("utf-8", "replace"), pos + n
+    if 0x80 <= b <= 0x8F:              # fixmap
+        return _unpack_map(buf, pos, b & 0x0F)
+    if 0x90 <= b <= 0x9F:              # fixarray
+        return _unpack_array(buf, pos, b & 0x0F)
+    if b == 0xC0:
+        return None, pos
+    if b == 0xC2:
+        return False, pos
+    if b == 0xC3:
+        return True, pos
+    if b == 0xCA:
+        return _F32.unpack_from(buf, _need(buf, pos, 4))[0], pos + 4
+    if b == 0xCB:
+        return _F64.unpack_from(buf, _need(buf, pos, 8))[0], pos + 8
+    if 0xCC <= b <= 0xCF:              # uint 8/16/32/64
+        n = 1 << (b - 0xCC)
+        return int.from_bytes(_take(buf, pos, n), "big"), pos + n
+    if 0xD0 <= b <= 0xD3:              # int 8/16/32/64
+        n = 1 << (b - 0xD0)
+        return int.from_bytes(_take(buf, pos, n), "big", signed=True), pos + n
+    if 0xD9 <= b <= 0xDB:              # str 8/16/32
+        n = 1 << (b - 0xD9)
+        ln = int.from_bytes(_take(buf, pos, n), "big")
+        pos += n
+        return _take(buf, pos, ln).decode("utf-8", "replace"), pos + ln
+    if 0xC4 <= b <= 0xC6:              # bin 8/16/32
+        n = 1 << (b - 0xC4)
+        ln = int.from_bytes(_take(buf, pos, n), "big")
+        pos += n
+        return _take(buf, pos, ln), pos + ln
+    if b == 0xDC or b == 0xDD:         # array 16/32
+        n = 2 if b == 0xDC else 4
+        ln = int.from_bytes(_take(buf, pos, n), "big")
+        return _unpack_array(buf, pos + n, ln)
+    if b == 0xDE or b == 0xDF:         # map 16/32
+        n = 2 if b == 0xDE else 4
+        ln = int.from_bytes(_take(buf, pos, n), "big")
+        return _unpack_map(buf, pos + n, ln)
+    if 0xD4 <= b <= 0xD8:              # fixext 1/2/4/8/16
+        ln = 1 << (b - 0xD4)
+        ext_type = _take(buf, pos, 1)[0]
+        payload = _take(buf, pos + 1, ln)
+        return _decode_ext(_signed8(ext_type), payload), pos + 1 + ln
+    if 0xC7 <= b <= 0xC9:              # ext 8/16/32
+        n = 1 << (b - 0xC7)
+        ln = int.from_bytes(_take(buf, pos, n), "big")
+        pos += n
+        ext_type = _take(buf, pos, 1)[0]
+        payload = _take(buf, pos + 1, ln)
+        return _decode_ext(_signed8(ext_type), payload), pos + 1 + ln
+    raise MsgpackError(f"unknown msgpack type byte 0x{b:02x}")
+
+
+def _signed8(x: int) -> int:
+    return x - 0x100 if x >= 0x80 else x
+
+
+def _need(buf: bytes, pos: int, n: int) -> int:
+    if pos + n > len(buf):
+        raise MsgpackError("truncated payload")
+    return pos
+
+
+def _take(buf: bytes, pos: int, n: int) -> bytes:
+    if pos + n > len(buf):
+        raise MsgpackError("truncated payload")
+    return buf[pos:pos + n]
+
+
+def _unpack_array(buf: bytes, pos: int, n: int) -> tuple[list, int]:
+    out = []
+    for _ in range(n):
+        v, pos = _unpack(buf, pos)
+        out.append(v)
+    return out, pos
+
+
+def _unpack_map(buf: bytes, pos: int, n: int) -> tuple[dict, int]:
+    out = {}
+    for _ in range(n):
+        k, pos = _unpack(buf, pos)
+        v, pos = _unpack(buf, pos)
+        out[k if isinstance(k, str) else str(k)] = v
+    return out, pos
+
+
+def unpack_one(buf: bytes) -> Any:
+    """Decode exactly one msgpack object (trailing bytes are an error)."""
+    v, pos = _unpack(buf, 0)
+    if pos != len(buf):
+        raise MsgpackError(f"{len(buf) - pos} trailing bytes after object")
+    return v
+
+
+def unpack_stream(buf: bytes) -> Iterator[Any]:
+    """Decode back-to-back msgpack objects — the Fluent Bit chunk layout
+    (one ``[timestamp, record]`` event after another, main.go:240-247)."""
+    pos = 0
+    end = len(buf)
+    while pos < end:
+        v, pos = _unpack(buf, pos)
+        yield v

@@ -49,6 +49,34 @@ def read_json_lines_stream(
     return reader.load(path)
 
 
+def read_msgpack_chunk_stream(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+    glob: str = "*.msgpack",
+) -> DataFrame:
+    """S1 true-to-reference variant: Fluent Bit msgpack chunk files.
+
+    The reference's real input is a msgpack chunk per flush
+    (main.go:238-247), not JSON lines; ``binaryFile`` streams each chunk
+    whole as a ``content`` blob, and ``decode.decode_msgpack_dataframe``
+    (pure-Python msgpack_lite, incl. FLBTime ext) replaces the JSON decode.
+    Pass the result to :func:`start_ingest`/:func:`run_ingest_once` with
+    ``input_format="msgpack"``.
+    """
+    reader = (
+        spark.readStream.format("binaryFile")
+        # binaryFile's schema is fixed, but the streaming source still
+        # requires it to be declared explicitly
+        .schema("path string, modificationTime timestamp, "
+                "length long, content binary")
+        .option("pathGlobFilter", glob)
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path).select("content")
+
+
 def read_kafka_stream(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -87,6 +115,7 @@ def start_ingest(
     query_name: str = "klogs-ingest",
     dead_letter_dir: str | None = None,
     metrics: "IngestMetrics | None" = None,
+    input_format: str = "json",
 ) -> StreamingQuery:
     """Wire decode -> sink inside foreachBatch and start the query.
 
@@ -106,7 +135,9 @@ def start_ingest(
         raise ValueError("checkpoint_dir is required (T2/T4 delivery semantics)")
 
     sink_fn = _resolve_sink(sink)
-    process_batch = _make_batch_processor(cfg, sink_fn, dead_letter_dir, metrics)
+    process_batch = _make_batch_processor(
+        cfg, sink_fn, dead_letter_dir, metrics, input_format
+    )
 
     return (
         raw_stream.writeStream.queryName(query_name)
@@ -213,6 +244,7 @@ def _make_batch_processor(
     sink_fn: Callable[[DataFrame, int], None],
     dead_letter_dir: str | None,
     metrics: "IngestMetrics | None" = None,
+    input_format: str = "json",
 ) -> Callable[[DataFrame, int], None]:
     """decode -> sink, with undecodable lines quarantined as text.
 
@@ -227,15 +259,33 @@ def _make_batch_processor(
     actually flushed, and ``flush_time_seconds`` times decode+sink. (A
     StreamingQueryListener would need the py4j callback server, which
     headless drivers may not run.)
+
+    ``input_format``: "json" (one JSON event per ``value`` line) or
+    "msgpack" (one Fluent Bit chunk per ``content`` blob, the reference's
+    true wire shape). The dead-letter channel is line-granular and only
+    meaningful for json; msgpack chunk failures are warn-and-drop like the
+    reference (main.go:251-254). Note the raw input count is per DataFrame
+    row, i.e. per CHUNK for msgpack (the reference counts per record,
+    main.go:246) — batch_size still reports decoded records.
     """
+    if input_format not in ("json", "msgpack"):
+        raise ValueError(f"unknown input_format: {input_format!r}")
+    if input_format == "msgpack" and dead_letter_dir:
+        raise ValueError("dead_letter_dir is json-only (msgpack chunks are "
+                         "warn-and-drop, reference main.go:251-254)")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         import time as _time
 
+        from .decode import decode_msgpack_dataframe
+
         t0 = _time.perf_counter()
         if metrics is not None:
             batch_df = batch_df.persist()
-        decoded = decode_dataframe(batch_df, cfg)
+        if input_format == "msgpack":
+            decoded = decode_msgpack_dataframe(batch_df, cfg)
+        else:
+            decoded = decode_dataframe(batch_df, cfg)
         if metrics is not None:
             decoded = decoded.persist()
         try:
@@ -299,6 +349,7 @@ def run_ingest_once(
     checkpoint_dir: str | None = None,
     dead_letter_dir: str | None = None,
     metrics: "IngestMetrics | None" = None,
+    input_format: str = "json",
 ) -> None:
     """Drain everything currently available, then stop (availableNow).
 
@@ -312,7 +363,7 @@ def run_ingest_once(
         raise ValueError("checkpoint_dir is required")
 
     process_batch = _make_batch_processor(
-        cfg, _resolve_sink(sink), dead_letter_dir, metrics
+        cfg, _resolve_sink(sink), dead_letter_dir, metrics, input_format
     )
     q = (
         raw_stream.writeStream.foreachBatch(process_batch)

@@ -1,0 +1,181 @@
+"""msgpack chunk ingest (S1 true-to-reference shape, SURVEY §2.1).
+
+No msgpack library ships in this environment, so these tests synthesize
+chunks with a tiny test-only ENCODER and drive them through the pure-Python
+decoder (klogs_spark.msgpack_lite) and the full ingest path — FLBTime ext
+timestamps and the Fluent Bit >=2.1 nested [[ts, metadata], record] shape
+included (reference main.go:85-103, 238-247)."""
+
+from __future__ import annotations
+
+import struct
+from datetime import datetime
+
+import pytest
+
+from klogs_spark.config import EngineConfig
+from klogs_spark.decode import decode_msgpack_events
+from klogs_spark.msgpack_lite import MsgpackError, unpack_one, unpack_stream
+
+
+# --- test-only encoder (subset sufficient for Fluent Bit shapes) ------------
+def pack(obj) -> bytes:
+    if obj is None:
+        return b"\xc0"
+    if obj is True:
+        return b"\xc3"
+    if obj is False:
+        return b"\xc2"
+    if isinstance(obj, int):
+        if 0 <= obj <= 0x7F:
+            return bytes([obj])
+        if -32 <= obj < 0:
+            return bytes([obj & 0xFF])
+        if obj >= 0:
+            return b"\xcf" + obj.to_bytes(8, "big")
+        return b"\xd3" + obj.to_bytes(8, "big", signed=True)
+    if isinstance(obj, float):
+        return b"\xcb" + struct.pack(">d", obj)
+    if isinstance(obj, str):
+        raw = obj.encode()
+        if len(raw) <= 31:
+            return bytes([0xA0 | len(raw)]) + raw
+        return b"\xd9" + bytes([len(raw)]) + raw
+    if isinstance(obj, bytes):
+        return b"\xc4" + bytes([len(obj)]) + obj
+    if isinstance(obj, (list, tuple)):
+        assert len(obj) <= 15
+        return bytes([0x90 | len(obj)]) + b"".join(pack(x) for x in obj)
+    if isinstance(obj, dict):
+        assert len(obj) <= 15
+        return bytes([0x80 | len(obj)]) + b"".join(
+            pack(k) + pack(v) for k, v in obj.items()
+        )
+    raise TypeError(type(obj))
+
+
+def flbtime(sec: int, nsec: int = 0) -> bytes:
+    """fixext8, ext type 0 — Fluent Bit's event-time representation."""
+    return b"\xd7\x00" + struct.pack(">II", sec, nsec)
+
+
+def test_unpack_scalar_types_roundtrip():
+    for obj in [None, True, False, 0, 5, 127, -1, -32, 1 << 40, -(1 << 40),
+                3.25, "", "hi", "x" * 40, b"\x01\x02"]:
+        assert unpack_one(pack(obj)) == obj
+
+
+def test_unpack_nested_and_big_collections():
+    obj = {"a": [1, "two", None, {"b": False}], "c": {"d": [3.5]}}
+    assert unpack_one(pack(obj)) == obj
+    # array16/map16 paths (>15 elements, hand-built headers)
+    arr = b"\xdc" + (20).to_bytes(2, "big") + b"".join(pack(i) for i in range(20))
+    assert unpack_one(arr) == list(range(20))
+    mp = b"\xde" + (17).to_bytes(2, "big") + b"".join(
+        pack(f"k{i}") + pack(i) for i in range(17)
+    )
+    assert unpack_one(mp) == {f"k{i}": i for i in range(17)}
+
+
+def test_unpack_flbtime_ext_to_epoch_float():
+    assert unpack_one(flbtime(1700000000, 500_000_000)) == pytest.approx(
+        1700000000.5
+    )
+    # unknown ext types pass through as raw bytes
+    assert unpack_one(b"\xd4\x07\xaa") == b"\xaa"
+
+
+def test_unpack_stream_back_to_back_events():
+    chunk = pack([1, {"log": "a"}]) + pack([2, {"log": "b"}])
+    assert list(unpack_stream(chunk)) == [[1, {"log": "a"}], [2, {"log": "b"}]]
+
+
+def test_unpack_truncated_raises():
+    with pytest.raises(MsgpackError):
+        unpack_one(pack({"a": 1})[:-1])
+    with pytest.raises(MsgpackError):
+        unpack_one(pack("hi") + b"\x00")  # trailing bytes
+
+
+def flbtime_event(sec: int, record: dict) -> bytes:
+    return bytes([0x92]) + flbtime(sec) + pack(record)  # [FLBTime, record]
+
+
+def test_decode_msgpack_events_all_timestamp_shapes():
+    """FLBTime ext, uint epoch, and the v2.1 [[ts, metadata], record] nesting
+    all land on the same event time (main.go:85-103)."""
+    rec = {"log": "l", "kubernetes": {"namespace_name": "ns"}, "n": 2}
+    # v2.1 form: [[FLBTime, metadata], record], built from raw parts
+    nested = (
+        bytes([0x92])
+        + (bytes([0x92]) + flbtime(1700000000) + pack({"meta": 1}))
+        + pack(rec)
+    )
+    chunk = flbtime_event(1700000000, rec) + pack([1700000000, rec]) + nested
+    rows = list(decode_msgpack_events([chunk], EngineConfig()))
+    assert len(rows) == 3
+    expected = datetime.utcfromtimestamp(1700000000)
+    assert all(r["timestamp"] == expected for r in rows)
+    assert all(r["namespace"] == "ns" for r in rows)
+    assert all(r["fields_number"]["n"] == 2.0 for r in rows)
+    assert all(r["log"] == "l" for r in rows)
+
+
+def test_decode_msgpack_events_bad_chunk_quarantined():
+    bad = b"\xc1\xff\xff"  # 0xc1 is the one never-used msgpack byte
+    good = pack([3, {"log": "ok"}])
+    bad_chunks: list[bytes] = []
+    rows = list(decode_msgpack_events([bad, good], EngineConfig(),
+                                      bad_chunks=bad_chunks))
+    assert [r["log"] for r in rows] == ["ok"]
+    assert bad_chunks == [bad]
+
+
+def test_decode_msgpack_events_non_event_objects_skipped():
+    chunk = pack("stray") + pack([1, {"log": "kept"}]) + pack([1, 2, 3])
+    rows = list(decode_msgpack_events([chunk], EngineConfig()))
+    assert [r["log"] for r in rows] == ["kept"]
+
+
+def test_msgpack_ingest_end_to_end(spark, tmp_path):
+    """binaryFile stream of .msgpack chunk files -> decode -> logs table."""
+    from klogs_spark.stream import read_msgpack_chunk_stream, run_ingest_once
+    from klogs_spark.table import read_logs
+
+    d = tmp_path / "chunks"
+    d.mkdir()
+    for c in range(2):
+        events = b"".join(
+            pack([
+                1755043200 + c * 10 + i,
+                {
+                    "cluster": "kind",
+                    "kubernetes": {"namespace_name": f"ns-{i % 2}",
+                                   "pod_name": f"p{c}-{i}"},
+                    "log": f"line {c}-{i}",
+                    "content": {"level": "info", "duration": 1.5 * i},
+                },
+            ])
+            for i in range(10)
+        )
+        (d / f"chunk-{c}.msgpack").write_bytes(events)
+    out = str(tmp_path / "logs")
+    stream = read_msgpack_chunk_stream(spark, str(d))
+    run_ingest_once(stream, out, EngineConfig(),
+                    checkpoint_dir=str(tmp_path / "ckpt"),
+                    input_format="msgpack")
+    logs = read_logs(spark, out)
+    assert logs.count() == 20
+    row = logs.filter("pod_name = 'p1-3'").collect()[0]
+    assert row.namespace == "ns-1"
+    assert row.fields_number["content_duration"] == pytest.approx(4.5)
+    assert row.log == "line 1-3"
+
+
+def test_msgpack_dead_letter_rejected():
+    from klogs_spark.stream import _make_batch_processor
+
+    with pytest.raises(ValueError, match="json-only"):
+        _make_batch_processor(EngineConfig(), lambda df, i: None,
+                              dead_letter_dir="/tmp/x",
+                              input_format="msgpack")

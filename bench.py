@@ -66,7 +66,10 @@ def main() -> None:
     with tempfile.TemporaryDirectory(prefix="bench-warm-") as warm_dir:
         spark.range(1_000).write.mode("overwrite").parquet(warm_dir + "/w")
 
-    trials = int(os.environ.get("BENCH_TRIALS", "2"))
+    # best-of-5 default: round-4 data showed ±53% swings on UNCHANGED code
+    # with single-shot timing — the box is noisy (co-tenants, thermal), and
+    # only the min over several trials is comparable across rounds.
+    trials = int(os.environ.get("BENCH_TRIALS", "5"))
     timings: dict[str, float] = {}
 
     # Materialized-table section: write the logs view ONCE as the engine's
@@ -95,9 +98,17 @@ def main() -> None:
             warm_dir + "/w",
             mode="overwrite",
         )
-    t0 = time.perf_counter()
-    write_logs(derive_logs_from_events(spark, sf_dir), table_dir, mode="overwrite")
-    timings["table_write_logs"] = round(time.perf_counter() - t0, 3)
+    # best-of-N like everything else: r4 proved single-shot timings on this
+    # box swing ±50% on unchanged code, so one sample cannot distinguish a
+    # real regression under ~2x
+    best = float("inf")
+    for _ in range(max(trials, 1)):
+        t0 = time.perf_counter()
+        write_logs(derive_logs_from_events(spark, sf_dir), table_dir,
+                   mode="overwrite")
+        best = min(best, time.perf_counter() - t0)
+    timings["table_write_logs"] = round(best, 3)
+    print(f"# table_write_logs: {best:.3f}s", file=sys.stderr)
 
     logs_table = read_logs(spark, table_dir)
 
@@ -152,6 +163,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
+                "trials": trials,
+                "timing": "best-of-N per query (single-shot swings up to "
+                          "+/-50% on this box with unchanged code)",
             }
         )
     )

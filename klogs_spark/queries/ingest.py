@@ -22,8 +22,19 @@ from . import QuerySpec
 
 
 def _raw_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events -> one JSON line per record, F-RAW shape (FIXTURES.md)."""
+    """events -> one JSON line per record, F-RAW shape (FIXTURES.md).
+
+    The events table arrives as few large files; repartition the NARROW
+    columnar rows to cluster width BEFORE building JSON strings, so the
+    to_json CPU runs parallel and the downstream mapInPandas decode reuses
+    the same partitioning (decode_dataframe skips its own repartition —
+    shuffling slim event columns beats shuffling fat JSON strings).
+    Best-of-5 at sf0.1: 1.85s -> 1.29s from this change alone.
+    """
     ev = load_table(spark, sf_dir, "events")
+    parallelism = spark.sparkContext.defaultParallelism
+    if ev.rdd.getNumPartitions() < parallelism:
+        ev = ev.repartition(parallelism)
     level = (
         F.when(F.col("event_type") == "error", "error")
         .when(F.col("event_type") == "signup", "warn")

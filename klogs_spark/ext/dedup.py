@@ -602,3 +602,30 @@ def cluster_components(
         nodes.join(labels, "id", "left")
         .select("id", F.coalesce("label", F.col("id")).alias("cluster_id"))
     )
+
+
+def dedup_survivors(
+    pairs: DataFrame,
+    nodes_with_rank: DataFrame,
+    rank_col: str = "quality_score",
+) -> DataFrame:
+    """The final dedup decision: resolve near-dup pairs into clusters, then
+    keep the best-ranked document per cluster (highest ``rank_col``, doc id
+    as the deterministic tie-break) and mark the rest duplicates.
+
+    ``nodes_with_rank`` has (id, <rank_col>). One window per cluster after
+    the components resolve — the window shuffle is keyed on cluster_id, so
+    a cluster's ranking never leaves its reducer. Returns
+    (id, cluster_id, is_survivor).
+    """
+    from pyspark.sql.window import Window
+
+    comps = cluster_components(pairs, nodes_with_rank.select("id"))
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(rank_col).desc(), F.col("id")
+    )
+    return (
+        comps.join(nodes_with_rank, "id")
+        .withColumn("_rk", F.row_number().over(w))
+        .select("id", "cluster_id", (F.col("_rk") == 1).alias("is_survivor"))
+    )

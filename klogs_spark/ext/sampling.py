@@ -48,6 +48,32 @@ def top_n_per_group(
     )
 
 
+def stratified_sample_k(
+    df: DataFrame,
+    strata: str,
+    key: Column | str,
+    k: int,
+) -> DataFrame:
+    """Deterministic stratified sampling: exactly min(k, |stratum|) rows per
+    stratum, chosen by hash rank — a fixed-size random-looking sample that
+    reproduces bit-for-bit on any cluster and never uses rand().
+
+    Complements :func:`hash_sample` (fractional, stratum-blind) and
+    :func:`top_n_per_group` (value-ordered): here the ranking key is the
+    content hash, so within each stratum the pick is uniform over content.
+    One window shuffle keyed on the stratum column; no stratum's ranking
+    leaves its reducer.
+    """
+    key_col = F.col(key) if isinstance(key, str) else key
+    h = md5_long(key_col.cast("string"))
+    w = Window.partitionBy(strata).orderBy(h, key_col.cast("string"))
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
 def pack_by_token_budget(
     df: DataFrame,
     token_col: str,

@@ -126,6 +126,49 @@ def language_id(df: DataFrame, text_col: str = "text",
     )
 
 
+# Composite-filter thresholds (quality_filter). Integer ppm / rounded-score
+# comparisons so both engines decide identically; values chosen to trip each
+# rule on a real fraction of the synthetic corpus.
+FILTER_MIN_TOKENS = 20
+FILTER_MAX_TOP_TOKEN_PPM = 130_000
+FILTER_MIN_QUALITY = 0.55
+
+
+def quality_filter(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """The composite keep/drop decision a pretraining corpus filter makes,
+    with the reject reason — length gate, Gopher-style repetition gate,
+    quality-score gate, language gate, evaluated in that fixed order.
+
+    Composes quality_features + repetition_features + language_id by id
+    (three id-keyed shuffles over corpus-linear intermediates — no new join
+    shapes). All compared values are integers or already-rounded scores, so
+    the decision replicates exactly in the oracle.
+    Returns (id, keep, reason, n_tokens, top_token_ppm, quality_score).
+    """
+    q = quality_features(df, text_col, id_col)
+    rep = repetition_features(df, text_col, id_col).select(
+        "id", "top_token_ppm"
+    )
+    lang = language_id(df, text_col, id_col).select("id", "predicted_lang")
+    j = q.join(rep, "id").join(lang, "id")
+    reason = (
+        F.when(F.col("n_tokens") < FILTER_MIN_TOKENS, "too_short")
+        .when(F.col("top_token_ppm") >= FILTER_MAX_TOP_TOKEN_PPM, "repetitive")
+        .when(F.col("quality_score") < FILTER_MIN_QUALITY, "low_quality")
+        .when(F.col("predicted_lang") == "und", "unknown_lang")
+        .otherwise("kept")
+    )
+    return j.select(
+        "id",
+        (reason == "kept").alias("keep"),
+        reason.alias("reason"),
+        "n_tokens",
+        "top_token_ppm",
+        "quality_score",
+    )
+
+
 def tfidf_doc_scores(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """Corpus-relative rarity score per document: mean inverse document

@@ -799,6 +799,152 @@ FROM scored
 """
 
 
+def _gram_cte(n: int, tag: str) -> str:
+    if n == 1:
+        grams = f"g{tag} AS (SELECT id, unnest(tk) AS gram FROM tk)"
+    else:
+        grams = (
+            f"g{tag} AS (SELECT id, unnest(list_transform("
+            f"generate_series(0, len(tk) - {n}), "
+            f"i -> array_to_string(tk[i+1:i+{n}], ' '))) AS gram "
+            f"FROM tk WHERE len(tk) >= {n})"
+        )
+    return (
+        grams
+        + f""",
+s{tag} AS (
+  SELECT id, sum(c) AS total, max(c) AS top, count(*) AS dist
+  FROM (SELECT id, gram, count(*) AS c FROM g{tag} GROUP BY 1, 2)
+  GROUP BY id
+)"""
+    )
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.quality_filter(load_table(spark, sf_dir, "documents"))
+
+
+SQL_QUALITY_FILTER = f"""
+WITH {TOKENS_CTE},
+{_gram_cte(1, 'f')},
+feat AS (
+  SELECT d.doc_id AS id, length(d.text) AS n_chars, len(t.tk) AS n_tokens,
+         len(list_filter(t.tk, x -> x IN ({_EN_STOPS}))) AS n_stop,
+         len(regexp_extract_all(d.text, '[^A-Za-z0-9 ]')) AS n_punct
+  FROM documents d JOIN tk t ON d.doc_id = t.id
+),
+qs AS (
+  SELECT id, n_tokens,
+         round(0.4 * least(n_tokens / 50.0, 1.0)
+             + 0.3 * least(n_stop / CAST(greatest(n_tokens, 1) AS DOUBLE) * 5,
+                           1.0)
+             + 0.3 * (1 - least(n_punct / CAST(greatest(n_chars, 1) AS DOUBLE)
+                                * 10, 1.0)), 6) AS quality_score
+  FROM feat
+),
+rep AS (SELECT id, CAST(top * 1000000 // total AS BIGINT) AS top_token_ppm
+        FROM sf),
+lang AS (SELECT id, list_aggregate([{_LANG_STRUCTS}], 'max') AS best FROM tk),
+decided AS (
+  SELECT q.id, q.n_tokens, r.top_token_ppm, q.quality_score,
+         CASE WHEN q.n_tokens < {tx.FILTER_MIN_TOKENS} THEN 'too_short'
+              WHEN r.top_token_ppm >= {tx.FILTER_MAX_TOP_TOKEN_PPM}
+                THEN 'repetitive'
+              WHEN q.quality_score < {tx.FILTER_MIN_QUALITY}
+                THEN 'low_quality'
+              WHEN NOT (l.best.score > 0) THEN 'unknown_lang'
+              ELSE 'kept' END AS reason
+  FROM qs q JOIN rep r ON q.id = r.id JOIN lang l ON q.id = l.id
+)
+SELECT id, reason = 'kept' AS keep, reason,
+       n_tokens, top_token_ppm, quality_score
+FROM decided
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 20 hash-ranked docs per source — fixed-size deterministic
+    stratified sampling (ext.sampling.stratified_sample_k)."""
+    from ..ext.sampling import stratified_sample_k
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample_k(docs, "source", "doc_id", 20).select(
+        "source", "doc_id", "n_chars"
+    )
+
+
+SQL_STRATIFIED_SAMPLE = f"""
+SELECT source, doc_id, n_chars FROM (
+  SELECT source, doc_id, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY {md5_long_sql("CAST(doc_id AS VARCHAR)")},
+                    CAST(doc_id AS VARCHAR)) AS rk
+  FROM documents
+) WHERE rk <= 20
+"""
+
+
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup decision: exact 3-gram Jaccard pairs -> connected
+    components -> keep the highest-quality doc per cluster."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.jaccard_pairs(dd.doc_shingles(docs), min_jaccard=NGRAM_JACCARD)
+    ranked = tx.quality_features(docs).select("id", "quality_score")
+    return dd.dedup_survivors(pairs, ranked)
+
+
+SQL_DEDUP_SURVIVORS = f"""
+WITH RECURSIVE {SHINGLES_CTE},
+sizes AS (SELECT id, count(*) AS sz FROM hs GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT i.id_a, i.id_b
+  FROM inter i JOIN sizes sa ON i.id_a = sa.id JOIN sizes sb ON i.id_b = sb.id
+  WHERE round(i.n * 1.0 / (sa.sz + sb.sz - i.n), 6) >= {NGRAM_JACCARD}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT src AS node, src AS r FROM edges
+  UNION
+  SELECT reach.node, e.dst FROM reach JOIN edges e ON e.src = reach.r
+),
+comp AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),
+clusters AS (
+  SELECT d.doc_id AS id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+),
+feat AS (
+  SELECT d.doc_id AS id, length(d.text) AS n_chars, len(t.tk) AS n_tokens,
+         len(list_filter(t.tk, x -> x IN ({_EN_STOPS}))) AS n_stop,
+         len(regexp_extract_all(d.text, '[^A-Za-z0-9 ]')) AS n_punct
+  FROM documents d JOIN tk t ON d.doc_id = t.id
+),
+qs AS (
+  SELECT id,
+         round(0.4 * least(n_tokens / 50.0, 1.0)
+             + 0.3 * least(n_stop / CAST(greatest(n_tokens, 1) AS DOUBLE) * 5,
+                           1.0)
+             + 0.3 * (1 - least(n_punct / CAST(greatest(n_chars, 1) AS DOUBLE)
+                                * 10, 1.0)), 6) AS quality_score
+  FROM feat
+)
+SELECT id, cluster_id, rk = 1 AS is_survivor FROM (
+  SELECT cl.id, cl.cluster_id,
+         ROW_NUMBER() OVER (PARTITION BY cl.cluster_id
+                            ORDER BY q.quality_score DESC, cl.id) AS rk
+  FROM clusters cl JOIN qs q ON cl.id = q.id
+)
+"""
+
+
 def q_tfidf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.tfidf_doc_scores(load_table(spark, sf_dir, "documents"))
 
@@ -871,27 +1017,6 @@ LIMIT 20
 
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.repetition_features(load_table(spark, sf_dir, "documents"))
-
-
-def _gram_cte(n: int, tag: str) -> str:
-    if n == 1:
-        grams = f"g{tag} AS (SELECT id, unnest(tk) AS gram FROM tk)"
-    else:
-        grams = (
-            f"g{tag} AS (SELECT id, unnest(list_transform("
-            f"generate_series(0, len(tk) - {n}), "
-            f"i -> array_to_string(tk[i+1:i+{n}], ' '))) AS gram "
-            f"FROM tk WHERE len(tk) >= {n})"
-        )
-    return (
-        grams
-        + f""",
-s{tag} AS (
-  SELECT id, sum(c) AS total, max(c) AS top, count(*) AS dist
-  FROM (SELECT id, gram, count(*) AS c FROM g{tag} GROUP BY 1, 2)
-  GROUP BY id
-)"""
-    )
 
 
 SQL_TEXT_REPETITION = f"""
@@ -1215,6 +1340,18 @@ SPECS = {
                                       "ANN index bucket occupancy"),
     "sample_hash_deterministic": QuerySpec(q_hash_sample, SQL_HASH_SAMPLE,
                                            "content-hash reproducible sampling"),
+    "sample_stratified_k": QuerySpec(q_stratified_sample,
+                                     SQL_STRATIFIED_SAMPLE,
+                                     "fixed-k hash-ranked stratified sample "
+                                     "per source"),
+    "text_quality_filter": QuerySpec(q_quality_filter, SQL_QUALITY_FILTER,
+                                     "composite keep/drop filter with reject "
+                                     "reasons (length/repetition/quality/"
+                                     "language gates)"),
+    "dedup_survivor_selection": QuerySpec(q_dedup_survivors,
+                                          SQL_DEDUP_SURVIVORS,
+                                          "pairs -> clusters -> best-quality "
+                                          "survivor per cluster"),
     "sample_balance_sources": QuerySpec(q_balance_sources, SQL_BALANCE_SOURCES,
                                         "per-source top-N corpus balancing"),
     "multimodal_features": QuerySpec(q_multimodal_features,

@@ -256,12 +256,15 @@ def test_no_cache_leak_when_sink_fails(spark, raw_dir, tmp_path):
     def always_fail(batch_df, batch_id):
         raise RuntimeError("injected sink failure")
 
+    # other tests in the session legitimately cache (minhash tables etc.) —
+    # assert THIS ingest run leaves no additional persisted RDDs behind
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
     m = IngestMetrics()
     with pytest.raises(StreamingQueryException):
         run_ingest_once(read_json_lines_stream(spark, raw_dir), always_fail,
                         checkpoint_dir=str(tmp_path / "ckpt"), metrics=m)
     assert m.errors_total == 1
-    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == before
 
 
 def test_at_least_once_on_sink_failure(spark, raw_dir, tmp_path):

@@ -60,10 +60,28 @@ def test_bucketed_candidate_paths_never_cross_join(spark):
     here is the O(n²) bug the bucketing exists to prevent."""
     for name in ("dedup_minhash_lsh", "dedup_simhash_pairs",
                  "dedup_embedding_lsh", "join_events_asof_orders",
-                 "join_events_range_pairs"):
+                 "join_events_range_pairs", "dedup_paragraph_minhash"):
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_q15_scalar_max_is_broadcast_not_subquery(spark):
+    """Q15's max(total_revenue) threshold must join as a broadcast of the
+    1-row aggregate (and the supplier dim must broadcast) — never a
+    sort-merge join or a re-evaluated correlated subquery."""
+    plan = _plan(spark, "tpch_q15_top_supplier")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_quality_filter_joins_stay_equi(spark):
+    """The composite filter composes three per-id feature tables; all joins
+    are id-keyed equi joins (hash or broadcast), never nested-loop."""
+    plan = _plan(spark, "text_quality_filter")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_logs_table_partition_filter_prunes(spark, tmp_path):

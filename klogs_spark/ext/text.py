@@ -196,6 +196,37 @@ def tfidf_doc_scores(df: DataFrame, text_col: str = "text",
     )
 
 
+def unigram_logprob_scores(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Perplexity-proxy filter (the CCNet-style LM quality signal with the
+    corpus itself as the unigram model): per-doc mean negative log
+    probability of its tokens under corpus unigram frequencies. Unusually
+    improbable docs (high mean NLL) are the ones a real LM filter drops.
+
+    Same two-shuffle shape as tfidf_doc_scores: token->count aggregate
+    (map-side combined), then an equi-join back onto the doc's tokens and a
+    per-doc mean — corpus-linear, no cross joins. The total-token count is
+    a 1-row aggregate broadcast into the probability expression.
+    Returns (id, n_tokens, mean_nll), NLL rounded at 6.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("tk")
+    ).select("id", F.explode("tk").alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").alias("_total"))
+    nll = freq.join(F.broadcast(total)).select(
+        "tok", (-F.log(F.col("c") / F.col("_total"))).alias("nll")
+    )
+    return (
+        toks.join(nll, "tok")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("nll"), 6).alias("mean_nll"),
+        )
+    )
+
+
 def contamination_check(docs: DataFrame, probes: DataFrame,
                         text_col: str = "text", id_col: str = "doc_id",
                         probe_id: str = "probe_id",

@@ -963,6 +963,22 @@ GROUP BY t.id
 """
 
 
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.unigram_logprob_scores(load_table(spark, sf_dir, "documents"))
+
+
+SQL_UNIGRAM_LOGPROB = f"""
+WITH {TOKENS_CTE},
+toks AS (SELECT id, unnest(tk) AS tok FROM tk),
+freq AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+tot AS (SELECT sum(c) AS total FROM freq),
+nll AS (SELECT tok, -ln(c / CAST(tot.total AS DOUBLE)) AS nll FROM freq, tot)
+SELECT t.id, count(*) AS n_tokens, round(avg(n.nll), 6) AS mean_nll
+FROM toks t JOIN nll n ON t.tok = n.tok
+GROUP BY t.id
+"""
+
+
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Probes derived deterministically from the corpus itself: the first 5
     tokens of docs 0-4 (so some docs must match their own probe, and near-dup
@@ -1348,6 +1364,9 @@ SPECS = {
                                      "composite keep/drop filter with reject "
                                      "reasons (length/repetition/quality/"
                                      "language gates)"),
+    "text_unigram_logprob": QuerySpec(q_unigram_logprob, SQL_UNIGRAM_LOGPROB,
+                                      "CCNet-style unigram mean-NLL "
+                                      "perplexity proxy"),
     "dedup_survivor_selection": QuerySpec(q_dedup_survivors,
                                           SQL_DEDUP_SURVIVORS,
                                           "pairs -> clusters -> best-quality "

@@ -350,7 +350,10 @@ def decode_msgpack_events(
                     yielded = True
                 except FlattenError:
                     continue
-        except MsgpackError:
+        except (MsgpackError, RecursionError):
+            # RecursionError: pathologically deep nesting overflows the
+            # decoder stack — treat like any malformed chunk (the JSON path
+            # guards decode_json_lines the same way)
             if not yielded and bad_chunks is not None:
                 bad_chunks.append(chunk)
             continue

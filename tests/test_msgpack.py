@@ -121,6 +121,18 @@ def test_decode_msgpack_events_all_timestamp_shapes():
     assert all(r["log"] == "l" for r in rows)
 
 
+def test_decode_msgpack_events_deep_nesting_does_not_kill_batch():
+    """A pathologically nested chunk (decoder recursion overflow) is dropped
+    like any malformed chunk instead of killing the whole Arrow batch."""
+    deep = b"\x91" * 50_000 + b"\xc0"  # [[[...null...]]] nested 50k deep
+    good = pack([3, {"log": "ok"}])
+    bad: list[bytes] = []
+    rows = list(decode_msgpack_events([deep, good], EngineConfig(),
+                                      bad_chunks=bad))
+    assert [r["log"] for r in rows] == ["ok"]
+    assert bad == [deep]
+
+
 def test_decode_msgpack_events_bad_chunk_quarantined():
     bad = b"\xc1\xff\xff"  # 0xc1 is the one never-used msgpack byte
     good = pack([3, {"log": "ok"}])

@@ -137,29 +137,24 @@ WM_END = f"{WM_DAY} 12:00:00"
 WM_SENTINEL = "2024-01-11 12:00:00"
 
 
-def q_stream_windowed_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T5 watermark semantics under a REAL Structured Streaming run, checked
-    against a batch oracle. Three deterministic micro-batches through
-    ``streaming_ext.windowed_counts`` (1h tumbling windows, 10 min watermark,
-    append mode):
+def _drive_three_batch_stream(spark: SparkSession, sf_dir: str, build_agg):
+    """Shared watermark test-bench: run ``build_agg(stream_df)`` through a
+    REAL Structured Streaming query over three deterministic micro-batches
+    (append mode, parquet sink), and return the emitted rows' path.
 
     1. on-time rows  [06:00, 12:00) of WM_DAY  -> watermark advances to
-       max(ts)-10min (~11:46, no window-boundary ties on this data);
+       max(ts)-10min (~11:46, no boundary ties on this data);
     2. late rows     [00:00, 06:00)            -> ALL below the watermark,
-       dropped by the engine — the oracle simply excludes them;
+       dropped by the engine — oracles simply exclude them;
     3. a sentinel row a day ahead              -> pushes the watermark past
-       every real window so append mode finalizes and emits them all; the
-       sentinel's own window stays open forever and never emits.
+       every real window/session so append mode finalizes and emits them;
+       the sentinel's own state stays open forever and never emits.
 
-    The oracle is the plain hourly GROUP BY over the on-time rows only —
-    equality proves late-drop, window finalization, and no-sentinel-leak in
-    one hash. Each drain is an ``availableNow`` run over a file-source
-    directory grown by exactly one write, so batch boundaries (and therefore
-    watermark advancement) are fully deterministic.
+    Each drain is an ``availableNow`` run over a file-source directory grown
+    by exactly one write, so batch boundaries (and therefore watermark
+    advancement) are fully deterministic.
     """
     import tempfile
-
-    from ..streaming_ext import windowed_counts
 
     ev = load_table(spark, sf_dir, "events")
     logs = ev.select(
@@ -187,12 +182,8 @@ def q_stream_windowed_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream = spark.readStream.schema(
             "timestamp timestamp, namespace string"
         ).parquet(src)
-        agg = windowed_counts(
-            stream, bucket="1 hour", watermark="10 minutes",
-            dims=("namespace",),
-        )
         q = (
-            agg.writeStream.outputMode("append")
+            build_agg(stream).writeStream.outputMode("append")
             .format("parquet")
             .option("path", outp)
             .option("checkpointLocation", ckpt)
@@ -204,7 +195,23 @@ def q_stream_windowed_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     for batch in (on_time, late, sentinel):
         batch.coalesce(1).write.mode("append").parquet(src)
         drain()
+    return outp
 
+
+def q_stream_windowed_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 watermark semantics under a REAL Structured Streaming run: 1h
+    tumbling-window counts, 10 min watermark, append mode, three
+    deterministic batches (see _drive_three_batch_stream). The oracle is the
+    plain hourly GROUP BY over the on-time rows only — equality proves
+    late-drop, window finalization, and no-sentinel-leak in one hash."""
+    from ..streaming_ext import windowed_counts
+
+    outp = _drive_three_batch_stream(
+        spark, sf_dir,
+        lambda s: windowed_counts(
+            s, bucket="1 hour", watermark="10 minutes", dims=("namespace",)
+        ),
+    )
     return spark.read.parquet(outp).select(
         "window_start", "window_end", "namespace", "cnt"
     )
@@ -221,6 +228,57 @@ GROUP BY 1, 2, 3
 """
 
 
+SESSION_GAP_S = 900  # 15 minutes
+
+
+def q_stream_session_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 session windows under a real watermarked stream: per-namespace
+    ``session_window`` sessions (15 min gap) over the same three-batch bench.
+    The oracle is batch gap-sessionization over the on-time rows — new
+    session when the gap >= 15 min, exactly Spark's merge rule (windows
+    merge only while next.start < prev.end). Proves session merging, late
+    drop, and watermark finalization externally, not just in unit tests."""
+    from ..streaming_ext import session_counts
+
+    outp = _drive_three_batch_stream(
+        spark, sf_dir,
+        lambda s: session_counts(
+            s, gap="15 minutes", watermark="10 minutes", key="namespace"
+        ),
+    )
+    return spark.read.parquet(outp).select(
+        "session_start", "session_end", "namespace", "n_events"
+    )
+
+
+SQL_STREAM_SESSION_WATERMARK = f"""
+WITH ontime AS (
+  SELECT ts, 'ns-' || CAST(user_id % 5 AS VARCHAR) AS namespace
+  FROM events
+  WHERE ts >= TIMESTAMP '{WM_SPLIT}' AND ts < TIMESTAMP '{WM_END}'
+),
+flagged AS (
+  SELECT namespace, ts,
+         CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) IS NULL
+                OR epoch(ts) - epoch(LAG(ts) OVER w) >= {SESSION_GAP_S}
+              THEN 1 ELSE 0 END AS new_s
+  FROM ontime WINDOW w AS (PARTITION BY namespace ORDER BY ts)
+),
+sess AS (
+  SELECT namespace, ts,
+         SUM(new_s) OVER (PARTITION BY namespace ORDER BY ts
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM flagged
+)
+SELECT min(ts) AS session_start,
+       max(ts) + INTERVAL {SESSION_GAP_S} SECOND AS session_end,
+       namespace,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM sess GROUP BY namespace, session_id
+"""
+
+
 SPECS = {
     "ingest_decode_pipeline": QuerySpec(
         q_ingest_pipeline,
@@ -232,5 +290,11 @@ SPECS = {
         SQL_STREAM_WINDOWED_WATERMARK,
         "watermarked tumbling-window counts: late-drop + append finalization "
         "under a real 3-batch stream vs batch oracle",
+    ),
+    "stream_session_watermark": QuerySpec(
+        q_stream_session_watermark,
+        SQL_STREAM_SESSION_WATERMARK,
+        "watermarked session windows (15 min gap): merge + late-drop + "
+        "finalization under a real 3-batch stream vs gap-sessionize oracle",
     ),
 }

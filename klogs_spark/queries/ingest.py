@@ -279,6 +279,102 @@ FROM sess GROUP BY namespace, session_id
 """
 
 
+def q_sources_cri_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 externally checked: synthesize CRI container-runtime log lines from
+    events (every 4th user's message split into a P partial + F final line
+    1 ms apart), run the REAL parse_cri_lines + reassemble_multiline stages,
+    and aggregate per stream. The oracle rebuilds the identical lines in SQL
+    and reassembles with the same next-F-line window rule — equality proves
+    the parser regex and the multiline merge end-to-end. (Event timestamps
+    at sf0.01 are tie-free, incl. under the 1 ms shift, so the line order is
+    total on both engines.)"""
+    from ..sources import parse_cri_lines, reassemble_multiline
+
+    ev = load_table(spark, sf_dir, "events")
+    msg = F.concat(
+        F.lit("type="), F.col("event_type"),
+        F.lit(" user="), F.col("user_id").cast("string"),
+    )
+    stream = F.when(F.col("event_type") == "error", "stderr").otherwise(
+        "stdout"
+    )
+    tfmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"
+    t0 = F.date_format("ts", tfmt)
+    t1 = F.date_format(
+        F.col("ts") + F.expr("INTERVAL 1 MILLISECOND"), tfmt
+    )
+    head, tail = F.substring(msg, 1, 10), F.substring(msg, 11, 1_000_000)
+    lines = ev.select(
+        F.explode(
+            F.when(
+                F.col("user_id") % 4 == 0,
+                F.array(
+                    F.concat_ws(" ", t0, stream, F.lit("P"), head),
+                    F.concat_ws(" ", t1, stream, F.lit("F"), tail),
+                ),
+            ).otherwise(
+                F.array(F.concat_ws(" ", t0, stream, F.lit("F"), msg))
+            )
+        ).alias("value")
+    )
+    merged = reassemble_multiline(parse_cri_lines(lines))
+    return merged.groupBy("stream").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.length("log")).alias("total_chars"),
+        F.min("log_time").alias("first_time"),
+        F.max("log_time").alias("last_time"),
+    )
+
+
+_CRI_RE = r"^(\S+) (stdout|stderr) ([FP]) (.*)$"
+
+SQL_SOURCES_CRI_PIPELINE = f"""
+WITH ev AS (
+  SELECT user_id,
+         'type=' || event_type || ' user=' || CAST(user_id AS VARCHAR) AS msg,
+         CASE WHEN event_type = 'error' THEN 'stderr'
+              ELSE 'stdout' END AS stream,
+         strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') || 'Z' AS t0,
+         strftime(ts + INTERVAL 1 MILLISECOND,
+                  '%Y-%m-%dT%H:%M:%S.%f') || 'Z' AS t1
+  FROM events
+),
+lines AS (
+  SELECT unnest(CASE WHEN user_id % 4 = 0
+    THEN [t0 || ' ' || stream || ' P ' || substr(msg, 1, 10),
+          t1 || ' ' || stream || ' F ' || substr(msg, 11)]
+    ELSE [t0 || ' ' || stream || ' F ' || msg] END) AS value
+  FROM ev
+),
+parsed AS (
+  SELECT regexp_extract(value, '{_CRI_RE}', 1) AS log_time,
+         regexp_extract(value, '{_CRI_RE}', 2) AS stream,
+         regexp_extract(value, '{_CRI_RE}', 3) AS flag,
+         regexp_extract(value, '{_CRI_RE}', 4) AS content
+  FROM lines WHERE regexp_extract(value, '{_CRI_RE}', 1) <> ''
+),
+rn AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY stream ORDER BY log_time) AS rn
+  FROM parsed
+),
+gid AS (
+  SELECT *, MIN(CASE WHEN flag = 'F' THEN rn END)
+              OVER (PARTITION BY stream ORDER BY rn
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS g
+  FROM rn
+),
+merged AS (
+  SELECT stream, g, min(log_time) AS log_time,
+         string_agg(content, '' ORDER BY rn) AS log
+  FROM gid WHERE g IS NOT NULL GROUP BY stream, g
+)
+SELECT stream, CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(length(log)) AS BIGINT) AS total_chars,
+       min(log_time) AS first_time, max(log_time) AS last_time
+FROM merged GROUP BY stream
+"""
+
+
 SPECS = {
     "ingest_decode_pipeline": QuerySpec(
         q_ingest_pipeline,
@@ -296,5 +392,11 @@ SPECS = {
         SQL_STREAM_SESSION_WATERMARK,
         "watermarked session windows (15 min gap): merge + late-drop + "
         "finalization under a real 3-batch stream vs gap-sessionize oracle",
+    ),
+    "sources_cri_pipeline": QuerySpec(
+        q_sources_cri_pipeline,
+        SQL_SOURCES_CRI_PIPELINE,
+        "CRI parse + multiline reassembly (S7) over synthesized split "
+        "lines vs SQL reimplementation",
     ),
 }

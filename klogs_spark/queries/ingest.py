@@ -375,6 +375,57 @@ FROM merged GROUP BY stream
 """
 
 
+def q_sources_k8s_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8/S9 externally checked: broadcast-join pod metadata (labels, node)
+    onto the log stream via the real enrich_with_pod_metadata, inject a
+    static cluster field (inject_static_fields), aggregate per team label.
+    The pod dim derives deterministically from the corpus' own pod ids."""
+    from ..sources import enrich_with_pod_metadata, inject_static_fields
+
+    ev = load_table(spark, sf_dir, "events")
+    logs = ev.select(
+        F.concat(F.lit("pod-"), (F.col("user_id") % 50).cast("string")).alias(
+            "pod_name"
+        ),
+        F.col("value"),
+    )
+    pod_ids = spark.range(0, 50)
+    dim = pod_ids.select(
+        F.concat(F.lit("pod-"), F.col("id").cast("string")).alias("pod_name"),
+        F.concat(F.lit("team-"), (F.col("id") % 3).cast("string")).alias(
+            "team"
+        ),
+        F.concat(F.lit("node-"), (F.col("id") % 8).cast("string")).alias(
+            "node"
+        ),
+    )
+    enriched = inject_static_fields(
+        enrich_with_pod_metadata(logs, dim), cluster="prod"
+    )
+    return enriched.groupBy("cluster", "team").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.count_distinct("node").alias("n_nodes"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+SQL_SOURCES_K8S_ENRICH = """
+WITH dim AS (
+  SELECT 'pod-' || CAST(i AS VARCHAR) AS pod_name,
+         'team-' || CAST(i % 3 AS VARCHAR) AS team,
+         'node-' || CAST(i % 8 AS VARCHAR) AS node
+  FROM (SELECT unnest(generate_series(0, 49)) AS i)
+)
+SELECT 'prod' AS cluster, d.team,
+       CAST(count(*) AS BIGINT) AS cnt,
+       CAST(count(DISTINCT d.node) AS BIGINT) AS n_nodes,
+       round(sum(e.value), 2) AS sum_value
+FROM events e
+JOIN dim d ON d.pod_name = 'pod-' || CAST(e.user_id % 50 AS VARCHAR)
+GROUP BY d.team
+"""
+
+
 SPECS = {
     "ingest_decode_pipeline": QuerySpec(
         q_ingest_pipeline,
@@ -398,5 +449,11 @@ SPECS = {
         SQL_SOURCES_CRI_PIPELINE,
         "CRI parse + multiline reassembly (S7) over synthesized split "
         "lines vs SQL reimplementation",
+    ),
+    "sources_k8s_enrich": QuerySpec(
+        q_sources_k8s_enrich,
+        SQL_SOURCES_K8S_ENRICH,
+        "broadcast pod-metadata enrichment + static field (S8/S9) vs "
+        "direct join oracle",
     ),
 }

@@ -375,6 +375,71 @@ FROM merged GROUP BY stream
 """
 
 
+def q_sources_docker_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7's second parser, externally checked: synthesize docker json-file
+    log lines (every 4th user's message split into a no-trailing-newline
+    partial + a newline-terminated final line 1 ms apart), run the REAL
+    parse_docker_json_lines + reassemble_multiline, aggregate per stream.
+    The oracle computes the expected aggregate DIRECTLY from events — a
+    stronger check than rebuilding the JSON: it proves the whole
+    to_json -> from_json -> flag-by-trailing-newline -> merge round trip."""
+    from ..sources import parse_docker_json_lines, reassemble_multiline
+
+    ev = load_table(spark, sf_dir, "events")
+    msg = F.concat(
+        F.lit("type="), F.col("event_type"),
+        F.lit(" user="), F.col("user_id").cast("string"),
+    )
+    stream = F.when(F.col("event_type") == "error", "stderr").otherwise(
+        "stdout"
+    )
+    tfmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"
+    t0 = F.date_format("ts", tfmt)
+    t1 = F.date_format(F.col("ts") + F.expr("INTERVAL 1 MILLISECOND"), tfmt)
+
+    def jline(time_col, log_col):
+        return F.to_json(
+            F.struct(
+                log_col.alias("log"), stream.alias("stream"),
+                time_col.alias("time"),
+            )
+        )
+
+    head = F.substring(msg, 1, 10)  # partial: NO trailing newline
+    tail = F.concat(F.substring(msg, 11, 1_000_000), F.lit("\n"))
+    full = F.concat(msg, F.lit("\n"))
+    lines = ev.select(
+        F.explode(
+            F.when(
+                F.col("user_id") % 4 == 0,
+                F.array(jline(t0, head), jline(t1, tail)),
+            ).otherwise(F.array(jline(t0, full)))
+        ).alias("value")
+    )
+    merged = reassemble_multiline(parse_docker_json_lines(lines))
+    return merged.groupBy("stream").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.length("log")).alias("total_chars"),
+        F.min("log_time").alias("first_time"),
+        F.max("log_time").alias("last_time"),
+    )
+
+
+SQL_SOURCES_DOCKER_PIPELINE = """
+WITH ev AS (
+  SELECT 'type=' || event_type || ' user=' || CAST(user_id AS VARCHAR) AS msg,
+         CASE WHEN event_type = 'error' THEN 'stderr'
+              ELSE 'stdout' END AS stream,
+         strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') || 'Z' AS t0
+  FROM events
+)
+SELECT stream, CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(length(msg)) AS BIGINT) AS total_chars,
+       min(t0) AS first_time, max(t0) AS last_time
+FROM ev GROUP BY stream
+"""
+
+
 def q_sources_k8s_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S8/S9 externally checked: broadcast-join pod metadata (labels, node)
     onto the log stream via the real enrich_with_pod_metadata, inject a
@@ -455,5 +520,11 @@ SPECS = {
         SQL_SOURCES_K8S_ENRICH,
         "broadcast pod-metadata enrichment + static field (S8/S9) vs "
         "direct join oracle",
+    ),
+    "sources_docker_pipeline": QuerySpec(
+        q_sources_docker_pipeline,
+        SQL_SOURCES_DOCKER_PIPELINE,
+        "docker json-file parse + multiline reassembly (S7) vs "
+        "direct-from-events oracle",
     ),
 }

@@ -74,6 +74,34 @@ def stratified_sample_k(
     )
 
 
+def mixture_weights(
+    df: DataFrame,
+    strata: str,
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Temperature-based mixture weights per stratum: w_i ∝ n_i^alpha
+    (alpha < 1 upsamples small sources — the standard multilingual /
+    multi-domain sampling-rate allocation for training mixtures).
+
+    One count aggregate plus a 1-row total broadcast into the weight
+    expression — nothing here scales with corpus size beyond the count.
+    Returns (stratum, n_docs, weight) with weight rounded at 6 (the powered
+    counts are irrational, so no round-boundary ties).
+    """
+    counts = df.groupBy(F.col(strata).alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    powered = counts.withColumn("_p", F.pow(F.col("n_docs"), F.lit(alpha)))
+    total = powered.agg(F.sum("_p").alias("_total"))
+    return (
+        powered.join(F.broadcast(total))
+        .select(
+            "stratum", "n_docs",
+            F.round(F.col("_p") / F.col("_total"), 6).alias("weight"),
+        )
+    )
+
+
 def pack_by_token_budget(
     df: DataFrame,
     token_col: str,

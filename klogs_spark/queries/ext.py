@@ -625,6 +625,29 @@ SELECT source, doc_id, n_chars FROM (
 # ---------------------------------------------------------------------------
 # multimodal: binary columns + Arrow-batched feature extraction
 # ---------------------------------------------------------------------------
+MIXTURE_ALPHA = 0.3
+
+
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.sampling import mixture_weights
+
+    return mixture_weights(
+        load_table(spark, sf_dir, "documents"), "source", alpha=MIXTURE_ALPHA
+    )
+
+
+SQL_MIXTURE_WEIGHTS = f"""
+WITH counts AS (
+  SELECT source AS stratum, count(*) AS n_docs FROM documents GROUP BY source
+),
+powered AS (SELECT stratum, n_docs, pow(n_docs, {MIXTURE_ALPHA}) AS p
+            FROM counts)
+SELECT stratum, CAST(n_docs AS BIGINT) AS n_docs,
+       round(p / (SELECT sum(p) FROM powered), 6) AS weight
+FROM powered
+"""
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents.text bytes as opaque media payloads -> mapInPandas feature
     extraction (the stub-backed multimodal plumbing, ext.multimodal)."""
@@ -1360,6 +1383,10 @@ SPECS = {
                                      SQL_STRATIFIED_SAMPLE,
                                      "fixed-k hash-ranked stratified sample "
                                      "per source"),
+    "sample_mixture_weights": QuerySpec(q_mixture_weights,
+                                        SQL_MIXTURE_WEIGHTS,
+                                        "temperature (n^alpha) training-"
+                                        "mixture weights per source"),
     "text_quality_filter": QuerySpec(q_quality_filter, SQL_QUALITY_FILTER,
                                      "composite keep/drop filter with reject "
                                      "reasons (length/repetition/quality/"

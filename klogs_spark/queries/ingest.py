@@ -491,6 +491,126 @@ GROUP BY d.team
 """
 
 
+def q_sources_syslog_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7's third parser family, externally checked: synthesize a MIXED
+    syslog stream from events (every 3rd user emits RFC 3164 BSD lines, the
+    rest RFC 5424), run the REAL parse_syslog_lines (dual-regex dispatch +
+    PRI facility/severity decomposition), aggregate per (format, facility,
+    severity). The oracle computes the expected aggregate DIRECTLY from
+    events — equality proves both regexes, the format dispatch, and the
+    PRI arithmetic end-to-end."""
+    from ..sources import parse_syslog_lines
+
+    ev = load_table(spark, sf_dir, "events")
+    severity = (
+        F.when(F.col("event_type") == "error", 3)
+        .when(F.col("event_type") == "signup", 4)
+        .otherwise(6)
+    )
+    pri = (F.lit(16 * 8) + severity).cast("string")  # facility 16 = local0
+    host = F.concat(F.lit("node-"), (F.col("user_id") % 8).cast("string"))
+    app = F.col("event_type")
+    pid = F.col("user_id").cast("string")
+    msg = F.concat(
+        F.lit("type="), F.col("event_type"),
+        F.lit(" user="), F.col("user_id").cast("string"),
+    )
+    line_5424 = F.concat(
+        F.lit("<"), pri, F.lit(">1 "),
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"),
+        F.lit(" "), host, F.lit(" "), app, F.lit(" "), pid,
+        F.lit(" - - "), msg,
+    )
+    line_3164 = F.concat(
+        F.lit("<"), pri, F.lit(">"),
+        F.date_format("ts", "MMM dd HH:mm:ss"),
+        F.lit(" "), host, F.lit(" "), app, F.lit("["), pid, F.lit("]: "), msg,
+    )
+    raw = ev.select(
+        F.when(F.col("user_id") % 3 == 0, line_3164)
+        .otherwise(line_5424)
+        .alias("value")
+    )
+    parsed = parse_syslog_lines(raw)
+    return parsed.groupBy("format", "facility", "severity").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.count_distinct("host").alias("n_hosts"),
+        F.count_distinct("procid").alias("n_procs"),
+        F.sum(F.length("content")).alias("total_chars"),
+        F.min("log_time").alias("first_time"),
+        F.max("log_time").alias("last_time"),
+    )
+
+
+SQL_SOURCES_SYSLOG_PIPELINE = """
+WITH ev AS (
+  SELECT CASE WHEN user_id % 3 = 0 THEN 'rfc3164' ELSE 'rfc5424' END
+           AS format,
+         CASE WHEN event_type = 'error' THEN 3
+              WHEN event_type = 'signup' THEN 4 ELSE 6 END AS severity,
+         'node-' || CAST(user_id % 8 AS VARCHAR) AS host,
+         CAST(user_id AS VARCHAR) AS procid,
+         'type=' || event_type || ' user=' || CAST(user_id AS VARCHAR)
+           AS msg,
+         CASE WHEN user_id % 3 = 0 THEN strftime(ts, '%b %d %H:%M:%S')
+              ELSE strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') || 'Z' END AS t
+  FROM events
+)
+SELECT format, 16 AS facility, severity,
+       CAST(count(*) AS BIGINT) AS cnt,
+       CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+       CAST(count(DISTINCT procid) AS BIGINT) AS n_procs,
+       CAST(sum(length(msg)) AS BIGINT) AS total_chars,
+       min(t) AS first_time, max(t) AS last_time
+FROM ev GROUP BY format, severity
+"""
+
+
+def q_sources_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-key rate limiting (Fluent Bit `throttle` filter),
+    externally checked: keep the first 2 records per (namespace, hour) in
+    (ts, user_id) order — a total order on this corpus — then audit
+    kept/dropped per namespace. One window shuffle; the oracle replays the
+    same ROW_NUMBER rule in SQL."""
+    from ..sources import throttle_per_key
+
+    ev = load_table(spark, sf_dir, "events")
+    logs = ev.select(
+        F.concat(F.lit("ns-"), (F.col("user_id") % 5).cast("string")).alias(
+            "namespace"
+        ),
+        F.col("ts"),
+        F.col("user_id"),
+    )
+    audited = throttle_per_key(
+        logs, keys=("namespace",), time_col="ts", bucket="1 hour",
+        limit=2, tiebreak=("user_id",),
+    )
+    return audited.groupBy("namespace").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(F.col("kept"), 0).otherwise(1)).alias("n_dropped"),
+        F.max(F.when(F.col("kept"), F.col("ts"))).alias("last_kept_ts"),
+    )
+
+
+SQL_SOURCES_THROTTLE = """
+WITH r AS (
+  SELECT 'ns-' || CAST(user_id % 5 AS VARCHAR) AS namespace, ts,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id % 5, date_trunc('hour', ts)
+           ORDER BY ts, user_id) AS rn
+  FROM events
+)
+SELECT namespace,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN rn <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN rn > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       max(CASE WHEN rn <= 2 THEN ts END) AS last_kept_ts
+FROM r GROUP BY namespace
+"""
+
+
 SPECS = {
     "ingest_decode_pipeline": QuerySpec(
         q_ingest_pipeline,
@@ -526,5 +646,17 @@ SPECS = {
         SQL_SOURCES_DOCKER_PIPELINE,
         "docker json-file parse + multiline reassembly (S7) vs "
         "direct-from-events oracle",
+    ),
+    "sources_syslog_pipeline": QuerySpec(
+        q_sources_syslog_pipeline,
+        SQL_SOURCES_SYSLOG_PIPELINE,
+        "mixed RFC5424/RFC3164 syslog parse + PRI decomposition (S7) vs "
+        "direct-from-events oracle",
+    ),
+    "sources_throttle": QuerySpec(
+        q_sources_throttle,
+        SQL_SOURCES_THROTTLE,
+        "deterministic per-key/bucket rate limiting (throttle filter) vs "
+        "ROW_NUMBER oracle",
     ),
 }

@@ -52,6 +52,85 @@ def parse_docker_json_lines(raw: DataFrame, value_col: str = "value") -> DataFra
     ).filter(parsed["time"].isNotNull())
 
 
+# RFC 5424: <PRI>VERSION TIMESTAMP HOSTNAME APP-NAME PROCID MSGID SD MSG
+# (structured data synthesized/accepted as "-" or a single [..] block)
+SYSLOG_5424_REGEX = (
+    r"^<(\d{1,3})>(\d) (\S+) (\S+) (\S+) (\S+) (\S+) (?:-|\[.*\]) ?(.*)$"
+)
+# RFC 3164 (BSD): <PRI>MMM dd HH:mm:ss HOSTNAME TAG[PID]: MSG
+SYSLOG_3164_REGEX = (
+    r"^<(\d{1,3})>([A-Z][a-z]{2} [ 0-9]\d \d{2}:\d{2}:\d{2}) "
+    r"(\S+) ([^:\[\s]+)(?:\[(\d+)\])?: ?(.*)$"
+)
+
+
+def parse_syslog_lines(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """Parse syslog lines — RFC 5424 first, RFC 3164 (BSD) fallback — the
+    remaining tail-input parser family member next to `cri` and `docker`
+    (Fluent Bit ships the same pair as its stock `syslog-rfc5424` /
+    `syslog-rfc3164` parsers).
+
+    Pure Column expressions (two regexes + conditional projection, no
+    Python): returns one row per parseable line with
+    (format, pri, facility, severity, log_time, host, app, procid, content).
+    PRI decomposes as facility = pri / 8, severity = pri % 8 per RFC 5424
+    §6.2.1. Unparseable lines are dropped (the reference drops undecodable
+    records the same way, main.go:246-249).
+    """
+    v = F.col(value_col)
+    is5424 = v.rlike(SYSLOG_5424_REGEX)
+    is3164 = v.rlike(SYSLOG_3164_REGEX)
+
+    def g5(i: int) -> Column:
+        return F.regexp_extract(v, SYSLOG_5424_REGEX, i)
+
+    def g3(i: int) -> Column:
+        return F.regexp_extract(v, SYSLOG_3164_REGEX, i)
+
+    pri = F.when(is5424, g5(1)).otherwise(g3(1)).cast("int")
+    # "-" is RFC 5424 nil; "" is an unmatched optional group (no [pid])
+    nil = lambda c: F.when(c.isin("-", ""), None).otherwise(c)  # noqa: E731
+    return raw.select(
+        F.when(is5424, "rfc5424").otherwise("rfc3164").alias("format"),
+        pri.alias("pri"),
+        (pri / 8).cast("int").alias("facility"),
+        (pri % 8).alias("severity"),
+        F.when(is5424, g5(3)).otherwise(g3(2)).alias("log_time"),
+        F.when(is5424, g5(4)).otherwise(g3(3)).alias("host"),
+        F.when(is5424, g5(5)).otherwise(g3(4)).alias("app"),
+        nil(F.when(is5424, g5(6)).otherwise(g3(5))).alias("procid"),
+        F.when(is5424, g5(8)).otherwise(g3(6)).alias("content"),
+    ).filter(is5424 | is3164)
+
+
+def throttle_per_key(
+    df: DataFrame,
+    keys: tuple[str, ...],
+    time_col: str = "timestamp",
+    bucket: str = "1 hour",
+    limit: int = 100,
+    tiebreak: tuple[str, ...] = (),
+) -> DataFrame:
+    """Rate-limit records per key per time bucket — Fluent Bit's `throttle`
+    filter, made deterministic: keep the FIRST ``limit`` records of each
+    (keys, bucket) group ordered by (time_col, *tiebreak), mark the rest.
+
+    One window shuffle on (keys, bucket); (time_col, *tiebreak) must be a
+    total order within a group or the kept set is nondeterministic. Adds a
+    boolean ``kept`` instead of filtering so callers can audit drops; filter
+    on it to enforce.
+    """
+    from pyspark.sql.window import Window
+
+    bucket_col = F.window(F.col(time_col), bucket)["start"]
+    w = Window.partitionBy(*keys, "_bucket").orderBy(time_col, *tiebreak)
+    return (
+        df.withColumn("_bucket", bucket_col)
+        .withColumn("kept", F.row_number().over(w) <= limit)
+        .drop("_bucket")
+    )
+
+
 def reassemble_multiline(
     parsed: DataFrame, order_col: str = "log_time"
 ) -> DataFrame:

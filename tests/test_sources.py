@@ -76,3 +76,67 @@ def test_inject_static_fields(spark):
     out = inject_static_fields(df, cluster="kind", zone="z1")
     row = out.collect()[0]
     assert row.cluster == "kind" and row.zone == "z1"
+
+
+def test_parse_syslog_rfc5424(spark):
+    lines = [
+        "<134>1 2024-01-07T06:00:00.000001Z node-1 web 42 - - hello world",
+        "<131>1 2024-01-07T06:00:01.000001Z node-2 api - MSG7 "
+        "[sd@1 k=\"v\"] boom",
+        "not syslog at all",
+    ]
+    from klogs_spark.sources import parse_syslog_lines
+
+    raw = spark.createDataFrame([(l,) for l in lines], "value string")
+    rows = {r.host: r for r in parse_syslog_lines(raw).collect()}
+    assert set(rows) == {"node-1", "node-2"}  # junk dropped
+    a = rows["node-1"]
+    assert (a.format, a.pri, a.facility, a.severity) == ("rfc5424", 134, 16, 6)
+    assert (a.app, a.procid, a.content) == ("web", "42", "hello world")
+    b = rows["node-2"]
+    assert b.severity == 3 and b.procid is None  # '-' nil-mapped
+    assert b.content == "boom"  # structured-data block stripped
+
+
+def test_parse_syslog_rfc3164_fallback(spark):
+    from klogs_spark.sources import parse_syslog_lines
+
+    raw = spark.createDataFrame(
+        [
+            ("<13>Feb 05 17:32:18 host1 su[1234]: auth ok",),
+            ("<13>Feb  5 17:32:18 host2 cron: tick",),  # space-padded day, no pid
+        ],
+        "value string",
+    )
+    rows = {r.host: r for r in parse_syslog_lines(raw).collect()}
+    a = rows["host1"]
+    assert (a.format, a.facility, a.severity) == ("rfc3164", 1, 5)
+    assert (a.app, a.procid, a.content) == ("su", "1234", "auth ok")
+    assert a.log_time == "Feb 05 17:32:18"
+    b = rows["host2"]
+    assert (b.app, b.procid, b.content) == ("cron", None, "tick")
+
+
+def test_throttle_per_key(spark):
+    from klogs_spark.sources import throttle_per_key
+
+    rows = [
+        # 4 records in one (ns-a, hour) bucket, 1 in the next hour
+        ("ns-a", "2024-01-01 00:00:01", 1),
+        ("ns-a", "2024-01-01 00:10:00", 2),
+        ("ns-a", "2024-01-01 00:20:00", 3),
+        ("ns-a", "2024-01-01 00:30:00", 4),
+        ("ns-a", "2024-01-01 01:05:00", 5),
+        ("ns-b", "2024-01-01 00:00:02", 6),
+    ]
+    df = spark.createDataFrame(rows, "namespace string, t string, id long")
+    df = df.select("namespace", F.col("t").cast("timestamp").alias("ts"), "id")
+    out = throttle_per_key(
+        df, keys=("namespace",), time_col="ts", bucket="1 hour",
+        limit=2, tiebreak=("id",),
+    )
+    kept = sorted(r.id for r in out.filter("kept").collect())
+    dropped = sorted(r.id for r in out.filter("NOT kept").collect())
+    assert kept == [1, 2, 5, 6]  # first 2 per bucket; new hour resets
+    assert dropped == [3, 4]
+    assert out.count() == len(rows)  # audit form keeps every row

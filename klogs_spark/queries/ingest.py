@@ -137,10 +137,13 @@ WM_END = f"{WM_DAY} 12:00:00"
 WM_SENTINEL = "2024-01-11 12:00:00"
 
 
-def _drive_three_batch_stream(spark: SparkSession, sf_dir: str, build_agg):
+def _drive_three_batch_stream(spark: SparkSession, sf_dir: str, build_agg,
+                              batches_fn=None):
     """Shared watermark test-bench: run ``build_agg(stream_df)`` through a
     REAL Structured Streaming query over three deterministic micro-batches
     (append mode, parquet sink), and return the emitted rows' path.
+    ``batches_fn(on_time, late, sentinel) -> [DataFrame, ...]`` overrides the
+    default batch composition (used by the dedup query to inject replays).
 
     1. on-time rows  [06:00, 12:00) of WM_DAY  -> watermark advances to
        max(ts)-10min (~11:46, no boundary ties on this data);
@@ -192,7 +195,12 @@ def _drive_three_batch_stream(spark: SparkSession, sf_dir: str, build_agg):
         )
         q.awaitTermination()
 
-    for batch in (on_time, late, sentinel):
+    batches = (
+        batches_fn(on_time, late, sentinel)
+        if batches_fn
+        else (on_time, late, sentinel)
+    )
+    for batch in batches:
         batch.coalesce(1).write.mode("append").parquet(src)
         drain()
     return outp
@@ -491,6 +499,119 @@ GROUP BY d.team
 """
 
 
+def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4's replay-dedupe extension under a REAL watermarked stream:
+    ``dedup_events`` (dropDuplicates on (timestamp, namespace) with a 10 min
+    watermark) over three deterministic batches —
+
+    1. on-time rows with every ns-0 row DUPLICATED in-batch (state dedup);
+    2. a FULL replay of batch 1 plus the late rows: replayed rows below the
+       watermark are late-dropped, those at/above it hit state — dropped
+       either way, which is exactly the at-least-once-redelivery story;
+    3. the sentinel (emitted by the stateless-append path; excluded on read).
+
+    The oracle is SELECT DISTINCT over the on-time rows — equality proves
+    in-batch dedup, cross-batch state dedup, and late-drop in one hash."""
+    from ..streaming_ext import dedup_events
+
+    def batches(on_time, late, sentinel):
+        dup_half = on_time.filter(F.col("namespace") == "ns-0")
+        return (
+            on_time.union(dup_half),
+            on_time.union(late),
+            sentinel,
+        )
+
+    outp = _drive_three_batch_stream(
+        spark, sf_dir,
+        lambda s: dedup_events(
+            s, keys=("timestamp", "namespace"), watermark="10 minutes"
+        ),
+        batches_fn=batches,
+    )
+    return (
+        spark.read.parquet(outp)
+        .filter(F.col("namespace") != "zz-sentinel")
+        .groupBy("namespace")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("timestamp").alias("min_ts"),
+            F.max("timestamp").alias("max_ts"),
+        )
+    )
+
+
+SQL_STREAM_DEDUP_WATERMARK = f"""
+WITH ontime AS (
+  SELECT DISTINCT ts, 'ns-' || CAST(user_id % 5 AS VARCHAR) AS namespace
+  FROM events
+  WHERE ts >= TIMESTAMP '{WM_SPLIT}' AND ts < TIMESTAMP '{WM_END}'
+)
+SELECT namespace, CAST(count(*) AS BIGINT) AS cnt,
+       min(ts) AS min_ts, max(ts) AS max_ts
+FROM ontime GROUP BY namespace
+"""
+
+
+def q_stream_k8s_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8/S9 under Structured Streaming: the SAME enrich_with_pod_metadata
+    broadcast join + inject_static_fields, but applied to a readStream —
+    Spark's stream-static join path (stateless, per-batch broadcast) instead
+    of the batch planner. One availableNow drain to a parquet sink, then the
+    per-team aggregate; the oracle is the identical direct join in SQL, so
+    equality proves the streaming plan enriches byte-for-byte like batch."""
+    import tempfile
+
+    from ..sources import enrich_with_pod_metadata, inject_static_fields
+
+    ev = load_table(spark, sf_dir, "events")
+    logs = ev.select(
+        F.concat(F.lit("pod-"), (F.col("user_id") % 50).cast("string")).alias(
+            "pod_name"
+        ),
+        F.col("value"),
+    )
+    dim = spark.range(0, 50).select(
+        F.concat(F.lit("pod-"), F.col("id").cast("string")).alias("pod_name"),
+        F.concat(F.lit("team-"), (F.col("id") % 3).cast("string")).alias(
+            "team"
+        ),
+        F.concat(F.lit("node-"), (F.col("id") % 8).cast("string")).alias(
+            "node"
+        ),
+    )
+    base = tempfile.mkdtemp(prefix="klogs-senrich-")
+    src, ckpt, outp = f"{base}/src", f"{base}/ckpt", f"{base}/out"
+    logs.write.parquet(src)
+    stream = spark.readStream.schema("pod_name string, value double").parquet(
+        src
+    )
+    enriched = inject_static_fields(
+        enrich_with_pod_metadata(stream, dim), cluster="prod"
+    )
+    q = (
+        enriched.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", outp)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(outp)
+        .groupBy("cluster", "team")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.count_distinct("node").alias("n_nodes"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+SQL_STREAM_K8S_ENRICH = SQL_SOURCES_K8S_ENRICH
+
+
 def q_sources_syslog_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S7's third parser family, externally checked: synthesize a MIXED
     syslog stream from events (every 3rd user emits RFC 3164 BSD lines, the
@@ -646,6 +767,19 @@ SPECS = {
         SQL_SOURCES_DOCKER_PIPELINE,
         "docker json-file parse + multiline reassembly (S7) vs "
         "direct-from-events oracle",
+    ),
+    "stream_dedup_watermark": QuerySpec(
+        q_stream_dedup_watermark,
+        SQL_STREAM_DEDUP_WATERMARK,
+        "streaming dropDuplicates with watermark: in-batch + cross-batch "
+        "replay dedup + late-drop under a real 3-batch stream vs DISTINCT "
+        "oracle",
+    ),
+    "stream_k8s_enrich": QuerySpec(
+        q_stream_k8s_enrich,
+        SQL_STREAM_K8S_ENRICH,
+        "stream-static broadcast enrichment (S8/S9) under a real "
+        "readStream/writeStream vs direct join oracle",
     ),
     "sources_syslog_pipeline": QuerySpec(
         q_sources_syslog_pipeline,

@@ -1334,6 +1334,148 @@ FROM hs GROUP BY id
 """
 
 
+def q_boilerplate_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-frequency boilerplate detection: a 3-gram window that
+    appears in >= 5 distinct documents is boilerplate; report per-doc window
+    counts and the boilerplate fraction (integer ppm).
+
+    Scale shape: one shuffle on shingle (map-side combined count-distinct —
+    doc_shingles is already distinct per doc, so a plain count), an equi-join
+    back on shingle, one shuffle on id. No all-pairs anything; the frequency
+    table is corpus-vocabulary-sized, not corpus-sized.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dd.doc_shingles(docs)  # distinct (id, shingle)
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        sh.join(freq, "shingle")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.when(F.col("n_docs") >= 5, 1).otherwise(0)).alias(
+                "n_boiler"
+            ),
+        )
+        .select(
+            "id",
+            "n_windows",
+            "n_boiler",
+            F.expr("n_boiler * 1000000 div n_windows").alias("boiler_ppm"),
+        )
+    )
+
+
+SQL_BOILERPLATE_WINDOWS = f"""
+WITH {SHINGLES_CTE},
+freq AS (SELECT shingle, count(*) AS n_docs FROM sh GROUP BY shingle),
+per_doc AS (
+  SELECT s.id, count(*) AS n_windows,
+         sum(CASE WHEN f.n_docs >= 5 THEN 1 ELSE 0 END) AS n_boiler
+  FROM sh s JOIN freq f ON s.shingle = f.shingle
+  GROUP BY s.id
+)
+SELECT id, CAST(n_windows AS BIGINT) AS n_windows,
+       CAST(n_boiler AS BIGINT) AS n_boiler,
+       CAST(n_boiler * 1000000 // n_windows AS BIGINT) AS boiler_ppm
+FROM per_doc
+"""
+
+
+def q_pipeline_pretrain_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full pretraining-corpus prep chain in ONE externally checked
+    query — what a user of this engine actually runs before training:
+
+      quality_filter (keep only)  ->  exact_dedup (min-id survivor per
+      distinct text)  ->  contamination drop (left-anti vs probe matches)
+      ->  per-source corpus stats.
+
+    Every stage is the REAL operator from ext/ (no reimplementation); the
+    oracle replays the identical chain in SQL CTEs. Scale shape: stages are
+    id-/hash-keyed shuffles plus one broadcast (probes); nothing all-pairs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    dec = tx.quality_filter(docs)
+    kept = docs.join(
+        dec.filter(F.col("keep")).select(F.col("id").alias("doc_id")),
+        "doc_id",
+    )
+    surv = dd.exact_dedup(kept).select(
+        F.col("survivor_id").alias("doc_id")
+    )
+    deduped = kept.join(surv, "doc_id")
+    probes = docs.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("probe_id"),
+        F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 5)).alias(
+            "probe"
+        ),
+    )
+    contaminated = (
+        tx.contamination_check(deduped, probes).select("doc_id").distinct()
+    )
+    clean = deduped.join(contaminated, "doc_id", "left_anti")
+    return clean.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+
+
+SQL_PIPELINE_PRETRAIN_PREP = f"""
+WITH {TOKENS_CTE},
+{_gram_cte(1, 'f')},
+feat AS (
+  SELECT d.doc_id AS id, length(d.text) AS n_chars, len(t.tk) AS n_tokens,
+         len(list_filter(t.tk, x -> x IN ({_EN_STOPS}))) AS n_stop,
+         len(regexp_extract_all(d.text, '[^A-Za-z0-9 ]')) AS n_punct
+  FROM documents d JOIN tk t ON d.doc_id = t.id
+),
+qs AS (
+  SELECT id, n_tokens,
+         round(0.4 * least(n_tokens / 50.0, 1.0)
+             + 0.3 * least(n_stop / CAST(greatest(n_tokens, 1) AS DOUBLE) * 5,
+                           1.0)
+             + 0.3 * (1 - least(n_punct / CAST(greatest(n_chars, 1) AS DOUBLE)
+                                * 10, 1.0)), 6) AS quality_score
+  FROM feat
+),
+rep AS (SELECT id, CAST(top * 1000000 // total AS BIGINT) AS top_token_ppm
+        FROM sf),
+lang AS (SELECT id, list_aggregate([{_LANG_STRUCTS}], 'max') AS best FROM tk),
+kept AS (
+  SELECT d.*
+  FROM documents d
+  JOIN qs q ON d.doc_id = q.id
+  JOIN rep r ON d.doc_id = r.id
+  JOIN lang l ON d.doc_id = l.id
+  WHERE NOT (q.n_tokens < {tx.FILTER_MIN_TOKENS})
+    AND NOT (r.top_token_ppm >= {tx.FILTER_MAX_TOP_TOKEN_PPM})
+    AND NOT (q.quality_score < {tx.FILTER_MIN_QUALITY})
+    AND (l.best.score > 0)
+),
+surv AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+dedup AS (SELECT k.* FROM kept k JOIN surv s ON k.doc_id = s.doc_id),
+probes AS (
+  SELECT doc_id AS probe_id,
+         array_to_string(string_split(text, ' ')[1:5], ' ') AS probe
+  FROM documents WHERE doc_id < 5
+),
+contam AS (
+  SELECT DISTINCT d.doc_id FROM dedup d, probes p
+  WHERE contains(d.text, p.probe)
+),
+clean AS (
+  SELECT * FROM dedup
+  WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       min(doc_id) AS min_doc_id
+FROM clean GROUP BY source
+"""
+
+
 SPECS = {
     "dedup_exact": QuerySpec(q_dedup_exact, SQL_DEDUP_EXACT,
                              "exact hash-groupBy dedup"),
@@ -1446,4 +1588,14 @@ SPECS = {
     "text_chunk_documents": QuerySpec(q_chunk_documents, SQL_CHUNK_DOCUMENTS,
                                       "fixed-token chunking with overlap "
                                       "(shuffle-free)"),
+    "text_boilerplate_windows": QuerySpec(
+        q_boilerplate_windows, SQL_BOILERPLATE_WINDOWS,
+        "C4-style corpus-frequency boilerplate windows (>=5-doc 3-grams), "
+        "per-doc ppm",
+    ),
+    "pipeline_pretrain_prep": QuerySpec(
+        q_pipeline_pretrain_prep, SQL_PIPELINE_PRETRAIN_PREP,
+        "end-to-end corpus prep: quality filter -> exact dedup -> "
+        "contamination drop -> per-source stats, all real operators",
+    ),
 }

@@ -903,6 +903,111 @@ ORDER BY s_suppkey
 """
 
 
+# --- events: funnel + retention cohorts (EXT product analytics) -------------
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase per user: each
+    stage's timestamp is the user's FIRST qualifying event STRICTLY AFTER
+    the previous stage and within a 24-hour conversion deadline of it
+    (min-aggregate per stage, no window sort, no explode).
+
+    Scale shape: three user-keyed aggregations and two user-keyed equi-joins
+    — everything shuffles once on user_id, the natural key; no event-level
+    self-join. Output is one row of stage counts."""
+    ev = load_table(spark, sf_dir, "events")
+    t1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    t2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter((F.col("ts") > F.col("t1"))
+                & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 24 HOURS")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .filter((F.col("ts") > F.col("t2"))
+                & (F.col("ts") <= F.col("t2") + F.expr("INTERVAL 24 HOURS")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        t1.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(t2.agg(F.count(F.lit(1)).alias("n_click")))
+        .crossJoin(t3.agg(F.count(F.lit(1)).alias("n_purchase")))
+    )
+
+
+SQL_EVENTS_FUNNEL = """
+WITH t1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+t2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN t1 ON e.user_id = t1.user_id
+  WHERE e.event_type = 'click' AND e.ts > t1.t1
+    AND e.ts <= t1.t1 + INTERVAL 24 HOUR
+  GROUP BY e.user_id
+),
+t3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN t2 ON e.user_id = t2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+    AND e.ts <= t2.t2 + INTERVAL 24 HOUR
+  GROUP BY e.user_id
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM t1) AS n_view,
+       (SELECT CAST(count(*) AS BIGINT) FROM t2) AS n_click,
+       (SELECT CAST(count(*) AS BIGINT) FROM t3) AS n_purchase
+"""
+
+
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention-cohort triangle: users grouped by first-activity day
+    (cohort), counted by distinct active day offset from that cohort day.
+
+    Scale shape: one user-keyed aggregation for cohort assignment, broadcast
+    back onto events (the cohort map is |users|-sized — tiny next to the
+    event stream), then one (cohort, offset) aggregation. At 100 TB the only
+    event-level exchange is the final rollup, which map-side combines."""
+    ev = load_table(spark, sf_dir, "events")
+    cohort = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    return (
+        ev.join(F.broadcast(cohort), "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.to_date("ts"), F.col("cohort_day")).alias(
+                "day_offset"
+            ),
+        )
+        .filter(F.col("day_offset").isin(0, 1, 7, 14, 28))
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+SQL_EVENTS_RETENTION = """
+WITH cohort AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+  FROM events GROUP BY user_id
+)
+SELECT c.cohort_day,
+       datediff('day', c.cohort_day, CAST(e.ts AS DATE)) AS day_offset,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM events e JOIN cohort c ON e.user_id = c.user_id
+WHERE datediff('day', c.cohort_day, CAST(e.ts AS DATE)) IN (0, 1, 7, 14, 28)
+GROUP BY 1, 2
+"""
+
+
 SPECS = {
     "tpch_q1_pricing_summary": QuerySpec(q1_pricing_summary, SQL_Q1,
                                          "scan+filter+multi-agg group-by"),
@@ -957,4 +1062,11 @@ SPECS = {
                                           "anti join"),
     "events_sessionize": QuerySpec(q_event_sessions, SQL_EVENT_SESSIONS,
                                    "gap-based sessionization"),
+    "events_funnel": QuerySpec(q_events_funnel, SQL_EVENTS_FUNNEL,
+                               "ordered view->click->purchase conversion "
+                               "funnel (user-keyed min-aggregates)"),
+    "events_retention_cohorts": QuerySpec(
+        q_events_retention, SQL_EVENTS_RETENTION,
+        "first-activity-day retention cohorts at offsets 0/1/7/14/28 "
+        "(broadcast cohort map)"),
 }

@@ -109,6 +109,51 @@ def lsh_topk(emb: DataFrame, query_vec: list[float], k: int = 5,
     )
 
 
+def lsh_knn_join(emb: DataFrame, queries: DataFrame, k: int = 5,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 q_id: str = "vec_id", q_vec: str = "embedding",
+                 planes: list[list[float]] | None = None) -> DataFrame:
+    """Approximate batch k-NN: knn_join restricted to each query's sign-LSH
+    bucket — a bucket equi-join instead of the crossJoin, so per query the
+    candidate set is one bucket, not the corpus.
+
+    At scale the corpus side is stored bucketed on the bucket id, making
+    this a co-located join; the query side stays broadcast. Recall trades
+    against bucket occupancy (see q_ann_recall_eval for the measured gap).
+    Returns (query_id, neighbor_id, cosine, rnk) like knn_join.
+    """
+    from pyspark.sql.window import Window
+
+    planes = planes or hyperplanes(N_PLANES, EMB_DIM)
+    q = F.broadcast(
+        queries.select(
+            F.col(q_id).alias("query_id"),
+            F.col(q_vec).alias("qv"),
+            lsh_bucket(F.col(q_vec), planes).alias("bucket"),
+        )
+    )
+    scored = (
+        emb.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cv"),
+            lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+        )
+        .join(q, "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_col(F.col("cv"), F.col("qv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= k
+    )
+
+
 def ivf_assign(
     emb: DataFrame,
     centroids: DataFrame,

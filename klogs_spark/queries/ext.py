@@ -1334,6 +1334,101 @@ FROM hs GROUP BY id
 """
 
 
+ANN_RECALL_K = 10
+ANN_RECALL_NQ = 20
+# Coarser bucketing for the eval than the 6-plane index default: 2^3 buckets
+# keeps enough candidates per bucket that the recall number is informative
+# (6 planes over the 500-vector sf0.01 corpus leaves ~8 candidates/bucket and
+# recall collapses to ~5% — exactly the tradeoff this query exists to expose).
+_RECALL_PLANES = _PLANES[:3]
+_RECALL_BUCKET_SQL = " + ".join(
+    f"CASE WHEN list_dot_product(v, {_plane_sql_literal(p)}) > 0 "
+    f"THEN CAST({1 << j} AS BIGINT) ELSE 0 END"
+    for j, p in enumerate(_RECALL_PLANES)
+)
+
+
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation — the measurement that justifies (or rejects)
+    an index choice at scale: recall@10 of the sign-LSH bucketed k-NN
+    against the exact brute-force k-NN, for 20 query vectors.
+
+    Composes the REAL knn_join (exact ground truth) and lsh_knn_join
+    (approximate) and counts overlapping neighbors per query. Everything is
+    integer counts, so the hash check is exact. Scale shape: ground truth is
+    the broadcast-queries crossJoin (the expensive exact pass you run on a
+    sample), the LSH side is a bucket equi-join; the recall join itself is
+    on (query_id, neighbor_id) — k-sized per query."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < ANN_RECALL_NQ)
+    exact = sim.knn_join(emb, queries, k=ANN_RECALL_K).select(
+        "query_id", "neighbor_id"
+    )
+    approx = sim.lsh_knn_join(
+        emb, queries, k=ANN_RECALL_K, planes=_RECALL_PLANES
+    ).select("query_id", "neighbor_id")
+    n_exact = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    n_approx = approx.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_approx")
+    )
+    n_hits = (
+        exact.join(approx, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        n_exact.join(n_approx, "query_id", "left")
+        .join(n_hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("n_approx", F.lit(0)).alias("n_approx"),
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+        )
+    )
+
+
+SQL_ANN_RECALL_EVAL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+bk AS (SELECT vec_id, v, {_RECALL_BUCKET_SQL} AS bucket FROM e),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qb FROM bk
+      WHERE vec_id < {ANN_RECALL_NQ}),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round({_cos_sql('e.v', 'q.qv')}, 6) DESC, e.vec_id)
+             AS rnk
+    FROM e, q WHERE e.vec_id <> q.query_id
+  ) WHERE rnk <= {ANN_RECALL_K}
+),
+approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, bk.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round({_cos_sql('bk.v', 'q.qv')}, 6) DESC, bk.vec_id)
+             AS rnk
+    FROM bk JOIN q ON bk.bucket = q.qb AND bk.vec_id <> q.query_id
+  ) WHERE rnk <= {ANN_RECALL_K}
+),
+ex AS (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY 1),
+ap AS (SELECT query_id, count(*) AS n_approx FROM approx GROUP BY 1),
+ht AS (SELECT x.query_id, count(*) AS n_hits
+       FROM exact x JOIN approx a
+         ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id
+       GROUP BY 1)
+SELECT e.query_id, CAST(e.n_exact AS BIGINT) AS n_exact,
+       CAST(coalesce(a.n_approx, 0) AS BIGINT) AS n_approx,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits
+FROM ex e LEFT JOIN ap a ON e.query_id = a.query_id
+          LEFT JOIN ht h ON e.query_id = h.query_id
+"""
+
+
 def q_boilerplate_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style corpus-frequency boilerplate detection: a 3-gram window that
     appears in >= 5 distinct documents is boilerplate; report per-doc window
@@ -1597,5 +1692,10 @@ SPECS = {
         q_pipeline_pretrain_prep, SQL_PIPELINE_PRETRAIN_PREP,
         "end-to-end corpus prep: quality filter -> exact dedup -> "
         "contamination drop -> per-source stats, all real operators",
+    ),
+    "ann_recall_eval": QuerySpec(
+        q_ann_recall_eval, SQL_ANN_RECALL_EVAL,
+        "recall@10 of LSH-bucketed k-NN vs exact k-NN for 20 queries "
+        "(integer hit counts)",
     ),
 }

@@ -1334,6 +1334,75 @@ FROM hs GROUP BY id
 """
 
 
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigation parity, externally checked: join the event stream
+    (key skewed by design — every 'error'/'click'/'view' row collapses onto
+    one hot key) to a tiny per-key dim through the REAL salted_join (hot key
+    spread over 16 shards), then aggregate. The oracle is the PLAIN join —
+    equality proves salting changes the physical distribution only, never
+    the join semantics."""
+    from ..ext.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    big = ev.select(
+        F.when(
+            F.col("event_type").isin("error", "click", "view"), "hot"
+        ).otherwise(F.col("event_type")).alias("k"),
+        F.col("value"),
+    )
+    small = spark.createDataFrame(
+        [("hot", 10), ("signup", 1), ("purchase", 2)], "k string, weight int"
+    )
+    joined = salted_join(big, small, key="k", salt=16)
+    return joined.groupBy("k", "weight").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+SQL_SKEW_SALTED_JOIN = """
+WITH big AS (
+  SELECT CASE WHEN event_type IN ('error', 'click', 'view') THEN 'hot'
+              ELSE event_type END AS k,
+         value
+  FROM events
+),
+small AS (
+  SELECT 'hot' AS k, 10 AS weight UNION ALL
+  SELECT 'signup', 1 UNION ALL
+  SELECT 'purchase', 2
+)
+SELECT b.k, s.weight, CAST(count(*) AS BIGINT) AS cnt,
+       round(sum(b.value), 2) AS sum_value
+FROM big b JOIN small s ON b.k = s.k
+GROUP BY b.k, s.weight
+"""
+
+
+def q_skew_two_phase_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase (salted partial -> merge) hot-group counting, externally
+    checked: per-namespace counts where ns-0 dominates by construction. The
+    oracle is the plain GROUP BY count — equality proves the salt+merge
+    decomposition is exact."""
+    from ..ext.skew import two_phase_count
+
+    ev = load_table(spark, sf_dir, "events")
+    logs = ev.select(
+        F.when(F.col("user_id") % 5 < 3, "ns-hot")
+        .otherwise(F.concat(F.lit("ns-"), (F.col("user_id") % 5).cast("string")))
+        .alias("namespace")
+    )
+    return two_phase_count(logs, ["namespace"], salt=16)
+
+
+SQL_SKEW_TWO_PHASE_COUNT = """
+SELECT CASE WHEN user_id % 5 < 3 THEN 'ns-hot'
+            ELSE 'ns-' || CAST(user_id % 5 AS VARCHAR) END AS namespace,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM events GROUP BY 1
+"""
+
+
 ANN_RECALL_K = 10
 ANN_RECALL_NQ = 20
 # Coarser bucketing for the eval than the 6-plane index default: 2^3 buckets
@@ -1697,5 +1766,14 @@ SPECS = {
         q_ann_recall_eval, SQL_ANN_RECALL_EVAL,
         "recall@10 of LSH-bucketed k-NN vs exact k-NN for 20 queries "
         "(integer hit counts)",
+    ),
+    "skew_salted_join": QuerySpec(
+        q_skew_salted_join, SQL_SKEW_SALTED_JOIN,
+        "salted join on a deliberately hot key vs plain-join oracle "
+        "(semantic parity)",
+    ),
+    "skew_two_phase_count": QuerySpec(
+        q_skew_two_phase_count, SQL_SKEW_TWO_PHASE_COUNT,
+        "two-phase salted hot-group count vs plain GROUP BY oracle",
     ),
 }

@@ -612,6 +612,67 @@ def q_stream_k8s_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_STREAM_K8S_ENRICH = SQL_SOURCES_K8S_ENRICH
 
 
+RETENTION_TODAY = "2024-01-31"
+RETENTION_DAYS = 15  # cutoff 2024-01-16: drops Jan 1-15, keeps Jan 16-30
+
+
+def q_table_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole table lifecycle externally checked: two interleaved
+    write_logs appends (split by namespace, so every day-partition holds two
+    file sets), targeted compact_partition on two days (file-count hygiene,
+    MergeTree background-merge parity), then the TTL retention job with a
+    pinned 'today' — and finally a per-day aggregate of what survives.
+
+    The oracle computes the same aggregate directly from events restricted
+    to the retention window: equality proves the partitioned write, the
+    single-partition compaction rewrite, and the partition-drop TTL lose or
+    duplicate NOTHING outside the dropped window."""
+    import tempfile
+    from datetime import date
+
+    from ..table import (
+        apply_retention,
+        compact_partition,
+        read_logs,
+        write_logs,
+    )
+    from ..views import derive_logs_from_events
+
+    logs = derive_logs_from_events(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="klogs-lifecycle-")
+    tdir = f"{base}/logs"
+    first = F.col("namespace").isin("ns-0", "ns-1", "ns-2")
+    write_logs(logs.filter(first), tdir)
+    write_logs(logs.filter(~first), tdir)
+    for day in ("2024-01-20", "2024-01-21"):
+        compact_partition(spark, tdir, f"date={day}")
+    apply_retention(
+        tdir, RETENTION_DAYS, today=date.fromisoformat(RETENTION_TODAY),
+        spark=spark,
+    )
+    return (
+        read_logs(spark, tdir)
+        .groupBy("date")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.count_distinct("namespace").alias("n_namespaces"),
+            F.min("timestamp").alias("min_ts"),
+            F.max("timestamp").alias("max_ts"),
+        )
+    )
+
+
+SQL_TABLE_LIFECYCLE = f"""
+SELECT CAST(ts AS DATE) AS date,
+       CAST(count(*) AS BIGINT) AS cnt,
+       CAST(count(DISTINCT user_id % 5) AS BIGINT) AS n_namespaces,
+       min(ts) AS min_ts, max(ts) AS max_ts
+FROM events
+WHERE CAST(ts AS DATE) >= DATE '{RETENTION_TODAY}' - {RETENTION_DAYS}
+GROUP BY 1
+"""
+
+
 def q_sources_syslog_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S7's third parser family, externally checked: synthesize a MIXED
     syslog stream from events (every 3rd user emits RFC 3164 BSD lines, the
@@ -792,5 +853,11 @@ SPECS = {
         SQL_SOURCES_THROTTLE,
         "deterministic per-key/bucket rate limiting (throttle filter) vs "
         "ROW_NUMBER oracle",
+    ),
+    "table_lifecycle": QuerySpec(
+        q_table_lifecycle,
+        SQL_TABLE_LIFECYCLE,
+        "write -> compact -> TTL retention -> read-back per-day aggregate "
+        "vs direct-from-events oracle",
     ),
 }

@@ -155,3 +155,72 @@ def unpack_stream(buf: bytes) -> Iterator[Any]:
     while pos < end:
         v, pos = _unpack(buf, pos)
         yield v
+
+
+# --- encoder ----------------------------------------------------------------
+# The decoder's complement, used to SYNTHESIZE Fluent Bit-shaped chunks
+# (fixture generation, the externally checked ingest_msgpack_pipeline query,
+# loopback tests). Same public spec; covers every type the decoder handles.
+def pack(obj: Any) -> bytes:
+    """Encode one object to msgpack bytes (full-range formats)."""
+    if obj is None:
+        return b"\xc0"
+    if obj is True:
+        return b"\xc3"
+    if obj is False:
+        return b"\xc2"
+    if isinstance(obj, int):
+        if 0 <= obj <= 0x7F:
+            return bytes([obj])
+        if -32 <= obj < 0:
+            return bytes([obj & 0xFF])
+        if obj >= 0:
+            for fmt, n in ((b"\xcc", 1), (b"\xcd", 2), (b"\xce", 4), (b"\xcf", 8)):
+                if obj < 1 << (8 * n):
+                    return fmt + obj.to_bytes(n, "big")
+            raise MsgpackError("uint too large")
+        for fmt, n in ((b"\xd0", 1), (b"\xd1", 2), (b"\xd2", 4), (b"\xd3", 8)):
+            if -(1 << (8 * n - 1)) <= obj:
+                return fmt + obj.to_bytes(n, "big", signed=True)
+        raise MsgpackError("int too small")
+    if isinstance(obj, float):
+        return b"\xcb" + _F64.pack(obj)
+    if isinstance(obj, str):
+        raw = obj.encode("utf-8")
+        if len(raw) <= 31:
+            return bytes([0xA0 | len(raw)]) + raw
+        for fmt, n in ((b"\xd9", 1), (b"\xda", 2), (b"\xdb", 4)):
+            if len(raw) < 1 << (8 * n):
+                return fmt + len(raw).to_bytes(n, "big") + raw
+    if isinstance(obj, (bytes, bytearray)):
+        raw = bytes(obj)
+        for fmt, n in ((b"\xc4", 1), (b"\xc5", 2), (b"\xc6", 4)):
+            if len(raw) < 1 << (8 * n):
+                return fmt + len(raw).to_bytes(n, "big") + raw
+    if isinstance(obj, (list, tuple)):
+        if len(obj) <= 15:
+            head = bytes([0x90 | len(obj)])
+        elif len(obj) < 1 << 16:
+            head = b"\xdc" + len(obj).to_bytes(2, "big")
+        else:
+            head = b"\xdd" + len(obj).to_bytes(4, "big")
+        return head + b"".join(pack(x) for x in obj)
+    if isinstance(obj, dict):
+        if len(obj) <= 15:
+            head = bytes([0x80 | len(obj)])
+        elif len(obj) < 1 << 16:
+            head = b"\xde" + len(obj).to_bytes(2, "big")
+        else:
+            head = b"\xdf" + len(obj).to_bytes(4, "big")
+        return head + b"".join(pack(k) + pack(v) for k, v in obj.items())
+    raise MsgpackError(f"cannot encode {type(obj).__name__}")
+
+
+def pack_flbtime(sec: int, nsec: int = 0) -> bytes:
+    """FLBTime as fixext8 type 0 — Fluent Bit's event-time wire form."""
+    return b"\xd7" + bytes([EVENT_TIME_EXT]) + _FLBTIME.pack(sec, nsec)
+
+
+def pack_event(sec: int, record: dict, nsec: int = 0) -> bytes:
+    """One chunk event: the 2-array [FLBTime, record] (main.go:238-247)."""
+    return b"\x92" + pack_flbtime(sec, nsec) + pack(record)

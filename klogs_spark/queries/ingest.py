@@ -612,6 +612,75 @@ def q_stream_k8s_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_STREAM_K8S_ENRICH = SQL_SOURCES_K8S_ENRICH
 
 
+def q_ingest_msgpack_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1's true-to-reference wire shape, externally checked end-to-end:
+    events are ENCODED into Fluent Bit msgpack chunks (32 chunks, one per
+    shard, FLBTime fixext8 timestamps — msgpack_lite.pack_event, encoded
+    DISTRIBUTED via applyInPandas), then decoded by the REAL binary ingest
+    path (decode_msgpack_dataframe -> msgpack_lite decoder -> record_to_row)
+    and aggregated per namespace. The oracle computes the same aggregate
+    directly from events — equality proves encoder, decoder, FLBTime
+    handling, envelope routing, and numeric dispatch in one hash.
+    Timestamps are whole seconds (nsec=0): float-epoch FLBTime keeps
+    second precision exact, micro precision is the JSON path's job."""
+    from ..config import EngineConfig
+    from ..decode import decode_msgpack_dataframe
+
+    ev = load_table(spark, sf_dir, "events")
+    shards = ev.select(
+        (F.col("user_id") % 32).alias("shard"),
+        F.col("ts").cast("long").alias("sec"),
+        F.col("user_id"),
+        F.col("event_type"),
+        F.col("value"),
+    )
+
+    def encode(pdf):
+        import pandas as pd
+
+        from klogs_spark.msgpack_lite import pack_event
+
+        evs = []
+        for sec, uid, et, val in zip(
+            pdf["sec"], pdf["user_id"], pdf["event_type"], pdf["value"]
+        ):
+            uid = int(uid)
+            rec = {
+                "cluster": "prod",
+                "kubernetes": {
+                    "namespace_name": f"ns-{uid % 5}",
+                    "pod_name": f"pod-{uid % 50}",
+                    "container_name": "c",
+                    "host": f"node-{uid % 8}",
+                },
+                "log": f"type={et}",
+                "content": {"value": float(val)},
+            }
+            evs.append(pack_event(int(sec), rec))
+        return pd.DataFrame({"content": [b"".join(evs)]})
+
+    raw = shards.groupBy("shard").applyInPandas(encode, "content binary")
+    decoded = decode_msgpack_dataframe(raw, EngineConfig())
+    return decoded.groupBy("namespace").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum(field_number("content_value")), 2).alias("sum_value"),
+        F.min("timestamp").alias("min_ts"),
+        F.max("timestamp").alias("max_ts"),
+        F.count_distinct("pod_name").alias("n_pods"),
+    )
+
+
+SQL_INGEST_MSGPACK_PIPELINE = """
+SELECT 'ns-' || CAST(user_id % 5 AS VARCHAR) AS namespace,
+       CAST(count(*) AS BIGINT) AS cnt,
+       round(sum(value), 2) AS sum_value,
+       min(date_trunc('second', ts)) AS min_ts,
+       max(date_trunc('second', ts)) AS max_ts,
+       CAST(count(DISTINCT user_id % 50) AS BIGINT) AS n_pods
+FROM events GROUP BY 1
+"""
+
+
 RETENTION_TODAY = "2024-01-31"
 RETENTION_DAYS = 15  # cutoff 2024-01-16: drops Jan 1-15, keeps Jan 16-30
 
@@ -853,6 +922,12 @@ SPECS = {
         SQL_SOURCES_THROTTLE,
         "deterministic per-key/bucket rate limiting (throttle filter) vs "
         "ROW_NUMBER oracle",
+    ),
+    "ingest_msgpack_pipeline": QuerySpec(
+        q_ingest_msgpack_pipeline,
+        SQL_INGEST_MSGPACK_PIPELINE,
+        "Fluent Bit msgpack chunk encode -> real binary decode path -> "
+        "aggregate, vs direct-from-events oracle",
     ),
     "table_lifecycle": QuerySpec(
         q_table_lifecycle,

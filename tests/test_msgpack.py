@@ -1,10 +1,11 @@
 """msgpack chunk ingest (S1 true-to-reference shape, SURVEY §2.1).
 
 No msgpack library ships in this environment, so these tests synthesize
-chunks with a tiny test-only ENCODER and drive them through the pure-Python
-decoder (klogs_spark.msgpack_lite) and the full ingest path — FLBTime ext
-timestamps and the Fluent Bit >=2.1 nested [[ts, metadata], record] shape
-included (reference main.go:85-103, 238-247)."""
+chunks with the module's own pure-Python ENCODER (msgpack_lite.pack — also
+used by the externally checked ingest_msgpack_pipeline query) and drive them
+through the decoder and the full ingest path — FLBTime ext timestamps and
+the Fluent Bit >=2.1 nested [[ts, metadata], record] shape included
+(reference main.go:85-103, 238-247)."""
 
 from __future__ import annotations
 
@@ -15,48 +16,13 @@ import pytest
 
 from klogs_spark.config import EngineConfig
 from klogs_spark.decode import decode_msgpack_events
-from klogs_spark.msgpack_lite import MsgpackError, unpack_one, unpack_stream
-
-
-# --- test-only encoder (subset sufficient for Fluent Bit shapes) ------------
-def pack(obj) -> bytes:
-    if obj is None:
-        return b"\xc0"
-    if obj is True:
-        return b"\xc3"
-    if obj is False:
-        return b"\xc2"
-    if isinstance(obj, int):
-        if 0 <= obj <= 0x7F:
-            return bytes([obj])
-        if -32 <= obj < 0:
-            return bytes([obj & 0xFF])
-        if obj >= 0:
-            return b"\xcf" + obj.to_bytes(8, "big")
-        return b"\xd3" + obj.to_bytes(8, "big", signed=True)
-    if isinstance(obj, float):
-        return b"\xcb" + struct.pack(">d", obj)
-    if isinstance(obj, str):
-        raw = obj.encode()
-        if len(raw) <= 31:
-            return bytes([0xA0 | len(raw)]) + raw
-        return b"\xd9" + bytes([len(raw)]) + raw
-    if isinstance(obj, bytes):
-        return b"\xc4" + bytes([len(obj)]) + obj
-    if isinstance(obj, (list, tuple)):
-        assert len(obj) <= 15
-        return bytes([0x90 | len(obj)]) + b"".join(pack(x) for x in obj)
-    if isinstance(obj, dict):
-        assert len(obj) <= 15
-        return bytes([0x80 | len(obj)]) + b"".join(
-            pack(k) + pack(v) for k, v in obj.items()
-        )
-    raise TypeError(type(obj))
-
-
-def flbtime(sec: int, nsec: int = 0) -> bytes:
-    """fixext8, ext type 0 — Fluent Bit's event-time representation."""
-    return b"\xd7\x00" + struct.pack(">II", sec, nsec)
+from klogs_spark.msgpack_lite import (
+    MsgpackError,
+    pack,
+    pack_flbtime as flbtime,
+    unpack_one,
+    unpack_stream,
+)
 
 
 def test_unpack_scalar_types_roundtrip():
@@ -191,3 +157,16 @@ def test_msgpack_dead_letter_rejected():
         _make_batch_processor(EngineConfig(), lambda df, i: None,
                               dead_letter_dir="/tmp/x",
                               input_format="msgpack")
+
+
+def test_pack_full_range_roundtrip():
+    """The module encoder covers the size-prefixed formats the fixtures
+    don't reach: str8/16, bin, array16, map16, full-range ints."""
+    objs = [
+        None, True, False, 0, 127, -32, 255, 70_000, 2**40, -70_000, -(2**40),
+        3.5, "x" * 40, "y" * 300, b"\x00\x01" * 200,
+        list(range(40)), {f"k{i}": i for i in range(20)},
+        {"deep": [{"a": [1, "two", None, False]}]},
+    ]
+    for o in objs:
+        assert unpack_one(pack(o)) == o

@@ -99,3 +99,49 @@ def test_logs_table_partition_filter_prunes(spark, tmp_path):
     df = read_logs(spark, path).filter("date = DATE'2024-01-10'")
     files = [r[0] for r in df.select(F.input_file_name()).distinct().collect()]
     assert files and all("date=2024-01-10" in f for f in files)
+
+
+def test_retention_cohorts_broadcasts_cohort_map(spark):
+    """The cohort map is |users|-sized; the event stream must never
+    sort-merge against it."""
+    plan = _plan(spark, "events_retention_cohorts")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_funnel_no_event_level_self_join(spark):
+    """Funnel stages are user-keyed min-aggregates; the only joins are on
+    user_id (hash or broadcast) — never a nested-loop over events."""
+    plan = _plan(spark, "events_funnel")
+    assert "CartesianProduct" not in plan
+    # the final 1-row stage-count combination is the only nested-loop join
+    # (2 joins, each listed twice in formatted output: tree + detail)
+    assert plan.count("BroadcastNestedLoopJoin") <= 4
+
+
+def test_boilerplate_windows_equi_joins_only(spark):
+    plan = _plan(spark, "text_boilerplate_windows")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_throttle_single_window_shuffle(spark):
+    """throttle_per_key is one window over (keys, bucket): exactly one
+    shuffle exchange feeding the row_number sort."""
+    plan = _plan(spark, "sources_throttle")
+    import re
+    n_exchanges = len(re.findall(r"\bExchange hashpartitioning", plan))
+    assert n_exchanges <= 2, plan  # window + final aggregate
+    assert "CartesianProduct" not in plan
+
+
+def test_lsh_knn_join_is_bucket_equi_join(spark):
+    """The approximate side of the recall eval must candidate-generate via
+    the bucket equi-join, not a crossJoin (that is the exact side's job)."""
+    from klogs_spark.ext import similarity as sim
+    from klogs_spark.views import load_table
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    q = emb.filter("vec_id < 5")
+    plan = sim.lsh_knn_join(emb, q, k=5)._jdf.queryExecution().toString()
+    assert "CartesianProduct" not in plan

@@ -26,8 +26,9 @@ HEADLINE = [
     "logs_env_counts",
     "logs_newest",
     "logs_top_pods",
-    # ingest hot path (real decode over nested JSON)
+    # ingest hot paths (real decode over nested JSON / msgpack chunks)
     "ingest_decode_pipeline",
+    "ingest_msgpack_pipeline",
     # generic analytics
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
@@ -40,6 +41,8 @@ HEADLINE = [
     "dedup_simhash_pairs",
     "ann_cosine_topk",
     "text_quality",
+    # end-to-end corpus prep (quality filter -> dedup -> contamination)
+    "pipeline_pretrain_prep",
 ]
 
 

@@ -147,8 +147,17 @@ def quality_filter(df: DataFrame, text_col: str = "text",
     Returns (id, keep, reason, n_tokens, top_token_ppm, quality_score).
     """
     q = quality_features(df, text_col, id_col)
-    rep = repetition_features(df, text_col, id_col).select(
-        "id", "top_token_ppm"
+    # Only the unigram top-token share gates the decision — compute it
+    # directly (one explode) instead of running the full uni+bi+tri
+    # repetition_features (three explodes); the ppm arithmetic is identical.
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens_col(F.col(text_col))).alias("tok")
+    )
+    per_tok = toks.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    rep = per_tok.groupBy("id").agg(
+        F.expr(
+            "CAST(max(c) * CAST(1000000 AS BIGINT) div sum(c) AS BIGINT)"
+        ).alias("top_token_ppm")
     )
     lang = language_id(df, text_col, id_col).select("id", "predicted_lang")
     j = q.join(rep, "id").join(lang, "id")

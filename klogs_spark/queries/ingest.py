@@ -612,6 +612,50 @@ def q_stream_k8s_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_STREAM_K8S_ENRICH = SQL_SOURCES_K8S_ENRICH
 
 
+def q_logs_error_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5's custom stateful operator on its batch twin, externally checked:
+    error_run_tracker emits a row whenever a namespace's consecutive-error
+    run reaches 3. Batch mode plans the same semantics as the
+    applyInPandasWithState streaming path (difference-of-counters run ids +
+    row_number — see streaming_ext.error_run_tracker); the oracle replays
+    the window algebra in SQL. Event timestamps are tie-free on this corpus,
+    so run ordering is total on both engines."""
+    from ..streaming_ext import error_run_tracker
+
+    ev = load_table(spark, sf_dir, "events")
+    level = F.when(F.col("event_type") == "error", "error").otherwise("info")
+    logs = ev.select(
+        F.col("ts").alias("timestamp"),
+        F.concat(F.lit("ns-"), (F.col("user_id") % 5).cast("string")).alias(
+            "namespace"
+        ),
+        F.create_map(F.lit("level"), level).alias("fields_string"),
+    )
+    return error_run_tracker(logs, threshold=3)
+
+
+SQL_LOGS_ERROR_RUNS = """
+WITH logs AS (
+  SELECT ts, 'ns-' || CAST(user_id % 5 AS VARCHAR) AS namespace,
+         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err
+  FROM events
+),
+g AS (
+  SELECT namespace, ts, is_err,
+         count(*) OVER w - sum(is_err) OVER w AS grp
+  FROM logs WINDOW w AS (PARTITION BY namespace ORDER BY ts)
+),
+runs AS (
+  SELECT namespace, ts, is_err,
+         ROW_NUMBER() OVER (PARTITION BY namespace, grp ORDER BY ts)
+           AS error_run
+  FROM g
+)
+SELECT namespace, ts AS timestamp, CAST(error_run AS BIGINT) AS error_run
+FROM runs WHERE is_err = 1 AND error_run >= 3
+"""
+
+
 def q_ingest_msgpack_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1's true-to-reference wire shape, externally checked end-to-end:
     events are ENCODED into Fluent Bit msgpack chunks (32 chunks, one per
@@ -922,6 +966,12 @@ SPECS = {
         SQL_SOURCES_THROTTLE,
         "deterministic per-key/bucket rate limiting (throttle filter) vs "
         "ROW_NUMBER oracle",
+    ),
+    "logs_error_runs": QuerySpec(
+        q_logs_error_runs,
+        SQL_LOGS_ERROR_RUNS,
+        "custom stateful operator (consecutive-error runs >= 3), batch "
+        "twin vs window-algebra oracle",
     ),
     "ingest_msgpack_pipeline": QuerySpec(
         q_ingest_msgpack_pipeline,

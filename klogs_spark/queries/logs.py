@@ -418,6 +418,78 @@ FROM logs GROUP BY 1, 2
 """
 
 
+# --- burn-rate alert (multi-window error-rate comparison) -------------------
+def q_burn_rate_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRE-style multi-window burn-rate alert: flag every (namespace, hour)
+    whose error rate runs at >= 2x the namespace's SAME-DAY baseline rate
+    with at least 2 errors in the hour — the standard short-window/
+    long-window alerting rule, all in integer ppm (tie-proof cross-engine).
+
+    Scale shape: two aggregations over the stream (hourly and daily); the
+    daily baseline is |namespaces x days|-sized, so it broadcasts back onto
+    the hourly side — no second event-level shuffle."""
+    df = _logs(spark, sf_dir).df
+    is_err = F.when(field_string("level") == "error", 1).otherwise(0)
+    base = df.select(
+        "namespace",
+        F.date_trunc("hour", F.col("timestamp")).alias("hour"),
+        F.to_date("timestamp").alias("day"),
+        is_err.alias("is_err"),
+    )
+    hourly = base.groupBy("namespace", "hour").agg(
+        F.count(F.lit(1)).alias("n_1h"),
+        F.sum("is_err").alias("err_1h"),
+    )
+    daily = base.groupBy("namespace", "day").agg(
+        F.count(F.lit(1)).alias("n_1d"),
+        F.sum("is_err").alias("err_1d"),
+    )
+    ppm = "CAST(({n} * CAST(1000000 AS BIGINT)) div greatest({d}, 1) AS BIGINT)"
+    joined = hourly.join(
+        F.broadcast(daily),
+        (hourly.namespace == daily.namespace)
+        & (F.to_date(hourly.hour) == daily.day),
+    ).select(
+        hourly.namespace,
+        "hour",
+        "err_1h",
+        "n_1h",
+        F.expr(ppm.format(n="err_1h", d="n_1h")).alias("ppm_1h"),
+        F.expr(ppm.format(n="err_1d", d="n_1d")).alias("ppm_1d"),
+    )
+    return joined.filter(
+        (F.col("ppm_1h") >= 2 * F.col("ppm_1d")) & (F.col("err_1h") >= 2)
+    )
+
+
+SQL_BURN_RATE_ALERT = LOGS_CTE + """,
+base AS (
+  SELECT namespace, date_trunc('hour', "timestamp") AS hour,
+         CAST("timestamp" AS DATE) AS day,
+         CASE WHEN f_level = 'error' THEN 1 ELSE 0 END AS is_err
+  FROM logs
+),
+hourly AS (
+  SELECT namespace, hour, count(*) AS n_1h,
+         CAST(sum(is_err) AS BIGINT) AS err_1h
+  FROM base GROUP BY 1, 2
+),
+daily AS (
+  SELECT namespace, day, count(*) AS n_1d,
+         CAST(sum(is_err) AS BIGINT) AS err_1d
+  FROM base GROUP BY 1, 2
+)
+SELECT h.namespace, h.hour, h.err_1h, CAST(h.n_1h AS BIGINT) AS n_1h,
+       CAST(h.err_1h * 1000000 // greatest(h.n_1h, 1) AS BIGINT) AS ppm_1h,
+       CAST(d.err_1d * 1000000 // greatest(d.n_1d, 1) AS BIGINT) AS ppm_1d
+FROM hourly h JOIN daily d
+  ON h.namespace = d.namespace AND CAST(h.hour AS DATE) = d.day
+WHERE h.err_1h * 1000000 // greatest(h.n_1h, 1)
+        >= 2 * (d.err_1d * 1000000 // greatest(d.n_1d, 1))
+  AND h.err_1h >= 2
+"""
+
+
 # --- O1/O3: newest-first log view (top-k, no full sort) ---------------------
 def q_newest_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # events timestamps are unique (TESTDATA seed) -> deterministic top-100.
@@ -720,4 +792,8 @@ SPECS = {
     "logs_approx_distinct": QuerySpec(
         q_approx_distinct, SQL_APPROX_DISTINCT,
         "A5 approx_count_distinct, exact counts + rsd-bound booleans"),
+    "logs_burn_rate_alert": QuerySpec(
+        q_burn_rate_alert, SQL_BURN_RATE_ALERT,
+        "multi-window burn-rate alert (hourly vs same-day baseline, "
+        "integer ppm, broadcast baseline)"),
 }

@@ -145,3 +145,32 @@ def test_lsh_knn_join_is_bucket_equi_join(spark):
     q = emb.filter("vec_id < 5")
     plan = sim.lsh_knn_join(emb, q, k=5)._jdf.queryExecution().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """The 100 TB co-located-join recipe: both sides written bucketed on the
+    join key join WITHOUT a shuffle exchange — the storage layout the engine
+    prescribes for repeated orders-lineitem joins (bucketing docs in
+    README). Guard: the same join on plain parquet DOES exchange."""
+    from klogs_spark.views import load_table
+
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    o = load_table(spark, SF_ORACLE, "orders").select("o_orderkey", "o_orderpriority")
+    l = load_table(spark, SF_ORACLE, "lineitem").select("l_orderkey", "l_quantity")
+    (o.write.mode("overwrite").bucketBy(8, "o_orderkey")
+      .sortBy("o_orderkey").saveAsTable("b_orders"))
+    (l.write.mode("overwrite").bucketBy(8, "l_orderkey")
+      .sortBy("l_orderkey").saveAsTable("b_lineitem"))
+    joined = spark.table("b_orders").join(
+        spark.table("b_lineitem"),
+        spark.table("b_orders").o_orderkey
+        == spark.table("b_lineitem").l_orderkey,
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan
+    # sanity: result is right
+    expect = o.join(l, o.o_orderkey == l.l_orderkey).count()
+    assert joined.count() == expect
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")

@@ -1334,6 +1334,45 @@ FROM hs GROUP BY id
 """
 
 
+def q_top_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source top-5 terms by raw frequency — the corpus-exploration
+    query behind domain-mixture decisions. One (source, token) aggregation
+    (map-side combined) and a per-source top-k window over the
+    |sources x vocabulary|-sized count table — never over the corpus.
+    Integer counts + lexical tiebreak keep the ranking engine-exact."""
+    from pyspark.sql.window import Window
+
+    from ..ext.dedup import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(
+            "source", F.explode(tokens_col(F.col("text"))).alias("tok")
+        )
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("source").orderBy(F.col("c").desc(), "tok")
+    return counts.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= 5
+    )
+
+
+SQL_TOP_TERMS_PER_SOURCE = """
+WITH toks AS (
+  SELECT source,
+         unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+  FROM documents
+),
+c AS (SELECT source, tok, count(*) AS c FROM toks GROUP BY 1, 2)
+SELECT source, tok, c, CAST(rk AS BIGINT) AS rk FROM (
+  SELECT source, tok, CAST(c AS BIGINT) AS c,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY c DESC, tok) AS rk
+  FROM c
+) WHERE rk <= 5
+"""
+
+
 def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-mitigation parity, externally checked: join the event stream
     (key skewed by design — every 'error'/'click'/'view' row collapses onto
@@ -1766,6 +1805,10 @@ SPECS = {
         q_ann_recall_eval, SQL_ANN_RECALL_EVAL,
         "recall@10 of LSH-bucketed k-NN vs exact k-NN for 20 queries "
         "(integer hit counts)",
+    ),
+    "text_top_terms_per_source": QuerySpec(
+        q_top_terms_per_source, SQL_TOP_TERMS_PER_SOURCE,
+        "per-source top-5 terms (integer counts, lexical tiebreak)",
     ),
     "skew_salted_join": QuerySpec(
         q_skew_salted_join, SQL_SKEW_SALTED_JOIN,

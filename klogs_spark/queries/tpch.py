@@ -247,6 +247,38 @@ FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
 """
 
 
+def q_orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS — the third multi-grouping shape next to rollup/cube:
+    per-priority totals, per-status totals, and the grand total in ONE pass
+    (Catalyst expands to a single Expand + partial-aggregated exchange, not
+    three scans). grouping_id disambiguates the all-NULL grand-total row
+    from any genuine NULL dimension value."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderpriority",
+            "o_orderstatus",
+        )
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+SQL_ORDERS_GROUPING_SETS = """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus)
+            AS BIGINT) AS gid,
+       count(*) AS cnt,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+"""
+
+
 # --- Q4-style order priority check (correlated EXISTS -> semi join) ---------
 def q4_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
@@ -1062,6 +1094,9 @@ SPECS = {
                                           "anti join"),
     "events_sessionize": QuerySpec(q_event_sessions, SQL_EVENT_SESSIONS,
                                    "gap-based sessionization"),
+    "agg_orders_grouping_sets": QuerySpec(
+        q_orders_grouping_sets, SQL_ORDERS_GROUPING_SETS,
+        "GROUPING SETS in one Expand pass with grouping_id disambiguation"),
     "events_funnel": QuerySpec(q_events_funnel, SQL_EVENTS_FUNNEL,
                                "ordered view->click->purchase conversion "
                                "funnel (user-keyed min-aggregates)"),

@@ -170,3 +170,32 @@ def test_pack_full_range_roundtrip():
     ]
     for o in objs:
         assert unpack_one(pack(o)) == o
+
+
+def test_pack_unpack_property_roundtrip():
+    """Property: any msgpack-representable object round-trips exactly."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    scalars = st.one_of(
+        st.none(), st.booleans(),
+        st.integers(min_value=-(2**63), max_value=2**64 - 1),
+        st.floats(allow_nan=False),  # NaN != NaN breaks equality, not codec
+        st.text(max_size=80), st.binary(max_size=80),
+    )
+    objs = st.recursive(
+        scalars,
+        lambda kids: st.one_of(
+            st.lists(kids, max_size=8),
+            st.dictionaries(st.text(max_size=10), kids, max_size=8),
+        ),
+        max_leaves=25,
+    )
+
+    @given(objs)
+    @settings(max_examples=150, derandomize=True,
+              suppress_health_check=list(HealthCheck))
+    def check(o):
+        assert unpack_one(pack(o)) == o
+
+    check()

@@ -158,6 +158,21 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    # the set timed in rounds <= 4 — keep a like-for-like subtotal so adding
+    # queries to the bench never reads as a regression across rounds
+    r4_set = {
+        "table_write_logs", "table_env_map_count", "table_newest",
+        "table_hourly_histogram", "logs_env_map_count", "logs_number_stats",
+        "logs_hourly_histogram", "logs_env_counts", "logs_newest",
+        "logs_top_pods", "ingest_decode_pipeline", "tpch_q1_pricing_summary",
+        "tpch_q3_shipping_priority", "tpch_q5_local_supplier",
+        "tpch_q6_forecast_revenue", "events_sessionize", "dedup_exact",
+        "dedup_minhash_lsh", "dedup_simhash_pairs", "ann_cosine_topk",
+        "text_quality",
+    }
+    comparable = round(
+        sum(v for k, v in timings.items() if k in r4_set), 3
+    )
     print(
         json.dumps(
             {
@@ -167,8 +182,12 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf),
                 "trials": trials,
+                "comparable_r4_subtotal_sec": comparable,
                 "timing": "best-of-N per query (single-shot swings up to "
-                          "+/-50% on this box with unchanged code)",
+                          "+/-50% on this box with unchanged code); "
+                          "'value' includes queries newly added to the "
+                          "bench this round — use comparable_r4_subtotal_sec "
+                          "for round-over-round comparison",
             }
         )
     )

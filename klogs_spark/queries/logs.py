@@ -445,12 +445,15 @@ def q_burn_rate_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("is_err").alias("err_1d"),
     )
     ppm = "CAST(({n} * CAST(1000000 AS BIGINT)) div greatest({d}, 1) AS BIGINT)"
+    daily = daily.select(
+        F.col("namespace").alias("d_namespace"), "day", "n_1d", "err_1d"
+    )
     joined = hourly.join(
         F.broadcast(daily),
-        (hourly.namespace == daily.namespace)
-        & (F.to_date(hourly.hour) == daily.day),
+        (F.col("namespace") == F.col("d_namespace"))
+        & (F.to_date(F.col("hour")) == F.col("day")),
     ).select(
-        hourly.namespace,
+        "namespace",
         "hour",
         "err_1h",
         "n_1h",

@@ -26,6 +26,28 @@ import math
 from datetime import datetime, timezone
 from typing import Any, Iterable, Iterator
 
+try:  # orjson (Rust) parses ~5x faster; decode is the 100 TB cost center
+    import orjson as _fastjson
+except ImportError:  # pragma: no cover - env without orjson
+    _fastjson = None
+
+
+def _loads(line: str) -> Any:
+    """json.loads with an orjson fast path.
+
+    orjson rejects a few inputs stdlib json accepts (>64-bit integers,
+    NaN/Infinity literals, deep nesting beyond its fixed limit) — on ANY
+    orjson failure, fall back to stdlib so accepted-input semantics are
+    byte-identical with or without the fast path; only genuinely bad lines
+    pay the double parse.
+    """
+    if _fastjson is not None:
+        try:
+            return _fastjson.loads(line)
+        except ValueError:
+            pass
+    return json.loads(line)
+
 from pyspark.sql import DataFrame
 
 from .config import EngineConfig
@@ -286,16 +308,13 @@ def decode_json_lines(
         if not line:
             continue
         try:
-            obj = json.loads(line)
-        except json.JSONDecodeError:
-            if rejects is not None:
-                rejects.append(line)
-            continue
-        except RecursionError:
-            # pathologically deep nesting overflows json.loads' parser stack;
-            # treat like any other undecodable line (dead-letter, not batch
-            # death) — the Go reference would hit msgpack depth limits the
-            # same way (main.go:251-254 warn-and-drop)
+            obj = _loads(line)
+        except (json.JSONDecodeError, RecursionError):
+            # RecursionError: pathologically deep nesting overflows the
+            # stdlib parser stack; treat like any other undecodable line
+            # (dead-letter, not batch death) — the Go reference would hit
+            # msgpack depth limits the same way (main.go:251-254
+            # warn-and-drop)
             if rejects is not None:
                 rejects.append(line)
             continue

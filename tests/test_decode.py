@@ -249,9 +249,15 @@ def test_huge_json_integer_does_not_kill_the_batch():
     assert (s, is_num, is_nil) == (big, False, False)
 
 
-def test_pathologically_deep_json_is_dead_lettered():
+def test_pathologically_deep_json_is_dead_lettered(monkeypatch):
+    """Without the orjson fast path, stdlib json's parser stack overflows on
+    pathological nesting and the line dead-letters instead of killing the
+    batch. (With orjson present the same line simply decodes — its parser is
+    iterative — which test_deep_json_decodes_on_fast_path covers.)"""
+    from klogs_spark import decode as decode_mod
     from klogs_spark.decode import decode_json_lines
 
+    monkeypatch.setattr(decode_mod, "_fastjson", None)
     deep = "[" * 5000 + "]" * 5000
     bad = '{"ts": 1, "record": {"d": ' + deep + "}}"
     good = '{"ts": 2, "record": {"ok": 1}}'
@@ -259,3 +265,22 @@ def test_pathologically_deep_json_is_dead_lettered():
     rows = list(decode_json_lines([bad, good], rejects=rejects))
     assert len(rows) == 1 and rows[0]["fields_number"]["ok"] == 1.0
     assert rejects == [bad]
+
+
+def test_deep_json_decodes_on_fast_path():
+    """With orjson installed, deep-but-valid nesting is not a death
+    sentence: the line decodes (to an empty-maps row here — nothing but
+    empty arrays inside) and nothing is dead-lettered."""
+    import pytest
+
+    from klogs_spark import decode as decode_mod
+    from klogs_spark.decode import decode_json_lines
+
+    if decode_mod._fastjson is None:
+        pytest.skip("orjson not installed in this environment")
+    deep = "[" * 5000 + "]" * 5000
+    bad = '{"ts": 1, "record": {"d": ' + deep + "}}"
+    good = '{"ts": 2, "record": {"ok": 1}}'
+    rejects: list[str] = []
+    rows = list(decode_json_lines([bad, good], rejects=rejects))
+    assert len(rows) == 2 and rejects == []

@@ -315,6 +315,11 @@ def _make_batch_processor(
 
                 import pandas as pd
 
+                # the SAME parser as the decode stage (orjson fast path with
+                # stdlib fallback) — accept/reject decisions must agree or a
+                # line could be both decoded and dead-lettered
+                from .decode import _loads
+
                 for batch in batches:
                     rejects = []
                     for line in batch["value"].tolist():
@@ -322,7 +327,7 @@ def _make_batch_processor(
                         if not line:
                             continue
                         try:
-                            obj = _json.loads(line)
+                            obj = _loads(line)
                         except (_json.JSONDecodeError, RecursionError):
                             rejects.append(line)
                             continue

@@ -112,10 +112,17 @@ def lsh_topk(emb: DataFrame, query_vec: list[float], k: int = 5,
 def lsh_knn_join(emb: DataFrame, queries: DataFrame, k: int = 5,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  q_id: str = "vec_id", q_vec: str = "embedding",
-                 planes: list[list[float]] | None = None) -> DataFrame:
+                 planes: list[list[float]] | None = None,
+                 probes: int = 0) -> DataFrame:
     """Approximate batch k-NN: knn_join restricted to each query's sign-LSH
     bucket — a bucket equi-join instead of the crossJoin, so per query the
     candidate set is one bucket, not the corpus.
+
+    ``probes`` > 0 enables multi-probe: each query additionally scans the
+    buckets one bit-flip away in the first ``probes`` hyperplane bits (the
+    standard recall lever — near neighbors most often land across ONE
+    hyperplane). The query side is tiny, so probing explodes queries, never
+    the corpus; candidates stay a bucket equi-join.
 
     At scale the corpus side is stored bucketed on the bucket id, making
     this a co-located join; the query side stays broadcast. Recall trades
@@ -125,11 +132,15 @@ def lsh_knn_join(emb: DataFrame, queries: DataFrame, k: int = 5,
     from pyspark.sql.window import Window
 
     planes = planes or hyperplanes(N_PLANES, EMB_DIM)
+    qb = lsh_bucket(F.col(q_vec), planes)
+    probe_buckets = F.array(
+        qb, *[qb.bitwiseXOR(F.lit(1 << j)) for j in range(probes)]
+    )
     q = F.broadcast(
         queries.select(
             F.col(q_id).alias("query_id"),
             F.col(q_vec).alias("qv"),
-            lsh_bucket(F.col(q_vec), planes).alias("bucket"),
+            F.explode(probe_buckets).alias("bucket"),
         )
     )
     scored = (

@@ -1537,6 +1537,101 @@ FROM ex e LEFT JOIN ap a ON e.query_id = a.query_id
 """
 
 
+def q_ann_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH as a measured recall lever: for the same 20 queries,
+    recall@10 of single-bucket vs 4-bucket (all 3 bit-flips on the 3-plane
+    index) candidate generation against the exact ground truth. Probing
+    explodes only the broadcast query side; candidates remain a bucket
+    equi-join — the knob a 100 TB deployment turns instead of adding planes.
+    Integer hit counts; the oracle replays both probe sets in SQL."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < ANN_RECALL_NQ)
+    exact = sim.knn_join(emb, queries, k=ANN_RECALL_K).select(
+        "query_id", "neighbor_id"
+    )
+    single = sim.lsh_knn_join(
+        emb, queries, k=ANN_RECALL_K, planes=_RECALL_PLANES, probes=0
+    ).select("query_id", "neighbor_id")
+    multi = sim.lsh_knn_join(
+        emb, queries, k=ANN_RECALL_K, planes=_RECALL_PLANES, probes=3
+    ).select("query_id", "neighbor_id")
+
+    def hits(approx, name):
+        return (
+            exact.join(approx, ["query_id", "neighbor_id"])
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    n_exact = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    return (
+        n_exact.join(hits(single, "hits_single"), "query_id", "left")
+        .join(hits(multi, "hits_multi"), "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("hits_single", F.lit(0)).alias("hits_single"),
+            F.coalesce("hits_multi", F.lit(0)).alias("hits_multi"),
+        )
+    )
+
+
+SQL_ANN_MULTIPROBE_RECALL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+bk AS (SELECT vec_id, v, {_RECALL_BUCKET_SQL} AS bucket FROM e),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qb FROM bk
+      WHERE vec_id < {ANN_RECALL_NQ}),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round({_cos_sql('e.v', 'q.qv')}, 6) DESC, e.vec_id)
+             AS rnk
+    FROM e, q WHERE e.vec_id <> q.query_id
+  ) WHERE rnk <= {ANN_RECALL_K}
+),
+single AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, bk.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round({_cos_sql('bk.v', 'q.qv')}, 6) DESC, bk.vec_id)
+             AS rnk
+    FROM bk JOIN q ON bk.bucket = q.qb AND bk.vec_id <> q.query_id
+  ) WHERE rnk <= {ANN_RECALL_K}
+),
+multi AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, bk.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round({_cos_sql('bk.v', 'q.qv')}, 6) DESC, bk.vec_id)
+             AS rnk
+    FROM bk JOIN q
+      ON bk.bucket IN (q.qb, xor(q.qb, 1), xor(q.qb, 2), xor(q.qb, 4))
+     AND bk.vec_id <> q.query_id
+  ) WHERE rnk <= {ANN_RECALL_K}
+),
+ex AS (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY 1),
+hs AS (SELECT x.query_id, count(*) AS hits_single
+       FROM exact x JOIN single a
+         ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id
+       GROUP BY 1),
+hm AS (SELECT x.query_id, count(*) AS hits_multi
+       FROM exact x JOIN multi a
+         ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id
+       GROUP BY 1)
+SELECT e.query_id, CAST(e.n_exact AS BIGINT) AS n_exact,
+       CAST(coalesce(s.hits_single, 0) AS BIGINT) AS hits_single,
+       CAST(coalesce(m.hits_multi, 0) AS BIGINT) AS hits_multi
+FROM ex e LEFT JOIN hs s ON e.query_id = s.query_id
+          LEFT JOIN hm m ON e.query_id = m.query_id
+"""
+
+
 def q_boilerplate_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style corpus-frequency boilerplate detection: a 3-gram window that
     appears in >= 5 distinct documents is boilerplate; report per-doc window
@@ -1805,6 +1900,11 @@ SPECS = {
         q_ann_recall_eval, SQL_ANN_RECALL_EVAL,
         "recall@10 of LSH-bucketed k-NN vs exact k-NN for 20 queries "
         "(integer hit counts)",
+    ),
+    "ann_multiprobe_recall": QuerySpec(
+        q_ann_multiprobe_recall, SQL_ANN_MULTIPROBE_RECALL,
+        "multi-probe LSH recall lever: single vs 4-bucket probing vs exact "
+        "ground truth (integer hits)",
     ),
     "text_top_terms_per_source": QuerySpec(
         q_top_terms_per_source, SQL_TOP_TERMS_PER_SOURCE,

@@ -140,3 +140,40 @@ def test_throttle_per_key(spark):
     assert kept == [1, 2, 5, 6]  # first 2 per bucket; new hour resets
     assert dropped == [3, 4]
     assert out.count() == len(rows)  # audit form keeps every row
+
+
+def test_parse_syslog_property_roundtrip(spark):
+    """Property: synthesized RFC 5424 lines parse back to their parts —
+    catches regex edge cases (empty msg, spaces/brackets in msg, pri
+    boundaries) that fixed fixtures miss."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from klogs_spark.sources import parse_syslog_lines
+
+    word = st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyz0123456789.-", min_size=1,
+        max_size=12,
+    ).filter(lambda s: s != "-")
+    msg = st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyz []{}=:,", max_size=40
+    )
+
+    @given(
+        st.integers(min_value=0, max_value=191), word, word,
+        st.integers(min_value=1, max_value=99999), msg,
+    )
+    @settings(max_examples=30, deadline=None, derandomize=True,
+              suppress_health_check=list(HealthCheck))
+    def check(pri, host, app, pid, message):
+        line = (f"<{pri}>1 2024-01-07T06:00:00.000001Z {host} {app} {pid} "
+                f"- - {message}")
+        raw = spark.createDataFrame([(line,)], "value string")
+        rows = parse_syslog_lines(raw).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r.pri, r.facility, r.severity) == (pri, pri // 8, pri % 8)
+        assert (r.host, r.app, r.procid) == (host, app, str(pid))
+        assert r.content == message
+
+    check()

@@ -717,6 +717,46 @@ FROM logs
 """
 
 
+# --- A7 approx variant: percentile_approx with error-bound booleans ---------
+def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quantile-sketch twin of logs_approx_distinct: per-namespace
+    approx p50/p95 over the value field, hash-checked the same way — exact
+    percentiles (oracle-replicable, discrete so no interpolation ambiguity)
+    plus booleans asserting the sketch lands within a 5%+1 band of exact.
+    percentile_approx's GK sketch is merge-order dependent, so its raw
+    output can differ run-to-run — the booleans are what's stable, exactly
+    the HLL treatment."""
+    logs = derive_logs_from_events(spark, sf_dir)
+    v = field_number("value")
+    base = logs.select("namespace", v.alias("v")).filter(F.col("v").isNotNull())
+    agg = base.groupBy("namespace").agg(
+        F.expr("percentile(v, 0.5)").alias("_e50"),
+        F.expr("percentile(v, array(0.95))[0]").alias("_e95"),
+        F.expr("percentile_approx(v, 0.5, 1000)").alias("_a50"),
+        F.expr("percentile_approx(v, 0.95, 1000)").alias("_a95"),
+    )
+    band = lambda e, a: (F.abs(F.col(a) - F.col(e))  # noqa: E731
+                         <= 0.05 * F.abs(F.col(e)) + 1)
+    return agg.select(
+        "namespace",
+        F.round("_e50", 6).alias("exact_p50"),
+        F.round("_e95", 6).alias("exact_p95"),
+        band("_e50", "_a50").alias("p50_within_band"),
+        band("_e95", "_a95").alias("p95_within_band"),
+    )
+
+
+SQL_APPROX_PERCENTILES = LOGS_CTE + """
+SELECT namespace,
+       round(quantile_cont(f_value, 0.5), 6) AS exact_p50,
+       round(quantile_cont(f_value, 0.95), 6) AS exact_p95,
+       true AS p50_within_band,
+       true AS p95_within_band
+FROM logs WHERE f_value IS NOT NULL
+GROUP BY namespace
+"""
+
+
 # --- EXT window: top-3 pods by volume per namespace -------------------------
 def q_top_pods(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
@@ -795,6 +835,9 @@ SPECS = {
     "logs_approx_distinct": QuerySpec(
         q_approx_distinct, SQL_APPROX_DISTINCT,
         "A5 approx_count_distinct, exact counts + rsd-bound booleans"),
+    "logs_approx_percentiles": QuerySpec(
+        q_approx_percentiles, SQL_APPROX_PERCENTILES,
+        "A7 percentile_approx sketch, exact quantiles + error-band booleans"),
     "logs_burn_rate_alert": QuerySpec(
         q_burn_rate_alert, SQL_BURN_RATE_ALERT,
         "multi-window burn-rate alert (hourly vs same-day baseline, "

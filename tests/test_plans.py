@@ -174,3 +174,16 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
     assert joined.count() == expect
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_burn_rate_broadcasts_daily_baseline(spark):
+    plan = _plan(spark, "logs_burn_rate_alert")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_multiprobe_lsh_stays_equi_join(spark):
+    """Probing must explode only the broadcast query side; candidate
+    generation stays a bucket equi-join, never a nested loop."""
+    plan = _plan(spark, "ann_multiprobe_recall")
+    assert "CartesianProduct" not in plan

@@ -141,6 +141,40 @@ DRIVER_VERIFIED: dict = {
     "tpch_q8_market_share": "749628230189",
     "window_order_gaps": "5291510adf3f",
     "window_order_rank": "b89b673ca4bb",
+    # round-5 green checks (CORRECTNESS_r05.json), hashed at the r5 tree
+    "agg_orders_grouping_sets": "3cf2d1156077",
+    "ann_multiprobe_recall": "c2c0ee568d2f",
+    "ann_recall_eval": "93de20755b39",
+    "dedup_paragraph_exact": "764b569461cf",
+    "dedup_paragraph_minhash": "0e7ff77a1f01",
+    "dedup_survivor_selection": "a3bd123bf888",
+    "events_funnel": "7fc552e2d7a5",
+    "events_retention_cohorts": "7ee727f00a46",
+    "ingest_msgpack_pipeline": "fc8f9c3a9b44",
+    "logs_approx_distinct": "9b697fb6606f",
+    "logs_approx_percentiles": "a4fe993448cc",
+    "logs_burn_rate_alert": "a382f0c1cfd4",
+    "logs_error_runs": "c067a1200bf9",
+    "pipeline_pretrain_prep": "60209e874d2d",
+    "sample_mixture_weights": "86c83321b394",
+    "sample_stratified_k": "f3d4ef2865ff",
+    "skew_salted_join": "605c029d4c97",
+    "skew_two_phase_count": "db7fbd9ea765",
+    "sources_cri_pipeline": "34228faec00b",
+    "sources_docker_pipeline": "6c9fec6f463e",
+    "sources_k8s_enrich": "3638cec3ecdd",
+    "sources_syslog_pipeline": "bb11b3e2e31c",
+    "sources_throttle": "6aee0549d380",
+    "stream_dedup_watermark": "5a38c63244ec",
+    "stream_k8s_enrich": "571e64423a43",
+    "stream_session_watermark": "da511f7014fb",
+    "stream_windowed_watermark": "c7a3f33a9cd9",
+    "table_lifecycle": "68fd474e9d21",
+    "text_boilerplate_windows": "d73d2132137a",
+    "text_quality_filter": "b3cf8d28b240",
+    "text_top_terms_per_source": "7b2ae823bcfa",
+    "text_unigram_logprob": "05a6f634cdcc",
+    "tpch_q15_top_supplier": "dc5e57c36c4e",
 }
 
 

@@ -782,6 +782,97 @@ SELECT namespace, pod_name, cnt, rnk FROM (
 """
 
 
+def q_template_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log template mining (Drain-lite): mask numeric literals in the raw
+    line and group by the resulting template — the standard first pass of
+    log-pattern clustering (templates per app, volume, blast radius in
+    pods). One regexp_replace + one aggregation; no Python, no pairwise
+    comparison.
+
+    Scale shape: the mask is a JVM-side regex in whole-stage codegen; the
+    group-by shuffles |templates| keys after map-side combine — template
+    cardinality is tiny next to line count, so this is a near-free rollup
+    even at 100 TB."""
+    df = _logs(spark, sf_dir).df
+    template = F.regexp_replace(
+        F.col("log"), r"[0-9]+(\.[0-9]+)?", "<N>"
+    )
+    return (
+        df.select(
+            template.alias("template"), "app", "pod_name"
+        )
+        .groupBy("template")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("app").alias("n_apps"),
+            F.count_distinct("pod_name").alias("n_pods"),
+        )
+    )
+
+
+SQL_TEMPLATE_CLUSTERS = LOGS_CTE + r"""
+SELECT regexp_replace(log, '[0-9]+(\.[0-9]+)?', '<N>', 'g') AS template,
+       count(*) AS n,
+       CAST(count(DISTINCT app) AS BIGINT) AS n_apps,
+       CAST(count(DISTINCT pod_name) AS BIGINT) AS n_pods
+FROM logs
+GROUP BY 1
+"""
+
+
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: hourly line counts per app, z-scored
+    against that app's own month of hourly counts; emit hours with
+    |z| >= 2. Mean/variance come from exact integer sums (n, sum, sum of
+    squares) rather than engine stddev — both engines then evaluate the
+    identical IEEE expression, so the 2-sigma cut cannot flip cross-engine.
+    The zero-variance guard is the exact integer comparison n*s2 > s1^2.
+
+    Scale shape: one event-level aggregation to hourly counts (map-side
+    combined), a |apps|-sized stats rollup broadcast back onto the hourly
+    grid, then a filter — no event-level join, no window sort."""
+    df = _logs(spark, sf_dir).df
+    hourly = df.groupBy(
+        "app", F.date_trunc("hour", F.col("timestamp")).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    stats = hourly.groupBy("app").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cnt").alias("s1"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("s2"),
+    )
+    z = (F.col("cnt") - F.col("s1") / F.col("n")) / F.sqrt(
+        (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+        / (F.col("n") - 1)
+    )
+    return (
+        hourly.join(F.broadcast(stats), "app")
+        .filter(F.col("n") * F.col("s2") > F.col("s1") * F.col("s1"))
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) >= 2.0)
+        .select("app", "bucket", "cnt", F.round("z", 4).alias("z"))
+    )
+
+
+SQL_ANOMALY_ZSCORE = LOGS_CTE + """,
+hourly AS (
+  SELECT app, date_trunc('hour', "timestamp") AS bucket, count(*) AS cnt
+  FROM logs GROUP BY 1, 2
+),
+stats AS (
+  SELECT app,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cnt) AS BIGINT) AS s1,
+         CAST(sum(cnt * cnt) AS BIGINT) AS s2
+  FROM hourly GROUP BY 1
+)
+SELECT app, bucket, cnt,
+       round((cnt - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1)), 4) AS z
+FROM hourly JOIN stats USING (app)
+WHERE n * s2 > s1 * s1
+  AND abs((cnt - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1))) >= 2.0
+"""
+
+
 SPECS = {
     "logs_env_map_count": QuerySpec(q_env_map_count, SQL_ENV_MAP_COUNT,
                                     "F1+F2+F3+A1 canonical klogs count"),
@@ -842,4 +933,10 @@ SPECS = {
         q_burn_rate_alert, SQL_BURN_RATE_ALERT,
         "multi-window burn-rate alert (hourly vs same-day baseline, "
         "integer ppm, broadcast baseline)"),
+    "logs_template_clusters": QuerySpec(
+        q_template_clusters, SQL_TEMPLATE_CLUSTERS,
+        "Drain-lite log template mining (numeric-mask + rollup)"),
+    "logs_anomaly_zscore": QuerySpec(
+        q_anomaly_zscore, SQL_ANOMALY_ZSCORE,
+        "per-app hourly volume anomalies via exact-integer-sum z-scores"),
 }

@@ -1040,6 +1040,185 @@ GROUP BY 1, 2
 """
 
 
+def q_orders_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT — per-year revenue pivoted over order status (the operator
+    family rollup/cube/grouping-sets doesn't cover). Values are enumerated
+    explicitly so Catalyst plans ONE pass (pivot without values costs an
+    extra distinct scan to discover them — never do that at 100 TB); the
+    pivot itself compiles to conditional sums inside a single
+    partial-aggregated HashAggregate, no extra shuffle vs a plain group-by."""
+    o = load_table(spark, sf_dir, "orders")
+    piv = (
+        o.withColumn("o_year", F.year("o_orderdate").cast("int"))
+        .groupBy("o_year")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.round(F.sum("o_totalprice"), 2))
+    )
+    return piv.select(
+        "o_year",
+        F.col("O").alias("rev_open"),
+        F.col("F").alias("rev_filled"),
+        F.col("P").alias("rev_partial"),
+    )
+
+
+SQL_ORDERS_PIVOT = """
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+       round(sum(o_totalprice) FILTER (o_orderstatus = 'O'), 2) AS rev_open,
+       round(sum(o_totalprice) FILTER (o_orderstatus = 'F'), 2) AS rev_filled,
+       round(sum(o_totalprice) FILTER (o_orderstatus = 'P'), 2) AS rev_partial
+FROM orders
+GROUP BY 1
+"""
+
+
+def q_daily_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-based windows (ROWS BETWEEN) — 7-day moving average and running
+    cumulative total of daily order revenue. The rank/lag queries cover
+    ordered windows; this covers sliding/unbounded FRAMES.
+
+    Cross-engine float discipline: daily revenue is snapped to integer CENTS
+    before any window math, so the frame sums are exact integer arithmetic in
+    both engines (windowed double sums are order-sensitive; windowed bigint
+    sums are not). The moving average divides cents by (100 * frame rows),
+    which provably cannot land on a round-half boundary at 6 decimals.
+
+    Scale shape: one shuffle for the daily pre-aggregation (map-side
+    combined), then a single-partition window over |days| rows — the window
+    input is days, not orders, so the unpartitioned ORDER BY is safe even at
+    100 TB of orders (~10^4 days)."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.round(F.sum("o_totalprice") * 100, 0).cast("long")
+            .alias("rev_cents")
+        )
+    )
+    w7 = Window.orderBy("day").rowsBetween(-6, 0)
+    wcum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day",
+        "rev_cents",
+        F.round(
+            F.sum("rev_cents").over(w7)
+            / (F.count(F.lit(1)).over(w7) * 100.0),
+            6,
+        ).alias("ma7"),
+        F.sum("rev_cents").over(wcum).alias("cum_cents"),
+    )
+
+
+SQL_DAILY_REVENUE_TREND = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(round(sum(o_totalprice) * 100, 0) AS BIGINT) AS rev_cents
+  FROM orders
+  GROUP BY 1
+)
+SELECT day,
+       rev_cents,
+       round(CAST(sum(rev_cents) OVER w7 AS BIGINT)
+             / (count(*) OVER w7 * 100.0), 6) AS ma7,
+       CAST(sum(rev_cents) OVER (
+             ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) AS BIGINT) AS cum_cents
+FROM daily
+WINDOW w7 AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile() distribution buckets — quartile customers by account balance
+    (deterministic tiebreak on the unique key) and profile each quartile.
+    Per-bucket balance totals are emitted as exact integer cents, not a
+    float average, so the result is order-insensitive.
+
+    Scale shape: a global ntile needs a total order; at 100 TB replace with
+    approx percentile boundaries + a broadcast bucket lookup. Here |customer|
+    is dimension-sized, so the single-partition window is the honest plan."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (
+        c.select(
+            F.ntile(4).over(w).alias("quartile"),
+            "c_acctbal",
+        )
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+            F.sum(F.round(F.col("c_acctbal") * 100, 0).cast("long"))
+            .alias("sum_bal_cents"),
+        )
+    )
+
+
+SQL_BALANCE_QUARTILES = """
+SELECT quartile,
+       count(*) AS n_customers,
+       round(min(c_acctbal), 2) AS min_bal,
+       round(max(c_acctbal), 2) AS max_bal,
+       CAST(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+         AS sum_bal_cents
+FROM (
+  SELECT ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile, c_acctbal
+  FROM customer
+)
+GROUP BY quartile
+"""
+
+
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch / last-touch conversion attribution: for each converting
+    user (first purchase = conversion), which channel (view/click) touched
+    them first and last BEFORE the conversion, rolled up to a (first, last)
+    transition matrix. min_by/max_by keep this a single user-keyed aggregate
+    — no window sort, no self-join (event timestamps are unique in the
+    fixture, so the arg-extrema are deterministic).
+
+    Scale shape: two shuffles on user_id (conversion times, then touch
+    extrema) and a final tiny matrix rollup; everything map-side combines."""
+    ev = load_table(spark, sf_dir, "events")
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("conv_ts"))
+    )
+    touches = (
+        ev.filter(F.col("event_type").isin("view", "click"))
+        .join(conv, "user_id")
+        .filter(F.col("ts") < F.col("conv_ts"))
+    )
+    per_user = touches.groupBy("user_id").agg(
+        F.min_by("event_type", "ts").alias("first_touch"),
+        F.max_by("event_type", "ts").alias("last_touch"),
+    )
+    return per_user.groupBy("first_touch", "last_touch").agg(
+        F.count(F.lit(1)).alias("n_conversions")
+    )
+
+
+SQL_EVENTS_ATTRIBUTION = """
+WITH conv AS (
+  SELECT user_id, min(ts) AS conv_ts
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+),
+per_user AS (
+  SELECT e.user_id,
+         arg_min(e.event_type, e.ts) AS first_touch,
+         arg_max(e.event_type, e.ts) AS last_touch
+  FROM events e JOIN conv USING (user_id)
+  WHERE e.event_type IN ('view', 'click') AND e.ts < conv.conv_ts
+  GROUP BY e.user_id
+)
+SELECT first_touch, last_touch, count(*) AS n_conversions
+FROM per_user
+GROUP BY 1, 2
+"""
+
+
 SPECS = {
     "tpch_q1_pricing_summary": QuerySpec(q1_pricing_summary, SQL_Q1,
                                          "scan+filter+multi-agg group-by"),
@@ -1104,4 +1283,18 @@ SPECS = {
         q_events_retention, SQL_EVENTS_RETENTION,
         "first-activity-day retention cohorts at offsets 0/1/7/14/28 "
         "(broadcast cohort map)"),
+    "agg_orders_pivot": QuerySpec(
+        q_orders_pivot, SQL_ORDERS_PIVOT,
+        "PIVOT with enumerated values (single-pass conditional sums)"),
+    "window_daily_revenue_trend": QuerySpec(
+        q_daily_revenue_trend, SQL_DAILY_REVENUE_TREND,
+        "ROWS-frame windows: 7-day moving average + cumulative sum in "
+        "exact integer cents"),
+    "window_balance_quartiles": QuerySpec(
+        q_customer_balance_quartiles, SQL_BALANCE_QUARTILES,
+        "ntile quartiles with deterministic tiebreak + exact-cents "
+        "profile"),
+    "events_attribution": QuerySpec(
+        q_events_attribution, SQL_EVENTS_ATTRIBUTION,
+        "first/last-touch attribution matrix via min_by/max_by"),
 }

@@ -146,14 +146,22 @@ def main() -> None:
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
     shutil.rmtree(table_dir, ignore_errors=True)
+    errors = {}
     for name in HEADLINE:
         fn = specs[name].fn
         best, n = float("inf"), -1
-        for _ in range(max(trials, 1)):
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            n = df.count() if not df.isStreaming else -1
-            best = min(best, time.perf_counter() - t0)
+        # one broken query must cost only its own slot, never the whole
+        # bench run (round 6 lost all numbers to a single AnalysisException)
+        try:
+            for _ in range(max(trials, 1)):
+                t0 = time.perf_counter()
+                df = fn(spark, sf_dir)
+                n = df.count() if not df.isStreaming else -1
+                best = min(best, time.perf_counter() - t0)
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"# {name}: FAILED {errors[name]}", file=sys.stderr)
+            continue
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
@@ -182,6 +190,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf),
                 "trials": trials,
+                "errors": errors,
                 "comparable_r4_subtotal_sec": comparable,
                 "timing": "best-of-N per query (single-shot swings up to "
                           "+/-50% on this box with unchanged code); "

@@ -21,10 +21,18 @@ from pyspark.sql import functions as F
 from .schema import LOG_COLUMNS
 
 
-# Driver parquet stores timestamps as INT64 TIMESTAMP(NANOS), which Spark
-# refuses by default. We read them as longs (legacy conf) and restore
-# TimestampType via integer division (ns epoch > 2^53 — double division would
-# lose precision; `div` truncates exactly like DuckDB's ns->µs cast).
+# Driver parquet has shipped two timestamp encodings across rounds:
+#   * INT64 TIMESTAMP(NANOS), which Spark refuses by default — read as longs
+#     (legacy conf) and restore TimestampType via integer division (ns epoch
+#     > 2^53; double division would lose precision, `div` truncates exactly
+#     like DuckDB's ns->µs cast);
+#   * plain timestamp[us] with no UTC flag, which Spark 4 infers as
+#     TIMESTAMP_NTZ — cast to TIMESTAMP_LTZ so every downstream expression
+#     (`.cast("long")`, unix_timestamp, window()) sees the same LTZ type the
+#     query surface was verified against. Sessions here run with
+#     spark.sql.session.timeZone=UTC, so the NTZ->LTZ cast is wall-clock
+#     identity and hashes match the DuckDB oracle, which treats naive
+#     timestamps as UTC.
 _TIMESTAMP_COLS = {
     "events": ["ts"],
     "orders": ["o_orderdate"],
@@ -39,6 +47,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for c in _TIMESTAMP_COLS.get(name, []):
         if dtypes.get(c) == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif dtypes.get(c) == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp_ltz"))
     return df
 
 

@@ -175,6 +175,14 @@ DRIVER_VERIFIED: dict = {
     "text_top_terms_per_source": "7b2ae823bcfa",
     "text_unigram_logprob": "05a6f634cdcc",
     "tpch_q15_top_supplier": "dc5e57c36c4e",
+    # round-6 green checks (CORRECTNESS_r06.json), hashed at the r7 tree
+    # (query sources untouched between the r6 check and this hash)
+    "agg_orders_pivot": "6fc0f410d269",
+    "events_attribution": "fb767c64294a",
+    "logs_anomaly_zscore": "4721b5b6a047",
+    "logs_template_clusters": "eb939ab8eb20",
+    "window_balance_quartiles": "94f1a98578fb",
+    "window_daily_revenue_trend": "b998adee1bd7",
 }
 
 

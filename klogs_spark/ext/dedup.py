@@ -515,6 +515,68 @@ def embedding_neardup_lsh(
     )
 
 
+# --- semantic dedup (SemDeDup: cluster, then prune within cluster) ----------
+def semantic_dedup(
+    emb: DataFrame,
+    centroids: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., 2023,
+    arXiv:2303.09540): k-means-cluster the embeddings, then run the exact
+    pairwise cosine check only WITHIN each cluster and prune every member
+    that has a sufficiently similar lower-id member.
+
+    This is the missing middle ground between :func:`embedding_neardup`
+    (exact all-pairs, O(n²)) and :func:`embedding_neardup_lsh` (random
+    hyperplane buckets): the clusters are data-adaptive, so semantically
+    near-identical documents land in the same cell even when random planes
+    would split them.
+
+    100 TB design: assignment is a broadcast of the (tiny) centroid table —
+    the corpus never shuffles for it — and the quadratic term is bounded per
+    cell at (n/k)² per cluster; k grows with the corpus so cell size stays
+    constant. The within-cell self-join is an equi-join on ``centroid_id``
+    (co-partitioned, no cross join). Deterministic keeper rule: a vector is
+    pruned iff some LOWER-id cell member matches it at >= threshold; ties
+    and chains keep the minimum id, mirroring the reference pipelines'
+    keep-first convention.
+
+    Returns (centroid_id, pruned_id, keeper_id, max_cosine) — one row per
+    pruned vector; keeper_id is the smallest qualifying lower id,
+    max_cosine the strongest match that doomed it.
+    """
+    from .similarity import ivf_assign
+
+    assigned = ivf_assign(emb, centroids, id_col, vec_col).select(
+        "centroid_id", "id", "v"
+    )
+    a = assigned.select(
+        "centroid_id", F.col("id").alias("id_a"), F.col("v").alias("va")
+    )
+    b = assigned.select(
+        "centroid_id", F.col("id").alias("id_b"), F.col("v").alias("vb")
+    )
+    pairs = (
+        a.join(b, "centroid_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "centroid_id",
+            "id_a",
+            "id_b",
+            F.round(cosine_col(F.col("va"), F.col("vb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    return pairs.groupBy(
+        "centroid_id", F.col("id_b").alias("pruned_id")
+    ).agg(
+        F.min("id_a").alias("keeper_id"),
+        F.max("cosine").alias("max_cosine"),
+    )
+
+
 # --- near-dup cluster resolution (connected components) ---------------------
 def cluster_components(
     pairs: DataFrame,

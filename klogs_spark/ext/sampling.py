@@ -131,3 +131,93 @@ def pack_by_token_budget(
     return df.withColumn(
         "shard", F.floor(running / F.lit(budget)).cast("bigint")
     )
+
+
+def dsir_logratios(
+    target: DataFrame,
+    raw: DataFrame,
+    text: str = "text",
+    buckets: int = 1024,
+) -> DataFrame:
+    """Per-bucket importance log-ratios for DSIR (Data Selection via
+    Importance Resampling, Xie et al. 2023, arXiv:2302.03169): hash every
+    token into ``buckets`` feature buckets, estimate add-1-smoothed
+    bag-of-hashed-ngrams distributions over the TARGET domain sample and the
+    RAW corpus, and return log(p_target / p_raw) per bucket.
+
+    The paper hashes unigrams+bigrams; this implementation parameterizes the
+    feature extractor at unigram granularity (the bucket-collision estimator
+    is identical).  Everything is two keyed count aggregates plus two 1-row
+    totals broadcast into the ratio expression; the table is at most
+    ``buckets`` rows — broadcastable by construction, so scoring a 100 TB
+    corpus against it is map-side only.
+
+    Ratios are pinned at 8 decimals so chained sums stay cross-engine
+    reproducible.  Returns (bucket, logratio).
+    """
+    from .dedup import tokens_col
+    from .hashing import md5_long
+
+    def bucket_counts(df: DataFrame, name: str) -> DataFrame:
+        toks = df.select(
+            F.explode(tokens_col(F.col(text))).alias("tok")
+        ).select((md5_long(F.col("tok")) % buckets).alias("bucket"))
+        return toks.groupBy("bucket").agg(F.count(F.lit(1)).alias(name))
+
+    t = bucket_counts(target, "c_t")
+    r = bucket_counts(raw, "c_r")
+    totals = (
+        t.agg(F.sum("c_t").alias("tot_t"))
+        .crossJoin(r.agg(F.sum("c_r").alias("tot_r")))
+    )
+    # raw is the superset corpus: every bucket any document can hit appears
+    # in r, so a left join from r (target side add-1 smoothed) is total.
+    return (
+        r.join(t, "bucket", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("c_t"), F.lit(0)) + 1)
+                    / (F.col("tot_t") + buckets)
+                )
+                - F.log((F.col("c_r") + 1) / (F.col("tot_r") + buckets)),
+                8,
+            ).alias("logratio"),
+        )
+    )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    logratios: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 1024,
+) -> DataFrame:
+    """Per-document DSIR importance log-weights: sum of the per-bucket
+    log-ratios over the document's hashed token features.  Documents that
+    look like the target domain score high; resampling by softmax of these
+    weights is the paper's selection step.
+
+    The log-ratio table broadcasts (<= ``buckets`` rows), so this is one
+    map-side join plus one keyed sum — no corpus shuffle beyond the
+    per-document aggregation.  Returns (id, n_tokens, log_weight) with the
+    weight rounded at 6.
+    """
+    from .dedup import tokens_col
+    from .hashing import md5_long
+
+    feats = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens_col(F.col(text))).alias("tok"),
+    ).select("id", (md5_long(F.col("tok")) % buckets).alias("bucket"))
+    return (
+        feats.join(F.broadcast(logratios), "bucket")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum("logratio"), 6).alias("log_weight"),
+        )
+    )

@@ -435,3 +435,91 @@ def fingerprints(df: DataFrame, text_col: str = "text",
         F.array_max("hs").alias("fp_max"),
         F.size("hs").alias("n_shingles"),
     )
+
+
+# --- Bloom-filter decontamination -------------------------------------------
+# A benchmark n-gram Bloom filter is the constant-size alternative to the
+# exact anti-join (contamination_check): the filter is m bits regardless of
+# benchmark size, so at 100 TB it rides along as a broadcast instead of a
+# join side.  The distributed formulation below keeps Bloom SEMANTICS (k
+# salted hashes per n-gram, membership = every position set, false positives
+# possible) without materializing a bitset: the benchmark's set positions
+# form a tiny distinct-position table (<= m rows), broadcast to the corpus,
+# and an n-gram is flagged iff all k of its positions match.
+BLOOM_M = 4096  # filter bits
+BLOOM_K = 3     # salted hash functions per n-gram
+
+
+def bloom_position_rows(
+    shingled: DataFrame, m: int = BLOOM_M, k: int = BLOOM_K
+) -> DataFrame:
+    """(id, shingle) -> (id, shingle, salt, pos): the k Bloom bit positions
+    of every shingle.  Position j is md5("<j>:" + shingle) % m — the salt
+    prefix gives k independent hash functions from one md5 (the oracle SQL
+    computes the identical positions)."""
+    salted = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("salt"),
+                (
+                    md5_long(
+                        F.concat(F.lit(f"{j}:"), F.col("shingle"))
+                    )
+                    % m
+                ).alias("pos"),
+            )
+            for j in range(k)
+        ]
+    )
+    return shingled.select(
+        "id", "shingle", F.explode(salted).alias("sp")
+    ).select("id", "shingle", "sp.salt", "sp.pos")
+
+
+def bloom_decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Flag corpus documents whose word n-grams hit a Bloom filter built
+    from the benchmark set (the scalable eval-decontamination pass; see
+    e.g. the n-gram overlap filters in GPT-3 / PaLM dataset reports).
+
+    Build: distinct Bloom bit positions over the benchmark's n-grams —
+    at most m rows, broadcast.  Probe: every corpus n-gram is flagged iff
+    ALL k of its salted positions are set (min-matched aggregation, no
+    bitwise ops needed).  False positives are inherent Bloom behavior and
+    deterministic here (same hashes both engines).
+
+    Returns (doc_id, n_shingles, n_flagged) for every document with at
+    least ``n`` tokens.
+    """
+    from .dedup import doc_shingles
+
+    bench_pos = (
+        bloom_position_rows(
+            doc_shingles(benchmark, text=text, id_col=id_col, n=n), m, k
+        )
+        .select("pos")
+        .distinct()
+        .withColumn("_set", F.lit(1))
+    )
+    probe = bloom_position_rows(
+        doc_shingles(docs, text=text, id_col=id_col, n=n), m, k
+    )
+    per_shingle = (
+        probe.join(F.broadcast(bench_pos), "pos", "left")
+        .groupBy("id", "shingle")
+        .agg(F.min(F.coalesce(F.col("_set"), F.lit(0))).alias("_all_set"))
+    )
+    return (
+        per_shingle.groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum("_all_set").alias("n_flagged"),
+        )
+    )

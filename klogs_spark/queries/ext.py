@@ -1774,6 +1774,136 @@ FROM clean GROUP BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup), DSIR importance weights, Bloom decontamination
+# ---------------------------------------------------------------------------
+SEM_DEDUP_T = COSINE_NEARDUP  # same planted-near-dup threshold as the pair ops
+
+
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (arXiv:2303.09540) end-to-end: k-means-refined clusters
+    (same IVF coarse quantizer as the ANN index) bound the exact pairwise
+    cosine check to within-cluster members; every vector with a >=threshold
+    match at a lower id is pruned. The oracle rebuilds the identical
+    clustering (shared Lloyd CTE chain) and pair scan in SQL."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = sim.deterministic_centroids(emb, IVF_K)
+    cents = sim.kmeans_refine(
+        emb, seeds, iterations=IVF_REFINE_ITERS, round_decimals=IVF_ROUND
+    )
+    return dd.semantic_dedup(emb, cents, threshold=SEM_DEDUP_T)
+
+
+SQL_DEDUP_SEMANTIC = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c0 AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < {IVF_K}),
+{_REFINE_CHAIN},
+{_assign_cte(_FINAL_C, 'assigned')},
+pairs AS (
+  SELECT a.centroid_id, a.id AS id_a, b.id AS id_b,
+         round({_cos_sql('a.v', 'b.v')}, 6) AS cosine
+  FROM assigned a JOIN assigned b
+    ON a.centroid_id = b.centroid_id AND a.id < b.id
+)
+SELECT centroid_id, id_b AS pruned_id, min(id_a) AS keeper_id,
+       max(cosine) AS max_cosine
+FROM pairs WHERE cosine >= {SEM_DEDUP_T}
+GROUP BY centroid_id, id_b
+"""
+
+
+DSIR_BUCKETS = 1024
+DSIR_TARGET_SOURCES = ("src0", "src1", "src2")
+
+
+def q_sample_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (arXiv:2302.03169): hashed-unigram bag
+    distributions over a target-domain sample vs the raw corpus; per-doc
+    log importance weight = sum of per-bucket log-ratios. The log-ratio
+    table is <= 1024 rows — broadcast, so the corpus-side cost is one
+    map-side join plus a keyed sum."""
+    from ..ext import sampling as sp
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("source").isin(*DSIR_TARGET_SOURCES))
+    lr = sp.dsir_logratios(target, docs, buckets=DSIR_BUCKETS)
+    return sp.dsir_weights(docs, lr, buckets=DSIR_BUCKETS)
+
+
+_DSIR_BUCKET = md5_long_sql("tok") + f" % {DSIR_BUCKETS}"
+
+SQL_SAMPLE_DSIR_WEIGHTS = f"""
+WITH tokr AS (
+  SELECT doc_id AS id,
+         unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+  FROM documents
+),
+tokt AS (
+  SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+  FROM documents WHERE source IN {DSIR_TARGET_SOURCES!r}
+),
+bt AS (SELECT {_DSIR_BUCKET} AS bucket, count(*) AS c_t FROM tokt GROUP BY 1),
+br AS (SELECT {_DSIR_BUCKET} AS bucket, count(*) AS c_r FROM tokr GROUP BY 1),
+tot AS (SELECT (SELECT sum(c_t) FROM bt) AS tot_t,
+               (SELECT sum(c_r) FROM br) AS tot_r),
+lr AS (
+  SELECT br.bucket,
+         round(ln((coalesce(bt.c_t, 0) + 1) * 1.0 / (tot.tot_t + {DSIR_BUCKETS}))
+             - ln((br.c_r + 1) * 1.0 / (tot.tot_r + {DSIR_BUCKETS})), 8)
+           AS logratio
+  FROM br LEFT JOIN bt USING (bucket), tot
+),
+feat AS (SELECT id, {_DSIR_BUCKET} AS bucket FROM tokr)
+SELECT f.id, count(*) AS n_tokens, round(sum(l.logratio), 6) AS log_weight
+FROM feat f JOIN lr l USING (bucket)
+GROUP BY f.id
+"""
+
+
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter eval-set decontamination: 5-gram Bloom positions of the
+    benchmark docs (doc_id < 5) broadcast as the set-bit table; a corpus
+    5-gram is flagged iff all k salted positions are set. Constant-size
+    alternative to the exact anti-join in text_contamination; false
+    positives are deterministic (same md5 positions both engines)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < 5)
+    return tx.bloom_decontaminate(docs, bench, n=5)
+
+
+_BLOOM_POS = (
+    md5_long_sql("concat(CAST(s.j AS VARCHAR), ':', shingle)")
+    + f" % {tx.BLOOM_M}"
+)
+
+SQL_BLOOM_DECONTAMINATE = f"""
+WITH tk AS (
+  SELECT doc_id AS id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+  FROM documents
+),
+sh5 AS (
+  SELECT id, unnest(list_distinct(list_transform(
+           generate_series(0, len(tk) - 5),
+           i -> array_to_string(tk[i+1:i+5], ' ')))) AS shingle
+  FROM tk WHERE len(tk) >= 5
+),
+pos3 AS (
+  SELECT id, shingle, s.j AS salt, {_BLOOM_POS} AS pos
+  FROM sh5, generate_series(0, {tx.BLOOM_K - 1}) AS s(j)
+),
+bench AS (SELECT DISTINCT pos FROM pos3 WHERE id < 5),
+matched AS (
+  SELECT p.id, p.shingle,
+         min(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS all_set
+  FROM pos3 p LEFT JOIN bench b ON p.pos = b.pos
+  GROUP BY p.id, p.shingle
+)
+SELECT id AS doc_id, count(*) AS n_shingles,
+       CAST(sum(all_set) AS BIGINT) AS n_flagged
+FROM matched GROUP BY id
+"""
+
+
 SPECS = {
     "dedup_exact": QuerySpec(q_dedup_exact, SQL_DEDUP_EXACT,
                              "exact hash-groupBy dedup"),
@@ -1798,6 +1928,9 @@ SPECS = {
                                "60-bit SimHash signatures"),
     "dedup_simhash_pairs": QuerySpec(q_simhash_pairs, SQL_SIMHASH_PAIRS,
                                      "SimHash near-dup pairs (pigeonhole blocks)"),
+    "dedup_semantic": QuerySpec(
+        q_dedup_semantic, SQL_DEDUP_SEMANTIC,
+        "SemDeDup: k-means clusters bound within-cluster cosine pruning"),
     "dedup_embedding_cosine": QuerySpec(q_embedding_neardup,
                                         SQL_EMBEDDING_NEARDUP,
                                         "embedding cosine near-dup pairs"),
@@ -1857,6 +1990,12 @@ SPECS = {
                                    "hashed-shingle fingerprints"),
     "text_tfidf_scores": QuerySpec(q_tfidf_scores, SQL_TFIDF_SCORES,
                                    "corpus-relative mean-idf rarity score"),
+    "text_bloom_decontaminate": QuerySpec(
+        q_bloom_decontaminate, SQL_BLOOM_DECONTAMINATE,
+        "broadcast Bloom-filter 5-gram benchmark decontamination"),
+    "sample_dsir_weights": QuerySpec(
+        q_sample_dsir_weights, SQL_SAMPLE_DSIR_WEIGHTS,
+        "DSIR hashed-ngram importance log-weights (target vs raw)"),
     "text_contamination": QuerySpec(q_contamination, SQL_CONTAMINATION,
                                     "benchmark-contamination substring scan"),
     "text_top_ngrams": QuerySpec(q_top_ngrams, SQL_TOP_NGRAMS,

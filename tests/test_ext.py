@@ -376,3 +376,69 @@ def test_cluster_components_raises_on_nonconvergence(spark):
     nodes = spark.createDataFrame([(i,) for i in range(65)], "id long")
     with pytest.raises(RuntimeError, match="did not converge"):
         dd.cluster_components(pairs, nodes, max_iterations=2)
+
+
+# --- semantic dedup / DSIR / Bloom decontamination --------------------------
+def test_semantic_dedup_prunes_within_cluster_keep_lowest(spark):
+    # two tight clusters along different axes; ids 0/1/2 near-identical in
+    # cluster A, ids 10/11 near-identical in cluster B, id 20 a singleton
+    def v(axis, eps):
+        base = [0.0] * 8
+        base[axis] = 1.0
+        base[(axis + 1) % 8] = eps
+        return base
+
+    rows = [
+        (0, v(0, 0.00)), (1, v(0, 0.01)), (2, v(0, 0.02)),
+        (10, v(3, 0.00)), (11, v(3, 0.01)),
+        (20, v(6, 0.0)),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(0, v(0, 0.0)), (1, v(3, 0.0)), (2, v(6, 0.0))],
+        "centroid_id long, centroid array<double>",
+    )
+    out = {
+        r.pruned_id: (r.keeper_id, r.centroid_id)
+        for r in dd.semantic_dedup(emb, cents, threshold=0.99).collect()
+    }
+    # lowest id in each near-dup group survives; singleton untouched
+    assert out == {1: (0, 0), 2: (0, 0), 11: (10, 1)}
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    from klogs_spark.ext import sampling as sp
+
+    target_text = "alpha beta gamma delta alpha beta gamma delta"
+    other_text = "omega sigma tau rho omega sigma tau rho"
+    docs = spark.createDataFrame(
+        [(0, target_text, "t"), (1, other_text, "r"), (2, target_text, "r")],
+        "doc_id long, text string, source string",
+    )
+    target = docs.filter(F.col("source") == "t")
+    lr = sp.dsir_logratios(target, docs, buckets=64)
+    w = {r.id: r.log_weight for r in sp.dsir_weights(docs, lr, buckets=64).collect()}
+    # docs made of target-domain tokens outscore the disjoint-vocab doc
+    assert w[0] == w[2] > w[1]
+
+
+def test_bloom_decontaminate_flags_benchmark_ngrams(spark):
+    from klogs_spark.ext import text as tx
+
+    bench_text = "one two three four five six seven eight"
+    clean_text = "nine ten eleven twelve thirteen fourteen fifteen sixteen"
+    mixed_text = "zz one two three four five yy xx ww vv uu"
+    docs = spark.createDataFrame(
+        [(0, bench_text), (1, clean_text), (2, mixed_text)],
+        "doc_id long, text string",
+    )
+    bench = docs.filter(F.col("doc_id") == 0)
+    out = {
+        r.doc_id: (r.n_shingles, r.n_flagged)
+        for r in tx.bloom_decontaminate(docs, bench, n=5).collect()
+    }
+    assert out[0] == (4, 4)      # benchmark doc fully self-flagged
+    assert out[1][1] == 0        # disjoint vocab: nothing flagged
+    # mixed doc contains exactly one benchmark 5-gram ("one two three four
+    # five"); the other shingles stay clean at this filter occupancy
+    assert out[2][0] == 7 and out[2][1] == 1

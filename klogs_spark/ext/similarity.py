@@ -330,3 +330,172 @@ def knn_join(emb: DataFrame, queries: DataFrame, k: int = 5,
     return scored.withColumn("rnk", F.row_number().over(w)).filter(
         F.col("rnk") <= k
     )
+
+
+# --- product quantization (IVF-PQ-style ADC search) -------------------------
+# PQ is the standard way to hold a billion-vector index in memory: each
+# vector is compressed to M one-byte codes (nearest centroid per subspace),
+# and queries score candidates with an Asymmetric Distance Computation —
+# a per-subspace lookup table built once per query (Jegou et al., "Product
+# Quantization for Nearest Neighbor Search", TPAMI 2011).
+PQ_SUBSPACES = 4     # M: subvectors per embedding
+PQ_CODEBOOK_K = 16   # centroids per subspace (one nibble per code here)
+PQ_ROUND = 6         # centroid-component precision pinned for parity
+
+
+def l2_col(a: Column, b: Column) -> Column:
+    """Squared L2 distance via three dot products (dot(a,a) - 2*dot(a,b) +
+    dot(b,b)), each a left-to-right fold — the exact shape DuckDB's
+    list_dot_product computes, so distances are bit-identical cross-engine."""
+
+    def dot(x: Column, y: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    return dot(a, a) - 2 * dot(a, b) + dot(b, b)
+
+
+def pq_subvectors(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = PQ_SUBSPACES,
+    dim: int = EMB_DIM,
+) -> DataFrame:
+    """(id, m, sv): each vector split into m contiguous subvectors (cast to
+    double first so slices match the oracle's DOUBLE[] slicing exactly)."""
+    per = dim // m
+    v = F.col(vec_col).cast("array<double>")
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("m"),
+                F.slice(v, j * per + 1, per).alias("sv"),
+            )
+            for j in range(m)
+        ]
+    )
+    return emb.select(
+        F.col(id_col).alias("id"), F.explode(structs).alias("s")
+    ).select("id", "s.m", "s.sv")
+
+
+def _pq_assign(sv: DataFrame, codebooks: DataFrame) -> DataFrame:
+    """argmin-L2 codebook assignment per (id, m): broadcast the (tiny)
+    codebook table, equi-join on the subspace, one min_by — the corpus
+    never shuffles. Ties break to the lowest centroid id."""
+    c = F.broadcast(codebooks)
+    scored = sv.join(c, "m").select(
+        "id", "m", "sv",
+        F.col("centroid_id"),
+        l2_col(F.col("sv"), F.col("cv")).alias("d"),
+    )
+    return scored.groupBy("id", "m").agg(
+        F.min_by(
+            "centroid_id", F.struct(F.col("d"), F.col("centroid_id"))
+        ).alias("code"),
+        F.first("sv").alias("sv"),
+    )
+
+
+def pq_codebooks(
+    emb: DataFrame,
+    k: int = PQ_CODEBOOK_K,
+    iterations: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = PQ_SUBSPACES,
+    dim: int = EMB_DIM,
+    round_decimals: int = PQ_ROUND,
+) -> DataFrame:
+    """Per-subspace k-means codebooks, seeded from the k lowest-id vectors'
+    subvectors (the same deterministic-seed convention as the IVF coarse
+    quantizer) and refined with Lloyd rounds under squared-L2.
+
+    All m subspaces train in ONE pass: the subspace index is just another
+    grouping key, so each round is one broadcast-assign plus one keyed mean
+    — no per-subspace jobs. Components are rounded every round so chained
+    means stay cross-engine reproducible. Returns (m, centroid_id, cv).
+    """
+    sv = pq_subvectors(emb, id_col, vec_col, m, dim)
+    current = sv.filter(F.col("id") < k).select(
+        "m", F.col("id").alias("centroid_id"), F.col("sv").alias("cv")
+    )
+    for _ in range(iterations):
+        assigned = _pq_assign(sv, current)
+        means = (
+            assigned.select(
+                "m",
+                F.col("code").alias("centroid_id"),
+                F.posexplode("sv").alias("pos", "val"),
+            )
+            .groupBy("m", "centroid_id", "pos")
+            .agg(F.round(F.avg("val"), round_decimals).alias("c"))
+        )
+        current = means.groupBy("m", "centroid_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"],
+            ).alias("cv")
+        )
+    return current
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = PQ_SUBSPACES,
+    dim: int = EMB_DIM,
+) -> DataFrame:
+    """Compress every vector to its per-subspace nearest-centroid codes.
+    Returns (id, m, code) — m rows per vector; at rest this is the M-byte
+    PQ code the 100 TB index stores instead of the raw floats."""
+    sv = pq_subvectors(emb, id_col, vec_col, m, dim)
+    return _pq_assign(sv, codebooks).select("id", "m", "code")
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    codebooks: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = PQ_SUBSPACES,
+    dim: int = EMB_DIM,
+) -> DataFrame:
+    """Asymmetric Distance Computation top-k: build the per-subspace
+    query-to-centroid distance table (m x k rows — tiny, broadcast), join it
+    to the stored codes, and sum per vector.
+
+    Distances enter the sum as integer micro-units (floor(d * 1e6)): the
+    per-entry doubles are bit-identical cross-engine, and integer summation
+    makes the aggregation order irrelevant — no float-sum drift between
+    Spark's partial aggregates and the oracle. Returns (id, adist_micros),
+    ascending, ties broken by id.
+    """
+    enc = pq_encode(emb, codebooks, id_col, vec_col, m, dim)
+    qsv = pq_subvectors(query, id_col, vec_col, m, dim).select(
+        "m", F.col("sv").alias("qsv")
+    )
+    dist_table = F.broadcast(
+        codebooks.join(F.broadcast(qsv), "m").select(
+            "m",
+            F.col("centroid_id").alias("code"),
+            F.floor(l2_col(F.col("cv"), F.col("qsv")) * 1000000)
+            .cast("long")
+            .alias("dmic"),
+        )
+    )
+    return (
+        enc.join(dist_table, ["m", "code"])
+        .groupBy("id")
+        .agg(F.sum("dmic").alias("adist_micros"))
+        .orderBy("adist_micros", "id")
+        .limit(k)
+    )

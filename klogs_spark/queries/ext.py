@@ -1775,6 +1775,110 @@ FROM clean GROUP BY source
 
 
 # ---------------------------------------------------------------------------
+# product quantization (codebook build + ADC search)
+# ---------------------------------------------------------------------------
+def _l2_sql(a: str, b: str) -> str:
+    """Squared L2 via three list_dot_products — the same algebraic form the
+    Spark side computes, so distances are bit-identical cross-engine."""
+    return (
+        f"(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+        f" + list_dot_product({b}, {b}))"
+    )
+
+
+_PQ_PER = sim.EMB_DIM // sim.PQ_SUBSPACES  # dims per subspace
+
+# shared CTE chain: subvectors -> seed codebooks -> one Lloyd round.
+# DuckDB list slicing is 1-based inclusive: subspace m covers
+# v[m*per+1 : m*per+per].
+_PQ_BASE_CTE = f"""
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sv AS (
+  SELECT vec_id AS id, s.m AS m,
+         v[s.m * {_PQ_PER} + 1 : s.m * {_PQ_PER} + {_PQ_PER}] AS sv
+  FROM e, generate_series(0, {sim.PQ_SUBSPACES - 1}) AS s(m)
+),
+c0 AS (SELECT m, id AS centroid_id, sv AS cv FROM sv WHERE id < {sim.PQ_CODEBOOK_K}),
+a0 AS (
+  SELECT id, m, sv, centroid_id AS code FROM (
+    SELECT sv.id, sv.m, sv.sv, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY sv.id, sv.m
+             ORDER BY {_l2_sql('sv.sv', 'c.cv')} ASC, c.centroid_id
+           ) AS rn
+    FROM sv JOIN c0 c ON sv.m = c.m
+  ) WHERE rn = 1
+)"""
+
+_PQ_MEANS = f"""
+SELECT m, code AS centroid_id, i - 1 AS pos, round(avg(sv[i]), {sim.PQ_ROUND}) AS c
+FROM a0, generate_series(1, {_PQ_PER}) AS t(i)
+GROUP BY m, code, i - 1"""
+
+
+def q_ann_pq_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ codebook build (Jegou et al. 2011): per-subspace k-means from the
+    deterministic seed set, one Lloyd round under squared-L2, all subspaces
+    trained in one pass (subspace index is just another grouping key).
+    Exposed exploded (m, centroid_id, pos, c) so the oracle compares
+    scalar components."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = sim.pq_codebooks(emb, iterations=1)
+    return cb.select(
+        "m", "centroid_id",
+        F.posexplode("cv").alias("pos", "c"),
+    )
+
+
+SQL_ANN_PQ_CODEBOOKS = f"""
+WITH {_PQ_BASE_CTE}
+{_PQ_MEANS}
+"""
+
+
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ Asymmetric Distance Computation search: vectors compressed to
+    {sim.PQ_SUBSPACES} nibble codes, query scored via a broadcast
+    (subspace, centroid) -> distance lookup table, integer micro-unit sums
+    (aggregation-order-proof). The compressed index is what a 100 TB corpus
+    keeps hot: {sim.PQ_SUBSPACES} bytes/vector instead of {sim.EMB_DIM * 4}."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = sim.pq_codebooks(emb, iterations=1)
+    query = emb.filter(F.col("vec_id") == 0)
+    return sim.pq_adc_topk(emb, cb, query, k=10)
+
+
+SQL_ANN_PQ_TOPK = f"""
+WITH {_PQ_BASE_CTE},
+c1 AS (
+  SELECT m, centroid_id, list(c ORDER BY pos) AS cv
+  FROM ({_PQ_MEANS}) GROUP BY m, centroid_id
+),
+enc AS (
+  SELECT id, m, centroid_id AS code FROM (
+    SELECT sv.id, sv.m, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY sv.id, sv.m
+             ORDER BY {_l2_sql('sv.sv', 'c.cv')} ASC, c.centroid_id
+           ) AS rn
+    FROM sv JOIN c1 c ON sv.m = c.m
+  ) WHERE rn = 1
+),
+q AS (SELECT m, sv AS qsv FROM sv WHERE id = 0),
+dt AS (
+  SELECT c1.m, c1.centroid_id AS code,
+         CAST(floor({_l2_sql('c1.cv', 'q.qsv')} * 1000000) AS BIGINT) AS dmic
+  FROM c1 JOIN q ON c1.m = q.m
+)
+SELECT enc.id, CAST(sum(dt.dmic) AS BIGINT) AS adist_micros
+FROM enc JOIN dt ON enc.m = dt.m AND enc.code = dt.code
+GROUP BY enc.id
+ORDER BY adist_micros, id
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
 # semantic dedup (SemDeDup), DSIR importance weights, Bloom decontamination
 # ---------------------------------------------------------------------------
 SEM_DEDUP_T = COSINE_NEARDUP  # same planted-near-dup threshold as the pair ops
@@ -2044,6 +2148,14 @@ SPECS = {
         q_ann_multiprobe_recall, SQL_ANN_MULTIPROBE_RECALL,
         "multi-probe LSH recall lever: single vs 4-bucket probing vs exact "
         "ground truth (integer hits)",
+    ),
+    "ann_pq_codebooks": QuerySpec(
+        q_ann_pq_codebooks, SQL_ANN_PQ_CODEBOOKS,
+        "PQ codebook build: per-subspace k-means, one-pass all subspaces",
+    ),
+    "ann_pq_topk": QuerySpec(
+        q_ann_pq_topk, SQL_ANN_PQ_TOPK,
+        "PQ ADC top-k: nibble codes + broadcast distance lookup table",
     ),
     "text_top_terms_per_source": QuerySpec(
         q_top_terms_per_source, SQL_TOP_TERMS_PER_SOURCE,

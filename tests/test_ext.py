@@ -442,3 +442,28 @@ def test_bloom_decontaminate_flags_benchmark_ngrams(spark):
     # mixed doc contains exactly one benchmark 5-gram ("one two three four
     # five"); the other shingles stay clean at this filter occupancy
     assert out[2][0] == 7 and out[2][1] == 1
+
+
+def test_pq_encode_and_adc_rank_self_first(spark):
+    # 20 vectors in 8 dims (2 subspaces x 4 dims); vectors 16-19 duplicate
+    # vectors 0-3, so their PQ codes must agree and ADC must rank a
+    # duplicate's partner at distance == its own
+    import random
+
+    rnd = random.Random(7)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(16)]
+    rows += [(16 + j, list(rows[j][1])) for j in range(4)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cb = sim.pq_codebooks(emb, k=8, iterations=1, m=2, dim=8)
+    codes = {
+        (r.id, r.m): r.code for r in sim.pq_encode(emb, cb, m=2, dim=8).collect()
+    }
+    for j in range(4):
+        assert codes[(j, 0)] == codes[(16 + j, 0)]
+        assert codes[(j, 1)] == codes[(16 + j, 1)]
+    query = emb.filter(F.col("vec_id") == 2)
+    top = sim.pq_adc_topk(emb, cb, query, k=3, m=2, dim=8).collect()
+    top_ids = [r.id for r in top]
+    # the query vector and its exact duplicate share the minimal ADC distance
+    assert set(top_ids[:2]) == {2, 18}
+    assert top[0].adist_micros == top[1].adist_micros

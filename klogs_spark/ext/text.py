@@ -523,3 +523,77 @@ def bloom_decontaminate(
             F.sum("_all_set").alias("n_flagged"),
         )
     )
+
+
+# --- count-min sketch frequency estimation ----------------------------------
+# The fixed-size answer to "how often does this token appear in 100 TB":
+# a (depth x width) counter grid where every occurrence increments one
+# counter per row (salted hash), and an estimate reads the MINIMUM of its
+# depth counters (Cormode & Muthukrishnan 2005). Counters are pure keyed
+# counts here, so the sketch builds map-side-combined in one aggregate and
+# is mergeable across partitions/days by simple addition.
+CMS_WIDTH = 512
+CMS_DEPTH = 3
+
+
+def cms_counters(
+    tokens: DataFrame,
+    token_col: str = "tok",
+    width: int = CMS_WIDTH,
+    depth: int = CMS_DEPTH,
+) -> DataFrame:
+    """Build the sketch: (d, pos, cnt) counter rows — at most depth*width of
+    them regardless of corpus size. Position d of a token is
+    md5("<d>:" + token) % width (salt prefix = independent hash per row,
+    identical in the oracle SQL)."""
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                (
+                    md5_long(F.concat(F.lit(f"{d}:"), F.col(token_col)))
+                    % width
+                ).alias("pos"),
+            )
+            for d in range(depth)
+        ]
+    )
+    return (
+        tokens.select(F.explode(cells).alias("c"))
+        .select("c.d", "c.pos")
+        .groupBy("d", "pos")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    keys: DataFrame,
+    counters: DataFrame,
+    key_col: str = "tok",
+    width: int = CMS_WIDTH,
+    depth: int = CMS_DEPTH,
+) -> DataFrame:
+    """Point-estimate frequencies for ``keys`` from a built sketch: join each
+    key's depth positions against the (broadcast, <= depth*width-row) counter
+    table and take the per-key minimum. Estimates never undercount; collisions
+    only inflate. Adds ``cms_est`` to the key rows."""
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                (
+                    md5_long(F.concat(F.lit(f"{d}:"), F.col(key_col)))
+                    % width
+                ).alias("pos"),
+            )
+            for d in range(depth)
+        ]
+    )
+    probed = keys.select(
+        F.col(key_col), F.explode(cells).alias("c")
+    ).select(key_col, "c.d", "c.pos")
+    return (
+        probed.join(F.broadcast(counters), ["d", "pos"])
+        .groupBy(key_col)
+        .agg(F.min("cnt").alias("cms_est"))
+    )

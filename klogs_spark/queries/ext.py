@@ -2008,6 +2008,64 @@ FROM matched GROUP BY id
 """
 
 
+# ---------------------------------------------------------------------------
+# count-min sketch heavy hitters
+# ---------------------------------------------------------------------------
+def q_text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch vs ground truth on the corpus's own heavy hitters:
+    build the (depth x width) sketch over every token occurrence, then
+    point-estimate the exact top-20 tokens. ``overcount`` exposes the
+    collision inflation directly — the estimate can never undercount."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(dd.tokens_col(F.col("text"))).alias("tok")
+    )
+    counters = tx.cms_counters(toks)
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), "tok")
+        .limit(20)
+    )
+    return (
+        tx.cms_estimate(top, counters)
+        .join(top, "tok")
+        .select(
+            "tok", "exact_cnt", "cms_est",
+            (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
+        )
+    )
+
+
+_CMS_CELLS = " UNION ALL ".join(
+    f"SELECT {md5_long_sql(f'concat({chr(39)}{d}:{chr(39)}, tok)')}"
+    f" % {tx.CMS_WIDTH} AS pos, {d} AS d, tok FROM toks"
+    for d in range(tx.CMS_DEPTH)
+)
+
+SQL_TEXT_CMS_HEAVY_HITTERS = f"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+  FROM documents
+),
+cells AS ({_CMS_CELLS}),
+counters AS (SELECT d, pos, count(*) AS cnt FROM cells GROUP BY d, pos),
+top AS (
+  SELECT tok, count(*) AS exact_cnt FROM toks GROUP BY tok
+  ORDER BY exact_cnt DESC, tok LIMIT 20
+),
+probe AS (SELECT DISTINCT tok, d, pos FROM cells WHERE tok IN (SELECT tok FROM top)),
+est AS (
+  SELECT p.tok, min(c.cnt) AS cms_est
+  FROM probe p JOIN counters c ON p.d = c.d AND p.pos = c.pos
+  GROUP BY p.tok
+)
+SELECT t.tok, t.exact_cnt, e.cms_est,
+       e.cms_est - t.exact_cnt AS overcount
+FROM top t JOIN est e ON t.tok = e.tok
+"""
+
+
 SPECS = {
     "dedup_exact": QuerySpec(q_dedup_exact, SQL_DEDUP_EXACT,
                              "exact hash-groupBy dedup"),
@@ -2094,6 +2152,9 @@ SPECS = {
                                    "hashed-shingle fingerprints"),
     "text_tfidf_scores": QuerySpec(q_tfidf_scores, SQL_TFIDF_SCORES,
                                    "corpus-relative mean-idf rarity score"),
+    "text_cms_heavy_hitters": QuerySpec(
+        q_text_cms_heavy_hitters, SQL_TEXT_CMS_HEAVY_HITTERS,
+        "count-min sketch estimates vs exact top-20 token counts"),
     "text_bloom_decontaminate": QuerySpec(
         q_bloom_decontaminate, SQL_BLOOM_DECONTAMINATE,
         "broadcast Bloom-filter 5-gram benchmark decontamination"),

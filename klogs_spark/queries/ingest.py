@@ -612,6 +612,79 @@ def q_stream_k8s_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_STREAM_K8S_ENRICH = SQL_SOURCES_K8S_ENRICH
 
 
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 stream-STREAM join (the one streaming shape stream_k8s_enrich's
+    stream-static path does not cover): errors joined to each user's clicks
+    from the preceding 30 minutes, as a watermarked event-time interval join
+    between two readStreams. Both sides carry 10-minute watermarks and the
+    join predicate bounds click_ts to [err_ts - 30min, err_ts], which is
+    exactly what lets Spark evict join state at scale — unbounded-state
+    stream joins don't survive a 100 TB day. One availableNow drain, so the
+    emitted matches equal the batch join; the oracle is that batch join in
+    SQL, proving the streaming plan pairs rows byte-for-byte like batch."""
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="klogs-ssjoin-")
+    err_src, clk_src = f"{base}/errors", f"{base}/clicks"
+    ckpt, outp = f"{base}/ckpt", f"{base}/out"
+    ev.filter(F.col("event_type") == "error").select(
+        F.col("ts").alias("err_ts"), F.col("user_id")
+    ).write.parquet(err_src)
+    ev.filter(F.col("event_type") == "click").select(
+        F.col("ts").alias("click_ts"), F.col("user_id").alias("click_user")
+    ).write.parquet(clk_src)
+
+    errors = (
+        spark.readStream.schema("err_ts timestamp, user_id long")
+        .parquet(err_src)
+        .withWatermark("err_ts", "10 minutes")
+    )
+    clicks = (
+        spark.readStream.schema("click_ts timestamp, click_user long")
+        .parquet(clk_src)
+        .withWatermark("click_ts", "10 minutes")
+    )
+    joined = errors.join(
+        clicks,
+        (F.col("user_id") == F.col("click_user"))
+        & (F.col("click_ts") >= F.col("err_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("click_ts") <= F.col("err_ts")),
+        "inner",
+    ).select("user_id", "err_ts", "click_ts")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", outp)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(outp)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min("click_ts").alias("first_click_ts"),
+            F.max("err_ts").alias("last_err_ts"),
+        )
+    )
+
+
+SQL_STREAM_INTERVAL_JOIN = """
+SELECT er.user_id,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       min(c.ts) AS first_click_ts,
+       max(er.ts) AS last_err_ts
+FROM (SELECT * FROM events WHERE event_type = 'error') er
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON er.user_id = c.user_id
+ AND c.ts >= er.ts - INTERVAL 30 MINUTE AND c.ts <= er.ts
+GROUP BY er.user_id
+"""
+
+
 def q_logs_error_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T5's custom stateful operator on its batch twin, externally checked:
     error_run_tracker emits a row whenever a namespace's consecutive-error
@@ -954,6 +1027,12 @@ SPECS = {
         SQL_STREAM_K8S_ENRICH,
         "stream-static broadcast enrichment (S8/S9) under a real "
         "readStream/writeStream vs direct join oracle",
+    ),
+    "stream_interval_join": QuerySpec(
+        q_stream_interval_join,
+        SQL_STREAM_INTERVAL_JOIN,
+        "watermarked stream-stream event-time interval join (errors x "
+        "preceding clicks) vs batch join oracle",
     ),
     "sources_syslog_pipeline": QuerySpec(
         q_sources_syslog_pipeline,

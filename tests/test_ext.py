@@ -467,3 +467,22 @@ def test_pq_encode_and_adc_rank_self_first(spark):
     # the query vector and its exact duplicate share the minimal ADC distance
     assert set(top_ids[:2]) == {2, 18}
     assert top[0].adist_micros == top[1].adist_micros
+
+
+def test_cms_never_undercounts_and_collisions_inflate(spark):
+    from klogs_spark.ext import text as tx
+
+    # 6 distinct tokens crammed into a width-2 sketch: collisions guaranteed
+    rows = [(t,) for t in "aa bb cc dd ee ff aa aa bb".split()]
+    toks = spark.createDataFrame(rows, "tok string")
+    counters = tx.cms_counters(toks, width=2, depth=2)
+    exact = {r.tok: r.cnt for r in toks.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("cnt")).collect()}
+    keys = toks.select("tok").distinct()
+    est = {r.tok: r.cms_est for r in tx.cms_estimate(
+        keys, counters, width=2, depth=2).collect()}
+    assert set(est) == set(exact)
+    for tok, c in exact.items():
+        assert est[tok] >= c          # CMS can only overcount
+    # with 6 tokens in 2 cells per row, at least one estimate must inflate
+    assert any(est[t] > exact[t] for t in exact)

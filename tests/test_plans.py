@@ -187,3 +187,49 @@ def test_multiprobe_lsh_stays_equi_join(spark):
     generation stays a bucket equi-join, never a nested loop."""
     plan = _plan(spark, "ann_multiprobe_recall")
     assert "CartesianProduct" not in plan
+
+
+def test_semantic_dedup_equi_join_within_cells(spark):
+    """SemDeDup's pair scan must be an equi-join on centroid_id (the
+    within-cluster bound IS the algorithm's scale property), and centroid
+    assignment must broadcast the centroid table."""
+    plan = _plan(spark, "dedup_semantic")
+    # no unbroadcast cartesian anywhere; the only Cross joins are the
+    # broadcast argmin scans against the 16-row centroid table
+    assert "CartesianProduct" not in plan
+    # the pair scan itself is a (shuffle) EQUI-join keyed on centroid_id
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
+        or "BroadcastHashJoin" in plan
+
+
+def test_dsir_scoring_broadcasts_logratio_table(spark):
+    """DSIR scoring must broadcast the <=1024-row log-ratio table — a
+    shuffle join here would shuffle the whole corpus at score time."""
+    plan = _plan(spark, "sample_dsir_weights")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bloom_probe_broadcasts_set_bits(spark):
+    """The Bloom probe join must broadcast the set-bit table (constant-size
+    by construction) — that is the whole point of the Bloom variant."""
+    plan = _plan(spark, "text_bloom_decontaminate")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pq_adc_broadcasts_distance_table(spark):
+    """PQ ADC must broadcast the (subspace, centroid) distance lookup table
+    and plan the final top-k as TakeOrderedAndProject."""
+    plan = _plan(spark, "ann_pq_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cms_estimate_broadcasts_counters(spark):
+    """CMS point estimates must broadcast the counter grid (<= depth*width
+    rows regardless of corpus size)."""
+    plan = _plan(spark, "text_cms_heavy_hitters")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -41,6 +41,9 @@ HEADLINE = [
     "dedup_simhash_pairs",
     "ann_cosine_topk",
     "text_quality",
+    # round-7 additions: cluster-bounded semantic dedup, PQ compressed search
+    "dedup_semantic",
+    "ann_pq_topk",
     # end-to-end corpus prep (quality filter -> dedup -> contamination)
     "pipeline_pretrain_prep",
 ]

@@ -549,14 +549,33 @@ def semantic_dedup(
     """
     from .similarity import ivf_assign
 
-    assigned = ivf_assign(emb, centroids, id_col, vec_col).select(
-        "centroid_id", "id", "v"
+    # normalize ONCE per vector so the O(cell²) pair scan is a single dot
+    # product instead of dot + two norms — 3x less expression work where the
+    # quadratic term lives (the oracle mirrors the same normalized form)
+    dv = F.col("v").cast("array<double>")
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(dv, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    assigned = (
+        ivf_assign(emb, centroids, id_col, vec_col)
+        .select(
+            "centroid_id", "id", F.transform(dv, lambda x: x / norm).alias("nv")
+        )
+        .cache()  # feeds both sides of the pair self-join: without this the
+        # whole centroid-refine + assignment lineage runs once per side
     )
     a = assigned.select(
-        "centroid_id", F.col("id").alias("id_a"), F.col("v").alias("va")
+        "centroid_id", F.col("id").alias("id_a"), F.col("nv").alias("na")
     )
     b = assigned.select(
-        "centroid_id", F.col("id").alias("id_b"), F.col("v").alias("vb")
+        "centroid_id", F.col("id").alias("id_b"), F.col("nv").alias("nb")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("na"), F.col("nb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
     )
     pairs = (
         a.join(b, "centroid_id")
@@ -565,7 +584,7 @@ def semantic_dedup(
             "centroid_id",
             "id_a",
             "id_b",
-            F.round(cosine_col(F.col("va"), F.col("vb")), 6).alias("cosine"),
+            F.round(dot, 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

@@ -479,6 +479,9 @@ def pq_adc_topk(
     Spark's partial aggregates and the oracle. Returns (id, adist_micros),
     ascending, ties broken by id.
     """
+    # the codebook table feeds both the encoder and the distance table —
+    # cache it so the k-means build lineage runs once, not per consumer
+    codebooks = codebooks.cache()
     enc = pq_encode(emb, codebooks, id_col, vec_col, m, dim)
     qsv = pq_subvectors(query, id_col, vec_col, m, dim).select(
         "m", F.col("sv").alias("qsv")

@@ -489,39 +489,63 @@ def bloom_decontaminate(
     from the benchmark set (the scalable eval-decontamination pass; see
     e.g. the n-gram overlap filters in GPT-3 / PaLM dataset reports).
 
-    Build: distinct Bloom bit positions over the benchmark's n-grams —
-    at most m rows, broadcast.  Probe: every corpus n-gram is flagged iff
-    ALL k of its salted positions are set (min-matched aggregation, no
-    bitwise ops needed).  False positives are inherent Bloom behavior and
-    deterministic here (same hashes both engines).
+    Build: distinct Bloom bit positions over the benchmark's n-grams,
+    collapsed to an m-element bit array on the driver (the filter itself —
+    m bits total, the whole point of Bloom at 100 TB) and shipped to every
+    task as a broadcast literal.  Probe: a pure NARROW map — each document
+    tests its shingles' k positions against the array and counts in-place;
+    no explode, no join, no shuffle beyond the source partitioning.  False
+    positives are inherent Bloom behavior and deterministic here (same
+    hashes both engines).
 
     Returns (doc_id, n_shingles, n_flagged) for every document with at
     least ``n`` tokens.
     """
-    from .dedup import doc_shingles
+    from .dedup import shingles_col
 
-    bench_pos = (
+    bench_bits = (
         bloom_position_rows(
-            doc_shingles(benchmark, text=text, id_col=id_col, n=n), m, k
+            benchmark.select(
+                F.col(id_col).alias("id"), F.col(text).alias("t")
+            )
+            .select("id", F.explode(shingles_col(F.col("t"), n)).alias("shingle")),
+            m,
+            k,
         )
         .select("pos")
         .distinct()
-        .withColumn("_set", F.lit(1))
+        .collect()
     )
-    probe = bloom_position_rows(
-        doc_shingles(docs, text=text, id_col=id_col, n=n), m, k
-    )
-    per_shingle = (
-        probe.join(F.broadcast(bench_pos), "pos", "left")
-        .groupBy("id", "shingle")
-        .agg(F.min(F.coalesce(F.col("_set"), F.lit(0))).alias("_all_set"))
-    )
+    bits = [0] * m
+    for r in bench_bits:
+        bits[r.pos] = 1
+    filt = F.lit(bits)
+
+    def _shingle_set(s: Column) -> Column:
+        tests = [
+            F.element_at(
+                filt, (md5_long(F.concat(F.lit(f"{d}:"), s)) % m + 1).cast("int")
+            )
+            == 1
+            for d in range(k)
+        ]
+        cond = tests[0]
+        for t in tests[1:]:
+            cond = cond & t
+        return F.when(cond, 1).otherwise(0)
+
+    sh = shingles_col(F.col(text), n)
+    flags = F.transform(sh, _shingle_set)
     return (
-        per_shingle.groupBy(F.col("id").alias(id_col))
-        .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
-            F.sum("_all_set").alias("n_flagged"),
+        docs.select(
+            F.col(id_col),
+            F.size(sh).alias("n_shingles"),
+            F.aggregate(flags, F.lit(0), lambda acc, v: acc + v)
+            .cast("long")
+            .alias("n_flagged"),
         )
+        .filter(F.col("n_shingles") > 0)
+        .withColumn("n_shingles", F.col("n_shingles").cast("long"))
     )
 
 

@@ -746,6 +746,44 @@ FROM documents
 """
 
 
+FRAME_EVERY_S = 2.0
+
+
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling work-list over synthetic video rows: every 4th doc is
+    a video with duration (doc_id % 97 + 1) * 0.5 s; sample_frames explodes
+    one row per {FRAME_EVERY_S}-second tick (the work-list a decode kernel
+    would map over). Durations step by 0.5 s, so every frame timestamp is
+    binary-exact — no float-rounding exposure. The oracle computes the tick
+    count and last timestamp from the duration formula directly."""
+    from ..ext import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 4 == 3, mm.KIND_VIDEO)
+        .otherwise(mm.KIND_IMAGE)
+        .alias("kind"),
+        ((F.col("doc_id") % 97 + 1) * 0.5).alias("duration_s"),
+    )
+    frames = mm.sample_frames(media, every_s=FRAME_EVERY_S)
+    return frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.max("frame_ts").alias("last_frame_ts"),
+    )
+
+
+SQL_MULTIMODAL_FRAME_SAMPLE = f"""
+SELECT doc_id AS media_id,
+       CAST(floor((doc_id % 97 + 1) * 0.5 / {FRAME_EVERY_S}) AS BIGINT) + 1
+         AS n_frames,
+       floor((doc_id % 97 + 1) * 0.5 / {FRAME_EVERY_S}) * {FRAME_EVERY_S}
+         AS last_frame_ts
+FROM documents
+WHERE doc_id % 4 = 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
@@ -1903,10 +1941,15 @@ WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 c0 AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < {IVF_K}),
 {_REFINE_CHAIN},
 {_assign_cte(_FINAL_C, 'assigned')},
+nrm AS (
+  SELECT id, centroid_id,
+         list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+  FROM assigned
+),
 pairs AS (
   SELECT a.centroid_id, a.id AS id_a, b.id AS id_b,
-         round({_cos_sql('a.v', 'b.v')}, 6) AS cosine
-  FROM assigned a JOIN assigned b
+         round(list_dot_product(a.nv, b.nv), 6) AS cosine
+  FROM nrm a JOIN nrm b
     ON a.centroid_id = b.centroid_id AND a.id < b.id
 )
 SELECT centroid_id, id_b AS pruned_id, min(id_a) AS keeper_id,
@@ -2138,6 +2181,9 @@ SPECS = {
     "multimodal_features": QuerySpec(q_multimodal_features,
                                      SQL_MULTIMODAL_FEATURES,
                                      "binary payload -> Arrow-batched features"),
+    "multimodal_frame_sample": QuerySpec(
+        q_multimodal_frame_sample, SQL_MULTIMODAL_FRAME_SAMPLE,
+        "frame-sampling work-list from duration metadata (video rows)"),
     "multimodal_dimensions": QuerySpec(q_multimodal_dimensions,
                                        SQL_MULTIMODAL_DIMENSIONS,
                                        "real PNG/JPEG/WAV header sniffing "

@@ -210,12 +210,14 @@ def test_dsir_scoring_broadcasts_logratio_table(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_bloom_probe_broadcasts_set_bits(spark):
-    """The Bloom probe join must broadcast the set-bit table (constant-size
-    by construction) — that is the whole point of the Bloom variant."""
+def test_bloom_probe_is_narrow(spark):
+    """The Bloom probe ships the m-bit filter as a literal and tests
+    positions in-place: the probe side must plan with NO join and NO
+    exchange at all — a fully narrow map over the corpus, which is the
+    whole point of the Bloom variant."""
     plan = _plan(spark, "text_bloom_decontaminate")
-    assert "BroadcastHashJoin" in plan
-    assert "CartesianProduct" not in plan
+    for op in ("Join", "CartesianProduct", "Exchange"):
+        assert op not in plan, op
 
 
 def test_pq_adc_broadcasts_distance_table(spark):

@@ -76,12 +76,20 @@ def doc_shingles(df: DataFrame, text: str = "text", id_col: str = "doc_id",
     ``repartition(id)`` first: corpus files are often few/large, and the
     downstream explode+md5 work is CPU-bound — spreading by id keys the
     parallelism to the cluster width instead of the input file count.
+
+    Short docs are dropped by filtering on the CHEAP token count, never on
+    ``size(sh)``: a predicate on the built shingle array gets
+    predicate-pushed below the repartition exchange, which evaluates the
+    whole O(shingles) expression inside the single-file scan task and then
+    AGAIN above the exchange — measured 2x serialized shingle builds per
+    query at sf0.1. (explode alone would drop empty arrays anyway; the
+    token filter just avoids shuffling doomed rows.)
     """
     return (
         df.select(F.col(id_col).alias("id"), F.col(text).alias("t"))
+        .filter(F.size(tokens_col(F.col("t"))) >= n)
         .repartition(F.col("id"))
         .select("id", shingles_col(F.col("t"), n).alias("sh"))
-        .filter(F.size("sh") > 0)
         .select("id", F.explode("sh").alias("shingle"))
     )
 

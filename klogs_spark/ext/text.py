@@ -422,10 +422,12 @@ def fingerprints(df: DataFrame, text_col: str = "text",
     """Document fingerprint: min/max/count over hashed word n-grams (the
     1-permutation MinHash / winnowing-style rolling summary).
     Returns (id, fp_min, fp_max, n_shingles)."""
-    sh = df.select(
+    # cheap token-count guard instead of size(sh) — a predicate on the built
+    # array re-evaluates the whole shingle expression in the pushed filter
+    sh = df.filter(F.size(tokens_col(F.col(text_col))) >= n).select(
         F.col(id_col).alias("id"),
         shingles_col(F.col(text_col), n).alias("sh"),
-    ).filter(F.size("sh") > 0)
+    )
     hashes = sh.select(
         "id", F.transform(F.col("sh"), lambda s: md5_long(s)).alias("hs")
     )
@@ -447,26 +449,29 @@ def fingerprints(df: DataFrame, text_col: str = "text",
 # form a tiny distinct-position table (<= m rows), broadcast to the corpus,
 # and an n-gram is flagged iff all k of its positions match.
 BLOOM_M = 4096  # filter bits
-BLOOM_K = 3     # salted hash functions per n-gram
+BLOOM_K = 3     # hash functions per n-gram (double-hashed, 2 md5s total)
+
+
+def _bloom_pos(shingle: Column, j: int, m: int) -> Column:
+    """Position j via Kirsch-Mitzenmacher double hashing: g_j = h1 + j*h2
+    (mod m) gives k Bloom-quality hash functions from TWO md5 evaluations
+    instead of k — the standard trick, and a third less hashing on the
+    corpus-side probe.  h1, h2 < 2^32 so h1 + j*h2 stays far inside int64."""
+    h1 = md5_long(F.concat(F.lit("a:"), shingle))
+    h2 = md5_long(F.concat(F.lit("b:"), shingle))
+    return (h1 + j * h2) % m
 
 
 def bloom_position_rows(
     shingled: DataFrame, m: int = BLOOM_M, k: int = BLOOM_K
 ) -> DataFrame:
     """(id, shingle) -> (id, shingle, salt, pos): the k Bloom bit positions
-    of every shingle.  Position j is md5("<j>:" + shingle) % m — the salt
-    prefix gives k independent hash functions from one md5 (the oracle SQL
-    computes the identical positions)."""
+    of every shingle (the oracle SQL computes the identical positions)."""
     salted = F.array(
         *[
             F.struct(
                 F.lit(j).alias("salt"),
-                (
-                    md5_long(
-                        F.concat(F.lit(f"{j}:"), F.col("shingle"))
-                    )
-                    % m
-                ).alias("pos"),
+                _bloom_pos(F.col("shingle"), j, m).alias("pos"),
             )
             for j in range(k)
         ]
@@ -516,18 +521,35 @@ def bloom_decontaminate(
         .distinct()
         .collect()
     )
-    bits = [0] * m
+    # pack the m bits into 16-bit words: a plain python list literal becomes
+    # a CreateArray of one node PER ELEMENT, so literal size is plan-build
+    # cost — 4096 unpacked bits cost ~2.5s of py4j + optimizer time per
+    # query, 256 packed words are negligible. 16-bit words keep the
+    # variable-exponent bit test exact in double arithmetic.
+    words = [0] * ((m + 15) // 16)
     for r in bench_bits:
-        bits[r.pos] = 1
-    filt = F.lit(bits)
+        words[r.pos // 16] |= 1 << (r.pos % 16)
+    wlit = F.lit(words)
 
-    def _shingle_set(s: Column) -> Column:
+    def _bit_set(pos: Column) -> Column:
+        word = F.element_at(wlit, (pos / 16).cast("int") + 1)
+        bit = F.floor(
+            word / F.pow(F.lit(2.0), (pos % 16).cast("double"))
+        ) % 2
+        return bit == 1
+
+    def _hashes(s: Column) -> Column:
+        # h1/h2 computed ONCE per shingle; the k probe positions derive from
+        # them arithmetically (double hashing), so md5 runs 2x per shingle
+        # regardless of k
+        return F.struct(
+            md5_long(F.concat(F.lit("a:"), s)).alias("h1"),
+            md5_long(F.concat(F.lit("b:"), s)).alias("h2"),
+        )
+
+    def _shingle_set(h: Column) -> Column:
         tests = [
-            F.element_at(
-                filt, (md5_long(F.concat(F.lit(f"{d}:"), s)) % m + 1).cast("int")
-            )
-            == 1
-            for d in range(k)
+            _bit_set((h["h1"] + d * h["h2"]) % m) for d in range(k)
         ]
         cond = tests[0]
         for t in tests[1:]:
@@ -535,17 +557,26 @@ def bloom_decontaminate(
         return F.when(cond, 1).otherwise(0)
 
     sh = shingles_col(F.col(text), n)
-    flags = F.transform(sh, _shingle_set)
-    return (
-        docs.select(
-            F.col(id_col),
-            F.size(sh).alias("n_shingles"),
-            F.aggregate(flags, F.lit(0), lambda acc, v: acc + v)
-            .cast("long")
-            .alias("n_flagged"),
-        )
-        .filter(F.col("n_shingles") > 0)
-        .withColumn("n_shingles", F.col("n_shingles").cast("long"))
+    flags = F.transform(F.transform(sh, _hashes), _shingle_set)
+    from .dedup import tokens_col
+
+    # filter on the CHEAP token count (shingles are empty iff tokens < n) so
+    # the predicate that predicate-pushdown moves below the exchange is the
+    # split, not the full shingle build — filtering on size(sh) would push
+    # the whole O(shingles) expression into the single-file scan task AND
+    # re-evaluate it after the exchange
+    docs = docs.filter(F.size(tokens_col(F.col(text))) >= n)
+    # corpus files are few/large and the probe is CPU-bound: spread rows to
+    # cluster width or the narrow map runs at input-file parallelism
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < parallelism:
+        docs = docs.repartition(parallelism)
+    return docs.select(
+        F.col(id_col),
+        F.size(sh).cast("long").alias("n_shingles"),
+        F.aggregate(flags, F.lit(0), lambda acc, v: acc + v)
+        .cast("long")
+        .alias("n_flagged"),
     )
 
 

@@ -2018,11 +2018,6 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.bloom_decontaminate(docs, bench, n=5)
 
 
-_BLOOM_POS = (
-    md5_long_sql("concat(CAST(s.j AS VARCHAR), ':', shingle)")
-    + f" % {tx.BLOOM_M}"
-)
-
 SQL_BLOOM_DECONTAMINATE = f"""
 WITH tk AS (
   SELECT doc_id AS id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
@@ -2034,9 +2029,15 @@ sh5 AS (
            i -> array_to_string(tk[i+1:i+5], ' ')))) AS shingle
   FROM tk WHERE len(tk) >= 5
 ),
+hh AS (
+  SELECT id, shingle,
+         {md5_long_sql("concat('a:', shingle)")} AS h1,
+         {md5_long_sql("concat('b:', shingle)")} AS h2
+  FROM sh5
+),
 pos3 AS (
-  SELECT id, shingle, s.j AS salt, {_BLOOM_POS} AS pos
-  FROM sh5, generate_series(0, {tx.BLOOM_K - 1}) AS s(j)
+  SELECT id, shingle, s.j AS salt, (h1 + s.j * h2) % {tx.BLOOM_M} AS pos
+  FROM hh, generate_series(0, {tx.BLOOM_K - 1}) AS s(j)
 ),
 bench AS (SELECT DISTINCT pos FROM pos3 WHERE id < 5),
 matched AS (

@@ -212,11 +212,12 @@ def test_dsir_scoring_broadcasts_logratio_table(spark):
 
 def test_bloom_probe_is_narrow(spark):
     """The Bloom probe ships the m-bit filter as a literal and tests
-    positions in-place: the probe side must plan with NO join and NO
-    exchange at all — a fully narrow map over the corpus, which is the
-    whole point of the Bloom variant."""
+    positions in-place: the probe must plan with NO join and no KEYED
+    shuffle — the only allowed exchange is the round-robin spread to
+    cluster width. That narrow-map shape is the whole point of the
+    Bloom variant."""
     plan = _plan(spark, "text_bloom_decontaminate")
-    for op in ("Join", "CartesianProduct", "Exchange"):
+    for op in ("Join", "CartesianProduct", "hashpartitioning"):
         assert op not in plan, op
 
 

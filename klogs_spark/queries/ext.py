@@ -1757,8 +1757,8 @@ def q_pipeline_pretrain_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_PIPELINE_PRETRAIN_PREP = f"""
-WITH {TOKENS_CTE},
+# the quality-filter "kept" CTE chain, shared by the two pipeline oracles
+_QUALITY_KEPT_CTE = f"""{TOKENS_CTE},
 {_gram_cte(1, 'f')},
 feat AS (
   SELECT d.doc_id AS id, length(d.text) AS n_chars, len(t.tk) AS n_tokens,
@@ -1788,7 +1788,10 @@ kept AS (
     AND NOT (r.top_token_ppm >= {tx.FILTER_MAX_TOP_TOKEN_PPM})
     AND NOT (q.quality_score < {tx.FILTER_MIN_QUALITY})
     AND (l.best.score > 0)
-),
+)"""
+
+SQL_PIPELINE_PRETRAIN_PREP = f"""
+WITH {_QUALITY_KEPT_CTE},
 surv AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
 dedup AS (SELECT k.* FROM kept k JOIN surv s ON k.doc_id = s.doc_id),
 probes AS (
@@ -1979,8 +1982,9 @@ def q_sample_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DSIR_BUCKET = md5_long_sql("tok") + f" % {DSIR_BUCKETS}"
 
-SQL_SAMPLE_DSIR_WEIGHTS = f"""
-WITH tokr AS (
+# tokenize -> hashed-bucket counts -> add-1-smoothed log-ratio table, shared
+# by the standalone DSIR query and the selection pipeline
+_DSIR_LR_CTE = f"""tokr AS (
   SELECT doc_id AS id,
          unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
   FROM documents
@@ -2000,10 +2004,77 @@ lr AS (
            AS logratio
   FROM br LEFT JOIN bt USING (bucket), tot
 ),
-feat AS (SELECT id, {_DSIR_BUCKET} AS bucket FROM tokr)
-SELECT f.id, count(*) AS n_tokens, round(sum(l.logratio), 6) AS log_weight
-FROM feat f JOIN lr l USING (bucket)
-GROUP BY f.id
+dw AS (
+  SELECT f.id, count(*) AS n_tokens, round(sum(l.logratio), 6) AS log_weight
+  FROM (SELECT id, {_DSIR_BUCKET} AS bucket FROM tokr) f
+  JOIN lr l USING (bucket)
+  GROUP BY f.id
+)"""
+
+SQL_SAMPLE_DSIR_WEIGHTS = f"""
+WITH {_DSIR_LR_CTE}
+SELECT id, n_tokens, log_weight FROM dw
+"""
+
+
+DSIR_SELECT_PER_SOURCE = 10
+
+
+def q_pipeline_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DSIR selection pipeline end-to-end — the round-7 twin of
+    pipeline_pretrain_prep: quality_filter (keep only) -> DSIR importance
+    log-weights -> per-source top-{DSIR_SELECT_PER_SOURCE} selection (the
+    resampling step as a deterministic rank cutoff) -> per-source stats.
+    Every stage is the real operator; the oracle replays the chain in SQL.
+    Scale shape: the weight table join is map-side (broadcast <=1024-row
+    log-ratios), selection is one window per source partition."""
+    from ..ext import sampling as sp
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    dec = tx.quality_filter(docs)
+    kept = docs.join(
+        dec.filter(F.col("keep")).select(F.col("id").alias("doc_id")),
+        "doc_id",
+    )
+    target = docs.filter(F.col("source").isin(*DSIR_TARGET_SOURCES))
+    lr = sp.dsir_logratios(target, docs, buckets=DSIR_BUCKETS)
+    w = sp.dsir_weights(docs, lr, buckets=DSIR_BUCKETS)
+    scored = kept.join(w, kept["doc_id"] == w["id"]).select(
+        "source", "doc_id", "n_tokens", "log_weight"
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            F.col("log_weight").desc(), F.col("doc_id")
+        )
+    )
+    sel = scored.withColumn("rn", rn).filter(
+        F.col("rn") <= DSIR_SELECT_PER_SOURCE
+    )
+    return sel.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_selected"),
+        F.round(F.sum("log_weight"), 6).alias("sum_log_weight"),
+        F.sum("n_tokens").alias("sel_tokens"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+
+
+SQL_PIPELINE_DSIR_SELECT = f"""
+WITH {_QUALITY_KEPT_CTE},
+{_DSIR_LR_CTE},
+sel AS (
+  SELECT k.source, k.doc_id, w.n_tokens, w.log_weight,
+         ROW_NUMBER() OVER (
+           PARTITION BY k.source ORDER BY w.log_weight DESC, k.doc_id
+         ) AS rn
+  FROM kept k JOIN dw w ON w.id = k.doc_id
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_selected,
+       round(sum(log_weight), 6) AS sum_log_weight,
+       CAST(sum(n_tokens) AS BIGINT) AS sel_tokens,
+       min(doc_id) AS min_doc_id
+FROM sel WHERE rn <= {DSIR_SELECT_PER_SOURCE}
+GROUP BY source
 """
 
 
@@ -2208,6 +2279,9 @@ SPECS = {
     "sample_dsir_weights": QuerySpec(
         q_sample_dsir_weights, SQL_SAMPLE_DSIR_WEIGHTS,
         "DSIR hashed-ngram importance log-weights (target vs raw)"),
+    "pipeline_dsir_select": QuerySpec(
+        q_pipeline_dsir_select, SQL_PIPELINE_DSIR_SELECT,
+        "quality filter -> DSIR weights -> per-source top-k selection"),
     "text_contamination": QuerySpec(q_contamination, SQL_CONTAMINATION,
                                     "benchmark-contamination substring scan"),
     "text_top_ngrams": QuerySpec(q_top_ngrams, SQL_TOP_NGRAMS,

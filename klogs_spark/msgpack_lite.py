@@ -39,7 +39,13 @@ def _decode_ext(ext_type: int, payload: bytes) -> Any:
 
 
 def _unpack(buf: bytes, pos: int) -> tuple[Any, int]:
-    """Decode one object at ``pos``; return (value, next_pos)."""
+    """Decode one object at ``pos``; return (value, next_pos).
+
+    The fix-family branches are checked first AND inline their bounds/slice
+    work (no helper calls): Fluent Bit events are almost entirely fixmap /
+    fixstr / fixint, and python-level call overhead dominates the decode at
+    those sizes.
+    """
     try:
         b = buf[pos]
     except IndexError:
@@ -51,8 +57,10 @@ def _unpack(buf: bytes, pos: int) -> tuple[Any, int]:
     if b >= 0xE0:                      # negative fixint
         return b - 0x100, pos
     if 0xA0 <= b <= 0xBF:              # fixstr
-        n = b & 0x1F
-        return _take(buf, pos, n).decode("utf-8", "replace"), pos + n
+        end = pos + (b & 0x1F)
+        if end > len(buf):
+            raise MsgpackError("truncated payload")
+        return buf[pos:end].decode("utf-8", "replace"), end
     if 0x80 <= b <= 0x8F:              # fixmap
         return _unpack_map(buf, pos, b & 0x0F)
     if 0x90 <= b <= 0x9F:              # fixarray
@@ -162,57 +170,102 @@ def unpack_stream(buf: bytes) -> Iterator[Any]:
 # (fixture generation, the externally checked ingest_msgpack_pipeline query,
 # loopback tests). Same public spec; covers every type the decoder handles.
 def pack(obj: Any) -> bytes:
-    """Encode one object to msgpack bytes (full-range formats)."""
+    """Encode one object to msgpack bytes (full-range formats).
+
+    Appender style: one shared bytearray instead of per-node bytes
+    concatenation — the encoder synthesizes whole Fluent Bit chunks in the
+    benched ingest query, so allocation count matters.
+    """
+    out = bytearray()
+    _pack_into(obj, out)
+    return bytes(out)
+
+
+def _pack_into(obj: Any, out: bytearray) -> None:
     if obj is None:
-        return b"\xc0"
+        out.append(0xC0)
+        return
     if obj is True:
-        return b"\xc3"
+        out.append(0xC3)
+        return
     if obj is False:
-        return b"\xc2"
-    if isinstance(obj, int):
+        out.append(0xC2)
+        return
+    t = type(obj)
+    if t is int or isinstance(obj, int):
         if 0 <= obj <= 0x7F:
-            return bytes([obj])
+            out.append(obj)
+            return
         if -32 <= obj < 0:
-            return bytes([obj & 0xFF])
+            out.append(obj & 0xFF)
+            return
         if obj >= 0:
-            for fmt, n in ((b"\xcc", 1), (b"\xcd", 2), (b"\xce", 4), (b"\xcf", 8)):
+            for fmt, n in ((0xCC, 1), (0xCD, 2), (0xCE, 4), (0xCF, 8)):
                 if obj < 1 << (8 * n):
-                    return fmt + obj.to_bytes(n, "big")
+                    out.append(fmt)
+                    out += obj.to_bytes(n, "big")
+                    return
             raise MsgpackError("uint too large")
-        for fmt, n in ((b"\xd0", 1), (b"\xd1", 2), (b"\xd2", 4), (b"\xd3", 8)):
+        for fmt, n in ((0xD0, 1), (0xD1, 2), (0xD2, 4), (0xD3, 8)):
             if -(1 << (8 * n - 1)) <= obj:
-                return fmt + obj.to_bytes(n, "big", signed=True)
+                out.append(fmt)
+                out += obj.to_bytes(n, "big", signed=True)
+                return
         raise MsgpackError("int too small")
-    if isinstance(obj, float):
-        return b"\xcb" + _F64.pack(obj)
-    if isinstance(obj, str):
+    if t is float:
+        out.append(0xCB)
+        out += _F64.pack(obj)
+        return
+    if t is str:
         raw = obj.encode("utf-8")
-        if len(raw) <= 31:
-            return bytes([0xA0 | len(raw)]) + raw
-        for fmt, n in ((b"\xd9", 1), (b"\xda", 2), (b"\xdb", 4)):
-            if len(raw) < 1 << (8 * n):
-                return fmt + len(raw).to_bytes(n, "big") + raw
+        ln = len(raw)
+        if ln <= 31:
+            out.append(0xA0 | ln)
+            out += raw
+            return
+        for fmt, n in ((0xD9, 1), (0xDA, 2), (0xDB, 4)):
+            if ln < 1 << (8 * n):
+                out.append(fmt)
+                out += ln.to_bytes(n, "big")
+                out += raw
+                return
+        raise MsgpackError("str too large")
     if isinstance(obj, (bytes, bytearray)):
         raw = bytes(obj)
-        for fmt, n in ((b"\xc4", 1), (b"\xc5", 2), (b"\xc6", 4)):
+        for fmt, n in ((0xC4, 1), (0xC5, 2), (0xC6, 4)):
             if len(raw) < 1 << (8 * n):
-                return fmt + len(raw).to_bytes(n, "big") + raw
+                out.append(fmt)
+                out += len(raw).to_bytes(n, "big")
+                out += raw
+                return
+        raise MsgpackError("bin too large")
     if isinstance(obj, (list, tuple)):
-        if len(obj) <= 15:
-            head = bytes([0x90 | len(obj)])
-        elif len(obj) < 1 << 16:
-            head = b"\xdc" + len(obj).to_bytes(2, "big")
+        ln = len(obj)
+        if ln <= 15:
+            out.append(0x90 | ln)
+        elif ln < 1 << 16:
+            out.append(0xDC)
+            out += ln.to_bytes(2, "big")
         else:
-            head = b"\xdd" + len(obj).to_bytes(4, "big")
-        return head + b"".join(pack(x) for x in obj)
+            out.append(0xDD)
+            out += ln.to_bytes(4, "big")
+        for x in obj:
+            _pack_into(x, out)
+        return
     if isinstance(obj, dict):
-        if len(obj) <= 15:
-            head = bytes([0x80 | len(obj)])
-        elif len(obj) < 1 << 16:
-            head = b"\xde" + len(obj).to_bytes(2, "big")
+        ln = len(obj)
+        if ln <= 15:
+            out.append(0x80 | ln)
+        elif ln < 1 << 16:
+            out.append(0xDE)
+            out += ln.to_bytes(2, "big")
         else:
-            head = b"\xdf" + len(obj).to_bytes(4, "big")
-        return head + b"".join(pack(k) + pack(v) for k, v in obj.items())
+            out.append(0xDF)
+            out += ln.to_bytes(4, "big")
+        for k, v in obj.items():
+            _pack_into(k, out)
+            _pack_into(v, out)
+        return
     raise MsgpackError(f"cannot encode {type(obj).__name__}")
 
 

@@ -652,3 +652,49 @@ def cms_estimate(
         .groupBy(key_col)
         .agg(F.min("cnt").alias("cms_est"))
     )
+
+
+# --- HyperLogLog distinct sketch (engine-exact) ------------------------------
+# A register-level-deterministic HLL (Flajolet et al. 2007): md5-derived
+# 32-bit hashes, p leading bits pick the register, rho = position of the
+# first set bit in the remaining 24. Every piece is exact integer/power-of-2
+# arithmetic (the 2^-rho harmonic sum is EXACT in doubles — all partial sums
+# fit one mantissa), so the estimate is bit-identical cross-engine and
+# hash-checkable, unlike approx_count_distinct's opaque native sketch.
+# Registers are mergeable by max() — the 100 TB union story.
+HLL_P = 8
+HLL_M = 1 << HLL_P          # 256 registers
+HLL_W = 32 - HLL_P          # 24 value bits per hash
+# alpha_m for m=256: 0.7213 / (1 + 1.079/m) — embedded as one literal so the
+# oracle SQL uses the identical constant
+HLL_ALPHA = 0.7213 / (1 + 1.079 / 256.0)
+
+
+def _hll_rho(w: Column) -> Column:
+    """Position of the first set bit of the 24-bit value (1-based from the
+    MSB); 0-value hashes take rho = 25. A chain of integer comparisons —
+    no float log2, whose floor sits on a cross-engine rounding boundary."""
+    expr = F.when(w == 0, HLL_W + 1)
+    for r in range(1, HLL_W + 1):
+        expr = expr.when(w >= (1 << (HLL_W - r)), r)
+    return expr
+
+
+def hll_registers(
+    values: DataFrame, value_col: str = "tok", p: int = HLL_P
+) -> DataFrame:
+    """Build the register table: (idx, rho) with rho = max over hashed
+    values landing in the register. One keyed max-aggregate (map-side
+    combined); at most 2^p rows out regardless of input size."""
+    m = 1 << p
+    wbits = 32 - p
+    h = md5_long(F.col(value_col))
+    return (
+        values.select(
+            (h / (1 << wbits)).cast("int").alias("idx"),
+            (h % (1 << wbits)).alias("w"),
+        )
+        .select("idx", _hll_rho(F.col("w")).alias("r"))
+        .groupBy("idx")
+        .agg(F.max("r").alias("rho"))
+    )

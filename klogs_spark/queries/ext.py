@@ -2124,6 +2124,72 @@ FROM matched GROUP BY id
 
 
 # ---------------------------------------------------------------------------
+# HyperLogLog distinct sketch (engine-exact registers)
+# ---------------------------------------------------------------------------
+def q_text_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-exact HyperLogLog over corpus tokens, checked against the
+    exact distinct count in the same row: md5-hashed 32-bit values, 256
+    registers, integer-comparison rho (no float log2), and a 2^-rho
+    harmonic sum that is exact in doubles — so unlike
+    approx_count_distinct's opaque native sketch, the ESTIMATE itself
+    hash-matches the oracle. Registers merge by max() — the sketch unions
+    across partitions/days by one more aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(dd.tokens_col(F.col("text"))).alias("tok"))
+    regs = tx.hll_registers(toks)
+    reg_agg = regs.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("s"),
+        F.count(F.lit(1)).alias("np"),
+    )
+    exact = toks.agg(F.count_distinct("tok").alias("exact_distinct"))
+    m = tx.HLL_M
+    zeros = (m - F.col("np")).cast("double")
+    raw = F.lit(tx.HLL_ALPHA * m * m) / (F.col("s") + (m - F.col("np")))
+    # standard small-range correction: below 2.5m with empty registers the
+    # raw estimator biases high — switch to linear counting m*ln(m/V)
+    est = F.when(
+        (raw <= 2.5 * m) & (zeros > 0), m * F.log(m / zeros)
+    ).otherwise(raw)
+    return exact.crossJoin(reg_agg).select(
+        "exact_distinct",
+        F.round(est, 4).alias("hll_estimate"),
+        zeros.cast("long").alias("n_zero_registers"),
+    )
+
+
+_HLL_RHO_SQL = "CASE WHEN w = 0 THEN 25 " + " ".join(
+    f"WHEN w >= {1 << (tx.HLL_W - r)} THEN {r}" for r in range(1, tx.HLL_W + 1)
+) + " END"
+
+SQL_TEXT_HLL_DISTINCT = f"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+  FROM documents
+),
+hw AS (
+  SELECT CAST(floor(h / {1 << tx.HLL_W}.0) AS INT) AS idx,
+         h % {1 << tx.HLL_W} AS w
+  FROM (SELECT {md5_long_sql('tok')} AS h FROM toks)
+),
+regs AS (
+  SELECT idx, max({_HLL_RHO_SQL}) AS rho FROM hw GROUP BY idx
+),
+agg AS (SELECT sum(power(2.0, -rho)) AS s, count(*) AS np FROM regs),
+est AS (
+  SELECT ({tx.HLL_M} - np) * 1.0 AS zeros,
+         {tx.HLL_ALPHA * tx.HLL_M * tx.HLL_M!r} / (s + ({tx.HLL_M} - np)) AS raw
+  FROM agg
+)
+SELECT (SELECT count(DISTINCT tok) FROM toks) AS exact_distinct,
+       round(CASE WHEN raw <= {2.5 * tx.HLL_M} AND zeros > 0
+                  THEN {tx.HLL_M} * ln({tx.HLL_M} / zeros)
+                  ELSE raw END, 4) AS hll_estimate,
+       CAST(zeros AS BIGINT) AS n_zero_registers
+FROM est
+"""
+
+
+# ---------------------------------------------------------------------------
 # count-min sketch heavy hitters
 # ---------------------------------------------------------------------------
 def q_text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2270,6 +2336,9 @@ SPECS = {
                                    "hashed-shingle fingerprints"),
     "text_tfidf_scores": QuerySpec(q_tfidf_scores, SQL_TFIDF_SCORES,
                                    "corpus-relative mean-idf rarity score"),
+    "text_hll_distinct": QuerySpec(
+        q_text_hll_distinct, SQL_TEXT_HLL_DISTINCT,
+        "engine-exact HyperLogLog estimate vs exact distinct tokens"),
     "text_cms_heavy_hitters": QuerySpec(
         q_text_cms_heavy_hitters, SQL_TEXT_CMS_HEAVY_HITTERS,
         "count-min sketch estimates vs exact top-20 token counts"),

@@ -486,3 +486,31 @@ def test_cms_never_undercounts_and_collisions_inflate(spark):
         assert est[tok] >= c          # CMS can only overcount
     # with 6 tokens in 2 cells per row, at least one estimate must inflate
     assert any(est[t] > exact[t] for t in exact)
+
+
+def test_hll_estimate_within_rse_at_scale(spark):
+    from klogs_spark.ext import text as tx
+
+    # 20k distinct values; 256 registers => RSE ~ 1.04/sqrt(256) = 6.5%
+    vals = spark.range(20000).select(
+        F.concat(F.lit("v"), F.col("id").cast("string")).alias("tok")
+    )
+    regs = tx.hll_registers(vals)
+    agg = regs.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("s"),
+        F.count(F.lit(1)).alias("np"),
+    ).collect()[0]
+    m = tx.HLL_M
+    est = tx.HLL_ALPHA * m * m / (agg.s + (m - agg.np))
+    assert abs(est / 20000 - 1) < 0.2   # 3x the theoretical RSE
+    # registers merge by max: two disjoint halves re-aggregated must give
+    # exactly the full-corpus registers
+    h1 = tx.hll_registers(vals.filter("tok < 'v2'"))
+    h2 = tx.hll_registers(vals.filter("tok >= 'v2'"))
+    merged = {
+        (r.idx, r.rho)
+        for r in h1.union(h2).groupBy("idx").agg(
+            F.max("rho").alias("rho")).collect()
+    }
+    full = {(r.idx, r.rho) for r in regs.collect()}
+    assert merged == full

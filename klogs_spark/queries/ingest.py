@@ -859,6 +859,47 @@ GROUP BY 1
 """
 
 
+SKIPINDEX_NEEDLE = "user=42"
+
+
+def q_table_fulltext_skipindex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The token-Bloom data-skipping read path end-to-end (the Spark
+    equivalent of a ClickHouse tokenbf_v1 index, beyond the reference DDL):
+    write the derived logs table, build the per-day Bloom sidecar, then run
+    a whole-token full-text search that consults the sidecar at plan time
+    and scans only candidate day partitions. The needle token
+    '{SKIPINDEX_NEEDLE}' appears exactly on lines of user 42, so the oracle
+    is the direct user_id = 42 aggregate over events — equality proves the
+    index build, the driver-side membership test, and the partition-pruned
+    read lose nothing (Bloom false negatives are impossible)."""
+    import tempfile
+
+    from ..table import fulltext_token_search, write_logs, write_token_bloom_index
+    from ..views import derive_logs_from_events
+
+    logs = derive_logs_from_events(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="klogs-skipidx-")
+    tdir = f"{base}/logs"
+    write_logs(logs, tdir)
+    write_token_bloom_index(spark, tdir)
+    hits = fulltext_token_search(spark, tdir, [SKIPINDEX_NEEDLE])
+    return hits.groupBy("date").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min("timestamp").alias("min_ts"),
+        F.max("timestamp").alias("max_ts"),
+    )
+
+
+SQL_TABLE_FULLTEXT_SKIPINDEX = """
+SELECT CAST(ts AS DATE) AS date,
+       CAST(count(*) AS BIGINT) AS cnt,
+       min(ts) AS min_ts, max(ts) AS max_ts
+FROM events
+WHERE user_id = 42
+GROUP BY 1
+"""
+
+
 def q_sources_syslog_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S7's third parser family, externally checked: synthesize a MIXED
     syslog stream from events (every 3rd user emits RFC 3164 BSD lines, the
@@ -1063,5 +1104,11 @@ SPECS = {
         SQL_TABLE_LIFECYCLE,
         "write -> compact -> TTL retention -> read-back per-day aggregate "
         "vs direct-from-events oracle",
+    ),
+    "table_fulltext_skipindex": QuerySpec(
+        q_table_fulltext_skipindex,
+        SQL_TABLE_FULLTEXT_SKIPINDEX,
+        "token-Bloom partition skip index: build sidecar -> plan-time "
+        "pruning -> whole-token search vs direct oracle",
     ),
 }

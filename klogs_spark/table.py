@@ -233,3 +233,99 @@ def apply_retention(
             fs.delete(status.getPath(), True)
             dropped.append(name)
     return dropped
+
+
+# --- token-bloom partition skip index ---------------------------------------
+# Beyond the reference DDL (schema.sql has no skip indexes): a per-day token
+# Bloom filter over the `log` column, the Spark-side equivalent of
+# ClickHouse's tokenbf_v1 data-skipping index. The index is a sidecar
+# parquet under the table root ("_"-prefixed, so table readers never see
+# it): one (date, pos) row per SET Bloom bit per day — at most
+# TOKEN_BLOOM_M rows/day no matter how many log lines the day holds. A
+# token full-text search consults the index at PLAN time and reads only
+# the day partitions whose filter can contain every needle token: Bloom
+# false positives cost one pruned-partition scan, false negatives are
+# impossible for whole-token matches. At 100 TB (30 daily partitions of
+# ~3 TB) a rare-token search touches exactly the days that can match.
+TOKEN_BLOOM_DIR = "_token_bloom"
+TOKEN_BLOOM_M = 4096
+TOKEN_BLOOM_K = 3
+
+
+def write_token_bloom_index(
+    spark: SparkSession,
+    path: str,
+    m: int = TOKEN_BLOOM_M,
+    k: int = TOKEN_BLOOM_K,
+) -> None:
+    """Build/refresh the per-day token Bloom sidecar for a written table.
+
+    One pass over `log`: explode whitespace tokens, compute each token's k
+    double-hashed bit positions (the same Kirsch-Mitzenmacher scheme as
+    ext.text.bloom_decontaminate), distinct per day. Map-side combines make
+    the shuffled data at most m rows per (day, task)."""
+    from .ext.text import _bloom_pos
+
+    logs = spark.read.parquet(path)
+    toks = logs.select(
+        F.col(PARTITION_COLUMN),
+        F.explode(
+            F.filter(F.split(F.col("log"), " "), lambda t: t != "")
+        ).alias("tok"),
+    )
+    pos = (
+        toks.select(
+            PARTITION_COLUMN,
+            F.explode(
+                F.array(*[_bloom_pos(F.col("tok"), j, m) for j in range(k)])
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    pos.write.mode("overwrite").parquet(f"{path}/{TOKEN_BLOOM_DIR}")
+
+
+def _py_bloom_positions(token: str, m: int, k: int) -> list[int]:
+    """Driver-side twin of ext.text._bloom_pos — must hash identically."""
+    import hashlib
+
+    h1 = int(hashlib.md5(b"a:" + token.encode()).hexdigest()[:8], 16)
+    h2 = int(hashlib.md5(b"b:" + token.encode()).hexdigest()[:8], 16)
+    return [(h1 + j * h2) % m for j in range(k)]
+
+
+def fulltext_token_search(
+    spark: SparkSession,
+    path: str,
+    needle_tokens: list[str],
+    m: int = TOKEN_BLOOM_M,
+    k: int = TOKEN_BLOOM_K,
+) -> DataFrame:
+    """Whole-token full-text search that skips day partitions via the Bloom
+    sidecar: a day qualifies only if EVERY needle token's k bits are set in
+    its filter. Candidate days become a partition-column IN-filter, so the
+    parquet scan lists only those directories (PartitionFilters in the
+    plan); the exact token match then removes Bloom false positives.
+
+    The index read is manifest-sized (<= m rows/day) — collecting it on the
+    driver IS the skip-index lookup, the same plan-time role ClickHouse's
+    index granule bitmap plays."""
+    idx = spark.read.parquet(f"{path}/{TOKEN_BLOOM_DIR}")
+    by_date: dict = {}
+    for r in idx.collect():
+        by_date.setdefault(r[PARTITION_COLUMN], set()).add(r.pos)
+    needed = [_py_bloom_positions(t, m, k) for t in needle_tokens]
+    dates = sorted(
+        d
+        for d, bits in by_date.items()
+        if all(all(p in bits for p in ps) for ps in needed)
+    )
+    base = read_logs(spark, path)
+    if not dates:
+        return base.filter(F.lit(False))
+    out = base.filter(F.col(PARTITION_COLUMN).isin(dates))
+    for t in needle_tokens:
+        out = out.filter(
+            F.array_contains(F.split(F.col("log"), " "), t)
+        )
+    return out

@@ -236,3 +236,46 @@ def test_cms_estimate_broadcasts_counters(spark):
     plan = _plan(spark, "text_cms_heavy_hitters")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_token_bloom_skipindex_prunes_partitions(spark, tmp_path):
+    """The Bloom sidecar must turn a rare-token search into a
+    partition-pruned scan (PartitionFilters with an IN-list smaller than
+    the table's day count) AND return exactly what the unindexed filter
+    returns — skipping may never lose rows."""
+    from pyspark.sql import functions as F
+
+    from klogs_spark.table import (
+        fulltext_token_search, read_logs, write_logs, write_token_bloom_index,
+    )
+    from klogs_spark.views import derive_logs_from_events
+
+    path = str(tmp_path / "logs")
+    write_logs(derive_logs_from_events(spark, "/root/testdata/sf0.001"), path)
+    write_token_bloom_index(spark, path)
+    all_days = read_logs(spark, path).select("date").distinct().count()
+
+    needle = "user=7"
+    hits = fulltext_token_search(spark, path, [needle])
+    jvm = spark._sc._jvm
+    plan = jvm.PythonSQLUtils.explainString(
+        hits._jdf.queryExecution(), "formatted"
+    )
+    pf_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "date" in pf_line and "IN" in pf_line.upper()
+
+    expected = sorted(
+        tuple(r)
+        for r in read_logs(spark, path)
+        .filter(F.array_contains(F.split("log", " "), needle))
+        .collect()
+    )
+    got = sorted(tuple(r) for r in hits.collect())
+    assert got == expected and got
+    # the candidate set must actually be smaller than the table
+    n_candidates = (
+        read_logs(spark, path)
+        .filter(F.array_contains(F.split("log", " "), needle))
+        .select("date").distinct().count()
+    )
+    assert n_candidates < all_days

@@ -279,3 +279,19 @@ def test_token_bloom_skipindex_prunes_partitions(spark, tmp_path):
         .select("date").distinct().count()
     )
     assert n_candidates < all_days
+
+
+def test_token_bloom_skipindex_absent_needle_empty(spark, tmp_path):
+    """A needle whose token appears nowhere must prune EVERY partition and
+    return an empty (but correctly-schemed) result."""
+    from klogs_spark.table import (
+        fulltext_token_search, write_logs, write_token_bloom_index,
+    )
+    from klogs_spark.views import derive_logs_from_events
+
+    path = str(tmp_path / "logs")
+    write_logs(derive_logs_from_events(spark, "/root/testdata/sf0.001"), path)
+    write_token_bloom_index(spark, path)
+    hits = fulltext_token_search(spark, path, ["user=nosuchuser"])
+    assert hits.count() == 0
+    assert "log" in hits.columns and "date" in hits.columns

@@ -217,6 +217,7 @@ def apply_retention(
     today = today or date.today()
     cutoff = today - timedelta(days=retention_days)
     dropped: list[str] = []
+    failed: list[str] = []
     fs, _, root = _hadoop_fs(spark, path)
     if not fs.exists(root):
         return dropped
@@ -230,8 +231,19 @@ def apply_retention(
         except ValueError:
             continue
         if part_date < cutoff:
-            fs.delete(status.getPath(), True)
-            dropped.append(name)
+            # FileSystem.delete reports failure by returning FALSE, not by
+            # raising (the S3A failure mode): a false here must not be
+            # reported as dropped. Attempt every expired partition, then
+            # surface the failures — the periodic TTL job retries next run.
+            if fs.delete(status.getPath(), True):
+                dropped.append(name)
+            else:
+                failed.append(name)
+    if failed:
+        raise IOError(
+            f"retention could not drop partitions {failed} under {path}; "
+            f"dropped so far: {dropped}"
+        )
     return dropped
 
 

@@ -2190,8 +2190,120 @@ FROM est
 
 
 # ---------------------------------------------------------------------------
-# count-min sketch heavy hitters
+# fixed-bin histogram quantiles (mergeable sketch vs exact)
 # ---------------------------------------------------------------------------
+HIST_BINS = 64
+HIST_QS = (0.5, 0.9, 0.99)
+
+
+def q_sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-quantile path vs ground truth: a fixed {HIST_BINS}-bin
+    equi-width histogram (one min/max pass + one keyed count — histograms
+    from different partitions/days merge by adding counts, unlike exact
+    percentile's full sort) estimates each quantile by linear interpolation
+    inside the covering bin; the exact percentile rides along in the same
+    row. Every number is deterministic double arithmetic shared with the
+    oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    vals = ev.select(F.col("value").alias("v"))
+    stats = vals.agg(
+        F.min("v").alias("vmin"), F.max("v").alias("vmax"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    w = (F.col("vmax") - F.col("vmin")) / HIST_BINS
+    binned = vals.crossJoin(F.broadcast(stats)).select(
+        F.least(
+            F.floor((F.col("v") - F.col("vmin")) / w).cast("int"),
+            F.lit(HIST_BINS - 1),
+        ).alias("bin")
+    )
+    hist = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("cnt"))
+    from pyspark.sql.window import Window
+
+    cum = hist.withColumn(
+        "cum", F.sum("cnt").over(Window.orderBy("bin"))
+    )
+    qs = spark.createDataFrame([(q,) for q in HIST_QS], "q double")
+    picked = (
+        cum.crossJoin(F.broadcast(qs))
+        .crossJoin(F.broadcast(stats))
+        .filter(F.col("cum") >= F.col("q") * F.col("n"))
+        .groupBy("q")
+        .agg(
+            F.min_by(
+                F.struct("bin", "cnt", "cum", "vmin", "vmax", "n"), F.col("bin")
+            ).alias("s")
+        )
+        .select("q", "s.*")
+    )
+    w2 = (F.col("vmax") - F.col("vmin")) / HIST_BINS
+    est = (
+        F.col("vmin")
+        + F.col("bin") * w2
+        + (F.col("q") * F.col("n") - (F.col("cum") - F.col("cnt")))
+        / F.col("cnt")
+        * w2
+    )
+    exact = ev.agg(
+        *[
+            F.round(F.expr(f"percentile(value, {q})"), 4).alias(f"e{i}")
+            for i, q in enumerate(HIST_QS)
+        ]
+    )
+    stacked = exact.select(
+        F.expr(
+            "stack({}, {}) as (q, exact_q)".format(
+                len(HIST_QS),
+                ", ".join(
+                    f"CAST({q} AS DOUBLE), e{i}" for i, q in enumerate(HIST_QS)
+                ),
+            )
+        )
+    )
+    return (
+        picked.select("q", F.round(est, 4).alias("est_q"))
+        .join(stacked, "q")
+        .select(
+            "q", "est_q", "exact_q",
+            F.round(F.abs(F.col("est_q") - F.col("exact_q")), 4).alias("abs_err"),
+        )
+    )
+
+
+SQL_SKETCH_HISTOGRAM_QUANTILES = f"""
+WITH v AS (SELECT value AS v FROM events),
+s AS (SELECT min(v) AS vmin, max(v) AS vmax, count(*) AS n FROM v),
+b AS (
+  SELECT least(CAST(floor((v - s.vmin) / ((s.vmax - s.vmin) / {HIST_BINS}))
+               AS INT), {HIST_BINS - 1}) AS bin
+  FROM v, s
+),
+h AS (SELECT bin, count(*) AS cnt FROM b GROUP BY bin),
+c AS (SELECT bin, cnt, sum(cnt) OVER (ORDER BY bin) AS cum FROM h),
+qs AS (SELECT unnest([{", ".join(f"CAST({q} AS DOUBLE)" for q in HIST_QS)}]) AS q),
+pick AS (
+  SELECT qs.q, c.bin, c.cnt, c.cum, s.vmin, s.vmax, s.n,
+         ROW_NUMBER() OVER (PARTITION BY qs.q ORDER BY c.bin) AS rn
+  FROM qs, c, s WHERE c.cum >= qs.q * s.n
+),
+est AS (
+  SELECT q,
+         round(vmin + bin * ((vmax - vmin) / {HIST_BINS})
+             + (q * n - (cum - cnt)) * 1.0 / cnt
+               * ((vmax - vmin) / {HIST_BINS}), 4) AS est_q
+  FROM pick WHERE rn = 1
+),
+ex AS (
+  {" UNION ALL ".join(
+      f"SELECT CAST({q} AS DOUBLE) AS q, "
+      f"round(percentile_cont({q}) WITHIN GROUP (ORDER BY v), 4) AS exact_q "
+      f"FROM v"
+      for q in HIST_QS)}
+)
+SELECT e.q, e.est_q, x.exact_q,
+       round(abs(e.est_q - x.exact_q), 4) AS abs_err
+FROM est e JOIN ex x ON e.q = x.q
+"""
 def q_text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch vs ground truth on the corpus's own heavy hitters:
     build the (depth x width) sketch over every token occurrence, then
@@ -2336,6 +2448,9 @@ SPECS = {
                                    "hashed-shingle fingerprints"),
     "text_tfidf_scores": QuerySpec(q_tfidf_scores, SQL_TFIDF_SCORES,
                                    "corpus-relative mean-idf rarity score"),
+    "sketch_histogram_quantiles": QuerySpec(
+        q_sketch_histogram_quantiles, SQL_SKETCH_HISTOGRAM_QUANTILES,
+        "mergeable 64-bin histogram quantile estimates vs exact percentiles"),
     "text_hll_distinct": QuerySpec(
         q_text_hll_distinct, SQL_TEXT_HLL_DISTINCT,
         "engine-exact HyperLogLog estimate vs exact distinct tokens"),

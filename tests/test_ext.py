@@ -514,3 +514,40 @@ def test_hll_estimate_within_rse_at_scale(spark):
     }
     full = {(r.idx, r.rho) for r in regs.collect()}
     assert merged == full
+
+
+def test_bloom_decontaminate_is_superset_of_exact(spark):
+    """Bloom semantics: flagged counts can only exceed the exact benchmark
+    n-gram matches (false positives allowed, false negatives never) — pinned
+    on a seeded random corpus that forces shared and disjoint shingles."""
+    import random
+
+    from klogs_spark.ext import text as tx
+
+    rnd = random.Random(99)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = [
+        (i, " ".join(rnd.choice(vocab) for _ in range(rnd.randint(3, 30))))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    bench = df.filter(F.col("doc_id") < 4)
+
+    def shingles(text, n=5):
+        toks = [t for t in text.split(" ") if t]
+        return {
+            " ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)
+        } if len(toks) >= n else set()
+
+    bench_sh = set().union(*(shingles(t) for _, t in docs[:4]))
+    out = {r.doc_id: (r.n_shingles, r.n_flagged)
+           for r in tx.bloom_decontaminate(df, bench, n=5).collect()}
+    for i, t in docs:
+        sh = shingles(t)
+        if not sh:
+            assert i not in out
+            continue
+        n_sh, n_fl = out[i]
+        exact = len(sh & bench_sh)
+        assert n_sh == len(sh)
+        assert exact <= n_fl <= n_sh      # FP-only, never FN

@@ -1919,6 +1919,98 @@ LIMIT 10
 """
 
 
+IVFPQ_NPROBE = 2
+IVFPQ_K = 5
+
+
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the composed billion-scale ANN layout (FAISS's default):
+    the k-means coarse quantizer bounds the CANDIDATE set to the
+    {IVFPQ_NPROBE} probed cells (corpus-size-independent scan, cells stored
+    bucketed by centroid_id at scale), and PQ codes score those candidates
+    via the broadcast ADC distance table ({sim.PQ_SUBSPACES} bytes/vector in
+    memory instead of {sim.EMB_DIM * 4}). Codebooks train on the full
+    corpus; only candidates are encoded/scored. The oracle composes the
+    same two CTE chains."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = sim.deterministic_centroids(emb, IVF_K)
+    cents = sim.kmeans_refine(
+        emb, seeds, iterations=IVF_REFINE_ITERS, round_decimals=IVF_ROUND
+    )
+    assigned = sim.ivf_assign(emb, cents)
+    qv = _query_vec(spark, sf_dir)
+    q = F.array(*[F.lit(float(x)) for x in qv])
+    probe_cells = [
+        r.centroid_id
+        for r in (
+            cents.select(
+                "centroid_id", dd.cosine_col(F.col("centroid"), q).alias("sim")
+            )
+            .orderBy(F.col("sim").desc(), F.col("centroid_id"))
+            .limit(IVFPQ_NPROBE)
+            .collect()
+        )
+    ]
+    cand_ids = assigned.filter(
+        F.col("centroid_id").isin(probe_cells)
+    ).select(F.col("id").alias("vec_id"))
+    emb_cands = emb.join(cand_ids, "vec_id")
+    cb = sim.pq_codebooks(emb, iterations=1)
+    query = emb.filter(F.col("vec_id") == 0)
+    return sim.pq_adc_topk(emb_cands, cb, query, k=IVFPQ_K)
+
+
+_IVFPQ_REFINE_CHAIN = ",\n".join(
+    f"{_assign_cte(f'iv_c{i}', f'iv_a{i + 1}')},\n"
+    f"{_refine_cte(f'iv_a{i + 1}', f'iv_c{i + 1}')}"
+    for i in range(IVF_REFINE_ITERS)
+)
+_IVFPQ_FINAL_C = f"iv_c{IVF_REFINE_ITERS}"
+
+SQL_ANN_IVFPQ_TOPK = f"""
+WITH {_PQ_BASE_CTE},
+c1 AS (
+  SELECT m, centroid_id, list(c ORDER BY pos) AS cv
+  FROM ({_PQ_MEANS}) GROUP BY m, centroid_id
+),
+iv_c0 AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < {IVF_K}),
+{_IVFPQ_REFINE_CHAIN},
+{_assign_cte(_IVFPQ_FINAL_C, 'iv_assigned')},
+qv AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+probe AS (
+  SELECT centroid_id FROM {_IVFPQ_FINAL_C} cents, qv
+  ORDER BY {_cos_sql('cents.cv', 'qv.qv')} DESC, centroid_id
+  LIMIT {IVFPQ_NPROBE}
+),
+cand AS (
+  SELECT id FROM iv_assigned
+  WHERE centroid_id IN (SELECT centroid_id FROM probe)
+),
+enc AS (
+  SELECT id, m, centroid_id AS code FROM (
+    SELECT sv.id, sv.m, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY sv.id, sv.m
+             ORDER BY {_l2_sql('sv.sv', 'c.cv')} ASC, c.centroid_id
+           ) AS rn
+    FROM sv JOIN c1 c ON sv.m = c.m
+    WHERE sv.id IN (SELECT id FROM cand)
+  ) WHERE rn = 1
+),
+q AS (SELECT m, sv AS qsv FROM sv WHERE id = 0),
+dt AS (
+  SELECT c1.m, c1.centroid_id AS code,
+         CAST(floor({_l2_sql('c1.cv', 'q.qsv')} * 1000000) AS BIGINT) AS dmic
+  FROM c1 JOIN q ON c1.m = q.m
+)
+SELECT enc.id, CAST(sum(dt.dmic) AS BIGINT) AS adist_micros
+FROM enc JOIN dt ON enc.m = dt.m AND enc.code = dt.code
+GROUP BY enc.id
+ORDER BY adist_micros, id
+LIMIT {IVFPQ_K}
+"""
+
+
 # ---------------------------------------------------------------------------
 # semantic dedup (SemDeDup), DSIR importance weights, Bloom decontamination
 # ---------------------------------------------------------------------------
@@ -2522,6 +2614,10 @@ SPECS = {
     "ann_pq_topk": QuerySpec(
         q_ann_pq_topk, SQL_ANN_PQ_TOPK,
         "PQ ADC top-k: nibble codes + broadcast distance lookup table",
+    ),
+    "ann_ivfpq_topk": QuerySpec(
+        q_ann_ivfpq_topk, SQL_ANN_IVFPQ_TOPK,
+        "IVF-PQ: probed coarse cells bound candidates, PQ codes score them",
     ),
     "text_top_terms_per_source": QuerySpec(
         q_top_terms_per_source, SQL_TOP_TERMS_PER_SOURCE,

@@ -1072,6 +1072,83 @@ GROUP BY 1
 """
 
 
+EMA_WINDOW_DAYS = 16  # dyadic half-life decay: weight 2^(15-j) for lag j
+
+
+def q_revenue_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily revenue — the
+    time-series smoothing shape the frame windows (ma7) don't cover.
+
+    Cross-engine float discipline, one step further than the cents trick:
+    with alpha = 0.5 the decay weights are exact powers of two, so the
+    whole EMA is INTEGER arithmetic end-to-end — rev_cents * 2^(15-j)
+    summed as bigints (order-independent, no float sum drift), and the
+    normalized value is emitted via integer division (millicents). A
+    general-alpha EMA would be an order-sensitive double sum; the dyadic
+    variant is the hash-checkable one.
+
+    Scale shape: the range self-join is |days| x window — bounded by the
+    calendar, not the order count (same argument as the frame windows)."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.round(F.sum("o_totalprice") * 100, 0).cast("long")
+            .alias("rev_cents")
+        )
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    j = F.datediff(F.col("a.day"), F.col("b.day"))
+    weight = F.pow(F.lit(2.0), (EMA_WINDOW_DAYS - 1) - j).cast("long")
+    return (
+        a.join(
+            b,
+            (F.col("b.day") >= F.date_sub(F.col("a.day"), EMA_WINDOW_DAYS - 1))
+            & (F.col("b.day") <= F.col("a.day")),
+        )
+        .groupBy(F.col("a.day").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum(F.col("b.rev_cents") * weight).alias("ema_scaled"),
+            F.sum(weight).alias("wsum"),
+        )
+        .select(
+            "day",
+            "n_days",
+            "ema_scaled",
+            F.expr("CAST((ema_scaled * 1000) div wsum AS BIGINT)").alias(
+                "ema_millicents"
+            ),
+        )
+    )
+
+
+SQL_REVENUE_EMA = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(round(sum(o_totalprice) * 100, 0) AS BIGINT) AS rev_cents
+  FROM orders
+  GROUP BY 1
+),
+w AS (
+  SELECT a.day,
+         CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(b.rev_cents *
+              CAST(power(2, {EMA_WINDOW_DAYS - 1} - (a.day - b.day)) AS BIGINT))
+           AS BIGINT) AS ema_scaled,
+         CAST(sum(CAST(power(2, {EMA_WINDOW_DAYS - 1} - (a.day - b.day))
+              AS BIGINT)) AS BIGINT) AS wsum
+  FROM daily a JOIN daily b
+    ON b.day >= a.day - {EMA_WINDOW_DAYS - 1} AND b.day <= a.day
+  GROUP BY a.day
+)
+SELECT day, n_days, ema_scaled,
+       CAST(ema_scaled * 1000 // wsum AS BIGINT) AS ema_millicents
+FROM w
+"""
+
+
 def q_daily_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-based windows (ROWS BETWEEN) — 7-day moving average and running
     cumulative total of daily order revenue. The rank/lag queries cover
@@ -1290,6 +1367,10 @@ SPECS = {
         q_daily_revenue_trend, SQL_DAILY_REVENUE_TREND,
         "ROWS-frame windows: 7-day moving average + cumulative sum in "
         "exact integer cents"),
+    "window_revenue_ema": QuerySpec(
+        q_revenue_ema, SQL_REVENUE_EMA,
+        "dyadic-weight EMA of daily revenue — integer arithmetic "
+        "end-to-end"),
     "window_balance_quartiles": QuerySpec(
         q_customer_balance_quartiles, SQL_BALANCE_QUARTILES,
         "ntile quartiles with deterministic tiebreak + exact-cents "

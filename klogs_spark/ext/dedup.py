@@ -145,6 +145,38 @@ def jaccard_pairs(shingled: DataFrame, min_jaccard: float,
     )
 
 
+def containment_pairs(shingled: DataFrame, min_containment: float) -> DataFrame:
+    """Asymmetric near-dup: containment(A in B) = |A∩B| / |A| — the measure
+    that catches a document EMBEDDED in a longer one, which Jaccard dilutes
+    toward zero as the length ratio grows (Broder's resemblance vs
+    containment distinction). Directional: one row per ordered pair with
+    id_a's shingles contained in id_b at >= min_containment.
+
+    Same join shape as :func:`jaccard_pairs` (shingle equi-join, never a
+    cross join); at scale the candidate restriction applies identically.
+    Returns (id_a, id_b, containment) with id_a != id_b.
+    """
+    sizes = shingled.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = shingled.alias("a")
+    b = shingled.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.id") != F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    return (
+        inter.join(sa, "id_a")
+        .withColumn(
+            "containment",
+            F.round(F.col("n_inter") / F.col("sz_a"), 6),
+        )
+        .filter(F.col("containment") >= min_containment)
+        .select("id_a", "id_b", "containment")
+    )
+
+
 # --- MinHash + LSH ----------------------------------------------------------
 def minhash_signatures(df: DataFrame, text: str = "text",
                        id_col: str = "doc_id", k: int = NUM_PERM) -> DataFrame:

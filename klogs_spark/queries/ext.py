@@ -241,6 +241,34 @@ WHERE round(i.n * 1.0 / (sa.sz + sb.sz - i.n), 6) >= {NGRAM_JACCARD}
 """
 
 
+NGRAM_CONTAINMENT = 0.3
+
+
+def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment pairs (Broder): |A∩B| / |A| — flags a document
+    embedded in a longer one, which symmetric Jaccard dilutes toward zero.
+    Directional output; same shingle equi-join shape as the Jaccard query."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.containment_pairs(
+        dd.doc_shingles(docs), min_containment=NGRAM_CONTAINMENT
+    )
+
+
+SQL_NGRAM_CONTAINMENT = f"""
+WITH {SHINGLES_CTE},
+sizes AS (SELECT id, count(*) AS sz FROM hs GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id <> b.id
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b,
+       round(i.n * 1.0 / sa.sz, 6) AS containment
+FROM inter i JOIN sizes sa ON i.id_a = sa.id
+WHERE round(i.n * 1.0 / sa.sz, 6) >= {NGRAM_CONTAINMENT}
+"""
+
+
 # ---------------------------------------------------------------------------
 # dedup: pairs -> clusters (connected components)
 # ---------------------------------------------------------------------------
@@ -2461,6 +2489,9 @@ SPECS = {
                                    "MinHash->LSH bands->Jaccard verify"),
     "dedup_ngram_jaccard": QuerySpec(q_ngram_jaccard, SQL_NGRAM_JACCARD,
                                      "exact 3-gram Jaccard pairs"),
+    "dedup_ngram_containment": QuerySpec(
+        q_ngram_containment, SQL_NGRAM_CONTAINMENT,
+        "asymmetric containment pairs (doc-embedded-in-doc detection)"),
     "dedup_paragraph_exact": QuerySpec(q_paragraph_exact, SQL_PARAGRAPH_EXACT,
                                        "cross-doc duplicated paragraphs "
                                        "(sub-document exact dedup)"),

@@ -551,3 +551,24 @@ def test_bloom_decontaminate_is_superset_of_exact(spark):
         exact = len(sh & bench_sh)
         assert n_sh == len(sh)
         assert exact <= n_fl <= n_sh      # FP-only, never FN
+
+
+def test_containment_catches_embedded_doc_jaccard_misses(spark):
+    from klogs_spark.ext.dedup import containment_pairs, doc_shingles, jaccard_pairs
+
+    short = "alpha beta gamma delta epsilon"
+    long = short + " " + " ".join(f"filler{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(0, short), (1, long), (2, "totally unrelated words here okay")],
+        "doc_id long, text string",
+    )
+    sh = doc_shingles(docs)
+    cont = {(r.id_a, r.id_b): r.containment
+            for r in containment_pairs(sh, min_containment=0.9).collect()}
+    # every shingle of the short doc appears in the long one
+    assert cont[(0, 1)] == 1.0
+    assert (1, 0) not in cont          # directional: long isn't in short
+    # symmetric Jaccard dilutes the same pair below any useful threshold
+    jac = {(r.id_a, r.id_b): r.jaccard
+           for r in jaccard_pairs(sh, min_jaccard=0.0).collect()}
+    assert jac[(0, 1)] < 0.1

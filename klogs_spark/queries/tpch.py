@@ -1149,6 +1149,51 @@ FROM w
 """
 
 
+def q_rolling_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day p95 of daily order count — the rolling-QUANTILE shape:
+    frame windows give rolling sums/averages, but a windowed percentile has
+    no native frame form, so it plans as a bounded calendar-range self-join
+    feeding the exact percentile aggregate (cross-engine percentile parity
+    is already pinned by the logs percentile queries). |days| x 7 rows —
+    bounded by the calendar, not the order count."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("b.day") >= F.date_sub(F.col("a.day"), 6))
+            & (F.col("b.day") <= F.col("a.day")),
+        )
+        .groupBy(F.col("a.day").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(F.expr("percentile(b.n_orders, 0.95)"), 4).alias(
+                "p95_orders"
+            ),
+            F.max(F.col("b.n_orders")).alias("max_orders"),
+        )
+    )
+
+
+SQL_ROLLING_P95 = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT a.day,
+       CAST(count(*) AS BIGINT) AS n_days,
+       round(percentile_cont(0.95) WITHIN GROUP (ORDER BY b.n_orders), 4)
+         AS p95_orders,
+       max(b.n_orders) AS max_orders
+FROM daily a JOIN daily b ON b.day >= a.day - 6 AND b.day <= a.day
+GROUP BY a.day
+"""
+
+
 def q_daily_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-based windows (ROWS BETWEEN) — 7-day moving average and running
     cumulative total of daily order revenue. The rank/lag queries cover
@@ -1371,6 +1416,10 @@ SPECS = {
         q_revenue_ema, SQL_REVENUE_EMA,
         "dyadic-weight EMA of daily revenue — integer arithmetic "
         "end-to-end"),
+    "window_rolling_p95": QuerySpec(
+        q_rolling_p95, SQL_ROLLING_P95,
+        "rolling 7-day p95 of daily order counts (calendar-bounded "
+        "range self-join + exact percentile)"),
     "window_balance_quartiles": QuerySpec(
         q_customer_balance_quartiles, SQL_BALANCE_QUARTILES,
         "ntile quartiles with deterministic tiebreak + exact-cents "

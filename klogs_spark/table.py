@@ -269,16 +269,28 @@ def write_token_bloom_index(
     path: str,
     m: int = TOKEN_BLOOM_M,
     k: int = TOKEN_BLOOM_K,
+    days: list[str] | None = None,
 ) -> None:
-    """Build/refresh the per-day token Bloom sidecar for a written table.
+    """Build or incrementally refresh the per-day token Bloom sidecar.
 
     One pass over `log`: explode whitespace tokens, compute each token's k
     double-hashed bit positions (the same Kirsch-Mitzenmacher scheme as
     ext.text.bloom_decontaminate), distinct per day. Map-side combines make
-    the shuffled data at most m rows per (day, task)."""
+    the shuffled data at most m rows per (day, task).
+
+    The sidecar is itself partitioned by day and written with DYNAMIC
+    partition overwrite, so ``days=[...]`` recomputes only those days'
+    filters and leaves every other day's sidecar files untouched — the
+    incremental-maintenance path a daily ingest runs after appending to
+    today's partition. ``days=None`` rebuilds everything (still via dynamic
+    overwrite: only days present in the table are rewritten)."""
     from .ext.text import _bloom_pos
 
     logs = spark.read.parquet(path)
+    if days is not None:
+        logs = logs.filter(
+            F.col(PARTITION_COLUMN).isin([str(d) for d in days])
+        )
     toks = logs.select(
         F.col(PARTITION_COLUMN),
         F.explode(
@@ -294,7 +306,12 @@ def write_token_bloom_index(
         )
         .distinct()
     )
-    pos.write.mode("overwrite").parquet(f"{path}/{TOKEN_BLOOM_DIR}")
+    (
+        pos.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(PARTITION_COLUMN)
+        .parquet(f"{path}/{TOKEN_BLOOM_DIR}")
+    )
 
 
 def _py_bloom_positions(token: str, m: int, k: int) -> list[int]:

@@ -295,3 +295,52 @@ def test_token_bloom_skipindex_absent_needle_empty(spark, tmp_path):
     hits = fulltext_token_search(spark, path, ["user=nosuchuser"])
     assert hits.count() == 0
     assert "log" in hits.columns and "date" in hits.columns
+
+
+def test_token_bloom_index_incremental_refresh(spark, tmp_path):
+    """Appending a day and refreshing ONLY that day's sidecar partition must
+    leave other days' sidecar files untouched (dynamic partition overwrite)
+    while the search sees tokens from both old and new days."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from klogs_spark.table import (
+        TOKEN_BLOOM_DIR, fulltext_token_search, write_logs,
+        write_token_bloom_index,
+    )
+    from klogs_spark.views import derive_logs_from_events
+
+    path = str(tmp_path / "logs")
+    logs = derive_logs_from_events(spark, "/root/testdata/sf0.001")
+    write_logs(logs, path)
+    write_token_bloom_index(spark, path)
+
+    def sidecar_files():
+        out = {}
+        root = f"{path}/{TOKEN_BLOOM_DIR}"
+        for dirpath, _, files in os.walk(root):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(dirpath, f)
+                    out[p] = os.path.getmtime(p)
+        return out
+
+    before = sidecar_files()
+    # append a synthetic far-future day carrying a unique token
+    new_day = logs.limit(5).withColumn(
+        "timestamp", F.lit("2031-06-01 12:00:00").cast("timestamp")
+    ).withColumn("log", F.lit("uniquetoken31 appended line"))
+    write_logs(new_day, path)
+    write_token_bloom_index(spark, path, days=["2031-06-01"])
+
+    after = sidecar_files()
+    unchanged = {p: t for p, t in before.items() if "date=2031-06-01" not in p}
+    for p, t in unchanged.items():
+        assert p in after and after[p] == t, f"sidecar rewritten: {p}"
+    assert any("date=2031-06-01" in p for p in after)
+
+    hits = fulltext_token_search(spark, path, ["uniquetoken31"])
+    assert hits.count() == 5
+    # old-day tokens still found through the untouched sidecar partitions
+    assert fulltext_token_search(spark, path, ["user=7"]).count() > 0

@@ -241,6 +241,100 @@ WHERE round(i.n * 1.0 / (sa.sz + sb.sz - i.n), 6) >= {NGRAM_JACCARD}
 """
 
 
+INCR_SPLIT = 400  # doc_id < 400 = historical corpus, >= 400 = new batch
+
+
+INCR_FP_TOKENS = 10  # prefix-fingerprint width
+
+
+def _prefix_fp(text: Column) -> Column:
+    """Coarse first-stage fingerprint: md5 of the first {INCR_FP_TOKENS}
+    whitespace tokens — the cheap prefix hash web-corpus pipelines dedup on
+    before anything pairwise (near-identical docs share prefixes even when
+    trailing content differs)."""
+    return F.md5(
+        F.concat_ws(
+            " ", F.slice(dd.tokens_col(text), 1, INCR_FP_TOKENS)
+        )
+    )
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup — the daily path: a NEW batch is deduped
+    against the HISTORICAL corpus's fingerprint store (anti-join on the
+    prefix fingerprint; at scale that store is just the fingerprint column
+    of everything ingested so far, bucketed on the hash) plus within-batch
+    dedup (min-id survivor). Output: per-source new-batch totals,
+    survivors, drops against history, and drops within the batch."""
+    docs = load_table(spark, sf_dir, "documents")
+    hist = docs.filter(F.col("doc_id") < INCR_SPLIT)
+    batch = docs.filter(F.col("doc_id") >= INCR_SPLIT)
+    hist_hashes = hist.select(_prefix_fp(F.col("text")).alias("h")).distinct()
+    hashed = batch.select(
+        "doc_id", "source", _prefix_fp(F.col("text")).alias("h")
+    )
+    fresh = hashed.join(F.broadcast(hist_hashes), "h", "left_anti")
+    survivors = fresh.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+    kept = fresh.join(survivors, ["h", "doc_id"])
+    return (
+        hashed.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_batch"))
+        .join(
+            kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept")),
+            "source",
+            "left",
+        )
+        .join(
+            fresh.groupBy("source").agg(F.count(F.lit(1)).alias("n_fresh")),
+            "source",
+            "left",
+        )
+        .select(
+            "source",
+            "n_batch",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            (F.col("n_batch") - F.coalesce("n_fresh", F.lit(0))).alias(
+                "n_dropped_vs_history"
+            ),
+            (F.coalesce("n_fresh", F.lit(0)) - F.coalesce("n_kept", F.lit(0)))
+            .alias("n_dropped_in_batch"),
+        )
+    )
+
+
+SQL_DEDUP_INCREMENTAL = f"""
+WITH hist AS (
+  SELECT DISTINCT md5(array_to_string(list_filter(string_split(text, ' '), t -> t <> '')[1:10], ' ')) AS h
+  FROM documents WHERE doc_id < {INCR_SPLIT}
+),
+batch AS (
+  SELECT doc_id, source, md5(array_to_string(list_filter(string_split(text, ' '), t -> t <> '')[1:10], ' ')) AS h
+  FROM documents WHERE doc_id >= {INCR_SPLIT}
+),
+fresh AS (
+  SELECT b.* FROM batch b WHERE b.h NOT IN (SELECT h FROM hist)
+),
+kept AS (
+  SELECT f.* FROM fresh f
+  JOIN (SELECT h, min(doc_id) AS doc_id FROM fresh GROUP BY h) s
+    ON f.h = s.h AND f.doc_id = s.doc_id
+)
+SELECT b.source,
+       CAST(count(*) AS BIGINT) AS n_batch,
+       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(count(*) - coalesce(f.n_fresh, 0) AS BIGINT)
+         AS n_dropped_vs_history,
+       CAST(coalesce(f.n_fresh, 0) - coalesce(k.n_kept, 0) AS BIGINT)
+         AS n_dropped_in_batch
+FROM batch b
+LEFT JOIN (SELECT source, count(*) AS n_kept FROM kept GROUP BY source) k
+  ON b.source = k.source
+LEFT JOIN (SELECT source, count(*) AS n_fresh FROM fresh GROUP BY source) f
+  ON b.source = f.source
+GROUP BY b.source, k.n_kept, f.n_fresh
+"""
+
+
 NGRAM_CONTAINMENT = 0.3
 
 
@@ -2492,6 +2586,9 @@ SPECS = {
     "dedup_ngram_containment": QuerySpec(
         q_ngram_containment, SQL_NGRAM_CONTAINMENT,
         "asymmetric containment pairs (doc-embedded-in-doc detection)"),
+    "dedup_incremental": QuerySpec(
+        q_dedup_incremental, SQL_DEDUP_INCREMENTAL,
+        "new batch vs historical fingerprint store + within-batch dedup"),
     "dedup_paragraph_exact": QuerySpec(q_paragraph_exact, SQL_PARAGRAPH_EXACT,
                                        "cross-doc duplicated paragraphs "
                                        "(sub-document exact dedup)"),

@@ -358,3 +358,26 @@ def fulltext_token_search(
             F.array_contains(F.split(F.col("log"), " "), t)
         )
     return out
+
+
+def indexed_logs_sink(path: str, m: int = TOKEN_BLOOM_M, k: int = TOKEN_BLOOM_K):
+    """foreachBatch sink: append the batch to the logs table AND refresh the
+    token-Bloom sidecar for exactly the days the batch touched — the
+    streaming-ingest integration of the skip index. Day discovery is one
+    distinct over the batch's dates (micro-batch-sized); the refresh is the
+    dynamic-partition-overwrite incremental path, so historical days' sidecar
+    files are never rewritten. Composes with klogs_spark.stream's pipeline
+    via its ``sink`` parameter."""
+
+    def sink_fn(batch: DataFrame, batch_id: int) -> None:
+        write_logs(batch, path, mode="append")
+        days = [
+            str(r[0])
+            for r in batch.select(
+                F.to_date(F.col("timestamp")).alias("d")
+            ).distinct().collect()
+        ]
+        if days:
+            write_token_bloom_index(batch.sparkSession, path, m=m, k=k, days=days)
+
+    return sink_fn

@@ -297,3 +297,48 @@ def test_at_least_once_on_sink_failure(spark, raw_dir, tmp_path):
     run_ingest_once(read_json_lines_stream(spark, raw_dir), flaky_sink,
                     checkpoint_dir=ckpt)
     assert read_logs(spark, out).count() == 20
+
+
+def test_indexed_logs_sink_maintains_bloom_sidecar(spark, tmp_path):
+    """The streaming sink must append the batch AND refresh only that
+    batch's days in the Bloom sidecar — two foreachBatch-shaped calls with
+    different days leave the first day's sidecar files untouched while
+    searches see tokens from both."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from klogs_spark.table import (
+        TOKEN_BLOOM_DIR, fulltext_token_search, indexed_logs_sink,
+    )
+    from klogs_spark.views import derive_logs_from_events
+
+    path = str(tmp_path / "logs")
+    sink = indexed_logs_sink(path)
+    logs = derive_logs_from_events(spark, "/root/testdata/sf0.001")
+    day1 = logs.filter(F.to_date("timestamp") == "2024-01-10")
+    day2 = (
+        logs.filter(F.to_date("timestamp") == "2024-01-11")
+        .withColumn("log", F.lit("streamtoken99 injected"))
+    )
+    sink(day1, 0)
+
+    def sidecar_files():
+        out = {}
+        for dirpath, _, files in os.walk(f"{path}/{TOKEN_BLOOM_DIR}"):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(dirpath, f)
+                    out[p] = os.path.getmtime(p)
+        return out
+
+    before = sidecar_files()
+    assert before  # day-1 sidecar written
+    sink(day2, 1)
+    after = sidecar_files()
+    for p, t in before.items():
+        if "date=2024-01-11" not in p:
+            assert after.get(p) == t, f"day-1 sidecar rewritten: {p}"
+    assert fulltext_token_search(spark, path, ["streamtoken99"]).count() \
+        == day2.count()
+    assert fulltext_token_search(spark, path, ["user=7"]).count() > 0

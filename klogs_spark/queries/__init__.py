@@ -183,6 +183,24 @@ DRIVER_VERIFIED: dict = {
     "logs_template_clusters": "eb939ab8eb20",
     "window_balance_quartiles": "94f1a98578fb",
     "window_daily_revenue_trend": "b998adee1bd7",
+    # round-7 green checks (CORRECTNESS_r07.json), hashed at the r7 tree
+    "ann_ivfpq_topk": "08ac55b380f4",
+    "ann_pq_codebooks": "6eb25a379f92",
+    "ann_pq_topk": "afc1b89b44e1",
+    "dedup_incremental": "f980450120e7",
+    "dedup_ngram_containment": "4b7b29e7f069",
+    "dedup_semantic": "1f6f1d15a2d6",
+    "multimodal_frame_sample": "8fb1e20b5103",
+    "pipeline_dsir_select": "f0d28fda7428",
+    "sample_dsir_weights": "c921986f43af",
+    "sketch_histogram_quantiles": "23654e349d63",
+    "stream_interval_join": "e780e7d2f09d",
+    "table_fulltext_skipindex": "7c2177eb074f",
+    "text_bloom_decontaminate": "f76ed7573dad",
+    "text_cms_heavy_hitters": "66e1b44c852b",
+    "text_hll_distinct": "a0b849fc7a90",
+    "window_revenue_ema": "5ea38f942928",
+    "window_rolling_p95": "530f84f5790a",
 }
 
 

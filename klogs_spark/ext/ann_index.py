@@ -1,0 +1,174 @@
+"""Persisted IVF-PQ ANN index — build once, search many.
+
+The round-7 ANN queries (queries/ext.py q_ann_ivfpq_topk) rebuild the coarse
+quantizer and PQ codebooks inside every query: correct, but at 100 TB the
+index build is a training job, not a query step. This module splits the two
+the way FAISS / ScaNN deployments do:
+
+``build_ivfpq_index``
+    one batch job over the corpus that writes a parquet sidecar:
+
+    ``{path}/centroids``   (centroid_id, centroid)        — IVF coarse cells
+    ``{path}/codebooks``   (m, centroid_id, cv)           — per-subspace PQ
+    ``{path}/codes``       (id, m, code) PARTITIONED BY centroid_id
+
+    ``codes`` is partitioned by the IVF cell, so a probe of ``n_probe``
+    cells is a partition-pruned read — the scanned bytes are proportional
+    to the probed cells, not the corpus (the on-disk twin of the in-memory
+    inverted lists). Per vector the index stores M small ints (the PQ
+    codes) instead of the raw floats: the 100 TB corpus' raw embeddings
+    never need to be read again at search time.
+
+``ivfpq_search``
+    the query step: rank centroids against the query (a k-row read —
+    manifest-sized, same plan-time role as the token-Bloom skip index in
+    table.fulltext_token_search), read ONLY the probed ``codes``
+    partitions, score them via the broadcast ADC distance table, top-k.
+    The physical plan contains no k-means, no codebook training, and no
+    scan of the embeddings table — tests/test_plans.py asserts this.
+
+Numeric parity with the in-query implementation (and therefore with the
+DuckDB oracle): centroid components are Lloyd-refined with per-round
+rounding (similarity.kmeans_refine) and parquet round-trips doubles
+bit-exactly, so searching the stored index reproduces the in-query
+q_ann_ivfpq_topk result hash-identically.
+
+Reference parity note: the reference engine (kobsio/klogs) has no ANN
+surface at all — this is EXT scope for the training-data pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import similarity as sim
+
+ANN_INDEX_VERSION = 1
+
+
+def build_ivfpq_index(
+    emb: DataFrame,
+    path: str,
+    ivf_k: int = 16,
+    refine_iters: int = 2,
+    ivf_round: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = sim.PQ_SUBSPACES,
+    dim: int = sim.EMB_DIM,
+    pq_k: int = sim.PQ_CODEBOOK_K,
+    pq_iters: int = 1,
+) -> None:
+    """Train and persist the IVF-PQ index for ``emb`` under ``path``.
+
+    One pass each for the coarse quantizer, the PQ codebooks, and the coded
+    inverted lists. The centroids/codebooks are written FIRST and read back
+    for the assignment/encoding passes, so the (expensive) Lloyd lineage is
+    materialized exactly once and the stored bytes — not a re-execution —
+    define all downstream math. All intermediate ``.cache()`` frames are
+    unpersisted before return.
+    """
+    spark = emb.sparkSession
+    seeds = sim.deterministic_centroids(emb, ivf_k, id_col, vec_col)
+    cents = sim.kmeans_refine(
+        emb, seeds, iterations=refine_iters,
+        id_col=id_col, vec_col=vec_col, round_decimals=ivf_round,
+    )
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+    cents.unpersist()
+    cents_stored = spark.read.parquet(f"{path}/centroids")
+
+    cb = sim.pq_codebooks(
+        emb, k=pq_k, iterations=pq_iters,
+        id_col=id_col, vec_col=vec_col, m=m, dim=dim,
+    )
+    cb.write.mode("overwrite").parquet(f"{path}/codebooks")
+    cb.unpersist()
+    cb_stored = spark.read.parquet(f"{path}/codebooks")
+
+    assigned = sim.ivf_assign(emb, cents_stored, id_col, vec_col).select(
+        "id", "centroid_id"
+    )
+    codes = sim.pq_encode(emb, cb_stored, id_col, vec_col, m, dim)
+    (
+        codes.join(assigned, "id")
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(f"{path}/codes")
+    )
+
+
+def probe_cells(
+    spark: SparkSession, path: str, query_vec: list[float], n_probe: int
+) -> list[int]:
+    """Rank the stored centroids against the query, return the ``n_probe``
+    nearest cell ids. The centroids table is k rows — this read is
+    manifest-sized and plays the same plan-time role as a skip-index
+    lookup (ties break to the lower centroid_id, matching the oracle)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    from .dedup import cosine_col
+
+    return [
+        r.centroid_id
+        for r in (
+            spark.read.parquet(f"{path}/centroids")
+            .select(
+                "centroid_id", cosine_col(F.col("centroid"), q).alias("s")
+            )
+            .orderBy(F.col("s").desc(), F.col("centroid_id"))
+            .limit(n_probe)
+            .collect()
+        )
+    ]
+
+
+def ivfpq_search(
+    spark: SparkSession,
+    path: str,
+    query_vec: list[float],
+    k: int = 5,
+    n_probe: int = 2,
+    m: int = sim.PQ_SUBSPACES,
+    dim: int = sim.EMB_DIM,
+) -> DataFrame:
+    """ADC top-k over the prebuilt index — no training, no embeddings scan.
+
+    Reads: centroids (k rows, probe ranking), codebooks (m*k rows, the
+    broadcast distance table), and ONLY the probed ``codes`` partitions
+    (partition-pruned: ``PartitionFilters: [centroid_id IN ...]`` in the
+    plan). Distances enter the sum as integer micro-units exactly as
+    similarity.pq_adc_topk, so results hash-match the in-query path.
+    Returns (id, adist_micros) ascending, ties by id.
+    """
+    cells = probe_cells(spark, path, query_vec, n_probe)
+    per = dim // m
+    qsub = F.array(
+        *[
+            F.array(*[F.lit(float(x)) for x in query_vec[j * per:(j + 1) * per]])
+            for j in range(m)
+        ]
+    )
+    cb = spark.read.parquet(f"{path}/codebooks")
+    dist_table = F.broadcast(
+        cb.select(
+            "m",
+            F.col("centroid_id").alias("code"),
+            F.floor(
+                sim.l2_col(F.col("cv"), F.element_at(qsub, F.col("m") + 1))
+                * 1000000
+            )
+            .cast("long")
+            .alias("dmic"),
+        )
+    )
+    codes = spark.read.parquet(f"{path}/codes").filter(
+        F.col("centroid_id").isin([int(c) for c in cells])
+    )
+    return (
+        codes.join(dist_table, ["m", "code"])
+        .groupBy("id")
+        .agg(F.sum("dmic").alias("adist_micros"))
+        .orderBy("adist_micros", "id")
+        .limit(k)
+    )

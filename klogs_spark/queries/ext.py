@@ -2133,6 +2133,70 @@ LIMIT {IVFPQ_K}
 """
 
 
+def _ivfpq_index_dir(sf_dir: str) -> str:
+    """Deterministic on-disk location for the persisted IVF-PQ index of a
+    given corpus: keyed by corpus path + every training parameter + the
+    index format version, so a parameter or format change never reads a
+    stale index."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..ext import ann_index
+
+    key = hashlib.md5(
+        "|".join(
+            str(x)
+            for x in (
+                os.path.abspath(sf_dir), ann_index.ANN_INDEX_VERSION,
+                IVF_K, IVF_REFINE_ITERS, IVF_ROUND,
+                sim.PQ_SUBSPACES, sim.PQ_CODEBOOK_K, sim.PQ_ROUND,
+            )
+        ).encode()
+    ).hexdigest()[:16]
+    return os.path.join(tempfile.gettempdir(), "klogs_ann_index", key)
+
+
+def q_ann_ivfpq_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search against a PERSISTED index (ext/ann_index.py): the
+    centroids, codebooks, and cell-partitioned PQ codes are a parquet
+    sidecar built ONCE (first call trains and writes; an `_SUCCESS`-marked
+    index is reused), and the query step only reads it — probe ranking on
+    the k-row centroid table, broadcast ADC distance table from the m*k-row
+    codebooks, and a partition-pruned read of the probed code cells. The
+    returned plan contains no k-means, no codebook training, and no scan
+    of the embeddings table (asserted in tests/test_plans.py). Same math
+    as q_ann_ivfpq_topk, so the same oracle verifies it hash-identically.
+
+    At 100 TB this split is the difference between a training job that
+    runs once per corpus build and a search that reads kilobytes of
+    metadata plus the probed cells' codes."""
+    import os
+
+    from ..ext import ann_index
+
+    path = _ivfpq_index_dir(sf_dir)
+    if not os.path.exists(os.path.join(path, "codes", "_SUCCESS")):
+        emb = load_table(spark, sf_dir, "embeddings")
+        tmp = f"{path}.build{os.getpid()}"
+        ann_index.build_ivfpq_index(
+            emb, tmp, ivf_k=IVF_K, refine_iters=IVF_REFINE_ITERS,
+            ivf_round=IVF_ROUND,
+        )
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        try:
+            os.replace(tmp, path)
+        except OSError:
+            # concurrent builder won the rename; both indexes are identical
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    qv = _query_vec(spark, sf_dir)
+    return ann_index.ivfpq_search(
+        spark, path, qv, k=IVFPQ_K, n_probe=IVFPQ_NPROBE,
+    )
+
+
 # ---------------------------------------------------------------------------
 # semantic dedup (SemDeDup), DSIR importance weights, Bloom decontamination
 # ---------------------------------------------------------------------------
@@ -2746,6 +2810,11 @@ SPECS = {
     "ann_ivfpq_topk": QuerySpec(
         q_ann_ivfpq_topk, SQL_ANN_IVFPQ_TOPK,
         "IVF-PQ: probed coarse cells bound candidates, PQ codes score them",
+    ),
+    "ann_ivfpq_prebuilt": QuerySpec(
+        q_ann_ivfpq_prebuilt, SQL_ANN_IVFPQ_TOPK,
+        "IVF-PQ search over the PERSISTED parquet index (ext/ann_index): "
+        "partition-pruned cell reads, no training in the query plan",
     ),
     "text_top_terms_per_source": QuerySpec(
         q_top_terms_per_source, SQL_TOP_TERMS_PER_SOURCE,

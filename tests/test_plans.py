@@ -230,6 +230,25 @@ def test_pq_adc_broadcasts_distance_table(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_ann_prebuilt_search_plan_has_no_training(spark):
+    """ann_ivfpq_prebuilt's returned plan must be a pure index READ: only
+    the persisted sidecar (codes partition-pruned to the probed cells,
+    codebooks broadcast as the ADC table) — no k-means refinement, no
+    codebook training, and no scan of the embeddings table. This is the
+    query-time contract of the build/search split."""
+    plan = _plan(spark, "ann_ivfpq_prebuilt")
+    assert "klogs_ann_index" in plan                      # reads the sidecar
+    assert "embeddings" not in plan                       # never the corpus
+    assert "PartitionFilters: [centroid_id" in plan       # probed cells only
+    assert "BroadcastHashJoin" in plan                    # ADC dist table
+    assert "TakeOrderedAndProject" in plan
+    # Lloyd/codebook machinery (posexplode + keyed means) must be absent
+    assert "posexplode" not in plan.lower()
+    # exactly two scans (codes + codebooks); formatted explain prints each
+    # scan node once in the tree and once in the detail section
+    assert plan.count("Location: InMemoryFileIndex") == 2, plan
+
+
 def test_cms_estimate_broadcasts_counters(spark):
     """CMS point estimates must broadcast the counter grid (<= depth*width
     rows regardless of corpus size)."""

@@ -145,26 +145,60 @@ def jaccard_pairs(shingled: DataFrame, min_jaccard: float,
     )
 
 
-def containment_pairs(shingled: DataFrame, min_containment: float) -> DataFrame:
+def cap_hot_shingles(shingled: DataFrame, max_df: int) -> DataFrame:
+    """Drop shingles whose document frequency exceeds ``max_df``.
+
+    Hot shingles (boilerplate 3-grams shared by thousands of documents) are
+    the skew bomb in every shingle equi-join: one key fanning out to df²
+    pairs. The hot set is small by construction (only keys above the cap),
+    so it broadcasts and the corpus-side filter is a broadcast anti-join —
+    no shuffle of the shingle table. One aggregation pass computes the
+    frequencies (map-side partial counts).
+    """
+    hot = F.broadcast(
+        shingled.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("shingle")
+    )
+    return shingled.join(hot, "shingle", "left_anti")
+
+
+def containment_pairs(shingled: DataFrame, min_containment: float,
+                      candidates: DataFrame | None = None) -> DataFrame:
     """Asymmetric near-dup: containment(A in B) = |A∩B| / |A| — the measure
     that catches a document EMBEDDED in a longer one, which Jaccard dilutes
     toward zero as the length ratio grows (Broder's resemblance vs
     containment distinction). Directional: one row per ordered pair with
     id_a's shingles contained in id_b at >= min_containment.
 
-    Same join shape as :func:`jaccard_pairs` (shingle equi-join, never a
-    cross join); at scale the candidate restriction applies identically.
+    ``candidates`` (id_a, id_b — ORDERED pairs; pass both orientations of an
+    unordered candidate list) restricts verification to a candidate set,
+    exactly like :func:`jaccard_pairs`: the intersection materializes only
+    for candidate pairs via two equi-joins, and the full shingle self-join
+    never runs — the 100 TB path. Compose with :func:`cap_hot_shingles`
+    upstream to bound the per-shingle fan-out of the unrestricted form.
     Returns (id_a, id_b, containment) with id_a != id_b.
     """
     sizes = shingled.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    a = shingled.alias("a")
-    b = shingled.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.id") != F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
+    if candidates is not None:
+        a = shingled.select(F.col("id").alias("id_a"), "shingle")
+        b = shingled.select(F.col("id").alias("id_b"), "shingle")
+        inter = (
+            candidates.join(a, "id_a")
+            .join(b, ["id_b", "shingle"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+    else:
+        a = shingled.alias("a")
+        b = shingled.alias("b")
+        inter = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                   & (F.col("a.id") != F.col("b.id")))
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
     return (
         inter.join(sa, "id_a")
@@ -175,6 +209,32 @@ def containment_pairs(shingled: DataFrame, min_containment: float) -> DataFrame:
         .filter(F.col("containment") >= min_containment)
         .select("id_a", "id_b", "containment")
     )
+
+
+def containment_lsh(df: DataFrame, text: str = "text", id_col: str = "doc_id",
+                    min_containment: float = 0.3,
+                    max_shingle_df: int | None = None) -> DataFrame:
+    """Scale path for containment detection: cap hot shingles, MinHash-sign
+    the capped shingle table, LSH-band for candidates, verify containment in
+    BOTH orientations of each candidate pair.
+
+    Sizes (|A|) and intersections are computed over the capped shingle
+    space, so the score is exact containment within it — the same
+    denominator convention both sides of the candidate pair see. The
+    shingle and signature tables are cached: each feeds two join sides
+    (the dedup-index materialization a 100 TB run persists anyway).
+    Returns (id_a, id_b, containment), ordered pairs.
+    """
+    sh = doc_shingles(df, text, id_col)
+    if max_shingle_df is not None:
+        sh = cap_hot_shingles(sh, max_shingle_df)
+    sh = sh.cache()
+    sigs = minhash_signatures_from_shingles(sh).cache()
+    cands = lsh_candidate_pairs(sigs)
+    both = cands.union(
+        cands.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    )
+    return containment_pairs(sh, min_containment, candidates=both)
 
 
 # --- MinHash + LSH ----------------------------------------------------------

@@ -363,6 +363,66 @@ WHERE round(i.n * 1.0 / sa.sz, 6) >= {NGRAM_CONTAINMENT}
 """
 
 
+CONTAINMENT_LSH_MAX_DF = 10  # hot-shingle cap: df above this is boilerplate
+
+
+def q_dedup_containment_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment at scale: hot shingles capped (df > {cap} dropped via a
+    broadcast anti-join — the skew bomb in any shingle self-join), MinHash +
+    LSH bands nominate candidates, and containment verifies ONLY the
+    candidate pairs in both orientations. The unrestricted all-pairs shingle
+    join never runs — tests/test_plans.py asserts the equi-join shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.containment_lsh(
+        docs, min_containment=NGRAM_CONTAINMENT,
+        max_shingle_df=CONTAINMENT_LSH_MAX_DF,
+    )
+
+
+_BAND_SELECTS_F = " UNION ALL ".join(
+    "SELECT id, {j} AS band_id, md5(concat_ws('_', {cols})) AS band_hash "
+    "FROM sigf"
+    .format(
+        j=j,
+        cols=", ".join(f"mh_{j * dd.LSH_ROWS + r}" for r in range(dd.LSH_ROWS)),
+    )
+    for j in range(dd.LSH_BANDS)
+)
+
+SQL_DEDUP_CONTAINMENT_LSH = f"""
+WITH {SHINGLES_CTE},
+fdf AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+shf AS (
+  SELECT sh.id, sh.shingle FROM sh JOIN fdf ON sh.shingle = fdf.shingle
+  WHERE fdf.df <= {CONTAINMENT_LSH_MAX_DF}
+),
+hsf AS (SELECT id, {md5_long_sql("shingle")} AS h FROM shf),
+sigf AS (SELECT id, {_SIG_COLS} FROM hsf GROUP BY id),
+bands AS ({_BAND_SELECTS_F}),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.id < b.id
+),
+cboth AS (
+  SELECT id_a, id_b FROM cand
+  UNION
+  SELECT id_b AS id_a, id_a AS id_b FROM cand
+),
+sizes AS (SELECT id, count(*) AS sz FROM shf GROUP BY id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n
+  FROM cboth c
+  JOIN shf a ON a.id = c.id_a
+  JOIN shf b ON b.id = c.id_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b, round(i.n * 1.0 / sa.sz, 6) AS containment
+FROM inter i JOIN sizes sa ON i.id_a = sa.id
+WHERE round(i.n * 1.0 / sa.sz, 6) >= {NGRAM_CONTAINMENT}
+"""
+
+
 # ---------------------------------------------------------------------------
 # dedup: pairs -> clusters (connected components)
 # ---------------------------------------------------------------------------
@@ -2647,6 +2707,11 @@ SPECS = {
                                    "MinHash->LSH bands->Jaccard verify"),
     "dedup_ngram_jaccard": QuerySpec(q_ngram_jaccard, SQL_NGRAM_JACCARD,
                                      "exact 3-gram Jaccard pairs"),
+    "dedup_containment_lsh": QuerySpec(
+        q_dedup_containment_lsh, SQL_DEDUP_CONTAINMENT_LSH,
+        "containment verify restricted to LSH candidates over a hot-shingle-"
+        "capped table — the scale path (no all-pairs shingle join)",
+    ),
     "dedup_ngram_containment": QuerySpec(
         q_ngram_containment, SQL_NGRAM_CONTAINMENT,
         "asymmetric containment pairs (doc-embedded-in-doc detection)"),

@@ -60,7 +60,8 @@ def test_bucketed_candidate_paths_never_cross_join(spark):
     here is the O(n²) bug the bucketing exists to prevent."""
     for name in ("dedup_minhash_lsh", "dedup_simhash_pairs",
                  "dedup_embedding_lsh", "join_events_asof_orders",
-                 "join_events_range_pairs", "dedup_paragraph_minhash"):
+                 "join_events_range_pairs", "dedup_paragraph_minhash",
+                 "dedup_containment_lsh"):
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name

@@ -65,28 +65,57 @@ class ClickHouseSink:
         self.insert_sql = build_insert_sql(config)
 
     def write_batch(self, df: DataFrame, batch_id: int) -> None:
-        """Write one micro-batch: per-partition transactional executemany.
+        """Write one micro-batch with the reference's EXACT size-OR-time
+        flush duality (T1, main.go:357-361):
 
-        Raises on failure -> the streaming checkpoint replays the batch
-        (at-least-once, reference main.go:364-369).
+        * size half — the per-partition buffer force-flushes (executemany +
+          commit) the moment it reaches ``config.batch_size`` rows, without
+          waiting for the partition (or interval) to end; every INSERT
+          carries at most batch_size rows, exactly like the reference's
+          10k-row buffer cap.
+        * time half — the micro-batch boundary IS the interval
+          (trigger(processingTime=flush_interval) upstream), so whatever is
+          buffered when the partition iterator drains flushes then, exactly
+          like the reference's ticker flush of a sub-batch_size buffer.
+
+        The buffer is per partition (the reference's is per plugin
+        instance): partitions flush independently and in parallel, each in
+        its own transaction chain. A failure raises -> the streaming
+        checkpoint replays the whole micro-batch (at-least-once, reference
+        main.go:364-369); a partition whose earlier chunks committed before
+        the failure re-inserts them on replay — the same duplication window
+        as the reference's redelivered chunk.
         """
         sql = self.insert_sql
         factory = self.connection_factory
+        batch_size = max(int(self.config.batch_size), 1)
 
         def write_partition(rows: Iterator[Row]) -> None:
-            buffered = [tuple(row[c] for c in LOG_COLUMNS) for row in rows]
-            if not buffered:
-                return
-            conn = factory()
-            try:
+            conn = None
+            buffered: list[tuple] = []
+
+            def flush() -> None:
                 cur = conn.cursor()
                 cur.executemany(sql, buffered)
                 conn.commit()
+                buffered.clear()  # buffer reset, clickhouse.go:104-107
+
+            try:
+                for row in rows:
+                    if conn is None:
+                        conn = factory()
+                    buffered.append(tuple(row[c] for c in LOG_COLUMNS))
+                    if len(buffered) >= batch_size:
+                        flush()  # size-triggered: don't wait for the end
+                if buffered:
+                    flush()  # interval-triggered: partition/batch boundary
             except Exception:
-                conn.rollback()
+                if conn is not None:
+                    conn.rollback()
                 raise  # surface to Spark -> batch retry (T4)
             finally:
-                conn.close()
+                if conn is not None:
+                    conn.close()
 
         df.foreachPartition(write_partition)
 

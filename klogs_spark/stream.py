@@ -18,9 +18,13 @@ reference), while a transactional sink could consume ``batch_id`` for
 idempotence.
 
 Trigger duality (T1): the reference flushes on size OR time
-(main.go:357-361). Spark triggers are time-based; the size half maps to
-source rate caps (maxFilesPerTrigger / maxOffsetsPerTrigger) bounding each
-micro-batch — documented approximation (SURVEY §2.10 T1).
+(main.go:357-361). The time half is the processing-time trigger
+(flush_interval); the size half is exact in the sink — ClickHouseSink's
+per-partition buffer force-flushes every ``batch_size`` rows, so no INSERT
+exceeds the cap and the interval only ever flushes a sub-batch_size
+remainder (sink_clickhouse.ClickHouseSink.write_batch). Source rate caps
+(maxFilesPerTrigger / maxOffsetsPerTrigger) additionally bound micro-batch
+size at the source.
 """
 
 from __future__ import annotations

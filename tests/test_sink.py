@@ -129,3 +129,192 @@ def test_write_batch_failure_propagates(spark, tmp_path):
         sink.write_batch(df, batch_id=0)
     # nothing committed -> at-least-once replay will redeliver
     assert read_spool(spool) == (set(), [])
+
+
+def make_flush_recording_factory(spool_dir):
+    """Fake DBAPI that spools ONE file per commit, recording the row count
+    of every executemany since the previous commit — the per-flush
+    granularity the T1 size-or-time tests assert on."""
+
+    def factory():
+        class FakeCursor:
+            def __init__(self, store):
+                self.store = store
+
+            def executemany(self, sql, rows):
+                self.store.append(len(list(rows)))
+
+        class FakeConnection:
+            def __init__(self):
+                self.pending = []
+                self.n_commits = 0
+
+            def cursor(self):
+                return FakeCursor(self.pending)
+
+            def commit(self):
+                self.n_commits += 1
+                path = os.path.join(
+                    spool_dir,
+                    f"flush-{os.getpid()}-{id(self)}-{self.n_commits}.pkl",
+                )
+                with open(path, "wb") as f:
+                    pickle.dump(list(self.pending), f)
+                self.pending = []
+
+            def rollback(self):
+                self.pending = []
+
+            def close(self):
+                pass
+
+        return FakeConnection()
+
+    return factory
+
+
+def read_flush_sizes(spool_dir):
+    sizes = []
+    for name in sorted(os.listdir(spool_dir)):
+        with open(os.path.join(spool_dir, name), "rb") as f:
+            sizes.append(sum(pickle.load(f)))
+    return sizes
+
+
+def _log_rows_df(spark, n):
+    rows = [
+        (datetime(2026, 1, 1), "c", "ns", "a", "p", "ct", "h", {}, {},
+         f"line-{i}")
+        for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "timestamp timestamp, cluster string, namespace string, app string, "
+        "pod_name string, container_name string, host string, "
+        "fields_string map<string,string>, fields_number map<string,double>, "
+        "log string",
+    ).coalesce(1)
+
+
+def test_t1_size_triggered_flush_before_interval(spark, tmp_path):
+    """T1 size half (main.go:357-361): the buffer force-flushes the moment
+    it reaches batch_size rows — 25 rows under batch_size=10 must commit as
+    three flushes of 10, 10, 5 (never one 25-row INSERT)."""
+    spool = str(tmp_path / "spool")
+    os.makedirs(spool)
+    sink = ClickHouseSink(
+        EngineConfig(batch_size=10), make_flush_recording_factory(spool)
+    )
+    sink.write_batch(_log_rows_df(spark, 25), batch_id=0)
+    assert read_flush_sizes(spool) == [10, 10, 5]
+
+
+def test_t1_interval_triggered_flush_under_size(spark, tmp_path):
+    """T1 time half: a buffer still below batch_size when the interval
+    (micro-batch boundary) arrives flushes exactly once with what it has."""
+    spool = str(tmp_path / "spool")
+    os.makedirs(spool)
+    sink = ClickHouseSink(
+        EngineConfig(batch_size=10), make_flush_recording_factory(spool)
+    )
+    sink.write_batch(_log_rows_df(spark, 7), batch_id=0)
+    assert read_flush_sizes(spool) == [7]
+
+
+def make_duckdb_factory(db_path):
+    """Connection factory running the sink's REAL INSERT SQL against DuckDB
+    — an actual SQL engine, not a recording fake. The only adaptation is
+    parameter BINDING (every DBAPI driver owns its binding): DuckDB's
+    native Python form for a MAP value is {'key': [...], 'value': [...]},
+    so the cursor shim converts the two map-typed parameters; the SQL text
+    and all values pass through untouched."""
+
+    def factory():
+        import duckdb
+
+        def to_duck_map(d):
+            d = d or {}
+            return {"key": list(d.keys()), "value": list(d.values())}
+
+        class Cursor:
+            def __init__(self, con):
+                self._con = con
+
+            def executemany(self, sql, rows):
+                converted = [
+                    r[:7] + (to_duck_map(r[7]), to_duck_map(r[8])) + r[9:]
+                    for r in rows
+                ]
+                self._con.executemany(sql, converted)
+
+        class Connection:
+            def __init__(self):
+                self._con = duckdb.connect(db_path)
+
+            def cursor(self):
+                self._con.execute("BEGIN")
+                return Cursor(self._con)
+
+            def commit(self):
+                self._con.commit()
+
+            def rollback(self):
+                try:
+                    self._con.rollback()
+                except Exception:
+                    pass  # no transaction open
+
+            def close(self):
+                self._con.close()
+
+        return Connection()
+
+    return factory
+
+
+def test_sink_insert_sql_round_trips_through_duckdb(spark, tmp_path):
+    """The sink's INSERT statement must execute against a real SQL engine
+    and reproduce the batch row-for-row — including the size-capped flush
+    chunking (25 rows, batch_size=10 -> three INSERT transactions)."""
+    import duckdb
+
+    db_path = str(tmp_path / "ch.duckdb")
+    setup = duckdb.connect(db_path)
+    setup.execute("CREATE SCHEMA logs")
+    setup.execute(
+        "CREATE TABLE logs.logs ("
+        "timestamp TIMESTAMP, cluster VARCHAR, namespace VARCHAR, "
+        "app VARCHAR, pod_name VARCHAR, container_name VARCHAR, "
+        "host VARCHAR, fields_string MAP(VARCHAR,VARCHAR), "
+        "fields_number MAP(VARCHAR,DOUBLE), log VARCHAR)"
+    )
+    setup.close()
+
+    sink = ClickHouseSink(
+        EngineConfig(database="logs", batch_size=10),
+        make_duckdb_factory(db_path),
+    )
+    n = 25
+    rows = [
+        (datetime(2026, 1, 1, 0, 0, i % 60), "c", f"ns-{i % 3}", "a", "p",
+         "ct", "h", {"k": f"v{i}"}, {"n": float(i)}, f"line-{i}")
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "timestamp timestamp, cluster string, namespace string, app string, "
+        "pod_name string, container_name string, host string, "
+        "fields_string map<string,string>, fields_number map<string,double>, "
+        "log string",
+    ).coalesce(1)
+    sink.write_batch(df, batch_id=0)
+
+    back = duckdb.connect(db_path).execute(
+        "SELECT timestamp, namespace, fields_string['k'][1], "
+        "fields_number['n'][1], log FROM logs.logs ORDER BY log"
+    ).fetchall()
+    expect = sorted(
+        (r[0], r[2], r[7]["k"], r[8]["n"], r[9]) for r in rows
+    )
+    got = sorted((t, ns, fs, fn, lg) for t, ns, fs, fn, lg in back)
+    assert got == expect

@@ -171,6 +171,8 @@ def main() -> None:
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
     shutil.rmtree(table_dir, ignore_errors=True)
+    from klogs_spark.ext.caching import release_tracked
+
     for name in HEADLINE:
         fn = specs[name].fn
         best, n = float("inf"), -1
@@ -186,6 +188,11 @@ def main() -> None:
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"# {name}: FAILED {errors[name]}", file=sys.stderr)
             continue
+        finally:
+            # operator-internal caches (signatures, centroids, codebooks)
+            # are tracked; release them BETWEEN queries so trials reuse the
+            # materialized frames but the session's cache stays bounded
+            release_tracked()
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 

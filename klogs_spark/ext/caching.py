@@ -1,0 +1,60 @@
+"""Tracked DataFrame caches — bounded lifetime for operator-internal caching.
+
+Several EXT operators cache small intermediates (shingle tables, MinHash
+signatures, k-means centroids, PQ codebooks) because each feeds two or more
+join sides of the SAME returned plan: without materialization Spark re-runs
+the whole derivation lineage once per consumer. The frames are tiny, but a
+long-lived session that runs many such queries accumulates one cached frame
+per call site per call — unbounded growth (and "already cached" warnings on
+repeated calls).
+
+The operators cannot unpersist these themselves: the returned DataFrame is
+lazy, so the cache must outlive the operator function and survive until the
+CALLER materializes the result. This registry closes the loop:
+
+* operators register every long-lived cache via :func:`cache_tracked`;
+* hosts (bench loops, test fixtures, services) call
+  :func:`release_tracked` once a query's results are materialized.
+
+Plan-equality reuse is preserved between registration and release: repeated
+calls with identical lineage (bench best-of-N trials) hit the same cached
+frame, because Spark's cache lookup is by analyzed plan and
+``cache_tracked`` of an already-cached plan is a no-op registration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_TRACKED: list[DataFrame] = []
+
+
+def cache_tracked(df: DataFrame) -> DataFrame:
+    """Cache ``df`` and register it for a later :func:`release_tracked`."""
+    df = df.cache()
+    _TRACKED.append(df)
+    return df
+
+
+def track(df: DataFrame) -> DataFrame:
+    """Register an ALREADY-cached frame without re-invoking cache() (which
+    would log a spurious already-cached warning)."""
+    _TRACKED.append(df)
+    return df
+
+
+def release_tracked() -> int:
+    """Unpersist every tracked cache; returns how many were released.
+
+    Safe to call at any time: unpersisting only drops materialized blocks —
+    any still-live downstream plan simply recomputes from source.
+    """
+    n = 0
+    for df in _TRACKED:
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:  # session already stopped — nothing to release
+            pass
+    _TRACKED.clear()
+    return n

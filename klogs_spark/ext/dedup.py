@@ -21,6 +21,8 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .caching import cache_tracked as _cache_tracked
+
 from .hashing import HASH_PRIME, md5_long, perm_params
 
 NUM_PERM = 16          # minhash signature length
@@ -228,8 +230,8 @@ def containment_lsh(df: DataFrame, text: str = "text", id_col: str = "doc_id",
     sh = doc_shingles(df, text, id_col)
     if max_shingle_df is not None:
         sh = cap_hot_shingles(sh, max_shingle_df)
-    sh = sh.cache()
-    sigs = minhash_signatures_from_shingles(sh).cache()
+    sh = _cache_tracked(sh)
+    sigs = _cache_tracked(minhash_signatures_from_shingles(sh))
     cands = lsh_candidate_pairs(sigs)
     both = cands.union(
         cands.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
@@ -314,8 +316,8 @@ def minhash_dedup(df: DataFrame, text: str = "text", id_col: str = "doc_id",
     the corpus (k longs per doc; shingle strings per doc) — at 100 TB these
     are the tables you'd persist as the dedup index anyway.
     """
-    sh = doc_shingles(df, text, id_col).cache()
-    sigs = minhash_signatures_from_shingles(sh).cache()
+    sh = _cache_tracked(doc_shingles(df, text, id_col))
+    sigs = _cache_tracked(minhash_signatures_from_shingles(sh))
     cands = lsh_candidate_pairs(sigs)
     return jaccard_pairs(sh, min_jaccard, cands)
 
@@ -379,8 +381,8 @@ def paragraph_minhash_dedup(df: DataFrame, paragraph_tokens: int = 30,
     Returns (doc_a, para_a, doc_b, para_b, jaccard).
     """
     paras = paragraph_chunks(df, paragraph_tokens, text, id_col)
-    sh = doc_shingles(paras, text="chunk_text", id_col="pid").cache()
-    sigs = minhash_signatures_from_shingles(sh).cache()
+    sh = _cache_tracked(doc_shingles(paras, text="chunk_text", id_col="pid"))
+    sigs = _cache_tracked(minhash_signatures_from_shingles(sh))
     cands = lsh_candidate_pairs(sigs)
     pairs = jaccard_pairs(sh, min_jaccard, cands)
     return (
@@ -437,7 +439,7 @@ def simhash_pairs(sims: DataFrame, max_hamming: int) -> DataFrame:
     prefix blocks) — see ``simhash_pairs_bucketed``.
     Returns (id_a, id_b, hamming).
     """
-    sims = sims.cache()  # feeds both join sides; avoid double signature agg
+    sims = _cache_tracked(sims)  # feeds both join sides; avoid double signature agg
     a = sims.alias("a")
     b = sims.alias("b")
     hamming = F.bit_count(F.expr("a.simhash").bitwiseXOR(F.expr("b.simhash")))
@@ -474,8 +476,8 @@ def simhash_pairs_bucketed(sims: DataFrame, max_hamming: int,
     blocked = (
         sims.select("id", "simhash", F.explode(block_structs).alias("blk"))
         .select("id", "simhash", "blk.block_id", "blk.block_val")
-        .cache()  # feeds both join sides; avoid double signature agg
     )
+    blocked = _cache_tracked(blocked)  # feeds both join sides
     a = blocked.alias("a")
     b = blocked.alias("b")
     hamming = F.bit_count(F.expr("a.simhash").bitwiseXOR(F.expr("b.simhash")))
@@ -587,8 +589,8 @@ def embedding_neardup_lsh(
         v.repartition(F.col("id"))  # parallelize past the input file count
         .select("id", F.explode(table_structs).alias("tb"))
         .select("id", "tb.table_id", "tb.bucket")
-        .cache()
     )
+    buckets = _cache_tracked(buckets)
     a = buckets.alias("a")
     b = buckets.alias("b")
     cands = (
@@ -663,9 +665,10 @@ def semantic_dedup(
         .select(
             "centroid_id", "id", F.transform(dv, lambda x: x / norm).alias("nv")
         )
-        .cache()  # feeds both sides of the pair self-join: without this the
+        # feeds both sides of the pair self-join: without this the
         # whole centroid-refine + assignment lineage runs once per side
     )
+    assigned = _cache_tracked(assigned)
     a = assigned.select(
         "centroid_id", F.col("id").alias("id_a"), F.col("nv").alias("na")
     )

@@ -17,6 +17,8 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .caching import cache_tracked as _cache_tracked
+from .caching import track as _track
 from .dedup import cosine_col
 from .hashing import hyperplanes
 
@@ -249,7 +251,7 @@ def kmeans_refine(
             .groupBy("centroid_id", "pos")
             .agg(mean_expr.alias("m"))
         )
-        current = (
+        refined = (
             means.groupBy("centroid_id")
             .agg(
                 F.transform(
@@ -263,9 +265,18 @@ def kmeans_refine(
             # prior iterations' lineage per use (O(iter^2) otherwise).
             # cache() rather than a driver-side collect: plan equality is
             # preserved, so repeated calls (bench trials, retries) reuse
-            # the materialized chain instead of recomputing it.
+            # the materialized chain instead of recomputing it. Tracked
+            # (ext.caching) so hosts can bound total cache growth; each
+            # iteration materializes eagerly (k rows, one tiny job) and
+            # drops the previous iteration's blocks immediately — at most
+            # one iteration's frame is live per refine call.
             .cache()
         )
+        _track(refined)
+        refined.count()
+        if current is not centroids:
+            current.unpersist()
+        current = refined
     return current
 
 
@@ -443,14 +454,21 @@ def pq_codebooks(
             .groupBy("m", "centroid_id", "pos")
             .agg(F.round(F.avg("val"), round_decimals).alias("c"))
         )
-        current = means.groupBy("m", "centroid_id").agg(
+        refined = means.groupBy("m", "centroid_id").agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("pos", "c"))),
                 lambda s: s["c"],
             ).alias("cv")
             # m*k rows — cached for the same O(iter^2)-avoidance and
-            # cross-call plan-reuse reasons as kmeans_refine
+            # cross-call plan-reuse reasons as kmeans_refine; tracked and
+            # eagerly materialized so the previous round's blocks drop
+            # immediately (same bounded-cache contract as kmeans_refine)
         ).cache()
+        _track(refined)
+        refined.count()
+        if current is not sv and current.is_cached:
+            current.unpersist()
+        current = refined
     return current
 
 
@@ -491,7 +509,10 @@ def pq_adc_topk(
     """
     # the codebook table feeds both the encoder and the distance table —
     # cache it so the k-means build lineage runs once, not per consumer
-    codebooks = codebooks.cache()
+    # (skip when the caller already cached it: re-caching a cached plan
+    # only logs warnings — the r7 bench's "already cached" noise)
+    if not codebooks.is_cached:
+        codebooks = _cache_tracked(codebooks)
     enc = pq_encode(emb, codebooks, id_col, vec_col, m, dim)
     qsv = pq_subvectors(query, id_col, vec_col, m, dim).select(
         "m", F.col("sv").alias("qsv")

@@ -32,3 +32,14 @@ def duck():
         )
     yield con
     con.close()
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _release_tracked_caches():
+    """Bound operator-internal cache growth across the suite: tracked
+    caches (ext.caching) release at each module boundary — within a module
+    plan-equal reuse still applies."""
+    yield
+    from klogs_spark.ext.caching import release_tracked
+
+    release_tracked()

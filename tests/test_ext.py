@@ -572,3 +572,24 @@ def test_containment_catches_embedded_doc_jaccard_misses(spark):
     jac = {(r.id_a, r.id_b): r.jaccard
            for r in jaccard_pairs(sh, min_jaccard=0.0).collect()}
     assert jac[(0, 1)] < 0.1
+
+
+def test_tracked_caches_release_after_ann_and_semdedup(spark):
+    """Operator-internal caches (shingles, signatures, centroids, codebooks)
+    register with ext.caching; release_tracked() must leave NO persisted
+    blocks behind after an ANN + SemDeDup + MinHash sequence — the bounded
+    cache-lifetime contract a long-lived session relies on."""
+    from klogs_spark.ext.caching import release_tracked
+
+    from klogs_spark.queries import registry
+    from tests.conftest import SF_ORACLE
+
+    release_tracked()  # start from a clean slate for this session
+    specs = registry()
+    before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    for name in ("ann_ivfpq_topk", "dedup_semantic", "dedup_minhash_lsh"):
+        specs[name].fn(spark, SF_ORACLE).collect()
+    assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() > before
+    released = release_tracked()
+    assert released > 0
+    assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() <= before

@@ -685,6 +685,122 @@ GROUP BY er.user_id
 """
 
 
+def q_stream_interval_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 stream-stream LEFT OUTER interval join with state-timeout
+    emission — the completion of q_stream_interval_join's inner shape: an
+    error with no click in its preceding 30 minutes must still emit, with
+    null click columns, once the watermark passes its match window and the
+    join state expires (Spark's outer-join null emission is exactly the
+    reference-free 'state timeout' semantics a 100 TB stream needs — state
+    is evicted, not leaked, AND the unmatched row is observable).
+
+    Batch choreography (deterministic, one availableNow drain per source
+    growth, same bench as _drive_three_batch_stream):
+
+    1. real errors + clicks            -> matches emit; unmatched errors
+                                          wait in state (watermark still
+                                          behind their windows);
+    2. sentinel rows a day ahead, BOTH  -> advances the global watermark
+       sources (user_id -1)               past every real match window;
+    3. sentinel rows two days ahead    -> runs one more batch UNDER the
+                                          day-ahead watermark, which evicts
+                                          and emits every real unmatched
+                                          error with nulls.
+
+    Sentinels never emit (the watermark never passes their own windows) and
+    are excluded on read. The oracle is the identical batch LEFT JOIN —
+    equality proves matched rows pair like batch AND every unmatched error
+    surfaces exactly once."""
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="klogs-ssljoin-")
+    err_src, clk_src = f"{base}/errors", f"{base}/clicks"
+    ckpt, outp = f"{base}/ckpt", f"{base}/out"
+
+    errors_b1 = ev.filter(F.col("event_type") == "error").select(
+        F.col("ts").alias("err_ts"), F.col("user_id")
+    )
+    clicks_b1 = ev.filter(F.col("event_type") == "click").select(
+        F.col("ts").alias("click_ts"), F.col("user_id").alias("click_user")
+    )
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+
+    def sentinels(days_ahead: int):
+        ts = F.lit(max_ts) + F.expr(f"INTERVAL {days_ahead} DAYS")
+        return (
+            spark.range(1).select(ts.alias("err_ts"),
+                                  F.lit(-1).cast("long").alias("user_id")),
+            spark.range(1).select(ts.alias("click_ts"),
+                                  F.lit(-1).cast("long").alias("click_user")),
+        )
+
+    def drain() -> None:
+        errors = (
+            spark.readStream.schema("err_ts timestamp, user_id long")
+            .parquet(err_src)
+            .withWatermark("err_ts", "10 minutes")
+        )
+        clicks = (
+            spark.readStream.schema("click_ts timestamp, click_user long")
+            .parquet(clk_src)
+            .withWatermark("click_ts", "10 minutes")
+        )
+        joined = errors.join(
+            clicks,
+            (F.col("user_id") == F.col("click_user"))
+            & (F.col("click_ts")
+               >= F.col("err_ts") - F.expr("INTERVAL 30 MINUTES"))
+            & (F.col("click_ts") <= F.col("err_ts")),
+            "leftOuter",
+        ).select("user_id", "err_ts", "click_ts")
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", outp)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    for err_b, clk_b in (
+        (errors_b1, clicks_b1), sentinels(1), sentinels(2),
+    ):
+        err_b.coalesce(1).write.mode("append").parquet(err_src)
+        clk_b.coalesce(1).write.mode("append").parquet(clk_src)
+        drain()
+
+    return (
+        spark.read.parquet(outp)
+        .filter(F.col("user_id") >= 0)
+        .groupBy("user_id")
+        .agg(
+            F.count("click_ts").alias("n_matched"),
+            F.sum(
+                F.when(F.col("click_ts").isNull(), 1).otherwise(0)
+            ).alias("n_unmatched"),
+            F.min("click_ts").alias("first_click_ts"),
+            F.max("err_ts").alias("last_err_ts"),
+        )
+    )
+
+
+SQL_STREAM_INTERVAL_JOIN_LEFT = """
+SELECT er.user_id,
+       CAST(count(c.ts) AS BIGINT) AS n_matched,
+       CAST(coalesce(sum(CASE WHEN c.ts IS NULL THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_unmatched,
+       min(c.ts) AS first_click_ts,
+       max(er.ts) AS last_err_ts
+FROM (SELECT * FROM events WHERE event_type = 'error') er
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON er.user_id = c.user_id
+ AND c.ts >= er.ts - INTERVAL 30 MINUTE AND c.ts <= er.ts
+GROUP BY er.user_id
+"""
+
+
 def q_logs_error_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T5's custom stateful operator on its batch twin, externally checked:
     error_run_tracker emits a row whenever a namespace's consecutive-error
@@ -1074,6 +1190,12 @@ SPECS = {
         SQL_STREAM_INTERVAL_JOIN,
         "watermarked stream-stream event-time interval join (errors x "
         "preceding clicks) vs batch join oracle",
+    ),
+    "stream_interval_join_left": QuerySpec(
+        q_stream_interval_join_left,
+        SQL_STREAM_INTERVAL_JOIN_LEFT,
+        "stream-stream LEFT OUTER interval join: watermark-expired "
+        "unmatched errors emit with nulls vs batch LEFT JOIN oracle",
     ),
     "sources_syslog_pipeline": QuerySpec(
         q_sources_syslog_pipeline,

@@ -118,3 +118,70 @@ def test_error_run_tracker_streaming(spark, logs_df, tmp_path):
     assert [(r.namespace, r.error_run) for r in rows] == [
         ("ns-b", 3), ("ns-b", 4),
     ]
+
+
+def test_stream_left_outer_interval_join_emits_unmatched(spark, tmp_path):
+    """A left row with no interval match must emit with NULL right columns
+    once the watermark passes its match window — and matched rows must
+    never also emit a null twin."""
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path)
+    err_src, clk_src = f"{base}/errors", f"{base}/clicks"
+    ckpt, outp = f"{base}/ckpt", f"{base}/out"
+
+    def write(src, schema_cols, rows):
+        spark.createDataFrame(rows, schema_cols).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def drain():
+        errors = (
+            spark.readStream.schema("err_ts timestamp, user_id long")
+            .parquet(err_src)
+            .withWatermark("err_ts", "10 minutes")
+        )
+        clicks = (
+            spark.readStream.schema("click_ts timestamp, click_user long")
+            .parquet(clk_src)
+            .withWatermark("click_ts", "10 minutes")
+        )
+        joined = errors.join(
+            clicks,
+            (F.col("user_id") == F.col("click_user"))
+            & (F.col("click_ts")
+               >= F.col("err_ts") - F.expr("INTERVAL 30 MINUTES"))
+            & (F.col("click_ts") <= F.col("err_ts")),
+            "leftOuter",
+        ).select("user_id", "err_ts", "click_ts")
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", outp)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # user 1: error at 10:00 with a click at 09:50 (match);
+    # user 2: error at 10:00, nearest click 2h earlier (no match)
+    write(err_src, "err_ts timestamp, user_id long",
+          [(T0.replace(hour=10), 1), (T0.replace(hour=10), 2)])
+    write(clk_src, "click_ts timestamp, click_user long",
+          [(T0.replace(hour=9, minute=50), 1), (T0.replace(hour=8), 2)])
+    drain()
+    for days in (1, 2):  # sentinel batches advance + apply the watermark
+        ts = T0 + timedelta(days=days)
+        write(err_src, "err_ts timestamp, user_id long", [(ts, -1)])
+        write(clk_src, "click_ts timestamp, click_user long", [(ts, -1)])
+        drain()
+
+    rows = sorted(
+        (r.user_id, r.click_ts)
+        for r in spark.read.parquet(outp).filter("user_id >= 0").collect()
+    )
+    assert rows == [
+        (1, T0.replace(hour=9, minute=50)),  # matched, exactly once
+        (2, None),                           # unmatched -> null emission
+    ]

@@ -631,7 +631,13 @@ def cms_estimate(
     """Point-estimate frequencies for ``keys`` from a built sketch: join each
     key's depth positions against the (broadcast, <= depth*width-row) counter
     table and take the per-key minimum. Estimates never undercount; collisions
-    only inflate. Adds ``cms_est`` to the key rows."""
+    only inflate. Adds ``cms_est`` to the key rows.
+
+    The counter join is a LEFT join with absent cells coalesced to 0: a key
+    the sketch never saw touches (d, pos) cells with no counter row, and CMS
+    point-estimate semantics require those to read as zero — an inner join
+    would silently drop the key (and a partial hit would min over only the
+    populated subset, inflating the estimate)."""
     cells = F.array(
         *[
             F.struct(
@@ -648,9 +654,9 @@ def cms_estimate(
         F.col(key_col), F.explode(cells).alias("c")
     ).select(key_col, "c.d", "c.pos")
     return (
-        probed.join(F.broadcast(counters), ["d", "pos"])
+        probed.join(F.broadcast(counters), ["d", "pos"], "left")
         .groupBy(key_col)
-        .agg(F.min("cnt").alias("cms_est"))
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
     )
 
 

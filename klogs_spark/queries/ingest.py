@@ -1016,6 +1016,103 @@ GROUP BY 1
 """
 
 
+_SKIPIDX_TABLES: dict = {}
+
+
+def _indexed_logs_table(spark: SparkSession, sf_dir: str) -> str:
+    """Shared build for the skip-index search queries: one derived-logs
+    table + token-Bloom sidecar per (session, sf_dir) — the index is
+    corpus-level state, not per-query work."""
+    import os
+    import tempfile
+
+    from ..table import write_logs, write_token_bloom_index
+    from ..views import derive_logs_from_events
+
+    tdir = _SKIPIDX_TABLES.get(sf_dir)
+    if tdir and os.path.exists(f"{tdir}/_token_bloom"):
+        return tdir
+    tdir = tempfile.mkdtemp(prefix="klogs-skipidx-") + "/logs"
+    write_logs(derive_logs_from_events(spark, sf_dir), tdir)
+    write_token_bloom_index(spark, tdir)
+    _SKIPIDX_TABLES[sf_dir] = tdir
+    return tdir
+
+
+SKIPINDEX_OR_NEEDLES = ["user=42", "user=43"]
+
+
+def q_table_fulltext_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-of-tokens over the token-Bloom skip index (match='any'): the
+    candidate-day set is the UNION of each needle's qualifying days, and
+    the row filter keeps lines containing at least one whole token. The
+    oracle is the direct user_id IN (42, 43) aggregate — equality proves
+    the any-mode pruning loses nothing."""
+    from ..table import fulltext_token_search
+
+    tdir = _indexed_logs_table(spark, sf_dir)
+    hits = fulltext_token_search(
+        spark, tdir, SKIPINDEX_OR_NEEDLES, match="any"
+    )
+    return hits.groupBy("date").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.count_distinct("pod_name").alias("n_pods"),
+        F.min("timestamp").alias("min_ts"),
+        F.max("timestamp").alias("max_ts"),
+    )
+
+
+SQL_TABLE_FULLTEXT_OR = """
+SELECT CAST(ts AS DATE) AS date,
+       CAST(count(*) AS BIGINT) AS cnt,
+       CAST(count(DISTINCT 'pod-' || CAST(user_id % 50 AS VARCHAR))
+            AS BIGINT) AS n_pods,
+       min(ts) AS min_ts, max(ts) AS max_ts
+FROM events
+WHERE user_id IN (42, 43)
+GROUP BY 1
+"""
+
+
+SKIPINDEX_PHRASE = "type=error user=42"
+
+
+def q_table_fulltext_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quoted-phrase search over the SAME sidecar: days are pruned by
+    requiring ALL of the phrase's tokens (a phrase can only live where each
+    token lives), then the exact contiguous phrase is verified by substring
+    containment on the pruned scan. The oracle rebuilds the log line in SQL
+    and applies the identical LIKE — equality proves the token-level prune
+    never loses a phrase match."""
+    from ..table import fulltext_phrase_search
+
+    tdir = _indexed_logs_table(spark, sf_dir)
+    hits = fulltext_phrase_search(spark, tdir, SKIPINDEX_PHRASE)
+    return hits.groupBy("date").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min("timestamp").alias("min_ts"),
+        F.max("timestamp").alias("max_ts"),
+    )
+
+
+SQL_TABLE_FULLTEXT_PHRASE = f"""
+WITH lg AS (
+  SELECT ts,
+         'type=' || event_type || ' user=' || CAST(user_id AS VARCHAR)
+           || ' k=' || json_extract_string(props, '$.k')
+           || CASE WHEN event_type = 'error' THEN ' error occurred'
+              ELSE ' ok' END AS log
+  FROM events
+)
+SELECT CAST(ts AS DATE) AS date,
+       CAST(count(*) AS BIGINT) AS cnt,
+       min(ts) AS min_ts, max(ts) AS max_ts
+FROM lg
+WHERE log LIKE '%{SKIPINDEX_PHRASE}%'
+GROUP BY 1
+"""
+
+
 def q_sources_syslog_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S7's third parser family, externally checked: synthesize a MIXED
     syslog stream from events (every 3rd user emits RFC 3164 BSD lines, the
@@ -1226,6 +1323,18 @@ SPECS = {
         SQL_TABLE_LIFECYCLE,
         "write -> compact -> TTL retention -> read-back per-day aggregate "
         "vs direct-from-events oracle",
+    ),
+    "table_fulltext_or": QuerySpec(
+        q_table_fulltext_or,
+        SQL_TABLE_FULLTEXT_OR,
+        "OR-of-tokens full-text search via the token-Bloom skip index "
+        "(union of per-needle candidate days) vs direct aggregate oracle",
+    ),
+    "table_fulltext_phrase": QuerySpec(
+        q_table_fulltext_phrase,
+        SQL_TABLE_FULLTEXT_PHRASE,
+        "quoted-phrase search: all-token Bloom prune + exact contiguous "
+        "phrase verify vs LIKE oracle on the rebuilt log line",
     ),
     "table_fulltext_skipindex": QuerySpec(
         q_table_fulltext_skipindex,

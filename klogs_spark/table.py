@@ -237,6 +237,17 @@ def apply_retention(
             # surface the failures — the periodic TTL job retries next run.
             if fs.delete(status.getPath(), True):
                 dropped.append(name)
+                # drop the day's token-Bloom sidecar partition with it —
+                # otherwise stale index days accumulate for the table's
+                # lifetime (search stays correct either way: candidate days
+                # are intersected with live partitions). A false/missing
+                # delete is NOT a retention failure — the sidecar row is
+                # unreachable once the data partition is gone.
+                sidecar = _hadoop_fs(
+                    spark, f"{path}/{TOKEN_BLOOM_DIR}/{name}"
+                )[2]
+                if fs.exists(sidecar):
+                    fs.delete(sidecar, True)
             else:
                 failed.append(name)
     if failed:
@@ -323,54 +334,132 @@ def _py_bloom_positions(token: str, m: int, k: int) -> list[int]:
     return [(h1 + j * h2) % m for j in range(k)]
 
 
+def _bloom_candidate_days(
+    spark: SparkSession,
+    path: str,
+    needle_tokens: list[str],
+    m: int,
+    k: int,
+    match: str,
+) -> list:
+    """Skip-index lookup: the day partitions whose Bloom filter CAN contain
+    the needles — every token's k bits set (match='all') or at least one
+    token fully present (match='any'). The index read is manifest-sized
+    (<= m rows/day) — collecting it on the driver IS the lookup, the same
+    plan-time role ClickHouse's index granule bitmap plays. Only days still
+    present in the table are considered, so sidecar rows orphaned between a
+    retention drop and the next index refresh can never resurrect a day."""
+    idx = spark.read.parquet(f"{path}/{TOKEN_BLOOM_DIR}")
+    fs, _, root = _hadoop_fs(spark, path)
+    live_days = {
+        s.getPath().getName().split("=", 1)[1]
+        for s in fs.listStatus(root)
+        if s.isDirectory()
+        and s.getPath().getName().startswith(f"{PARTITION_COLUMN}=")
+    }
+    by_date: dict = {}
+    for r in idx.collect():
+        if str(r[PARTITION_COLUMN]) in live_days:
+            by_date.setdefault(r[PARTITION_COLUMN], set()).add(r.pos)
+    needed = [_py_bloom_positions(t, m, k) for t in needle_tokens]
+    combine = all if match == "all" else any
+    return sorted(
+        d
+        for d, bits in by_date.items()
+        if combine(all(p in bits for p in ps) for ps in needed)
+    )
+
+
 def fulltext_token_search(
     spark: SparkSession,
     path: str,
     needle_tokens: list[str],
     m: int = TOKEN_BLOOM_M,
     k: int = TOKEN_BLOOM_K,
+    match: str = "all",
 ) -> DataFrame:
     """Whole-token full-text search that skips day partitions via the Bloom
-    sidecar: a day qualifies only if EVERY needle token's k bits are set in
-    its filter. Candidate days become a partition-column IN-filter, so the
-    parquet scan lists only those directories (PartitionFilters in the
-    plan); the exact token match then removes Bloom false positives.
-
-    The index read is manifest-sized (<= m rows/day) — collecting it on the
-    driver IS the skip-index lookup, the same plan-time role ClickHouse's
-    index granule bitmap plays."""
-    idx = spark.read.parquet(f"{path}/{TOKEN_BLOOM_DIR}")
-    by_date: dict = {}
-    for r in idx.collect():
-        by_date.setdefault(r[PARTITION_COLUMN], set()).add(r.pos)
-    needed = [_py_bloom_positions(t, m, k) for t in needle_tokens]
-    dates = sorted(
-        d
-        for d, bits in by_date.items()
-        if all(all(p in bits for p in ps) for ps in needed)
-    )
+    sidecar. ``match='all'``: a day qualifies only if EVERY needle token's
+    k bits are set in its filter, and rows must contain every token (the
+    AND search). ``match='any'``: a day qualifies if ANY single token is
+    fully present, and rows must contain at least one token (the OR
+    search — the pruned set is the union of each token's candidate days).
+    Candidate days become a partition-column IN-filter, so the parquet scan
+    lists only those directories (PartitionFilters in the plan); the exact
+    token match then removes Bloom false positives. Bloom false negatives
+    are impossible for whole-token matches in both modes."""
+    if match not in ("all", "any"):
+        raise ValueError(f"match must be 'all' or 'any', got {match!r}")
+    dates = _bloom_candidate_days(spark, path, needle_tokens, m, k, match)
     base = read_logs(spark, path)
     if not dates:
         return base.filter(F.lit(False))
     out = base.filter(F.col(PARTITION_COLUMN).isin(dates))
-    for t in needle_tokens:
-        out = out.filter(
-            F.array_contains(F.split(F.col("log"), " "), t)
-        )
-    return out
+    toks = F.split(F.col("log"), " ")
+    token_filters = [F.array_contains(toks, t) for t in needle_tokens]
+    if match == "all":
+        for cond in token_filters:
+            out = out.filter(cond)
+        return out
+    any_cond = token_filters[0]
+    for cond in token_filters[1:]:
+        any_cond = any_cond | cond
+    return out.filter(any_cond)
 
 
-def indexed_logs_sink(path: str, m: int = TOKEN_BLOOM_M, k: int = TOKEN_BLOOM_K):
+def fulltext_phrase_search(
+    spark: SparkSession,
+    path: str,
+    phrase: str,
+    m: int = TOKEN_BLOOM_M,
+    k: int = TOKEN_BLOOM_K,
+) -> DataFrame:
+    """Quoted-phrase search on the SAME token-Bloom sidecar: a phrase can
+    only occur in a day where every one of its tokens occurs, so the prune
+    is the match='all' token lookup; the verification filter then checks
+    the exact contiguous phrase (substring containment) on the pruned
+    scan. Same guarantee as the token search: pruning can only lose Bloom
+    false positives, never a day that holds the phrase."""
+    tokens = [t for t in phrase.split(" ") if t]
+    if not tokens:
+        raise ValueError("phrase must contain at least one token")
+    dates = _bloom_candidate_days(spark, path, tokens, m, k, "all")
+    base = read_logs(spark, path)
+    if not dates:
+        return base.filter(F.lit(False))
+    return base.filter(F.col(PARTITION_COLUMN).isin(dates)).filter(
+        F.col("log").contains(phrase)
+    )
+
+
+def indexed_logs_sink(path: str, m: int = TOKEN_BLOOM_M, k: int = TOKEN_BLOOM_K,
+                      exactly_once: bool = False):
     """foreachBatch sink: append the batch to the logs table AND refresh the
     token-Bloom sidecar for exactly the days the batch touched — the
     streaming-ingest integration of the skip index. Day discovery is one
     distinct over the batch's dates (micro-batch-sized); the refresh is the
     dynamic-partition-overwrite incremental path, so historical days' sidecar
     files are never rewritten. Composes with klogs_spark.stream's pipeline
-    via its ``sink`` parameter."""
+    via its ``sink`` parameter.
+
+    Delivery semantics: the default data path is a plain append, so a
+    micro-batch REPLAY after a sink failure duplicates rows — at-least-once,
+    the reference's own contract (main.go:364-369). Pass
+    ``exactly_once=True`` to route the data write through
+    ``stream.exactly_once_sink`` (batch_id-guarded staged publication):
+    replays then converge to exactly one copy. The sidecar refresh is
+    idempotent under either mode (dynamic overwrite of the touched days)."""
+    data_sink = None
+    if exactly_once:
+        from .stream import exactly_once_sink
+
+        data_sink = exactly_once_sink(path)
 
     def sink_fn(batch: DataFrame, batch_id: int) -> None:
-        write_logs(batch, path, mode="append")
+        if data_sink is not None:
+            data_sink(batch, batch_id)
+        else:
+            write_logs(batch, path, mode="append")
         days = [
             str(r[0])
             for r in batch.select(

@@ -364,3 +364,86 @@ def test_token_bloom_index_incremental_refresh(spark, tmp_path):
     assert hits.count() == 5
     # old-day tokens still found through the untouched sidecar partitions
     assert fulltext_token_search(spark, path, ["user=7"]).count() > 0
+
+
+def test_token_bloom_or_and_phrase_prune_partitions(spark, tmp_path):
+    """match='any' and phrase search must both prune via the sidecar
+    (PartitionFilters IN-list) and agree with the unindexed filters —
+    pruning may never lose a row in either mode."""
+    from pyspark.sql import functions as F
+
+    from klogs_spark.table import (
+        fulltext_phrase_search, fulltext_token_search, read_logs,
+        write_logs, write_token_bloom_index,
+    )
+    from klogs_spark.views import derive_logs_from_events
+
+    path = str(tmp_path / "logs")
+    write_logs(derive_logs_from_events(spark, "/root/testdata/sf0.001"), path)
+    write_token_bloom_index(spark, path)
+    jvm = spark._sc._jvm
+
+    def plan_of(df):
+        return jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+
+    base = read_logs(spark, path)
+    toks = F.split(F.col("log"), " ")
+
+    or_hits = fulltext_token_search(
+        spark, path, ["user=7", "user=8"], match="any"
+    )
+    pf = next(l for l in plan_of(or_hits).splitlines()
+              if "PartitionFilters" in l)
+    assert "date" in pf and "IN" in pf.upper()
+    expected_or = sorted(
+        tuple(r) for r in base.filter(
+            F.array_contains(toks, "user=7") | F.array_contains(toks, "user=8")
+        ).collect()
+    )
+    assert sorted(tuple(r) for r in or_hits.collect()) == expected_or
+    assert expected_or
+
+    phrase = "type=error user=7"
+    ph_hits = fulltext_phrase_search(spark, path, phrase)
+    pf = next(l for l in plan_of(ph_hits).splitlines()
+              if "PartitionFilters" in l)
+    assert "date" in pf and "IN" in pf.upper()
+    expected_ph = sorted(
+        tuple(r) for r in base.filter(F.col("log").contains(phrase)).collect()
+    )
+    assert sorted(tuple(r) for r in ph_hits.collect()) == expected_ph
+
+
+def test_retention_drops_token_bloom_sidecar_days(spark, tmp_path):
+    """apply_retention must delete the dropped day's _token_bloom sidecar
+    partition along with the data partition, and the search must still work
+    over the surviving days."""
+    import os
+    from datetime import date, timedelta
+
+    from klogs_spark.table import (
+        TOKEN_BLOOM_DIR, apply_retention, fulltext_token_search, read_logs,
+        write_logs, write_token_bloom_index,
+    )
+    from klogs_spark.views import derive_logs_from_events
+
+    path = str(tmp_path / "logs")
+    write_logs(derive_logs_from_events(spark, "/root/testdata/sf0.001"), path)
+    write_token_bloom_index(spark, path)
+    days = sorted(
+        r.date for r in read_logs(spark, path).select("date").distinct()
+        .collect()
+    )
+    assert len(days) >= 2
+    # retain everything except the oldest day
+    oldest = days[0]
+    today = oldest + timedelta(days=3)
+    dropped = apply_retention(path, retention_days=2, today=today, spark=spark)
+    assert f"date={oldest}" in dropped
+    assert not os.path.exists(f"{path}/date={oldest}")
+    assert not os.path.exists(f"{path}/{TOKEN_BLOOM_DIR}/date={oldest}")
+    # surviving days' sidecar intact and searchable
+    assert os.path.exists(f"{path}/{TOKEN_BLOOM_DIR}/date={days[1]}")
+    assert fulltext_token_search(spark, path, ["user=7"]).count() > 0

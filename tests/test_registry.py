@@ -57,3 +57,20 @@ def test_rewritten_query_reenters_window():
         fn=specs[name].fn, oracle=(specs[name].oracle or "") + " -- edited"
     )
     assert DRIVER_VERIFIED.get(name) != spec_content_hash(tampered)
+
+
+def test_readme_query_count_matches_registry():
+    """README's stated registry-query count must equal len(registry()) —
+    the count drifted by hand twice in round 7; now it fails the suite
+    instead."""
+    import re
+
+    from klogs_spark.queries import registry
+
+    text = open("README.md").read()
+    m = re.search(r"(\d+) registry queries", text)
+    assert m, "README must state the registry query count"
+    assert int(m.group(1)) == len(registry()), (
+        f"README says {m.group(1)} registry queries, registry() has "
+        f"{len(registry())} — update README.md's Query surface section"
+    )

@@ -228,6 +228,25 @@ def main() -> None:
                           "'value' includes queries newly added to the "
                           "bench this round — use comparable_r4_subtotal_sec "
                           "for round-over-round comparison",
+                "notes": {
+                    # r7 flagged tpch_q1 crossing 2x (0.318 -> 0.734).
+                    # Root-caused in r8: sf0.1 lineitem.parquet ships as ONE
+                    # 600k-row row group in ONE file, so the scan+agg is a
+                    # single task no matter the core count — isolated
+                    # timings put the floor at ~0.19s (pushed-filter scan)
+                    # + ~0.32s (8-function agg) single-threaded. The plan
+                    # is optimal (PushedFilters carries the shipdate range,
+                    # the NTZ->LTZ cast is constant-folded away, two-phase
+                    # HashAggregate); the r5->r7 delta tracks the driver's
+                    # testdata regeneration (timestamp encoding changed in
+                    # r6) plus box noise. At 100 TB the table is many
+                    # files/row-groups and the same plan parallelizes.
+                    "tpch_q1_pricing_summary":
+                        "single-row-group input file => 1-task scan+agg; "
+                        "plan verified optimal (full pushdown, cast "
+                        "eliminated); delta vs r5 = testdata regeneration "
+                        "+ box noise",
+                },
             }
         )
     )

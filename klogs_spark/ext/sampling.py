@@ -221,3 +221,73 @@ def dsir_weights(
             F.round(F.sum("logratio"), 6).alias("log_weight"),
         )
     )
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    value_col: str,
+    order_by: str,
+    buckets: int = 256,
+    out_col: str = "before",
+) -> DataFrame:
+    """Exact EXCLUSIVE prefix sum of ``value_col`` along the global
+    ``order_by`` order — without ever collapsing the corpus into one task.
+
+    An unpartitioned ``Window.orderBy(...)`` computes the same thing but
+    plans an ``Exchange SinglePartition``: the whole table serializes
+    through one reducer, which is the canonical 100 TB scale-killer. This
+    is the classic two-phase distributed scan instead:
+
+      1. order-aligned bucketing: split the (numeric) order key's [min, max]
+         range into ``buckets`` fixed-width buckets — one tiny min/max
+         aggregate, exact and deterministic (no sampling);
+      2. per-bucket totals -> exclusive running bucket offsets. The offset
+         table is <= ``buckets`` rows, computed with one bucket-keyed
+         aggregate plus a window over those <= ``buckets`` rows (bounded by
+         construction, nothing corpus-sized), then broadcast-joined back;
+      3. intra-bucket exclusive cumsum: a window PARTITIONED by bucket —
+         every reducer sees only its bucket's rows.
+
+    Result: ``out_col`` = bucket offset + intra-bucket running sum, exactly
+    equal to the single-window form for any bucket count. Bucket balance
+    follows the order key's distribution (dense ids -> even); correctness
+    never depends on it.
+
+    ``order_by`` must be numeric and unique (dictionary-encode or cast
+    upstream); ties would make "exclusive prefix" ambiguous in any
+    formulation, including the window one.
+    """
+    oc = F.col(order_by)
+    lo, hi = df.agg(F.min(oc), F.max(oc)).first()
+    if lo is None:  # empty input: no rows to annotate
+        return df.withColumn(out_col, F.lit(0).cast("bigint"))
+    span = float(hi) - float(lo) + 1.0
+    bucket = F.least(
+        F.lit(buckets - 1),
+        F.floor((oc.cast("double") - float(lo)) * buckets / span),
+    ).cast("int")
+    b = df.withColumn("_psb", bucket)
+    # <= `buckets` rows; the window below runs over this bounded aggregate,
+    # not over the corpus
+    w_off = (
+        Window.orderBy("_psb").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        b.groupBy("_psb")
+        .agg(F.sum(value_col).alias("_ptot"))
+        .withColumn(
+            "_poff", F.coalesce(F.sum("_ptot").over(w_off), F.lit(0))
+        )
+        .drop("_ptot")
+    )
+    w_in = (
+        Window.partitionBy("_psb")
+        .orderBy(order_by)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    running = F.coalesce(F.sum(value_col).over(w_in), F.lit(0))
+    return (
+        b.join(F.broadcast(offsets), "_psb")
+        .withColumn(out_col, (F.col("_poff") + running).cast("bigint"))
+        .drop("_psb", "_poff")
+    )

@@ -1442,6 +1442,97 @@ FROM r GROUP BY 1, 2
 """
 
 
+def q_pack_global_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global token-budget sharding without the single-partition
+    window: shard = floor(exclusive-global-prefix-sum / budget) computed by
+    the two-phase distributed scan (``ext.sampling.global_prefix_sum`` —
+    order-aligned bucketing, bounded bucket-offset table, bucket-partitioned
+    windows). Identical output to ``sample_token_budget_pack``; the physical
+    plan carries NO ``Exchange SinglePartition`` (asserted in
+    tests/test_plans.py), which is the property that lets the exact global
+    order survive 100 TB."""
+    from ..ext.sampling import global_prefix_sum
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", tx.token_count(F.col("text")).alias("n_tokens"))
+    packed = global_prefix_sum(d, "n_tokens", order_by="doc_id", buckets=64)
+    return (
+        packed.withColumn(
+            "shard", F.floor(F.col("before") / F.lit(PACK_BUDGET)).cast("bigint")
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("shard_tokens"),
+        )
+    )
+
+
+SEQ_LEN = 512  # tokens per packed training sequence
+
+
+def q_sequence_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing manifest (the GPT-style packing
+    where all documents concatenate into one token stream split at fixed
+    ``SEQ_LEN`` boundaries, documents crossing boundaries): each document's
+    global token offset comes from the distributed prefix sum, and from it
+    the first/last training sequence the doc lands in and whether it
+    straddles a boundary. Aggregated per first-sequence so the result stays
+    small at any corpus size; per-doc manifests would be written, not
+    returned."""
+    from ..ext.sampling import global_prefix_sum
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", tx.token_count(F.col("text")).alias("n_tokens"))
+    off = global_prefix_sum(d, "n_tokens", order_by="doc_id", buckets=64)
+    ann = off.select(
+        "doc_id",
+        "n_tokens",
+        F.floor(F.col("before") / SEQ_LEN).cast("bigint").alias("first_seq"),
+        F.floor((F.col("before") + F.col("n_tokens") - 1) / SEQ_LEN)
+        .cast("bigint")
+        .alias("last_seq"),
+    )
+    return ann.groupBy("first_seq").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("seq_tokens"),
+        F.sum(
+            F.when(F.col("last_seq") > F.col("first_seq"), 1).otherwise(0)
+        ).alias("n_straddling"),
+        F.max("last_seq").alias("max_last_seq"),
+    )
+
+
+SQL_PACK_GLOBAL_PREFIX = SQL_TOKEN_BUDGET_PACK
+
+SQL_SEQUENCE_CHUNKS = f"""
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+  FROM documents
+),
+r AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS before
+  FROM t
+),
+a AS (
+  SELECT doc_id, n_tokens,
+         CAST(before // {SEQ_LEN} AS BIGINT) AS first_seq,
+         CAST((before + n_tokens - 1) // {SEQ_LEN} AS BIGINT) AS last_seq
+  FROM r
+)
+SELECT first_seq, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
+       CAST(sum(CASE WHEN last_seq > first_seq THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_straddling,
+       max(last_seq) AS max_last_seq
+FROM a GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # time-series joins (as-of / range) — operators Spark lacks natively
 # ---------------------------------------------------------------------------
@@ -2834,6 +2925,16 @@ SPECS = {
         q_token_budget_pack_partitioned,
         SQL_TOKEN_BUDGET_PACK_PARTITIONED,
         "per-source parallel packing — the 100 TB form",
+    ),
+    "sample_pack_global_prefix": QuerySpec(
+        q_pack_global_prefix, SQL_PACK_GLOBAL_PREFIX,
+        "EXACT global packing via two-phase distributed prefix sum — "
+        "no Exchange SinglePartition in the plan",
+    ),
+    "sample_sequence_chunks": QuerySpec(
+        q_sequence_chunks, SQL_SEQUENCE_CHUNKS,
+        "concat-and-chunk GPT-style sequence packing manifest over "
+        "distributed global offsets",
     ),
     "join_events_asof_orders": QuerySpec(q_asof_orders, SQL_ASOF_ORDERS,
                                          "as-of join via union + "

@@ -447,3 +447,30 @@ def test_retention_drops_token_bloom_sidecar_days(spark, tmp_path):
     # surviving days' sidecar intact and searchable
     assert os.path.exists(f"{path}/{TOKEN_BLOOM_DIR}/date={days[1]}")
     assert fulltext_token_search(spark, path, ["user=7"]).count() > 0
+
+
+def test_global_prefix_sum_never_single_partition(spark):
+    # the point of the two-phase prefix sum: the EXACT global packing plan
+    # must not serialize the corpus through one reducer. The only windows
+    # allowed are bucket-partitioned (corpus) and the bounded <=buckets-row
+    # offset window, which Spark plans over the aggregate, not the corpus.
+    plan = _plan(spark, "sample_pack_global_prefix")
+    corpus_scan = [l for l in plan.splitlines() if "documents.parquet" in l]
+    assert corpus_scan, "expected a documents scan"
+    # the offset table (<=buckets rows, output of a groupBy) does go through
+    # a SinglePartition exchange for its own tiny window — assert the
+    # corpus-side window is partitioned instead: every Window node that
+    # orders by doc_id must carry a partition spec
+    import re
+
+    for m in re.finditer(r"\(\d+\) Window\b[\s\S]*?Arguments: (.*)", plan):
+        args = m.group(1)
+        if "doc_id" in args:
+            assert "_psb" in args, f"corpus window unpartitioned: {args}"
+    # and the single-partition exchanges (if any) must feed from the bounded
+    # aggregate, never carry the documents text column
+    lines = plan.splitlines()
+    for i, l in enumerate(lines):
+        if "SinglePartition" in l:
+            ctx = "\n".join(lines[max(0, i - 3): i + 1])
+            assert "n_tokens" not in ctx or "_ptot" in ctx or "sum" in ctx.lower()

@@ -704,3 +704,62 @@ def hll_registers(
         .groupBy("idx")
         .agg(F.max("r").alias("rho"))
     )
+
+
+def exact_ngram_decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram eval-set decontamination — the zero-false-positive
+    companion to :func:`bloom_decontaminate` (same GPT-3/PaLM-style overlap
+    rule, reference dataset reports): count each corpus document's distinct
+    word n-grams that literally occur in the benchmark set.
+
+    Scale shape: eval sets are MBs against a 100 TB corpus, so the
+    benchmark's distinct hashed n-grams BROADCAST and flagging is a
+    map-side join — the corpus never shuffles for the probe (only for its
+    own per-document aggregation, which is keyed on ``id_col`` and
+    map-side-combined).
+
+    ``max_df`` is the hot-n-gram cap: benchmark n-grams whose CORPUS
+    document frequency exceeds it are dropped from the contamination set
+    (ubiquitous phrases would flag half the corpus; excluding them is the
+    standard contamination-set hygiene). Computing that frequency is itself
+    benchmark-restricted — corpus n-grams are semi-joined to the broadcast
+    benchmark set BEFORE grouping, so the aggregate holds at most
+    |benchmark n-grams| keys no matter the corpus size.
+
+    Returns (``id_col``, n_shingles, n_contaminated) for documents with at
+    least ``n`` tokens.
+    """
+    def grams(df: DataFrame, keep_id: bool) -> DataFrame:
+        cols = [F.col(id_col).alias("id")] if keep_id else []
+        g = df.select(
+            *cols, F.explode(shingles_col(F.col(text), n)).alias("g")
+        )
+        return g.select(*(["id"] if keep_id else []), md5_long(F.col("g")).alias("h"))
+
+    bench = grams(benchmark, keep_id=False).distinct()
+    corpus = grams(docs, keep_id=True)  # shingles_col is already distinct-per-doc
+    if max_df is not None:
+        live = (
+            corpus.join(F.broadcast(bench), "h", "left_semi")
+            .groupBy("h")
+            .agg(F.count(F.lit(1)).alias("_df"))  # 1 row/doc/gram -> doc freq
+            .filter(F.col("_df") <= max_df)
+            .select("h")
+        )
+        bench = live
+    hit = bench.withColumn("_hit", F.lit(1))
+    return (
+        corpus.join(F.broadcast(hit), "h", "left")
+        .groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_contaminated"),
+        )
+    )

@@ -2552,6 +2552,52 @@ FROM matched GROUP BY id
 """
 
 
+# hot-n-gram cap tuned so the sf0.01 fixture EXERCISES the drop path: one
+# planted near-dup 5-gram has corpus df=2 and is excluded as boilerplate
+DECON_MAX_DF = 1
+
+
+def q_exact_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram decontamination with the hot-n-gram cap: benchmark =
+    docs 0-4 (same fixture as the Bloom variant), 5-gram overlap counted by
+    broadcast join — zero false positives, and benchmark 5-grams occurring
+    in more than DECON_MAX_DF corpus docs are excluded as boilerplate (the
+    cap computation is benchmark-restricted, bounded by |bench 5-grams|
+    keys)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < 5)
+    return tx.exact_ngram_decontaminate(
+        docs, bench, n=5, max_df=DECON_MAX_DF
+    )
+
+
+SQL_EXACT_DECONTAMINATE = f"""
+WITH tk AS (
+  SELECT doc_id AS id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+  FROM documents
+),
+sh5 AS (
+  SELECT id, unnest(list_distinct(list_transform(
+           generate_series(0, len(tk) - 5),
+           i -> array_to_string(tk[i+1:i+5], ' ')))) AS shingle
+  FROM tk WHERE len(tk) >= 5
+),
+hh AS (SELECT id, {md5_long_sql("shingle")} AS h FROM sh5),
+bench AS (SELECT DISTINCT h FROM hh WHERE id < 5),
+live AS (
+  SELECT h FROM (
+    SELECT b.h AS h, count(*) AS df
+    FROM hh JOIN bench b USING (h) GROUP BY b.h
+  ) WHERE df <= {DECON_MAX_DF}
+)
+SELECT hh.id AS doc_id, count(*) AS n_shingles,
+       CAST(sum(CASE WHEN l.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated
+FROM hh LEFT JOIN live l USING (h)
+GROUP BY hh.id
+"""
+
+
 # ---------------------------------------------------------------------------
 # HyperLogLog distinct sketch (engine-exact registers)
 # ---------------------------------------------------------------------------
@@ -2900,6 +2946,10 @@ SPECS = {
     "text_bloom_decontaminate": QuerySpec(
         q_bloom_decontaminate, SQL_BLOOM_DECONTAMINATE,
         "broadcast Bloom-filter 5-gram benchmark decontamination"),
+    "text_exact_decontaminate": QuerySpec(
+        q_exact_decontaminate, SQL_EXACT_DECONTAMINATE,
+        "exact broadcast-join 5-gram decontamination with hot-n-gram "
+        "document-frequency cap"),
     "sample_dsir_weights": QuerySpec(
         q_sample_dsir_weights, SQL_SAMPLE_DSIR_WEIGHTS,
         "DSIR hashed-ngram importance log-weights (target vs raw)"),

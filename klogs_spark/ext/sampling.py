@@ -291,3 +291,33 @@ def global_prefix_sum(
         .withColumn(out_col, (F.col("_poff") + running).cast("bigint"))
         .drop("_psb", "_poff")
     )
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    key: str,
+    seed: str,
+    shards: int,
+) -> DataFrame:
+    """Reproducible corpus-wide shuffle into training-order shards: every row
+    gets (``shard``, ``pos``) such that reading shards in id order and rows
+    in ``pos`` order visits the corpus in a fixed pseudo-random permutation —
+    identical on every run and any cluster, with no ``rand()`` anywhere.
+
+    The permutation key is the content hash of ``seed || key``: shard =
+    hash % shards routes rows, and ``pos`` ranks within each shard by
+    (hash, key) — a window PARTITIONED by shard, so each reducer sorts only
+    ~|corpus|/shards rows. At 100 TB the shard count is the output-file
+    count (thousands), every shard's sort fits its reducer, and nothing
+    resembles a global orderBy. Changing ``seed`` yields an independent
+    permutation (new epoch ordering) without touching the data.
+    """
+    h = md5_long(F.concat(F.lit(f"{seed}:"), F.col(key).cast("string")))
+    with_shard = df.withColumn("_gsh", h).withColumn(
+        "shard", (F.col("_gsh") % shards).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy("_gsh", key)
+    return (
+        with_shard.withColumn("pos", F.row_number().over(w))
+        .drop("_gsh")
+    )

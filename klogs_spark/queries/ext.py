@@ -1503,6 +1503,49 @@ def q_sequence_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SHUFFLE_SEED = "epoch-0"
+SHUFFLE_SHARDS = 16
+
+
+def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle fingerprint: shard the corpus by
+    content hash of (seed, doc_id), rank within each shard by hash, and
+    return per-shard counts plus an order-sensitive checksum (sum of
+    pos * doc_id) — any deviation in the permutation, assignment, or
+    intra-shard order changes the checksum. Window is PARTITIONED by shard;
+    no global sort anywhere."""
+    from ..ext.sampling import deterministic_shuffle
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    sh = deterministic_shuffle(
+        docs, "doc_id", seed=SHUFFLE_SEED, shards=SHUFFLE_SHARDS
+    )
+    return sh.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc"),
+        F.sum(F.col("pos") * F.col("doc_id")).alias("order_checksum"),
+    )
+
+
+SQL_GLOBAL_SHUFFLE = f"""
+WITH h AS (
+  SELECT doc_id,
+         {md5_long_sql(f"concat('{SHUFFLE_SEED}:', CAST(doc_id AS VARCHAR))")}
+           AS gh
+  FROM documents
+),
+r AS (
+  SELECT doc_id, CAST(gh % {SHUFFLE_SHARDS} AS INT) AS shard,
+         ROW_NUMBER() OVER (PARTITION BY gh % {SHUFFLE_SHARDS}
+                            ORDER BY gh, doc_id) AS pos
+  FROM h
+)
+SELECT shard, count(*) AS n_docs, min(doc_id) AS min_doc,
+       CAST(sum(pos * doc_id) AS BIGINT) AS order_checksum
+FROM r GROUP BY 1
+"""
+
+
 SQL_PACK_GLOBAL_PREFIX = SQL_TOKEN_BUDGET_PACK
 
 SQL_SEQUENCE_CHUNKS = f"""
@@ -2985,6 +3028,11 @@ SPECS = {
         q_sequence_chunks, SQL_SEQUENCE_CHUNKS,
         "concat-and-chunk GPT-style sequence packing manifest over "
         "distributed global offsets",
+    ),
+    "sample_global_shuffle": QuerySpec(
+        q_global_shuffle, SQL_GLOBAL_SHUFFLE,
+        "deterministic rand()-free training-order shuffle with "
+        "order-sensitive per-shard checksum",
     ),
     "join_events_asof_orders": QuerySpec(q_asof_orders, SQL_ASOF_ORDERS,
                                          "as-of join via union + "

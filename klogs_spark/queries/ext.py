@@ -1503,6 +1503,42 @@ def q_sequence_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine pin of the z-order sort value (ext/zorder): Morton
+    interleave of full-width-scaled value ranks over (source, lang),
+    aggregated per dimension pair — any drift in rank scaling or bit
+    placement changes min/max/sum of z. The layout property itself (row-
+    group admission narrowing for trailing dims) is pinned by
+    tests/test_table.py."""
+    from ..ext.zorder import add_zorder
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang"
+    )
+    z = add_zorder(docs, ["source", "lang"])
+    return z.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("_z").alias("z_min"),
+        F.max("_z").alias("z_max"),
+        F.sum("_z").alias("z_sum"),
+    )
+
+
+def _sql_zorder_values() -> str:
+    from ..ext.zorder import zorder_sql
+
+    inner = zorder_sql("documents", ["source", "lang"])
+    return f"""
+WITH zt AS ({inner})
+SELECT source, lang, count(*) AS n_docs,
+       min(z) AS z_min, max(z) AS z_max, CAST(sum(z) AS BIGINT) AS z_sum
+FROM zt GROUP BY 1, 2
+"""
+
+
+SQL_ZORDER_VALUES = _sql_zorder_values()
+
+
 SHUFFLE_SEED = "epoch-0"
 SHUFFLE_SHARDS = 16
 
@@ -3033,6 +3069,11 @@ SPECS = {
         q_global_shuffle, SQL_GLOBAL_SHUFFLE,
         "deterministic rand()-free training-order shuffle with "
         "order-sensitive per-shard checksum",
+    ),
+    "table_zorder_values": QuerySpec(
+        q_zorder_values, SQL_ZORDER_VALUES,
+        "Morton z-order sort value: full-width scaled ranks, bit "
+        "interleave pinned cross-engine",
     ),
     "join_events_asof_orders": QuerySpec(q_asof_orders, SQL_ASOF_ORDERS,
                                          "as-of join via union + "

@@ -112,6 +112,42 @@ def write_logs_promoted(
     write_logs(out, path, mode)
 
 
+def write_logs_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_on: tuple[str, ...] = ("namespace", "app", "host"),
+    mode: str = "append",
+    max_records_per_file: int = 4_000_000,
+) -> None:
+    """Write logs z-ordered inside each day partition instead of
+    lexicographically cluster-sorted.
+
+    The lexicographic cluster key (schema.sql:18, :func:`write_logs`) gives
+    all of its row-group-skipping power to leading columns; an equality
+    filter on a trailing dimension (host) touches every row group. Sorting
+    by the Morton interleave of the dimensions' hashes
+    (:func:`klogs_spark.ext.zorder.zorder_value`) spreads the locality so
+    min/max stats skip for ANY of the z-ordered columns — the right layout
+    when the query mix filters on several dimensions none of which
+    dominates. Timestamp remains the final sort component so time ranges
+    stay locally ordered within a z-run.
+    """
+    from .ext.zorder import add_zorder
+
+    dated = df.withColumn(PARTITION_COLUMN, F.to_date(F.col("timestamp")))
+    (
+        add_zorder(dated, list(zorder_on))
+        .hint("rebalance", PARTITION_COLUMN)
+        .sortWithinPartitions(PARTITION_COLUMN, "_z", "timestamp")
+        .drop("_z")
+        .select(*dated.columns)
+        .write.mode(mode)
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy(PARTITION_COLUMN)
+        .parquet(path)
+    )
+
+
 def compact_partition(
     spark: SparkSession,
     path: str,

@@ -80,3 +80,83 @@ def test_retention_drops_old_partitions(spark, logs_df, tmp_path):
     assert read_logs(spark, path).count() == 3
     # idempotent
     assert apply_retention(path, 30, date(2026, 2, 2)) == []
+
+
+def test_zorder_write_roundtrips_and_narrows_trailing_dim(spark, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from klogs_spark.ext.zorder import add_zorder
+    from klogs_spark.table import write_logs_zordered
+    from klogs_spark.views import derive_logs_from_events
+
+    logs = derive_logs_from_events(spark, "/root/testdata/sf0.01")
+
+    # 1) the z-ordered table write preserves every row and the daily layout
+    path = str(tmp_path / "ztable")
+    write_logs_zordered(logs, path, mode="overwrite")
+    back = spark.read.parquet(path)
+    assert back.count() == logs.count()
+    assert back.select("namespace").distinct().count() == 5
+
+    # 2) layout property, isolated from day-partition sizes: one file per
+    # layout, tiny row groups, admission counted from parquet min/max stats.
+    # Lexicographic (namespace, app, host) leaves `host` (trailing) with no
+    # skipping at all; rank-interleave z-order must narrow it materially
+    # while staying bounded on the other dims.
+    dims = logs.select("namespace", "app", "host")
+
+    def admitted(path: str, col: str, val: str) -> tuple[int, int]:
+        admit = total = 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx[col]).statistics
+                total += 1
+                if st is None or st.min is None or st.min <= val <= st.max:
+                    admit += 1
+        return admit, total
+
+    lex = str(tmp_path / "lex")
+    zed = str(tmp_path / "zed")
+    (
+        dims.coalesce(1)
+        .sortWithinPartitions("namespace", "app", "host")
+        .write.option("parquet.block.size", 32 * 1024)
+        .parquet(lex)
+    )
+    (
+        add_zorder(dims, ["namespace", "app", "host"])
+        .coalesce(1)
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.option("parquet.block.size", 32 * 1024)
+        .parquet(zed)
+    )
+    def dim_totals(path: str, col: str) -> tuple[int, int]:
+        vals = [r[0] for r in dims.select(col).distinct().collect()]
+        hits = total = 0
+        for v in vals:
+            a, t = admitted(path, col, v)
+            hits, total = hits + a, total + t
+        return hits, total
+
+    lex_host = dim_totals(lex, "host")
+    z_host = dim_totals(zed, "host")
+    lex_app = dim_totals(lex, "app")
+    z_app = dim_totals(zed, "app")
+    assert lex_host[1] >= 8 * 8, "need several row groups x 8 hosts"
+    # trailing dim gets ZERO skipping from the lexicographic sort...
+    assert lex_host[0] == lex_host[1]
+    # ...and z-order must strictly narrow BOTH non-leading dims, plus the
+    # all-dims total (leading-dim loss is the accepted z-order trade)
+    assert z_host[0] < lex_host[0]
+    assert z_app[0] < lex_app[0]
+    lex_ns = dim_totals(lex, "namespace")
+    z_ns = dim_totals(zed, "namespace")
+    lex_sum = lex_host[0] + lex_app[0] + lex_ns[0]
+    z_sum = z_host[0] + z_app[0] + z_ns[0]
+    assert z_sum < lex_sum, f"z-order total admission {z_sum} vs lex {lex_sum}"

@@ -99,6 +99,42 @@ def build_ivfpq_index(
     )
 
 
+def refresh_ivfpq_index(
+    new_emb: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = sim.PQ_SUBSPACES,
+    dim: int = sim.EMB_DIM,
+) -> None:
+    """Incremental index maintenance: assign and PQ-encode ONLY the new
+    vectors against the STORED coarse quantizer and codebooks, appending to
+    the cell-partitioned ``codes`` — no retraining, no rewrite of existing
+    cells' files (parquet append adds files inside the touched
+    ``centroid_id=`` directories only).
+
+    This is the FAISS train-once/add-many contract and the 100 TB ingest
+    shape: the daily job's cost scales with the increment, not the corpus.
+    Quantizer drift as the distribution shifts is real but out of scope
+    here — production gates a re-train on recall monitoring, then rebuilds
+    under a fresh index path. Callers must ensure new ids are disjoint
+    from stored ones (the same at-least-once contract as the data path).
+    """
+    spark = new_emb.sparkSession
+    cents_stored = spark.read.parquet(f"{path}/centroids")
+    cb_stored = spark.read.parquet(f"{path}/codebooks")
+    assigned = sim.ivf_assign(new_emb, cents_stored, id_col, vec_col).select(
+        "id", "centroid_id"
+    )
+    codes = sim.pq_encode(new_emb, cb_stored, id_col, vec_col, m, dim)
+    (
+        codes.join(assigned, "id")
+        .write.mode("append")
+        .partitionBy("centroid_id")
+        .parquet(f"{path}/codes")
+    )
+
+
 def probe_cells(
     spark: SparkSession, path: str, query_vec: list[float], n_probe: int
 ) -> list[int]:

@@ -2427,6 +2427,135 @@ def q_ann_ivfpq_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ANN_REFRESH_CUTOFF = 450  # vectors with id >= this arrive AFTER index training
+
+
+def q_ann_ivfpq_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance end-to-end: train the IVF-PQ index on
+    the base corpus (vec_id < {cut}), then REFRESH it with the late-arriving
+    tail (ext/ann_index.refresh_ivfpq_index — assign + encode only the new
+    vectors against the STORED quantizer/codebooks, parquet-append into the
+    probed cells), then search the refreshed index. The oracle trains its
+    CTE chains on the base subset only but encodes/assigns everyone —
+    exactly the semantics of train-once/add-many. At 100 TB this is the
+    daily embedding-ingest job: cost proportional to the increment, zero
+    rewrite of existing cells.""".format(cut=ANN_REFRESH_CUTOFF)
+    import os
+    import shutil
+
+    from ..ext import ann_index
+
+    path = f"{_ivfpq_index_dir(sf_dir)}-refresh{ANN_REFRESH_CUTOFF}"
+    if not os.path.exists(os.path.join(path, "codes", "_SUCCESS")):
+        emb = load_table(spark, sf_dir, "embeddings")
+        tmp = f"{path}.build{os.getpid()}"
+        ann_index.build_ivfpq_index(
+            emb.filter(F.col("vec_id") < ANN_REFRESH_CUTOFF), tmp,
+            ivf_k=IVF_K, refine_iters=IVF_REFINE_ITERS, ivf_round=IVF_ROUND,
+        )
+        ann_index.refresh_ivfpq_index(
+            emb.filter(F.col("vec_id") >= ANN_REFRESH_CUTOFF), tmp
+        )
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        try:
+            os.replace(tmp, path)
+        except OSError:
+            # concurrent builder won the rename; both indexes are identical
+            shutil.rmtree(tmp, ignore_errors=True)
+    qv = _query_vec(spark, sf_dir)
+    return ann_index.ivfpq_search(
+        spark, path, qv, k=IVFPQ_K, n_probe=IVFPQ_NPROBE,
+    )
+
+
+def _assign_cte_from(src: str, cent_table: str, out: str) -> str:
+    """Like _assign_cte but over an arbitrary (vec_id, v) source — the
+    refresh oracle trains on the base subset, not ``e``."""
+    return f"""{out} AS (
+  SELECT id, v, centroid_id FROM (
+    SELECT {src}.vec_id AS id, {src}.v, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY {src}.vec_id
+             ORDER BY {_cos_sql(f'{src}.v', 'c.cv')} DESC, c.centroid_id
+           ) AS rn
+    FROM {src}, {cent_table} c
+  ) WHERE rn = 1
+)"""
+
+
+_REFRESH_IV_CHAIN = ",\n".join(
+    f"{_assign_cte_from('eb', f'rv_c{i}', f'rv_a{i + 1}')},\n"
+    f"{_refine_cte(f'rv_a{i + 1}', f'rv_c{i + 1}')}"
+    for i in range(IVF_REFINE_ITERS)
+)
+_REFRESH_FINAL_C = f"rv_c{IVF_REFINE_ITERS}"
+
+SQL_ANN_IVFPQ_REFRESH = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+eb AS (SELECT * FROM e WHERE vec_id < {ANN_REFRESH_CUTOFF}),
+sv AS (
+  SELECT vec_id AS id, s.m AS m,
+         v[s.m * {_PQ_PER} + 1 : s.m * {_PQ_PER} + {_PQ_PER}] AS sv
+  FROM e, generate_series(0, {sim.PQ_SUBSPACES - 1}) AS s(m)
+),
+svb AS (SELECT * FROM sv WHERE id < {ANN_REFRESH_CUTOFF}),
+rc0 AS (SELECT m, id AS centroid_id, sv AS cv FROM svb WHERE id < {sim.PQ_CODEBOOK_K}),
+ra0 AS (
+  SELECT id, m, sv, centroid_id AS code FROM (
+    SELECT svb.id, svb.m, svb.sv, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY svb.id, svb.m
+             ORDER BY {_l2_sql('svb.sv', 'c.cv')} ASC, c.centroid_id
+           ) AS rn
+    FROM svb JOIN rc0 c ON svb.m = c.m
+  ) WHERE rn = 1
+),
+rc1 AS (
+  SELECT m, centroid_id, list(c ORDER BY pos) AS cv FROM (
+    SELECT m, code AS centroid_id, i - 1 AS pos,
+           round(avg(sv[i]), {sim.PQ_ROUND}) AS c
+    FROM ra0, generate_series(1, {_PQ_PER}) AS t(i)
+    GROUP BY m, code, i - 1
+  ) GROUP BY m, centroid_id
+),
+rv_c0 AS (SELECT vec_id AS centroid_id, v AS cv FROM eb WHERE vec_id < {IVF_K}),
+{_REFRESH_IV_CHAIN},
+{_assign_cte(_REFRESH_FINAL_C, 'rv_assigned')},
+qv AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+probe AS (
+  SELECT centroid_id FROM {_REFRESH_FINAL_C} cents, qv
+  ORDER BY {_cos_sql('cents.cv', 'qv.qv')} DESC, centroid_id
+  LIMIT {IVFPQ_NPROBE}
+),
+cand AS (
+  SELECT id FROM rv_assigned
+  WHERE centroid_id IN (SELECT centroid_id FROM probe)
+),
+enc AS (
+  SELECT id, m, centroid_id AS code FROM (
+    SELECT sv.id, sv.m, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY sv.id, sv.m
+             ORDER BY {_l2_sql('sv.sv', 'c.cv')} ASC, c.centroid_id
+           ) AS rn
+    FROM sv JOIN rc1 c ON sv.m = c.m
+    WHERE sv.id IN (SELECT id FROM cand)
+  ) WHERE rn = 1
+),
+q AS (SELECT m, sv AS qsv FROM sv WHERE id = 0),
+dt AS (
+  SELECT rc1.m, rc1.centroid_id AS code,
+         CAST(floor({_l2_sql('rc1.cv', 'q.qsv')} * 1000000) AS BIGINT) AS dmic
+  FROM rc1 JOIN q ON rc1.m = q.m
+)
+SELECT enc.id, CAST(sum(dt.dmic) AS BIGINT) AS adist_micros
+FROM enc JOIN dt ON enc.m = dt.m AND enc.code = dt.code
+GROUP BY enc.id
+ORDER BY adist_micros, id
+LIMIT {IVFPQ_K}
+"""
+
+
 # ---------------------------------------------------------------------------
 # semantic dedup (SemDeDup), DSIR importance weights, Bloom decontamination
 # ---------------------------------------------------------------------------
@@ -3120,6 +3249,11 @@ SPECS = {
         q_ann_ivfpq_prebuilt, SQL_ANN_IVFPQ_TOPK,
         "IVF-PQ search over the PERSISTED parquet index (ext/ann_index): "
         "partition-pruned cell reads, no training in the query plan",
+    ),
+    "ann_ivfpq_refresh": QuerySpec(
+        q_ann_ivfpq_refresh, SQL_ANN_IVFPQ_REFRESH,
+        "incremental index maintenance: train on base corpus, append-encode "
+        "the late tail against stored codebooks, search the refreshed index",
     ),
     "text_top_terms_per_source": QuerySpec(
         q_top_terms_per_source, SQL_TOP_TERMS_PER_SOURCE,

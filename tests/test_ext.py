@@ -593,3 +593,34 @@ def test_tracked_caches_release_after_ann_and_semdedup(spark):
     released = release_tracked()
     assert released > 0
     assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() <= before
+
+
+def test_ivfpq_refresh_appends_without_rewriting_existing_files(spark, tmp_path):
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from klogs_spark.ext import ann_index
+    from klogs_spark.views import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    path = str(tmp_path / "idx")
+    ann_index.build_ivfpq_index(emb.filter(F.col("vec_id") < 450), path)
+    before = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{path}/codes/centroid_id=*/*.parquet")
+    }
+    ann_index.refresh_ivfpq_index(emb.filter(F.col("vec_id") >= 450), path)
+    codes = spark.read.parquet(f"{path}/codes")
+    # every corpus vector is coded exactly once after the refresh
+    assert codes.select("id").distinct().count() == emb.count()
+    assert codes.filter(F.col("id") >= 450).select("id").distinct().count() == 50
+    # incremental contract: append-only — the base build's files are intact
+    after = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{path}/codes/centroid_id=*/*.parquet")
+    }
+    for f, ts in before.items():
+        assert after.get(f) == ts, f"existing code file rewritten: {f}"
+    assert len(after) > len(before), "refresh should add new code files"

@@ -2556,6 +2556,34 @@ LIMIT {IVFPQ_K}
 """
 
 
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed covariance of the embedding corpus as (i, j, cov) rows —
+    the one-pass Gram-matrix aggregate (double posexplode -> d^2-group
+    keyed sum with map-side combine; no join blowup, no 4096-expression
+    aggregate). The d x d result is corpus-size-independent; PCA/whitening
+    (ext/embstats.pca_project) eigendecomposes it driver-side, pinned by
+    tests/test_ext.py."""
+    from ..ext.embstats import covariance_entries
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return covariance_entries(emb)
+
+
+SQL_EMBEDDING_COVARIANCE = f"""
+WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+p AS (
+  SELECT s.i - 1 AS i, t.j - 1 AS j,
+         v[s.i] * v[t.j] AS xy, v[s.i] AS x, v[t.j] AS y
+  FROM e,
+       generate_series(1, {sim.EMB_DIM}) AS s(i),
+       generate_series(1, {sim.EMB_DIM}) AS t(j)
+)
+SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+       round(sum(xy) / count(*) - avg(x) * avg(y), 8) AS cov
+FROM p GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # semantic dedup (SemDeDup), DSIR importance weights, Bloom decontamination
 # ---------------------------------------------------------------------------
@@ -3254,6 +3282,11 @@ SPECS = {
         q_ann_ivfpq_refresh, SQL_ANN_IVFPQ_REFRESH,
         "incremental index maintenance: train on base corpus, append-encode "
         "the late tail against stored codebooks, search the refreshed index",
+    ),
+    "embedding_covariance": QuerySpec(
+        q_embedding_covariance, SQL_EMBEDDING_COVARIANCE,
+        "one-pass distributed Gram/covariance matrix (d^2 keyed sums, "
+        "map-side combined) — the PCA/whitening input",
     ),
     "text_top_terms_per_source": QuerySpec(
         q_top_terms_per_source, SQL_TOP_TERMS_PER_SOURCE,

@@ -624,3 +624,40 @@ def test_ivfpq_refresh_appends_without_rewriting_existing_files(spark, tmp_path)
     for f, ts in before.items():
         assert after.get(f) == ts, f"existing code file rewritten: {f}"
     assert len(after) > len(before), "refresh should add new code files"
+
+
+def test_pca_project_matches_numpy_and_orders_variance(spark):
+    import numpy as np
+
+    from klogs_spark.ext.embstats import pca_project
+    from klogs_spark.views import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    proj, eigvals = pca_project(emb, k=3)
+    rows = {r.id: (r.pc0, r.pc1, r.pc2) for r in proj.collect()}
+
+    # ground truth entirely in numpy on the collected vectors
+    data = sorted(
+        (r.vec_id, np.array(r.embedding, dtype=np.float64))
+        for r in emb.collect()
+    )
+    X = np.stack([v for _, v in data])
+    mean = X.mean(axis=0)
+    cov = (X - mean).T @ (X - mean) / len(X)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:3]
+
+    # eigenvalues match and are descending
+    assert eigvals == sorted(eigvals, reverse=True)
+    np.testing.assert_allclose(eigvals, vals[order], rtol=1e-4)
+    # projections match numpy's up to the fixed sign convention
+    for axis, c in enumerate(order):
+        vec = vecs[:, c]
+        if vec[np.argmax(np.abs(vec))] < 0:
+            vec = -vec
+        want = (X - mean) @ vec
+        got = np.array([rows[i][axis] for i, _ in data])
+        np.testing.assert_allclose(got, want, atol=1e-5)
+    # variance along pc0 >= pc1 >= pc2 on the actual projections
+    var = [np.var([rows[i][a] for i, _ in data]) for a in range(3)]
+    assert var[0] >= var[1] >= var[2]

@@ -133,3 +133,67 @@ def pca_project(
     ]
     out = emb.select(F.col(id_col).alias("id"), *proj_cols)
     return out, [float(vals[c]) for c in order]
+
+
+def mmr_select(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 5,
+    lam: float = 0.75,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Maximal Marginal Relevance selection (Carbonell & Goldstein 1998):
+    pick ``k`` corpus vectors greedily, each step's score =
+    ``lam * rel(query, d) - (1 - lam) * max_sim(d, selected)`` — relevance
+    traded against redundancy, the standard diversity-aware pick for
+    retrieval results and curated training subsets.
+
+    Selection is inherently sequential, so the driver runs k rounds; each
+    round is ONE narrow corpus pass (the selected vectors ride along as
+    broadcast literals — at most k of them) plus a 1-row argmax collect.
+    Total cost: k scans, no pairwise matrix, nothing driver-side beyond
+    k rows. Cosines round at ``round_decimals`` before combining and ties
+    break on id, so the pick sequence is engine-exact. ``lam`` must be
+    exactly representable in binary (0.75 default) so both engines weight
+    identically. Returns (rank, id, mmr_score).
+    """
+    from .dedup import cosine_col
+
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    v = F.col(vec_col).cast("array<double>")
+    rel = F.round(cosine_col(v, q), round_decimals)
+    base = emb.select(F.col(id_col).alias("id"), v.alias("v"), rel.alias("rel"))
+    mu = 1.0 - lam
+    chosen: list[tuple] = []
+    for _ in range(k):
+        cand = (
+            base.filter(~F.col("id").isin([c[0] for c in chosen]))
+            if chosen
+            else base
+        )
+        if chosen:
+            sims = [
+                F.round(
+                    cosine_col(
+                        F.col("v"), F.array(*[F.lit(float(x)) for x in vec])
+                    ),
+                    round_decimals,
+                )
+                for _, vec, _ in chosen
+            ]
+            maxsim = sims[0] if len(sims) == 1 else F.greatest(*sims)
+        else:
+            maxsim = F.lit(0.0)
+        score = F.round(lam * F.col("rel") - mu * maxsim, round_decimals)
+        top = (
+            cand.select("id", "v", score.alias("s"))
+            .orderBy(F.col("s").desc(), "id")
+            .first()
+        )
+        chosen.append((top.id, list(top.v), float(top.s)))
+    return emb.sparkSession.createDataFrame(
+        [(i + 1, c[0], c[2]) for i, c in enumerate(chosen)],
+        "sel_rank int, id bigint, mmr_score double",
+    )

@@ -2584,6 +2584,57 @@ FROM p GROUP BY 1, 2
 """
 
 
+MMR_K = 5
+MMR_LAM = 0.75  # exactly binary-representable: both engines weight identically
+
+
+def q_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity selection (relevance minus max-similarity-to-selected,
+    Carbonell & Goldstein 1998): k sequential greedy rounds, each ONE
+    narrow corpus pass with the selected vectors as broadcast literals +
+    a 1-row argmax collect. The oracle unrolls the k steps as chained
+    1-row CTEs — pick sequence and scores are engine-exact by pre-combine
+    rounding and id tiebreaks."""
+    from ..ext.embstats import mmr_select
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    return mmr_select(emb, qv, k=MMR_K, lam=MMR_LAM)
+
+
+def _sql_mmr() -> str:
+    def cos(a: str, b: str) -> str:
+        return f"round({_cos_sql(a, b)}, 6)"
+
+    parts = [
+        "e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings)",
+        "q AS (SELECT v AS qv FROM e WHERE id = 0)",
+        f"r AS (SELECT id, v, {cos('e.v', 'q.qv')} AS rel FROM e, q)",
+        "s1 AS (SELECT id, v, round(0.75 * rel, 6) AS sc FROM r "
+        "ORDER BY sc DESC, id LIMIT 1)",
+    ]
+    for step in range(2, MMR_K + 1):
+        prevs = [f"s{p}" for p in range(1, step)]
+        sims = ", ".join(cos("r.v", f"{p}.v") for p in prevs)
+        maxexpr = f"GREATEST({sims})" if len(prevs) > 1 else sims
+        notin = ", ".join(f"{p}.id" for p in prevs)
+        parts.append(
+            f"s{step} AS (SELECT r.id, r.v, "
+            f"round(0.75 * r.rel - 0.25 * {maxexpr}, 6) AS sc "
+            f"FROM r, {', '.join(prevs)} WHERE r.id NOT IN ({notin}) "
+            f"ORDER BY sc DESC, r.id LIMIT 1)"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT {i} AS sel_rank, id, sc AS mmr_score FROM s{i}"
+        for i in range(1, MMR_K + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + union
+
+
+SQL_MMR_SELECT = _sql_mmr()
+
+
 # ---------------------------------------------------------------------------
 # semantic dedup (SemDeDup), DSIR importance weights, Bloom decontamination
 # ---------------------------------------------------------------------------
@@ -3287,6 +3338,11 @@ SPECS = {
         q_embedding_covariance, SQL_EMBEDDING_COVARIANCE,
         "one-pass distributed Gram/covariance matrix (d^2 keyed sums, "
         "map-side combined) — the PCA/whitening input",
+    ),
+    "similarity_mmr_select": QuerySpec(
+        q_mmr_select, SQL_MMR_SELECT,
+        "MMR diversity selection: k greedy rounds, one narrow pass each, "
+        "vs a k-step unrolled CTE oracle",
     ),
     "text_top_terms_per_source": QuerySpec(
         q_top_terms_per_source, SQL_TOP_TERMS_PER_SOURCE,

@@ -1233,6 +1233,84 @@ FROM r GROUP BY namespace
 """
 
 
+def _sql_stream_cms_merge() -> str:
+    # merge-by-sum makes the streamed store equal the batch sketch, so the
+    # oracle is the batch CMS heavy-hitters SQL verbatim
+    from .ext import SQL_TEXT_CMS_HEAVY_HITTERS
+
+    return SQL_TEXT_CMS_HEAVY_HITTERS
+
+
+_SQL_STREAM_CMS_MERGE = _sql_stream_cms_merge()
+
+
+def q_stream_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch streaming: each micro-batch builds its OWN count-min
+    counter grid and parquet-appends it to a sketch store — at most
+    depth x width rows per batch no matter how many tokens the batch held —
+    and merge is SUM over cells at read time, the defining CMS property.
+    Two availableNow drains split the corpus by doc_id; the merged
+    estimate hash-equals the single batch sketch over the full corpus
+    (the oracle), which is exactly the losslessly-distributes claim.
+
+    At 100 TB this is the sketch-per-partition pattern: per-day (or
+    per-executor) grids appended independently, heavy-hitter queries read
+    kilobytes of counters and never rescan the corpus."""
+    import tempfile
+
+    from ..ext import dedup as dd
+    from ..ext import text as tx
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = tempfile.mkdtemp(prefix="klogs-cms-stream-")
+    src, ckpt, store = f"{base}/src", f"{base}/ckpt", f"{base}/store"
+
+    def drain() -> None:
+        stream = spark.readStream.schema(
+            "doc_id bigint, text string"
+        ).parquet(src)
+
+        def sink(batch: DataFrame, batch_id: int) -> None:
+            toks = batch.select(
+                F.explode(dd.tokens_col(F.col("text"))).alias("tok")
+            )
+            tx.cms_counters(toks).write.mode("append").parquet(store)
+
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    docs.filter(F.col("doc_id") < 250).write.mode("append").parquet(src)
+    drain()
+    docs.filter(F.col("doc_id") >= 250).write.mode("append").parquet(src)
+    drain()
+
+    merged = (
+        spark.read.parquet(store)
+        .groupBy("d", "pos")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    toks = docs.select(F.explode(dd.tokens_col(F.col("text"))).alias("tok"))
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), "tok")
+        .limit(20)
+    )
+    return (
+        tx.cms_estimate(top, merged)
+        .join(top, "tok")
+        .select(
+            "tok", "exact_cnt", "cms_est",
+            (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
+        )
+    )
+
+
 SPECS = {
     "ingest_decode_pipeline": QuerySpec(
         q_ingest_pipeline,
@@ -1341,5 +1419,11 @@ SPECS = {
         SQL_TABLE_FULLTEXT_SKIPINDEX,
         "token-Bloom partition skip index: build sidecar -> plan-time "
         "pruning -> whole-token search vs direct oracle",
+    ),
+    "stream_cms_merge": QuerySpec(
+        q_stream_cms_merge,
+        _SQL_STREAM_CMS_MERGE,
+        "per-micro-batch CMS grids appended by a real foreachBatch stream, "
+        "merged by cell-sum at read — equals the full-corpus batch sketch",
     ),
 }

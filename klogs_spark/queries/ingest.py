@@ -975,6 +975,62 @@ GROUP BY 1
 """
 
 
+DELETE_FULL_DAY = "2024-01-05"     # every row of this day matches -> dir drop
+DELETE_NS_FROM, DELETE_NS_TO = "2024-01-10", "2024-01-15"  # partial rewrites
+
+
+def q_table_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level delete externally checked: write January's logs, then
+    delete_where with a predicate that fully empties one day (exercising
+    the stale-directory drop path) AND partially matches six others
+    (exercising the dynamic-partition rewrite path), then aggregate what
+    survives per day. The oracle recomputes the aggregate from events with
+    the deletions excluded — equality proves the rewrite lost/duplicated
+    nothing outside the predicate and the emptied day is gone, not stale."""
+    import tempfile
+
+    from ..table import delete_where, read_logs, write_logs
+    from ..views import derive_logs_from_events
+
+    logs = derive_logs_from_events(spark, sf_dir).filter(
+        F.col("timestamp") < "2024-02-01"
+    )
+    base = tempfile.mkdtemp(prefix="klogs-delete-")
+    tdir = f"{base}/logs"
+    write_logs(logs, tdir)
+    delete_where(
+        spark, tdir,
+        f"(date = DATE '{DELETE_FULL_DAY}') OR "
+        f"(namespace = 'ns-1' AND date BETWEEN DATE '{DELETE_NS_FROM}' "
+        f"AND DATE '{DELETE_NS_TO}')",
+    )
+    return (
+        read_logs(spark, tdir)
+        .groupBy("date")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.count_distinct("namespace").alias("n_namespaces"),
+            F.max("timestamp").alias("max_ts"),
+        )
+    )
+
+
+SQL_TABLE_DELETE_WHERE = f"""
+SELECT CAST(ts AS DATE) AS date,
+       CAST(count(*) AS BIGINT) AS cnt,
+       CAST(count(DISTINCT user_id % 5) AS BIGINT) AS n_namespaces,
+       max(ts) AS max_ts
+FROM events
+WHERE ts < TIMESTAMP '2024-02-01 00:00:00'
+  AND NOT (
+    CAST(ts AS DATE) = DATE '{DELETE_FULL_DAY}'
+    OR (user_id % 5 = 1 AND CAST(ts AS DATE) BETWEEN
+        DATE '{DELETE_NS_FROM}' AND DATE '{DELETE_NS_TO}')
+  )
+GROUP BY 1
+"""
+
+
 SKIPINDEX_NEEDLE = "user=42"
 
 
@@ -1425,5 +1481,11 @@ SPECS = {
         _SQL_STREAM_CMS_MERGE,
         "per-micro-batch CMS grids appended by a real foreachBatch stream, "
         "merged by cell-sum at read — equals the full-corpus batch sketch",
+    ),
+    "table_delete_where": QuerySpec(
+        q_table_delete_where,
+        SQL_TABLE_DELETE_WHERE,
+        "row-level predicate delete: dynamic rewrite of partially-matched "
+        "days + checked drop of fully-emptied days, vs exclusion oracle",
     ),
 }

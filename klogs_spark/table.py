@@ -200,6 +200,87 @@ def compact_partition(
     return len(_parquet_files())
 
 
+def delete_where(
+    spark: SparkSession,
+    path: str,
+    predicate,
+) -> dict:
+    """Row-level delete (the GDPR / right-to-be-forgotten job): remove every
+    row matching ``predicate`` (a Column or SQL string) by rewriting ONLY
+    the day-partitions that contain matches.
+
+    Three phases, none corpus-sized beyond the targeted partitions:
+
+      1. find affected days — one aggregate over the predicate (partition
+         stats + pushdown prune the scan);
+      2. dynamic-partition-overwrite the affected days with their KEPT rows
+         (cluster sort preserved). Spark's dynamic mode only replaces
+         partitions that receive data, so untouched days never rewrite;
+      3. a day whose every row matched emits no data in (2) and would
+         survive as a stale directory — those days are dropped through the
+         FileSystem API (checked delete, same contract as apply_retention).
+
+    Returns {"partitions_rewritten": [...], "partitions_dropped": [...],
+    "rows_deleted": n}. At 100 TB the rewrite cost is proportional to the
+    affected days' data, the norm for parquet-backed row deletes (the same
+    copy-on-write contract as Delta/Iceberg without the manifest layer).
+    """
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    tbl = spark.read.parquet(path)
+    per_day = (
+        tbl.groupBy(PARTITION_COLUMN)
+        .agg(
+            F.sum(pred.cast("int")).alias("_matches"),
+            F.count(F.lit(1)).alias("_rows"),
+        )
+        .filter(F.col("_matches") > 0)
+        .collect()
+    )
+    rewritten: list[str] = []
+    dropped: list[str] = []
+    deleted = 0
+    full = [r for r in per_day if r["_matches"] == r["_rows"]]
+    partial = [r for r in per_day if r["_matches"] < r["_rows"]]
+    if partial:
+        # read each affected day as a SUBDIRECTORY (the compact_partition
+        # precedent): the write plan's sources never equal the output root,
+        # so Spark's overwrite-while-reading guard stays satisfied, and
+        # dynamic mode swaps exactly these days at job commit
+        days = [r[PARTITION_COLUMN] for r in partial]
+        parts = [
+            spark.read.parquet(f"{path}/{PARTITION_COLUMN}={d}")
+            .withColumn(PARTITION_COLUMN, F.lit(str(d)).cast("date"))
+            for d in days
+        ]
+        keep = parts[0]
+        for p in parts[1:]:
+            keep = keep.unionByName(p)
+        (
+            keep.filter(~pred)
+            .sortWithinPartitions(PARTITION_COLUMN, *CLUSTER_KEY)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(PARTITION_COLUMN)
+            .parquet(path)
+        )
+        rewritten = [f"{PARTITION_COLUMN}={d}" for d in days]
+        deleted += sum(r["_matches"] for r in partial)
+    if full:
+        fs, hpath_cls, root = _hadoop_fs(spark, path)
+        for r in full:
+            name = f"{PARTITION_COLUMN}={r[PARTITION_COLUMN]}"
+            target = hpath_cls(root, name)
+            if fs.exists(target) and not fs.delete(target, True):
+                raise IOError(f"delete_where could not drop {name} under {path}")
+            dropped.append(name)
+            deleted += r["_matches"]
+    return {
+        "partitions_rewritten": rewritten,
+        "partitions_dropped": dropped,
+        "rows_deleted": int(deleted),
+    }
+
+
 def compact_table(
     spark: SparkSession,
     path: str,

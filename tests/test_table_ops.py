@@ -105,3 +105,50 @@ def test_compact_overwrites_only_target_partition(spark, logs_df, tmp_path):
     after = sorted((f.name, f.stat().st_size) for f in other.glob("*.parquet"))
     assert after == before
     assert spark.read.parquet(path).count() == rows_before
+
+
+def test_delete_where_rewrites_only_affected_days(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from klogs_spark.table import delete_where, read_logs, write_logs
+    from klogs_spark.views import derive_logs_from_events
+
+    logs = derive_logs_from_events(spark, "/root/testdata/sf0.01").filter(
+        F.col("timestamp") < "2024-01-08"
+    )
+    path = str(tmp_path / "logs")
+    write_logs(logs, path)
+    total = read_logs(spark, path).count()
+    untouched_day = f"{path}/date=2024-01-02"
+    untouched = {
+        f: os.path.getmtime(os.path.join(untouched_day, f))
+        for f in os.listdir(untouched_day)
+    }
+    res = delete_where(
+        spark, path,
+        "(date = DATE '2024-01-03') OR "
+        "(namespace = 'ns-1' AND date = DATE '2024-01-05')",
+    )
+    # fully-matched day dropped as a directory, not left stale
+    assert res["partitions_dropped"] == ["date=2024-01-03"]
+    assert not os.path.exists(f"{path}/date=2024-01-03")
+    assert res["partitions_rewritten"] == ["date=2024-01-05"]
+    back = read_logs(spark, path)
+    assert back.count() == total - res["rows_deleted"]
+    assert back.filter("date = '2024-01-03'").count() == 0
+    assert back.filter(
+        "date = '2024-01-05' AND namespace = 'ns-1'"
+    ).count() == 0
+    # other namespaces of the rewritten day survive
+    assert back.filter("date = '2024-01-05'").count() > 0
+    # untouched days were not rewritten
+    for f, ts in untouched.items():
+        assert os.path.getmtime(os.path.join(untouched_day, f)) == ts
+    # no-match predicate is a no-op
+    res2 = delete_where(spark, path, "namespace = 'no-such-ns'")
+    assert res2 == {
+        "partitions_rewritten": [], "partitions_dropped": [],
+        "rows_deleted": 0,
+    }

@@ -873,6 +873,50 @@ WHERE n * s2 > s1 * s1
 """
 
 
+def q_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANALYZE job externally checked: one-pass per-column statistics
+    (rows, nulls, exact NDV, min/max) over the envelope dimensions plus a
+    conditionally-present map key — the null count on ``flag`` proves the
+    derived-expression path. Production runs the same job with approx=True
+    (HLL++ NDV) on the 100 TB table; exact mode is the oracle-comparable
+    twin (table.collect_column_stats)."""
+    from ..table import collect_column_stats
+
+    logs = derive_logs_from_events(spark, sf_dir)
+    return collect_column_stats(
+        logs,
+        [
+            "namespace",
+            "app",
+            "pod_name",
+            "host",
+            ("flag", F.element_at(F.col("fields_string"), F.lit("flag"))),
+        ],
+    )
+
+
+def _stats_block(name: str, expr: str) -> str:
+    return f"""
+SELECT '{name}' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count({expr}) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT {expr}) AS BIGINT) AS ndv,
+       CAST(min({expr}) AS VARCHAR) AS min_value,
+       CAST(max({expr}) AS VARCHAR) AS max_value
+FROM logs"""
+
+
+SQL_COLUMN_STATS = LOGS_CTE + " UNION ALL ".join(
+    _stats_block(n, e)
+    for n, e in [
+        ("namespace", "namespace"),
+        ("app", "app"),
+        ("pod_name", "pod_name"),
+        ("host", "host"),
+        ("flag", "f_flag"),
+    ]
+)
+
+
 SPECS = {
     "logs_env_map_count": QuerySpec(q_env_map_count, SQL_ENV_MAP_COUNT,
                                     "F1+F2+F3+A1 canonical klogs count"),
@@ -939,4 +983,8 @@ SPECS = {
     "logs_anomaly_zscore": QuerySpec(
         q_anomaly_zscore, SQL_ANOMALY_ZSCORE,
         "per-app hourly volume anomalies via exact-integer-sum z-scores"),
+    "table_column_stats": QuerySpec(
+        q_column_stats, SQL_COLUMN_STATS,
+        "ANALYZE-style one-pass column statistics (rows/nulls/ndv/min/max) "
+        "over envelope dims and a map key"),
 }

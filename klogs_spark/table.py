@@ -200,6 +200,52 @@ def compact_partition(
     return len(_parquet_files())
 
 
+def collect_column_stats(
+    df: DataFrame,
+    columns: list,
+    approx: bool = False,
+) -> DataFrame:
+    """ANALYZE-style statistics job: one row per column with
+    (col_name, n_rows, n_nulls, ndv, min_value, max_value) — the inputs a
+    cost-based planner (or a human sizing a query) needs, the Spark twin
+    of ``ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS``.
+
+    ``columns`` may contain names or (name, Column) pairs, so stats can
+    cover derived expressions (e.g. a map key) alongside physical columns.
+    Everything is ONE aggregate over the table: counts/min/max are plain
+    partial aggs; the exact distinct counts expand the aggregate but stay
+    map-side-combinable. ``approx=True`` swaps exact ``count_distinct``
+    for ``approx_count_distinct`` (HLL++) — the 100 TB default where
+    ±2% NDV is fine; exact mode exists for oracles and small tables.
+    The single stats row unpivots via ``stack`` — constant-size output.
+    """
+    specs = [
+        (c, F.col(c)) if isinstance(c, str) else c for c in columns
+    ]
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for name, col in specs:
+        ndv = (
+            F.approx_count_distinct(col)
+            if approx
+            else F.count_distinct(col)
+        )
+        aggs += [
+            F.sum(col.isNull().cast("long")).alias(f"{name}__nulls"),
+            ndv.alias(f"{name}__ndv"),
+            F.min(col).cast("string").alias(f"{name}__min"),
+            F.max(col).cast("string").alias(f"{name}__max"),
+        ]
+    row = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{name}', __n, {name}__nulls, {name}__ndv, {name}__min, {name}__max"
+        for name, _ in specs
+    )
+    return row.selectExpr(
+        f"stack({len(specs)}, {stack_args}) AS "
+        "(col_name, n_rows, n_nulls, ndv, min_value, max_value)"
+    )
+
+
 def delete_where(
     spark: SparkSession,
     path: str,

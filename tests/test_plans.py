@@ -474,3 +474,30 @@ def test_global_prefix_sum_never_single_partition(spark):
         if "SinglePartition" in l:
             ctx = "\n".join(lines[max(0, i - 3): i + 1])
             assert "n_tokens" not in ctx or "_ptot" in ctx or "sum" in ctx.lower()
+
+
+def test_exact_decontaminate_broadcasts_benchmark(spark):
+    # benchmark n-grams must reach the probe as broadcasts: a sort-merge
+    # join here would shuffle the full corpus n-gram table at 100 TB
+    plan = _plan(spark, "text_exact_decontaminate")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_zorder_rank_tables_broadcast(spark):
+    # each value->rank table is bounded by dimension cardinality and must
+    # broadcast back onto the corpus, never shuffle it
+    plan = _plan(spark, "table_zorder_values")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_deterministic_shuffle_windows_are_shard_partitioned(spark):
+    # the training-order shuffle must never plan a global sort: its only
+    # window partitions by shard
+    import re
+
+    plan = _plan(spark, "sample_global_shuffle")
+    assert "SinglePartition" not in plan
+    for m in re.finditer(r"\(\d+\) Window\b[\s\S]*?Arguments: (.*)", plan):
+        assert "shard" in m.group(1)

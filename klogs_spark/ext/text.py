@@ -763,3 +763,57 @@ def exact_ngram_decontaminate(
             F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_contaminated"),
         )
     )
+
+
+def bigram_logprob_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bigram LM perplexity proxy — one order up from
+    :func:`unigram_logprob_scores`: per-doc mean negative log probability of
+    each token given its predecessor under add-1-smoothed corpus bigram
+    frequencies, p(w_i | w_{i-1}) = (c(prev,cur) + 1) / (c(prev) + V).
+    The sharper quality signal of the two: word-salad documents look fine
+    to a unigram model but improbable to a bigram one.
+
+    Bigrams come from zipping the token array against itself shifted by
+    one — a NARROW per-row transform, no positional self-join. Counting is
+    two keyed aggregates (bigram, unigram), both map-side combined; the
+    vocabulary size is a 1-row broadcast; scoring joins the doc's bigrams
+    to the model equi-keyed. Corpus-linear, same two-shuffle shape as
+    TF-IDF. Returns (id, n_bigrams, mean_nll) for docs with >= 2 tokens,
+    NLL rounded at 6.
+    """
+    tk = tokens_col(F.col(text_col))
+    pairs = F.arrays_zip(
+        F.slice(tk, 1, F.size(tk) - 1),
+        F.slice(tk, 2, F.size(tk) - 1),
+    )
+    bg = (
+        df.filter(F.size(tk) >= 2)
+        .select(F.col(id_col).alias("id"), F.explode(pairs).alias("p"))
+        .select("id", F.col("p.0").alias("prev"), F.col("p.1").alias("cur"))
+    )
+    toks = df.select(F.explode(tk).alias("tok"))
+    uc = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cu"))
+    vocab = uc.agg(F.count(F.lit(1)).alias("_v"))
+    bc = bg.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("cb"))
+    nll = (
+        bc.join(uc, bc.prev == uc.tok)
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "prev", "cur",
+            (-F.log((F.col("cb") + 1) / (F.col("cu") + F.col("_v")))).alias(
+                "nll"
+            ),
+        )
+    )
+    return (
+        bg.join(nll, ["prev", "cur"])
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("nll"), 6).alias("mean_nll"),
+        )
+    )

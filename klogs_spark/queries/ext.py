@@ -1222,6 +1222,41 @@ GROUP BY t.id
 """
 
 
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality scores: add-1-smoothed conditional NLL per doc —
+    the sharper perplexity proxy (word salad fools a unigram model, not a
+    bigram one). Bigrams are a narrow array-zip, the model two keyed
+    aggregates; no positional self-join anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.bigram_logprob_scores(docs)
+
+
+SQL_BIGRAM_LOGPROB = f"""
+WITH {TOKENS_CTE},
+bgl AS (
+  SELECT id, unnest(list_transform(
+           generate_series(1, len(tk) - 1),
+           i -> struct_pack(prev := tk[i], cur := tk[i + 1]))) AS pc
+  FROM tk WHERE len(tk) >= 2
+),
+bg AS (SELECT id, pc.prev AS prev, pc.cur AS cur FROM bgl),
+uc AS (
+  SELECT tok, count(*) AS cu
+  FROM (SELECT unnest(tk) AS tok FROM tk) GROUP BY 1
+),
+v AS (SELECT count(*) AS v FROM uc),
+bc AS (SELECT prev, cur, count(*) AS cb FROM bg GROUP BY 1, 2),
+nll AS (
+  SELECT bc.prev, bc.cur,
+         -ln((cb + 1) / CAST(cu + v.v AS DOUBLE)) AS nll
+  FROM bc JOIN uc ON bc.prev = uc.tok, v
+)
+SELECT bg.id, count(*) AS n_bigrams, round(avg(n.nll), 6) AS mean_nll
+FROM bg JOIN nll n ON bg.prev = n.prev AND bg.cur = n.cur
+GROUP BY bg.id
+"""
+
+
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Probes derived deterministically from the corpus itself: the first 5
     tokens of docs 0-4 (so some docs must match their own probe, and near-dup
@@ -3195,6 +3230,9 @@ SPECS = {
     "text_unigram_logprob": QuerySpec(q_unigram_logprob, SQL_UNIGRAM_LOGPROB,
                                       "CCNet-style unigram mean-NLL "
                                       "perplexity proxy"),
+    "text_bigram_logprob": QuerySpec(q_bigram_logprob, SQL_BIGRAM_LOGPROB,
+                                     "add-1-smoothed bigram conditional "
+                                     "mean-NLL (narrow array-zip bigrams)"),
     "dedup_survivor_selection": QuerySpec(q_dedup_survivors,
                                           SQL_DEDUP_SURVIVORS,
                                           "pairs -> clusters -> best-quality "

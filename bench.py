@@ -50,6 +50,10 @@ HEADLINE = [
     "ann_ivfpq_prebuilt",
     # end-to-end corpus prep (quality filter -> dedup -> contamination)
     "pipeline_pretrain_prep",
+    # round-8 primitives: exact global packing via the two-phase distributed
+    # prefix sum, and the one-pass d^2 covariance aggregate
+    "sample_pack_global_prefix",
+    "embedding_covariance",
 ]
 
 

@@ -52,7 +52,12 @@ def release_tracked() -> int:
     n = 0
     for df in _TRACKED:
         try:
-            df.unpersist()
+            # blocking: the default async unpersist leaves blocks draining in
+            # the background, so a subsequent getPersistentRDDs() snapshot
+            # (tests, monitoring) races against the release — synchronous
+            # removal costs microseconds on these small frames and makes
+            # "released means gone" actually true
+            df.unpersist(blocking=True)
             n += 1
         except Exception:  # session already stopped — nothing to release
             pass

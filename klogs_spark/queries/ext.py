@@ -2690,6 +2690,40 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.semantic_dedup(emb, cents, threshold=SEM_DEDUP_T)
 
 
+def q_dedup_semantic_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup against the PERSISTED coarse quantizer: the clustering that
+    bounds the pairwise check comes from the IVF-PQ index sidecar
+    (ext/ann_index — same corpus, same training parameters, so the
+    centroids are bit-identical to the in-query Lloyd refinement and the
+    same oracle verifies both). The query plan contains no k-means: at
+    100 TB the quantizer is one training job feeding BOTH the ANN search
+    and the dedup pass — this is the reuse that makes SemDeDup a routine
+    maintenance job instead of a fresh clustering per run."""
+    import os
+
+    from ..ext import ann_index
+
+    path = _ivfpq_index_dir(sf_dir)
+    if not os.path.exists(os.path.join(path, "codes", "_SUCCESS")):
+        # build once (identical to q_ann_ivfpq_prebuilt's build path)
+        emb_all = load_table(spark, sf_dir, "embeddings")
+        tmp = f"{path}.build{os.getpid()}"
+        ann_index.build_ivfpq_index(
+            emb_all, tmp, ivf_k=IVF_K, refine_iters=IVF_REFINE_ITERS,
+            ivf_round=IVF_ROUND,
+        )
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        try:
+            os.replace(tmp, path)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = spark.read.parquet(f"{path}/centroids")
+    return dd.semantic_dedup(emb, cents, threshold=SEM_DEDUP_T)
+
+
 SQL_DEDUP_SEMANTIC = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 c0 AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < {IVF_K}),
@@ -3194,6 +3228,10 @@ SPECS = {
     "dedup_semantic": QuerySpec(
         q_dedup_semantic, SQL_DEDUP_SEMANTIC,
         "SemDeDup: k-means clusters bound within-cluster cosine pruning"),
+    "dedup_semantic_prebuilt": QuerySpec(
+        q_dedup_semantic_prebuilt, SQL_DEDUP_SEMANTIC,
+        "SemDeDup over the PERSISTED quantizer (no k-means in the plan) — "
+        "one training job feeds both ANN search and dedup"),
     "dedup_embedding_cosine": QuerySpec(q_embedding_neardup,
                                         SQL_EMBEDDING_NEARDUP,
                                         "embedding cosine near-dup pairs"),

@@ -1574,6 +1574,30 @@ FROM zt GROUP BY 1, 2
 SQL_ZORDER_VALUES = _sql_zorder_values()
 
 
+def q_pack_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit-decreasing bin packing per source via the Arrow-batched
+    grouped map (applyInPandas) — the near-optimal packing quality step
+    (FFD <= 11/9 OPT + 1 bins). Inherently iterative, hence no SQL oracle:
+    the driver records a rows-only check; the exact bin assignment is
+    pinned against a pure-Python reference in tests/test_ext.py. Returns
+    per-(source, bin) manifests; every bin except possibly each source's
+    last is > budget/2 full by the FFD guarantee."""
+    from ..ext.sampling import pack_first_fit_decreasing
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "source", tx.token_count(F.col("text")).alias("n_tokens")
+    )
+    packed = pack_first_fit_decreasing(
+        d, "n_tokens", budget=PACK_BUDGET, id_col="doc_id",
+        partition_col="source",
+    )
+    return packed.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+    )
+
+
 SHUFFLE_SEED = "epoch-0"
 SHUFFLE_SHARDS = 16
 
@@ -3343,6 +3367,12 @@ SPECS = {
         q_pack_global_prefix, SQL_PACK_GLOBAL_PREFIX,
         "EXACT global packing via two-phase distributed prefix sum — "
         "no Exchange SinglePartition in the plan",
+    ),
+    "sample_pack_ffd": QuerySpec(
+        q_pack_ffd, None,
+        "first-fit-decreasing bin packing per source (applyInPandas "
+        "grouped map; iterative, no SQL oracle — rows-only + pytest "
+        "reference check)",
     ),
     "sample_sequence_chunks": QuerySpec(
         q_sequence_chunks, SQL_SEQUENCE_CHUNKS,

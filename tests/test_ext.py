@@ -661,3 +661,49 @@ def test_pca_project_matches_numpy_and_orders_variance(spark):
     # variance along pc0 >= pc1 >= pc2 on the actual projections
     var = [np.var([rows[i][a] for i, _ in data]) for a in range(3)]
     assert var[0] >= var[1] >= var[2]
+
+
+def test_ffd_packing_matches_python_reference_and_bin_quality(spark):
+    from pyspark.sql import functions as F
+
+    from klogs_spark.ext.sampling import pack_first_fit_decreasing
+    from klogs_spark.ext.text import token_count
+    from klogs_spark.views import load_table
+
+    BUDGET = 2000
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    d = docs.select(
+        "doc_id", "source", token_count(F.col("text")).alias("n_tokens")
+    )
+    got = {
+        (r.source, r.doc_id): r.bin
+        for r in pack_first_fit_decreasing(
+            d, "n_tokens", budget=BUDGET, id_col="doc_id",
+            partition_col="source",
+        ).collect()
+    }
+
+    rows = d.collect()
+    by_source: dict = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append((r.n_tokens, r.doc_id))
+    want = {}
+    loads_by_source = {}
+    for source, items in by_source.items():
+        loads: list = []
+        for size, doc_id in sorted(items, key=lambda t: (-t[0], t[1])):
+            for b, used in enumerate(loads):
+                if used + size <= BUDGET:
+                    loads[b] = used + size
+                    want[(source, doc_id)] = b
+                    break
+            else:
+                want[(source, doc_id)] = len(loads)
+                loads.append(size)
+        loads_by_source[source] = loads
+    assert got == want
+    # FFD quality: at most one bin per source at or under half budget
+    # (any two half-empty bins would have been merged by first-fit)
+    for source, loads in loads_by_source.items():
+        small = [u for u in loads if u <= BUDGET // 2]
+        assert len(small) <= 1, (source, loads)

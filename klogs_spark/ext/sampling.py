@@ -256,6 +256,12 @@ def global_prefix_sum(
     ``order_by`` must be numeric and unique (dictionary-encode or cast
     upstream); ties would make "exclusive prefix" ambiguous in any
     formulation, including the window one.
+
+    Crossover honesty: at toy scale the single window WINS (measured
+    0.48 s vs 1.85 s on 5k docs at sf0.1 — two extra exchanges dominate
+    when everything fits one reducer). This form exists for the regime
+    where the corpus does NOT fit one reducer; below that,
+    ``pack_by_token_budget`` without a partition column is the right call.
     """
     oc = F.col(order_by)
     lo, hi = df.agg(F.min(oc), F.max(oc)).first()

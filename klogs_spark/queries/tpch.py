@@ -1341,6 +1341,116 @@ GROUP BY 1, 2
 """
 
 
+TS_START = "2024-01-01 00:00:00"
+TS_HOURS = 240  # 10 days of hourly buckets
+
+
+def q_series_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-normalized time-series similarity between entities (cf. the
+    distributed streaming-similarity literature, e.g. EDBT'19): build each
+    namespace's hourly event-count series over a fixed 240-hour window
+    (dense grid, missing hours are true zeros), z-normalize with the
+    EXPLICIT sum/sum-of-squares formula (never the engine's stddev — the
+    two engines' implementations differ in summation order), and rank
+    entity pairs by squared euclidean distance of the aligned normalized
+    series.
+
+    Scale shape: series build is one keyed aggregate; the dense grid is
+    |keys| x window-length (bounded by the window, not the data); the
+    pairwise join is |keys|^2 aligned-index equi-rows — fine for
+    dashboard-cardinality keys, and for many keys the corpus's sign-LSH
+    bucketing (ext/similarity) applies to the normalized series vectors
+    unchanged. Z-scores round at 6 before the distance sum, distance at 4
+    — cross-engine exact."""
+    ev = load_table(spark, sf_dir, "events")
+    ns = F.concat(F.lit("ns-"), (F.col("user_id") % 5).cast("string"))
+    hour = F.floor(
+        (F.col("ts").cast("long") - F.unix_timestamp(F.lit(TS_START))) / 3600
+    ).cast("int")
+    counts = (
+        ev.select(ns.alias("nsk"), hour.alias("h"))
+        .filter((F.col("h") >= 0) & (F.col("h") < TS_HOURS))
+        .groupBy("nsk", "h")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    keys = counts.select("nsk").distinct()
+    grid = keys.crossJoin(
+        spark.range(TS_HOURS).select(F.col("id").cast("int").alias("h"))
+    )
+    series = grid.join(counts, ["nsk", "h"], "left").select(
+        "nsk", "h", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+    )
+    stats = series.groupBy("nsk").agg(
+        F.sum("c").alias("s1"), F.sum(F.col("c") * F.col("c")).alias("s2")
+    )
+    z = (
+        series.join(F.broadcast(stats), "nsk")
+        .select(
+            "nsk",
+            "h",
+            F.round(
+                (F.col("c") - F.col("s1") / TS_HOURS)
+                / F.sqrt(
+                    F.col("s2") / TS_HOURS
+                    - (F.col("s1") / TS_HOURS) * (F.col("s1") / TS_HOURS)
+                ),
+                6,
+            ).alias("z"),
+        )
+    )
+    a = z.select(F.col("nsk").alias("ns_a"), "h", F.col("z").alias("za"))
+    b = z.select(F.col("nsk").alias("ns_b"), "h", F.col("z").alias("zb"))
+    return (
+        a.join(b, "h")
+        .filter(F.col("ns_a") < F.col("ns_b"))
+        .groupBy("ns_a", "ns_b")
+        .agg(
+            F.round(
+                F.sum((F.col("za") - F.col("zb")) * (F.col("za") - F.col("zb"))),
+                4,
+            ).alias("sq_dist")
+        )
+    )
+
+
+SQL_SERIES_SIMILARITY = f"""
+WITH e AS (
+  SELECT 'ns-' || CAST(user_id % 5 AS VARCHAR) AS nsk,
+         CAST(floor(epoch(ts - TIMESTAMP '{TS_START}') / 3600) AS INT) AS h
+  FROM events
+),
+counts AS (
+  SELECT nsk, h, count(*) AS c FROM e
+  WHERE h >= 0 AND h < {TS_HOURS} GROUP BY 1, 2
+),
+grid AS (
+  SELECT k.nsk, g.h FROM (SELECT DISTINCT nsk FROM counts) k,
+       (SELECT i AS h FROM generate_series(0, {TS_HOURS - 1}) t(i)) g
+),
+series AS (
+  SELECT grid.nsk, grid.h, COALESCE(counts.c, 0) AS c
+  FROM grid LEFT JOIN counts ON grid.nsk = counts.nsk AND grid.h = counts.h
+),
+stats AS (
+  SELECT nsk, CAST(sum(c) AS DOUBLE) AS s1,
+         CAST(sum(c * c) AS DOUBLE) AS s2
+  FROM series GROUP BY 1
+),
+z AS (
+  SELECT series.nsk, series.h,
+         round((series.c - stats.s1 / {TS_HOURS})
+               / sqrt(stats.s2 / {TS_HOURS}
+                      - (stats.s1 / {TS_HOURS}) * (stats.s1 / {TS_HOURS})),
+               6) AS z
+  FROM series JOIN stats ON series.nsk = stats.nsk
+)
+SELECT a.nsk AS ns_a, b.nsk AS ns_b,
+       round(sum((a.z - b.z) * (a.z - b.z)), 4) AS sq_dist
+FROM z a JOIN z b ON a.h = b.h AND a.nsk < b.nsk
+GROUP BY 1, 2
+"""
+
+
 SPECS = {
     "tpch_q1_pricing_summary": QuerySpec(q1_pricing_summary, SQL_Q1,
                                          "scan+filter+multi-agg group-by"),
@@ -1427,4 +1537,8 @@ SPECS = {
     "events_attribution": QuerySpec(
         q_events_attribution, SQL_EVENTS_ATTRIBUTION,
         "first/last-touch attribution matrix via min_by/max_by"),
+    "events_series_similarity": QuerySpec(
+        q_series_similarity, SQL_SERIES_SIMILARITY,
+        "z-normalized hourly-series pairwise similarity (explicit "
+        "moment formula, dense zero-filled grid)"),
 }

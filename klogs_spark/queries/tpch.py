@@ -1398,10 +1398,16 @@ def q_series_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("z"),
         )
     )
+    # the z table feeds both sides of the pair join and is bounded
+    # (|keys| x window) — cache it so the counts aggregate runs once, and
+    # broadcast the right side so the pair join never sort-merges
+    from ..ext.caching import cache_tracked
+
+    z = cache_tracked(z)
     a = z.select(F.col("nsk").alias("ns_a"), "h", F.col("z").alias("za"))
     b = z.select(F.col("nsk").alias("ns_b"), "h", F.col("z").alias("zb"))
     return (
-        a.join(b, "h")
+        a.join(F.broadcast(b), "h")
         .filter(F.col("ns_a") < F.col("ns_b"))
         .groupBy("ns_a", "ns_b")
         .agg(

@@ -347,3 +347,85 @@ def test_random_graph_components_match_union_find(spark, spec):
     got = {r.id: r.cluster_id
            for r in cluster_components(pairs, nodes).collect()}
     assert got == _union_find_components(n, edges), f"mismatch for {spec}"
+
+
+# ---------------------------------------------------------------------------
+# round-8 primitives vs pure-Python references on random inputs
+# ---------------------------------------------------------------------------
+@given(spec=st.fixed_dictionaries({
+    "sizes": st.lists(st.integers(0, 500), min_size=1, max_size=60),
+    "buckets": st.integers(1, 16),
+    "id_stride": st.integers(1, 97),  # sparse, non-dense order keys
+}))
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+    derandomize=True,
+)
+def test_random_global_prefix_sum_matches_cumsum(spark, spec):
+    from klogs_spark.ext.sampling import global_prefix_sum
+
+    rows = [
+        (i * spec["id_stride"] + 1, int(s))
+        for i, s in enumerate(spec["sizes"])
+    ]
+    df = spark.createDataFrame(rows, "k long, v long")
+    got = {
+        r.k: r.before
+        for r in global_prefix_sum(
+            df, "v", order_by="k", buckets=spec["buckets"]
+        ).collect()
+    }
+    acc = 0
+    want = {}
+    for k, v in rows:  # rows are already in k order
+        want[k] = acc
+        acc += v
+    assert got == want, f"prefix-sum mismatch for {spec}"
+
+
+@given(spec=st.fixed_dictionaries({
+    "vals_a": st.lists(st.integers(0, 9), min_size=1, max_size=20),
+    "vals_b": st.lists(st.integers(0, 9), min_size=1, max_size=20),
+    "bits": st.integers(2, 8),
+}))
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+    derandomize=True,
+)
+def test_random_zorder_is_order_preserving_per_dim(spark, spec):
+    """For any fixed value of one dimension, z-values of rows sharing it must
+    form a set whose rank-scaled bits place equal values adjacently: check
+    the interleave against a pure-Python recomputation."""
+    from klogs_spark.ext.zorder import add_zorder
+
+    rows = [
+        (i, f"a-{a}", f"b-{b}")
+        for i, (a, b) in enumerate(
+            (a, b) for a in spec["vals_a"] for b in spec["vals_b"]
+        )
+    ]
+    df = spark.createDataFrame(rows, "rid long, ca string, cb string")
+    bits = spec["bits"]
+    got = {r.rid: r._z for r in add_zorder(df, ["ca", "cb"], bits).collect()}
+
+    # python reference: rank over sorted distinct, scale, interleave
+    def ranks(values):
+        distinct = sorted(set(values))
+        n = len(distinct)
+        width = 1 << bits
+        return {v: (i * width) // n for i, v in enumerate(distinct)}
+
+    ra = ranks([r[1] for r in rows])
+    rb = ranks([r[2] for r in rows])
+    want = {}
+    for rid, a, b in rows:
+        z = 0
+        for i in range(bits):
+            z += ((ra[a] >> i) & 1) << (i * 2 + 1)  # cols[0] takes high slot
+            z += ((rb[b] >> i) & 1) << (i * 2)
+        want[rid] = z
+    assert got == want, f"zorder mismatch for {spec}"

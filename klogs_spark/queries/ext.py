@@ -1574,6 +1574,57 @@ FROM zt GROUP BY 1, 2
 SQL_ZORDER_VALUES = _sql_zorder_values()
 
 
+SPLIT_SEED = "split-v1"
+SPLIT_VAL_PCT, SPLIT_TEST_PCT = 10, 10  # % of the 32-bit hash universe
+
+
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment — the split every training
+    corpus needs, with the same properties as hash_sample: keyed on a
+    content hash (never rand()), stable under corpus growth (a doc's split
+    never changes when other docs appear), reproducible on any cluster,
+    and re-seedable for a fresh split without touching data. Thresholds
+    slice the 32-bit hash universe; output is per-(source, split) counts
+    proving per-stratum proportions hold. Pure Column expressions — the
+    assignment pushes into the scan like any filter."""
+    from ..ext.hashing import md5_long
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = md5_long(
+        F.concat(F.lit(f"{SPLIT_SEED}:"), F.col("doc_id").cast("string"))
+    )
+    universe = 2**32
+    val_cut = universe * SPLIT_VAL_PCT // 100
+    test_cut = universe * (SPLIT_VAL_PCT + SPLIT_TEST_PCT) // 100
+    split = (
+        F.when(h < val_cut, "val")
+        .when(h < test_cut, "test")
+        .otherwise("train")
+    )
+    return (
+        docs.select("source", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+SQL_SPLIT_ASSIGN = f"""
+WITH h AS (
+  SELECT source,
+         {md5_long_sql(f"concat('{SPLIT_SEED}:', CAST(doc_id AS VARCHAR))")}
+           AS hv
+  FROM documents
+)
+SELECT source,
+       CASE WHEN hv < {2**32 * SPLIT_VAL_PCT // 100} THEN 'val'
+            WHEN hv < {2**32 * (SPLIT_VAL_PCT + SPLIT_TEST_PCT) // 100}
+              THEN 'test'
+            ELSE 'train' END AS split,
+       count(*) AS n_docs
+FROM h GROUP BY 1, 2
+"""
+
+
 def q_pack_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-fit-decreasing bin packing per source via the Arrow-batched
     grouped map (applyInPandas) — the near-optimal packing quality step
@@ -3373,6 +3424,11 @@ SPECS = {
         "first-fit-decreasing bin packing per source (applyInPandas "
         "grouped map; iterative, no SQL oracle — rows-only + pytest "
         "reference check)",
+    ),
+    "sample_split_assign": QuerySpec(
+        q_split_assign, SQL_SPLIT_ASSIGN,
+        "deterministic rand()-free train/val/test split, stable under "
+        "corpus growth, per-source proportions checked",
     ),
     "sample_sequence_chunks": QuerySpec(
         q_sequence_chunks, SQL_SEQUENCE_CHUNKS,

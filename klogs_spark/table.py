@@ -200,6 +200,41 @@ def compact_partition(
     return len(_parquet_files())
 
 
+def reprocess_partition(
+    spark: SparkSession,
+    path: str,
+    partition: str,
+    transform,
+) -> int:
+    """Backfill one day through a new transform (the reprocessing job every
+    pipeline eventually needs: a parser fix, a new promoted column, a
+    redaction sweep): read ONLY the partition directory, apply
+    ``transform(df) -> df``, and swap the day atomically via dynamic
+    partition overwrite at job commit — exactly the
+    :func:`compact_partition` machinery with a logic hook, and the same
+    safety shape: sources are subdirectories, untouched days never
+    rewrite. The transform must preserve the schema (minus the partition
+    column, which is restored from the directory name). Cluster-key sort
+    is re-applied after the transform. Returns the day's row count.
+    """
+    fs, hpath_cls, root = _hadoop_fs(spark, path)
+    if not fs.exists(hpath_cls(root, partition)):
+        return 0
+    col, _, val = partition.partition("=")
+    df = spark.read.parquet(f"{path}/{partition}")
+    out = transform(df).withColumn(
+        col, F.lit(val).cast("date" if col == PARTITION_COLUMN else "string")
+    )
+    (
+        out.sortWithinPartitions(*CLUSTER_KEY)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(col)
+        .parquet(path)
+    )
+    return spark.read.parquet(f"{path}/{partition}").count()
+
+
 def collect_column_stats(
     df: DataFrame,
     columns: list,

@@ -152,3 +152,48 @@ def test_delete_where_rewrites_only_affected_days(spark, tmp_path):
         "partitions_rewritten": [], "partitions_dropped": [],
         "rows_deleted": 0,
     }
+
+
+def test_reprocess_partition_transforms_one_day_only(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from klogs_spark.table import read_logs, reprocess_partition, write_logs
+    from klogs_spark.views import derive_logs_from_events
+
+    logs = derive_logs_from_events(spark, "/root/testdata/sf0.01").filter(
+        F.col("timestamp") < "2024-01-06"
+    )
+    path = str(tmp_path / "logs")
+    write_logs(logs, path)
+    total = read_logs(spark, path).count()
+    other_day = f"{path}/date=2024-01-02"
+    before = {
+        f: os.path.getmtime(os.path.join(other_day, f))
+        for f in os.listdir(other_day)
+    }
+
+    # backfill: redact the raw line for one day (a redaction sweep)
+    n = reprocess_partition(
+        spark, path, "date=2024-01-03",
+        lambda df: df.withColumn(
+            "log", F.regexp_replace("log", r"user=\d+", "user=[REDACTED]")
+        ),
+    )
+    back = read_logs(spark, path)
+    assert back.count() == total  # no rows lost or duplicated
+    day = back.filter("date = '2024-01-03'")
+    assert day.count() == n > 0
+    assert day.filter(F.col("log").rlike(r"user=\d+")).count() == 0
+    assert day.filter(F.col("log").contains("user=[REDACTED]")).count() == n
+    # other days untouched: bytes identical, content un-redacted
+    for f, ts in before.items():
+        assert os.path.getmtime(os.path.join(other_day, f)) == ts
+    assert back.filter(
+        "date = '2024-01-02' AND log LIKE '%[REDACTED]%'"
+    ).count() == 0
+    # missing partition is a no-op
+    assert reprocess_partition(
+        spark, path, "date=2099-01-01", lambda df: df
+    ) == 0

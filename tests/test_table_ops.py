@@ -197,3 +197,51 @@ def test_reprocess_partition_transforms_one_day_only(spark, tmp_path):
     assert reprocess_partition(
         spark, path, "date=2099-01-01", lambda df: df
     ) == 0
+
+
+def test_snapshot_reads_are_append_consistent_and_pin_files(spark, tmp_path):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from klogs_spark.manifest import (
+        publish_snapshot,
+        read_snapshot,
+        snapshot_versions,
+    )
+    from klogs_spark.table import compact_partition, write_logs
+    from klogs_spark.views import derive_logs_from_events
+
+    logs = derive_logs_from_events(spark, "/root/testdata/sf0.001")
+    path = str(tmp_path / "t")
+
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, path)  # nothing published yet
+
+    first = logs.filter(F.col("namespace") != "ns-0")
+    write_logs(first, path)
+    v1 = publish_snapshot(spark, path)
+    write_logs(logs.filter(F.col("namespace") == "ns-0"), path)
+    v2 = publish_snapshot(spark, path)
+    assert snapshot_versions(spark, path) == [v1, v2]
+
+    # v1 still reads EXACTLY the pre-append table even though more files exist
+    assert read_snapshot(spark, path, v1).count() == first.count()
+    assert read_snapshot(spark, path, v1).filter(
+        "namespace = 'ns-0'"
+    ).count() == 0
+    # latest sees everything; partition column survives the file-list read
+    latest = read_snapshot(spark, path)
+    assert latest.count() == logs.count()
+    assert "date" in latest.columns
+
+    # stated limit: a rewrite (compaction) invalidates snapshots that pin
+    # the rewritten files — loudly, never silently wrong
+    day = sorted(
+        r.date for r in latest.select("date").distinct().collect()
+    )[0]
+    compact_partition(spark, path, f"date={day}")
+    with pytest.raises(FileNotFoundError, match="rewritten"):
+        read_snapshot(spark, path, v1).count()
+    # re-publishing after the rewrite restores a consistent latest
+    v3 = publish_snapshot(spark, path)
+    assert read_snapshot(spark, path, v3).count() == logs.count()

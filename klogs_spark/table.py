@@ -631,7 +631,7 @@ def fulltext_phrase_search(
 
 
 def indexed_logs_sink(path: str, m: int = TOKEN_BLOOM_M, k: int = TOKEN_BLOOM_K,
-                      exactly_once: bool = False):
+                      exactly_once: bool = False, snapshot: bool = False):
     """foreachBatch sink: append the batch to the logs table AND refresh the
     token-Bloom sidecar for exactly the days the batch touched — the
     streaming-ingest integration of the skip index. Day discovery is one
@@ -646,7 +646,12 @@ def indexed_logs_sink(path: str, m: int = TOKEN_BLOOM_M, k: int = TOKEN_BLOOM_K,
     ``exactly_once=True`` to route the data write through
     ``stream.exactly_once_sink`` (batch_id-guarded staged publication):
     replays then converge to exactly one copy. The sidecar refresh is
-    idempotent under either mode (dynamic overwrite of the touched days)."""
+    idempotent under either mode (dynamic overwrite of the touched days).
+
+    ``snapshot=True`` additionally publishes a manifest version
+    (klogs_spark.manifest) after each batch's data+index commit: readers
+    on ``read_snapshot`` see batch-consistent table states instead of
+    mid-append file sets — the streaming half of the snapshot contract."""
     data_sink = None
     if exactly_once:
         from .stream import exactly_once_sink
@@ -666,5 +671,9 @@ def indexed_logs_sink(path: str, m: int = TOKEN_BLOOM_M, k: int = TOKEN_BLOOM_K,
         ]
         if days:
             write_token_bloom_index(batch.sparkSession, path, m=m, k=k, days=days)
+        if snapshot:
+            from .manifest import publish_snapshot
+
+            publish_snapshot(batch.sparkSession, path)
 
     return sink_fn

@@ -342,3 +342,27 @@ def test_indexed_logs_sink_maintains_bloom_sidecar(spark, tmp_path):
     assert fulltext_token_search(spark, path, ["streamtoken99"]).count() \
         == day2.count()
     assert fulltext_token_search(spark, path, ["user=7"]).count() > 0
+
+
+def test_indexed_sink_snapshot_mode_publishes_batch_consistent_versions(
+    spark, tmp_path
+):
+    from pyspark.sql import functions as F
+
+    from klogs_spark.manifest import read_snapshot, snapshot_versions
+    from klogs_spark.table import indexed_logs_sink
+    from klogs_spark.views import derive_logs_from_events
+
+    path = str(tmp_path / "logs")
+    sink = indexed_logs_sink(path, snapshot=True)
+    logs = derive_logs_from_events(spark, "/root/testdata/sf0.001")
+    b1 = logs.filter(F.to_date("timestamp") == "2024-01-10")
+    b2 = logs.filter(F.to_date("timestamp") == "2024-01-11")
+    sink(b1, 0)
+    sink(b2, 1)
+    v1, v2 = snapshot_versions(spark, path)
+    # each version is a batch-consistent state: v1 sees ONLY batch 1, the
+    # latest sees both — a reader pinned at v1 during batch 2's append
+    # never observes a torn table
+    assert read_snapshot(spark, path, v1).count() == b1.count()
+    assert read_snapshot(spark, path, v2).count() == b1.count() + b2.count()

@@ -1341,6 +1341,50 @@ GROUP BY 1, 2
 """
 
 
+PAIR_MIN_SUPPORT = 2  # orders containing both parts
+
+
+def q_frequent_item_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs appearing together in at
+    least PAIR_MIN_SUPPORT orders, with support counts — the first pass of
+    any frequent-itemset miner (the candidate-pair step of Apriori).
+
+    Scale shape: the pair generation is a self-equi-join on the order key,
+    and TPC-H-like baskets are small (<= 7 items), so each order emits at
+    most C(7,2) pairs — the join output is linear in orders, never
+    corpus-quadratic. Items are deduped per order first (a part can appear
+    on multiple lines), and the (a < b) ordering halves the pairs. The
+    support filter is applied post-aggregate (standard Apriori prune
+    point). A skewed mega-basket upstream would be capped by basket size
+    in a real pipeline — baskets here are bounded by the data model."""
+    l = load_table(spark, sf_dir, "lineitem")
+    items = l.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+    )
+    return (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= PAIR_MIN_SUPPORT)
+    )
+
+
+SQL_FREQUENT_ITEM_PAIRS = f"""
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       count(*) AS support
+FROM items a JOIN items b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+HAVING count(*) >= {PAIR_MIN_SUPPORT}
+"""
+
+
 TS_START = "2024-01-01 00:00:00"
 TS_HOURS = 240  # 10 days of hourly buckets
 
@@ -1547,4 +1591,8 @@ SPECS = {
         q_series_similarity, SQL_SERIES_SIMILARITY,
         "z-normalized hourly-series pairwise similarity (explicit "
         "moment formula, dense zero-filled grid)"),
+    "tpch_frequent_item_pairs": QuerySpec(
+        q_frequent_item_pairs, SQL_FREQUENT_ITEM_PAIRS,
+        "market-basket co-occurrence pairs with Apriori support prune "
+        "(basket-bounded self-join, linear in orders)"),
 }

@@ -379,3 +379,37 @@ def pack_first_fit_decreasing(
 
     src = df.select(partition_col, id_col, token_col)
     return src.groupBy(partition_col).applyInPandas(pack, out_schema)
+
+
+def weighted_sample_k(
+    df: DataFrame,
+    weight_col: str,
+    key: str,
+    k: int,
+    seed: str = "ws-v1",
+    round_decimals: int = 9,
+) -> DataFrame:
+    """Deterministic weight-proportional sampling without replacement
+    (Efraimidis & Spirakis 2006): rank rows by ``u^(1/w)`` where ``u`` is a
+    uniform draw — here the CONTENT HASH of seed||key mapped into (0,1),
+    never rand() — and keep the top k. Inclusion probability tracks the
+    weight, the sample reproduces bit-for-bit on any cluster, and a new
+    seed is an independent redraw.
+
+    The rank key computes as ``exp(ln(u) / w)`` explicitly on both engines
+    (no pow-dialect drift), rounded before ranking with the row key as
+    tiebreak. One TakeOrdered top-k — per-partition heaps, O(k) driver
+    merge, no global sort. Weights must be > 0. Adds ``ws_key``.
+    """
+    kc = F.col(key)
+    u = (
+        md5_long(F.concat(F.lit(f"{seed}:"), kc.cast("string"))) + 1
+    ) / F.lit(float(2**32) + 1.0)
+    rank_key = F.round(
+        F.exp(F.log(u) / F.col(weight_col)), round_decimals
+    )
+    return (
+        df.withColumn("ws_key", rank_key)
+        .orderBy(F.col("ws_key").desc(), kc)
+        .limit(k)
+    )

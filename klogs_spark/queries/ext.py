@@ -1574,6 +1574,37 @@ FROM zt GROUP BY 1, 2
 SQL_ZORDER_VALUES = _sql_zorder_values()
 
 
+WS_K = 50
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional sampling without replacement (Efraimidis &
+    Spirakis 2006), deterministic: rank by u^(1/w) with u drawn from the
+    content hash — longer documents (w = n_chars) are proportionally more
+    likely, the pick reproduces bit-for-bit, and a new seed redraws
+    independently. One TakeOrdered top-k, no global sort."""
+    from ..ext.sampling import weighted_sample_k
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_sample_k(
+        docs.select("doc_id", "n_chars"), "n_chars", key="doc_id", k=WS_K
+    )
+
+
+SQL_WEIGHTED_SAMPLE = f"""
+WITH h AS (
+  SELECT doc_id, n_chars,
+         round(exp(ln(
+           ({md5_long_sql("concat('ws-v1:', CAST(doc_id AS VARCHAR))")} + 1)
+           / {float(2**32) + 1.0!r}
+         ) / n_chars), 9) AS ws_key
+  FROM documents
+)
+SELECT doc_id, n_chars, ws_key
+FROM h ORDER BY ws_key DESC, doc_id LIMIT {WS_K}
+"""
+
+
 SPLIT_SEED = "split-v1"
 SPLIT_VAL_PCT, SPLIT_TEST_PCT = 10, 10  # % of the 32-bit hash universe
 
@@ -3429,6 +3460,11 @@ SPECS = {
         q_split_assign, SQL_SPLIT_ASSIGN,
         "deterministic rand()-free train/val/test split, stable under "
         "corpus growth, per-source proportions checked",
+    ),
+    "sample_weighted_k": QuerySpec(
+        q_weighted_sample, SQL_WEIGHTED_SAMPLE,
+        "Efraimidis-Spirakis weight-proportional sampling without "
+        "replacement, hash-drawn and engine-exact",
     ),
     "sample_sequence_chunks": QuerySpec(
         q_sequence_chunks, SQL_SEQUENCE_CHUNKS,

@@ -1385,6 +1385,78 @@ HAVING count(*) >= {PAIR_MIN_SUPPORT}
 """
 
 
+def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules from the frequent pairs: confidence(a->b) =
+    support(a,b)/support(a) and lift = confidence / P(b) — the scoring
+    step after candidate mining. Item supports are one aggregate over the
+    deduped (order, part) table and BROADCAST onto the pair table twice
+    (item-support tables are vocabulary-sized); the order count is a 1-row
+    broadcast. Ratios round at 6 with integer inputs — cross-engine exact.
+    Top-50 by lift keeps the result bounded."""
+    l = load_table(spark, sf_dir, "lineitem")
+    items = l.select("l_orderkey", "l_partkey").distinct()
+    n_orders = items.select("l_orderkey").distinct().count()
+    item_support = items.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.count(F.lit(1)).alias("s_item")
+    )
+    a = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= PAIR_MIN_SUPPORT)
+    )
+    sa = item_support.select(
+        F.col("part").alias("part_a"), F.col("s_item").alias("s_a")
+    )
+    sb = item_support.select(
+        F.col("part").alias("part_b"), F.col("s_item").alias("s_b")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "part_a")
+        .join(F.broadcast(sb), "part_b")
+        .select(
+            "part_a", "part_b", "support",
+            F.round(F.col("support") / F.col("s_a"), 6).alias("confidence"),
+            F.round(
+                (F.col("support") / F.col("s_a"))
+                / (F.col("s_b") / F.lit(float(n_orders))),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "part_a", "part_b")
+        .limit(50)
+    )
+
+
+SQL_ASSOCIATION_RULES = f"""
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS n_orders FROM items),
+isup AS (SELECT l_partkey AS part, count(*) AS s_item FROM items GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS support
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= {PAIR_MIN_SUPPORT}
+)
+SELECT part_a, part_b, support,
+       round(support / CAST(sa.s_item AS DOUBLE), 6) AS confidence,
+       round((support / CAST(sa.s_item AS DOUBLE))
+             / (sb.s_item / n.n_orders), 6) AS lift
+FROM pairs
+JOIN isup sa ON pairs.part_a = sa.part
+JOIN isup sb ON pairs.part_b = sb.part, n
+ORDER BY lift DESC, part_a, part_b
+LIMIT 50
+"""
+
+
 TS_START = "2024-01-01 00:00:00"
 TS_HOURS = 240  # 10 days of hourly buckets
 
@@ -1595,4 +1667,8 @@ SPECS = {
         q_frequent_item_pairs, SQL_FREQUENT_ITEM_PAIRS,
         "market-basket co-occurrence pairs with Apriori support prune "
         "(basket-bounded self-join, linear in orders)"),
+    "tpch_association_rules": QuerySpec(
+        q_association_rules, SQL_ASSOCIATION_RULES,
+        "confidence/lift rule scoring over the frequent pairs "
+        "(broadcast item supports, top-50 by lift)"),
 }

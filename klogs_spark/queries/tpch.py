@@ -1341,6 +1341,84 @@ GROUP BY 1, 2
 """
 
 
+PATH_TOP_K = 20
+
+
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top event-type paths (3-step sequences) inside gap-based sessions —
+    the "common user journeys" product-analytics question. Sessions reuse
+    the 30-minute-gap assignment; within each session events order by
+    (ts, event_id) — the id tiebreak makes simultaneous events
+    deterministic, which plain ts ordering is not. The per-session path
+    list collapses to one row per session (bounded by session length),
+    3-grams are a narrow array-slice transform (same shape as text
+    shingles), and the count is one keyed aggregate — no event-level
+    self-joins anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(by_user)
+    new_session = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    seqs = (
+        ev.withColumn("new_s", new_session)
+        .withColumn(
+            "session_id",
+            F.sum("new_s").over(
+                by_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct("ts", "event_id", F.col("event_type").alias("et"))
+                )
+            ).alias("evs")
+        )
+        .select(F.transform(F.col("evs"), lambda s: s["et"]).alias("ets"))
+    )
+    grams = seqs.filter(F.size("ets") >= 3).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("ets") - 3),
+                lambda i: F.concat_ws(">", F.slice(F.col("ets"), i + 1, 3)),
+            )
+        ).alias("path")
+    )
+    return (
+        grams.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "path")
+        .limit(PATH_TOP_K)
+    )
+
+
+SQL_SESSION_PATHS = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) IS NULL
+                OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM flagged
+), seqs AS (
+  SELECT list(event_type ORDER BY ts, event_id) AS ets
+  FROM sess GROUP BY user_id, session_id
+), grams AS (
+  SELECT unnest(list_transform(
+           generate_series(1, len(ets) - 2),
+           i -> array_to_string(ets[i:i+2], '>'))) AS path
+  FROM seqs WHERE len(ets) >= 3
+)
+SELECT path, count(*) AS cnt FROM grams
+GROUP BY 1 ORDER BY cnt DESC, path LIMIT {PATH_TOP_K}
+"""
+
+
 PAIR_MIN_SUPPORT = 2  # orders containing both parts
 
 
@@ -1671,4 +1749,8 @@ SPECS = {
         q_association_rules, SQL_ASSOCIATION_RULES,
         "confidence/lift rule scoring over the frequent pairs "
         "(broadcast item supports, top-50 by lift)"),
+    "events_session_paths": QuerySpec(
+        q_session_paths, SQL_SESSION_PATHS,
+        "top 3-step event paths within gap sessions (narrow array-slice "
+        "grams, no event self-joins)"),
 }

@@ -1341,6 +1341,114 @@ GROUP BY 1, 2
 """
 
 
+PR_DAMPING_NUM, PR_DAMPING_DEN = 85, 100  # d = 0.85 as an exact ratio
+PR_ITERS = 2
+
+
+def q_pagerank_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the event-type transition graph: which event types are
+    the "sinks" of user behavior. The corpus-sized work is ONE pass — the
+    lag-window edge extraction and the (src, dst) count aggregate; the
+    graph itself is event-type x event-type (bounded by type cardinality,
+    broadcastable), so the power iterations run on the aggregated matrix,
+    never the events. Two unrolled damped iterations from the uniform
+    vector, every step rounded at 8 so the oracle's identically-unrolled
+    CTE chain matches digit-for-digit. Dangling mass is redistributed
+    uniformly (the standard correction) — here every node has out-edges,
+    and the oracle shares the same redistribution term."""
+    ev = load_table(spark, sf_dir, "events")
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.withColumn("dst", F.lead("event_type").over(by_user))
+        .filter(F.col("dst").isNotNull())
+        .groupBy(F.col("event_type").alias("src"), "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    out_tot = edges.groupBy("src").agg(F.sum("w").alias("w_out"))
+    # transition probability, rounded once — both engines iterate on the
+    # same rounded matrix
+    trans = (
+        edges.join(out_tot, "src")
+        .select(
+            "src", "dst",
+            F.round(F.col("w") / F.col("w_out"), 8).alias("p"),
+        )
+    )
+    nodes = trans.select(F.col("src").alias("node")).union(
+        trans.select("dst")
+    ).distinct()
+    n = nodes.count()  # type cardinality — bounded, driver-side by design
+    d = PR_DAMPING_NUM / PR_DAMPING_DEN
+    rank = nodes.select("node", F.lit(round(1.0 / n, 8)).alias("r"))
+    for _ in range(PR_ITERS):
+        contrib = (
+            trans.join(
+                rank.select(F.col("node").alias("src"), "r"), "src"
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("p") * F.col("r")).alias("inflow"))
+        )
+        rank = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                F.round(
+                    (1.0 - d) / n
+                    + d * F.coalesce(F.col("inflow"), F.lit(0.0)),
+                    8,
+                ).alias("r"),
+            )
+        )
+    return rank.select("node", F.col("r").alias("pagerank"))
+
+
+def _sql_pagerank() -> str:
+    d = PR_DAMPING_NUM / PR_DAMPING_DEN
+    steps = []
+    prev = "r0"
+    for i in range(1, PR_ITERS + 1):
+        steps.append(
+            f"""c{i} AS (
+  SELECT trans.dst AS node, sum(trans.p * {prev}.r) AS inflow
+  FROM trans JOIN {prev} ON trans.src = {prev}.node GROUP BY 1
+),
+r{i} AS (
+  SELECT nodes.node,
+         round((1.0 - {d!r}) / n.n + {d!r} * COALESCE(c{i}.inflow, 0.0), 8)
+           AS r
+  FROM nodes LEFT JOIN c{i} ON nodes.node = c{i}.node, n
+)"""
+        )
+        prev = f"r{i}"
+    chain = ",\n".join(steps)
+    return f"""
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS dst
+  FROM events
+),
+edges AS (
+  SELECT event_type AS src, dst, count(*) AS w
+  FROM ordered WHERE dst IS NOT NULL GROUP BY 1, 2
+),
+trans AS (
+  SELECT e.src, e.dst, round(e.w / CAST(t.w_out AS DOUBLE), 8) AS p
+  FROM edges e JOIN (SELECT src, sum(w) AS w_out FROM edges GROUP BY 1) t
+    ON e.src = t.src
+),
+nodes AS (SELECT DISTINCT src AS node FROM trans
+          UNION SELECT DISTINCT dst FROM trans),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+r0 AS (SELECT node, round(1.0 / n.n, 8) AS r FROM nodes, n),
+{chain}
+SELECT node, r AS pagerank FROM {prev}
+"""
+
+
+SQL_PAGERANK_TRANSITIONS = _sql_pagerank()
+
+
 PATH_TOP_K = 20
 
 
@@ -1753,4 +1861,8 @@ SPECS = {
         q_session_paths, SQL_SESSION_PATHS,
         "top 3-step event paths within gap sessions (narrow array-slice "
         "grams, no event self-joins)"),
+    "events_pagerank_transitions": QuerySpec(
+        q_pagerank_transitions, SQL_PAGERANK_TRANSITIONS,
+        "PageRank on the event-type transition graph (one corpus pass for "
+        "edges; iterations on the bounded matrix)"),
 }

@@ -2506,20 +2506,30 @@ LIMIT {IVFPQ_K}
 
 def _ivfpq_index_dir(sf_dir: str) -> str:
     """Deterministic on-disk location for the persisted IVF-PQ index of a
-    given corpus: keyed by corpus path + every training parameter + the
-    index format version, so a parameter or format change never reads a
-    stale index."""
+    given corpus: keyed by corpus path + the CONTENT identity of the
+    embeddings file (size + mtime — the testdata has been regenerated
+    between rounds before, and a path-only key would silently serve an
+    index trained on the previous data) + every training parameter + the
+    index format version, so neither a data refresh nor a parameter or
+    format change ever reads a stale index."""
     import hashlib
     import os
     import tempfile
 
     from ..ext import ann_index
 
+    emb_path = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
+    try:
+        st = os.stat(emb_path)
+        content_id = f"{st.st_size}:{st.st_mtime_ns}"
+    except OSError:
+        content_id = "missing"
     key = hashlib.md5(
         "|".join(
             str(x)
             for x in (
-                os.path.abspath(sf_dir), ann_index.ANN_INDEX_VERSION,
+                os.path.abspath(sf_dir), content_id,
+                ann_index.ANN_INDEX_VERSION,
                 IVF_K, IVF_REFINE_ITERS, IVF_ROUND,
                 sim.PQ_SUBSPACES, sim.PQ_CODEBOOK_K, sim.PQ_ROUND,
             )

@@ -74,3 +74,29 @@ def test_readme_query_count_matches_registry():
         f"README says {m.group(1)} registry queries, registry() has "
         f"{len(registry())} — update README.md's Query surface section"
     )
+
+
+def test_ann_index_dir_changes_when_embeddings_content_changes(tmp_path):
+    """The /tmp index cache must never serve an index trained on
+    regenerated testdata: the directory key includes the embeddings
+    file's content identity (size + mtime)."""
+    import os
+    import shutil
+
+    from klogs_spark.queries.ext import _ivfpq_index_dir
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    emb = sf / "embeddings.parquet"
+    emb.write_bytes(b"v1-bytes")
+    d1 = _ivfpq_index_dir(str(sf))
+    assert d1 == _ivfpq_index_dir(str(sf))  # stable for unchanged data
+    # regenerate: same path, different content identity
+    emb.write_bytes(b"v2-bytes-longer")
+    d2 = _ivfpq_index_dir(str(sf))
+    assert d2 != d1
+    # same size, different mtime also re-keys (regeneration may coincide)
+    stat = os.stat(emb)
+    os.utime(emb, ns=(stat.st_atime_ns, stat.st_mtime_ns + 1))
+    assert _ivfpq_index_dir(str(sf)) != d2
+    shutil.rmtree(sf)

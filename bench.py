@@ -250,6 +250,22 @@ def main() -> None:
                         "plan verified optimal (full pushdown, cast "
                         "eliminated); delta vs r5 = testdata regeneration "
                         "+ box noise",
+                    # r7's 0.927s for dedup_semantic was flattered by
+                    # cross-query cache leakage: the r7 bench never released
+                    # operator caches, so the ANN queries that ran earlier
+                    # had already materialized the identical centroid chain
+                    # and dedup_semantic timed only its pair join. r8
+                    # releases tracked caches between queries (the bounded-
+                    # cache contract), so the number now includes the
+                    # k-means build — the honest isolated cost. An r8 interim
+                    # regression (eager per-iteration materialize+drop made
+                    # repeat calls re-run iteration 1) was found and fixed:
+                    # warm cost measured 3.8-4.6s -> 1.4-1.9s at sf0.1.
+                    "dedup_semantic":
+                        "r7 number excluded the k-means build (cache "
+                        "leakage from earlier ANN queries); r8 isolates "
+                        "per-query cost via release_tracked — not "
+                        "comparable round-over-round",
                 },
             }
         )

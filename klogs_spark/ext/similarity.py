@@ -266,16 +266,16 @@ def kmeans_refine(
             # cache() rather than a driver-side collect: plan equality is
             # preserved, so repeated calls (bench trials, retries) reuse
             # the materialized chain instead of recomputing it. Tracked
-            # (ext.caching) so hosts can bound total cache growth; each
-            # iteration materializes eagerly (k rows, one tiny job) and
-            # drops the previous iteration's blocks immediately — at most
-            # one iteration's frame is live per refine call.
+            # (ext.caching) so hosts can bound total cache growth. LAZY on
+            # purpose: an earlier eager count()+unpersist-previous variant
+            # dropped each prior iteration's cache, so every repeat call
+            # re-ran iteration 1 from scratch (measured ~1s/call at sf0.1)
+            # to save k cached rows — all iterations stay cached until the
+            # host's release_tracked(), and the consumer's single job
+            # materializes the whole chain in one pass.
             .cache()
         )
         _track(refined)
-        refined.count()
-        if current is not centroids:
-            current.unpersist()
         current = refined
     return current
 
@@ -460,14 +460,11 @@ def pq_codebooks(
                 lambda s: s["c"],
             ).alias("cv")
             # m*k rows — cached for the same O(iter^2)-avoidance and
-            # cross-call plan-reuse reasons as kmeans_refine; tracked and
-            # eagerly materialized so the previous round's blocks drop
-            # immediately (same bounded-cache contract as kmeans_refine)
+            # cross-call plan-reuse reasons as kmeans_refine; tracked, LAZY
+            # (see kmeans_refine: eager materialize+drop-previous forced a
+            # full re-run of earlier rounds on every repeat call)
         ).cache()
         _track(refined)
-        refined.count()
-        if current is not sv and current.is_cached:
-            current.unpersist()
         current = refined
     return current
 

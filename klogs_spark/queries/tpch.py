@@ -1341,6 +1341,67 @@ GROUP BY 1, 2
 """
 
 
+def q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DAU/WAU/cumulative-uniques board: per day — distinct actives,
+    NEW users (first-ever-seen that day), running total of uniques, and the
+    7-day sliding distinct actives (WAU).
+
+    Scale shapes, one per metric: DAU is a keyed distinct aggregate;
+    new-users avoids any running-distinct state via the first-day trick
+    (min(day) per user, then count per day — cumulative uniques is just
+    the running sum of those); WAU's sliding DISTINCT — not expressible as
+    a window aggregate — is the day-grid pattern: each (user, day) pair
+    joins to the <= 7 calendar days it can contribute to (a bounded
+    explode, 7x the daily-user table, NOT events), then a distinct count
+    per target day. The only unpartitioned window runs over the per-day
+    aggregate — bounded by the calendar, not the data."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        F.col("user_id").alias("u"), F.to_date("ts").alias("d")
+    ).distinct()
+    dau = ud.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    first = ud.groupBy("u").agg(F.min("d").alias("d"))
+    news = first.groupBy("d").agg(F.count(F.lit(1)).alias("new_users"))
+    # bounded: one row per calendar day
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    base = (
+        dau.join(news, "d", "left")
+        .select(
+            "d", "dau", F.coalesce(F.col("new_users"), F.lit(0)).alias("new_users")
+        )
+        .withColumn("cum_users", F.sum("new_users").over(w))
+    )
+    contrib = ud.select(
+        "u", F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"), "d"
+    ).select("u", F.date_add(F.col("d"), F.col("off")).alias("d"))
+    wau = contrib.groupBy("d").agg(F.count_distinct("u").alias("wau"))
+    return base.join(wau, "d").select(
+        F.col("d").alias("day"), "dau", "new_users", "cum_users", "wau"
+    )
+
+
+SQL_ACTIVE_USERS = """
+WITH ud AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events),
+dau AS (SELECT d, count(*) AS dau FROM ud GROUP BY 1),
+first AS (SELECT u, min(d) AS d FROM ud GROUP BY 1),
+news AS (SELECT d, count(*) AS new_users FROM first GROUP BY 1),
+base AS (
+  SELECT dau.d, dau.dau, COALESCE(news.new_users, 0) AS new_users,
+         SUM(COALESCE(news.new_users, 0)) OVER (ORDER BY dau.d
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users
+  FROM dau LEFT JOIN news ON dau.d = news.d
+),
+contrib AS (
+  SELECT u, d + CAST(o.off AS INT) AS d
+  FROM ud, generate_series(0, 6) AS o(off)
+),
+wau AS (SELECT d, count(DISTINCT u) AS wau FROM contrib GROUP BY 1)
+SELECT base.d AS day, dau, new_users,
+       CAST(cum_users AS BIGINT) AS cum_users, wau
+FROM base JOIN wau ON base.d = wau.d
+"""
+
+
 PR_DAMPING_NUM, PR_DAMPING_DEN = 85, 100  # d = 0.85 as an exact ratio
 PR_ITERS = 2
 
@@ -1865,4 +1926,8 @@ SPECS = {
         q_pagerank_transitions, SQL_PAGERANK_TRANSITIONS,
         "PageRank on the event-type transition graph (one corpus pass for "
         "edges; iterations on the bounded matrix)"),
+    "events_active_users": QuerySpec(
+        q_active_users, SQL_ACTIVE_USERS,
+        "DAU / new users / cumulative uniques (first-day trick) / sliding "
+        "7-day WAU (day-grid distinct)"),
 }

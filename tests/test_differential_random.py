@@ -429,3 +429,97 @@ def test_random_zorder_is_order_preserving_per_dim(spark, spec):
             z += ((rb[b] >> i) & 1) << (i * 2)
         want[rid] = z
     assert got == want, f"zorder mismatch for {spec}"
+
+
+@given(spec=st.fixed_dictionaries({
+    "sizes": st.lists(st.integers(1, 900), min_size=1, max_size=40),
+    "budget": st.integers(100, 1000),
+    "groups": st.integers(1, 3),
+}))
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+    derandomize=True,
+)
+def test_random_ffd_matches_python_reference(spark, spec):
+    from klogs_spark.ext.sampling import pack_first_fit_decreasing
+
+    rows = [
+        (i, f"g-{i % spec['groups']}", int(s))
+        for i, s in enumerate(spec["sizes"])
+    ]
+    df = spark.createDataFrame(rows, "rid long, grp string, sz long")
+    got = {
+        (r.grp, r.rid): r.bin
+        for r in pack_first_fit_decreasing(
+            df, "sz", budget=spec["budget"], id_col="rid",
+            partition_col="grp",
+        ).collect()
+    }
+    want = {}
+    by_grp: dict = {}
+    for rid, grp, sz in rows:
+        by_grp.setdefault(grp, []).append((sz, rid))
+    for grp, items in by_grp.items():
+        loads: list = []
+        for sz, rid in sorted(items, key=lambda t: (-t[0], t[1])):
+            for b, used in enumerate(loads):
+                if used + sz <= spec["budget"]:
+                    loads[b] = used + sz
+                    want[(grp, rid)] = b
+                    break
+            else:
+                want[(grp, rid)] = len(loads)
+                loads.append(sz)
+    assert got == want, f"ffd mismatch for {spec}"
+
+
+@given(spec=st.fixed_dictionaries({
+    "full_day": st.integers(1, 5),
+    "ns": st.integers(0, 4),
+    "ns_day": st.integers(1, 5),
+}))
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+    derandomize=True,
+)
+def test_random_delete_where_preserves_complement(spark, tmp_path_factory, spec):
+    """delete_where over random (full-day, namespace-on-day) predicates:
+    survivors must equal the predicate's complement computed independently
+    on the pre-delete snapshot."""
+    from pyspark.sql import functions as F
+
+    from klogs_spark.table import delete_where, read_logs, write_logs
+    from klogs_spark.views import derive_logs_from_events
+
+    logs = derive_logs_from_events(spark, "/root/testdata/sf0.001").filter(
+        F.col("timestamp") < "2024-01-08"
+    )
+    path = str(tmp_path_factory.mktemp("dw") / "logs")
+    write_logs(logs, path)
+    before = read_logs(spark, path).select(
+        "date", "namespace", "timestamp", "log"
+    ).collect()
+    fd = f"2024-01-0{spec['full_day']}"
+    nd = f"2024-01-0{spec['ns_day']}"
+    ns = f"ns-{spec['ns']}"
+    pred = (
+        f"(date = DATE '{fd}') OR "
+        f"(namespace = '{ns}' AND date = DATE '{nd}')"
+    )
+    res = delete_where(spark, path, pred)
+    survivors = sorted(
+        tuple(map(str, r))
+        for r in read_logs(spark, path)
+        .select("date", "namespace", "timestamp", "log").collect()
+    )
+    want = sorted(
+        tuple(map(str, r))
+        for r in before
+        if not (str(r.date) == fd or (r.namespace == ns and str(r.date) == nd))
+    )
+    assert survivors == want, f"delete mismatch for {spec}"
+    assert res["rows_deleted"] == len(before) - len(want)

@@ -86,6 +86,21 @@ def main() -> None:
     trials = int(os.environ.get("BENCH_TRIALS", "5"))
     timings: dict[str, float] = {}
 
+    # box calibration: a fixed pure-JVM workload (no parquet, no Python, no
+    # code that ever changes round-over-round) timed best-of-3. Dividing any
+    # query's seconds by this factor normalizes away box-speed drift between
+    # rounds — r8 observed ~20-40% uniform slowdown on UNTOUCHED queries vs
+    # r7, which this metric makes visible and correctable.
+    cal = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(100_000_000).selectExpr(
+            "sum(id * 3 % 7)", "count(distinct id % 1024)"
+        ).collect()
+        cal = min(cal, time.perf_counter() - t0)
+    calibration = round(cal, 3)
+    print(f"# calibration: {calibration}s", file=sys.stderr)
+
     # Materialized-table section: write the logs view ONCE as the engine's
     # native table (daily partitions + cluster-key sort), then time the
     # canonical klogs filters against real storage — this is the layout the
@@ -227,6 +242,7 @@ def main() -> None:
                 "trials": trials,
                 "errors": errors,
                 "comparable_r4_subtotal_sec": comparable,
+                "box_calibration_sec": calibration,
                 "timing": "best-of-N per query (single-shot swings up to "
                           "+/-50% on this box with unchanged code); "
                           "'value' includes queries newly added to the "

@@ -207,7 +207,8 @@ def exactly_once_sink(path: str) -> Callable[[DataFrame, int], None]:
                         _must(fs.delete(f.getPath(), False),
                               "purge-delete", f.getPath())
         staging = hpath_cls(root, f"_staging/batch-{batch_id}")
-        write_logs(batch, f"{path}/_staging/batch-{batch_id}", mode="overwrite")
+        write_logs(batch, f"{path}/_staging/batch-{batch_id}", mode="overwrite",
+                   mark_layout=False)
         for part in fs.listStatus(staging):
             if not (part.isDirectory()
                     and part.getPath().getName().startswith("date=")):

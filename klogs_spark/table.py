@@ -40,11 +40,71 @@ def _hadoop_fs(spark: SparkSession, path: str):
     return fs, hpath_cls, root
 
 
+LAYOUT_MARKER = "_layout.json"
+
+
+def _write_layout_marker(spark: SparkSession, path: str, layout: dict) -> None:
+    """Record the table's physical sort contract (cluster-key vs z-order)
+    so every maintenance job that rewrites partitions — compaction,
+    predicate deletes, backfills — re-sorts them the way the writer laid
+    them out, instead of silently converting a z-ordered table back to the
+    lexicographic key. '_'-prefixed so Spark readers ignore it; replaced
+    atomically via temp-write + checked rename."""
+    import json
+
+    fs, hpath_cls, root = _hadoop_fs(spark, path)
+    if not fs.exists(root):
+        fs.mkdirs(root)
+    tmp = hpath_cls(f"{path}/.{LAYOUT_MARKER}.tmp")
+    out = fs.create(tmp, True)
+    try:
+        out.write(json.dumps(layout).encode())
+    finally:
+        out.close()
+    final = hpath_cls(f"{path}/{LAYOUT_MARKER}")
+    if fs.exists(final):
+        fs.delete(final, False)
+    if not fs.rename(tmp, final):
+        raise IOError(f"could not publish layout marker under {path}")
+
+
+def read_layout(spark: SparkSession, path: str) -> dict:
+    """The table's recorded sort layout; tables written before markers
+    existed default to the reference cluster key."""
+    import json
+
+    fs, hpath_cls, _ = _hadoop_fs(spark, path)
+    mf = hpath_cls(f"{path}/{LAYOUT_MARKER}")
+    if not fs.exists(mf):
+        return {"layout": "cluster"}
+    stream = fs.open(mf)
+    try:
+        data = bytes(stream.readAllBytes())
+    finally:
+        stream.close()
+    return json.loads(data.decode())
+
+
+def _layout_sorted(df: DataFrame, layout: dict, lead_partition: bool) -> DataFrame:
+    """Sort ``df`` per the table's layout contract. ``lead_partition``
+    prepends the date column (required by FileFormatWriter when the frame
+    spans partitions; single-partition rewrites omit it)."""
+    lead = [PARTITION_COLUMN] if lead_partition else []
+    if layout.get("layout") == "zorder":
+        from .ext.zorder import add_zorder
+
+        cols = df.columns
+        z = add_zorder(df, list(layout["cols"]))
+        return z.sortWithinPartitions(*lead, "_z", "timestamp").select(*cols)
+    return df.sortWithinPartitions(*lead, *CLUSTER_KEY)
+
+
 def write_logs(
     df: DataFrame,
     path: str,
     mode: str = "append",
     max_records_per_file: int = 4_000_000,
+    mark_layout: bool = True,
 ) -> None:
     """Write logs rows as date-partitioned, cluster-sorted parquet.
 
@@ -77,6 +137,15 @@ def write_logs(
         .partitionBy(PARTITION_COLUMN)
         .parquet(path)
     )
+    # record the sort contract for maintenance jobs; never clobber an
+    # existing marker (an append into a z-ordered table must not flip it).
+    # mark_layout=False for writes into staging/scratch directories that
+    # are not table roots (stream.exactly_once_sink's _staging batches).
+    if mark_layout:
+        spark = df.sparkSession
+        fs, hpath_cls, _ = _hadoop_fs(spark, path)
+        if not fs.exists(hpath_cls(f"{path}/{LAYOUT_MARKER}")):
+            _write_layout_marker(spark, path, {"layout": "cluster"})
 
 
 def read_logs(spark: SparkSession, path: str) -> DataFrame:
@@ -146,6 +215,11 @@ def write_logs_zordered(
         .partitionBy(PARTITION_COLUMN)
         .parquet(path)
     )
+    # the z-order writer is the layout authority: maintenance jobs re-sort
+    # rewritten partitions by this marker, not the lexicographic default
+    _write_layout_marker(
+        df.sparkSession, path, {"layout": "zorder", "cols": list(zorder_on)}
+    )
 
 
 def compact_partition(
@@ -190,8 +264,10 @@ def compact_partition(
         col, F.lit(val).cast("date" if col == PARTITION_COLUMN else "string")
     )
     (
-        df.repartition(n_files)
-        .sortWithinPartitions(*CLUSTER_KEY)
+        _layout_sorted(
+            df.repartition(n_files), read_layout(spark, path),
+            lead_partition=False,
+        )
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(col)
@@ -214,8 +290,9 @@ def reprocess_partition(
     :func:`compact_partition` machinery with a logic hook, and the same
     safety shape: sources are subdirectories, untouched days never
     rewrite. The transform must preserve the schema (minus the partition
-    column, which is restored from the directory name). Cluster-key sort
-    is re-applied after the transform. Returns the day's row count.
+    column, which is restored from the directory name). The table's
+    recorded sort layout (cluster key or z-order, see ``read_layout``) is
+    re-applied after the transform. Returns the day's row count.
     """
     fs, hpath_cls, root = _hadoop_fs(spark, path)
     if not fs.exists(hpath_cls(root, partition)):
@@ -226,7 +303,7 @@ def reprocess_partition(
         col, F.lit(val).cast("date" if col == PARTITION_COLUMN else "string")
     )
     (
-        out.sortWithinPartitions(*CLUSTER_KEY)
+        _layout_sorted(out, read_layout(spark, path), lead_partition=False)
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(col)
@@ -337,8 +414,10 @@ def delete_where(
         for p in parts[1:]:
             keep = keep.unionByName(p)
         (
-            keep.filter(~pred)
-            .sortWithinPartitions(PARTITION_COLUMN, *CLUSTER_KEY)
+            _layout_sorted(
+                keep.filter(~pred), read_layout(spark, path),
+                lead_partition=True,
+            )
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy(PARTITION_COLUMN)

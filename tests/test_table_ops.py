@@ -245,3 +245,43 @@ def test_snapshot_reads_are_append_consistent_and_pin_files(spark, tmp_path):
     # re-publishing after the rewrite restores a consistent latest
     v3 = publish_snapshot(spark, path)
     assert read_snapshot(spark, path, v3).count() == logs.count()
+
+
+def test_maintenance_jobs_preserve_zorder_layout(spark, tmp_path):
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from klogs_spark.ext.zorder import add_zorder
+    from klogs_spark.table import (
+        compact_partition,
+        read_layout,
+        read_logs,
+        write_logs_zordered,
+    )
+    from klogs_spark.views import derive_logs_from_events
+
+    logs = derive_logs_from_events(spark, "/root/testdata/sf0.01").filter(
+        F.col("timestamp") < "2024-01-04"
+    )
+    path = str(tmp_path / "zlogs")
+    write_logs_zordered(logs, path, mode="overwrite")
+    assert read_layout(spark, path)["layout"] == "zorder"
+
+    day = "date=2024-01-02"
+    compact_partition(spark, path, day, target_file_bytes=10**9)
+    # marker survived the rewrite and the compacted day is still z-sorted:
+    # physical row order within the file must be non-decreasing in the
+    # day's z-value (cluster-key order would interleave z wildly)
+    assert read_layout(spark, path)["layout"] == "zorder"
+    files = glob.glob(f"{path}/{day}/*.parquet")
+    assert len(files) == 1
+    rows = spark.read.parquet(files[0])
+    z = add_zorder(
+        rows.withColumn("_seq", F.monotonically_increasing_id()),
+        ["namespace", "app", "host"],
+    )
+    ordered = [r._z for r in z.orderBy("_seq").select("_z").collect()]
+    assert ordered == sorted(ordered), "compaction lost the z-order layout"
+    # data intact
+    assert read_logs(spark, path).count() == logs.count()

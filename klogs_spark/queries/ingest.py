@@ -1031,6 +1031,43 @@ GROUP BY 1
 """
 
 
+def q_table_zorder_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The z-ordered table through the same lifecycle as table_delete_where
+    — write (Morton layout), compact one day, predicate-delete another —
+    then a per-day aggregate of what survives. Equality against the
+    exclusion oracle proves the LAYOUT-AWARE maintenance path (compaction
+    and deletes re-sorting by the recorded z-order marker, not the
+    lexicographic default) loses and duplicates nothing; the physical
+    z-sortedness itself is pinned by tests/test_table_ops.py."""
+    import tempfile
+
+    from ..table import compact_partition, delete_where, read_logs, write_logs_zordered
+    from ..views import derive_logs_from_events
+
+    logs = derive_logs_from_events(spark, sf_dir).filter(
+        F.col("timestamp") < "2024-02-01"
+    )
+    base = tempfile.mkdtemp(prefix="klogs-zlife-")
+    tdir = f"{base}/logs"
+    write_logs_zordered(logs, tdir)
+    compact_partition(spark, tdir, "date=2024-01-02")
+    delete_where(
+        spark, tdir,
+        f"(date = DATE '{DELETE_FULL_DAY}') OR "
+        f"(namespace = 'ns-1' AND date BETWEEN DATE '{DELETE_NS_FROM}' "
+        f"AND DATE '{DELETE_NS_TO}')",
+    )
+    return (
+        read_logs(spark, tdir)
+        .groupBy("date")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.count_distinct("namespace").alias("n_namespaces"),
+            F.max("timestamp").alias("max_ts"),
+        )
+    )
+
+
 SKIPINDEX_NEEDLE = "user=42"
 
 
@@ -1487,5 +1524,11 @@ SPECS = {
         SQL_TABLE_DELETE_WHERE,
         "row-level predicate delete: dynamic rewrite of partially-matched "
         "days + checked drop of fully-emptied days, vs exclusion oracle",
+    ),
+    "table_zorder_lifecycle": QuerySpec(
+        q_table_zorder_lifecycle,
+        SQL_TABLE_DELETE_WHERE,
+        "z-ordered write -> layout-aware compaction + delete -> read-back "
+        "aggregate, same exclusion oracle as the cluster-layout path",
     ),
 }

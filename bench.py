@@ -144,6 +144,21 @@ def main() -> None:
         timings["table_write_logs"] = round(best, 3)
         print(f"# table_write_logs: {best:.3f}s", file=sys.stderr)
         logs_table = read_logs(spark, table_dir)
+        # the alternative layout's write cost (rank lookups + Morton sort):
+        # tracked so a regression in the z-order path is visible per round
+        from klogs_spark.table import write_logs_zordered
+
+        with tempfile.TemporaryDirectory(prefix="bench-z-") as zdir:
+            bestz = float("inf")
+            for _ in range(max(trials, 1)):
+                t0 = time.perf_counter()
+                write_logs_zordered(
+                    derive_logs_from_events(spark, sf_dir), zdir + "/z",
+                    mode="overwrite",
+                )
+                bestz = min(bestz, time.perf_counter() - t0)
+            timings["table_write_zordered"] = round(bestz, 3)
+            print(f"# table_write_zordered: {bestz:.3f}s", file=sys.stderr)
     except Exception as exc:  # noqa: BLE001
         errors["table_write_logs"] = f"{type(exc).__name__}: {exc}"[:300]
         print(f"# table_write_logs: FAILED {errors['table_write_logs']}",

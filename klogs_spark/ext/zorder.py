@@ -74,9 +74,42 @@ def add_zorder(
     multi-dimension-local layout.
     """
     width = 1 << bits_per_col
+
+    # fast path: ONE aggregate collects every column's (capped) distinct
+    # set; columns under the cap rank via a broadcast literal map — no
+    # joins, no extra corpus passes (the join path costs one distinct
+    # aggregate + broadcast join PER column; measured ~1.7x on the table
+    # write). The cap keeps literal maps small (the Bloom-literal lesson:
+    # thousands of plan literals cost seconds of optimizer time); columns
+    # over it fall back to the join path, which is cardinality-safe.
+    LITERAL_CAP = 1024
+    capped = df.agg(
+        *[
+            F.slice(
+                F.sort_array(F.collect_set(F.col(c))), 1, LITERAL_CAP + 1
+            ).alias(f"_s{j}")
+            for j, c in enumerate(cols)
+        ]
+    ).first()
+
     result = df
-    rank_cols = []
+    rank_exprs: list[Column] = [None] * len(cols)
+    join_cols = []
     for j, c in enumerate(cols):
+        vals = capped[f"_s{j}"]
+        if len(vals) <= LITERAL_CAP:
+            n = len(vals)
+            mapping = F.create_map(
+                *[
+                    F.lit(x)
+                    for i, v in enumerate(vals)
+                    for x in (v, (i * width) // n)
+                ]
+            )
+            rank_exprs[j] = F.element_at(mapping, F.col(c))
+        else:
+            join_cols.append((j, c))
+    for j, c in join_cols:
         rc = f"_zr{j}"
         w_all = Window.partitionBy(F.lit(1))
         ranks = (
@@ -92,9 +125,11 @@ def add_zorder(
             .select(F.col("_zv").alias(c), rc)
         )
         result = result.join(F.broadcast(ranks), c)
-        rank_cols.append(rc)
-    z = interleave_bits([F.col(rc) for rc in rank_cols], bits_per_col)
-    return result.withColumn(out, z).drop(*rank_cols)
+        rank_exprs[j] = F.col(rc)
+    z = interleave_bits(rank_exprs, bits_per_col)
+    return result.withColumn(out, z).drop(
+        *[f"_zr{j}" for j, _ in join_cols]
+    )
 
 
 def zorder_sql(

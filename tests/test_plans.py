@@ -485,11 +485,13 @@ def test_exact_decontaminate_broadcasts_benchmark(spark):
 
 
 def test_zorder_rank_tables_broadcast(spark):
-    # each value->rank table is bounded by dimension cardinality and must
-    # broadcast back onto the corpus, never shuffle it
+    # small dimensions rank through broadcast literal maps — the corpus
+    # never joins OR shuffles for rank lookup; only the final groupBy
+    # exchanges. (Over-cap dimensions would fall back to broadcast joins —
+    # still never a SortMergeJoin.)
     plan = _plan(spark, "table_zorder_values")
-    assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
+    assert "Join" not in plan, "literal-map rank path should plan no joins"
 
 
 def test_deterministic_shuffle_windows_are_shard_partitioned(spark):

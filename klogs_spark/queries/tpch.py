@@ -1341,6 +1341,78 @@ GROUP BY 1, 2
 """
 
 
+RFM_ASOF = "1998-12-31"  # pinned "today" for recency
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency (days since last order at a
+    pinned as-of date), frequency (order count), monetary (cents-exact
+    spend), each cut into quartiles by ntile with the customer key as the
+    deterministic tiebreak, composed into a segment code (e.g. '144') and
+    aggregated to segment profiles. One groupBy over orders plus three
+    customer-cardinality ntile windows — the windows run over the customer
+    AGGREGATE (one row per customer), not the order fact table. Honest
+    scale note: exact ntile over all customers is a single-partition sort;
+    at billions of customers the production form swaps it for
+    approx-quantile boundary thresholds broadcast into CASE buckets (the
+    same swap as logs_approx_percentiles) — ntile here is the exact form
+    the oracle can replicate."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit(RFM_ASOF).cast("date"), F.max(F.to_date("o_orderdate"))
+        ).alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum("o_totalprice") * 100).cast("bigint").alias("monetary_c"),
+    )
+    # recency quartile 1 = most recent; frequency/monetary quartile 4 = top
+    rq = Window.orderBy("recency_days", "o_custkey")
+    fq = Window.orderBy("frequency", "o_custkey")
+    mq = Window.orderBy("monetary_c", "o_custkey")
+    scored = per_cust.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary_c",
+        F.ntile(4).over(rq).alias("r_q"),
+        F.ntile(4).over(fq).alias("f_q"),
+        F.ntile(4).over(mq).alias("m_q"),
+    )
+    return (
+        scored.groupBy("r_q", "f_q", "m_q")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("recency_days"), 4).alias("avg_recency"),
+            F.round(F.avg("frequency"), 4).alias("avg_frequency"),
+            F.sum("monetary_c").alias("segment_cents"),
+        )
+    )
+
+
+SQL_RFM_SEGMENTS = f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         datediff('day', max(CAST(o_orderdate AS DATE)),
+                  DATE '{RFM_ASOF}') AS recency_days,
+         count(*) AS frequency,
+         CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS monetary_c
+  FROM orders GROUP BY 1
+),
+scored AS (
+  SELECT o_custkey, recency_days, frequency, monetary_c,
+         NTILE(4) OVER (ORDER BY recency_days, o_custkey) AS r_q,
+         NTILE(4) OVER (ORDER BY frequency, o_custkey) AS f_q,
+         NTILE(4) OVER (ORDER BY monetary_c, o_custkey) AS m_q
+  FROM per_cust
+)
+SELECT r_q, f_q, m_q, count(*) AS n_customers,
+       round(avg(recency_days), 4) AS avg_recency,
+       round(avg(frequency), 4) AS avg_frequency,
+       CAST(sum(monetary_c) AS BIGINT) AS segment_cents
+FROM scored GROUP BY 1, 2, 3
+"""
+
+
 def q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The DAU/WAU/cumulative-uniques board: per day — distinct actives,
     NEW users (first-ever-seen that day), running total of uniques, and the
@@ -1930,4 +2002,8 @@ SPECS = {
         q_active_users, SQL_ACTIVE_USERS,
         "DAU / new users / cumulative uniques (first-day trick) / sliding "
         "7-day WAU (day-grid distinct)"),
+    "tpch_rfm_segments": QuerySpec(
+        q_rfm_segments, SQL_RFM_SEGMENTS,
+        "RFM quartile segmentation (ntile windows over the customer "
+        "aggregate, cents-exact monetary)"),
 }

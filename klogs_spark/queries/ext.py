@@ -1574,6 +1574,85 @@ FROM zt GROUP BY 1, 2
 SQL_ZORDER_VALUES = _sql_zorder_values()
 
 
+TREND_SPLIT = 250  # doc_id threshold splitting "prior" vs "current" period
+TREND_TOP_K = 25
+TREND_MIN_CUR = 3  # ignore terms too rare in the current period
+
+
+def q_term_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending-term detection: terms whose current-period frequency grew
+    most against the prior period, scored by the add-1-smoothed rate ratio
+    (per-million-token rates so corpus growth doesn't masquerade as
+    trend). Two keyed count aggregates + a full-outer merge on term —
+    vocabulary-sized, map-side combined; a minimum current-count floor
+    keeps one-off noise out of the top-k. Integer ppm rates and a rounded
+    ratio make the ranking engine-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tx.tokens_col(F.col("text"))).alias("tok")
+    )
+
+    def period_counts(cond, name):
+        t = toks.filter(cond)
+        total = t.count()  # 1 scalar per period — driver-side by design
+        return (
+            t.groupBy("tok").agg(F.count(F.lit(1)).alias(f"c_{name}")),
+            total,
+        )
+
+    prior, n_prior = period_counts(F.col("doc_id") < TREND_SPLIT, "prior")
+    cur, n_cur = period_counts(F.col("doc_id") >= TREND_SPLIT, "cur")
+    merged = cur.join(prior, "tok", "full").select(
+        "tok",
+        F.coalesce(F.col("c_cur"), F.lit(0)).alias("c_cur"),
+        F.coalesce(F.col("c_prior"), F.lit(0)).alias("c_prior"),
+    )
+    # integer DIV, not double-divide-then-cast: both engines floor in exact
+    # int64 so ppm boundaries can never disagree
+    ppm_cur = F.expr(f"CAST((c_cur * 1000000) DIV {n_cur} AS BIGINT)")
+    ppm_prior = F.expr(f"CAST((c_prior * 1000000) DIV {n_prior} AS BIGINT)")
+    growth = F.round((ppm_cur + 1) / (ppm_prior + 1), 6)
+    return (
+        merged.filter(F.col("c_cur") >= TREND_MIN_CUR)
+        .select(
+            "tok", "c_prior", "c_cur",
+            ppm_prior.alias("ppm_prior"),
+            ppm_cur.alias("ppm_cur"),
+            growth.alias("growth"),
+        )
+        .orderBy(F.col("growth").desc(), "tok")
+        .limit(TREND_TOP_K)
+    )
+
+
+SQL_TERM_TRENDS = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+           AS tok
+  FROM documents
+),
+prior AS (SELECT tok, count(*) AS c_prior FROM toks
+          WHERE doc_id < {TREND_SPLIT} GROUP BY 1),
+cur AS (SELECT tok, count(*) AS c_cur FROM toks
+        WHERE doc_id >= {TREND_SPLIT} GROUP BY 1),
+np AS (SELECT count(*) AS n FROM toks WHERE doc_id < {TREND_SPLIT}),
+nc AS (SELECT count(*) AS n FROM toks WHERE doc_id >= {TREND_SPLIT}),
+merged AS (
+  SELECT COALESCE(cur.tok, prior.tok) AS tok,
+         COALESCE(c_cur, 0) AS c_cur, COALESCE(c_prior, 0) AS c_prior
+  FROM cur FULL OUTER JOIN prior ON cur.tok = prior.tok
+)
+SELECT tok, c_prior, c_cur,
+       CAST(c_prior * 1000000 // np.n AS BIGINT) AS ppm_prior,
+       CAST(c_cur * 1000000 // nc.n AS BIGINT) AS ppm_cur,
+       round((c_cur * 1000000 // nc.n + 1)
+             / CAST(c_prior * 1000000 // np.n + 1 AS DOUBLE), 6) AS growth
+FROM merged, np, nc
+WHERE c_cur >= {TREND_MIN_CUR}
+ORDER BY growth DESC, tok LIMIT {TREND_TOP_K}
+"""
+
+
 WS_K = 50
 
 
@@ -3475,6 +3554,11 @@ SPECS = {
         q_weighted_sample, SQL_WEIGHTED_SAMPLE,
         "Efraimidis-Spirakis weight-proportional sampling without "
         "replacement, hash-drawn and engine-exact",
+    ),
+    "text_term_trends": QuerySpec(
+        q_term_trends, SQL_TERM_TRENDS,
+        "trending terms by smoothed ppm-rate growth between periods "
+        "(vocabulary-sized merge, integer-exact rates)",
     ),
     "sample_sequence_chunks": QuerySpec(
         q_sequence_chunks, SQL_SEQUENCE_CHUNKS,

@@ -1341,6 +1341,76 @@ GROUP BY 1, 2
 """
 
 
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves: users cohorted by first-seen week, cumulative
+    per-user value by week offset — the curve every growth team plots.
+    Value is exact integer cents (x100 before summing); the cumulative
+    window runs over the (cohort, offset) AGGREGATE — bounded by
+    weeks^2/2 rows, not events. The broadcast cohort map is user-count
+    sized (same shape as events_retention_cohorts)."""
+    ev = load_table(spark, sf_dir, "events")
+    week = (F.floor(F.unix_timestamp(F.col("ts")) / (7 * 86400))).cast("long")
+    firsts = (
+        ev.select("user_id", week.alias("w"))
+        .groupBy("user_id")
+        .agg(F.min("w").alias("cohort_w"))
+    )
+    cohort_sizes = firsts.groupBy("cohort_w").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    per = (
+        ev.select(
+            "user_id",
+            week.alias("w"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .join(F.broadcast(firsts), "user_id")
+        .withColumn("offset_w", (F.col("w") - F.col("cohort_w")).cast("int"))
+        .groupBy("cohort_w", "offset_w")
+        .agg(F.sum("cents").alias("week_cents"))
+    )
+    cum = Window.partitionBy("cohort_w").orderBy("offset_w").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        per.withColumn("cum_cents", F.sum("week_cents").over(cum))
+        .join(F.broadcast(cohort_sizes), "cohort_w")
+        .select(
+            "cohort_w", "offset_w", "week_cents", "cum_cents",
+            F.round(F.col("cum_cents") / F.col("cohort_users"), 4).alias(
+                "ltv_per_user"
+            ),
+        )
+    )
+
+
+SQL_COHORT_LTV = """
+WITH wk AS (
+  SELECT user_id, CAST(floor(epoch(ts) / (7 * 86400)) AS BIGINT) AS w,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+firsts AS (SELECT user_id, min(w) AS cohort_w FROM wk GROUP BY 1),
+sizes AS (SELECT cohort_w, count(*) AS cohort_users FROM firsts GROUP BY 1),
+per AS (
+  SELECT f.cohort_w, CAST(wk.w - f.cohort_w AS INT) AS offset_w,
+         sum(wk.cents) AS week_cents
+  FROM wk JOIN firsts f ON wk.user_id = f.user_id
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT cohort_w, offset_w, week_cents,
+         SUM(week_cents) OVER (PARTITION BY cohort_w ORDER BY offset_w
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents
+  FROM per
+)
+SELECT cum.cohort_w, offset_w, CAST(week_cents AS BIGINT) AS week_cents,
+       CAST(cum_cents AS BIGINT) AS cum_cents,
+       round(cum_cents / CAST(sizes.cohort_users AS DOUBLE), 4) AS ltv_per_user
+FROM cum JOIN sizes ON cum.cohort_w = sizes.cohort_w
+"""
+
+
 RFM_ASOF = "1998-12-31"  # pinned "today" for recency
 
 
@@ -2006,4 +2076,8 @@ SPECS = {
         q_rfm_segments, SQL_RFM_SEGMENTS,
         "RFM quartile segmentation (ntile windows over the customer "
         "aggregate, cents-exact monetary)"),
+    "events_cohort_ltv": QuerySpec(
+        q_cohort_ltv, SQL_COHORT_LTV,
+        "cohort LTV curves: cents-exact weekly value, cumulative window "
+        "over the bounded (cohort, offset) aggregate"),
 }

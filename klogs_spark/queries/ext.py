@@ -1574,6 +1574,73 @@ FROM zt GROUP BY 1, 2
 SQL_ZORDER_VALUES = _sql_zorder_values()
 
 
+VOCAB_SAMPLE_EVERY = 25  # curve sampled every Nth document
+
+
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve: cumulative distinct tokens vs
+    cumulative token count along the document order — the corpus statistic
+    that says whether more data still buys new vocabulary. A running
+    DISTINCT is never materialized: each token's FIRST document (one keyed
+    min) turns the curve into a running SUM of per-doc new-token counts.
+    The cumulative window runs over the per-document aggregate (one row
+    per doc; at corpus scale the curve is bucketed by doc percentile
+    first, same window-over-bounded-aggregate shape), and the output
+    samples every {n}th document.""".format(n=VOCAB_SAMPLE_EVERY)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tx.tokens_col(F.col("text"))).alias("tok")
+    )
+    firsts = toks.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    new_per_doc = firsts.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    toks_per_doc = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_toks")
+    )
+    from pyspark.sql.window import Window as W
+
+    cum = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    curve = (
+        toks_per_doc.join(new_per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_toks",
+            F.coalesce(F.col("n_new"), F.lit(0)).alias("n_new"),
+        )
+        .withColumn("cum_tokens", F.sum("n_toks").over(cum))
+        .withColumn("cum_vocab", F.sum("n_new").over(cum))
+    )
+    return curve.filter(
+        F.col("doc_id") % VOCAB_SAMPLE_EVERY == 0
+    ).select("doc_id", "cum_tokens", "cum_vocab")
+
+
+SQL_VOCAB_GROWTH = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+           AS tok
+  FROM documents
+),
+firsts AS (SELECT tok, min(doc_id) AS first_doc FROM toks GROUP BY 1),
+new_per_doc AS (
+  SELECT first_doc AS doc_id, count(*) AS n_new FROM firsts GROUP BY 1
+),
+toks_per_doc AS (SELECT doc_id, count(*) AS n_toks FROM toks GROUP BY 1),
+curve AS (
+  SELECT t.doc_id,
+         SUM(t.n_toks) OVER (ORDER BY t.doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens,
+         SUM(COALESCE(n.n_new, 0)) OVER (ORDER BY t.doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_vocab
+  FROM toks_per_doc t LEFT JOIN new_per_doc n ON t.doc_id = n.doc_id
+)
+SELECT doc_id, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+       CAST(cum_vocab AS BIGINT) AS cum_vocab
+FROM curve WHERE doc_id % {VOCAB_SAMPLE_EVERY} = 0
+"""
+
+
 TREND_SPLIT = 250  # doc_id threshold splitting "prior" vs "current" period
 TREND_TOP_K = 25
 TREND_MIN_CUR = 3  # ignore terms too rare in the current period
@@ -3559,6 +3626,11 @@ SPECS = {
         q_term_trends, SQL_TERM_TRENDS,
         "trending terms by smoothed ppm-rate growth between periods "
         "(vocabulary-sized merge, integer-exact rates)",
+    ),
+    "text_vocab_growth": QuerySpec(
+        q_vocab_growth, SQL_VOCAB_GROWTH,
+        "Heaps-law vocabulary growth via token-first-document trick — "
+        "no running distinct, window over per-doc aggregate",
     ),
     "sample_sequence_chunks": QuerySpec(
         q_sequence_chunks, SQL_SEQUENCE_CHUNKS,

@@ -125,6 +125,58 @@ WHERE i.n * 1.0 / (sa.sz + sb.sz - i.n) >= {MINHASH_JACCARD}
 """
 
 
+CURVE_THRESHOLDS = [30, 40, 50, 60, 70, 80, 90]  # percent
+
+
+def q_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-sensitivity curve for the MinHash-LSH dedup: how many
+    verified pairs survive each candidate Jaccard cutoff — the tuning
+    artifact every dedup deployment produces before fixing its threshold.
+    One LSH+verify pass (jaccard over ALL candidates) exploded against a
+    7-value threshold literal array; counts per threshold, zero extra
+    corpus work."""
+    pairs = dd.minhash_dedup(
+        load_table(spark, sf_dir, "documents"), min_jaccard=0.0
+    )
+    t = F.explode(
+        F.array(*[F.lit(x) for x in CURVE_THRESHOLDS])
+    ).alias("threshold_pct")
+    return (
+        pairs.select("jaccard", t)
+        .filter(F.col("jaccard") * 100 >= F.col("threshold_pct"))
+        .groupBy("threshold_pct")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+SQL_DEDUP_THRESHOLD_CURVE = f"""
+WITH {SIG_CTE},
+bands AS ({_BAND_SELECTS}),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.id < b.id
+),
+sizes AS (SELECT id, count(*) AS sz FROM hs GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2
+),
+jp AS (
+  SELECT round(i.n * 1.0 / (sa.sz + sb.sz - i.n), 6) AS jaccard
+  FROM inter i
+  JOIN cand c ON i.id_a = c.id_a AND i.id_b = c.id_b
+  JOIN sizes sa ON i.id_a = sa.id
+  JOIN sizes sb ON i.id_b = sb.id
+)
+SELECT t.threshold_pct, count(*) AS n_pairs
+FROM jp, unnest({CURVE_THRESHOLDS}) AS t(threshold_pct)
+WHERE jaccard * 100 >= t.threshold_pct
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # dedup: paragraph granularity (exact + MinHash/LSH near-dup)
 # ---------------------------------------------------------------------------
@@ -3460,6 +3512,10 @@ SPECS = {
                                           "16-perm MinHash signatures"),
     "dedup_minhash_lsh": QuerySpec(q_minhash_lsh, SQL_MINHASH_LSH,
                                    "MinHash->LSH bands->Jaccard verify"),
+    "dedup_threshold_curve": QuerySpec(
+        q_dedup_threshold_curve, SQL_DEDUP_THRESHOLD_CURVE,
+        "pairs-surviving-per-threshold tuning curve from one LSH+verify "
+        "pass"),
     "dedup_ngram_jaccard": QuerySpec(q_ngram_jaccard, SQL_NGRAM_JACCARD,
                                      "exact 3-gram Jaccard pairs"),
     "dedup_containment_lsh": QuerySpec(

@@ -873,6 +873,44 @@ WHERE n * s2 > s1 * s1
 """
 
 
+HEATMAP_BUCKET_MS = 500  # latency bucket width
+
+
+def q_latency_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The latency heatmap feed (hour x latency-bucket counts over the
+    dynamic latency_ms field) — the 2-D histogram every latency dashboard
+    renders. One keyed aggregate; bucket = integer DIV of the latency so
+    both engines cut identically; rows missing the field are excluded the
+    same way a dashboard excludes non-request lines."""
+    logs = derive_logs_from_events(spark, sf_dir)
+    lat = F.element_at(F.col("fields_number"), F.lit("latency_ms"))
+    return (
+        logs.filter(lat.isNotNull())
+        .filter(F.col("timestamp") < "2024-01-08 00:00:00")
+        .select(
+            F.date_trunc("hour", F.col("timestamp")).alias("hour"),
+            F.expr(
+                f"CAST(CAST(element_at(fields_number, 'latency_ms') AS BIGINT)"
+                f" DIV {HEATMAP_BUCKET_MS} AS INT)"
+            ).alias("lat_bucket"),
+        )
+        .groupBy("hour", "lat_bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+SQL_LATENCY_HEATMAP = LOGS_CTE + f"""
+SELECT date_trunc('hour', "timestamp") AS hour,
+       CAST(CAST(f_latency_ms AS BIGINT) // {HEATMAP_BUCKET_MS} AS INT)
+         AS lat_bucket,
+       count(*) AS cnt
+FROM logs
+WHERE f_latency_ms IS NOT NULL
+  AND "timestamp" < TIMESTAMP '2024-01-08 00:00:00'
+GROUP BY 1, 2
+"""
+
+
 def q_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ANALYZE job externally checked: one-pass per-column statistics
     (rows, nulls, exact NDV, min/max) over the envelope dimensions plus a
@@ -987,4 +1025,8 @@ SPECS = {
         q_column_stats, SQL_COLUMN_STATS,
         "ANALYZE-style one-pass column statistics (rows/nulls/ndv/min/max) "
         "over envelope dims and a map key"),
+    "logs_latency_heatmap": QuerySpec(
+        q_latency_heatmap, SQL_LATENCY_HEATMAP,
+        "hour x latency-bucket 2-D histogram over the dynamic number "
+        "field (integer-DIV buckets, engine-exact)"),
 }

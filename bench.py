@@ -144,8 +144,16 @@ def main() -> None:
         timings["table_write_logs"] = round(best, 3)
         print(f"# table_write_logs: {best:.3f}s", file=sys.stderr)
         logs_table = read_logs(spark, table_dir)
-        # the alternative layout's write cost (rank lookups + Morton sort):
-        # tracked so a regression in the z-order path is visible per round
+    except Exception as exc:  # noqa: BLE001
+        errors["table_write_logs"] = f"{type(exc).__name__}: {exc}"[:300]
+        print(f"# table_write_logs: FAILED {errors['table_write_logs']}",
+              file=sys.stderr)
+        logs_table = None
+    # the alternative layout's write cost (rank lookups + Morton sort):
+    # tracked so a regression in the z-order path is visible per round.
+    # Own try/except keyed under its own name — a z-order failure must not
+    # overwrite the (already successful) base-write slot above.
+    try:
         from klogs_spark.table import write_logs_zordered
 
         with tempfile.TemporaryDirectory(prefix="bench-z-") as zdir:
@@ -160,10 +168,9 @@ def main() -> None:
             timings["table_write_zordered"] = round(bestz, 3)
             print(f"# table_write_zordered: {bestz:.3f}s", file=sys.stderr)
     except Exception as exc:  # noqa: BLE001
-        errors["table_write_logs"] = f"{type(exc).__name__}: {exc}"[:300]
-        print(f"# table_write_logs: FAILED {errors['table_write_logs']}",
-              file=sys.stderr)
-        logs_table = None
+        errors["table_write_zordered"] = f"{type(exc).__name__}: {exc}"[:300]
+        print(f"# table_write_zordered: FAILED "
+              f"{errors['table_write_zordered']}", file=sys.stderr)
 
     def table_env_map_count():
         return (

@@ -72,6 +72,12 @@ def add_zorder(
     exactly this), broadcast the value->rank table back, and
     Morton-interleave. Sorting by ``out`` yields the
     multi-dimension-local layout.
+
+    NULL handling (both paths, identically): NULL values rank 0 — they
+    cluster with the smallest value and NO row is ever dropped. The rank
+    tables are built NULL-free (collect_set already is; the join fallback
+    filters explicitly) and the fallback joins LEFT, so literal-map and
+    join paths agree for any cardinality.
     """
     width = 1 << bits_per_col
 
@@ -106,7 +112,9 @@ def add_zorder(
                     for x in (v, (i * width) // n)
                 ]
             )
-            rank_exprs[j] = F.element_at(mapping, F.col(c))
+            rank_exprs[j] = F.coalesce(
+                F.element_at(mapping, F.col(c)), F.lit(0)
+            )
         else:
             join_cols.append((j, c))
     for j, c in join_cols:
@@ -114,6 +122,7 @@ def add_zorder(
         w_all = Window.partitionBy(F.lit(1))
         ranks = (
             df.select(F.col(c).alias("_zv"))
+            .where(F.col("_zv").isNotNull())
             .distinct()
             .withColumn("_zn", F.row_number().over(Window.orderBy("_zv")) - 1)
             .withColumn("_zc", F.count(F.lit(1)).over(w_all))
@@ -124,8 +133,10 @@ def add_zorder(
             )
             .select(F.col("_zv").alias(c), rc)
         )
-        result = result.join(F.broadcast(ranks), c)
-        rank_exprs[j] = F.col(rc)
+        # LEFT join: NULL z-values never match an equi-join key — an inner
+        # join would silently drop those rows from the rewritten layout
+        result = result.join(F.broadcast(ranks), c, "left")
+        rank_exprs[j] = F.coalesce(F.col(rc), F.lit(0))
     z = interleave_bits(rank_exprs, bits_per_col)
     return result.withColumn(out, z).drop(
         *[f"_zr{j}" for j, _ in join_cols]
@@ -139,23 +150,23 @@ def zorder_sql(
     out: str = "z",
 ) -> str:
     """DuckDB rendering of :func:`add_zorder` — same ranks (ROW_NUMBER over
-    sorted distinct values, same full-width integer scaling), same
-    interleave arithmetic. Returns a full SELECT over ``table`` adding
-    column ``out``."""
+    sorted distinct NON-NULL values, same full-width integer scaling), same
+    interleave arithmetic, same NULL->rank-0 via LEFT JOIN + COALESCE.
+    Returns a full SELECT over ``table`` adding column ``out``."""
     n = len(cols)
     width = 1 << bits_per_col
     ctes = ", ".join(
         f"rk{j} AS (SELECT {c} AS v{j}, "
         f"CAST(((ROW_NUMBER() OVER (ORDER BY {c}) - 1) * {width})"
         f" // (COUNT(*) OVER ()) AS INT) AS r{j} "
-        f"FROM (SELECT DISTINCT {c} FROM {table}))"
+        f"FROM (SELECT DISTINCT {c} FROM {table} WHERE {c} IS NOT NULL))"
         for j, c in enumerate(cols)
     )
     joins = " ".join(
-        f"JOIN rk{j} ON t.{c} = rk{j}.v{j}" for j, c in enumerate(cols)
+        f"LEFT JOIN rk{j} ON t.{c} = rk{j}.v{j}" for j, c in enumerate(cols)
     )
     terms = " + ".join(
-        f"(((r{j} >> {i}) & 1) * {1 << (i * n + (n - 1 - j))})"
+        f"(((COALESCE(r{j}, 0) >> {i}) & 1) * {1 << (i * n + (n - 1 - j))})"
         for i in range(bits_per_col)
         for j in range(n)
     )

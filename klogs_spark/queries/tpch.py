@@ -1433,7 +1433,11 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(RFM_ASOF).cast("date"), F.max(F.to_date("o_orderdate"))
         ).alias("recency_days"),
         F.count(F.lit(1)).alias("frequency"),
-        F.round(F.sum("o_totalprice") * 100).cast("bigint").alias("monetary_c"),
+        # cents-exact BEFORE summing (the q_cohort_ltv pattern): a float
+        # sum rounded after is summation-order-sensitive across engines,
+        # and a 1-cent boundary flip would reorder the ntile input
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .alias("monetary_c"),
     )
     # recency quartile 1 = most recent; frequency/monetary quartile 4 = top
     rq = Window.orderBy("recency_days", "o_custkey")
@@ -1465,7 +1469,8 @@ WITH per_cust AS (
          datediff('day', max(CAST(o_orderdate AS DATE)),
                   DATE '{RFM_ASOF}') AS recency_days,
          count(*) AS frequency,
-         CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS monetary_c
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS monetary_c
   FROM orders GROUP BY 1
 ),
 scored AS (

@@ -382,8 +382,15 @@ def delete_where(
     "rows_deleted": n}. At 100 TB the rewrite cost is proportional to the
     affected days' data, the norm for parquet-backed row deletes (the same
     copy-on-write contract as Delta/Iceberg without the manifest layer).
+
+    SQL DELETE contract: a row is deleted only where the predicate is TRUE.
+    A NULL predicate (e.g. ``element_at(fields_string,'user')='42'`` on a
+    row missing the key) keeps the row — three-valued logic is collapsed
+    with ``coalesce(pred, false)`` so survivors are "not TRUE", never
+    "TRUE of the negation".
     """
     pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    pred = F.coalesce(pred, F.lit(False))
     tbl = spark.read.parquet(path)
     per_day = (
         tbl.groupBy(PARTITION_COLUMN)

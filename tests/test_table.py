@@ -82,6 +82,35 @@ def test_retention_drops_old_partitions(spark, logs_df, tmp_path):
     assert apply_retention(path, 30, date(2026, 2, 2)) == []
 
 
+def test_zorder_null_rows_survive_both_rank_paths(spark):
+    """NULL z-column values rank 0 and are NEVER dropped — in the
+    literal-map path AND the >cap join fallback (which previously
+    inner-joined a NULL-free rank table, losing the rows)."""
+    from pyspark.sql import functions as F
+
+    from klogs_spark.ext.zorder import add_zorder
+
+    n = 2000  # over the 1024 literal cap for `big`, under it for `small`
+    df = spark.range(n).select(
+        F.when(F.col("id") % 7 == 0, None)
+        .otherwise(F.concat(F.lit("v"), F.format_string("%06d", "id")))
+        .alias("big"),
+        F.when(F.col("id") % 5 == 0, None)
+        .otherwise((F.col("id") % 10).cast("string"))
+        .alias("small"),
+        F.col("id"),
+    )
+    z = add_zorder(df, ["big", "small"]).cache()
+    try:
+        assert z.count() == n  # no row loss on either path
+        # NULLs rank 0 => their z contribution equals the minimum
+        null_both = z.filter("big IS NULL AND small IS NULL")
+        assert null_both.count() > 0
+        assert null_both.filter("_z != 0").count() == 0
+    finally:
+        z.unpersist()
+
+
 def test_zorder_write_roundtrips_and_narrows_trailing_dim(spark, tmp_path):
     import glob
 

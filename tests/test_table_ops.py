@@ -154,6 +154,39 @@ def test_delete_where_rewrites_only_affected_days(spark, tmp_path):
     }
 
 
+def test_delete_where_null_predicate_keeps_rows(spark, tmp_path):
+    """SQL DELETE contract: delete only where the predicate is TRUE. A
+    predicate over a dynamic map key evaluates to NULL on rows missing the
+    key (the docstring's own GDPR shape) — those rows must survive the
+    rewrite, and rows_deleted must count only TRUE matches."""
+    from pyspark.sql import functions as F
+
+    from klogs_spark.table import delete_where, read_logs, write_logs
+    from klogs_spark.views import derive_logs_from_events
+
+    logs = derive_logs_from_events(spark, "/root/testdata/sf0.01").filter(
+        F.col("timestamp") < "2024-01-04"
+    )
+    path = str(tmp_path / "logs")
+    write_logs(logs, path)
+    before = read_logs(spark, path)
+    total = before.count()
+    pred = "element_at(fields_string, 'flag') = 'on'"
+    n_true = before.filter(pred).count()
+    n_null = before.filter(
+        "element_at(fields_string, 'flag') IS NULL"
+    ).count()
+    assert n_true > 0 and n_null > 0, "fixture must exercise TRUE and NULL"
+    res = delete_where(spark, path, pred)
+    assert res["rows_deleted"] == n_true
+    back = read_logs(spark, path)
+    assert back.count() == total - n_true  # NULL-pred rows survived
+    assert back.filter(
+        "element_at(fields_string, 'flag') IS NULL"
+    ).count() == n_null
+    assert back.filter(pred).count() == 0
+
+
 def test_reprocess_partition_transforms_one_day_only(spark, tmp_path):
     import os
 

@@ -201,6 +201,43 @@ DRIVER_VERIFIED: dict = {
     "text_hll_distinct": "a0b849fc7a90",
     "window_revenue_ema": "5ea38f942928",
     "window_rolling_p95": "530f84f5790a",
+    # round-8 green checks (CORRECTNESS_r08.json), hashed at the r9 tree.
+    # tpch_rfm_segments is deliberately NOT pinned: its monetary rounding
+    # was rewritten to cents-per-order after the r8 check, so it re-enters
+    # the checked window. The r8 re-checked logs_* names kept their r1
+    # hashes (sources untouched) and stay on their original lines.
+    "ann_ivfpq_prebuilt": "6472f028fb79",
+    "ann_ivfpq_refresh": "4ab547392a1c",
+    "dedup_containment_lsh": "abfa44713ba6",
+    "dedup_semantic_prebuilt": "76c1240ed763",
+    "dedup_threshold_curve": "870285082e09",
+    "embedding_covariance": "46691f28615b",
+    "events_active_users": "cbd68b3f2688",
+    "events_cohort_ltv": "e6931152ef33",
+    "events_pagerank_transitions": "cd7dee94d974",
+    "events_series_similarity": "ef7d03b2a904",
+    "events_session_paths": "ce704d64f85c",
+    "logs_latency_heatmap": "c2c6281efc6d",
+    "sample_global_shuffle": "196cc30a9d92",
+    "sample_pack_global_prefix": "9106da4a820a",
+    "sample_sequence_chunks": "5f43c738febd",
+    "sample_split_assign": "9df2276d3e5a",
+    "sample_weighted_k": "579a7e6ee8e6",
+    "similarity_mmr_select": "b9621f197285",
+    "stream_cms_merge": "9a13690416cb",
+    "stream_interval_join_left": "a19566cd63d2",
+    "table_column_stats": "09aab170a20b",
+    "table_delete_where": "6feff3ab1ffe",
+    "table_fulltext_or": "ff807a3326b8",
+    "table_fulltext_phrase": "da3c1c8f4e3b",
+    "table_zorder_lifecycle": "875f50cdf283",
+    "table_zorder_values": "86d234cc47ae",
+    "text_bigram_logprob": "20a1bea60a1e",
+    "text_exact_decontaminate": "696a3a6ae51d",
+    "text_term_trends": "6ed137bc3198",
+    "text_vocab_growth": "2a1247ebdbff",
+    "tpch_association_rules": "28411b68622e",
+    "tpch_frequent_item_pairs": "fefadcff4cba",
 }
 
 

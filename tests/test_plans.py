@@ -494,6 +494,36 @@ def test_zorder_rank_tables_broadcast(spark):
     assert "Join" not in plan, "literal-map rank path should plan no joins"
 
 
+def test_scaled_ntile_queries_have_no_unpartitioned_corpus_sort(spark):
+    # the scale-safe quartile forms exist to retire the r8 scale-killer
+    # (three unpartitioned ntile windows over all customers): every window
+    # that orders by a per-customer column must be partitioned by the
+    # range bucket; the only SinglePartition exchanges allowed are the
+    # bounded <=buckets-row offset aggregates (they never carry customer
+    # keys)
+    import re
+
+    for qname, keycol in (
+        ("tpch_rfm_segments_scaled", "o_custkey"),
+        ("window_balance_quartiles_scaled", "c_custkey"),
+    ):
+        plan = _plan(spark, qname)
+        for m in re.finditer(r"\(\d+\) Window\b[\s\S]*?Arguments: (.*)", plan):
+            args = m.group(1)
+            if keycol in args:
+                assert "_grb" in args, (
+                    f"{qname}: corpus window unpartitioned: {args}"
+                )
+        lines = plan.splitlines()
+        for i, l in enumerate(lines):
+            if "SinglePartition" in l:
+                ctx = "\n".join(lines[max(0, i - 3): i + 1])
+                assert keycol not in ctx, (
+                    f"{qname}: customer rows cross a SinglePartition "
+                    f"exchange:\n{ctx}"
+                )
+
+
 def test_deterministic_shuffle_windows_are_shard_partitioned(spark):
     # the training-order shuffle must never plan a global sort: its only
     # window partitions by shard

@@ -135,6 +135,39 @@ def refresh_ivfpq_index(
     )
 
 
+def streaming_index_sink(
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = sim.PQ_SUBSPACES,
+    dim: int = sim.EMB_DIM,
+):
+    """foreachBatch sink for continuous index maintenance: each micro-batch
+    of newly embedded vectors is assigned + PQ-encoded against the STORED
+    quantizer/codebooks and parquet-appended into the touched cells — the
+    streaming composition of :func:`refresh_ivfpq_index`, mirroring
+    table.indexed_logs_sink's token-Bloom refresh.
+
+    Batch atomicity rides the parquet commit protocol (a failed batch
+    leaves only uncommitted temp files; the next replay re-appends), so
+    delivery is at-least-once like the data path — searchers see a cell's
+    new codes only after its batch commits. Cost per batch is proportional
+    to the batch (one k-row centroid broadcast + one m*k-row codebook
+    broadcast + encode of the batch's vectors); the corpus-sized ``codes``
+    store is never rewritten. The index must have been built
+    (:func:`build_ivfpq_index`) before the stream starts.
+    """
+
+    def sink_fn(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        refresh_ivfpq_index(
+            batch, path, id_col=id_col, vec_col=vec_col, m=m, dim=dim
+        )
+
+    return sink_fn
+
+
 def probe_cells(
     spark: SparkSession, path: str, query_vec: list[float], n_probe: int
 ) -> list[int]:

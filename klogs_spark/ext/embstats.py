@@ -26,16 +26,17 @@ from . import similarity as sim
 def embedding_mean(
     emb: DataFrame,
     vec_col: str = "embedding",
-    dim: int = sim.EMB_DIM,
 ) -> DataFrame:
-    """One row: corpus size and the d component means."""
+    """Component means as (i, mean, n) rows via the posexplode aggregate —
+    d keyed groups, map-side combined. NOT a d-expression-wide agg: at
+    d=4096 that is thousands of codegen expressions per task (the exact
+    blowup covariance_entries avoids); the keyed form is one narrow
+    explode at any dimensionality."""
     v = F.col(vec_col).cast("array<double>")
-    return emb.agg(
-        F.count(F.lit(1)).alias("n"),
-        *[
-            F.avg(F.element_at(v, i + 1)).alias(f"m{i}")
-            for i in range(dim)
-        ],
+    return (
+        emb.select(F.posexplode(v).alias("i", "x"))
+        .groupBy("i")
+        .agg(F.avg("x").alias("mean"), F.count(F.lit(1)).alias("n"))
     )
 
 
@@ -61,9 +62,7 @@ def covariance_entries(
         .groupBy("i", "j")
         .agg(F.sum(F.col("x") * F.col("y")).alias("sxy"))
     )
-    means = emb.select(
-        F.posexplode(v).alias("i", "x")
-    ).groupBy("i").agg(F.avg("x").alias("mean"), F.count(F.lit(1)).alias("n"))
+    means = embedding_mean(emb, vec_col)
     mi = means.select(F.col("i"), F.col("mean").alias("mean_i"), "n")
     mj = means.select(F.col("i").alias("j"), F.col("mean").alias("mean_j"))
     return (
@@ -105,10 +104,9 @@ def pca_project(
     for r in covariance_entries(emb, vec_col, dim, round_decimals=12).collect():
         cov[r.i][r.j] = r.cov
     v = F.col(vec_col).cast("array<double>")
-    mean_row = emb.agg(
-        *[F.avg(F.element_at(v, i + 1)).alias(f"m{i}") for i in range(dim)]
-    ).first()
-    mean = np.array([mean_row[f"m{i}"] for i in range(dim)])
+    mean = np.zeros(dim)
+    for r in embedding_mean(emb, vec_col).collect():
+        mean[r.i] = r.mean
     vals, vecs = np.linalg.eigh(cov)
     order = np.argsort(vals)[::-1][:k]
     comps = []

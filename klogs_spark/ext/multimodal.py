@@ -5,10 +5,13 @@ Driver-mandated EXT surface (BASELINE.json): treat image/audio/video as
 extraction / resize / frame-sampling as Arrow-batched pandas functions over
 ``mapInPandas``.
 
-The decode kernels themselves are STUBBED (this container ships no
-image/audio libraries — each stub raises NotImplementedError or applies a
-deterministic fake, clearly marked); the Spark-side plumbing — schema,
-partition sizing, UDF signature, batch shape — is real and tested.
+Decode status: WAV 16-bit PCM sample decode is REAL (pure-Python byte
+parsing, :func:`decode_wav_pcm` / :func:`audio_sample_stats`), as is all
+container-header sniffing (PNG/JPEG/GIF/WAV). Only IMAGE PIXEL decode
+remains stubbed (:func:`decode_image` raises NotImplementedError — no
+imaging library in this container; a deterministic fake feature extractor
+is clearly marked). The Spark-side plumbing — schema, partition sizing,
+UDF signature, batch shape — is real and tested throughout.
 
 Scale notes: binary payloads dominate row size, so MEDIA_SCHEMA keeps
 metadata in fixed columns (prunable without touching bytes);
@@ -185,9 +188,10 @@ def synth_jpeg(width: int, height: int) -> bytes:
 
 
 def synth_wav(n_frames: int, sample_rate: int = 1000, channels: int = 1,
-              bits: int = 16) -> bytes:
-    """Minimal valid WAV (fmt + zeroed data chunk): duration_s =
-    n_frames / sample_rate by construction."""
+              bits: int = 16, data: bytes | None = None) -> bytes:
+    """Minimal valid WAV (fmt + data chunk): duration_s =
+    n_frames / sample_rate by construction. ``data`` supplies the raw
+    sample bytes (length must be n_frames * block); default is silence."""
     block = channels * bits // 8
     byte_rate = sample_rate * block
     fmt = (
@@ -197,9 +201,113 @@ def synth_wav(n_frames: int, sample_rate: int = 1000, channels: int = 1,
         + block.to_bytes(2, "little") + bits.to_bytes(2, "little")
     )
     data_size = n_frames * block
-    data = b"data" + data_size.to_bytes(4, "little") + bytes(data_size)
-    body = b"WAVE" + fmt + data
+    payload = bytes(data_size) if data is None else data
+    assert len(payload) == data_size, "sample bytes must match frame count"
+    data_chunk = b"data" + data_size.to_bytes(4, "little") + payload
+    body = b"WAVE" + fmt + data_chunk
     return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def synth_pcm_samples(seed_id: int, n: int) -> list[int]:
+    """Deterministic int16 sample pattern for test/dev WAV payloads:
+    ``((seed_id * 31 + j * 7) % 2003) - 1001`` — SQL-reproducible (the
+    oracle recomputes it with generate_series) and safely inside int16."""
+    return [((seed_id * 31 + j * 7) % 2003) - 1001 for j in range(n)]
+
+
+def decode_wav_pcm(
+    payload: bytes | None,
+) -> tuple[int, int, int, int, int] | None:
+    """REAL 16-bit PCM WAV sample decode — pure Python, no audio library
+    (this closes half the multimodal decode stub: WAV PCM needs nothing
+    beyond byte arithmetic, unlike image codecs).
+
+    RIFF chunk walk to the ``fmt `` and ``data`` chunks, then the data
+    bytes are interpreted as little-endian signed 16-bit samples. Returns
+    ``(sample_rate, channels, n_samples, peak_abs, sum_sq)`` — all exact
+    integers, so downstream stats (RMS, loudness) are engine-exact and
+    aggregation-order-proof. Non-PCM (fmt tag != 1), non-16-bit, or
+    corrupt payloads return None rather than raising (the corrupt-row
+    contract of sniff_media_metadata).
+    """
+    import struct
+
+    p = payload or b""
+    if p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+        return None
+    i, fmt, data = 12, None, None
+    try:
+        while i + 8 <= len(p):
+            cid = p[i:i + 4]
+            size = int.from_bytes(p[i + 4:i + 8], "little")
+            if cid == b"fmt ":
+                fmt = p[i + 8:i + 8 + size]
+            elif cid == b"data":
+                data = p[i + 8:i + 8 + size]
+            i += 8 + size + (size & 1)  # chunks are word-aligned
+    except (IndexError, ValueError):  # pragma: no cover - defensive
+        return None
+    if fmt is None or data is None or len(fmt) < 16:
+        return None
+    audio_fmt = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_fmt != 1 or bits != 16 or channels < 1 or rate < 1:
+        return None
+    n = len(data) // 2
+    samples = struct.unpack(f"<{n}h", data[: n * 2])
+    peak = max((abs(s) for s in samples), default=0)
+    sum_sq = sum(s * s for s in samples)
+    return rate, channels, n, peak, sum_sq
+
+
+AUDIO_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("channels", IntegerType(), True),
+        StructField("n_samples", LongType(), True),
+        StructField("peak", LongType(), True),
+        StructField("sum_sq", LongType(), True),
+    ]
+)
+
+
+def audio_sample_stats(media: DataFrame) -> DataFrame:
+    """Arrow-batched per-file PCM statistics over binary WAV payloads via
+    :func:`decode_wav_pcm` — the real (non-stub) audio decode kernel.
+    Rows that are not decodable 16-bit PCM emit NULL stats."""
+
+    def _stats(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for batch in batches:
+            decoded = [decode_wav_pcm(p) for p in batch["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": batch["media_id"],
+                    "sample_rate": pd.array(
+                        [d[0] if d else None for d in decoded], dtype="Int32"
+                    ),
+                    "channels": pd.array(
+                        [d[1] if d else None for d in decoded], dtype="Int32"
+                    ),
+                    "n_samples": pd.array(
+                        [d[2] if d else None for d in decoded], dtype="Int64"
+                    ),
+                    "peak": pd.array(
+                        [d[3] if d else None for d in decoded], dtype="Int64"
+                    ),
+                    "sum_sq": pd.array(
+                        [d[4] if d else None for d in decoded], dtype="Int64"
+                    ),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        _stats, schema=AUDIO_STATS_SCHEMA
+    )
 
 
 def extract_media_metadata(media: DataFrame) -> DataFrame:

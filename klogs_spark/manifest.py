@@ -139,6 +139,24 @@ def read_snapshot(
     )
 
 
+def read_logs_at(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+) -> DataFrame:
+    """Time-travel read: the logs table AS OF snapshot ``version`` (default
+    latest), in canonical column order — :func:`read_snapshot` plus the
+    same projection contract as ``table.read_logs``. A reader pinned to
+    v1 keeps seeing the pre-append corpus no matter how many appends have
+    published later versions (until a rewrite job invalidates the pin —
+    the stated pin-until-rewrite limit)."""
+    from .table import LOG_COLUMNS
+
+    return read_snapshot(spark, path, version).select(
+        PARTITION_COLUMN, *LOG_COLUMNS
+    )
+
+
 def _read_all(stream) -> bytes:
     chunks = []
     while True:

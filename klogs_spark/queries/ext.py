@@ -1018,6 +1018,59 @@ WHERE doc_id % 4 = 3
 """
 
 
+def q_multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio sample decode end-to-end (no audio library): synthesize a
+    16-bit PCM WAV per document carrying a deterministic sample pattern
+    (((doc_id*31 + j*7) % 2003) - 1001), then recover rate / channels /
+    sample count / peak / energy by PARSING THE BYTES with
+    ext.multimodal.decode_wav_pcm inside the Arrow-batched kernel. All
+    stats are exact integers; the oracle recomputes them from the pattern
+    formula via generate_series, so any byte-level decode bug breaks the
+    hash. This retires the audio half of the multimodal decode stub —
+    only image pixel codecs remain library-gated."""
+    from ..ext import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def _synth(batches):
+        import struct
+
+        import pandas as pd
+
+        for b in batches:
+            payloads = []
+            for i in (int(x) for x in b["doc_id"]):
+                n = (i % 100 + 1) * 10
+                vals = mm.synth_pcm_samples(i, n)
+                payloads.append(
+                    mm.synth_wav(n, data=struct.pack(f"<{n}h", *vals))
+                )
+            yield pd.DataFrame({"media_id": b["doc_id"], "payload": payloads})
+
+    media = docs.repartition(F.col("doc_id")).mapInPandas(
+        _synth, schema="media_id long, payload binary"
+    )
+    return mm.audio_sample_stats(media)
+
+
+SQL_MULTIMODAL_AUDIO_STATS = """
+WITH s AS (
+  -- constant-bound series (DuckDB's generate_series is not lateral) cut
+  -- down to each doc's frame count; max n = (99 + 1) * 10 = 1000
+  SELECT d.doc_id, ((d.doc_id * 31 + t.j * 7) % 2003) - 1001 AS smp
+  FROM documents d, generate_series(0, 999) AS t(j)
+  WHERE t.j < (d.doc_id % 100 + 1) * 10
+)
+SELECT doc_id AS media_id,
+       CAST(1000 AS INTEGER) AS sample_rate,
+       CAST(1 AS INTEGER) AS channels,
+       count(*) AS n_samples,
+       CAST(max(abs(smp)) AS BIGINT) AS peak,
+       CAST(sum(smp * smp) AS BIGINT) AS sum_sq
+FROM s GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
@@ -2865,6 +2918,110 @@ def q_ann_ivfpq_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivfpq_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING index maintenance end-to-end: the IVF-PQ index is trained
+    on the base corpus (vec_id < {cut}), then the late-arriving tail flows
+    in as a REAL 3-micro-batch stream whose foreachBatch sink is
+    ext.ann_index.streaming_index_sink — the streaming composition of
+    refresh_ivfpq_index (assign + PQ-encode only the batch against the
+    STORED quantizer/codebooks, parquet-append into the touched cells),
+    mirroring the token-Bloom sidecar's indexed_logs_sink. Incremental
+    encoding is batch-split-independent, so searching the stream-built
+    index returns EXACTLY the one-shot refresh result and the same oracle
+    verifies it hash-identically.
+
+    At 100 TB this is the online embedding-ingest job: per-batch cost
+    proportional to the batch, the corpus-sized codes store append-only,
+    searchers pick up each cell's new codes at batch commit.""".format(
+        cut=ANN_REFRESH_CUTOFF
+    )
+    import os
+    import shutil
+    import tempfile
+
+    from ..ext import ann_index
+
+    path = f"{_ivfpq_index_dir(sf_dir)}-stream{ANN_REFRESH_CUTOFF}"
+    if not os.path.exists(os.path.join(path, "codes", "_SUCCESS")):
+        emb = load_table(spark, sf_dir, "embeddings")
+        tmp = f"{path}.build{os.getpid()}"
+        ann_index.build_ivfpq_index(
+            emb.filter(F.col("vec_id") < ANN_REFRESH_CUTOFF), tmp,
+            ivf_k=IVF_K, refine_iters=IVF_REFINE_ITERS, ivf_round=IVF_ROUND,
+        )
+        sdir = tempfile.mkdtemp(prefix="klogs-ann-stream-")
+        src, ckpt = f"{sdir}/src", f"{sdir}/ckpt"
+        tail = emb.filter(F.col("vec_id") >= ANN_REFRESH_CUTOFF)
+        sink = ann_index.streaming_index_sink(tmp)
+        cut = ANN_REFRESH_CUTOFF
+        bounds = [cut, cut + 20, cut + 40, 1 << 62]
+        for lo, hi in zip(bounds, bounds[1:]):
+            (
+                tail.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+                .write.mode("append").parquet(src)
+            )
+            q = (
+                spark.readStream.schema(
+                    "vec_id bigint, embedding array<float>, label int"
+                )
+                .parquet(src)
+                .writeStream.foreachBatch(sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        shutil.rmtree(sdir, ignore_errors=True)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        try:
+            os.replace(tmp, path)
+        except OSError:
+            # concurrent builder won the rename; both indexes are identical
+            shutil.rmtree(tmp, ignore_errors=True)
+    qv = _query_vec(spark, sf_dir)
+    return ann_index.ivfpq_search(
+        spark, path, qv, k=IVFPQ_K, n_probe=IVFPQ_NPROBE,
+    )
+
+
+def q_ann_index_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-maintenance MONITORING — the retrain gate: per-cell occupancy
+    of the refreshed IVF-PQ index split into base (trained-on) vs
+    newly-added vectors, plus the new-vector share in integer ppm. This is
+    the drift signal a deployment watches to decide when incremental adds
+    (which never move the quantizer — the honest limit stated in
+    refresh_ivfpq_index) have shifted the distribution enough to justify a
+    re-train: cells whose ppm share of new vectors runs far from the
+    global insert rate mean the coarse partitioning no longer fits.
+
+    Cost shape: reads ONLY the index sidecar's (id, cell) codes — the raw
+    embedding corpus is never rescanned; at 100 TB the monitor touches
+    megabytes of codes. The oracle replicates the full train+assign chain
+    from scratch, so the check also re-verifies what the stored index
+    CONTAINS, not just how it is summarized."""
+    # ensure the refreshed index exists on disk (content-keyed, built once)
+    q_ann_ivfpq_refresh(spark, sf_dir)
+    path = f"{_ivfpq_index_dir(sf_dir)}-refresh{ANN_REFRESH_CUTOFF}"
+    cut = ANN_REFRESH_CUTOFF
+    codes = (
+        spark.read.parquet(f"{path}/codes")
+        .select("id", "centroid_id")
+        .distinct()  # one row per (vector, cell) from the m subspace codes
+    )
+    per = codes.groupBy("centroid_id").agg(
+        F.sum((F.col("id") < cut).cast("int")).cast("bigint").alias("n_base"),
+        F.sum((F.col("id") >= cut).cast("int")).cast("bigint").alias("n_new"),
+    )
+    return per.select(
+        "centroid_id",
+        "n_base",
+        "n_new",
+        F.expr(
+            "CAST((n_new * 1000000) DIV (n_base + n_new) AS BIGINT)"
+        ).alias("new_share_ppm"),
+    )
+
+
 def _assign_cte_from(src: str, cent_table: str, out: str) -> str:
     """Like _assign_cte but over an arbitrary (vec_id, v) source — the
     refresh oracle trains on the base subset, not ``e``."""
@@ -2950,6 +3107,27 @@ FROM enc JOIN dt ON enc.m = dt.m AND enc.code = dt.code
 GROUP BY enc.id
 ORDER BY adist_micros, id
 LIMIT {IVFPQ_K}
+"""
+
+
+# drift oracle: retrain the coarse quantizer on the base subset exactly as
+# the refresh chain does, assign EVERY vector, and count per-cell base/new
+# occupancy — equality proves the stored codes' cell membership, not just
+# the Spark-side summary arithmetic.
+SQL_ANN_INDEX_DRIFT = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+eb AS (SELECT * FROM e WHERE vec_id < {ANN_REFRESH_CUTOFF}),
+rv_c0 AS (SELECT vec_id AS centroid_id, v AS cv FROM eb WHERE vec_id < {IVF_K}),
+{_REFRESH_IV_CHAIN},
+{_assign_cte(_REFRESH_FINAL_C, 'rv_assigned')}
+SELECT centroid_id,
+       CAST(sum(CASE WHEN id < {ANN_REFRESH_CUTOFF} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_base,
+       CAST(sum(CASE WHEN id >= {ANN_REFRESH_CUTOFF} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_new,
+       CAST((sum(CASE WHEN id >= {ANN_REFRESH_CUTOFF} THEN 1 ELSE 0 END)
+             * 1000000) // count(*) AS BIGINT) AS new_share_ppm
+FROM rv_assigned GROUP BY 1
 """
 
 
@@ -3649,6 +3827,10 @@ SPECS = {
     "multimodal_frame_sample": QuerySpec(
         q_multimodal_frame_sample, SQL_MULTIMODAL_FRAME_SAMPLE,
         "frame-sampling work-list from duration metadata (video rows)"),
+    "multimodal_audio_stats": QuerySpec(
+        q_multimodal_audio_stats, SQL_MULTIMODAL_AUDIO_STATS,
+        "REAL 16-bit PCM WAV sample decode (pure-Python byte parsing): "
+        "per-file rate/channels/samples/peak/energy, integer-exact"),
     "multimodal_dimensions": QuerySpec(q_multimodal_dimensions,
                                        SQL_MULTIMODAL_DIMENSIONS,
                                        "real PNG/JPEG/WAV header sniffing "
@@ -3801,6 +3983,18 @@ SPECS = {
         q_ann_ivfpq_refresh, SQL_ANN_IVFPQ_REFRESH,
         "incremental index maintenance: train on base corpus, append-encode "
         "the late tail against stored codebooks, search the refreshed index",
+    ),
+    "ann_ivfpq_stream": QuerySpec(
+        q_ann_ivfpq_stream, SQL_ANN_IVFPQ_REFRESH,
+        "STREAMING index maintenance: tail vectors arrive via a real "
+        "3-micro-batch foreachBatch refresh sink; stream-built index "
+        "search hash-equals the one-shot refresh oracle",
+    ),
+    "ann_index_drift": QuerySpec(
+        q_ann_index_drift, SQL_ANN_INDEX_DRIFT,
+        "index drift monitor (retrain gate): per-cell base/new occupancy "
+        "+ ppm share from the codes sidecar only, vs full re-derivation "
+        "oracle",
     ),
     "embedding_covariance": QuerySpec(
         q_embedding_covariance, SQL_EMBEDDING_COVARIANCE,

@@ -1015,6 +1015,102 @@ def q_table_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_table_promoted_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promoted-column rewrite end-to-end (reference README.md:69-91 —
+    ``ADD COLUMN content_level String DEFAULT fields_string['content.level']``
+    + MATERIALIZE; SURVEY §4's one genuine optimizer candidate, option (b)
+    completed): write_logs_promoted materializes the hot map key AND
+    records the promotion in the layout marker; table.logs_query reads the
+    marker and TRANSPARENTLY rewrites the caller's map-key predicate
+    (``where_field_eq('level', ...)``) onto the physical column — the plan
+    scans the dictionary-encoded column with the filter pushed down and
+    never touches the map (asserted map-free in tests/test_plans.py). The
+    oracle recomputes the same aggregate from events directly, proving the
+    rewrite changes the plan, not the answer."""
+    import tempfile
+
+    from ..table import logs_query, write_logs_promoted
+    from ..views import derive_logs_from_events
+
+    logs = derive_logs_from_events(spark, sf_dir).filter(
+        F.col("timestamp") < "2024-01-15"
+    )
+    base = tempfile.mkdtemp(prefix="klogs-promoted-")
+    tdir = f"{base}/logs"
+    write_logs_promoted(logs, tdir, {"level": "content_level"})
+    # the caller asks about the MAP key; the engine serves the column
+    return logs_query(spark, tdir).where_field_eq("level", "error").count_by(
+        "namespace"
+    )
+
+
+SQL_TABLE_PROMOTED_VIEW = """
+SELECT concat('ns-', CAST(user_id % 5 AS VARCHAR)) AS namespace,
+       count(*) AS cnt
+FROM events
+WHERE event_type = 'error' AND ts < TIMESTAMP '2024-01-15 00:00:00'
+GROUP BY 1
+"""
+
+
+TT_CUT_V1 = "2024-01-08"  # snapshot v1 holds rows strictly before this
+TT_CUT_V2 = "2024-01-15"  # v2 adds the second week
+
+
+def q_table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel on snapshot manifests: write week 1, publish v1, APPEND
+    week 2, publish v2 — then read BOTH versions through
+    manifest.read_logs_at and aggregate each. The v1 read runs after the
+    append exists on disk, so equality with the per-cutoff oracle proves a
+    pinned reader keeps seeing the pre-append corpus (consistent reads
+    across appends — the manifest layer's contract, same idea as
+    Delta/Iceberg versioned reads without the format dependency)."""
+    import tempfile
+
+    from ..manifest import publish_snapshot, read_logs_at
+    from ..table import write_logs
+    from ..views import derive_logs_from_events
+
+    logs = derive_logs_from_events(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="klogs-timetravel-")
+    tdir = f"{base}/logs"
+    write_logs(logs.filter(F.col("timestamp") < TT_CUT_V1), tdir)
+    v1 = publish_snapshot(spark, tdir)
+    write_logs(
+        logs.filter(
+            (F.col("timestamp") >= TT_CUT_V1)
+            & (F.col("timestamp") < TT_CUT_V2)
+        ),
+        tdir,
+        mode="append",
+    )
+    v2 = publish_snapshot(spark, tdir)
+
+    def agg(df: DataFrame, version: int) -> DataFrame:
+        return df.groupBy(F.lit(version).alias("version")).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct("date").alias("n_days"),
+            F.max("timestamp").alias("max_ts"),
+        )
+
+    return agg(read_logs_at(spark, tdir, v1), 1).unionByName(
+        agg(read_logs_at(spark, tdir, v2), 2)
+    )
+
+
+SQL_TABLE_TIME_TRAVEL = f"""
+SELECT 1 AS version, count(*) AS n_rows,
+       CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+       max(ts) AS max_ts
+FROM events WHERE ts < TIMESTAMP '{TT_CUT_V1} 00:00:00'
+UNION ALL
+SELECT 2 AS version, count(*) AS n_rows,
+       CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+       max(ts) AS max_ts
+FROM events WHERE ts < TIMESTAMP '{TT_CUT_V2} 00:00:00'
+"""
+
+
 SQL_TABLE_DELETE_WHERE = f"""
 SELECT CAST(ts AS DATE) AS date,
        CAST(count(*) AS BIGINT) AS cnt,
@@ -1524,6 +1620,19 @@ SPECS = {
         SQL_TABLE_DELETE_WHERE,
         "row-level predicate delete: dynamic rewrite of partially-matched "
         "days + checked drop of fully-emptied days, vs exclusion oracle",
+    ),
+    "table_promoted_view": QuerySpec(
+        q_table_promoted_view,
+        SQL_TABLE_PROMOTED_VIEW,
+        "promoted-column rewrite: map-key predicate transparently served "
+        "by the materialized physical column (marker-driven, plan-asserted "
+        "map-free)",
+    ),
+    "table_time_travel": QuerySpec(
+        q_table_time_travel,
+        SQL_TABLE_TIME_TRAVEL,
+        "snapshot-manifest time travel: a v1-pinned read after a later "
+        "append still returns the pre-append corpus, vs per-cutoff oracle",
     ),
     "table_zorder_lifecycle": QuerySpec(
         q_table_zorder_lifecycle,

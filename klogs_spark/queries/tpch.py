@@ -1548,6 +1548,54 @@ def q_rfm_segments_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free co-located join via BUCKETED tables — Spark's native
+    pre-partitioned-storage primitive (the content-keyed upgrade of the
+    reference's rand()-sharded Distributed table, schema.sql:21): both
+    sides are written ``bucketBy`` the join key with equal bucket counts
+    and in-bucket sort, so the merge join's required distribution and
+    ordering are ALREADY satisfied by the layout — the plan carries ZERO
+    Exchange over either input (asserted in tests/test_plans.py). At
+    100 TB this is the recurring fact/dim join that never reshuffles:
+    the shuffle was paid once, at write time, for every future join."""
+    import tempfile
+
+    from ..table import write_bucketed
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    base = tempfile.mkdtemp(prefix="klogs-bucketed-")
+    write_bucketed(
+        o, "klogs_b_orders", ["o_custkey"], num_buckets=8,
+        path=f"{base}/orders", sort_cols=["o_custkey"],
+    )
+    write_bucketed(
+        c, "klogs_b_customer", ["c_custkey"], num_buckets=8,
+        path=f"{base}/customer", sort_cols=["c_custkey"],
+    )
+    ob = spark.table("klogs_b_orders")
+    cb = spark.table("klogs_b_customer")
+    joined = ob.hint("merge").join(cb, ob.o_custkey == cb.c_custkey)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .alias("rev_cents"),
+    )
+
+
+SQL_BUCKETED_JOIN = """
+SELECT c_mktsegment, count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS rev_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1
+"""
+
+
 def q_balance_quartiles_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-safe twin of q_customer_balance_quartiles: same output, same
     exact-NTILE oracle, quartiles from global_rank + ntile_from_rank —
@@ -2180,6 +2228,10 @@ SPECS = {
         q_cohort_ltv, SQL_COHORT_LTV,
         "cohort LTV curves: cents-exact weekly value, cumulative window "
         "over the bounded (cohort, offset) aggregate"),
+    "tpch_bucketed_join": QuerySpec(
+        q_bucketed_colocated_join, SQL_BUCKETED_JOIN,
+        "shuffle-free co-located join via bucketed tables (equal bucket "
+        "count + key both sides; zero Exchange, plan-asserted)"),
     "tpch_rfm_segments_scaled": QuerySpec(
         q_rfm_segments_scaled, SQL_RFM_SEGMENTS,
         "scale-safe RFM: distributed global_rank + closed-form NTILE, "

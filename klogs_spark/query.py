@@ -24,34 +24,52 @@ class LogsQuery:
     ``LogsQuery(df).time_range(a, b).where_env(namespace="x").where_field_eq
     ("content.level", "error").count_all()`` — the canonical klogs question
     (SURVEY §7 step 2).
+
+    ``promotions`` (map-key -> physical column, normally supplied by
+    ``table.logs_query`` from the table's layout marker) transparently
+    rewrites dynamic-field predicates onto promoted materialized columns:
+    the caller keeps asking about ``fields_string['content.level']`` and
+    the plan scans the dictionary-encoded physical column with the filter
+    pushed down, the map column pruned away entirely — the engine-side
+    completion of the reference's promoted-column recipe (README.md:69-91,
+    SURVEY §4 option b).
     """
 
-    def __init__(self, df: DataFrame):
+    def __init__(self, df: DataFrame, promotions: dict | None = None):
         self.df = df
+        self.promotions = dict(promotions or {})
+
+    def _wrap(self, df: DataFrame) -> "LogsQuery":
+        return LogsQuery(df, self.promotions)
+
+    def _field_string(self, key: str) -> Column:
+        if key in self.promotions:
+            return F.col(self.promotions[key])
+        return field_string(key)
 
     # --- filters -----------------------------------------------------------
     def time_range(self, start: datetime | str, end: datetime | str) -> "LogsQuery":
         """F1 — prunes daily partitions (schema.sql:17)."""
-        return LogsQuery(self.df.filter(F.col("timestamp").between(start, end)))
+        return self._wrap(self.df.filter(F.col("timestamp").between(start, end)))
 
     def where_env(self, **eq: str) -> "LogsQuery":
         """F2 — envelope equality, served by the cluster-key sort (schema.sql:18)."""
         out = self.df
         for col, val in eq.items():
             out = out.filter(F.col(col) == val)
-        return LogsQuery(out)
+        return self._wrap(out)
 
     def where_field_eq(self, key: str, value: str) -> "LogsQuery":
         """F3 — ``fields_string['k'] = 'v'`` (README.md:69-70)."""
-        return LogsQuery(self.df.filter(field_string(key) == value))
+        return self._wrap(self.df.filter(self._field_string(key) == value))
 
     def where_field_like(self, key: str, pattern: str) -> "LogsQuery":
         """F3 — LIKE on a dynamic string field."""
-        return LogsQuery(self.df.filter(field_string(key).like(pattern)))
+        return self._wrap(self.df.filter(self._field_string(key).like(pattern)))
 
     def where_field_rlike(self, key: str, pattern: str) -> "LogsQuery":
         """F3 — regex on a dynamic string field."""
-        return LogsQuery(self.df.filter(field_string(key).rlike(pattern)))
+        return self._wrap(self.df.filter(self._field_string(key).rlike(pattern)))
 
     def where_number(self, key: str, op: str, value: float) -> "LogsQuery":
         """F4 — ``fields_number['k'] <op> n`` (README.md:72-73)."""
@@ -61,23 +79,23 @@ class LogsQuery:
             "<": col < value, "<=": col <= value,
             "=": col == value, "!=": col != value,
         }
-        return LogsQuery(self.df.filter(ops[op]))
+        return self._wrap(self.df.filter(ops[op]))
 
     def where_exists(self, key: str, in_numbers: bool = False) -> "LogsQuery":
         """F5 — ``mapContains(fields_string|fields_number, 'k')``."""
         col = "fields_number" if in_numbers else "fields_string"
-        return LogsQuery(self.df.filter(has_field(col, key)))
+        return self._wrap(self.df.filter(has_field(col, key)))
 
     def where_log_contains(self, needle: str) -> "LogsQuery":
         """F6 — full-text substring on the raw line (``log LIKE '%…%'``)."""
-        return LogsQuery(self.df.filter(F.col("log").contains(needle)))
+        return self._wrap(self.df.filter(F.col("log").contains(needle)))
 
     def where_log_rlike(self, pattern: str) -> "LogsQuery":
         """F6 — regex over the raw line."""
-        return LogsQuery(self.df.filter(F.col("log").rlike(pattern)))
+        return self._wrap(self.df.filter(F.col("log").rlike(pattern)))
 
     def where(self, cond: Column) -> "LogsQuery":
-        return LogsQuery(self.df.filter(cond))
+        return self._wrap(self.df.filter(cond))
 
     # --- aggregations ------------------------------------------------------
     def count_all(self) -> DataFrame:
@@ -114,7 +132,7 @@ class LogsQuery:
 
     def distinct_field_values(self, key: str, approx: bool = False) -> DataFrame:
         """A5 — (approx_)count_distinct of a dynamic field (EXT)."""
-        v = field_string(key)
+        v = self._field_string(key)
         agg = (
             F.approx_count_distinct(v) if approx else F.count_distinct(v)
         ).alias("distinct_cnt")

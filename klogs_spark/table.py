@@ -154,8 +154,34 @@ def read_logs(spark: SparkSession, path: str) -> DataFrame:
 
 
 def register_view(spark: SparkSession, path: str, name: str = "logs") -> None:
-    """Expose the table to spark.sql() — the read-path entry point (SURVEY §3.4)."""
-    read_logs(spark, path).createOrReplaceTempView(name)
+    """Expose the table to spark.sql() — the read-path entry point (SURVEY
+    §3.4). Tables written with :func:`write_logs_promoted` additionally
+    expose their promoted physical columns, so SQL callers can filter on
+    the materialized fast path directly."""
+    promos = read_layout(spark, path).get("promotions") or {}
+    df = spark.read.parquet(path).select(
+        PARTITION_COLUMN, *LOG_COLUMNS, *promos.values()
+    )
+    df.createOrReplaceTempView(name)
+
+
+def logs_query(spark: SparkSession, path: str):
+    """Open the table for fluent querying with its recorded physical-design
+    metadata applied: returns a :class:`klogs_spark.query.LogsQuery` whose
+    dynamic-field predicates are TRANSPARENTLY rewritten onto promoted
+    materialized columns when the layout marker records them
+    (write_logs_promoted) — callers keep asking about
+    ``fields_string['content.level']`` and the plan scans the physical
+    column with the filter pushed down, the map column pruned away
+    (reference README.md:69-91; SURVEY §4 option (b) completed engine-side,
+    no Catalyst extension needed)."""
+    from .query import LogsQuery
+
+    promos = read_layout(spark, path).get("promotions") or {}
+    df = spark.read.parquet(path).select(
+        PARTITION_COLUMN, *LOG_COLUMNS, *promos.values()
+    )
+    return LogsQuery(df, promos)
 
 
 def write_logs_promoted(
@@ -179,6 +205,14 @@ def write_logs_promoted(
     for key, column in promotions.items():
         out = promote_string_field(out, key, column)
     write_logs(out, path, mode)
+    # record the promotions in the layout marker so read paths
+    # (logs_query, register_view) rewrite map-key access onto the
+    # physical columns without the caller knowing
+    spark = df.sparkSession
+    layout = read_layout(spark, path)
+    merged = {**(layout.get("promotions") or {}), **promotions}
+    if layout.get("promotions") != merged:
+        _write_layout_marker(spark, path, {**layout, "promotions": merged})
 
 
 def write_logs_zordered(
@@ -220,6 +254,36 @@ def write_logs_zordered(
     _write_layout_marker(
         df.sparkSession, path, {"layout": "zorder", "cols": list(zorder_on)}
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    num_buckets: int = 16,
+    path: str | None = None,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed (hash-pre-partitioned) table write — Spark's native
+    co-location primitive, the storage-layout answer to the reference's
+    Distributed-table sharding key (schema.sql:21 shards by
+    ``rand()``; bucketing shards by CONTENT so equal keys co-locate).
+
+    Each side of a recurring join written with the same bucket count and
+    key joins with ZERO exchange: the scan's hash-bucketed layout already
+    satisfies the join's required distribution, so at 100 TB the daily
+    fact/dim join never reshuffles either table. ``sort_cols`` adds the
+    in-bucket sort that lets the sort-merge join skip its Sort nodes too.
+    Registered through the session catalog (bucket metadata lives there);
+    ``path`` makes it an external table at that location.
+    """
+    w = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    if path:
+        w = w.option("path", path)
+    w.format("parquet").saveAsTable(table_name)
 
 
 def compact_partition(

@@ -218,6 +218,34 @@ def test_sniff_corrupt_payloads_return_none():
         assert mm.sniff_media_metadata(junk) == (None, None, None, None)
 
 
+def test_decode_wav_pcm_samples_and_edge_cases():
+    import struct
+
+    # known samples round-trip: rate/channels/count/peak/energy all exact
+    vals = [0, 100, -200, 32767, -32768, 7]
+    wav = mm.synth_wav(
+        len(vals), sample_rate=8000, data=struct.pack(f"<{len(vals)}h", *vals)
+    )
+    assert mm.decode_wav_pcm(wav) == (
+        8000, 1, len(vals), 32768, sum(v * v for v in vals)
+    )
+    # silence decodes to zero stats
+    assert mm.decode_wav_pcm(mm.synth_wav(10)) == (1000, 1, 10, 0, 0)
+    # unknown chunks between fmt and data are skipped
+    wav2 = bytearray(mm.synth_wav(4))
+    extra = b"LIST" + (4).to_bytes(4, "little") + b"INFO"
+    spliced = bytes(wav2[:36]) + extra + bytes(wav2[36:])
+    fixed = b"RIFF" + (len(spliced) - 8).to_bytes(4, "little") + spliced[8:]
+    assert mm.decode_wav_pcm(fixed) == (1000, 1, 4, 0, 0)
+    # non-PCM fmt tag, 8-bit, and corrupt payloads return None, not raise
+    nonpcm = bytearray(mm.synth_wav(4))
+    nonpcm[20:22] = (3).to_bytes(2, "little")  # IEEE float fmt tag
+    assert mm.decode_wav_pcm(bytes(nonpcm)) is None
+    assert mm.decode_wav_pcm(mm.synth_wav(4, bits=8)) is None
+    for junk in (None, b"", b"RIFFxxxxWAVE", b"not audio"):
+        assert mm.decode_wav_pcm(junk) is None
+
+
 def test_extract_media_metadata_dataframe(spark):
     rows = [
         (1, "image", "image/png", mm.synth_png(32, 16), 0, None, None, None),
@@ -624,6 +652,58 @@ def test_ivfpq_refresh_appends_without_rewriting_existing_files(spark, tmp_path)
     for f, ts in before.items():
         assert after.get(f) == ts, f"existing code file rewritten: {f}"
     assert len(after) > len(before), "refresh should add new code files"
+
+
+def test_streaming_index_sink_equals_one_shot_refresh(spark, tmp_path):
+    """3 real micro-batches through streaming_index_sink must leave the
+    index byte-equivalent (same coded rows, same search answer) to a
+    single refresh_ivfpq_index call over the whole tail."""
+    from pyspark.sql import functions as F
+
+    from klogs_spark.ext import ann_index
+    from klogs_spark.views import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    base = emb.filter(F.col("vec_id") < 450)
+    tail = emb.filter(F.col("vec_id") >= 450)
+
+    one = str(tmp_path / "oneshot")
+    ann_index.build_ivfpq_index(base, one)
+    ann_index.refresh_ivfpq_index(tail, one)
+
+    st = str(tmp_path / "streamed")
+    ann_index.build_ivfpq_index(base, st)
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    sink = ann_index.streaming_index_sink(st)
+    batches = []
+    counted = lambda b, i: (batches.append(i), sink(b, i))  # noqa: E731
+    for lo, hi in ((450, 470), (470, 490), (490, 1 << 62)):
+        (
+            tail.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+            .write.mode("append").parquet(src)
+        )
+        q = (
+            spark.readStream.schema(
+                "vec_id bigint, embedding array<float>, label int"
+            )
+            .parquet(src)
+            .writeStream.foreachBatch(counted)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    assert len(batches) == 3, f"expected 3 real micro-batches, got {batches}"
+
+    codes_one = sorted(
+        map(tuple, spark.read.parquet(f"{one}/codes").collect())
+    )
+    codes_st = sorted(map(tuple, spark.read.parquet(f"{st}/codes").collect()))
+    assert codes_st == codes_one
+    qv = [r.embedding for r in emb.filter("vec_id = 0").collect()][0]
+    s_one = ann_index.ivfpq_search(spark, one, list(qv), k=5).collect()
+    s_st = ann_index.ivfpq_search(spark, st, list(qv), k=5).collect()
+    assert [tuple(r) for r in s_st] == [tuple(r) for r in s_one]
 
 
 def test_pca_project_matches_numpy_and_orders_variance(spark):

@@ -19,6 +19,13 @@ from tests.conftest import SF_ORACLE
 SPECS = registry()
 ORACLE_CASES = [n for n, s in SPECS.items() if s.oracle is not None]
 
+# Dev profile opt-out: the all-registry differential dominates suite time
+# (~6 min of the ~8-min run) and is the DRIVER's job to re-check per round.
+# `pytest -m "not full_oracle"` runs the fast structural/unit suite while
+# iterating; the default (unfiltered) run keeps the full differential —
+# CI and the pre-commit gate are unchanged.
+pytestmark = pytest.mark.full_oracle
+
 
 def _norm(v):
     if isinstance(v, float):

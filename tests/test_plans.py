@@ -494,6 +494,31 @@ def test_zorder_rank_tables_broadcast(spark):
     assert "Join" not in plan, "literal-map rank path should plan no joins"
 
 
+def test_bucketed_join_has_no_input_exchange(spark):
+    # the point of bucketed co-location: both scans read hash-bucketed
+    # layouts that already satisfy the join's required distribution, so
+    # the merge join sees ZERO exchange over its inputs — the only
+    # shuffle left in the plan is the final aggregate's
+    plan = _plan(spark, "tpch_bucketed_join")
+    assert "SortMergeJoin" in plan
+    assert plan.count("Bucketed: true") == 2, "both sides must scan bucketed"
+    assert "hashpartitioning(o_custkey" not in plan
+    assert "hashpartitioning(c_custkey" not in plan
+
+
+def test_promoted_view_eliminates_map_scan(spark):
+    # the promoted-column rewrite's whole point: the caller filters on the
+    # MAP key (where_field_eq), but the plan must scan only the physical
+    # promoted column — pushed filter on content_level, fields_string
+    # absent from the parquet ReadSchema
+    plan = _plan(spark, "table_promoted_view")
+    assert "content_level" in plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("content_level" in l for l in pushed), pushed
+    reads = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert reads and all("fields_string" not in l for l in reads), reads
+
+
 def test_scaled_ntile_queries_have_no_unpartitioned_corpus_sort(spark):
     # the scale-safe quartile forms exist to retire the r8 scale-killer
     # (three unpartitioned ntile windows over all customers): every window

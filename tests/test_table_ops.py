@@ -280,6 +280,31 @@ def test_snapshot_reads_are_append_consistent_and_pin_files(spark, tmp_path):
     assert read_snapshot(spark, path, v3).count() == logs.count()
 
 
+def test_read_logs_at_canonical_columns_and_version_pin(spark, tmp_path):
+    """read_logs_at = time-travel read in read_logs's canonical column
+    order; a v1 pin returns the pre-append corpus after later appends."""
+    from pyspark.sql import functions as F
+
+    from klogs_spark.manifest import publish_snapshot, read_logs_at
+    from klogs_spark.table import read_logs, write_logs
+    from klogs_spark.views import derive_logs_from_events
+
+    logs = derive_logs_from_events(spark, "/root/testdata/sf0.001")
+    path = str(tmp_path / "t")
+    first = logs.filter(F.col("timestamp") < "2024-01-05")
+    write_logs(first, path)
+    v1 = publish_snapshot(spark, path)
+    write_logs(logs.filter(F.col("timestamp") >= "2024-01-05"), path)
+    publish_snapshot(spark, path)
+
+    at1 = read_logs_at(spark, path, v1)
+    assert at1.columns == read_logs(spark, path).columns
+    assert at1.count() == first.count()
+    assert at1.filter("timestamp >= '2024-01-05'").count() == 0
+    # default = latest
+    assert read_logs_at(spark, path).count() == logs.count()
+
+
 def test_maintenance_jobs_preserve_zorder_layout(spark, tmp_path):
     import glob
 

@@ -1053,6 +1053,119 @@ GROUP BY 1
 """
 
 
+def q_stream_rollup_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MATERIALIZED ROLLUP maintenance (ClickHouse's
+    materialized-view-into-SummingMergeTree pattern, re-expressed
+    Spark-first): a real 3-micro-batch stream appends to the logs table
+    while table.rollup_logs_sink recomputes the per-(day, namespace)
+    rollup for exactly the touched days (dynamic partition overwrite).
+    Whole-day recompute from the source of truth makes maintenance
+    idempotent under replay AND keeps non-distributive aggregates
+    (distinct apps) exact without merge state. The final rollup must
+    hash-equal the direct batch aggregate — the materialized view is
+    indistinguishable from the query it stands for.
+
+    At 100 TB dashboards hit the |days| x |namespaces|-row rollup instead
+    of re-aggregating the corpus; per-batch maintenance cost is the
+    touched days' data, not the table."""
+    import tempfile
+
+    from ..schema import LOG_SCHEMA
+    from ..table import rollup_logs_sink
+    from ..views import derive_logs_from_events
+
+    logs = derive_logs_from_events(spark, sf_dir).filter(
+        F.col("timestamp") < "2024-01-22"
+    )
+    base = tempfile.mkdtemp(prefix="klogs-rollup-")
+    src, ckpt = f"{base}/src", f"{base}/ckpt"
+    tbl, roll = f"{base}/logs", f"{base}/rollup"
+    sink = rollup_logs_sink(tbl, roll)
+    weeks = (
+        ("2024-01-01", "2024-01-08"),
+        ("2024-01-08", "2024-01-15"),
+        ("2024-01-15", "2024-01-22"),
+    )
+    for lo, hi in weeks:
+        (
+            logs.filter(
+                (F.col("timestamp") >= lo) & (F.col("timestamp") < hi)
+            )
+            .write.mode("append").parquet(src)
+        )
+        q = (
+            spark.readStream.schema(LOG_SCHEMA)
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(roll).select(
+        "date", "namespace", "n_rows", "n_errors", "n_apps"
+    )
+
+
+SQL_STREAM_ROLLUP = """
+SELECT CAST(ts AS DATE) AS date,
+       concat('ns-', CAST(user_id % 5 AS VARCHAR)) AS namespace,
+       count(*) AS n_rows,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_errors,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_apps
+FROM events
+WHERE ts < TIMESTAMP '2024-01-22 00:00:00'
+GROUP BY 1, 2
+"""
+
+
+RANGE_SKIP_LO = 300.0  # latency_ms threshold for the zone-map range query
+
+
+def q_table_field_range_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 at scale: a numeric range query over the DYNAMIC number map
+    served by the zone-map sidecar (table.write_field_minmax_index /
+    field_range_scan). Parquet footers carry no min/max for map values,
+    so without the sidecar this query scans every day; with it, the
+    per-(day, key) stats turn the range into a partition IN-filter at
+    plan time (pruning effectiveness pinned with a skewed fixture in
+    tests/test_table_ops.py — the driver fixture's uniform values keep
+    all days, which is the correct conservative answer). The oracle
+    recomputes the range aggregate directly from events."""
+    import tempfile
+
+    from ..table import field_range_scan, write_field_minmax_index, write_logs
+    from ..views import derive_logs_from_events
+
+    logs = derive_logs_from_events(spark, sf_dir).filter(
+        F.col("timestamp") < "2024-01-15"
+    )
+    base = tempfile.mkdtemp(prefix="klogs-minmax-")
+    tdir = f"{base}/logs"
+    write_logs(logs, tdir)
+    write_field_minmax_index(spark, tdir, keys=["latency_ms", "value"])
+    hits = field_range_scan(spark, tdir, "latency_ms", lo=RANGE_SKIP_LO)
+    lat = F.element_at(F.col("fields_number"), "latency_ms")
+    return hits.groupBy("date").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(lat * 100).cast("bigint")).alias("lat_cents"),
+    )
+
+
+SQL_TABLE_FIELD_RANGE_SKIP = f"""
+SELECT CAST(ts AS DATE) AS date,
+       count(*) AS n,
+       CAST(sum(CAST(round(value * 10 * 100) AS BIGINT)) AS BIGINT)
+         AS lat_cents
+FROM events
+WHERE event_type IN ('click', 'view')
+  AND value * 10 >= {RANGE_SKIP_LO}
+  AND ts < TIMESTAMP '2024-01-15 00:00:00'
+GROUP BY 1
+"""
+
+
 TT_CUT_V1 = "2024-01-08"  # snapshot v1 holds rows strictly before this
 TT_CUT_V2 = "2024-01-15"  # v2 adds the second week
 
@@ -1633,6 +1746,18 @@ SPECS = {
         SQL_TABLE_TIME_TRAVEL,
         "snapshot-manifest time travel: a v1-pinned read after a later "
         "append still returns the pre-append corpus, vs per-cutoff oracle",
+    ),
+    "stream_rollup_maintain": QuerySpec(
+        q_stream_rollup_maintain,
+        SQL_STREAM_ROLLUP,
+        "streaming materialized rollup: 3-batch foreachBatch maintenance "
+        "(idempotent whole-day recompute) hash-equals the batch aggregate",
+    ),
+    "table_field_range_skip": QuerySpec(
+        q_table_field_range_skip,
+        SQL_TABLE_FIELD_RANGE_SKIP,
+        "numeric zone-map sidecar over dynamic map fields: range query "
+        "with plan-time day pruning, vs direct range oracle",
     ),
     "table_zorder_lifecycle": QuerySpec(
         q_table_zorder_lifecycle,

@@ -780,6 +780,167 @@ def fulltext_phrase_search(
     )
 
 
+# --- numeric zone-map sidecar for dynamic map fields ------------------------
+# Parquet footers carry min/max for plain columns, but NOT for values inside
+# a Map column — so a numeric range query over fields_number['k'] scans every
+# day no matter how selective the range is. This sidecar is the zone map the
+# format can't give us: per (day, key) min/max, at most len(keys) rows per
+# day, consulted at plan time to turn the range into a partition IN-filter
+# (the same role schema.sql's sparse primary index plays for envelope
+# columns, extended to the dynamic fields).
+FIELD_MINMAX_DIR = "_field_minmax"
+
+
+def write_field_minmax_index(
+    spark: SparkSession,
+    path: str,
+    keys: list[str],
+    days: list[str] | None = None,
+) -> None:
+    """Build or incrementally refresh the per-day numeric zone-map sidecar
+    for the given ``fields_number`` keys. One pass over the (filtered)
+    table: a narrow explode of (key, value) pairs into a (day, key) min/max
+    aggregate — map-side combined, <= |days| * |keys| result rows. Dynamic
+    partition overwrite gives the same incremental-maintenance contract as
+    the token-Bloom sidecar: ``days=[...]`` rewrites only those days."""
+    from .transform import field_number
+
+    logs = spark.read.parquet(path)
+    if days is not None:
+        logs = logs.filter(
+            F.col(PARTITION_COLUMN).isin([str(d) for d in days])
+        )
+    pairs = F.array(
+        *[
+            F.struct(F.lit(k).alias("fkey"), field_number(k).alias("v"))
+            for k in keys
+        ]
+    )
+    (
+        logs.select(F.col(PARTITION_COLUMN), F.explode(pairs).alias("p"))
+        .select(PARTITION_COLUMN, "p.fkey", "p.v")
+        .filter(F.col("v").isNotNull())
+        .groupBy(PARTITION_COLUMN, "fkey")
+        .agg(F.min("v").alias("vmin"), F.max("v").alias("vmax"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(PARTITION_COLUMN)
+        .parquet(f"{path}/{FIELD_MINMAX_DIR}")
+    )
+
+
+def field_range_scan(
+    spark: SparkSession,
+    path: str,
+    key: str,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """F4 numeric range query over ``fields_number[key]`` with zone-map day
+    pruning: the sidecar lookup (manifest-sized, <= |days|*|keys| rows)
+    keeps only days whose [vmin, vmax] overlaps [lo, hi]; candidate days
+    become a partition IN-filter so the scan lists only those directories,
+    then the exact per-row range filter applies. Days with no sidecar row
+    for ``key`` are kept (no stats = cannot prune — the conservative
+    contract every zone map honors); orphaned sidecar days intersect with
+    live partitions exactly like the Bloom lookup."""
+    from .transform import field_number
+
+    fs, _, root = _hadoop_fs(spark, path)
+    live_days = {
+        s.getPath().getName().split("=", 1)[1]
+        for s in fs.listStatus(root)
+        if s.isDirectory()
+        and s.getPath().getName().startswith(f"{PARTITION_COLUMN}=")
+    }
+    stats = {
+        str(r[PARTITION_COLUMN]): (r.vmin, r.vmax)
+        for r in spark.read.parquet(f"{path}/{FIELD_MINMAX_DIR}")
+        .filter(F.col("fkey") == key)
+        .collect()
+        if str(r[PARTITION_COLUMN]) in live_days
+    }
+    def overlaps(day: str) -> bool:
+        if day not in stats:
+            return True  # no stats recorded -> cannot prune
+        vmin, vmax = stats[day]
+        if lo is not None and vmax < lo:
+            return False
+        if hi is not None and vmin > hi:
+            return False
+        return True
+
+    dates = sorted(d for d in live_days if overlaps(d))
+    base = read_logs(spark, path)
+    if not dates:
+        return base.filter(F.lit(False))
+    out = base.filter(F.col(PARTITION_COLUMN).isin(dates))
+    v = field_number(key)
+    if lo is not None:
+        out = out.filter(v >= lo)
+    if hi is not None:
+        out = out.filter(v <= hi)
+    return out
+
+
+# --- streaming materialized rollup ------------------------------------------
+def refresh_rollup(
+    spark: SparkSession,
+    path: str,
+    rollup_path: str,
+    days: list[str] | None = None,
+) -> None:
+    """(Re)compute the per-(day, namespace) rollup — row count, error count,
+    distinct apps — from the TABLE for the given days and dynamic-overwrite
+    exactly those rollup partitions. Recomputing whole days from the source
+    of truth (instead of merging per-batch deltas) makes the maintenance
+    IDEMPOTENT: a replayed micro-batch or a manual backfill converges to
+    the same rollup, and non-distributive aggregates (distinct counts) stay
+    exact without merge state."""
+    from .transform import field_string
+
+    tbl = spark.read.parquet(path)
+    if days is not None:
+        tbl = tbl.filter(F.col(PARTITION_COLUMN).isin([str(d) for d in days]))
+    roll = tbl.groupBy(PARTITION_COLUMN, "namespace").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            (field_string("level") == "error").cast("int")
+        ).alias("n_errors"),
+        F.count_distinct("app").alias("n_apps"),
+    )
+    (
+        roll.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(PARTITION_COLUMN)
+        .parquet(rollup_path)
+    )
+
+
+def rollup_logs_sink(path: str, rollup_path: str):
+    """foreachBatch sink: append the batch to the logs table AND refresh the
+    materialized per-day rollup for exactly the days the batch touched —
+    the streaming materialized-view pattern (ClickHouse's materialized view
+    into a SummingMergeTree, re-expressed as idempotent day recompute).
+    Dashboards read the rollup (|days| x |namespaces| rows) instead of
+    re-aggregating the corpus; maintenance cost per batch is proportional
+    to the touched days' data, and replays converge (refresh_rollup is
+    idempotent). Composes with klogs_spark.stream via its ``sink`` param."""
+
+    def sink_fn(batch: DataFrame, batch_id: int) -> None:
+        write_logs(batch, path, mode="append")
+        days = [
+            str(r[0])
+            for r in batch.select(
+                F.to_date(F.col("timestamp")).alias("d")
+            ).distinct().collect()
+        ]
+        if days:
+            refresh_rollup(batch.sparkSession, path, rollup_path, days)
+
+    return sink_fn
+
+
 def indexed_logs_sink(path: str, m: int = TOKEN_BLOOM_M, k: int = TOKEN_BLOOM_K,
                       exactly_once: bool = False, snapshot: bool = False):
     """foreachBatch sink: append the batch to the logs table AND refresh the

@@ -280,6 +280,92 @@ def test_snapshot_reads_are_append_consistent_and_pin_files(spark, tmp_path):
     assert read_snapshot(spark, path, v3).count() == logs.count()
 
 
+def test_field_minmax_index_prunes_days_and_stays_conservative(spark, tmp_path):
+    """Zone-map sidecar: with a value distribution skewed by day, a range
+    query must (a) return exactly the unpruned answer and (b) actually
+    skip the days whose [vmin, vmax] cannot overlap; a day with no stats
+    row must be kept (conservative)."""
+    from pyspark.sql import functions as F
+
+    from klogs_spark.table import (
+        FIELD_MINMAX_DIR,
+        field_range_scan,
+        write_field_minmax_index,
+        write_logs,
+    )
+    from klogs_spark.views import derive_logs_from_events
+
+    logs = derive_logs_from_events(spark, "/root/testdata/sf0.001").filter(
+        F.col("timestamp") < "2024-01-05"
+    )
+    # skew latency by day: day-of-month d contributes values in [d*1000, ...)
+    skewed = logs.withColumn(
+        "fields_number",
+        F.map_concat(
+            F.map_filter(F.col("fields_number"), lambda k, v: k != "lat"),
+            F.create_map(
+                F.lit("lat"),
+                F.dayofmonth("timestamp") * 1000
+                + F.element_at(F.col("fields_number"), "value"),
+            ),
+        ),
+    )
+    path = str(tmp_path / "t")
+    write_logs(skewed, path)
+    write_field_minmax_index(spark, path, keys=["lat"])
+    # range that only day >= 3 can satisfy
+    hits = field_range_scan(spark, path, "lat", lo=3000.0)
+    expect = (
+        spark.read.parquet(path)
+        .filter(F.element_at(F.col("fields_number"), "lat") >= 3000.0)
+    )
+    assert hits.count() == expect.count() > 0
+    # pruning is real: the scanned files exclude the low days entirely
+    scanned = {
+        r[0].split("date=")[1].split("/")[0]
+        for r in hits.select(
+            F.input_file_name()
+        ).distinct().collect()
+    }
+    assert scanned and all(d >= "2024-01-03" for d in scanned), scanned
+    # conservative on missing stats: drop one day's sidecar rows -> day kept
+    import shutil
+
+    shutil.rmtree(f"{path}/{FIELD_MINMAX_DIR}/date=2024-01-04")
+    hits2 = field_range_scan(spark, path, "lat", lo=3000.0)
+    assert hits2.count() == expect.count()
+
+
+def test_rollup_refresh_is_idempotent_and_incremental(spark, tmp_path):
+    """refresh_rollup recomputes only the requested days (dynamic
+    overwrite) and a replay converges to the same rollup."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from klogs_spark.table import refresh_rollup, write_logs
+    from klogs_spark.views import derive_logs_from_events
+
+    logs = derive_logs_from_events(spark, "/root/testdata/sf0.001").filter(
+        F.col("timestamp") < "2024-01-06"
+    )
+    path, roll = str(tmp_path / "t"), str(tmp_path / "r")
+    write_logs(logs, path)
+    refresh_rollup(spark, path, roll)
+    before = sorted(map(tuple, spark.read.parquet(roll).collect()))
+    untouched_day = f"{roll}/date=2024-01-02"
+    mtimes = {
+        f: os.path.getmtime(os.path.join(untouched_day, f))
+        for f in os.listdir(untouched_day)
+    }
+    # replay one day: rollup unchanged, other days' files untouched
+    refresh_rollup(spark, path, roll, days=["2024-01-03"])
+    after = sorted(map(tuple, spark.read.parquet(roll).collect()))
+    assert after == before
+    for f, ts in mtimes.items():
+        assert os.path.getmtime(os.path.join(untouched_day, f)) == ts
+
+
 def test_read_logs_at_canonical_columns_and_version_pin(spark, tmp_path):
     """read_logs_at = time-travel read in read_logs's canonical column
     order; a v1 pin returns the pre-append corpus after later appends."""

@@ -124,7 +124,26 @@ def write_logs(
     path); REBALANCE sizes partitions from shuffle statistics instead.
     ``maxRecordsPerFile`` caps any single file; :func:`compact_partition`
     handles file-count hygiene per day.
+
+    Promotion invariant (README.md:69-91 DEFAULT-column parity): when the
+    table's layout marker records promoted columns, ANY append through
+    this writer materializes the missing ones from the map — so every
+    data file carries the physical column and the transparent read-path
+    rewrite (logs_query) never serves NULLs for rows written by a plain
+    append. Tables promoted AFTER accumulating plain history need the
+    one-off :func:`materialize_promotions` backfill (the MATERIALIZE
+    COLUMN twin).
     """
+    if mark_layout:
+        promos = read_layout(df.sparkSession, path).get("promotions") or {}
+        missing = {
+            k: c for k, c in promos.items() if c not in df.columns
+        }
+        if missing:
+            from .transform import promote_string_field
+
+            for key, column in missing.items():
+                df = promote_string_field(df, key, column)
     (
         df.withColumn(PARTITION_COLUMN, F.to_date(F.col("timestamp")))
         .hint("rebalance", PARTITION_COLUMN)
@@ -159,10 +178,21 @@ def register_view(spark: SparkSession, path: str, name: str = "logs") -> None:
     expose their promoted physical columns, so SQL callers can filter on
     the materialized fast path directly."""
     promos = read_layout(spark, path).get("promotions") or {}
-    df = spark.read.parquet(path).select(
+    df = _read_with_promotions(spark, path, promos)
+    df.createOrReplaceTempView(name)
+
+
+def _read_with_promotions(spark: SparkSession, path: str, promos: dict):
+    """Table read exposing the promoted physical columns. mergeSchema makes
+    the columns resolve even on a table with not-yet-materialized plain
+    history (those rows read NULL until materialize_promotions backfills
+    them — the documented DEFAULT/MATERIALIZE contract)."""
+    reader = spark.read
+    if promos:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(path).select(
         PARTITION_COLUMN, *LOG_COLUMNS, *promos.values()
     )
-    df.createOrReplaceTempView(name)
 
 
 def logs_query(spark: SparkSession, path: str):
@@ -178,10 +208,7 @@ def logs_query(spark: SparkSession, path: str):
     from .query import LogsQuery
 
     promos = read_layout(spark, path).get("promotions") or {}
-    df = spark.read.parquet(path).select(
-        PARTITION_COLUMN, *LOG_COLUMNS, *promos.values()
-    )
-    return LogsQuery(df, promos)
+    return LogsQuery(_read_with_promotions(spark, path, promos), promos)
 
 
 def write_logs_promoted(
@@ -778,6 +805,71 @@ def fulltext_phrase_search(
     return base.filter(F.col(PARTITION_COLUMN).isin(dates)).filter(
         F.col("log").contains(phrase)
     )
+
+
+def materialize_promotions(spark: SparkSession, path: str) -> list[str]:
+    """Backfill promoted columns into data files written BEFORE the
+    promotion was recorded — the MATERIALIZE COLUMN half of the reference
+    recipe (README.md:69-91; the DEFAULT half is write_logs's automatic
+    materialization on append). Needed exactly when write_logs_promoted
+    appends onto a table with plain history: those old files lack the
+    physical column, and the transparent read-path rewrite would serve
+    NULLs for their rows.
+
+    Detection is footer-only (one parquet metadata read per file, no data
+    scan — the standard cost of a one-off backfill job); only days with a
+    deficient file rewrite, via the same subdirectory-read +
+    dynamic-overwrite discipline as delete_where, preserving the recorded
+    sort layout. Values come from ``coalesce(column, map[key])`` so mixed
+    days keep already-materialized values byte-identical. Returns the
+    rewritten partition names."""
+    from .transform import field_string
+
+    promos = read_layout(spark, path).get("promotions") or {}
+    if not promos:
+        return []
+    fs, hpath_cls, root = _hadoop_fs(spark, path)
+    prefix = f"{PARTITION_COLUMN}="
+    deficient: list[str] = []
+    for part in sorted(fs.listStatus(root), key=lambda s: s.getPath().getName()):
+        name = part.getPath().getName()
+        if not (part.isDirectory() and name.startswith(prefix)):
+            continue
+        for f in fs.listStatus(part.getPath()):
+            if not f.getPath().getName().endswith(".parquet"):
+                continue
+            cols = set(spark.read.parquet(str(f.getPath())).schema.names)
+            if any(c not in cols for c in promos.values()):
+                deficient.append(name)
+                break
+    if not deficient:
+        return []
+    parts = []
+    for name in deficient:
+        day = name.split("=", 1)[1]
+        parts.append(
+            spark.read.option("mergeSchema", "true")
+            .parquet(f"{path}/{name}")
+            .withColumn(PARTITION_COLUMN, F.lit(day).cast("date"))
+        )
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p, allowMissingColumns=True)
+    out = merged
+    for key, column in promos.items():
+        src = field_string(key)
+        out = out.withColumn(
+            column,
+            F.coalesce(F.col(column), src) if column in merged.columns else src,
+        )
+    (
+        _layout_sorted(out, read_layout(spark, path), lead_partition=True)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(PARTITION_COLUMN)
+        .parquet(path)
+    )
+    return deficient
 
 
 # --- numeric zone-map sidecar for dynamic map fields ------------------------

@@ -280,6 +280,63 @@ def test_snapshot_reads_are_append_consistent_and_pin_files(spark, tmp_path):
     assert read_snapshot(spark, path, v3).count() == logs.count()
 
 
+def test_promotion_default_and_materialize_contract(spark, tmp_path):
+    """The DEFAULT/MATERIALIZE pair (reference README.md:69-91): a plain
+    append into a promoted table auto-materializes the column (DEFAULT on
+    insert); a table promoted AFTER plain history needs the one-off
+    materialize_promotions backfill, after which the transparent rewrite
+    serves exactly the map semantics."""
+    from pyspark.sql import functions as F
+
+    from klogs_spark.table import (
+        logs_query,
+        materialize_promotions,
+        write_logs,
+        write_logs_promoted,
+    )
+    from klogs_spark.views import derive_logs_from_events
+
+    logs = derive_logs_from_events(spark, "/root/testdata/sf0.001")
+    old = logs.filter(F.col("timestamp") < "2024-01-05")
+    new = logs.filter(
+        (F.col("timestamp") >= "2024-01-05")
+        & (F.col("timestamp") < "2024-01-08")
+    )
+    later = logs.filter(
+        (F.col("timestamp") >= "2024-01-08")
+        & (F.col("timestamp") < "2024-01-10")
+    )
+    path = str(tmp_path / "t")
+    write_logs(old, path)  # plain history, no promotion yet
+    write_logs_promoted(new, path, {"level": "content_level"})
+
+    expected = (
+        logs.filter(F.col("timestamp") < "2024-01-10")
+        .filter(F.element_at(F.col("fields_string"), "level") == "error")
+        .count()
+    )
+    # backfill the plain history, then append plainly again: write_logs
+    # must auto-materialize (DEFAULT on insert), so no day is deficient
+    rewritten = materialize_promotions(spark, path)
+    assert rewritten, "plain-history days should need the backfill"
+    write_logs(later, path)  # plain append AFTER promotion
+    assert materialize_promotions(spark, path) == []  # invariant holds
+    got = logs_query(spark, path).where_field_eq("level", "error").df.count()
+    assert got == expected
+    # and the physical column equals the map everywhere
+    bad = (
+        spark.read.option("mergeSchema", "true").parquet(path)
+        .filter(
+            F.coalesce(F.col("content_level"), F.lit("~"))
+            != F.coalesce(
+                F.element_at(F.col("fields_string"), "level"), F.lit("~")
+            )
+        )
+        .count()
+    )
+    assert bad == 0
+
+
 def test_field_minmax_index_prunes_days_and_stays_conservative(spark, tmp_path):
     """Zone-map sidecar: with a value distribution skewed by day, a range
     query must (a) return exactly the unpruned answer and (b) actually

@@ -3560,6 +3560,104 @@ FROM est
 """
 
 
+def q_text_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL mergeability across SEGMENTS — the 100 TB union story (count
+    distinct users/tokens across days or shards without recounting): one
+    register table PER SOURCE (<= m rows each, the per-day sketch a
+    production pipeline persists), merged by register-wise max, compared
+    against the single whole-corpus sketch. ``merge_lossless`` is COMPUTED
+    register-by-register on the Spark side (max over any partitioning of
+    the union equals max over the union — the defining HLL property, the
+    max-merge twin of stream_cms_merge's sum-merge); the estimate emitted
+    comes from the MERGED registers, and the oracle computes it from the
+    single sketch — equality is only possible if the merge truly lost
+    nothing."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(dd.tokens_col(F.col("text"))).alias("tok")
+    )
+    from ..ext.hashing import md5_long
+
+    wbits = 32 - tx.HLL_P
+    h = md5_long(F.col("tok"))
+    hw = toks.select(
+        "source",
+        (h / (1 << wbits)).cast("int").alias("idx"),
+        (h % (1 << wbits)).alias("w"),
+    )
+    per_segment = (
+        hw.select("source", "idx", tx._hll_rho(F.col("w")).alias("r"))
+        .groupBy("source", "idx")
+        .agg(F.max("r").alias("rho"))
+    )
+    merged = per_segment.groupBy("idx").agg(F.max("rho").alias("rho"))
+    single = tx.hll_registers(toks.select("tok"))
+    lossless = (
+        merged.join(
+            single.withColumnRenamed("rho", "rho_single"), "idx", "full"
+        )
+        .agg(
+            F.bool_and(
+                F.col("rho").eqNullSafe(F.col("rho_single"))
+            ).alias("merge_lossless")
+        )
+    )
+    reg_agg = merged.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("s"),
+        F.count(F.lit(1)).alias("np"),
+    )
+    exact = toks.agg(
+        F.count_distinct("tok").alias("exact_distinct"),
+        F.count_distinct("source").alias("n_segments"),
+    )
+    m = tx.HLL_M
+    zeros = (m - F.col("np")).cast("double")
+    raw = F.lit(tx.HLL_ALPHA * m * m) / (F.col("s") + (m - F.col("np")))
+    est = F.when(
+        (raw <= 2.5 * m) & (zeros > 0), m * F.log(m / zeros)
+    ).otherwise(raw)
+    return (
+        exact.crossJoin(reg_agg)
+        .crossJoin(lossless)
+        .select(
+            "exact_distinct",
+            "n_segments",
+            F.round(est, 4).alias("hll_estimate"),
+            "merge_lossless",
+        )
+    )
+
+
+SQL_TEXT_HLL_MERGE = f"""
+WITH toks AS (
+  SELECT source,
+         unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+  FROM documents
+),
+hw AS (
+  SELECT CAST(floor(h / {1 << tx.HLL_W}.0) AS INT) AS idx,
+         h % {1 << tx.HLL_W} AS w
+  FROM (SELECT {md5_long_sql('tok')} AS h FROM toks)
+),
+regs AS (
+  SELECT idx, max({_HLL_RHO_SQL}) AS rho FROM hw GROUP BY idx
+),
+agg AS (SELECT sum(power(2.0, -rho)) AS s, count(*) AS np FROM regs),
+est AS (
+  SELECT ({tx.HLL_M} - np) * 1.0 AS zeros,
+         {tx.HLL_ALPHA * tx.HLL_M * tx.HLL_M!r} / (s + ({tx.HLL_M} - np)) AS raw
+  FROM agg
+)
+SELECT (SELECT count(DISTINCT tok) FROM toks) AS exact_distinct,
+       (SELECT count(DISTINCT source) FROM toks) AS n_segments,
+       round(CASE WHEN raw <= {2.5 * tx.HLL_M} AND zeros > 0
+                  THEN {tx.HLL_M} * ln({tx.HLL_M} / zeros)
+                  ELSE raw END, 4) AS hll_estimate,
+       true AS merge_lossless
+FROM est
+"""
+
+
 # ---------------------------------------------------------------------------
 # fixed-bin histogram quantiles (mergeable sketch vs exact)
 # ---------------------------------------------------------------------------
@@ -3848,6 +3946,11 @@ SPECS = {
     "sketch_histogram_quantiles": QuerySpec(
         q_sketch_histogram_quantiles, SQL_SKETCH_HISTOGRAM_QUANTILES,
         "mergeable 64-bin histogram quantile estimates vs exact percentiles"),
+    "text_hll_merge": QuerySpec(
+        q_text_hll_merge, SQL_TEXT_HLL_MERGE,
+        "HLL register merge across segments (max-merge): merged estimate "
+        "equals the single sketch, losslessness computed per register",
+    ),
     "text_hll_distinct": QuerySpec(
         q_text_hll_distinct, SQL_TEXT_HLL_DISTINCT,
         "engine-exact HyperLogLog estimate vs exact distinct tokens"),

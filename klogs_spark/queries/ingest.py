@@ -1166,6 +1166,58 @@ GROUP BY 1
 """
 
 
+RETENTION_TODAY = "2024-01-25"  # pinned "today" for the policy job
+RETENTION_POLICIES = {"ns-1": 5, "ns-3": 12}
+RETENTION_DEFAULT = 18
+
+
+def q_table_retention_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentiated TTL end-to-end (table.apply_retention_policy):
+    per-namespace retention windows composed into ONE delete_where pass —
+    days where every namespace expired drop as directories, days where
+    only some expired rewrite once, newer days untouched. The read-back
+    per-(day, namespace) counts must equal the oracle's exclusion
+    computation; any row kept past its category's window (the GDPR
+    failure) or dropped early breaks the hash."""
+    import tempfile
+
+    from datetime import date as _date
+
+    from ..table import apply_retention_policy, read_logs, write_logs
+    from ..views import derive_logs_from_events
+
+    logs = derive_logs_from_events(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="klogs-retpol-")
+    tdir = f"{base}/logs"
+    write_logs(logs, tdir)
+    apply_retention_policy(
+        spark, tdir, RETENTION_POLICIES, RETENTION_DEFAULT,
+        today=_date.fromisoformat(RETENTION_TODAY),
+    )
+    return (
+        read_logs(spark, tdir)
+        .groupBy("date", "namespace")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+SQL_TABLE_RETENTION_POLICY = f"""
+SELECT CAST(ts AS DATE) AS date,
+       concat('ns-', CAST(user_id % 5 AS VARCHAR)) AS namespace,
+       count(*) AS cnt
+FROM events
+WHERE NOT (
+  (user_id % 5 = 1 AND CAST(ts AS DATE) < DATE '{RETENTION_TODAY}'
+     - INTERVAL {RETENTION_POLICIES["ns-1"]} DAY)
+  OR (user_id % 5 = 3 AND CAST(ts AS DATE) < DATE '{RETENTION_TODAY}'
+     - INTERVAL {RETENTION_POLICIES["ns-3"]} DAY)
+  OR (user_id % 5 NOT IN (1, 3) AND CAST(ts AS DATE) < DATE '{RETENTION_TODAY}'
+     - INTERVAL {RETENTION_DEFAULT} DAY)
+)
+GROUP BY 1, 2
+"""
+
+
 TT_CUT_V1 = "2024-01-08"  # snapshot v1 holds rows strictly before this
 TT_CUT_V2 = "2024-01-15"  # v2 adds the second week
 
@@ -1758,6 +1810,12 @@ SPECS = {
         SQL_TABLE_FIELD_RANGE_SKIP,
         "numeric zone-map sidecar over dynamic map fields: range query "
         "with plan-time day pruning, vs direct range oracle",
+    ),
+    "table_retention_policy": QuerySpec(
+        q_table_retention_policy,
+        SQL_TABLE_RETENTION_POLICY,
+        "differentiated per-namespace TTL in one delete_where pass: "
+        "expired days drop, mixed days rewrite once, vs exclusion oracle",
     ),
     "table_zorder_lifecycle": QuerySpec(
         q_table_zorder_lifecycle,

@@ -650,6 +650,46 @@ TOKEN_BLOOM_M = 4096
 TOKEN_BLOOM_K = 3
 
 
+def apply_retention_policy(
+    spark: SparkSession,
+    path: str,
+    policies: dict[str, int],
+    default_days: int = 30,
+    today: date | None = None,
+) -> dict:
+    """Differentiated TTL — per-namespace retention windows, the
+    data-category retention a GDPR program needs beyond the reference's
+    single ``TTL 30 DAY`` (schema.sql:19). ``policies`` maps namespace ->
+    retention days; everything unlisted keeps ``default_days``.
+
+    Namespaces share day partitions, so this composes onto
+    :func:`delete_where`'s machinery with ONE predicate OR-ing each
+    namespace's cutoff: days older than every applicable window empty out
+    and drop as directories (the cheap whole-partition path — equivalent
+    to apply_retention), while days where only some namespaces expired
+    rewrite themselves once. One table pass total regardless of how many
+    policies exist; untouched days never rewrite. Returns delete_where's
+    report."""
+    today = today or date.today()
+    listed = list(policies)
+    conds = []
+    for ns, days in policies.items():
+        cut = (today - timedelta(days=days)).isoformat()
+        conds.append(
+            (F.col("namespace") == ns)
+            & (F.col(PARTITION_COLUMN) < F.lit(cut).cast("date"))
+        )
+    dcut = (today - timedelta(days=default_days)).isoformat()
+    default_cond = F.col(PARTITION_COLUMN) < F.lit(dcut).cast("date")
+    if listed:
+        default_cond = default_cond & ~F.col("namespace").isin(listed)
+    conds.append(default_cond)
+    pred = conds[0]
+    for c in conds[1:]:
+        pred = pred | c
+    return delete_where(spark, path, pred)
+
+
 def write_token_bloom_index(
     spark: SparkSession,
     path: str,

@@ -270,6 +270,42 @@ WHERE i.n * 1.0 / (sa.sz + sb.sz - i.n) >= {PARA_JACCARD}
 """
 
 
+PREFIX_JACCARD = 0.9
+
+
+def q_dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-set similarity self-join via PREFIX FILTERING
+    (AllPairs/PPJoin family, Bayardo et al. WWW'07) — deterministic
+    blocking with zero false negatives, the exactness-preserving
+    alternative to MinHash-LSH: candidates must share a token inside each
+    set's df-ordered prefix (rarest tokens first, so the stopword keys
+    that explode a naive token join never block), then the
+    candidate-restricted exact Jaccard verifies. The oracle is the
+    ALL-PAIRS join — hash equality IS the proof that the blocking lost
+    nothing."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.prefix_jaccard_join(docs, PREFIX_JACCARD)
+
+
+SQL_DEDUP_PREFIX_JACCARD = f"""
+WITH tk AS (
+  SELECT DISTINCT doc_id AS id,
+         unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+  FROM documents
+),
+sizes AS (SELECT id, count(*) AS sz FROM tk GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n
+  FROM tk a JOIN tk b ON a.tok = b.tok AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b,
+       round(i.n * 1.0 / (sa.sz + sb.sz - i.n), 6) AS jaccard
+FROM inter i JOIN sizes sa ON i.id_a = sa.id JOIN sizes sb ON i.id_b = sb.id
+WHERE round(i.n * 1.0 / (sa.sz + sb.sz - i.n), 6) >= {PREFIX_JACCARD}
+"""
+
+
 # ---------------------------------------------------------------------------
 # dedup: exact n-gram Jaccard (no candidate pre-filter)
 # ---------------------------------------------------------------------------
@@ -3840,6 +3876,11 @@ SPECS = {
         q_dedup_threshold_curve, SQL_DEDUP_THRESHOLD_CURVE,
         "pairs-surviving-per-threshold tuning curve from one LSH+verify "
         "pass"),
+    "dedup_prefix_jaccard": QuerySpec(
+        q_dedup_prefix_jaccard, SQL_DEDUP_PREFIX_JACCARD,
+        "exact similarity self-join via df-ordered prefix filtering "
+        "(PPJoin-style lossless blocking) vs the all-pairs oracle",
+    ),
     "dedup_ngram_jaccard": QuerySpec(q_ngram_jaccard, SQL_NGRAM_JACCARD,
                                      "exact 3-gram Jaccard pairs"),
     "dedup_containment_lsh": QuerySpec(

@@ -1548,6 +1548,58 @@ def q_rfm_segments_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EQUIDEPTH_BUCKETS = 8
+
+
+def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-frequency) histogram of the event value column —
+    the optimizer-statistics / quantile-binning primitive — built
+    scale-safely: bucket membership comes from the distributed
+    global_rank + closed-form NTILE (no unpartitioned window anywhere,
+    the same machinery as the scaled RFM quartiles), then one keyed
+    aggregate profiles each bucket (count, min, max, cents-exact sum).
+    Hash-equal to the exact NTILE oracle — an equi-depth histogram whose
+    boundaries are EXACT, not sketch-approximate, at any corpus size."""
+    from ..ext.caching import cache_tracked
+    from ..ext.sampling import global_rank, ntile_from_rank
+
+    ev = cache_tracked(
+        load_table(spark, sf_dir, "events").select("event_id", "value")
+    )
+    n = ev.count()
+    ranked = global_rank(ev, ["value", "event_id"], out_col="_rk")
+    return (
+        ranked.select(
+            ntile_from_rank(F.col("_rk"), n, EQUIDEPTH_BUCKETS).alias(
+                "bucket"
+            ),
+            "value",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 6).alias("min_v"),
+            F.round(F.max("value"), 6).alias("max_v"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .alias("val_cents"),
+        )
+    )
+
+
+SQL_EQUIDEPTH_HISTOGRAM = f"""
+WITH s AS (
+  SELECT NTILE({EQUIDEPTH_BUCKETS}) OVER (ORDER BY value, event_id) AS bucket,
+         value
+  FROM events
+)
+SELECT bucket, count(*) AS n,
+       round(min(value), 6) AS min_v,
+       round(max(value), 6) AS max_v,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS val_cents
+FROM s GROUP BY 1
+"""
+
+
 def q_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-free co-located join via BUCKETED tables — Spark's native
     pre-partitioned-storage primitive (the content-keyed upgrade of the
@@ -2232,6 +2284,10 @@ SPECS = {
         q_bucketed_colocated_join, SQL_BUCKETED_JOIN,
         "shuffle-free co-located join via bucketed tables (equal bucket "
         "count + key both sides; zero Exchange, plan-asserted)"),
+    "events_equidepth_histogram": QuerySpec(
+        q_equidepth_histogram, SQL_EQUIDEPTH_HISTOGRAM,
+        "exact equi-depth histogram via distributed global_rank + "
+        "closed-form NTILE (no unpartitioned window)"),
     "tpch_rfm_segments_scaled": QuerySpec(
         q_rfm_segments_scaled, SQL_RFM_SEGMENTS,
         "scale-safe RFM: distributed global_rank + closed-form NTILE, "

@@ -654,6 +654,43 @@ def test_ivfpq_refresh_appends_without_rewriting_existing_files(spark, tmp_path)
     assert len(after) > len(before), "refresh should add new code files"
 
 
+def test_prefix_filter_blocking_is_lossless_and_selective(spark):
+    """Prefix filtering must (a) return exactly the all-pairs result at
+    the threshold (zero false negatives) and (b) generate strictly fewer
+    candidates than the naive any-shared-token join."""
+    from pyspark.sql import functions as F
+
+    from klogs_spark.ext import dedup as dd
+    from klogs_spark.views import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    t = 0.9
+    got = sorted(
+        map(tuple, dd.prefix_jaccard_join(docs, t).collect())
+    )
+    tk = docs.select(
+        F.col("doc_id").alias("id"),
+        F.explode(dd.tokens_col(F.col("text"))).alias("tok"),
+    ).distinct()
+    truth = sorted(
+        map(
+            tuple,
+            dd.jaccard_pairs(
+                tk.withColumnRenamed("tok", "shingle"), t
+            ).collect(),
+        )
+    )
+    assert got == truth and len(got) > 0
+    n_cand = dd.prefix_filter_pairs(tk, t).count()
+    a = tk.select(F.col("id").alias("id_a"), "tok")
+    b = tk.select(F.col("id").alias("id_b"), "tok")
+    n_naive = (
+        a.join(b, "tok").filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b").distinct().count()
+    )
+    assert n_cand < n_naive, (n_cand, n_naive)
+
+
 def test_streaming_index_sink_equals_one_shot_refresh(spark, tmp_path):
     """3 real micro-batches through streaming_index_sink must leave the
     index byte-equivalent (same coded rows, same search answer) to a

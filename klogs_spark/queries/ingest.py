@@ -1166,6 +1166,67 @@ GROUP BY 1
 """
 
 
+MERGE_UPD_FROM, MERGE_UPD_TO = "2024-01-03", "2024-01-05"
+MERGE_INS_FROM, MERGE_INS_TO = "2024-01-08", "2024-01-10"
+
+
+def q_table_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write MERGE end-to-end (table.merge_upsert — the
+    Delta/Iceberg MERGE INTO equivalent): write week 1, then merge a batch
+    that UPDATES two existing days (same keys, log line gains a ' [v2]'
+    suffix) and INSERTS two brand-new days, rewriting only the touched
+    partitions. The read-back counts every row once (no duplicate from a
+    replace, no loss from an insert) and counts the '[v2]' rows — equality
+    with the oracle's ts-range computation proves every matched row was
+    replaced (not duplicated) and every new row landed exactly once."""
+    import tempfile
+
+    from ..table import merge_upsert, read_logs, write_logs
+    from ..views import derive_logs_from_events
+
+    logs = derive_logs_from_events(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="klogs-merge-")
+    tdir = f"{base}/logs"
+    write_logs(logs.filter(F.col("timestamp") < MERGE_INS_FROM), tdir)
+    updates = (
+        logs.filter(
+            (F.col("timestamp") >= MERGE_UPD_FROM)
+            & (F.col("timestamp") < MERGE_UPD_TO)
+        )
+        .withColumn("log", F.concat(F.col("log"), F.lit(" [v2]")))
+        .unionByName(
+            logs.filter(
+                (F.col("timestamp") >= MERGE_INS_FROM)
+                & (F.col("timestamp") < MERGE_INS_TO)
+            )
+        )
+    )
+    merge_upsert(spark, tdir, updates, key_cols=["timestamp"])
+    return (
+        read_logs(spark, tdir)
+        .groupBy("date", "namespace")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("log").endswith(" [v2]").cast("int"))
+            .cast("bigint")
+            .alias("n_updated"),
+        )
+    )
+
+
+SQL_TABLE_MERGE_UPSERT = f"""
+SELECT CAST(ts AS DATE) AS date,
+       concat('ns-', CAST(user_id % 5 AS VARCHAR)) AS namespace,
+       count(*) AS cnt,
+       CAST(sum(CASE WHEN ts >= TIMESTAMP '{MERGE_UPD_FROM} 00:00:00'
+                      AND ts < TIMESTAMP '{MERGE_UPD_TO} 00:00:00'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_updated
+FROM events
+WHERE ts < TIMESTAMP '{MERGE_INS_TO} 00:00:00'
+GROUP BY 1, 2
+"""
+
+
 RETENTION_TODAY = "2024-01-25"  # pinned "today" for the policy job
 RETENTION_POLICIES = {"ns-1": 5, "ns-3": 12}
 RETENTION_DEFAULT = 18
@@ -1816,6 +1877,12 @@ SPECS = {
         SQL_TABLE_RETENTION_POLICY,
         "differentiated per-namespace TTL in one delete_where pass: "
         "expired days drop, mixed days rewrite once, vs exclusion oracle",
+    ),
+    "table_merge_upsert": QuerySpec(
+        q_table_merge_upsert,
+        SQL_TABLE_MERGE_UPSERT,
+        "copy-on-write MERGE: matched keys replaced, new keys inserted, "
+        "only touched days rewritten, vs ts-range oracle",
     ),
     "table_zorder_lifecycle": QuerySpec(
         q_table_zorder_lifecycle,

@@ -1548,6 +1548,83 @@ def q_rfm_segments_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONCENTRATION_PCTS = (1, 5, 10, 25)
+
+
+def q_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (the Pareto board): the exact share of total
+    revenue captured by the top 1/5/10/25 percent of customers — integer
+    ppm, cents-exact. Customer ranks come from the distributed global_rank
+    (descending spend via the negated cents column, custkey tiebreak), so
+    there is no unpartitioned sort of the customer aggregate at any
+    cardinality; the percent grid and the (n, total) scalars broadcast."""
+    from ..ext.caching import cache_tracked
+    from ..ext.sampling import global_rank
+
+    o = load_table(spark, sf_dir, "orders")
+    per = cache_tracked(
+        o.groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .alias("cents")
+        )
+        .withColumn("_neg", -F.col("cents"))
+    )
+    totals = per.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("total")
+    )
+    ranked = global_rank(per, ["_neg", "o_custkey"], out_col="_rk")
+    pcts = spark.range(len(CONCENTRATION_PCTS)).select(
+        F.element_at(
+            F.array(*[F.lit(p) for p in CONCENTRATION_PCTS]),
+            (F.col("id") + 1).cast("int"),
+        ).alias("pct")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(pcts))
+        .withColumn("_cut", F.expr("(n * pct + 99) DIV 100"))
+        .groupBy("pct")
+        .agg(
+            F.max("_cut").alias("n_top"),
+            F.sum(
+                F.when(F.col("_rk") <= F.col("_cut"), F.col("cents"))
+                .otherwise(F.lit(0))
+            ).alias("top_cents"),
+            F.expr(
+                "CAST(sum(CASE WHEN _rk <= _cut THEN cents ELSE 0 END) "
+                "* 1000000 DIV max(total) AS BIGINT)"
+            ).alias("share_ppm"),
+        )
+    )
+
+
+SQL_REVENUE_CONCENTRATION = f"""
+WITH per AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+),
+r AS (
+  SELECT cents,
+         ROW_NUMBER() OVER (ORDER BY cents DESC, o_custkey) AS rk,
+         (SELECT count(*) FROM per) AS n,
+         (SELECT sum(cents) FROM per) AS total
+  FROM per
+)
+SELECT p.pct,
+       CAST(max((n * p.pct + 99) // 100) AS BIGINT) AS n_top,
+       CAST(sum(CASE WHEN rk <= (n * p.pct + 99) // 100
+                     THEN cents ELSE 0 END) AS BIGINT) AS top_cents,
+       CAST(sum(CASE WHEN rk <= (n * p.pct + 99) // 100
+                     THEN cents ELSE 0 END) * 1000000 // max(total)
+            AS BIGINT) AS share_ppm
+FROM r, (VALUES {", ".join(f"({p})" for p in CONCENTRATION_PCTS)}) p(pct)
+GROUP BY p.pct
+"""
+
+
 EQUIDEPTH_BUCKETS = 8
 
 
@@ -2288,6 +2365,10 @@ SPECS = {
         q_equidepth_histogram, SQL_EQUIDEPTH_HISTOGRAM,
         "exact equi-depth histogram via distributed global_rank + "
         "closed-form NTILE (no unpartitioned window)"),
+    "tpch_revenue_concentration": QuerySpec(
+        q_revenue_concentration, SQL_REVENUE_CONCENTRATION,
+        "Pareto revenue concentration (top 1/5/10/25 percent shares, "
+        "integer ppm) via distributed descending global_rank"),
     "tpch_rfm_segments_scaled": QuerySpec(
         q_rfm_segments_scaled, SQL_RFM_SEGMENTS,
         "scale-safe RFM: distributed global_rank + closed-form NTILE, "

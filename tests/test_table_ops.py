@@ -280,6 +280,55 @@ def test_snapshot_reads_are_append_consistent_and_pin_files(spark, tmp_path):
     assert read_snapshot(spark, path, v3).count() == logs.count()
 
 
+def test_merge_upsert_rewrites_only_touched_days_and_is_idempotent(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from klogs_spark.table import merge_upsert, read_logs, write_logs
+    from klogs_spark.views import derive_logs_from_events
+
+    logs = derive_logs_from_events(spark, "/root/testdata/sf0.001")
+    path = str(tmp_path / "t")
+    write_logs(logs.filter(F.col("timestamp") < "2024-01-06"), path)
+    total = read_logs(spark, path).count()
+    import os
+
+    untouched = f"{path}/date=2024-01-05"
+    mtimes = {
+        f: os.path.getmtime(os.path.join(untouched, f))
+        for f in os.listdir(untouched)
+    }
+    upd = (
+        logs.filter(
+            (F.col("timestamp") >= "2024-01-02")
+            & (F.col("timestamp") < "2024-01-03")
+        )
+        .withColumn("log", F.concat(F.col("log"), F.lit(" [v2]")))
+        .unionByName(
+            logs.filter(
+                (F.col("timestamp") >= "2024-01-06")
+                & (F.col("timestamp") < "2024-01-07")
+            )
+        )
+    )
+    n_upd_rows = upd.filter("log LIKE '% [v2]'").count()
+    n_ins_rows = upd.count() - n_upd_rows
+    res = merge_upsert(spark, path, upd, key_cols=["timestamp"])
+    assert res["rows_updated"] == n_upd_rows
+    assert res["rows_inserted"] == n_ins_rows
+    back = read_logs(spark, path)
+    assert back.count() == total + n_ins_rows  # replaced, not duplicated
+    assert back.filter("log LIKE '% [v2]'").count() == n_upd_rows
+    for f, ts in mtimes.items():  # untouched day never rewritten
+        assert os.path.getmtime(os.path.join(untouched, f)) == ts
+    # idempotent: applying the same merge again changes nothing
+    res2 = merge_upsert(spark, path, upd, key_cols=["timestamp"])
+    assert res2["rows_inserted"] == 0
+    assert read_logs(spark, path).count() == total + n_ins_rows
+    assert read_logs(spark, path).filter(
+        "log LIKE '% [v2]'"
+    ).count() == n_upd_rows
+
+
 def test_promotion_default_and_materialize_contract(spark, tmp_path):
     """The DEFAULT/MATERIALIZE pair (reference README.md:69-91): a plain
     append into a promoted table auto-materializes the column (DEFAULT on

@@ -57,6 +57,11 @@ HEADLINE = [
     # prefix sum, and the one-pass d^2 covariance aggregate
     "sample_pack_global_prefix",
     "embedding_covariance",
+    # round-9 primitives: the distributed global_rank machinery (exact
+    # NTILE/top-percent with no unpartitioned window) — tracked so a
+    # regression in the two-phase rank path is visible per round
+    "events_equidepth_histogram",
+    "tpch_revenue_concentration",
 ]
 
 

@@ -484,6 +484,93 @@ def pq_encode(
     return _pq_assign(sv, codebooks).select("id", "m", "code")
 
 
+SQ8_LEVELS = 256  # one byte per component
+
+
+def sq8_stats(
+    emb: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-dimension (lo, hi) training stats for scalar quantization — the
+    posexplode keyed aggregate (d rows out, map-side combined), never a
+    d-expression-wide agg."""
+    v = F.col(vec_col).cast("array<double>")
+    return (
+        emb.select(F.posexplode(v).alias("i", "x"))
+        .groupBy("i")
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    )
+
+
+def sq8_encode(
+    emb: DataFrame,
+    stats: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SQ8 scalar quantization (FAISS's ScalarQuantizer): each component
+    maps to one uint8 level inside its dimension's [lo, hi] —
+    ``floor((x - lo) * 255 / (hi - lo))``, constant dimensions to 0. One
+    byte per component = a 4x compression below raw float32 with NO
+    training beyond the d-row min/max pass (where PQ needs k-means), the
+    standard first rung of the compression ladder. Returns (id, i, code)
+    — the stats table broadcasts, the corpus never shuffles to encode."""
+    v = F.col(vec_col).cast("array<double>")
+    comps = emb.select(
+        F.col(id_col).alias("id"), F.posexplode(v).alias("i", "x")
+    )
+    code = F.when(F.col("hi") > F.col("lo"), F.least(
+        F.lit(SQ8_LEVELS - 1),
+        F.floor(
+            (F.col("x") - F.col("lo")) * (SQ8_LEVELS - 1)
+            / (F.col("hi") - F.col("lo"))
+        ),
+    )).otherwise(F.lit(0))
+    return (
+        comps.join(F.broadcast(stats), "i")
+        .select("id", "i", code.cast("int").alias("code"))
+    )
+
+
+def sq8_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k over SQ8 codes: the (d x 256)-row query-to-level distance
+    table broadcasts (each level scores as its reconstruction midpoint
+    ``lo + (code + 0.5) * (hi - lo) / 256``), codes join it, integer
+    micro-unit sums per vector — the same aggregation-order-proof
+    discipline as pq_adc_topk. Returns (id, adist_micros) ascending,
+    ties by id."""
+    spark = emb.sparkSession
+    stats = _cache_tracked(sq8_stats(emb, vec_col))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    levels = spark.range(SQ8_LEVELS).select(F.col("id").cast("int").alias("code"))
+    recon = F.col("lo") + (F.col("code") + 0.5) * (
+        F.col("hi") - F.col("lo")
+    ) / SQ8_LEVELS
+    qi = F.element_at(q, F.col("i") + 1)
+    dist_table = F.broadcast(
+        stats.crossJoin(F.broadcast(levels)).select(
+            "i",
+            "code",
+            F.floor((qi - recon) * (qi - recon) * 1000000)
+            .cast("long")
+            .alias("dmic"),
+        )
+    )
+    codes = sq8_encode(emb, stats, id_col, vec_col)
+    return (
+        codes.join(dist_table, ["i", "code"])
+        .groupBy("id")
+        .agg(F.sum("dmic").alias("adist_micros"))
+        .orderBy("adist_micros", "id")
+        .limit(k)
+    )
+
+
 def pq_adc_topk(
     emb: DataFrame,
     codebooks: DataFrame,

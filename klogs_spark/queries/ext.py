@@ -2747,6 +2747,57 @@ LIMIT 10
 """
 
 
+def q_ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar-quantized ANN — the missing first rung of the
+    compression ladder (brute -> LSH -> IVF -> SQ8 -> PQ -> IVF-PQ): one
+    uint8 level per component inside each dimension's [lo, hi], 4x below
+    raw float32, and the only 'training' is a d-row min/max pass — no
+    k-means anywhere, so the index refreshes as cheaply as it builds (the
+    FAISS ScalarQuantizer trade: more bytes/vector than PQ, far cheaper
+    maintenance and better accuracy at small d). ADC scores levels at
+    their reconstruction midpoints through a broadcast (d x 256)-row
+    distance table; integer micro-unit sums keep the result
+    aggregation-order-proof and hash-exact vs the oracle's identical
+    arithmetic."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.sq8_topk(emb, _query_vec(spark, sf_dir), k=10)
+
+
+SQL_ANN_SQ8_TOPK = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+st AS (
+  SELECT t.i - 1 AS i, min(v[t.i]) AS lo, max(v[t.i]) AS hi
+  FROM e, generate_series(1, {sim.EMB_DIM}) t(i) GROUP BY 1
+),
+qv AS (SELECT v FROM e WHERE vec_id = 0),
+codes AS (
+  SELECT e.vec_id AS id, st.i,
+         CAST(CASE WHEN st.hi > st.lo
+              THEN least({sim.SQ8_LEVELS - 1},
+                         floor((v[st.i + 1] - st.lo) * {sim.SQ8_LEVELS - 1}
+                               / (st.hi - st.lo)))
+              ELSE 0 END AS INT) AS code
+  FROM e, st
+),
+dt AS (
+  SELECT st.i, CAST(c.code AS INT) AS code,
+         CAST(floor((qv.v[st.i + 1]
+                     - (st.lo + (c.code + 0.5) * (st.hi - st.lo)
+                        / {sim.SQ8_LEVELS}))
+                    * (qv.v[st.i + 1]
+                       - (st.lo + (c.code + 0.5) * (st.hi - st.lo)
+                          / {sim.SQ8_LEVELS}))
+                    * 1000000) AS BIGINT) AS dmic
+  FROM st, generate_series(0, {sim.SQ8_LEVELS - 1}) c(code), qv
+)
+SELECT codes.id, CAST(sum(dt.dmic) AS BIGINT) AS adist_micros
+FROM codes JOIN dt ON codes.i = dt.i AND codes.code = dt.code
+GROUP BY 1
+ORDER BY adist_micros, id
+LIMIT 10
+"""
+
+
 IVFPQ_NPROBE = 2
 IVFPQ_K = 5
 
@@ -4139,6 +4190,11 @@ SPECS = {
         "index drift monitor (retrain gate): per-cell base/new occupancy "
         "+ ppm share from the codes sidecar only, vs full re-derivation "
         "oracle",
+    ),
+    "ann_sq8_topk": QuerySpec(
+        q_ann_sq8_topk, SQL_ANN_SQ8_TOPK,
+        "SQ8 scalar-quantized ADC search: per-dim uint8 levels, training "
+        "= one d-row min/max pass, broadcast level-distance table",
     ),
     "embedding_covariance": QuerySpec(
         q_embedding_covariance, SQL_EMBEDDING_COVARIANCE,

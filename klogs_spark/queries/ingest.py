@@ -1227,9 +1227,9 @@ GROUP BY 1, 2
 """
 
 
-RETENTION_TODAY = "2024-01-25"  # pinned "today" for the policy job
-RETENTION_POLICIES = {"ns-1": 5, "ns-3": 12}
-RETENTION_DEFAULT = 18
+POLICY_TODAY = "2024-01-25"  # pinned "today" for the policy job
+POLICY_RETENTION = {"ns-1": 5, "ns-3": 12}
+POLICY_DEFAULT_DAYS = 18
 
 
 def q_table_retention_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1252,8 +1252,8 @@ def q_table_retention_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     tdir = f"{base}/logs"
     write_logs(logs, tdir)
     apply_retention_policy(
-        spark, tdir, RETENTION_POLICIES, RETENTION_DEFAULT,
-        today=_date.fromisoformat(RETENTION_TODAY),
+        spark, tdir, POLICY_RETENTION, POLICY_DEFAULT_DAYS,
+        today=_date.fromisoformat(POLICY_TODAY),
     )
     return (
         read_logs(spark, tdir)
@@ -1268,12 +1268,12 @@ SELECT CAST(ts AS DATE) AS date,
        count(*) AS cnt
 FROM events
 WHERE NOT (
-  (user_id % 5 = 1 AND CAST(ts AS DATE) < DATE '{RETENTION_TODAY}'
-     - INTERVAL {RETENTION_POLICIES["ns-1"]} DAY)
-  OR (user_id % 5 = 3 AND CAST(ts AS DATE) < DATE '{RETENTION_TODAY}'
-     - INTERVAL {RETENTION_POLICIES["ns-3"]} DAY)
-  OR (user_id % 5 NOT IN (1, 3) AND CAST(ts AS DATE) < DATE '{RETENTION_TODAY}'
-     - INTERVAL {RETENTION_DEFAULT} DAY)
+  (user_id % 5 = 1 AND CAST(ts AS DATE) < DATE '{POLICY_TODAY}'
+     - INTERVAL {POLICY_RETENTION["ns-1"]} DAY)
+  OR (user_id % 5 = 3 AND CAST(ts AS DATE) < DATE '{POLICY_TODAY}'
+     - INTERVAL {POLICY_RETENTION["ns-3"]} DAY)
+  OR (user_id % 5 NOT IN (1, 3) AND CAST(ts AS DATE) < DATE '{POLICY_TODAY}'
+     - INTERVAL {POLICY_DEFAULT_DAYS} DAY)
 )
 GROUP BY 1, 2
 """

@@ -8,6 +8,11 @@ answers SQL. The engine's equivalents:
     retention  drop partitions older than the TTL window
     compact    merge one partition's small files
     metrics    print the ingest metrics exposition after a drain
+    delete     row-level predicate delete (GDPR), touched days only
+    stats      ANALYZE-style column statistics (exact or HLL++)
+    snapshot / versions          publish / list manifest versions
+    materialize-promotions       backfill promoted columns into history
+    retention-policy             per-namespace TTL in one pass
 """
 
 from __future__ import annotations
@@ -69,6 +74,35 @@ def main(argv: list[str] | None = None) -> int:
     pc = sub.add_parser("compact", help="compact one partition")
     pc.add_argument("table")
     pc.add_argument("partition", help="e.g. date=2026-01-01")
+
+    pd_ = sub.add_parser("delete", help="row-level predicate delete (GDPR)")
+    pd_.add_argument("table")
+    pd_.add_argument("predicate",
+                     help="SQL predicate; rows where it is TRUE are deleted")
+
+    ps = sub.add_parser("stats", help="ANALYZE-style column statistics")
+    ps.add_argument("table")
+    ps.add_argument("--columns", default="namespace,app,host",
+                    help="comma-separated column names")
+    ps.add_argument("--approx", action="store_true",
+                    help="HLL++ NDV instead of exact (the 100 TB default)")
+
+    pn = sub.add_parser("snapshot", help="publish a snapshot manifest")
+    pn.add_argument("table")
+
+    pv = sub.add_parser("versions", help="list snapshot versions")
+    pv.add_argument("table")
+
+    pm = sub.add_parser("materialize-promotions",
+                        help="backfill promoted columns into plain history")
+    pm.add_argument("table")
+
+    pp = sub.add_parser("retention-policy",
+                        help="per-namespace TTL (ns=days pairs)")
+    pp.add_argument("table")
+    pp.add_argument("--policy", default="",
+                    help="comma-separated ns=days, e.g. ns-1=5,ns-3=12")
+    pp.add_argument("--default-days", type=int, default=30)
 
     args = p.parse_args(argv)
 
@@ -144,6 +178,63 @@ def main(argv: list[str] | None = None) -> int:
 
         n = compact_partition(spark, args.table, args.partition)
         print(f"compacted {args.partition} -> {n} file(s)")
+        return 0
+
+    if args.cmd == "delete":
+        from .table import delete_where
+
+        res = delete_where(spark, args.table, args.predicate)
+        print(
+            f"deleted {res['rows_deleted']} row(s); rewrote "
+            f"{res['partitions_rewritten']}; dropped "
+            f"{res['partitions_dropped']}"
+        )
+        return 0
+
+    if args.cmd == "stats":
+        from .table import collect_column_stats, read_logs
+
+        cols = [c for c in args.columns.split(",") if c]
+        collect_column_stats(
+            read_logs(spark, args.table), cols, approx=args.approx
+        ).show(truncate=False)
+        return 0
+
+    if args.cmd == "snapshot":
+        from .manifest import publish_snapshot
+
+        print(f"published v{publish_snapshot(spark, args.table)}")
+        return 0
+
+    if args.cmd == "versions":
+        from .manifest import snapshot_versions
+
+        print(snapshot_versions(spark, args.table))
+        return 0
+
+    if args.cmd == "materialize-promotions":
+        from .table import materialize_promotions
+
+        rewritten = materialize_promotions(spark, args.table)
+        print(f"backfilled {len(rewritten)} partition(s): {rewritten}")
+        return 0
+
+    if args.cmd == "retention-policy":
+        from .table import apply_retention_policy
+
+        policies = {}
+        for pair in args.policy.split(","):
+            if pair:
+                ns, days = pair.split("=", 1)
+                policies[ns] = int(days)
+        res = apply_retention_policy(
+            spark, args.table, policies, args.default_days
+        )
+        print(
+            f"deleted {res['rows_deleted']} row(s); rewrote "
+            f"{res['partitions_rewritten']}; dropped "
+            f"{res['partitions_dropped']}"
+        )
         return 0
 
     return 1

@@ -1138,7 +1138,8 @@ def rollup_logs_sink(path: str, rollup_path: str):
 
 
 def indexed_logs_sink(path: str, m: int = TOKEN_BLOOM_M, k: int = TOKEN_BLOOM_K,
-                      exactly_once: bool = False, snapshot: bool = False):
+                      exactly_once: bool = False, snapshot: bool = False,
+                      minmax_keys: list[str] | None = None):
     """foreachBatch sink: append the batch to the logs table AND refresh the
     token-Bloom sidecar for exactly the days the batch touched — the
     streaming-ingest integration of the skip index. Day discovery is one
@@ -1178,6 +1179,12 @@ def indexed_logs_sink(path: str, m: int = TOKEN_BLOOM_M, k: int = TOKEN_BLOOM_K,
         ]
         if days:
             write_token_bloom_index(batch.sparkSession, path, m=m, k=k, days=days)
+            if minmax_keys:
+                # same incremental contract for the numeric zone map:
+                # recompute exactly the touched days' (day, key) stats
+                write_field_minmax_index(
+                    batch.sparkSession, path, minmax_keys, days=days
+                )
         if snapshot:
             from .manifest import publish_snapshot
 

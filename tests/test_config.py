@@ -52,6 +52,49 @@ def test_version_info_renders():
     assert "klogs_spark, version" in text and "pyspark version" in text
 
 
+def test_cli_maintenance_commands_round_trip(spark, tmp_path, capsys):
+    """The operator surface: delete, stats, snapshot/versions, and
+    retention-policy drive the real table jobs end-to-end."""
+    from pyspark.sql import functions as F
+
+    from klogs_spark.__main__ import main
+    from klogs_spark.table import read_logs, write_logs
+    from klogs_spark.views import derive_logs_from_events
+
+    logs = derive_logs_from_events(spark, "/root/testdata/sf0.001").filter(
+        F.col("timestamp") < "2024-01-05"
+    )
+    path = str(tmp_path / "t")
+    write_logs(logs, path)
+    total = read_logs(spark, path).count()
+
+    assert main(["snapshot", path]) == 0
+    assert main(["versions", path]) == 0
+    out = capsys.readouterr().out
+    assert "published v1" in out and "[1]" in out
+
+    n_err = read_logs(spark, path).filter(
+        "element_at(fields_string, 'level') = 'error'"
+    ).count()
+    assert main(
+        ["delete", path, "element_at(fields_string, 'level') = 'error'"]
+    ) == 0
+    assert f"deleted {n_err} row(s)" in capsys.readouterr().out
+    assert read_logs(spark, path).count() == total - n_err
+
+    assert main(["stats", path, "--columns", "namespace,app"]) == 0
+    out = capsys.readouterr().out
+    assert "namespace" in out and "n_nulls" in out
+
+    assert main(
+        ["retention-policy", path, "--policy", "ns-1=0", "--default-days",
+         "3650"]
+    ) == 0
+    out = capsys.readouterr().out
+    assert "deleted" in out
+    assert read_logs(spark, path).filter("namespace = 'ns-1'").count() == 0
+
+
 def test_version_flag_writes_stdout_not_stderr(capsys):
     """`klogs_spark --version | ...` scripting needs stdout (the original
     parser.exit(message=...) wrote stderr)."""

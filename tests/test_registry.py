@@ -59,6 +59,22 @@ def test_rewritten_query_reenters_window():
     assert DRIVER_VERIFIED.get(name) != spec_content_hash(tampered)
 
 
+def test_no_shadowed_module_constants_in_query_modules():
+    """A query module constant assigned twice silently shadows the first
+    definition for every query fn that reads it at CALL time, while
+    f-string oracles keep their definition-time value — the exact
+    mismatch that broke table_lifecycle in round 9 (a second
+    RETENTION_TODAY). Duplicate top-level UPPER_CASE assignments are
+    therefore a suite failure."""
+    import re
+
+    for mod in ("ingest", "ext", "tpch", "logs"):
+        src = open(f"klogs_spark/queries/{mod}.py").read()
+        names = re.findall(r"^([A-Z][A-Z0-9_]*) =", src, re.M)
+        dupes = sorted({n for n in names if names.count(n) > 1})
+        assert not dupes, f"queries/{mod}.py defines twice: {dupes}"
+
+
 def test_readme_query_count_matches_registry():
     """README's stated registry-query count must equal len(registry()) —
     the count drifted by hand twice in round 7; now it fails the suite

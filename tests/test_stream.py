@@ -344,6 +344,45 @@ def test_indexed_logs_sink_maintains_bloom_sidecar(spark, tmp_path):
     assert fulltext_token_search(spark, path, ["user=7"]).count() > 0
 
 
+def test_indexed_sink_refreshes_minmax_sidecar_incrementally(spark, tmp_path):
+    """minmax_keys extends the streaming sink to the numeric zone map:
+    each batch refreshes exactly its days' (day, key) stats, and a range
+    scan over the stream-built table prunes/answers correctly."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from klogs_spark.table import (
+        FIELD_MINMAX_DIR, field_range_scan, indexed_logs_sink,
+    )
+    from klogs_spark.views import derive_logs_from_events
+
+    path = str(tmp_path / "logs")
+    sink = indexed_logs_sink(path, minmax_keys=["value"])
+    logs = derive_logs_from_events(spark, "/root/testdata/sf0.001")
+    day1 = logs.filter(F.to_date("timestamp") == "2024-01-10")
+    day2 = logs.filter(F.to_date("timestamp") == "2024-01-11")
+    sink(day1, 0)
+    first = {
+        os.path.join(dp, f): os.path.getmtime(os.path.join(dp, f))
+        for dp, _, fs in os.walk(f"{path}/{FIELD_MINMAX_DIR}")
+        for f in fs if f.endswith(".parquet")
+    }
+    assert first
+    sink(day2, 1)
+    for p, t in first.items():
+        if "date=2024-01-11" not in p:
+            assert os.path.getmtime(p) == t, f"day-1 minmax rewritten: {p}"
+    lo = 1.0
+    got = field_range_scan(spark, path, "value", lo=lo).count()
+    want = (
+        day1.unionByName(day2)
+        .filter(F.element_at(F.col("fields_number"), "value") >= lo)
+        .count()
+    )
+    assert got == want > 0
+
+
 def test_indexed_sink_snapshot_mode_publishes_batch_consistent_versions(
     spark, tmp_path
 ):

@@ -323,6 +323,7 @@ def global_rank(
     order_cols: list[str],
     buckets: int = 256,
     out_col: str = "rank",
+    bounds: tuple | None = None,
 ) -> DataFrame:
     """Exact 1-based global ``row_number()`` along ``order_cols`` without an
     ``Exchange SinglePartition`` — the scale-safe replacement for an
@@ -345,10 +346,15 @@ def global_rank(
     ``order_cols[0]`` must be numeric; the full tuple must be unique
     (append a key column) or intra-bucket ranks are nondeterministic.
     Bucket balance follows the first column's distribution; correctness
-    never depends on it.
+    never depends on it. ``bounds=(lo, hi)`` supplies precomputed min/max
+    of the first order column so a caller ranking one frame several ways
+    (the RFM pattern) pays ONE bounds aggregate instead of one per rank;
+    stale/too-narrow bounds would mis-bucket, so only pass exact values.
     """
     first = F.col(order_cols[0])
-    lo, hi = df.agg(F.min(first), F.max(first)).first()
+    lo, hi = bounds if bounds is not None else (
+        df.agg(F.min(first), F.max(first)).first()
+    )
     if lo is None:  # empty input
         return df.withColumn(out_col, F.lit(0).cast("bigint"))
     span = float(hi) - float(lo) + 1.0

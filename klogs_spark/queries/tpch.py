@@ -1524,14 +1524,25 @@ def q_rfm_segments_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("monetary_c"),
         )
     )
-    n = per_cust.count()  # scalar: bounds the NTILE closed form
+    # ONE driver action covers the NTILE row count and every rank's
+    # bucketing bounds (vs one min/max collect per rank + a count)
+    stats = per_cust.agg(
+        F.count(F.lit(1)),
+        F.min("recency_days"), F.max("recency_days"),
+        F.min("frequency"), F.max("frequency"),
+        F.min("monetary_c"), F.max("monetary_c"),
+    ).first()
+    n = stats[0]
     ranked = per_cust
-    for out, col in (
+    for i, (out, col) in enumerate((
         ("_rrk", "recency_days"),
         ("_frk", "frequency"),
         ("_mrk", "monetary_c"),
-    ):
-        ranked = global_rank(ranked, [col, "o_custkey"], out_col=out)
+    )):
+        ranked = global_rank(
+            ranked, [col, "o_custkey"], out_col=out,
+            bounds=(stats[1 + 2 * i], stats[2 + 2 * i]),
+        )
     scored = ranked.select(
         "recency_days",
         "frequency",

@@ -13,6 +13,7 @@ answers SQL. The engine's equivalents:
     snapshot / versions          publish / list manifest versions
     materialize-promotions       backfill promoted columns into history
     retention-policy             per-namespace TTL in one pass
+    optimize                     rewrite history into the z-order layout
 """
 
 from __future__ import annotations
@@ -103,6 +104,14 @@ def main(argv: list[str] | None = None) -> int:
     pp.add_argument("--policy", default="",
                     help="comma-separated ns=days, e.g. ns-1=5,ns-3=12")
     pp.add_argument("--default-days", type=int, default=30)
+
+    po = sub.add_parser("optimize",
+                        help="rewrite history into the z-order layout")
+    po.add_argument("table")
+    po.add_argument("--zorder", default="namespace,app,host",
+                    help="comma-separated z-order columns")
+    po.add_argument("--days", default="",
+                    help="restrict to these days (comma-separated)")
 
     args = p.parse_args(argv)
 
@@ -235,6 +244,18 @@ def main(argv: list[str] | None = None) -> int:
             f"{res['partitions_rewritten']}; dropped "
             f"{res['partitions_dropped']}"
         )
+        return 0
+
+    if args.cmd == "optimize":
+        from .table import optimize_zorder
+
+        days = [d for d in args.days.split(",") if d] or None
+        done = optimize_zorder(
+            spark, args.table,
+            tuple(c for c in args.zorder.split(",") if c),
+            days=days,
+        )
+        print(f"z-ordered {len(done)} partition(s): {done}")
         return 0
 
     return 1

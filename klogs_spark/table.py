@@ -650,6 +650,58 @@ TOKEN_BLOOM_M = 4096
 TOKEN_BLOOM_K = 3
 
 
+def optimize_zorder(
+    spark: SparkSession,
+    path: str,
+    zorder_on: tuple[str, ...] = ("namespace", "app", "host"),
+    days: list[str] | None = None,
+) -> list[str]:
+    """Convert an EXISTING table to the z-order layout in place — the
+    ``OPTIMIZE ... ZORDER BY`` twin (write_logs_zordered covers new
+    writes; this rewrites history). Day-at-a-time subdirectory reads keep
+    Spark's overwrite-while-reading guard satisfied; each day rewrites in
+    Morton order via dynamic partition overwrite, and the layout marker
+    flips FIRST so maintenance jobs racing the rewrite already re-sort by
+    the target layout (either sort is correct data-wise — the marker is a
+    layout, not a correctness, contract). ``days`` restricts the rewrite
+    (resumable backfill); default is every partition. Cost is the
+    rewritten days' data — the same copy-on-write bill OPTIMIZE pays
+    anywhere. Returns the rewritten partition names."""
+    from .ext.zorder import add_zorder
+
+    _write_layout_marker(
+        spark, path, {
+            **read_layout(spark, path),
+            "layout": "zorder", "cols": list(zorder_on),
+        },
+    )
+    fs, hpath_cls, root = _hadoop_fs(spark, path)
+    prefix = f"{PARTITION_COLUMN}="
+    targets = []
+    for part in sorted(fs.listStatus(root), key=lambda s: s.getPath().getName()):
+        name = part.getPath().getName()
+        if part.isDirectory() and name.startswith(prefix):
+            if days is None or name.split("=", 1)[1] in set(days):
+                targets.append(name)
+    for name in targets:
+        day = name.split("=", 1)[1]
+        part_df = (
+            spark.read.parquet(f"{path}/{name}")
+            .withColumn(PARTITION_COLUMN, F.lit(day).cast("date"))
+        )
+        cols = part_df.columns
+        (
+            add_zorder(part_df, list(zorder_on))
+            .sortWithinPartitions(PARTITION_COLUMN, "_z", "timestamp")
+            .select(*cols)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(PARTITION_COLUMN)
+            .parquet(path)
+        )
+    return targets
+
+
 def merge_upsert(
     spark: SparkSession,
     path: str,

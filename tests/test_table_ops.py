@@ -280,6 +280,80 @@ def test_snapshot_reads_are_append_consistent_and_pin_files(spark, tmp_path):
     assert read_snapshot(spark, path, v3).count() == logs.count()
 
 
+def test_optimize_zorder_converts_layout_in_place(spark, tmp_path):
+    """OPTIMIZE ZORDER twin: a cluster-sorted table rewrites to the
+    Morton layout day by day — rows preserved, marker flipped, physical
+    order actually z-sorted, and a days= restriction leaves other days'
+    files untouched."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from klogs_spark.table import (
+        optimize_zorder,
+        read_layout,
+        read_logs,
+        write_logs,
+    )
+    from klogs_spark.views import derive_logs_from_events
+
+    logs = derive_logs_from_events(spark, "/root/testdata/sf0.001").filter(
+        F.col("timestamp") < "2024-01-05"
+    )
+    path = str(tmp_path / "t")
+    write_logs(logs, path)
+    total = read_logs(spark, path).count()
+    assert read_layout(spark, path)["layout"] == "cluster"
+
+    other = f"{path}/date=2024-01-02"
+    mtimes = {f: os.path.getmtime(os.path.join(other, f))
+              for f in os.listdir(other)}
+    done = optimize_zorder(spark, path, days=["2024-01-03"])
+    assert done == ["date=2024-01-03"]
+    assert read_layout(spark, path)["layout"] == "zorder"
+    for f, t in mtimes.items():  # restricted rewrite left other days alone
+        assert os.path.getmtime(os.path.join(other, f)) == t
+
+    done_all = optimize_zorder(spark, path)
+    assert len(done_all) >= 3
+    assert read_logs(spark, path).count() == total
+    # physical order check on one rewritten day: each stored file's row
+    # order must be non-decreasing in the Morton value, recomputed in
+    # pure Python with add_zorder's exact rank semantics (rank over the
+    # DAY's sorted distinct values, scaled to the 8-bit range)
+    dims = ("namespace", "app", "host")
+    day_files = sorted(glob.glob(f"{path}/date=2024-01-03/*.parquet"))
+    assert day_files
+    per_file = [
+        list(zip(*[
+            pq.read_table(f, columns=list(dims)).column(c).to_pylist()
+            for c in dims
+        ]))
+        for f in day_files
+    ]
+    all_rows = [r for rows in per_file for r in rows]
+    ranks = []
+    for j in range(len(dims)):
+        vals = sorted({r[j] for r in all_rows})
+        n = len(vals)
+        ranks.append({v: (i * 256) // n for i, v in enumerate(vals)})
+
+    def z(row):
+        out = 0
+        for bit in range(8):
+            for j in range(len(dims)):
+                out |= ((ranks[j][row[j]] >> bit) & 1) << (
+                    bit * len(dims) + (len(dims) - 1 - j)
+                )
+        return out
+
+    for rows in per_file:
+        zs = [z(r) for r in rows]
+        assert zs == sorted(zs), "stored rows not in Morton order"
+
+
 def test_merge_upsert_rewrites_only_touched_days_and_is_idempotent(spark, tmp_path):
     from pyspark.sql import functions as F
 

@@ -3647,6 +3647,91 @@ FROM est
 """
 
 
+DOREMI_ETA = 0.5  # binary-exact step size
+
+
+def q_sample_doremi_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One DoReMi-style domain-reweighting step (arXiv:2305.10429,
+    simplified to its SQL-expressible core): per-domain excess loss —
+    here the corpus-unigram NLL proxy standing in for the proxy-model
+    loss gap — drives a multiplicative weight update
+    ``w_s ∝ exp(eta * excess_s)``. Domains whose text is harder than the
+    corpus average get upweighted for the next mixture; the full
+    algorithm iterates this with a trained proxy model, which is exactly
+    where a real LM slots into this skeleton.
+
+    Engine-exact discipline: token NLLs enter as floor-micro integers, so
+    every per-domain sum is integer arithmetic (no float-sum order
+    drift); the only float steps (one exp per domain, from identical
+    integer inputs) are deterministic. The unnormalized weight factor is
+    emitted per domain — normalization is a trivial downstream division
+    and would otherwise be the lone cross-domain float sum.
+
+    Scale shape: identical to unigram_logprob_scores — one token-count
+    aggregate, one broadcast total, one equi-join back, one domain-keyed
+    aggregate; corpus-linear."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(dd.tokens_col(F.col("text"))).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").alias("_total"))
+    nll = freq.join(F.broadcast(total)).select(
+        "tok",
+        F.floor(-F.log(F.col("c") / F.col("_total")) * 1000000)
+        .cast("long")
+        .alias("m"),
+    )
+    per = (
+        toks.join(nll, "tok")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("m").alias("_sm"),
+        )
+    )
+    corpus = per.agg(
+        F.expr("sum(_sm) DIV sum(n_tokens)").alias("_cm")
+    )
+    mean_micro = F.expr("_sm DIV n_tokens")
+    excess = F.greatest(F.lit(0).cast("long"), mean_micro - F.col("_cm"))
+    return per.crossJoin(F.broadcast(corpus)).select(
+        "source",
+        "n_tokens",
+        mean_micro.cast("long").alias("mean_nll_micro"),
+        excess.cast("long").alias("excess_micro"),
+        F.round(
+            F.exp(F.lit(DOREMI_ETA) * excess / 1000000.0), 6
+        ).alias("weight_factor"),
+    )
+
+
+SQL_SAMPLE_DOREMI_STEP = f"""
+WITH toks AS (
+  SELECT source,
+         unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+  FROM documents
+),
+freq AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+tot AS (SELECT sum(c) AS t FROM freq),
+nll AS (
+  SELECT tok, CAST(floor(-ln(c / t) * 1000000) AS BIGINT) AS m
+  FROM freq, tot
+),
+per AS (
+  SELECT source, count(*) AS n_tokens, sum(m) AS sm
+  FROM toks JOIN nll USING (tok) GROUP BY 1
+),
+corpus AS (SELECT sum(sm) // sum(n_tokens) AS cm FROM per)
+SELECT source, n_tokens,
+       CAST(sm // n_tokens AS BIGINT) AS mean_nll_micro,
+       CAST(greatest(0, sm // n_tokens - cm) AS BIGINT) AS excess_micro,
+       round(exp({DOREMI_ETA} * greatest(0, sm // n_tokens - cm)
+                 / 1000000.0), 6) AS weight_factor
+FROM per, corpus
+"""
+
+
 def q_text_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL mergeability across SEGMENTS — the 100 TB union story (count
     distinct users/tokens across days or shards without recounting): one
@@ -4038,6 +4123,11 @@ SPECS = {
     "sketch_histogram_quantiles": QuerySpec(
         q_sketch_histogram_quantiles, SQL_SKETCH_HISTOGRAM_QUANTILES,
         "mergeable 64-bin histogram quantile estimates vs exact percentiles"),
+    "sample_doremi_step": QuerySpec(
+        q_sample_doremi_step, SQL_SAMPLE_DOREMI_STEP,
+        "DoReMi-style domain reweighting step (arXiv:2305.10429): "
+        "integer micro-NLL excess loss -> multiplicative weight factor",
+    ),
     "text_hll_merge": QuerySpec(
         q_text_hll_merge, SQL_TEXT_HLL_MERGE,
         "HLL register merge across segments (max-merge): merged estimate "

@@ -386,6 +386,54 @@ def test_random_global_prefix_sum_matches_cumsum(spark, spec):
 
 
 @given(spec=st.fixed_dictionaries({
+    # first order column carries heavy ties; key column breaks them
+    "vals": st.lists(st.integers(-5, 5), min_size=1, max_size=60),
+    "buckets": st.sampled_from([1, 2, 7, 256]),
+    "tiles": st.integers(1, 7),
+}))
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+    derandomize=True,
+)
+def test_random_global_rank_and_ntile_match_single_window(spark, spec):
+    """global_rank must equal row_number over the unpartitioned window for
+    ANY bucket count (ties in the first column resolved by the key), and
+    ntile_from_rank must reproduce F.ntile exactly."""
+    from pyspark.sql.window import Window
+
+    from klogs_spark.ext.sampling import global_rank, ntile_from_rank
+
+    rows = [(v, i) for i, v in enumerate(spec["vals"])]
+    df = spark.createDataFrame(rows, "v long, k long")
+    got = {
+        r.k: r.rank
+        for r in global_rank(
+            df, ["v", "k"], buckets=spec["buckets"]
+        ).collect()
+    }
+    w = Window.orderBy("v", "k")
+    want_rows = df.select(
+        "k",
+        F.row_number().over(w).alias("rn"),
+        F.ntile(spec["tiles"]).over(w).alias("nt"),
+    ).collect()
+    want = {r.k: r.rn for r in want_rows}
+    assert got == want, f"rank mismatch for {spec}"
+    n = len(rows)
+    got_nt = {
+        r.k: r.nt
+        for r in global_rank(df, ["v", "k"], buckets=spec["buckets"])
+        .select(
+            "k", ntile_from_rank(F.col("rank"), n, spec["tiles"]).alias("nt")
+        )
+        .collect()
+    }
+    assert got_nt == {r.k: r.nt for r in want_rows}, f"ntile mismatch {spec}"
+
+
+@given(spec=st.fixed_dictionaries({
     "vals_a": st.lists(st.integers(0, 9), min_size=1, max_size=20),
     "vals_b": st.lists(st.integers(0, 9), min_size=1, max_size=20),
     "bits": st.integers(2, 8),

@@ -1564,6 +1564,114 @@ def q_rfm_segments_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_wau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window distinct via MERGED HLL partials — the scale form of
+    events_active_users' WAU: one engine-exact register table PER DAY
+    (<= 256 rows/day regardless of user volume), each contributing to its
+    7 trailing target days through the bounded day-grid, merged by
+    register max. At billions of users/day the exact day-grid distinct
+    explodes (7x the daily-user table through a distinct), while the
+    sketch path moves only KILOBYTES of registers per day — and because
+    the HLL here is engine-exact (md5 hashing, integer rho), the merged
+    ESTIMATE itself hash-matches the oracle, alongside the exact WAU for
+    honest error visibility."""
+    from ..ext.text import HLL_ALPHA, HLL_M, HLL_P, _hll_rho
+    from ..ext.hashing import md5_long
+
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        F.col("user_id").alias("u"), F.to_date("ts").alias("d")
+    ).distinct()
+    wbits = 32 - HLL_P
+    h = md5_long(F.col("u").cast("string"))
+    day_regs = (
+        ud.select(
+            "d",
+            (h / (1 << wbits)).cast("int").alias("idx"),
+            (h % (1 << wbits)).alias("w"),
+        )
+        .select("d", "idx", _hll_rho(F.col("w")).alias("r"))
+        .groupBy("d", "idx")
+        .agg(F.max("r").alias("rho"))
+    )
+    contrib = day_regs.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"),
+        "d", "idx", "rho",
+    ).select(F.date_add(F.col("d"), F.col("off")).alias("d"), "idx", "rho")
+    merged = contrib.groupBy("d", "idx").agg(F.max("rho").alias("rho"))
+    agg = merged.groupBy("d").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("s"),
+        F.count(F.lit(1)).alias("np"),
+    )
+    zeros = (HLL_M - F.col("np")).cast("double")
+    raw = F.lit(HLL_ALPHA * HLL_M * HLL_M) / (F.col("s") + (HLL_M - F.col("np")))
+    est = F.when(
+        (raw <= 2.5 * HLL_M) & (zeros > 0), HLL_M * F.log(HLL_M / zeros)
+    ).otherwise(raw)
+    # exact WAU via the bounded day-grid (the events_active_users path)
+    grid = ud.select(
+        "u", F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"), "d"
+    ).select("u", F.date_add(F.col("d"), F.col("off")).alias("d"))
+    exact = grid.groupBy("d").agg(F.count_distinct("u").alias("wau_exact"))
+    # restrict to days with actual activity (the grid extends 6 days past)
+    live = ud.select("d").distinct()
+    return (
+        exact.join(agg, "d")
+        .join(live, "d")
+        .select(
+            F.col("d").alias("day"),
+            "wau_exact",
+            F.round(est, 4).alias("wau_hll"),
+        )
+    )
+
+
+def _wau_hll_sql() -> str:
+    """Oracle for q_wau_hll — the identical register pipeline keyed by
+    target day, built from the shared text-module HLL constants."""
+    from ..ext.hashing import md5_long_sql
+    from ..ext.text import HLL_ALPHA, HLL_M, HLL_W
+
+    rho = "CASE WHEN w = 0 THEN 25 " + " ".join(
+        f"WHEN w >= {1 << (HLL_W - r)} THEN {r}" for r in range(1, HLL_W + 1)
+    ) + " END"
+    return f"""
+WITH ud AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events),
+hw AS (
+  SELECT d, CAST(floor(h / {1 << HLL_W}.0) AS INT) AS idx, h % {1 << HLL_W} AS w
+  FROM (SELECT d, {md5_long_sql("CAST(u AS VARCHAR)")} AS h FROM ud)
+),
+day_regs AS (SELECT d, idx, max({rho}) AS rho FROM hw GROUP BY 1, 2),
+contrib AS (
+  SELECT d + CAST(o.off AS INT) AS d, idx, rho
+  FROM day_regs, generate_series(0, 6) AS o(off)
+),
+merged AS (SELECT d, idx, max(rho) AS rho FROM contrib GROUP BY 1, 2),
+agg AS (
+  SELECT d, sum(power(2.0, -rho)) AS s, count(*) AS np
+  FROM merged GROUP BY 1
+),
+est AS (
+  SELECT d, ({HLL_M} - np) * 1.0 AS zeros,
+         {HLL_ALPHA * HLL_M * HLL_M!r} / (s + ({HLL_M} - np)) AS raw
+  FROM agg
+),
+grid AS (
+  SELECT u, d + CAST(o.off AS INT) AS d
+  FROM ud, generate_series(0, 6) AS o(off)
+),
+exact AS (SELECT d, count(DISTINCT u) AS wau_exact FROM grid GROUP BY 1)
+SELECT exact.d AS day,
+       CAST(exact.wau_exact AS BIGINT) AS wau_exact,
+       round(CASE WHEN raw <= {2.5 * HLL_M} AND zeros > 0
+                  THEN {HLL_M} * ln({HLL_M} / zeros)
+                  ELSE raw END, 4) AS wau_hll
+FROM exact
+JOIN est ON exact.d = est.d
+JOIN (SELECT DISTINCT d FROM ud) live ON exact.d = live.d
+"""
+
+
 CONCENTRATION_PCTS = (1, 5, 10, 25)
 
 
@@ -2385,6 +2493,10 @@ SPECS = {
         q_revenue_concentration, SQL_REVENUE_CONCENTRATION,
         "Pareto revenue concentration (top 1/5/10/25 percent shares, "
         "integer ppm) via distributed descending global_rank"),
+    "events_wau_hll": QuerySpec(
+        q_wau_hll, _wau_hll_sql(),
+        "sliding 7-day distinct via merged per-day HLL partials "
+        "(registers move, not users); engine-exact estimate + exact WAU"),
     "tpch_rfm_segments_scaled": QuerySpec(
         q_rfm_segments_scaled, SQL_RFM_SEGMENTS,
         "scale-safe RFM: distributed global_rank + closed-form NTILE, "

@@ -270,6 +270,105 @@ WHERE i.n * 1.0 / (sa.sz + sb.sz - i.n) >= {PARA_JACCARD}
 """
 
 
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalization-then-exact-dedup — the C4/Gopher normalization
+    step ahead of hashing: lowercase, non-alphanumerics to spaces,
+    whitespace collapsed — so case/punctuation variants of the same text
+    (the most common near-dup class in web corpora) collapse to ONE
+    canonical form and exact dedup catches what byte-exact dedup misses.
+    Same scale shape as dedup_exact: one md5-keyed aggregate, map-side
+    combined. The fixture corpus carries only byte-exact duplicates, so
+    the check DERIVES the near-dup class it must catch: every 10th doc
+    gains an uppercased, punctuation-noised twin — byte-distinct,
+    canonically identical — and the groups must collapse exactly them
+    (plus any natural groups). Returns duplicate groups only (survivor,
+    n_copies, canon_hash)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    variants = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.upper(F.col("text")), F.lit("  !?")).alias("text"),
+    )
+    corpus = docs.unionByName(variants)
+    canon = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return (
+        corpus.groupBy(F.md5(canon).alias("canon_hash"))
+        .agg(
+            F.min("doc_id").alias("survivor_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .select("survivor_id", "n_copies", "canon_hash")
+    )
+
+
+SQL_DEDUP_CANONICAL = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, upper(text) || '  !?' AS text
+  FROM documents WHERE doc_id % 10 = 0
+),
+canon AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS canon_hash
+  FROM corpus
+)
+SELECT min(doc_id) AS survivor_id, count(*) AS n_copies, canon_hash
+FROM canon GROUP BY canon_hash HAVING count(*) > 1
+"""
+
+
+def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered corpus-novelty profile: per document, the fraction of its
+    distinct word 3-grams first introduced BY that document (integer
+    ppm) — the marginal-value curve corpus curators watch: novelty ppm
+    trending toward zero as doc_id grows means additional data is
+    saturating. First occurrence comes from ONE gram-keyed min aggregate
+    (the token-first-document trick) — no ordering window, no running
+    state, corpus-linear at any size."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = dd.doc_shingles(docs)
+    firsts = grams.groupBy("shingle").agg(F.min("id").alias("first_id"))
+    return (
+        grams.join(firsts, "shingle")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("id") == F.col("first_id")).cast("int"))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+        .select(
+            "id",
+            "n_grams",
+            "n_novel",
+            F.expr("CAST(n_novel * 1000000 DIV n_grams AS BIGINT)").alias(
+                "novelty_ppm"
+            ),
+        )
+    )
+
+
+SQL_TEXT_NGRAM_NOVELTY = f"""
+WITH {SHINGLES_CTE},
+firsts AS (SELECT shingle, min(id) AS first_id FROM sh GROUP BY 1)
+SELECT sh.id, count(*) AS n_grams,
+       CAST(sum(CASE WHEN sh.id = f.first_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       CAST(sum(CASE WHEN sh.id = f.first_id THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS novelty_ppm
+FROM sh JOIN firsts f ON sh.shingle = f.shingle
+GROUP BY sh.id
+"""
+
+
 PREFIX_JACCARD = 0.9
 
 
@@ -4012,6 +4111,16 @@ SPECS = {
         q_dedup_threshold_curve, SQL_DEDUP_THRESHOLD_CURVE,
         "pairs-surviving-per-threshold tuning curve from one LSH+verify "
         "pass"),
+    "dedup_canonical": QuerySpec(
+        q_dedup_canonical, SQL_DEDUP_CANONICAL,
+        "canonicalization-then-exact dedup (lowercase/punct-strip/space-"
+        "collapse): catches case/punct near-dup variants byte-exact misses",
+    ),
+    "text_ngram_novelty": QuerySpec(
+        q_text_ngram_novelty, SQL_TEXT_NGRAM_NOVELTY,
+        "per-doc first-introduced 3-gram fraction (integer ppm) via one "
+        "gram-keyed min aggregate — the corpus saturation curve",
+    ),
     "dedup_prefix_jaccard": QuerySpec(
         q_dedup_prefix_jaccard, SQL_DEDUP_PREFIX_JACCARD,
         "exact similarity self-join via df-ordered prefix filtering "

@@ -125,6 +125,112 @@ WHERE i.n * 1.0 / (sa.sz + sb.sz - i.n) >= {MINHASH_JACCARD}
 """
 
 
+def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Honest evaluation of the dedup BLOCKING itself — the dedup twin of
+    ann_recall_eval: ground truth is the EXACT shingle-Jaccard join at the
+    production threshold, candidates are the banded MinHash pairs; recall
+    = how many true near-dup pairs the bands surface, precision = how
+    much of the candidate set is real. Integer pair counts and ppm ratios
+    only, so the measurement is engine-exact — and at 100 TB this query
+    (over a sample) is the recurring calibration job that decides the
+    band/row configuration."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dd.doc_shingles(docs)
+    truth = dd.jaccard_pairs(sh, MINHASH_JACCARD).select("id_a", "id_b")
+    sigs = dd.minhash_signatures_from_shingles(sh)
+    cand = dd.lsh_candidate_pairs(sigs).select("id_a", "id_b")
+    n_true = truth.count()
+    n_cand = cand.count()
+    n_hit = truth.join(cand, ["id_a", "id_b"]).count()
+    return spark.createDataFrame(
+        [(n_true, n_cand, n_hit,
+          n_hit * 1_000_000 // n_true if n_true else 0,
+          n_hit * 1_000_000 // n_cand if n_cand else 0)],
+        "n_true bigint, n_candidates bigint, n_hit bigint, "
+        "recall_ppm bigint, precision_ppm bigint",
+    )
+
+
+SQL_DEDUP_LSH_RECALL = f"""
+WITH {SIG_CTE},
+bands AS ({_BAND_SELECTS}),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.id < b.id
+),
+sizes AS (SELECT id, count(*) AS sz FROM hs GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT i.id_a, i.id_b
+  FROM inter i JOIN sizes sa ON i.id_a = sa.id
+  JOIN sizes sb ON i.id_b = sb.id
+  WHERE i.n * 1.0 / (sa.sz + sb.sz - i.n) >= {MINHASH_JACCARD}
+),
+hit AS (
+  SELECT count(*) AS n FROM truth t
+  JOIN cand c ON t.id_a = c.id_a AND t.id_b = c.id_b
+)
+SELECT (SELECT count(*) FROM truth) AS n_true,
+       (SELECT count(*) FROM cand) AS n_candidates,
+       (SELECT n FROM hit) AS n_hit,
+       CAST((SELECT n FROM hit) * 1000000
+            // greatest(1, (SELECT count(*) FROM truth)) AS BIGINT)
+         AS recall_ppm,
+       CAST((SELECT n FROM hit) * 1000000
+            // greatest(1, (SELECT count(*) FROM cand)) AS BIGINT)
+         AS precision_ppm
+"""
+
+
+def q_embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding hygiene: per-vector squared L2 norm in exact micro units
+    (per-component floor-micro integers summed — no float-sum order
+    drift), flagged against 4x the corpus MEDIAN norm² — the
+    broken-encoder / wrong-scale detector every embedding ingest runs
+    (cosine search silently tolerates magnitude bugs; dot-product and
+    quantization layouts do not). The median runs over the per-vector
+    aggregate; outliers emit with the threshold alongside."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    per = (
+        emb.select(F.col("vec_id").alias("id"), F.posexplode(v).alias("i", "x"))
+        .select("id", F.floor(F.col("x") * F.col("x") * 1000000)
+                .cast("long").alias("m"))
+        .groupBy("id")
+        .agg(F.sum("m").alias("norm2_micro"))
+    )
+    med = per.agg(
+        F.expr("percentile(norm2_micro, 0.5)").alias("med")
+    )
+    return per.crossJoin(F.broadcast(med)).select(
+        "id",
+        "norm2_micro",
+        F.round("med", 4).alias("median_norm2_micro"),
+        (F.col("norm2_micro") > 4 * F.col("med")).alias("is_outlier"),
+    )
+
+
+SQL_EMBEDDING_NORM_OUTLIERS = """
+WITH per AS (
+  SELECT vec_id AS id,
+         CAST(sum(CAST(floor(v[i] * v[i] * 1000000) AS BIGINT)) AS BIGINT)
+           AS norm2_micro
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       generate_series(1, 64) t(i)
+  GROUP BY 1
+),
+med AS (SELECT quantile_cont(norm2_micro, 0.5) AS med FROM per)
+SELECT id, norm2_micro, round(med, 4) AS median_norm2_micro,
+       (norm2_micro > 4 * med) AS is_outlier
+FROM per, med
+"""
+
+
 CURVE_THRESHOLDS = [30, 40, 50, 60, 70, 80, 90]  # percent
 
 
@@ -4111,6 +4217,16 @@ SPECS = {
         q_dedup_threshold_curve, SQL_DEDUP_THRESHOLD_CURVE,
         "pairs-surviving-per-threshold tuning curve from one LSH+verify "
         "pass"),
+    "dedup_lsh_recall": QuerySpec(
+        q_dedup_lsh_recall, SQL_DEDUP_LSH_RECALL,
+        "dedup blocking calibration: banded-MinHash candidate recall and "
+        "precision vs the exact Jaccard truth set, integer ppm",
+    ),
+    "embedding_norm_outliers": QuerySpec(
+        q_embedding_norm_outliers, SQL_EMBEDDING_NORM_OUTLIERS,
+        "embedding hygiene: exact micro norm-squared vs 4x corpus median "
+        "(broken-encoder detector)",
+    ),
     "dedup_canonical": QuerySpec(
         q_dedup_canonical, SQL_DEDUP_CANONICAL,
         "canonicalization-then-exact dedup (lowercase/punct-strip/space-"

@@ -1166,6 +1166,53 @@ GROUP BY 1
 """
 
 
+def q_stream_minmax_sidecar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming zone-map maintenance externally checked: two weeks of
+    logs arrive as a REAL micro-batch stream through
+    table.indexed_logs_sink(minmax_keys=['latency_ms']) — each batch
+    appends its data AND refreshes exactly its days' (day, key) min/max
+    stats — then field_range_scan answers the numeric range query from
+    the STREAM-BUILT sidecar (plan-time day pruning, conservative on
+    missing stats). Equality with the direct range oracle proves the
+    incremental sidecar is complete: a day whose stats a batch failed to
+    refresh would either mis-prune (missing rows) or never prune (extra
+    rows can't happen — the scan re-filters)."""
+    import tempfile
+
+    from ..schema import LOG_SCHEMA
+    from ..table import field_range_scan, indexed_logs_sink
+    from ..views import derive_logs_from_events
+
+    logs = derive_logs_from_events(spark, sf_dir).filter(
+        F.col("timestamp") < "2024-01-15"
+    )
+    base = tempfile.mkdtemp(prefix="klogs-minmax-stream-")
+    src, ckpt, tdir = f"{base}/src", f"{base}/ckpt", f"{base}/logs"
+    sink = indexed_logs_sink(tdir, minmax_keys=["latency_ms", "value"])
+    for lo, hi in (("2024-01-01", "2024-01-08"), ("2024-01-08", "2024-01-15")):
+        (
+            logs.filter(
+                (F.col("timestamp") >= lo) & (F.col("timestamp") < hi)
+            )
+            .write.mode("append").parquet(src)
+        )
+        q = (
+            spark.readStream.schema(LOG_SCHEMA)
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    hits = field_range_scan(spark, tdir, "latency_ms", lo=RANGE_SKIP_LO)
+    lat = F.element_at(F.col("fields_number"), "latency_ms")
+    return hits.groupBy("date").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(lat * 100).cast("bigint")).alias("lat_cents"),
+    )
+
+
 MERGE_UPD_FROM, MERGE_UPD_TO = "2024-01-03", "2024-01-05"
 MERGE_INS_FROM, MERGE_INS_TO = "2024-01-08", "2024-01-10"
 
@@ -1871,6 +1918,13 @@ SPECS = {
         SQL_TABLE_FIELD_RANGE_SKIP,
         "numeric zone-map sidecar over dynamic map fields: range query "
         "with plan-time day pruning, vs direct range oracle",
+    ),
+    "stream_minmax_sidecar": QuerySpec(
+        q_stream_minmax_sidecar,
+        SQL_TABLE_FIELD_RANGE_SKIP,
+        "zone-map sidecar maintained by a real micro-batch stream "
+        "(indexed_logs_sink minmax refresh); range scan off the "
+        "stream-built stats hash-equals the direct oracle",
     ),
     "table_retention_policy": QuerySpec(
         q_table_retention_policy,

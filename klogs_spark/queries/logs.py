@@ -955,6 +955,137 @@ SQL_COLUMN_STATS = LOGS_CTE + " UNION ALL ".join(
 )
 
 
+def q_new_fields_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift monitor — the operational question a klogs operator
+    asks when a deploy starts emitting new labels: for every dynamic
+    field key (both maps), the day it FIRST appeared, how many days it
+    has been seen, and total carrying rows. One explode of map_keys into
+    a key-keyed aggregate (the token-first-day trick) — no per-key scans,
+    no running state; at 100 TB this is one pass with a vocabulary-sized
+    shuffle."""
+    df = derive_logs_from_events(spark, sf_dir)
+    keys = df.select(
+        F.to_date("timestamp").alias("d"),
+        F.explode(
+            F.concat(
+                F.map_keys("fields_string"), F.map_keys("fields_number")
+            )
+        ).alias("key"),
+    )
+    return keys.groupBy("key").agg(
+        F.min("d").alias("first_day"),
+        F.count_distinct("d").alias("n_days_seen"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+SQL_NEW_FIELDS_REPORT = LOGS_CTE + """
+, keys AS (
+  SELECT CAST("timestamp" AS DATE) AS d, 'level' AS key FROM logs
+  UNION ALL SELECT CAST("timestamp" AS DATE), 'source' FROM logs
+  UNION ALL SELECT CAST("timestamp" AS DATE), 'flag' FROM logs
+    WHERE f_flag IS NOT NULL
+  UNION ALL SELECT CAST("timestamp" AS DATE), 'value' FROM logs
+  UNION ALL SELECT CAST("timestamp" AS DATE), 'k' FROM logs
+    WHERE f_k IS NOT NULL
+  UNION ALL SELECT CAST("timestamp" AS DATE), 'latency_ms' FROM logs
+    WHERE f_latency_ms IS NOT NULL
+)
+SELECT key, min(d) AS first_day,
+       CAST(count(DISTINCT d) AS BIGINT) AS n_days_seen,
+       count(*) AS n_rows
+FROM keys GROUP BY 1
+"""
+
+
+def q_field_cardinality_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cardinality-explosion guard: per (day, string key) distinct value
+    counts — the observability failure mode where a label starts carrying
+    user IDs or UUIDs and the dynamic map's dictionary encoding (and
+    every downstream group-by) degrades. One explode of the string map
+    into a (day, key)-keyed distinct aggregate."""
+    df = derive_logs_from_events(spark, sf_dir)
+    kv = df.select(
+        F.to_date("timestamp").alias("day"),
+        F.explode("fields_string").alias("key", "val"),
+    )
+    return kv.groupBy("day", "key").agg(
+        F.count_distinct("val").alias("n_values"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+SQL_FIELD_CARDINALITY_GUARD = LOGS_CTE + """
+, kv AS (
+  SELECT CAST("timestamp" AS DATE) AS day, 'level' AS key, f_level AS val
+  FROM logs
+  UNION ALL SELECT CAST("timestamp" AS DATE), 'source', f_source FROM logs
+  UNION ALL SELECT CAST("timestamp" AS DATE), 'flag', f_flag FROM logs
+    WHERE f_flag IS NOT NULL
+)
+SELECT day, key, CAST(count(DISTINCT val) AS BIGINT) AS n_values,
+       count(*) AS n_rows
+FROM kv GROUP BY 1, 2
+"""
+
+
+def q_volume_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust volume anomalies: per-app hourly counts flagged by MEDIAN
+    ABSOLUTE DEVIATION — the robust twin of logs_anomaly_zscore (a single
+    genuine traffic spike inflates a stddev and masks itself; it cannot
+    move a median). Both medians run over the per-app HOURLY aggregate —
+    bounded by apps x hours-in-window, never the log volume — and exact
+    interpolated percentiles keep both engines identical."""
+    logs = derive_logs_from_events(spark, sf_dir)
+    hourly = (
+        logs.filter(F.col("timestamp").between(_T0, _T1))
+        .groupBy("app", F.date_trunc("hour", F.col("timestamp")).alias("hour"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    med = hourly.groupBy("app").agg(
+        F.expr("percentile(cnt, 0.5)").alias("med")
+    )
+    dev = hourly.join(F.broadcast(med), "app").withColumn(
+        "adev", F.abs(F.col("cnt") - F.col("med"))
+    )
+    mad = dev.groupBy("app").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "app")
+        .select(
+            "app",
+            "hour",
+            "cnt",
+            F.round("med", 4).alias("med"),
+            F.round("mad", 4).alias("mad"),
+            (
+                (F.col("mad") > 0)
+                & (F.abs(F.col("cnt") - F.col("med")) > 3 * F.col("mad"))
+            ).alias("is_anomaly"),
+        )
+    )
+
+
+SQL_VOLUME_ANOMALY_MAD = LOGS_CTE + f"""
+, hourly AS (
+  SELECT app, date_trunc('hour', "timestamp") AS hour, count(*) AS cnt
+  FROM logs
+  WHERE "timestamp" BETWEEN TIMESTAMP '{_T0}' AND TIMESTAMP '{_T1}'
+  GROUP BY 1, 2
+),
+med AS (SELECT app, quantile_cont(cnt, 0.5) AS med FROM hourly GROUP BY 1),
+dev AS (
+  SELECT hourly.app, hour, cnt, med, abs(cnt - med) AS adev
+  FROM hourly JOIN med ON hourly.app = med.app
+),
+mad AS (SELECT app, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY 1)
+SELECT dev.app, hour, cnt, round(dev.med, 4) AS med, round(mad.mad, 4) AS mad,
+       (mad.mad > 0 AND abs(cnt - dev.med) > 3 * mad.mad) AS is_anomaly
+FROM dev JOIN mad ON dev.app = mad.app
+"""
+
+
 SPECS = {
     "logs_env_map_count": QuerySpec(q_env_map_count, SQL_ENV_MAP_COUNT,
                                     "F1+F2+F3+A1 canonical klogs count"),
@@ -1029,4 +1160,16 @@ SPECS = {
         q_latency_heatmap, SQL_LATENCY_HEATMAP,
         "hour x latency-bucket 2-D histogram over the dynamic number "
         "field (integer-DIV buckets, engine-exact)"),
+    "logs_new_fields_report": QuerySpec(
+        q_new_fields_report, SQL_NEW_FIELDS_REPORT,
+        "schema-drift monitor: first-seen day / days-seen / rows per "
+        "dynamic field key (one map_keys explode)"),
+    "logs_field_cardinality_guard": QuerySpec(
+        q_field_cardinality_guard, SQL_FIELD_CARDINALITY_GUARD,
+        "per-(day, key) distinct-value counts — the label-cardinality "
+        "explosion watch"),
+    "logs_volume_anomaly_mad": QuerySpec(
+        q_volume_anomaly_mad, SQL_VOLUME_ANOMALY_MAD,
+        "robust MAD hourly volume anomalies (medians over the bounded "
+        "hourly aggregate; spikes cannot mask themselves)"),
 }

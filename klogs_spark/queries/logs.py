@@ -1029,6 +1029,72 @@ FROM kv GROUP BY 1, 2
 """
 
 
+def q_table_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate (klogs_spark.expectations — the
+    Deequ / Great Expectations pattern): five expectations over the logs
+    view — envelope not-null, domain membership on a dynamic field, a
+    numeric range, a conditional-presence rule, and key uniqueness — all
+    verified in ONE table pass (each check is two partial-aggregatable
+    terms; uniqueness rides the same aggregate). The oracle recomputes
+    every violation count independently, so the report's pass/fail
+    verdicts are externally proven, not self-attested."""
+    from ..expectations import check_report
+    from ..transform import field_number, field_string
+
+    logs = derive_logs_from_events(spark, sf_dir)
+    lat = field_number("latency_ms")
+    return check_report(
+        logs,
+        checks=[
+            ("timestamp_not_null", F.col("timestamp").isNotNull()),
+            (
+                "level_in_domain",
+                field_string("level").isin("info", "warn", "error"),
+            ),
+            ("value_nonnegative", field_number("value") >= 0),
+            (
+                "latency_present_for_clicks",
+                F.when(
+                    F.col("app").isin("click", "view"), lat.isNotNull()
+                ).otherwise(F.lit(True)),
+            ),
+        ],
+        unique_keys=[("timestamp_unique", F.col("timestamp"))],
+    )
+
+
+SQL_TABLE_EXPECTATIONS = LOGS_CTE + """
+SELECT check_name, n_rows, n_violations, (n_violations = 0) AS passed
+FROM (
+  SELECT 'timestamp_not_null' AS check_name, count(*) AS n_rows,
+         CAST(sum(CASE WHEN "timestamp" IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_violations
+  FROM logs
+  UNION ALL
+  SELECT 'level_in_domain', count(*),
+         CAST(sum(CASE WHEN NOT coalesce(
+               f_level IN ('info', 'warn', 'error'), false)
+              THEN 1 ELSE 0 END) AS BIGINT)
+  FROM logs
+  UNION ALL
+  SELECT 'value_nonnegative', count(*),
+         CAST(sum(CASE WHEN NOT coalesce(f_value >= 0, false)
+              THEN 1 ELSE 0 END) AS BIGINT)
+  FROM logs
+  UNION ALL
+  SELECT 'latency_present_for_clicks', count(*),
+         CAST(sum(CASE WHEN app IN ('click', 'view')
+                        AND f_latency_ms IS NULL
+              THEN 1 ELSE 0 END) AS BIGINT)
+  FROM logs
+  UNION ALL
+  SELECT 'timestamp_unique', count(*),
+         CAST(count("timestamp") - count(DISTINCT "timestamp") AS BIGINT)
+  FROM logs
+) t
+"""
+
+
 def q_volume_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust volume anomalies: per-app hourly counts flagged by MEDIAN
     ABSOLUTE DEVIATION — the robust twin of logs_anomaly_zscore (a single
@@ -1172,4 +1238,8 @@ SPECS = {
         q_volume_anomaly_mad, SQL_VOLUME_ANOMALY_MAD,
         "robust MAD hourly volume anomalies (medians over the bounded "
         "hourly aggregate; spikes cannot mask themselves)"),
+    "table_expectations": QuerySpec(
+        q_table_expectations, SQL_TABLE_EXPECTATIONS,
+        "Deequ-style declarative data-quality gate: five expectations "
+        "(not-null/domain/range/conditional/uniqueness) in ONE pass"),
 }

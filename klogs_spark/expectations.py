@@ -60,3 +60,61 @@ def check_report(
         f"stack({len(names)}, {stack_args}) AS "
         "(check_name, n_rows, n_violations)"
     ).withColumn("passed", F.col("n_violations") == 0)
+
+
+def split_by_expectations(
+    df: DataFrame, checks: list[tuple[str, Column]]
+) -> tuple[DataFrame, DataFrame]:
+    """Row-level enforcement: (clean, quarantined) — a row is quarantined
+    when ANY check's condition is not TRUE (same three-valued collapse as
+    :func:`check_report`). The quarantine frame carries a
+    ``_failed_checks`` array naming every violated expectation, the
+    triage column a dead-letter reviewer needs. Pure Column expressions —
+    both frames share one scan lineage; Catalyst pushes the clean-side
+    filter to the source."""
+    conds = [
+        (name, F.coalesce(cond, F.lit(False))) for name, cond in checks
+    ]
+    all_ok = conds[0][1]
+    for _, c in conds[1:]:
+        all_ok = all_ok & c
+    failed = F.filter(
+        F.array(
+            *[
+                F.when(~c, F.lit(name)).otherwise(F.lit(None))
+                for name, c in conds
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    clean = df.filter(all_ok)
+    quarantined = df.filter(~all_ok).withColumn("_failed_checks", failed)
+    return clean, quarantined
+
+
+def validated_logs_sink(
+    path: str,
+    checks: list[tuple[str, Column]],
+    quarantine_path: str,
+):
+    """foreachBatch sink enforcing the data contract per micro-batch: rows
+    passing every expectation append to the table; violating rows land in
+    the quarantine store WITH their ``_failed_checks`` triage column —
+    the streaming twin of the decode stage's dead-letter dir, one level
+    up (semantic validity instead of parseability). At-least-once like
+    the data path; both writes are plain appends over one shared batch
+    scan."""
+    from .table import write_logs
+
+    def sink_fn(batch: DataFrame, batch_id: int) -> None:
+        clean, quarantined = split_by_expectations(batch, checks)
+        write_logs(clean, path, mode="append")
+        (
+            quarantined.withColumn(
+                "_failed_checks", F.to_json(F.col("_failed_checks"))
+            )
+            .write.mode("append")
+            .parquet(quarantine_path)
+        )
+
+    return sink_fn

@@ -1166,6 +1166,109 @@ GROUP BY 1
 """
 
 
+def q_stream_validated_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DATA-CONTRACT enforcement externally checked
+    (expectations.validated_logs_sink): the stream carries deterministic
+    corruptions — every pod-7 row's level is rewritten out of domain, and
+    pod-21 click rows lose their latency field — and the per-batch sink
+    routes rows violating ANY expectation to the quarantine store (with
+    the _failed_checks triage column) while clean rows append to the
+    table. The per-day clean/quarantined counts must equal the oracle's
+    direct computation of the corruption rules: a row leaked past the
+    gate, double-written, or wrongly quarantined breaks the hash. This is
+    the decode dead-letter pattern one level up — semantic validity, not
+    parseability."""
+    import tempfile
+
+    from ..expectations import validated_logs_sink
+    from ..schema import LOG_SCHEMA
+    from ..table import read_logs
+    from ..transform import field_number, field_string
+    from ..views import derive_logs_from_events
+
+    logs = derive_logs_from_events(spark, sf_dir).filter(
+        F.col("timestamp") < "2024-01-08"
+    )
+    pod = F.regexp_extract("pod_name", "pod-(\\d+)", 1).cast("int")
+    fs, fn = F.col("fields_string"), F.col("fields_number")
+    corrupted = logs.withColumn(
+        "fields_string",
+        F.when(
+            pod == 7,
+            F.map_concat(
+                F.map_filter(fs, lambda k, v: k != "level"),
+                F.create_map(F.lit("level"), F.lit("bogus")),
+            ),
+        ).otherwise(fs),
+    ).withColumn(
+        "fields_number",
+        F.when(
+            (pod == 21) & (F.col("app") == "click"),
+            F.map_filter(fn, lambda k, v: k != "latency_ms"),
+        ).otherwise(fn),
+    )
+    checks = [
+        (
+            "level_in_domain",
+            field_string("level").isin("info", "warn", "error"),
+        ),
+        (
+            "latency_present_for_clicks",
+            F.when(
+                F.col("app").isin("click", "view"),
+                field_number("latency_ms").isNotNull(),
+            ).otherwise(F.lit(True)),
+        ),
+    ]
+    base = tempfile.mkdtemp(prefix="klogs-validated-")
+    src, ckpt = f"{base}/src", f"{base}/ckpt"
+    tdir, qdir = f"{base}/logs", f"{base}/quarantine"
+    sink = validated_logs_sink(tdir, checks, qdir)
+    for lo, hi in (("2024-01-01", "2024-01-04"), ("2024-01-04", "2024-01-08")):
+        (
+            corrupted.filter(
+                (F.col("timestamp") >= lo) & (F.col("timestamp") < hi)
+            )
+            .write.mode("append").parquet(src)
+        )
+        q = (
+            spark.readStream.schema(LOG_SCHEMA)
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    clean = (
+        read_logs(spark, tdir)
+        .groupBy(F.col("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("bucket", F.lit("clean"))
+    )
+    quar = (
+        spark.read.parquet(qdir)
+        .groupBy(F.to_date("timestamp").alias("day"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("bucket", F.lit("quarantined"))
+    )
+    return clean.unionByName(quar).select("bucket", "day", "cnt")
+
+
+SQL_STREAM_VALIDATED_SINK = """
+WITH fl AS (
+  SELECT CAST(ts AS DATE) AS day,
+         (user_id % 50 = 7
+          OR (user_id % 50 = 21 AND event_type = 'click')) AS bad
+  FROM events WHERE ts < TIMESTAMP '2024-01-08 00:00:00'
+)
+SELECT 'clean' AS bucket, day, count(*) AS cnt
+FROM fl WHERE NOT bad GROUP BY 2
+UNION ALL
+SELECT 'quarantined', day, count(*) FROM fl WHERE bad GROUP BY 2
+"""
+
+
 def q_stream_minmax_sidecar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The streaming zone-map maintenance externally checked: two weeks of
     logs arrive as a REAL micro-batch stream through
@@ -1918,6 +2021,13 @@ SPECS = {
         SQL_TABLE_FIELD_RANGE_SKIP,
         "numeric zone-map sidecar over dynamic map fields: range query "
         "with plan-time day pruning, vs direct range oracle",
+    ),
+    "stream_validated_sink": QuerySpec(
+        q_stream_validated_sink,
+        SQL_STREAM_VALIDATED_SINK,
+        "streaming data-contract enforcement: per-batch expectation gate "
+        "routes violating rows to quarantine with triage; clean/"
+        "quarantined day counts vs corruption-rule oracle",
     ),
     "stream_minmax_sidecar": QuerySpec(
         q_stream_minmax_sidecar,

@@ -14,11 +14,19 @@ idiomatic Spark engine:
 - ``stream``      — Structured Streaming ingest (foreachBatch pipeline, trigger /
                     checkpoint mapping of reference main.go:357-377).
 - ``sink_clickhouse`` — batched-INSERT-shaped sink (reference pkg/clickhouse).
+- ``manifest``    — snapshot manifests: versioned consistent reads + time travel
+                    (``read_logs_at``).
+- ``expectations`` — declarative data-quality gate (Deequ pattern): one-pass
+                    check reports, row-level quarantine routing for streams.
 - ``ext``         — beyond-reference LLM-data-pipeline operators: dedup (exact,
-                    MinHash-LSH, SimHash, n-gram Jaccard, embedding cosine),
-                    similarity search (brute-force + LSH-bucketed ANN), text
-                    analysis (lang-id, quality, tokens, fingerprints), multimodal
-                    column plumbing.
+                    canonical, MinHash-LSH, SimHash, n-gram Jaccard, prefix-
+                    filtered exact joins, embedding cosine, SemDeDup),
+                    similarity search (brute-force, LSH, IVF, SQ8, PQ, IVF-PQ
+                    with a persisted, stream-refreshable index), sampling
+                    (DSIR, DoReMi step, packing, deterministic shuffles,
+                    distributed global rank/NTILE), text analysis (lang-id,
+                    quality, tokens, fingerprints, sketches), multimodal
+                    column plumbing with real WAV PCM decode.
 
 Everything is DataFrame/Catalyst-first; Python executes only in the decode stage
 and in explicitly-vectorized pandas UDFs.

@@ -30,8 +30,16 @@ _TRACKED: list[DataFrame] = []
 
 
 def cache_tracked(df: DataFrame) -> DataFrame:
-    """Cache ``df`` and register it for a later :func:`release_tracked`."""
-    df = df.cache()
+    """Cache ``df`` and register it for a later :func:`release_tracked`.
+    An already-cached plan (bench best-of-N re-invoking the same query
+    between releases) is only re-registered — re-invoking cache() would
+    log a spurious already-cached warning per trial. The check goes
+    through ``storageLevel`` (a cacheManager lookup by ANALYZED PLAN, so
+    a fresh DataFrame object over a cached plan is recognized) —
+    ``is_cached`` only remembers whether cache() was called on this very
+    object."""
+    if not (df.storageLevel.useMemory or df.storageLevel.useDisk):
+        df = df.cache()
     _TRACKED.append(df)
     return df
 

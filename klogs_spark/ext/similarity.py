@@ -18,7 +18,6 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .caching import cache_tracked as _cache_tracked
-from .caching import track as _track
 from .dedup import cosine_col
 from .hashing import hyperplanes
 
@@ -272,11 +271,11 @@ def kmeans_refine(
             # re-ran iteration 1 from scratch (measured ~1s/call at sf0.1)
             # to save k cached rows — all iterations stay cached until the
             # host's release_tracked(), and the consumer's single job
-            # materializes the whole chain in one pass.
-            .cache()
+            # materializes the whole chain in one pass. _cache_tracked
+            # recognizes an already-cached plan (repeat calls) and only
+            # re-registers it — no already-cached warning per call.
         )
-        _track(refined)
-        current = refined
+        current = _cache_tracked(refined)
     return current
 
 
@@ -463,9 +462,8 @@ def pq_codebooks(
             # cross-call plan-reuse reasons as kmeans_refine; tracked, LAZY
             # (see kmeans_refine: eager materialize+drop-previous forced a
             # full re-run of earlier rounds on every repeat call)
-        ).cache()
-        _track(refined)
-        current = refined
+        )
+        current = _cache_tracked(refined)
     return current
 
 

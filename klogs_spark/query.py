@@ -82,7 +82,15 @@ class LogsQuery:
         return self._wrap(self.df.filter(ops[op]))
 
     def where_exists(self, key: str, in_numbers: bool = False) -> "LogsQuery":
-        """F5 — ``mapContains(fields_string|fields_number, 'k')``."""
+        """F5 — ``mapContains(fields_string|fields_number, 'k')``. A
+        promoted string key serves existence from the physical column
+        (NULL iff the key was absent — promote_string_field materializes
+        the map lookup, and map values are never NULL by the P6 null-
+        elimination contract)."""
+        if not in_numbers and key in self.promotions:
+            return self._wrap(
+                self.df.filter(F.col(self.promotions[key]).isNotNull())
+            )
         col = "fields_number" if in_numbers else "fields_string"
         return self._wrap(self.df.filter(has_field(col, key)))
 

@@ -446,6 +446,12 @@ def test_promotion_default_and_materialize_contract(spark, tmp_path):
     assert materialize_promotions(spark, path) == []  # invariant holds
     got = logs_query(spark, path).where_field_eq("level", "error").df.count()
     assert got == expected
+    # existence also serves from the physical column (NULL iff absent)
+    n_exists = logs_query(spark, path).where_exists("level").df.count()
+    assert n_exists == (
+        spark.read.option("mergeSchema", "true").parquet(path)
+        .filter("element_at(fields_string, 'level') IS NOT NULL").count()
+    )
     # and the physical column equals the map everywhere
     bad = (
         spark.read.option("mergeSchema", "true").parquet(path)

@@ -107,14 +107,20 @@ def validated_logs_sink(
     from .table import write_logs
 
     def sink_fn(batch: DataFrame, batch_id: int) -> None:
-        clean, quarantined = split_by_expectations(batch, checks)
-        write_logs(clean, path, mode="append")
-        (
-            quarantined.withColumn(
-                "_failed_checks", F.to_json(F.col("_failed_checks"))
+        # two writes over one batch: persist so the streaming source is
+        # read once (foreachBatch idiom)
+        batch.persist()
+        try:
+            clean, quarantined = split_by_expectations(batch, checks)
+            write_logs(clean, path, mode="append")
+            (
+                quarantined.withColumn(
+                    "_failed_checks", F.to_json(F.col("_failed_checks"))
+                )
+                .write.mode("append")
+                .parquet(quarantine_path)
             )
-            .write.mode("append")
-            .parquet(quarantine_path)
-        )
+        finally:
+            batch.unpersist()
 
     return sink_fn

@@ -1176,13 +1176,20 @@ def rollup_logs_sink(path: str, rollup_path: str):
     idempotent). Composes with klogs_spark.stream via its ``sink`` param."""
 
     def sink_fn(batch: DataFrame, batch_id: int) -> None:
-        write_logs(batch, path, mode="append")
-        days = [
-            str(r[0])
-            for r in batch.select(
-                F.to_date(F.col("timestamp")).alias("d")
-            ).distinct().collect()
-        ]
+        # standard foreachBatch idiom: the sink takes several actions on
+        # the batch (append + day discovery) — persist so the streaming
+        # source is read once, not once per action
+        batch.persist()
+        try:
+            write_logs(batch, path, mode="append")
+            days = [
+                str(r[0])
+                for r in batch.select(
+                    F.to_date(F.col("timestamp")).alias("d")
+                ).distinct().collect()
+            ]
+        finally:
+            batch.unpersist()
         if days:
             refresh_rollup(batch.sparkSession, path, rollup_path, days)
 
@@ -1219,16 +1226,22 @@ def indexed_logs_sink(path: str, m: int = TOKEN_BLOOM_M, k: int = TOKEN_BLOOM_K,
         data_sink = exactly_once_sink(path)
 
     def sink_fn(batch: DataFrame, batch_id: int) -> None:
-        if data_sink is not None:
-            data_sink(batch, batch_id)
-        else:
-            write_logs(batch, path, mode="append")
-        days = [
-            str(r[0])
-            for r in batch.select(
-                F.to_date(F.col("timestamp")).alias("d")
-            ).distinct().collect()
-        ]
+        # several actions on the batch (append + day discovery): persist
+        # so the streaming source is read once (foreachBatch idiom)
+        batch.persist()
+        try:
+            if data_sink is not None:
+                data_sink(batch, batch_id)
+            else:
+                write_logs(batch, path, mode="append")
+            days = [
+                str(r[0])
+                for r in batch.select(
+                    F.to_date(F.col("timestamp")).alias("d")
+                ).distinct().collect()
+            ]
+        finally:
+            batch.unpersist()
         if days:
             write_token_bloom_index(batch.sparkSession, path, m=m, k=k, days=days)
             if minmax_keys:

@@ -71,6 +71,8 @@ def main(argv: list[str] | None = None) -> int:
     pr = sub.add_parser("retention", help="drop partitions past the TTL")
     pr.add_argument("table")
     pr.add_argument("--days", type=int, default=30)
+    pr.add_argument("--dry-run", action="store_true",
+                    help="report what would drop without deleting")
 
     pc = sub.add_parser("compact", help="compact one partition")
     pc.add_argument("table")
@@ -118,8 +120,9 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "retention":
         from .table import apply_retention
 
-        dropped = apply_retention(args.table, args.days)
-        print(f"dropped {len(dropped)} partition(s): {dropped}")
+        dropped = apply_retention(args.table, args.days, dry_run=args.dry_run)
+        verb = "would drop" if args.dry_run else "dropped"
+        print(f"{verb} {len(dropped)} partition(s): {dropped}")
         return 0
 
     spark = get_spark("klogs-spark-cli")

@@ -1029,6 +1029,38 @@ FROM kv GROUP BY 1, 2
 """
 
 
+PAGE_SIZE = 100
+
+
+def q_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-correct log paging: page 2 of the newest-first view fetched by
+    KEYSET (``timestamp < last_seen_of_page_1 ORDER BY ts DESC LIMIT k``)
+    — the pagination every log UI should use instead of OFFSET, which
+    scans-and-discards every earlier page (OFFSET 1e6 reads a million
+    rows; a keyset page is the same TakeOrderedAndProject as page 1, and
+    the predicate prunes partitions). The oracle fetches rows k+1..2k of
+    the global order directly — equality proves keyset paging walks the
+    exact same total order with no skipped or repeated rows (timestamps
+    are unique in the fixture, the precondition keyset paging needs)."""
+    df = _logs(spark, sf_dir).df.filter(F.col("namespace") == "ns-1")
+    page1 = df.orderBy(F.col("timestamp").desc()).limit(PAGE_SIZE)
+    last_seen = page1.agg(F.min("timestamp")).first()[0]
+    return (
+        df.filter(F.col("timestamp") < last_seen)
+        .orderBy(F.col("timestamp").desc())
+        .limit(PAGE_SIZE)
+        .select("timestamp", "namespace", "app", "pod_name", "log")
+    )
+
+
+SQL_KEYSET_PAGINATION = LOGS_CTE + f"""
+SELECT "timestamp", namespace, app, pod_name, log FROM logs
+WHERE namespace = 'ns-1'
+ORDER BY "timestamp" DESC
+LIMIT {PAGE_SIZE} OFFSET {PAGE_SIZE}
+"""
+
+
 def q_table_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality gate (klogs_spark.expectations — the
     Deequ / Great Expectations pattern): five expectations over the logs
@@ -1242,4 +1274,8 @@ SPECS = {
         q_table_expectations, SQL_TABLE_EXPECTATIONS,
         "Deequ-style declarative data-quality gate: five expectations "
         "(not-null/domain/range/conditional/uniqueness) in ONE pass"),
+    "logs_keyset_pagination": QuerySpec(
+        q_keyset_pagination, SQL_KEYSET_PAGINATION,
+        "keyset (seek) pagination: page 2 via ts < last_seen — same "
+        "TakeOrdered cost as page 1, vs the oracle's OFFSET fetch"),
 }

@@ -578,6 +578,7 @@ def apply_retention(
     retention_days: int = 30,
     today: date | None = None,
     spark: SparkSession | None = None,
+    dry_run: bool = False,
 ) -> list[str]:
     """TTL job: drop day-partitions older than the retention window.
 
@@ -586,7 +587,9 @@ def apply_retention(
     job (SURVEY §1.3). Deleting whole partition directories is O(#days), never
     a data rewrite, so it holds at any scale; deletion goes through the Hadoop
     FileSystem API so it works on object stores, not just file://.
-    Returns dropped partition names.
+    ``dry_run=True`` reports what WOULD drop without touching anything —
+    the approve-before-delete step every retention runbook wants.
+    Returns dropped (or would-drop) partition names.
     """
     spark = spark or SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
     today = today or date.today()
@@ -606,6 +609,9 @@ def apply_retention(
         except ValueError:
             continue
         if part_date < cutoff:
+            if dry_run:
+                dropped.append(name)
+                continue
             # FileSystem.delete reports failure by returning FALSE, not by
             # raising (the S3A failure mode): a false here must not be
             # reported as dropped. Attempt every expired partition, then

@@ -531,6 +531,8 @@ def test_scaled_ntile_queries_have_no_unpartitioned_corpus_sort(spark):
     for qname, keycol in (
         ("tpch_rfm_segments_scaled", "o_custkey"),
         ("window_balance_quartiles_scaled", "c_custkey"),
+        ("events_equidepth_histogram", "event_id"),
+        ("tpch_revenue_concentration", "o_custkey"),
     ):
         plan = _plan(spark, qname)
         for m in re.finditer(r"\(\d+\) Window\b[\s\S]*?Arguments: (.*)", plan):

@@ -280,6 +280,35 @@ def test_snapshot_reads_are_append_consistent_and_pin_files(spark, tmp_path):
     assert read_snapshot(spark, path, v3).count() == logs.count()
 
 
+def test_retention_dry_run_reports_without_deleting(spark, tmp_path):
+    import os
+
+    from datetime import date
+
+    from pyspark.sql import functions as F
+
+    from klogs_spark.table import apply_retention, read_logs, write_logs
+    from klogs_spark.views import derive_logs_from_events
+
+    logs = derive_logs_from_events(spark, "/root/testdata/sf0.001").filter(
+        F.col("timestamp") < "2024-01-06"
+    )
+    path = str(tmp_path / "t")
+    write_logs(logs, path)
+    total = read_logs(spark, path).count()
+    would = apply_retention(
+        path, 2, today=date(2024, 1, 5), spark=spark, dry_run=True
+    )
+    assert would == ["date=2024-01-01", "date=2024-01-02"]
+    # nothing actually deleted
+    assert all(os.path.exists(f"{path}/{p}") for p in would)
+    assert read_logs(spark, path).count() == total
+    # the real run drops exactly the dry-run's report
+    dropped = apply_retention(path, 2, today=date(2024, 1, 5), spark=spark)
+    assert dropped == would
+    assert not any(os.path.exists(f"{path}/{p}") for p in would)
+
+
 def test_optimize_zorder_converts_layout_in_place(spark, tmp_path):
     """OPTIMIZE ZORDER twin: a cluster-sorted table rewrites to the
     Morton layout day by day — rows preserved, marker flipped, physical

@@ -3852,6 +3852,63 @@ FROM est
 """
 
 
+INTERLEAVE_PREFIX = 200
+
+
+def q_sample_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the mixture — the step after computing weights
+    (sample_mixture_weights / sample_doremi_step): a deterministic
+    weighted interleave merges sources into ONE training order where each
+    source's documents sit ``rank / weight`` apart (the stride schedule),
+    so EVERY prefix of the merged order carries sources in proportion to
+    their weights — what a data loader actually consumes, without rand()
+    and reproducible on any cluster. Per-source ranks come from windows
+    PARTITIONED by source (each reducer sorts one source); the prefix is
+    one TakeOrdered. The check counts each source's share of the first
+    {k} merged positions against the oracle's identical construction
+    (sqrt is correctly-rounded IEEE in both engines, so the merge keys
+    are bit-equal).""".format(k=INTERLEAVE_PREFIX)
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    w = (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("source", F.sqrt("n").alias("wt"))
+    )
+    r = docs.withColumn(
+        "rk",
+        F.row_number().over(Window.partitionBy("source").orderBy("doc_id")),
+    )
+    merged = r.join(F.broadcast(w), "source").withColumn(
+        "mkey", F.col("rk") / F.col("wt")
+    )
+    prefix = merged.orderBy("mkey", "source", "doc_id").limit(
+        INTERLEAVE_PREFIX
+    )
+    return prefix.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_in_prefix")
+    )
+
+
+SQL_SAMPLE_INTERLEAVE = f"""
+WITH w AS (
+  SELECT source, sqrt(count(*)) AS wt FROM documents GROUP BY 1
+),
+r AS (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rk
+  FROM documents
+),
+prefix AS (
+  SELECT r.source FROM r JOIN w ON r.source = w.source
+  ORDER BY rk / wt, r.source, doc_id
+  LIMIT {INTERLEAVE_PREFIX}
+)
+SELECT source, count(*) AS n_in_prefix FROM prefix GROUP BY 1
+"""
+
+
 DOREMI_ETA = 0.5  # binary-exact step size
 
 
@@ -4348,6 +4405,11 @@ SPECS = {
     "sketch_histogram_quantiles": QuerySpec(
         q_sketch_histogram_quantiles, SQL_SKETCH_HISTOGRAM_QUANTILES,
         "mergeable 64-bin histogram quantile estimates vs exact percentiles"),
+    "sample_interleave": QuerySpec(
+        q_sample_interleave, SQL_SAMPLE_INTERLEAVE,
+        "deterministic weighted source interleave (stride schedule): "
+        "every merged prefix holds sources in weight proportion",
+    ),
     "sample_doremi_step": QuerySpec(
         q_sample_doremi_step, SQL_SAMPLE_DOREMI_STEP,
         "DoReMi-style domain reweighting step (arXiv:2305.10429): "

@@ -1029,6 +1029,64 @@ FROM kv GROUP BY 1, 2
 """
 
 
+def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Season-aware volume anomalies: each (app, hour-of-day) gets its OWN
+    baseline — the median of that hour's counts across the window's days —
+    so the nightly lull and the 9am ramp stop reading as anomalies (the
+    flaw of flat baselines like burn-rate's same-day mean or the global
+    MAD). Deviation is measured in integer ppm against the seasonal
+    median; everything runs over the bounded (app x 24 x days) hourly
+    aggregate."""
+    logs = derive_logs_from_events(spark, sf_dir)
+    hourly = (
+        logs.filter(F.col("timestamp").between(_T0, _T1))
+        .groupBy(
+            "app",
+            F.date_trunc("hour", F.col("timestamp")).alias("hour"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("hod", F.hour("hour"))
+    )
+    season = hourly.groupBy("app", "hod").agg(
+        F.expr("percentile(cnt, 0.5)").alias("season_med")
+    )
+    return (
+        hourly.join(F.broadcast(season), ["app", "hod"])
+        .select(
+            "app",
+            "hour",
+            "cnt",
+            F.round("season_med", 4).alias("season_med"),
+            F.expr(
+                "CAST((cnt - season_med) * 1000000 AS BIGINT) DIV "
+                "greatest(CAST(floor(season_med) AS BIGINT), 1)"
+            ).alias("dev_ppm"),
+        )
+    )
+
+
+SQL_SEASONAL_ANOMALY = LOGS_CTE + f"""
+, hourly AS (
+  SELECT app, date_trunc('hour', "timestamp") AS hour, count(*) AS cnt
+  FROM logs
+  WHERE "timestamp" BETWEEN TIMESTAMP '{_T0}' AND TIMESTAMP '{_T1}'
+  GROUP BY 1, 2
+),
+season AS (
+  SELECT app, extract(hour FROM hour) AS hod,
+         quantile_cont(cnt, 0.5) AS season_med
+  FROM hourly GROUP BY 1, 2
+)
+SELECT hourly.app, hour, cnt,
+       round(season_med, 4) AS season_med,
+       CAST(CAST((cnt - season_med) * 1000000 AS BIGINT)
+            // greatest(CAST(floor(season_med) AS BIGINT), 1) AS BIGINT)
+         AS dev_ppm
+FROM hourly JOIN season
+  ON hourly.app = season.app AND extract(hour FROM hour) = season.hod
+"""
+
+
 PAGE_SIZE = 100
 
 
@@ -1278,4 +1336,8 @@ SPECS = {
         q_keyset_pagination, SQL_KEYSET_PAGINATION,
         "keyset (seek) pagination: page 2 via ts < last_seen — same "
         "TakeOrdered cost as page 1, vs the oracle's OFFSET fetch"),
+    "logs_seasonal_anomaly": QuerySpec(
+        q_seasonal_anomaly, SQL_SEASONAL_ANOMALY,
+        "hour-of-day seasonal baselines (per-(app, hod) medians over the "
+        "bounded hourly aggregate); deviation in integer ppm"),
 }

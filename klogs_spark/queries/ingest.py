@@ -914,6 +914,37 @@ FROM events GROUP BY 1
 """
 
 
+def q_table_field_range_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FILE-granular zone map externally checked: same construction as
+    table_field_range_skip but the sidecar records per-(day, file, key)
+    stats (``per_file=True``) and the scan excludes individual files whose
+    [vmin, vmax] cannot overlap — the skipping granularity parquet
+    footers provide for plain columns but cannot for Map values. The
+    answer must be identical to the day-granular form's oracle (pruning
+    can only skip what cannot match); file-level pruning effectiveness is
+    pinned with a two-append skewed fixture in tests/test_table_ops.py."""
+    import tempfile
+
+    from ..table import field_range_scan, write_field_minmax_index, write_logs
+    from ..views import derive_logs_from_events
+
+    logs = derive_logs_from_events(spark, sf_dir).filter(
+        F.col("timestamp") < "2024-01-15"
+    )
+    base = tempfile.mkdtemp(prefix="klogs-minmax-pf-")
+    tdir = f"{base}/logs"
+    write_logs(logs, tdir)
+    write_field_minmax_index(
+        spark, tdir, keys=["latency_ms", "value"], per_file=True
+    )
+    hits = field_range_scan(spark, tdir, "latency_ms", lo=RANGE_SKIP_LO)
+    lat = F.element_at(F.col("fields_number"), "latency_ms")
+    return hits.groupBy("date").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(lat * 100).cast("bigint")).alias("lat_cents"),
+    )
+
+
 RETENTION_TODAY = "2024-01-31"
 RETENTION_DAYS = 15  # cutoff 2024-01-16: drops Jan 1-15, keeps Jan 16-30
 
@@ -2035,6 +2066,13 @@ SPECS = {
         "zone-map sidecar maintained by a real micro-batch stream "
         "(indexed_logs_sink minmax refresh); range scan off the "
         "stream-built stats hash-equals the direct oracle",
+    ),
+    "table_field_range_files": QuerySpec(
+        q_table_field_range_files,
+        SQL_TABLE_FIELD_RANGE_SKIP,
+        "FILE-granular zone map (per_file=True): individual non-"
+        "overlapping files excluded from an explicit file-list read, "
+        "same direct-range oracle",
     ),
     "table_retention_policy": QuerySpec(
         q_table_retention_policy,

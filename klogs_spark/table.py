@@ -1050,13 +1050,22 @@ def write_field_minmax_index(
     path: str,
     keys: list[str],
     days: list[str] | None = None,
+    per_file: bool = False,
 ) -> None:
-    """Build or incrementally refresh the per-day numeric zone-map sidecar
-    for the given ``fields_number`` keys. One pass over the (filtered)
-    table: a narrow explode of (key, value) pairs into a (day, key) min/max
-    aggregate — map-side combined, <= |days| * |keys| result rows. Dynamic
-    partition overwrite gives the same incremental-maintenance contract as
-    the token-Bloom sidecar: ``days=[...]`` rewrites only those days."""
+    """Build or incrementally refresh the numeric zone-map sidecar for the
+    given ``fields_number`` keys. One pass over the (filtered) table: a
+    narrow explode of (key, value) pairs into a keyed min/max aggregate —
+    map-side combined. Dynamic partition overwrite gives the same
+    incremental-maintenance contract as the token-Bloom sidecar:
+    ``days=[...]`` rewrites only those days.
+
+    Granularity: default is per (day, key) — <= |days| * |keys| rows.
+    ``per_file=True`` records per (day, FILE, key) stats instead (file =
+    basename via ``input_file_name``): inside a hot day of many files the
+    range scan then skips individual files, the granularity parquet
+    footers provide for plain columns but cannot for Map values. The
+    sidecar self-describes its granularity through the ``fname`` column
+    ('' at day level), so :func:`field_range_scan` serves either."""
     from .transform import field_number
 
     logs = spark.read.parquet(path)
@@ -1070,11 +1079,19 @@ def write_field_minmax_index(
             for k in keys
         ]
     )
+    fname = (
+        F.regexp_extract(F.input_file_name(), "([^/]+)$", 1)
+        if per_file
+        else F.lit("")
+    )
     (
-        logs.select(F.col(PARTITION_COLUMN), F.explode(pairs).alias("p"))
-        .select(PARTITION_COLUMN, "p.fkey", "p.v")
+        logs.select(
+            F.col(PARTITION_COLUMN), fname.alias("fname"),
+            F.explode(pairs).alias("p"),
+        )
+        .select(PARTITION_COLUMN, "fname", "p.fkey", "p.v")
         .filter(F.col("v").isNotNull())
-        .groupBy(PARTITION_COLUMN, "fkey")
+        .groupBy(PARTITION_COLUMN, "fname", "fkey")
         .agg(F.min("v").alias("vmin"), F.max("v").alias("vmax"))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
@@ -1090,51 +1107,94 @@ def field_range_scan(
     lo: float | None = None,
     hi: float | None = None,
 ) -> DataFrame:
-    """F4 numeric range query over ``fields_number[key]`` with zone-map day
-    pruning: the sidecar lookup (manifest-sized, <= |days|*|keys| rows)
-    keeps only days whose [vmin, vmax] overlaps [lo, hi]; candidate days
-    become a partition IN-filter so the scan lists only those directories,
-    then the exact per-row range filter applies. Days with no sidecar row
-    for ``key`` are kept (no stats = cannot prune — the conservative
-    contract every zone map honors); orphaned sidecar days intersect with
-    live partitions exactly like the Bloom lookup."""
+    """F4 numeric range query over ``fields_number[key]`` with zone-map
+    pruning at the sidecar's recorded granularity:
+
+    * day-level rows (``fname = ''``): non-overlapping days drop from the
+      scan via a partition IN-filter (directory listing never touches
+      them);
+    * file-level rows (``per_file=True`` sidecars): inside candidate
+      days, individual files whose [vmin, vmax] cannot overlap are
+      excluded from an explicit file-list read (``basePath`` keeps the
+      partition column) — the granularity parquet footers give plain
+      columns but cannot for Map values.
+
+    Conservative throughout: days or files without stats are kept, and
+    the exact per-row range filter always applies after pruning. Orphaned
+    sidecar rows intersect with live files exactly like the Bloom
+    lookup."""
     from .transform import field_number
 
     fs, _, root = _hadoop_fs(spark, path)
-    live_days = {
-        s.getPath().getName().split("=", 1)[1]
-        for s in fs.listStatus(root)
-        if s.isDirectory()
-        and s.getPath().getName().startswith(f"{PARTITION_COLUMN}=")
-    }
-    stats = {
-        str(r[PARTITION_COLUMN]): (r.vmin, r.vmax)
-        for r in spark.read.parquet(f"{path}/{FIELD_MINMAX_DIR}")
+    prefix = f"{PARTITION_COLUMN}="
+    live: dict[str, list[str]] = {}
+    for s in fs.listStatus(root):
+        name = s.getPath().getName()
+        if s.isDirectory() and name.startswith(prefix):
+            live[name.split("=", 1)[1]] = [
+                f.getPath().getName()
+                for f in fs.listStatus(s.getPath())
+                if f.getPath().getName().endswith(".parquet")
+            ]
+    rows = (
+        spark.read.parquet(f"{path}/{FIELD_MINMAX_DIR}")
         .filter(F.col("fkey") == key)
         .collect()
-        if str(r[PARTITION_COLUMN]) in live_days
-    }
-    def overlaps(day: str) -> bool:
-        if day not in stats:
+    )
+    day_stats: dict[str, tuple] = {}
+    file_stats: dict[tuple, tuple] = {}
+    for r in rows:
+        d = str(r[PARTITION_COLUMN])
+        if d not in live:
+            continue
+        if r.fname:
+            file_stats[(d, r.fname)] = (r.vmin, r.vmax)
+        else:
+            day_stats[d] = (r.vmin, r.vmax)
+
+    def overlaps(mm: tuple | None) -> bool:
+        if mm is None:
             return True  # no stats recorded -> cannot prune
-        vmin, vmax = stats[day]
+        vmin, vmax = mm
         if lo is not None and vmax < lo:
             return False
         if hi is not None and vmin > hi:
             return False
         return True
 
-    dates = sorted(d for d in live_days if overlaps(d))
-    base = read_logs(spark, path)
-    if not dates:
-        return base.filter(F.lit(False))
-    out = base.filter(F.col(PARTITION_COLUMN).isin(dates))
     v = field_number(key)
-    if lo is not None:
-        out = out.filter(v >= lo)
-    if hi is not None:
-        out = out.filter(v <= hi)
-    return out
+
+    def residual(df: DataFrame) -> DataFrame:
+        if lo is not None:
+            df = df.filter(v >= lo)
+        if hi is not None:
+            df = df.filter(v <= hi)
+        return df
+
+    if not file_stats:
+        dates = sorted(d for d in live if overlaps(day_stats.get(d)))
+        base = read_logs(spark, path)
+        if not dates:
+            return base.filter(F.lit(False))
+        return residual(base.filter(F.col(PARTITION_COLUMN).isin(dates)))
+
+    selected: list[str] = []
+    for d, files in live.items():
+        if not overlaps(day_stats.get(d)):
+            continue
+        for fname in files:
+            if overlaps(file_stats.get((d, fname))):
+                selected.append(
+                    f"{path}/{PARTITION_COLUMN}={d}/{fname}"
+                )
+    if not selected:
+        return read_logs(spark, path).filter(F.lit(False))
+    out = (
+        spark.read.option("basePath", path)
+        .parquet(*selected)
+        .select(PARTITION_COLUMN, *LOG_COLUMNS)
+    )
+    return residual(out)
 
 
 # --- streaming materialized rollup ------------------------------------------

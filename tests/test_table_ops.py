@@ -551,6 +551,66 @@ def test_field_minmax_index_prunes_days_and_stays_conservative(spark, tmp_path):
     assert hits2.count() == expect.count()
 
 
+def test_field_minmax_per_file_prunes_inside_a_day(spark, tmp_path):
+    """File-granular zone maps: a day written as two appends with disjoint
+    value ranges holds two file sets; a range covering only the second
+    append must scan only its files — and still return exactly the
+    unpruned answer."""
+    from pyspark.sql import functions as F
+
+    from klogs_spark.table import (
+        field_range_scan,
+        write_field_minmax_index,
+        write_logs,
+    )
+    from klogs_spark.views import derive_logs_from_events
+
+    day = derive_logs_from_events(spark, "/root/testdata/sf0.001").filter(
+        F.to_date("timestamp") == "2024-01-03"
+    )
+    low = day.withColumn(
+        "fields_number",
+        F.map_concat(
+            F.map_filter(F.col("fields_number"), lambda k, v: k != "lat"),
+            F.create_map(
+                F.lit("lat"),
+                F.element_at(F.col("fields_number"), "value") % 100,
+            ),
+        ),
+    )
+    high = day.withColumn(
+        "timestamp", F.col("timestamp") + F.expr("INTERVAL 1 MINUTE")
+    ).withColumn(
+        "fields_number",
+        F.map_concat(
+            F.map_filter(F.col("fields_number"), lambda k, v: k != "lat"),
+            F.create_map(
+                F.lit("lat"),
+                F.element_at(F.col("fields_number"), "value") % 100 + 10_000,
+            ),
+        ),
+    )
+    path = str(tmp_path / "t")
+    write_logs(low, path)
+    write_logs(high, path)  # second file set, same day
+    write_field_minmax_index(spark, path, keys=["lat"], per_file=True)
+
+    hits = field_range_scan(spark, path, "lat", lo=10_000.0)
+    expect = (
+        spark.read.parquet(path)
+        .filter(F.element_at(F.col("fields_number"), "lat") >= 10_000.0)
+    )
+    assert hits.count() == expect.count() == high.count()
+    # pruning is real: only the high append's files were scanned
+    scanned = {
+        r[0] for r in hits.select(F.input_file_name()).distinct().collect()
+    }
+    import glob
+
+    all_files = set(glob.glob(f"{path}/date=2024-01-03/*.parquet"))
+    assert 0 < len(scanned) < len(all_files)
+
+
 def test_rollup_refresh_is_idempotent_and_incremental(spark, tmp_path):
     """refresh_rollup recomputes only the requested days (dynamic
     overwrite) and a replay converges to the same rollup."""

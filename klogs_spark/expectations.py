@@ -40,6 +40,8 @@ def check_report(
     Returns one row per check: (check_name, n_rows, n_violations,
     passed)."""
     unique_keys = unique_keys or []
+    if not checks and not unique_keys:
+        raise ValueError("check_report needs at least one expectation")
     aggs = [F.count(F.lit(1)).alias("__n")]
     for name, cond in checks:
         aggs.append(
@@ -72,6 +74,8 @@ def split_by_expectations(
     triage column a dead-letter reviewer needs. Pure Column expressions —
     both frames share one scan lineage; Catalyst pushes the clean-side
     filter to the source."""
+    if not checks:
+        raise ValueError("split_by_expectations needs at least one check")
     conds = [
         (name, F.coalesce(cond, F.lit(False))) for name, cond in checks
     ]

@@ -1122,7 +1122,13 @@ def field_range_scan(
     Conservative throughout: days or files without stats are kept, and
     the exact per-row range filter always applies after pruning. Orphaned
     sidecar rows intersect with live files exactly like the Bloom
-    lookup."""
+    lookup.
+
+    Scale note: the day-level lookup is manifest-sized (<= |days|*|keys|
+    rows); the file-level lookup is O(#files) driver work — the same
+    bill Spark's own file index pays to plan any scan, but pick per-file
+    granularity deliberately (hot tables, recent windows) rather than as
+    the blanket default on a million-file corpus."""
     from .transform import field_number
 
     fs, _, root = _hadoop_fs(spark, path)

@@ -730,7 +730,17 @@ def merge_upsert(
     At 100 TB the rewrite cost is the touched days' data — the standard
     copy-on-write MERGE contract. Returns {"partitions_written": [...],
     "rows_updated": n, "rows_inserted": n}."""
-    dated = updates.withColumn(
+    # promotion invariant (same DEFAULT-on-insert contract as write_logs):
+    # updates materialize any promoted columns they lack, so a MERGE into
+    # a promoted table never produces deficient files or schema mismatches
+    promos = read_layout(spark, path).get("promotions") or {}
+    mat = updates
+    for pkey, pcol in promos.items():
+        if pcol not in mat.columns:
+            from .transform import promote_string_field
+
+            mat = promote_string_field(mat, pkey, pcol)
+    dated = mat.withColumn(
         PARTITION_COLUMN, F.to_date(F.col("timestamp"))
     )
     days = [str(r[0]) for r in dated.select(PARTITION_COLUMN).distinct().collect()]

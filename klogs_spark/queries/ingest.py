@@ -1197,6 +1197,83 @@ GROUP BY 1
 """
 
 
+def q_stream_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4's exactly-once upgrade externally checked — replay AND
+    crash-recovery: two real micro-batches ingest through
+    stream.exactly_once_sink; both epochs then REPLAY (the redelivery a
+    checkpoint rollback produces — the committed-marker no-op path); and
+    a third batch publishes OVER a planted stray file carrying its
+    batch-id prefix (the leftovers of a crashed mid-publish attempt — the
+    purge path). The final per-day counts must equal the single-copy
+    oracle: the reference's at-least-once contract would double the
+    replayed weeks and count the stray file's rows, so hash equality IS
+    the exactly-once proof for both failure modes."""
+    import glob
+    import shutil
+    import tempfile
+
+    from ..schema import LOG_SCHEMA
+    from ..stream import exactly_once_sink
+    from ..table import read_logs
+    from ..views import derive_logs_from_events
+
+    logs = derive_logs_from_events(spark, sf_dir).filter(
+        F.col("timestamp") < "2024-01-12"
+    )
+    base = tempfile.mkdtemp(prefix="klogs-eo-")
+    src, ckpt, tdir = f"{base}/src", f"{base}/ckpt", f"{base}/logs"
+    sink = exactly_once_sink(tdir)
+    chunks = [
+        logs.filter((F.col("timestamp") >= lo) & (F.col("timestamp") < hi))
+        for lo, hi in (
+            ("2024-01-01", "2024-01-04"),
+            ("2024-01-04", "2024-01-08"),
+        )
+    ]
+    for chunk in chunks:
+        chunk.write.mode("append").parquet(src)
+        q = (
+            spark.readStream.schema(LOG_SCHEMA)
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    # redelivery: the same epochs arrive again (checkpoint rollback) —
+    # the commit markers must make both no-ops
+    sink(chunks[0], 0)
+    sink(chunks[1], 1)
+    # crashed-attempt recovery: plant a stray data file carrying epoch 2's
+    # prefix (as if a previous attempt died between rename and marker),
+    # then publish epoch 2 for real — the purge must remove the stray
+    some_day = sorted(glob.glob(f"{tdir}/date=*/b0-*.parquet"))[0]
+    shutil.copy(some_day, f"{tdir}/date=2024-01-02/b2-dead.parquet")
+    sink(
+        logs.filter(
+            (F.col("timestamp") >= "2024-01-08")
+            & (F.col("timestamp") < "2024-01-12")
+        ),
+        2,
+    )
+    return (
+        read_logs(spark, tdir)
+        .groupBy("date", "namespace")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+SQL_STREAM_EXACTLY_ONCE = """
+SELECT CAST(ts AS DATE) AS date,
+       concat('ns-', CAST(user_id % 5 AS VARCHAR)) AS namespace,
+       count(*) AS cnt
+FROM events
+WHERE ts < TIMESTAMP '2024-01-12 00:00:00'
+GROUP BY 1, 2
+"""
+
+
 def q_stream_validated_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming DATA-CONTRACT enforcement externally checked
     (expectations.validated_logs_sink): the stream carries deterministic
@@ -2052,6 +2129,12 @@ SPECS = {
         SQL_TABLE_FIELD_RANGE_SKIP,
         "numeric zone-map sidecar over dynamic map fields: range query "
         "with plan-time day pruning, vs direct range oracle",
+    ),
+    "stream_exactly_once": QuerySpec(
+        q_stream_exactly_once,
+        SQL_STREAM_EXACTLY_ONCE,
+        "exactly-once sink under epoch replay AND crashed-attempt "
+        "recovery (marker no-op + prefix purge), vs single-copy oracle",
     ),
     "stream_validated_sink": QuerySpec(
         q_stream_validated_sink,

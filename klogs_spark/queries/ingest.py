@@ -1377,6 +1377,106 @@ SELECT 'quarantined', day, count(*) FROM fl WHERE bad GROUP BY 2
 """
 
 
+def q_quarantine_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quarantine TRIAGE report — what an on-call reviews after the
+    validated sink fires: per (failed check, day) violation counts read
+    from the quarantine store's ``_failed_checks`` column. Exercises the
+    same corrupted 2-batch stream as stream_validated_sink and then
+    explodes the triage arrays; the oracle recomputes each corruption
+    rule's footprint directly, so a row quarantined under the wrong
+    check name (not just the wrong bucket) breaks the hash. Rows failing
+    BOTH checks would count once per check — the fixture's rules are
+    disjoint, which the oracle's arithmetic would expose if they ever
+    overlapped."""
+    import tempfile
+
+    from ..expectations import validated_logs_sink
+    from ..schema import LOG_SCHEMA
+    from ..transform import field_number, field_string
+    from ..views import derive_logs_from_events
+
+    logs = derive_logs_from_events(spark, sf_dir).filter(
+        F.col("timestamp") < "2024-01-08"
+    )
+    pod = F.regexp_extract("pod_name", "pod-(\\d+)", 1).cast("int")
+    fs, fn = F.col("fields_string"), F.col("fields_number")
+    corrupted = logs.withColumn(
+        "fields_string",
+        F.when(
+            pod == 7,
+            F.map_concat(
+                F.map_filter(fs, lambda k, v: k != "level"),
+                F.create_map(F.lit("level"), F.lit("bogus")),
+            ),
+        ).otherwise(fs),
+    ).withColumn(
+        "fields_number",
+        F.when(
+            (pod == 21) & (F.col("app") == "click"),
+            F.map_filter(fn, lambda k, v: k != "latency_ms"),
+        ).otherwise(fn),
+    )
+    checks = [
+        (
+            "level_in_domain",
+            field_string("level").isin("info", "warn", "error"),
+        ),
+        (
+            "latency_present_for_clicks",
+            F.when(
+                F.col("app").isin("click", "view"),
+                field_number("latency_ms").isNotNull(),
+            ).otherwise(F.lit(True)),
+        ),
+    ]
+    base = tempfile.mkdtemp(prefix="klogs-triage-")
+    src, ckpt = f"{base}/src", f"{base}/ckpt"
+    tdir, qdir = f"{base}/logs", f"{base}/quarantine"
+    sink = validated_logs_sink(tdir, checks, qdir)
+    for lo, hi in (("2024-01-01", "2024-01-04"), ("2024-01-04", "2024-01-08")):
+        (
+            corrupted.filter(
+                (F.col("timestamp") >= lo) & (F.col("timestamp") < hi)
+            )
+            .write.mode("append").parquet(src)
+        )
+        q = (
+            spark.readStream.schema(LOG_SCHEMA)
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    quar = spark.read.parquet(qdir)
+    return (
+        quar.select(
+            F.to_date("timestamp").alias("day"),
+            F.explode(
+                F.from_json("_failed_checks", "array<string>")
+            ).alias("failed_check"),
+        )
+        .groupBy("failed_check", "day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_QUARANTINE_TRIAGE = """
+SELECT 'level_in_domain' AS failed_check, CAST(ts AS DATE) AS day,
+       count(*) AS n
+FROM events
+WHERE user_id % 50 = 7 AND ts < TIMESTAMP '2024-01-08 00:00:00'
+GROUP BY 2
+UNION ALL
+SELECT 'latency_present_for_clicks', CAST(ts AS DATE), count(*)
+FROM events
+WHERE user_id % 50 = 21 AND event_type = 'click'
+  AND ts < TIMESTAMP '2024-01-08 00:00:00'
+GROUP BY 2
+"""
+
+
 def q_stream_minmax_sidecar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The streaming zone-map maintenance externally checked: two weeks of
     logs arrive as a REAL micro-batch stream through
@@ -2142,6 +2242,12 @@ SPECS = {
         "streaming data-contract enforcement: per-batch expectation gate "
         "routes violating rows to quarantine with triage; clean/"
         "quarantined day counts vs corruption-rule oracle",
+    ),
+    "stream_quarantine_triage": QuerySpec(
+        q_quarantine_triage,
+        SQL_QUARANTINE_TRIAGE,
+        "quarantine triage report: per-(failed check, day) counts from "
+        "the _failed_checks column, vs per-rule oracle",
     ),
     "stream_minmax_sidecar": QuerySpec(
         q_stream_minmax_sidecar,

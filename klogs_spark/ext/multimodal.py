@@ -6,12 +6,16 @@ extraction / resize / frame-sampling as Arrow-batched pandas functions over
 ``mapInPandas``.
 
 Decode status: WAV 16-bit PCM sample decode is REAL (pure-Python byte
-parsing, :func:`decode_wav_pcm` / :func:`audio_sample_stats`), as is all
-container-header sniffing (PNG/JPEG/GIF/WAV). Only IMAGE PIXEL decode
-remains stubbed (:func:`decode_image` raises NotImplementedError — no
-imaging library in this container; a deterministic fake feature extractor
-is clearly marked). The Spark-side plumbing — schema, partition sizing,
-UDF signature, batch shape — is real and tested throughout.
+parsing, :func:`decode_wav_pcm` / :func:`audio_sample_stats`), as is PNG
+PIXEL decode/encode/resize (stdlib zlib codec with all five scanline
+filters and CRC checks — :func:`decode_png_pixels` / :func:`encode_png` /
+:func:`png_resize_nearest` / :func:`image_pixel_stats`) and all
+container-header sniffing (PNG/JPEG/GIF/WAV). Only JPEG/GIF entropy
+decode remains stubbed (:func:`decode_image` raises NotImplementedError
+for them — Huffman+DCT needs a codec library absent from this container;
+a deterministic fake feature extractor is clearly marked). The Spark-side
+plumbing — schema, partition sizing, UDF signature, batch shape — is real
+and tested throughout.
 
 Scale notes: binary payloads dominate row size, so MEDIA_SCHEMA keeps
 metadata in fixed columns (prunable without touching bytes);
@@ -67,13 +71,18 @@ FEATURE_SCHEMA = StructType(
 
 
 def decode_image(payload: bytes) -> "object":
-    """STUB — real impl would be PIL/cv2 decode; not available in this
-    container. Raises so pipelines fail loudly rather than fake-decode.
-    Header-level metadata (dimensions, duration) does NOT need this — see
-    :func:`sniff_media_metadata`, which parses container headers for real."""
+    """Pixel decode dispatch. PNG is REAL (pure stdlib-zlib codec,
+    :func:`decode_png_pixels` — returns (width, height, channels,
+    raw_bytes)). JPEG/GIF entropy decode genuinely needs a codec library
+    not present in this container, so those still raise — pipelines fail
+    loudly rather than fake-decode. Header-level metadata (dimensions,
+    duration) does NOT need this — see :func:`sniff_media_metadata`."""
+    decoded = decode_png_pixels(payload)
+    if decoded is not None:
+        return decoded
     raise NotImplementedError(
-        "image decode requires an imaging library not present in this "
-        "environment; wire PIL/cv2 here in production"
+        "only PNG pixel decode is implemented without an imaging library; "
+        "wire PIL/cv2 here for JPEG/GIF in production"
     )
 
 
@@ -213,6 +222,263 @@ def synth_pcm_samples(seed_id: int, n: int) -> list[int]:
     ``((seed_id * 31 + j * 7) % 2003) - 1001`` — SQL-reproducible (the
     oracle recomputes it with generate_series) and safely inside int16."""
     return [((seed_id * 31 + j * 7) % 2003) - 1001 for j in range(n)]
+
+
+# --- real PNG pixel codec (stdlib zlib — no imaging library) ----------------
+# PNG's pixel layer is DEFLATE + five byte-delta scanline filters, both
+# expressible with the standard library, so unlike JPEG (Huffman+DCT) a full
+# decoder needs no imaging dependency. This closes the image half of the
+# multimodal decode stub for real PNGs; JPEG/GIF stay declared-stubbed.
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (RFC 2083 §6.6): nearest of a/b/c to a+b-c,
+    ties broken left, up, upper-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def synth_pixel_bytes(seed_id: int, n: int) -> bytes:
+    """Deterministic raw pixel byte pattern ``(seed_id*31 + k*7) % 251`` —
+    SQL-reproducible (the oracle recomputes it with generate_series), same
+    convention as :func:`synth_pcm_samples` for audio."""
+    return bytes((seed_id * 31 + k * 7) % 251 for k in range(n))
+
+
+def encode_png(
+    width: int,
+    height: int,
+    raw: bytes,
+    channels: int = 3,
+    filters: list[int] | None = None,
+) -> bytes:
+    """REAL PNG encoder: 8-bit greyscale (1 channel) or truecolor RGB
+    (3 channels), non-interlaced, correct chunk CRCs, zlib-compressed IDAT.
+    ``raw`` is row-major pixel bytes (len = width*height*channels).
+    ``filters`` picks the per-row scanline filter type; the default cycles
+    0..4 so a round-trip through :func:`decode_png_pixels` exercises every
+    filter's inverse — a decoder bug in any filter breaks byte equality
+    (and the oracle hash downstream)."""
+    import zlib
+
+    bpp = channels
+    stride = width * bpp
+    if len(raw) != stride * height:
+        raise ValueError("raw length must be width*height*channels")
+    color_type = {1: 0, 3: 2}[channels]
+    if filters is None:
+        filters = [r % 5 for r in range(height)]
+    out = bytearray()
+    prev = bytes(stride)
+    for r in range(height):
+        row = raw[r * stride:(r + 1) * stride]
+        ft = filters[r]
+        out.append(ft)
+        for i in range(stride):
+            x = row[i]
+            a = row[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if ft == 0:
+                f = x
+            elif ft == 1:
+                f = (x - a) & 0xFF
+            elif ft == 2:
+                f = (x - b) & 0xFF
+            elif ft == 3:
+                f = (x - (a + b) // 2) & 0xFF
+            elif ft == 4:
+                f = (x - _paeth(a, b, c)) & 0xFF
+            else:
+                raise ValueError(f"bad filter type {ft}")
+            out.append(f)
+        prev = row
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            len(body).to_bytes(4, "big") + tag + body
+            + zlib.crc32(tag + body).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        width.to_bytes(4, "big") + height.to_bytes(4, "big")
+        + bytes([8, color_type, 0, 0, 0])
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(out)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def synth_png_rgb(seed_id: int, width: int, height: int) -> bytes:
+    """A real decodable RGB PNG whose pixels follow the SQL-reproducible
+    :func:`synth_pixel_bytes` pattern (flat byte index k, row-major RGB) —
+    the image twin of the deterministic WAV payloads."""
+    return encode_png(width, height, synth_pixel_bytes(seed_id, width * height * 3))
+
+
+def decode_png_pixels(
+    payload: bytes | None,
+) -> tuple[int, int, int, bytes] | None:
+    """REAL PNG pixel decode — pure Python + stdlib zlib, no imaging
+    library. Supports 8-bit greyscale (color type 0) and truecolor RGB
+    (type 2), non-interlaced; reverses all five scanline filters (None/
+    Sub/Up/Average/Paeth) and verifies every chunk CRC. Returns
+    ``(width, height, channels, raw_bytes)`` with raw_bytes row-major, or
+    None for anything unsupported/corrupt (the corrupt-row contract of
+    sniff_media_metadata — NULL stats, not a task failure)."""
+    import zlib
+
+    p = payload or b""
+    if p[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    i, ihdr, idat = 8, None, bytearray()
+    try:
+        while i + 12 <= len(p):
+            size = int.from_bytes(p[i:i + 4], "big")
+            tag = p[i + 4:i + 8]
+            body = p[i + 8:i + 8 + size]
+            crc = int.from_bytes(p[i + 8 + size:i + 12 + size], "big")
+            if len(body) != size or zlib.crc32(tag + body) != crc:
+                return None
+            if tag == b"IHDR":
+                ihdr = body
+            elif tag == b"IDAT":
+                idat += body
+            elif tag == b"IEND":
+                break
+            i += 12 + size
+        if ihdr is None or len(ihdr) < 13 or not idat:
+            return None
+        w = int.from_bytes(ihdr[0:4], "big")
+        h = int.from_bytes(ihdr[4:8], "big")
+        depth, color, comp, filt, inter = ihdr[8:13]
+        if depth != 8 or comp != 0 or filt != 0 or inter != 0:
+            return None
+        channels = {0: 1, 2: 3}.get(color)
+        if channels is None or w < 1 or h < 1:
+            return None
+        data = zlib.decompress(bytes(idat))
+        stride = w * channels
+        if len(data) != (stride + 1) * h:
+            return None
+        raw = bytearray()
+        prev = bytes(stride)
+        pos = 0
+        for _r in range(h):
+            ft = data[pos]
+            pos += 1
+            row = bytearray(data[pos:pos + stride])
+            pos += stride
+            if ft == 1:
+                for j in range(channels, stride):
+                    row[j] = (row[j] + row[j - channels]) & 0xFF
+            elif ft == 2:
+                for j in range(stride):
+                    row[j] = (row[j] + prev[j]) & 0xFF
+            elif ft == 3:
+                for j in range(stride):
+                    a = row[j - channels] if j >= channels else 0
+                    row[j] = (row[j] + (a + prev[j]) // 2) & 0xFF
+            elif ft == 4:
+                for j in range(stride):
+                    a = row[j - channels] if j >= channels else 0
+                    c = prev[j - channels] if j >= channels else 0
+                    row[j] = (row[j] + _paeth(a, prev[j], c)) & 0xFF
+            elif ft != 0:
+                return None
+            raw += row
+            prev = bytes(row)
+        return w, h, channels, bytes(raw)
+    except (zlib.error, IndexError, ValueError):
+        return None
+
+
+def png_resize_nearest(payload: bytes, width: int, height: int) -> bytes:
+    """REAL nearest-neighbor PNG resize: decode → index-map sample → encode.
+    Source index per destination pixel is ``(dst * src_dim) // dst_dim``
+    (the floor mapping — SQL-reproducible for the oracle). Raises
+    NotImplementedError for non-PNG payloads (JPEG decode is library-gated)."""
+    decoded = decode_png_pixels(payload)
+    if decoded is None:
+        return decode_image(payload)  # raises NotImplementedError
+    sw, sh, ch, raw = decoded
+    s_stride = sw * ch
+    out = bytearray()
+    for y in range(height):
+        sy = (y * sh) // height
+        for x in range(width):
+            sx = (x * sw) // width
+            base = sy * s_stride + sx * ch
+            out += raw[base:base + ch]
+    return encode_png(width, height, bytes(out), channels=ch)
+
+
+IMAGE_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("channels", IntegerType(), True),
+        StructField("n_vals", LongType(), True),
+        StructField("peak", LongType(), True),
+        StructField("sum_vals", LongType(), True),
+        StructField("sum_sq", LongType(), True),
+    ]
+)
+
+
+def image_pixel_stats(media: DataFrame) -> DataFrame:
+    """Arrow-batched per-image pixel statistics over binary PNG payloads via
+    :func:`decode_png_pixels` — the real (non-stub) image decode kernel,
+    the image twin of :func:`audio_sample_stats`. All stats are exact
+    integers (aggregation-order-proof); undecodable rows emit NULLs."""
+
+    def _stats(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for batch in batches:
+            decoded = [decode_png_pixels(p) for p in batch["payload"]]
+            stats = [
+                (d[0], d[1], d[2], len(d[3]), max(d[3], default=0),
+                 sum(d[3]), sum(v * v for v in d[3])) if d else None
+                for d in decoded
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": batch["media_id"],
+                    "width": pd.array(
+                        [s[0] if s else None for s in stats], dtype="Int32"
+                    ),
+                    "height": pd.array(
+                        [s[1] if s else None for s in stats], dtype="Int32"
+                    ),
+                    "channels": pd.array(
+                        [s[2] if s else None for s in stats], dtype="Int32"
+                    ),
+                    "n_vals": pd.array(
+                        [s[3] if s else None for s in stats], dtype="Int64"
+                    ),
+                    "peak": pd.array(
+                        [s[4] if s else None for s in stats], dtype="Int64"
+                    ),
+                    "sum_vals": pd.array(
+                        [s[5] if s else None for s in stats], dtype="Int64"
+                    ),
+                    "sum_sq": pd.array(
+                        [s[6] if s else None for s in stats], dtype="Int64"
+                    ),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        _stats, schema=IMAGE_STATS_SCHEMA
+    )
 
 
 def decode_wav_pcm(
@@ -413,15 +679,14 @@ def resize_images(
     """Arrow-batched image resize over binary payloads.
 
     ``kernel(payload, width, height) -> bytes`` is the decode+resize+encode
-    step — STUBBED by default (raises via decode_image; no imaging libs in
-    this container). The distributed plumbing (batch transfer, schema,
-    metadata update) is real: pass any callable kernel (tests use an
-    identity fake) and it runs per Arrow batch on executors.
+    step — by default :func:`png_resize_nearest`, a REAL nearest-neighbor
+    resize for PNG payloads (pure stdlib codec); non-PNG formats raise via
+    decode_image (JPEG decode is library-gated in this container). The
+    distributed plumbing (batch transfer, schema, metadata update) accepts
+    any callable kernel and runs it per Arrow batch on executors.
     """
     if kernel is None:
-        def kernel(payload: bytes, w: int, h: int) -> bytes:  # pragma: no cover
-            decode_image(payload)  # raises NotImplementedError
-            raise AssertionError("unreachable")
+        kernel = png_resize_nearest
 
     out_schema = MEDIA_SCHEMA
 

@@ -1312,6 +1312,134 @@ FROM s GROUP BY doc_id
 """
 
 
+def q_multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image pixel decode end-to-end (no imaging library): synthesize
+    a genuine RGB PNG per document — zlib-compressed IDAT, per-row filter
+    types cycling through all five (None/Sub/Up/Average/Paeth), correct
+    chunk CRCs — with the deterministic pixel pattern
+    ((doc_id*31 + k*7) % 251), then recover width / height / pixel count /
+    peak / sum / energy by DECODING THE PNG BYTES with
+    ext.multimodal.decode_png_pixels inside the Arrow-batched kernel. The
+    oracle recomputes the stats from the pattern formula via
+    generate_series, so a bug in DEFLATE handling, any of the five filter
+    inverses, or CRC framing breaks the hash. With multimodal_audio_stats
+    this retires the decode stub for PNG + WAV — only JPEG/GIF entropy
+    coding remains library-gated (declared)."""
+    from ..ext import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def _synth(batches):
+        import pandas as pd
+
+        for b in batches:
+            ids = [int(x) for x in b["doc_id"]]
+            payloads = [
+                mm.synth_png_rgb(i, i % 13 + 1, i % 7 + 1) for i in ids
+            ]
+            yield pd.DataFrame({"media_id": b["doc_id"], "payload": payloads})
+
+    media = docs.repartition(F.col("doc_id")).mapInPandas(
+        _synth, schema="media_id long, payload binary"
+    )
+    return mm.image_pixel_stats(media)
+
+
+SQL_MULTIMODAL_IMAGE_STATS = """
+WITH dims AS (
+  SELECT doc_id, (doc_id % 13 + 1) AS w, (doc_id % 7 + 1) AS h
+  FROM documents
+), s AS (
+  -- constant-bound series (DuckDB's generate_series is not lateral) cut to
+  -- each image's byte count; max n = 13 * 7 * 3 = 273
+  SELECT d.doc_id, d.w, d.h, (d.doc_id * 31 + t.k * 7) % 251 AS v
+  FROM dims d, generate_series(0, 272) AS t(k)
+  WHERE t.k < d.w * d.h * 3
+)
+SELECT doc_id AS media_id,
+       CAST(max(w) AS INTEGER) AS width,
+       CAST(max(h) AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS channels,
+       count(*) AS n_vals,
+       CAST(max(v) AS BIGINT) AS peak,
+       CAST(sum(v) AS BIGINT) AS sum_vals,
+       CAST(sum(v * v) AS BIGINT) AS sum_sq
+FROM s GROUP BY doc_id
+"""
+
+
+RESIZE_W, RESIZE_H = 5, 4
+
+
+def q_multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL nearest-neighbor image resize round-trip: synth PNG → decode →
+    index-map resample to a fixed 5x4 → RE-ENCODE as PNG → decode AGAIN for
+    stats. The oracle recomputes each destination pixel through the floor
+    index mapping src = (dst * src_dim) // dst_dim applied to the synth
+    pattern, so both codec directions AND the resample arithmetic are
+    hash-checked. Scale story: the kernel is a per-row Arrow-batched map —
+    embarrassingly parallel, no shuffle beyond the synth repartition."""
+    from ..ext import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def _synth(batches):
+        import pandas as pd
+
+        for b in batches:
+            ids = [int(x) for x in b["doc_id"]]
+            payloads = [
+                mm.synth_png_rgb(i, i % 13 + 1, i % 7 + 1) for i in ids
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": b["doc_id"],
+                    "kind": ["image"] * len(ids),
+                    "mime": ["image/png"] * len(ids),
+                    "payload": payloads,
+                    "n_bytes": [len(p) for p in payloads],
+                    "width": [i % 13 + 1 for i in ids],
+                    "height": [i % 7 + 1 for i in ids],
+                    "duration_s": [None] * len(ids),
+                }
+            )
+
+    media = docs.repartition(F.col("doc_id")).mapInPandas(
+        _synth, schema=mm.MEDIA_SCHEMA
+    )
+    resized = mm.resize_images(media, RESIZE_W, RESIZE_H)
+    return mm.image_pixel_stats(resized)
+
+
+SQL_MULTIMODAL_IMAGE_RESIZE = f"""
+WITH dims AS (
+  SELECT doc_id, (doc_id % 13 + 1) AS w, (doc_id % 7 + 1) AS h
+  FROM documents
+), g AS (
+  -- destination pixel grid ({RESIZE_H} rows x {RESIZE_W} cols x 3 channels)
+  SELECT y.y, x.x, c.c
+  FROM generate_series(0, {RESIZE_H - 1}) AS y(y),
+       generate_series(0, {RESIZE_W - 1}) AS x(x),
+       generate_series(0, 2) AS c(c)
+), s AS (
+  SELECT d.doc_id,
+         (d.doc_id * 31
+          + (((g.y * d.h) // {RESIZE_H}) * (d.w * 3)
+             + ((g.x * d.w) // {RESIZE_W}) * 3 + g.c) * 7) % 251 AS v
+  FROM dims d, g
+)
+SELECT doc_id AS media_id,
+       CAST({RESIZE_W} AS INTEGER) AS width,
+       CAST({RESIZE_H} AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS channels,
+       count(*) AS n_vals,
+       CAST(max(v) AS BIGINT) AS peak,
+       CAST(sum(v) AS BIGINT) AS sum_vals,
+       CAST(sum(v * v) AS BIGINT) AS sum_sq
+FROM s GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
@@ -4388,6 +4516,14 @@ SPECS = {
         q_multimodal_audio_stats, SQL_MULTIMODAL_AUDIO_STATS,
         "REAL 16-bit PCM WAV sample decode (pure-Python byte parsing): "
         "per-file rate/channels/samples/peak/energy, integer-exact"),
+    "multimodal_image_stats": QuerySpec(
+        q_multimodal_image_stats, SQL_MULTIMODAL_IMAGE_STATS,
+        "REAL PNG pixel decode (stdlib-zlib codec, all 5 scanline "
+        "filters + CRCs): per-image dims/peak/sum/energy, integer-exact"),
+    "multimodal_image_resize": QuerySpec(
+        q_multimodal_image_resize, SQL_MULTIMODAL_IMAGE_RESIZE,
+        "nearest-neighbor PNG resize round-trip (decode->resample->"
+        "re-encode->decode) vs floor-index-mapping oracle"),
     "multimodal_dimensions": QuerySpec(q_multimodal_dimensions,
                                        SQL_MULTIMODAL_DIMENSIONS,
                                        "real PNG/JPEG/WAV header sniffing "

@@ -181,8 +181,70 @@ def test_multimodal_resize_plumbing(spark):
 
 
 def test_multimodal_decode_stub_raises():
+    # non-PNG payloads (JPEG/GIF/junk) still fail loudly — entropy decode
+    # is library-gated; PNG now decodes for real (tests below)
     with pytest.raises(NotImplementedError):
         mm.decode_image(b"bytes")
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(mm.synth_jpeg(4, 4))
+
+
+def test_png_codec_round_trips_every_filter():
+    raw = mm.synth_pixel_bytes(42, 6 * 5 * 3)
+    # each filter type alone, plus the cycling default that mixes them
+    for filters in ([0] * 5, [1] * 5, [2] * 5, [3] * 5, [4] * 5, None):
+        png = mm.encode_png(6, 5, raw, channels=3, filters=filters)
+        assert mm.decode_png_pixels(png) == (6, 5, 3, raw), filters
+    # greyscale (color type 0, 1 channel)
+    grey = mm.synth_pixel_bytes(7, 4 * 3)
+    assert mm.decode_png_pixels(
+        mm.encode_png(4, 3, grey, channels=1)
+    ) == (4, 3, 1, grey)
+    # decode_image dispatches PNG to the real codec
+    assert mm.decode_image(mm.synth_png_rgb(9, 2, 2))[:3] == (2, 2, 3)
+
+
+def test_png_decode_rejects_corruption():
+    png = mm.synth_png_rgb(5, 4, 4)
+    # flipped byte inside IHDR -> CRC mismatch -> None (not an exception)
+    bad = bytearray(png)
+    bad[20] ^= 0xFF
+    assert mm.decode_png_pixels(bytes(bad)) is None
+    # header-only synth PNG (no IDAT, zero CRC) is sniffable but not decodable
+    assert mm.sniff_media_metadata(mm.synth_png(8, 8))[0] == "png"
+    assert mm.decode_png_pixels(mm.synth_png(8, 8)) is None
+    # truncation inside IDAT, junk, and None all return None
+    assert mm.decode_png_pixels(png[:30]) is None
+    assert mm.decode_png_pixels(b"junk") is None
+    assert mm.decode_png_pixels(None) is None
+
+
+def test_png_resize_nearest_index_mapping():
+    # 2x2 -> 1x1 keeps the top-left pixel (floor mapping)
+    raw = bytes([10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120])
+    small = mm.png_resize_nearest(mm.encode_png(2, 2, raw), 1, 1)
+    assert mm.decode_png_pixels(small) == (1, 1, 3, bytes([10, 20, 30]))
+    # 1x1 -> 3x2 replicates; identity resize is byte-identical raw
+    up = mm.png_resize_nearest(small, 3, 2)
+    assert mm.decode_png_pixels(up)[3] == bytes([10, 20, 30] * 6)
+    png = mm.synth_png_rgb(11, 4, 3)
+    same = mm.png_resize_nearest(png, 4, 3)
+    assert mm.decode_png_pixels(same)[3] == mm.decode_png_pixels(png)[3]
+
+
+def test_image_pixel_stats_dataframe(spark):
+    raw = bytes([0, 255, 3, 4])
+    rows = [
+        (1, mm.encode_png(2, 2, raw, channels=1)),
+        (2, b"not a png"),
+        (3, None),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r.media_id: r for r in mm.image_pixel_stats(media).collect()}
+    assert (out[1].width, out[1].height, out[1].channels) == (2, 2, 1)
+    assert (out[1].n_vals, out[1].peak) == (4, 255)
+    assert (out[1].sum_vals, out[1].sum_sq) == (262, 255 * 255 + 25)
+    assert out[2].n_vals is None and out[3].n_vals is None
 
 
 def test_sniff_png_jpeg_gif_wav_headers():

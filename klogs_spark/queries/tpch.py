@@ -2363,6 +2363,220 @@ GROUP BY 1, 2
 """
 
 
+# --- gap-fill / LOCF downsample + peak concurrency (EXT time-series ops) ----
+GAPFILL_T0, GAPFILL_T1 = "2024-01-01 00:00:00", "2024-01-07 23:00:00"
+
+
+def q_events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monitoring-style downsample with gap fill: hourly value series per
+    event_type over a sparse user slice, with missing hours materialized
+    from a calendar grid and filled with the last observed value — the
+    fill(previous)/LOCF of PromQL, InfluxDB and TimescaleDB gapfill,
+    which the reference's ClickHouse users get via WITH FILL. Emits both
+    the raw observation (NULL in gaps) and the carried-forward value plus
+    an is_gap flag, cents-exact per repo convention (per-row x100 before
+    summing). Scale shape: the grid is |series| x calendar hours — both
+    bounded — so the crossJoin is a declared bounded grid; the LOCF
+    window partitions per series (no global sort); the observed
+    aggregate is an ordinary map-side-combinable groupBy."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        (F.col("user_id") % 50 == 3)
+        & (F.col("ts") >= GAPFILL_T0)
+        & (F.col("ts") < "2024-01-08 00:00:00")
+    )
+    obs = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+            "observed_cents"
+        ),
+    )
+    hours = spark.sql(
+        f"SELECT explode(sequence(timestamp'{GAPFILL_T0}', "
+        f"timestamp'{GAPFILL_T1}', interval 1 hour)) AS hour"
+    )
+    grid = obs.select("event_type").distinct().crossJoin(F.broadcast(hours))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return grid.join(obs, ["event_type", "hour"], "left").select(
+        "event_type",
+        "hour",
+        F.coalesce("n_obs", F.lit(0)).alias("n"),
+        "observed_cents",
+        F.last("observed_cents", ignorenulls=True).over(w).alias(
+            "filled_cents"
+        ),
+        F.col("n_obs").isNull().alias("is_gap"),
+    )
+
+
+SQL_EVENTS_GAPFILL_LOCF = f"""
+WITH filt AS (
+  SELECT * FROM events
+  WHERE user_id % 50 = 3
+    AND ts >= TIMESTAMP '{GAPFILL_T0}' AND ts < TIMESTAMP '2024-01-08 00:00:00'
+), obs AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n_obs,
+         sum(CAST(round(value * 100, 0) AS BIGINT)) AS observed_cents
+  FROM filt GROUP BY 1, 2
+), grid AS (
+  SELECT s.event_type, h.hour
+  FROM (SELECT DISTINCT event_type FROM filt) s,
+       generate_series(TIMESTAMP '{GAPFILL_T0}', TIMESTAMP '{GAPFILL_T1}',
+                       INTERVAL 1 HOUR) AS h(hour)
+)
+SELECT g.event_type, g.hour,
+       coalesce(o.n_obs, 0) AS n,
+       o.observed_cents,
+       last_value(o.observed_cents IGNORE NULLS) OVER (
+         PARTITION BY g.event_type ORDER BY g.hour
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_cents,
+       o.n_obs IS NULL AS is_gap
+FROM grid g
+LEFT JOIN obs o ON g.event_type = o.event_type AND g.hour = o.hour
+"""
+
+
+def q_events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max concurrent sessions per day — the ops "how many users were on
+    at once" gauge. Sessions are the 30-minute-gap sessionize intervals;
+    each contributes +1 at its start and -1 at its end, and concurrency
+    is the running sum of those deltas. Distributed form: the running
+    sum partitions PER DAY (calendar-bounded — never a global sort),
+    and sessions already open at each midnight join in as a per-day
+    baseline — the two-phase split that keeps a global interval count
+    shuffle-free at 100 TB. Tie discipline: starts sort before ends at
+    the same instant (delta DESC), so zero-length single-event sessions
+    still register; the per-day peak includes the midnight baseline
+    itself (greatest(local_peak, 0)) for days that only close sessions."""
+    ev = load_table(spark, sf_dir, "events")
+    by_user = Window.partitionBy("user_id").orderBy("ts")
+    gap = (
+        F.col("ts").cast("long")
+        - F.lag(F.col("ts").cast("long")).over(by_user)
+    )
+    sess = (
+        ev.withColumn(
+            "new_s", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_s").over(
+                by_user.rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            ),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("start_ts"), F.max("ts").alias("end_ts"))
+    )
+    deltas = sess.select(
+        F.col("start_ts").alias("ts"), F.lit(1).alias("delta")
+    ).unionAll(
+        sess.select(F.col("end_ts").alias("ts"), F.lit(-1).alias("delta"))
+    )
+    byday = (
+        Window.partitionBy("day")
+        .orderBy(F.col("ts").asc(), F.col("delta").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    peaks = (
+        deltas.withColumn("day", F.to_date("ts"))
+        .withColumn("cum", F.sum("delta").over(byday))
+        .groupBy("day")
+        .agg(F.max("cum").alias("local_peak"))
+    )
+    opens = (
+        sess.filter(F.to_date("start_ts") < F.to_date("end_ts"))
+        .select(
+            F.explode(
+                F.sequence(
+                    F.date_add(F.to_date("start_ts"), 1),
+                    F.to_date("end_ts"),
+                )
+            ).alias("day")
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("baseline"))
+    )
+    starts = sess.groupBy(F.to_date("start_ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_sessions_started")
+    )
+    return (
+        peaks.join(opens, "day", "full_outer")
+        .join(starts, "day", "left")
+        .select(
+            "day",
+            (
+                F.coalesce("baseline", F.lit(0))
+                + F.greatest(F.coalesce("local_peak", F.lit(0)), F.lit(0))
+            ).cast("long").alias("peak_concurrency"),
+            F.coalesce("n_sessions_started", F.lit(0))
+            .cast("long")
+            .alias("n_sessions_started"),
+        )
+    )
+
+
+SQL_EVENTS_PEAK_CONCURRENCY = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) IS NULL
+                OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM flagged
+), sess AS (
+  SELECT user_id, session_id,
+         min(ts) AS start_ts, max(ts) AS end_ts
+  FROM numbered GROUP BY user_id, session_id
+), deltas AS (
+  SELECT start_ts AS ts, 1 AS delta FROM sess
+  UNION ALL
+  SELECT end_ts, -1 FROM sess
+), running AS (
+  SELECT CAST(ts AS DATE) AS day,
+         SUM(delta) OVER (PARTITION BY CAST(ts AS DATE)
+                          ORDER BY ts, delta DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM deltas
+), peaks AS (
+  SELECT day, max(cum) AS local_peak FROM running GROUP BY day
+), opens AS (
+  SELECT d.day, count(*) AS baseline
+  FROM (SELECT CAST(unnest(generate_series(DATE '2024-01-01',
+                                           DATE '2024-01-31',
+                                           INTERVAL 1 DAY)) AS DATE)
+          AS day) d
+  JOIN sess s
+    ON d.day > CAST(s.start_ts AS DATE) AND d.day <= CAST(s.end_ts AS DATE)
+  GROUP BY 1
+), starts AS (
+  SELECT CAST(start_ts AS DATE) AS day, count(*) AS n_sessions_started
+  FROM sess GROUP BY 1
+)
+SELECT coalesce(p.day, o.day) AS day,
+       CAST(coalesce(o.baseline, 0)
+            + greatest(coalesce(p.local_peak, 0), 0) AS BIGINT)
+         AS peak_concurrency,
+       CAST(coalesce(st.n_sessions_started, 0) AS BIGINT)
+         AS n_sessions_started
+FROM peaks p
+FULL JOIN opens o ON p.day = o.day
+LEFT JOIN starts st ON coalesce(p.day, o.day) = st.day
+"""
+
+
 SPECS = {
     "tpch_q1_pricing_summary": QuerySpec(q1_pricing_summary, SQL_Q1,
                                          "scan+filter+multi-agg group-by"),
@@ -2423,6 +2637,14 @@ SPECS = {
     "events_funnel": QuerySpec(q_events_funnel, SQL_EVENTS_FUNNEL,
                                "ordered view->click->purchase conversion "
                                "funnel (user-keyed min-aggregates)"),
+    "events_gapfill_locf": QuerySpec(
+        q_events_gapfill_locf, SQL_EVENTS_GAPFILL_LOCF,
+        "hourly downsample with calendar gap fill + LOCF carry-forward "
+        "(fill(previous)), per-series window only"),
+    "events_peak_concurrency": QuerySpec(
+        q_events_peak_concurrency, SQL_EVENTS_PEAK_CONCURRENCY,
+        "max concurrent sessions per day: +1/-1 interval deltas, per-day "
+        "running sum + midnight-baseline join (no global sort)"),
     "events_retention_cohorts": QuerySpec(
         q_events_retention, SQL_EVENTS_RETENTION,
         "first-activity-day retention cohorts at offsets 0/1/7/14/28 "

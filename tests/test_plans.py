@@ -551,6 +551,25 @@ def test_scaled_ntile_queries_have_no_unpartitioned_corpus_sort(spark):
                 )
 
 
+def test_timeseries_ops_windows_are_series_or_day_partitioned(spark):
+    # gap-fill's LOCF window must partition per series and the
+    # peak-concurrency running sum per day — neither ever plans a global
+    # sort over the fact rows (the midnight baseline makes per-day
+    # partitioning exact for intervals that cross days)
+    import re
+
+    for qname, part in (
+        ("events_gapfill_locf", "event_type"),
+        ("events_peak_concurrency", "day"),
+    ):
+        plan = _plan(spark, qname)
+        for m in re.finditer(r"\(\d+\) Window\b[\s\S]*?Arguments: (.*)", plan):
+            args = m.group(1)
+            assert part in args or "user_id" in args, (
+                f"{qname}: window not partitioned: {args}"
+            )
+
+
 def test_deterministic_shuffle_windows_are_shard_partitioned(spark):
     # the training-order shuffle must never plan a global sort: its only
     # window partitions by shard

@@ -817,3 +817,46 @@ def bigram_logprob_scores(
             F.round(F.avg("nll"), 6).alias("mean_nll"),
         )
     )
+
+
+def edit_distance_pairs(strings: DataFrame, col: str = "s") -> DataFrame:
+    """SymSpell-style edit-distance<=1 pair mining via deletion-neighborhood
+    bucketing (Garbe's SymSpell, the spell-correction-join standard): each
+    distinct string explodes into itself plus its single-character
+    deletions, and any pair at Levenshtein distance <= 1 — substitution,
+    insertion, or deletion — is guaranteed to share at least one variant
+    key, so candidates come from an ordinary keyed equi-join, never the
+    quadratic all-pairs cross join (that form is only the oracle double).
+    Candidates are then verified with the exact levenshtein. Returns
+    (s_a, s_b, dist) with s_a < s_b.
+
+    Scale shape: variant fan-out is len+1 per string (bounded by string
+    length); the join is hash-partitioned on the variant key — the same
+    bucket-then-verify discipline as the MinHash/LSH dedup operators."""
+    s = strings.select(F.col(col).alias("s")).distinct()
+    i_to_variant = lambda i: F.concat(  # noqa: E731 — transform lambda
+        F.col("s").substr(F.lit(1), i - 1),
+        F.col("s").substr(i + 1, F.length("s")),
+    )
+    variants = s.select(
+        "s",
+        F.explode(
+            F.array_union(
+                F.array(F.col("s")),
+                F.transform(
+                    F.sequence(F.lit(1), F.length("s")), i_to_variant
+                ),
+            )
+        ).alias("v"),
+    )
+    a, b = variants.alias("a"), variants.alias("b")
+    cands = (
+        a.join(b, (F.col("a.v") == F.col("b.v"))
+               & (F.col("a.s") < F.col("b.s")))
+        .select(F.col("a.s").alias("s_a"), F.col("b.s").alias("s_b"))
+        .distinct()
+    )
+    dist = F.levenshtein("s_a", "s_b")
+    return cands.filter(dist <= 1).select(
+        "s_a", "s_b", dist.cast("long").alias("dist")
+    )

@@ -1443,6 +1443,31 @@ FROM s GROUP BY doc_id
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
+def q_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-similarity join at edit distance <= 1 over customer names —
+    the fuzzy-matching/typo-clustering primitive for entity resolution.
+    The Spark plan uses SymSpell deletion-neighborhood bucketing
+    (ext.text.edit_distance_pairs): variant fan-out is len+1 per string
+    and candidates come from a keyed equi-join, so the work scales with
+    |names| x len, not |names|^2; the oracle is the quadratic
+    all-pairs levenshtein cross join (declared double) — a missed or
+    spurious candidate breaks the hash. Customer names differ in single
+    digits, so real distance-1 neighbor pairs are dense."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("s")
+    )
+    return tx.edit_distance_pairs(cust)
+
+
+SQL_EDIT_DISTANCE_JOIN = """
+WITH names AS (SELECT DISTINCT c_name AS s FROM customer)
+SELECT a.s AS s_a, b.s AS s_b,
+       CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+FROM names a JOIN names b ON a.s < b.s
+WHERE levenshtein(a.s, b.s) <= 1
+"""
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
@@ -4528,6 +4553,10 @@ SPECS = {
                                        SQL_MULTIMODAL_DIMENSIONS,
                                        "real PNG/JPEG/WAV header sniffing "
                                        "round-trip"),
+    "text_edit_distance_join": QuerySpec(
+        q_edit_distance_join, SQL_EDIT_DISTANCE_JOIN,
+        "SymSpell edit-distance<=1 similarity join: deletion-neighborhood "
+        "bucketing + exact verify, vs quadratic levenshtein oracle"),
     "text_token_stats": QuerySpec(q_token_stats, SQL_TOKEN_STATS,
                                   "whitespace + BPE-ish token counts"),
     "text_quality": QuerySpec(q_text_quality, SQL_TEXT_QUALITY,

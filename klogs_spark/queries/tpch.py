@@ -2577,6 +2577,74 @@ LEFT JOIN starts st ON coalesce(p.day, o.day) = st.day
 """
 
 
+def q_events_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reset-aware counter rate — PromQL increase() semantics: the input
+    is a SAMPLED monotonic counter (hourly samples of a per-(series, day)
+    cumulative count, so every midnight is a genuine counter restart),
+    and the operator recovers per-day increase by differencing adjacent
+    samples with reset correction (a drop means the counter restarted:
+    the increase since the reset is the new value itself, Prometheus's
+    rule). Emits daily_increase + n_resets per series. Scale shape: the
+    cumulative window runs over the hourly AGGREGATE (never raw events)
+    partitioned per (series, day); the cross-day lag partitions per
+    series over calendar-bounded hours."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wday = (
+        Window.partitionBy("event_type", "day")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sampled = hourly.withColumn("counter", F.sum("n").over(wday))
+    series = Window.partitionBy("event_type").orderBy("hour")
+    prev = F.lag("counter").over(series)
+    inc = (
+        F.when(prev.isNull(), F.col("counter"))
+        .when(F.col("counter") >= prev, F.col("counter") - prev)
+        .otherwise(F.col("counter"))
+    )
+    rst = F.when(prev.isNotNull() & (F.col("counter") < prev), 1).otherwise(0)
+    return (
+        sampled.withColumn("inc", inc)
+        .withColumn("rst", rst)
+        .groupBy("event_type", "day")
+        .agg(
+            F.sum("inc").cast("long").alias("daily_increase"),
+            F.sum("rst").cast("long").alias("n_resets"),
+        )
+    )
+
+
+SQL_EVENTS_COUNTER_RATE = """
+WITH hourly AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         date_trunc('hour', ts) AS hour, count(*) AS n
+  FROM events GROUP BY 1, 2, 3
+), sampled AS (
+  SELECT event_type, day, hour,
+         SUM(n) OVER (PARTITION BY event_type, day ORDER BY hour
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS counter
+  FROM hourly
+), diffed AS (
+  SELECT event_type, day, counter,
+         lag(counter) OVER (PARTITION BY event_type ORDER BY hour) AS prev
+  FROM sampled
+)
+SELECT event_type, day,
+       CAST(sum(CASE WHEN prev IS NULL THEN counter
+                     WHEN counter >= prev THEN counter - prev
+                     ELSE counter END) AS BIGINT) AS daily_increase,
+       CAST(sum(CASE WHEN prev IS NOT NULL AND counter < prev
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_resets
+FROM diffed GROUP BY 1, 2
+"""
+
+
 SPECS = {
     "tpch_q1_pricing_summary": QuerySpec(q1_pricing_summary, SQL_Q1,
                                          "scan+filter+multi-agg group-by"),
@@ -2637,6 +2705,10 @@ SPECS = {
     "events_funnel": QuerySpec(q_events_funnel, SQL_EVENTS_FUNNEL,
                                "ordered view->click->purchase conversion "
                                "funnel (user-keyed min-aggregates)"),
+    "events_counter_rate": QuerySpec(
+        q_events_counter_rate, SQL_EVENTS_COUNTER_RATE,
+        "reset-aware counter rate (PromQL increase): sampled cumulative "
+        "counters differenced with restart correction"),
     "events_gapfill_locf": QuerySpec(
         q_events_gapfill_locf, SQL_EVENTS_GAPFILL_LOCF,
         "hourly downsample with calendar gap fill + LOCF carry-forward "

@@ -886,3 +886,40 @@ def test_ffd_packing_matches_python_reference_and_bin_quality(spark):
     for source, loads in loads_by_source.items():
         small = [u for u in loads if u <= BUDGET // 2]
         assert len(small) <= 1, (source, loads)
+
+
+def test_edit_distance_pairs_symspell_completeness(spark):
+    from klogs_spark.ext import text as tx
+
+    words = ["kitten", "sitten", "kitte", "kittens", "mitten",
+             "banana", "bananna", "apple"]
+    df = spark.createDataFrame([(w,) for w in words], "s string")
+    got = {(r.s_a, r.s_b, r.dist)
+           for r in tx.edit_distance_pairs(df).collect()}
+    # substitution, deletion, insertion — every distance-1 relation found
+    expect = {
+        ("kitten", "sitten", 1),   # substitution
+        ("kitte", "kitten", 1),    # deletion
+        ("kitten", "kittens", 1),  # insertion
+        ("kitten", "mitten", 1),
+        ("mitten", "sitten", 1),
+        ("banana", "bananna", 1),
+        ("kitte", "kitten", 1),
+    }
+    assert expect <= got
+    # no false pairs: everything emitted really is distance <= 1
+    import itertools
+
+    def lev(a, b):
+        d = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, d[0] = d[0], i
+            for j, cb in enumerate(b, 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1,
+                                       prev + (ca != cb))
+        return d[len(b)]
+
+    for s_a, s_b, dist in got:
+        assert lev(s_a, s_b) == dist <= 1
+    # apple is nobody's neighbor
+    assert not any("apple" in p[:2] for p in got)

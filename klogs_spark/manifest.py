@@ -34,6 +34,7 @@ from __future__ import annotations
 import json
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .table import PARTITION_COLUMN, _hadoop_fs
 
@@ -77,11 +78,19 @@ def snapshot_versions(spark: SparkSession, path: str) -> list[int]:
     return sorted(versions)
 
 
-def publish_snapshot(spark: SparkSession, path: str) -> int:
-    """Record the table's current file set as the next snapshot version.
-    Returns the published version number."""
+def publish_snapshot(
+    spark: SparkSession, path: str, files: list[str] | None = None
+) -> int:
+    """Record the table's current file set as the next snapshot version
+    (or an explicit ``files`` list — how copy-on-write rewrites publish a
+    manifest that EXCLUDES replaced files still on disk). Returns the
+    published version number."""
     fs, hpath_cls, root = _hadoop_fs(spark, path)
-    files = _list_data_files(fs, root, hpath_cls)
+    files = (
+        _list_data_files(fs, root, hpath_cls)
+        if files is None
+        else sorted(files)
+    )
     version = (snapshot_versions(spark, path) or [0])[-1] + 1
     mdir = hpath_cls(f"{path}/{MANIFEST_DIR}")
     if not fs.exists(mdir):
@@ -115,17 +124,7 @@ def read_snapshot(
     if version not in versions:
         raise FileNotFoundError(f"snapshot v{version} not found in {versions}")
     fs, hpath_cls, _ = _hadoop_fs(spark, path)
-    mf = hpath_cls(f"{path}/{MANIFEST_DIR}/v{version}.json")
-    stream = fs.open(mf)
-    try:
-        raw = bytes(
-            stream.readAllBytes()
-            if hasattr(stream, "readAllBytes")
-            else _read_all(stream)
-        )
-    finally:
-        stream.close()
-    files = json.loads(raw.decode())["files"]
+    files = _manifest_files(spark, path, version)
     missing = [f for f in files if not fs.exists(hpath_cls(f"{path}/{f}"))]
     if missing:
         raise FileNotFoundError(
@@ -137,6 +136,196 @@ def read_snapshot(
         spark.read.option("basePath", path)
         .parquet(*[f"{path}/{f}" for f in files])
     )
+
+
+def _manifest_files(spark: SparkSession, path: str, version: int) -> list:
+    """The file list a snapshot manifest pins (relative paths)."""
+    fs, hpath_cls, _ = _hadoop_fs(spark, path)
+    mf = hpath_cls(f"{path}/{MANIFEST_DIR}/v{version}.json")
+    stream = fs.open(mf)
+    try:
+        raw = bytes(
+            stream.readAllBytes()
+            if hasattr(stream, "readAllBytes")
+            else _read_all(stream)
+        )
+    finally:
+        stream.close()
+    return json.loads(raw.decode())["files"]
+
+
+def snapshot_changes(
+    spark: SparkSession,
+    path: str,
+    v_from: int,
+    v_to: int,
+) -> DataFrame:
+    """Row-level change feed between two published snapshots — the CDC
+    read Delta calls Change Data Feed, recovered purely from the manifest
+    layer (no per-commit change files). File-pruned: only files listed in
+    exactly one of the two manifests are scanned, so the diff costs
+    O(churned files), not O(table) — at 100 TB an append+delete day
+    touches a handful of partitions and the feed reads just those.
+
+    Rows in to-only files are insert candidates, rows in from-only files
+    are delete candidates; a copy-on-write rewrite (delete_where /
+    compaction) carries its unchanged rows in BOTH candidate sets, and
+    ``exceptAll`` cancels them with multiset semantics, leaving exactly
+    the net inserts and deletes. Map columns are emitted as their sorted
+    entry arrays (``array_sort(map_entries(...))``) because Spark set ops
+    cannot compare map types — ``map_from_entries`` restores them.
+
+    Returns the canonical log columns (maps entry-encoded) plus
+    ``_change_type`` ('insert' | 'delete'). Both versions must still be
+    readable (the pin-until-rewrite limit of read_snapshot applies to
+    v_from's files that ALSO vanished from v_to — those raise)."""
+    from .schema import LOG_SCHEMA
+    from .table import LOG_COLUMNS
+
+    files_from = set(_manifest_files(spark, path, v_from))
+    files_to = set(_manifest_files(spark, path, v_to))
+    only_from = sorted(files_from - files_to)
+    only_to = sorted(files_to - files_from)
+
+    map_cols = {
+        f.name
+        for f in LOG_SCHEMA.fields
+        if f.dataType.typeName() == "map"
+    }
+    cols = [PARTITION_COLUMN, *LOG_COLUMNS]
+
+    def canon(df: DataFrame) -> DataFrame:
+        return df.select(
+            *[
+                F.array_sort(F.map_entries(c)).alias(c)
+                if c in map_cols
+                else F.col(c)
+                for c in cols
+            ]
+        )
+
+    empty_schema = None
+
+    def rows(files: list) -> DataFrame:
+        nonlocal empty_schema
+        if not files:
+            if empty_schema is None:
+                empty_schema = canon(
+                    read_snapshot(spark, path, v_to).limit(0)
+                ).schema
+            return spark.createDataFrame([], empty_schema)
+        return canon(
+            spark.read.option("basePath", path)
+            .parquet(*[f"{path}/{f}" for f in files])
+        )
+
+    adds, drops = rows(only_to), rows(only_from)
+    inserts = adds.exceptAll(drops).withColumn("_change_type", F.lit("insert"))
+    deletes = drops.exceptAll(adds).withColumn("_change_type", F.lit("delete"))
+    return inserts.unionByName(deletes)
+
+
+def cow_delete_where(
+    spark: SparkSession,
+    path: str,
+    predicate,
+) -> dict:
+    """Copy-on-write row-level delete that RETAINS replaced files — the
+    full Delta/Iceberg rewrite model, completing the manifest layer:
+    survivors of affected days are written as NEW files (an append never
+    touches existing ones), the old files STAY on disk for pinned
+    readers and CDC (:func:`snapshot_changes` across the delete works),
+    and the newly published manifest simply excludes them. Disk is
+    reclaimed later by :func:`vacuum`.
+
+    Contract shift vs ``table.delete_where`` (which physically overwrites
+    in place): once a table takes a COW rewrite, the directory listing
+    OVER-COUNTS — reads must go through :func:`read_snapshot` /
+    :func:`read_logs_at`. Same NULL discipline as delete_where: a row is
+    deleted only where the predicate is TRUE.
+
+    Scale: one predicate aggregate finds affected days (partition-pruned
+    scan), the survivor write touches only those days' data, and the
+    manifest math is pure file-list set algebra on the driver — O(#files),
+    no data pass."""
+    from .table import LOG_COLUMNS
+
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    hit = F.coalesce(pred, F.lit(False))
+    versions = snapshot_versions(spark, path)
+    base_version = (
+        versions[-1] if versions else publish_snapshot(spark, path)
+    )
+    live = _manifest_files(spark, path, base_version)
+    df = read_snapshot(spark, path, base_version).select(
+        PARTITION_COLUMN, *LOG_COLUMNS
+    )
+    stats = (
+        df.filter(hit)
+        .groupBy(PARTITION_COLUMN)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )  # bounded by affected days
+    affected = sorted(str(r[PARTITION_COLUMN]) for r in stats)
+    rows_deleted = sum(r.n for r in stats)
+    if not affected:
+        return {
+            "version": base_version,
+            "partitions_rewritten": [],
+            "rows_deleted": 0,
+        }
+    fs, hpath_cls, root = _hadoop_fs(spark, path)
+    before = set(_list_data_files(fs, root, hpath_cls))
+    survivors = df.filter(
+        F.col(PARTITION_COLUMN).isin(affected) & ~hit
+    )
+    from .table import write_logs
+
+    write_logs(survivors, path, mode="append")
+    after = set(_list_data_files(fs, root, hpath_cls))
+    new_files = after - before
+    day_dirs = {f"{PARTITION_COLUMN}={d}" for d in affected}
+    replaced = {f for f in live if f.split("/")[0] in day_dirs}
+    version = publish_snapshot(
+        spark, path, sorted((set(live) - replaced) | new_files)
+    )
+    return {
+        "version": version,
+        "partitions_rewritten": affected,
+        "rows_deleted": rows_deleted,
+    }
+
+
+def vacuum(
+    spark: SparkSession, path: str, keep_versions: int = 1
+) -> dict:
+    """Reclaim disk after COW rewrites: delete every data file not
+    referenced by the newest ``keep_versions`` manifests, and drop the
+    older manifests themselves (they would dangle). Checked FS deletes
+    throughout (Hadoop booleans are failure returns, not exceptions).
+    The retention window is the time-travel horizon: keep_versions=3
+    means readers can still pin the last three snapshots."""
+    if keep_versions < 1:
+        raise ValueError("keep_versions must be >= 1")
+    versions = snapshot_versions(spark, path)
+    if not versions:
+        return {"files_deleted": 0, "manifests_dropped": 0}
+    keep = versions[-keep_versions:]
+    referenced: set[str] = set()
+    for v in keep:
+        referenced |= set(_manifest_files(spark, path, v))
+    fs, hpath_cls, root = _hadoop_fs(spark, path)
+    on_disk = _list_data_files(fs, root, hpath_cls)
+    doomed = [f for f in on_disk if f not in referenced]
+    for f in doomed:
+        _must(
+            fs.delete(hpath_cls(f"{path}/{f}"), False), "vacuum-delete", f
+        )
+    dropped = [v for v in versions if v not in keep]
+    for v in dropped:
+        mf = hpath_cls(f"{path}/{MANIFEST_DIR}/v{v}.json")
+        _must(fs.delete(mf, False), "vacuum-manifest-delete", mf)
+    return {"files_deleted": len(doomed), "manifests_dropped": len(dropped)}
 
 
 def read_logs_at(

@@ -1682,6 +1682,67 @@ def q_table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_table_snapshot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level CDC between snapshots (manifest.snapshot_changes —
+    Delta's Change Data Feed recovered from the manifest layer alone):
+    write week 1, publish v1, APPEND week 2 (v2), then COW-DELETE pod-7
+    rows table-wide — manifest.cow_delete_where rewrites every affected
+    day into NEW files while RETAINING the replaced ones on disk, so the
+    v1→v3 feed can still read v1's side of the diff. The feed must show
+    exactly the net effect — inserts = week-2 survivors, deletes =
+    week-1 pod-7 rows — with every unchanged row carried through the
+    rewrite CANCELLED by the multiset exceptAll, and week-2 pod-7 rows
+    (inserted AND deleted inside the window) absent entirely. The oracle
+    recomputes both sides from events, so a missed cancellation or a
+    leaked rewrite row breaks the hash."""
+    import tempfile
+
+    from ..manifest import (
+        cow_delete_where,
+        publish_snapshot,
+        snapshot_changes,
+    )
+    from ..table import write_logs
+    from ..views import derive_logs_from_events
+
+    logs = derive_logs_from_events(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="klogs-cdc-")
+    tdir = f"{base}/logs"
+    write_logs(logs.filter(F.col("timestamp") < TT_CUT_V1), tdir)
+    v1 = publish_snapshot(spark, tdir)
+    write_logs(
+        logs.filter(
+            (F.col("timestamp") >= TT_CUT_V1)
+            & (F.col("timestamp") < TT_CUT_V2)
+        ),
+        tdir,
+        mode="append",
+    )
+    publish_snapshot(spark, tdir)  # v2: the append, base for the COW
+    res = cow_delete_where(spark, tdir, F.col("pod_name") == "pod-7")
+    feed = snapshot_changes(spark, tdir, v1, res["version"])
+    return feed.groupBy(
+        F.col("_change_type").alias("change_type"), "date"
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+SQL_TABLE_SNAPSHOT_CHANGES = f"""
+WITH base AS (
+  SELECT CAST(ts AS DATE) AS date, user_id % 50 AS pod, ts FROM events
+)
+SELECT 'insert' AS change_type, date, count(*) AS n
+FROM base
+WHERE ts >= TIMESTAMP '{TT_CUT_V1} 00:00:00'
+  AND ts < TIMESTAMP '{TT_CUT_V2} 00:00:00' AND pod <> 7
+GROUP BY 2
+UNION ALL
+SELECT 'delete', date, count(*)
+FROM base
+WHERE ts < TIMESTAMP '{TT_CUT_V1} 00:00:00' AND pod = 7
+GROUP BY 2
+"""
+
+
 SQL_TABLE_TIME_TRAVEL = f"""
 SELECT 1 AS version, count(*) AS n_rows,
        CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
@@ -2212,6 +2273,10 @@ SPECS = {
         "by the materialized physical column (marker-driven, plan-asserted "
         "map-free)",
     ),
+    "table_snapshot_changes": QuerySpec(
+        q_table_snapshot_changes, SQL_TABLE_SNAPSHOT_CHANGES,
+        "CDC feed between snapshots: file-pruned insert/delete diff with "
+        "copy-on-write rewrite rows cancelled, vs from-events oracle"),
     "table_time_travel": QuerySpec(
         q_table_time_travel,
         SQL_TABLE_TIME_TRAVEL,

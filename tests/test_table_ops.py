@@ -704,3 +704,75 @@ def test_maintenance_jobs_preserve_zorder_layout(spark, tmp_path):
     assert ordered == sorted(ordered), "compaction lost the z-order layout"
     # data intact
     assert read_logs(spark, path).count() == logs.count()
+
+
+def test_cow_delete_retains_files_pins_survive_and_vacuum_reclaims(
+    spark, tmp_path
+):
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from klogs_spark.manifest import (
+        cow_delete_where,
+        publish_snapshot,
+        read_logs_at,
+        snapshot_changes,
+        snapshot_versions,
+        vacuum,
+    )
+    from klogs_spark.table import write_logs
+    from klogs_spark.views import derive_logs_from_events
+
+    logs = derive_logs_from_events(spark, "/root/testdata/sf0.001").filter(
+        F.col("timestamp") < "2024-01-04"
+    )
+    path = str(tmp_path / "t")
+    write_logs(logs, path)
+    v1 = publish_snapshot(spark, path)
+    n_total = logs.count()
+    n_pod7 = logs.filter("pod_name = 'pod-7'").count()
+    assert n_pod7 > 0
+
+    files_before = {
+        str(p.relative_to(path)) for p in Path(path).rglob("*.parquet")
+    }
+    res = cow_delete_where(spark, path, F.col("pod_name") == "pod-7")
+    assert res["rows_deleted"] == n_pod7
+
+    # old files are RETAINED (unlike table.delete_where) — the pinned v1
+    # read survives the rewrite and still sees the deleted rows
+    assert files_before <= {
+        str(p.relative_to(path)) for p in Path(path).rglob("*.parquet")
+    }
+    assert read_logs_at(spark, path, v1).count() == n_total
+    # the new version excludes them
+    assert read_logs_at(spark, path, res["version"]).count() == (
+        n_total - n_pod7
+    )
+    # CDC across the COW delete: pure deletes, zero inserts, rewrites
+    # cancelled
+    feed = snapshot_changes(spark, path, v1, res["version"])
+    by_type = {
+        r._change_type: r.n
+        for r in feed.groupBy("_change_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert by_type == {"delete": n_pod7}
+
+    # vacuum keeps only the newest manifest, drops the replaced files —
+    # pinned v1 is gone (loudly), latest still reads clean
+    rep = vacuum(spark, path, keep_versions=1)
+    assert rep["files_deleted"] > 0 and rep["manifests_dropped"] >= 1
+    assert snapshot_versions(spark, path) == [res["version"]]
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        read_logs_at(spark, path, v1)
+    assert read_logs_at(spark, path, res["version"]).count() == (
+        n_total - n_pod7
+    )
+    # vacuum after a COW rewrite reconciles the directory with the
+    # manifest: a plain directory read agrees again
+    assert spark.read.parquet(path).count() == n_total - n_pod7

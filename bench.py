@@ -62,6 +62,12 @@ HEADLINE = [
     # regression in the two-phase rank path is visible per round
     "events_equidepth_histogram",
     "tpch_revenue_concentration",
+    # round-9 late additions: the SymSpell deletion-neighborhood join
+    # (keyed-candidate string similarity — the never-quadratic claim is a
+    # perf claim, so it's benched) and the per-day interval-count peak
+    # concurrency (two-phase baseline+running-sum, no global sort)
+    "text_edit_distance_join",
+    "events_peak_concurrency",
 ]
 
 

@@ -2421,7 +2421,8 @@ WITH filt AS (
     AND ts >= TIMESTAMP '{GAPFILL_T0}' AND ts < TIMESTAMP '2024-01-08 00:00:00'
 ), obs AS (
   SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n_obs,
-         sum(CAST(round(value * 100, 0) AS BIGINT)) AS observed_cents
+         CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+           AS observed_cents
   FROM filt GROUP BY 1, 2
 ), grid AS (
   SELECT s.event_type, h.hour

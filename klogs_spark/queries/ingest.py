@@ -1743,6 +1743,63 @@ GROUP BY 2
 """
 
 
+def q_stream_snapshot_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot publishing composed into the streaming sink: a REAL
+    2-micro-batch stream appends each batch through write_logs and
+    publishes a manifest version per batch (the foreachBatch pattern every
+    maintenance sidecar here uses), then the CDC feed between the two
+    stream-published versions must equal exactly the second batch — pure
+    inserts, counted per day against the from-events oracle. This is the
+    consume side of exactly-once: a downstream incremental job reading
+    snapshot_changes(v_N-1, v_N) sees each micro-batch once, by
+    construction file-pruned to that batch's files."""
+    import tempfile
+
+    from ..manifest import publish_snapshot, snapshot_changes
+    from ..schema import LOG_SCHEMA
+    from ..table import write_logs
+    from ..views import derive_logs_from_events
+
+    logs = derive_logs_from_events(spark, sf_dir).filter(
+        F.col("timestamp") < TT_CUT_V2
+    )
+    base = tempfile.mkdtemp(prefix="klogs-streamcdc-")
+    src, ckpt, tdir = f"{base}/src", f"{base}/ckpt", f"{base}/logs"
+    versions = []
+
+    def sink(batch_df, batch_id):
+        write_logs(batch_df, tdir, mode="append")
+        versions.append(publish_snapshot(batch_df.sparkSession, tdir))
+
+    for lo, hi in ((None, TT_CUT_V1), (TT_CUT_V1, TT_CUT_V2)):
+        part = logs.filter(F.col("timestamp") < hi)
+        if lo is not None:
+            part = part.filter(F.col("timestamp") >= lo)
+        part.write.mode("append").parquet(src)
+        q = (
+            spark.readStream.schema(LOG_SCHEMA)
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    feed = snapshot_changes(spark, tdir, versions[0], versions[-1])
+    return feed.groupBy(
+        F.col("_change_type").alias("change_type"), "date"
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+SQL_STREAM_SNAPSHOT_CDC = f"""
+SELECT 'insert' AS change_type, CAST(ts AS DATE) AS date, count(*) AS n
+FROM events
+WHERE ts >= TIMESTAMP '{TT_CUT_V1} 00:00:00'
+  AND ts < TIMESTAMP '{TT_CUT_V2} 00:00:00'
+GROUP BY 2
+"""
+
+
 SQL_TABLE_TIME_TRAVEL = f"""
 SELECT 1 AS version, count(*) AS n_rows,
        CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
@@ -2273,6 +2330,10 @@ SPECS = {
         "by the materialized physical column (marker-driven, plan-asserted "
         "map-free)",
     ),
+    "stream_snapshot_cdc": QuerySpec(
+        q_stream_snapshot_cdc, SQL_STREAM_SNAPSHOT_CDC,
+        "per-micro-batch snapshot publish in foreachBatch; CDC between "
+        "stream-published versions equals the batch (pure inserts)"),
     "table_snapshot_changes": QuerySpec(
         q_table_snapshot_changes, SQL_TABLE_SNAPSHOT_CHANGES,
         "CDC feed between snapshots: file-pruned insert/delete diff with "

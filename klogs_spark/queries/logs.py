@@ -1242,9 +1242,43 @@ FROM dev JOIN mad ON dev.app = mad.app
 """
 
 
+def q_template_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log template mining (the Drain/LogMine clustering idea, the
+    deterministic 80% version): mask every digit run to <N>, then group —
+    lines that differ only in identifiers collapse to one template. Emits
+    per (app, template): volume, spread (distinct pods — a template seen
+    on one pod is a local fault, on all pods a rollout), and first/last
+    day. One groupBy over a narrow projection — the map-side-combinable
+    shape; template cardinality is format-bounded, not row-bounded, so
+    the aggregate output stays tiny at 100 TB."""
+    df = _logs(spark, sf_dir).df
+    tpl = F.regexp_replace(F.col("log"), "[0-9]+", "<N>")
+    return df.groupBy(F.col("app"), tpl.alias("template")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("pod_name").alias("n_pods"),
+        F.min(F.to_date("timestamp")).alias("first_day"),
+        F.max(F.to_date("timestamp")).alias("last_day"),
+    )
+
+
+# DuckDB regexp_replace replaces the FIRST match unless 'g' (known trap)
+SQL_TEMPLATE_MINING = LOGS_CTE + """
+SELECT app, regexp_replace(log, '[0-9]+', '<N>', 'g') AS template,
+       count(*) AS n,
+       CAST(count(DISTINCT pod_name) AS BIGINT) AS n_pods,
+       min(CAST("timestamp" AS DATE)) AS first_day,
+       max(CAST("timestamp" AS DATE)) AS last_day
+FROM logs GROUP BY 1, 2
+"""
+
+
 SPECS = {
     "logs_env_map_count": QuerySpec(q_env_map_count, SQL_ENV_MAP_COUNT,
                                     "F1+F2+F3+A1 canonical klogs count"),
+    "logs_template_mining": QuerySpec(
+        q_template_mining, SQL_TEMPLATE_MINING,
+        "Drain-style log template mining: digit-masked clustering with "
+        "volume/pod-spread/first-last-seen per template"),
     "logs_number_stats": QuerySpec(q_number_stats, SQL_NUMBER_STATS,
                                    "F4+A4 dynamic-number aggregates"),
     "logs_field_exists": QuerySpec(q_field_exists, SQL_FIELD_EXISTS,

@@ -579,3 +579,15 @@ def test_deterministic_shuffle_windows_are_shard_partitioned(spark):
     assert "SinglePartition" not in plan
     for m in re.finditer(r"\(\d+\) Window\b[\s\S]*?Arguments: (.*)", plan):
         assert "shard" in m.group(1)
+
+
+def test_edit_distance_join_is_keyed_never_quadratic(spark):
+    # the SymSpell claim: candidates come from hash-keyed equi-joins on
+    # (variant) / (variant, position) — a quadratic fallback would plan a
+    # cartesian or broadcast-nested-loop join
+    plan = _plan(spark, "text_edit_distance_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    ), plan[:500]

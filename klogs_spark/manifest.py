@@ -296,6 +296,42 @@ def cow_delete_where(
     }
 
 
+def cow_compact_partition(
+    spark: SparkSession, path: str, partition: str
+) -> dict:
+    """COW small-file compaction: merge one day-partition's fragments into
+    new compacted files, RETAIN the fragments for pinned snapshot readers,
+    and publish a manifest that swaps them out — the companion to
+    :func:`cow_delete_where` that closes the manifest layer's stated
+    pin-until-rewrite limit for compaction too (with in-place
+    ``table.compact_partition``, older snapshots break; with this, they
+    keep reading until :func:`vacuum`). ``partition`` is the directory
+    name, e.g. ``date=2024-01-03``. The CDC feed across a pure compaction
+    is EMPTY by construction (every row appears on both sides and
+    cancels). No-op below two files."""
+    versions = snapshot_versions(spark, path)
+    base_version = (
+        versions[-1] if versions else publish_snapshot(spark, path)
+    )
+    live = _manifest_files(spark, path, base_version)
+    frags = [f for f in live if f.split("/")[0] == partition]
+    if len(frags) < 2:
+        return {"version": base_version, "files_compacted": 0}
+    from .table import write_logs
+
+    rows = spark.read.option("basePath", path).parquet(
+        *[f"{path}/{f}" for f in frags]
+    )
+    fs, hpath_cls, root = _hadoop_fs(spark, path)
+    before = set(_list_data_files(fs, root, hpath_cls))
+    write_logs(rows, path, mode="append")
+    after = set(_list_data_files(fs, root, hpath_cls))
+    version = publish_snapshot(
+        spark, path, sorted((set(live) - set(frags)) | (after - before))
+    )
+    return {"version": version, "files_compacted": len(frags)}
+
+
 def vacuum(
     spark: SparkSession, path: str, keep_versions: int = 1
 ) -> dict:

@@ -820,3 +820,56 @@ def test_snapshot_changes_scans_only_churned_files(spark, tmp_path):
         & (F.col("timestamp") < "2024-01-15")
     ).count()
     assert feed.count() == n_week2
+
+
+def test_cow_compact_preserves_pins_and_cdc_feed_is_empty(spark, tmp_path):
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from klogs_spark.manifest import (
+        cow_compact_partition,
+        publish_snapshot,
+        read_logs_at,
+        snapshot_changes,
+        vacuum,
+    )
+    from klogs_spark.table import write_logs
+    from klogs_spark.views import derive_logs_from_events
+
+    logs = derive_logs_from_events(spark, "/root/testdata/sf0.001").filter(
+        F.col("timestamp") < "2024-01-03"
+    )
+    path = str(tmp_path / "t")
+    # fragment one day with repeated appends
+    for i in range(4):
+        write_logs(logs.filter(F.minute("timestamp") % 4 == i), path)
+    v1 = publish_snapshot(spark, path)
+    n = logs.count()
+    day = sorted(
+        p.name for p in Path(path).iterdir() if p.name.startswith("date=")
+    )[0]
+    n_before = len(list((Path(path) / day).glob("*.parquet")))
+    assert n_before >= 4
+
+    res = cow_compact_partition(spark, path, day)
+    assert res["files_compacted"] == n_before
+    # pinned v1 still reads (fragments retained); new version reads same
+    # rows through fewer files for that day
+    assert read_logs_at(spark, path, v1).count() == n
+    assert read_logs_at(spark, path, res["version"]).count() == n
+    from klogs_spark.manifest import _manifest_files
+
+    new_day_files = [
+        f
+        for f in _manifest_files(spark, path, res["version"])
+        if f.startswith(day)
+    ]
+    assert len(new_day_files) < n_before
+    # a pure compaction produces an EMPTY change feed — every row cancels
+    assert snapshot_changes(spark, path, v1, res["version"]).count() == 0
+    # vacuum reclaims the fragments; compacted table still reads clean
+    rep = vacuum(spark, path, keep_versions=1)
+    assert rep["files_deleted"] >= n_before
+    assert read_logs_at(spark, path, res["version"]).count() == n
+    assert spark.read.parquet(path).count() == n

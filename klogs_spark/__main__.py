@@ -115,6 +115,30 @@ def main(argv: list[str] | None = None) -> int:
     po.add_argument("--days", default="",
                     help="restrict to these days (comma-separated)")
 
+    pcd = sub.add_parser("cow-delete",
+                         help="COW predicate delete (pins survive; "
+                              "vacuum later)")
+    pcd.add_argument("table")
+    pcd.add_argument("predicate", help="SQL predicate over log columns")
+
+    pcc = sub.add_parser("cow-compact",
+                         help="COW small-file compaction of one partition")
+    pcc.add_argument("table")
+    pcc.add_argument("partition", help="e.g. date=2024-01-03")
+
+    pvc = sub.add_parser("vacuum",
+                         help="reclaim files unreferenced by the newest "
+                              "K manifests")
+    pvc.add_argument("table")
+    pvc.add_argument("--keep-versions", type=int, default=1)
+
+    pch = sub.add_parser("changes",
+                         help="CDC feed between two snapshot versions")
+    pch.add_argument("table")
+    pch.add_argument("v_from", type=int)
+    pch.add_argument("v_to", type=int)
+    pch.add_argument("--limit", type=int, default=20)
+
     args = p.parse_args(argv)
 
     if args.cmd == "retention":
@@ -216,6 +240,45 @@ def main(argv: list[str] | None = None) -> int:
         from .manifest import publish_snapshot
 
         print(f"published v{publish_snapshot(spark, args.table)}")
+        return 0
+
+    if args.cmd == "cow-delete":
+        from .manifest import cow_delete_where
+
+        res = cow_delete_where(spark, args.table, args.predicate)
+        print(
+            f"v{res['version']}: deleted {res['rows_deleted']} row(s); "
+            f"rewrote {res['partitions_rewritten']} (fragments retained — "
+            "run vacuum to reclaim)"
+        )
+        return 0
+
+    if args.cmd == "cow-compact":
+        from .manifest import cow_compact_partition
+
+        res = cow_compact_partition(spark, args.table, args.partition)
+        print(
+            f"v{res['version']}: compacted {res['files_compacted']} "
+            "file(s) (fragments retained — run vacuum to reclaim)"
+        )
+        return 0
+
+    if args.cmd == "vacuum":
+        from .manifest import vacuum
+
+        rep = vacuum(spark, args.table, keep_versions=args.keep_versions)
+        print(
+            f"reclaimed {rep['files_deleted']} file(s), dropped "
+            f"{rep['manifests_dropped']} manifest(s)"
+        )
+        return 0
+
+    if args.cmd == "changes":
+        from .manifest import snapshot_changes
+
+        snapshot_changes(spark, args.table, args.v_from, args.v_to).show(
+            args.limit, truncate=False
+        )
         return 0
 
     if args.cmd == "versions":

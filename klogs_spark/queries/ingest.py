@@ -1791,6 +1791,79 @@ def q_stream_snapshot_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n"))
 
 
+def q_table_cow_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole copy-on-write lifecycle externally hash-checked in one
+    pass: fragment a week by 4 appends → snapshot v1 → COW-COMPACT the
+    first day (CDC feed v1→v2 must be EMPTY — every carried row cancels)
+    → COW-DELETE pod-7 (feed v2→v3 must be pure deletes) → VACUUM to one
+    manifest → read the surviving table per day. Emits one row per stage
+    plus the per-day post-vacuum counts; the oracle recomputes each
+    number from events arithmetic, so a leaked fragment row, a
+    non-cancelling rewrite, or an over-eager vacuum all break the hash."""
+    import tempfile
+
+    from ..manifest import (
+        cow_compact_partition,
+        cow_delete_where,
+        publish_snapshot,
+        read_logs_at,
+        snapshot_changes,
+        vacuum,
+    )
+    from ..table import write_logs
+    from ..views import derive_logs_from_events
+
+    logs = derive_logs_from_events(spark, sf_dir).filter(
+        F.col("timestamp") < TT_CUT_V1
+    )
+    base = tempfile.mkdtemp(prefix="klogs-cowlife-")
+    tdir = f"{base}/logs"
+    for i in range(4):
+        write_logs(logs.filter(F.minute("timestamp") % 4 == i), tdir)
+    v1 = publish_snapshot(spark, tdir)
+    v2 = cow_compact_partition(spark, tdir, "date=2024-01-01")["version"]
+    compact_feed = snapshot_changes(spark, tdir, v1, v2)
+    v3 = cow_delete_where(spark, tdir, F.col("pod_name") == "pod-7")[
+        "version"
+    ]
+    delete_feed = snapshot_changes(spark, tdir, v2, v3)
+    # feeds read the RETAINED fragments, so they must materialize BEFORE
+    # vacuum reclaims those files — the same consume-before-vacuum rule as
+    # Delta's change feed; counts are driver-bounded (2 ints)
+    stage_counts = [
+        ("compact_feed", compact_feed.count()),
+        ("delete_feed", delete_feed.filter("_change_type = 'delete'").count()),
+    ]
+    vacuum(spark, tdir, keep_versions=1)
+    final = read_logs_at(spark, tdir, v3)
+
+    stages = spark.createDataFrame(
+        [(s, "total", n) for s, n in stage_counts if n > 0],
+        "stage string, day string, n long",
+    )
+    per_day = final.groupBy(
+        F.lit("post_vacuum").alias("stage"),
+        F.col("date").cast("string").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return stages.unionByName(per_day)
+
+
+SQL_TABLE_COW_LIFECYCLE = f"""
+WITH wk AS (
+  SELECT CAST(ts AS DATE) AS day, user_id % 50 AS pod FROM events
+  WHERE ts < TIMESTAMP '{TT_CUT_V1} 00:00:00'
+)
+SELECT 'delete_feed' AS stage, 'total' AS day, count(*) AS n
+FROM wk WHERE pod = 7
+UNION ALL
+SELECT 'post_vacuum', CAST(day AS VARCHAR), count(*)
+FROM wk WHERE pod <> 7 GROUP BY 2
+"""
+# note: the oracle has no 'compact_feed' row — an empty groupBy aggregate
+# emits nothing, which IS the assertion (a non-cancelling compaction would
+# emit a count row and break the row-count match).
+
+
 SQL_STREAM_SNAPSHOT_CDC = f"""
 SELECT 'insert' AS change_type, CAST(ts AS DATE) AS date, count(*) AS n
 FROM events
@@ -2330,6 +2403,10 @@ SPECS = {
         "by the materialized physical column (marker-driven, plan-asserted "
         "map-free)",
     ),
+    "table_cow_lifecycle": QuerySpec(
+        q_table_cow_lifecycle, SQL_TABLE_COW_LIFECYCLE,
+        "full COW lifecycle: compact (empty feed), delete (pure-delete "
+        "feed), vacuum, per-day survivors vs events arithmetic"),
     "stream_snapshot_cdc": QuerySpec(
         q_stream_snapshot_cdc, SQL_STREAM_SNAPSHOT_CDC,
         "per-micro-batch snapshot publish in foreachBatch; CDC between "

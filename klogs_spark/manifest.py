@@ -225,6 +225,26 @@ def snapshot_changes(
     return inserts.unionByName(deletes)
 
 
+def _append_in_layout(spark: SparkSession, df: DataFrame, path: str) -> None:
+    """Append rewrite output as NEW files honoring the table's recorded
+    sort layout (cluster key or z-order — the same `_layout_sorted`
+    contract every in-place maintenance job follows), never touching
+    existing files. The rebalance hint keeps writer parallelism and
+    small-file hygiene identical to `table.write_logs`."""
+    from .table import _layout_sorted, read_layout
+
+    (
+        _layout_sorted(
+            df.hint("rebalance", PARTITION_COLUMN),
+            read_layout(spark, path),
+            lead_partition=True,
+        )
+        .write.mode("append")
+        .partitionBy(PARTITION_COLUMN)
+        .parquet(path)
+    )
+
+
 def cow_delete_where(
     spark: SparkSession,
     path: str,
@@ -279,9 +299,7 @@ def cow_delete_where(
     survivors = df.filter(
         F.col(PARTITION_COLUMN).isin(affected) & ~hit
     )
-    from .table import write_logs
-
-    write_logs(survivors, path, mode="append")
+    _append_in_layout(spark, survivors, path)
     after = set(_list_data_files(fs, root, hpath_cls))
     new_files = after - before
     day_dirs = {f"{PARTITION_COLUMN}={d}" for d in affected}
@@ -317,14 +335,12 @@ def cow_compact_partition(
     frags = [f for f in live if f.split("/")[0] == partition]
     if len(frags) < 2:
         return {"version": base_version, "files_compacted": 0}
-    from .table import write_logs
-
     rows = spark.read.option("basePath", path).parquet(
         *[f"{path}/{f}" for f in frags]
     )
     fs, hpath_cls, root = _hadoop_fs(spark, path)
     before = set(_list_data_files(fs, root, hpath_cls))
-    write_logs(rows, path, mode="append")
+    _append_in_layout(spark, rows, path)
     after = set(_list_data_files(fs, root, hpath_cls))
     version = publish_snapshot(
         spark, path, sorted((set(live) - set(frags)) | (after - before))

@@ -873,3 +873,45 @@ def test_cow_compact_preserves_pins_and_cdc_feed_is_empty(spark, tmp_path):
     assert rep["files_deleted"] >= n_before
     assert read_logs_at(spark, path, res["version"]).count() == n
     assert spark.read.parquet(path).count() == n
+
+
+def test_cow_rewrites_preserve_zorder_layout(spark, tmp_path):
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from klogs_spark.ext.zorder import add_zorder
+    from klogs_spark.manifest import (
+        cow_compact_partition,
+        publish_snapshot,
+        read_logs_at,
+        vacuum,
+    )
+    from klogs_spark.table import read_layout, write_logs_zordered
+    from klogs_spark.views import derive_logs_from_events
+
+    logs = derive_logs_from_events(spark, "/root/testdata/sf0.01").filter(
+        F.col("timestamp") < "2024-01-03"
+    )
+    path = str(tmp_path / "zlogs")
+    # fragment a z-ordered table with two appends
+    write_logs_zordered(logs.filter("pod_name <> 'pod-3'"), path,
+                        mode="overwrite")
+    write_logs_zordered(logs.filter("pod_name = 'pod-3'"), path)
+    publish_snapshot(spark, path)
+
+    day = "date=2024-01-02"
+    res = cow_compact_partition(spark, path, day)
+    assert res["files_compacted"] >= 2
+    vacuum(spark, path, keep_versions=1)
+    assert read_layout(spark, path)["layout"] == "zorder"
+    files = glob.glob(f"{path}/{day}/*.parquet")
+    assert len(files) == 1
+    rows = spark.read.parquet(files[0])
+    z = add_zorder(
+        rows.withColumn("_seq", F.monotonically_increasing_id()),
+        ["namespace", "app", "host"],
+    )
+    ordered = [r._z for r in z.orderBy("_seq").select("_z").collect()]
+    assert ordered == sorted(ordered), "COW compaction lost the z-order"
+    assert read_logs_at(spark, path).count() == logs.count()

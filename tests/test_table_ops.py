@@ -915,3 +915,41 @@ def test_cow_rewrites_preserve_zorder_layout(spark, tmp_path):
     ordered = [r._z for r in z.orderBy("_seq").select("_z").collect()]
     assert ordered == sorted(ordered), "COW compaction lost the z-order"
     assert read_logs_at(spark, path).count() == logs.count()
+
+
+def test_publish_snapshot_collision_guard(spark, tmp_path):
+    """Concurrency discipline of the manifest layer, both halves:
+    (1) a writer that lands AFTER another's publish simply takes the next
+    version — no clobber; (2) the true race window (both computed the
+    same next version) is caught by the CHECKED rename: Hadoop rename
+    onto an existing manifest returns false, which _must turns into a
+    loud IOError rather than a silent overwrite."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from klogs_spark.manifest import publish_snapshot, snapshot_versions
+    from klogs_spark.table import _hadoop_fs, write_logs
+    from klogs_spark.views import derive_logs_from_events
+
+    logs = derive_logs_from_events(spark, "/root/testdata/sf0.001").filter(
+        F.col("timestamp") < "2024-01-02"
+    )
+    path = str(tmp_path / "t")
+    write_logs(logs, path)
+    v1 = publish_snapshot(spark, path)
+    # (1) later writer sees the interloper and moves past it
+    winner = tmp_path / "t" / "_manifest" / f"v{v1 + 1}.json"
+    winner.write_text(json.dumps({"version": v1 + 1, "files": []}))
+    v3 = publish_snapshot(spark, path)
+    assert v3 == v1 + 2
+    assert json.loads(winner.read_text())["files"] == []
+    assert snapshot_versions(spark, path) == [v1, v1 + 1, v3]
+    # (2) the race window itself: rename onto an existing target is a
+    # Hadoop false-return, the exact condition _must guards
+    fs, hpath_cls, _ = _hadoop_fs(spark, path)
+    tmp = hpath_cls(f"{path}/_manifest/.vX.json.tmp")
+    out = fs.create(tmp, True)
+    out.write(b"{}")
+    out.close()
+    assert not fs.rename(tmp, hpath_cls(str(winner)))

@@ -876,3 +876,94 @@ def edit_distance_pairs(strings: DataFrame, col: str = "s") -> DataFrame:
     return cands.filter(dist <= 1).select(
         "s_a", "s_b", dist.cast("long").alias("dist")
     )
+
+
+def misra_gries_topk(
+    df: DataFrame,
+    col: str,
+    k: int = 16,
+) -> "tuple[DataFrame, int]":
+    """Mergeable Misra-Gries heavy-hitter summary — the deterministic
+    counter-based alternative to the CMS sketch (`cms_counters`): ≤ k
+    counters per partition, NO shuffle over the data (the only movement
+    is #partitions x k summary rows), and the classic guarantee survives
+    the merge (Agarwal et al., "Mergeable Summaries", PODS'12):
+
+      true_count - err  <=  est  <=  true_count
+
+    where ``err`` (returned alongside) is the total decrement applied
+    across partition summaries and the merge — every item with
+    true_count > err is GUARANTEED present. At 100 TB this is the "top
+    talkers without a shuffle" primitive: each executor keeps k counters,
+    the driver merges a bounded #partitions x k table.
+
+    Returns ``(summary_df, err)`` with columns (item, est) — est is the
+    merged lower-estimate counter.
+    """
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("item", StringType(), True),
+            StructField("est", LongType(), False),
+            StructField("deficit", LongType(), False),
+        ]
+    )
+
+    def _partition_mg(batches):
+        import pandas as pd
+
+        counters: dict = {}
+        deficit = 0
+        for batch in batches:
+            for item in batch[col]:
+                key = None if item is None else str(item)
+                if key in counters:
+                    counters[key] += 1
+                elif len(counters) < k:
+                    counters[key] = 1
+                else:
+                    # decrement-all: the defining MG step
+                    deficit += 1
+                    dead = []
+                    for c in counters:
+                        counters[c] -= 1
+                        if counters[c] == 0:
+                            dead.append(c)
+                    for c in dead:
+                        del counters[c]
+        yield pd.DataFrame(
+            {
+                "item": list(counters) or [None],
+                "est": list(counters.values()) or [0],
+                "deficit": [deficit] + [0] * (max(len(counters), 1) - 1),
+            }
+        )
+
+    summaries = df.select(F.col(col).alias(col)).mapInPandas(
+        _partition_mg, schema=out_schema
+    ).collect()  # bounded: #partitions x k rows by construction
+    merged: dict = {}
+    err = 0
+    for r in summaries:
+        err += r.deficit
+        if r.item is not None and r.est > 0:
+            merged[r.item] = merged.get(r.item, 0) + r.est
+    if len(merged) > k:
+        # mergeable-summaries step: subtract the (k+1)-th largest counter
+        # from every counter, drop the non-positive — restores size <= k
+        # and adds that subtraction to the error bound
+        cut = sorted(merged.values(), reverse=True)[k]
+        err += cut
+        merged = {i: c - cut for i, c in merged.items() if c - cut > 0}
+    spark = df.sparkSession
+    out = spark.createDataFrame(
+        [(i, int(c)) for i, c in sorted(merged.items())] or [],
+        "item string, est long",
+    )
+    return out, int(err)

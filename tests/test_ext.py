@@ -923,3 +923,40 @@ def test_edit_distance_pairs_symspell_completeness(spark):
         assert lev(s_a, s_b) == dist <= 1
     # apple is nobody's neighbor
     assert not any("apple" in p[:2] for p in got)
+
+
+def test_misra_gries_guarantees_and_merge(spark):
+    from collections import Counter
+
+    from klogs_spark.ext import text as tx
+
+    # skewed synthetic stream: heavy items + long uniform tail, split
+    # across several partitions so the merge path actually runs
+    items = (["alpha"] * 500 + ["beta"] * 300 + ["gamma"] * 120
+             + [f"tail{i}" for i in range(400)] * 2)
+    import random
+
+    rng = random.Random(7)
+    rng.shuffle(items)
+    df = spark.createDataFrame(
+        [(w,) for w in items], "tok string"
+    ).repartition(8)
+    exact = Counter(items)
+    n = len(items)
+
+    summary, err = tx.misra_gries_topk(df, "tok", k=16)
+    est = {r.item: r.est for r in summary.collect()}
+    assert len(est) <= 16
+    # the MG contract, survives the merge: never overcount, undercount
+    # bounded by the reported deficit
+    for item, e in est.items():
+        assert e <= exact[item]
+        assert e >= exact[item] - err
+    # every item more frequent than the error bound is guaranteed present
+    for item, c in exact.items():
+        if c > err:
+            assert item in est, (item, c, err)
+    assert err < n  # bound is meaningful, not degenerate
+    # heavy hitters surface with the highest estimates
+    top2 = {i for i, _ in sorted(est.items(), key=lambda kv: -kv[1])[:2]}
+    assert top2 == {"alpha", "beta"}

@@ -571,3 +571,67 @@ def test_random_delete_where_preserves_complement(spark, tmp_path_factory, spec)
     )
     assert survivors == want, f"delete mismatch for {spec}"
     assert res["rows_deleted"] == len(before) - len(want)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    w=st.integers(1, 12),
+    h=st.integers(1, 10),
+    channels=st.sampled_from([1, 3]),
+    data=st.data(),
+)
+def test_png_codec_round_trip_random(w, h, channels, data):
+    """Property: encode_png -> decode_png_pixels is the identity on raw
+    pixels for ANY dims, channel count, pixel content, and per-row filter
+    choice — the pure-Python PNG codec's contract, fuzzed."""
+    from klogs_spark.ext import multimodal as mm
+
+    n = w * h * channels
+    raw = bytes(
+        data.draw(st.lists(st.integers(0, 255), min_size=n, max_size=n))
+    )
+    filters = data.draw(
+        st.lists(st.integers(0, 4), min_size=h, max_size=h)
+    )
+    png = mm.encode_png(w, h, raw, channels=channels, filters=filters)
+    assert mm.decode_png_pixels(png) == (w, h, channels, raw)
+    # resize to any dims keeps exact source pixels under the floor mapping
+    w2 = data.draw(st.integers(1, 8))
+    h2 = data.draw(st.integers(1, 8))
+    resized = mm.decode_png_pixels(mm.png_resize_nearest(png, w2, h2))
+    assert resized[0] == w2 and resized[1] == h2
+    for y in (0, h2 - 1):
+        for x in (0, w2 - 1):
+            sy, sx = (y * h) // h2, (x * w) // w2
+            got = resized[3][(y * w2 + x) * channels:(y * w2 + x + 1) * channels]
+            src = raw[(sy * w + sx) * channels:(sy * w + sx + 1) * channels]
+            assert got == src
+
+
+@settings(max_examples=200, deadline=None)
+@given(data=st.data())
+def test_msgpack_round_trip_random(data):
+    """Property: pack -> unpack_one is the identity over the JSON-ish value
+    domain Fluent Bit events live in (nested maps/arrays/strs/ints/floats/
+    bools/None/bytes)."""
+    from klogs_spark.msgpack_lite import pack, unpack_one
+
+    scalars = st.one_of(
+        st.none(),
+        st.booleans(),
+        st.integers(min_value=-(2**63), max_value=2**64 - 1),
+        st.floats(allow_nan=False),
+        st.text(max_size=40),
+        st.binary(max_size=40),
+    )
+    value = data.draw(
+        st.recursive(
+            scalars,
+            lambda kids: st.one_of(
+                st.lists(kids, max_size=5),
+                st.dictionaries(st.text(max_size=10), kids, max_size=5),
+            ),
+            max_leaves=20,
+        )
+    )
+    assert unpack_one(pack(value)) == value

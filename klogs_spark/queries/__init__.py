@@ -236,6 +236,56 @@ DRIVER_VERIFIED: dict = {
     "text_vocab_growth": "2a1247ebdbff",
     "tpch_association_rules": "28411b68622e",
     "tpch_frequent_item_pairs": "fefadcff4cba",
+    # round-9 green checks (CORRECTNESS_r09.json), hashed at the r10 tree
+    "ann_index_drift": "10c328821d5b",
+    "ann_ivfpq_stream": "fed845315c01",
+    "ann_sq8_topk": "48bc15bc8fe5",
+    "dedup_canonical": "86f440673d91",
+    "dedup_lsh_recall": "bae2e40eeb3d",
+    "dedup_prefix_jaccard": "acd5d664a177",
+    "embedding_norm_outliers": "a1905f13370e",
+    "events_active_users": "bf827125bbf1",
+    "events_counter_rate": "c7d757e0b2ee",
+    "events_equidepth_histogram": "7111fef6fb2f",
+    "events_gapfill_locf": "d4bdff4355bb",
+    "events_peak_concurrency": "e6cf823b90fb",
+    "events_wau_hll": "49c57b1f4ff9",
+    "logs_field_cardinality_guard": "0755bf18d657",
+    "logs_keyset_pagination": "26efb2ff1e8a",
+    "logs_new_fields_report": "a6217b1fc2cd",
+    "logs_seasonal_anomaly": "e33195697eb8",
+    "logs_template_mining": "d7f64e0bd9b5",
+    "logs_volume_anomaly_mad": "386862e78199",
+    "multimodal_audio_stats": "978feac692ad",
+    "multimodal_image_resize": "546c07abad94",
+    "multimodal_image_stats": "5b6919526e38",
+    "sample_doremi_step": "36d3f4663c65",
+    "sample_interleave": "45a48ed1ca3a",
+    "sample_pack_ffd": "ccf68832e632",
+    "stream_exactly_once": "45934d386ac4",
+    "stream_minmax_sidecar": "0624c7a763b5",
+    "stream_quarantine_triage": "6210d74ece01",
+    "stream_rollup_maintain": "a25255dcc5c5",
+    "stream_snapshot_cdc": "916c953d8820",
+    "stream_validated_sink": "fb46d427f598",
+    "table_cow_lifecycle": "1c02f89363de",
+    "table_expectations": "f65b4144cdb7",
+    "table_field_range_files": "658fbb74c597",
+    "table_field_range_skip": "d3501043d300",
+    "table_merge_upsert": "2934c24daf96",
+    "table_promoted_view": "775113dc1793",
+    "table_retention_policy": "49cf8b48e442",
+    "table_snapshot_changes": "91b5f3bdd0c8",
+    "table_time_travel": "d721774c99fd",
+    "text_edit_distance_join": "a4f3d4cb7993",
+    "text_hll_merge": "8b97fa644f74",
+    "text_ngram_novelty": "ad7549b6eb2e",
+    "tpch_bucketed_join": "186d20a9bcdf",
+    "tpch_revenue_concentration": "490e1e4f6e65",
+    "tpch_rfm_segments": "3b55d5849d64",
+    "tpch_rfm_segments_scaled": "ff685316abe6",
+    "window_balance_quartiles_scaled": "7865425c9de6",
+    "window_daily_revenue_trend": "86f7e3b31ad7",
 }
 
 

@@ -35,7 +35,9 @@ def check_report(
     ``checks``: (name, boolean Column) — a row VIOLATES the check when
     the condition is not TRUE (NULL counts as a violation).
     ``unique_keys``: (name, key Column) — violated rows = duplicates
-    beyond the first occurrence of each key value.
+    beyond the first occurrence of each key value; every NULL-keyed row
+    violates too (a key that is missing cannot be unique — without this,
+    any number of NULL keys would pass unnoticed).
 
     Returns one row per check: (check_name, n_rows, n_violations,
     passed)."""
@@ -50,8 +52,14 @@ def check_report(
             .alias(f"{name}__v")
         )
     for name, key in unique_keys:
+        # count(key)/count_distinct both skip NULLs, so add the NULL-key
+        # rows (count(*) - count(key)) as violations explicitly
         aggs.append(
-            (F.count(key) - F.count_distinct(key))
+            (
+                F.count(key)
+                - F.count_distinct(key)
+                + (F.count(F.lit(1)) - F.count(key))
+            )
             .cast("bigint")
             .alias(f"{name}__v")
         )

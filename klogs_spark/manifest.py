@@ -62,6 +62,23 @@ def _list_data_files(fs, root, hpath_cls) -> list[str]:
     return sorted(files)
 
 
+def _unmanifested_files(spark: SparkSession, path: str) -> set[str]:
+    """On-disk data files referenced by NO published manifest — plain
+    appends (``write_logs mode=append``) that landed after the last
+    ``publish_snapshot``. These are COMMITTED data, not COW leftovers:
+    a leftover retained by a copy-on-write rewrite always appears in at
+    least one OLDER manifest (the rewrite publishes a manifest that
+    excludes it but never deletes the prior manifest that includes it).
+    Rewrite jobs fold these into their base set so a delete predicate
+    scans them and the next manifest references them; :func:`vacuum`
+    leaves them untouched."""
+    fs, hpath_cls, root = _hadoop_fs(spark, path)
+    on_disk = set(_list_data_files(fs, root, hpath_cls))
+    for v in snapshot_versions(spark, path):
+        on_disk -= set(_manifest_files(spark, path, v))
+    return on_disk
+
+
 def snapshot_versions(spark: SparkSession, path: str) -> list[int]:
     fs, hpath_cls, _ = _hadoop_fs(spark, path)
     mdir = hpath_cls(f"{path}/{MANIFEST_DIR}")
@@ -225,6 +242,32 @@ def snapshot_changes(
     return inserts.unionByName(deletes)
 
 
+def _cow_base_version(spark: SparkSession, path: str) -> int:
+    """The snapshot a COW rewrite works from: the latest manifest — unless
+    committed appends landed AFTER it (files in no manifest), in which
+    case a fresh base snapshot folding them in is published first.
+    Without this, appended rows escape the rewrite's predicate, fall out
+    of the published manifest, and are then either stranded forever
+    (:func:`vacuum` rightly spares unmanifested files) or silently lost to
+    readers — the r9-advice data-loss chain. Publishing the base from the
+    EXPLICIT file list (latest manifest ∪ unmanifested) rather than a
+    directory listing keeps already-tombstoned COW leftovers dead."""
+    versions = snapshot_versions(spark, path)
+    base_version = (
+        versions[-1] if versions else publish_snapshot(spark, path)
+    )
+    unman = _unmanifested_files(spark, path)
+    if unman:
+        base_version = publish_snapshot(
+            spark,
+            path,
+            sorted(
+                set(_manifest_files(spark, path, base_version)) | unman
+            ),
+        )
+    return base_version
+
+
 def _append_in_layout(spark: SparkSession, df: DataFrame, path: str) -> None:
     """Append rewrite output as NEW files honoring the table's recorded
     sort layout (cluster key or z-order — the same `_layout_sorted`
@@ -272,10 +315,7 @@ def cow_delete_where(
 
     pred = F.expr(predicate) if isinstance(predicate, str) else predicate
     hit = F.coalesce(pred, F.lit(False))
-    versions = snapshot_versions(spark, path)
-    base_version = (
-        versions[-1] if versions else publish_snapshot(spark, path)
-    )
+    base_version = _cow_base_version(spark, path)
     live = _manifest_files(spark, path, base_version)
     df = read_snapshot(spark, path, base_version).select(
         PARTITION_COLUMN, *LOG_COLUMNS
@@ -327,10 +367,7 @@ def cow_compact_partition(
     name, e.g. ``date=2024-01-03``. The CDC feed across a pure compaction
     is EMPTY by construction (every row appears on both sides and
     cancels). No-op below two files."""
-    versions = snapshot_versions(spark, path)
-    base_version = (
-        versions[-1] if versions else publish_snapshot(spark, path)
-    )
+    base_version = _cow_base_version(spark, path)
     live = _manifest_files(spark, path, base_version)
     frags = [f for f in live if f.split("/")[0] == partition]
     if len(frags) < 2:
@@ -351,33 +388,48 @@ def cow_compact_partition(
 def vacuum(
     spark: SparkSession, path: str, keep_versions: int = 1
 ) -> dict:
-    """Reclaim disk after COW rewrites: delete every data file not
-    referenced by the newest ``keep_versions`` manifests, and drop the
-    older manifests themselves (they would dangle). Checked FS deletes
-    throughout (Hadoop booleans are failure returns, not exceptions).
-    The retention window is the time-travel horizon: keep_versions=3
-    means readers can still pin the last three snapshots."""
+    """Reclaim disk after COW rewrites: delete the data files that dropped
+    snapshots TOMBSTONED — referenced by a manifest outside the retention
+    window but by none inside it — then drop those older manifests (they
+    would dangle). Files referenced by NO manifest at all are committed
+    appends newer than the last publish (see :func:`_unmanifested_files`)
+    and are never touched; their count is reported so operators know a
+    ``publish_snapshot`` is due. Checked FS deletes throughout (Hadoop
+    booleans are failure returns, not exceptions). The retention window is
+    the time-travel horizon: keep_versions=3 means readers can still pin
+    the last three snapshots."""
     if keep_versions < 1:
         raise ValueError("keep_versions must be >= 1")
     versions = snapshot_versions(spark, path)
     if not versions:
-        return {"files_deleted": 0, "manifests_dropped": 0}
+        return {
+            "files_deleted": 0,
+            "manifests_dropped": 0,
+            "files_unmanifested": 0,
+        }
     keep = versions[-keep_versions:]
-    referenced: set[str] = set()
+    dropped = [v for v in versions if v not in keep]
+    kept_refs: set[str] = set()
     for v in keep:
-        referenced |= set(_manifest_files(spark, path, v))
+        kept_refs |= set(_manifest_files(spark, path, v))
+    dropped_refs: set[str] = set()
+    for v in dropped:
+        dropped_refs |= set(_manifest_files(spark, path, v))
     fs, hpath_cls, root = _hadoop_fs(spark, path)
-    on_disk = _list_data_files(fs, root, hpath_cls)
-    doomed = [f for f in on_disk if f not in referenced]
+    on_disk = set(_list_data_files(fs, root, hpath_cls))
+    doomed = sorted((dropped_refs - kept_refs) & on_disk)
     for f in doomed:
         _must(
             fs.delete(hpath_cls(f"{path}/{f}"), False), "vacuum-delete", f
         )
-    dropped = [v for v in versions if v not in keep]
     for v in dropped:
         mf = hpath_cls(f"{path}/{MANIFEST_DIR}/v{v}.json")
         _must(fs.delete(mf, False), "vacuum-manifest-delete", mf)
-    return {"files_deleted": len(doomed), "manifests_dropped": len(dropped)}
+    return {
+        "files_deleted": len(doomed),
+        "manifests_dropped": len(dropped),
+        "files_unmanifested": len(on_disk - kept_refs - dropped_refs),
+    }
 
 
 def read_logs_at(

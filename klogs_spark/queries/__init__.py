@@ -269,7 +269,7 @@ DRIVER_VERIFIED: dict = {
     "stream_snapshot_cdc": "916c953d8820",
     "stream_validated_sink": "fb46d427f598",
     "table_cow_lifecycle": "1c02f89363de",
-    "table_expectations": "f65b4144cdb7",
+    # "table_expectations" — uniqueness semantics changed r10 (NULL keys violate); re-enters window
     "table_field_range_files": "658fbb74c597",
     "table_field_range_skip": "d3501043d300",
     "table_merge_upsert": "2934c24daf96",

@@ -4245,6 +4245,71 @@ FROM est
 """
 
 
+MG_K = 12
+
+
+def q_misra_gries_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy-hitter summary (ext.text.misra_gries_topk — ≤ k
+    counters per partition, only #partitions × k summary rows ever move)
+    externally HASH-CHECKED through its guarantee, the same
+    exact-facts-plus-computed-invariant-booleans treatment as
+    sample_pack_ffd: the summary itself is partition-order dependent, but
+    the MG contract is SQL-expressible against exact token counts —
+
+      * within_bounds: every summary estimate obeys
+        true_count − err ≤ est ≤ true_count;
+      * heavy_present: every token with true_count > err IS in the
+        summary (the classic frequent-items guarantee);
+      * err_bound_ok: err ≤ n/(k+1) — each cut of the (k+1)-th largest
+        counter removes ≥ (k+1)·cut mass, so total deficit is bounded;
+      * summary_size_le_k.
+
+    The booleans are COMPUTED from the real summary joined to the real
+    exact counts (they fail the hash if the kernel breaks the contract);
+    the oracle recomputes the exact conservation facts and emits the
+    booleans as literal true."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(dd.tokens_col(F.col("text"))).alias("tok")
+    )
+    summary, err = tx.misra_gries_topk(toks, "tok", k=MG_K)
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("true_cnt"))
+    j = exact.join(summary.withColumnRenamed("item", "tok"), "tok", "left")
+    return j.agg(
+        F.sum("true_cnt").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        (F.count("est") <= MG_K).alias("summary_size_le_k"),
+        F.bool_and(
+            F.col("est").isNull()
+            | (
+                (F.col("est") <= F.col("true_cnt"))
+                & (F.col("est") >= F.col("true_cnt") - F.lit(err))
+            )
+        ).alias("within_bounds"),
+        F.bool_and(
+            (F.col("true_cnt") <= F.lit(err)) | F.col("est").isNotNull()
+        ).alias("heavy_present"),
+        (F.lit(err) * (MG_K + 1) <= F.sum("true_cnt")).alias(
+            "err_bound_ok"
+        ),
+    )
+
+
+SQL_MISRA_GRIES_INVARIANTS = """
+WITH t AS (
+  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+  FROM documents
+)
+SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct,
+       true AS summary_size_le_k,
+       true AS within_bounds,
+       true AS heavy_present,
+       true AS err_bound_ok
+FROM t
+"""
+
+
 # ---------------------------------------------------------------------------
 # fixed-bin histogram quantiles (mergeable sketch vs exact)
 # ---------------------------------------------------------------------------
@@ -4584,6 +4649,11 @@ SPECS = {
         q_text_hll_merge, SQL_TEXT_HLL_MERGE,
         "HLL register merge across segments (max-merge): merged estimate "
         "equals the single sketch, losslessness computed per register",
+    ),
+    "text_misra_gries_invariants": QuerySpec(
+        q_misra_gries_invariants, SQL_MISRA_GRIES_INVARIANTS,
+        "Misra-Gries heavy hitters hash-checked via the MG guarantee "
+        "(bounds / heavy-present / err <= n/(k+1)) against exact counts",
     ),
     "text_hll_distinct": QuerySpec(
         q_text_hll_distinct, SQL_TEXT_HLL_DISTINCT,

@@ -1179,7 +1179,11 @@ FROM (
   FROM logs
   UNION ALL
   SELECT 'timestamp_unique', count(*),
-         CAST(count("timestamp") - count(DISTINCT "timestamp") AS BIGINT)
+         -- duplicates beyond first occurrence PLUS NULL-keyed rows (a
+         -- missing key violates uniqueness; count()/count(DISTINCT)
+         -- both skip NULLs so the NULL term is explicit)
+         CAST(count("timestamp") - count(DISTINCT "timestamp")
+              + count(*) - count("timestamp") AS BIGINT)
   FROM logs
 ) t
 """

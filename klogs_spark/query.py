@@ -35,12 +35,23 @@ class LogsQuery:
     SURVEY §4 option b).
     """
 
-    def __init__(self, df: DataFrame, promotions: dict | None = None):
+    def __init__(
+        self,
+        df: DataFrame,
+        promotions: dict | None = None,
+        promoted_exists_ok: bool = True,
+    ):
         self.df = df
         self.promotions = dict(promotions or {})
+        # False when the table holds files predating a promotion (layout
+        # marker "promotions_deficient", set by write_logs_promoted and
+        # cleared by materialize_promotions): those rows read the physical
+        # column as NULL through mergeSchema, so the promoted existence
+        # fast path would flip F5 answers — fall back to the map instead
+        self.promoted_exists_ok = promoted_exists_ok
 
     def _wrap(self, df: DataFrame) -> "LogsQuery":
-        return LogsQuery(df, self.promotions)
+        return LogsQuery(df, self.promotions, self.promoted_exists_ok)
 
     def _field_string(self, key: str) -> Column:
         if key in self.promotions:
@@ -86,8 +97,11 @@ class LogsQuery:
         promoted string key serves existence from the physical column
         (NULL iff the key was absent — promote_string_field materializes
         the map lookup, and map values are never NULL by the P6 null-
-        elimination contract)."""
-        if not in_numbers and key in self.promotions:
+        elimination contract). The fast path is taken only while the
+        table has no deficient (pre-promotion) files — those read the
+        physical column as NULL via mergeSchema even when the map HAS
+        the key, which would flip the answer."""
+        if not in_numbers and key in self.promotions and self.promoted_exists_ok:
             return self._wrap(
                 self.df.filter(F.col(self.promotions[key]).isNotNull())
             )

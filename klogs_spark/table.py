@@ -207,8 +207,13 @@ def logs_query(spark: SparkSession, path: str):
     no Catalyst extension needed)."""
     from .query import LogsQuery
 
-    promos = read_layout(spark, path).get("promotions") or {}
-    return LogsQuery(_read_with_promotions(spark, path, promos), promos)
+    layout = read_layout(spark, path)
+    promos = layout.get("promotions") or {}
+    return LogsQuery(
+        _read_with_promotions(spark, path, promos),
+        promos,
+        promoted_exists_ok=not layout.get("promotions_deficient", False),
+    )
 
 
 def write_logs_promoted(
@@ -228,6 +233,25 @@ def write_logs_promoted(
     """
     from .transform import promote_string_field
 
+    spark = df.sparkSession
+    layout = read_layout(spark, path)
+    new_keys = {
+        k: c
+        for k, c in promotions.items()
+        if (layout.get("promotions") or {}).get(k) != c
+    }
+    # deficiency check BEFORE the write: promoting a key on a table that
+    # already holds history means the old files lack the physical column —
+    # existence fast paths must fall back to the map until
+    # materialize_promotions backfills (see LogsQuery.where_exists)
+    had_history = False
+    if new_keys:
+        fs, hpath_cls, root = _hadoop_fs(spark, path)
+        prefix = f"{PARTITION_COLUMN}="
+        had_history = fs.exists(root) and any(
+            s.isDirectory() and s.getPath().getName().startswith(prefix)
+            for s in fs.listStatus(root)
+        )
     out = df
     for key, column in promotions.items():
         out = promote_string_field(out, key, column)
@@ -235,11 +259,23 @@ def write_logs_promoted(
     # record the promotions in the layout marker so read paths
     # (logs_query, register_view) rewrite map-key access onto the
     # physical columns without the caller knowing
-    spark = df.sparkSession
-    layout = read_layout(spark, path)
     merged = {**(layout.get("promotions") or {}), **promotions}
-    if layout.get("promotions") != merged:
-        _write_layout_marker(spark, path, {**layout, "promotions": merged})
+    deficient = bool(layout.get("promotions_deficient")) or (
+        bool(new_keys) and had_history
+    )
+    if (
+        layout.get("promotions") != merged
+        or bool(layout.get("promotions_deficient")) != deficient
+    ):
+        _write_layout_marker(
+            spark,
+            path,
+            {
+                **layout,
+                "promotions": merged,
+                "promotions_deficient": deficient,
+            },
+        )
 
 
 def write_logs_zordered(
@@ -752,19 +788,28 @@ def merge_upsert(
     for d in days:
         target = hpath_cls(f"{path}/{PARTITION_COLUMN}={d}")
         if fs.exists(target):
+            # mergeSchema: a promoted table may hold pre-backfill files
+            # lacking the promoted column inside one day — without it the
+            # read can drop that column or break the union below
             existing_parts.append(
-                spark.read.parquet(f"{path}/{PARTITION_COLUMN}={d}")
+                spark.read.option("mergeSchema", "true")
+                .parquet(f"{path}/{PARTITION_COLUMN}={d}")
                 .withColumn(PARTITION_COLUMN, F.lit(d).cast("date"))
             )
     n_upd = 0
     if existing_parts:
         existing = existing_parts[0]
         for p in existing_parts[1:]:
-            existing = existing.unionByName(p)
+            existing = existing.unionByName(p, allowMissingColumns=True)
         keys = dated.select(*key_cols)
-        n_upd = existing.join(keys, key_cols, "left_semi").count()
+        # count matched UPDATE rows (not matched existing rows): a key
+        # matching several existing rows must not inflate rows_updated
+        # past len(updates) and drive rows_inserted negative
+        n_upd = keys.join(
+            existing.select(*key_cols), key_cols, "left_semi"
+        ).count()
         kept = existing.join(keys, key_cols, "left_anti")
-        merged = kept.unionByName(dated.select(*kept.columns))
+        merged = kept.unionByName(dated, allowMissingColumns=True)
     else:
         merged = dated
     (
@@ -1014,7 +1059,18 @@ def materialize_promotions(spark: SparkSession, path: str) -> list[str]:
             if any(c not in cols for c in promos.values()):
                 deficient.append(name)
                 break
+    layout = read_layout(spark, path)
+
+    def _mark_clean() -> None:
+        # backfill complete (or verified unnecessary): promoted existence
+        # fast paths are safe again — see write_logs_promoted
+        if layout.get("promotions_deficient"):
+            _write_layout_marker(
+                spark, path, {**layout, "promotions_deficient": False}
+            )
+
     if not deficient:
+        _mark_clean()
         return []
     parts = []
     for name in deficient:
@@ -1041,6 +1097,7 @@ def materialize_promotions(spark: SparkSession, path: str) -> list[str]:
         .partitionBy(PARTITION_COLUMN)
         .parquet(path)
     )
+    _mark_clean()
     return deficient
 
 

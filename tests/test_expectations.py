@@ -44,9 +44,22 @@ def test_check_report_uniqueness(spark):
             df, checks=[], unique_keys=[("k_unique", F.col("k"))]
         ).collect()
     }
-    # NULLs are ignored by both count(k) and count_distinct(k): one dup
-    assert rep["k_unique"].n_violations == 1
+    # one dup beyond first occurrence + one NULL-keyed row (a missing
+    # key violates uniqueness; count/count_distinct alone would skip it)
+    assert rep["k_unique"].n_violations == 2
     assert not rep["k_unique"].passed
+
+
+def test_check_report_uniqueness_null_keys_not_exempt(spark):
+    # regression: all-NULL duplicate keys must not pass the gate
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, None)], "id long, k string"
+    )
+    rep = check_report(
+        df, checks=[], unique_keys=[("k_unique", F.col("k"))]
+    ).collect()[0]
+    assert rep.n_violations == 3
+    assert not rep.passed
 
 
 def test_split_by_expectations_partitions_and_triages(spark):

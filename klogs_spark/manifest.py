@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 from .table import PARTITION_COLUMN, _hadoop_fs
 
 MANIFEST_DIR = "_manifest"
+REWRITE_MARKER = f"{MANIFEST_DIR}/.rewrite-inprogress.json"
 
 
 def _must(ok: bool, op: str, target) -> None:
@@ -242,6 +243,70 @@ def snapshot_changes(
     return inserts.unionByName(deletes)
 
 
+def _write_small_json(fs, hpath_cls, path: str, rel: str, obj) -> None:
+    tmp = hpath_cls(f"{path}/{rel}.tmp")
+    out = fs.create(tmp, True)
+    try:
+        out.write(json.dumps(obj).encode())
+    finally:
+        out.close()
+    final = hpath_cls(f"{path}/{rel}")
+    if fs.exists(final):
+        _must(fs.delete(final, False), "marker-replace", final)
+    _must(fs.rename(tmp, final), "marker-rename", final)
+
+
+def _read_small_json(fs, hpath_cls, path: str, rel: str):
+    stream = fs.open(hpath_cls(f"{path}/{rel}"))
+    try:
+        raw = bytes(
+            stream.readAllBytes()
+            if hasattr(stream, "readAllBytes")
+            else _read_all(stream)
+        )
+    finally:
+        stream.close()
+    return json.loads(raw.decode())
+
+
+def recover_incomplete_rewrite(spark: SparkSession, path: str) -> int:
+    """Crash recovery for COW rewrites — the two-phase-commit cleanup.
+
+    A rewrite journals its intent BEFORE appending survivor files: the
+    marker records the full on-disk file listing at start. If the job dies
+    between the survivor append and the manifest publish, the directory
+    holds orphan files that belong to NO manifest and are NOT committed
+    appends — indistinguishable from committed data without the journal
+    (and folding them into the next base would DOUBLE the surviving rows).
+    Recovery deletes exactly the files that are (a) absent from the
+    journaled before-listing, and (b) referenced by no manifest — files
+    the crashed rewrite wrote but never published. A crash AFTER publish
+    leaves its files manifested, so (b) protects them and recovery just
+    drops the stale marker. Returns the number of orphans reclaimed.
+
+    Single-maintenance-writer assumption (the Delta/Iceberg norm without
+    a lock service): no concurrent plain appends while a rewrite runs —
+    an append racing the crash window would be listed as an orphan."""
+    fs, hpath_cls, root = _hadoop_fs(spark, path)
+    marker = hpath_cls(f"{path}/{REWRITE_MARKER}")
+    if not fs.exists(marker):
+        return 0
+    before = set(_read_small_json(fs, hpath_cls, path, REWRITE_MARKER)["before"])
+    manifested: set[str] = set()
+    for v in snapshot_versions(spark, path):
+        manifested |= set(_manifest_files(spark, path, v))
+    on_disk = set(_list_data_files(fs, root, hpath_cls))
+    orphans = sorted(on_disk - before - manifested)
+    for f in orphans:
+        _must(
+            fs.delete(hpath_cls(f"{path}/{f}"), False),
+            "rewrite-recover-delete",
+            f,
+        )
+    _must(fs.delete(marker, False), "rewrite-marker-delete", marker)
+    return len(orphans)
+
+
 def _cow_base_version(spark: SparkSession, path: str) -> int:
     """The snapshot a COW rewrite works from: the latest manifest — unless
     committed appends landed AFTER it (files in no manifest), in which
@@ -251,7 +316,10 @@ def _cow_base_version(spark: SparkSession, path: str) -> int:
     (:func:`vacuum` rightly spares unmanifested files) or silently lost to
     readers — the r9-advice data-loss chain. Publishing the base from the
     EXPLICIT file list (latest manifest ∪ unmanifested) rather than a
-    directory listing keeps already-tombstoned COW leftovers dead."""
+    directory listing keeps already-tombstoned COW leftovers dead.
+    Recovery of a previously crashed rewrite runs first, so its orphan
+    survivor files are never mistaken for committed appends."""
+    recover_incomplete_rewrite(spark, path)
     versions = snapshot_versions(spark, path)
     base_version = (
         versions[-1] if versions else publish_snapshot(spark, path)
@@ -336,6 +404,14 @@ def cow_delete_where(
         }
     fs, hpath_cls, root = _hadoop_fs(spark, path)
     before = set(_list_data_files(fs, root, hpath_cls))
+    # journal the rewrite intent BEFORE writing survivor files: a crash
+    # between the append and the publish leaves orphans that recovery
+    # (recover_incomplete_rewrite) can then identify and reclaim
+    _write_small_json(
+        fs, hpath_cls, path, REWRITE_MARKER,
+        {"op": "cow_delete_where", "base_version": base_version,
+         "before": sorted(before)},
+    )
     survivors = df.filter(
         F.col(PARTITION_COLUMN).isin(affected) & ~hit
     )
@@ -346,6 +422,10 @@ def cow_delete_where(
     replaced = {f for f in live if f.split("/")[0] in day_dirs}
     version = publish_snapshot(
         spark, path, sorted((set(live) - replaced) | new_files)
+    )
+    _must(
+        fs.delete(hpath_cls(f"{path}/{REWRITE_MARKER}"), False),
+        "rewrite-marker-delete", REWRITE_MARKER,
     )
     return {
         "version": version,
@@ -377,10 +457,20 @@ def cow_compact_partition(
     )
     fs, hpath_cls, root = _hadoop_fs(spark, path)
     before = set(_list_data_files(fs, root, hpath_cls))
+    # same crash journal as cow_delete_where
+    _write_small_json(
+        fs, hpath_cls, path, REWRITE_MARKER,
+        {"op": "cow_compact_partition", "base_version": base_version,
+         "before": sorted(before)},
+    )
     _append_in_layout(spark, rows, path)
     after = set(_list_data_files(fs, root, hpath_cls))
     version = publish_snapshot(
         spark, path, sorted((set(live) - set(frags)) | (after - before))
+    )
+    _must(
+        fs.delete(hpath_cls(f"{path}/{REWRITE_MARKER}"), False),
+        "rewrite-marker-delete", REWRITE_MARKER,
     )
     return {"version": version, "files_compacted": len(frags)}
 
@@ -400,6 +490,10 @@ def vacuum(
     the last three snapshots."""
     if keep_versions < 1:
         raise ValueError("keep_versions must be >= 1")
+    # reclaim any crashed-rewrite orphans first: they belong to no
+    # manifest, so without the journal replay they would leak forever
+    # (vacuum deliberately spares unmanifested files)
+    recover_incomplete_rewrite(spark, path)
     versions = snapshot_versions(spark, path)
     if not versions:
         return {

@@ -283,7 +283,7 @@ DRIVER_VERIFIED: dict = {
     "tpch_bucketed_join": "186d20a9bcdf",
     "tpch_revenue_concentration": "490e1e4f6e65",
     "tpch_rfm_segments": "3b55d5849d64",
-    "tpch_rfm_segments_scaled": "ff685316abe6",
+    # "tpch_rfm_segments_scaled" — docstring now carries measured sf1 crossover; re-enters window
     "window_balance_quartiles_scaled": "7865425c9de6",
     "window_daily_revenue_trend": "86f7e3b31ad7",
 }

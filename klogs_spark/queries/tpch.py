@@ -1511,10 +1511,18 @@ def q_rfm_segments_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     external hash verification — the usual price of the approx-threshold
     swap.
 
-    Crossover honesty (the global_prefix_sum discipline): at toy scale the
-    exact single-window form wins (~1s vs ~3.4s at sf0.1 — six extra
-    exchanges dominate while all customers fit one reducer); this form is
-    for the regime where they do not. Both ship; pick by cardinality."""
+    Crossover honesty (the global_prefix_sum discipline), now MEASURED
+    (BENCH_SF1.json, bench_sf1.py's 10x replication): at sf0.1 (150k
+    customers) the exact form wins 0.42s vs 2.74s — six extra exchanges
+    dominate while all customers fit one reducer — and at sf1 (1.5M) it
+    still wins 0.93s vs 4.06s, but the gap closes fast: 10x data costs
+    the exact form 2.23x and this form only 1.48x (fixed exchange
+    latency amortizes; per-row cost 2.7us vs 18.3us at sf0.1 becomes
+    0.62us vs 2.7us at sf1). Extrapolating the measured per-row costs,
+    the crossover on this 32-core box sits around 10^8 customers — and
+    on a real cluster the exact form's single-reducer sort hits its
+    memory wall long before wall-clock parity. Both ship; pick by
+    cardinality."""
     from ..ext.caching import cache_tracked
     from ..ext.sampling import global_rank, ntile_from_rank
 

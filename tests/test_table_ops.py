@@ -1199,3 +1199,132 @@ def test_where_exists_falls_back_on_deficient_promoted_table(spark, tmp_path):
     q2 = logs_query(spark, path)
     assert q2.promoted_exists_ok
     assert q2.where_exists("level").df.count() == 2
+
+
+def _crash_setup(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from klogs_spark.manifest import publish_snapshot
+    from klogs_spark.table import write_logs
+    from klogs_spark.views import derive_logs_from_events
+
+    logs = derive_logs_from_events(spark, "/root/testdata/sf0.001").filter(
+        F.col("timestamp") < "2024-01-04"
+    )
+    path = str(tmp_path / "t")
+    write_logs(logs, path)
+    v1 = publish_snapshot(spark, path)
+    return path, v1, logs.count()
+
+
+def test_cow_delete_crash_between_append_and_publish(
+    spark, tmp_path, monkeypatch
+):
+    """Two-phase-commit recovery: a rewrite that dies AFTER writing
+    survivor files but BEFORE publishing its manifest must leave readers
+    at the old version untouched, and a re-run must converge without
+    duplicating the survivors (the journaled before-listing identifies
+    the orphans; without it they'd be folded in as committed appends)."""
+    from pathlib import Path
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from klogs_spark import manifest as M
+
+    path, v1, n_total = _crash_setup(spark, tmp_path)
+    n_hit = (
+        M.read_logs_at(spark, path, v1)
+        .filter("pod_name = 'pod-7'").count()
+    )
+    assert n_hit > 0
+
+    real_publish = M.publish_snapshot
+
+    def exploding_publish(spark_, path_, files=None):
+        if files is not None:  # the post-rewrite publish, not a base one
+            raise RuntimeError("injected crash before manifest publish")
+        return real_publish(spark_, path_, files)
+
+    monkeypatch.setattr(M, "publish_snapshot", exploding_publish)
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        M.cow_delete_where(spark, path, F.col("pod_name") == "pod-7")
+    monkeypatch.undo()
+
+    # crash artifacts: journal marker + orphan survivor files on disk
+    assert (Path(path) / M.REWRITE_MARKER).exists()
+    # reader at the old version sees the UNCHANGED table
+    assert M.read_logs_at(spark, path, v1).count() == n_total
+    assert M.snapshot_versions(spark, path) == [v1]
+
+    # re-run converges: recovery reclaims the orphans, then the delete
+    # lands exactly once
+    res = M.cow_delete_where(spark, path, F.col("pod_name") == "pod-7")
+    assert res["rows_deleted"] == n_hit
+    after = M.read_logs_at(spark, path, res["version"])
+    assert after.count() == n_total - n_hit
+    assert after.filter("pod_name = 'pod-7'").count() == 0
+    assert not (Path(path) / M.REWRITE_MARKER).exists()
+    # vacuum then reconciles the directory exactly (no stranded orphans)
+    M.vacuum(spark, path, keep_versions=1)
+    assert spark.read.parquet(path).count() == n_total - n_hit
+
+
+def test_cow_compact_crash_and_recovery_paths(spark, tmp_path, monkeypatch):
+    """Compaction crash twin + the marker-only window: a crash BEFORE any
+    file is written (marker present, no orphans) must recover to a no-op."""
+    from pathlib import Path
+
+    import pytest as _pytest
+
+    from klogs_spark import manifest as M
+
+    from pyspark.sql import functions as F
+
+    from klogs_spark.table import write_logs
+    from klogs_spark.views import derive_logs_from_events
+
+    path, v1, n_total = _crash_setup(spark, tmp_path)
+    day = "date=2024-01-02"
+    # second fragment into the target day (compaction needs >= 2 files),
+    # then a plain publish so the base is clean before the crash windows
+    extra = derive_logs_from_events(spark, "/root/testdata/sf0.001").filter(
+        (F.col("timestamp") >= "2024-01-02")
+        & (F.col("timestamp") < "2024-01-03")
+    )
+    write_logs(extra, path, mode="append")
+    n_total += extra.count()
+    v1 = M.publish_snapshot(spark, path)
+
+    # window 1: crash right after the journal write, before any append
+    def exploding_append(spark_, df_, path_):
+        raise RuntimeError("injected crash before survivor append")
+
+    monkeypatch.setattr(M, "_append_in_layout", exploding_append)
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        M.cow_compact_partition(spark, path, day)
+    monkeypatch.undo()
+    assert (Path(path) / M.REWRITE_MARKER).exists()
+    assert M.recover_incomplete_rewrite(spark, path) == 0  # no orphans
+    assert not (Path(path) / M.REWRITE_MARKER).exists()
+
+    # window 2: crash between append and publish
+    real_publish = M.publish_snapshot
+
+    def exploding_publish(spark_, path_, files=None):
+        if files is not None:
+            raise RuntimeError("injected crash before manifest publish")
+        return real_publish(spark_, path_, files)
+
+    monkeypatch.setattr(M, "publish_snapshot", exploding_publish)
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        M.cow_compact_partition(spark, path, day)
+    monkeypatch.undo()
+    assert M.read_logs_at(spark, path, v1).count() == n_total
+
+    # re-run converges; every row still reads exactly once
+    res = M.cow_compact_partition(spark, path, day)
+    assert res["files_compacted"] >= 0
+    assert M.read_logs_at(spark, path, res["version"]).count() == n_total
+    M.vacuum(spark, path, keep_versions=1)
+    assert spark.read.parquet(path).count() == n_total

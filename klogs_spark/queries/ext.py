@@ -3467,6 +3467,59 @@ def q_ann_index_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_index_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift-triggered RETRAIN — the production gate the drift monitor
+    (q_ann_index_drift) feeds, end-to-end: generation b1 is trained on the
+    base corpus (vec_id < cutoff) and incrementally refreshed with the
+    tail (quantizer never moves — the stated refresh limit), then
+    ext.ann_index.rebuild_if_drifted sees the post-training share
+    (~181k ppm) over threshold and retrains generation b2 on the FULL
+    corpus, publishing it by atomic commit-marker creation; the serving
+    pointer (current_index_path) switches only after the marker lands.
+
+    Both searches ship in the result with a phase column: 'stale_refresh'
+    (explicitly pinned to b1) hash-matches the train-on-base oracle chain,
+    'rebuilt' (the serving build after the swap) hash-matches the
+    full-corpus training chain — so the output proves the search moved to
+    the new quantizer exactly at the swap, and swap_committed carries the
+    observed generation count. Re-runs are idempotent: the serving build's
+    drift is 0, the gate no-ops, and the same result returns."""
+    import os
+
+    from ..ext import ann_index
+
+    root = f"{_ivfpq_index_dir(sf_dir)}-rebuild{ANN_REFRESH_CUTOFF}"
+    emb = load_table(spark, sf_dir, "embeddings")
+    if not ann_index._committed_builds(root):
+        ann_index.commit_index_build(
+            emb.filter(F.col("vec_id") < ANN_REFRESH_CUTOFF), root,
+            ivf_k=IVF_K, refine_iters=IVF_REFINE_ITERS, ivf_round=IVF_ROUND,
+        )
+        ann_index.refresh_ivfpq_index(
+            emb.filter(F.col("vec_id") >= ANN_REFRESH_CUTOFF),
+            ann_index.current_index_path(root),
+        )
+    res = ann_index.rebuild_if_drifted(
+        spark, emb, root, threshold_ppm=100_000,
+        ivf_k=IVF_K, refine_iters=IVF_REFINE_ITERS, ivf_round=IVF_ROUND,
+    )
+    qv = _query_vec(spark, sf_dir)
+    stale = ann_index.ivfpq_search(
+        spark, os.path.join(root, "builds", "b1"), qv,
+        k=IVFPQ_K, n_probe=IVFPQ_NPROBE,
+    )
+    rebuilt = ann_index.ivfpq_search(
+        spark, ann_index.current_index_path(root), qv,
+        k=IVFPQ_K, n_probe=IVFPQ_NPROBE,
+    )
+    n_builds = len(ann_index._committed_builds(root))
+    return (
+        stale.withColumn("phase", F.lit("stale_refresh"))
+        .unionByName(rebuilt.withColumn("phase", F.lit("rebuilt")))
+        .withColumn("swap_committed", F.lit(n_builds == 2))
+    )
+
+
 def _assign_cte_from(src: str, cent_table: str, out: str) -> str:
     """Like _assign_cte but over an arbitrary (vec_id, v) source — the
     refresh oracle trains on the base subset, not ``e``."""
@@ -3552,6 +3605,19 @@ FROM enc JOIN dt ON enc.m = dt.m AND enc.code = dt.code
 GROUP BY enc.id
 ORDER BY adist_micros, id
 LIMIT {IVFPQ_K}
+"""
+
+
+# rebuild oracle: the stale phase is the train-on-base refresh chain, the
+# rebuilt phase is the full-corpus training chain — subquery composition
+# keeps both WITH-chains' CTE names scoped. swap_committed is computed
+# Spark-side from the observed generation count; literal true here.
+SQL_ANN_INDEX_REBUILD = f"""
+SELECT 'stale_refresh' AS phase, id, adist_micros, true AS swap_committed
+FROM ({SQL_ANN_IVFPQ_REFRESH})
+UNION ALL
+SELECT 'rebuilt' AS phase, id, adist_micros, true AS swap_committed
+FROM ({SQL_ANN_IVFPQ_TOPK})
 """
 
 
@@ -4341,8 +4407,17 @@ def q_sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("cnt"))
     from pyspark.sql.window import Window
 
+    from ..ext.sampling import bounded_window_key
+
+    # cumsum over <= HIST_BINS rows: partition by the unfoldable constant
+    # key so the single-partition WindowExec warning stays reserved for
+    # real scale alarms (this window is bounded by construction)
     cum = hist.withColumn(
-        "cum", F.sum("cnt").over(Window.orderBy("bin"))
+        "cum",
+        F.sum("cnt").over(
+            Window.partitionBy(bounded_window_key(F.col("bin")))
+            .orderBy("bin")
+        ),
     )
     qs = spark.createDataFrame([(q,) for q in HIST_QS], "q double")
     picked = (
@@ -4802,6 +4877,12 @@ SPECS = {
         "index drift monitor (retrain gate): per-cell base/new occupancy "
         "+ ppm share from the codes sidecar only, vs full re-derivation "
         "oracle",
+    ),
+    "ann_index_rebuild": QuerySpec(
+        q_ann_index_rebuild, SQL_ANN_INDEX_REBUILD,
+        "drift-triggered retrain gate end-to-end: stale (pinned b1) vs "
+        "rebuilt (post-swap serving build) searches hash-match the "
+        "respective training-chain oracles; atomic commit-marker swap",
     ),
     "ann_sq8_topk": QuerySpec(
         q_ann_sq8_topk, SQL_ANN_SQ8_TOPK,

@@ -960,3 +960,61 @@ def test_misra_gries_guarantees_and_merge(spark):
     # heavy hitters surface with the highest estimates
     top2 = {i for i, _ in sorted(est.items(), key=lambda kv: -kv[1])[:2]}
     assert top2 == {"alpha", "beta"}
+
+
+def test_rebuild_if_drifted_gate_and_atomic_swap(spark, tmp_path):
+    """The retrain gate: below threshold no new generation appears; at
+    threshold a fresh generation is trained and COMMITTED atomically
+    (marker file), and the serving pointer switches only then. A crashed
+    (uncommitted) build directory is never served."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from klogs_spark.ext import ann_index
+    from klogs_spark.views import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    root = str(tmp_path / "annroot")
+    base = emb.filter(F.col("vec_id") < 80)
+    tail = emb.filter(F.col("vec_id") >= 80)
+
+    p1 = ann_index.commit_index_build(base, root, ivf_k=4, refine_iters=1)
+    assert ann_index.current_index_path(root) == p1
+    assert ann_index.index_drift_ppm(spark, root) == 0
+
+    # no drift yet -> gate must no-op even with threshold 1 ppm
+    res = ann_index.rebuild_if_drifted(
+        spark, emb, root, threshold_ppm=1, ivf_k=4, refine_iters=1
+    )
+    assert res["rebuilt"] is False and res["path"] == p1
+
+    ann_index.refresh_ivfpq_index(tail, p1)
+    drift = ann_index.index_drift_ppm(spark, root)
+    n_base, n_all = base.count(), emb.count()
+    assert drift == (n_all - n_base) * 1_000_000 // n_all
+
+    # below-threshold: still serving b1
+    res = ann_index.rebuild_if_drifted(
+        spark, emb, root, threshold_ppm=drift + 1, ivf_k=4, refine_iters=1
+    )
+    assert res["rebuilt"] is False
+    assert ann_index.current_index_path(root) == p1
+
+    # an uncommitted (crashed) build must never be served
+    os.makedirs(os.path.join(root, "builds", "b99", "codes"), exist_ok=True)
+    assert ann_index.current_index_path(root) == p1
+
+    # at threshold: retrain lands as b2 and the pointer switches
+    res = ann_index.rebuild_if_drifted(
+        spark, emb, root, threshold_ppm=drift, ivf_k=4, refine_iters=1
+    )
+    assert res["rebuilt"] is True
+    p2 = ann_index.current_index_path(root)
+    assert p2.endswith("b2") and p2 == res["path"]
+    assert ann_index.index_drift_ppm(spark, root) == 0
+    # idempotent re-run: serving build has no drift, gate no-ops
+    res2 = ann_index.rebuild_if_drifted(
+        spark, emb, root, threshold_ppm=1, ivf_k=4, refine_iters=1
+    )
+    assert res2["rebuilt"] is False and res2["path"] == p2

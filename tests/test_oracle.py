@@ -45,12 +45,48 @@ def _canon(rows, columns):
     return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
 
 
+@pytest.fixture(scope="session")
+def spark_results(request, spark):
+    """Run every SELECTED query's Spark side once, through a bounded
+    thread pool — Spark's scheduler is thread-safe and the suite's wall
+    clock is dominated by serial job latency at sf0.01 (each query is
+    many small jobs on an 8-core local session; 6 concurrent submitters
+    keep the scheduler fed). Each query fn isolates its own temp dirs
+    (tempfile.mkdtemp) and content-keyed sidecar builds already guard
+    against concurrent builders (os.replace / exclusive-create marker).
+    The DuckDB side stays serial in-test (one connection, cheap).
+
+    Only queries actually selected this run are computed (``-k`` stays
+    fast); results are keyed by name, failures re-raise in the owning
+    test so per-query reporting is unchanged."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    names = sorted(
+        {
+            item.callspec.params["name"]
+            for item in request.session.items
+            if getattr(item, "callspec", None) is not None
+            and item.function.__name__ == "test_query_matches_oracle"
+        }
+    )
+
+    def run(name):
+        try:
+            sdf = SPECS[name].fn(spark, SF_ORACLE)
+            return name, (sdf.columns, [tuple(r) for r in sdf.collect()], None)
+        except Exception as exc:  # noqa: BLE001 — re-raised per-test
+            return name, (None, None, exc)
+
+    with ThreadPoolExecutor(max_workers=6) as ex:
+        return dict(ex.map(run, names))
+
+
 @pytest.mark.parametrize("name", ORACLE_CASES)
-def test_query_matches_oracle(name, spark, duck):
+def test_query_matches_oracle(name, spark, duck, spark_results):
     spec = SPECS[name]
-    sdf = spec.fn(spark, SF_ORACLE)
-    spark_cols = sdf.columns
-    spark_rows = [tuple(r) for r in sdf.collect()]
+    spark_cols, spark_rows, err = spark_results[name]
+    if err is not None:
+        raise err
 
     res = duck.execute(spec.oracle)
     duck_cols = [d[0] for d in res.description]

@@ -1,0 +1,489 @@
+"""Pure-Python baseline JPEG codec — the last multimodal decode stub, closed.
+
+No imaging library exists in this container, so (as with the PNG codec in
+``multimodal.py`` and the msgpack codec in ``msgpack_lite.py``) the format
+is implemented from its public specification (ITU-T T.81 / ISO 10918-1):
+
+* :func:`decode_jpeg_baseline` — a GENERAL baseline sequential decoder:
+  marker walk (APPn/COM skipped, DRI honored), 8-bit DQT tables, SOF0
+  frame header, canonical Huffman tables rebuilt from DHT ``bits``/
+  ``huffval`` exactly as Annex C specifies, entropy decode with byte
+  un-stuffing and RSTn predictor resets, dequantization + inverse zigzag,
+  float IDCT (numpy orthonormal DCT-II matrices), level shift, and BT.601
+  YCbCr→RGB for 3-component scans. Only progressive/hierarchical frames,
+  12-bit precision, 16-bit quant tables, and chroma subsampling other
+  than 4:4:4 are rejected — each with a loud, specific error (baseline
+  4:4:4 and grayscale cover this engine's synthesized corpora; subsampled
+  MCU interleave is a declared non-goal, not a silent wrong answer).
+* :func:`encode_jpeg_baseline` — a baseline encoder for test/dev payloads:
+  grayscale or 4:4:4 RGB, caller-supplied or flat quant tables, and
+  SELF-CHOSEN canonical Huffman tables (all 12 DC categories at 4 bits,
+  all 256 AC run/size symbols at 9 bits — Kraft-valid, written to DHT).
+  The decoder never assumes these tables; it reads whatever DHT carries,
+  so it also decodes Annex-K-coded files from other encoders.
+
+Determinism contract (what lets DuckDB oracle-check a lossy codec): all
+rounding is explicit round-half-away-from-zero, so for an image whose
+8×8 blocks are CONSTANT the full pipeline collapses to the closed form
+
+    v' = clamp(round(128 + q_dc * round(8*(v-128) / q_dc) / 8))
+
+(AC coefficients exactly zero; DC survives quantization as the only term)
+— SQL-expressible, which queries/ext.py's multimodal_jpeg_stats exploits.
+Non-constant blocks are pinned by the exact spectral round-trip test in
+tests/test_ext.py (pixel blocks built from IDCT of quantized-multiple
+spectra round-trip bit-exactly through encode→decode).
+"""
+
+from __future__ import annotations
+
+ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _dct_matrix():
+    import math
+
+    import numpy as np
+
+    a = np.zeros((8, 8))
+    for u in range(8):
+        c = (1.0 / math.sqrt(2.0)) if u == 0 else 1.0
+        for x in range(8):
+            a[u, x] = 0.5 * c * math.cos((2 * x + 1) * u * math.pi / 16.0)
+    return a
+
+
+def _round_half_away(x):
+    """Vectorized round-half-away-from-zero (numpy rounds half-to-even,
+    Python 3 round() too — both would diverge from the SQL closed form).
+    Values within 1e-6 of a HALF-integer are snapped to it first: the DCT
+    matmul carries ~1e-13 float noise, and mathematically-exact .5
+    quantization boundaries (every flat block hits one) must round
+    deterministically, not by noise sign."""
+    import numpy as np
+
+    doubled = np.asarray(x, dtype=np.float64) * 2.0
+    snapped = np.where(
+        np.abs(doubled - np.rint(doubled)) < 2e-6, np.rint(doubled), doubled
+    ) / 2.0
+    return np.sign(snapped) * np.floor(np.abs(snapped) + 0.5)
+
+
+# --- canonical Huffman (Annex C) -------------------------------------------
+def _canonical_codes(bits: list[int], huffval: list[int]) -> dict:
+    """symbol -> (code, length) from the DHT ``bits`` (count of codes per
+    length 1..16) and ``huffval`` (symbols in code order)."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[huffval[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # 1-padding per spec
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+        self.marker: int | None = None  # RSTn/EOI hit during fill
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("jpeg: entropy stream truncated")
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            nxt = self.data[self.pos] if self.pos < len(self.data) else None
+            if nxt == 0x00:
+                self.pos += 1  # stuffed byte
+            else:
+                # a real marker inside the scan (RSTn or EOI): record it and
+                # feed zero bits (spec: segment ends at the marker)
+                self.marker = nxt
+                b = 0
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def bits(self, n: int) -> int:
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        return v
+
+    def align_to_marker(self) -> None:
+        """Consume the recorded RST marker and realign to byte boundary."""
+        self.acc = 0
+        self.nbits = 0
+        self.marker = None
+        self.pos += 1  # past the marker code byte (0xFF consumed in _fill)
+
+
+class _HuffDecoder:
+    """Canonical Huffman decode table: (first_code, last_code, offset) per
+    length — the Annex F DECODE procedure."""
+
+    def __init__(self, bits: list[int], huffval: list[int]):
+        self.huffval = huffval
+        self.mincode = [0] * 17
+        self.maxcode = [-1] * 17
+        self.valptr = [0] * 17
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            n = bits[length - 1]
+            if n:
+                self.valptr[length] = k
+                self.mincode[length] = code
+                code += n
+                k += n
+                self.maxcode[length] = code - 1
+            code <<= 1
+
+    def decode(self, br: _BitReader) -> int:
+        code = br.bits(1)
+        length = 1
+        while code > self.maxcode[length]:
+            length += 1
+            if length > 16:
+                raise ValueError("jpeg: invalid Huffman code in scan")
+            code = (code << 1) | br.bits(1)
+        return self.huffval[self.valptr[length] + code - self.mincode[length]]
+
+
+def _receive_extend(br: _BitReader, s: int) -> int:
+    if s == 0:
+        return 0
+    v = br.bits(s)
+    if v < (1 << (s - 1)):  # negative branch (Annex F EXTEND)
+        v -= (1 << s) - 1
+    return v
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(category, raw bits) for a DC diff / AC value."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    s = a.bit_length()
+    bits = v if v > 0 else v + (1 << s) - 1
+    return s, bits
+
+
+# encoder's self-chosen canonical tables (decoder NEVER assumes these)
+_ENC_DC_BITS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_ENC_DC_VALS = list(range(12))
+_ENC_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0]
+_ENC_AC_VALS = [x for x in range(256) if x != 255] + [255]
+
+FLAT_Q16 = [16] * 64  # flat quant table => q_dc = 16, SQL-closed-form DC
+
+
+def encode_jpeg_baseline(
+    width: int,
+    height: int,
+    pixels: bytes,
+    channels: int = 1,
+    quant: list[int] | None = None,
+) -> bytes:
+    """Baseline sequential JFIF bytes for ``pixels`` (row-major; grayscale
+    ``channels=1`` or interleaved RGB ``channels=3``, encoded 4:4:4).
+    Edge blocks pad by edge replication (the conventional choice)."""
+    import numpy as np
+
+    if channels not in (1, 3):
+        raise ValueError("jpeg encoder: channels must be 1 or 3")
+    q = list(quant or FLAT_Q16)
+    if len(q) != 64 or not all(1 <= x <= 255 for x in q):
+        raise ValueError("jpeg encoder: quant must be 64 bytes in 1..255")
+    arr = np.frombuffer(pixels, dtype=np.uint8).astype(np.float64)
+    if arr.size != width * height * channels:
+        raise ValueError("jpeg encoder: pixel buffer size mismatch")
+    arr = arr.reshape(height, width, channels)
+    if channels == 3:
+        r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    else:
+        planes = [arr[..., 0]]
+
+    a = _dct_matrix()
+    qmat = np.array([q[ZIGZAG.index(i)] for i in range(64)]).reshape(8, 8)
+    bw = _BitWriter()
+    dc_codes = _canonical_codes(_ENC_DC_BITS, _ENC_DC_VALS)
+    ac_codes = _canonical_codes(_ENC_AC_BITS, _ENC_AC_VALS)
+
+    bh = (height + 7) // 8
+    bwid = (width + 7) // 8
+    pred = [0] * channels
+    padded = []
+    for pl in planes:
+        pp = np.empty((bh * 8, bwid * 8))
+        pp[:height, :width] = pl
+        pp[height:, :width] = pl[height - 1:height, :]  # edge replicate
+        pp[:, width:] = pp[:, width - 1:width]
+        padded.append(pp)
+    for by in range(bh):
+        for bx in range(bwid):
+            for ci in range(channels):
+                block = padded[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+                s = a @ (block - 128.0) @ a.T
+                sq = _round_half_away(s / qmat).astype(np.int64)
+                zz = [int(sq.flat[ZIGZAG[i]]) for i in range(64)]
+                diff = zz[0] - pred[ci]
+                pred[ci] = zz[0]
+                cat, bits_ = _magnitude(diff)
+                code, ln = dc_codes[cat]
+                bw.write(code, ln)
+                if cat:
+                    bw.write(bits_, cat)
+                run = 0
+                last_nz = max(
+                    (i for i in range(1, 64) if zz[i]), default=0
+                )
+                for i in range(1, last_nz + 1):
+                    if zz[i] == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = ac_codes[0xF0]  # ZRL
+                        bw.write(code, ln)
+                        run -= 16
+                    cat, bits_ = _magnitude(zz[i])
+                    code, ln = ac_codes[(run << 4) | cat]
+                    bw.write(code, ln)
+                    bw.write(bits_, cat)
+                    run = 0
+                if last_nz < 63:
+                    code, ln = ac_codes[0x00]  # EOB
+                    bw.write(code, ln)
+    bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0]) + bytes(q))  # DQT table 0, 8-bit
+    sof = bytes([8]) + height.to_bytes(2, "big") + width.to_bytes(2, "big")
+    sof += bytes([channels])
+    for ci in range(channels):
+        sof += bytes([ci + 1, 0x11, 0])  # 4:4:4, quant table 0
+    out += seg(0xC0, sof)
+
+    def dht(tc_th: int, bits: list[int], vals: list[int]) -> bytes:
+        return seg(0xC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
+
+    out += dht(0x00, _ENC_DC_BITS, _ENC_DC_VALS)
+    out += dht(0x10, _ENC_AC_BITS, _ENC_AC_VALS)
+    sos = bytes([channels])
+    for ci in range(channels):
+        sos += bytes([ci + 1, 0x00])  # DC table 0, AC table 0
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def decode_jpeg_baseline(
+    payload: bytes,
+) -> tuple[int, int, int, bytes] | None:
+    """(width, height, channels, pixel_bytes) for a baseline sequential
+    JPEG; None when the payload is not a JPEG at all (no SOI). Raises
+    ``ValueError`` with a specific reason for unsupported variants —
+    loud, never a fake decode."""
+    import numpy as np
+
+    p = payload or b""
+    if p[:2] != b"\xff\xd8":
+        return None
+    qtables: dict[int, list[int]] = {}
+    huff_dc: dict[int, _HuffDecoder] = {}
+    huff_ac: dict[int, _HuffDecoder] = {}
+    width = height = None
+    comps: list[tuple[int, int, int]] = []  # (comp_id, sampling, tq)
+    restart_interval = 0
+    i = 2
+    while i < len(p):
+        if p[i] != 0xFF:
+            raise ValueError(f"jpeg: expected marker at offset {i}")
+        m = p[i + 1]
+        i += 2
+        if m in (0x01,) or 0xD0 <= m <= 0xD7:
+            continue  # parameterless
+        if m == 0xD9:  # EOI before SOS
+            raise ValueError("jpeg: no scan data before EOI")
+        ln = int.from_bytes(p[i:i + 2], "big")
+        body = p[i + 2:i + ln]
+        if m == 0xDB:  # DQT (possibly several tables per segment)
+            j = 0
+            while j < len(body):
+                pq, tq = body[j] >> 4, body[j] & 0x0F
+                if pq != 0:
+                    raise ValueError("jpeg: 16-bit quant tables unsupported")
+                qtables[tq] = list(body[j + 1:j + 65])
+                j += 65
+        elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                   0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                "jpeg: only baseline sequential (SOF0) is supported, got "
+                f"SOF marker 0x{m:02X} (progressive/hierarchical)"
+            )
+        elif m == 0xC0:  # SOF0
+            if body[0] != 8:
+                raise ValueError("jpeg: only 8-bit precision supported")
+            height = int.from_bytes(body[1:3], "big")
+            width = int.from_bytes(body[3:5], "big")
+            nc = body[5]
+            if nc not in (1, 3):
+                raise ValueError("jpeg: only 1 or 3 components supported")
+            comps = [
+                (body[6 + 3 * c], body[7 + 3 * c], body[8 + 3 * c])
+                for c in range(nc)
+            ]
+            if any(samp != 0x11 for _, samp, _ in comps):
+                raise ValueError(
+                    "jpeg: chroma subsampling unsupported (4:4:4 only)"
+                )
+        elif m == 0xC4:  # DHT (possibly several tables)
+            j = 0
+            while j < len(body):
+                tc, th = body[j] >> 4, body[j] & 0x0F
+                bits = list(body[j + 1:j + 17])
+                n = sum(bits)
+                vals = list(body[j + 17:j + 17 + n])
+                dec = _HuffDecoder(bits, vals)
+                (huff_dc if tc == 0 else huff_ac)[th] = dec
+                j += 17 + n
+        elif m == 0xDD:  # DRI
+            restart_interval = int.from_bytes(body[:2], "big")
+        elif m == 0xDA:  # SOS — entropy data follows
+            ns = body[0]
+            scomp = []
+            for c in range(ns):
+                cid, tabs = body[1 + 2 * c], body[2 + 2 * c]
+                idx = next(
+                    k for k, (ci, _, _) in enumerate(comps) if ci == cid
+                )
+                scomp.append((idx, tabs >> 4, tabs & 0x0F))
+            return _decode_scan(
+                p, i + ln, width, height, comps, scomp, qtables,
+                huff_dc, huff_ac, restart_interval, np,
+            )
+        # APPn / COM / anything else: skip
+        i += ln
+    raise ValueError("jpeg: no SOS marker found")
+
+
+def _decode_scan(
+    p, pos, width, height, comps, scomp, qtables, huff_dc, huff_ac,
+    restart_interval, np,
+):
+    a = _dct_matrix()
+    nc = len(comps)
+    bh = (height + 7) // 8
+    bw = (width + 7) // 8
+    planes = [np.empty((bh * 8, bw * 8)) for _ in range(nc)]
+    qmats = []
+    for _, _, tq in comps:
+        q = qtables.get(tq)
+        if q is None:
+            raise ValueError(f"jpeg: quant table {tq} missing")
+        qmats.append(
+            np.array([q[ZIGZAG.index(i)] for i in range(64)]).reshape(8, 8)
+        )
+    br = _BitReader(p, pos)
+    pred = [0] * nc
+    mcu = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                # predictor reset at RSTn; reader realigns past the marker
+                while br.marker is None:
+                    br.bits(1)  # drain padding until the marker is seen
+                if not (0xD0 <= br.marker <= 0xD7):
+                    raise ValueError("jpeg: expected RST marker")
+                br.align_to_marker()
+                pred = [0] * nc
+            mcu += 1
+            for idx, td, ta in scomp:
+                dc_dec, ac_dec = huff_dc.get(td), huff_ac.get(ta)
+                if dc_dec is None or ac_dec is None:
+                    raise ValueError("jpeg: Huffman table missing for scan")
+                zz = [0] * 64
+                s = dc_dec.decode(br)
+                pred[idx] += _receive_extend(br, s)
+                zz[0] = pred[idx]
+                k = 1
+                while k < 64:
+                    rs = ac_dec.decode(br)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r == 15:  # ZRL
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += r
+                    if k > 63:
+                        raise ValueError("jpeg: AC run past block end")
+                    zz[k] = _receive_extend(br, s)
+                    k += 1
+                coef = np.zeros(64)
+                for i in range(64):
+                    coef[ZIGZAG[i]] = zz[i]
+                block = a.T @ (coef.reshape(8, 8) * qmats[idx]) @ a
+                planes[idx][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = block
+    out = [
+        np.clip(_round_half_away(pl[:height, :width] + 128.0), 0, 255)
+        for pl in planes
+    ]
+    if nc == 3:
+        y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
+        # note: out[] is already rounded Y'CbCr; BT.601 inverse, then the
+        # same explicit rounding — matches the encoder's forward path
+        r = y + 1.402 * cr
+        g = y - 0.344136 * cb - 0.714136 * cr
+        b = y + 1.772 * cb
+        rgb = np.stack(
+            [np.clip(_round_half_away(x), 0, 255) for x in (r, g, b)],
+            axis=-1,
+        )
+        return width, height, 3, rgb.astype(np.uint8).tobytes()
+    return width, height, 1, out[0].astype(np.uint8).tobytes()

@@ -9,11 +9,12 @@ Decode status: WAV 16-bit PCM sample decode is REAL (pure-Python byte
 parsing, :func:`decode_wav_pcm` / :func:`audio_sample_stats`), as is PNG
 PIXEL decode/encode/resize (stdlib zlib codec with all five scanline
 filters and CRC checks — :func:`decode_png_pixels` / :func:`encode_png` /
-:func:`png_resize_nearest` / :func:`image_pixel_stats`) and all
-container-header sniffing (PNG/JPEG/GIF/WAV). Only JPEG/GIF entropy
-decode remains stubbed (:func:`decode_image` raises NotImplementedError
-for them — Huffman+DCT needs a codec library absent from this container;
-a deterministic fake feature extractor is clearly marked). The Spark-side
+:func:`png_resize_nearest` / :func:`image_pixel_stats`), baseline JPEG
+PIXEL decode/encode (pure-Python entropy codec ``jpeg_lite`` — canonical
+Huffman from DHT, dequant, numpy IDCT, BT.601; progressive/subsampled
+variants raise specific errors), and all container-header sniffing
+(PNG/JPEG/GIF/WAV). Only GIF LZW decode remains stubbed
+(:func:`decode_image` raises NotImplementedError for it). The Spark-side
 plumbing — schema, partition sizing, UDF signature, batch shape — is real
 and tested throughout.
 
@@ -71,19 +72,42 @@ FEATURE_SCHEMA = StructType(
 
 
 def decode_image(payload: bytes) -> "object":
-    """Pixel decode dispatch. PNG is REAL (pure stdlib-zlib codec,
-    :func:`decode_png_pixels` — returns (width, height, channels,
-    raw_bytes)). JPEG/GIF entropy decode genuinely needs a codec library
-    not present in this container, so those still raise — pipelines fail
-    loudly rather than fake-decode. Header-level metadata (dimensions,
-    duration) does NOT need this — see :func:`sniff_media_metadata`."""
+    """Pixel decode dispatch — returns (width, height, channels,
+    raw_bytes). PNG is the pure stdlib-zlib codec
+    (:func:`decode_png_pixels`); JPEG is the pure-Python baseline
+    sequential codec (``jpeg_lite.decode_jpeg_baseline`` — general DHT
+    canonical-Huffman decode, dequant + numpy IDCT, BT.601; progressive /
+    subsampled variants raise a specific ValueError). Only GIF LZW
+    remains stubbed — it raises loudly rather than fake-decoding.
+    Header-level metadata (dimensions, duration) does NOT need this —
+    see :func:`sniff_media_metadata`."""
     decoded = decode_png_pixels(payload)
     if decoded is not None:
         return decoded
+    from .jpeg_lite import decode_jpeg_baseline
+
+    decoded = decode_jpeg_baseline(payload)
+    if decoded is not None:
+        return decoded
     raise NotImplementedError(
-        "only PNG pixel decode is implemented without an imaging library; "
-        "wire PIL/cv2 here for JPEG/GIF in production"
+        "pixel decode implemented for PNG + baseline JPEG (pure Python); "
+        "wire PIL/cv2 here for GIF/exotic variants in production"
     )
+
+
+def _decode_pixels_tolerant(payload: bytes):
+    """(width, height, channels, raw_bytes) or None — the per-row form the
+    stats kernels use: at 100 TB some rows are always corrupt/unsupported
+    and a stats pass must skip them (NULLs), not abort."""
+    d = decode_png_pixels(payload)
+    if d is not None:
+        return d
+    from .jpeg_lite import decode_jpeg_baseline
+
+    try:
+        return decode_jpeg_baseline(payload)
+    except ValueError:
+        return None
 
 
 # --- real (no-library) container-header parsing -----------------------------
@@ -191,9 +215,33 @@ def synth_jpeg(width: int, height: int) -> bytes:
         + bytes([8])
         + height.to_bytes(2, "big")
         + width.to_bytes(2, "big")
-        + bytes([1, 0x11, 0, 0])
+        + bytes([1, 1, 0x11, 0])  # nc=1; comp id 1, 4:4:4, quant table 0
     )
     return b"\xff\xd8" + com + sof
+
+
+def synth_jpeg_gray_blocks(seed_id: int) -> bytes:
+    """Deterministic REAL grayscale baseline JPEG: ``wb x hb`` 8x8 blocks,
+    each block CONSTANT at ``(seed_id*37 + j*11) % 256``. Constant blocks
+    make the lossy round-trip exactly SQL-expressible (all AC terms zero;
+    only the quantized DC survives — see jpeg_lite's determinism
+    contract), while still exercising the full entropy path: marker walk,
+    DHT canonical Huffman, DC prediction across blocks, EOB runs,
+    dequant, IDCT, level shift."""
+    from .jpeg_lite import encode_jpeg_baseline
+
+    wb = seed_id % 3 + 1
+    hb = seed_id % 2 + 1
+    w, h = wb * 8, hb * 8
+    px = bytearray(w * h)
+    for j in range(wb * hb):
+        v = (seed_id * 37 + j * 11) % 256
+        by, bx = divmod(j, wb)
+        for y in range(8):
+            row = (by * 8 + y) * w + bx * 8
+            for x in range(8):
+                px[row + x] = v
+    return encode_jpeg_baseline(w, h, bytes(px), channels=1)
 
 
 def synth_wav(n_frames: int, sample_rate: int = 1000, channels: int = 1,
@@ -434,16 +482,17 @@ IMAGE_STATS_SCHEMA = StructType(
 
 
 def image_pixel_stats(media: DataFrame) -> DataFrame:
-    """Arrow-batched per-image pixel statistics over binary PNG payloads via
-    :func:`decode_png_pixels` — the real (non-stub) image decode kernel,
-    the image twin of :func:`audio_sample_stats`. All stats are exact
-    integers (aggregation-order-proof); undecodable rows emit NULLs."""
+    """Arrow-batched per-image pixel statistics over binary PNG or baseline
+    JPEG payloads (:func:`_decode_pixels_tolerant` dispatch) — the real
+    (non-stub) image decode kernel, the image twin of
+    :func:`audio_sample_stats`. All stats are exact integers
+    (aggregation-order-proof); undecodable rows emit NULLs."""
 
     def _stats(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
         for batch in batches:
-            decoded = [decode_png_pixels(p) for p in batch["payload"]]
+            decoded = [_decode_pixels_tolerant(p) for p in batch["payload"]]
             stats = [
                 (d[0], d[1], d[2], len(d[3]), max(d[3], default=0),
                  sum(d[3]), sum(v * v for v in d[3])) if d else None

@@ -1368,6 +1368,70 @@ FROM s GROUP BY doc_id
 """
 
 
+def q_multimodal_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG pixel decode end-to-end (pure Python, no imaging
+    library — ext/jpeg_lite.py): synthesize a genuine grayscale JPEG per
+    document (SOI/JFIF/DQT/SOF0/DHT/SOS framing, canonical Huffman
+    entropy coding with DC prediction and EOB, byte stuffing), then
+    recover the stats by DECODING THE JPEG BYTES through the full entropy
+    + dequant + IDCT path inside the Arrow-batched kernel. The images are
+    block-constant, which collapses the lossy round-trip to a closed form
+    the oracle recomputes exactly (odd values step away from 128 by one —
+    the quantized-DC identity; see jpeg_lite's determinism contract), so
+    a bug anywhere in marker parsing, Huffman tables, bit unstuffing, DC
+    prediction, dequantization, or the IDCT breaks the hash. Non-constant
+    blocks are pinned by the exact spectral round-trip pytest. This
+    retires the repo's last image-decode stub (GIF LZW aside, declared).
+    Scale: per-row Arrow-batched map, embarrassingly parallel."""
+    from ..ext import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def _synth(batches):
+        import pandas as pd
+
+        for b in batches:
+            ids = [int(x) for x in b["doc_id"]]
+            payloads = [mm.synth_jpeg_gray_blocks(i) for i in ids]
+            yield pd.DataFrame({"media_id": b["doc_id"], "payload": payloads})
+
+    media = docs.repartition(F.col("doc_id")).mapInPandas(
+        _synth, schema="media_id long, payload binary"
+    )
+    return mm.image_pixel_stats(media)
+
+
+SQL_MULTIMODAL_JPEG_STATS = """
+WITH dims AS (
+  SELECT doc_id, (doc_id % 3 + 1) AS wb, (doc_id % 2 + 1) AS hb
+  FROM documents
+), blk AS (
+  -- constant-bound series (generate_series is not lateral): max 6 blocks
+  SELECT d.doc_id, d.wb, d.hb, (d.doc_id * 37 + t.j * 11) % 256 AS v
+  FROM dims d, generate_series(0, 5) AS t(j)
+  WHERE t.j < d.wb * d.hb
+), rt AS (
+  -- the flat-block JPEG round-trip closed form (flat q=16 => DC quantum
+  -- of 2 gray levels): even values survive, odd values step 1 away from
+  -- 128, the 255 step clamps
+  SELECT doc_id, wb, hb,
+         CASE WHEN v % 2 = 0 THEN v
+              WHEN v > 128 THEN LEAST(v + 1, 255)
+              ELSE v - 1 END AS v2
+  FROM blk
+)
+SELECT doc_id AS media_id,
+       CAST(max(wb) * 8 AS INTEGER) AS width,
+       CAST(max(hb) * 8 AS INTEGER) AS height,
+       CAST(1 AS INTEGER) AS channels,
+       CAST(max(wb) * max(hb) * 64 AS BIGINT) AS n_vals,
+       CAST(max(v2) AS BIGINT) AS peak,
+       CAST(64 * sum(v2) AS BIGINT) AS sum_vals,
+       CAST(64 * sum(v2 * v2) AS BIGINT) AS sum_sq
+FROM rt GROUP BY doc_id
+"""
+
+
 RESIZE_W, RESIZE_H = 5, 4
 
 
@@ -4685,6 +4749,10 @@ SPECS = {
         q_multimodal_image_stats, SQL_MULTIMODAL_IMAGE_STATS,
         "REAL PNG pixel decode (stdlib-zlib codec, all 5 scanline "
         "filters + CRCs): per-image dims/peak/sum/energy, integer-exact"),
+    "multimodal_jpeg_stats": QuerySpec(
+        q_multimodal_jpeg_stats, SQL_MULTIMODAL_JPEG_STATS,
+        "REAL baseline-JPEG pixel decode (pure-Python entropy codec: "
+        "Huffman, dequant, IDCT): flat-block closed form hash-checked"),
     "multimodal_image_resize": QuerySpec(
         q_multimodal_image_resize, SQL_MULTIMODAL_IMAGE_RESIZE,
         "nearest-neighbor PNG resize round-trip (decode->resample->"

@@ -635,3 +635,97 @@ def test_msgpack_round_trip_random(data):
         )
     )
     assert unpack_one(pack(value)) == value
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    wb=st.integers(1, 3),
+    hb=st.integers(1, 2),
+    channels=st.sampled_from([1, 3]),
+    data=st.data(),
+)
+def test_jpeg_codec_round_trip_random(wb, hb, channels, data):
+    """Property: the pure-Python baseline JPEG codec's lossy round-trip is
+    (a) dimension/channel-exact, (b) bounded — every reconstructed sample
+    within the worst-case quantization error of the flat q=16 table —
+    and (c) BIT-exact on spectral fixtures (pixel blocks synthesized from
+    quantized-multiple spectra, where FDCT->quantize is lossless)."""
+    import numpy as np
+
+    from klogs_spark.ext import jpeg_lite as J
+
+    w, h = wb * 8, hb * 8
+    n = w * h * channels
+    raw = bytes(
+        data.draw(st.lists(st.integers(0, 255), min_size=n, max_size=n))
+    )
+    enc = J.encode_jpeg_baseline(w, h, raw, channels=channels)
+    dec = J.decode_jpeg_baseline(enc)
+    assert dec is not None
+    w2, h2, c2, out = dec
+    assert (w2, h2, c2) == (w, h, channels)
+    assert len(out) == n
+    a = np.frombuffer(out, np.uint8).astype(int)
+    b = np.frombuffer(raw, np.uint8).astype(int)
+    # q=16 flat: per-coefficient error <= 8; IDCT spreads it, color
+    # conversion adds a little — 80 gray levels is a loose hard bound that
+    # still catches any structural decode bug (wrong block, wrong table,
+    # bit slip => ~random output, error ~128+)
+    assert int(np.abs(a - b).max()) <= 80
+
+
+@settings(max_examples=60, deadline=None)
+@given(seed=st.integers(0, 2**31 - 1))
+def test_jpeg_spectral_fixture_is_bit_exact(seed):
+    import numpy as np
+
+    from klogs_spark.ext import jpeg_lite as J
+
+    rng = np.random.RandomState(seed)
+    q = np.array(
+        [J.FLAT_Q16[J.ZIGZAG.index(i)] for i in range(64)]
+    ).reshape(8, 8)
+    a = J._dct_matrix()
+    coef = rng.randint(-3, 4, size=(8, 8)) * q
+    blk = a.T @ coef.astype(float) @ a
+    px = np.clip(J._round_half_away(blk + 128), 0, 255).astype(np.uint8)
+    # only keep fixtures whose pixels reproduce the spectrum exactly
+    # (clipping can break the identity for extreme spectra)
+    back = a @ (px.astype(float) - 128.0) @ a.T
+    if np.abs(back - coef).max() > 1e-6:
+        return  # clipped fixture — identity not expected
+    enc = J.encode_jpeg_baseline(8, 8, px.tobytes(), channels=1)
+    _, _, _, out = J.decode_jpeg_baseline(enc)
+    assert np.frombuffer(out, np.uint8).reshape(8, 8).tolist() == (
+        px.tolist()
+    )
+
+
+def test_jpeg_decoder_rejects_unsupported_loudly():
+    import numpy as np
+    import pytest
+
+    from klogs_spark.ext import jpeg_lite as J
+
+    px = np.full((8, 8), 42, dtype=np.uint8).tobytes()
+    enc = bytearray(J.encode_jpeg_baseline(8, 8, px, channels=1))
+    # not a JPEG at all -> None (sniffing contract)
+    assert J.decode_jpeg_baseline(b"\x89PNG....") is None
+    assert J.decode_jpeg_baseline(b"") is None
+    # progressive: flip SOF0 -> SOF2
+    i = bytes(enc).find(b"\xff\xc0")
+    prog = bytes(enc[:i + 1]) + b"\xc2" + bytes(enc[i + 2:])
+    with pytest.raises(ValueError, match="progressive"):
+        J.decode_jpeg_baseline(prog)
+    # chroma subsampling: 3-component SOF with 2x2 sampling on comp 1
+    rgb = J.encode_jpeg_baseline(
+        8, 8, bytes(192), channels=3
+    )
+    j = rgb.find(b"\xff\xc0")
+    body = bytearray(rgb)
+    body[j + 11] = 0x22  # comp 1 sampling 2x2
+    with pytest.raises(ValueError, match="subsampling"):
+        J.decode_jpeg_baseline(bytes(body))
+    # truncated entropy stream
+    with pytest.raises(ValueError, match="truncated|Huffman"):
+        J.decode_jpeg_baseline(bytes(enc[:-8]))

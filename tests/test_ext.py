@@ -181,12 +181,19 @@ def test_multimodal_resize_plumbing(spark):
 
 
 def test_multimodal_decode_stub_raises():
-    # non-PNG payloads (JPEG/GIF/junk) still fail loudly — entropy decode
-    # is library-gated; PNG now decodes for real (tests below)
+    # junk / GIF still fail loudly (GIF LZW is the one remaining stub);
+    # PNG and baseline JPEG decode for real (tests below)
     with pytest.raises(NotImplementedError):
         mm.decode_image(b"bytes")
     with pytest.raises(NotImplementedError):
+        mm.decode_image(b"GIF89a" + bytes(10))
+    # header-only JPEG (no scan) is a loud ValueError, not a fake decode
+    with pytest.raises(ValueError, match="no SOS"):
         mm.decode_image(mm.synth_jpeg(4, 4))
+    # a real baseline JPEG decodes through the dispatch
+    w, h, c, px = mm.decode_image(mm.synth_jpeg_gray_blocks(3))
+    assert (w, h, c) == ((3 % 3 + 1) * 8, (3 % 2 + 1) * 8, 1)
+    assert len(px) == w * h
 
 
 def test_png_codec_round_trips_every_filter():

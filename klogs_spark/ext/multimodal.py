@@ -84,14 +84,18 @@ def decode_image(payload: bytes) -> "object":
     decoded = decode_png_pixels(payload)
     if decoded is not None:
         return decoded
+    from .gif_lite import decode_gif_pixels
     from .jpeg_lite import decode_jpeg_baseline
 
     decoded = decode_jpeg_baseline(payload)
     if decoded is not None:
         return decoded
+    decoded = decode_gif_pixels(payload)
+    if decoded is not None:
+        return decoded
     raise NotImplementedError(
-        "pixel decode implemented for PNG + baseline JPEG (pure Python); "
-        "wire PIL/cv2 here for GIF/exotic variants in production"
+        "pixel decode implemented for PNG + baseline JPEG + GIF "
+        "(pure Python); wire PIL/cv2 here for exotic variants in production"
     )
 
 
@@ -102,10 +106,14 @@ def _decode_pixels_tolerant(payload: bytes):
     d = decode_png_pixels(payload)
     if d is not None:
         return d
+    from .gif_lite import decode_gif_pixels
     from .jpeg_lite import decode_jpeg_baseline
 
     try:
-        return decode_jpeg_baseline(payload)
+        d = decode_jpeg_baseline(payload)
+        if d is not None:
+            return d
+        return decode_gif_pixels(payload)
     except ValueError:
         return None
 
@@ -242,6 +250,20 @@ def synth_jpeg_gray_blocks(seed_id: int) -> bytes:
             for x in range(8):
                 px[row + x] = v
     return encode_jpeg_baseline(w, h, bytes(px), channels=1)
+
+
+def synth_gif_indexed(seed_id: int, width: int, height: int) -> bytes:
+    """Deterministic REAL GIF87a: the PNG synth pattern as palette indices
+    (``(seed_id*31 + k*7) % 251``) through an identity grayscale palette,
+    LZW-compressed. Lossless, so the decoded RGB is exactly (v, v, v) per
+    pixel — the oracle recomputes stats from the pattern formula."""
+    from .gif_lite import encode_gif
+
+    idx = bytes(
+        (seed_id * 31 + k * 7) % 251 for k in range(width * height)
+    )
+    palette = bytes(v for i in range(256) for v in (i, i, i))
+    return encode_gif(width, height, idx, palette)
 
 
 def synth_wav(n_frames: int, sample_rate: int = 1000, channels: int = 1,

@@ -1432,6 +1432,60 @@ FROM rt GROUP BY doc_id
 """
 
 
+def q_multimodal_gif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF LZW pixel decode end-to-end (pure Python, ext/gif_lite.py):
+    synthesize a genuine GIF87a per document — logical screen descriptor,
+    256-entry global color table, variable-width LZW with dictionary
+    growth, sub-block framing — with the deterministic index pattern
+    ((doc_id*31 + k*7) % 251) through an identity grayscale palette, then
+    recover the stats by DECODING THE GIF BYTES inside the Arrow-batched
+    kernel. GIF is lossless, so the oracle recomputes exactly from the
+    pattern formula (each pixel contributes its value on three RGB
+    channels); any bug in LZW bit unpacking, dictionary handling, block
+    framing, or palette mapping breaks the hash. With the PNG and JPEG
+    queries this makes the engine's image-decode stub count ZERO."""
+    from ..ext import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def _synth(batches):
+        import pandas as pd
+
+        for b in batches:
+            ids = [int(x) for x in b["doc_id"]]
+            payloads = [
+                mm.synth_gif_indexed(i, i % 11 + 1, i % 5 + 1) for i in ids
+            ]
+            yield pd.DataFrame({"media_id": b["doc_id"], "payload": payloads})
+
+    media = docs.repartition(F.col("doc_id")).mapInPandas(
+        _synth, schema="media_id long, payload binary"
+    )
+    return mm.image_pixel_stats(media)
+
+
+SQL_MULTIMODAL_GIF_STATS = """
+WITH dims AS (
+  SELECT doc_id, (doc_id % 11 + 1) AS w, (doc_id % 5 + 1) AS h
+  FROM documents
+), s AS (
+  -- constant-bound series cut per image; max n = 11 * 5 = 55 pixels
+  SELECT d.doc_id, d.w, d.h, (d.doc_id * 31 + t.k * 7) % 251 AS v
+  FROM dims d, generate_series(0, 54) AS t(k)
+  WHERE t.k < d.w * d.h
+)
+SELECT doc_id AS media_id,
+       CAST(max(w) AS INTEGER) AS width,
+       CAST(max(h) AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS channels,
+       CAST(count(*) * 3 AS BIGINT) AS n_vals,
+       CAST(max(v) AS BIGINT) AS peak,
+       CAST(3 * sum(v) AS BIGINT) AS sum_vals,
+       CAST(3 * sum(v * v) AS BIGINT) AS sum_sq
+FROM s GROUP BY doc_id
+"""
+
+
 RESIZE_W, RESIZE_H = 5, 4
 
 
@@ -4753,6 +4807,10 @@ SPECS = {
         q_multimodal_jpeg_stats, SQL_MULTIMODAL_JPEG_STATS,
         "REAL baseline-JPEG pixel decode (pure-Python entropy codec: "
         "Huffman, dequant, IDCT): flat-block closed form hash-checked"),
+    "multimodal_gif_stats": QuerySpec(
+        q_multimodal_gif_stats, SQL_MULTIMODAL_GIF_STATS,
+        "REAL GIF LZW pixel decode (pure-Python variable-width LZW + "
+        "palette): lossless round-trip hash-checked; stub count zero"),
     "multimodal_image_resize": QuerySpec(
         q_multimodal_image_resize, SQL_MULTIMODAL_IMAGE_RESIZE,
         "nearest-neighbor PNG resize round-trip (decode->resample->"

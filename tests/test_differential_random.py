@@ -729,3 +729,41 @@ def test_jpeg_decoder_rejects_unsupported_loudly():
     # truncated entropy stream
     with pytest.raises(ValueError, match="truncated|Huffman"):
         J.decode_jpeg_baseline(bytes(enc[:-8]))
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 20),
+    nbits=st.integers(1, 8),
+    data=st.data(),
+)
+def test_gif_codec_round_trip_random(w, h, nbits, data):
+    """Property: encode_gif -> decode_gif_pixels is the identity on
+    palette-mapped pixels for ANY dims, palette size, and index content
+    (GIF is lossless) — including streams long enough to grow the LZW
+    code width and reset the dictionary."""
+    from klogs_spark.ext import gif_lite as G
+
+    n = 1 << nbits
+    npx = w * h
+    idx = bytes(
+        data.draw(
+            st.lists(st.integers(0, n - 1), min_size=npx, max_size=npx)
+        )
+    )
+    pal = bytes(
+        data.draw(
+            st.lists(st.integers(0, 255), min_size=3 * n, max_size=3 * n)
+        )
+    )
+    g = G.encode_gif(w, h, idx, pal)
+    assert G.decode_gif_pixels(g) == (
+        w, h, 3, b"".join(pal[3 * i:3 * i + 3] for i in idx)
+    )
+    # non-GIF -> None; truncated LZW -> loud error
+    assert G.decode_gif_pixels(b"\x89PNG") is None
+    import pytest
+
+    with pytest.raises(ValueError):
+        G.decode_gif_pixels(g[: len(g) // 2])

@@ -434,6 +434,89 @@ def cow_delete_where(
     }
 
 
+def cow_merge_upsert(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+) -> dict:
+    """Copy-on-write MERGE — the manifest-layer twin of
+    ``table.merge_upsert`` (which overwrites day partitions in place):
+    rows in ``updates`` replace existing rows with the same key and new
+    keys insert, but the touched days' merged state is written as NEW
+    files, the replaced files STAY on disk for pinned readers, and the
+    published manifest swaps them — so time travel ACROSS a merge works
+    and :func:`snapshot_changes` yields the row-level merge feed (old
+    versions as deletes, new versions + brand-new rows as inserts;
+    carried unchanged rows cancel under exceptAll). Disk is reclaimed by
+    :func:`vacuum`. Same crash journal as :func:`cow_delete_where`.
+
+    Scale: cost is the touched days' data plus O(#files) driver manifest
+    algebra — the standard COW MERGE contract; untouched days never
+    rewrite and their files are never opened."""
+    from .table import LOG_COLUMNS, read_layout
+
+    promos = read_layout(spark, path).get("promotions") or {}
+    mat = updates
+    for pkey, pcol in promos.items():
+        if pcol not in mat.columns:
+            from .transform import promote_string_field
+
+            mat = promote_string_field(mat, pkey, pcol)
+    dated = mat.withColumn(
+        PARTITION_COLUMN, F.to_date(F.col("timestamp"))
+    )
+    days = [
+        str(r[0])
+        for r in dated.select(PARTITION_COLUMN).distinct().collect()
+    ]  # bounded by affected days
+    base_version = _cow_base_version(spark, path)
+    if not days:
+        return {"version": base_version, "partitions_rewritten": [],
+                "rows_updated": 0, "rows_inserted": 0}
+    live = _manifest_files(spark, path, base_version)
+    df = read_snapshot(spark, path, base_version).select(
+        PARTITION_COLUMN, *LOG_COLUMNS
+    )
+    existing = df.filter(F.col(PARTITION_COLUMN).isin(days))
+    keys = dated.select(*key_cols)
+    # matched UPDATE rows counted from the updates side (multi-match keys
+    # must not drive rows_inserted negative — the merge_upsert contract)
+    n_upd = keys.join(
+        existing.select(*key_cols), key_cols, "left_semi"
+    ).count()
+    kept = existing.join(keys, key_cols, "left_anti")
+    merged = kept.unionByName(dated, allowMissingColumns=True)
+
+    fs, hpath_cls, root = _hadoop_fs(spark, path)
+    before = set(_list_data_files(fs, root, hpath_cls))
+    _write_small_json(
+        fs, hpath_cls, path, REWRITE_MARKER,
+        {"op": "cow_merge_upsert", "base_version": base_version,
+         "before": sorted(before)},
+    )
+    _append_in_layout(spark, merged, path)
+    after = set(_list_data_files(fs, root, hpath_cls))
+    day_dirs = {f"{PARTITION_COLUMN}={d}" for d in days}
+    replaced = {f for f in live if f.split("/")[0] in day_dirs}
+    version = publish_snapshot(
+        spark, path, sorted((set(live) - replaced) | (after - before))
+    )
+    _must(
+        fs.delete(hpath_cls(f"{path}/{REWRITE_MARKER}"), False),
+        "rewrite-marker-delete", REWRITE_MARKER,
+    )
+    n_updates = dated.count()
+    return {
+        "version": version,
+        "partitions_rewritten": sorted(
+            f"{PARTITION_COLUMN}={d}" for d in days
+        ),
+        "rows_updated": int(n_upd),
+        "rows_inserted": int(n_updates - n_upd),
+    }
+
+
 def cow_compact_partition(
     spark: SparkSession, path: str, partition: str
 ) -> dict:

@@ -1585,6 +1585,111 @@ GROUP BY 1, 2
 """
 
 
+# COW merge windows: a HALF day updates (so the rewritten day carries
+# unchanged rows whose CDC cancellation is part of the check), one new day
+# inserts beyond the base week
+COWM_UPD_FROM, COWM_UPD_TO = "2024-01-03 00:00:00", "2024-01-03 12:00:00"
+COWM_BASE_TO, COWM_INS_TO = "2024-01-08 00:00:00", "2024-01-09 00:00:00"
+
+
+def q_table_cow_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write MERGE end-to-end (manifest.cow_merge_upsert): write
+    week 1, snapshot v1, then MERGE a batch that updates HALF of Jan 3
+    (same keys, log gains ' [v2]') and inserts Jan 8 — survivors written
+    as new files, replaced files retained, manifest swapped. Three facts
+    ship in one result, each recomputed independently by the oracle:
+
+      * kind='state': per-(day, namespace) counts at the merged version —
+        every matched row replaced exactly once, every insert landed;
+      * kind='cdc': the v1→v2 row-level merge feed — deletes are exactly
+        the old versions of updated rows, inserts the new versions plus
+        the brand-new day, and CRUCIALLY the unchanged second half of
+        Jan 3 (carried through the rewrite) cancels to nothing;
+      * kind='pin': the v1 reader still sees the pre-merge table (time
+        travel across a MERGE — the thing table.merge_upsert's in-place
+        overwrite cannot give)."""
+    import tempfile
+
+    from ..manifest import (
+        cow_merge_upsert,
+        publish_snapshot,
+        read_logs_at,
+        snapshot_changes,
+    )
+    from ..table import write_logs
+    from ..views import derive_logs_from_events
+
+    logs = derive_logs_from_events(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="klogs-cowmerge-")
+    tdir = f"{base}/logs"
+    write_logs(logs.filter(F.col("timestamp") < COWM_BASE_TO), tdir)
+    v1 = publish_snapshot(spark, tdir)
+    n_v1 = read_logs_at(spark, tdir, v1).count()
+    updates = (
+        logs.filter(
+            (F.col("timestamp") >= COWM_UPD_FROM)
+            & (F.col("timestamp") < COWM_UPD_TO)
+        )
+        .withColumn("log", F.concat(F.col("log"), F.lit(" [v2]")))
+        .unionByName(
+            logs.filter(
+                (F.col("timestamp") >= COWM_BASE_TO)
+                & (F.col("timestamp") < COWM_INS_TO)
+            )
+        )
+    )
+    res = cow_merge_upsert(spark, tdir, updates, key_cols=["timestamp"])
+    feed = snapshot_changes(spark, tdir, v1, res["version"])
+    cdc = feed.groupBy(
+        F.lit("cdc").alias("kind"),
+        F.col("date").cast("string").alias("day"),
+        F.col("_change_type").alias("dim"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    state = (
+        read_logs_at(spark, tdir, res["version"])
+        .groupBy(
+            F.lit("state").alias("kind"),
+            F.col("date").cast("string").alias("day"),
+            F.col("namespace").alias("dim"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    pin = spark.createDataFrame(
+        [("pin", "total", "v1", n_v1)], "kind string, day string, dim string, cnt long"
+    )
+    return cdc.select("kind", "day", "dim", "cnt").unionByName(
+        state.select("kind", "day", "dim", "cnt")
+    ).unionByName(pin)
+
+
+SQL_TABLE_COW_MERGE = f"""
+WITH ev AS (
+  SELECT ts, CAST(ts AS DATE) AS d,
+         concat('ns-', CAST(user_id % 5 AS VARCHAR)) AS ns
+  FROM events
+)
+SELECT 'cdc' AS kind, CAST(d AS VARCHAR) AS day, 'delete' AS dim,
+       count(*) AS cnt
+FROM ev WHERE ts >= TIMESTAMP '{COWM_UPD_FROM}'
+         AND ts < TIMESTAMP '{COWM_UPD_TO}'
+GROUP BY 2
+UNION ALL
+SELECT 'cdc', CAST(d AS VARCHAR), 'insert', count(*)
+FROM ev WHERE (ts >= TIMESTAMP '{COWM_UPD_FROM}'
+                AND ts < TIMESTAMP '{COWM_UPD_TO}')
+           OR (ts >= TIMESTAMP '{COWM_BASE_TO}'
+                AND ts < TIMESTAMP '{COWM_INS_TO}')
+GROUP BY 2
+UNION ALL
+SELECT 'state', CAST(d AS VARCHAR), ns, count(*)
+FROM ev WHERE ts < TIMESTAMP '{COWM_INS_TO}'
+GROUP BY 2, 3
+UNION ALL
+SELECT 'pin', 'total', 'v1', count(*)
+FROM ev WHERE ts < TIMESTAMP '{COWM_BASE_TO}'
+"""
+
+
 POLICY_TODAY = "2024-01-25"  # pinned "today" for the policy job
 POLICY_RETENTION = {"ns-1": 5, "ns-3": 12}
 POLICY_DEFAULT_DAYS = 18
@@ -2407,6 +2512,10 @@ SPECS = {
         q_table_cow_lifecycle, SQL_TABLE_COW_LIFECYCLE,
         "full COW lifecycle: compact (empty feed), delete (pure-delete "
         "feed), vacuum, per-day survivors vs events arithmetic"),
+    "table_cow_merge": QuerySpec(
+        q_table_cow_merge, SQL_TABLE_COW_MERGE,
+        "copy-on-write MERGE: merged state + row-level CDC feed (carried "
+        "half-day cancels) + pinned pre-merge reader, all hash-checked"),
     "stream_snapshot_cdc": QuerySpec(
         q_stream_snapshot_cdc, SQL_STREAM_SNAPSHOT_CDC,
         "per-micro-batch snapshot publish in foreachBatch; CDC between "

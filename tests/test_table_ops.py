@@ -1328,3 +1328,64 @@ def test_cow_compact_crash_and_recovery_paths(spark, tmp_path, monkeypatch):
     assert M.read_logs_at(spark, path, res["version"]).count() == n_total
     M.vacuum(spark, path, keep_versions=1)
     assert spark.read.parquet(path).count() == n_total
+
+
+def test_cow_merge_upsert_retains_pins_and_vacuums_clean(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from klogs_spark.manifest import (
+        cow_merge_upsert,
+        publish_snapshot,
+        read_logs_at,
+        snapshot_changes,
+        vacuum,
+    )
+    from klogs_spark.table import write_logs
+    from klogs_spark.views import derive_logs_from_events
+
+    logs = derive_logs_from_events(spark, "/root/testdata/sf0.001")
+    week1 = logs.filter(F.col("timestamp") < "2024-01-08")
+    path = str(tmp_path / "t")
+    write_logs(week1, path)
+    v1 = publish_snapshot(spark, path)
+    n1 = week1.count()
+
+    upd = (
+        logs.filter(
+            (F.col("timestamp") >= "2024-01-02")
+            & (F.col("timestamp") < "2024-01-02 12:00:00")
+        )
+        .withColumn("log", F.concat(F.col("log"), F.lit(" [v2]")))
+        .unionByName(
+            logs.filter(
+                (F.col("timestamp") >= "2024-01-08")
+                & (F.col("timestamp") < "2024-01-09")
+            )
+        )
+    )
+    n_upd = upd.filter("log LIKE '% [v2]'").count()
+    n_ins = upd.count() - n_upd
+    res = cow_merge_upsert(spark, path, upd, key_cols=["timestamp"])
+    assert res["rows_updated"] == n_upd
+    assert res["rows_inserted"] == n_ins
+
+    # pinned pre-merge reader unchanged; merged version exact
+    assert read_logs_at(spark, path, v1).count() == n1
+    after = read_logs_at(spark, path, res["version"])
+    assert after.count() == n1 + n_ins
+    assert after.filter("log LIKE '% [v2]'").count() == n_upd
+
+    # CDC: updates appear as delete+insert pairs, the carried second half
+    # of the rewritten day cancels, inserts add the new day
+    feed = snapshot_changes(spark, path, v1, res["version"])
+    by = {
+        r._change_type: r.n
+        for r in feed.groupBy("_change_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert by == {"delete": n_upd, "insert": n_upd + n_ins}
+
+    # vacuum reconciles the directory with the merged manifest
+    vacuum(spark, path, keep_versions=1)
+    assert spark.read.parquet(path).count() == n1 + n_ins

@@ -982,3 +982,73 @@ def misra_gries_topk(
         "item string, est long",
     )
     return out, int(err)
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 20,
+    text: str = "text",
+    id_col: str = "doc_id",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """BM25 ranked retrieval (Robertson/Sparck Jones probabilistic
+    weighting, the Lucene-default scoring function) for a fixed bag of
+    query ``terms`` — the exact-relevance complement to the embedding ANN
+    surface:
+
+        score(d) = Σ_t  ln(1 + (N - df_t + 0.5)/(df_t + 0.5))
+                        · tf · (k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+
+    Scale shape: the token explode is FILTERED to the query terms before
+    any aggregation (the posting-list read — work proportional to the
+    query's postings, not the corpus vocabulary); doc lengths come from a
+    row-local size() (no explode); N/avgdl is ONE 1-row broadcast
+    aggregate and the per-term df table (≤ |terms| rows) broadcasts into
+    the scoring join. No unpartitioned window: top-k is a TakeOrdered
+    over (rounded score desc, id). Scores round to 6 decimals so the
+    cross-engine float math (ln included) hash-matches; ties after
+    rounding break by id in both engines.
+
+    Returns (id, score) — score rounded, descending, ≤ k rows."""
+    from .dedup import tokens_col
+
+    tk = tokens_col(F.col(text))
+    dl = docs.select(F.col(id_col).alias("id"), F.size(tk).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    toks = docs.select(
+        F.col(id_col).alias("id"), F.explode(tk).alias("tok")
+    ).filter(F.col("tok").isin(list(terms)))
+    tf = toks.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_t), "tok")
+        .join(dl, "id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "id",
+            (
+                F.log(
+                    1.0
+                    + (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (k1 + 1))
+                / (
+                    F.col("tf")
+                    + k1
+                    * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("s"),
+        )
+        .groupBy("id")
+        .agg(F.round(F.sum("s"), 6).alias("score"))
+    )
+    return scored.orderBy(F.col("score").desc(), F.col("id")).limit(k)

@@ -1604,6 +1604,62 @@ FROM documents
 """
 
 
+BM25_TERMS = ("spark", "window", "hash")
+BM25_TOPK = 25
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (ext.text.bm25_topk — Robertson/Sparck Jones
+    weighting, the Lucene default) for a fixed query bag: the
+    exact-relevance complement to the embedding ANN surface. The plan is
+    posting-list shaped: the token explode filters to the query terms
+    BEFORE aggregation (work ∝ the query's postings, not the vocabulary),
+    doc lengths are a row-local size(), N/avgdl is one broadcast 1-row
+    aggregate, the ≤|terms|-row df table broadcasts into the scoring
+    join, and top-k is a TakeOrdered over (rounded score, id) — no
+    unpartitioned window, no corpus sort. The oracle recomputes the full
+    formula (ln idf, length normalization) term-for-term."""
+    return tx.bm25_topk(
+        load_table(spark, sf_dir, "documents"),
+        list(BM25_TERMS),
+        k=BM25_TOPK,
+    )
+
+
+_BM25_IN = ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+SQL_BM25_TOPK = f"""
+WITH tk AS (
+  SELECT doc_id AS id,
+         list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+),
+dl AS (SELECT id, len(toks) AS dl FROM tk),
+st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT id, tok, count(*) AS tf
+  FROM (SELECT id, unnest(toks) AS tok FROM tk)
+  WHERE tok IN ({_BM25_IN})
+  GROUP BY 1, 2
+),
+dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+s AS (
+  SELECT tf.id,
+         ln(1 + (st.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+           * (tf.tf * ({tx.BM25_K1} + 1))
+           / (tf.tf + {tx.BM25_K1}
+              * (1 - {tx.BM25_B} + {tx.BM25_B} * dl.dl / st.avgdl)) AS s
+  FROM tf
+  JOIN dft USING (tok)
+  JOIN dl ON tf.id = dl.id, st
+)
+SELECT id, round(sum(s), 6) AS score
+FROM s GROUP BY id
+ORDER BY score DESC, id
+LIMIT {BM25_TOPK}
+"""
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.quality_features(load_table(spark, sf_dir, "documents"))
 
@@ -4829,6 +4885,10 @@ SPECS = {
                               "quality features + composite score"),
     "text_langid": QuerySpec(q_langid, SQL_LANGID,
                              "stopword-heuristic language ID"),
+    "text_bm25_topk": QuerySpec(
+        q_bm25_topk, SQL_BM25_TOPK,
+        "BM25 ranked retrieval (posting-list plan: term-filtered explode, "
+        "broadcast df/stats, TakeOrdered top-k) vs full-formula oracle"),
     "text_fingerprints": QuerySpec(q_fingerprints, SQL_FINGERPRINTS,
                                    "hashed-shingle fingerprints"),
     "text_tfidf_scores": QuerySpec(q_tfidf_scores, SQL_TFIDF_SCORES,

@@ -591,3 +591,15 @@ def test_edit_distance_join_is_keyed_never_quadratic(spark):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
         "BroadcastHashJoin" in plan
     ), plan[:500]
+
+
+def test_bm25_plans_as_posting_list_topk(spark):
+    """BM25's scale contract: top-k via TakeOrdered (no global sort), the
+    query-term filter pushed into the scan side of the postings explode,
+    and no shuffle join for the tiny df/stats tables (broadcast only —
+    the sole nested-loop is the deliberate 1-row stats broadcast)."""
+    plan = _plan(spark, "text_bm25_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan

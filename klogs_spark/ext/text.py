@@ -1052,3 +1052,53 @@ def bm25_topk(
         .agg(F.round(F.sum("s"), 6).alias("score"))
     )
     return scored.orderBy(F.col("score").desc(), F.col("id")).limit(k)
+
+
+RRF_K = 60
+
+
+def rrf_fuse(
+    rankings: "list[DataFrame]",
+    score_cols: "list[str]",
+    k_rrf: int = RRF_K,
+    topk: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009 — the
+    standard hybrid-retrieval combiner): each input ranking contributes
+    1/(k + rank) per id and the fused score is the sum — rank-based, so
+    incomparable score scales (BM25 vs cosine) fuse without calibration.
+
+    Scale shape: every input is already a top-k frame (≤ tens of rows),
+    so the rank windows are bounded by construction (unfoldable constant
+    partition key marks them deliberate), fusion is a union + one keyed
+    aggregate over ≤ Σk rows, and the final top-k is a TakeOrdered.
+    Ranks order by (score desc, id) — deterministic under rounded scores
+    in both engines. Returns (id, rrf_score, n_sources) descending."""
+    from functools import reduce
+
+    from pyspark.sql.window import Window
+
+    from .sampling import bounded_window_key
+
+    contribs = []
+    for df, sc in zip(rankings, score_cols):
+        w = (
+            Window.partitionBy(bounded_window_key(F.col("id")))
+            .orderBy(F.col(sc).desc(), F.col("id"))
+        )
+        contribs.append(
+            df.select(
+                "id",
+                (1.0 / (k_rrf + F.row_number().over(w))).alias("c"),
+            )
+        )
+    merged = reduce(lambda a, b: a.unionByName(b), contribs)
+    return (
+        merged.groupBy("id")
+        .agg(
+            F.round(F.sum("c"), 6).alias("rrf_score"),
+            F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+        )
+        .orderBy(F.col("rrf_score").desc(), F.col("id"))
+        .limit(topk)
+    )

@@ -1660,6 +1660,62 @@ LIMIT {BM25_TOPK}
 """
 
 
+RRF_SIDE_K = 25
+RRF_TOPK = 15
+
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval — reciprocal-rank fusion (ext.text.rrf_fuse,
+    Cormack et al. 2009) of the lexical BM25 top-25 and the semantic
+    brute-cosine top-25, the two-tower search shape every RAG stack
+    runs. Rank-based fusion needs no score calibration across the
+    incomparable scales; both side rankings are deterministic under
+    their rounded scores with id tiebreaks, so the fused list is
+    hash-checkable. Plan: two TakeOrdered sides, bounded (≤25-row)
+    rank windows on unfoldable constant keys, one keyed aggregate over
+    ≤50 rows, TakeOrdered final — nothing corpus-sized past the side
+    retrievals themselves."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    lexical = tx.bm25_topk(docs, list(BM25_TERMS), k=RRF_SIDE_K)
+    semantic = sim.brute_force_topk(
+        emb, _query_vec(spark, sf_dir), k=RRF_SIDE_K
+    )
+    return tx.rrf_fuse(
+        [lexical, semantic], ["score", "cosine"], topk=RRF_TOPK
+    )
+
+
+SQL_HYBRID_RRF = f"""
+WITH lex AS (
+  SELECT id, ROW_NUMBER() OVER (ORDER BY score DESC, id) AS r
+  FROM ({SQL_BM25_TOPK})
+),
+sem AS (
+  SELECT id, ROW_NUMBER() OVER (ORDER BY cosine DESC, id) AS r
+  FROM (
+    SELECT e.vec_id AS id, round({_cos_sql('e.v', 'q.qv')}, 6) AS cosine
+    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings) e,
+         (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+          WHERE vec_id = 0) q
+    ORDER BY cosine DESC, id
+    LIMIT {RRF_SIDE_K}
+  )
+),
+u AS (
+  SELECT id, 1.0 / ({tx.RRF_K} + r) AS c FROM lex
+  UNION ALL
+  SELECT id, 1.0 / ({tx.RRF_K} + r) AS c FROM sem
+)
+SELECT id, round(sum(c), 6) AS rrf_score,
+       CAST(count(*) AS BIGINT) AS n_sources
+FROM u GROUP BY id
+ORDER BY rrf_score DESC, id
+LIMIT {RRF_TOPK}
+"""
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.quality_features(load_table(spark, sf_dir, "documents"))
 
@@ -4889,6 +4945,10 @@ SPECS = {
         q_bm25_topk, SQL_BM25_TOPK,
         "BM25 ranked retrieval (posting-list plan: term-filtered explode, "
         "broadcast df/stats, TakeOrdered top-k) vs full-formula oracle"),
+    "text_hybrid_rrf": QuerySpec(
+        q_hybrid_rrf, SQL_HYBRID_RRF,
+        "hybrid retrieval: reciprocal-rank fusion of BM25 and cosine "
+        "top-k sides (bounded rank windows, keyed fuse) vs RRF oracle"),
     "text_fingerprints": QuerySpec(q_fingerprints, SQL_FINGERPRINTS,
                                    "hashed-shingle fingerprints"),
     "text_tfidf_scores": QuerySpec(q_tfidf_scores, SQL_TFIDF_SCORES,

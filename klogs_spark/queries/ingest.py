@@ -1896,6 +1896,95 @@ def q_stream_snapshot_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n"))
 
 
+# streaming-upsert windows: batch 2's update range OVERLAPS batch 1's, so
+# last-writer-wins across micro-batches is part of the external check
+SUP_V2_FROM, SUP_V2_TO = "2024-01-03 00:00:00", "2024-01-03 06:00:00"
+SUP_V3_FROM, SUP_V3_TO = "2024-01-03 03:00:00", "2024-01-03 09:00:00"
+SUP_BASE_TO = "2024-01-08 00:00:00"
+SUP_INS1_TO, SUP_INS2_TO = "2024-01-09 00:00:00", "2024-01-10 00:00:00"
+
+
+def q_stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming UPSERT end-to-end — the Delta ``foreachBatch + MERGE``
+    pattern (streaming_ext.upsert_logs_sink over manifest.cow_merge_upsert):
+    a REAL 3-micro-batch stream merges into a COW table seeded with week 1.
+    Batch 1 updates Jan 3 00-06 (' [v2]') and inserts Jan 8; batch 2
+    RE-updates the overlapping Jan 3 03-09 (' [v3]'); batch 3 inserts
+    Jan 9. The final per-day state proves: matched keys replaced exactly
+    once per batch, LAST-writer-wins where batches overlap (03-06 must
+    end at [v3], 00-03 stay [v2]), inserts landed once, untouched days
+    untouched — every count recomputed by the oracle from events
+    arithmetic. Each batch's rewrite cost is its touched days, and every
+    batch publishes a pinnable snapshot version."""
+    import tempfile
+
+    from ..manifest import publish_snapshot, read_logs_at
+    from ..schema import LOG_SCHEMA
+    from ..streaming_ext import upsert_logs_sink
+    from ..table import write_logs
+    from ..views import derive_logs_from_events
+
+    logs = derive_logs_from_events(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="klogs-supsert-")
+    src, ckpt, tdir = f"{base}/src", f"{base}/ckpt", f"{base}/logs"
+    write_logs(logs.filter(F.col("timestamp") < SUP_BASE_TO), tdir)
+    publish_snapshot(spark, tdir)
+
+    def tagged(lo, hi, tag=None):
+        part = logs.filter(
+            (F.col("timestamp") >= lo) & (F.col("timestamp") < hi)
+        )
+        if tag:
+            part = part.withColumn("log", F.concat(F.col("log"), F.lit(tag)))
+        return part
+
+    batches = [
+        tagged(SUP_V2_FROM, SUP_V2_TO, " [v2]").unionByName(
+            tagged(SUP_BASE_TO, SUP_INS1_TO)
+        ),
+        tagged(SUP_V3_FROM, SUP_V3_TO, " [v3]"),
+        tagged(SUP_INS1_TO, SUP_INS2_TO),
+    ]
+    sink = upsert_logs_sink(tdir, key_cols=["timestamp"])
+    for part in batches:
+        part.write.mode("append").parquet(src)
+        q = (
+            spark.readStream.schema(LOG_SCHEMA)
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    final = read_logs_at(spark, tdir)
+    return final.groupBy(
+        F.col("date").cast("string").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("log").endswith(" [v2]").cast("int"))
+        .cast("bigint")
+        .alias("n_v2"),
+        F.sum(F.col("log").endswith(" [v3]").cast("int"))
+        .cast("bigint")
+        .alias("n_v3"),
+    )
+
+
+SQL_STREAM_UPSERT_SINK = f"""
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, count(*) AS cnt,
+       CAST(sum(CASE WHEN ts >= TIMESTAMP '{SUP_V2_FROM}'
+                      AND ts < TIMESTAMP '{SUP_V3_FROM}'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_v2,
+       CAST(sum(CASE WHEN ts >= TIMESTAMP '{SUP_V3_FROM}'
+                      AND ts < TIMESTAMP '{SUP_V3_TO}'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_v3
+FROM events
+WHERE ts < TIMESTAMP '{SUP_INS2_TO}'
+GROUP BY 1
+"""
+
+
 def q_table_cow_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The whole copy-on-write lifecycle externally hash-checked in one
     pass: fragment a week by 4 appends → snapshot v1 → COW-COMPACT the
@@ -2516,6 +2605,11 @@ SPECS = {
         q_table_cow_merge, SQL_TABLE_COW_MERGE,
         "copy-on-write MERGE: merged state + row-level CDC feed (carried "
         "half-day cancels) + pinned pre-merge reader, all hash-checked"),
+    "stream_upsert_sink": QuerySpec(
+        q_stream_upsert_sink, SQL_STREAM_UPSERT_SINK,
+        "streaming UPSERT (foreachBatch + COW merge): 3 real micro-"
+        "batches, overlapping updates end last-writer-wins, per-day "
+        "state vs events arithmetic"),
     "stream_snapshot_cdc": QuerySpec(
         q_stream_snapshot_cdc, SQL_STREAM_SNAPSHOT_CDC,
         "per-micro-batch snapshot publish in foreachBatch; CDC between "

@@ -177,3 +177,28 @@ def error_run_tracker(logs: DataFrame, threshold: int = 3) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def upsert_logs_sink(path: str, key_cols: list[str]):
+    """Streaming UPSERT sink — the canonical Delta ``foreachBatch + MERGE``
+    pattern on the engine's native COW table: each micro-batch merges into
+    ``path`` via :func:`klogs_spark.manifest.cow_merge_upsert` (matched
+    keys replace, new keys insert, touched days rewritten as NEW files
+    under the journaled crash protocol, manifest published per batch).
+    Because batches apply sequentially, a key updated in several batches
+    ends at its LAST version (last-writer-wins across batches — the
+    streaming-CDC-apply semantics); pinned readers keep their snapshot
+    and :func:`snapshot_changes` yields per-batch merge feeds.
+
+    At-least-once like the data path: a replayed batch re-merges the same
+    keys to the same values (idempotent by construction when the batch is
+    deterministic). Cost per batch = the touched days' data, never the
+    table."""
+    from .manifest import cow_merge_upsert
+
+    def sink_fn(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        cow_merge_upsert(batch.sparkSession, path, batch, key_cols)
+
+    return sink_fn

@@ -181,19 +181,21 @@ def test_multimodal_resize_plumbing(spark):
 
 
 def test_multimodal_decode_stub_raises():
-    # junk / GIF still fail loudly (GIF LZW is the one remaining stub);
-    # PNG and baseline JPEG decode for real (tests below)
+    # junk fails loudly; PNG, baseline JPEG, and GIF all decode for real
     with pytest.raises(NotImplementedError):
         mm.decode_image(b"bytes")
-    with pytest.raises(NotImplementedError):
+    # truncated GIF is a loud ValueError (real decoder), not a fake decode
+    with pytest.raises(ValueError, match="gif"):
         mm.decode_image(b"GIF89a" + bytes(10))
     # header-only JPEG (no scan) is a loud ValueError, not a fake decode
     with pytest.raises(ValueError, match="no SOS"):
         mm.decode_image(mm.synth_jpeg(4, 4))
-    # a real baseline JPEG decodes through the dispatch
+    # real baseline JPEG and GIF decode through the dispatch
     w, h, c, px = mm.decode_image(mm.synth_jpeg_gray_blocks(3))
     assert (w, h, c) == ((3 % 3 + 1) * 8, (3 % 2 + 1) * 8, 1)
     assert len(px) == w * h
+    w, h, c, px = mm.decode_image(mm.synth_gif_indexed(3, 5, 4))
+    assert (w, h, c, len(px)) == (5, 4, 3, 60)
 
 
 def test_png_codec_round_trips_every_filter():

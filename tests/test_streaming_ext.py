@@ -185,3 +185,42 @@ def test_stream_left_outer_interval_join_emits_unmatched(spark, tmp_path):
         (1, T0.replace(hour=9, minute=50)),  # matched, exactly once
         (2, None),                           # unmatched -> null emission
     ]
+
+
+def test_upsert_sink_batch_replay_is_idempotent(spark, tmp_path):
+    """At-least-once contract of the streaming upsert sink: re-delivering
+    the SAME micro-batch must leave the table state unchanged (the merge
+    re-replaces identical keys with identical rows)."""
+    from pyspark.sql import functions as F
+
+    from klogs_spark.manifest import publish_snapshot, read_logs_at
+    from klogs_spark.streaming_ext import upsert_logs_sink
+    from klogs_spark.table import write_logs
+    from klogs_spark.views import derive_logs_from_events
+
+    logs = derive_logs_from_events(spark, "/root/testdata/sf0.001")
+    path = str(tmp_path / "t")
+    write_logs(logs.filter(F.col("timestamp") < "2024-01-03"), path)
+    publish_snapshot(spark, path)
+
+    batch = (
+        logs.filter(
+            (F.col("timestamp") >= "2024-01-02")
+            & (F.col("timestamp") < "2024-01-04")
+        )
+        .withColumn("log", F.concat(F.col("log"), F.lit(" [v2]")))
+    )
+    sink = upsert_logs_sink(path, key_cols=["timestamp"])
+    sink(batch, 0)
+    state1 = sorted(
+        (str(r.timestamp), r.log)
+        for r in read_logs_at(spark, path).select("timestamp", "log").collect()
+    )
+    sink(batch, 1)  # replay
+    state2 = sorted(
+        (str(r.timestamp), r.log)
+        for r in read_logs_at(spark, path).select("timestamp", "log").collect()
+    )
+    assert state1 == state2
+    n_v2 = batch.count()
+    assert sum(1 for _, log in state2 if log.endswith(" [v2]")) == n_v2

@@ -68,6 +68,10 @@ HEADLINE = [
     # concurrency (two-phase baseline+running-sum, no global sort)
     "text_edit_distance_join",
     "events_peak_concurrency",
+    # round-10: BM25's posting-list plan is a perf claim (work ∝ query
+    # postings, not vocabulary) — benched so a regression to a full
+    # vocabulary aggregate is visible
+    "text_bm25_topk",
 ]
 
 

@@ -231,6 +231,58 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # the COW delete rewrite (benched per-round since r10): fresh table
+    # per scale (untimed setup), one week-scoped predicate delete timed —
+    # measures the survivor-write + manifest-algebra path at 10x
+    try:
+        import tempfile
+
+        from klogs_spark.manifest import cow_delete_where, publish_snapshot
+        from klogs_spark.table import write_logs
+        from klogs_spark.views import derive_logs_from_events
+
+        from pyspark.sql import functions as F
+
+        def cow_cost(src):
+            best = float("inf")
+            for _ in range(max(trials, 1)):
+                d = tempfile.mkdtemp(prefix="bsf1-cow-")
+                write_logs(
+                    derive_logs_from_events(spark, src), d, mode="overwrite"
+                )
+                publish_snapshot(spark, d)
+                t0 = time.perf_counter()
+                cow_delete_where(
+                    spark, d,
+                    F.expr("pod_name = 'pod-7' AND date < '2024-01-08'"),
+                )
+                best = min(best, time.perf_counter() - t0)
+                import shutil
+
+                shutil.rmtree(d, ignore_errors=True)
+            return best
+
+        b01 = cow_cost(SF01)
+        b1 = cow_cost(sf1_dir)
+        results["table_cow_delete"] = {
+            "sf0.1_sec": round(b01, 3),
+            "sf1_sec": round(b1, 3),
+            "ratio_10x": round(b1 / b01, 2),
+            "in_rows": {"sf0.1": load_table(spark, SF01, "events").count(),
+                        "sf1": counts["events"]},
+        }
+        print(
+            f"# table_cow_delete: {b01:.3f}s -> {b1:.3f}s "
+            f"(ratio {b1 / b01:.2f})",
+            file=sys.stderr,
+        )
+    except Exception as exc:  # noqa: BLE001
+        errors["table_cow_delete"] = f"{type(exc).__name__}: {exc}"[:300]
+        print(
+            f"# table_cow_delete: FAILED {errors['table_cow_delete']}",
+            file=sys.stderr,
+        )
+
     print(
         json.dumps(
             {

@@ -12,9 +12,11 @@ filters and CRC checks — :func:`decode_png_pixels` / :func:`encode_png` /
 :func:`png_resize_nearest` / :func:`image_pixel_stats`), baseline JPEG
 PIXEL decode/encode (pure-Python entropy codec ``jpeg_lite`` — canonical
 Huffman from DHT, dequant, numpy IDCT, BT.601; progressive/subsampled
-variants raise specific errors), and all container-header sniffing
-(PNG/JPEG/GIF/WAV). Only GIF LZW decode remains stubbed
-(:func:`decode_image` raises NotImplementedError for it). The Spark-side
+variants raise specific errors), GIF PIXEL decode/encode (pure-Python
+variable-width LZW codec ``gif_lite`` — palettes, interlace, dictionary
+reset), and all container-header sniffing (PNG/JPEG/GIF/WAV). Image
+decode stub count: ZERO — :func:`decode_image` raises
+NotImplementedError only for formats outside these three. The Spark-side
 plumbing — schema, partition sizing, UDF signature, batch shape — is real
 and tested throughout.
 
@@ -472,11 +474,13 @@ def decode_png_pixels(
 def png_resize_nearest(payload: bytes, width: int, height: int) -> bytes:
     """REAL nearest-neighbor PNG resize: decode → index-map sample → encode.
     Source index per destination pixel is ``(dst * src_dim) // dst_dim``
-    (the floor mapping — SQL-reproducible for the oracle). Raises
-    NotImplementedError for non-PNG payloads (JPEG decode is library-gated)."""
+    (the floor mapping — SQL-reproducible for the oracle). Non-PNG
+    payloads fall through to the :func:`decode_image` dispatch (which
+    raises for formats without a codec — PNG is the only RE-ENCODE
+    target here, so only PNG payloads resize in place)."""
     decoded = decode_png_pixels(payload)
     if decoded is None:
-        return decode_image(payload)  # raises NotImplementedError
+        return decode_image(payload)  # raises for non-image payloads
     sw, sh, ch, raw = decoded
     s_stride = sw * ch
     out = bytearray()

@@ -1090,6 +1090,50 @@ FROM hourly JOIN season
 PAGE_SIZE = 100
 
 
+def q_context_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The log-viewer "show surrounding logs" drill-down (the klogs UI's
+    context fetch, batch form): for EVERY error line, the ±2 neighboring
+    lines of the same pod's stream — one lag/lead window PARTITIONED BY
+    pod (never global; at 100 TB each pod's stream sorts independently),
+    anchors filtered after the window so neighbors are real stream
+    neighbors, not match neighbors. Deterministic order: (timestamp, log)
+    tiebreak in both engines. Namespace pre-filter prunes the scan and
+    cannot split a pod's stream (pods are namespace-constant by the
+    events mapping)."""
+    from pyspark.sql.window import Window
+
+    logs = derive_logs_from_events(spark, sf_dir).filter(
+        F.col("namespace") == "ns-1"
+    )
+    w = Window.partitionBy("pod_name").orderBy("timestamp", "log")
+    ctx = logs.select(
+        "pod_name",
+        "timestamp",
+        F.lag("log", 2).over(w).alias("prev2"),
+        F.lag("log", 1).over(w).alias("prev1"),
+        "log",
+        F.lead("log", 1).over(w).alias("next1"),
+        F.lead("log", 2).over(w).alias("next2"),
+    )
+    return ctx.filter(F.col("log").endswith(" error occurred"))
+
+
+SQL_CONTEXT_WINDOW = LOGS_CTE + """
+SELECT * FROM (
+  SELECT pod_name, "timestamp",
+         lag(log, 2) OVER w AS prev2,
+         lag(log, 1) OVER w AS prev1,
+         log,
+         lead(log, 1) OVER w AS next1,
+         lead(log, 2) OVER w AS next2
+  FROM logs
+  WHERE namespace = 'ns-1'
+  WINDOW w AS (PARTITION BY pod_name ORDER BY "timestamp", log)
+) t
+WHERE log LIKE '% error occurred'
+"""
+
+
 def q_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-correct log paging: page 2 of the newest-first view fetched by
     KEYSET (``timestamp < last_seen_of_page_1 ORDER BY ts DESC LIMIT k``)
@@ -1370,6 +1414,10 @@ SPECS = {
         q_table_expectations, SQL_TABLE_EXPECTATIONS,
         "Deequ-style declarative data-quality gate: five expectations "
         "(not-null/domain/range/conditional/uniqueness) in ONE pass"),
+    "logs_context_window": QuerySpec(
+        q_context_window, SQL_CONTEXT_WINDOW,
+        "log-viewer surrounding-context fetch: ±2 stream neighbors per "
+        "error line, one pod-partitioned lag/lead window"),
     "logs_keyset_pagination": QuerySpec(
         q_keyset_pagination, SQL_KEYSET_PAGINATION,
         "keyset (seek) pagination: page 2 via ts < last_seen — same "

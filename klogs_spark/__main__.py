@@ -139,6 +139,27 @@ def main(argv: list[str] | None = None) -> int:
     pch.add_argument("v_to", type=int)
     pch.add_argument("--limit", type=int, default=20)
 
+    pcm = sub.add_parser("cow-merge",
+                         help="copy-on-write MERGE from a parquet batch "
+                              "(replaced files retained — vacuum later)")
+    pcm.add_argument("table")
+    pcm.add_argument("updates", help="parquet path with the update rows")
+    pcm.add_argument("--keys", default="timestamp",
+                     help="comma-separated merge key columns")
+
+    pad_ = sub.add_parser("ann-drift",
+                          help="IVF-PQ serving-build drift (ppm of "
+                               "post-training vectors)")
+    pad_.add_argument("index_root")
+
+    par = sub.add_parser("ann-rebuild",
+                         help="retrain the IVF-PQ index into a new "
+                              "committed generation when drift >= "
+                              "threshold (atomic pointer swap)")
+    par.add_argument("index_root")
+    par.add_argument("embeddings", help="parquet path of the full corpus")
+    par.add_argument("--threshold-ppm", type=int, default=100_000)
+
     args = p.parse_args(argv)
 
     if args.cmd == "retention":
@@ -279,6 +300,42 @@ def main(argv: list[str] | None = None) -> int:
         snapshot_changes(spark, args.table, args.v_from, args.v_to).show(
             args.limit, truncate=False
         )
+        return 0
+
+    if args.cmd == "cow-merge":
+        from .manifest import cow_merge_upsert
+
+        updates = spark.read.parquet(args.updates)
+        res = cow_merge_upsert(
+            spark, args.table, updates, args.keys.split(",")
+        )
+        print(
+            f"v{res['version']}: updated {res['rows_updated']} row(s), "
+            f"inserted {res['rows_inserted']}; rewrote "
+            f"{res['partitions_rewritten']} (replaced files retained — "
+            "run vacuum to reclaim)"
+        )
+        return 0
+
+    if args.cmd == "ann-drift":
+        from .ext.ann_index import current_index_path, index_drift_ppm
+
+        drift = index_drift_ppm(spark, args.index_root)
+        print(
+            f"serving build {current_index_path(args.index_root)}: "
+            f"{drift} ppm post-training vectors"
+        )
+        return 0
+
+    if args.cmd == "ann-rebuild":
+        from .ext.ann_index import rebuild_if_drifted
+
+        emb = spark.read.parquet(args.embeddings)
+        res = rebuild_if_drifted(
+            spark, emb, args.index_root, args.threshold_ppm
+        )
+        verb = "rebuilt into" if res["rebuilt"] else "below threshold; serving"
+        print(f"drift {res['drift_ppm']} ppm — {verb} {res['path']}")
         return 0
 
     if args.cmd == "versions":

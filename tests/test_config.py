@@ -108,3 +108,58 @@ def test_version_flag_writes_stdout_not_stderr(capsys):
     captured = capsys.readouterr()
     assert "version" in captured.out
     assert captured.err == ""
+
+
+def test_cli_cow_merge_and_ann_commands(spark, tmp_path, capsys):
+    """Round-10 operator surface: cow-merge from a parquet batch, and the
+    ann-drift / ann-rebuild gate."""
+    from pyspark.sql import functions as F
+
+    from klogs_spark.__main__ import main
+    from klogs_spark.manifest import publish_snapshot, read_logs_at
+    from klogs_spark.table import write_logs
+    from klogs_spark.views import derive_logs_from_events, load_table
+
+    logs = derive_logs_from_events(spark, "/root/testdata/sf0.001")
+    path = str(tmp_path / "t")
+    write_logs(logs.filter(F.col("timestamp") < "2024-01-03"), path)
+    publish_snapshot(spark, path)
+    upd_dir = str(tmp_path / "upd")
+    upd = logs.filter(
+        (F.col("timestamp") >= "2024-01-02")
+        & (F.col("timestamp") < "2024-01-04")
+    ).withColumn("log", F.concat(F.col("log"), F.lit(" [v2]")))
+    upd.write.parquet(upd_dir)
+
+    assert main(["cow-merge", path, upd_dir, "--keys", "timestamp"]) == 0
+    out = capsys.readouterr().out
+    assert "updated" in out and "inserted" in out
+    final = read_logs_at(spark, path)
+    assert final.filter("log LIKE '% [v2]'").count() == upd.count()
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    root = str(tmp_path / "ann")
+    from klogs_spark.ext import ann_index
+
+    ann_index.commit_index_build(
+        emb.filter(F.col("vec_id") < 80), root, ivf_k=4, refine_iters=1
+    )
+    ann_index.refresh_ivfpq_index(
+        emb.filter(F.col("vec_id") >= 80),
+        ann_index.current_index_path(root),
+    )
+    emb_dir = str(tmp_path / "emb")
+    emb.write.parquet(emb_dir)
+
+    assert main(["ann-drift", root]) == 0
+    assert "ppm post-training" in capsys.readouterr().out
+    assert main(
+        ["ann-rebuild", root, emb_dir, "--threshold-ppm", "1"]
+    ) == 0
+    out = capsys.readouterr().out
+    assert "rebuilt into" in out and "b2" in out
+    # second run: serving build has no drift -> no-op
+    assert main(
+        ["ann-rebuild", root, emb_dir, "--threshold-ppm", "1"]
+    ) == 0
+    assert "below threshold" in capsys.readouterr().out

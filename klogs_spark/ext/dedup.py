@@ -885,3 +885,81 @@ def dedup_survivors(
         .withColumn("_rk", F.row_number().over(w))
         .select("id", "cluster_id", (F.col("_rk") == 1).alias("is_survivor"))
     )
+
+
+def repeated_ngram_coverage(
+    df: DataFrame,
+    n: int = 10,
+    min_docs: int = 2,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ExactSubstr-style repeated-span detection (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): the
+    fraction of each document's token positions covered by a token
+    ``n``-gram that also occurs in at least ``min_docs - 1`` OTHER
+    documents — the signal that drives span-level dedup of training
+    corpora (doc-level exact/near dedup misses a copied paragraph inside
+    an otherwise-unique page; this finds it at n-token granularity).
+
+    Spark-first shape, suffix-array-free: one posexplode emits each
+    position's n-gram FINGERPRINT (md5 of the joined token window — the
+    rolling-hash role; fingerprints move, never the spans), one keyed
+    aggregate computes each fingerprint's distinct-document frequency,
+    repeated fingerprints join back (equi-join on the hash) and each hit
+    expands to its n covered positions row-locally; a distinct keyed
+    count yields covered-position totals. Every stage is a hash-keyed
+    aggregate or equi-join — no self-join on documents, no window. The
+    n-gram df table is corpus-sized but narrow (hash, count); hot
+    boilerplate grams fan out only into position counting, which is
+    bounded by doc length x n.
+
+    Returns (id, n_tokens, covered_positions, coverage_ppm) for every
+    doc with at least one n-gram position (docs shorter than ``n``
+    tokens report 0/0/0)."""
+    tk = tokens_col(F.col(text))
+    docs = df.select(F.col(id_col).alias("id"), tk.alias("toks"))
+    # sequence() descends when start > stop, so short docs get an
+    # explicit empty gram array (the shingles_col discipline)
+    gram_arr = F.when(
+        F.size("toks") >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size("toks") - n),
+            lambda i: F.md5(F.array_join(F.slice("toks", i + 1, n), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = docs.select(
+        "id",
+        F.size("toks").alias("n_tokens"),
+        F.posexplode(gram_arr).alias("i", "gh"),
+    )
+    rep = (
+        grams.groupBy("gh")
+        .agg(F.count_distinct("id").alias("ndocs"))
+        .filter(F.col("ndocs") >= min_docs)
+        .select("gh")
+    )
+    covered = (
+        grams.join(rep, "gh")
+        .select(
+            "id",
+            F.explode(
+                F.sequence(F.col("i"), F.col("i") + n - 1)
+            ).alias("j"),
+        )
+        .distinct()
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("covered_positions"))
+    )
+    base = docs.select("id", F.size("toks").alias("n_tokens"))
+    return base.join(covered, "id", "left").select(
+        "id",
+        "n_tokens",
+        F.coalesce("covered_positions", F.lit(0))
+        .cast("bigint")
+        .alias("covered_positions"),
+        F.expr(
+            "CAST(coalesce(covered_positions, 0) * CAST(1000000 AS BIGINT)"
+            " DIV greatest(n_tokens, 1) AS BIGINT)"
+        ).alias("coverage_ppm"),
+    )

@@ -1604,6 +1604,63 @@ FROM documents
 """
 
 
+REPEAT_NGRAM_N = 10
+REPEAT_MIN_DOCS = 2
+
+
+def q_repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style repeated-span coverage
+    (ext.dedup.repeated_ngram_coverage — Lee et al. 2022): per-doc ppm of
+    token positions covered by a 10-gram that also occurs in another
+    document, the span-level dedup signal doc-level exact/near dedup
+    misses (a copied paragraph inside an otherwise-unique page). The
+    plan is fingerprint-keyed end to end: posexplode of per-position
+    md5 n-gram fingerprints, one distinct-doc-frequency aggregate, an
+    equi-join back on the hash, and a row-local expansion to covered
+    positions — no document self-join, no window, nothing quadratic.
+    The oracle re-derives every fingerprint and the interval union with
+    the same 1-based slice arithmetic, so a off-by-one in the window,
+    a non-distinct position count, or a lost short-doc row breaks the
+    hash."""
+    return dd.repeated_ngram_coverage(
+        load_table(spark, sf_dir, "documents"),
+        n=REPEAT_NGRAM_N,
+        min_docs=REPEAT_MIN_DOCS,
+    )
+
+
+SQL_REPEATED_SUBSTRINGS = f"""
+WITH tk AS (
+  SELECT doc_id AS id,
+         list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+),
+g AS (
+  -- constant-bound series (not lateral); corpus max doc length is ~100
+  SELECT id, t.k AS i,
+         md5(array_to_string(
+               toks[t.k + 1 : t.k + {REPEAT_NGRAM_N}], ' ')) AS gh
+  FROM tk, generate_series(0, 127) AS t(k)
+  WHERE t.k <= len(toks) - {REPEAT_NGRAM_N}
+),
+rep AS (
+  SELECT gh FROM g GROUP BY gh
+  HAVING count(DISTINCT id) >= {REPEAT_MIN_DOCS}
+),
+cov AS (
+  SELECT DISTINCT g.id, g.i + o.o AS j
+  FROM g JOIN rep USING (gh),
+       generate_series(0, {REPEAT_NGRAM_N - 1}) AS o(o)
+),
+cc AS (SELECT id, count(*) AS covered FROM cov GROUP BY id)
+SELECT tk.id, len(tk.toks) AS n_tokens,
+       CAST(coalesce(cc.covered, 0) AS BIGINT) AS covered_positions,
+       CAST(coalesce(cc.covered, 0) * CAST(1000000 AS BIGINT)
+            // greatest(len(tk.toks), 1) AS BIGINT) AS coverage_ppm
+FROM tk LEFT JOIN cc ON tk.id = cc.id
+"""
+
+
 BM25_TERMS = ("spark", "window", "hash")
 BM25_TOPK = 25
 
@@ -4949,6 +5006,10 @@ SPECS = {
         q_hybrid_rrf, SQL_HYBRID_RRF,
         "hybrid retrieval: reciprocal-rank fusion of BM25 and cosine "
         "top-k sides (bounded rank windows, keyed fuse) vs RRF oracle"),
+    "dedup_repeated_substrings": QuerySpec(
+        q_repeated_substrings, SQL_REPEATED_SUBSTRINGS,
+        "ExactSubstr-style repeated 10-gram span coverage per doc "
+        "(fingerprint-keyed, no self-join) vs interval-union oracle"),
     "text_fingerprints": QuerySpec(q_fingerprints, SQL_FINGERPRINTS,
                                    "hashed-shingle fingerprints"),
     "text_tfidf_scores": QuerySpec(q_tfidf_scores, SQL_TFIDF_SCORES,

@@ -2588,6 +2588,77 @@ FROM h GROUP BY 1, 2
 """
 
 
+LEAK_SPLIT_SEED = "leakfree-0"
+
+
+def q_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-FREE train/val/test split — the eval-integrity guard a
+    per-doc hash split cannot give: near-duplicate documents land in the
+    SAME split by construction, because the split key is the near-dup
+    CLUSTER id (min-label connected components over the exact 3-gram
+    Jaccard pair graph — dedup.cluster_components), not the doc id. A
+    doc-keyed split leaks test answers into train through near-dups;
+    cluster-keyed assignment makes that structurally impossible while
+    keeping every hash_sample property (content-keyed, growth-stable,
+    re-seedable). Output is per-split doc and cluster counts; the oracle
+    re-derives the components via recursive transitive closure, applies
+    the same cluster-keyed hash cuts, and must land on identical counts —
+    so the whole chain (pair graph, components, hash, cuts) is verified,
+    not just the final arithmetic. Scale: components are the iterative
+    distributed form; the split itself is one Column expression."""
+    from ..ext.hashing import md5_long
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.jaccard_pairs(
+        dd.doc_shingles(docs), min_jaccard=NGRAM_JACCARD
+    )
+    comp = dd.cluster_components(
+        pairs, docs.select(F.col("doc_id").alias("id"))
+    ).select("id", "cluster_id")
+    h = md5_long(
+        F.concat(
+            F.lit(f"{LEAK_SPLIT_SEED}:"),
+            F.col("cluster_id").cast("string"),
+        )
+    )
+    universe = 2**32
+    val_cut = universe * SPLIT_VAL_PCT // 100
+    test_cut = universe * (SPLIT_VAL_PCT + SPLIT_TEST_PCT) // 100
+    split = (
+        F.when(h < val_cut, "val")
+        .when(h < test_cut, "test")
+        .otherwise("train")
+    )
+    return (
+        comp.select(split.alias("split"), "cluster_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("cluster_id")
+            .cast("bigint")
+            .alias("n_clusters"),
+        )
+    )
+
+
+SQL_LEAKAGE_FREE_SPLIT = f"""
+WITH dc AS ({SQL_DEDUP_CLUSTERS}),
+h AS (
+  SELECT doc_id, cluster_id,
+         {md5_long_sql("concat('" + LEAK_SPLIT_SEED + ":', CAST(cluster_id AS VARCHAR))")}
+           AS hv
+  FROM dc
+)
+SELECT CASE WHEN hv < {2**32 * SPLIT_VAL_PCT // 100} THEN 'val'
+            WHEN hv < {2**32 * (SPLIT_VAL_PCT + SPLIT_TEST_PCT) // 100}
+              THEN 'test'
+            ELSE 'train' END AS split,
+       count(*) AS n_docs,
+       CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters
+FROM h GROUP BY 1
+"""
+
+
 def q_pack_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-fit-decreasing bin packing per source via the Arrow-batched
     grouped map (applyInPandas), externally HASH-CHECKED through its
@@ -5010,6 +5081,11 @@ SPECS = {
         q_repeated_substrings, SQL_REPEATED_SUBSTRINGS,
         "ExactSubstr-style repeated 10-gram span coverage per doc "
         "(fingerprint-keyed, no self-join) vs interval-union oracle"),
+    "sample_leakage_free_split": QuerySpec(
+        q_leakage_free_split, SQL_LEAKAGE_FREE_SPLIT,
+        "leakage-free split: near-dup CLUSTER-keyed hash assignment "
+        "(components chain re-derived by the oracle) — near-dups can "
+        "never span train/test"),
     "text_fingerprints": QuerySpec(q_fingerprints, SQL_FINGERPRINTS,
                                    "hashed-shingle fingerprints"),
     "text_tfidf_scores": QuerySpec(q_tfidf_scores, SQL_TFIDF_SCORES,

@@ -144,6 +144,11 @@ def main() -> None:
         ("pipeline_pretrain_prep", "documents"),
         ("tpch_rfm_segments", "orders"),
         ("tpch_rfm_segments_scaled", "orders"),
+        # r10 additions: the posting-list BM25 plan and the
+        # fingerprint-keyed repeated-span chain (gram df table is
+        # corpus-sized — the measurement proves it stays linear)
+        ("text_bm25_topk", "documents"),
+        ("dedup_repeated_substrings", "documents"),
     ]
 
     results: dict = {}

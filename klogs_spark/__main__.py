@@ -131,6 +131,8 @@ def main(argv: list[str] | None = None) -> int:
                               "K manifests")
     pvc.add_argument("table")
     pvc.add_argument("--keep-versions", type=int, default=1)
+    pvc.add_argument("--dry-run", action="store_true",
+                     help="report what would be reclaimed; touch nothing")
 
     pch = sub.add_parser("changes",
                          help="CDC feed between two snapshot versions")
@@ -287,11 +289,22 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "vacuum":
         from .manifest import vacuum
 
-        rep = vacuum(spark, args.table, keep_versions=args.keep_versions)
-        print(
-            f"reclaimed {rep['files_deleted']} file(s), dropped "
-            f"{rep['manifests_dropped']} manifest(s)"
+        rep = vacuum(
+            spark, args.table, keep_versions=args.keep_versions,
+            dry_run=args.dry_run,
         )
+        if args.dry_run:
+            print(
+                f"would reclaim {len(rep['would_delete_files'])} file(s), "
+                f"drop manifests {rep['would_drop_manifests']} "
+                f"({rep['files_unmanifested']} unmanifested file(s) "
+                "untouched)"
+            )
+        else:
+            print(
+                f"reclaimed {rep['files_deleted']} file(s), dropped "
+                f"{rep['manifests_dropped']} manifest(s)"
+            )
         return 0
 
     if args.cmd == "changes":

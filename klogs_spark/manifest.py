@@ -559,7 +559,8 @@ def cow_compact_partition(
 
 
 def vacuum(
-    spark: SparkSession, path: str, keep_versions: int = 1
+    spark: SparkSession, path: str, keep_versions: int = 1,
+    dry_run: bool = False,
 ) -> dict:
     """Reclaim disk after COW rewrites: delete the data files that dropped
     snapshots TOMBSTONED — referenced by a manifest outside the retention
@@ -570,13 +571,18 @@ def vacuum(
     ``publish_snapshot`` is due. Checked FS deletes throughout (Hadoop
     booleans are failure returns, not exceptions). The retention window is
     the time-travel horizon: keep_versions=3 means readers can still pin
-    the last three snapshots."""
+    the last three snapshots. ``dry_run=True`` reports what WOULD be
+    reclaimed without touching disk or manifests (and without the
+    crash-recovery replay) — the approve-before-delete gate, matching
+    ``apply_retention(dry_run=...)``; the report gains "dry_run": True
+    and lists the doomed files."""
     if keep_versions < 1:
         raise ValueError("keep_versions must be >= 1")
     # reclaim any crashed-rewrite orphans first: they belong to no
     # manifest, so without the journal replay they would leak forever
     # (vacuum deliberately spares unmanifested files)
-    recover_incomplete_rewrite(spark, path)
+    if not dry_run:
+        recover_incomplete_rewrite(spark, path)
     versions = snapshot_versions(spark, path)
     if not versions:
         return {
@@ -595,6 +601,17 @@ def vacuum(
     fs, hpath_cls, root = _hadoop_fs(spark, path)
     on_disk = set(_list_data_files(fs, root, hpath_cls))
     doomed = sorted((dropped_refs - kept_refs) & on_disk)
+    if dry_run:
+        return {
+            "dry_run": True,
+            "files_deleted": 0,
+            "would_delete_files": doomed,
+            "manifests_dropped": 0,
+            "would_drop_manifests": dropped,
+            "files_unmanifested": len(
+                on_disk - kept_refs - dropped_refs
+            ),
+        }
     for f in doomed:
         _must(
             fs.delete(hpath_cls(f"{path}/{f}"), False), "vacuum-delete", f

@@ -1486,6 +1486,83 @@ FROM s GROUP BY doc_id
 """
 
 
+TRANSCODE_W, TRANSCODE_H = 5, 4
+
+
+def q_multimodal_transcode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec INTEROP end-to-end — the thumbnailing pipeline every media
+    corpus runs, with every stage a real pure-Python codec: baseline
+    JPEG decode (full entropy path) → nearest-neighbor resample to 5x4 →
+    PNG ENCODE (grayscale) → PNG decode → stats. The flat-block JPEG
+    closed form composed with the floor index mapping gives the oracle
+    an exact per-pixel expectation, so a fault in either codec direction
+    OR the resample arithmetic breaks the hash. Per-row Arrow-batched
+    map — embarrassingly parallel."""
+    from ..ext import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def _chain(batches):
+        import pandas as pd
+
+        from ..ext.jpeg_lite import decode_jpeg_baseline
+
+        W, H = TRANSCODE_W, TRANSCODE_H
+        for b in batches:
+            ids = [int(x) for x in b["doc_id"]]
+            payloads = []
+            for i in ids:
+                jw, jh, _, px = decode_jpeg_baseline(
+                    mm.synth_jpeg_gray_blocks(i)
+                )
+                resized = bytes(
+                    px[((y * jh) // H) * jw + ((x * jw) // W)]
+                    for y in range(H)
+                    for x in range(W)
+                )
+                payloads.append(mm.encode_png(W, H, resized, channels=1))
+            yield pd.DataFrame({"media_id": b["doc_id"], "payload": payloads})
+
+    media = docs.repartition(F.col("doc_id")).mapInPandas(
+        _chain, schema="media_id long, payload binary"
+    )
+    return mm.image_pixel_stats(media)
+
+
+SQL_MULTIMODAL_TRANSCODE = f"""
+WITH dims AS (
+  SELECT doc_id, (doc_id % 3 + 1) AS wb, (doc_id % 2 + 1) AS hb
+  FROM documents
+), px AS (
+  SELECT d.doc_id, d.wb, d.hb, gx.x AS x, gy.y AS y,
+         -- nearest-neighbor floor mapping into the source, then the
+         -- source block index and its flat-block JPEG round-trip value
+         ((gy.y * d.hb * 8) // {TRANSCODE_H}) // 8 * d.wb
+           + ((gx.x * d.wb * 8) // {TRANSCODE_W}) // 8 AS j
+  FROM dims d,
+       generate_series(0, {TRANSCODE_W - 1}) AS gx(x),
+       generate_series(0, {TRANSCODE_H - 1}) AS gy(y)
+), v AS (
+  SELECT doc_id,
+         CASE WHEN ((doc_id * 37 + j * 11) % 256) % 2 = 0
+                THEN (doc_id * 37 + j * 11) % 256
+              WHEN (doc_id * 37 + j * 11) % 256 > 128
+                THEN LEAST((doc_id * 37 + j * 11) % 256 + 1, 255)
+              ELSE (doc_id * 37 + j * 11) % 256 - 1 END AS v2
+  FROM px
+)
+SELECT doc_id AS media_id,
+       CAST({TRANSCODE_W} AS INTEGER) AS width,
+       CAST({TRANSCODE_H} AS INTEGER) AS height,
+       CAST(1 AS INTEGER) AS channels,
+       count(*) AS n_vals,
+       CAST(max(v2) AS BIGINT) AS peak,
+       CAST(sum(v2) AS BIGINT) AS sum_vals,
+       CAST(sum(v2 * v2) AS BIGINT) AS sum_sq
+FROM v GROUP BY doc_id
+"""
+
+
 RESIZE_W, RESIZE_H = 5, 4
 
 
@@ -5051,6 +5128,10 @@ SPECS = {
         q_multimodal_gif_stats, SQL_MULTIMODAL_GIF_STATS,
         "REAL GIF LZW pixel decode (pure-Python variable-width LZW + "
         "palette): lossless round-trip hash-checked; stub count zero"),
+    "multimodal_transcode": QuerySpec(
+        q_multimodal_transcode, SQL_MULTIMODAL_TRANSCODE,
+        "codec interop: JPEG entropy decode -> nearest resize -> PNG "
+        "encode -> decode, vs closed-form + floor-mapping oracle"),
     "multimodal_image_resize": QuerySpec(
         q_multimodal_image_resize, SQL_MULTIMODAL_IMAGE_RESIZE,
         "nearest-neighbor PNG resize round-trip (decode->resample->"

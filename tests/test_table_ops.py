@@ -1389,3 +1389,40 @@ def test_cow_merge_upsert_retains_pins_and_vacuums_clean(spark, tmp_path):
     # vacuum reconciles the directory with the merged manifest
     vacuum(spark, path, keep_versions=1)
     assert spark.read.parquet(path).count() == n1 + n_ins
+
+
+def test_vacuum_dry_run_reports_without_deleting(spark, tmp_path):
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from klogs_spark.manifest import (
+        cow_delete_where,
+        publish_snapshot,
+        vacuum,
+    )
+    from klogs_spark.table import write_logs
+    from klogs_spark.views import derive_logs_from_events
+
+    logs = derive_logs_from_events(spark, "/root/testdata/sf0.001").filter(
+        F.col("timestamp") < "2024-01-03"
+    )
+    path = str(tmp_path / "t")
+    write_logs(logs, path)
+    publish_snapshot(spark, path)
+    cow_delete_where(spark, path, F.col("pod_name") == "pod-7")
+
+    files_before = sorted(
+        str(p.relative_to(path)) for p in Path(path).rglob("*.parquet")
+    )
+    rep = vacuum(spark, path, keep_versions=1, dry_run=True)
+    assert rep["dry_run"] is True and rep["files_deleted"] == 0
+    assert len(rep["would_delete_files"]) > 0
+    assert rep["would_drop_manifests"]
+    # disk untouched by the dry run
+    assert files_before == sorted(
+        str(p.relative_to(path)) for p in Path(path).rglob("*.parquet")
+    )
+    # the real run reclaims exactly what the dry run predicted
+    rep2 = vacuum(spark, path, keep_versions=1)
+    assert rep2["files_deleted"] == len(rep["would_delete_files"])

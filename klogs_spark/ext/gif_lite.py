@@ -124,8 +124,9 @@ def _lzw_decompress(data: bytes, min_code_size: int) -> bytes:
             entry = table[code]
         elif code < len(table):
             entry = table[code]
-            table.append(prev + entry[:1])
-        elif code == len(table):  # the KwKwK case
+            if len(table) < 4096:  # deferred-clear convention: encoders
+                table.append(prev + entry[:1])  # stop defining at 4096
+        elif code == len(table) and code < 4096:  # the KwKwK case
             entry = prev + prev[:1]
             table.append(entry)
         else:
@@ -227,6 +228,8 @@ def encode_gif(
 ) -> bytes:
     """Single-frame GIF87a from palette ``indices`` (row-major) and an RGB
     ``palette`` (3 bytes per entry, length a power of two in 2..256)."""
+    if not (0 < width <= 0xFFFF and 0 < height <= 0xFFFF):
+        raise ValueError("gif: dimensions must fit u16 (1..65535)")
     n = len(palette) // 3
     if n & (n - 1) or not 2 <= n <= 256 or len(palette) != 3 * n:
         raise ValueError("gif: palette must be 2..256 power-of-two entries")

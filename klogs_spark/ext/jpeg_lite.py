@@ -142,6 +142,9 @@ class _BitReader:
             self._fill()
         self.nbits -= n
         v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        # keep only the unconsumed low bits: an unmasked accumulator grows
+        # one byte per fill and turns big-int on megabyte streams
+        self.acc &= (1 << self.nbits) - 1
         return v
 
     def align_to_marker(self) -> None:

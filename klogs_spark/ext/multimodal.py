@@ -79,10 +79,11 @@ def decode_image(payload: bytes) -> "object":
     (:func:`decode_png_pixels`); JPEG is the pure-Python baseline
     sequential codec (``jpeg_lite.decode_jpeg_baseline`` — general DHT
     canonical-Huffman decode, dequant + numpy IDCT, BT.601; progressive /
-    subsampled variants raise a specific ValueError). Only GIF LZW
-    remains stubbed — it raises loudly rather than fake-decoding.
-    Header-level metadata (dimensions, duration) does NOT need this —
-    see :func:`sniff_media_metadata`."""
+    subsampled variants raise a specific ValueError); GIF is the
+    pure-Python LZW codec (``gif_lite.decode_gif_pixels`` — palettes,
+    interlace, deferred-clear). Formats outside these three raise
+    loudly rather than fake-decoding. Header-level metadata (dimensions,
+    duration) does NOT need this — see :func:`sniff_media_metadata`."""
     decoded = decode_png_pixels(payload)
     if decoded is not None:
         return decoded
@@ -121,9 +122,9 @@ def _decode_pixels_tolerant(payload: bytes):
 
 
 # --- real (no-library) container-header parsing -----------------------------
-# These are not stubs: they parse the actual PNG/JPEG/GIF/WAV binary layouts,
-# so width/height/duration_s populate from genuine file bytes. Full pixel/
-# sample decode still requires the stubbed kernels above.
+# These parse the actual PNG/JPEG/GIF/WAV binary layouts, so width/height/
+# duration_s populate from genuine file bytes without touching the (also
+# real) pixel/sample codecs — a metadata pass never pays decode cost.
 
 _JPEG_SOF_MARKERS = frozenset(
     range(0xC0, 0xD0)
@@ -298,9 +299,9 @@ def synth_pcm_samples(seed_id: int, n: int) -> list[int]:
 
 # --- real PNG pixel codec (stdlib zlib — no imaging library) ----------------
 # PNG's pixel layer is DEFLATE + five byte-delta scanline filters, both
-# expressible with the standard library, so unlike JPEG (Huffman+DCT) a full
-# decoder needs no imaging dependency. This closes the image half of the
-# multimodal decode stub for real PNGs; JPEG/GIF stay declared-stubbed.
+# expressible with the standard library. JPEG (Huffman+DCT) and GIF (LZW)
+# needed full entropy codecs — jpeg_lite.py / gif_lite.py provide them in
+# pure Python, so ALL THREE image formats now decode for real.
 
 
 def _paeth(a: int, b: int, c: int) -> int:
@@ -755,8 +756,10 @@ def resize_images(
 
     ``kernel(payload, width, height) -> bytes`` is the decode+resize+encode
     step — by default :func:`png_resize_nearest`, a REAL nearest-neighbor
-    resize for PNG payloads (pure stdlib codec); non-PNG formats raise via
-    decode_image (JPEG decode is library-gated in this container). The
+    resize for PNG payloads (pure stdlib codec); JPEG/GIF payloads decode
+    via decode_image but are not RE-encoded here (PNG is the only encode
+    target of this kernel — see queries' multimodal_transcode for the
+    JPEG->PNG chain); unknown formats raise loudly. The
     distributed plumbing (batch transfer, schema, metadata update) accepts
     any callable kernel and runs it per Arrow batch on executors.
     """

@@ -18,13 +18,18 @@ one consistent snapshot.
   their snapshot.
 
 Scale: a manifest is one small JSON per version (file paths only) and
-``publish`` is an O(#partitions) listing — no data pass. Honest limits,
-stated not hidden: snapshots pin FILES, so jobs that rewrite files
-(compaction, delete_where, retention, reprocess) invalidate OLDER
-snapshots that reference the rewritten files — full Delta-style time
-travel across rewrites needs copy-on-write retention of old files plus a
-vacuum policy, which is out of scope; the supported contract is
-consistent reads across APPENDS plus pin-until-next-rewrite.
+``publish`` is an O(#partitions) listing — no data pass. Two tiers of
+contract, stated explicitly: snapshots pin FILES, so the IN-PLACE
+maintenance jobs (``table.compact_partition``, ``table.delete_where``,
+retention, reprocess) invalidate older snapshots that reference the
+rewritten files — pin-until-next-rewrite. The COPY-ON-WRITE tier
+(:func:`cow_delete_where`, :func:`cow_compact_partition`,
+:func:`cow_merge_upsert`) gives the full Delta-style model on top:
+replaced files are RETAINED for pinned readers and CDC
+(:func:`snapshot_changes`), rewrites journal their intent for crash
+recovery (:func:`recover_incomplete_rewrite`), and disk is reclaimed by
+an explicit :func:`vacuum` whose retention window is the time-travel
+horizon.
 
 ``_manifest`` starts with ``_`` so Spark partition discovery ignores it.
 """

@@ -141,6 +141,12 @@ def main(argv: list[str] | None = None) -> int:
     pch.add_argument("v_to", type=int)
     pch.add_argument("--limit", type=int, default=20)
 
+    prs = sub.add_parser("restore",
+                         help="RESTORE: republish an older snapshot as "
+                              "the new head (one manifest write)")
+    prs.add_argument("table")
+    prs.add_argument("version", type=int)
+
     pcm = sub.add_parser("cow-merge",
                          help="copy-on-write MERGE from a parquet batch "
                               "(replaced files retained — vacuum later)")
@@ -313,6 +319,13 @@ def main(argv: list[str] | None = None) -> int:
         snapshot_changes(spark, args.table, args.v_from, args.v_to).show(
             args.limit, truncate=False
         )
+        return 0
+
+    if args.cmd == "restore":
+        from .manifest import restore_snapshot
+
+        v = restore_snapshot(spark, args.table, args.version)
+        print(f"restored v{args.version} as new head v{v}")
         return 0
 
     if args.cmd == "cow-merge":

@@ -631,6 +631,34 @@ def vacuum(
     }
 
 
+def restore_snapshot(spark: SparkSession, path: str, version: int) -> int:
+    """Delta-style RESTORE: make an OLDER snapshot the new head by
+    publishing a fresh manifest with that version's exact file list — no
+    data is copied or rewritten, the operation is one manifest write.
+    Works as the undo button for a bad COW delete/compact/merge as long
+    as the restored files still exist (i.e. the target is within the
+    :func:`vacuum` horizon — a missing file raises loudly, same contract
+    as :func:`read_snapshot`). The CDC feed across a restore is exactly
+    the NET REVERSAL of the feed it undoes (rows the undone rewrite
+    deleted come back as inserts, its inserts as deletes). Returns the
+    newly published head version."""
+    recover_incomplete_rewrite(spark, path)
+    versions = snapshot_versions(spark, path)
+    if version not in versions:
+        raise FileNotFoundError(
+            f"snapshot v{version} not found in {versions}"
+        )
+    fs, hpath_cls, _ = _hadoop_fs(spark, path)
+    files = _manifest_files(spark, path, version)
+    missing = [f for f in files if not fs.exists(hpath_cls(f"{path}/{f}"))]
+    if missing:
+        raise FileNotFoundError(
+            f"cannot restore v{version}: files already vacuumed "
+            f"{missing[:3]}{'...' if len(missing) > 3 else ''}"
+        )
+    return publish_snapshot(spark, path, files)
+
+
 def read_logs_at(
     spark: SparkSession,
     path: str,

@@ -1896,6 +1896,79 @@ def q_stream_snapshot_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n"))
 
 
+def q_table_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-style RESTORE end-to-end (manifest.restore_snapshot): write
+    week 1 → snapshot v1 → COW-delete pod-7 (v2) → RESTORE v1 (v3, one
+    manifest write, zero data movement). Three externally recomputed
+    facts: the restored head equals the original per-day counts, the CDC
+    feed across the restore is the exact NET REVERSAL of the delete
+    (pod-7's rows come back as pure inserts), and the bad version is
+    still pinnable in between (its per-day counts exclude pod-7). A
+    restore that copied data, missed a file, or failed to reverse the
+    feed breaks the hash."""
+    import tempfile
+
+    from ..manifest import (
+        cow_delete_where,
+        publish_snapshot,
+        read_logs_at,
+        restore_snapshot,
+        snapshot_changes,
+    )
+    from ..table import write_logs
+    from ..views import derive_logs_from_events
+
+    logs = derive_logs_from_events(spark, sf_dir).filter(
+        F.col("timestamp") < TT_CUT_V1
+    )
+    base = tempfile.mkdtemp(prefix="klogs-restore-")
+    tdir = f"{base}/logs"
+    write_logs(logs, tdir)
+    v1 = publish_snapshot(spark, tdir)
+    v2 = cow_delete_where(spark, tdir, F.col("pod_name") == "pod-7")[
+        "version"
+    ]
+    v3 = restore_snapshot(spark, tdir, v1)
+    feed = snapshot_changes(spark, tdir, v2, v3)
+    undo = feed.groupBy(
+        F.lit("undo_feed").alias("kind"),
+        F.col("_change_type").alias("dim"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    restored = (
+        read_logs_at(spark, tdir, v3)
+        .groupBy(
+            F.lit("restored").alias("kind"),
+            F.col("date").cast("string").alias("dim"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    pinned_bad = (
+        read_logs_at(spark, tdir, v2)
+        .groupBy(
+            F.lit("pinned_v2").alias("kind"),
+            F.col("date").cast("string").alias("dim"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return undo.unionByName(restored).unionByName(pinned_bad)
+
+
+SQL_TABLE_RESTORE = f"""
+WITH ev AS (
+  SELECT CAST(ts AS DATE) AS d,
+         'pod-' || CAST(user_id % 50 AS VARCHAR) AS pod
+  FROM events WHERE ts < TIMESTAMP '{TT_CUT_V1} 00:00:00'
+)
+SELECT 'undo_feed' AS kind, 'insert' AS dim, count(*) AS cnt
+FROM ev WHERE pod = 'pod-7'
+UNION ALL
+SELECT 'restored', CAST(d AS VARCHAR), count(*) FROM ev GROUP BY 2
+UNION ALL
+SELECT 'pinned_v2', CAST(d AS VARCHAR), count(*)
+FROM ev WHERE pod <> 'pod-7' GROUP BY 2
+"""
+
+
 # streaming-upsert windows: batch 2's update range OVERLAPS batch 1's, so
 # last-writer-wins across micro-batches is part of the external check
 SUP_V2_FROM, SUP_V2_TO = "2024-01-03 00:00:00", "2024-01-03 06:00:00"
@@ -2610,6 +2683,11 @@ SPECS = {
         "streaming UPSERT (foreachBatch + COW merge): 3 real micro-"
         "batches, overlapping updates end last-writer-wins, per-day "
         "state vs events arithmetic"),
+    "table_restore": QuerySpec(
+        q_table_restore, SQL_TABLE_RESTORE,
+        "Delta-style RESTORE: old snapshot republished as head (one "
+        "manifest write); undo feed = net reversal, bad version still "
+        "pinnable"),
     "stream_snapshot_cdc": QuerySpec(
         q_stream_snapshot_cdc, SQL_STREAM_SNAPSHOT_CDC,
         "per-micro-batch snapshot publish in foreachBatch; CDC between "

@@ -1426,3 +1426,37 @@ def test_vacuum_dry_run_reports_without_deleting(spark, tmp_path):
     # the real run reclaims exactly what the dry run predicted
     rep2 = vacuum(spark, path, keep_versions=1)
     assert rep2["files_deleted"] == len(rep["would_delete_files"])
+
+
+def test_restore_snapshot_reverses_delete_and_respects_vacuum_horizon(
+    spark, tmp_path
+):
+    from pyspark.sql import functions as F
+
+    from klogs_spark import manifest as M
+    from klogs_spark.table import write_logs
+    from klogs_spark.views import derive_logs_from_events
+
+    logs = derive_logs_from_events(spark, "/root/testdata/sf0.001").filter(
+        F.col("timestamp") < "2024-01-04"
+    )
+    path = str(tmp_path / "t")
+    write_logs(logs, path)
+    n = logs.count()
+    v1 = M.publish_snapshot(spark, path)
+    v2 = M.cow_delete_where(spark, path, F.col("pod_name") == "pod-7")[
+        "version"
+    ]
+    v3 = M.restore_snapshot(spark, path, v1)
+    assert v3 > v2
+    assert M.read_logs_at(spark, path, v3).count() == n
+    # the bad version stays pinnable until vacuum
+    assert M.read_logs_at(spark, path, v2).count() < n
+    # after vacuuming to the restored head, the delete's survivor files
+    # are reclaimed and a restore of the VACUUMED version fails loudly
+    M.vacuum(spark, path, keep_versions=1)
+    assert spark.read.parquet(path).count() == n
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        M.restore_snapshot(spark, path, v2)

@@ -603,3 +603,23 @@ def test_bm25_plans_as_posting_list_topk(spark):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_context_window_is_pod_partitioned(spark):
+    """The log-viewer context fetch must never plan a global window: the
+    lag/lead spec is PARTITIONED BY pod, so each pod's stream sorts
+    independently at any scale."""
+    plan = _plan(spark, "logs_context_window")
+    assert "Window" in plan, "expected a Window operator"
+    # formatted explain details the spec as windowspecdefinition(
+    # partition keys..., order...) — the pod key must be in there
+    assert "windowspecdefinition(pod_name" in plan, plan[:2000]
+
+
+def test_repeated_substrings_never_cartesian(spark):
+    """The repeated-span chain is fingerprint-keyed equi-joins only — a
+    cartesian/nested-loop here would be the O(n^2) document self-join the
+    fingerprint design exists to avoid."""
+    plan = _plan(spark, "dedup_repeated_substrings")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -192,7 +192,8 @@ DRIVER_VERIFIED: dict = {
     "multimodal_frame_sample": "8fb1e20b5103",
     "pipeline_dsir_select": "f0d28fda7428",
     "sample_dsir_weights": "c921986f43af",
-    # "sketch_histogram_quantiles" — cumsum window keyed r10 (warning hygiene); re-enters window
+    # "sketch_histogram_quantiles" re-entered the window after its r10
+    # rewrite and is pinned in the round-10 block below.
     "stream_interval_join": "e780e7d2f09d",
     "table_fulltext_skipindex": "7c2177eb074f",
     "text_bloom_decontaminate": "f76ed7573dad",
@@ -269,7 +270,8 @@ DRIVER_VERIFIED: dict = {
     "stream_snapshot_cdc": "916c953d8820",
     "stream_validated_sink": "fb46d427f598",
     "table_cow_lifecycle": "1c02f89363de",
-    # "table_expectations" — uniqueness semantics changed r10 (NULL keys violate); re-enters window
+    # "table_expectations" re-entered the window after its r10 rewrite and
+    # is pinned in the round-10 block below.
     "table_field_range_files": "658fbb74c597",
     "table_field_range_skip": "d3501043d300",
     "table_merge_upsert": "2934c24daf96",
@@ -283,9 +285,31 @@ DRIVER_VERIFIED: dict = {
     "tpch_bucketed_join": "186d20a9bcdf",
     "tpch_revenue_concentration": "490e1e4f6e65",
     "tpch_rfm_segments": "3b55d5849d64",
-    # "tpch_rfm_segments_scaled" — docstring now carries measured sf1 crossover; re-enters window
+    # "tpch_rfm_segments_scaled" re-entered the window after its r10
+    # rewrite and is pinned in the round-10 block below.
     "window_balance_quartiles_scaled": "7865425c9de6",
     "window_daily_revenue_trend": "86f7e3b31ad7",
+    # round-10 green checks (CORRECTNESS_r10.json), hashed at the r11 tree
+    # (query fn sources + oracles untouched between the r10 check and this
+    # hash). This block also pins sketch_histogram_quantiles,
+    # table_expectations and tpch_rfm_segments_scaled, whose r10 rewrites
+    # re-entered the window and came back green.
+    "ann_index_rebuild": "3f13a24d3aef",
+    "dedup_repeated_substrings": "a7820d208a1a",
+    "logs_context_window": "389b83d907ef",
+    "multimodal_gif_stats": "f76b316b9495",
+    "multimodal_jpeg_stats": "a2be23c4eb85",
+    "multimodal_transcode": "5acb6751b4f8",
+    "sample_leakage_free_split": "b3ee20aa0418",
+    "sketch_histogram_quantiles": "65afc0fbc4f8",
+    "stream_upsert_sink": "17879e281d24",
+    "table_cow_merge": "abd5536745ad",
+    "table_expectations": "e7c6542173fc",
+    "table_restore": "d5d49c5fdf43",
+    "text_bm25_topk": "1bc4cfc24854",
+    "text_hybrid_rrf": "01718010684a",
+    "text_misra_gries_invariants": "70ead130e7e0",
+    "tpch_rfm_segments_scaled": "e51823b8a042",
 }
 
 

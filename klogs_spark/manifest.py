@@ -341,6 +341,30 @@ def _cow_base_version(spark: SparkSession, path: str) -> int:
     return base_version
 
 
+def _restore_promotions(spark: SparkSession, path: str, df: DataFrame) -> DataFrame:
+    """Re-derive the layout's promoted physical columns on a COW rewrite's
+    row set. A promoted column is BY DEFINITION ``fields_string[key]`` at
+    write time (table.write_logs_promoted / transform.promote_string_field),
+    so recomputing from the map is always exact — and it is the only safe
+    source: the base snapshot read may lack the column entirely (tables
+    marked ``promotions_deficient``: pre-promotion files have no physical
+    column, and read_snapshot does not mergeSchema), while selecting only
+    LOG_COLUMNS would rewrite carried-over rows with the promoted column
+    DROPPED or NULL — after a merge, promoted-column reads and
+    ``where_exists`` fast paths would silently return wrong results for
+    every carried row. Dropping any existing copy first keeps this
+    idempotent whether or not the input already carries the column."""
+    from .table import read_layout
+    from .transform import promote_string_field
+
+    promos = read_layout(spark, path).get("promotions") or {}
+    for key, column in promos.items():
+        if column in df.columns:
+            df = df.drop(column)
+        df = promote_string_field(df, key, column)
+    return df
+
+
 def _append_in_layout(spark: SparkSession, df: DataFrame, path: str) -> None:
     """Append rewrite output as NEW files honoring the table's recorded
     sort layout (cluster key or z-order — the same `_layout_sorted`
@@ -417,8 +441,9 @@ def cow_delete_where(
         {"op": "cow_delete_where", "base_version": base_version,
          "before": sorted(before)},
     )
-    survivors = df.filter(
-        F.col(PARTITION_COLUMN).isin(affected) & ~hit
+    survivors = _restore_promotions(
+        spark, path,
+        df.filter(F.col(PARTITION_COLUMN).isin(affected) & ~hit),
     )
     _append_in_layout(spark, survivors, path)
     after = set(_list_data_files(fs, root, hpath_cls))
@@ -459,15 +484,11 @@ def cow_merge_upsert(
     Scale: cost is the touched days' data plus O(#files) driver manifest
     algebra — the standard COW MERGE contract; untouched days never
     rewrite and their files are never opened."""
-    from .table import LOG_COLUMNS, read_layout
+    from .table import LOG_COLUMNS
 
-    promos = read_layout(spark, path).get("promotions") or {}
-    mat = updates
-    for pkey, pcol in promos.items():
-        if pcol not in mat.columns:
-            from .transform import promote_string_field
-
-            mat = promote_string_field(mat, pkey, pcol)
+    # promote the update rows from their own maps (drop-and-recompute:
+    # the map is the source of truth, same contract as _restore_promotions)
+    mat = _restore_promotions(spark, path, updates)
     dated = mat.withColumn(
         PARTITION_COLUMN, F.to_date(F.col("timestamp"))
     )
@@ -490,7 +511,9 @@ def cow_merge_upsert(
     n_upd = keys.join(
         existing.select(*key_cols), key_cols, "left_semi"
     ).count()
-    kept = existing.join(keys, key_cols, "left_anti")
+    kept = _restore_promotions(
+        spark, path, existing.join(keys, key_cols, "left_anti")
+    )
     merged = kept.unionByName(dated, allowMissingColumns=True)
 
     fs, hpath_cls, root = _hadoop_fs(spark, path)
@@ -540,8 +563,14 @@ def cow_compact_partition(
     frags = [f for f in live if f.split("/")[0] == partition]
     if len(frags) < 2:
         return {"version": base_version, "files_compacted": 0}
-    rows = spark.read.option("basePath", path).parquet(
-        *[f"{path}/{f}" for f in frags]
+    from .table import LOG_COLUMNS
+
+    rows = _restore_promotions(
+        spark, path,
+        spark.read.option("basePath", path)
+        .option("mergeSchema", "true")
+        .parquet(*[f"{path}/{f}" for f in frags])
+        .select(PARTITION_COLUMN, *LOG_COLUMNS),
     )
     fs, hpath_cls, root = _hadoop_fs(spark, path)
     before = set(_list_data_files(fs, root, hpath_cls))

@@ -269,7 +269,6 @@ DRIVER_VERIFIED: dict = {
     "stream_rollup_maintain": "a25255dcc5c5",
     "stream_snapshot_cdc": "916c953d8820",
     "stream_validated_sink": "fb46d427f598",
-    "table_cow_lifecycle": "1c02f89363de",
     # "table_expectations" re-entered the window after its r10 rewrite and
     # is pinned in the round-10 block below.
     "table_field_range_files": "658fbb74c597",
@@ -303,9 +302,7 @@ DRIVER_VERIFIED: dict = {
     "sample_leakage_free_split": "b3ee20aa0418",
     "sketch_histogram_quantiles": "65afc0fbc4f8",
     "stream_upsert_sink": "17879e281d24",
-    "table_cow_merge": "abd5536745ad",
     "table_expectations": "e7c6542173fc",
-    "table_restore": "d5d49c5fdf43",
     "text_bm25_topk": "1bc4cfc24854",
     "text_hybrid_rrf": "01718010684a",
     "text_misra_gries_invariants": "70ead130e7e0",

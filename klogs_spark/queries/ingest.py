@@ -2131,6 +2131,91 @@ FROM wk WHERE pod <> 7 GROUP BY 2
 # emit a count row and break the row-count match).
 
 
+def q_table_cow_promoted_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COW rewrites × promoted columns, externally hash-checked (the r11
+    ``manifest._restore_promotions`` fix): every COW verb must re-derive
+    the promoted physical column from the row's map for every carried row
+    — the r10 bug dropped it entirely, so promoted reads silently lost
+    data after any rewrite.
+
+    Build: plain history (pods 3/13, no physical column) + promoted
+    appends for the rest ({'level': 'level_p'}) — every day holds MIXED
+    schemas and the table is promotions_deficient. Then snapshot →
+    COW-DELETE second<30 (rewrites every day, so even the plain-history
+    rows gain the physical column) → COW-MERGE replacing pod-5 survivors
+    with a NEW map level 'merged' (the restored column must follow the
+    new map, not any stale copy) → COW-COMPACT day 1 → vacuum. The final
+    read groups by the PHYSICAL ``level_p`` column — if any rewrite
+    dropped, nulled, or staled it, rows land in a NULL/wrong bucket and
+    the hash breaks against the oracle's closed-form re-derivation."""
+    import tempfile
+
+    from ..manifest import (
+        cow_compact_partition,
+        cow_delete_where,
+        cow_merge_upsert,
+        publish_snapshot,
+        vacuum,
+    )
+    from ..table import write_logs, write_logs_promoted
+    from ..views import derive_logs_from_events
+
+    logs = derive_logs_from_events(spark, sf_dir).filter(
+        F.col("timestamp") < TT_CUT_V1
+    )
+    base = tempfile.mkdtemp(prefix="klogs-cowpromo-")
+    tdir = f"{base}/logs"
+    write_logs(logs.filter(F.col("pod_name").isin("pod-3", "pod-13")), tdir)
+    write_logs_promoted(
+        logs.filter(~F.col("pod_name").isin("pod-3", "pod-13")),
+        tdir,
+        {"level": "level_p"},
+    )
+    publish_snapshot(spark, tdir)
+    cow_delete_where(spark, tdir, F.second("timestamp") < 30)
+    updates = (
+        logs.filter(
+            (F.col("pod_name") == "pod-5") & (F.second("timestamp") >= 30)
+        )
+        .withColumn(
+            "fields_string",
+            F.map_from_arrays(
+                F.array(F.lit("level")), F.array(F.lit("merged"))
+            ),
+        )
+    )
+    cow_merge_upsert(spark, tdir, updates, key_cols=["timestamp", "pod_name"])
+    cow_compact_partition(spark, tdir, "date=2024-01-01")
+    vacuum(spark, tdir, keep_versions=1)
+    # group by the PHYSICAL promoted column — no map fallback, no coalesce
+    return (
+        spark.read.parquet(tdir)
+        .groupBy(
+            F.col("date").cast("string").alias("day"),
+            F.col("level_p").alias("level"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_TABLE_COW_PROMOTED_ROUNDTRIP = f"""
+WITH wk AS (
+  SELECT CAST(ts AS DATE) AS day, user_id % 50 AS pod,
+         CASE WHEN event_type = 'error' THEN 'error'
+              WHEN event_type = 'signup' THEN 'warn'
+              ELSE 'info' END AS lvl
+  FROM events
+  WHERE ts < TIMESTAMP '{TT_CUT_V1} 00:00:00'
+    AND EXTRACT(SECOND FROM ts) >= 30
+)
+SELECT CAST(day AS VARCHAR) AS day,
+       CASE WHEN pod = 5 THEN 'merged' ELSE lvl END AS level,
+       CAST(count(*) AS BIGINT) AS n
+FROM wk
+GROUP BY 1, 2
+"""
+
+
 SQL_STREAM_SNAPSHOT_CDC = f"""
 SELECT 'insert' AS change_type, CAST(ts AS DATE) AS date, count(*) AS n
 FROM events
@@ -2678,6 +2763,11 @@ SPECS = {
         q_table_cow_merge, SQL_TABLE_COW_MERGE,
         "copy-on-write MERGE: merged state + row-level CDC feed (carried "
         "half-day cancels) + pinned pre-merge reader, all hash-checked"),
+    "table_cow_promoted_roundtrip": QuerySpec(
+        q_table_cow_promoted_roundtrip, SQL_TABLE_COW_PROMOTED_ROUNDTRIP,
+        "COW delete/merge/compact on a promotions_deficient table: every "
+        "rewrite re-derives the promoted physical column from the map; "
+        "final read groups by the physical column vs closed-form oracle"),
     "stream_upsert_sink": QuerySpec(
         q_stream_upsert_sink, SQL_STREAM_UPSERT_SINK,
         "streaming UPSERT (foreachBatch + COW merge): 3 real micro-"

@@ -1460,3 +1460,174 @@ def test_restore_snapshot_reverses_delete_and_respects_vacuum_horizon(
 
     with _pytest.raises(FileNotFoundError):
         M.restore_snapshot(spark, path, v2)
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r11 #1: COW rewrites on PROMOTED tables must re-derive the promoted
+# physical columns for every carried row (manifest._restore_promotions). The
+# r10 bug: a COW delete on a write_logs_promoted table dropped the promoted
+# column from the rewritten files entirely, so promoted reads and
+# where_exists fast paths silently returned wrong results afterwards.
+# ---------------------------------------------------------------------------
+
+_PROMO_SCHEMA = (
+    "timestamp timestamp, cluster string, namespace string, app string, "
+    "pod_name string, container_name string, host string, "
+    "fields_string map<string,string>, fields_number map<string,double>, "
+    "log string"
+)
+
+
+def _promo_rows(spark, day, n=8):
+    from datetime import datetime
+
+    return spark.createDataFrame(
+        [
+            (datetime(2026, 1, day, 0, m, 0), "prod", "ns", "app",
+             f"pod-{m % 2}", "c", "h",
+             {"level": "error" if m % 2 else "info", "src": f"s{m}"},
+             {"v": float(m)}, f"d{day} line {m}")
+            for m in range(n)
+        ],
+        _PROMO_SCHEMA,
+    )
+
+
+def _promoted_mismatches(df, column="level_p", key="level"):
+    return df.filter(
+        ~(F.col(column).eqNullSafe(F.element_at("fields_string", key)))
+    ).count()
+
+
+def test_cow_delete_restores_promoted_columns(spark, tmp_path):
+    """Survivors of a COW delete on a promoted table keep the promoted
+    physical column with values equal to fields_string[key] on every row,
+    and the where_exists fast path stays truthful."""
+    from klogs_spark.manifest import cow_delete_where, publish_snapshot, read_snapshot
+    from klogs_spark.table import logs_query, read_layout
+
+    path = str(tmp_path / "t")
+    write_logs_promoted(
+        _promo_rows(spark, 1).unionByName(_promo_rows(spark, 2)),
+        path, {"level": "level_p"},
+    )
+    assert not read_layout(spark, path).get("promotions_deficient")
+    publish_snapshot(spark, path)
+
+    res = cow_delete_where(spark, path, F.col("pod_name") == "pod-1")
+    after = read_snapshot(spark, path, res["version"])
+    assert "level_p" in after.columns  # was dropped entirely pre-fix
+    assert after.count() == 8  # 4 survivors per day
+    assert _promoted_mismatches(after) == 0
+    # survivors are all pod-0 -> even minutes -> level 'info'
+    assert after.filter("level_p = 'info'").count() == 8
+    # promoted existence fast path still truthful once the directory is
+    # reconciled (COW retains replaced files until vacuum, so directory
+    # reads over-count before it)
+    from klogs_spark.manifest import vacuum
+
+    vacuum(spark, path, keep_versions=1)
+    q = logs_query(spark, path)
+    assert q.promoted_exists_ok
+    assert q.where_exists("level").df.count() == 8
+
+
+def test_cow_merge_restores_promoted_columns_on_deficient_table(
+    spark, tmp_path
+):
+    """COW MERGE on a promotions_deficient table (plain history + promoted
+    appends): carried rows AND update rows of the rewritten day all get the
+    promoted column re-derived from their maps; the untouched plain day
+    stays deficient and the existence fallback stays truthful."""
+    from klogs_spark.manifest import cow_merge_upsert, publish_snapshot
+    from klogs_spark.table import logs_query, read_layout, write_logs
+
+    path = str(tmp_path / "t")
+    write_logs(_promo_rows(spark, 1), path)  # plain history, no level_p
+    write_logs_promoted(_promo_rows(spark, 2), path, {"level": "level_p"})
+    assert read_layout(spark, path).get("promotions_deficient") is True
+    publish_snapshot(spark, path)
+
+    # updates replace day-2's pod-1 rows with a NEW map level; their
+    # promoted value must follow the NEW map, not any stale column
+    upd = (
+        _promo_rows(spark, 2)
+        .filter("pod_name = 'pod-1'")
+        .withColumn(
+            "fields_string",
+            F.map_from_arrays(
+                F.array(F.lit("level")), F.array(F.lit("merged"))
+            ),
+        )
+        .withColumn("log", F.concat("log", F.lit(" [v2]")))
+    )
+    res = cow_merge_upsert(
+        spark, path, upd, key_cols=["timestamp", "pod_name"]
+    )
+    assert res["rows_updated"] == 4 and res["rows_inserted"] == 0
+
+    # vacuum first: COW retains replaced files, so directory reads
+    # over-count until reclaimed; the snapshot itself mixes plain day-1
+    # files with promoted day-2 files, so verify via a mergeSchema read.
+    from klogs_spark.manifest import vacuum
+
+    vacuum(spark, path, keep_versions=1)
+    day2 = (
+        spark.read.option("mergeSchema", "true")
+        .option("basePath", path)
+        .parquet(path)
+        .filter("date = '2026-01-02'")
+    )
+    # every rewritten-day row carries the correct promoted value,
+    # including the merged rows' NEW map value
+    assert day2.count() == 8
+    assert _promoted_mismatches(day2) == 0
+    assert day2.filter("level_p = 'merged'").count() == 4
+    assert day2.filter("log LIKE '% [v2]'").count() == 4
+    # the untouched plain day still lacks the physical column (NULL under
+    # mergeSchema) — the deficient flag and map fallback must persist.
+    assert read_layout(spark, path).get("promotions_deficient") is True
+    q = logs_query(spark, path)
+    assert not q.promoted_exists_ok
+    assert q.where_exists("level").df.count() == 16
+    after = (
+        spark.read.option("mergeSchema", "true")
+        .option("basePath", path)
+        .parquet(path)
+    )
+    assert after.count() == 16
+    # day-1 plain rows read NULL for the physical column under mergeSchema
+    assert after.filter(
+        "date = '2026-01-01' AND level_p IS NOT NULL"
+    ).count() == 0
+
+
+def test_cow_compact_restores_promoted_columns_mixed_day(spark, tmp_path):
+    """COW compaction of a day whose fragments MIX pre-promotion (no
+    physical column) and promoted files: the compacted file must carry the
+    promoted column with correct values for ALL rows, including those from
+    the plain fragment."""
+    from klogs_spark.manifest import (
+        cow_compact_partition,
+        publish_snapshot,
+        read_snapshot,
+    )
+    from klogs_spark.table import read_layout, write_logs
+
+    path = str(tmp_path / "t")
+    day = _promo_rows(spark, 1)
+    write_logs(day.filter("pod_name = 'pod-0'"), path)  # plain fragment
+    write_logs_promoted(
+        day.filter("pod_name = 'pod-1'"), path, {"level": "level_p"}
+    )
+    assert read_layout(spark, path).get("promotions_deficient") is True
+    publish_snapshot(spark, path)
+
+    res = cow_compact_partition(spark, path, "date=2026-01-01")
+    assert res["files_compacted"] >= 2
+    after = read_snapshot(spark, path, res["version"])
+    assert "level_p" in after.columns
+    assert after.count() == 8
+    # the plain fragment's rows gained the column, values exact
+    assert _promoted_mismatches(after) == 0
+    assert after.filter("level_p IS NULL").count() == 0

@@ -10,13 +10,15 @@ is implemented from its public specification (ITU-T T.81 / ISO 10918-1):
   ``huffval`` exactly as Annex C specifies, entropy decode with byte
   un-stuffing and RSTn predictor resets, dequantization + inverse zigzag,
   float IDCT (numpy orthonormal DCT-II matrices), level shift, and BT.601
-  YCbCr→RGB for 3-component scans. Only progressive/hierarchical frames,
-  12-bit precision, 16-bit quant tables, and chroma subsampling other
-  than 4:4:4 are rejected — each with a loud, specific error (baseline
-  4:4:4 and grayscale cover this engine's synthesized corpora; subsampled
-  MCU interleave is a declared non-goal, not a silent wrong answer).
+  YCbCr→RGB for 3-component scans. Chroma subsampling (4:2:0 / 4:2:2 /
+  any divisor Hi×Vi factors) decodes through the interleaved-MCU layout
+  (T.81 A.2.3) with pixel-replication upsampling. Only progressive/
+  hierarchical frames, 12-bit precision, 16-bit quant tables,
+  non-divisor sampling factors, and multi-scan (non-interleaved
+  component) files are rejected — each with a loud, specific error.
 * :func:`encode_jpeg_baseline` — a baseline encoder for test/dev payloads:
-  grayscale or 4:4:4 RGB, caller-supplied or flat quant tables, and
+  grayscale or RGB at 4:4:4 / 4:2:2 / 4:2:0 (box-mean chroma
+  decimation), caller-supplied or flat quant tables, and
   SELF-CHOSEN canonical Huffman tables (all 12 DC categories at 4 bits,
   all 256 AC run/size symbols at 9 bits — Kraft-valid, written to DHT).
   The decoder never assumes these tables; it reads whatever DHT carries,
@@ -215,20 +217,52 @@ _ENC_AC_VALS = [x for x in range(256) if x != 255] + [255]
 FLAT_Q16 = [16] * 64  # flat quant table => q_dc = 16, SQL-closed-form DC
 
 
+_SAMPLING_FACTORS = {
+    # component (Hi, Vi) triples for 3-channel encodes (ITU-T T.81 A.1.1);
+    # luma leads, chroma shares one (1, 1) grid
+    "4:4:4": [(1, 1), (1, 1), (1, 1)],
+    "4:2:2": [(2, 1), (1, 1), (1, 1)],
+    "4:2:0": [(2, 2), (1, 1), (1, 1)],
+}
+
+
+def _box_downsample(plane, fy: int, fx: int, np):
+    """Mean over ``fy x fx`` boxes — the conventional chroma decimation.
+    Sums of <= 4 uint8-range values divided by a power of two are exact in
+    float64, so the determinism contract survives: a flat region stays
+    flat with the identical value, no rounding step needed."""
+    h, w = plane.shape
+    return plane.reshape(h // fy, fy, w // fx, fx).mean(axis=(1, 3))
+
+
 def encode_jpeg_baseline(
     width: int,
     height: int,
     pixels: bytes,
     channels: int = 1,
     quant: list[int] | None = None,
+    sampling: str = "4:4:4",
 ) -> bytes:
     """Baseline sequential JFIF bytes for ``pixels`` (row-major; grayscale
-    ``channels=1`` or interleaved RGB ``channels=3``, encoded 4:4:4).
+    ``channels=1`` or interleaved RGB ``channels=3``). ``sampling`` picks
+    the chroma decimation for RGB encodes: ``4:4:4`` (one block per
+    component per MCU), ``4:2:2`` (chroma halved horizontally), or
+    ``4:2:0`` (chroma halved both ways) — the latter two emit the
+    interleaved-MCU scan layout real camera/web JPEGs use (Y blocks in
+    raster order within each MCU, then one Cb and one Cr block).
     Edge blocks pad by edge replication (the conventional choice)."""
     import numpy as np
 
     if channels not in (1, 3):
         raise ValueError("jpeg encoder: channels must be 1 or 3")
+    if sampling not in _SAMPLING_FACTORS:
+        raise ValueError(
+            f"jpeg encoder: sampling must be one of "
+            f"{sorted(_SAMPLING_FACTORS)}, got {sampling!r}"
+        )
+    factors = (
+        _SAMPLING_FACTORS[sampling] if channels == 3 else [(1, 1)]
+    )
     q = list(quant or FLAT_Q16)
     if len(q) != 64 or not all(1 <= x <= 255 for x in q):
         raise ValueError("jpeg encoder: quant must be 64 bytes in 1..255")
@@ -252,50 +286,68 @@ def encode_jpeg_baseline(
     dc_codes = _canonical_codes(_ENC_DC_BITS, _ENC_DC_VALS)
     ac_codes = _canonical_codes(_ENC_AC_BITS, _ENC_AC_VALS)
 
-    bh = (height + 7) // 8
-    bwid = (width + 7) // 8
+    hmax = max(h for h, _ in factors)
+    vmax = max(v for _, v in factors)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
     pred = [0] * channels
-    padded = []
-    for pl in planes:
-        pp = np.empty((bh * 8, bwid * 8))
+    comp_planes = []
+    for ci, pl in enumerate(planes):
+        hi, vi = factors[ci]
+        # pad the FULL-RES plane to the MCU grid by edge replication, then
+        # decimate — padding first keeps edge boxes full
+        ph, pw = mcuy * vmax * 8, mcux * hmax * 8
+        pp = np.empty((ph, pw))
         pp[:height, :width] = pl
-        pp[height:, :width] = pl[height - 1:height, :]  # edge replicate
+        pp[height:, :width] = pl[height - 1:height, :]
         pp[:, width:] = pp[:, width - 1:width]
-        padded.append(pp)
-    for by in range(bh):
-        for bx in range(bwid):
-            for ci in range(channels):
-                block = padded[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
-                s = a @ (block - 128.0) @ a.T
-                sq = _round_half_away(s / qmat).astype(np.int64)
-                zz = [int(sq.flat[ZIGZAG[i]]) for i in range(64)]
-                diff = zz[0] - pred[ci]
-                pred[ci] = zz[0]
-                cat, bits_ = _magnitude(diff)
-                code, ln = dc_codes[cat]
+        if (hmax // hi, vmax // vi) != (1, 1):
+            pp = _box_downsample(pp, vmax // vi, hmax // hi, np)
+        comp_planes.append(pp)
+
+    def emit(block, ci):
+        s = a @ (block - 128.0) @ a.T
+        sq = _round_half_away(s / qmat).astype(np.int64)
+        zz = [int(sq.flat[ZIGZAG[i]]) for i in range(64)]
+        diff = zz[0] - pred[ci]
+        pred[ci] = zz[0]
+        cat, bits_ = _magnitude(diff)
+        code, ln = dc_codes[cat]
+        bw.write(code, ln)
+        if cat:
+            bw.write(bits_, cat)
+        run = 0
+        last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+        for i in range(1, last_nz + 1):
+            if zz[i] == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_codes[0xF0]  # ZRL
                 bw.write(code, ln)
-                if cat:
-                    bw.write(bits_, cat)
-                run = 0
-                last_nz = max(
-                    (i for i in range(1, 64) if zz[i]), default=0
-                )
-                for i in range(1, last_nz + 1):
-                    if zz[i] == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, ln = ac_codes[0xF0]  # ZRL
-                        bw.write(code, ln)
-                        run -= 16
-                    cat, bits_ = _magnitude(zz[i])
-                    code, ln = ac_codes[(run << 4) | cat]
-                    bw.write(code, ln)
-                    bw.write(bits_, cat)
-                    run = 0
-                if last_nz < 63:
-                    code, ln = ac_codes[0x00]  # EOB
-                    bw.write(code, ln)
+                run -= 16
+            cat, bits_ = _magnitude(zz[i])
+            code, ln = ac_codes[(run << 4) | cat]
+            bw.write(code, ln)
+            bw.write(bits_, cat)
+            run = 0
+        if last_nz < 63:
+            code, ln = ac_codes[0x00]  # EOB
+            bw.write(code, ln)
+
+    # interleaved-MCU order (T.81 A.2.3): per MCU, each component
+    # contributes its Hi x Vi data units in raster order
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(channels):
+                hi, vi = factors[ci]
+                for v in range(vi):
+                    for h in range(hi):
+                        y0 = (my * vi + v) * 8
+                        x0 = (mx * hi + h) * 8
+                        emit(
+                            comp_planes[ci][y0:y0 + 8, x0:x0 + 8], ci
+                        )
     bw.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -307,7 +359,8 @@ def encode_jpeg_baseline(
     sof = bytes([8]) + height.to_bytes(2, "big") + width.to_bytes(2, "big")
     sof += bytes([channels])
     for ci in range(channels):
-        sof += bytes([ci + 1, 0x11, 0])  # 4:4:4, quant table 0
+        hi, vi = factors[ci]
+        sof += bytes([ci + 1, (hi << 4) | vi, 0])  # quant table 0
     out += seg(0xC0, sof)
 
     def dht(tc_th: int, bits: list[int], vals: list[int]) -> bytes:
@@ -381,10 +434,19 @@ def decode_jpeg_baseline(
                 (body[6 + 3 * c], body[7 + 3 * c], body[8 + 3 * c])
                 for c in range(nc)
             ]
-            if any(samp != 0x11 for _, samp, _ in comps):
-                raise ValueError(
-                    "jpeg: chroma subsampling unsupported (4:4:4 only)"
-                )
+            hmax = max(s >> 4 for _, s, _ in comps)
+            vmax = max(s & 0x0F for _, s, _ in comps)
+            for _, samp, _ in comps:
+                hi, vi = samp >> 4, samp & 0x0F
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    raise ValueError(
+                        f"jpeg: sampling factor {hi}x{vi} out of range"
+                    )
+                if hmax % hi or vmax % vi:
+                    raise ValueError(
+                        f"jpeg: non-divisor sampling factor {hi}x{vi} "
+                        f"(max {hmax}x{vmax}) unsupported"
+                    )
         elif m == 0xC4:  # DHT (possibly several tables)
             j = 0
             while j < len(body):
@@ -399,6 +461,11 @@ def decode_jpeg_baseline(
             restart_interval = int.from_bytes(body[:2], "big")
         elif m == 0xDA:  # SOS — entropy data follows
             ns = body[0]
+            if ns != len(comps):
+                raise ValueError(
+                    "jpeg: multi-scan (non-interleaved component) files "
+                    f"unsupported: scan has {ns} of {len(comps)} components"
+                )
             scomp = []
             for c in range(ns):
                 cid, tabs = body[1 + 2 * c], body[2 + 2 * c]
@@ -421,9 +488,31 @@ def _decode_scan(
 ):
     a = _dct_matrix()
     nc = len(comps)
-    bh = (height + 7) // 8
-    bw = (width + 7) // 8
-    planes = [np.empty((bh * 8, bw * 8)) for _ in range(nc)]
+    # sampling geometry (T.81 A.1.1): an interleaved scan's MCU covers
+    # 8*Hmax x 8*Vmax source pixels; component i contributes Hi x Vi data
+    # units per MCU. A single-component scan is NON-interleaved: its MCU
+    # is one data unit over the component's own (full-resolution-scaled)
+    # block grid, regardless of the SOF factors.
+    hmax = max(s >> 4 for _, s, _ in comps)
+    vmax = max(s & 0x0F for _, s, _ in comps)
+    if len(scomp) == 1:
+        only = scomp[0][0]
+        hi, vi = comps[only][1] >> 4, comps[only][1] & 0x0F
+        cw = (width * hi + hmax - 1) // hmax
+        ch = (height * vi + vmax - 1) // vmax
+        mcux, mcuy = (cw + 7) // 8, (ch + 7) // 8
+        factors = {only: (1, 1)}
+    else:
+        mcux = (width + 8 * hmax - 1) // (8 * hmax)
+        mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+        factors = {
+            idx: (comps[idx][1] >> 4, comps[idx][1] & 0x0F)
+            for idx, _, _ in scomp
+        }
+    planes = {
+        idx: np.empty((mcuy * vi * 8, mcux * hi * 8))
+        for idx, (hi, vi) in factors.items()
+    }
     qmats = []
     for _, _, tq in comps:
         q = qtables.get(tq)
@@ -435,8 +524,8 @@ def _decode_scan(
     br = _BitReader(p, pos)
     pred = [0] * nc
     mcu = 0
-    for by in range(bh):
-        for bx in range(bw):
+    for my in range(mcuy):
+        for mx in range(mcux):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 # predictor reset at RSTn; reader realigns past the marker
                 while br.marker is None:
@@ -450,33 +539,53 @@ def _decode_scan(
                 dc_dec, ac_dec = huff_dc.get(td), huff_ac.get(ta)
                 if dc_dec is None or ac_dec is None:
                     raise ValueError("jpeg: Huffman table missing for scan")
-                zz = [0] * 64
-                s = dc_dec.decode(br)
-                pred[idx] += _receive_extend(br, s)
-                zz[0] = pred[idx]
-                k = 1
-                while k < 64:
-                    rs = ac_dec.decode(br)
-                    r, s = rs >> 4, rs & 0x0F
-                    if s == 0:
-                        if r == 15:  # ZRL
-                            k += 16
-                            continue
-                        break  # EOB
-                    k += r
-                    if k > 63:
-                        raise ValueError("jpeg: AC run past block end")
-                    zz[k] = _receive_extend(br, s)
-                    k += 1
-                coef = np.zeros(64)
-                for i in range(64):
-                    coef[ZIGZAG[i]] = zz[i]
-                block = a.T @ (coef.reshape(8, 8) * qmats[idx]) @ a
-                planes[idx][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = block
-    out = [
-        np.clip(_round_half_away(pl[:height, :width] + 128.0), 0, 255)
-        for pl in planes
-    ]
+                hi, vi = factors[idx]
+                for v in range(vi):
+                    for h in range(hi):
+                        zz = [0] * 64
+                        s = dc_dec.decode(br)
+                        pred[idx] += _receive_extend(br, s)
+                        zz[0] = pred[idx]
+                        k = 1
+                        while k < 64:
+                            rs = ac_dec.decode(br)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("jpeg: AC run past block end")
+                            zz[k] = _receive_extend(br, s)
+                            k += 1
+                        coef = np.zeros(64)
+                        for i in range(64):
+                            coef[ZIGZAG[i]] = zz[i]
+                        block = a.T @ (coef.reshape(8, 8) * qmats[idx]) @ a
+                        y0 = (my * vi + v) * 8
+                        x0 = (mx * hi + h) * 8
+                        planes[idx][y0:y0 + 8, x0:x0 + 8] = block
+    # per-component rounding at the component's native resolution, then
+    # pixel-replication upsampling to full frame (values unchanged by the
+    # replication, so the determinism contract is unaffected)
+    out = []
+    for idx in sorted(planes):
+        hi, vi = factors[idx] if len(scomp) > 1 else (1, 1)
+        if len(scomp) == 1:
+            fh = fv = 1
+            cw, chh = width, height  # single-comp output is full frame
+        else:
+            fh, fv = hmax // hi, vmax // vi
+            cw = (width * hi + hmax - 1) // hmax
+            chh = (height * vi + vmax - 1) // vmax
+        pl = np.clip(
+            _round_half_away(planes[idx][:chh, :cw] + 128.0), 0, 255
+        )
+        if (fh, fv) != (1, 1):
+            pl = np.repeat(np.repeat(pl, fv, axis=0), fh, axis=1)
+        out.append(pl[:height, :width])
     if nc == 3:
         y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
         # note: out[] is already rounded Y'CbCr; BT.601 inverse, then the

@@ -255,6 +255,35 @@ def synth_jpeg_gray_blocks(seed_id: int) -> bytes:
     return encode_jpeg_baseline(w, h, bytes(px), channels=1)
 
 
+def synth_jpeg_rgb_tiles_420(seed_id: int) -> bytes:
+    """Deterministic REAL 4:2:0-subsampled color JPEG: an ``mw x mh`` grid
+    of 16x16 MCU tiles (one interleaved MCU each at 4:2:0), every tile a
+    CONSTANT RGB color derived from ``seed_id`` and the tile index. Flat
+    MCUs keep the lossy round-trip SQL-expressible even through chroma
+    decimation (the box mean of a constant is the constant; only the
+    quantized DC survives per component), while the payload still
+    exercises the full subsampled path: interleaved-MCU entropy layout
+    (4 Y + 1 Cb + 1 Cr blocks per MCU), per-component DC prediction,
+    chroma upsampling, and BT.601 inversion."""
+    import numpy as np
+
+    from .jpeg_lite import encode_jpeg_baseline
+
+    mw = seed_id % 2 + 1
+    mh = seed_id % 3 + 1
+    img = np.zeros((mh * 16, mw * 16, 3), dtype=np.uint8)
+    for j in range(mw * mh):
+        ty, tx = divmod(j, mw)
+        img[ty * 16:(ty + 1) * 16, tx * 16:(tx + 1) * 16] = (
+            (seed_id * 53 + j * 19) % 256,
+            (seed_id * 97 + j * 23 + 31) % 256,
+            (seed_id * 29 + j * 41 + 77) % 256,
+        )
+    return encode_jpeg_baseline(
+        mw * 16, mh * 16, img.tobytes(), channels=3, sampling="4:2:0"
+    )
+
+
 def synth_gif_indexed(seed_id: int, width: int, height: int) -> bytes:
     """Deterministic REAL GIF87a: the PNG synth pattern as palette indices
     (``(seed_id*31 + k*7) % 251``) through an identity grayscale palette,

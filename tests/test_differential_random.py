@@ -717,18 +717,101 @@ def test_jpeg_decoder_rejects_unsupported_loudly():
     prog = bytes(enc[:i + 1]) + b"\xc2" + bytes(enc[i + 2:])
     with pytest.raises(ValueError, match="progressive"):
         J.decode_jpeg_baseline(prog)
-    # chroma subsampling: 3-component SOF with 2x2 sampling on comp 1
+    # non-divisor sampling factors (2 does not divide Hmax=3) reject
+    # loudly — divisor grids (4:2:0/4:2:2) now DECODE, see the
+    # subsampled round-trip tests below
     rgb = J.encode_jpeg_baseline(
         8, 8, bytes(192), channels=3
     )
     j = rgb.find(b"\xff\xc0")
     body = bytearray(rgb)
-    body[j + 11] = 0x22  # comp 1 sampling 2x2
-    with pytest.raises(ValueError, match="subsampling"):
+    body[j + 11] = 0x31  # comp 1 sampling 3x1
+    body[j + 14] = 0x21  # comp 2 sampling 2x1 -> 3 % 2 != 0
+    with pytest.raises(ValueError, match="non-divisor"):
         J.decode_jpeg_baseline(bytes(body))
     # truncated entropy stream
     with pytest.raises(ValueError, match="truncated|Huffman"):
         J.decode_jpeg_baseline(bytes(enc[:-8]))
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 36),
+    samp=st.sampled_from(["4:2:0", "4:2:2"]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_jpeg_subsampled_gray_rgb_matches_444(w, h, samp, seed):
+    """Property: a gray-valued RGB image (r=g=b => Cb=Cr=128 constant)
+    round-trips through 4:2:0/4:2:2 EXACTLY as through 4:4:4 — chroma
+    decimation of a flat plane is the identity, so any divergence is an
+    MCU-interleave, geometry, or upsampling bug. Covers odd sizes where
+    the MCU grid overhangs the frame on both axes."""
+    import numpy as np
+
+    from klogs_spark.ext import jpeg_lite as J
+
+    rng = np.random.RandomState(seed)
+    v = rng.randint(0, 256, size=(h, w), dtype=np.uint8)
+    raw = np.stack([v, v, v], axis=-1).tobytes()
+    sub = J.decode_jpeg_baseline(
+        J.encode_jpeg_baseline(w, h, raw, channels=3, sampling=samp)
+    )
+    full = J.decode_jpeg_baseline(
+        J.encode_jpeg_baseline(w, h, raw, channels=3, sampling="4:4:4")
+    )
+    assert sub[:3] == (w, h, 3) and sub == full
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    mw=st.integers(1, 3),
+    mh=st.integers(1, 3),
+    samp=st.sampled_from(["4:2:0", "4:2:2"]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_jpeg_subsampled_flat_mcu_tiles_exact(mw, mh, samp, seed):
+    """Property: an image tiled from per-MCU flat colors decodes with
+    every tile (a) still constant and (b) equal to the flat-block closed
+    form (the single-tile 4:4:4 round-trip of the same color) — the
+    closed form survives subsampling, which is what lets the oracle
+    hash-check subsampled decodes. Also pins DC prediction across the
+    interleaved MCU sequence (each component's predictor chains through
+    its own blocks only)."""
+    import numpy as np
+
+    from klogs_spark.ext import jpeg_lite as J
+
+    th = 16 if samp == "4:2:0" else 8  # MCU height: 8*Vmax
+    tw = 16  # MCU width: 8*Hmax
+    rng = np.random.RandomState(seed)
+    colors = rng.randint(0, 256, size=(mh * mw, 3), dtype=np.uint8)
+    img = np.zeros((mh * th, mw * tw, 3), dtype=np.uint8)
+    for t, c in enumerate(colors):
+        ty, tx = divmod(t, mw)
+        img[ty * th:(ty + 1) * th, tx * tw:(tx + 1) * tw] = c
+    w, h = mw * tw, mh * th
+    out = np.frombuffer(
+        J.decode_jpeg_baseline(
+            J.encode_jpeg_baseline(w, h, img.tobytes(), channels=3,
+                                   sampling=samp)
+        )[3],
+        np.uint8,
+    ).reshape(h, w, 3)
+    for t, c in enumerate(colors):
+        ty, tx = divmod(t, mw)
+        tile = out[ty * th:(ty + 1) * th, tx * tw:(tx + 1) * tw]
+        flat = tile.reshape(-1, 3)
+        assert (flat == flat[0]).all(), (t, samp)
+        ref = np.frombuffer(
+            J.decode_jpeg_baseline(
+                J.encode_jpeg_baseline(
+                    8, 8, np.tile(c, (8, 8, 1)).tobytes(), channels=3
+                )
+            )[3],
+            np.uint8,
+        )[:3]
+        assert tuple(flat[0]) == tuple(ref), (t, samp)
 
 
 @settings(max_examples=80, deadline=None)

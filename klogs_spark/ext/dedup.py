@@ -890,9 +890,10 @@ def dedup_survivors(
 def repeated_ngram_coverage(
     df: DataFrame,
     n: int = 10,
-    min_docs: int = 2,
+    min_docs: int | None = 2,
     text: str = "text",
     id_col: str = "doc_id",
+    within_doc: bool = False,
 ) -> DataFrame:
     """ExactSubstr-style repeated-span detection (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better"): the
@@ -902,21 +903,36 @@ def repeated_ngram_coverage(
     corpora (doc-level exact/near dedup misses a copied paragraph inside
     an otherwise-unique page; this finds it at n-token granularity).
 
+    ``within_doc=True`` adds the SELF-repetition half of ExactSubstr:
+    an n-gram occurring at two or more positions of the SAME document
+    also covers its positions (Lee et al. count any repeated substring,
+    cross-document or not — boilerplate chorus lines inside one page are
+    exactly as removable). ``min_docs=None`` disables the cross-document
+    test entirely (requires ``within_doc=True``), giving a pure
+    self-repetition coverage measure.
+
     Spark-first shape, suffix-array-free: one posexplode emits each
     position's n-gram FINGERPRINT (md5 of the joined token window — the
     rolling-hash role; fingerprints move, never the spans), one keyed
-    aggregate computes each fingerprint's distinct-document frequency,
-    repeated fingerprints join back (equi-join on the hash) and each hit
-    expands to its n covered positions row-locally; a distinct keyed
-    count yields covered-position totals. Every stage is a hash-keyed
-    aggregate or equi-join — no self-join on documents, no window. The
-    n-gram df table is corpus-sized but narrow (hash, count); hot
-    boilerplate grams fan out only into position counting, which is
-    bounded by doc length x n.
+    aggregate computes each fingerprint's distinct-document frequency
+    (plus, under ``within_doc``, its per-document occurrence count —
+    the same two-phase aggregate, keyed (id, gh) then gh, so the self
+    test is free), qualifying fingerprints join back (equi-join on the
+    hash) and each hit expands to its n covered positions row-locally;
+    a distinct keyed count yields covered-position totals. Every stage
+    is a hash-keyed aggregate or equi-join — no self-join on documents,
+    no window. The n-gram df table is corpus-sized but narrow (hash,
+    count); hot boilerplate grams fan out only into position counting,
+    which is bounded by doc length x n.
 
     Returns (id, n_tokens, covered_positions, coverage_ppm) for every
     doc with at least one n-gram position (docs shorter than ``n``
     tokens report 0/0/0)."""
+    if min_docs is None and not within_doc:
+        raise ValueError(
+            "repeated_ngram_coverage: min_docs=None (no cross-document "
+            "test) requires within_doc=True"
+        )
     tk = tokens_col(F.col(text))
     docs = df.select(F.col(id_col).alias("id"), tk.alias("toks"))
     # sequence() descends when start > stop, so short docs get an
@@ -933,15 +949,29 @@ def repeated_ngram_coverage(
         F.size("toks").alias("n_tokens"),
         F.posexplode(gram_arr).alias("i", "gh"),
     )
-    rep = (
-        grams.groupBy("gh")
-        .agg(F.count_distinct("id").alias("ndocs"))
-        .filter(F.col("ndocs") >= min_docs)
-        .select("gh")
-    )
+    if within_doc:
+        # two-phase: per-(doc, gram) occurrence counts feed BOTH tests —
+        # c >= 2 is the self-repetition half, and the gram's document
+        # frequency is just a count of its per-doc rows (map-side combine
+        # on (id, gh) first, so hot grams never skew the gh aggregate)
+        per = grams.groupBy("id", "gh").agg(F.count(F.lit(1)).alias("c"))
+        cond = F.col("c") >= 2
+        if min_docs is not None:
+            nd = per.groupBy("gh").agg(F.count(F.lit(1)).alias("ndocs"))
+            per = per.join(nd, "gh")
+            cond = cond | (F.col("ndocs") >= min_docs)
+        qual = per.filter(cond).select("id", "gh")
+        hits = grams.join(qual, ["id", "gh"])
+    else:
+        rep = (
+            grams.groupBy("gh")
+            .agg(F.count_distinct("id").alias("ndocs"))
+            .filter(F.col("ndocs") >= min_docs)
+            .select("gh")
+        )
+        hits = grams.join(rep, "gh")
     covered = (
-        grams.join(rep, "gh")
-        .select(
+        hits.select(
             "id",
             F.explode(
                 F.sequence(F.col("i"), F.col("i") + n - 1)

@@ -1837,6 +1837,62 @@ FROM tk LEFT JOIN cc ON tk.id = cc.id
 """
 
 
+SELF_NGRAM_N = 3  # corpus docs self-repeat at 3-gram granularity, not 10
+
+
+def q_repeated_substrings_self(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WITHIN-document half of ExactSubstr
+    (ext.dedup.repeated_ngram_coverage(within_doc=True, min_docs=None) —
+    Lee et al. 2022 count any repeated substring, same-document chorus
+    lines included; the cross-document half is dedup_repeated_substrings):
+    per-doc ppm of token positions covered by a {n}-gram occurring at 2+
+    positions of the SAME document. The plan stays fingerprint-keyed and
+    never-cartesian: the per-(doc, gram) occurrence count is one keyed
+    aggregate (map-side combined), qualifying pairs equi-join back on
+    (id, hash), and the covered-position expansion is row-local. The
+    oracle re-derives the per-doc gram counts and the interval union
+    with the same 1-based slice arithmetic; a doc whose repeats are
+    missed (or whose unique grams are wrongly counted) breaks the
+    hash.""".format(n=SELF_NGRAM_N)
+    return dd.repeated_ngram_coverage(
+        load_table(spark, sf_dir, "documents"),
+        n=SELF_NGRAM_N,
+        min_docs=None,
+        within_doc=True,
+    )
+
+
+SQL_REPEATED_SUBSTRINGS_SELF = f"""
+WITH tk AS (
+  SELECT doc_id AS id,
+         list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+),
+g AS (
+  -- constant-bound series (not lateral); corpus max doc length is ~100
+  SELECT id, t.k AS i,
+         md5(array_to_string(
+               toks[t.k + 1 : t.k + {SELF_NGRAM_N}], ' ')) AS gh
+  FROM tk, generate_series(0, 127) AS t(k)
+  WHERE t.k <= len(toks) - {SELF_NGRAM_N}
+),
+pq AS (
+  SELECT id, gh FROM g GROUP BY id, gh HAVING count(*) >= 2
+),
+cov AS (
+  SELECT DISTINCT g.id, g.i + o.o AS j
+  FROM g JOIN pq USING (id, gh),
+       generate_series(0, {SELF_NGRAM_N - 1}) AS o(o)
+),
+cc AS (SELECT id, count(*) AS covered FROM cov GROUP BY id)
+SELECT tk.id, len(tk.toks) AS n_tokens,
+       CAST(coalesce(cc.covered, 0) AS BIGINT) AS covered_positions,
+       CAST(coalesce(cc.covered, 0) * CAST(1000000 AS BIGINT)
+            // greatest(len(tk.toks), 1) AS BIGINT) AS coverage_ppm
+FROM tk LEFT JOIN cc ON tk.id = cc.id
+"""
+
+
 BM25_TERMS = ("spark", "window", "hash")
 BM25_TOPK = 25
 
@@ -5262,6 +5318,12 @@ SPECS = {
         q_hybrid_rrf, SQL_HYBRID_RRF,
         "hybrid retrieval: reciprocal-rank fusion of BM25 and cosine "
         "top-k sides (bounded rank windows, keyed fuse) vs RRF oracle"),
+    "dedup_repeated_substrings_self": QuerySpec(
+        q_repeated_substrings_self, SQL_REPEATED_SUBSTRINGS_SELF,
+        "within-document ExactSubstr half: positions covered by a "
+        "3-gram repeating inside the SAME doc, fingerprint-keyed "
+        "per-(doc,gram) aggregate, never-cartesian, vs interval-union "
+        "oracle"),
     "dedup_repeated_substrings": QuerySpec(
         q_repeated_substrings, SQL_REPEATED_SUBSTRINGS,
         "ExactSubstr-style repeated 10-gram span coverage per doc "

@@ -1027,3 +1027,56 @@ def test_rebuild_if_drifted_gate_and_atomic_swap(spark, tmp_path):
         spark, emb, root, threshold_ppm=1, ivf_k=4, refine_iters=1
     )
     assert res2["rebuilt"] is False and res2["path"] == p2
+
+
+def test_repeated_ngram_within_doc_coverage(spark):
+    """within_doc=True adds the self-repetition half of ExactSubstr: a
+    3-gram occurring twice inside one doc covers its positions even when
+    no other document shares it; within_doc=False (the cross-doc default)
+    must ignore it. min_docs=None disables the cross test entirely."""
+    from klogs_spark.ext.dedup import repeated_ngram_coverage
+
+    docs = spark.createDataFrame(
+        [
+            # "a b c" repeats at positions 0 and 3 -> covers 0..5 of 7
+            (1, "a b c a b c d"),
+            (2, "x y z w v u"),          # no repeats anywhere
+            (3, "p q r shared1 shared2 shared3"),   # cross-doc only
+            (4, "shared1 shared2 shared3 s t"),
+        ],
+        "doc_id long, text string",
+    )
+
+    def by_id(df):
+        return {r.id: r for r in df.collect()}
+
+    # pure self (min_docs=None): only doc 1 has coverage
+    self_only = by_id(
+        repeated_ngram_coverage(docs, n=3, min_docs=None, within_doc=True)
+    )
+    assert self_only[1].covered_positions == 6
+    assert self_only[1].n_tokens == 7
+    assert self_only[2].covered_positions == 0
+    assert self_only[3].covered_positions == 0
+    assert self_only[4].covered_positions == 0
+
+    # cross-only default: docs 3/4 share a 3-gram; doc 1's self-repeat
+    # is invisible
+    cross = by_id(repeated_ngram_coverage(docs, n=3, min_docs=2))
+    assert cross[1].covered_positions == 0
+    assert cross[3].covered_positions == 3
+    assert cross[4].covered_positions == 3
+
+    # combined: union of both halves
+    both = by_id(
+        repeated_ngram_coverage(docs, n=3, min_docs=2, within_doc=True)
+    )
+    assert both[1].covered_positions == 6
+    assert both[3].covered_positions == 3
+    assert both[4].covered_positions == 3
+
+    # min_docs=None without within_doc is a loud error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="within_doc"):
+        repeated_ngram_coverage(docs, n=3, min_docs=None)

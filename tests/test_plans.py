@@ -623,3 +623,12 @@ def test_repeated_substrings_never_cartesian(spark):
     plan = _plan(spark, "dedup_repeated_substrings")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_repeated_substrings_self_never_cartesian(spark):
+    """The within-doc half keeps the same fingerprint discipline: the
+    per-(doc, gram) qualifier joins back on (id, hash) — equi-keys only,
+    no cartesian/nested-loop anywhere."""
+    plan = _plan(spark, "dedup_repeated_substrings_self")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -38,118 +38,192 @@ def _decode_ext(ext_type: int, payload: bytes) -> Any:
     return payload
 
 
-def _unpack(buf: bytes, pos: int) -> tuple[Any, int]:
-    """Decode one object at ``pos``; return (value, next_pos).
-
-    The fix-family branches are checked first AND inline their bounds/slice
-    work (no helper calls): Fluent Bit events are almost entirely fixmap /
-    fixstr / fixint, and python-level call overhead dominates the decode at
-    those sizes.
-    """
-    try:
-        b = buf[pos]
-    except IndexError:
-        raise MsgpackError("truncated: no object at end of buffer") from None
-    pos += 1
-    # fix-family single bytes first (the overwhelmingly common cases)
-    if b <= 0x7F:                      # positive fixint
-        return b, pos
-    if b >= 0xE0:                      # negative fixint
-        return b - 0x100, pos
-    if 0xA0 <= b <= 0xBF:              # fixstr
-        end = pos + (b & 0x1F)
-        if end > len(buf):
-            raise MsgpackError("truncated payload")
-        return buf[pos:end].decode("utf-8", "replace"), end
-    if 0x80 <= b <= 0x8F:              # fixmap
-        return _unpack_map(buf, pos, b & 0x0F)
-    if 0x90 <= b <= 0x9F:              # fixarray
-        return _unpack_array(buf, pos, b & 0x0F)
-    if b == 0xC0:
-        return None, pos
-    if b == 0xC2:
-        return False, pos
-    if b == 0xC3:
-        return True, pos
-    if b == 0xCA:
-        return _F32.unpack_from(buf, _need(buf, pos, 4))[0], pos + 4
-    if b == 0xCB:
-        return _F64.unpack_from(buf, _need(buf, pos, 8))[0], pos + 8
-    if 0xCC <= b <= 0xCF:              # uint 8/16/32/64
-        n = 1 << (b - 0xCC)
-        return int.from_bytes(_take(buf, pos, n), "big"), pos + n
-    if 0xD0 <= b <= 0xD3:              # int 8/16/32/64
-        n = 1 << (b - 0xD0)
-        return int.from_bytes(_take(buf, pos, n), "big", signed=True), pos + n
-    if 0xD9 <= b <= 0xDB:              # str 8/16/32
-        n = 1 << (b - 0xD9)
-        ln = int.from_bytes(_take(buf, pos, n), "big")
-        pos += n
-        return _take(buf, pos, ln).decode("utf-8", "replace"), pos + ln
-    if 0xC4 <= b <= 0xC6:              # bin 8/16/32
-        n = 1 << (b - 0xC4)
-        ln = int.from_bytes(_take(buf, pos, n), "big")
-        pos += n
-        return _take(buf, pos, ln), pos + ln
-    if b == 0xDC or b == 0xDD:         # array 16/32
-        n = 2 if b == 0xDC else 4
-        ln = int.from_bytes(_take(buf, pos, n), "big")
-        return _unpack_array(buf, pos + n, ln)
-    if b == 0xDE or b == 0xDF:         # map 16/32
-        n = 2 if b == 0xDE else 4
-        ln = int.from_bytes(_take(buf, pos, n), "big")
-        return _unpack_map(buf, pos + n, ln)
-    if 0xD4 <= b <= 0xD8:              # fixext 1/2/4/8/16
-        ln = 1 << (b - 0xD4)
-        ext_type = _take(buf, pos, 1)[0]
-        payload = _take(buf, pos + 1, ln)
-        return _decode_ext(_signed8(ext_type), payload), pos + 1 + ln
-    if 0xC7 <= b <= 0xC9:              # ext 8/16/32
-        n = 1 << (b - 0xC7)
-        ln = int.from_bytes(_take(buf, pos, n), "big")
-        pos += n
-        ext_type = _take(buf, pos, 1)[0]
-        payload = _take(buf, pos + 1, ln)
-        return _decode_ext(_signed8(ext_type), payload), pos + 1 + ln
-    raise MsgpackError(f"unknown msgpack type byte 0x{b:02x}")
-
-
 def _signed8(x: int) -> int:
     return x - 0x100 if x >= 0x80 else x
 
 
-def _need(buf: bytes, pos: int, n: int) -> int:
-    if pos + n > len(buf):
-        raise MsgpackError("truncated payload")
-    return pos
+# Containers deeper than this are treated as malformed input (a DoS guard:
+# the iterative decoder itself has no recursion limit, but a 50k-deep
+# nesting bomb is never a legitimate Fluent Bit event and upstream
+# quarantine paths expect it to fail loudly, not decode).
+_MAX_DEPTH = 512
+
+_PENDING = object()  # map slot: key not read yet
 
 
-def _take(buf: bytes, pos: int, n: int) -> bytes:
-    if pos + n > len(buf):
-        raise MsgpackError("truncated payload")
-    return buf[pos:pos + n]
+def _unpack_iter(buf: bytes, pos: int) -> tuple[Any, int]:
+    """Decode one object at ``pos``; return (value, next_pos).
 
-
-def _unpack_array(buf: bytes, pos: int, n: int) -> tuple[list, int]:
-    out = []
-    for _ in range(n):
-        v, pos = _unpack(buf, pos)
-        out.append(v)
-    return out, pos
-
-
-def _unpack_map(buf: bytes, pos: int, n: int) -> tuple[dict, int]:
-    out = {}
-    for _ in range(n):
-        k, pos = _unpack(buf, pos)
-        v, pos = _unpack(buf, pos)
-        out[k if isinstance(k, str) else str(k)] = v
-    return out, pos
+    ITERATIVE core (r12): one dispatch loop with an explicit container
+    stack instead of one Python call per nested object — the per-call
+    frame setup and (value, pos) tuple allocation dominated the old
+    recursive decoder on Fluent Bit traffic (~20 tiny objects per event).
+    Branches are ordered by measured frequency: events are almost
+    entirely fixstr / fixmap / fixint, so those resolve in 1-3
+    comparisons. Bounds checks are explicit compares (cheap) so every
+    malformation raises MsgpackError, never struct.error/IndexError.
+    """
+    end = len(buf)
+    f32_at = _F32.unpack_from
+    f64_at = _F64.unpack_from
+    int_from = int.from_bytes
+    stack: list = []  # [container, remaining_items, pending_map_key]
+    while True:
+        if pos >= end:
+            raise MsgpackError("truncated: no object at end of buffer")
+        b = buf[pos]
+        pos += 1
+        # --- one header: sets v, or pushes a container and continues ---
+        if 0xA0 <= b <= 0xBF:          # fixstr (the hot case: map keys)
+            np = pos + (b & 0x1F)
+            if np > end:
+                raise MsgpackError("truncated payload")
+            v = str(buf[pos:np], "utf-8", "replace")
+            pos = np
+        elif b <= 0x7F:                # positive fixint
+            v = b
+        elif 0x80 <= b <= 0x8F:        # fixmap
+            n = b & 0x0F
+            if n:
+                if len(stack) >= _MAX_DEPTH:
+                    raise MsgpackError("nesting too deep")
+                stack.append([{}, n, _PENDING])
+                continue
+            v = {}
+        elif 0x90 <= b <= 0x9F:        # fixarray
+            n = b & 0x0F
+            if n:
+                if len(stack) >= _MAX_DEPTH:
+                    raise MsgpackError("nesting too deep")
+                stack.append([[], n, None])
+                continue
+            v = []
+        elif b >= 0xE0:                # negative fixint
+            v = b - 0x100
+        elif b == 0xCB:                # float 64
+            if pos + 8 > end:
+                raise MsgpackError("truncated payload")
+            v = f64_at(buf, pos)[0]
+            pos += 8
+        elif 0xCC <= b <= 0xCF:        # uint 8/16/32/64
+            n = 1 << (b - 0xCC)
+            np = pos + n
+            if np > end:
+                raise MsgpackError("truncated payload")
+            v = int_from(buf[pos:np], "big")
+            pos = np
+        elif 0xD4 <= b <= 0xD8:        # fixext 1/2/4/8/16 (FLBTime is d7)
+            ln = 1 << (b - 0xD4)
+            np = pos + 1 + ln
+            if np > end:
+                raise MsgpackError("truncated payload")
+            v = _decode_ext(_signed8(buf[pos]), buf[pos + 1:np])
+            pos = np
+        elif b == 0xC0:
+            v = None
+        elif b == 0xC2:
+            v = False
+        elif b == 0xC3:
+            v = True
+        elif b == 0xCA:                # float 32
+            if pos + 4 > end:
+                raise MsgpackError("truncated payload")
+            v = f32_at(buf, pos)[0]
+            pos += 4
+        elif 0xD0 <= b <= 0xD3:        # int 8/16/32/64
+            n = 1 << (b - 0xD0)
+            np = pos + n
+            if np > end:
+                raise MsgpackError("truncated payload")
+            v = int_from(buf[pos:np], "big", signed=True)
+            pos = np
+        elif 0xD9 <= b <= 0xDB:        # str 8/16/32
+            n = 1 << (b - 0xD9)
+            np = pos + n
+            if np > end:
+                raise MsgpackError("truncated payload")
+            ln = int_from(buf[pos:np], "big")
+            pos = np + ln
+            if pos > end:
+                raise MsgpackError("truncated payload")
+            v = str(buf[np:pos], "utf-8", "replace")
+        elif 0xC4 <= b <= 0xC6:        # bin 8/16/32
+            n = 1 << (b - 0xC4)
+            np = pos + n
+            if np > end:
+                raise MsgpackError("truncated payload")
+            ln = int_from(buf[pos:np], "big")
+            pos = np + ln
+            if pos > end:
+                raise MsgpackError("truncated payload")
+            v = bytes(buf[np:pos])
+        elif b == 0xDC or b == 0xDD:   # array 16/32
+            n = 2 if b == 0xDC else 4
+            np = pos + n
+            if np > end:
+                raise MsgpackError("truncated payload")
+            ln = int_from(buf[pos:np], "big")
+            pos = np
+            if ln:
+                if len(stack) >= _MAX_DEPTH:
+                    raise MsgpackError("nesting too deep")
+                stack.append([[], ln, None])
+                continue
+            v = []
+        elif b == 0xDE or b == 0xDF:   # map 16/32
+            n = 2 if b == 0xDE else 4
+            np = pos + n
+            if np > end:
+                raise MsgpackError("truncated payload")
+            ln = int_from(buf[pos:np], "big")
+            pos = np
+            if ln:
+                if len(stack) >= _MAX_DEPTH:
+                    raise MsgpackError("nesting too deep")
+                stack.append([{}, ln, _PENDING])
+                continue
+            v = {}
+        elif 0xC7 <= b <= 0xC9:        # ext 8/16/32
+            n = 1 << (b - 0xC7)
+            np = pos + n
+            if np > end:
+                raise MsgpackError("truncated payload")
+            ln = int_from(buf[pos:np], "big")
+            pos = np + 1 + ln
+            if pos > end:
+                raise MsgpackError("truncated payload")
+            v = _decode_ext(_signed8(buf[np]), buf[np + 1:pos])
+        else:
+            raise MsgpackError(f"unknown msgpack type byte 0x{b:02x}")
+        # --- deliver v into the open container(s); return when the
+        #     outermost object completes ---
+        while True:
+            if not stack:
+                return v, pos
+            top = stack[-1]
+            c = top[0]
+            if type(c) is dict:
+                k = top[2]
+                if k is _PENDING:
+                    top[2] = v if type(v) is str else str(v)
+                    break              # value comes next
+                c[k] = v
+                top[2] = _PENDING
+                top[1] -= 1
+                if top[1]:
+                    break              # next key comes next
+            else:
+                c.append(v)
+                top[1] -= 1
+                if top[1]:
+                    break
+            stack.pop()                # container complete — bubble it up
+            v = c
 
 
 def unpack_one(buf: bytes) -> Any:
     """Decode exactly one msgpack object (trailing bytes are an error)."""
-    v, pos = _unpack(buf, 0)
+    v, pos = _unpack_iter(buf, 0)
     if pos != len(buf):
         raise MsgpackError(f"{len(buf) - pos} trailing bytes after object")
     return v
@@ -161,7 +235,7 @@ def unpack_stream(buf: bytes) -> Iterator[Any]:
     pos = 0
     end = len(buf)
     while pos < end:
-        v, pos = _unpack(buf, pos)
+        v, pos = _unpack_iter(buf, pos)
         yield v
 
 

@@ -150,7 +150,6 @@ DRIVER_VERIFIED: dict = {
     "dedup_survivor_selection": "a3bd123bf888",
     "events_funnel": "7fc552e2d7a5",
     "events_retention_cohorts": "7ee727f00a46",
-    "ingest_msgpack_pipeline": "fc8f9c3a9b44",
     "logs_approx_distinct": "9b697fb6606f",
     "logs_approx_percentiles": "a4fe993448cc",
     "logs_burn_rate_alert": "a382f0c1cfd4",

@@ -847,52 +847,64 @@ FROM runs WHERE is_err = 1 AND error_run >= 3
 
 def q_ingest_msgpack_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1's true-to-reference wire shape, externally checked end-to-end:
-    events are ENCODED into Fluent Bit msgpack chunks (32 chunks, one per
-    shard, FLBTime fixext8 timestamps — msgpack_lite.pack_event, encoded
-    DISTRIBUTED via applyInPandas), then decoded by the REAL binary ingest
-    path (decode_msgpack_dataframe -> msgpack_lite decoder -> record_to_row)
-    and aggregated per namespace. The oracle computes the same aggregate
-    directly from events — equality proves encoder, decoder, FLBTime
-    handling, envelope routing, and numeric dispatch in one hash.
-    Timestamps are whole seconds (nsec=0): float-epoch FLBTime keeps
-    second precision exact, micro precision is the JSON path's job."""
+    events are ENCODED into Fluent Bit msgpack chunks (one chunk per
+    round-robin slice, FLBTime fixext8 timestamps —
+    msgpack_lite.pack_event, encoded DISTRIBUTED via mapInPandas), then
+    decoded by the REAL binary ingest path (decode_msgpack_dataframe ->
+    msgpack_lite decoder -> record_to_row) and aggregated per namespace.
+    The oracle computes the same aggregate directly from events —
+    equality proves encoder, decoder, FLBTime handling, envelope
+    routing, and numeric dispatch in one hash. Timestamps are whole
+    seconds (nsec=0): float-epoch FLBTime keeps second precision exact,
+    micro precision is the JSON path's job.
+
+    Perf shape (r12, ADVICE r11 hot-path item): a keyless round-robin
+    repartition feeds mapInPandas — the earlier groupBy(user_id % 32)
+    .applyInPandas hashed 32 key values into 32 partitions, which by
+    birthday collision left ~1/3 of slots empty and some tasks carrying
+    2-3 chunks (straggler tasks 2-3x the mean); round-robin gives every
+    task an equal slice and chunk boundaries are semantically arbitrary
+    (the decoder never depends on which events share a chunk)."""
     from ..config import EngineConfig
     from ..decode import decode_msgpack_dataframe
 
     ev = load_table(spark, sf_dir, "events")
     shards = ev.select(
-        (F.col("user_id") % 32).alias("shard"),
         F.col("ts").cast("long").alias("sec"),
         F.col("user_id"),
         F.col("event_type"),
         F.col("value"),
     )
 
-    def encode(pdf):
+    def encode(batches):
         import pandas as pd
 
         from klogs_spark.msgpack_lite import pack_event
 
-        evs = []
-        for sec, uid, et, val in zip(
-            pdf["sec"], pdf["user_id"], pdf["event_type"], pdf["value"]
-        ):
-            uid = int(uid)
-            rec = {
-                "cluster": "prod",
-                "kubernetes": {
-                    "namespace_name": f"ns-{uid % 5}",
-                    "pod_name": f"pod-{uid % 50}",
-                    "container_name": "c",
-                    "host": f"node-{uid % 8}",
-                },
-                "log": f"type={et}",
-                "content": {"value": float(val)},
-            }
-            evs.append(pack_event(int(sec), rec))
-        return pd.DataFrame({"content": [b"".join(evs)]})
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            evs = []
+            for sec, uid, et, val in zip(
+                pdf["sec"], pdf["user_id"], pdf["event_type"], pdf["value"]
+            ):
+                uid = int(uid)
+                rec = {
+                    "cluster": "prod",
+                    "kubernetes": {
+                        "namespace_name": f"ns-{uid % 5}",
+                        "pod_name": f"pod-{uid % 50}",
+                        "container_name": "c",
+                        "host": f"node-{uid % 8}",
+                    },
+                    "log": f"type={et}",
+                    "content": {"value": float(val)},
+                }
+                evs.append(pack_event(int(sec), rec))
+            yield pd.DataFrame({"content": [b"".join(evs)]})
 
-    raw = shards.groupBy("shard").applyInPandas(encode, "content binary")
+    n_slices = spark.sparkContext.defaultParallelism
+    raw = shards.repartition(n_slices).mapInPandas(encode, "content binary")
     decoded = decode_msgpack_dataframe(raw, EngineConfig())
     return decoded.groupBy("namespace").agg(
         F.count(F.lit(1)).alias("cnt"),

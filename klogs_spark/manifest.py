@@ -27,9 +27,12 @@ rewritten files — pin-until-next-rewrite. The COPY-ON-WRITE tier
 :func:`cow_merge_upsert`) gives the full Delta-style model on top:
 replaced files are RETAINED for pinned readers and CDC
 (:func:`snapshot_changes`), rewrites journal their intent for crash
-recovery (:func:`recover_incomplete_rewrite`), and disk is reclaimed by
-an explicit :func:`vacuum` whose retention window is the time-travel
-horizon.
+recovery (:func:`recover_incomplete_rewrite`), overlapping rewrites are
+resolved by optimistic concurrency (validate-then-publish: the loser
+detects the moved base or a reclaimed journal, cleans up its unpublished
+files, and raises :class:`ConcurrentRewriteError` — retry folds the
+winner's result), and disk is reclaimed by an explicit :func:`vacuum`
+whose retention window is the time-travel horizon.
 
 ``_manifest`` starts with ``_`` so Spark partition discovery ignores it.
 """
@@ -341,6 +344,129 @@ def _cow_base_version(spark: SparkSession, path: str) -> int:
     return base_version
 
 
+class ConcurrentRewriteError(IOError):
+    """A COW rewrite lost an optimistic-concurrency race: the base
+    snapshot moved (another maintenance job published first), or a
+    competing job's crash recovery reclaimed this rewrite's in-flight
+    journal. The losing rewrite publishes NOTHING — its unpublished
+    survivor files are cleaned up before raising, so the table stays
+    exactly at the winner's head. Retrying the operation is always safe:
+    the fresh :func:`_cow_base_version` folds the winner's result into
+    the new base."""
+
+
+def _begin_rewrite(
+    spark: SparkSession, path: str, op: str, base_version: int
+) -> tuple[set, str]:
+    """Journal a COW rewrite's intent and claim the single-writer slot.
+
+    The marker is the mutual-exclusion token: an existing marker means
+    another rewrite is LIVE (a crashed one was already reclaimed by the
+    :func:`recover_incomplete_rewrite` pass inside
+    :func:`_cow_base_version`), so starting a second is refused loudly
+    rather than silently clobbering the first job's crash journal. The
+    marker carries a random token; :func:`_finish_rewrite` re-reads it to
+    prove ownership before publishing — if a competitor's recovery
+    replaced or removed it mid-flight, the publish is aborted.
+    Returns (before-listing, ownership token)."""
+    import uuid
+
+    fs, hpath_cls, root = _hadoop_fs(spark, path)
+    if fs.exists(hpath_cls(f"{path}/{REWRITE_MARKER}")):
+        raise ConcurrentRewriteError(
+            f"cow rewrite ({op}) refused: another rewrite is in progress "
+            f"under {path} (live {REWRITE_MARKER}); if that job crashed, "
+            "recover_incomplete_rewrite reclaims it"
+        )
+    before = set(_list_data_files(fs, root, hpath_cls))
+    token = uuid.uuid4().hex
+    _write_small_json(
+        fs, hpath_cls, path, REWRITE_MARKER,
+        {"op": op, "base_version": base_version,
+         "before": sorted(before), "token": token},
+    )
+    return before, token
+
+
+def _finish_rewrite(
+    spark: SparkSession,
+    path: str,
+    base_version: int,
+    before: set,
+    token: str,
+    keep: set,
+) -> int:
+    """Validate-then-publish for a COW rewrite (the optimistic-concurrency
+    commit): the rewrite's output manifest is ``keep`` (base files that
+    survive) plus every file appended since ``before``. Two checks gate
+    the publish, both raising :class:`ConcurrentRewriteError` after
+    cleaning up this rewrite's own unpublished files:
+
+    * ownership — the journal marker must still exist and carry OUR
+      token. A competing job's recovery replaces/removes it (and may
+      have reclaimed our in-flight survivor files with it), so a foreign
+      marker means our append set is no longer trustworthy.
+    * base stability — the head manifest must still be ``base_version``.
+      A competitor that published first computed its rewrite against
+      files we are about to drop; publishing over it would silently
+      undo the winner (the classic lost update).
+
+    Cleanup deletes only files that are (a) new since our ``before``
+    listing and (b) referenced by no manifest — the winner's published
+    files are always manifested and therefore never touched."""
+    fs, hpath_cls, root = _hadoop_fs(spark, path)
+    after = set(_list_data_files(fs, root, hpath_cls))
+    new_files = after - before
+
+    def _abort(reason: str) -> None:
+        manifested: set[str] = set()
+        for v in snapshot_versions(spark, path):
+            manifested |= set(_manifest_files(spark, path, v))
+        for f in sorted(new_files - manifested):
+            p = hpath_cls(f"{path}/{f}")
+            if fs.exists(p):
+                _must(fs.delete(p, False), "race-abort-delete", f)
+        marker = hpath_cls(f"{path}/{REWRITE_MARKER}")
+        if fs.exists(marker):
+            try:
+                mine = (
+                    _read_small_json(fs, hpath_cls, path, REWRITE_MARKER)
+                    .get("token") == token
+                )
+            except Exception:
+                mine = False
+            if mine:
+                _must(fs.delete(marker, False), "race-abort-marker", marker)
+        raise ConcurrentRewriteError(
+            f"cow rewrite lost the race under {path}: {reason}; its "
+            "unpublished files were cleaned up — retry the operation "
+            "against the new head"
+        )
+
+    marker = hpath_cls(f"{path}/{REWRITE_MARKER}")
+    if not fs.exists(marker):
+        _abort("journal marker vanished (competing recovery reclaimed it)")
+    try:
+        owner = _read_small_json(fs, hpath_cls, path, REWRITE_MARKER).get(
+            "token"
+        )
+    except Exception:
+        owner = None
+    if owner != token:
+        _abort("journal marker replaced by a competing rewrite")
+    versions = snapshot_versions(spark, path)
+    if not versions or versions[-1] != base_version:
+        _abort(
+            f"base snapshot moved (v{base_version} -> "
+            f"v{versions[-1] if versions else '?'})"
+        )
+    version = publish_snapshot(spark, path, sorted(keep | new_files))
+    _must(
+        fs.delete(marker, False), "rewrite-marker-delete", REWRITE_MARKER
+    )
+    return version
+
+
 def _restore_promotions(spark: SparkSession, path: str, df: DataFrame) -> DataFrame:
     """Re-derive the layout's promoted physical columns on a COW rewrite's
     row set. A promoted column is BY DEFINITION ``fields_string[key]`` at
@@ -431,31 +557,21 @@ def cow_delete_where(
             "partitions_rewritten": [],
             "rows_deleted": 0,
         }
-    fs, hpath_cls, root = _hadoop_fs(spark, path)
-    before = set(_list_data_files(fs, root, hpath_cls))
     # journal the rewrite intent BEFORE writing survivor files: a crash
     # between the append and the publish leaves orphans that recovery
-    # (recover_incomplete_rewrite) can then identify and reclaim
-    _write_small_json(
-        fs, hpath_cls, path, REWRITE_MARKER,
-        {"op": "cow_delete_where", "base_version": base_version,
-         "before": sorted(before)},
-    )
+    # (recover_incomplete_rewrite) can then identify and reclaim; the
+    # validate-then-publish in _finish_rewrite aborts loudly if a
+    # concurrent rewrite won the race meanwhile
+    before, tok = _begin_rewrite(spark, path, "cow_delete_where", base_version)
     survivors = _restore_promotions(
         spark, path,
         df.filter(F.col(PARTITION_COLUMN).isin(affected) & ~hit),
     )
     _append_in_layout(spark, survivors, path)
-    after = set(_list_data_files(fs, root, hpath_cls))
-    new_files = after - before
     day_dirs = {f"{PARTITION_COLUMN}={d}" for d in affected}
     replaced = {f for f in live if f.split("/")[0] in day_dirs}
-    version = publish_snapshot(
-        spark, path, sorted((set(live) - replaced) | new_files)
-    )
-    _must(
-        fs.delete(hpath_cls(f"{path}/{REWRITE_MARKER}"), False),
-        "rewrite-marker-delete", REWRITE_MARKER,
+    version = _finish_rewrite(
+        spark, path, base_version, before, tok, set(live) - replaced
     )
     return {
         "version": version,
@@ -516,23 +632,12 @@ def cow_merge_upsert(
     )
     merged = kept.unionByName(dated, allowMissingColumns=True)
 
-    fs, hpath_cls, root = _hadoop_fs(spark, path)
-    before = set(_list_data_files(fs, root, hpath_cls))
-    _write_small_json(
-        fs, hpath_cls, path, REWRITE_MARKER,
-        {"op": "cow_merge_upsert", "base_version": base_version,
-         "before": sorted(before)},
-    )
+    before, tok = _begin_rewrite(spark, path, "cow_merge_upsert", base_version)
     _append_in_layout(spark, merged, path)
-    after = set(_list_data_files(fs, root, hpath_cls))
     day_dirs = {f"{PARTITION_COLUMN}={d}" for d in days}
     replaced = {f for f in live if f.split("/")[0] in day_dirs}
-    version = publish_snapshot(
-        spark, path, sorted((set(live) - replaced) | (after - before))
-    )
-    _must(
-        fs.delete(hpath_cls(f"{path}/{REWRITE_MARKER}"), False),
-        "rewrite-marker-delete", REWRITE_MARKER,
+    version = _finish_rewrite(
+        spark, path, base_version, before, tok, set(live) - replaced
     )
     n_updates = dated.count()
     return {
@@ -572,22 +677,13 @@ def cow_compact_partition(
         .parquet(*[f"{path}/{f}" for f in frags])
         .select(PARTITION_COLUMN, *LOG_COLUMNS),
     )
-    fs, hpath_cls, root = _hadoop_fs(spark, path)
-    before = set(_list_data_files(fs, root, hpath_cls))
-    # same crash journal as cow_delete_where
-    _write_small_json(
-        fs, hpath_cls, path, REWRITE_MARKER,
-        {"op": "cow_compact_partition", "base_version": base_version,
-         "before": sorted(before)},
+    # same crash journal + race validation as cow_delete_where
+    before, tok = _begin_rewrite(
+        spark, path, "cow_compact_partition", base_version
     )
     _append_in_layout(spark, rows, path)
-    after = set(_list_data_files(fs, root, hpath_cls))
-    version = publish_snapshot(
-        spark, path, sorted((set(live) - set(frags)) | (after - before))
-    )
-    _must(
-        fs.delete(hpath_cls(f"{path}/{REWRITE_MARKER}"), False),
-        "rewrite-marker-delete", REWRITE_MARKER,
+    version = _finish_rewrite(
+        spark, path, base_version, before, tok, set(live) - set(frags)
     )
     return {"version": version, "files_compacted": len(frags)}
 

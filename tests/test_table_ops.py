@@ -1631,3 +1631,152 @@ def test_cow_compact_restores_promoted_columns_mixed_day(spark, tmp_path):
     # the plain fragment's rows gained the column, values exact
     assert _promoted_mismatches(after) == 0
     assert after.filter("level_p IS NULL").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r10/r11 carried task: concurrent COW rewrites. The loser of an
+# overlapping rewrite pair must detect the moved base (or a competing
+# recovery reclaiming its journal) and fail loudly with NOTHING published
+# and no orphaned files; a retry then succeeds against the winner's head.
+# ---------------------------------------------------------------------------
+
+
+def _race_setup(spark, tmp_path, fragments=False):
+    from pyspark.sql import functions as F
+
+    from klogs_spark.manifest import publish_snapshot
+    from klogs_spark.table import write_logs
+    from klogs_spark.views import derive_logs_from_events
+
+    logs = derive_logs_from_events(spark, "/root/testdata/sf0.001").filter(
+        F.col("timestamp") < "2024-01-04"
+    )
+    path = str(tmp_path / "t")
+    if fragments:
+        for i in range(3):
+            write_logs(logs.filter(F.minute("timestamp") % 3 == i), path)
+    else:
+        write_logs(logs, path)
+    publish_snapshot(spark, path)
+    return path, logs.count()
+
+
+def _inject_after_append(monkeypatch, competitor):
+    """Run ``competitor`` once, right after the racing rewrite appends its
+    survivor files but before it validates/publishes — the classic
+    read-modify-write race window."""
+    from klogs_spark import manifest as M
+
+    orig = M._append_in_layout
+    state = {"fired": False}
+
+    def wrapped(spark, df, path):
+        orig(spark, df, path)
+        if not state["fired"]:
+            state["fired"] = True
+            competitor()
+
+    monkeypatch.setattr(M, "_append_in_layout", wrapped)
+
+
+def test_cow_delete_loses_race_to_compact_then_retries(
+    spark, tmp_path, monkeypatch
+):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from klogs_spark import manifest as M
+
+    path, n_total = _race_setup(spark, tmp_path, fragments=True)
+    n_pod7 = M.read_logs_at(spark, path).filter(
+        "pod_name = 'pod-7'"
+    ).count()
+    assert n_pod7 > 0
+
+    # the compactor jumps the delete's race window and completes first
+    _inject_after_append(
+        monkeypatch,
+        lambda: M.cow_compact_partition(spark, path, "date=2024-01-01"),
+    )
+    with _pytest.raises(M.ConcurrentRewriteError):
+        M.cow_delete_where(spark, path, F.col("pod_name") == "pod-7")
+
+    # loser published nothing: head is the winner's compaction, full row
+    # count intact, and no unmanifested junk is left behind
+    monkeypatch.undo()
+    assert M.read_logs_at(spark, path).count() == n_total
+    assert M._unmanifested_files(spark, path) == set()
+    assert not spark._jvm.java.io.File(  # marker cleaned up
+        f"{path}/{M.REWRITE_MARKER}"
+    ).exists()
+
+    # retry wins cleanly against the compacted head
+    res = M.cow_delete_where(spark, path, F.col("pod_name") == "pod-7")
+    assert res["rows_deleted"] == n_pod7
+    assert M.read_logs_at(spark, path, res["version"]).count() == (
+        n_total - n_pod7
+    )
+    M.vacuum(spark, path, keep_versions=1)
+    assert spark.read.parquet(path).count() == n_total - n_pod7
+
+
+def test_cow_merge_loses_race_to_delete_then_retries(
+    spark, tmp_path, monkeypatch
+):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from klogs_spark import manifest as M
+
+    path, n_total = _race_setup(spark, tmp_path)
+    logs = M.read_logs_at(spark, path)
+    n_pod7 = logs.filter("pod_name = 'pod-7'").count()
+    upd = (
+        logs.filter(
+            (F.col("date") == "2024-01-02") & (F.minute("timestamp") < 30)
+        )
+        .drop("date")
+        .withColumn("log", F.concat(F.col("log"), F.lit(" [v2]")))
+    )
+    n_upd = upd.count()
+    assert n_upd > 0 and n_pod7 > 0
+
+    _inject_after_append(
+        monkeypatch,
+        lambda: M.cow_delete_where(spark, path, F.col("pod_name") == "pod-7"),
+    )
+    with _pytest.raises(M.ConcurrentRewriteError):
+        M.cow_merge_upsert(spark, path, upd, key_cols=["timestamp"])
+
+    # the delete's result is the surviving head; the merge left no trace
+    monkeypatch.undo()
+    assert M.read_logs_at(spark, path).count() == n_total - n_pod7
+    assert M.read_logs_at(spark, path).filter(
+        "log LIKE '% [v2]'"
+    ).count() == 0
+    assert M._unmanifested_files(spark, path) == set()
+
+    # retry merges against the post-delete head (update rows that were
+    # deleted re-insert — the standard retry-after-conflict semantics)
+    res = M.cow_merge_upsert(spark, path, upd, key_cols=["timestamp"])
+    after = M.read_logs_at(spark, path, res["version"])
+    assert after.filter("log LIKE '% [v2]'").count() == n_upd
+    M.vacuum(spark, path, keep_versions=1)
+    assert M._unmanifested_files(spark, path) == set()
+
+
+def test_begin_rewrite_refuses_live_marker(spark, tmp_path):
+    import pytest as _pytest
+
+    from klogs_spark import manifest as M
+    from klogs_spark.table import _hadoop_fs
+
+    path, _ = _race_setup(spark, tmp_path)
+    fs, hpath_cls, _root = _hadoop_fs(spark, path)
+    # a LIVE competing journal (not crashed — no recovery ran)
+    M._write_small_json(
+        fs, hpath_cls, path, M.REWRITE_MARKER,
+        {"op": "other", "base_version": 1, "before": [], "token": "x"},
+    )
+    with _pytest.raises(M.ConcurrentRewriteError, match="in progress"):
+        M._begin_rewrite(spark, path, "cow_delete_where", 1)

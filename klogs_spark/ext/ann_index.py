@@ -340,3 +340,57 @@ def ivfpq_search(
         .orderBy("adist_micros", "id")
         .limit(k)
     )
+
+
+def ivfpq_rerank(
+    spark: SparkSession,
+    path: str,
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 5,
+    rerank: int = 20,
+    n_probe: int = 2,
+    m: int = sim.PQ_SUBSPACES,
+    dim: int = sim.EMB_DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact re-ranking on top of ADC — the standard two-stage IVF-PQ
+    search (FAISS ``IndexRefineFlat``): the quantized ADC pass nominates
+    ``rerank`` (R >> k) candidates cheaply, then ONLY those R rows' full
+    vectors are fetched from the corpus and scored exactly, and the true
+    top-k of the exact scores is returned. ADC's quantization error can
+    demote a true neighbor below rank k while keeping it inside rank R,
+    so this recovers most of the recall gap at the cost of R exact
+    distance computations instead of a corpus scan.
+
+    Plan shape: the ADC stage is the partition-pruned probed-cells read
+    of :func:`ivfpq_search`; its R-row result broadcasts into the corpus
+    join, so the exact stage touches R rows of ``emb`` (a broadcast-semi
+    lookup, never a scan-and-sort of the corpus). Exact scores are the
+    same squared-L2 micro-unit integers as ADC (floor(l2 * 1e6)), so
+    cross-engine hashes stay exact. Returns (id, edist_micros) ascending,
+    ties by id."""
+    cand = ivfpq_search(
+        spark, path, query_vec, k=rerank, n_probe=n_probe, m=m, dim=dim
+    ).select(F.col("id").alias("_cand_id"))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        emb.join(
+            F.broadcast(cand), emb[id_col] == F.col("_cand_id")
+        )
+        .select(
+            F.col(id_col).cast("long").alias("id"),
+            # float32-stored vectors must promote BEFORE the dot products:
+            # mixing a float32 dot(a,a) with float64 dot(a,b) breaks the
+            # exact-zero self-distance identity (and cross-engine hashes)
+            F.floor(
+                sim.l2_col(F.col(vec_col).cast("array<double>"), q)
+                * 1000000
+            )
+            .cast("long")
+            .alias("edist_micros"),
+        )
+        .orderBy("edist_micros", "id")
+        .limit(k)
+    )

@@ -205,7 +205,6 @@ DRIVER_VERIFIED: dict = {
     # was rewritten to cents-per-order after the r8 check, so it re-enters
     # the checked window. The r8 re-checked logs_* names kept their r1
     # hashes (sources untouched) and stay on their original lines.
-    "ann_ivfpq_prebuilt": "6472f028fb79",
     "ann_ivfpq_refresh": "4ab547392a1c",
     "dedup_containment_lsh": "abfa44713ba6",
     "dedup_semantic_prebuilt": "76c1240ed763",

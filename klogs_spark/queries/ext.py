@@ -3886,6 +3886,20 @@ def q_ann_ivfpq_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB this split is the difference between a training job that
     runs once per corpus build and a search that reads kilobytes of
     metadata plus the probed cells' codes."""
+    from ..ext import ann_index
+
+    path = _ensure_ivfpq_index(spark, sf_dir)
+    qv = _query_vec(spark, sf_dir)
+    return ann_index.ivfpq_search(
+        spark, path, qv, k=IVFPQ_K, n_probe=IVFPQ_NPROBE,
+    )
+
+
+def _ensure_ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once accessor for the persisted IVF-PQ index: first caller
+    trains and atomically publishes (temp dir + os.replace; a concurrent
+    builder losing the rename discards its identical copy), every later
+    caller reuses the `_SUCCESS`-marked sidecar."""
     import os
 
     from ..ext import ann_index
@@ -3906,10 +3920,132 @@ def q_ann_ivfpq_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
             import shutil
 
             shutil.rmtree(tmp, ignore_errors=True)
+    return path
+
+
+IVFPQ_RERANK_R = 20  # ADC nominates R candidates; exact pass keeps top-k
+
+
+def q_ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage IVF-PQ search with exact re-ranking
+    (ext/ann_index.ivfpq_rerank — FAISS IndexRefineFlat): the persisted
+    index's ADC pass nominates {r} candidates, their full vectors are
+    fetched by a broadcast lookup (R rows, never a corpus scan) and
+    scored exactly, and the exact top-{k} ships alongside two RECALL
+    rows measured against the exact full-scan ground truth — one for the
+    re-ranked result, one for the plain ADC top-{k}, so the recall a
+    deployment buys with the re-rank stage is pinned in the hash (the
+    re-ranked count can never be lower). The oracle recomputes the whole
+    chain: k-means -> PQ -> probe -> ADC -> candidate re-scoring ->
+    ground truth.""".format(r=IVFPQ_RERANK_R, k=IVFPQ_K)
+    from ..ext import ann_index
+
+    path = _ensure_ivfpq_index(spark, sf_dir)
     qv = _query_vec(spark, sf_dir)
-    return ann_index.ivfpq_search(
-        spark, path, qv, k=IVFPQ_K, n_probe=IVFPQ_NPROBE,
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.array(*[F.lit(float(x)) for x in qv])
+
+    reranked = ann_index.ivfpq_rerank(
+        spark, path, emb, qv, k=IVFPQ_K, rerank=IVFPQ_RERANK_R,
+        n_probe=IVFPQ_NPROBE,
     )
+    adc_k = ann_index.ivfpq_search(
+        spark, path, qv, k=IVFPQ_K, n_probe=IVFPQ_NPROBE
+    ).select("id")
+    # exact ground truth: full-scan top-k by the same micro-unit metric
+    exact_k = (
+        emb.select(
+            F.col("vec_id").cast("long").alias("id"),
+            F.floor(
+                sim.l2_col(F.col("embedding").cast("array<double>"), q)
+                * 1000000
+            )
+            .cast("long")
+            .alias("edist_micros"),
+        )
+        .orderBy("edist_micros", "id")
+        .limit(IVFPQ_K)
+        .select("id")
+    )
+    rr_hits = reranked.join(exact_k, "id", "left_semi").count()
+    adc_hits = adc_k.join(exact_k, "id", "left_semi").count()
+    topk = reranked.select(
+        F.lit("topk").alias("kind"),
+        F.col("id"),
+        F.col("edist_micros").alias("metric"),
+    )
+    recall = spark.createDataFrame(
+        [("recall", 0, rr_hits), ("recall", 1, adc_hits)],
+        "kind string, id long, metric long",
+    )
+    return topk.unionByName(recall)
+
+
+SQL_ANN_IVFPQ_RERANK = f"""
+WITH {_PQ_BASE_CTE},
+c1 AS (
+  SELECT m, centroid_id, list(c ORDER BY pos) AS cv
+  FROM ({_PQ_MEANS}) GROUP BY m, centroid_id
+),
+iv_c0 AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < {IVF_K}),
+{_IVFPQ_REFINE_CHAIN},
+{_assign_cte(_IVFPQ_FINAL_C, 'iv_assigned')},
+qv AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+probe AS (
+  SELECT centroid_id FROM {_IVFPQ_FINAL_C} cents, qv
+  ORDER BY {_cos_sql('cents.cv', 'qv.qv')} DESC, centroid_id
+  LIMIT {IVFPQ_NPROBE}
+),
+cand AS (
+  SELECT id FROM iv_assigned
+  WHERE centroid_id IN (SELECT centroid_id FROM probe)
+),
+enc AS (
+  SELECT id, m, centroid_id AS code FROM (
+    SELECT sv.id, sv.m, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY sv.id, sv.m
+             ORDER BY {_l2_sql('sv.sv', 'c.cv')} ASC, c.centroid_id
+           ) AS rn
+    FROM sv JOIN c1 c ON sv.m = c.m
+    WHERE sv.id IN (SELECT id FROM cand)
+  ) WHERE rn = 1
+),
+q AS (SELECT m, sv AS qsv FROM sv WHERE id = 0),
+dt AS (
+  SELECT c1.m, c1.centroid_id AS code,
+         CAST(floor({_l2_sql('c1.cv', 'q.qsv')} * 1000000) AS BIGINT) AS dmic
+  FROM c1 JOIN q ON c1.m = q.m
+),
+adc AS (
+  SELECT enc.id, CAST(sum(dt.dmic) AS BIGINT) AS adist
+  FROM enc JOIN dt ON enc.m = dt.m AND enc.code = dt.code
+  GROUP BY enc.id
+),
+cand_r AS (SELECT id FROM adc ORDER BY adist, id LIMIT {IVFPQ_RERANK_R}),
+adc_k AS (SELECT id FROM adc ORDER BY adist, id LIMIT {IVFPQ_K}),
+rr AS (
+  SELECT e.vec_id AS id,
+         CAST(floor({_l2_sql('e.v', 'qv.qv')} * 1000000) AS BIGINT) AS edist
+  FROM e, qv WHERE e.vec_id IN (SELECT id FROM cand_r)
+),
+rr_k AS (SELECT id, edist FROM rr ORDER BY edist, id LIMIT {IVFPQ_K}),
+ex AS (
+  SELECT e.vec_id AS id,
+         CAST(floor({_l2_sql('e.v', 'qv.qv')} * 1000000) AS BIGINT) AS edist
+  FROM e, qv
+),
+ex_k AS (SELECT id FROM ex ORDER BY edist, id LIMIT {IVFPQ_K})
+SELECT 'topk' AS kind, CAST(id AS BIGINT) AS id, edist AS metric FROM rr_k
+UNION ALL
+SELECT 'recall' AS kind, CAST(0 AS BIGINT) AS id,
+       CAST(count(*) AS BIGINT) AS metric
+FROM rr_k WHERE id IN (SELECT id FROM ex_k)
+UNION ALL
+SELECT 'recall' AS kind, CAST(1 AS BIGINT) AS id,
+       CAST(count(*) AS BIGINT) AS metric
+FROM adc_k WHERE id IN (SELECT id FROM ex_k)
+"""
 
 
 ANN_REFRESH_CUTOFF = 450  # vectors with id >= this arrive AFTER index training
@@ -5490,6 +5626,12 @@ SPECS = {
         q_ann_ivfpq_prebuilt, SQL_ANN_IVFPQ_TOPK,
         "IVF-PQ search over the PERSISTED parquet index (ext/ann_index): "
         "partition-pruned cell reads, no training in the query plan",
+    ),
+    "ann_ivfpq_rerank": QuerySpec(
+        q_ann_ivfpq_rerank, SQL_ANN_IVFPQ_RERANK,
+        "two-stage IVF-PQ: ADC nominates R candidates, broadcast-fetched "
+        "full vectors re-score exactly; recall vs exact ground truth "
+        "pinned for both stages (re-rank never below plain ADC)",
     ),
     "ann_ivfpq_refresh": QuerySpec(
         q_ann_ivfpq_refresh, SQL_ANN_IVFPQ_REFRESH,

@@ -2143,6 +2143,69 @@ FROM wk WHERE pod <> 7 GROUP BY 2
 # emit a count row and break the row-count match).
 
 
+CTX_ANCHOR_TS = "2024-01-15 12:00:00"
+CTX_ANCHOR_POD = "pod-7"
+CTX_N = 5
+
+
+def q_table_context_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The interactive log-viewer context fetch (query.fetch_context),
+    externally hash-checked over the real table layout: write a month of
+    logs, then — given a (pod, timestamp) anchor — return the {n} lines
+    at-or-before and the {n} lines after the anchor from that pod's
+    stream. The ±12h horizon turns the anchor into two literal date
+    bounds, so the scan partition-prunes to AT MOST TWO day directories
+    (asserted file-level in tests/test_table_ops.py) and each side is a
+    TakeOrderedAndProject top-n, never a day sort. The oracle recomputes
+    both sides from events with identical (ts, log) tie-breaks; a pruning
+    bug that widens or narrows the window, a wrong tie-break, or an
+    off-by-one at the anchor boundary all break the hash.""".format(n=CTX_N)
+    import tempfile
+
+    from ..query import fetch_context
+    from ..table import write_logs
+    from ..views import derive_logs_from_events
+
+    logs = derive_logs_from_events(spark, sf_dir).filter(
+        F.col("timestamp") < "2024-02-01"
+    )
+    base = tempfile.mkdtemp(prefix="klogs-ctxanchor-")
+    tdir = f"{base}/logs"
+    write_logs(logs, tdir)
+    return fetch_context(
+        spark, tdir, CTX_ANCHOR_POD, CTX_ANCHOR_TS, n=CTX_N
+    )
+
+
+SQL_TABLE_CONTEXT_ANCHOR = f"""
+WITH pod_stream AS (
+  SELECT ts,
+         'type=' || event_type || ' user=' || CAST(user_id AS VARCHAR)
+           || ' k=' || json_extract_string(props, '$.k')
+           || CASE WHEN event_type = 'error' THEN ' error occurred'
+              ELSE ' ok' END AS log
+  FROM events
+  WHERE user_id % 50 = 7
+    AND ts < TIMESTAMP '2024-02-01 00:00:00'
+    AND ts >= TIMESTAMP '{CTX_ANCHOR_TS}' - INTERVAL 12 HOUR
+    AND ts <= TIMESTAMP '{CTX_ANCHOR_TS}' + INTERVAL 12 HOUR
+),
+b AS (
+  SELECT 'before' AS direction, ts AS "timestamp",
+         '{CTX_ANCHOR_POD}' AS pod_name, log
+  FROM pod_stream WHERE ts <= TIMESTAMP '{CTX_ANCHOR_TS}'
+  ORDER BY ts DESC, log DESC LIMIT {CTX_N}
+),
+a AS (
+  SELECT 'after' AS direction, ts AS "timestamp",
+         '{CTX_ANCHOR_POD}' AS pod_name, log
+  FROM pod_stream WHERE ts > TIMESTAMP '{CTX_ANCHOR_TS}'
+  ORDER BY ts ASC, log ASC LIMIT {CTX_N}
+)
+SELECT * FROM b UNION ALL SELECT * FROM a
+"""
+
+
 def q_table_cow_promoted_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COW rewrites × promoted columns, externally hash-checked (the r11
     ``manifest._restore_promotions`` fix): every COW verb must re-derive
@@ -2775,6 +2838,11 @@ SPECS = {
         q_table_cow_merge, SQL_TABLE_COW_MERGE,
         "copy-on-write MERGE: merged state + row-level CDC feed (carried "
         "half-day cancels) + pinned pre-merge reader, all hash-checked"),
+    "table_context_anchor": QuerySpec(
+        q_table_context_anchor, SQL_TABLE_CONTEXT_ANCHOR,
+        "anchor-form context fetch: ±N pod-stream lines around a "
+        "(pod, ts) anchor, partition-pruned to <=2 day dirs, top-n "
+        "TakeOrdered per side, vs tie-break-exact oracle"),
     "table_cow_promoted_roundtrip": QuerySpec(
         q_table_cow_promoted_roundtrip, SQL_TABLE_COW_PROMOTED_ROUNDTRIP,
         "COW delete/merge/compact on a promotions_deficient table: every "

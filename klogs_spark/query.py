@@ -183,3 +183,75 @@ class LogsQuery:
         partition + driver-side merge of n rows — no full sort at any scale).
         """
         return self.df.orderBy(F.col("timestamp").desc()).limit(n)
+
+
+def fetch_context(
+    spark,
+    path: str,
+    pod_name: str,
+    anchor_ts,
+    n: int = 5,
+    horizon_hours: int = 12,
+) -> DataFrame:
+    """Interactive log-viewer context fetch, anchor form: given a
+    (pod, timestamp) anchor, return the ``n`` lines at-or-before the
+    anchor and the ``n`` lines after it from that pod's stream — the
+    click-a-line-see-its-surroundings operation every log UI ships
+    (the windowed batch form is queries/logs.py logs_context_window).
+
+    Bounded by construction: the search horizon is ±``horizon_hours``
+    around the anchor (default 12h, so the scan touches AT MOST TWO
+    day-partitions — asserted by tests/test_table_ops.py), the date
+    bounds are literals so Catalyst partition-prunes the directory
+    listing, the pod/time predicates push into the parquet scan (the
+    cluster-key sort makes the pod filter a row-group skip), and each
+    side is an ORDER BY + LIMIT n that plans as TakeOrderedAndProject —
+    per-partition top-n plus an n-row driver merge, never a sort of the
+    scanned day. At 100 TB the fetch reads two partitions' pruned row
+    groups and moves 2n rows, independent of corpus size.
+
+    Ties on timestamp break by the log line (descending before the
+    anchor, ascending after) so the returned context is deterministic.
+    Returns (direction, timestamp, pod_name, log) in stream order.
+    """
+    from datetime import datetime, timedelta
+
+    from .schema import PARTITION_COLUMN
+    from .table import read_logs
+
+    anchor = (
+        anchor_ts
+        if isinstance(anchor_ts, datetime)
+        else datetime.fromisoformat(str(anchor_ts))
+    )
+    lo = anchor - timedelta(hours=horizon_hours)
+    hi = anchor + timedelta(hours=horizon_hours)
+    stream = (
+        read_logs(spark, path)
+        .filter(
+            (F.col(PARTITION_COLUMN) >= F.lit(lo.date()))
+            & (F.col(PARTITION_COLUMN) <= F.lit(hi.date()))
+        )
+        .filter(
+            (F.col("timestamp") >= F.lit(lo))
+            & (F.col("timestamp") <= F.lit(hi))
+            & (F.col("pod_name") == pod_name)
+        )
+    )
+    before = (
+        stream.filter(F.col("timestamp") <= F.lit(anchor))
+        .orderBy(F.col("timestamp").desc(), F.col("log").desc())
+        .limit(n)
+        .withColumn("direction", F.lit("before"))
+    )
+    after = (
+        stream.filter(F.col("timestamp") > F.lit(anchor))
+        .orderBy(F.col("timestamp").asc(), F.col("log").asc())
+        .limit(n)
+        .withColumn("direction", F.lit("after"))
+    )
+    return (
+        before.unionByName(after)
+        .select("direction", "timestamp", "pod_name", "log")
+        .orderBy("timestamp", "log")
+    )

@@ -1780,3 +1780,51 @@ def test_begin_rewrite_refuses_live_marker(spark, tmp_path):
     )
     with _pytest.raises(M.ConcurrentRewriteError, match="in progress"):
         M._begin_rewrite(spark, path, "cow_delete_where", 1)
+
+
+def test_fetch_context_prunes_to_two_day_partitions(spark, tmp_path):
+    """The anchor context fetch must scan at most TWO day-partitions (the
+    ±12h horizon bounds the literal date range) and plan each side as a
+    distributed top-n, not a sort of the scanned days."""
+    from pyspark.sql import functions as F
+
+    from klogs_spark.query import fetch_context
+    from klogs_spark.table import write_logs
+    from klogs_spark.views import derive_logs_from_events
+
+    logs = derive_logs_from_events(spark, "/root/testdata/sf0.001").filter(
+        F.col("timestamp") < "2024-01-08"
+    )
+    path = str(tmp_path / "t")
+    write_logs(logs, path)
+
+    ctx = fetch_context(spark, path, "pod-7", "2024-01-03 12:00:00", n=3)
+    plan = spark._sc._jvm.PythonSQLUtils.explainString(
+        ctx._jdf.queryExecution(), "formatted"
+    )
+    # the ±12h horizon becomes two LITERAL date bounds in PartitionFilters,
+    # so the directory listing prunes to <= 2 of the 7 written days
+    assert "Partition Filters:" in plan or "PartitionFilters" in plan
+    assert "date" in plan and "2024-01-03" in plan and "2024-01-04" in plan
+    pf = [
+        line for line in plan.splitlines()
+        if "Partition Filters" in line or "PartitionFilters" in line
+    ]
+    assert any(
+        "2024-01-03" in line and "2024-01-04" in line for line in pf
+    ), pf
+    assert "TakeOrderedAndProject" in plan
+    # semantics: at most n rows each side, before <= anchor < after,
+    # single pod, stream-ordered
+    rows = ctx.collect()
+    assert 0 < len(rows) <= 6
+    assert all(r.pod_name == "pod-7" for r in rows)
+    from datetime import datetime
+
+    anchor = datetime(2024, 1, 3, 12, 0, 0)
+    for r in rows:
+        if r.direction == "before":
+            assert r.timestamp <= anchor
+        else:
+            assert r.timestamp > anchor
+    assert [r.timestamp for r in rows] == sorted(r.timestamp for r in rows)

@@ -277,6 +277,55 @@ def main() -> None:
         print(f"# table_cow_delete: FAILED {errors['table_cow_delete']}",
               file=sys.stderr)
 
+    # COW MERGE + RESTORE costs (VERDICT r10 #8 / r11 #4). Rewrite scope
+    # notes: the merge's update batch touches HALF of Jan 3 only, so the
+    # timed cost is ONE day's merged-state rewrite (anti-join + survivor
+    # write) + O(#files) manifest algebra — untouched days never open;
+    # RESTORE republishes an old manifest's exact file list, one small
+    # JSON write with NO data pass, and is benched to pin that it never
+    # regresses into a data copy. Fresh table per trial (both ops mutate
+    # their input); the build is untimed setup.
+    try:
+        from klogs_spark.manifest import (
+            cow_merge_upsert,
+            restore_snapshot,
+        )
+
+        best_mrg, best_rst = float("inf"), float("inf")
+        n_upd = -1
+        for _ in range(max(trials, 1)):
+            mdir = tempfile.mkdtemp(prefix="bench-cowm-")
+            write_logs(
+                derive_logs_from_events(spark, sf_dir), mdir,
+                mode="overwrite",
+            )
+            v1 = publish_snapshot(spark, mdir)
+            upd = (
+                derive_logs_from_events(spark, sf_dir)
+                .filter(
+                    "timestamp >= '2024-01-03' "
+                    "AND timestamp < '2024-01-03 12:00:00'"
+                )
+                .withColumn("log", F.concat(F.col("log"), F.lit(" [v2]")))
+            )
+            t0 = time.perf_counter()
+            res = cow_merge_upsert(spark, mdir, upd, key_cols=["timestamp"])
+            best_mrg = min(best_mrg, time.perf_counter() - t0)
+            n_upd = res["rows_updated"]
+            t0 = time.perf_counter()
+            restore_snapshot(spark, mdir, v1)
+            best_rst = min(best_rst, time.perf_counter() - t0)
+            shutil.rmtree(mdir, ignore_errors=True)
+        timings["table_cow_merge"] = round(best_mrg, 3)
+        timings["table_restore"] = round(best_rst, 3)
+        print(f"# table_cow_merge: {best_mrg:.3f}s ({n_upd} rows updated)",
+              file=sys.stderr)
+        print(f"# table_restore: {best_rst:.3f}s", file=sys.stderr)
+    except Exception as exc:  # noqa: BLE001
+        errors["table_cow_merge"] = f"{type(exc).__name__}: {exc}"[:300]
+        print(f"# table_cow_merge: FAILED {errors['table_cow_merge']}",
+              file=sys.stderr)
+
     from klogs_spark.ext.caching import release_tracked
 
     for name in HEADLINE:

@@ -288,6 +288,65 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # COW MERGE at 10x (VERDICT r10 #8): update half of Jan 3 — rewrite
+    # scope is ONE day regardless of corpus size, so the expected ratio is
+    # driven by that day's 10x row count (near-linear), not the table
+    try:
+        import tempfile
+
+        from klogs_spark.manifest import cow_merge_upsert, publish_snapshot
+        from klogs_spark.table import write_logs
+        from klogs_spark.views import derive_logs_from_events
+
+        from pyspark.sql import functions as F
+
+        def cow_merge_cost(src):
+            best = float("inf")
+            for _ in range(max(trials, 1)):
+                d = tempfile.mkdtemp(prefix="bsf1-cowm-")
+                write_logs(
+                    derive_logs_from_events(spark, src), d, mode="overwrite"
+                )
+                publish_snapshot(spark, d)
+                upd = (
+                    derive_logs_from_events(spark, src)
+                    .filter(
+                        "timestamp >= '2024-01-03' "
+                        "AND timestamp < '2024-01-03 12:00:00'"
+                    )
+                    .withColumn(
+                        "log", F.concat(F.col("log"), F.lit(" [v2]"))
+                    )
+                )
+                t0 = time.perf_counter()
+                cow_merge_upsert(spark, d, upd, key_cols=["timestamp"])
+                best = min(best, time.perf_counter() - t0)
+                import shutil
+
+                shutil.rmtree(d, ignore_errors=True)
+            return best
+
+        m01 = cow_merge_cost(SF01)
+        m1 = cow_merge_cost(sf1_dir)
+        results["table_cow_merge"] = {
+            "sf0.1_sec": round(m01, 3),
+            "sf1_sec": round(m1, 3),
+            "ratio_10x": round(m1 / m01, 2),
+            "in_rows": {"sf0.1": load_table(spark, SF01, "events").count(),
+                        "sf1": counts["events"]},
+        }
+        print(
+            f"# table_cow_merge: {m01:.3f}s -> {m1:.3f}s "
+            f"(ratio {m1 / m01:.2f})",
+            file=sys.stderr,
+        )
+    except Exception as exc:  # noqa: BLE001
+        errors["table_cow_merge"] = f"{type(exc).__name__}: {exc}"[:300]
+        print(
+            f"# table_cow_merge: FAILED {errors['table_cow_merge']}",
+            file=sys.stderr,
+        )
+
     print(
         json.dumps(
             {

@@ -993,3 +993,93 @@ def repeated_ngram_coverage(
             " DIV greatest(n_tokens, 1) AS BIGINT)"
         ).alias("coverage_ppm"),
     )
+
+
+def remove_repeated_spans(
+    df: DataFrame,
+    n: int = 10,
+    min_docs: int | None = 2,
+    text: str = "text",
+    id_col: str = "doc_id",
+    within_doc: bool = False,
+) -> DataFrame:
+    """The REMOVAL half of ExactSubstr dedup (Lee et al. 2022 cut the
+    repeated spans out of the corpus; :func:`repeated_ngram_coverage`
+    only measures them): rebuild each document's text with every covered
+    token position dropped — the conservative both-copies-removed
+    cleaning used for boilerplate stripping. Qualification is identical
+    to the coverage measure (cross-document frequency >= ``min_docs``,
+    plus same-document repeats when ``within_doc``).
+
+    Spark-first shape: the same fingerprint-keyed qualification chain as
+    the coverage measure, then one posexplode of (position, token), a
+    left-anti equi-join against the covered positions, and a row-local
+    rebuild — ``array_sort`` over (position, token) structs restores
+    token order inside the aggregate, so no window and no second shuffle
+    key. Whitespace normalizes to single spaces (the tokenizer's view of
+    the text, same as every text operator here).
+
+    Returns (id, n_tokens, kept_tokens, clean_text); a fully-covered
+    document keeps 0 tokens and an empty string, a doc shorter than
+    ``n`` tokens is untouched."""
+    if min_docs is None and not within_doc:
+        raise ValueError(
+            "remove_repeated_spans: min_docs=None requires within_doc=True"
+        )
+    tk = tokens_col(F.col(text))
+    docs = df.select(F.col(id_col).alias("id"), tk.alias("toks"))
+    gram_arr = F.when(
+        F.size("toks") >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size("toks") - n),
+            lambda i: F.md5(F.array_join(F.slice("toks", i + 1, n), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = docs.select("id", F.posexplode(gram_arr).alias("i", "gh"))
+    if within_doc:
+        per = grams.groupBy("id", "gh").agg(F.count(F.lit(1)).alias("c"))
+        cond = F.col("c") >= 2
+        if min_docs is not None:
+            nd = per.groupBy("gh").agg(F.count(F.lit(1)).alias("ndocs"))
+            per = per.join(nd, "gh")
+            cond = cond | (F.col("ndocs") >= min_docs)
+        hits = grams.join(per.filter(cond).select("id", "gh"), ["id", "gh"])
+    else:
+        rep = (
+            grams.groupBy("gh")
+            .agg(F.count_distinct("id").alias("ndocs"))
+            .filter(F.col("ndocs") >= min_docs)
+            .select("gh")
+        )
+        hits = grams.join(rep, "gh")
+    covered = hits.select(
+        "id",
+        F.explode(F.sequence(F.col("i"), F.col("i") + n - 1)).alias("j"),
+    ).distinct()
+    toks_pos = docs.select("id", F.posexplode("toks").alias("j", "tok"))
+    rebuilt = (
+        toks_pos.join(covered, ["id", "j"], "left_anti")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("kept_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("j", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )
+    return (
+        docs.select("id", F.size("toks").alias("n_tokens"))
+        .join(rebuilt, "id", "left")
+        .select(
+            "id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.coalesce("kept_tokens", F.lit(0))
+            .cast("bigint")
+            .alias("kept_tokens"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )

@@ -1893,6 +1893,70 @@ FROM tk LEFT JOIN cc ON tk.id = cc.id
 """
 
 
+def q_remove_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL half of ExactSubstr (ext.dedup.remove_repeated_spans —
+    Lee et al. 2022 cut repeated spans out of the training corpus; the
+    coverage queries only measure them): every token position covered by
+    a cross-document {n}-gram is dropped and the document text REBUILT
+    from the survivors, order restored row-locally by an array_sort over
+    (position, token) structs — no window, no second shuffle. The oracle
+    re-derives the covered set and rebuilds with string_agg(... ORDER BY
+    position); a lost token, a kept covered token, or an order slip in
+    the reconstruction breaks the hash on the actual text.""".format(
+        n=REPEAT_NGRAM_N
+    )
+    return dd.remove_repeated_spans(
+        load_table(spark, sf_dir, "documents"),
+        n=REPEAT_NGRAM_N,
+        min_docs=REPEAT_MIN_DOCS,
+    )
+
+
+SQL_REMOVE_REPEATED_SPANS = f"""
+WITH tk AS (
+  SELECT doc_id AS id,
+         list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+),
+g AS (
+  -- constant-bound series (not lateral); corpus max doc length is ~100
+  SELECT id, t.k AS i,
+         md5(array_to_string(
+               toks[t.k + 1 : t.k + {REPEAT_NGRAM_N}], ' ')) AS gh
+  FROM tk, generate_series(0, 127) AS t(k)
+  WHERE t.k <= len(toks) - {REPEAT_NGRAM_N}
+),
+rep AS (
+  SELECT gh FROM g GROUP BY gh
+  HAVING count(DISTINCT id) >= {REPEAT_MIN_DOCS}
+),
+cov AS (
+  SELECT DISTINCT g.id, g.i + o.o AS j
+  FROM g JOIN rep USING (gh),
+       generate_series(0, {REPEAT_NGRAM_N - 1}) AS o(o)
+),
+tox AS (
+  SELECT id, t.k - 1 AS j, toks[t.k] AS tok
+  FROM tk, generate_series(1, 128) AS t(k)
+  WHERE t.k <= len(toks)
+),
+kept AS (
+  SELECT tox.id, tox.j, tox.tok
+  FROM tox LEFT JOIN cov ON tox.id = cov.id AND tox.j = cov.j
+  WHERE cov.id IS NULL
+),
+rebuilt AS (
+  SELECT id, CAST(count(*) AS BIGINT) AS kept_tokens,
+         string_agg(tok, ' ' ORDER BY j) AS clean_text
+  FROM kept GROUP BY id
+)
+SELECT tk.id, CAST(len(tk.toks) AS BIGINT) AS n_tokens,
+       coalesce(rebuilt.kept_tokens, 0) AS kept_tokens,
+       coalesce(rebuilt.clean_text, '') AS clean_text
+FROM tk LEFT JOIN rebuilt ON tk.id = rebuilt.id
+"""
+
+
 BM25_TERMS = ("spark", "window", "hash")
 BM25_TOPK = 25
 
@@ -5454,6 +5518,11 @@ SPECS = {
         q_hybrid_rrf, SQL_HYBRID_RRF,
         "hybrid retrieval: reciprocal-rank fusion of BM25 and cosine "
         "top-k sides (bounded rank windows, keyed fuse) vs RRF oracle"),
+    "dedup_remove_repeated_spans": QuerySpec(
+        q_remove_repeated_spans, SQL_REMOVE_REPEATED_SPANS,
+        "ExactSubstr removal: cross-doc repeated 10-gram positions cut "
+        "and the text REBUILT row-locally (array_sort over position "
+        "structs), hash-checked on the reconstructed strings"),
     "dedup_repeated_substrings_self": QuerySpec(
         q_repeated_substrings_self, SQL_REPEATED_SUBSTRINGS_SELF,
         "within-document ExactSubstr half: positions covered by a "

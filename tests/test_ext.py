@@ -1080,3 +1080,36 @@ def test_repeated_ngram_within_doc_coverage(spark):
 
     with _pytest.raises(ValueError, match="within_doc"):
         repeated_ngram_coverage(docs, n=3, min_docs=None)
+
+
+def test_remove_repeated_spans_semantics(spark):
+    """Removal drops exactly the covered positions and rebuilds the text
+    in order; untouched and fully-covered docs hit their documented
+    edges."""
+    from klogs_spark.ext.dedup import remove_repeated_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "p q r shared1 shared2 shared3"),
+            (2, "shared1 shared2 shared3 s t"),
+            (3, "u v w x y"),                      # untouched
+            (4, "shared1 shared2 shared3"),        # fully covered
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.id: r for r in remove_repeated_spans(docs, n=3, min_docs=2).collect()}
+    assert out[1].clean_text == "p q r"
+    assert (out[1].n_tokens, out[1].kept_tokens) == (6, 3)
+    assert out[2].clean_text == "s t"
+    assert out[3].clean_text == "u v w x y"
+    assert out[3].kept_tokens == 5
+    assert out[4].clean_text == "" and out[4].kept_tokens == 0
+
+    # within_doc=True also strips same-document choruses
+    solo = spark.createDataFrame(
+        [(9, "a b c a b c tail")], "doc_id long, text string"
+    )
+    r = remove_repeated_spans(
+        solo, n=3, min_docs=None, within_doc=True
+    ).collect()[0]
+    assert r.clean_text == "tail" and r.kept_tokens == 1

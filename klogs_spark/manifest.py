@@ -662,7 +662,17 @@ def cow_compact_partition(
     keep reading until :func:`vacuum`). ``partition`` is the directory
     name, e.g. ``date=2024-01-03``. The CDC feed across a pure compaction
     is EMPTY by construction (every row appears on both sides and
-    cancels). No-op below two files."""
+    cancels). No-op below two files.
+
+    Schema contract (ADVICE r11): the compacted output is PROJECTED onto
+    the canonical table schema — PARTITION_COLUMN + LOG_COLUMNS plus the
+    layout's promoted columns re-derived from the maps
+    (:func:`_restore_promotions`). Any other physical column a fragment
+    might carry is dropped by compaction; the engine's writers
+    (write_logs / write_logs_promoted / _append_in_layout) never produce
+    such columns, so this is a normalization, not data loss — but files
+    written around the engine do not keep extra columns through a
+    compact."""
     base_version = _cow_base_version(spark, path)
     live = _manifest_files(spark, path, base_version)
     frags = [f for f in live if f.split("/")[0] == partition]

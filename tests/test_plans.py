@@ -632,3 +632,14 @@ def test_repeated_substrings_self_never_cartesian(spark):
     plan = _plan(spark, "dedup_repeated_substrings_self")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_remove_repeated_spans_never_cartesian(spark):
+    """Span REMOVAL keeps the fingerprint discipline end to end: covered
+    positions come from equi-joins on (id, hash), the token anti-join is
+    keyed (id, position), and the text rebuild is a row-local array_sort
+    — no cartesian, no nested-loop, no window."""
+    plan = _plan(spark, "dedup_remove_repeated_spans")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan

@@ -205,7 +205,6 @@ DRIVER_VERIFIED: dict = {
     # was rewritten to cents-per-order after the r8 check, so it re-enters
     # the checked window. The r8 re-checked logs_* names kept their r1
     # hashes (sources untouched) and stay on their original lines.
-    "ann_ivfpq_refresh": "4ab547392a1c",
     "dedup_containment_lsh": "abfa44713ba6",
     "dedup_semantic_prebuilt": "76c1240ed763",
     "dedup_threshold_curve": "870285082e09",
@@ -237,7 +236,6 @@ DRIVER_VERIFIED: dict = {
     "tpch_frequent_item_pairs": "fefadcff4cba",
     # round-9 green checks (CORRECTNESS_r09.json), hashed at the r10 tree
     "ann_index_drift": "10c328821d5b",
-    "ann_ivfpq_stream": "fed845315c01",
     "ann_sq8_topk": "48bc15bc8fe5",
     "dedup_canonical": "86f440673d91",
     "dedup_lsh_recall": "bae2e40eeb3d",

@@ -3971,7 +3971,7 @@ def _ensure_ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
     path = _ivfpq_index_dir(sf_dir)
     if not os.path.exists(os.path.join(path, "codes", "_SUCCESS")):
         emb = load_table(spark, sf_dir, "embeddings")
-        tmp = f"{path}.build{os.getpid()}"
+        tmp = f"{path}.build{_builder_tag()}"
         ann_index.build_ivfpq_index(
             emb, tmp, ivf_k=IVF_K, refine_iters=IVF_REFINE_ITERS,
             ivf_round=IVF_ROUND,
@@ -3985,6 +3985,19 @@ def _ensure_ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
 
             shutil.rmtree(tmp, ignore_errors=True)
     return path
+
+
+def _builder_tag() -> str:
+    """Unique scratch-dir suffix for a concurrent index builder. pid alone
+    is NOT unique here: the in-repo oracle differential runs query fns in
+    a THREAD pool, so two cold-cache builders share a pid and would write
+    the same `.build{pid}` directory concurrently (the r12 full-suite
+    ann_index_drift flake). pid + thread id + random suffix is."""
+    import os
+    import threading
+    import uuid
+
+    return f"{os.getpid()}-{threading.get_ident()}-{uuid.uuid4().hex[:8]}"
 
 
 IVFPQ_RERANK_R = 20  # ADC nominates R candidates; exact pass keeps top-k
@@ -4133,7 +4146,7 @@ def q_ann_ivfpq_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = f"{_ivfpq_index_dir(sf_dir)}-refresh{ANN_REFRESH_CUTOFF}"
     if not os.path.exists(os.path.join(path, "codes", "_SUCCESS")):
         emb = load_table(spark, sf_dir, "embeddings")
-        tmp = f"{path}.build{os.getpid()}"
+        tmp = f"{path}.build{_builder_tag()}"
         ann_index.build_ivfpq_index(
             emb.filter(F.col("vec_id") < ANN_REFRESH_CUTOFF), tmp,
             ivf_k=IVF_K, refine_iters=IVF_REFINE_ITERS, ivf_round=IVF_ROUND,
@@ -4179,7 +4192,7 @@ def q_ann_ivfpq_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = f"{_ivfpq_index_dir(sf_dir)}-stream{ANN_REFRESH_CUTOFF}"
     if not os.path.exists(os.path.join(path, "codes", "_SUCCESS")):
         emb = load_table(spark, sf_dir, "embeddings")
-        tmp = f"{path}.build{os.getpid()}"
+        tmp = f"{path}.build{_builder_tag()}"
         ann_index.build_ivfpq_index(
             emb.filter(F.col("vec_id") < ANN_REFRESH_CUTOFF), tmp,
             ivf_k=IVF_K, refine_iters=IVF_REFINE_ITERS, ivf_round=IVF_ROUND,

@@ -195,3 +195,97 @@ def mmr_select(
         [(i + 1, c[0], c[2]) for i, c in enumerate(chosen)],
         "sel_rank int, id bigint, mmr_score double",
     )
+
+
+def _round_half_away(x: float) -> float:
+    """Round-half-away-from-zero — Python's round() is banker's, but the
+    DuckDB oracle's round() is away-from-zero; iteration states must
+    round identically or they drift apart."""
+    import math
+
+    return math.floor(x + 0.5) if x >= 0 else -math.floor(-x + 0.5)
+
+
+def power_iteration_component(
+    emb: DataFrame,
+    squarings: int = 7,
+    vec_col: str = "embedding",
+    dim: int = sim.EMB_DIM,
+    label_col: str = "label",
+) -> DataFrame:
+    """Top principal direction of the embedding corpus by INTEGER-exact
+    power iteration WITH MATRIX SQUARING — the oracle-checkable sibling
+    of :func:`pca_project` (whose numpy.linalg.eigh has no SQL
+    equivalent, so it is pinned by pytest only; this one hash-matches a
+    DuckDB oracle that runs the SAME algorithm).
+
+    Squaring, not plain iteration, because real embedding spectra are
+    nearly flat (this corpus: λ2/λ1 ≈ 0.93, so 4 plain mat-vecs leave
+    cos ≈ 0.2 to the true direction): ``squarings`` rounds of C <- C·C
+    give effective power 2^squarings (= 128 by default, 0.93^128 ≈
+    1e-4 — converged), in ``squarings`` exact steps instead of hundreds.
+
+    Exactness design: the only corpus-sized pass is the covariance
+    aggregate (already cross-engine-exact via its 8-decimal round); its
+    d^2 entries scale to EXACT integers (cov * 1e8). Each squaring is a
+    pure-integer matrix product (order-free, < 2^53, identical in any
+    engine) rescaled back to +/-1e6 integer entries through ONE
+    deterministic division by the exact integer max — no aggregation-
+    order float anywhere in the chain. Floats appear only in the final
+    vector normalization and the Rayleigh quotient, where ulp noise is
+    crushed by rescale-to-integer / fixed-decimal rounding (half-away
+    on both sides). d^2 is corpus-size-independent, so the iteration is
+    driver-side metadata work, like probe_cells' centroid ranking.
+
+    Returns rows (kind, id, val):
+      * ('component', j, v_j)    — the unit eigenvector * 1e6, exact ints
+      * ('eigenvalue', -1, λ)    — Rayleigh-quotient estimate, 9 dp
+      * ('label_mean', label, m) — per-label mean projection, 6 dp (the
+        drift-direction summary a corpus monitor actually watches)."""
+    import math
+
+    spark = emb.sparkSession
+    rng = range(dim)
+    Cint = [[0] * dim for _ in rng]
+    for r in covariance_entries(emb, vec_col, dim, round_decimals=8).collect():
+        Cint[r.i][r.j] = int(_round_half_away(r.cov * 1e8))
+    M = Cint
+    for _ in range(squarings):
+        P = [
+            [sum(M[i][k] * M[k][j] for k in rng) for j in rng] for i in rng
+        ]  # exact ints: |entry| <= 64 * (1e7)^2 < 2^53
+        s = max(abs(e) for row in P for e in row) or 1
+        # one deterministic double division by the EXACT integer max —
+        # identical IEEE ops in the SQL mirror, no order sensitivity
+        M = [
+            [int(_round_half_away(1e6 * (float(e) / float(s)))) for e in row]
+            for row in P
+        ]
+    w = [sum(M[i][j] for j in rng) for i in rng]  # M @ ones, exact
+    nw = math.sqrt(sum(float(x) * float(x) for x in w))
+    v = [int(_round_half_away(1e6 * float(x) / nw)) for x in w]
+    # Rayleigh quotient on the ORIGINAL covariance: u = C v exact, then
+    # two short double sums whose ulps the 9-dp round absorbs
+    u = [sum(Cint[i][j] * v[j] for j in rng) for i in rng]
+    num = sum((v[i] / 1e6) * (float(u[i]) / 1e14) for i in rng)
+    den = sum((v[i] / 1e6) * (v[i] / 1e6) for i in rng)
+    lam = _round_half_away(num / den * 1e9) / 1e9
+
+    vlit = F.array(*[F.lit(float(x)) for x in v])
+    dot = F.aggregate(
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"), vlit, lambda a, b: a * b
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    label_means = emb.groupBy(
+        F.lit("label_mean").alias("kind"),
+        F.col(label_col).cast("int").alias("id"),
+    ).agg(F.round(F.avg(dot / 1e6), 6).alias("val"))
+    head = spark.createDataFrame(
+        [("component", j, float(v[j])) for j in range(dim)]
+        + [("eigenvalue", -1, float(lam))],
+        "kind string, id int, val double",
+    )
+    return head.unionByName(label_means)

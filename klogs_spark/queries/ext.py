@@ -4473,6 +4473,114 @@ FROM p GROUP BY 1, 2
 """
 
 
+POWER_SQUARINGS = 7  # effective power 2^7 = 128: converges a 0.93-gap spectrum
+
+
+def q_embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus, HASH-CHECKED
+    (ext.embstats.power_iteration_component): the eigh-based pca_project
+    has no SQL equivalent, so this runs power iteration with {t} rounds
+    of MATRIX SQUARING (effective power 2^{t} — real embedding spectra
+    are nearly flat, so plain iteration would need hundreds of steps).
+    The covariance entries (the only corpus-sized pass, already
+    cross-engine exact at 8 decimals) scale to exact integers; each
+    squaring is an order-free integer matrix product rescaled through
+    ONE deterministic division by its exact integer max; floats touch
+    only the final normalization and Rayleigh quotient, whose ulps the
+    fixed-decimal rounding absorbs. The oracle unrolls the same chain
+    as CTEs; output pins the eigenvector (exact integer micro-units),
+    the Rayleigh eigenvalue, and the per-label mean projection — the
+    drift-direction summary a corpus monitor watches.""".format(
+        t=POWER_SQUARINGS
+    )
+    from ..ext.embstats import power_iteration_component
+
+    return power_iteration_component(
+        load_table(spark, sf_dir, "embeddings"), squarings=POWER_SQUARINGS
+    )
+
+
+def _sql_rha_bigint(x: str) -> str:
+    """Round-half-away-from-zero to BIGINT (no engine round() reliance)."""
+    return (
+        f"CAST(CASE WHEN ({x}) >= 0 THEN floor(({x}) + 0.5) "
+        f"ELSE -floor(-({x}) + 0.5) END AS BIGINT)"
+    )
+
+
+def _sql_power_squaring(k: int) -> str:
+    """One matrix-squaring round: exact integer product, then rescale
+    entries back to +/-1e6 by ONE deterministic division by the exact
+    integer max — the same two IEEE ops as the Python side. MATERIALIZED
+    is load-bearing: each round self-joins the previous matrix, so an
+    inlining planner would double the expansion per round (2^rounds
+    copies of the covariance subtree — hundreds of parquet scans and an
+    fd blowup, observed before the hint)."""
+    return f"""
+p{k} AS MATERIALIZED (
+  SELECT a.i AS i, b.j AS j, SUM(a.ci * b.ci) AS pe
+  FROM m{k - 1} a JOIN m{k - 1} b ON a.j = b.i
+  GROUP BY a.i, b.j
+),
+s{k} AS (SELECT GREATEST(MAX(ABS(pe)), 1) AS s FROM p{k}),
+m{k} AS MATERIALIZED (
+  SELECT i, j,
+         {_sql_rha_bigint(
+             f"1000000.0 * (CAST(pe AS DOUBLE) / CAST(s AS DOUBLE))"
+         )} AS ci
+  FROM p{k}, s{k}
+)"""
+
+
+SQL_EMBEDDING_TOP_COMPONENT = f"""
+WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+p AS (
+  SELECT s.i - 1 AS i, t.j - 1 AS j,
+         v[s.i] * v[t.j] AS xy, v[s.i] AS x, v[t.j] AS y
+  FROM e,
+       generate_series(1, {sim.EMB_DIM}) AS s(i),
+       generate_series(1, {sim.EMB_DIM}) AS t(j)
+),
+cov AS (
+  SELECT i, j, round(sum(xy) / count(*) - avg(x) * avg(y), 8) AS cov
+  FROM p GROUP BY 1, 2
+),
+m0 AS MATERIALIZED (
+  SELECT i, j, {_sql_rha_bigint('cov * 100000000')} AS ci FROM cov
+),{",".join(_sql_power_squaring(k) for k in range(1, POWER_SQUARINGS + 1))},
+w AS (
+  SELECT i AS j, SUM(ci) AS w FROM m{POWER_SQUARINGS} GROUP BY i
+),
+nw AS (
+  SELECT sqrt(sum(CAST(w AS DOUBLE) * CAST(w AS DOUBLE))) AS nd FROM w
+),
+vv AS (
+  SELECT j,
+         {_sql_rha_bigint('1000000.0 * CAST(w AS DOUBLE) / nd')} AS vi
+  FROM w, nw
+),
+u AS (
+  SELECT m0.i AS j, SUM(m0.ci * vv.vi) AS u
+  FROM m0 JOIN vv ON m0.j = vv.j GROUP BY m0.i
+),
+ray AS (
+  SELECT round(
+           sum((vv.vi / 1000000.0) * (CAST(u.u AS DOUBLE) / 1e14))
+           / sum((vv.vi / 1000000.0) * (vv.vi / 1000000.0)), 9) AS lam
+  FROM vv JOIN u ON vv.j = u.j
+),
+pv AS (SELECT list(CAST(vi AS DOUBLE) ORDER BY j) AS pvec FROM vv)
+SELECT 'component' AS kind, CAST(j AS INT) AS id, CAST(vi AS DOUBLE) AS val
+FROM vv
+UNION ALL
+SELECT 'eigenvalue', -1, lam FROM ray
+UNION ALL
+SELECT 'label_mean', CAST(e.label AS INT),
+       round(avg(list_dot_product(e.v, pv.pvec) / 1000000.0), 6)
+FROM e, pv GROUP BY 2
+"""
+
+
 MMR_K = 5
 MMR_LAM = 0.75  # exactly binary-representable: both engines weight identically
 
@@ -5531,6 +5639,12 @@ SPECS = {
         q_hybrid_rrf, SQL_HYBRID_RRF,
         "hybrid retrieval: reciprocal-rank fusion of BM25 and cosine "
         "top-k sides (bounded rank windows, keyed fuse) vs RRF oracle"),
+    "embedding_top_component": QuerySpec(
+        q_embedding_top_component, SQL_EMBEDDING_TOP_COMPONENT,
+        "top principal direction via integer-exact power iteration "
+        "(order-free mat-vecs over the exact covariance ints); "
+        "eigenvector + Rayleigh eigenvalue + per-label drift projection "
+        "all hash-checked against the unrolled-CTE oracle"),
     "dedup_remove_repeated_spans": QuerySpec(
         q_remove_repeated_spans, SQL_REMOVE_REPEATED_SPANS,
         "ExactSubstr removal: cross-doc repeated 10-gram positions cut "

@@ -1113,3 +1113,32 @@ def test_remove_repeated_spans_semantics(spark):
         solo, n=3, min_docs=None, within_doc=True
     ).collect()[0]
     assert r.clean_text == "tail" and r.kept_tokens == 1
+
+
+def test_power_iteration_matches_eigh_direction(spark):
+    """The integer-exact power iteration must converge to the same top
+    principal direction numpy's exact eigh finds (|cosine| ~ 1), and its
+    Rayleigh eigenvalue estimate must approximate the top eigenvalue."""
+    import numpy as np
+
+    from klogs_spark.ext.embstats import power_iteration_component
+    from klogs_spark.views import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    rows = power_iteration_component(emb, squarings=7).collect()
+    comp = np.array(
+        [r.val for r in sorted(
+            (r for r in rows if r.kind == "component"), key=lambda r: r.id
+        )]
+    )
+    lam = next(r.val for r in rows if r.kind == "eigenvalue")
+
+    X = np.array([list(r.embedding) for r in emb.collect()], dtype=np.float64)
+    C = np.cov(X, rowvar=False, bias=True)
+    vals, vecs = np.linalg.eigh(C)
+    top = vecs[:, -1]
+    cos = abs(comp @ top) / (np.linalg.norm(comp) * np.linalg.norm(top))
+    assert cos > 0.98, cos
+    assert abs(lam - vals[-1]) / vals[-1] < 0.05, (lam, vals[-1])
+    # the state really is integer micro-units
+    assert all(float(v).is_integer() for v in comp)

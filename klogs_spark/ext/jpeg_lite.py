@@ -242,6 +242,7 @@ def encode_jpeg_baseline(
     channels: int = 1,
     quant: list[int] | None = None,
     sampling: str = "4:4:4",
+    restart_interval: int = 0,
 ) -> bytes:
     """Baseline sequential JFIF bytes for ``pixels`` (row-major; grayscale
     ``channels=1`` or interleaved RGB ``channels=3``). ``sampling`` picks
@@ -250,7 +251,11 @@ def encode_jpeg_baseline(
     ``4:2:0`` (chroma halved both ways) — the latter two emit the
     interleaved-MCU scan layout real camera/web JPEGs use (Y blocks in
     raster order within each MCU, then one Cb and one Cr block).
-    Edge blocks pad by edge replication (the conventional choice)."""
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
+    N MCUs (byte-aligned 1-padding, DC predictors reset, marker index
+    cycling D0..D7 — T.81 E.1.2/F.1.2.3), the error-resilience layout
+    camera JPEGs ship. Edge blocks pad by edge replication (the
+    conventional choice)."""
     import numpy as np
 
     if channels not in (1, 3):
@@ -337,8 +342,17 @@ def encode_jpeg_baseline(
 
     # interleaved-MCU order (T.81 A.2.3): per MCU, each component
     # contributes its Hi x Vi data units in raster order
+    mcu = 0
+    rst = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                # byte-align with 1-padding, emit RSTn, reset predictors
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) & 7
+                pred[:] = [0] * channels
+            mcu += 1
             for ci in range(channels):
                 hi, vi = factors[ci]
                 for v in range(vi):
@@ -368,6 +382,8 @@ def encode_jpeg_baseline(
 
     out += dht(0x00, _ENC_DC_BITS, _ENC_DC_VALS)
     out += dht(0x10, _ENC_AC_BITS, _ENC_AC_VALS)
+    if restart_interval:
+        out += seg(0xDD, restart_interval.to_bytes(2, "big"))
     sos = bytes([channels])
     for ci in range(channels):
         sos += bytes([ci + 1, 0x00])  # DC table 0, AC table 0

@@ -763,6 +763,38 @@ def test_jpeg_subsampled_gray_rgb_matches_444(w, h, samp, seed):
     assert sub[:3] == (w, h, 3) and sub == full
 
 
+@settings(max_examples=30, deadline=None)
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 36),
+    samp=st.sampled_from(["4:4:4", "4:2:2", "4:2:0"]),
+    ri=st.integers(1, 7),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_jpeg_restart_markers_decode_identically(w, h, samp, ri, seed):
+    """Property: a stream coded WITH restart markers (DRI + RSTn every
+    ``ri`` MCUs: byte-aligned 1-padding, DC predictor resets, D0..D7
+    cycling) decodes BIT-IDENTICALLY to the same image coded without
+    them — RST changes the entropy framing, never the pixels. Pins the
+    decoder's in-scan marker drain/realign/predictor-reset path, which
+    real camera JPEGs exercise on every file."""
+    import numpy as np
+
+    from klogs_spark.ext import jpeg_lite as J
+
+    rng = np.random.RandomState(seed)
+    raw = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8).tobytes()
+    ref = J.decode_jpeg_baseline(
+        J.encode_jpeg_baseline(w, h, raw, channels=3, sampling=samp)
+    )
+    rst = J.decode_jpeg_baseline(
+        J.encode_jpeg_baseline(
+            w, h, raw, channels=3, sampling=samp, restart_interval=ri
+        )
+    )
+    assert rst == ref
+
+
 @settings(max_examples=25, deadline=None)
 @given(
     mw=st.integers(1, 3),

@@ -199,3 +199,73 @@ def test_pack_unpack_property_roundtrip():
         assert unpack_one(pack(o)) == o
 
     check()
+
+
+def test_unpack_formats_the_encoder_never_emits():
+    """Wire formats a foreign msgpack producer can send but our own pack()
+    never emits: ext 8/16/32 (FLBTime and unknown types), float32, and
+    the 16/32-bit length variants of str/bin/array/map. The iterative
+    decoder must take every branch."""
+    import struct
+
+    from klogs_spark.msgpack_lite import unpack_one
+
+    # ext 8 carrying event-time (type 0, 8-byte payload) -> float epoch
+    flb = struct.pack(">II", 1700000000, 500000000)
+    assert unpack_one(b"\xc7\x08\x00" + flb) == 1700000000.5
+    # ext 16 / ext 32, unknown type -> raw payload bytes
+    assert unpack_one(b"\xc8\x00\x03\x2aabc") == b"abc"
+    assert unpack_one(b"\xc9\x00\x00\x00\x02\x7fhi") == b"hi"
+    # fixext 1/2/4/16 (non-FLBTime sizes) -> raw payload
+    assert unpack_one(b"\xd4\x05x") == b"x"
+    assert unpack_one(b"\xd5\x05xy") == b"xy"
+    assert unpack_one(b"\xd6\x05wxyz") == b"wxyz"
+    assert unpack_one(b"\xd8\x05" + b"p" * 16) == b"p" * 16
+    # float 32 decodes via IEEE single
+    assert unpack_one(b"\xca" + struct.pack(">f", 1.5)) == 1.5
+    # str 16 / str 32 (pack() would choose the shortest form)
+    s = "a" * 300
+    assert unpack_one(b"\xda" + (300).to_bytes(2, "big") + s.encode()) == s
+    assert unpack_one(b"\xdb" + (300).to_bytes(4, "big") + s.encode()) == s
+    # bin 16 / bin 32
+    b = bytes(range(256)) * 2
+    assert unpack_one(b"\xc5" + (512).to_bytes(2, "big") + b) == b
+    assert unpack_one(b"\xc6" + (512).to_bytes(4, "big") + b) == b
+    # array 16 / array 32 with 20 elements (fixarray caps at 15)
+    body = b"\x01" * 20
+    assert unpack_one(b"\xdc" + (20).to_bytes(2, "big") + body) == [1] * 20
+    assert unpack_one(b"\xdd" + (20).to_bytes(4, "big") + body) == [1] * 20
+    # map 16 / map 32 with 17 pairs; non-string keys stringify
+    pairs = b"".join(bytes([k]) + bytes([k]) for k in range(17))
+    expect = {str(k): k for k in range(17)}
+    assert unpack_one(b"\xde" + (17).to_bytes(2, "big") + pairs) == expect
+    assert unpack_one(b"\xdf" + (17).to_bytes(4, "big") + pairs) == expect
+    # empty 16-bit containers hit the zero-length branches
+    assert unpack_one(b"\xdc\x00\x00") == []
+    assert unpack_one(b"\xde\x00\x00") == {}
+
+
+def test_unpack_truncation_in_every_length_family():
+    """Every multi-byte format raises MsgpackError (never IndexError or
+    struct.error) when its payload is cut short."""
+    import pytest
+
+    from klogs_spark.msgpack_lite import MsgpackError, unpack_one
+
+    cases = [
+        b"\xa5ab",                      # fixstr short
+        b"\xca\x3f\x80",                # float32 short
+        b"\xcb\x00" * 2,                # float64 short
+        b"\xcd\x01",                    # uint16 short
+        b"\xd2\x00\x00",                # int32 short
+        b"\xd9\x05ab",                  # str8 short
+        b"\xc4\x05ab",                  # bin8 short
+        b"\xdc\x00",                    # array16 header short
+        b"\xde\x00\x01\xa1k",           # map16 missing value
+        b"\xd7\x00\x00\x00\x00",        # fixext8 short
+        b"\xc7\x05\x00ab",              # ext8 short
+        b"\x92\x01",                    # array missing element
+    ]
+    for payload in cases:
+        with pytest.raises(MsgpackError):
+            unpack_one(payload)

@@ -110,13 +110,28 @@ def publish_snapshot(
     """Record the table's current file set as the next snapshot version
     (or an explicit ``files`` list — how copy-on-write rewrites publish a
     manifest that EXCLUDES replaced files still on disk). Returns the
-    published version number."""
+    published version number.
+
+    Directory-listing mode (``files=None``) REFUSES to publish while a
+    COW rewrite journal is live: the listing cannot tell a concurrent
+    rewrite's uncommitted survivor files from committed appends, so
+    publishing would capture uncommitted data into a manifest (and
+    protect it from the loser's cleanup — double-counted rows, found by
+    the r12 race tests). Retry after the rewrite completes, or run
+    :func:`recover_incomplete_rewrite` if it crashed. Explicit-files
+    publishes are unaffected (the caller states exactly what commits)."""
     fs, hpath_cls, root = _hadoop_fs(spark, path)
-    files = (
-        _list_data_files(fs, root, hpath_cls)
-        if files is None
-        else sorted(files)
-    )
+    if files is None:
+        if fs.exists(hpath_cls(f"{path}/{REWRITE_MARKER}")):
+            raise ConcurrentRewriteError(
+                f"publish_snapshot({path}) refused: a COW rewrite is in "
+                "progress (live journal) and a directory listing would "
+                "capture its uncommitted files; retry after it finishes "
+                "(or recover_incomplete_rewrite if it crashed)"
+            )
+        files = _list_data_files(fs, root, hpath_cls)
+    else:
+        files = sorted(files)
     version = (snapshot_versions(spark, path) or [0])[-1] + 1
     mdir = hpath_cls(f"{path}/{MANIFEST_DIR}")
     if not fs.exists(mdir):

@@ -1828,3 +1828,72 @@ def test_fetch_context_prunes_to_two_day_partitions(spark, tmp_path):
         else:
             assert r.timestamp > anchor
     assert [r.timestamp for r in rows] == sorted(r.timestamp for r in rows)
+
+
+def test_finish_rewrite_aborts_on_foreign_marker_and_moved_base(
+    spark, tmp_path, monkeypatch
+):
+    """The two _finish_rewrite abort branches the interleave races don't
+    reach: (a) the journal marker still exists but carries a COMPETING
+    token (the competitor is mid-flight, not yet published) — publish
+    must abort without touching the foreign journal; (b) the marker is
+    intact and OURS but a plain append+publish moved the head past our
+    base — the lost-update case."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from klogs_spark import manifest as M
+    from klogs_spark.table import _hadoop_fs
+
+    path, n_total = _race_setup(spark, tmp_path)
+
+    # (a) foreign token: begin, then a competitor replaces the journal
+    base = M._cow_base_version(spark, path)
+    before, tok = M._begin_rewrite(spark, path, "cow_delete_where", base)
+    fs, hpath_cls, _root = _hadoop_fs(spark, path)
+    M._write_small_json(
+        fs, hpath_cls, path, M.REWRITE_MARKER,
+        {"op": "competitor", "base_version": base, "before": [],
+         "token": "someone-else"},
+    )
+    with _pytest.raises(M.ConcurrentRewriteError, match="replaced"):
+        M._finish_rewrite(spark, path, base, before, tok, set())
+    # the foreign journal was NOT deleted (it is not ours to clean up)
+    assert fs.exists(hpath_cls(f"{path}/{M.REWRITE_MARKER}"))
+    fs.delete(hpath_cls(f"{path}/{M.REWRITE_MARKER}"), False)
+
+    # (b) moved base: a competitor publishes a NEW manifest (explicit
+    # file list — e.g. a restore-style republish) inside the race window
+    # of a real cow_delete_where; the loser's marker is untouched and
+    # ours, so this exercises the base-stability check specifically
+    def competitor():
+        M.publish_snapshot(
+            spark, path,
+            files=M._manifest_files(
+                spark, path, M.snapshot_versions(spark, path)[-1]
+            ),
+        )
+
+    _inject_after_append(monkeypatch, competitor)
+    with _pytest.raises(M.ConcurrentRewriteError, match="base snapshot moved"):
+        M.cow_delete_where(spark, path, F.col("pod_name") == "pod-7")
+    monkeypatch.undo()
+
+    # nothing lost, loser's survivor files cleaned up
+    assert M.read_logs_at(spark, path).count() == n_total
+    assert M._unmanifested_files(spark, path) == set()
+    # retry succeeds against the new head
+    res = M.cow_delete_where(spark, path, F.col("pod_name") == "pod-7")
+    assert M.read_logs_at(spark, path, res["version"]).filter(
+        "pod_name = 'pod-7'"
+    ).count() == 0
+
+    # (c) the hole the r12 race tests found: a LISTING-mode publish
+    # while a rewrite journal is live would capture the rewrite's
+    # uncommitted survivor files into a manifest — it must refuse
+    base2 = M._cow_base_version(spark, path)
+    _b2, _t2 = M._begin_rewrite(spark, path, "cow_delete_where", base2)
+    with _pytest.raises(M.ConcurrentRewriteError, match="refused"):
+        M.publish_snapshot(spark, path)
+    # explicit-files publish still works (the rewrite commit path)
+    fs.delete(hpath_cls(f"{path}/{M.REWRITE_MARKER}"), False)

@@ -1897,3 +1897,35 @@ def test_finish_rewrite_aborts_on_foreign_marker_and_moved_base(
         M.publish_snapshot(spark, path)
     # explicit-files publish still works (the rewrite commit path)
     fs.delete(hpath_cls(f"{path}/{M.REWRITE_MARKER}"), False)
+
+
+def test_vacuum_racing_rewrite_ends_consistent(spark, tmp_path, monkeypatch):
+    """vacuum() inside a rewrite's race window runs crash recovery, which
+    reclaims the LIVE rewrite's journal and in-flight files (recovery
+    cannot tell live from crashed — the documented single-maintenance-
+    writer norm). The rewrite must then detect its vanished journal,
+    abort loudly without publishing, and leave the table byte-consistent;
+    a retry succeeds."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from klogs_spark import manifest as M
+
+    path, n_total = _race_setup(spark, tmp_path)
+    n_pod7 = M.read_logs_at(spark, path).filter(
+        "pod_name = 'pod-7'"
+    ).count()
+
+    _inject_after_append(
+        monkeypatch, lambda: M.vacuum(spark, path, keep_versions=1)
+    )
+    with _pytest.raises(M.ConcurrentRewriteError):
+        M.cow_delete_where(spark, path, F.col("pod_name") == "pod-7")
+    monkeypatch.undo()
+
+    assert M.read_logs_at(spark, path).count() == n_total
+    assert M._unmanifested_files(spark, path) == set()
+    res = M.cow_delete_where(spark, path, F.col("pod_name") == "pod-7")
+    assert res["rows_deleted"] == n_pod7
+    M.vacuum(spark, path, keep_versions=1)
+    assert spark.read.parquet(path).count() == n_total - n_pod7

@@ -1102,3 +1102,86 @@ def rrf_fuse(
         .orderBy(F.col("rrf_score").desc(), F.col("id"))
         .limit(topk)
     )
+
+
+def textrank_keywords(
+    df: DataFrame,
+    vocab_size: int = 30,
+    iterations: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """TextRank keyword centrality (Mihalcea & Tarau 2004) over the
+    document-co-occurrence graph of the corpus's top terms — graph
+    ranking for keyword extraction, the PageRank family's entry into the
+    text-analysis surface.
+
+    Graph: nodes are the ``vocab_size`` highest-document-frequency terms
+    (ties break lexicographically); an undirected edge joins two terms
+    with weight = number of documents containing BOTH. Rank iterates
+    r'(v) = 0.15 + 0.85 * sum_u w_uv * r(u) / W_u  (W_u = u's weighted
+    degree), the standard damped update.
+
+    Exactness design (the oracle runs the SAME arithmetic): ranks are
+    integers in 1e-6 units and the update is PURE integer arithmetic —
+    each edge contributes (w_uv * r_u) // W_u (floor division, exact and
+    order-free), the damping is (85 * sum) // 100 + 150000. No float
+    exists anywhere in the iteration, so engines agree bit-for-bit with
+    no rounding analysis at all. Corpus-sized work is two keyed
+    aggregates (term df, pair counts — per-doc pair fanout is bounded by
+    vocab_size^2/2); the <=vocab_size^2/2-edge graph then iterates
+    driver-side, metadata-scale, like the ANN probe ranking.
+
+    Returns (term, rank_micros, df_docs) — rank in 1e-6 units."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(tokens_col(F.col(text_col))).alias("tk"),
+    )
+    term_df = (
+        toks.select("id", F.explode("tk").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    vocab_rows = (
+        term_df.orderBy(F.col("df").desc(), F.col("tok")).limit(vocab_size)
+    ).collect()
+    vocab = {r.tok: int(r.df) for r in vocab_rows}
+    vlit = F.array(*[F.lit(t) for t in vocab])
+    doc_terms = toks.select(
+        "id",
+        F.array_sort(
+            F.array_intersect(F.col("tk"), vlit)
+        ).alias("vt"),
+    ).filter(F.size("vt") >= 2)
+    # per-doc pair expansion: bounded by C(vocab_size, 2) per document
+    pairs = (
+        doc_terms.select(
+            "id", F.explode("vt").alias("a"), F.col("vt")
+        )
+        .select("id", "a", F.explode("vt").alias("b"))
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .collect()
+    )
+    # driver-side exact-integer iteration over the <=C(V,2)-edge graph
+    terms = sorted(vocab)
+    adj: dict[str, list[tuple[str, int]]] = {t: [] for t in terms}
+    for r in pairs:
+        adj[r.a].append((r.b, int(r.w)))
+        adj[r.b].append((r.a, int(r.w)))
+    wdeg = {t: sum(w for _, w in adj[t]) for t in terms}
+    rank = {t: 1_000_000 for t in terms}
+    for _ in range(iterations):
+        nxt = {}
+        for t in terms:
+            s = sum(
+                (w * rank[u]) // wdeg[u] for u, w in adj[t] if wdeg[u]
+            )
+            nxt[t] = 150_000 + (85 * s) // 100
+        rank = nxt
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(t, rank[t], vocab[t]) for t in terms],
+        "term string, rank_micros long, df_docs long",
+    )

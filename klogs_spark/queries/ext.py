@@ -1957,6 +1957,78 @@ FROM tk LEFT JOIN rebuilt ON tk.id = rebuilt.id
 """
 
 
+TEXTRANK_VOCAB = 30
+TEXTRANK_ITERS = 3
+
+
+def q_text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword centrality (ext.text.textrank_keywords — Mihalcea
+    & Tarau 2004), the graph-ranking family's entry into the text
+    surface: nodes are the top-{v} document-frequency terms, edges weigh
+    document co-occurrence, and {t} damped PageRank rounds run in PURE
+    integer arithmetic (ranks in 1e-6 units; each edge contributes
+    (w*r)//W_u by floor division; damping is (85*s)//100 + 150000) — no
+    float exists anywhere in the iteration, so the oracle's unrolled CTE
+    chain agrees bit-for-bit with zero rounding analysis. Corpus-sized
+    work is two keyed aggregates (term df, pair counts); the <=C({v},2)-
+    edge graph then iterates at metadata scale.""".format(
+        v=TEXTRANK_VOCAB, t=TEXTRANK_ITERS
+    )
+    return tx.textrank_keywords(
+        load_table(spark, sf_dir, "documents"),
+        vocab_size=TEXTRANK_VOCAB,
+        iterations=TEXTRANK_ITERS,
+    )
+
+
+def _sql_textrank_round(k: int) -> str:
+    return f"""
+r{k} AS MATERIALIZED (
+  SELECT v.tok AS t,
+         150000 + (85 * COALESCE(s.acc, 0)) // 100 AS r
+  FROM vocab v LEFT JOIN (
+    SELECT und.t, SUM((und.w * p.r) // wdeg.wd) AS acc
+    FROM und
+    JOIN r{k - 1} p ON und.u = p.t
+    JOIN wdeg ON und.u = wdeg.t
+    GROUP BY und.t
+  ) s ON v.tok = s.t
+)"""
+
+
+SQL_TEXT_TEXTRANK_KEYWORDS = f"""
+WITH dtk AS (
+  SELECT doc_id AS id,
+         list_distinct(
+           list_filter(string_split(text, ' '), t -> t <> '')) AS tk
+  FROM documents
+),
+ex AS (SELECT id, unnest(tk) AS tok FROM dtk),
+tdf AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM ex GROUP BY tok),
+vocab AS MATERIALIZED (
+  SELECT tok, df FROM tdf ORDER BY df DESC, tok LIMIT {TEXTRANK_VOCAB}
+),
+dt AS (SELECT ex.id, ex.tok FROM ex JOIN vocab USING (tok)),
+pairs AS MATERIALIZED (
+  SELECT a.tok AS a, b.tok AS b, CAST(count(*) AS BIGINT) AS w
+  FROM dt a JOIN dt b ON a.id = b.id AND a.tok < b.tok
+  GROUP BY 1, 2
+),
+und AS MATERIALIZED (
+  SELECT a AS t, b AS u, w FROM pairs
+  UNION ALL
+  SELECT b AS t, a AS u, w FROM pairs
+),
+wdeg AS MATERIALIZED (SELECT t, SUM(w) AS wd FROM und GROUP BY t),
+r0 AS (SELECT tok AS t, CAST(1000000 AS BIGINT) AS r FROM vocab),
+{",".join(_sql_textrank_round(k) for k in range(1, TEXTRANK_ITERS + 1))}
+SELECT v.tok AS term,
+       CAST(r{TEXTRANK_ITERS}.r AS BIGINT) AS rank_micros,
+       v.df AS df_docs
+FROM vocab v JOIN r{TEXTRANK_ITERS} ON v.tok = r{TEXTRANK_ITERS}.t
+"""
+
+
 BM25_TERMS = ("spark", "window", "hash")
 BM25_TOPK = 25
 
@@ -5639,6 +5711,12 @@ SPECS = {
         q_hybrid_rrf, SQL_HYBRID_RRF,
         "hybrid retrieval: reciprocal-rank fusion of BM25 and cosine "
         "top-k sides (bounded rank windows, keyed fuse) vs RRF oracle"),
+    "text_textrank_keywords": QuerySpec(
+        q_text_textrank_keywords, SQL_TEXT_TEXTRANK_KEYWORDS,
+        "TextRank keyword centrality over the top-term co-occurrence "
+        "graph: 3 damped PageRank rounds in pure integer arithmetic "
+        "(floor-division edge contributions), bit-exact vs the "
+        "unrolled-CTE oracle"),
     "embedding_top_component": QuerySpec(
         q_embedding_top_component, SQL_EMBEDDING_TOP_COMPONENT,
         "top principal direction via integer-exact power iteration "

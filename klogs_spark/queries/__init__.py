@@ -303,6 +303,24 @@ DRIVER_VERIFIED: dict = {
     "text_hybrid_rrf": "01718010684a",
     "text_misra_gries_invariants": "70ead130e7e0",
     "tpch_rfm_segments_scaled": "e51823b8a042",
+    # round-12 green checks (CORRECTNESS_r12.json, 50/50 green), hashed at
+    # the r13 tree (query fn sources + oracles untouched between the r12
+    # check and this hash).
+    "ann_ivfpq_prebuilt": "c279094be999",
+    "ann_ivfpq_refresh": "3a61ad53f715",
+    "ann_ivfpq_rerank": "741aef6295c4",
+    "ann_ivfpq_stream": "892701dcc44f",
+    "dedup_remove_repeated_spans": "41ebc6559a5b",
+    "dedup_repeated_substrings_self": "0b89cbc00006",
+    "embedding_top_component": "f160d8417680",
+    "ingest_msgpack_pipeline": "66cebad1bb9c",
+    "multimodal_jpeg_subsampled": "8e1c6174e0c0",
+    "table_context_anchor": "8e96d5a5b530",
+    "table_cow_lifecycle": "1c02f89363de",
+    "table_cow_merge": "abd5536745ad",
+    "table_cow_promoted_roundtrip": "979cd0912c81",
+    "table_restore": "d5d49c5fdf43",
+    "text_textrank_keywords": "50916730ade0",
 }
 
 

@@ -157,7 +157,19 @@ def read_snapshot(
     """Read the table as of a snapshot: exactly the files its manifest
     lists, nothing published later. ``basePath`` keeps the partition
     column. Raises if no snapshot exists or a listed file is gone
-    (rewritten by compaction/delete — the stated pin-until-rewrite limit)."""
+    (rewritten by compaction/delete — the stated pin-until-rewrite limit).
+
+    ``mergeSchema`` makes mixed-schema snapshots read faithfully: the
+    engine's own writers legitimately produce tables whose files disagree
+    on promoted physical columns (plain history + ``write_logs_promoted``
+    appends before ``materialize_promotions`` backfills — the documented
+    promotions_deficient state), and without the merge, schema inference
+    lands on whichever file Spark samples first and can silently DROP the
+    promoted column from the whole snapshot. The merge is a distributed
+    footer-only pass over just the pinned files, paid at time-travel read
+    time (occasional) rather than taxing every ``publish_snapshot`` with
+    a schema capture — at 100 TB, publishes happen per commit while
+    snapshot reads are rare, so the cost lands on the right side."""
     versions = snapshot_versions(spark, path)
     if not versions:
         raise FileNotFoundError(f"no snapshots published under {path}")
@@ -175,6 +187,7 @@ def read_snapshot(
         )
     return (
         spark.read.option("basePath", path)
+        .option("mergeSchema", "true")
         .parquet(*[f"{path}/{f}" for f in files])
     )
 
@@ -487,9 +500,10 @@ def _restore_promotions(spark: SparkSession, path: str, df: DataFrame) -> DataFr
     row set. A promoted column is BY DEFINITION ``fields_string[key]`` at
     write time (table.write_logs_promoted / transform.promote_string_field),
     so recomputing from the map is always exact — and it is the only safe
-    source: the base snapshot read may lack the column entirely (tables
-    marked ``promotions_deficient``: pre-promotion files have no physical
-    column, and read_snapshot does not mergeSchema), while selecting only
+    source: on tables marked ``promotions_deficient`` the base snapshot
+    read returns NULL for the column on pre-promotion rows (read_snapshot
+    mergeSchemas, so the column resolves but plain-history files have no
+    physical values), while selecting only
     LOG_COLUMNS would rewrite carried-over rows with the promoted column
     DROPPED or NULL — after a merge, promoted-column reads and
     ``where_exists`` fast paths would silently return wrong results for

@@ -2291,6 +2291,66 @@ GROUP BY 1, 2
 """
 
 
+def q_table_snapshot_mixed_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-schema time travel, externally hash-checked (the r12 VERDICT
+    hole): a snapshot whose manifest pins BOTH plain-history files (no
+    promoted physical column) and promoted files must read with the
+    promoted column resolved — NULL on plain rows, real values on promoted
+    rows. Pre-fix, read_snapshot's non-mergeSchema read let schema
+    inference land on a plain file and silently DROP the column from the
+    whole snapshot, so the grouped read below would collapse every level
+    into one bucket (or fail) and break the hash.
+
+    Build: pods 3/13 written plain, the rest via write_logs_promoted
+    ({'level': 'level_p'}) — every day mixes schemas. Snapshot, then
+    group the SNAPSHOT read by day × the physical column (NULL → 'absent'
+    sentinel so the bucket is hash-stable). The oracle re-derives the
+    promoted value from the row recipe and routes plain pods to 'absent'."""
+    import tempfile
+
+    from ..manifest import publish_snapshot, read_snapshot
+    from ..table import write_logs, write_logs_promoted
+    from ..views import derive_logs_from_events
+
+    logs = derive_logs_from_events(spark, sf_dir).filter(
+        F.col("timestamp") < TT_CUT_V1
+    )
+    base = tempfile.mkdtemp(prefix="klogs-snapmix-")
+    tdir = f"{base}/logs"
+    write_logs(logs.filter(F.col("pod_name").isin("pod-3", "pod-13")), tdir)
+    write_logs_promoted(
+        logs.filter(~F.col("pod_name").isin("pod-3", "pod-13")),
+        tdir,
+        {"level": "level_p"},
+    )
+    v1 = publish_snapshot(spark, tdir)
+    return (
+        read_snapshot(spark, tdir, v1)
+        .groupBy(
+            F.col("date").cast("string").alias("day"),
+            F.coalesce(F.col("level_p"), F.lit("absent")).alias("level"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_TABLE_SNAPSHOT_MIXED_SCHEMA = f"""
+WITH wk AS (
+  SELECT CAST(ts AS DATE) AS day, user_id % 50 AS pod,
+         CASE WHEN event_type = 'error' THEN 'error'
+              WHEN event_type = 'signup' THEN 'warn'
+              ELSE 'info' END AS lvl
+  FROM events
+  WHERE ts < TIMESTAMP '{TT_CUT_V1} 00:00:00'
+)
+SELECT CAST(day AS VARCHAR) AS day,
+       CASE WHEN pod IN (3, 13) THEN 'absent' ELSE lvl END AS level,
+       CAST(count(*) AS BIGINT) AS n
+FROM wk
+GROUP BY 1, 2
+"""
+
+
 SQL_STREAM_SNAPSHOT_CDC = f"""
 SELECT 'insert' AS change_type, CAST(ts AS DATE) AS date, count(*) AS n
 FROM events
@@ -2848,6 +2908,11 @@ SPECS = {
         "COW delete/merge/compact on a promotions_deficient table: every "
         "rewrite re-derives the promoted physical column from the map; "
         "final read groups by the physical column vs closed-form oracle"),
+    "table_snapshot_mixed_schema": QuerySpec(
+        q_table_snapshot_mixed_schema, SQL_TABLE_SNAPSHOT_MIXED_SCHEMA,
+        "time travel over a mixed promoted/plain snapshot: read_snapshot "
+        "mergeSchemas so the promoted column resolves (NULL on plain "
+        "history) instead of silently dropping; grouped read vs oracle"),
     "stream_upsert_sink": QuerySpec(
         q_stream_upsert_sink, SQL_STREAM_UPSERT_SINK,
         "streaming UPSERT (foreachBatch + COW merge): 3 real micro-"

@@ -1929,3 +1929,43 @@ def test_vacuum_racing_rewrite_ends_consistent(spark, tmp_path, monkeypatch):
     assert res["rows_deleted"] == n_pod7
     M.vacuum(spark, path, keep_versions=1)
     assert spark.read.parquet(path).count() == n_total - n_pod7
+
+
+def test_read_snapshot_merges_mixed_promoted_plain_schema(spark, tmp_path):
+    """A snapshot pinning MIXED promoted/plain files (the state the
+    engine's own writers produce: plain history + write_logs_promoted
+    appends before materialize_promotions backfills) must expose the
+    promoted column — NULL on plain-history rows, real values on promoted
+    rows. Pre-fix, read_snapshot's non-mergeSchema read let inference land
+    on a plain file and silently drop the column from the whole snapshot."""
+    from klogs_spark.manifest import (
+        cow_delete_where,
+        publish_snapshot,
+        read_snapshot,
+        vacuum,
+    )
+    from klogs_spark.views import derive_logs_from_events
+
+    logs = derive_logs_from_events(spark, "/root/testdata/sf0.001")
+    path = str(tmp_path / "t")
+    plain = logs.filter(F.col("pod_name").isin("pod-3", "pod-13"))
+    promoted = logs.filter(~F.col("pod_name").isin("pod-3", "pod-13"))
+    write_logs(plain, path)
+    write_logs_promoted(promoted, path, {"level": "level_p"})
+    v1 = publish_snapshot(spark, path)
+
+    snap = read_snapshot(spark, path, v1)
+    assert "level_p" in snap.columns  # dropped entirely pre-fix
+    assert snap.filter("level_p IS NOT NULL").count() == promoted.count()
+    assert snap.filter("level_p IS NULL").count() == plain.count()
+    # the partition column still survives the file-list read
+    assert "date" in snap.columns
+
+    # post-vacuum: a COW rewrite re-derives the column for every carried
+    # row, vacuum drops the replaced mixed files, and the latest snapshot
+    # still resolves the column — now with no NULL history left
+    res = cow_delete_where(spark, path, F.second("timestamp") < 30)
+    vacuum(spark, path, keep_versions=1)
+    latest = read_snapshot(spark, path, res["version"])
+    assert "level_p" in latest.columns
+    assert latest.filter("level_p IS NULL").count() == 0

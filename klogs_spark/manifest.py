@@ -292,6 +292,49 @@ def _write_small_json(fs, hpath_cls, path: str, rel: str, obj) -> None:
     _must(fs.rename(tmp, final), "marker-rename", final)
 
 
+def _claim_marker(fs, hpath_cls, path: str, rel: str, obj) -> bool:
+    """Atomically claim a journal slot: create the marker at its FINAL
+    path with create-exclusive (``overwrite=False`` — the namenode makes
+    this atomic on HDFS; local FS maps it to O_CREAT|O_EXCL-equivalent).
+    Returns False when the slot is already held. Deliberately NOT
+    tmp+rename: POSIX rename overwrites an existing destination, so a
+    rename can never be the exclusivity primitive — two claimants would
+    both "succeed" and the last rename would silently steal the slot
+    (the r12-advice double-rewrite race).
+
+    On the local filesystem Hadoop's ``create(overwrite=false)`` is
+    itself check-then-act in Java (RawLocalFileSystem has no O_EXCL
+    path), so local claims go through ``os.open(O_CREAT|O_EXCL)`` — the
+    kernel-atomic equivalent of what the HDFS namenode provides."""
+    target = hpath_cls(f"{path}/{rel}")
+    payload = json.dumps(obj).encode()
+    if getattr(fs, "getScheme", lambda: "")() == "file":
+        import os
+
+        local = f"{path}/{rel}"
+        if local.startswith("file:"):
+            local = local[len("file:"):]
+        os.makedirs(os.path.dirname(local), exist_ok=True)
+        try:
+            fd = os.open(local, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "wb") as out:
+            out.write(payload)
+        return True
+    try:
+        out = fs.create(target, False)
+    except Exception:
+        if fs.exists(target):
+            return False
+        raise
+    try:
+        out.write(payload)
+    finally:
+        out.close()
+    return True
+
+
 def _read_small_json(fs, hpath_cls, path: str, rel: str):
     stream = fs.open(hpath_cls(f"{path}/{rel}"))
     try:
@@ -396,23 +439,37 @@ def _begin_rewrite(
     marker carries a random token; :func:`_finish_rewrite` re-reads it to
     prove ownership before publishing — if a competitor's recovery
     replaced or removed it mid-flight, the publish is aborted.
-    Returns (before-listing, ownership token)."""
+    Returns (before-listing, ownership token).
+
+    The claim itself is ATOMIC (:func:`_claim_marker`, create-exclusive at
+    the final path) — an exists-check followed by a write would let two
+    rewrites both pass the check, and the loser's in-flight survivor files
+    would be absorbed into the winner's ``after − before`` listing,
+    publishing duplicated rows the loser's abort can no longer clean up
+    (they are manifested). The before-listing is taken before the claim;
+    that is safe BECAUSE the claim is atomic: while we hold the marker no
+    other rewrite can append, so any file the listing missed is either a
+    committed plain append (correctly absorbed into the published
+    manifest, same as a post-claim listing would) or a file of a rewrite
+    that finished in between — and that rewrite moved the head, so our
+    base-stability check in :func:`_finish_rewrite` aborts us before we
+    could publish over it."""
     import uuid
 
     fs, hpath_cls, root = _hadoop_fs(spark, path)
-    if fs.exists(hpath_cls(f"{path}/{REWRITE_MARKER}")):
+    before = set(_list_data_files(fs, root, hpath_cls))
+    token = uuid.uuid4().hex
+    claimed = _claim_marker(
+        fs, hpath_cls, path, REWRITE_MARKER,
+        {"op": op, "base_version": base_version,
+         "before": sorted(before), "token": token},
+    )
+    if not claimed:
         raise ConcurrentRewriteError(
             f"cow rewrite ({op}) refused: another rewrite is in progress "
             f"under {path} (live {REWRITE_MARKER}); if that job crashed, "
             "recover_incomplete_rewrite reclaims it"
         )
-    before = set(_list_data_files(fs, root, hpath_cls))
-    token = uuid.uuid4().hex
-    _write_small_json(
-        fs, hpath_cls, path, REWRITE_MARKER,
-        {"op": op, "base_version": base_version,
-         "before": sorted(before), "token": token},
-    )
     return before, token
 
 
@@ -488,7 +545,20 @@ def _finish_rewrite(
             f"base snapshot moved (v{base_version} -> "
             f"v{versions[-1] if versions else '?'})"
         )
-    version = publish_snapshot(spark, path, sorted(keep | new_files))
+    try:
+        version = publish_snapshot(spark, path, sorted(keep | new_files))
+    except IOError as e:
+        # A competitor that publishes the same next version between our
+        # base-stability check and publish_snapshot's rename makes the
+        # rename fail with a bare IOError (_must). Without this routing
+        # the marker stayed live and our survivor files sat orphaned
+        # until a later recovery pass — contradicting the 'loser cleans
+        # up before raising' contract. _abort re-reads the manifests, so
+        # the competitor's just-published files are protected. IOError
+        # ONLY: any other exception is a genuine fault, and the journal
+        # must survive it so recover_incomplete_rewrite can reclaim the
+        # orphans (the crash-window contract the crash tests pin).
+        _abort(f"manifest publish failed ({e!r}) — lost the publish race")
     _must(
         fs.delete(marker, False), "rewrite-marker-delete", REWRITE_MARKER
     )

@@ -1969,3 +1969,99 @@ def test_read_snapshot_merges_mixed_promoted_plain_schema(spark, tmp_path):
     latest = read_snapshot(spark, path, res["version"])
     assert "level_p" in latest.columns
     assert latest.filter("level_p IS NULL").count() == 0
+
+
+def test_begin_rewrite_claim_is_atomic_under_thread_race(spark, tmp_path):
+    """N rewrites entering _begin_rewrite simultaneously must produce
+    EXACTLY one claim winner. Pre-fix the claim was fs.exists() followed
+    by a tmp+rename write — every thread passing the exists-check
+    'succeeded' and the last rename silently stole the slot, so two
+    rewrites ran concurrently and the winner's after−before listing
+    absorbed the loser's in-flight files (duplicated rows)."""
+    import threading
+
+    from klogs_spark import manifest as M
+    from klogs_spark.table import _hadoop_fs
+
+    path, _n = _race_setup(spark, tmp_path)
+    base = M._cow_base_version(spark, path)
+
+    n_threads = 8
+    barrier = threading.Barrier(n_threads)
+    results: list[tuple[str, str | None]] = []
+    lock = threading.Lock()
+
+    def contend():
+        barrier.wait()
+        try:
+            _before, tok = M._begin_rewrite(
+                spark, path, "cow_delete_where", base
+            )
+            with lock:
+                results.append(("won", tok))
+        except M.ConcurrentRewriteError:
+            with lock:
+                results.append(("lost", None))
+
+    threads = [threading.Thread(target=contend) for _ in range(n_threads)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    winners = [tok for status, tok in results if status == "won"]
+    assert len(results) == n_threads
+    assert len(winners) == 1, f"claim must be exclusive, got {results}"
+    # the live journal belongs to the single winner
+    fs, hpath_cls, _root = _hadoop_fs(spark, path)
+    assert (
+        M._read_small_json(fs, hpath_cls, path, M.REWRITE_MARKER)["token"]
+        == winners[0]
+    )
+    fs.delete(hpath_cls(f"{path}/{M.REWRITE_MARKER}"), False)
+
+
+def test_finish_rewrite_publish_collision_aborts_and_cleans_up(
+    spark, tmp_path, monkeypatch
+):
+    """If the manifest publish itself fails (a competitor renamed the
+    same next version between our base-stability check and our rename),
+    _finish_rewrite must route through _abort: survivor orphans deleted,
+    our marker gone, ConcurrentRewriteError raised. Pre-fix the bare
+    IOError escaped, the marker stayed live and the orphans sat on disk
+    until a later recovery pass."""
+    import pytest as _pytest
+
+    from klogs_spark import manifest as M
+    from klogs_spark.table import _hadoop_fs
+
+    path, n_total = _race_setup(spark, tmp_path)
+    base = M._cow_base_version(spark, path)
+    keep = set(M._manifest_files(spark, path, base))
+    before, tok = M._begin_rewrite(spark, path, "cow_delete_where", base)
+    # the rewrite appends its survivor files...
+    M._append_in_layout(
+        spark, M.read_logs_at(spark, path, base).limit(10), path
+    )
+
+    def lost_rename(_spark, _path, files=None):
+        raise IOError(
+            "manifest: publish-rename failed for vN (Hadoop FS returned false)"
+        )
+
+    monkeypatch.setattr(M, "publish_snapshot", lost_rename)
+    with _pytest.raises(M.ConcurrentRewriteError, match="publish failed"):
+        M._finish_rewrite(spark, path, base, before, tok, keep)
+    monkeypatch.undo()
+
+    # loser cleaned up before raising: marker gone, no orphans, table at
+    # the (unchanged) winner's head
+    fs, hpath_cls, _root = _hadoop_fs(spark, path)
+    assert not fs.exists(hpath_cls(f"{path}/{M.REWRITE_MARKER}"))
+    assert M._unmanifested_files(spark, path) == set()
+    assert M.read_logs_at(spark, path).count() == n_total
+    # retry (real publish restored) succeeds against the same head
+    res = M.cow_delete_where(spark, path, F.col("pod_name") == "pod-7")
+    assert M.read_logs_at(spark, path, res["version"]).filter(
+        "pod_name = 'pod-7'"
+    ).count() == 0

@@ -51,34 +51,64 @@ _MAX_DEPTH = 512
 _PENDING = object()  # map slot: key not read yet
 
 
+_STR_CACHE: dict[bytes, str] = {}
+_STR_CACHE_MAX = 1 << 16  # ~64k distinct short strings; a few MB ceiling
+
+
 def _unpack_iter(buf: bytes, pos: int) -> tuple[Any, int]:
     """Decode one object at ``pos``; return (value, next_pos).
 
-    ITERATIVE core (r12): one dispatch loop with an explicit container
-    stack instead of one Python call per nested object — the per-call
-    frame setup and (value, pos) tuple allocation dominated the old
-    recursive decoder on Fluent Bit traffic (~20 tiny objects per event).
-    Branches are ordered by measured frequency: events are almost
-    entirely fixstr / fixmap / fixint, so those resolve in 1-3
-    comparisons. Bounds checks are explicit compares (cheap) so every
-    malformation raises MsgpackError, never struct.error/IndexError.
+    ITERATIVE core (r12) with REGISTER-based container state (r13): the
+    innermost open container lives in three locals (``cur``/``rem``/
+    ``key``) and the stack holds only suspended outer frames, so the
+    per-item delivery path never indexes ``stack[-1]`` or mutates a
+    boxed frame list — on Fluent Bit traffic (~20 tiny objects per
+    event, nesting depth 2-3) pushes are rare and scalar delivery is
+    the hot edge. Branches are ordered by measured frequency: events
+    are almost entirely fixstr / fixmap / fixint, so those resolve in
+    1-3 comparisons; FLBTime (fixext8 type 0, one per event) has a
+    dedicated branch. Bounds checks are explicit compares (cheap) so
+    every malformation raises MsgpackError, never struct.error/
+    IndexError.
+
+    fixstr payloads (<=31 bytes: map keys and short enum-ish values,
+    which repeat across every event of a chunk) are interned through a
+    bounded module-level cache — a dict hit replaces a utf-8 decode +
+    str allocation, and the shared str objects also make downstream
+    dict-key hashing cheaper. The cache stops ADMITTING past 64k
+    entries (lookups continue), so high-cardinality traffic degrades
+    to plain decoding instead of unbounded growth.
     """
     end = len(buf)
     f32_at = _F32.unpack_from
     f64_at = _F64.unpack_from
+    flb_at = _FLBTIME.unpack_from
     int_from = int.from_bytes
-    stack: list = []  # [container, remaining_items, pending_map_key]
+    cache = _STR_CACHE
+    cache_get = cache.get
+    pending = _PENDING
+    # container registers: cur=None means no container is open; key is
+    # None for arrays, _PENDING (awaiting key) or the key str for maps
+    stack: list = []
+    cur = None
+    rem = 0
+    key = None
     while True:
         if pos >= end:
             raise MsgpackError("truncated: no object at end of buffer")
         b = buf[pos]
         pos += 1
-        # --- one header: sets v, or pushes a container and continues ---
+        # --- one header: sets v, or opens a container and continues ---
         if 0xA0 <= b <= 0xBF:          # fixstr (the hot case: map keys)
             np = pos + (b & 0x1F)
             if np > end:
                 raise MsgpackError("truncated payload")
-            v = str(buf[pos:np], "utf-8", "replace")
+            sl = buf[pos:np]
+            v = cache_get(sl)
+            if v is None:
+                v = str(sl, "utf-8", "replace")
+                if len(cache) < _STR_CACHE_MAX:
+                    cache[sl] = v
             pos = np
         elif b <= 0x7F:                # positive fixint
             v = b
@@ -87,7 +117,10 @@ def _unpack_iter(buf: bytes, pos: int) -> tuple[Any, int]:
             if n:
                 if len(stack) >= _MAX_DEPTH:
                     raise MsgpackError("nesting too deep")
-                stack.append([{}, n, _PENDING])
+                stack.append((cur, rem, key))
+                cur = {}
+                rem = n
+                key = pending
                 continue
             v = {}
         elif 0x90 <= b <= 0x9F:        # fixarray
@@ -95,11 +128,24 @@ def _unpack_iter(buf: bytes, pos: int) -> tuple[Any, int]:
             if n:
                 if len(stack) >= _MAX_DEPTH:
                     raise MsgpackError("nesting too deep")
-                stack.append([[], n, None])
+                stack.append((cur, rem, key))
+                cur = []
+                rem = n
+                key = None
                 continue
             v = []
         elif b >= 0xE0:                # negative fixint
             v = b - 0x100
+        elif b == 0xD7:                # fixext 8 — FLBTime fast path
+            np = pos + 9
+            if np > end:
+                raise MsgpackError("truncated payload")
+            if buf[pos] == EVENT_TIME_EXT:
+                sec, nsec = flb_at(buf, pos + 1)
+                v = sec + nsec / 1e9
+            else:
+                v = _decode_ext(_signed8(buf[pos]), buf[pos + 1:np])
+            pos = np
         elif b == 0xCB:                # float 64
             if pos + 8 > end:
                 raise MsgpackError("truncated payload")
@@ -112,7 +158,7 @@ def _unpack_iter(buf: bytes, pos: int) -> tuple[Any, int]:
                 raise MsgpackError("truncated payload")
             v = int_from(buf[pos:np], "big")
             pos = np
-        elif 0xD4 <= b <= 0xD8:        # fixext 1/2/4/8/16 (FLBTime is d7)
+        elif 0xD4 <= b <= 0xD8:        # fixext 1/2/4/16 (8 handled above)
             ln = 1 << (b - 0xD4)
             np = pos + 1 + ln
             if np > end:
@@ -167,7 +213,10 @@ def _unpack_iter(buf: bytes, pos: int) -> tuple[Any, int]:
             if ln:
                 if len(stack) >= _MAX_DEPTH:
                     raise MsgpackError("nesting too deep")
-                stack.append([[], ln, None])
+                stack.append((cur, rem, key))
+                cur = []
+                rem = ln
+                key = None
                 continue
             v = []
         elif b == 0xDE or b == 0xDF:   # map 16/32
@@ -180,7 +229,10 @@ def _unpack_iter(buf: bytes, pos: int) -> tuple[Any, int]:
             if ln:
                 if len(stack) >= _MAX_DEPTH:
                     raise MsgpackError("nesting too deep")
-                stack.append([{}, ln, _PENDING])
+                stack.append((cur, rem, key))
+                cur = {}
+                rem = ln
+                key = pending
                 continue
             v = {}
         elif 0xC7 <= b <= 0xC9:        # ext 8/16/32
@@ -198,27 +250,24 @@ def _unpack_iter(buf: bytes, pos: int) -> tuple[Any, int]:
         # --- deliver v into the open container(s); return when the
         #     outermost object completes ---
         while True:
-            if not stack:
+            if cur is None:
                 return v, pos
-            top = stack[-1]
-            c = top[0]
-            if type(c) is dict:
-                k = top[2]
-                if k is _PENDING:
-                    top[2] = v if type(v) is str else str(v)
-                    break              # value comes next
-                c[k] = v
-                top[2] = _PENDING
-                top[1] -= 1
-                if top[1]:
-                    break              # next key comes next
-            else:
-                c.append(v)
-                top[1] -= 1
-                if top[1]:
+            if key is pending:         # map: v is the next key
+                key = v if type(v) is str else str(v)
+                break                  # its value comes next
+            if key is None:            # array element
+                cur.append(v)
+                rem -= 1
+                if rem:
                     break
-            stack.pop()                # container complete — bubble it up
-            v = c
+            else:                      # map: v is the value for key
+                cur[key] = v
+                rem -= 1
+                if rem:
+                    key = pending
+                    break
+            v = cur                    # container complete — bubble up
+            cur, rem, key = stack.pop()
 
 
 def unpack_one(buf: bytes) -> Any:

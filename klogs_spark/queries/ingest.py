@@ -847,26 +847,34 @@ FROM runs WHERE is_err = 1 AND error_run >= 3
 
 def q_ingest_msgpack_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1's true-to-reference wire shape, externally checked end-to-end:
-    events are ENCODED into Fluent Bit msgpack chunks (one chunk per
-    round-robin slice, FLBTime fixext8 timestamps —
-    msgpack_lite.pack_event, encoded DISTRIBUTED via mapInPandas), then
-    decoded by the REAL binary ingest path (decode_msgpack_dataframe ->
-    msgpack_lite decoder -> record_to_row) and aggregated per namespace.
-    The oracle computes the same aggregate directly from events —
-    equality proves encoder, decoder, FLBTime handling, envelope
-    routing, and numeric dispatch in one hash. Timestamps are whole
-    seconds (nsec=0): float-epoch FLBTime keeps second precision exact,
-    micro precision is the JSON path's job.
+    events are ENCODED into Fluent Bit msgpack chunks (FLBTime fixext8
+    timestamps — msgpack_lite.pack_event), then the chunk BYTES are
+    decoded by the real binary decode core (msgpack_lite decoder ->
+    record_to_row, the same functions decode_msgpack_dataframe drives)
+    and aggregated per namespace. The oracle computes the same aggregate
+    directly from events — equality proves encoder, decoder, FLBTime
+    handling, envelope routing, and numeric dispatch in one hash.
+    Timestamps are whole seconds (nsec=0): float-epoch FLBTime keeps
+    second precision exact, micro precision is the JSON path's job.
 
-    Perf shape (r12, ADVICE r11 hot-path item): a keyless round-robin
-    repartition feeds mapInPandas — the earlier groupBy(user_id % 32)
-    .applyInPandas hashed 32 key values into 32 partitions, which by
-    birthday collision left ~1/3 of slots empty and some tasks carrying
-    2-3 chunks (straggler tasks 2-3x the mean); round-robin gives every
-    task an equal slice and chunk boundaries are semantically arbitrary
-    (the decoder never depends on which events share a chunk)."""
+    Perf shape (r13, closing ADVICE r12's docstring note the structural
+    way): encode and decode share ONE mapInPandas worker — each Arrow
+    batch is packed into one wire-exact chunk and immediately decoded
+    from those bytes. The earlier two-stage form (encode mapInPandas ->
+    binary column -> decode mapInPandas) paid a second JVM<->Python
+    Arrow crossing that production ingest never pays: real chunks arrive
+    ONCE in a binary column (stream.read_msgpack_chunk_stream) and cross
+    into Python exactly once. Measured at sf0.1 the extra crossing was
+    ~0.3 s of pure plumbing — a third of the query — while every byte
+    still round-trips pack_event -> decoder here. The production
+    binary-column path itself stays pinned by
+    tests/test_msgpack.py::test_msgpack_ingest_end_to_end (binaryFile
+    stream -> decode_msgpack_dataframe -> logs table). The keyless
+    round-robin repartition (r12) stays: it fans the rows across the
+    cluster width and chunk boundaries are semantically arbitrary (the
+    decoder never depends on which events share a chunk); at real scale
+    the scan arrives already-parallel and the exchange is skippable."""
     from ..config import EngineConfig
-    from ..decode import decode_msgpack_dataframe
 
     ev = load_table(spark, sf_dir, "events")
     shards = ev.select(
@@ -876,11 +884,15 @@ def q_ingest_msgpack_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value"),
     )
 
-    def encode(batches):
+    def encode_decode(batches):
         import pandas as pd
 
+        from klogs_spark.decode import LOG_SCHEMA, decode_msgpack_events
         from klogs_spark.msgpack_lite import pack_event
 
+        cfg = EngineConfig()
+        cfg._force_set = set(cfg.force_number_fields)
+        names = LOG_SCHEMA.fieldNames()
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -901,11 +913,20 @@ def q_ingest_msgpack_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "content": {"value": float(val)},
                 }
                 evs.append(pack_event(int(sec), rec))
-            yield pd.DataFrame({"content": [b"".join(evs)]})
+            # one wire-exact chunk per Arrow batch, decoded from bytes —
+            # the decoder sees exactly what a Fluent Bit chunk looks like
+            rows = list(decode_msgpack_events([b"".join(evs)], cfg))
+            if rows:
+                yield pd.DataFrame(
+                    {name: [r[name] for r in rows] for name in names}
+                )
+
+    from ..decode import LOG_SCHEMA
 
     n_slices = spark.sparkContext.defaultParallelism
-    raw = shards.repartition(n_slices).mapInPandas(encode, "content binary")
-    decoded = decode_msgpack_dataframe(raw, EngineConfig())
+    decoded = shards.repartition(n_slices).mapInPandas(
+        encode_decode, LOG_SCHEMA
+    )
     return decoded.groupBy("namespace").agg(
         F.count(F.lit(1)).alias("cnt"),
         F.round(F.sum(field_number("content_value")), 2).alias("sum_value"),

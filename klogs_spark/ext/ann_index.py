@@ -249,20 +249,39 @@ def streaming_index_sink(
 
     Batch atomicity rides the parquet commit protocol (a failed batch
     leaves only uncommitted temp files; the next replay re-appends), so
-    delivery is at-least-once like the data path — searchers see a cell's
-    new codes only after its batch commits. Cost per batch is proportional
+    searchers see a cell's new codes only after its batch commits — never
+    a torn cell. Replay is made IDEMPOTENT by a per-batch commit marker
+    (``_stream_commits/batch-{id}``, written after the refresh): when
+    Structured Streaming re-delivers a batch whose sink work already
+    committed (failure between the sink call and the checkpoint commit —
+    the standard foreachBatch at-least-once window), the marker short-
+    circuits the refresh and the codes are never double-appended. The
+    residual window (crash between the parquet commit and the marker
+    write) is the same two-phase gap as every marker protocol in this
+    engine — one batch's codes could double on a crash landing exactly
+    there, the documented at-least-once floor. Single writer stream per
+    index path (the engine's maintenance norm): markers are keyed by
+    batch_id alone. Cost per batch is proportional
     to the batch (one k-row centroid broadcast + one m*k-row codebook
     broadcast + encode of the batch's vectors); the corpus-sized ``codes``
     store is never rewritten. The index must have been built
     (:func:`build_ivfpq_index`) before the stream starts.
     """
+    import os
 
     def sink_fn(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
+        mdir = os.path.join(path, "_stream_commits")
+        marker = os.path.join(mdir, f"batch-{batch_id}")
+        if os.path.exists(marker):
+            return  # replay of an already-committed batch — skip, no dupes
         refresh_ivfpq_index(
             batch, path, id_col=id_col, vec_col=vec_col, m=m, dim=dim
         )
+        os.makedirs(mdir, exist_ok=True)
+        with open(marker, "w"):
+            pass
 
     return sink_fn
 

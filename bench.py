@@ -72,6 +72,21 @@ HEADLINE = [
     # postings, not vocabulary) — benched so a regression to a full
     # vocabulary aggregate is visible
     "text_bm25_topk",
+    # round-13 (VERDICT r12 #5): the two green-but-unmeasured query-time
+    # paths. ivfpq_rerank = the prebuilt ADC search + an R-row (R=40)
+    # broadcast-semi exact re-rank — expected ≈ ann_ivfpq_prebuilt plus a
+    # small constant, never a corpus scan. context_anchor = the
+    # interactive ±N context fetch over the real table layout — two
+    # small constant, never a corpus scan. NOT the registry carrier
+    # (q_ann_ivfpq_rerank also computes the plain ADC answer, an exact
+    # FULL-SCAN ground truth, and two recall joins — a correctness gate,
+    # ~3x the deployed search) — the timed block below runs the search
+    # alone against the cached prebuilt index. The context fetch is
+    # likewise timed in the materialized-table section
+    # (table_context_fetch) against the already-built bench table, so the
+    # measured cost is the FETCH — two partition-pruned day directories
+    # with TakeOrderedAndProject both sides — not the table write the
+    # registry carrier re-does per call.
 ]
 
 
@@ -208,10 +223,22 @@ def main() -> None:
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
 
+    def table_context_fetch():
+        # the interactive ±N context fetch (VERDICT r12 #5): ±12 h horizon
+        # → at most two day directories scanned (partition-pruned), each
+        # side a TakeOrderedAndProject top-n, never a day sort
+        from klogs_spark.queries.ingest import CTX_ANCHOR_POD, CTX_ANCHOR_TS, CTX_N
+        from klogs_spark.query import fetch_context
+
+        return fetch_context(
+            spark, table_dir, CTX_ANCHOR_POD, CTX_ANCHOR_TS, n=CTX_N
+        )
+
     for name, builder in (
         ("table_env_map_count", table_env_map_count),
         ("table_newest", table_newest),
         ("table_hourly_histogram", table_hourly),
+        ("table_context_fetch", table_context_fetch),
     ):
         best, n = float("inf"), -1
         # same per-query isolation as the HEADLINE loop: a broken table
@@ -326,6 +353,49 @@ def main() -> None:
         print(f"# table_cow_merge: FAILED {errors['table_cow_merge']}",
               file=sys.stderr)
 
+    # ann_ivfpq_rerank_search (VERDICT r12 #5): the deployed two-stage
+    # search — prebuilt-index ADC nominates R candidates, an R-row
+    # broadcast-semi fetch re-scores them exactly. Expected ≈
+    # ann_ivfpq_prebuilt plus a small constant (the R-row join), never a
+    # corpus scan; R is reported alongside. Trial 1 may pay the one-off
+    # index build (content-keyed cache, same as ann_ivfpq_prebuilt);
+    # best-of-N reports the warm search cost a deployment serves.
+    try:
+        from klogs_spark.ext import ann_index as _ann_index
+        from klogs_spark.queries.ext import (
+            IVFPQ_K,
+            IVFPQ_NPROBE,
+            IVFPQ_RERANK_R,
+            _ensure_ivfpq_index,
+            _query_vec,
+        )
+        from klogs_spark.views import load_table as _load_table
+
+        _ipath = _ensure_ivfpq_index(spark, sf_dir)
+        _iqv = _query_vec(spark, sf_dir)
+        _iemb = _load_table(spark, sf_dir, "embeddings")
+        best, n = float("inf"), -1
+        for _ in range(max(trials, 1)):
+            t0 = time.perf_counter()
+            n = _ann_index.ivfpq_rerank(
+                spark, _ipath, _iemb, _iqv, k=IVFPQ_K,
+                rerank=IVFPQ_RERANK_R, n_probe=IVFPQ_NPROBE,
+            ).count()
+            best = min(best, time.perf_counter() - t0)
+        timings["ann_ivfpq_rerank_search"] = round(best, 3)
+        print(
+            f"# ann_ivfpq_rerank_search: {best:.3f}s "
+            f"({n} rows, R={IVFPQ_RERANK_R})",
+            file=sys.stderr,
+        )
+    except Exception as exc:  # noqa: BLE001
+        errors["ann_ivfpq_rerank_search"] = f"{type(exc).__name__}: {exc}"[:300]
+        print(
+            f"# ann_ivfpq_rerank_search: FAILED "
+            f"{errors['ann_ivfpq_rerank_search']}",
+            file=sys.stderr,
+        )
+
     from klogs_spark.ext.caching import release_tracked
 
     for name in HEADLINE:
@@ -431,6 +501,22 @@ def main() -> None:
                         "leakage from earlier ANN queries); r8 isolates "
                         "per-query cost via release_tracked — not "
                         "comparable round-over-round",
+                    # r13 additions (VERDICT r12 #5)
+                    "ann_ivfpq_rerank_search":
+                        "deployed two-stage search: prebuilt-ADC nominates "
+                        "R candidates, R-row broadcast-semi exact re-rank; "
+                        "expected ~ ann_ivfpq_prebuilt + small constant",
+                    "table_context_fetch":
+                        "interactive ±N context fetch: ±12h horizon -> "
+                        "<=2 day dirs scanned (partition-pruned), "
+                        "TakeOrderedAndProject per side, never a day sort",
+                    "ingest_msgpack_pipeline":
+                        "r13: encode+decode share one mapInPandas worker "
+                        "(production pays ONE binary crossing; the old "
+                        "second Arrow hop was ~0.3s of synthetic-generator "
+                        "plumbing) + register-based iterative decoder with "
+                        "interned fixstr cache (2.15x) — not comparable "
+                        "round-over-round",
                 },
             }
         )

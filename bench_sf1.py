@@ -149,6 +149,10 @@ def main() -> None:
         # corpus-sized — the measurement proves it stays linear)
         ("text_bm25_topk", "documents"),
         ("dedup_repeated_substrings", "documents"),
+        # r13: span REMOVAL was the one new heavy dedup operator without a
+        # 10x measurement (fingerprint equi-joins + anti-join + row-local
+        # array_sort rebuild — the claim is corpus-linear, prove it)
+        ("dedup_remove_repeated_spans", "documents"),
     ]
 
     results: dict = {}

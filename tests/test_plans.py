@@ -643,3 +643,24 @@ def test_remove_repeated_spans_never_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" not in plan
+
+
+def test_read_snapshot_mergeschema_still_partition_prunes(spark, tmp_path):
+    """The r13 mergeSchema snapshot read must not cost the F1 pruning
+    contract: a date predicate over a pinned snapshot still scans only the
+    matching day directory (mergeSchema is a footer-union concern; the
+    partition column comes from basePath discovery and prunes as before)."""
+    from pyspark.sql import functions as F
+
+    from klogs_spark.manifest import publish_snapshot, read_snapshot
+    from klogs_spark.table import write_logs
+    from klogs_spark.views import derive_logs_from_events
+
+    path = str(tmp_path / "logs")
+    write_logs(
+        derive_logs_from_events(spark, "/root/testdata/sf0.001"), path
+    )
+    v = publish_snapshot(spark, path)
+    df = read_snapshot(spark, path, v).filter("date = DATE'2024-01-10'")
+    files = [r[0] for r in df.select(F.input_file_name()).distinct().collect()]
+    assert files and all("date=2024-01-10" in f for f in files)

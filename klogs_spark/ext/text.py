@@ -1185,3 +1185,42 @@ def textrank_keywords(
         [(t, rank[t], vocab[t]) for t in terms],
         "term string, rank_micros long, df_docs long",
     )
+
+
+# --- PII redaction ----------------------------------------------------------
+# The scrubbing pass every pretraining corpus runs before anything else
+# ships: find personally identifying spans, replace them with typed tokens,
+# and count what was removed (the redaction census privacy reviews ask for).
+# Patterns are deliberately Java-regex/RE2 common ground (no lookarounds, no
+# backreferences) so the same literal pattern runs JVM-side in Spark and in
+# the DuckDB oracle. ORDER IS CONTRACT: replacement is sequential over this
+# tuple, so an email's host part is consumed as <EMAIL> before the ipv4 pass
+# ever sees it; per-kind counts are measured on the RAW text, independent of
+# replacement order.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b"),
+    ("phone", r"\+?\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"),
+)
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Typed PII scrub: adds one ``n_{kind}`` count column per pattern
+    (matches in the ORIGINAL text) and ``clean_text`` with every match
+    replaced by its ``<KIND>`` token, in :data:`PII_PATTERNS` order.
+
+    Whole pass is JVM-side (regexp_count / regexp_replace inside
+    whole-stage codegen) — no Python crossing, corpus-linear, and the
+    scan stays a narrow projection at 100 TB. Spark's regexp_replace is
+    replace-ALL by default; the DuckDB oracle needs the explicit 'g'
+    flag (the known dialect trap)."""
+    out = df
+    for kind, pat in PII_PATTERNS:
+        out = out.withColumn(
+            f"n_{kind}", F.regexp_count(F.col(text_col), F.lit(pat))
+        )
+    clean = F.col(text_col)
+    for kind, pat in PII_PATTERNS:
+        clean = F.regexp_replace(clean, pat, f"<{kind.upper()}>")
+    return out.withColumn("clean_text", clean)

@@ -1981,6 +1981,119 @@ def q_text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed PII scrubbing (ext.text.redact_pii) — the census-and-redact
+    pass a pretraining corpus runs before anything ships, externally
+    hash-checked end to end. The synthetic corpus holds no PII, so the
+    carrier INJECTS deterministic spans derived from doc_id (an email for
+    every doc_id%3==0, an ipv4 for %5, an SSN-shaped id for %7, a phone
+    for %11 — the same arithmetic in both engines builds byte-identical
+    strings), then runs the REAL operator: per-kind regexp_count on the
+    raw text plus sequential regexp_replace to typed tokens, all
+    JVM-side inside whole-stage codegen. The per-source aggregate pins
+    the redaction census (counts per kind) AND the cleaned bytes
+    themselves (length sum + min/max md5 of clean_text) — a pattern
+    drift, an ordering change, or a dialect mismatch (DuckDB needs the
+    'g' flag; Spark replaces all by default) all break the hash."""
+    from ..ext.text import redact_pii
+
+    did = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    injected = load_table(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 3 == 0,
+                F.concat(
+                    F.lit(" mail u"), s(did % 97),
+                    F.lit("@example"), s(did % 13), F.lit(".com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 5 == 0,
+                F.concat(
+                    F.lit(" from 10."), s(did % 200),
+                    F.lit("."), s(did % 250), F.lit("."), s(did % 9),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 7 == 0,
+                F.concat(
+                    F.lit(" ssn 123-45-"),
+                    F.lpad(s(did % 10000), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 11 == 0,
+                F.concat(
+                    F.lit(" call 555-010-"),
+                    F.lpad(s(did % 10000), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    red = redact_pii(injected)
+    return red.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n_email").cast("bigint").alias("emails"),
+        F.sum("n_ipv4").cast("bigint").alias("ipv4s"),
+        F.sum("n_ssn").cast("bigint").alias("ssns"),
+        F.sum("n_phone").cast("bigint").alias("phones"),
+        F.sum(F.length("clean_text")).cast("bigint").alias("clean_chars"),
+        F.min(F.md5(F.col("clean_text").cast("binary"))).alias("min_md5"),
+        F.max(F.md5(F.col("clean_text").cast("binary"))).alias("max_md5"),
+    )
+
+
+def _sql_pii_redact() -> str:
+    from ..ext.text import PII_PATTERNS
+
+    pats = dict(PII_PATTERNS)
+    counts = ", ".join(
+        f"len(regexp_extract_all(t, '{pat}')) AS n_{kind}"
+        for kind, pat in PII_PATTERNS
+    )
+    clean = "t"
+    for kind, pat in PII_PATTERNS:  # same sequential order as the engine
+        clean = f"regexp_replace({clean}, '{pat}', '<{kind.upper()}>', 'g')"
+    return f"""
+WITH base AS (
+  SELECT source,
+         text
+         || CASE WHEN doc_id % 3 = 0 THEN ' mail u'
+              || CAST(doc_id % 97 AS VARCHAR) || '@example'
+              || CAST(doc_id % 13 AS VARCHAR) || '.com' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN ' from 10.'
+              || CAST(doc_id % 200 AS VARCHAR) || '.'
+              || CAST(doc_id % 250 AS VARCHAR) || '.'
+              || CAST(doc_id % 9 AS VARCHAR) ELSE '' END
+         || CASE WHEN doc_id % 7 = 0 THEN ' ssn 123-45-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+         || CASE WHEN doc_id % 11 = 0 THEN ' call 555-010-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+         AS t
+  FROM documents
+),
+red AS (
+  SELECT source, {counts}, {clean} AS ct FROM base
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS docs,
+       CAST(sum(n_email) AS BIGINT) AS emails,
+       CAST(sum(n_ipv4) AS BIGINT) AS ipv4s,
+       CAST(sum(n_ssn) AS BIGINT) AS ssns,
+       CAST(sum(n_phone) AS BIGINT) AS phones,
+       CAST(sum(length(ct)) AS BIGINT) AS clean_chars,
+       min(md5(ct)) AS min_md5,
+       max(md5(ct)) AS max_md5
+FROM red GROUP BY 1
+"""
+
+
+SQL_TEXT_PII_REDACT = _sql_pii_redact()
+
+
 def _sql_textrank_round(k: int) -> str:
     return f"""
 r{k} AS MATERIALIZED (
@@ -5711,6 +5824,11 @@ SPECS = {
         q_hybrid_rrf, SQL_HYBRID_RRF,
         "hybrid retrieval: reciprocal-rank fusion of BM25 and cosine "
         "top-k sides (bounded rank windows, keyed fuse) vs RRF oracle"),
+    "text_pii_redact": QuerySpec(
+        q_text_pii_redact, SQL_TEXT_PII_REDACT,
+        "typed PII scrub (email/ipv4/ssn/phone): per-kind census + "
+        "sequential regexp_replace to typed tokens, all JVM-side; "
+        "cleaned bytes pinned via length sum + min/max md5 vs oracle"),
     "text_textrank_keywords": QuerySpec(
         q_text_textrank_keywords, SQL_TEXT_TEXTRANK_KEYWORDS,
         "TextRank keyword centrality over the top-term co-occurrence "

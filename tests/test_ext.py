@@ -1244,3 +1244,41 @@ def test_streaming_index_sink_failure_replay_is_idempotent(spark, tmp_path):
     s_one = ann_index.ivfpq_search(spark, one, list(qv), k=5).collect()
     s_st = ann_index.ivfpq_search(spark, st, list(qv), k=5).collect()
     assert [tuple(r) for r in s_st] == [tuple(r) for r in s_one]
+
+
+def test_redact_pii_typed_tokens_and_counts(spark):
+    """Operator-level PII scrub contract: per-kind counts measure the RAW
+    text; replacement is sequential in PII_PATTERNS order (an email's
+    host is consumed as <EMAIL> before the ipv4 pass); untouched text
+    passes through byte-identical."""
+    from klogs_spark.ext.text import redact_pii
+
+    rows = [
+        (1, "reach me at bob.smith+x@corp.example.org or 192.168.0.1"),
+        (2, "ssn 123-45-6789 phone 555-123-4567 and +155 123 4567"),
+        (3, "two mails a@b.io c@d.co plus server 10.0.0.254 10.1.2.3"),
+        (4, "no pii here, just tokens and 12345 numbers 1.5 floats"),
+        (5, "ip-in-email-host x@10.0.0.1 is not an email (numeric tld)"),
+    ]
+    out = {
+        r.doc_id: r
+        for r in redact_pii(
+            spark.createDataFrame(rows, "doc_id int, text string")
+        ).collect()
+    }
+    r1 = out[1]
+    assert (r1.n_email, r1.n_ipv4, r1.n_ssn, r1.n_phone) == (1, 1, 0, 0)
+    assert r1.clean_text == "reach me at <EMAIL> or <IPV4>"
+    r2 = out[2]
+    assert (r2.n_ssn, r2.n_phone) == (1, 2)
+    assert r2.clean_text == "ssn <SSN> phone <PHONE> and <PHONE>"
+    r3 = out[3]
+    assert (r3.n_email, r3.n_ipv4) == (2, 2)
+    assert r3.clean_text == "two mails <EMAIL> <EMAIL> plus server <IPV4> <IPV4>"
+    r4 = out[4]
+    assert (r4.n_email, r4.n_ipv4, r4.n_ssn, r4.n_phone) == (0, 0, 0, 0)
+    assert r4.clean_text == r4.text  # passthrough byte-identical
+    r5 = out[5]
+    # numeric TLD: not an email, but the host IS an ipv4
+    assert (r5.n_email, r5.n_ipv4) == (0, 1)
+    assert "<IPV4>" in r5.clean_text and "<EMAIL>" not in r5.clean_text

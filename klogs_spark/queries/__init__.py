@@ -313,7 +313,8 @@ DRIVER_VERIFIED: dict = {
     "dedup_remove_repeated_spans": "41ebc6559a5b",
     "dedup_repeated_substrings_self": "0b89cbc00006",
     "embedding_top_component": "f160d8417680",
-    "ingest_msgpack_pipeline": "66cebad1bb9c",
+    # "ingest_msgpack_pipeline" was deliberately rewritten in r13 (fused
+    # encode+decode worker) — left unpinned so it re-enters the window.
     "multimodal_jpeg_subsampled": "8e1c6174e0c0",
     "table_context_anchor": "8e96d5a5b530",
     "table_cow_lifecycle": "1c02f89363de",

@@ -5824,11 +5824,12 @@ SPECS = {
         q_hybrid_rrf, SQL_HYBRID_RRF,
         "hybrid retrieval: reciprocal-rank fusion of BM25 and cosine "
         "top-k sides (bounded rank windows, keyed fuse) vs RRF oracle"),
-    "text_pii_redact": QuerySpec(
+    "text_pii_redact_typed": QuerySpec(
         q_text_pii_redact, SQL_TEXT_PII_REDACT,
-        "typed PII scrub (email/ipv4/ssn/phone): per-kind census + "
-        "sequential regexp_replace to typed tokens, all JVM-side; "
-        "cleaned bytes pinned via length sum + min/max md5 vs oracle"),
+        "typed PII scrub (email/ipv4/ssn/phone; extends the email-only "
+        "text_pii_redact): per-kind census + sequential regexp_replace "
+        "to typed tokens, all JVM-side; cleaned bytes pinned via length "
+        "sum + min/max md5 vs oracle"),
     "text_textrank_keywords": QuerySpec(
         q_text_textrank_keywords, SQL_TEXT_TEXTRANK_KEYWORDS,
         "TextRank keyword centrality over the top-term co-occurrence "

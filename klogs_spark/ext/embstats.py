@@ -206,6 +206,81 @@ def _round_half_away(x: float) -> float:
     return math.floor(x + 0.5) if x >= 0 else -math.floor(-x + 0.5)
 
 
+def _top_component_ints(
+    emb: DataFrame, squarings: int, vec_col: str, dim: int
+) -> tuple[list[list[int]], list[int]]:
+    """The integer-exact power-iteration core shared by
+    :func:`power_iteration_component` and :func:`pca_project_top`:
+    returns (Cint, v) — the exact integer covariance (cov * 1e8) and the
+    unit top-component vector in exact 1e6 micro-units. Behavior and
+    arithmetic are byte-for-byte the r12 power_iteration_component chain
+    (see its docstring for the exactness design); extracted so the
+    projection operator reuses the identical vector."""
+    import math
+
+    rng = range(dim)
+    Cint = [[0] * dim for _ in rng]
+    for r in covariance_entries(emb, vec_col, dim, round_decimals=8).collect():
+        Cint[r.i][r.j] = int(_round_half_away(r.cov * 1e8))
+    M = Cint
+    for _ in range(squarings):
+        P = [
+            [sum(M[i][k] * M[k][j] for k in rng) for j in rng] for i in rng
+        ]  # exact ints: |entry| <= 64 * (1e7)^2 < 2^53
+        s = max(abs(e) for row in P for e in row) or 1
+        # one deterministic double division by the EXACT integer max —
+        # identical IEEE ops in the SQL mirror, no order sensitivity
+        M = [
+            [int(_round_half_away(1e6 * (float(e) / float(s)))) for e in row]
+            for row in P
+        ]
+    w = [sum(M[i][j] for j in rng) for i in rng]  # M @ ones, exact
+    nw = math.sqrt(sum(float(x) * float(x) for x in w))
+    v = [int(_round_half_away(1e6 * float(x) / nw)) for x in w]
+    return Cint, v
+
+
+def pca_project_top(
+    emb: DataFrame,
+    squarings: int = 7,
+    vec_col: str = "embedding",
+    dim: int = sim.EMB_DIM,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Corpus projection onto the integer-exact top principal direction —
+    the oracle-able form of :func:`pca_project`'s first output column
+    (numpy's eigh has no SQL equivalent; the power-iteration vector
+    does). One corpus pass: per vector, ``proj = dot(v, w)`` against the
+    exact 1e6-micro-unit component ``w`` as a broadcast literal — a
+    narrow JVM-side fold, no Python crossing, no shuffle beyond the
+    covariance aggregate that derived ``w``. The dot is a left fold in
+    ascending index order, matching DuckDB's ``list_dot_product``; the
+    result is snapped within 2e-6 of half-integers (float-noise guard)
+    and rounded half-away to integer micro-units, so the hash is
+    boundary-stable. Returns (id, proj_micros) — the column an outlier
+    trim or drift monitor consumes."""
+    _, v = _top_component_ints(emb, squarings, vec_col, dim)
+    vlit = F.array(*[F.lit(float(x)) for x in v])
+    dot = F.aggregate(
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"), vlit, lambda a, b: a * b
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    # mirror of queries/ext._sql_rha: snap-near-half, then half-away round
+    y = dot * 2
+    snapped = F.when(F.abs(y - F.round(y, 0)) < 2e-6, F.round(y, 0) / 2).otherwise(dot)
+    proj = (
+        F.when(snapped >= 0, F.floor(snapped + 0.5))
+        .otherwise(-F.floor(-snapped + 0.5))
+        .cast("long")
+    )
+    return emb.select(
+        F.col(id_col).cast("long").alias("id"), proj.alias("proj_micros")
+    )
+
+
 def power_iteration_component(
     emb: DataFrame,
     squarings: int = 7,
@@ -242,28 +317,9 @@ def power_iteration_component(
       * ('eigenvalue', -1, λ)    — Rayleigh-quotient estimate, 9 dp
       * ('label_mean', label, m) — per-label mean projection, 6 dp (the
         drift-direction summary a corpus monitor actually watches)."""
-    import math
-
     spark = emb.sparkSession
     rng = range(dim)
-    Cint = [[0] * dim for _ in rng]
-    for r in covariance_entries(emb, vec_col, dim, round_decimals=8).collect():
-        Cint[r.i][r.j] = int(_round_half_away(r.cov * 1e8))
-    M = Cint
-    for _ in range(squarings):
-        P = [
-            [sum(M[i][k] * M[k][j] for k in rng) for j in rng] for i in rng
-        ]  # exact ints: |entry| <= 64 * (1e7)^2 < 2^53
-        s = max(abs(e) for row in P for e in row) or 1
-        # one deterministic double division by the EXACT integer max —
-        # identical IEEE ops in the SQL mirror, no order sensitivity
-        M = [
-            [int(_round_half_away(1e6 * (float(e) / float(s)))) for e in row]
-            for row in P
-        ]
-    w = [sum(M[i][j] for j in rng) for i in rng]  # M @ ones, exact
-    nw = math.sqrt(sum(float(x) * float(x) for x in w))
-    v = [int(_round_half_away(1e6 * float(x) / nw)) for x in w]
+    Cint, v = _top_component_ints(emb, squarings, vec_col, dim)
     # Rayleigh quotient on the ORIGINAL covariance: u = C v exact, then
     # two short double sums whose ulps the 9-dp round absorbs
     u = [sum(Cint[i][j] * v[j] for j in rng) for i in rng]

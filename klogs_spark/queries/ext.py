@@ -4766,6 +4766,61 @@ FROM e, pv GROUP BY 2
 """
 
 
+def q_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector projection onto the top principal direction
+    (ext.embstats.pca_project_top) — the oracle-able form of
+    pca_project's first output column, closing the r12 'pca_project has
+    no oracle carrier' gap in the only honest way available: numpy's
+    eigh is not SQL-expressible, but the integer-exact power-iteration
+    vector is, and projecting onto it IS the top-1 PCA projection. The
+    oracle re-derives the identical micro-unit vector through the same
+    unrolled squaring chain (AS MATERIALIZED, the known CTE trap) and
+    dots it against each embedding with list_dot_product — ascending-
+    index folds on both sides; the half-integer snap + half-away round
+    make the integer output boundary-stable. Every vec_id ships, so a
+    single flipped projection anywhere in the corpus breaks the hash."""
+    from ..ext.embstats import pca_project_top
+
+    return pca_project_top(
+        load_table(spark, sf_dir, "embeddings"), squarings=POWER_SQUARINGS
+    )
+
+
+SQL_EMBEDDING_PCA_PROJECT = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+p AS (
+  SELECT s.i - 1 AS i, t.j - 1 AS j,
+         v[s.i] * v[t.j] AS xy, v[s.i] AS x, v[t.j] AS y
+  FROM e,
+       generate_series(1, {sim.EMB_DIM}) AS s(i),
+       generate_series(1, {sim.EMB_DIM}) AS t(j)
+),
+cov AS (
+  SELECT i, j, round(sum(xy) / count(*) - avg(x) * avg(y), 8) AS cov
+  FROM p GROUP BY 1, 2
+),
+m0 AS MATERIALIZED (
+  SELECT i, j, {_sql_rha_bigint('cov * 100000000')} AS ci FROM cov
+),{",".join(_sql_power_squaring(k) for k in range(1, POWER_SQUARINGS + 1))},
+w AS (
+  SELECT i AS j, SUM(ci) AS w FROM m{POWER_SQUARINGS} GROUP BY i
+),
+nw AS (
+  SELECT sqrt(sum(CAST(w AS DOUBLE) * CAST(w AS DOUBLE))) AS nd FROM w
+),
+vv AS (
+  SELECT j,
+         {_sql_rha_bigint('1000000.0 * CAST(w AS DOUBLE) / nd')} AS vi
+  FROM w, nw
+),
+pv AS (SELECT list(CAST(vi AS DOUBLE) ORDER BY j) AS pvec FROM vv),
+d AS (SELECT e.vec_id, list_dot_product(e.v, pv.pvec) AS dp FROM e, pv)
+SELECT CAST(vec_id AS BIGINT) AS id,
+       CAST({_sql_rha('dp')} AS BIGINT) AS proj_micros
+FROM d
+"""
+
+
 MMR_K = 5
 MMR_LAM = 0.75  # exactly binary-representable: both engines weight identically
 
@@ -5836,6 +5891,12 @@ SPECS = {
         "graph: 3 damped PageRank rounds in pure integer arithmetic "
         "(floor-division edge contributions), bit-exact vs the "
         "unrolled-CTE oracle"),
+    "embedding_pca_project": QuerySpec(
+        q_embedding_pca_project, SQL_EMBEDDING_PCA_PROJECT,
+        "per-vector top-1 PCA projection: integer-exact power-iteration "
+        "component dotted against every embedding (ascending-index folds "
+        "both engines), snapped+half-away to micro-units — all vec_ids "
+        "hash-checked"),
     "embedding_top_component": QuerySpec(
         q_embedding_top_component, SQL_EMBEDDING_TOP_COMPONENT,
         "top principal direction via integer-exact power iteration "

@@ -122,14 +122,25 @@ def publish_snapshot(
     publishes are unaffected (the caller states exactly what commits)."""
     fs, hpath_cls, root = _hadoop_fs(spark, path)
     if files is None:
-        if fs.exists(hpath_cls(f"{path}/{REWRITE_MARKER}")):
-            raise ConcurrentRewriteError(
-                f"publish_snapshot({path}) refused: a COW rewrite is in "
-                "progress (live journal) and a directory listing would "
-                "capture its uncommitted files; retry after it finishes "
-                "(or recover_incomplete_rewrite if it crashed)"
-            )
+        def _refuse_if_rewrite_live() -> None:
+            if fs.exists(hpath_cls(f"{path}/{REWRITE_MARKER}")):
+                raise ConcurrentRewriteError(
+                    f"publish_snapshot({path}) refused: a COW rewrite is "
+                    "in progress (live journal) and a directory listing "
+                    "would capture its uncommitted files; retry after it "
+                    "finishes (or recover_incomplete_rewrite if it "
+                    "crashed)"
+                )
+
+        _refuse_if_rewrite_live()
         files = _list_data_files(fs, root, hpath_cls)
+        # re-check AFTER the listing: a rewrite that claimed the journal
+        # while we were walking the directory may already have appended
+        # survivor files into our listing (the same TOCTOU the r13 atomic
+        # claim closed for rewrite-vs-rewrite). A claim made after the
+        # listing completed is safe — its survivors land after our walk
+        # and are not in `files`.
+        _refuse_if_rewrite_live()
     else:
         files = sorted(files)
     version = (snapshot_versions(spark, path) or [0])[-1] + 1

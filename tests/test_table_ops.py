@@ -2065,3 +2065,41 @@ def test_finish_rewrite_publish_collision_aborts_and_cleans_up(
     assert M.read_logs_at(spark, path, res["version"]).filter(
         "pod_name = 'pod-7'"
     ).count() == 0
+
+
+def test_listing_publish_refuses_claim_made_mid_listing(
+    spark, tmp_path, monkeypatch
+):
+    """A rewrite that claims the journal WHILE publish_snapshot is walking
+    the directory may already have appended survivor files into the
+    listing — the post-listing re-check must refuse (pre-fix, only a
+    pre-listing check existed and the capture window was open)."""
+    import pytest as _pytest
+
+    from klogs_spark import manifest as M
+    from klogs_spark.table import _hadoop_fs
+
+    path, _n = _race_setup(spark, tmp_path)
+    fs, hpath_cls, _root = _hadoop_fs(spark, path)
+
+    orig_list = M._list_data_files
+    state = {"fired": False}
+
+    def claim_mid_listing(fs_, root_, hp_):
+        out = orig_list(fs_, root_, hp_)
+        if not state["fired"]:
+            state["fired"] = True
+            M._claim_marker(
+                fs, hpath_cls, path, M.REWRITE_MARKER,
+                {"op": "competitor", "base_version": 0, "before": [],
+                 "token": "t"},
+            )
+        return out
+
+    monkeypatch.setattr(M, "_list_data_files", claim_mid_listing)
+    with _pytest.raises(M.ConcurrentRewriteError, match="refused"):
+        M.publish_snapshot(spark, path)
+    monkeypatch.undo()
+    fs.delete(hpath_cls(f"{path}/{M.REWRITE_MARKER}"), False)
+    # with the journal gone, the same publish succeeds
+    assert M.publish_snapshot(spark, path) > 0

@@ -135,6 +135,83 @@ def refresh_ivfpq_index(
     )
 
 
+def remove_from_ivfpq_index(
+    spark: SparkSession, path: str, ids, id_col: str = "id"
+) -> dict:
+    """Right-to-be-forgotten for the deployed index: delete the given
+    vector ids from the ``codes`` store, rewriting ONLY the cells that
+    contain them. The data-table side of a GDPR delete is
+    ``manifest.cow_delete_where``; this is its index-sidecar twin — a
+    forgotten user must stop being retrievable by similarity search too,
+    and a full index rebuild per deletion batch would be corpus-sized.
+
+    Plan shape: one narrow columnar scan of ``codes`` broadcast-semi-
+    joined to the id set finds the affected cells (ids are not derivable
+    without the deleted embeddings, so this scan is irreducible — but it
+    projects two columns and carries no vectors); the survivors of ONLY
+    those cells (partition-pruned read) are rewritten through a staging
+    directory and swapped in per cell dir. Untouched cells' files are
+    never opened or rewritten — cost scales with the affected cells, not
+    the corpus. The quantizer and codebooks are untouched (FAISS
+    ``remove_ids`` semantics: removal filters the inverted lists; it
+    never retrains — drift from heavy deletion is the rebuild gate's
+    job, :func:`rebuild_if_drifted`).
+
+    The per-cell swap (rm + move) is a maintenance-window operation under
+    the engine's single-maintenance-writer norm: a concurrent searcher
+    can observe a cell mid-swap. The atomic alternative for online
+    serving is a generation publish (:func:`commit_index_build`).
+    Returns {"rows_removed", "cells_rewritten"}.
+    """
+    import os
+    import shutil
+    import uuid
+
+    if isinstance(ids, (list, tuple)):
+        ids_df = spark.createDataFrame(
+            [(int(i),) for i in ids], "id bigint"
+        )
+    else:
+        ids_df = ids.select(F.col(id_col).cast("long").alias("id"))
+    codes = spark.read.parquet(f"{path}/codes")
+    cells = [
+        r.centroid_id
+        for r in (
+            codes.join(F.broadcast(ids_df), "id", "left_semi")
+            .select("centroid_id")
+            .distinct()
+            .collect()
+        )
+    ]
+    if not cells:
+        return {"rows_removed": 0, "cells_rewritten": 0}
+    affected = codes.filter(F.col("centroid_id").isin(cells))
+    n_before = affected.count()
+    survivors = affected.join(F.broadcast(ids_df), "id", "left_anti")
+    # stage first: Spark refuses to overwrite a path it is reading from,
+    # and a direct overwrite would drop the unaffected cells anyway
+    staging = f"{path}/codes_rm_staging_{uuid.uuid4().hex[:8]}"
+    survivors.write.mode("overwrite").partitionBy("centroid_id").parquet(
+        staging
+    )
+    for c in cells:
+        dst = os.path.join(path, "codes", f"centroid_id={c}")
+        src = os.path.join(staging, f"centroid_id={c}")
+        shutil.rmtree(dst, ignore_errors=True)
+        if os.path.exists(src):  # absent = every row of the cell removed
+            shutil.move(src, dst)
+    shutil.rmtree(staging, ignore_errors=True)
+    n_after = (
+        spark.read.parquet(f"{path}/codes")
+        .filter(F.col("centroid_id").isin(cells))
+        .count()
+    )
+    return {
+        "rows_removed": n_before - n_after,
+        "cells_rewritten": len(cells),
+    }
+
+
 COMMIT_MARKER = "_COMMITTED"
 
 

@@ -4087,6 +4087,65 @@ LIMIT {IVFPQ_K}
 """
 
 
+ANN_REMOVE_MOD = 17
+ANN_REMOVE_RES = 3  # never 0: vec_id 0 is the query vector
+
+# the never-removed full-corpus chain with the removed ids filtered from
+# the ADC candidates — removal must be INVISIBLE except for the missing
+# ids (no retrain, survivor distances byte-identical). The textual inject
+# is pinned by the assertion below so a future edit of the base oracle
+# cannot silently turn the filter into a no-op.
+SQL_ANN_IVFPQ_REMOVE = SQL_ANN_IVFPQ_TOPK.replace(
+    "GROUP BY enc.id",
+    f"WHERE enc.id % {ANN_REMOVE_MOD} <> {ANN_REMOVE_RES}\nGROUP BY enc.id",
+    1,
+)
+assert SQL_ANN_IVFPQ_REMOVE != SQL_ANN_IVFPQ_TOPK
+
+
+def q_ann_ivfpq_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR removal from the deployed index, externally hash-checked
+    (ext/ann_index.remove_from_ivfpq_index — FAISS remove_ids semantics):
+    build the IVF-PQ index over the FULL corpus, delete every vec_id with
+    vec_id % {m} == {r} from the codes store (rewriting only the cells
+    that contain them — the data-table twin is cow_delete_where), then
+    search. The quantizer and codebooks are NOT retrained — exactly what
+    the oracle mirrors: the full-corpus training chain with the removed
+    ids filtered from the ADC candidates. A removal that leaked into the
+    trained artifacts, failed to delete a code row, or deleted too much
+    all break the hash (removed ids vanish from top-k and survivors'
+    distances must be byte-identical to the never-removed chain's).""".format(
+        m=ANN_REMOVE_MOD, r=ANN_REMOVE_RES
+    )
+    import os
+    import shutil
+
+    from ..ext import ann_index
+
+    path = f"{_ivfpq_index_dir(sf_dir)}-rm{ANN_REMOVE_MOD}_{ANN_REMOVE_RES}"
+    if not os.path.exists(os.path.join(path, "codes", "_SUCCESS")):
+        emb = load_table(spark, sf_dir, "embeddings")
+        tmp = f"{path}.build{_builder_tag()}"
+        ann_index.build_ivfpq_index(
+            emb, tmp,
+            ivf_k=IVF_K, refine_iters=IVF_REFINE_ITERS, ivf_round=IVF_ROUND,
+        )
+        removed = emb.filter(
+            F.col("vec_id") % ANN_REMOVE_MOD == ANN_REMOVE_RES
+        ).select(F.col("vec_id").cast("long").alias("id"))
+        ann_index.remove_from_ivfpq_index(spark, tmp, removed)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        try:
+            os.replace(tmp, path)
+        except OSError:
+            # concurrent builder won the rename; both indexes are identical
+            shutil.rmtree(tmp, ignore_errors=True)
+    qv = _query_vec(spark, sf_dir)
+    return ann_index.ivfpq_search(
+        spark, path, qv, k=IVFPQ_K, n_probe=IVFPQ_NPROBE,
+    )
+
+
 def _ivfpq_index_dir(sf_dir: str) -> str:
     """Deterministic on-disk location for the persisted IVF-PQ index of a
     given corpus: keyed by corpus path + the CONTENT identity of the
@@ -6080,6 +6139,12 @@ SPECS = {
         q_ann_ivfpq_prebuilt, SQL_ANN_IVFPQ_TOPK,
         "IVF-PQ search over the PERSISTED parquet index (ext/ann_index): "
         "partition-pruned cell reads, no training in the query plan",
+    ),
+    "ann_ivfpq_remove": QuerySpec(
+        q_ann_ivfpq_remove, SQL_ANN_IVFPQ_REMOVE,
+        "GDPR removal from the deployed index: delete ids from codes "
+        "(only affected cells rewritten, no retrain) then search; oracle "
+        "= never-removed chain minus the removed candidates",
     ),
     "ann_ivfpq_rerank": QuerySpec(
         q_ann_ivfpq_rerank, SQL_ANN_IVFPQ_RERANK,

@@ -1282,3 +1282,70 @@ def test_redact_pii_typed_tokens_and_counts(spark):
     # numeric TLD: not an email, but the host IS an ipv4
     assert (r5.n_email, r5.n_ipv4) == (0, 1)
     assert "<IPV4>" in r5.clean_text and "<EMAIL>" not in r5.clean_text
+
+
+def test_remove_from_ivfpq_index_cell_pruned_and_unsearchable(spark, tmp_path):
+    """GDPR removal from the deployed index: removed ids stop being
+    retrievable, ONLY the affected cells' files are rewritten (the scale
+    claim — untouched cell files are byte-identical on disk), the
+    quantizer/codebooks are untouched, and removing unknown ids is a
+    no-op."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from klogs_spark.ext import ann_index
+    from klogs_spark.views import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    path = str(tmp_path / "idx")
+    ann_index.build_ivfpq_index(emb, path)
+
+    qv = [r.embedding for r in emb.filter("vec_id = 0").collect()][0]
+    before = [
+        r.id for r in ann_index.ivfpq_search(spark, path, list(qv), k=5).collect()
+    ]
+    victim = before[1]  # a real current answer, not the query itself
+
+    # snapshot the on-disk state of every cell + the trained artifacts
+    def cell_files():
+        out = {}
+        cdir = os.path.join(path, "codes")
+        for d in os.listdir(cdir):
+            if d.startswith("centroid_id="):
+                full = os.path.join(cdir, d)
+                out[d] = {
+                    f: os.path.getmtime(os.path.join(full, f))
+                    for f in os.listdir(full)
+                }
+        return out
+
+    pre = cell_files()
+    cents_pre = sorted(
+        map(tuple, spark.read.parquet(f"{path}/centroids").collect())
+    )
+
+    res = ann_index.remove_from_ivfpq_index(spark, path, [victim])
+    assert res["cells_rewritten"] >= 1
+    assert res["rows_removed"] > 0
+
+    post = cell_files()
+    changed = {d for d in pre if pre[d] != post.get(d)}
+    untouched = {d for d in pre if pre[d] == post.get(d)}
+    assert len(changed) == res["cells_rewritten"]
+    assert untouched, "some cells must remain byte-identical"
+
+    after = [
+        r.id for r in ann_index.ivfpq_search(spark, path, list(qv), k=5).collect()
+    ]
+    assert victim not in after
+    assert len(after) == 5  # the next candidate fills the slot
+    # trained artifacts untouched (FAISS remove_ids semantics: no retrain)
+    assert sorted(
+        map(tuple, spark.read.parquet(f"{path}/centroids").collect())
+    ) == cents_pre
+
+    # unknown ids: no-op, nothing rewritten
+    res2 = ann_index.remove_from_ivfpq_index(spark, path, [10_000_000])
+    assert res2 == {"rows_removed": 0, "cells_rewritten": 0}
+    assert cell_files() == post

@@ -381,7 +381,22 @@ def recover_incomplete_rewrite(spark: SparkSession, path: str) -> int:
     marker = hpath_cls(f"{path}/{REWRITE_MARKER}")
     if not fs.exists(marker):
         return 0
-    before = set(_read_small_json(fs, hpath_cls, path, REWRITE_MARKER)["before"])
+    try:
+        before = set(
+            _read_small_json(fs, hpath_cls, path, REWRITE_MARKER)["before"]
+        )
+    except Exception:
+        # Torn marker: the claimant crashed INSIDE _claim_marker, between
+        # the create-exclusive and writing the JSON payload. The claim is
+        # the first step of a rewrite — survivor files are only ever
+        # appended after _begin_rewrite returns a fully written journal —
+        # so a torn marker proves no orphan data files exist. Drop the
+        # marker (un-wedging every future COW op) and reclaim nothing.
+        # If the claimant is in fact alive mid-write (a microsecond
+        # window), it loses its slot here and _finish_rewrite's ownership
+        # check makes it abort cleanly.
+        _must(fs.delete(marker, False), "rewrite-marker-delete", marker)
+        return 0
     manifested: set[str] = set()
     for v in snapshot_versions(spark, path):
         manifested |= set(_manifest_files(spark, path, v))

@@ -2103,3 +2103,33 @@ def test_listing_publish_refuses_claim_made_mid_listing(
     fs.delete(hpath_cls(f"{path}/{M.REWRITE_MARKER}"), False)
     # with the journal gone, the same publish succeeds
     assert M.publish_snapshot(spark, path) > 0
+
+
+def test_recover_drops_torn_claim_marker_without_reclaiming(spark, tmp_path):
+    """A crash INSIDE _claim_marker (create-exclusive succeeded, JSON
+    payload never written) leaves a torn journal. Recovery must drop it
+    and reclaim nothing — the claim is the first step of a rewrite, so a
+    torn marker proves no survivor files exist. Pre-fix the unparseable
+    marker wedged every future COW op (recover runs inside
+    _cow_base_version and raised forever)."""
+    from pathlib import Path
+
+    from klogs_spark import manifest as M
+
+    path, n_total = _race_setup(spark, tmp_path)
+    marker = Path(path) / M.REWRITE_MARKER
+    marker.parent.mkdir(exist_ok=True)
+    marker.write_bytes(b"")  # torn: created but never written
+
+    assert M.recover_incomplete_rewrite(spark, path) == 0
+    assert not marker.exists()
+    # the table is un-wedged: a real COW op runs end to end
+    n_pod7 = M.read_logs_at(spark, path).filter("pod_name = 'pod-7'").count()
+    res = M.cow_delete_where(spark, path, F.col("pod_name") == "pod-7")
+    assert res["rows_deleted"] == n_pod7
+    assert M.read_logs_at(spark, path).count() == n_total - n_pod7
+
+    # half-written garbage is the same case
+    marker.write_bytes(b'{"op": "cow_del')
+    assert M.recover_incomplete_rewrite(spark, path) == 0
+    assert not marker.exists()

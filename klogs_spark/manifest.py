@@ -945,3 +945,55 @@ def _read_all(stream) -> bytes:
             break
         chunks.append(b)
     return bytes(chunks)
+
+
+def fsck(spark: SparkSession, path: str) -> dict:
+    """Manifest-layer consistency report — the read-only health check an
+    operator runs before trusting a 100 TB table (Delta's ``fsck`` /
+    Iceberg's ``verify`` analogue). Pure metadata: one directory listing
+    plus the manifest JSONs; no data file is opened, so cost is
+    O(#files + #versions) driver work regardless of table size.
+
+    Reports, per category:
+      * ``missing``   — {version: [files]} referenced by a manifest but
+        absent on disk. Inside the vacuum horizon this is CORRUPTION
+        (a pinned snapshot that cannot be served); for older manifests it
+        is the documented pin-until-rewrite limit.
+      * ``unmanifested`` — committed appends newer than the last publish
+        (a ``publish_snapshot`` is due; vacuum rightly spares them).
+      * ``tombstoned`` — files only older manifests reference (what a
+        ``vacuum`` would reclaim).
+      * ``journal_live`` / ``journal_torn`` — a COW rewrite is in flight
+        (or crashed mid-claim; ``recover_incomplete_rewrite`` clears it).
+      * ``ok`` — no missing files in the LATEST snapshot, no torn
+        journal: every current reader is serviceable.
+    """
+    fs, hpath_cls, root = _hadoop_fs(spark, path)
+    versions = snapshot_versions(spark, path)
+    on_disk = set(_list_data_files(fs, root, hpath_cls))
+    per_version = {v: set(_manifest_files(spark, path, v)) for v in versions}
+    missing = {
+        v: sorted(refs - on_disk)
+        for v, refs in per_version.items()
+        if refs - on_disk
+    }
+    manifested = set().union(*per_version.values()) if per_version else set()
+    latest_refs = per_version[versions[-1]] if versions else set()
+    journal_live, journal_torn = False, False
+    if fs.exists(hpath_cls(f"{path}/{REWRITE_MARKER}")):
+        journal_live = True
+        try:
+            _read_small_json(fs, hpath_cls, path, REWRITE_MARKER)["before"]
+        except Exception:
+            journal_torn = True
+    return {
+        "versions": versions,
+        "n_files_on_disk": len(on_disk),
+        "missing": missing,
+        "unmanifested": sorted(on_disk - manifested),
+        "tombstoned": sorted((manifested - latest_refs) & on_disk),
+        "journal_live": journal_live,
+        "journal_torn": journal_torn,
+        "ok": not missing.get(versions[-1] if versions else None)
+        and not journal_torn,
+    }

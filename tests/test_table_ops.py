@@ -2133,3 +2133,59 @@ def test_recover_drops_torn_claim_marker_without_reclaiming(spark, tmp_path):
     marker.write_bytes(b'{"op": "cow_del')
     assert M.recover_incomplete_rewrite(spark, path) == 0
     assert not marker.exists()
+
+
+def test_fsck_reports_each_inconsistency_class(spark, tmp_path):
+    """fsck is the read-only health check: clean table -> ok; committed
+    appends after the last publish -> unmanifested; COW rewrite ->
+    tombstoned (vacuum candidates); a deleted pinned file -> missing (ok
+    stays True while only an OLD snapshot is hurt, False when the LATEST
+    is); torn journal -> journal_torn and not ok."""
+    import os
+    from pathlib import Path
+
+    from klogs_spark import manifest as M
+    from klogs_spark.table import write_logs
+    from klogs_spark.views import derive_logs_from_events
+
+    logs = derive_logs_from_events(spark, "/root/testdata/sf0.001").filter(
+        F.col("timestamp") < "2024-01-04"
+    )
+    path = str(tmp_path / "t")
+    write_logs(logs.filter("pod_name <> 'pod-7'"), path)
+    v1 = M.publish_snapshot(spark, path)
+
+    rep = M.fsck(spark, path)
+    assert rep["ok"] and not rep["missing"] and not rep["unmanifested"]
+    assert rep["versions"] == [v1]
+
+    # committed append after the publish -> unmanifested, still ok
+    write_logs(logs.filter("pod_name = 'pod-7'"), path)
+    rep = M.fsck(spark, path)
+    assert rep["ok"] and rep["unmanifested"]
+
+    # COW rewrite retains replaced files -> tombstoned, still ok
+    M.cow_delete_where(spark, path, F.second("timestamp") < 15)
+    rep = M.fsck(spark, path)
+    assert rep["ok"] and rep["tombstoned"] and not rep["unmanifested"]
+
+    # delete a file the OLD snapshot pins -> missing for v1, ok still True
+    # (latest snapshot intact); deleting a LATEST-pinned file flips ok
+    latest = M.snapshot_versions(spark, path)[-1]
+    old_only = sorted(
+        set(M._manifest_files(spark, path, v1))
+        - set(M._manifest_files(spark, path, latest))
+    )
+    os.remove(os.path.join(path, old_only[0]))
+    rep = M.fsck(spark, path)
+    assert rep["missing"].get(v1) == [old_only[0]] and rep["ok"]
+    victim = M._manifest_files(spark, path, latest)[0]
+    os.remove(os.path.join(path, victim))
+    rep = M.fsck(spark, path)
+    assert victim in rep["missing"][latest] and not rep["ok"]
+
+    # torn journal -> journal_torn, not ok
+    marker = Path(path) / M.REWRITE_MARKER
+    marker.write_bytes(b"")
+    rep = M.fsck(spark, path)
+    assert rep["journal_live"] and rep["journal_torn"] and not rep["ok"]

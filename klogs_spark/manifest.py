@@ -705,6 +705,95 @@ def cow_delete_where(
     }
 
 
+def cow_update_where(
+    spark: SparkSession,
+    path: str,
+    predicate,
+    set_exprs: dict,
+) -> dict:
+    """Copy-on-write row-level UPDATE ... SET — the remaining verb of the
+    Delta rewrite family (DELETE/MERGE/COMPACT/RESTORE/VACUUM/CDC all
+    exist): rows matching ``predicate`` get each column in ``set_exprs``
+    replaced by its expression, all SET expressions evaluated against the
+    PRE-update row (simultaneous assignment, standard UPDATE semantics —
+    a select, not chained withColumn); unmatched rows of affected days
+    are carried unchanged. Same COW discipline as
+    :func:`cow_delete_where`: journaled intent, survivors appended as new
+    files honoring the layout, replaced files retained for pinned readers
+    and CDC (``snapshot_changes`` across an update shows the changed rows
+    as delete+insert and cancels carried rows), optimistic-concurrency
+    publish.
+
+    Promoted physical columns re-derive from the (possibly updated) map
+    via ``_restore_promotions`` — updating ``fields_string`` transparently
+    refreshes its promoted column. Updating ``timestamp`` or the
+    partition column is refused: the rewrite is partition-scoped and a
+    date move is a delete+insert (that is :func:`cow_merge_upsert`'s
+    job).
+
+    Scale: identical shape to the delete — one partition-pruned predicate
+    aggregate finds affected days, the rewrite touches only those days'
+    rows, manifest math is driver-side file-list set algebra."""
+    from .table import LOG_COLUMNS
+
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    hit = F.coalesce(pred, F.lit(False))
+    exprs = {
+        c: (F.expr(e) if isinstance(e, str) else e)
+        for c, e in set_exprs.items()
+    }
+    frozen = {"timestamp", PARTITION_COLUMN} & exprs.keys()
+    unknown = exprs.keys() - set(LOG_COLUMNS)
+    if frozen or unknown:
+        raise ValueError(
+            f"cow_update_where cannot set {sorted(frozen | unknown)}: "
+            "timestamp/partition moves are delete+insert "
+            "(cow_merge_upsert); unknown columns are not in LOG_COLUMNS"
+        )
+    base_version = _cow_base_version(spark, path)
+    live = _manifest_files(spark, path, base_version)
+    df = read_snapshot(spark, path, base_version).select(
+        PARTITION_COLUMN, *LOG_COLUMNS
+    )
+    stats = (
+        df.filter(hit)
+        .groupBy(PARTITION_COLUMN)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )  # bounded by affected days
+    affected = sorted(str(r[PARTITION_COLUMN]) for r in stats)
+    rows_updated = sum(r.n for r in stats)
+    if not affected:
+        return {
+            "version": base_version,
+            "partitions_rewritten": [],
+            "rows_updated": 0,
+        }
+    before, tok = _begin_rewrite(spark, path, "cow_update_where", base_version)
+    sub = df.filter(F.col(PARTITION_COLUMN).isin(affected))
+    updated = sub.select(
+        PARTITION_COLUMN,
+        *[
+            F.when(hit, exprs[c]).otherwise(F.col(c)).alias(c)
+            if c in exprs
+            else F.col(c)
+            for c in LOG_COLUMNS
+        ],
+    )
+    survivors = _restore_promotions(spark, path, updated)
+    _append_in_layout(spark, survivors, path)
+    day_dirs = {f"{PARTITION_COLUMN}={d}" for d in affected}
+    replaced = {f for f in live if f.split("/")[0] in day_dirs}
+    version = _finish_rewrite(
+        spark, path, base_version, before, tok, set(live) - replaced
+    )
+    return {
+        "version": version,
+        "partitions_rewritten": affected,
+        "rows_updated": rows_updated,
+    }
+
+
 def cow_merge_upsert(
     spark: SparkSession,
     path: str,

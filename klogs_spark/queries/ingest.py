@@ -2312,6 +2312,83 @@ GROUP BY 1, 2
 """
 
 
+def q_table_cow_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COW UPDATE ... SET, externally hash-checked (manifest.
+    cow_update_where — the last verb of the Delta rewrite family): write
+    a promoted table, snapshot, then update every second<30 row —
+    ``log`` gains a suffix recording the PRE-update level (simultaneous-
+    assignment semantics: the SET expression must see the old map) while
+    ``fields_string`` rewrites the level to 'audited' (whose promoted
+    physical column must follow the NEW map via the rewrite's promotion
+    restore). The final read groups day × physical level and sums log
+    lengths — a chained-withColumn implementation (log would see the new
+    map), a dropped promotion, a carried-row mutation, or an unmatched-
+    day rewrite all break the hash against the oracle's closed-form
+    reconstruction from events."""
+    import tempfile
+
+    from ..manifest import cow_update_where, publish_snapshot, read_snapshot
+    from ..table import write_logs_promoted
+    from ..views import derive_logs_from_events
+
+    logs = derive_logs_from_events(spark, sf_dir).filter(
+        F.col("timestamp") < TT_CUT_V1
+    )
+    base = tempfile.mkdtemp(prefix="klogs-cowupd-")
+    tdir = f"{base}/logs"
+    write_logs_promoted(logs, tdir, {"level": "level_p"})
+    publish_snapshot(spark, tdir)
+    res = cow_update_where(
+        spark, tdir, F.second("timestamp") < 30,
+        {
+            "log": F.concat(
+                F.col("log"),
+                F.lit(" [was:"),
+                F.element_at(F.col("fields_string"), "level"),
+                F.lit("]"),
+            ),
+            "fields_string": F.map_from_arrays(
+                F.array(F.lit("level")), F.array(F.lit("audited"))
+            ),
+        },
+    )
+    return (
+        read_snapshot(spark, tdir, res["version"])
+        .groupBy(
+            F.col("date").cast("string").alias("day"),
+            F.col("level_p").alias("level"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length("log")).cast("bigint").alias("log_chars"),
+        )
+    )
+
+
+SQL_TABLE_COW_UPDATE = f"""
+WITH wk AS (
+  SELECT CAST(ts AS DATE) AS day,
+         EXTRACT(SECOND FROM ts) < 30 AS hit,
+         CASE WHEN event_type = 'error' THEN 'error'
+              WHEN event_type = 'signup' THEN 'warn'
+              ELSE 'info' END AS lvl,
+         'type=' || event_type || ' user=' || CAST(user_id AS VARCHAR)
+           || ' k=' || json_extract_string(props, '$.k')
+           || CASE WHEN event_type = 'error' THEN ' error occurred'
+              ELSE ' ok' END AS log
+  FROM events
+  WHERE ts < TIMESTAMP '{TT_CUT_V1} 00:00:00'
+)
+SELECT CAST(day AS VARCHAR) AS day,
+       CASE WHEN hit THEN 'audited' ELSE lvl END AS level,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(length(log) + CASE WHEN hit
+              THEN 6 + length(lvl) + 1 ELSE 0 END) AS BIGINT) AS log_chars
+FROM wk
+GROUP BY 1, 2
+"""
+
+
 def q_table_snapshot_mixed_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixed-schema time travel, externally hash-checked (the r12 VERDICT
     hole): a snapshot whose manifest pins BOTH plain-history files (no
@@ -2929,6 +3006,12 @@ SPECS = {
         "COW delete/merge/compact on a promotions_deficient table: every "
         "rewrite re-derives the promoted physical column from the map; "
         "final read groups by the physical column vs closed-form oracle"),
+    "table_cow_update": QuerySpec(
+        q_table_cow_update, SQL_TABLE_COW_UPDATE,
+        "COW UPDATE...SET: simultaneous-assignment SET expressions (log "
+        "records the PRE-update level, map gets the new one), promoted "
+        "column follows the updated map; grouped read vs closed-form "
+        "oracle"),
     "table_snapshot_mixed_schema": QuerySpec(
         q_table_snapshot_mixed_schema, SQL_TABLE_SNAPSHOT_MIXED_SCHEMA,
         "time travel over a mixed promoted/plain snapshot: read_snapshot "

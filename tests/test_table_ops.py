@@ -2189,3 +2189,84 @@ def test_fsck_reports_each_inconsistency_class(spark, tmp_path):
     marker.write_bytes(b"")
     rep = M.fsck(spark, path)
     assert rep["journal_live"] and rep["journal_torn"] and not rep["ok"]
+
+
+def test_cow_update_where_rewrites_rows_and_feeds_cdc(spark, tmp_path):
+    """UPDATE semantics end to end: matched rows get ALL SET expressions
+    evaluated against the pre-update row (simultaneous assignment),
+    unmatched rows carry byte-identical, replaced files stay readable at
+    the pinned version, CDC across the update is delete+insert for
+    exactly the changed rows, promoted columns follow the updated map,
+    and timestamp/partition SETs are refused."""
+    import pytest as _pytest
+
+    from klogs_spark import manifest as M
+    from klogs_spark.table import write_logs_promoted
+    from klogs_spark.views import derive_logs_from_events
+
+    logs = derive_logs_from_events(spark, "/root/testdata/sf0.001").filter(
+        F.col("timestamp") < "2024-01-04"
+    )
+    path = str(tmp_path / "t")
+    write_logs_promoted(logs, path, {"level": "level_p"})
+    v1 = M.publish_snapshot(spark, path)
+    n_total = logs.count()
+    n_hit = logs.filter("pod_name = 'pod-7'").count()
+    assert 0 < n_hit < n_total
+
+    # simultaneous assignment: log references the PRE-update level map
+    res = M.cow_update_where(
+        spark, path, F.col("pod_name") == "pod-7",
+        {
+            "log": F.concat(
+                F.lit("SEEN:"),
+                F.element_at(F.col("fields_string"), "level"),
+            ),
+            "fields_string": F.map_from_arrays(
+                F.array(F.lit("level")), F.array(F.lit("redacted"))
+            ),
+        },
+    )
+    assert res["rows_updated"] == n_hit
+
+    after = M.read_logs_at(spark, path, res["version"])
+    assert after.count() == n_total
+    hit = after.filter("pod_name = 'pod-7'")
+    # log captured the OLD level; the map (and thus the promoted column)
+    # hold the NEW one
+    assert hit.filter("log NOT LIKE 'SEEN:%'").count() == 0
+    assert hit.filter("log LIKE '%redacted%'").count() == 0
+    assert hit.filter(
+        "fields_string['level'] <> 'redacted'"
+    ).count() == 0
+    promoted = M.read_snapshot(spark, path, res["version"])
+    assert promoted.filter(
+        "pod_name = 'pod-7' AND level_p <> 'redacted'"
+    ).count() == 0
+    # unmatched rows carried unchanged; pinned pre-update version intact
+    assert after.filter("pod_name <> 'pod-7' AND log LIKE 'SEEN:%'").count() == 0
+    assert M.read_logs_at(spark, path, v1).filter(
+        "log LIKE 'SEEN:%'"
+    ).count() == 0
+
+    # CDC: exactly the changed rows appear, as delete+insert
+    feed = M.snapshot_changes(spark, path, v1, res["version"])
+    counts = {r._change_type: r.n for r in feed.groupBy("_change_type").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"insert": n_hit, "delete": n_hit}
+
+    # frozen columns refused
+    with _pytest.raises(ValueError, match="cannot set"):
+        M.cow_update_where(
+            spark, path, "pod_name = 'pod-7'",
+            {"timestamp": F.current_timestamp()},
+        )
+    # no-match predicate: no-op at the same version
+    res2 = M.cow_update_where(
+        spark, path, "pod_name = 'no-such-pod'", {"log": F.lit("x")}
+    )
+    assert res2 == {
+        "version": res["version"],
+        "partitions_rewritten": [],
+        "rows_updated": 0,
+    }

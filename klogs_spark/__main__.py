@@ -155,6 +155,29 @@ def main(argv: list[str] | None = None) -> int:
     pcm.add_argument("--keys", default="timestamp",
                      help="comma-separated merge key columns")
 
+    pcu = sub.add_parser("cow-update",
+                         help="copy-on-write UPDATE ... SET (replaced "
+                              "files retained — vacuum later)")
+    pcu.add_argument("table")
+    pcu.add_argument("predicate", help="SQL predicate selecting rows")
+    pcu.add_argument("--set", dest="sets", action="append", required=True,
+                     metavar="COL=EXPR",
+                     help="column=SQL-expression (repeatable; expressions "
+                          "see the PRE-update row)")
+
+    pfs = sub.add_parser("fsck",
+                         help="read-only manifest consistency report "
+                              "(missing/unmanifested/tombstoned files, "
+                              "journal state)")
+    pfs.add_argument("table")
+
+    prm = sub.add_parser("ann-remove",
+                         help="delete vector ids from the IVF-PQ codes "
+                              "store (GDPR; only affected cells "
+                              "rewritten, no retrain)")
+    prm.add_argument("index_path")
+    prm.add_argument("ids", help="comma-separated vector ids")
+
     pad_ = sub.add_parser("ann-drift",
                           help="IVF-PQ serving-build drift (ppm of "
                                "post-training vectors)")
@@ -340,6 +363,45 @@ def main(argv: list[str] | None = None) -> int:
             f"inserted {res['rows_inserted']}; rewrote "
             f"{res['partitions_rewritten']} (replaced files retained — "
             "run vacuum to reclaim)"
+        )
+        return 0
+
+    if args.cmd == "cow-update":
+        from .manifest import cow_update_where
+
+        set_exprs = {}
+        for s in args.sets:
+            col, _, expr = s.partition("=")
+            if not expr:
+                raise SystemExit(f"--set needs COL=EXPR, got {s!r}")
+            set_exprs[col.strip()] = expr
+        res = cow_update_where(spark, args.table, args.predicate, set_exprs)
+        print(
+            f"v{res['version']}: updated {res['rows_updated']} row(s); "
+            f"rewrote {res['partitions_rewritten']} (replaced files "
+            "retained — run vacuum to reclaim)"
+        )
+        return 0
+
+    if args.cmd == "fsck":
+        import json as _json
+
+        from .manifest import fsck
+
+        rep = fsck(spark, args.table)
+        print(_json.dumps(rep, indent=2))
+        return 0 if rep["ok"] else 1
+
+    if args.cmd == "ann-remove":
+        from .ext.ann_index import remove_from_ivfpq_index
+
+        res = remove_from_ivfpq_index(
+            spark, args.index_path,
+            [int(x) for x in args.ids.split(",") if x],
+        )
+        print(
+            f"removed {res['rows_removed']} code row(s) across "
+            f"{res['cells_rewritten']} cell(s)"
         )
         return 0
 

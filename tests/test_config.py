@@ -163,3 +163,46 @@ def test_cli_cow_merge_and_ann_commands(spark, tmp_path, capsys):
         ["ann-rebuild", root, emb_dir, "--threshold-ppm", "1"]
     ) == 0
     assert "below threshold" in capsys.readouterr().out
+
+
+def test_cli_cow_update_fsck_and_ann_remove(spark, tmp_path, capsys):
+    """Round-13 operator surface: cow-update with SQL SET expressions,
+    fsck's report + exit code, and ann-remove by id list."""
+    from pyspark.sql import functions as F
+
+    from klogs_spark.__main__ import main
+    from klogs_spark.ext import ann_index
+    from klogs_spark.manifest import publish_snapshot, read_logs_at
+    from klogs_spark.table import write_logs
+    from klogs_spark.views import derive_logs_from_events, load_table
+
+    logs = derive_logs_from_events(spark, "/root/testdata/sf0.001").filter(
+        F.col("timestamp") < "2024-01-03"
+    )
+    path = str(tmp_path / "t")
+    write_logs(logs, path)
+    publish_snapshot(spark, path)
+
+    assert main([
+        "cow-update", path, "pod_name = 'pod-7'",
+        "--set", "log=concat(log, ' [cli]')",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "updated" in out and "retained" in out
+    after = read_logs_at(spark, path)
+    assert after.filter("log LIKE '%[cli]'").count() == logs.filter(
+        "pod_name = 'pod-7'"
+    ).count()
+
+    assert main(["fsck", path]) == 0
+    rep = capsys.readouterr().out
+    assert '"ok": true' in rep and '"tombstoned"' in rep
+
+    idx = str(tmp_path / "idx")
+    ann_index.build_ivfpq_index(
+        load_table(spark, "/root/testdata/sf0.001", "embeddings"), idx
+    )
+    assert main(["ann-remove", idx, "1,2,3"]) == 0
+    assert "cell(s)" in capsys.readouterr().out
+    codes = spark.read.parquet(f"{idx}/codes")
+    assert codes.filter("id IN (1, 2, 3)").count() == 0

@@ -23,8 +23,9 @@ contract, stated explicitly: snapshots pin FILES, so the IN-PLACE
 maintenance jobs (``table.compact_partition``, ``table.delete_where``,
 retention, reprocess) invalidate older snapshots that reference the
 rewritten files — pin-until-next-rewrite. The COPY-ON-WRITE tier
-(:func:`cow_delete_where`, :func:`cow_compact_partition`,
-:func:`cow_merge_upsert`) gives the full Delta-style model on top:
+(:func:`cow_delete_where`, :func:`cow_update_where`,
+:func:`cow_compact_partition`, :func:`cow_merge_upsert`) gives the full
+Delta-style verb set on top:
 replaced files are RETAINED for pinned readers and CDC
 (:func:`snapshot_changes`), rewrites journal their intent for crash
 recovery (:func:`recover_incomplete_rewrite`), overlapping rewrites are

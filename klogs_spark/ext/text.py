@@ -1224,3 +1224,89 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     for kind, pat in PII_PATTERNS:
         clean = F.regexp_replace(clean, pat, f"<{kind.upper()}>")
     return out.withColumn("clean_text", clean)
+
+
+# --- BPE vocabulary training -------------------------------------------------
+def bpe_train_merges(
+    docs: DataFrame, k: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """Distributed byte-pair-encoding vocabulary training (Sennrich,
+    Haddow & Birch 2016) — learn the first ``k`` merge rules from the
+    corpus, the table a tokenizer build ships.
+
+    Algorithm and cost shape: BPE trains on the WORD FREQUENCY table,
+    not the corpus — the only corpus-sized pass is one whitespace-split
+    word count; the ``k`` merge rounds then iterate over the vocab-sized
+    (word, freq) table (pair count → argmax → apply merge), which is
+    metadata scale even at 100 TB (vocabulary grows Heaps-sublinearly).
+    Ties on the pair count break lexicographically on (left, right) so
+    the merge sequence is engine-exact.
+
+    Symbol strings use the boundary-guarded encoding
+    ``'·' + sym1 + '··' + sym2 + '··' ... + '·'`` (single sentinel at the
+    edges, double between symbols): the merge of pair (a, b) is then the
+    LITERAL replace of ``'·a··b·'`` with ``'·ab·'``, whose left-to-right
+    non-overlapping scan is exactly BPE's greedy application — adjacent
+    disjoint pairs both rewrite (each keeps one sentinel of the shared
+    boundary), overlapping ones don't, and a pair can never false-match
+    inside a longer symbol (its guards would have to be symbol-interior
+    sentinels, which the encoding never produces). Plain ``replace``, no
+    regex — identical semantics in Spark and the DuckDB oracle.
+
+    Returns (merge_rank, left_sym, right_sym, merged, weighted_count).
+    """
+    spark = docs.sparkSession
+    words = (
+        docs.select(
+            F.explode(
+                F.split(F.lower(F.col(text_col)), r"\s+")
+            ).alias("w")
+        )
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    init = F.concat(
+        F.lit("·"), F.regexp_replace(F.col("w"), "(.)", "$1··")
+    )
+    init = F.substring(init, 1, F.length(init) - 1)
+    state = words.select(init.alias("sym"), "freq").cache()
+    state.count()  # materialize: the one corpus-sized pass
+    merges = []
+    for rank in range(1, k + 1):
+        toks = F.split(F.expr("trim(BOTH '·' FROM sym)"), "··")
+        pairs = state.withColumn("t", toks).select(
+            "freq",
+            F.explode(
+                F.arrays_zip(
+                    F.expr("slice(t, 1, size(t) - 1)").alias("a"),
+                    F.expr("slice(t, 2, size(t) - 1)").alias("b"),
+                )
+            ).alias("p"),
+        )
+        best = (
+            pairs.groupBy(
+                F.col("p.a").alias("a"), F.col("p.b").alias("b")
+            )
+            .agg(F.sum("freq").alias("c"))
+            .orderBy(F.col("c").desc(), "a", "b")
+            .first()
+        )
+        if best is None:
+            break
+        merges.append(
+            (rank, best.a, best.b, best.a + best.b, int(best.c))
+        )
+        state = state.withColumn(
+            "sym",
+            F.replace(
+                F.col("sym"),
+                F.lit(f"·{best.a}··{best.b}·"),
+                F.lit(f"·{best.a}{best.b}·"),
+            ),
+        )
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, left_sym string, right_sym string, "
+        "merged string, weighted_count bigint",
+    )

@@ -1981,6 +1981,71 @@ def q_text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_MERGES = 8
+BPE_MAX_SYMS = 40  # generate_series bound; >= longest word's char count
+
+
+def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE vocabulary training (ext.text.bpe_train_merges —
+    Sennrich et al. 2016), externally hash-checked: learn the first {k}
+    merge rules from the document corpus. The only corpus-sized pass is
+    the whitespace word count; the merge rounds iterate the vocab-sized
+    frequency table (pair count → argmax with lexicographic tie-break →
+    literal boundary-guarded replace). The oracle unrolls the same {k}
+    rounds as MATERIALIZED CTEs over the identical sentinel encoding —
+    a wrong pair count, a tie broken differently, a merge that rewrites
+    overlapping occurrences, or one that false-matches inside a longer
+    symbol all derail the merge sequence and break the hash.""".format(
+        k=BPE_MERGES
+    )
+    return tx.bpe_train_merges(
+        load_table(spark, sf_dir, "documents"), k=BPE_MERGES
+    )
+
+
+def _sql_bpe_round(r: int) -> str:
+    return f"""
+t{r} AS (
+  SELECT string_split(trim(sym, '·'), '··') AS L, freq FROM s{r - 1}
+),
+pc{r} AS (
+  SELECT L[i] AS a, L[i + 1] AS b, SUM(freq) AS c
+  FROM t{r}, generate_series(1, {BPE_MAX_SYMS}) AS g(i)
+  WHERE i < len(L)
+  GROUP BY 1, 2
+),
+b{r} AS MATERIALIZED (
+  SELECT a, b, CAST(c AS BIGINT) AS c FROM pc{r}
+  ORDER BY c DESC, a, b LIMIT 1
+),
+s{r} AS MATERIALIZED (
+  SELECT replace(sym, '·' || b.a || '··' || b.b || '·',
+                 '·' || b.a || b.b || '·') AS sym, freq
+  FROM s{r - 1}, b{r} b
+)"""
+
+
+SQL_TEXT_BPE_MERGES = f"""
+WITH w0 AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+    SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
+    FROM documents
+  ) WHERE length(w) > 0 GROUP BY 1
+),
+s0 AS MATERIALIZED (
+  SELECT substr(x, 1, length(x) - 1) AS sym, freq FROM (
+    SELECT '·' || regexp_replace(w, '(.)', '\\1··', 'g') AS x, freq
+    FROM w0
+  )
+),{",".join(_sql_bpe_round(r) for r in range(1, BPE_MERGES + 1))}
+{" UNION ALL ".join(
+    f"SELECT {r} AS merge_rank, a AS left_sym, b AS right_sym, "
+    f"a || b AS merged, c AS weighted_count FROM b{r}"
+    for r in range(1, BPE_MERGES + 1)
+)}
+"""
+
+
 def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed PII scrubbing (ext.text.redact_pii) — the census-and-redact
     pass a pretraining corpus runs before anything ships, externally
@@ -5938,6 +6003,11 @@ SPECS = {
         q_hybrid_rrf, SQL_HYBRID_RRF,
         "hybrid retrieval: reciprocal-rank fusion of BM25 and cosine "
         "top-k sides (bounded rank windows, keyed fuse) vs RRF oracle"),
+    "text_bpe_merges": QuerySpec(
+        q_text_bpe_merges, SQL_TEXT_BPE_MERGES,
+        "distributed BPE vocabulary training: first 8 merge rules from "
+        "the word-frequency table (one corpus pass), boundary-guarded "
+        "literal merges, lexicographic tie-breaks vs unrolled-CTE oracle"),
     "text_pii_redact_typed": QuerySpec(
         q_text_pii_redact, SQL_TEXT_PII_REDACT,
         "typed PII scrub (email/ipv4/ssn/phone; extends the email-only "

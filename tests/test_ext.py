@@ -1349,3 +1349,45 @@ def test_remove_from_ivfpq_index_cell_pruned_and_unsearchable(spark, tmp_path):
     res2 = ann_index.remove_from_ivfpq_index(spark, path, [10_000_000])
     assert res2 == {"rows_removed": 0, "cells_rewritten": 0}
     assert cell_files() == post
+
+
+def test_bpe_train_merges_textbook_sequence_and_guards(spark):
+    """Sennrich et al.'s running example must produce the canonical merge
+    sequence (es, est, lo, low, ...); the boundary-guarded encoding must
+    neither rewrite overlapping occurrences nor false-match inside longer
+    symbols; exhausted vocab stops early."""
+    from klogs_spark.ext.text import bpe_train_merges
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6
+                      + ["widest"] * 3))],
+        "doc_id int, text string",
+    )
+    got = [
+        (r.merge_rank, r.left_sym, r.right_sym, r.merged, r.weighted_count)
+        for r in bpe_train_merges(docs, k=4).collect()
+    ]
+    assert got == [
+        (1, "e", "s", "es", 9),
+        (2, "es", "t", "est", 9),
+        (3, "l", "o", "lo", 7),
+        (4, "lo", "w", "low", 7),
+    ]
+
+    # overlap: 'aaa' has pairs (a,a)x2 but ONE greedy merge per word pass
+    # -> after merging (a,a), 'aaa' becomes 'aa'+'a', so round 2's top
+    # pair is (aa, a), never a phantom second (a, a) inside one triple
+    tri = spark.createDataFrame(
+        [(1, "aaa aaa aaa")], "doc_id int, text string"
+    )
+    got = [
+        (r.left_sym, r.right_sym, r.weighted_count)
+        for r in bpe_train_merges(tri, k=2).collect()
+    ]
+    assert got == [("a", "a", 6), ("aa", "a", 3)]
+
+    # single-char vocab exhausts instantly: no merges, no crash
+    assert bpe_train_merges(
+        spark.createDataFrame([(1, "a b c")], "doc_id int, text string"),
+        k=3,
+    ).count() == 0

@@ -1228,8 +1228,11 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 # --- BPE vocabulary training -------------------------------------------------
 def bpe_train_merges(
-    docs: DataFrame, k: int = 8, text_col: str = "text"
-) -> DataFrame:
+    docs: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    return_state: bool = False,
+):
     """Distributed byte-pair-encoding vocabulary training (Sennrich,
     Haddow & Birch 2016) — learn the first ``k`` merge rules from the
     corpus, the table a tokenizer build ships.
@@ -1253,7 +1256,9 @@ def bpe_train_merges(
     sentinels, which the encoding never produces). Plain ``replace``, no
     regex — identical semantics in Spark and the DuckDB oracle.
 
-    Returns (merge_rank, left_sym, right_sym, merged, weighted_count).
+    Returns (merge_rank, left_sym, right_sym, merged, weighted_count);
+    with ``return_state=True`` also the post-merge (sym, freq) table,
+    the trained state :func:`bpe_encode_stats` tokenizes with.
     """
     spark = docs.sparkSession
     words = (
@@ -1305,8 +1310,45 @@ def bpe_train_merges(
                 F.lit(f"·{best.a}{best.b}·"),
             ),
         )
-    return spark.createDataFrame(
+    merges_df = spark.createDataFrame(
         merges,
         "merge_rank int, left_sym string, right_sym string, "
         "merged string, weighted_count bigint",
+    )
+    return (merges_df, state) if return_state else merges_df
+
+
+def bpe_encode_stats(
+    docs: DataFrame, k: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """Corpus token statistics under the learned BPE vocabulary — the
+    token-counting pass a training-data budget is planned with, using a
+    REAL learned tokenizer instead of a whitespace proxy. Trains the
+    first ``k`` merges (:func:`bpe_train_merges`), applies them, and
+    reports one row: total corpus tokens (sum over words of
+    freq × symbols-per-word), distinct word types, distinct symbol types
+    (the effective vocabulary), and the raw character-token count the
+    merges compressed from. Same cost shape as training: one corpus
+    pass, then vocab-sized work."""
+    merges_df, state = bpe_train_merges(
+        docs, k=k, text_col=text_col, return_state=True
+    )
+    toks = F.split(F.expr("trim(BOTH '·' FROM sym)"), "··")
+    per_word = state.select(
+        "sym", "freq", F.size(toks).alias("n_syms"), toks.alias("t")
+    )
+    totals = per_word.agg(
+        F.sum(F.col("freq") * F.col("n_syms")).cast("bigint").alias(
+            "total_tokens"
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("n_word_types"),
+        F.sum(
+            F.col("freq") * F.length(F.translate(F.col("sym"), "·", ""))
+        ).cast("bigint").alias("total_chars"),
+    )
+    n_symbol_types = (
+        per_word.select(F.explode("t").alias("s")).distinct().count()
+    )
+    return totals.withColumn(
+        "n_symbol_types", F.lit(n_symbol_types).cast("bigint")
     )

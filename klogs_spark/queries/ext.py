@@ -2046,6 +2046,49 @@ s0 AS MATERIALIZED (
 """
 
 
+def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token statistics under the LEARNED BPE vocabulary
+    (ext.text.bpe_encode_stats) — token counting with a real trained
+    tokenizer, the number a training-data budget is planned with. One
+    row: total tokens after the {k} learned merges, word types, symbol
+    types (effective vocabulary), and the raw character-token count the
+    merges compressed from. The oracle extends the training chain: the
+    post-merge state's symbols-per-word, frequency-weighted. A merge
+    mis-applied anywhere in the corpus changes total_tokens.""".format(
+        k=BPE_MERGES
+    )
+    return tx.bpe_encode_stats(
+        load_table(spark, sf_dir, "documents"), k=BPE_MERGES
+    )
+
+
+SQL_TEXT_BPE_ENCODE = f"""
+WITH w0 AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+    SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
+    FROM documents
+  ) WHERE length(w) > 0 GROUP BY 1
+),
+s0 AS MATERIALIZED (
+  SELECT substr(x, 1, length(x) - 1) AS sym, freq FROM (
+    SELECT '·' || regexp_replace(w, '(.)', '\\1··', 'g') AS x, freq
+    FROM w0
+  )
+),{",".join(_sql_bpe_round(r) for r in range(1, BPE_MERGES + 1))},
+fin AS (
+  SELECT sym, string_split(trim(sym, '·'), '··') AS L, freq
+  FROM s{BPE_MERGES}
+)
+SELECT CAST(SUM(freq * len(L)) AS BIGINT) AS total_tokens,
+       CAST(count(*) AS BIGINT) AS n_word_types,
+       CAST(SUM(freq * length(replace(sym, '·', ''))) AS BIGINT)
+         AS total_chars,
+       (SELECT CAST(count(DISTINCT u.s) AS BIGINT)
+        FROM fin, unnest(fin.L) AS u(s)) AS n_symbol_types
+FROM fin
+"""
+
+
 def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed PII scrubbing (ext.text.redact_pii) — the census-and-redact
     pass a pretraining corpus runs before anything ships, externally
@@ -6008,6 +6051,11 @@ SPECS = {
         "distributed BPE vocabulary training: first 8 merge rules from "
         "the word-frequency table (one corpus pass), boundary-guarded "
         "literal merges, lexicographic tie-breaks vs unrolled-CTE oracle"),
+    "text_bpe_encode": QuerySpec(
+        q_text_bpe_encode, SQL_TEXT_BPE_ENCODE,
+        "token counting under the learned BPE vocabulary: corpus totals "
+        "after the 8 trained merges (tokens/word types/symbol types/raw "
+        "chars) vs the oracle's post-merge state"),
     "text_pii_redact_typed": QuerySpec(
         q_text_pii_redact, SQL_TEXT_PII_REDACT,
         "typed PII scrub (email/ipv4/ssn/phone; extends the email-only "

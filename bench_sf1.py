@@ -153,6 +153,11 @@ def main() -> None:
         # 10x measurement (fingerprint equi-joins + anti-join + row-local
         # array_sort rebuild — the claim is corpus-linear, prove it)
         ("dedup_remove_repeated_spans", "documents"),
+        # r13: BPE training claims ONE corpus-sized pass (the word count)
+        # + vocab-scale merge rounds; the replicas suffix tokens so the
+        # vocabulary genuinely grows 10x with the corpus — the ratio
+        # measures both the pass and the vocab-side scaling
+        ("text_bpe_merges", "documents"),
     ]
 
     results: dict = {}

@@ -664,3 +664,20 @@ def test_read_snapshot_mergeschema_still_partition_prunes(spark, tmp_path):
     df = read_snapshot(spark, path, v).filter("date = DATE'2024-01-10'")
     files = [r[0] for r in df.select(F.input_file_name()).distinct().collect()]
     assert files and all("date=2024-01-10" in f for f in files)
+
+
+def test_pii_redact_stays_whole_stage_codegen(spark):
+    """The typed PII scrub is a JVM-side regexp pass — no Python runner
+    may appear in its plan (the corpus-linear claim at 100 TB)."""
+    plan = _plan(spark, "text_pii_redact_typed")
+    assert "EvalPython" not in plan  # Batch/ArrowEvalPython = Python UDF
+    # (WholeStageCodegen spans are not printed in AQE's pre-execution
+    # formatted plan — the no-Python-runner assertion is the contract)
+
+
+def test_bpe_encode_no_python_and_single_corpus_pass(spark):
+    """BPE stats plans as pure JVM work (splits/replaces/aggregates) —
+    no Python runner; the corpus-sized input appears once per aggregate,
+    never a join back against the raw documents."""
+    plan = _plan(spark, "text_bpe_encode")
+    assert "EvalPython" not in plan

@@ -121,3 +121,65 @@ class ClickHouseSink:
 
     def __call__(self, df: DataFrame, batch_id: int) -> None:
         self.write_batch(df, batch_id)
+
+
+def clickhouse_ddl(
+    cluster: str | None = None,
+    database: str = "logs",
+    ttl_days: int = 30,
+) -> str:
+    """Emit the ClickHouse DDL for the logs table, DERIVED from the
+    engine's own schema constants (schema.LOG_SCHEMA / CLUSTER_KEY) —
+    the bootstrap statement a deployment runs before pointing the sink
+    at a cluster, and a parity artifact: every column type, the daily
+    partitioning, the sort key, and the TTL mirror the reference DDL
+    (reference schema.sql:3-19; cluster/Distributed variant :1,21).
+    ``cluster=None`` emits the single-node MergeTree form; a cluster
+    name emits ReplicatedMergeTree + the Distributed facade. The string
+    is REGENERATED from LOG_SCHEMA, so a schema drift in the engine
+    shows up here (and in the pinned test) instead of silently
+    diverging from what the sink INSERTs."""
+    from pyspark.sql.types import DoubleType, MapType, StringType, TimestampType
+
+    from .schema import CLUSTER_KEY, LOG_SCHEMA
+
+    def ch_type(field) -> str:
+        t = field.dataType
+        if isinstance(t, TimestampType):
+            return "DateTime64(3) CODEC(Delta, LZ4)"
+        if isinstance(t, MapType):
+            v = "Float64" if isinstance(t.valueType, DoubleType) else "String"
+            return f"Map(LowCardinality(String), {v})"
+        if isinstance(t, StringType):
+            # the free-text payload is ZSTD; envelope dims dictionary-encode
+            return (
+                "String CODEC(ZSTD(1))"
+                if field.name == "log"
+                else "LowCardinality(String)"
+            )
+        raise ValueError(f"no ClickHouse mapping for {field}")
+
+    on_cluster = f" ON CLUSTER '{cluster}'" if cluster else ""
+    cols = ",\n    ".join(
+        f"`{f.name}` {ch_type(f)}" for f in LOG_SCHEMA.fields
+    )
+    engine = "ReplicatedMergeTree" if cluster else "MergeTree()"
+    order_by = ", ".join([*CLUSTER_KEY, "timestamp"])
+    ddl = (
+        f"CREATE DATABASE IF NOT EXISTS {database}{on_cluster} "
+        "ENGINE=Atomic;\n\n"
+        f"CREATE TABLE IF NOT EXISTS {database}.logs_local{on_cluster}\n(\n"
+        f"    {cols}\n)\n"
+        f"ENGINE = {engine}\n"
+        "PARTITION BY toDate(timestamp)\n"
+        f"ORDER BY ({order_by})\n"
+        f"TTL toDateTime(timestamp) + INTERVAL {ttl_days} DAY;"
+    )
+    if cluster:
+        ddl += (
+            f"\n\nCREATE TABLE IF NOT EXISTS {database}.logs{on_cluster} "
+            f"AS {database}.logs_local "
+            f"ENGINE = Distributed('{cluster}', {database}, logs_local, "
+            "rand());"
+        )
+    return ddl

@@ -318,3 +318,34 @@ def test_sink_insert_sql_round_trips_through_duckdb(spark, tmp_path):
     )
     got = sorted((t, ns, fs, fn, lg) for t, ns, fs, fn, lg in back)
     assert got == expect
+
+
+def test_clickhouse_ddl_mirrors_reference_schema():
+    """The emitted DDL is derived from LOG_SCHEMA/CLUSTER_KEY — every
+    reference column with its exact ClickHouse type (schema.sql:3-15),
+    daily partitioning, the full sort key, the 30-day TTL, and the
+    Distributed facade in cluster mode. A schema drift in the engine
+    breaks this pin instead of silently diverging from the sink."""
+    from klogs_spark.schema import CLUSTER_KEY, LOG_COLUMNS
+    from klogs_spark.sink_clickhouse import clickhouse_ddl
+
+    ddl = clickhouse_ddl()
+    assert "`timestamp` DateTime64(3) CODEC(Delta, LZ4)" in ddl
+    for c in ("cluster", "namespace", "app", "pod_name",
+              "container_name", "host"):
+        assert f"`{c}` LowCardinality(String)" in ddl
+    assert "`fields_string` Map(LowCardinality(String), String)" in ddl
+    assert "`fields_number` Map(LowCardinality(String), Float64)" in ddl
+    assert "`log` String CODEC(ZSTD(1))" in ddl
+    assert all(f"`{c}`" in ddl for c in LOG_COLUMNS)
+    assert "PARTITION BY toDate(timestamp)" in ddl
+    assert f"ORDER BY ({', '.join([*CLUSTER_KEY, 'timestamp'])})" in ddl
+    assert "TTL toDateTime(timestamp) + INTERVAL 30 DAY" in ddl
+    assert "ENGINE = MergeTree()" in ddl and "Distributed" not in ddl
+
+    clustered = clickhouse_ddl(cluster="prod")
+    assert "ReplicatedMergeTree" in clustered
+    assert "ON CLUSTER 'prod'" in clustered
+    assert (
+        "ENGINE = Distributed('prod', logs, logs_local, rand())" in clustered
+    )

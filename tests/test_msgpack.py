@@ -269,3 +269,31 @@ def test_unpack_truncation_in_every_length_family():
     for payload in cases:
         with pytest.raises(MsgpackError):
             unpack_one(payload)
+
+
+def test_fixstr_intern_cache_is_bounded_and_correct():
+    """The decoder's fixstr intern cache must stop ADMITTING at its cap
+    (high-cardinality traffic degrades to plain decoding, never unbounded
+    memory) while lookups keep returning correct values — including after
+    the cap is hit and for strings that differ only beyond the cache."""
+    from klogs_spark.msgpack_lite import (
+        _STR_CACHE,
+        _STR_CACHE_MAX,
+        pack,
+        unpack_one,
+    )
+
+    n = _STR_CACHE_MAX + 5_000
+    # distinct short strings, each <= 31 bytes so all take the fixstr path
+    vals = [f"k{i:020d}" for i in range(n)]
+    for v in vals[:: max(n // 2_000, 1)]:  # spot-decode a spread of them
+        assert unpack_one(pack(v)) == v
+    # bulk-decode everything once to push the cache to (and past) its cap
+    blob = pack(vals[: 1 << 10])
+    assert unpack_one(blob) == vals[: 1 << 10]
+    for v in vals:
+        unpack_one(pack(v))
+    assert len(_STR_CACHE) <= _STR_CACHE_MAX
+    # post-cap decodes are still correct, cached or not
+    assert unpack_one(pack(vals[-1])) == vals[-1]
+    assert unpack_one(pack("zz-never-seen")) == "zz-never-seen"

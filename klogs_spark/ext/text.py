@@ -1275,7 +1275,9 @@ def bpe_train_merges(
         F.lit("·"), F.regexp_replace(F.col("w"), "(.)", "$1··")
     )
     init = F.substring(init, 1, F.length(init) - 1)
-    state = words.select(init.alias("sym"), "freq").cache()
+    from .caching import cache_tracked
+
+    state = cache_tracked(words.select(init.alias("sym"), "freq"))
     state.count()  # materialize: the one corpus-sized pass
     merges = []
     for rank in range(1, k + 1):

@@ -2270,3 +2270,60 @@ def test_cow_update_where_rewrites_rows_and_feeds_cdc(spark, tmp_path):
         "partitions_rewritten": [],
         "rows_updated": 0,
     }
+
+
+def test_gdpr_forget_flow_table_and_index_end_to_end(spark, tmp_path):
+    """The complete right-to-be-forgotten story in one flow: COW-delete
+    the user's rows from the logs table (pinned pre-delete snapshots stay
+    readable until vacuum, then nothing), remove their vectors from the
+    deployed ANN index (no longer retrievable by similarity), and verify
+    the token-Bloom sidecar stays a safe OVER-approximation (stale bloom
+    bits can only cause extra pruning candidates, never wrong answers)."""
+    from klogs_spark import manifest as M
+    from klogs_spark.ext import ann_index
+    from klogs_spark.table import write_logs, write_token_bloom_index
+    from klogs_spark.table import fulltext_token_search
+    from klogs_spark.views import derive_logs_from_events, load_table
+
+    logs = derive_logs_from_events(spark, "/root/testdata/sf0.001").filter(
+        F.col("timestamp") < "2024-01-05"
+    )
+    path = str(tmp_path / "logs")
+    write_logs(logs, path)
+    write_token_bloom_index(spark, path)
+    v1 = M.publish_snapshot(spark, path)
+    victim_pred = F.col("pod_name") == "pod-7"
+    n_victim = logs.filter(victim_pred).count()
+    assert n_victim > 0
+
+    # 1. table: COW delete, time-travel window, then vacuum closes it
+    res = M.cow_delete_where(spark, path, victim_pred)
+    assert res["rows_deleted"] == n_victim
+    assert M.read_logs_at(spark, path).filter(victim_pred).count() == 0
+    assert (  # audit window still serves the pinned pre-delete snapshot
+        M.read_logs_at(spark, path, v1).filter(victim_pred).count()
+        == n_victim
+    )
+    M.vacuum(spark, path, keep_versions=1)
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        M.read_logs_at(spark, path, v1).count()
+    assert M.fsck(spark, path)["ok"]
+
+    # 2. bloom sidecar: stale bits are a safe over-approximation — the
+    # pruned scan still returns ZERO rows for the forgotten user's tokens
+    hits = fulltext_token_search(spark, path, ["user=7"])
+    assert hits.filter(victim_pred).count() == 0
+
+    # 3. index: the user's vectors stop being similarity-retrievable
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    idx = str(tmp_path / "idx")
+    ann_index.build_ivfpq_index(emb, idx)
+    victim_ids = [r.vec_id for r in emb.filter(
+        "vec_id % 50 = 7").select("vec_id").collect()]
+    ann_index.remove_from_ivfpq_index(spark, idx, victim_ids)
+    qv = [r.embedding for r in emb.filter("vec_id = 0").collect()][0]
+    got = [r.id for r in ann_index.ivfpq_search(
+        spark, idx, list(qv), k=10, n_probe=4).collect()]
+    assert not set(got) & set(victim_ids)

@@ -158,6 +158,9 @@ def main() -> None:
         # vocabulary genuinely grows 10x with the corpus — the ratio
         # measures both the pass and the vocab-side scaling
         ("text_bpe_merges", "documents"),
+        # r13: the typed PII scrub claims pure JVM regex work
+        # (whole-stage codegen, no Python crossing) — corpus-linear
+        ("text_pii_redact_typed", "documents"),
     ]
 
     results: dict = {}

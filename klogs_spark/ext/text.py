@@ -1354,3 +1354,69 @@ def bpe_encode_stats(
     return totals.withColumn(
         "n_symbol_types", F.lit(n_symbol_types).cast("bigint")
     )
+
+
+# --- bigram language-model quality scoring -----------------------------------
+def lm_bigram_scores(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document negative log-likelihood under an add-one-smoothed
+    corpus bigram model — the CCNet-style LM quality signal (Wenzek et
+    al. 2020 rank corpora by LM perplexity; docs whose word transitions
+    are atypical for the corpus score high NLL and get filtered or
+    down-weighted).
+
+    Model: ``p(b|a) = (C(a,b) + 1) / (C(a) + V)`` with C from the corpus
+    itself and V the distinct-token count. Score: the sum of per-bigram
+    negative log-probs in INTEGER MICRO-NATS — each distinct bigram's
+    ``-ln p`` is quantized ONCE (snap within 2e-6 of an integer against
+    libm ulp noise, then floor), and per-document aggregation is a pure
+    integer sum, order-free and engine-exact (the
+    power-iteration/IntegerExact doctrine: floats only at vocab-sized
+    quantization points, never inside a corpus-sized aggregation).
+
+    Plan shape: two corpus passes (bigram explode for counts, bigram
+    explode for scoring) joined through vocab-sized count tables on
+    bigram keys — keyed equi-joins, no window, no cross join. Returns
+    (id, n_bigrams, nll_micro_nats); callers rank or threshold on
+    ``nll_micro_nats / n_bigrams``. Documents with fewer than two
+    tokens have no bigrams and are omitted (no model evidence)."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"),
+        lambda x: F.length(x) > 0,
+    )
+    base = docs.select(
+        F.col(id_col).cast("long").alias("id"), toks.alias("t")
+    )
+    bi = base.select(
+        "id",
+        F.explode(
+            F.arrays_zip(
+                F.expr("slice(t, 1, size(t) - 1)").alias("a"),
+                F.expr("slice(t, 2, size(t) - 1)").alias("b"),
+            )
+        ).alias("p"),
+    ).select("id", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    v = (
+        base.select(F.explode("t").alias("tok"))
+        .agg(F.count_distinct("tok").alias("v"))
+        .collect()[0].v
+    )
+    big = bi.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    uni = bi.groupBy("a").agg(F.count(F.lit(1)).alias("c_a"))
+    p = (F.col("c_ab") + 1) / (F.col("c_a") + F.lit(int(v)))
+    y = -F.log(p) * 1e6
+    snapped = F.when(
+        F.abs(y - F.round(y, 0)) < 2e-6, F.round(y, 0)
+    ).otherwise(y)
+    mn = big.join(uni, "a").select(
+        "a", "b", F.floor(snapped).cast("long").alias("mnats")
+    )
+    return (
+        bi.join(mn, ["a", "b"])
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("mnats").cast("bigint").alias("nll_micro_nats"),
+        )
+    )

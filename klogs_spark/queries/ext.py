@@ -1981,6 +1981,61 @@ def q_text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LM_MAX_TOKENS = 400  # generate_series bound; >= longest doc's token count
+
+
+def q_text_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring (ext.text.lm_bigram_scores — Wenzek
+    et al. 2020), externally hash-checked per document: every doc's NLL
+    under the add-one-smoothed corpus bigram model, in integer micro-nats.
+    Each distinct bigram's -ln p quantizes ONCE (snap-within-2e-6 against
+    libm ulp noise, then floor — the probability itself is an exact
+    integer ratio, identical IEEE division in both engines); per-doc
+    aggregation is a pure integer sum, order-free. All 500 docs ship, so
+    one wrong count, a smoothing slip, or a quantization boundary flip
+    anywhere breaks the hash."""
+    from ..ext.text import lm_bigram_scores
+
+    return lm_bigram_scores(load_table(spark, sf_dir, "documents"))
+
+
+SQL_TEXT_LM_BIGRAM_SCORE = f"""
+WITH tk AS (
+  SELECT doc_id AS id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> len(x) > 0) AS t
+  FROM documents
+),
+bi AS (
+  SELECT id, t[i] AS a, t[i + 1] AS b
+  FROM tk, generate_series(1, {LM_MAX_TOKENS}) AS g(i)
+  WHERE i < len(t)
+),
+v AS (
+  SELECT count(DISTINCT tok) AS v
+  FROM (SELECT unnest(t) AS tok FROM tk)
+),
+big AS (SELECT a, b, count(*) AS c_ab FROM bi GROUP BY 1, 2),
+uni AS (SELECT a, count(*) AS c_a FROM bi GROUP BY 1),
+raw AS (
+  SELECT big.a, big.b,
+         -ln((big.c_ab + 1) / (uni.c_a + v.v)) * 1e6 AS y
+  FROM big JOIN uni ON big.a = uni.a, v
+),
+mn AS (
+  SELECT a, b,
+         CAST(floor(CASE WHEN abs(y - round(y)) < 2e-6
+                         THEN round(y) ELSE y END) AS BIGINT) AS mnats
+  FROM raw
+)
+SELECT CAST(bi.id AS BIGINT) AS id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(mn.mnats) AS BIGINT) AS nll_micro_nats
+FROM bi JOIN mn ON bi.a = mn.a AND bi.b = mn.b
+GROUP BY 1
+"""
+
+
 BPE_MERGES = 8
 BPE_MAX_SYMS = 40  # generate_series bound; >= longest word's char count
 
@@ -6046,6 +6101,11 @@ SPECS = {
         q_hybrid_rrf, SQL_HYBRID_RRF,
         "hybrid retrieval: reciprocal-rank fusion of BM25 and cosine "
         "top-k sides (bounded rank windows, keyed fuse) vs RRF oracle"),
+    "text_lm_bigram_score": QuerySpec(
+        q_text_lm_bigram_score, SQL_TEXT_LM_BIGRAM_SCORE,
+        "CCNet-style LM quality signal: per-doc NLL under the add-one "
+        "corpus bigram model in integer micro-nats (quantize once per "
+        "bigram, integer sums) — all docs hash-checked"),
     "text_bpe_merges": QuerySpec(
         q_text_bpe_merges, SQL_TEXT_BPE_MERGES,
         "distributed BPE vocabulary training: first 8 merge rules from "

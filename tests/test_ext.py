@@ -1391,3 +1391,31 @@ def test_bpe_train_merges_textbook_sequence_and_guards(spark):
         spark.createDataFrame([(1, "a b c")], "doc_id int, text string"),
         k=3,
     ).count() == 0
+
+
+def test_lm_bigram_scores_hand_computed(spark):
+    """Hand-checkable smoothing arithmetic: V=4 (vocabulary counts EVERY
+    corpus token, including those of bigram-less docs — 'solo' is a word
+    the model must reserve mass for), p(b|a)=(3+1)/(3+4),
+    p(a|b)=p(c|b)=(1+1)/(2+4); per-bigram micro-nats floor once, then
+    integer sums per doc. Docs with <2 tokens are omitted from output."""
+    import math
+
+    from klogs_spark.ext.text import lm_bigram_scores
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.id: (r.n_bigrams, r.nll_micro_nats)
+        for r in lm_bigram_scores(docs).collect()
+    }
+    mn_ab = math.floor(-math.log(4 / 7) * 1e6)   # 559615
+    mn_ba = math.floor(-math.log(2 / 6) * 1e6)   # 1098612
+    assert got == {
+        1: (3, 2 * mn_ab + mn_ba),
+        2: (2, mn_ab + mn_ba),
+    }
+    # atypical transitions score higher per-bigram NLL than common ones
+    assert got[2][1] / got[2][0] > got[1][1] / got[1][0]

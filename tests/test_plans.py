@@ -681,3 +681,12 @@ def test_bpe_encode_no_python_and_single_corpus_pass(spark):
     never a join back against the raw documents."""
     plan = _plan(spark, "text_bpe_encode")
     assert "EvalPython" not in plan
+
+
+def test_lm_bigram_score_plans_as_keyed_joins_only(spark):
+    """The LM scorer is two bigram explodes joined through vocab-sized
+    count tables on bigram keys — never a Python runner, never a
+    cartesian product (V is a collected scalar literal, not a join)."""
+    plan = _plan(spark, "text_lm_bigram_score")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan

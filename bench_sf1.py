@@ -161,6 +161,10 @@ def main() -> None:
         # r13: the typed PII scrub claims pure JVM regex work
         # (whole-stage codegen, no Python crossing) — corpus-linear
         ("text_pii_redact_typed", "documents"),
+        # r13: the LM scorer is two corpus-sized bigram explodes joined
+        # through vocab-sized count tables — should scale ~linearly even
+        # as the suffixed replicas grow the vocabulary 10x
+        ("text_lm_bigram_score", "documents"),
     ]
 
     results: dict = {}

@@ -1083,3 +1083,70 @@ def remove_repeated_spans(
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
     )
+
+
+def contamination_ngram_join(
+    docs: DataFrame,
+    probes: DataFrame,
+    n: int = 5,
+    text: str = "text",
+    id_col: str = "doc_id",
+    probe_id: str = "probe_id",
+    probe_col: str = "probe",
+) -> DataFrame:
+    """Scale-path benchmark decontamination (the Dolma/FineWeb n-gram
+    discipline): a document is contaminated by a probe iff the probe's
+    FULL token sequence appears at some token position of the document.
+    The broadcast substring scan (text.contamination_check) tests every
+    doc against every probe — fine for a handful of probes, O(corpus ×
+    eval set) when the eval suite has 100k held-out fragments. This form
+    candidate-generates by FINGERPRINT EQUI-JOIN instead: each doc
+    position's ``n``-gram md5 (the same md5-of-joined-window fingerprint
+    as :func:`repeated_ngram_coverage`) joins the probe's first-``n``-gram
+    md5, and each candidate (doc, position, probe) verifies the full
+    probe with one row-local token-slice comparison — work scales with
+    gram counts and true-candidate density, never docs × probes. Probes
+    shorter than ``n`` tokens are rejected loudly (their key would be
+    undefined; shrink ``n`` instead).
+
+    Returns distinct (doc_id, probe_id) contamination pairs — token-
+    boundary semantics, deliberately NOT raw-substring (a probe matching
+    mid-token is an artifact, not contamination)."""
+    ptoks = tokens_col(F.col(probe_col))
+    pr = probes.select(
+        F.col(probe_id).alias("pid"),
+        ptoks.alias("ptoks"),
+        F.size(ptoks).alias("plen"),
+        F.md5(F.array_join(F.slice(ptoks, 1, n), " ")).alias("gh"),
+    )
+    n_short = pr.filter(F.col("plen") < n).count()
+    if n_short:
+        raise ValueError(
+            f"contamination_ngram_join: {n_short} probe(s) shorter than "
+            f"n={n} tokens — their fingerprint key would be undefined; "
+            "use a smaller n"
+        )
+    tk = tokens_col(F.col(text))
+    d = docs.select(F.col(id_col).alias("id"), tk.alias("toks"))
+    gram_arr = F.when(
+        F.size("toks") >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size("toks") - n),
+            lambda i: F.md5(F.array_join(F.slice("toks", i + 1, n), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = d.select("id", F.posexplode(gram_arr).alias("i", "gh"))
+    cand = grams.join(F.broadcast(pr), "gh").select(
+        "id", "i", "pid", "ptoks", "plen"
+    )
+    verified = (
+        cand.join(d, "id")
+        .filter(
+            F.expr("slice(toks, i + 1, plen)") == F.col("ptoks")
+        )
+        .select(
+            F.col("id").alias("doc_id"), F.col("pid").alias(probe_id)
+        )
+        .distinct()
+    )
+    return verified

@@ -1981,6 +1981,69 @@ def q_text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONTAM_PROBE_EVERY = 20
+CONTAM_PROBE_TOKS = 8
+CONTAM_KEY_N = 5
+
+
+def q_dedup_contamination_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE form of benchmark decontamination
+    (ext.dedup.contamination_ngram_join), externally hash-checked: {p}
+    probes (the first {t} tokens of every {e}th document) against the
+    whole corpus via fingerprint equi-join — each doc position's
+    {n}-gram md5 meets the probe's first-{n}-gram md5, candidates verify
+    the full probe with a row-local token-slice equality, never a
+    docs × probes scan (text_contamination keeps the broadcast-substring
+    form for small probe sets). Token-boundary semantics: the oracle
+    re-derives containment by exact token-slice comparison, so a
+    fingerprint collision handled wrong, a missed position, or an
+    off-by-one in the window all break the pair-set hash. Self-matches
+    (every probe hits its own source doc) and near-dup cross-matches are
+    both in the answer.""".format(
+        p=f"~{500 // CONTAM_PROBE_EVERY}", t=CONTAM_PROBE_TOKS,
+        e=CONTAM_PROBE_EVERY, n=CONTAM_KEY_N,
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    toks = dd.tokens_col(F.col("text"))
+    probes = (
+        docs.filter(
+            (F.col("doc_id") % CONTAM_PROBE_EVERY == 0)
+            & (F.size(toks) >= CONTAM_PROBE_TOKS)
+        )
+        .select(
+            F.col("doc_id").alias("probe_id"),
+            F.concat_ws(
+                " ", F.slice(toks, 1, CONTAM_PROBE_TOKS)
+            ).alias("probe"),
+        )
+    )
+    out = dd.contamination_ngram_join(docs, probes, n=CONTAM_KEY_N)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("probe_id").cast("long").alias("probe_id"),
+    )
+
+
+SQL_DEDUP_CONTAMINATION_SCALED = f"""
+WITH dt AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+pr AS (
+  SELECT doc_id AS probe_id, t[1:{CONTAM_PROBE_TOKS}] AS pt
+  FROM dt
+  WHERE doc_id % {CONTAM_PROBE_EVERY} = 0
+    AND len(t) >= {CONTAM_PROBE_TOKS}
+)
+SELECT DISTINCT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(p.probe_id AS BIGINT) AS probe_id
+FROM dt d, pr p, generate_series(1, 400) AS g(i)
+WHERE i <= len(d.t) - {CONTAM_PROBE_TOKS} + 1
+  AND d.t[i:i + {CONTAM_PROBE_TOKS - 1}] = p.pt
+"""
+
+
 LM_MAX_TOKENS = 400  # generate_series bound; >= longest doc's token count
 
 
@@ -6101,6 +6164,12 @@ SPECS = {
         q_hybrid_rrf, SQL_HYBRID_RRF,
         "hybrid retrieval: reciprocal-rank fusion of BM25 and cosine "
         "top-k sides (bounded rank windows, keyed fuse) vs RRF oracle"),
+    "dedup_contamination_scaled": QuerySpec(
+        q_dedup_contamination_scaled, SQL_DEDUP_CONTAMINATION_SCALED,
+        "scale-path decontamination: probe first-n-gram fingerprints "
+        "equi-join doc position grams, full probe verifies by row-local "
+        "token-slice equality — never docs x probes; pair set vs exact "
+        "token-boundary oracle"),
     "text_lm_bigram_score": QuerySpec(
         q_text_lm_bigram_score, SQL_TEXT_LM_BIGRAM_SCORE,
         "CCNet-style LM quality signal: per-doc NLL under the add-one "

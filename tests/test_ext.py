@@ -1419,3 +1419,41 @@ def test_lm_bigram_scores_hand_computed(spark):
     }
     # atypical transitions score higher per-bigram NLL than common ones
     assert got[2][1] / got[2][0] > got[1][1] / got[1][0]
+
+
+def test_contamination_ngram_join_matches_semantics_and_guards(spark):
+    """Equi-join decontamination must find token-boundary matches anywhere
+    in the doc (not just at the fingerprinted first position), ignore
+    mid-token substring artifacts, handle probes longer than the key, and
+    reject probes shorter than the key loudly."""
+    from klogs_spark.ext.dedup import contamination_ngram_join
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "x y alpha beta gamma delta epsilon tail"),  # mid-doc hit
+            (3, "zzalpha beta gamma delta epsilon"),  # mid-token: NOT a hit
+            (4, "alpha beta gamma other words here"),  # key hits, verify fails
+        ],
+        "doc_id long, text string",
+    )
+    probes = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")],
+        "probe_id long, probe string",
+    )
+    got = sorted(
+        (r.doc_id, r.probe_id)
+        for r in contamination_ngram_join(docs, probes, n=3).collect()
+    )
+    assert got == [(1, 100), (2, 100)]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="shorter than"):
+        contamination_ngram_join(
+            docs,
+            spark.createDataFrame(
+                [(200, "too short")], "probe_id long, probe string"
+            ),
+            n=3,
+        )

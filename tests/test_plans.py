@@ -690,3 +690,12 @@ def test_lm_bigram_score_plans_as_keyed_joins_only(spark):
     plan = _plan(spark, "text_lm_bigram_score")
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_contamination_scaled_never_cross_joins(spark):
+    """The scale decontamination path must candidate-generate via the
+    fingerprint equi-join — a CartesianProduct/nested-loop over docs x
+    probes is exactly the O(corpus x eval-set) scan it replaces."""
+    plan = _plan(spark, "dedup_contamination_scaled")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

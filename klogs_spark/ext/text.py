@@ -1267,7 +1267,12 @@ def bpe_train_merges(
                 F.split(F.lower(F.col(text_col)), r"\s+")
             ).alias("w")
         )
-        .filter(F.length("w") > 0)
+        # the interpunct is the encoding's reserved sentinel — a word
+        # containing it would corrupt the boundary structure (both
+        # engines identically, so the oracle would still match — but the
+        # merges would be silently wrong). Such words are excluded from
+        # the frequency table; real tokenizer builds byte-escape instead.
+        .filter((F.length("w") > 0) & ~F.col("w").contains("·"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
     )

@@ -2148,7 +2148,7 @@ WITH w0 AS (
   SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
     SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
     FROM documents
-  ) WHERE length(w) > 0 GROUP BY 1
+  ) WHERE length(w) > 0 AND w NOT LIKE '%·%' GROUP BY 1
 ),
 s0 AS MATERIALIZED (
   SELECT substr(x, 1, length(x) - 1) AS sym, freq FROM (
@@ -2185,7 +2185,7 @@ WITH w0 AS (
   SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
     SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
     FROM documents
-  ) WHERE length(w) > 0 GROUP BY 1
+  ) WHERE length(w) > 0 AND w NOT LIKE '%·%' GROUP BY 1
 ),
 s0 AS MATERIALIZED (
   SELECT substr(x, 1, length(x) - 1) AS sym, freq FROM (

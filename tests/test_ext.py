@@ -1457,3 +1457,23 @@ def test_contamination_ngram_join_matches_semantics_and_guards(spark):
             ),
             n=3,
         )
+
+
+def test_bpe_sentinel_words_excluded_not_corrupting(spark):
+    """A corpus word containing the reserved interpunct sentinel must be
+    EXCLUDED from the frequency table (it would corrupt the boundary
+    encoding and silently derail every later merge) — the clean words'
+    merge sequence is unaffected by its presence."""
+    from klogs_spark.ext.text import bpe_train_merges
+
+    clean = spark.createDataFrame(
+        [(1, "low low low lower")], "doc_id int, text string"
+    )
+    dirty = spark.createDataFrame(
+        [(1, "low low low lower a·b a·b·c")], "doc_id int, text string"
+    )
+    as_rows = lambda df: [  # noqa: E731
+        (r.left_sym, r.right_sym, r.weighted_count)
+        for r in bpe_train_merges(df, k=3).collect()
+    ]
+    assert as_rows(dirty) == as_rows(clean)

@@ -165,6 +165,10 @@ def main() -> None:
         # through vocab-sized count tables — should scale ~linearly even
         # as the suffixed replicas grow the vocabulary 10x
         ("text_lm_bigram_score", "documents"),
+        # r13: scale-path decontamination claims work ∝ grams + candidate
+        # density, never docs x probes — both sides grow 10x here (10x
+        # corpus, 10x probe set from the same modulus)
+        ("dedup_contamination_scaled", "documents"),
     ]
 
     results: dict = {}

@@ -61,72 +61,229 @@ def spec_content_hash(spec: "QuerySpec") -> str:
 # hashed the same way.
 DRIVER_VERIFIED: dict = {
     "agg_lineitem_cube": "81d8d103592e",
+    "agg_orders_grouping_sets": "3cf2d1156077",
+    "agg_orders_pivot": "6fc0f410d269",
     "agg_orders_rollup": "4c2a39d1c076",
     "ann_cosine_topk": "190ce4e437dc",
+    "ann_index_drift": "10c328821d5b",
+    "ann_index_rebuild": "3f13a24d3aef",
     "ann_ivf_topk": "374920a3f05a",
+    "ann_ivfpq_prebuilt": "c279094be999",
+    "ann_ivfpq_refresh": "3a61ad53f715",
+    "ann_ivfpq_remove": "f017be91463b",
+    "ann_ivfpq_rerank": "741aef6295c4",
+    "ann_ivfpq_stream": "892701dcc44f",
+    "ann_ivfpq_topk": "08ac55b380f4",
     "ann_kmeans_iteration": "5636a85fa623",
     "ann_lsh_bucket_stats": "855956740694",
     "ann_lsh_topk": "c5f75789aa00",
+    "ann_multiprobe_recall": "c2c0ee568d2f",
+    "ann_pq_codebooks": "6eb25a379f92",
+    "ann_pq_topk": "afc1b89b44e1",
+    "ann_recall_eval": "93de20755b39",
+    "ann_sq8_topk": "48bc15bc8fe5",
+    "dedup_canonical": "86f440673d91",
     "dedup_cluster_components": "805b5db22e1c",
+    "dedup_containment_lsh": "abfa44713ba6",
+    "dedup_contamination_scaled": "b9dc2afaf13b",
     "dedup_embedding_cosine": "353ae1ce1faa",
     "dedup_embedding_lsh": "4c11674d7fb2",
     "dedup_exact": "121118bc87f7",
+    "dedup_incremental": "f980450120e7",
+    "dedup_lsh_recall": "bae2e40eeb3d",
     "dedup_minhash_lsh": "00f7ea1e63d3",
     "dedup_minhash_signatures": "3c638f294ec6",
+    "dedup_ngram_containment": "4b7b29e7f069",
     "dedup_ngram_jaccard": "4a116e5ba3da",
+    "dedup_paragraph_exact": "764b569461cf",
+    "dedup_paragraph_minhash": "0e7ff77a1f01",
+    "dedup_prefix_jaccard": "acd5d664a177",
+    "dedup_remove_repeated_spans": "41ebc6559a5b",
+    "dedup_repeated_substrings": "a7820d208a1a",
+    "dedup_repeated_substrings_self": "0b89cbc00006",
+    "dedup_semantic": "1f6f1d15a2d6",
+    "dedup_semantic_prebuilt": "76c1240ed763",
     "dedup_simhash": "b38416ad54cf",
     "dedup_simhash_pairs": "228750d7e6db",
+    "dedup_survivor_selection": "a3bd123bf888",
+    "dedup_threshold_curve": "870285082e09",
+    "embedding_covariance": "46691f28615b",
+    "embedding_norm_outliers": "a1905f13370e",
+    "embedding_pca_project": "3c1d15d0dde0",
+    "embedding_top_component": "f160d8417680",
+    "events_active_users": "bf827125bbf1",
+    "events_attribution": "fb767c64294a",
+    "events_cohort_ltv": "e6931152ef33",
+    "events_counter_rate": "c7d757e0b2ee",
+    "events_equidepth_histogram": "7111fef6fb2f",
+    "events_funnel": "7fc552e2d7a5",
+    "events_gapfill_locf": "d4bdff4355bb",
+    "events_pagerank_transitions": "cd7dee94d974",
+    "events_peak_concurrency": "e6cf823b90fb",
+    "events_retention_cohorts": "7ee727f00a46",
+    "events_series_similarity": "ef7d03b2a904",
+    "events_session_paths": "ce704d64f85c",
     "events_sessionize": "2c817605b7a0",
+    "events_wau_hll": "49c57b1f4ff9",
     "ingest_decode_pipeline": "4c00851918c6",
+    "ingest_msgpack_pipeline": "c13826520a50",
     "join_events_asof_orders": "024317b75c1e",
     "join_events_range_pairs": "739f75d2fbb8",
     "join_parts_never_ordered": "48fa42b00fb1",
+    "logs_anomaly_zscore": "4721b5b6a047",
+    "logs_approx_distinct": "9b697fb6606f",
+    "logs_approx_percentiles": "a4fe993448cc",
+    "logs_burn_rate_alert": "a382f0c1cfd4",
+    "logs_context_window": "389b83d907ef",
     "logs_distinct_sources": "7a745fe159b7",
     "logs_env_counts": "1e77de1cd5c7",
     "logs_env_map_count": "047446fefdf4",
     "logs_error_rate": "110d1ba32f6a",
+    "logs_error_runs": "c067a1200bf9",
+    "logs_field_cardinality_guard": "0755bf18d657",
     "logs_field_exists": "7e13014cbdee",
     "logs_field_key_stats": "24aade66ad3b",
     "logs_force_numbers_read": "188d8a0d7d90",
     "logs_fulltext": "a2f2e2b3966a",
     "logs_grouped_percentiles": "1cac6e50761c",
     "logs_hourly_histogram": "92fce61d78f3",
+    "logs_keyset_pagination": "26efb2ff1e8a",
+    "logs_latency_heatmap": "c2c6281efc6d",
     "logs_log_regex": "1d9a0f6bd5bd",
     "logs_merge_json_log": "2bae330a1458",
+    "logs_new_fields_report": "a6217b1fc2cd",
     "logs_newest": "89ff9bf4ba68",
     "logs_normalize_keys_read": "4a49b0cb53be",
     "logs_number_stats": "307c039cb588",
     "logs_parse_logfmt": "91966585f0b8",
     "logs_parsed_field_stats": "49c44421d33e",
     "logs_promoted_level": "cc9d9e0ddd65",
+    "logs_seasonal_anomaly": "e33195697eb8",
     "logs_session_windows": "6c8770a860b0",
+    "logs_template_clusters": "eb939ab8eb20",
+    "logs_template_mining": "d7f64e0bd9b5",
     "logs_top_pods": "14be86e5c6ac",
     "logs_type_flap": "e3cac8275597",
     "logs_value_percentiles": "bcdd9b0d3e65",
+    "logs_volume_anomaly_mad": "386862e78199",
     "logs_window_5m": "00f54511d538",
+    "multimodal_audio_stats": "978feac692ad",
     "multimodal_dimensions": "4156ee77b4ba",
     "multimodal_features": "6251489a260f",
+    "multimodal_frame_sample": "8fb1e20b5103",
+    "multimodal_gif_stats": "f76b316b9495",
+    "multimodal_image_resize": "546c07abad94",
+    "multimodal_image_stats": "5b6919526e38",
+    "multimodal_jpeg_stats": "a2be23c4eb85",
+    "multimodal_jpeg_subsampled": "8e1c6174e0c0",
+    "multimodal_transcode": "5acb6751b4f8",
+    "pipeline_dsir_select": "f0d28fda7428",
+    "pipeline_pretrain_prep": "60209e874d2d",
     "sample_balance_sources": "84ad1b244e7c",
+    "sample_doremi_step": "36d3f4663c65",
+    "sample_dsir_weights": "c921986f43af",
+    "sample_global_shuffle": "196cc30a9d92",
     "sample_hash_deterministic": "f248348905ce",
+    "sample_interleave": "45a48ed1ca3a",
+    "sample_leakage_free_split": "b3ee20aa0418",
+    "sample_mixture_weights": "86c83321b394",
+    "sample_pack_ffd": "ccf68832e632",
+    "sample_pack_global_prefix": "9106da4a820a",
+    "sample_sequence_chunks": "5f43c738febd",
+    "sample_split_assign": "9df2276d3e5a",
+    "sample_stratified_k": "f3d4ef2865ff",
     "sample_token_budget_pack": "caf18ed700e3",
     "sample_token_budget_pack_partitioned": "a013577061bc",
+    "sample_weighted_k": "579a7e6ee8e6",
     "setop_churned_customers": "cbc7e5a39415",
     "similarity_knn_join": "7b0fdc42b9c5",
+    "similarity_mmr_select": "b9621f197285",
+    "sketch_histogram_quantiles": "65afc0fbc4f8",
+    "skew_salted_join": "605c029d4c97",
+    "skew_two_phase_count": "db7fbd9ea765",
+    "sources_cri_pipeline": "34228faec00b",
+    "sources_docker_pipeline": "6c9fec6f463e",
+    "sources_k8s_enrich": "3638cec3ecdd",
+    "sources_syslog_pipeline": "bb11b3e2e31c",
+    "sources_throttle": "6aee0549d380",
+    "stream_cms_merge": "9a13690416cb",
+    "stream_dedup_watermark": "5a38c63244ec",
+    "stream_exactly_once": "45934d386ac4",
+    "stream_interval_join": "e780e7d2f09d",
+    "stream_interval_join_left": "a19566cd63d2",
+    "stream_k8s_enrich": "571e64423a43",
+    "stream_minmax_sidecar": "0624c7a763b5",
+    "stream_quarantine_triage": "6210d74ece01",
+    "stream_rollup_maintain": "a25255dcc5c5",
+    "stream_session_watermark": "da511f7014fb",
+    "stream_snapshot_cdc": "916c953d8820",
+    "stream_upsert_sink": "17879e281d24",
+    "stream_validated_sink": "fb46d427f598",
+    "stream_windowed_watermark": "c7a3f33a9cd9",
+    "table_column_stats": "09aab170a20b",
+    "table_context_anchor": "8e96d5a5b530",
+    "table_cow_lifecycle": "1c02f89363de",
+    "table_cow_merge": "abd5536745ad",
+    "table_cow_promoted_roundtrip": "979cd0912c81",
+    "table_cow_update": "3d7a6564a377",
+    "table_delete_where": "6feff3ab1ffe",
+    "table_expectations": "e7c6542173fc",
+    "table_field_range_files": "658fbb74c597",
+    "table_field_range_skip": "d3501043d300",
+    "table_fulltext_or": "ff807a3326b8",
+    "table_fulltext_phrase": "da3c1c8f4e3b",
+    "table_fulltext_skipindex": "7c2177eb074f",
+    "table_lifecycle": "68fd474e9d21",
+    "table_merge_upsert": "2934c24daf96",
+    "table_promoted_view": "775113dc1793",
+    "table_restore": "d5d49c5fdf43",
+    "table_retention_policy": "49cf8b48e442",
+    "table_snapshot_changes": "91b5f3bdd0c8",
+    "table_snapshot_mixed_schema": "9e4eef96b852",
+    "table_time_travel": "d721774c99fd",
+    "table_zorder_lifecycle": "875f50cdf283",
+    "table_zorder_values": "86d234cc47ae",
+    "text_bigram_logprob": "20a1bea60a1e",
+    "text_bloom_decontaminate": "f76ed7573dad",
+    "text_bm25_topk": "1bc4cfc24854",
+    "text_boilerplate_windows": "d73d2132137a",
+    "text_bpe_encode": "236e2900d4a0",
+    "text_bpe_merges": "ea63101abd0f",
     "text_chunk_documents": "b11ed9a0602f",
+    "text_cms_heavy_hitters": "66e1b44c852b",
     "text_contamination": "55b916bc881a",
+    "text_edit_distance_join": "a4f3d4cb7993",
+    "text_exact_decontaminate": "696a3a6ae51d",
     "text_fingerprints": "59486855a3ef",
+    "text_hll_distinct": "a0b849fc7a90",
+    "text_hll_merge": "8b97fa644f74",
+    "text_hybrid_rrf": "01718010684a",
     "text_kmv_distinct": "df0f05ccc33b",
     "text_langid": "b16f242d7d79",
+    "text_lm_bigram_score": "aac2d0a8144d",
+    "text_misra_gries_invariants": "70ead130e7e0",
+    "text_ngram_novelty": "ad7549b6eb2e",
     "text_pii_redact": "95cba5f53f52",
+    "text_pii_redact_typed": "e69fc2ea63dc",
     "text_quality": "ddca4d14616f",
+    "text_quality_filter": "b3cf8d28b240",
     "text_repetition": "7e346f2bcb0c",
+    "text_term_trends": "6ed137bc3198",
+    "text_textrank_keywords": "50916730ade0",
     "text_tfidf_scores": "23d071b7e1df",
     "text_token_stats": "63fbd40b35d3",
     "text_top_ngrams": "3ee82a7b136b",
+    "text_top_terms_per_source": "7b2ae823bcfa",
+    "text_unigram_logprob": "05a6f634cdcc",
+    "text_vocab_growth": "2a1247ebdbff",
+    "tpch_association_rules": "28411b68622e",
+    "tpch_bucketed_join": "186d20a9bcdf",
+    "tpch_frequent_item_pairs": "fefadcff4cba",
     "tpch_q10_returned_items": "4deebf737ccb",
     "tpch_q12_priority_counts": "93f336531876",
     "tpch_q13_customer_distribution": "b0a58086c713",
     "tpch_q14_promo_revenue": "8f8d7090861b",
+    "tpch_q15_top_supplier": "dc5e57c36c4e",
     "tpch_q17_small_quantity": "45b8dcd70c18",
     "tpch_q18_big_orders": "3e25e3e273c6",
     "tpch_q19_disjunctive_revenue": "173bb6e26d50",
@@ -139,189 +296,16 @@ DRIVER_VERIFIED: dict = {
     "tpch_q6_forecast_revenue": "9fdeb0d96d01",
     "tpch_q7_volume_shipping": "f6b589bbeea4",
     "tpch_q8_market_share": "749628230189",
-    "window_order_gaps": "5291510adf3f",
-    "window_order_rank": "b89b673ca4bb",
-    # round-5 green checks (CORRECTNESS_r05.json), hashed at the r5 tree
-    "agg_orders_grouping_sets": "3cf2d1156077",
-    "ann_multiprobe_recall": "c2c0ee568d2f",
-    "ann_recall_eval": "93de20755b39",
-    "dedup_paragraph_exact": "764b569461cf",
-    "dedup_paragraph_minhash": "0e7ff77a1f01",
-    "dedup_survivor_selection": "a3bd123bf888",
-    "events_funnel": "7fc552e2d7a5",
-    "events_retention_cohorts": "7ee727f00a46",
-    "logs_approx_distinct": "9b697fb6606f",
-    "logs_approx_percentiles": "a4fe993448cc",
-    "logs_burn_rate_alert": "a382f0c1cfd4",
-    "logs_error_runs": "c067a1200bf9",
-    "pipeline_pretrain_prep": "60209e874d2d",
-    "sample_mixture_weights": "86c83321b394",
-    "sample_stratified_k": "f3d4ef2865ff",
-    "skew_salted_join": "605c029d4c97",
-    "skew_two_phase_count": "db7fbd9ea765",
-    "sources_cri_pipeline": "34228faec00b",
-    "sources_docker_pipeline": "6c9fec6f463e",
-    "sources_k8s_enrich": "3638cec3ecdd",
-    "sources_syslog_pipeline": "bb11b3e2e31c",
-    "sources_throttle": "6aee0549d380",
-    "stream_dedup_watermark": "5a38c63244ec",
-    "stream_k8s_enrich": "571e64423a43",
-    "stream_session_watermark": "da511f7014fb",
-    "stream_windowed_watermark": "c7a3f33a9cd9",
-    "table_lifecycle": "68fd474e9d21",
-    "text_boilerplate_windows": "d73d2132137a",
-    "text_quality_filter": "b3cf8d28b240",
-    "text_top_terms_per_source": "7b2ae823bcfa",
-    "text_unigram_logprob": "05a6f634cdcc",
-    "tpch_q15_top_supplier": "dc5e57c36c4e",
-    # round-6 green checks (CORRECTNESS_r06.json), hashed at the r7 tree
-    # (query sources untouched between the r6 check and this hash)
-    "agg_orders_pivot": "6fc0f410d269",
-    "events_attribution": "fb767c64294a",
-    "logs_anomaly_zscore": "4721b5b6a047",
-    "logs_template_clusters": "eb939ab8eb20",
-    "window_balance_quartiles": "94f1a98578fb",
-    # round-7 green checks (CORRECTNESS_r07.json), hashed at the r7 tree
-    "ann_ivfpq_topk": "08ac55b380f4",
-    "ann_pq_codebooks": "6eb25a379f92",
-    "ann_pq_topk": "afc1b89b44e1",
-    "dedup_incremental": "f980450120e7",
-    "dedup_ngram_containment": "4b7b29e7f069",
-    "dedup_semantic": "1f6f1d15a2d6",
-    "multimodal_frame_sample": "8fb1e20b5103",
-    "pipeline_dsir_select": "f0d28fda7428",
-    "sample_dsir_weights": "c921986f43af",
-    # "sketch_histogram_quantiles" re-entered the window after its r10
-    # rewrite and is pinned in the round-10 block below.
-    "stream_interval_join": "e780e7d2f09d",
-    "table_fulltext_skipindex": "7c2177eb074f",
-    "text_bloom_decontaminate": "f76ed7573dad",
-    "text_cms_heavy_hitters": "66e1b44c852b",
-    "text_hll_distinct": "a0b849fc7a90",
-    "window_revenue_ema": "5ea38f942928",
-    "window_rolling_p95": "530f84f5790a",
-    # round-8 green checks (CORRECTNESS_r08.json), hashed at the r9 tree.
-    # tpch_rfm_segments is deliberately NOT pinned: its monetary rounding
-    # was rewritten to cents-per-order after the r8 check, so it re-enters
-    # the checked window. The r8 re-checked logs_* names kept their r1
-    # hashes (sources untouched) and stay on their original lines.
-    "dedup_containment_lsh": "abfa44713ba6",
-    "dedup_semantic_prebuilt": "76c1240ed763",
-    "dedup_threshold_curve": "870285082e09",
-    "embedding_covariance": "46691f28615b",
-    "events_cohort_ltv": "e6931152ef33",
-    "events_pagerank_transitions": "cd7dee94d974",
-    "events_series_similarity": "ef7d03b2a904",
-    "events_session_paths": "ce704d64f85c",
-    "logs_latency_heatmap": "c2c6281efc6d",
-    "sample_global_shuffle": "196cc30a9d92",
-    "sample_pack_global_prefix": "9106da4a820a",
-    "sample_sequence_chunks": "5f43c738febd",
-    "sample_split_assign": "9df2276d3e5a",
-    "sample_weighted_k": "579a7e6ee8e6",
-    "similarity_mmr_select": "b9621f197285",
-    "stream_cms_merge": "9a13690416cb",
-    "stream_interval_join_left": "a19566cd63d2",
-    "table_column_stats": "09aab170a20b",
-    "table_delete_where": "6feff3ab1ffe",
-    "table_fulltext_or": "ff807a3326b8",
-    "table_fulltext_phrase": "da3c1c8f4e3b",
-    "table_zorder_lifecycle": "875f50cdf283",
-    "table_zorder_values": "86d234cc47ae",
-    "text_bigram_logprob": "20a1bea60a1e",
-    "text_exact_decontaminate": "696a3a6ae51d",
-    "text_term_trends": "6ed137bc3198",
-    "text_vocab_growth": "2a1247ebdbff",
-    "tpch_association_rules": "28411b68622e",
-    "tpch_frequent_item_pairs": "fefadcff4cba",
-    # round-9 green checks (CORRECTNESS_r09.json), hashed at the r10 tree
-    "ann_index_drift": "10c328821d5b",
-    "ann_sq8_topk": "48bc15bc8fe5",
-    "dedup_canonical": "86f440673d91",
-    "dedup_lsh_recall": "bae2e40eeb3d",
-    "dedup_prefix_jaccard": "acd5d664a177",
-    "embedding_norm_outliers": "a1905f13370e",
-    "events_active_users": "bf827125bbf1",
-    "events_counter_rate": "c7d757e0b2ee",
-    "events_equidepth_histogram": "7111fef6fb2f",
-    "events_gapfill_locf": "d4bdff4355bb",
-    "events_peak_concurrency": "e6cf823b90fb",
-    "events_wau_hll": "49c57b1f4ff9",
-    "logs_field_cardinality_guard": "0755bf18d657",
-    "logs_keyset_pagination": "26efb2ff1e8a",
-    "logs_new_fields_report": "a6217b1fc2cd",
-    "logs_seasonal_anomaly": "e33195697eb8",
-    "logs_template_mining": "d7f64e0bd9b5",
-    "logs_volume_anomaly_mad": "386862e78199",
-    "multimodal_audio_stats": "978feac692ad",
-    "multimodal_image_resize": "546c07abad94",
-    "multimodal_image_stats": "5b6919526e38",
-    "sample_doremi_step": "36d3f4663c65",
-    "sample_interleave": "45a48ed1ca3a",
-    "sample_pack_ffd": "ccf68832e632",
-    "stream_exactly_once": "45934d386ac4",
-    "stream_minmax_sidecar": "0624c7a763b5",
-    "stream_quarantine_triage": "6210d74ece01",
-    "stream_rollup_maintain": "a25255dcc5c5",
-    "stream_snapshot_cdc": "916c953d8820",
-    "stream_validated_sink": "fb46d427f598",
-    # "table_expectations" re-entered the window after its r10 rewrite and
-    # is pinned in the round-10 block below.
-    "table_field_range_files": "658fbb74c597",
-    "table_field_range_skip": "d3501043d300",
-    "table_merge_upsert": "2934c24daf96",
-    "table_promoted_view": "775113dc1793",
-    "table_retention_policy": "49cf8b48e442",
-    "table_snapshot_changes": "91b5f3bdd0c8",
-    "table_time_travel": "d721774c99fd",
-    "text_edit_distance_join": "a4f3d4cb7993",
-    "text_hll_merge": "8b97fa644f74",
-    "text_ngram_novelty": "ad7549b6eb2e",
-    "tpch_bucketed_join": "186d20a9bcdf",
     "tpch_revenue_concentration": "490e1e4f6e65",
     "tpch_rfm_segments": "3b55d5849d64",
-    # "tpch_rfm_segments_scaled" re-entered the window after its r10
-    # rewrite and is pinned in the round-10 block below.
+    "tpch_rfm_segments_scaled": "e51823b8a042",
+    "window_balance_quartiles": "94f1a98578fb",
     "window_balance_quartiles_scaled": "7865425c9de6",
     "window_daily_revenue_trend": "86f7e3b31ad7",
-    # round-10 green checks (CORRECTNESS_r10.json), hashed at the r11 tree
-    # (query fn sources + oracles untouched between the r10 check and this
-    # hash). This block also pins sketch_histogram_quantiles,
-    # table_expectations and tpch_rfm_segments_scaled, whose r10 rewrites
-    # re-entered the window and came back green.
-    "ann_index_rebuild": "3f13a24d3aef",
-    "dedup_repeated_substrings": "a7820d208a1a",
-    "logs_context_window": "389b83d907ef",
-    "multimodal_gif_stats": "f76b316b9495",
-    "multimodal_jpeg_stats": "a2be23c4eb85",
-    "multimodal_transcode": "5acb6751b4f8",
-    "sample_leakage_free_split": "b3ee20aa0418",
-    "sketch_histogram_quantiles": "65afc0fbc4f8",
-    "stream_upsert_sink": "17879e281d24",
-    "table_expectations": "e7c6542173fc",
-    "text_bm25_topk": "1bc4cfc24854",
-    "text_hybrid_rrf": "01718010684a",
-    "text_misra_gries_invariants": "70ead130e7e0",
-    "tpch_rfm_segments_scaled": "e51823b8a042",
-    # round-12 green checks (CORRECTNESS_r12.json, 50/50 green), hashed at
-    # the r13 tree (query fn sources + oracles untouched between the r12
-    # check and this hash).
-    "ann_ivfpq_prebuilt": "c279094be999",
-    "ann_ivfpq_refresh": "3a61ad53f715",
-    "ann_ivfpq_rerank": "741aef6295c4",
-    "ann_ivfpq_stream": "892701dcc44f",
-    "dedup_remove_repeated_spans": "41ebc6559a5b",
-    "dedup_repeated_substrings_self": "0b89cbc00006",
-    "embedding_top_component": "f160d8417680",
-    # "ingest_msgpack_pipeline" was deliberately rewritten in r13 (fused
-    # encode+decode worker) — left unpinned so it re-enters the window.
-    "multimodal_jpeg_subsampled": "8e1c6174e0c0",
-    "table_context_anchor": "8e96d5a5b530",
-    "table_cow_lifecycle": "1c02f89363de",
-    "table_cow_merge": "abd5536745ad",
-    "table_cow_promoted_roundtrip": "979cd0912c81",
-    "table_restore": "d5d49c5fdf43",
-    "text_textrank_keywords": "50916730ade0",
+    "window_order_gaps": "5291510adf3f",
+    "window_order_rank": "b89b673ca4bb",
+    "window_revenue_ema": "5ea38f942928",
+    "window_rolling_p95": "530f84f5790a",
 }
 
 

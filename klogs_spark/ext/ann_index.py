@@ -46,6 +46,45 @@ from . import similarity as sim
 
 ANN_INDEX_VERSION = 1
 
+# Sidecar metadata files. All marker/journal I/O below goes through the
+# manifest layer's Hadoop-FS helpers (manifest._claim_marker /
+# _write_small_json / _read_small_json over table._hadoop_fs) so the index
+# works on file://, hdfs://, s3a://, ... exactly like the data tables —
+# the r13 lesson the manifest layer learned (manifest.py _claim_marker)
+# applied to the index sidecar.
+REMOVE_MARKER = "_remove-inprogress.json"
+REMOVE_PLAN = "_remove-plan.json"
+CELLMAP = "_cellmap.json"
+
+
+class ConcurrentIndexMaintenanceError(RuntimeError):
+    """Another maintenance op holds this index's removal journal."""
+
+
+class InjectedCrash(RuntimeError):
+    """Test-only: raised at a named failpoint to exercise crash recovery."""
+
+
+_FAILPOINT: str | None = None  # test hook; never set in production
+
+
+def _maybe_crash(name: str) -> None:
+    if _FAILPOINT == name:
+        raise InjectedCrash(name)
+
+
+def _fs(spark: SparkSession, path: str):
+    from ..table import _hadoop_fs
+
+    return _hadoop_fs(spark, path)
+
+
+def _active_spark() -> SparkSession:
+    s = SparkSession.getActiveSession()
+    if s is None:  # pragma: no cover - only hit outside any Spark job
+        raise RuntimeError("no active SparkSession for index metadata I/O")
+    return s
+
 
 def build_ivfpq_index(
     emb: DataFrame,
@@ -157,16 +196,28 @@ def remove_from_ivfpq_index(
     never retrains — drift from heavy deletion is the rebuild gate's
     job, :func:`rebuild_if_drifted`).
 
-    The per-cell swap (rm + move) is a maintenance-window operation under
-    the engine's single-maintenance-writer norm: a concurrent searcher
-    can observe a cell mid-swap. The atomic alternative for online
-    serving is a generation publish (:func:`commit_index_build`).
+    The per-cell swap is a maintenance-window operation under the
+    engine's single-maintenance-writer norm: a concurrent searcher can
+    observe an affected cell absent for the instant between its two
+    renames. The window is journaled and crash-safe: the removal claims
+    an exclusive ``_remove-inprogress`` marker (atomic create — the
+    manifest layer's `_claim_marker`), fully stages the survivor files,
+    journals the per-cell swap plan, and only then swaps; a crash at ANY
+    point is replayed or rolled back by
+    :func:`recover_incomplete_removal`, so a recovered index is always
+    wholly-old or wholly-new per cell, never a mix of old and new files.
+    All filesystem ops go through Hadoop's FS API, so the protocol works
+    unchanged on HDFS/object stores. The atomic alternative for online
+    serving — no absence window at all — is the generation publish
+    (:func:`commit_index_removal`).
     Returns {"rows_removed", "cells_rewritten"}.
     """
-    import os
-    import shutil
     import uuid
 
+    from ..manifest import _claim_marker, _write_small_json
+
+    fs, hp, _ = _fs(spark, path)
+    recover_incomplete_removal(spark, path)  # self-heal a crashed run
     if isinstance(ids, (list, tuple)):
         ids_df = spark.createDataFrame(
             [(int(i),) for i in ids], "id bigint"
@@ -188,19 +239,39 @@ def remove_from_ivfpq_index(
     affected = codes.filter(F.col("centroid_id").isin(cells))
     n_before = affected.count()
     survivors = affected.join(F.broadcast(ids_df), "id", "left_anti")
+    staging_rel = f"codes_rm_staging_{uuid.uuid4().hex[:8]}"
+    if not _claim_marker(
+        fs, hp, path, REMOVE_MARKER, {"staging": staging_rel}
+    ):
+        raise ConcurrentIndexMaintenanceError(
+            f"a removal is already in progress under {path}; "
+            "run recover_incomplete_removal if its writer crashed"
+        )
+    _maybe_crash("after-claim")
     # stage first: Spark refuses to overwrite a path it is reading from,
     # and a direct overwrite would drop the unaffected cells anyway
-    staging = f"{path}/codes_rm_staging_{uuid.uuid4().hex[:8]}"
     survivors.write.mode("overwrite").partitionBy("centroid_id").parquet(
-        staging
+        f"{path}/{staging_rel}"
     )
-    for c in cells:
-        dst = os.path.join(path, "codes", f"centroid_id={c}")
-        src = os.path.join(staging, f"centroid_id={c}")
-        shutil.rmtree(dst, ignore_errors=True)
-        if os.path.exists(src):  # absent = every row of the cell removed
-            shutil.move(src, dst)
-    shutil.rmtree(staging, ignore_errors=True)
+    _maybe_crash("after-staging")
+    # journal the swap plan AFTER staging completes: recovery can then
+    # replay the swaps idempotently (an absent staging cell means either
+    # "every row of the cell was removed" — staged=False — or "this
+    # cell's swap already ran"); written atomically via tmp+rename.
+    plan = {
+        "staging": staging_rel,
+        "cells": [int(c) for c in cells],
+        "staged": {
+            str(int(c)): bool(
+                fs.exists(hp(f"{path}/{staging_rel}/centroid_id={int(c)}"))
+            )
+            for c in cells
+        },
+    }
+    _write_small_json(fs, hp, path, REMOVE_PLAN, plan)
+    _maybe_crash("after-plan")
+    _apply_removal_plan(spark, path, plan)
+    _cleanup_removal(spark, path, staging_rel)
     n_after = (
         spark.read.parquet(f"{path}/codes")
         .filter(F.col("centroid_id").isin(cells))
@@ -212,57 +283,181 @@ def remove_from_ivfpq_index(
     }
 
 
+def _apply_removal_plan(spark: SparkSession, path: str, plan: dict) -> None:
+    """Execute (or idempotently replay) a journaled per-cell swap. Whole-
+    directory renames through the Hadoop FS API: a cell is always a
+    complete old directory or a complete new one — a crash can leave a
+    cell momentarily absent (delete landed, rename didn't), and replay
+    finishes the rename; old and new files never mix inside a cell."""
+    from ..manifest import _must
+
+    fs, hp, _ = _fs(spark, path)
+    for c in plan["cells"]:
+        dst = hp(f"{path}/codes/centroid_id={c}")
+        src = hp(f"{path}/{plan['staging']}/centroid_id={c}")
+        if plan["staged"][str(c)]:
+            if not fs.exists(src):
+                continue  # replay: this cell's swap already completed
+            if fs.exists(dst):
+                _must(fs.delete(dst, True), "cell-swap-delete", dst)
+            _maybe_crash("mid-swap")
+            _must(fs.rename(src, dst), "cell-swap-rename", dst)
+        elif fs.exists(dst):  # every row of the cell removed
+            _must(fs.delete(dst, True), "cell-drop-delete", dst)
+        _maybe_crash("after-first-cell")
+
+
+def _cleanup_removal(
+    spark: SparkSession, path: str, staging_rel: str | None
+) -> None:
+    fs, hp, _ = _fs(spark, path)
+    if staging_rel and fs.exists(hp(f"{path}/{staging_rel}")):
+        fs.delete(hp(f"{path}/{staging_rel}"), True)
+    for rel in (REMOVE_PLAN, REMOVE_MARKER):
+        if fs.exists(hp(f"{path}/{rel}")):
+            fs.delete(hp(f"{path}/{rel}"), False)
+
+
+def recover_incomplete_removal(spark: SparkSession, path: str) -> dict:
+    """Crash recovery for :func:`remove_from_ivfpq_index` — the index
+    twin of manifest.recover_incomplete_rewrite. Three cases, decided by
+    the journal files (both written through atomic FS primitives):
+
+    * no ``_remove-inprogress`` marker — nothing to do;
+    * marker but no ``_remove-plan`` — the writer died before the swap
+      plan landed, so NO cell was touched yet: roll back by dropping the
+      (possibly partial) staging directory and the marker. A torn marker
+      (claim crashed between create-exclusive and payload write) lands
+      here too — staging dirs are found by prefix listing;
+    * marker + plan — the staging is complete and swaps may have started:
+      REPLAY the plan to completion (idempotent — see
+      :func:`_apply_removal_plan`) and clean up.
+
+    Returns {"recovered", "completed"}: ``completed`` True when a
+    journaled plan was replayed forward, False when rolled back.
+    """
+    fs, hp, _ = _fs(spark, path)
+    if not fs.exists(hp(f"{path}/{REMOVE_MARKER}")):
+        return {"recovered": False, "completed": False}
+    from ..manifest import _read_small_json
+
+    if fs.exists(hp(f"{path}/{REMOVE_PLAN}")):
+        plan = _read_small_json(fs, hp, path, REMOVE_PLAN)
+        _apply_removal_plan(spark, path, plan)
+        _cleanup_removal(spark, path, plan["staging"])
+        return {"recovered": True, "completed": True}
+    # No plan: no swap ever started. Drop any staging dirs (prefix-listed,
+    # so a torn marker whose payload never landed is handled identically).
+    root_status = fs.listStatus(hp(path))
+    for st in root_status:
+        name = st.getPath().getName()
+        if name.startswith("codes_rm_staging_"):
+            fs.delete(st.getPath(), True)
+    fs.delete(hp(f"{path}/{REMOVE_MARKER}"), False)
+    return {"recovered": True, "completed": False}
+
+
 COMMIT_MARKER = "_COMMITTED"
 
 
-def _committed_builds(root: str) -> list[int]:
-    import os
-
-    bdir = os.path.join(root, "builds")
-    if not os.path.isdir(bdir):
+def _build_dir_ids(spark: SparkSession, root: str) -> list[int]:
+    """Every ``b{N}`` directory under ``{root}/builds`` — committed or
+    not."""
+    fs, hp, _ = _fs(spark, root)
+    bdir = hp(f"{root}/builds")
+    if not fs.exists(bdir):
         return []
     out = []
-    for name in os.listdir(bdir):
-        if (
-            name.startswith("b")
-            and name[1:].isdigit()
-            and os.path.exists(os.path.join(bdir, name, COMMIT_MARKER))
-        ):
+    for st in fs.listStatus(bdir):
+        name = st.getPath().getName()
+        if name.startswith("b") and name[1:].isdigit():
             out.append(int(name[1:]))
     return sorted(out)
 
 
-def current_index_path(root: str) -> str:
+def _committed_builds(
+    root: str, spark: SparkSession | None = None
+) -> list[int]:
+    """Generations with a READABLE commit marker, via the Hadoop FS API.
+    A torn marker (claimant crashed between the exclusive create and the
+    payload write) parses as nothing and is treated as uncommitted — the
+    same torn-claim rule as manifest.recover_incomplete_rewrite."""
+    from ..manifest import _read_small_json
+
+    spark = spark or _active_spark()
+    fs, hp, _ = _fs(spark, root)
+    out = []
+    for bid in _build_dir_ids(spark, root):
+        gdir = f"{root}/builds/b{bid}"
+        if not fs.exists(hp(f"{gdir}/{COMMIT_MARKER}")):
+            continue
+        try:
+            _read_small_json(fs, hp, gdir, COMMIT_MARKER)
+        except Exception:
+            continue  # torn marker: never served
+        out.append(bid)
+    return sorted(out)
+
+
+def current_index_path(
+    root: str, spark: SparkSession | None = None
+) -> str:
     """The serving build: highest COMMITTED generation under
     ``{root}/builds/b{N}``. Committing is the creation of one marker file
-    (exclusive create — the manifest-style atomic publish), so readers
-    resolve either the old or the new build, never a torn one; a crashed
-    rebuild leaves an uncommitted directory that is never served."""
-    builds = _committed_builds(root)
+    (exclusive create through the Hadoop FS — the manifest-style atomic
+    publish), so readers resolve either the old or the new build, never a
+    torn one; a crashed rebuild leaves an uncommitted directory that is
+    never served."""
+    builds = _committed_builds(root, spark)
     if not builds:
         raise FileNotFoundError(f"no committed index builds under {root}")
-    import os
-
-    return os.path.join(root, "builds", f"b{builds[-1]}")
+    return f"{root}/builds/b{builds[-1]}"
 
 
 def commit_index_build(emb: DataFrame, root: str, **build_kwargs) -> str:
     """Train a NEW index generation under ``{root}/builds/b{N+1}`` and
     atomically publish it: the commit marker (holding {"n_trained": ...})
-    is written LAST with exclusive create, so the swap to the new build is
-    a single metadata operation and concurrent searchers keep reading the
-    previous generation until it lands. Returns the committed path."""
-    import json as _json
-    import os
-
-    builds = _committed_builds(root)
+    is written LAST with exclusive create (manifest._claim_marker — works
+    on HDFS/object stores, kernel-atomic O_EXCL on local FS), so the swap
+    to the new build is a single metadata operation and concurrent
+    searchers keep reading the previous generation until it lands.
+    Returns the committed path."""
+    spark = emb.sparkSession
+    builds = _committed_builds(root, spark)
     bid = (builds[-1] if builds else 0) + 1
-    bdir = os.path.join(root, "builds", f"b{bid}")
+    bdir = f"{root}/builds/b{bid}"
     build_ivfpq_index(emb, bdir, **build_kwargs)
     n_trained = emb.count()
-    with open(os.path.join(bdir, COMMIT_MARKER), "x") as fh:
-        fh.write(_json.dumps({"build": bid, "n_trained": int(n_trained)}))
+    _publish_generation(
+        spark, bdir, {"build": bid, "n_trained": int(n_trained)}
+    )
     return bdir
+
+
+def _publish_generation(spark: SparkSession, bdir: str, payload: dict) -> None:
+    """Atomically commit a generation: exclusive-create its marker. A
+    husk left by a crashed writer may hold a TORN marker (claim crashed
+    mid-payload) — unreadable means uncommitted, so it is dropped and
+    re-claimed (same torn-claim rule as the manifest layer); a READABLE
+    existing marker means a concurrent writer genuinely won."""
+    from ..manifest import _claim_marker, _read_small_json
+
+    fs, hp, _ = _fs(spark, bdir)
+    if not _claim_marker(fs, hp, bdir, COMMIT_MARKER, payload):
+        try:
+            _read_small_json(fs, hp, bdir, COMMIT_MARKER)
+            torn = False
+        except Exception:
+            torn = True
+        if not torn:
+            raise ConcurrentIndexMaintenanceError(
+                f"generation {bdir} was already committed by another writer"
+            )
+        fs.delete(hp(f"{bdir}/{COMMIT_MARKER}"), False)
+        if not _claim_marker(fs, hp, bdir, COMMIT_MARKER, payload):
+            raise ConcurrentIndexMaintenanceError(
+                f"generation {bdir} was already committed by another writer"
+            )
 
 
 def index_drift_ppm(spark: SparkSession, root: str) -> int:
@@ -271,14 +466,13 @@ def index_drift_ppm(spark: SparkSession, root: str) -> int:
     :func:`refresh_ivfpq_index` appends, which never move the quantizer.
     Reads only the codes sidecar's distinct ids plus the commit marker's
     ``n_trained``; the raw corpus is never rescanned."""
-    import json as _json
-    import os
+    from ..manifest import _read_small_json
 
-    cur = current_index_path(root)
-    with open(os.path.join(cur, COMMIT_MARKER)) as fh:
-        n_trained = int(_json.load(fh)["n_trained"])
+    cur = current_index_path(root, spark)
+    fs, hp, _ = _fs(spark, cur)
+    n_trained = int(_read_small_json(fs, hp, cur, COMMIT_MARKER)["n_trained"])
     n_now = (
-        spark.read.parquet(f"{cur}/codes").select("id").distinct().count()
+        _codes_for_cells(spark, cur).select("id").distinct().count()
     )
     if n_now <= 0:
         return 0
@@ -309,6 +503,201 @@ def rebuild_if_drifted(
         }
     path = commit_index_build(emb, root, **build_kwargs)
     return {"rebuilt": True, "drift_ppm": drift, "path": path}
+
+
+def _resolve_assets(spark: SparkSession, path: str) -> dict:
+    """Physical asset locations for the index at ``path``. A full build
+    (or a flat index dir) owns all three stores; a REMOVAL generation
+    (:func:`commit_index_removal`) references its untouched assets from
+    the parent generation via ``_cellmap.json`` — {"centroids": dir,
+    "codebooks": dir, "cells": {cid: [dir, ...]}} — and owns only the
+    survivor-rewritten cells under its own ``codes``."""
+    fs, hp, _ = _fs(spark, path)
+    own = f"{path}/codes" if fs.exists(hp(f"{path}/codes")) else None
+    if fs.exists(hp(f"{path}/{CELLMAP}")):
+        from ..manifest import _read_small_json
+
+        m = _read_small_json(fs, hp, path, CELLMAP)
+        return {
+            "centroids": m["centroids"],
+            "codebooks": m["codebooks"],
+            "cells": {int(k): list(v) for k, v in m["cells"].items()},
+            "own_codes": own,
+        }
+    return {
+        "centroids": f"{path}/centroids",
+        "codebooks": f"{path}/codebooks",
+        "cells": None,
+        "own_codes": own,
+    }
+
+
+def _own_cell_ids(spark: SparkSession, codes_dir: str) -> list[int]:
+    """Partition values present in a ``codes`` directory, from the FS
+    listing (manifest-sized — one listStatus, no data read)."""
+    fs, hp, _ = _fs(spark, codes_dir)
+    if not fs.exists(hp(codes_dir)):
+        return []
+    out = []
+    for st in fs.listStatus(hp(codes_dir)):
+        name = st.getPath().getName()
+        if name.startswith("centroid_id="):
+            out.append(int(name.split("=", 1)[1]))
+    return sorted(out)
+
+
+def _codes_for_cells(
+    spark: SparkSession, path: str, cells: list[int] | None = None
+) -> DataFrame:
+    """The (id, m, code, centroid_id) rows of the given cells (all cells
+    when ``cells`` is None), resolved through the generation's cellmap.
+
+    Flat/full-build layout: one partitioned read with an ``isin`` filter
+    — the partition-pruned plan the search always had. Removal
+    generations: referenced cells are read as explicit leaf directories
+    (pruning by construction — only the probed cells' paths enter the
+    plan at all), unioned with the generation's own survivor/refresh
+    partitions. Per cell the map holds a LIST of directories so a parent
+    generation's own refresh appends stack under later removals without
+    ever copying untouched bytes."""
+    assets = _resolve_assets(spark, path)
+    if assets["cells"] is None:
+        df = spark.read.parquet(assets["own_codes"])
+        if cells is not None:
+            df = df.filter(
+                F.col("centroid_id").isin([int(c) for c in cells])
+            )
+        return df.select("id", "m", "code", "centroid_id")
+    wanted = (
+        sorted({int(c) for c in cells})
+        if cells is not None
+        else sorted(
+            set(assets["cells"])
+            | set(
+                _own_cell_ids(spark, assets["own_codes"])
+                if assets["own_codes"]
+                else []
+            )
+        )
+    )
+    parts = []
+    fs, hp, _ = _fs(spark, path)
+    for c in wanted:
+        for d in assets["cells"].get(c, []):
+            parts.append(
+                spark.read.parquet(d)
+                .select("id", "m", "code")
+                .withColumn("centroid_id", F.lit(int(c)))
+            )
+        if assets["own_codes"] and fs.exists(
+            hp(f"{assets['own_codes']}/centroid_id={c}")
+        ):
+            parts.append(
+                spark.read.parquet(
+                    f"{assets['own_codes']}/centroid_id={c}"
+                )
+                .select("id", "m", "code")
+                .withColumn("centroid_id", F.lit(int(c)))
+            )
+    if not parts:
+        return spark.createDataFrame(
+            [], "id bigint, m int, code int, centroid_id int"
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def commit_index_removal(
+    spark: SparkSession, root: str, ids, id_col: str = "id"
+) -> str:
+    """ONLINE GDPR removal for a served generation-rooted index: publish
+    a NEW generation whose affected cells are survivor-rewritten and
+    whose untouched assets — quantizer, codebooks, and every unaffected
+    cell — are REFERENCED from the parent via ``_cellmap.json``, never
+    copied or rewritten (metadata cost is one k-entry JSON; data cost is
+    the affected cells only). The commit marker lands LAST with exclusive
+    create, exactly like :func:`commit_index_build`: a concurrent
+    searcher resolves the old generation until the marker exists and the
+    new one after — old-or-new, never torn, no maintenance window. This
+    is the composition the in-place :func:`remove_from_ivfpq_index`
+    documents as its online alternative; FAISS ``remove_ids`` semantics
+    otherwise (inverted lists filtered, quantizer untouched).
+
+    Superseded generations stay on disk until an explicit cleanup;
+    because later cellmaps may reference their cell directories, any
+    vacuum must keep every directory referenced by a committed
+    generation >= the serving one. Returns the committed path."""
+    from ..manifest import _read_small_json, _write_small_json
+
+    cur = current_index_path(root, spark)
+    assets = _resolve_assets(spark, cur)
+    fs, hp, _ = _fs(spark, root)
+    if isinstance(ids, (list, tuple)):
+        ids_df = spark.createDataFrame(
+            [(int(i),) for i in ids], "id bigint"
+        )
+    else:
+        ids_df = ids.select(F.col(id_col).cast("long").alias("id"))
+    codes = _codes_for_cells(spark, cur)
+    affected = sorted(
+        r.centroid_id
+        for r in (
+            codes.join(F.broadcast(ids_df), "id", "left_semi")
+            .select("centroid_id")
+            .distinct()
+            .collect()
+        )
+    )
+    builds = _committed_builds(root, spark)
+    bid = (builds[-1] if builds else 0) + 1
+    bdir = f"{root}/builds/b{bid}"
+    if affected:
+        survivors = _codes_for_cells(spark, cur, affected).join(
+            F.broadcast(ids_df), "id", "left_anti"
+        )
+        (
+            survivors.select("id", "m", "code", "centroid_id")
+            .write.mode("overwrite")
+            .partitionBy("centroid_id")
+            .parquet(f"{bdir}/codes")
+        )
+    # Untouched cells resolve to the parent's physical directories; a
+    # parent cell split across a referenced dir + the parent's own
+    # refresh appends carries BOTH paths forward.
+    if assets["cells"] is None:
+        parent_cells = {
+            c: [f"{assets['own_codes']}/centroid_id={c}"]
+            for c in _own_cell_ids(spark, assets["own_codes"])
+        }
+    else:
+        parent_cells = {c: list(v) for c, v in assets["cells"].items()}
+        for c in _own_cell_ids(spark, assets["own_codes"] or ""):
+            parent_cells.setdefault(c, []).append(
+                f"{assets['own_codes']}/centroid_id={c}"
+            )
+    cellmap = {
+        "centroids": assets["centroids"],
+        "codebooks": assets["codebooks"],
+        "cells": {
+            str(c): dirs
+            for c, dirs in parent_cells.items()
+            if c not in set(affected)
+        },
+    }
+    _write_small_json(fs, hp, bdir, CELLMAP, cellmap)
+    parent_marker = _read_small_json(fs, hp, cur, COMMIT_MARKER)
+    _publish_generation(
+        spark, bdir,
+        {
+            "build": bid,
+            "n_trained": int(parent_marker["n_trained"]),
+            "removed_from": cur,
+            "cells_rewritten": len(affected),
+        },
+    )
+    return bdir
 
 
 def streaming_index_sink(
@@ -342,23 +731,25 @@ def streaming_index_sink(
     to the batch (one k-row centroid broadcast + one m*k-row codebook
     broadcast + encode of the batch's vectors); the corpus-sized ``codes``
     store is never rewritten. The index must have been built
-    (:func:`build_ivfpq_index`) before the stream starts.
+    (:func:`build_ivfpq_index`) before the stream starts. Markers are
+    created exclusively through the Hadoop FS (manifest._claim_marker),
+    so the protocol is identical on HDFS/object stores.
     """
-    import os
 
     def sink_fn(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        mdir = os.path.join(path, "_stream_commits")
-        marker = os.path.join(mdir, f"batch-{batch_id}")
-        if os.path.exists(marker):
+        from ..manifest import _claim_marker
+
+        spark = batch.sparkSession
+        fs, hp, _ = _fs(spark, path)
+        rel = f"_stream_commits/batch-{batch_id}"
+        if fs.exists(hp(f"{path}/{rel}")):
             return  # replay of an already-committed batch — skip, no dupes
         refresh_ivfpq_index(
             batch, path, id_col=id_col, vec_col=vec_col, m=m, dim=dim
         )
-        os.makedirs(mdir, exist_ok=True)
-        with open(marker, "w"):
-            pass
+        _claim_marker(fs, hp, path, rel, {"batch": int(batch_id)})
 
     return sink_fn
 
@@ -376,7 +767,7 @@ def probe_cells(
     return [
         r.centroid_id
         for r in (
-            spark.read.parquet(f"{path}/centroids")
+            spark.read.parquet(_resolve_assets(spark, path)["centroids"])
             .select(
                 "centroid_id", cosine_col(F.col("centroid"), q).alias("s")
             )
@@ -413,7 +804,7 @@ def ivfpq_search(
             for j in range(m)
         ]
     )
-    cb = spark.read.parquet(f"{path}/codebooks")
+    cb = spark.read.parquet(_resolve_assets(spark, path)["codebooks"])
     dist_table = F.broadcast(
         cb.select(
             "m",
@@ -426,9 +817,7 @@ def ivfpq_search(
             .alias("dmic"),
         )
     )
-    codes = spark.read.parquet(f"{path}/codes").filter(
-        F.col("centroid_id").isin([int(c) for c in cells])
-    )
+    codes = _codes_for_cells(spark, path, [int(c) for c in cells])
     return (
         codes.join(dist_table, ["m", "code"])
         .groupBy("id")

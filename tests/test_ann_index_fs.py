@@ -1,0 +1,223 @@
+"""ANN index sidecar maintenance: Hadoop-FS portability, journaled
+crash-safe GDPR removal, and the online generation-composed removal.
+
+The r13 review flagged the index sidecar as the one layer still bound to
+local-FS primitives (os/shutil swaps, open(..., "x") markers) while the
+manifest layer had already moved to Hadoop-FS atomic claims
+(manifest._claim_marker). These tests pin the port: every marker and
+swap must flow through the Hadoop FS API (the local backend exercises
+the identical code path a hdfs:// or s3a:// URI would), a crash injected
+at every protocol step must recover to wholly-old or wholly-new cells,
+and the online removal must publish a new generation without rewriting
+any untouched cell.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from klogs_spark.ext import ann_index
+
+
+def _tiny_emb(spark, n=96, dim=64):
+    """Deterministic small corpus: enough rows to spread over 4 IVF
+    cells, small enough that a full build is a few seconds."""
+    rows = [
+        (
+            i,
+            [((i * 37 + j * 11 + (i * j) % 13) % 97) / 97.0 for j in range(dim)],
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    )
+
+
+BUILD_KW = dict(ivf_k=4, refine_iters=1)
+
+
+@pytest.fixture()
+def tiny_index(spark, tmp_path):
+    emb = _tiny_emb(spark)
+    path = str(tmp_path / "idx")
+    ann_index.build_ivfpq_index(emb, path, **BUILD_KW)
+    return emb, path
+
+
+def _query_vec(emb):
+    return list(emb.filter("vec_id = 0").collect()[0].embedding)
+
+
+def _search_ids(spark, path, qv, k=5):
+    return [r.id for r in ann_index.ivfpq_search(spark, path, qv, k=k).collect()]
+
+
+def test_module_has_no_local_fs_primitives():
+    """The whole sidecar must go through the Hadoop FS API: no os/shutil
+    path math, no direct open() — the exact defect class the r13 review
+    marked weak (ext/ann_index.py local-FS staging swap + O_EXCL via
+    open('x'))."""
+    import inspect
+
+    src = inspect.getsource(ann_index)
+    for banned in ("shutil", "import os", "os.path", "open("):
+        assert banned not in src, f"local-FS primitive left in sidecar: {banned}"
+
+
+def test_removal_is_journaled_and_blocks_concurrent_writers(spark, tiny_index):
+    """A removal claims the journal exclusively; a second maintenance op
+    racing it must fail loudly instead of double-rewriting cells."""
+    emb, path = tiny_index
+    qv = _query_vec(emb)
+    victim = _search_ids(spark, path, qv)[1]
+
+    # simulate a live competing claim
+    from klogs_spark.manifest import _claim_marker
+    from klogs_spark.table import _hadoop_fs
+
+    fs, hp, _ = _hadoop_fs(spark, path)
+    assert _claim_marker(
+        fs, hp, path, ann_index.REMOVE_MARKER, {"staging": "codes_rm_staging_live"}
+    )
+    # the competing writer also has a live (non-empty) staging dir, so
+    # recovery must NOT silently clear it: without a journaled plan the
+    # rollback path drops staging+marker — that is the documented
+    # single-maintenance-writer norm; a LIVE claim is therefore rolled
+    # back as if crashed, and the second writer proceeds. What must never
+    # happen is both writers swapping. We pin the claim exclusivity here:
+    with pytest.raises(ann_index.ConcurrentIndexMaintenanceError):
+        # disable self-heal so the live claim is respected
+        orig = ann_index.recover_incomplete_removal
+        ann_index.recover_incomplete_removal = lambda *a, **k: None
+        try:
+            ann_index.remove_from_ivfpq_index(spark, path, [victim])
+        finally:
+            ann_index.recover_incomplete_removal = orig
+    # heal and run for real
+    ann_index.recover_incomplete_removal(spark, path)
+    res = ann_index.remove_from_ivfpq_index(spark, path, [victim])
+    assert res["rows_removed"] == ann_index.sim.PQ_SUBSPACES  # M code rows
+    assert victim not in _search_ids(spark, path, qv)
+
+
+@pytest.mark.parametrize(
+    "failpoint",
+    ["after-claim", "after-staging", "after-plan", "mid-swap", "after-first-cell"],
+)
+def test_removal_crash_at_every_step_recovers_old_or_new(
+    spark, tmp_path, failpoint
+):
+    """Kill the removal at each protocol step. Before recovery the index
+    may be mid-window, but after recover_incomplete_removal the search
+    result must be EXACTLY the old answer (rolled back — crash before the
+    journaled plan) or EXACTLY the new answer (replayed forward), with no
+    journal residue and no mixed/duplicated cells either way."""
+    emb = _tiny_emb(spark)
+    path = str(tmp_path / "idx")
+    ann_index.build_ivfpq_index(emb, path, **BUILD_KW)
+    qv = _query_vec(emb)
+    old = _search_ids(spark, path, qv)
+    victim = old[1]
+    expected_new = [i for i in _search_ids(spark, path, qv, k=6) if i != victim][:5]
+
+    ann_index._FAILPOINT = failpoint
+    try:
+        with pytest.raises(ann_index.InjectedCrash):
+            ann_index.remove_from_ivfpq_index(spark, path, [victim])
+    finally:
+        ann_index._FAILPOINT = None
+
+    rec = ann_index.recover_incomplete_removal(spark, path)
+    assert rec["recovered"] is True
+    # journal fully cleared, staging gone
+    from klogs_spark.table import _hadoop_fs
+
+    fs, hp, _ = _hadoop_fs(spark, path)
+    assert not fs.exists(hp(f"{path}/{ann_index.REMOVE_MARKER}"))
+    assert not fs.exists(hp(f"{path}/{ann_index.REMOVE_PLAN}"))
+    leftovers = [
+        st.getPath().getName()
+        for st in fs.listStatus(hp(path))
+        if st.getPath().getName().startswith("codes_rm_staging_")
+    ]
+    assert leftovers == []
+
+    after = _search_ids(spark, path, qv)
+    if rec["completed"]:
+        assert after == expected_new  # wholly new
+    else:
+        assert after == old  # wholly old (rolled back, victim still there)
+    # no duplicated rows from a half-replayed swap
+    codes = spark.read.parquet(f"{path}/codes")
+    assert codes.count() == codes.select("id", "m").distinct().count()
+    # recovery is idempotent
+    rec2 = ann_index.recover_incomplete_removal(spark, path)
+    assert rec2 == {"recovered": False, "completed": False}
+    # and the index is fully operational for a real removal afterwards
+    res = ann_index.remove_from_ivfpq_index(spark, path, [victim])
+    if rec["completed"]:
+        assert res == {"rows_removed": 0, "cells_rewritten": 0}
+    else:
+        assert res["rows_removed"] == ann_index.sim.PQ_SUBSPACES
+    assert _search_ids(spark, path, qv) == expected_new
+
+
+def test_commit_index_removal_publishes_generation_without_touching_cells(
+    spark, tmp_path
+):
+    """Online removal: a NEW generation is committed whose untouched
+    cells are referenced (not copied or rewritten) from the parent via
+    _cellmap.json; a reader pinned to the old generation still sees the
+    victim (old-or-new, never torn), the serving pointer flips only at
+    the marker, and the new generation's own codes hold ONLY the
+    affected cells' survivors."""
+    emb = _tiny_emb(spark)
+    root = str(tmp_path / "root")
+    p1 = ann_index.commit_index_build(emb, root, **BUILD_KW)
+    qv = _query_vec(emb)
+    old = _search_ids(spark, p1, qv)
+    victim = old[1]
+
+    p2 = ann_index.commit_index_removal(spark, root, [victim])
+    assert ann_index.current_index_path(root) == p2 and p2.endswith("b2")
+
+    # old generation untouched: pinned readers keep their answer
+    assert _search_ids(spark, p1, qv) == old
+    # new generation: victim gone, next candidate fills the slot
+    new = _search_ids(spark, p2, qv)
+    assert victim not in new and len(new) == 5
+
+    # the new generation's own codes contain ONLY the affected cells
+    affected = {
+        r.centroid_id
+        for r in spark.read.parquet(f"{p1}/codes")
+        .filter(F.col("id") == victim)
+        .select("centroid_id")
+        .collect()
+    }
+    own = set(ann_index._own_cell_ids(spark, f"{p2}/codes"))
+    assert own == affected
+    # untouched cells resolve by reference into the parent's directories
+    assets = ann_index._resolve_assets(spark, p2)
+    assert assets["cells"] is not None
+    for c, dirs in assets["cells"].items():
+        assert c not in affected
+        assert all(d.startswith(p1) for d in dirs)
+    assert assets["centroids"] == f"{p1}/centroids"
+
+    # total rows: parent minus the removed vector, no dupes
+    n1 = spark.read.parquet(f"{p1}/codes").count()
+    n2 = ann_index._codes_for_cells(spark, p2).count()
+    assert n2 == n1 - ann_index.sim.PQ_SUBSPACES  # M code rows per vector
+
+    # drift metric still works through the cellmap resolution
+    assert ann_index.index_drift_ppm(spark, root) >= 0
+
+    # chained removal: b3 over b2 keeps referencing b1's untouched dirs
+    victim2 = new[0]
+    p3 = ann_index.commit_index_removal(spark, root, [victim2])
+    third = _search_ids(spark, p3, qv)
+    assert victim not in third and victim2 not in third
+    assert _search_ids(spark, p2, qv) == new  # b2 readers unaffected

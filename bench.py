@@ -90,6 +90,59 @@ HEADLINE = [
 ]
 
 
+_QUERY_NOTES = {
+        # r7 flagged tpch_q1 crossing 2x (0.318 -> 0.734).
+        # Root-caused in r8: sf0.1 lineitem.parquet ships as ONE
+        # 600k-row row group in ONE file, so the scan+agg is a
+        # single task no matter the core count — isolated
+        # timings put the floor at ~0.19s (pushed-filter scan)
+        # + ~0.32s (8-function agg) single-threaded. The plan
+        # is optimal (PushedFilters carries the shipdate range,
+        # the NTZ->LTZ cast is constant-folded away, two-phase
+        # HashAggregate); the r5->r7 delta tracks the driver's
+        # testdata regeneration (timestamp encoding changed in
+        # r6) plus box noise. At 100 TB the table is many
+        # files/row-groups and the same plan parallelizes.
+        "tpch_q1_pricing_summary":
+            "single-row-group input file => 1-task scan+agg; "
+            "plan verified optimal (full pushdown, cast "
+            "eliminated); delta vs r5 = testdata regeneration "
+            "+ box noise",
+        # r7's 0.927s for dedup_semantic was flattered by
+        # cross-query cache leakage: the r7 bench never released
+        # operator caches, so the ANN queries that ran earlier
+        # had already materialized the identical centroid chain
+        # and dedup_semantic timed only its pair join. r8
+        # releases tracked caches between queries (the bounded-
+        # cache contract), so the number now includes the
+        # k-means build — the honest isolated cost. An r8 interim
+        # regression (eager per-iteration materialize+drop made
+        # repeat calls re-run iteration 1) was found and fixed:
+        # warm cost measured 3.8-4.6s -> 1.4-1.9s at sf0.1.
+        "dedup_semantic":
+            "r7 number excluded the k-means build (cache "
+            "leakage from earlier ANN queries); r8 isolates "
+            "per-query cost via release_tracked — not "
+            "comparable round-over-round",
+        # r13 additions (VERDICT r12 #5)
+        "ann_ivfpq_rerank_search":
+            "deployed two-stage search: prebuilt-ADC nominates "
+            "R candidates, R-row broadcast-semi exact re-rank; "
+            "expected ~ ann_ivfpq_prebuilt + small constant",
+        "table_context_fetch":
+            "interactive ±N context fetch: ±12h horizon -> "
+            "<=2 day dirs scanned (partition-pruned), "
+            "TakeOrderedAndProject per side, never a day sort",
+        "ingest_msgpack_pipeline":
+            "r13: encode+decode share one mapInPandas worker "
+            "(production pays ONE binary crossing; the old "
+            "second Arrow hop was ~0.3s of synthetic-generator "
+            "plumbing) + register-based iterative decoder with "
+            "interned fixstr cache (2.15x) — not comparable "
+            "round-over-round",
+}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -449,78 +502,36 @@ def main() -> None:
     comparable_r8 = round(
         sum(v for k, v in timings.items() if k in r8_set), 3
     )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-                "trials": trials,
-                "errors": errors,
-                "comparable_r4_subtotal_sec": comparable,
-                "comparable_r8_subtotal_sec": comparable_r8,
-                "box_calibration_sec": calibration,
-                "timing": "best-of-N per query (single-shot swings up to "
-                          "+/-50% on this box with unchanged code); "
-                          "'value' includes queries newly added to the "
-                          "bench this round — use comparable_r4_subtotal_sec "
-                          "for round-over-round comparison",
-                "notes": {
-                    # r7 flagged tpch_q1 crossing 2x (0.318 -> 0.734).
-                    # Root-caused in r8: sf0.1 lineitem.parquet ships as ONE
-                    # 600k-row row group in ONE file, so the scan+agg is a
-                    # single task no matter the core count — isolated
-                    # timings put the floor at ~0.19s (pushed-filter scan)
-                    # + ~0.32s (8-function agg) single-threaded. The plan
-                    # is optimal (PushedFilters carries the shipdate range,
-                    # the NTZ->LTZ cast is constant-folded away, two-phase
-                    # HashAggregate); the r5->r7 delta tracks the driver's
-                    # testdata regeneration (timestamp encoding changed in
-                    # r6) plus box noise. At 100 TB the table is many
-                    # files/row-groups and the same plan parallelizes.
-                    "tpch_q1_pricing_summary":
-                        "single-row-group input file => 1-task scan+agg; "
-                        "plan verified optimal (full pushdown, cast "
-                        "eliminated); delta vs r5 = testdata regeneration "
-                        "+ box noise",
-                    # r7's 0.927s for dedup_semantic was flattered by
-                    # cross-query cache leakage: the r7 bench never released
-                    # operator caches, so the ANN queries that ran earlier
-                    # had already materialized the identical centroid chain
-                    # and dedup_semantic timed only its pair join. r8
-                    # releases tracked caches between queries (the bounded-
-                    # cache contract), so the number now includes the
-                    # k-means build — the honest isolated cost. An r8 interim
-                    # regression (eager per-iteration materialize+drop made
-                    # repeat calls re-run iteration 1) was found and fixed:
-                    # warm cost measured 3.8-4.6s -> 1.4-1.9s at sf0.1.
-                    "dedup_semantic":
-                        "r7 number excluded the k-means build (cache "
-                        "leakage from earlier ANN queries); r8 isolates "
-                        "per-query cost via release_tracked — not "
-                        "comparable round-over-round",
-                    # r13 additions (VERDICT r12 #5)
-                    "ann_ivfpq_rerank_search":
-                        "deployed two-stage search: prebuilt-ADC nominates "
-                        "R candidates, R-row broadcast-semi exact re-rank; "
-                        "expected ~ ann_ivfpq_prebuilt + small constant",
-                    "table_context_fetch":
-                        "interactive ±N context fetch: ±12h horizon -> "
-                        "<=2 day dirs scanned (partition-pruned), "
-                        "TakeOrderedAndProject per side, never a day sort",
-                    "ingest_msgpack_pipeline":
-                        "r13: encode+decode share one mapInPandas worker "
-                        "(production pays ONE binary crossing; the old "
-                        "second Arrow hop was ~0.3s of synthetic-generator "
-                        "plumbing) + register-based iterative decoder with "
-                        "interned fixstr cache (2.15x) — not comparable "
-                        "round-over-round",
-                },
-            }
-        )
-    )
+    doc = {
+        "metric": "headline_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+        "trials": trials,
+        "errors": errors,
+        "comparable_r4_subtotal_sec": comparable,
+        "comparable_r8_subtotal_sec": comparable_r8,
+        "box_calibration_sec": calibration,
+        "timing": "best-of-N per query (single-shot swings up to "
+                  "+/-50% on this box with unchanged code); "
+                  "'value' includes queries newly added to the "
+                  "bench this round — use comparable_r4_subtotal_sec "
+                  "for round-over-round comparison",
+        "notes": _QUERY_NOTES,
+    }
+    # The driver tail-captures limited output: r13's BENCH json outgrew it
+    # (the notes dict alone is ~2 KB) and the round lost its official
+    # per-query record (parsed: null). So: the full document goes to
+    # BENCH_LOCAL.json on disk, per-query notes go to stderr as '# ' lines,
+    # and the FINAL stdout line is the compact machine summary only.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_LOCAL.json"), "w") as fh:
+        json.dump(doc, fh, indent=2)
+    for qname, note in _QUERY_NOTES.items():
+        print(f"# note {qname}: {note}", file=sys.stderr)
+    compact = {k: v for k, v in doc.items() if k not in ("notes", "timing")}
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

@@ -1417,11 +1417,20 @@ def lm_bigram_scores(
     mn = big.join(uni, "a").select(
         "a", "b", F.floor(snapped).cast("long").alias("mnats")
     )
+    # pre-aggregate per-(id, a, b) BEFORE the score join: within-document
+    # bigram repetition never reaches the join (the r13 bench's worst 10×
+    # ratio was this join's input growing with raw instances), and the
+    # integer sum k·mnats is order-free so the result is bit-identical
+    per_doc = bi.groupBy("id", "a", "b").agg(
+        F.count(F.lit(1)).alias("k")
+    )
     return (
-        bi.join(mn, ["a", "b"])
+        per_doc.join(mn, ["a", "b"])
         .groupBy("id")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
-            F.sum("mnats").cast("bigint").alias("nll_micro_nats"),
+            F.sum("k").cast("bigint").alias("n_bigrams"),
+            F.sum(F.col("k") * F.col("mnats"))
+            .cast("bigint")
+            .alias("nll_micro_nats"),
         )
     )

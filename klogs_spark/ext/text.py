@@ -1407,8 +1407,15 @@ def lm_bigram_scores(
         .agg(F.count_distinct("tok").alias("v"))
         .collect()[0].v
     )
-    big = bi.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
-    uni = bi.groupBy("a").agg(F.count(F.lit(1)).alias("c_a"))
+    # one corpus-sized aggregation feeds everything downstream: the count
+    # tables reduce from per-document bigram counts (vocab-sized from here
+    # on), and C(a) = Σ_b C(a,b) comes from the bigram table instead of a
+    # third corpus explode
+    per_doc = bi.groupBy("id", "a", "b").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    big = per_doc.groupBy("a", "b").agg(F.sum("k").alias("c_ab"))
+    uni = big.groupBy("a").agg(F.sum("c_ab").alias("c_a"))
     p = (F.col("c_ab") + 1) / (F.col("c_a") + F.lit(int(v)))
     y = -F.log(p) * 1e6
     snapped = F.when(
@@ -1417,13 +1424,11 @@ def lm_bigram_scores(
     mn = big.join(uni, "a").select(
         "a", "b", F.floor(snapped).cast("long").alias("mnats")
     )
-    # pre-aggregate per-(id, a, b) BEFORE the score join: within-document
-    # bigram repetition never reaches the join (the r13 bench's worst 10×
-    # ratio was this join's input growing with raw instances), and the
-    # integer sum k·mnats is order-free so the result is bit-identical
-    per_doc = bi.groupBy("id", "a", "b").agg(
-        F.count(F.lit(1)).alias("k")
-    )
+    # the score join sees per-(id, a, b) counts, never raw instances:
+    # within-document repetition never reaches the join (the r13 bench's
+    # worst 10× ratio was this join's input growing with raw instances),
+    # and the integer sum k·mnats is order-free so the result is
+    # bit-identical
     return (
         per_doc.join(mn, ["a", "b"])
         .groupBy("id")

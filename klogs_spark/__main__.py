@@ -228,9 +228,12 @@ def main(argv: list[str] | None = None) -> int:
         server = None
         metrics = None
         if args.metrics_address:
-            from .metrics import IngestMetrics, MetricsServer
+            from .metrics import IngestMetrics, MetricsServer, instrument_logger
 
             metrics = IngestMetrics()
+            # the engine's own log lines feed logs_total{level}
+            # (reference logger.go:17-19,61)
+            instrument_logger(metrics)
             server = MetricsServer(metrics, args.metrics_address)
             server.start()
             print(f"metrics server on port {server.port}")

@@ -14,6 +14,7 @@ text-format exposition; ``MetricsServer`` serves it on /metrics with a
 
 from __future__ import annotations
 
+import logging
 import threading
 from dataclasses import dataclass, field
 
@@ -40,9 +41,23 @@ class IngestMetrics:
     errors_total: int = 0              # main.go:57-60
     batch_sizes: list[float] = field(default_factory=list)   # main.go:62-67
     flush_seconds: list[float] = field(default_factory=list)  # main.go:69-73
+    # by-level self-log counter (pkg/instrument/logger/logger.go:17-19):
+    # every line the ENGINE logs increments its level's bucket — the
+    # first series an operator hits when debugging the pipeline's own
+    # warnings. Fed by SelfLogCounterHandler (logger.go:61).
+    logs_total: dict = field(default_factory=dict)
     _lock: threading.Lock = field(default_factory=threading.Lock, repr=False)
 
     QUANTILES = (0.5, 0.9, 0.95, 0.99)  # main.go:65,72
+
+    # Python levelname -> slog Level.String() (the reference's label set)
+    _SLOG_LEVEL = {"WARNING": "WARN"}
+
+    def observe_log(self, levelname: str) -> None:
+        """logger.go:61 — one increment per log record, labeled by level."""
+        level = self._SLOG_LEVEL.get(levelname, levelname)
+        with self._lock:
+            self.logs_total[level] = self.logs_total.get(level, 0) + 1
 
     def observe_batch(
         self, n_rows: int, seconds: float, decoded_rows: int | None = None
@@ -71,6 +86,11 @@ class IngestMetrics:
                 f"{prefix}_input_records_total {self.input_records_total}",
                 f"{prefix}_errors_total {self.errors_total}",
             ]
+            for level in sorted(self.logs_total):  # logger.go:17-19
+                lines.append(
+                    f'{prefix}_logs_total{{level="{level}"}} '
+                    f"{self.logs_total[level]}"
+                )
             for name, series in (
                 ("batch_size", self.batch_sizes),
                 ("flush_time_seconds", self.flush_seconds),
@@ -86,6 +106,37 @@ class IngestMetrics:
     def healthy(self) -> bool:
         """/health equivalent (metrics.go:51-53)."""
         return True
+
+
+class SelfLogCounterHandler(logging.Handler):
+    """The Python twin of the reference's slog ``CustomHandler``
+    (pkg/instrument/logger/logger.go:56-69): wraps the engine's logger so
+    EVERY record it emits increments ``logs_total{level}`` before normal
+    handling proceeds. Attach via :func:`instrument_logger`."""
+
+    def __init__(self, metrics: IngestMetrics):
+        super().__init__()
+        self.metrics = metrics
+
+    def emit(self, record: logging.LogRecord) -> None:
+        self.metrics.observe_log(record.levelname)
+
+
+ENGINE_LOGGER = "klogs_spark"
+
+
+def instrument_logger(
+    metrics: IngestMetrics, name: str = ENGINE_LOGGER
+) -> logging.Logger:
+    """logger.go:32-52 (New): install the counting handler on the engine's
+    logger namespace and return the logger. Idempotent — a second call
+    with the same metrics object does not double-count."""
+    logger = logging.getLogger(name)
+    for h in logger.handlers:
+        if isinstance(h, SelfLogCounterHandler) and h.metrics is metrics:
+            return logger
+    logger.addHandler(SelfLogCounterHandler(metrics))
+    return logger
 
 
 class MetricsServer:
@@ -170,3 +221,9 @@ class IngestMetricsListener(StreamingQueryListener):
     def onQueryTerminated(self, event) -> None:  # noqa: N802
         if event.exception is not None:
             self.metrics.observe_error()
+            # through the engine logger so the by-level self-log counter
+            # moves exactly when the reference's would (logger.go:61)
+            logging.getLogger(ENGINE_LOGGER).error(
+                "streaming query terminated with exception: %s",
+                event.exception,
+            )

@@ -411,6 +411,74 @@ def test_ingest_metrics_quantiles_and_render():
     assert "flush_time_seconds_count 100" in text
 
 
+def test_self_log_counter_counts_engine_log_lines_by_level():
+    """Reference parity for the LAST T6 sub-item: the engine's own log
+    lines increment klogs_logs_total{level} via a wrapping handler
+    (pkg/instrument/logger/logger.go:17-19 registers the counter; the
+    CustomHandler increments it per record, logger.go:61). WARNING maps
+    to slog's WARN label; instrumenting twice must not double-count; the
+    series reaches the /metrics exposition."""
+    import logging
+
+    from klogs_spark.metrics import instrument_logger
+
+    m = IngestMetrics()
+    logger = instrument_logger(m, name="klogs_spark.test_selflog")
+    instrument_logger(m, name="klogs_spark.test_selflog")  # idempotent
+    # the counter sees what the configured level lets through — same as
+    # the reference, whose handler wraps a level-filtered slog handler
+    logger.setLevel(logging.INFO)
+    logger.warning("buffer nearly full")
+    logger.warning("slow flush")
+    logger.error("flush failed")
+    logger.info("recovered")
+    assert m.logs_total == {"WARN": 2, "ERROR": 1, "INFO": 1}
+    text = m.render_prometheus()
+    assert 'klogs_spark_logs_total{level="WARN"} 2' in text
+    assert 'klogs_spark_logs_total{level="ERROR"} 1' in text
+    assert 'klogs_spark_logs_total{level="INFO"} 1' in text
+    # cleanup: detach so other tests' loggers stay un-instrumented
+    logging.getLogger("klogs_spark.test_selflog").handlers.clear()
+
+
+def test_self_log_counter_served_over_http_and_listener_error_logs():
+    """The by-level series appears at /metrics, and the streaming
+    listener's error path logs through the engine logger so the counter
+    moves exactly when the reference's would (logger.go:61)."""
+    import logging
+    import urllib.request
+
+    from klogs_spark.metrics import (
+        ENGINE_LOGGER,
+        IngestMetricsListener,
+        MetricsServer,
+        instrument_logger,
+    )
+
+    m = IngestMetrics()
+    instrument_logger(m)
+    try:
+        listener = IngestMetricsListener(m)
+
+        class _Term:
+            exception = "boom"
+
+        listener.onQueryTerminated(_Term())
+        assert m.errors_total == 1
+        assert m.logs_total.get("ERROR") == 1
+        server = MetricsServer(m, "127.0.0.1:0")
+        server.start()
+        try:
+            url = f"http://127.0.0.1:{server.port}/metrics"
+            with urllib.request.urlopen(url, timeout=5) as r:
+                body = r.read().decode()
+            assert 'klogs_spark_logs_total{level="ERROR"} 1' in body
+        finally:
+            server.stop()
+    finally:
+        logging.getLogger(ENGINE_LOGGER).handlers.clear()
+
+
 def test_metrics_http_server_serves_metrics_and_health():
     """Reference parity: /health answers OK, /metrics serves the exposition
     (pkg/instrument/metrics/metrics.go:26-57), unknown paths 404."""

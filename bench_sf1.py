@@ -158,6 +158,10 @@ def main() -> None:
         # vocabulary genuinely grows 10x with the corpus — the ratio
         # measures both the pass and the vocab-side scaling
         ("text_bpe_merges", "documents"),
+        # r14: per-document tokenization = one corpus word count (train)
+        # + one keyed equi-join of doc-word counts vs the vocab — expect
+        # ~linear even with the 10x vocabulary
+        ("text_bpe_tokenize", "documents"),
         # r13: the typed PII scrub claims pure JVM regex work
         # (whole-stage codegen, no Python crossing) — corpus-linear
         ("text_pii_redact_typed", "documents"),

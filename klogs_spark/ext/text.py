@@ -1361,6 +1361,59 @@ def bpe_encode_stats(
     )
 
 
+def bpe_tokenize_docs(
+    docs: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-DOCUMENT tokenization under the learned BPE vocabulary — the
+    actual tokenize-the-corpus pass a training pipeline runs after
+    training (:func:`bpe_train_merges` learns the rules;
+    :func:`bpe_encode_stats` reports corpus totals; this emits the
+    per-document numbers a packing/budgeting stage consumes).
+
+    The trained state IS the word tokenizer: each post-merge symbol
+    string decodes back to its word (strip the sentinels) with its
+    greedy-BPE token count, so tokenizing a document is a keyed
+    equi-join of its (word, count) pairs against the vocab-sized
+    word → n_syms table — no per-document merge replay, no Python.
+    Per-document word counts are pre-aggregated before the join (the
+    lm_bigram discipline: within-document repetition never reaches a
+    join). Words containing the reserved sentinel are excluded on both
+    engines (see bpe_train_merges). Returns
+    (id, n_words, n_tokens, n_chars); tokens-per-word > 1 means the
+    merge budget k left the word split."""
+    _, state = bpe_train_merges(
+        docs, k=k, text_col=text_col, return_state=True
+    )
+    toks = F.split(F.expr("trim(BOTH '·' FROM sym)"), "··")
+    vocab = state.select(
+        F.translate("sym", "·", "").alias("w"),
+        F.size(toks).cast("long").alias("n_syms"),
+    )
+    words = docs.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.explode(
+            F.split(F.lower(F.col(text_col)), r"\s+")
+        ).alias("w"),
+    ).filter((F.length("w") > 0) & ~F.col("w").contains("·"))
+    per_doc = words.groupBy("id", "w").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per_doc.join(vocab, "w")
+        .groupBy("id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_words"),
+            F.sum(F.col("c") * F.col("n_syms"))
+            .cast("bigint")
+            .alias("n_tokens"),
+            F.sum(F.col("c") * F.length("w"))
+            .cast("bigint")
+            .alias("n_chars"),
+        )
+    )
+
+
 # --- bigram language-model quality scoring -----------------------------------
 def lm_bigram_scores(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"

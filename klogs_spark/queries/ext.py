@@ -2207,6 +2207,56 @@ FROM fin
 """
 
 
+def q_text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DOCUMENT tokenization under the learned BPE vocabulary
+    (ext.text.bpe_tokenize_docs) — the tokenize-the-corpus pass itself,
+    not just its aggregate: every document's word/token/char counts
+    after the {k} trained merges, externally hash-checked for ALL
+    documents. The trained state decodes to a word → token-count table,
+    so the corpus pass is one keyed equi-join of pre-aggregated
+    (doc, word) counts against the vocab — a merge mis-applied to any
+    word, a tie broken differently during training, or a document's
+    repetition leaking into the join all break per-document rows. The
+    oracle extends the unrolled training chain with the same decode +
+    join.""".format(k=BPE_MERGES)
+    return tx.bpe_tokenize_docs(
+        load_table(spark, sf_dir, "documents"), k=BPE_MERGES
+    ).withColumnRenamed("id", "doc_id")
+
+
+SQL_TEXT_BPE_TOKENIZE = f"""
+WITH w0 AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+    SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
+    FROM documents
+  ) WHERE length(w) > 0 AND w NOT LIKE '%·%' GROUP BY 1
+),
+s0 AS MATERIALIZED (
+  SELECT substr(x, 1, length(x) - 1) AS sym, freq FROM (
+    SELECT '·' || regexp_replace(w, '(.)', '\\1··', 'g') AS x, freq
+    FROM w0
+  )
+),{",".join(_sql_bpe_round(r) for r in range(1, BPE_MERGES + 1))},
+vocab AS (
+  SELECT replace(sym, '·', '') AS w,
+         CAST(len(string_split(trim(sym, '·'), '··')) AS BIGINT) AS n_syms
+  FROM s{BPE_MERGES}
+),
+dw AS (
+  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w
+    FROM documents
+  ) WHERE length(w) > 0 AND w NOT LIKE '%·%' GROUP BY 1, 2
+)
+SELECT CAST(dw.doc_id AS BIGINT) AS doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_words,
+       CAST(SUM(c * n_syms) AS BIGINT) AS n_tokens,
+       CAST(SUM(c * length(dw.w)) AS BIGINT) AS n_chars
+FROM dw JOIN vocab USING (w)
+GROUP BY 1
+"""
+
+
 def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed PII scrubbing (ext.text.redact_pii) — the census-and-redact
     pass a pretraining corpus runs before anything ships, externally
@@ -6185,6 +6235,12 @@ SPECS = {
         "token counting under the learned BPE vocabulary: corpus totals "
         "after the 8 trained merges (tokens/word types/symbol types/raw "
         "chars) vs the oracle's post-merge state"),
+    "text_bpe_tokenize": QuerySpec(
+        q_text_bpe_tokenize, SQL_TEXT_BPE_TOKENIZE,
+        "per-document tokenization under the learned BPE vocabulary: "
+        "every doc's word/token/char counts via one keyed equi-join of "
+        "pre-aggregated doc-word counts against the decoded trained "
+        "state — all docs hash-checked vs the extended training chain"),
     "text_pii_redact_typed": QuerySpec(
         q_text_pii_redact, SQL_TEXT_PII_REDACT,
         "typed PII scrub (email/ipv4/ssn/phone; extends the email-only "

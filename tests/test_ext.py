@@ -1461,6 +1461,31 @@ def test_bpe_train_merges_textbook_sequence_and_guards(spark):
     ).count() == 0
 
 
+def test_bpe_tokenize_docs_hand_computed(spark):
+    """Per-document counts on the textbook corpus, hand-derived: after
+    the 4 canonical merges (es, est, lo, low) 'low'=1 token,
+    'lower'=low+e+r=3, 'newest'=n+e+w+est=4, 'widest'=w+i+d+est=4;
+    within-document repetition multiplies counts, never re-joins."""
+    from klogs_spark.ext.text import bpe_tokenize_docs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "low low low lower newest"),
+            (2, "widest newest low"),
+            (3, "a·b low"),  # sentinel word excluded on both engines
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        r.id: (r.n_words, r.n_tokens, r.n_chars)
+        for r in bpe_tokenize_docs(docs, k=4).collect()
+    }
+    # doc1: words 5; tokens 3*1 + 3 + 4 = 10; chars 3*3+5+6 = 20
+    # doc2: words 3; tokens 4 + 4 + 1 = 9; chars 6+6+3 = 15
+    # doc3: sentinel word dropped -> 1 word, 1 token ('low' learned), 3 chars
+    assert got == {1: (5, 10, 20), 2: (3, 9, 15), 3: (1, 1, 3)}
+
+
 def test_lm_bigram_scores_hand_computed(spark):
     """Hand-checkable smoothing arithmetic: V=4 (vocabulary counts EVERY
     corpus token, including those of bigram-less docs — 'solo' is a word

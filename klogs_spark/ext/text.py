@@ -1414,6 +1414,73 @@ def bpe_tokenize_docs(
     )
 
 
+def classifier_score(
+    docs: DataFrame,
+    weights: DataFrame,
+    n_buckets: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """fastText-style linear classifier INFERENCE (Joulin et al. 2016,
+    "Bag of Tricks for Efficient Text Classification") — the standard
+    quality-classifier scoring pass a pretraining pipeline runs over the
+    corpus (e.g. the GPT-3/CCNet quality filter shape).
+
+    Features are hashed unigrams + adjacent bigrams (the fastText
+    hashing trick: every feature — not just bigrams, our simplification
+    — maps to one of ``n_buckets`` via the engine's cross-engine md5
+    hash). ``weights`` is the trained model: (b, c, w) rows with INTEGER
+    micro-unit weights, bucket × class. Scoring is
+    ``score(d, c) = Σ_b k_{d,b} · w_{b,c}`` with per-document bucket
+    counts pre-aggregated BEFORE the model join (the lm_bigram
+    discipline: repetition never reaches a join), the model join a
+    BROADCAST keyed equi-join (the model is bucket-scale, never
+    corpus-scale), and the argmax a single min_by aggregate (ties break
+    to the lowest class id). All-integer arithmetic, so the pass oracles
+    exactly. Returns (id, best_class, best_score_micro, n_features)."""
+    from .hashing import md5_long
+
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"),
+        lambda x: F.length(x) > 0,
+    )
+    base = docs.select(
+        F.col(id_col).cast("long").alias("id"), toks.alias("t")
+    )
+    uni = base.select("id", F.explode("t").alias("f"))
+    bi = base.select(
+        "id",
+        F.explode(
+            F.zip_with(
+                F.expr("slice(t, 1, size(t) - 1)"),
+                F.expr("slice(t, 2, size(t) - 1)"),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("f"),
+    )
+    feats = uni.unionByName(bi)
+    pb = (
+        feats.select(
+            "id", (md5_long(F.col("f")) % n_buckets).alias("b")
+        )
+        .groupBy("id", "b")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    scored = (
+        pb.join(F.broadcast(weights), "b")
+        .groupBy("id", "c")
+        .agg(
+            F.sum(F.col("k") * F.col("w")).alias("s"),
+            F.sum("k").alias("n"),
+        )
+    )
+    return scored.groupBy("id").agg(
+        F.expr("min_by(c, struct(-s, c))").cast("int").alias("best_class"),
+        F.max("s").cast("bigint").alias("best_score_micro"),
+        F.max("n").cast("bigint").alias("n_features"),
+    )
+
+
 # --- bigram language-model quality scoring -----------------------------------
 def lm_bigram_scores(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"

@@ -2257,6 +2257,81 @@ GROUP BY 1
 """
 
 
+CLS_BUCKETS = 4096   # fastText hashing-trick bucket count
+CLS_CLASSES = 4      # e.g. {high, medium, low, spam} quality bands
+# deterministic "trained" weights in integer micro-units: w(b, c) =
+# ((b·2654435761 + c·97003099 + 12345) mod 2000001) − 1000000 — a plain
+# integer formula both engines evaluate identically (all operands
+# positive, max ~1.1e13, far from int64 overflow)
+CLS_W = "((b * 2654435761 + c * 97003099 + 12345) % 2000001) - 1000000"
+
+
+def q_text_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style quality-classifier inference over the corpus
+    (ext.text.classifier_score, Joulin et al. 2016) — the last common
+    pretraining text pass with no registry representative: hashed
+    unigram+bigram features, a broadcast bucket×class integer weight
+    table standing in for the trained model (derived from a fixed
+    integer formula so both engines hold byte-identical weights), one
+    keyed equi-join, per-document argmax with lowest-class tie-break.
+    Every document's (best_class, best_score_micro, n_features) row is
+    hash-checked — a feature hashed to the wrong bucket, a repetition
+    reaching the join, or a tie broken differently all break rows."""
+    w = (
+        spark.range(CLS_BUCKETS * CLS_CLASSES)
+        .select(
+            (F.col("id") / CLS_CLASSES).cast("long").alias("b"),
+            (F.col("id") % CLS_CLASSES).cast("int").alias("c"),
+        )
+        .withColumn("w", F.expr(CLS_W).cast("long"))
+    )
+    return tx.classifier_score(
+        load_table(spark, sf_dir, "documents"), w, CLS_BUCKETS
+    ).withColumnRenamed("id", "doc_id")
+
+
+SQL_TEXT_CLASSIFIER_SCORE = f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> len(x) > 0) AS t
+  FROM documents
+),
+feats AS (
+  SELECT doc_id, unnest(t) AS f FROM base
+  UNION ALL
+  SELECT doc_id, t[i] || ' ' || t[i + 1] AS f
+  FROM base, generate_series(1, {LM_MAX_TOKENS}) AS g(i)
+  WHERE i < len(t)
+),
+pb AS (
+  SELECT doc_id,
+         {md5_long_sql("f")} % {CLS_BUCKETS} AS b,
+         CAST(count(*) AS BIGINT) AS k
+  FROM feats GROUP BY 1, 2
+),
+w AS (
+  SELECT b, c, CAST({CLS_W} AS BIGINT) AS w
+  FROM generate_series(0, {CLS_BUCKETS - 1}) AS g1(b),
+       generate_series(0, {CLS_CLASSES - 1}) AS g2(c)
+),
+sc AS (
+  SELECT doc_id, c, SUM(k * w) AS s, SUM(k) AS n
+  FROM pb JOIN w USING (b) GROUP BY 1, 2
+),
+r AS (
+  SELECT doc_id, c, s, n,
+         row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, c) AS rn
+  FROM sc
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(c AS INT) AS best_class,
+       CAST(s AS BIGINT) AS best_score_micro,
+       CAST(n AS BIGINT) AS n_features
+FROM r WHERE rn = 1
+"""
+
+
 def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed PII scrubbing (ext.text.redact_pii) — the census-and-redact
     pass a pretraining corpus runs before anything ships, externally
@@ -6241,6 +6316,12 @@ SPECS = {
         "every doc's word/token/char counts via one keyed equi-join of "
         "pre-aggregated doc-word counts against the decoded trained "
         "state — all docs hash-checked vs the extended training chain"),
+    "text_classifier_score": QuerySpec(
+        q_text_classifier_score, SQL_TEXT_CLASSIFIER_SCORE,
+        "fastText-style linear classifier inference: hashed uni+bigram "
+        "features, broadcast bucket-x-class integer weight table, "
+        "per-doc argmax with lowest-class tie-break — all docs "
+        "hash-checked, integer micro-unit scores"),
     "text_pii_redact_typed": QuerySpec(
         q_text_pii_redact, SQL_TEXT_PII_REDACT,
         "typed PII scrub (email/ipv4/ssn/phone; extends the email-only "

@@ -692,6 +692,18 @@ def test_lm_bigram_score_plans_as_keyed_joins_only(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_classifier_score_broadcasts_model_and_never_cross_joins(spark):
+    """fastText-style inference must join the bucket-scale weight table
+    by BROADCAST hash on the bucket key — never a shuffle of the corpus
+    against the model, never a cartesian/nested-loop, never a Python
+    runner (features hash JVM-side via md5/conv)."""
+    plan = _plan(spark, "text_classifier_score")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_contamination_scaled_never_cross_joins(spark):
     """The scale decontamination path must candidate-generate via the
     fingerprint equi-join — a CartesianProduct/nested-loop over docs x

@@ -183,6 +183,13 @@ def main(argv: list[str] | None = None) -> int:
                                "post-training vectors)")
     pad_.add_argument("index_root")
 
+    pav = sub.add_parser("ann-vacuum",
+                         help="reclaim superseded/uncommitted index "
+                              "generations (reference-aware: keeps every "
+                              "build the serving cellmap chain touches)")
+    pav.add_argument("index_root")
+    pav.add_argument("--dry-run", action="store_true")
+
     par = sub.add_parser("ann-rebuild",
                          help="retrain the IVF-PQ index into a new "
                               "committed generation when drift >= "
@@ -406,6 +413,15 @@ def main(argv: list[str] | None = None) -> int:
             f"removed {res['rows_removed']} code row(s) across "
             f"{res['cells_rewritten']} cell(s)"
         )
+        return 0
+
+    if args.cmd == "ann-vacuum":
+        from .ext.ann_index import vacuum_index
+
+        res = vacuum_index(spark, args.index_root, dry_run=args.dry_run)
+        verb = "would delete" if res["dry_run"] else "deleted"
+        print(f"kept {len(res['kept'])} build(s); "
+              f"{verb} {len(res['deleted'])}: {res['deleted']}")
         return 0
 
     if args.cmd == "ann-drift":

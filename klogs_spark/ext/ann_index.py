@@ -505,6 +505,52 @@ def rebuild_if_drifted(
     return {"rebuilt": True, "drift_ppm": drift, "path": path}
 
 
+def vacuum_index(
+    spark: SparkSession, root: str, dry_run: bool = False
+) -> dict:
+    """Reclaim superseded index generations — the index twin of the
+    table layer's manifest vacuum, and REFERENCE-AWARE: a removal
+    generation's cellmap points into its parent's physical directories,
+    so a build directory may only be deleted when NO committed
+    generation >= the serving one references any path under it. The
+    serving build itself, uncommitted husks' referenced assets, and
+    anything the serving cellmap chain reaches are kept; uncommitted
+    husk directories (crashed builds that never published) are
+    reclaimed. Returns {"kept", "deleted", "dry_run"} with build dir
+    paths."""
+    fs, hp, _ = _fs(spark, root)
+    committed = _committed_builds(root, spark)
+    if not committed:
+        return {"kept": [], "deleted": [], "dry_run": dry_run}
+    serving = committed[-1]
+    # every physical path the serving generation (the only one new
+    # readers resolve) transitively references
+    referenced: set[str] = set()
+    cur = f"{root}/builds/b{serving}"
+    referenced.add(cur)
+    assets = _resolve_assets(spark, cur)
+    # {build}/centroids, {build}/codebooks -> keep the owning build dir
+    referenced.add(assets["centroids"].rsplit("/", 1)[0])
+    referenced.add(assets["codebooks"].rsplit("/", 1)[0])
+    if assets["cells"] is not None:
+        for dirs in assets["cells"].values():
+            for d in dirs:
+                # cell dirs live at {build}/codes/centroid_id=N — keep
+                # the owning build directory
+                referenced.add(d.rsplit("/codes/", 1)[0])
+    kept, deleted = [], []
+    for bid in _build_dir_ids(spark, root):
+        bdir = f"{root}/builds/b{bid}"
+        if bid == serving or bdir in referenced:
+            kept.append(bdir)
+            continue
+        deleted.append(bdir)
+        if not dry_run:
+            fs.delete(hp(bdir), True)
+    return {"kept": sorted(kept), "deleted": sorted(deleted),
+            "dry_run": dry_run}
+
+
 def _resolve_assets(spark: SparkSession, path: str) -> dict:
     """Physical asset locations for the index at ``path``. A full build
     (or a flat index dir) owns all three stores; a REMOVAL generation

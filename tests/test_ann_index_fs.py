@@ -221,3 +221,40 @@ def test_commit_index_removal_publishes_generation_without_touching_cells(
     third = _search_ids(spark, p3, qv)
     assert victim not in third and victim2 not in third
     assert _search_ids(spark, p2, qv) == new  # b2 readers unaffected
+
+
+def test_vacuum_index_is_reference_aware(spark, tmp_path):
+    """vacuum_index must never delete a build whose directories the
+    serving generation's cellmap chain still references: after
+    b1 (full) <- b2 (removal, references b1) <- b3 (removal, references
+    b1 and possibly b2), only truly-unreferenced generations and
+    uncommitted husks go; the serving search is byte-identical after."""
+    emb = _tiny_emb(spark)
+    root = str(tmp_path / "root")
+    p1 = ann_index.commit_index_build(emb, root, **BUILD_KW)
+    qv = _query_vec(emb)
+    v1 = _search_ids(spark, p1, qv)[1]
+    p2 = ann_index.commit_index_removal(spark, root, [v1])
+    v2 = _search_ids(spark, p2, qv)[0]
+    p3 = ann_index.commit_index_removal(spark, root, [v2])
+    before = _search_ids(spark, p3, qv)
+
+    # an uncommitted husk (crashed rebuild) is reclaimable
+    from klogs_spark.table import _hadoop_fs
+
+    fs, hp, _ = _hadoop_fs(spark, root)
+    fs.mkdirs(hp(f"{root}/builds/b99/codes"))
+
+    dry = ann_index.vacuum_index(spark, root, dry_run=True)
+    assert dry["dry_run"] is True
+    assert f"{root}/builds/b99" in dry["deleted"]
+    assert p3 in dry["kept"] and p1 in dry["kept"]
+    assert fs.exists(hp(f"{root}/builds/b99"))  # dry run touched nothing
+
+    res = ann_index.vacuum_index(spark, root)
+    assert not fs.exists(hp(f"{root}/builds/b99"))
+    # b1 is still referenced by b3's cellmap chain -> kept
+    assert fs.exists(hp(p1))
+    assert p1 in res["kept"] and p3 in res["kept"]
+    # serving results unchanged after the vacuum
+    assert _search_ids(spark, ann_index.current_index_path(root), qv) == before

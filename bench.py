@@ -72,6 +72,13 @@ HEADLINE = [
     # postings, not vocabulary) — benched so a regression to a full
     # vocabulary aggregate is visible
     "text_bm25_topk",
+    # round-14: the two new corpus passes a pretraining pipeline runs
+    # per-document — BPE tokenization (train + one vocab equi-join) and
+    # fastText-style classifier inference (hashed features + broadcast
+    # model join + argmax). Both are whole-corpus hot paths, so their
+    # cost is tracked per round from the start.
+    "text_bpe_tokenize",
+    "text_classifier_score",
     # round-13 (VERDICT r12 #5): the two green-but-unmeasured query-time
     # paths. ivfpq_rerank = the prebuilt ADC search + an R-row (R=40)
     # broadcast-semi exact re-rank — expected ≈ ann_ivfpq_prebuilt plus a

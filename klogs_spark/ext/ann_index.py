@@ -80,7 +80,10 @@ def _fs(spark: SparkSession, path: str):
 
 
 def _active_spark() -> SparkSession:
-    s = SparkSession.getActiveSession()
+    # getActiveSession is THREAD-local; callers like the pooled oracle
+    # differential invoke query fns from worker threads, so fall back to
+    # the process-wide instantiated session
+    s = SparkSession.getActiveSession() or SparkSession._instantiatedSession
     if s is None:  # pragma: no cover - only hit outside any Spark job
         raise RuntimeError("no active SparkSession for index metadata I/O")
     return s
@@ -715,14 +718,19 @@ def commit_index_removal(
     if assets["cells"] is None:
         parent_cells = {
             c: [f"{assets['own_codes']}/centroid_id={c}"]
-            for c in _own_cell_ids(spark, assets["own_codes"])
+            for c in (
+                _own_cell_ids(spark, assets["own_codes"])
+                if assets["own_codes"]
+                else []
+            )
         }
     else:
         parent_cells = {c: list(v) for c, v in assets["cells"].items()}
-        for c in _own_cell_ids(spark, assets["own_codes"] or ""):
-            parent_cells.setdefault(c, []).append(
-                f"{assets['own_codes']}/centroid_id={c}"
-            )
+        if assets["own_codes"]:
+            for c in _own_cell_ids(spark, assets["own_codes"]):
+                parent_cells.setdefault(c, []).append(
+                    f"{assets['own_codes']}/centroid_id={c}"
+                )
     cellmap = {
         "centroids": assets["centroids"],
         "codebooks": assets["codebooks"],

@@ -603,12 +603,15 @@ def _codes_for_cells(
 
     Flat/full-build layout: one partitioned read with an ``isin`` filter
     — the partition-pruned plan the search always had. Removal
-    generations: referenced cells are read as explicit leaf directories
-    (pruning by construction — only the probed cells' paths enter the
-    plan at all), unioned with the generation's own survivor/refresh
-    partitions. Per cell the map holds a LIST of directories so a parent
-    generation's own refresh appends stack under later removals without
-    ever copying untouched bytes."""
+    generations: referenced cell directories are GROUPED BY their owning
+    build's ``codes`` root and read with ``basePath`` (the partition
+    column comes back from the directory names), so the plan holds one
+    pruned scan per GENERATION in the reference chain — O(#generations)
+    reads regardless of the cell count, never one read per cell (at a
+    production 64k-cell quantizer a per-cell loop would be a driver-side
+    planning explosion). Per cell the map holds a LIST of directories so
+    a parent generation's own refresh appends stack under later removals
+    without ever copying untouched bytes."""
     assets = _resolve_assets(spark, path)
     if assets["cells"] is None:
         df = spark.read.parquet(assets["own_codes"])
@@ -617,37 +620,36 @@ def _codes_for_cells(
                 F.col("centroid_id").isin([int(c) for c in cells])
             )
         return df.select("id", "m", "code", "centroid_id")
+    own_all = (
+        set(_own_cell_ids(spark, assets["own_codes"]))
+        if assets["own_codes"]
+        else set()
+    )
     wanted = (
-        sorted({int(c) for c in cells})
+        {int(c) for c in cells}
         if cells is not None
-        else sorted(
-            set(assets["cells"])
-            | set(
-                _own_cell_ids(spark, assets["own_codes"])
-                if assets["own_codes"]
-                else []
+        else set(assets["cells"]) | own_all
+    )
+    from collections import defaultdict
+
+    by_base: dict = defaultdict(set)
+    for c in sorted(wanted):
+        for d in assets["cells"].get(c, []):
+            by_base[d.rsplit("/centroid_id=", 1)[0]].add(d)
+        if c in own_all:
+            by_base[assets["own_codes"]].add(
+                f"{assets['own_codes']}/centroid_id={c}"
+            )
+    parts = [
+        spark.read.option("basePath", base)
+        .parquet(*sorted(dirs))
+        .select(
+            "id", "m", "code", F.col("centroid_id").cast("int").alias(
+                "centroid_id"
             )
         )
-    )
-    parts = []
-    fs, hp, _ = _fs(spark, path)
-    for c in wanted:
-        for d in assets["cells"].get(c, []):
-            parts.append(
-                spark.read.parquet(d)
-                .select("id", "m", "code")
-                .withColumn("centroid_id", F.lit(int(c)))
-            )
-        if assets["own_codes"] and fs.exists(
-            hp(f"{assets['own_codes']}/centroid_id={c}")
-        ):
-            parts.append(
-                spark.read.parquet(
-                    f"{assets['own_codes']}/centroid_id={c}"
-                )
-                .select("id", "m", "code")
-                .withColumn("centroid_id", F.lit(int(c)))
-            )
+        for base, dirs in sorted(by_base.items())
+    ]
     if not parts:
         return spark.createDataFrame(
             [], "id bigint, m int, code int, centroid_id int"

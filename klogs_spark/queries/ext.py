@@ -4093,6 +4093,93 @@ FROM per_doc
 """
 
 
+def q_pipeline_budget_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget threshold selection — the DECISION step between
+    scoring and training: given per-document quality scores and token
+    counts, keep the highest-quality documents whose cumulative tokens
+    fill (never exceed) a target budget of ¼ of the corpus. This is how
+    a "keep the best N tokens" cut is actually computed at 100 TB: rank
+    order is encoded into one unique integer key
+    ((1e6 − quality_micro)·1e10 + doc_id — quality desc, id asc), the
+    cumulative token count along that order comes from the two-phase
+    distributed prefix sum (ext.sampling.global_prefix_sum — no
+    Exchange SinglePartition; plan-guarded), and the keep predicate is
+    ``before + n_tokens <= budget``. The oracle replays the same cut
+    with a window cumsum. Per-source kept-set stats (docs, tokens,
+    worst admitted quality) are hash-checked; one document shifted
+    across the cut anywhere in the order breaks them."""
+    from ..ext.sampling import global_prefix_sum
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = tx.quality_features(docs).select("id", "n_tokens", "quality_score")
+    scored = q.select(
+        "id",
+        "n_tokens",
+        F.round(F.col("quality_score") * 1e6).cast("bigint").alias("qmic"),
+    ).withColumn(
+        "k",
+        (F.lit(1_000_000) - F.col("qmic")) * F.lit(10_000_000_000)
+        + F.col("id"),
+    )
+    total = int(scored.agg(F.sum("n_tokens")).first()[0])
+    budget = total // 4
+    pre = global_prefix_sum(scored, "n_tokens", order_by="k",
+                            out_col="before")
+    kept = pre.filter(F.col("before") + F.col("n_tokens") <= F.lit(budget))
+    src = docs.select(F.col("doc_id").alias("id"), "source")
+    return (
+        kept.join(src, "id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("kept_tokens"),
+            F.min("qmic").cast("bigint").alias("min_quality_micro"),
+        )
+    )
+
+
+SQL_PIPELINE_BUDGET_THRESHOLD = f"""
+WITH {TOKENS_CTE},
+feat AS (
+  SELECT d.doc_id AS id, length(d.text) AS n_chars, len(t.tk) AS n_tokens,
+         len(list_filter(t.tk, x -> x IN ({_EN_STOPS}))) AS n_stop,
+         len(regexp_extract_all(d.text, '[^A-Za-z0-9 ]')) AS n_punct
+  FROM documents d JOIN tk t ON d.doc_id = t.id
+),
+qs AS (
+  SELECT id, n_tokens,
+         CAST(round(round(0.4 * least(n_tokens / 50.0, 1.0)
+             + 0.3 * least(n_stop / CAST(greatest(n_tokens, 1) AS DOUBLE) * 5,
+                           1.0)
+             + 0.3 * (1 - least(n_punct / CAST(greatest(n_chars, 1) AS DOUBLE)
+                                * 10, 1.0)), 6) * 1e6) AS BIGINT) AS qmic
+  FROM feat
+),
+keyed AS (
+  SELECT id, n_tokens, qmic,
+         (1000000 - qmic) * 10000000000 + id AS k
+  FROM qs
+),
+pre AS (
+  SELECT id, n_tokens, qmic,
+         COALESCE(SUM(n_tokens) OVER (
+           ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS before
+  FROM keyed
+),
+tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) // 4 AS budget FROM qs),
+kept AS (
+  SELECT pre.* FROM pre, tot WHERE pre.before + pre.n_tokens <= tot.budget
+)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(kept.n_tokens) AS BIGINT) AS kept_tokens,
+       CAST(MIN(kept.qmic) AS BIGINT) AS min_quality_micro
+FROM kept JOIN documents d ON kept.id = d.doc_id
+GROUP BY 1
+"""
+
+
 def q_pipeline_pretrain_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full pretraining-corpus prep chain in ONE externally checked
     query — what a user of this engine actually runs before training:
@@ -6496,6 +6583,13 @@ SPECS = {
         q_pipeline_pretrain_prep, SQL_PIPELINE_PRETRAIN_PREP,
         "end-to-end corpus prep: quality filter -> exact dedup -> "
         "contamination drop -> per-source stats, all real operators",
+    ),
+    "pipeline_budget_threshold": QuerySpec(
+        q_pipeline_budget_threshold, SQL_PIPELINE_BUDGET_THRESHOLD,
+        "token-budget threshold cut: keep the highest-quality docs that "
+        "fill 1/4 of corpus tokens via the two-phase distributed prefix "
+        "sum along one unique (quality desc, id) integer key — kept-set "
+        "per-source stats hash-checked vs a window-cumsum oracle",
     ),
     "ann_recall_eval": QuerySpec(
         q_ann_recall_eval, SQL_ANN_RECALL_EVAL,

@@ -476,6 +476,21 @@ def test_global_prefix_sum_never_single_partition(spark):
             assert "n_tokens" not in ctx or "_ptot" in ctx or "sum" in ctx.lower()
 
 
+def test_budget_threshold_never_single_partition(spark):
+    # the budget cut rides the same two-phase prefix sum: the corpus-side
+    # cumulative window must be bucket-partitioned (ordered by the unique
+    # key k), never an unpartitioned corpus sort through one reducer
+    import re
+
+    plan = _plan(spark, "pipeline_budget_threshold")
+    for m in re.finditer(r"\(\d+\) Window\b[\s\S]*?Arguments: (.*)", plan):
+        args = m.group(1)
+        if re.search(r"\bk\b|k#", args):
+            assert "_psb" in args, f"corpus window unpartitioned: {args}"
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
 def test_exact_decontaminate_broadcasts_benchmark(spark):
     # benchmark n-grams must reach the probe as broadcasts: a sort-merge
     # join here would shuffle the full corpus n-gram table at 100 TB

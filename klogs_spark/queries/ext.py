@@ -5158,6 +5158,113 @@ FROM p GROUP BY 1, 2
 POWER_SQUARINGS = 7  # effective power 2^7 = 128: converges a 0.93-gap spectrum
 
 
+def q_embedding_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding distribution drift between the two largest sources —
+    the domain-shift monitor a training pipeline runs when a new crawl
+    snapshot lands: which embedding dimensions moved most between
+    corpus slices. Linear-kernel mean-embedding comparison in pure
+    integers: each component is quantized once to micro-units
+    (snap-within-2e-6 then floor — the lm_bigram discipline, floats only
+    at the per-value quantization point), per-(source, dim) integer sums
+    follow, and the mean difference is compared WITHOUT division as
+    ``s_a·n_b − s_b·n_a`` (cross-multiplied, exact int64). Top-8
+    dimensions by absolute drift, ties to the lower dimension. Cost
+    shape: one keyed equi-join (embeddings ⋈ documents on id) + one
+    (source, dim)-keyed aggregate — 2·d rows out, corpus-linear in."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "source"
+    )
+    top2 = sorted(
+        r.source
+        for r in docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "source")
+        .limit(2)
+        .collect()
+    )
+    a, b = top2
+    pairs = (
+        emb.join(docs, "vec_id")
+        .filter(F.col("source").isin(top2))
+        .select(
+            "source",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "dim", "x"
+            ),
+        )
+    )
+    y = F.col("x") * 1e6
+    snapped = F.when(
+        F.abs(y - F.round(y, 0)) < 2e-6, F.round(y, 0)
+    ).otherwise(y)
+    agg = (
+        pairs.select(
+            "source", "dim", F.floor(snapped).cast("long").alias("qm")
+        )
+        .groupBy("source", "dim")
+        .agg(F.sum("qm").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    left = agg.filter(F.col("source") == a).select(
+        "dim", F.col("s").alias("s_a"), F.col("n").alias("n_a")
+    )
+    right = agg.filter(F.col("source") == b).select(
+        "dim", F.col("s").alias("s_b"), F.col("n").alias("n_b")
+    )
+    diff = F.col("s_a") * F.col("n_b") - F.col("s_b") * F.col("n_a")
+    return (
+        left.join(right, "dim")
+        .select(
+            F.col("dim").cast("int").alias("dim"),
+            F.col("s_a").cast("bigint").alias("s_a"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("s_b").cast("bigint").alias("s_b"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            diff.cast("bigint").alias("diff_num"),
+        )
+        .orderBy(F.abs(F.col("diff_num")).desc(), "dim")
+        .limit(8)
+    )
+
+
+SQL_EMBEDDING_SOURCE_DRIFT = f"""
+WITH src AS (
+  SELECT source FROM documents GROUP BY 1
+  ORDER BY count(*) DESC, source LIMIT 2
+),
+p AS (
+  SELECT d.source, g.j - 1 AS dim,
+         CAST(e.embedding AS DOUBLE[])[g.j] * 1e6 AS y
+  FROM embeddings e
+  JOIN documents d ON e.vec_id = d.doc_id
+  JOIN src ON d.source = src.source,
+       generate_series(1, {sim.EMB_DIM}) AS g(j)
+),
+q AS (
+  SELECT source, dim,
+         CAST(floor(CASE WHEN abs(y - round(y)) < 2e-6
+                         THEN round(y) ELSE y END) AS BIGINT) AS qm
+  FROM p
+),
+agg AS (
+  SELECT source, dim, SUM(qm) AS s, count(*) AS n FROM q GROUP BY 1, 2
+),
+j AS (
+  SELECT a.dim, a.s AS s_a, a.n AS n_a, b.s AS s_b, b.n AS n_b
+  FROM (SELECT * FROM agg
+        WHERE source = (SELECT min(source) FROM src)) a
+  JOIN (SELECT * FROM agg
+        WHERE source = (SELECT max(source) FROM src)) b USING (dim)
+)
+SELECT CAST(dim AS INT) AS dim,
+       CAST(s_a AS BIGINT) AS s_a, CAST(n_a AS BIGINT) AS n_a,
+       CAST(s_b AS BIGINT) AS s_b, CAST(n_b AS BIGINT) AS n_b,
+       CAST(s_a * n_b - s_b * n_a AS BIGINT) AS diff_num
+FROM j
+ORDER BY abs(s_a * n_b - s_b * n_a) DESC, dim LIMIT 8
+"""
+
+
 def q_embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top principal direction of the embedding corpus, HASH-CHECKED
     (ext.embstats.power_iteration_component): the eigh-based pca_project
@@ -6421,6 +6528,13 @@ SPECS = {
         "graph: 3 damped PageRank rounds in pure integer arithmetic "
         "(floor-division edge contributions), bit-exact vs the "
         "unrolled-CTE oracle"),
+    "embedding_source_drift": QuerySpec(
+        q_embedding_source_drift, SQL_EMBEDDING_SOURCE_DRIFT,
+        "embedding drift between the two largest sources: per-dimension "
+        "integer-micro component sums, mean difference compared by "
+        "cross-multiplication (no division), top-8 drifted dims — the "
+        "domain-shift monitor, hash-checked",
+    ),
     "embedding_pca_project": QuerySpec(
         q_embedding_pca_project, SQL_EMBEDDING_PCA_PROJECT,
         "per-vector top-1 PCA projection: integer-exact power-iteration "

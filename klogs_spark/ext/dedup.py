@@ -1150,3 +1150,90 @@ def contamination_ngram_join(
         .distinct()
     )
     return verified
+
+
+# --- winnowing fingerprints (MOSS) -------------------------------------------
+WINNOW_WINDOW = 4  # w: one fingerprint guaranteed per w consecutive k-grams
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    w: int = WINNOW_WINDOW,
+) -> DataFrame:
+    """Winnowed document fingerprints (Schleimer, Wilkerson & Aiken 2003
+    — the MOSS algorithm): hash every word ``n``-gram IN ORDER, slide a
+    window of ``w`` consecutive hashes, and select each window's minimum
+    (RIGHTMOST occurrence on ties). The selected (hash, position) set is
+    the guaranteed-density fingerprint — any shared substring of at
+    least ``n + w - 1`` tokens between two documents shares at least one
+    fingerprint, which plain min-sampling cannot promise. Unlike
+    ``text.fingerprints`` (a min/max summary) this is position-robust
+    partial-overlap detection.
+
+    The rightmost-min selection is one closed-form array expression
+    (``i + w - array_position(reverse(window), min(window))``) evaluated
+    identically by both engines — no UDF, no per-row Python. Returns the
+    distinct (id, mh, pos) selections; corpus-linear, no shuffle until
+    the caller aggregates."""
+    toks = tokens_col(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    base = df.filter(F.size(toks) >= n + w - 1).select(
+        F.col(id_col).alias("id"), grams.alias("g")
+    )
+    hs = base.select(
+        "id", F.transform("g", lambda s: md5_long(s)).alias("hs")
+    )
+    sel = (
+        hs.select(
+            "id",
+            F.explode(
+                F.expr(
+                    f"""transform(sequence(1, size(hs) - {w} + 1),
+                  i -> struct(
+                    array_min(slice(hs, i, {w})) AS mh,
+                    i + {w} - array_position(reverse(slice(hs, i, {w})),
+                                array_min(slice(hs, i, {w}))) AS pos))"""
+                )
+            ).alias("s"),
+        )
+        .select("id", F.col("s.mh").alias("mh"), F.col("s.pos").alias("pos"))
+        .distinct()
+    )
+    return sel
+
+
+def winnowing_pairs(
+    df: DataFrame,
+    min_shared: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    w: int = WINNOW_WINDOW,
+) -> DataFrame:
+    """Candidate near-duplicate pairs by shared winnowed fingerprints —
+    the MOSS matching step: documents sharing >= ``min_shared`` distinct
+    selected hashes. Pair generation is a keyed equi-join on the
+    fingerprint hash (bucketed by construction, like every LSH-band join
+    in this module — never all-pairs); count per pair is exact because
+    the fingerprint set is already distinct per document. Returns
+    (id_a, id_b, n_shared) with id_a < id_b."""
+    fp = (
+        winnowing_fingerprints(df, text_col, id_col, n, w)
+        .select("id", "mh")
+        .distinct()
+    )
+    a = fp.select(F.col("id").alias("id_a"), "mh")
+    b = fp.select(F.col("id").alias("id_b"), "mh")
+    return (
+        a.join(b, "mh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -784,6 +784,44 @@ simh AS (SELECT id, {_BIT_ADD} AS simhash FROM bits)"""
 SQL_SIMHASH = f"WITH {SIMHASH_CTE} SELECT id, simhash FROM simh"
 
 
+def q_dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed-fingerprint candidate pairs (ext.dedup.winnowing_pairs —
+    the MOSS algorithm, Schleimer et al. 2003): 3-gram hashes in
+    document order, window of {w}, each window's minimum selected with
+    RIGHTMOST tie-break, pairs sharing >= 2 distinct selections. The
+    guaranteed-density property (any shared run of n+w-1 tokens shares a
+    fingerprint) is what plain min-sampling lacks. The oracle replays
+    the identical per-window min selection — an off-by-one window, a
+    wrong hash width, or a non-distinct selection all change the pair
+    set (the rightmost-POSITION tie-break affects only the positional
+    fingerprint form, pinned by pytest).""".format(
+        w=dd.WINNOW_WINDOW
+    )
+    return dd.winnowing_pairs(load_table(spark, sf_dir, "documents"))
+
+
+_WINNOW_W = 4  # keep in sync with ext.dedup.WINNOW_WINDOW
+SQL_DEDUP_WINNOWING_PAIRS = f"""
+WITH {TOKENS_CTE},
+hsl AS (
+  SELECT id, list_transform(
+           generate_series(0, len(tk) - 3),
+           i -> CAST('0x' || substr(md5(array_to_string(tk[i+1:i+3], ' ')),
+                                    1, 8) AS BIGINT)) AS hs
+  FROM tk WHERE len(tk) >= 3 + {_WINNOW_W} - 1
+),
+sel AS (
+  SELECT DISTINCT id,
+         list_min(hs[g.i : g.i + {_WINNOW_W} - 1]) AS mh
+  FROM hsl, generate_series(1, 400) AS g(i)  -- >= longest doc's gram count
+  WHERE g.i <= len(hs) - {_WINNOW_W} + 1
+)
+SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS n_shared
+FROM sel a JOIN sel b ON a.mh = b.mh AND a.id < b.id
+GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sims = dd.simhash(load_table(spark, sf_dir, "documents"))
     return dd.simhash_pairs_bucketed(sims, max_hamming=SIMHASH_MAX_HAMMING)
@@ -6372,6 +6410,13 @@ SPECS = {
         "near-dup pairs -> dedup clusters (iterative min-label propagation)"),
     "dedup_simhash": QuerySpec(q_simhash, SQL_SIMHASH,
                                "60-bit SimHash signatures"),
+    "dedup_winnowing_pairs": QuerySpec(
+        q_dedup_winnowing_pairs, SQL_DEDUP_WINNOWING_PAIRS,
+        "MOSS winnowing: per-window rightmost-min 3-gram hash selection "
+        "(guaranteed fingerprint density), candidate pairs sharing >= 2 "
+        "selections via a keyed fingerprint equi-join — pair set "
+        "hash-checked",
+    ),
     "dedup_simhash_pairs": QuerySpec(q_simhash_pairs, SQL_SIMHASH_PAIRS,
                                      "SimHash near-dup pairs (pigeonhole blocks)"),
     "dedup_semantic": QuerySpec(

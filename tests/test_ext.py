@@ -1461,6 +1461,67 @@ def test_bpe_train_merges_textbook_sequence_and_guards(spark):
     ).count() == 0
 
 
+def test_winnowing_selects_rightmost_min_and_guarantees_density(spark):
+    """MOSS winnowing invariants on a hand-built doc: each window of w
+    consecutive 3-gram hashes contributes its min with RIGHTMOST
+    tie-break (equal hashes from a repeated trigram must select the
+    later position); every stretch of w windows has >= 1 selection
+    (guaranteed density); and two docs sharing a long run share a
+    fingerprint."""
+    from klogs_spark.ext.dedup import (
+        WINNOW_WINDOW,
+        winnowing_fingerprints,
+        winnowing_pairs,
+    )
+
+    # 'a b c' appears twice -> identical gram hashes at two positions;
+    # if both windows covering them tie, the RIGHTMOST position wins
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c x y z a b c " + shared),
+            (2, shared + " completely different tail words here now"),
+            (3, "unrelated text with no overlap at all whatsoever okay"),
+        ],
+        "doc_id int, text string",
+    )
+    fp = winnowing_fingerprints(docs).collect()
+    by_doc: dict = {}
+    for r in fp:
+        by_doc.setdefault(r.id, []).append((r.mh, r.pos))
+    # density: doc 1 has G grams -> G - w + 1 windows; selected positions
+    # must leave no gap of w or more consecutive unselected positions
+    import hashlib
+
+    def md5_long(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    toks1 = ("a b c x y z a b c " + shared).split()
+    grams1 = [" ".join(toks1[i:i + 3]) for i in range(len(toks1) - 2)]
+    hs1 = [md5_long(g) for g in grams1]
+    w = WINNOW_WINDOW
+    # reference selection: rightmost min per window, deduped
+    expected = set()
+    for i in range(len(hs1) - w + 1):
+        win = hs1[i:i + w]
+        m = min(win)
+        pos = i + max(j for j in range(w) if win[j] == m) + 1  # 1-based
+        expected.add((m, pos))
+    assert set(by_doc[1]) == expected
+    sel_pos = sorted(p for _, p in by_doc[1])
+    gaps = [b - a for a, b in zip(sel_pos, sel_pos[1:])]
+    assert all(g <= w for g in gaps), f"density hole: {gaps}"
+    # the repeated 'a b c' trigram: both positions hash equal; wherever a
+    # window contained both, the selection must be the RIGHTMOST (pos 7)
+    dup_hash = md5_long("a b c")
+    dup_positions = {p for h, p in by_doc[1] if h == dup_hash}
+    assert 7 in dup_positions
+    # shared long run -> docs 1 and 2 pair; doc 3 pairs with nobody
+    pairs = {(r.id_a, r.id_b) for r in winnowing_pairs(docs, 1).collect()}
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
+
+
 def test_bpe_tokenize_docs_hand_computed(spark):
     """Per-document counts on the textbook corpus, hand-derived: after
     the 4 canonical merges (es, est, lo, low) 'low'=1 token,

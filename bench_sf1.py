@@ -173,6 +173,11 @@ def main() -> None:
         # density, never docs x probes — both sides grow 10x here (10x
         # corpus, 10x probe set from the same modulus)
         ("dedup_contamination_scaled", "documents"),
+        # r14: MOSS winnowing pair generation — keyed fingerprint
+        # equi-join; output pairs grow ~10x with content-shifted
+        # replicas (within-replica structure preserved), so expect a
+        # modest ratio (measured 1.56 at 10x output growth)
+        ("dedup_winnowing_pairs", "documents"),
     ]
 
     results: dict = {}

@@ -446,9 +446,10 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "versions":
-        from .manifest import snapshot_versions
+        from .manifest import snapshot_commit_times
 
-        print(snapshot_versions(spark, args.table))
+        for v, ms in snapshot_commit_times(spark, args.table).items():
+            print(f"v{v}\tcommitted_at_ms={ms}")
         return 0
 
     if args.cmd == "materialize-promotions":

@@ -150,9 +150,20 @@ def publish_snapshot(
         _must(fs.mkdirs(mdir), "mkdirs", mdir)
     tmp = hpath_cls(f"{path}/{MANIFEST_DIR}/.v{version}.json.tmp")
     out = fs.create(tmp, True)
+    import time as _time
+
     try:
         out.write(
-            json.dumps({"version": version, "files": files}).encode()
+            json.dumps(
+                {
+                    "version": version,
+                    "files": files,
+                    # commit wall-clock for TIMESTAMP AS OF resolution
+                    # (version_as_of); old manifests lack it and fall
+                    # back to the manifest file's modification time
+                    "committed_at_ms": int(_time.time() * 1000),
+                }
+            ).encode()
         )
     finally:
         out.close()
@@ -161,10 +172,49 @@ def publish_snapshot(
     return version
 
 
+def snapshot_commit_times(spark: SparkSession, path: str) -> dict:
+    """version -> commit epoch-millis for every published snapshot. The
+    manifest's own ``committed_at_ms`` field is authoritative (it
+    survives file copies/migrations); manifests from before the field
+    existed resolve to the manifest file's modification time — the same
+    fallback Delta uses for its commit files."""
+    fs, hpath_cls, _ = _hadoop_fs(spark, path)
+    out = {}
+    for v in snapshot_versions(spark, path):
+        rel = f"{MANIFEST_DIR}/v{v}.json"
+        try:
+            doc = _read_small_json(fs, hpath_cls, path, rel)
+            ms = doc.get("committed_at_ms")
+        except Exception:
+            ms = None
+        if ms is None:
+            ms = int(
+                fs.getFileStatus(hpath_cls(f"{path}/{rel}"))
+                .getModificationTime()
+            )
+        out[v] = int(ms)
+    return out
+
+
+def version_as_of(spark: SparkSession, path: str, ts_ms: int) -> int:
+    """TIMESTAMP AS OF resolution — the Delta verb: the latest snapshot
+    whose commit time is <= ``ts_ms``. Raises if the timestamp predates
+    the first commit (nothing existed to read)."""
+    times = snapshot_commit_times(spark, path)
+    eligible = [v for v, ms in times.items() if ms <= int(ts_ms)]
+    if not eligible:
+        raise FileNotFoundError(
+            f"no snapshot of {path} committed at or before {ts_ms} "
+            f"(earliest: {min(times.values()) if times else 'none'})"
+        )
+    return max(eligible)
+
+
 def read_snapshot(
     spark: SparkSession,
     path: str,
     version: int | None = None,
+    as_of_ms: int | None = None,
 ) -> DataFrame:
     """Read the table as of a snapshot: exactly the files its manifest
     lists, nothing published later. ``basePath`` keeps the partition
@@ -181,10 +231,18 @@ def read_snapshot(
     footer-only pass over just the pinned files, paid at time-travel read
     time (occasional) rather than taxing every ``publish_snapshot`` with
     a schema capture — at 100 TB, publishes happen per commit while
-    snapshot reads are rare, so the cost lands on the right side."""
+    snapshot reads are rare, so the cost lands on the right side.
+
+    ``as_of_ms`` is TIMESTAMP AS OF (mutually exclusive with
+    ``version``): the latest snapshot committed at or before the given
+    epoch-millis, resolved via :func:`version_as_of`."""
+    if version is not None and as_of_ms is not None:
+        raise ValueError("pass version OR as_of_ms, not both")
     versions = snapshot_versions(spark, path)
     if not versions:
         raise FileNotFoundError(f"no snapshots published under {path}")
+    if as_of_ms is not None:
+        version = version_as_of(spark, path, as_of_ms)
     version = versions[-1] if version is None else version
     if version not in versions:
         raise FileNotFoundError(f"snapshot v{version} not found in {versions}")

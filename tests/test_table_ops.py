@@ -2327,3 +2327,57 @@ def test_gdpr_forget_flow_table_and_index_end_to_end(spark, tmp_path):
     got = [r.id for r in ann_index.ivfpq_search(
         spark, idx, list(qv), k=10, n_probe=4).collect()]
     assert not set(got) & set(victim_ids)
+
+
+def test_timestamp_as_of_resolves_latest_commit_at_or_before(
+    spark, logs_df, tmp_path
+):
+    """TIMESTAMP AS OF (the last Delta time-travel verb): version_as_of
+    picks the newest snapshot committed <= ts, read_snapshot(as_of_ms=..)
+    reads exactly that version's rows, a timestamp before the first
+    commit raises, and manifests WITHOUT the committed_at_ms field
+    (pre-r14) fall back to the manifest file's modification time."""
+    import json
+    import time
+
+    from klogs_spark.manifest import (
+        publish_snapshot,
+        read_snapshot,
+        snapshot_commit_times,
+        version_as_of,
+    )
+    from klogs_spark.table import _hadoop_fs
+
+    path = str(tmp_path / "logs")
+    write_logs(logs_df.limit(5), path)
+    v1 = publish_snapshot(spark, path)
+    t1 = snapshot_commit_times(spark, path)[v1]
+    time.sleep(0.05)
+    write_logs(logs_df, path, mode="append")
+    v2 = publish_snapshot(spark, path)
+    times = snapshot_commit_times(spark, path)
+    assert set(times) == {v1, v2} and times[v2] >= times[v1]
+
+    assert version_as_of(spark, path, t1) == v1
+    assert version_as_of(spark, path, times[v2]) == v2
+    assert version_as_of(spark, path, times[v2] + 10_000) == v2
+    with pytest.raises(FileNotFoundError):
+        version_as_of(spark, path, t1 - 10_000)
+
+    assert read_snapshot(spark, path, as_of_ms=t1).count() == 5
+    assert read_snapshot(spark, path, as_of_ms=times[v2]).count() == 25
+    with pytest.raises(ValueError):
+        read_snapshot(spark, path, version=v1, as_of_ms=t1)
+
+    # legacy manifest without the field: strip it, expect mtime fallback
+    fs, hp, _ = _hadoop_fs(spark, path)
+    rel = f"_manifest/v{v1}.json"
+    stream = fs.open(hp(f"{path}/{rel}"))
+    raw = bytes(stream.readAllBytes()); stream.close()
+    doc = json.loads(raw)
+    del doc["committed_at_ms"]
+    out = fs.create(hp(f"{path}/{rel}"), True)
+    out.write(json.dumps(doc).encode()); out.close()
+    t_legacy = snapshot_commit_times(spark, path)[v1]
+    assert t_legacy > 0  # file mtime, still resolvable
+    assert version_as_of(spark, path, max(t_legacy, times[v2])) == v2

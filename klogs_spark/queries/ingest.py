@@ -1510,6 +1510,87 @@ GROUP BY 2
 """
 
 
+def q_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time benchmark decontamination externally checked
+    (streaming_ext.decontaminating_docs_sink): the document corpus
+    arrives as a REAL 2-micro-batch stream; each batch is scanned once
+    against the broadcast probe set (first-5-token fragments of every
+    doc_id % 50 == 0 document — the 'benchmark' sample) and routed —
+    probe-containing docs to the auditable quarantine store, clean docs
+    to the training table. Per-(source, bucket) counts must equal the
+    oracle's direct substring computation: a contaminated doc leaking
+    into the table, a clean doc wrongly quarantined, or a double-write
+    on the batch boundary all break the hash. This is the guard that
+    keeps eval fragments from ever ENTERING the corpus, instead of
+    scrubbing them later (pipeline_pretrain_prep's batch stage)."""
+    import tempfile
+
+    from ..streaming_ext import decontaminating_docs_sink
+
+    docs = load_table(spark, sf_dir, "documents")
+    probes = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("probe_id"),
+        F.concat_ws(
+            " ", F.slice(F.split(F.col("text"), " "), 1, 5)
+        ).alias("probe"),
+    )
+    base = tempfile.mkdtemp(prefix="klogs-decon-")
+    src, ckpt = f"{base}/src", f"{base}/ckpt"
+    tdir, qdir = f"{base}/clean", f"{base}/quarantine"
+    sink = decontaminating_docs_sink(tdir, probes, qdir)
+    for lo, hi in ((0, 250), (250, 1 << 62)):
+        (
+            docs.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+            )
+            .write.mode("append").parquet(src)
+        )
+        q = (
+            spark.readStream.schema(
+                "doc_id bigint, text string, lang string, "
+                "source string, n_chars bigint"
+            )
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    clean = (
+        spark.read.parquet(tdir)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("bucket", F.lit("clean"))
+    )
+    quar = (
+        spark.read.parquet(qdir)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("bucket", F.lit("quarantined"))
+    )
+    return clean.unionByName(quar).select("bucket", "source", "n")
+
+
+SQL_STREAM_DECONTAMINATE = """
+WITH probes AS (
+  SELECT array_to_string(string_split(text, ' ')[1:5], ' ') AS probe
+  FROM documents WHERE doc_id % 50 = 0
+),
+flagged AS (
+  SELECT d.doc_id, d.source,
+         EXISTS (SELECT 1 FROM probes p
+                 WHERE contains(d.text, p.probe)) AS dirty
+  FROM documents d
+)
+SELECT 'clean' AS bucket, source, CAST(count(*) AS BIGINT) AS n
+FROM flagged WHERE NOT dirty GROUP BY 2
+UNION ALL
+SELECT 'quarantined', source, CAST(count(*) AS BIGINT)
+FROM flagged WHERE dirty GROUP BY 2
+"""
+
+
 def q_stream_minmax_sidecar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The streaming zone-map maintenance externally checked: two weeks of
     logs arrive as a REAL micro-batch stream through
@@ -3071,6 +3152,14 @@ SPECS = {
         SQL_QUARANTINE_TRIAGE,
         "quarantine triage report: per-(failed check, day) counts from "
         "the _failed_checks column, vs per-rule oracle",
+    ),
+    "stream_decontaminate": QuerySpec(
+        q_stream_decontaminate,
+        SQL_STREAM_DECONTAMINATE,
+        "ingest-time benchmark decontamination: per-batch broadcast "
+        "probe scan routes eval-fragment docs to quarantine, clean docs "
+        "to the table; per-(source, bucket) counts vs direct substring "
+        "oracle",
     ),
     "stream_minmax_sidecar": QuerySpec(
         q_stream_minmax_sidecar,

@@ -202,3 +202,46 @@ def upsert_logs_sink(path: str, key_cols: list[str]):
         cow_merge_upsert(batch.sparkSession, path, batch, key_cols)
 
     return sink_fn
+
+
+def decontaminating_docs_sink(
+    table_dir: str,
+    probes: DataFrame,
+    quarantine_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Ingest-time benchmark decontamination — the gate that keeps
+    eval-set fragments from ever ENTERING the training store, instead of
+    scrubbing them later (the batch forms are
+    ext.text.contamination_check / ext.dedup.contamination_ngram_join;
+    this is their streaming composition, shaped like
+    expectations.validated_logs_sink one level up).
+
+    Each micro-batch is scanned once against the broadcast probe set;
+    documents containing any probe substring append to the QUARANTINE
+    store (auditable — deletion would hide the contamination signal),
+    clean documents append to the table. At-least-once like every
+    foreachBatch sink here: a replayed batch re-routes the same rows to
+    the same stores. Cost per batch = one codegen'd substring pass over
+    the batch; the probe set rides along as a broadcast."""
+    from .ext.text import contamination_check
+
+    def sink_fn(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        hits = (
+            contamination_check(batch, probes, text_col, id_col)
+            .select("doc_id")
+            .distinct()
+            .withColumnRenamed("doc_id", "_hit_id")
+        )
+        cond = batch[id_col] == F.col("_hit_id")
+        batch.join(hits, cond, "left_anti").write.mode("append").parquet(
+            table_dir
+        )
+        batch.join(hits, cond, "left_semi").write.mode("append").parquet(
+            quarantine_dir
+        )
+
+    return sink_fn

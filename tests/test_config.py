@@ -71,7 +71,8 @@ def test_cli_maintenance_commands_round_trip(spark, tmp_path, capsys):
     assert main(["snapshot", path]) == 0
     assert main(["versions", path]) == 0
     out = capsys.readouterr().out
-    assert "published v1" in out and "[1]" in out
+    assert "published v1" in out
+    assert "v1\tcommitted_at_ms=" in out  # TIMESTAMP AS OF metadata
 
     n_err = read_logs(spark, path).filter(
         "element_at(fields_string, 'level') = 'error'"

@@ -476,6 +476,16 @@ def test_global_prefix_sum_never_single_partition(spark):
             assert "n_tokens" not in ctx or "_ptot" in ctx or "sum" in ctx.lower()
 
 
+def test_winnowing_pairs_joins_on_fingerprint_key_only(spark):
+    """MOSS pair generation must bucket by the fingerprint hash (keyed
+    equi-join; the id_a < id_b ordering is a post-join condition) —
+    never a cartesian/nested-loop over docs x docs, never Python."""
+    plan = _plan(spark, "dedup_winnowing_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+
+
 def test_budget_threshold_never_single_partition(spark):
     # the budget cut rides the same two-phase prefix sum: the corpus-side
     # cumulative window must be bucket-partitioned (ordered by the unique

@@ -19,6 +19,7 @@ from ..decode import decode_dataframe
 from ..transform import field_number, field_string, has_field
 from ..views import load_table
 from . import QuerySpec
+from .logs import LOGS_CTE
 
 
 def _raw_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1591,6 +1592,64 @@ FROM flagged WHERE dirty GROUP BY 2
 """
 
 
+def q_ingest_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC interchange round-trip externally checked: the full log
+    corpus (timestamps, map<string,string> / map<string,double> dynamic
+    fields, text) is written to date-partitioned ORC — the other
+    columnar lake format a 100 TB estate actually holds — read back,
+    and aggregated per (day, level) with an integer-micro latency sum
+    and a map-key census. The oracle computes the same aggregate
+    directly from events (DuckDB cannot read ORC, which is the point:
+    equality proves the ORC round-trip preserved every timestamp, map
+    entry, and double bit-faithfully — the msgpack-pipeline pattern
+    applied to the lake format). Spark's ORC support is native
+    whole-stage-codegen I/O; no extra connector."""
+    import tempfile
+
+    from ..views import derive_logs_from_events
+
+    logs = derive_logs_from_events(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="klogs-orc-")
+    (
+        logs.withColumn("date", F.to_date("timestamp"))
+        .write.mode("overwrite")
+        .partitionBy("date")
+        .orc(d)
+    )
+    back = spark.read.orc(d)
+    lat = F.element_at("fields_number", "latency_ms")
+    return (
+        back.groupBy(
+            F.col("date").alias("day"),
+            F.element_at("fields_string", "level").alias("level"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(
+                F.floor(F.coalesce(lat, F.lit(0.0)) * 1000000)
+            ).cast("bigint").alias("latency_sum_micros"),
+            F.sum(
+                (F.element_at("fields_string", "flag") == "on")
+                .cast("int")
+            ).cast("bigint").alias("n_flag_on"),
+        )
+    )
+
+
+SQL_INGEST_ORC_ROUNDTRIP = (
+    LOGS_CTE
+    + """
+SELECT CAST("timestamp" AS DATE) AS day, f_level AS level,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(floor(COALESCE(f_latency_ms, 0) * 1000000)
+                     AS BIGINT)) AS BIGINT) AS latency_sum_micros,
+       CAST(SUM(CASE WHEN f_flag = 'on' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_flag_on
+FROM logs GROUP BY 1, 2
+"""
+)
+
+
 def q_stream_minmax_sidecar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The streaming zone-map maintenance externally checked: two weeks of
     logs arrive as a REAL micro-batch stream through
@@ -3160,6 +3219,14 @@ SPECS = {
         "probe scan routes eval-fragment docs to quarantine, clean docs "
         "to the table; per-(source, bucket) counts vs direct substring "
         "oracle",
+    ),
+    "ingest_orc_roundtrip": QuerySpec(
+        q_ingest_orc_roundtrip,
+        SQL_INGEST_ORC_ROUNDTRIP,
+        "ORC interchange round-trip: full log corpus (timestamps, both "
+        "dynamic-field maps) through date-partitioned ORC and back; "
+        "per-(day, level) counts + integer-micro latency sum + map-key "
+        "census vs direct-from-events oracle",
     ),
     "stream_minmax_sidecar": QuerySpec(
         q_stream_minmax_sidecar,

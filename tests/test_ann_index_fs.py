@@ -258,3 +258,85 @@ def test_vacuum_index_is_reference_aware(spark, tmp_path):
     assert p1 in res["kept"] and p3 in res["kept"]
     # serving results unchanged after the vacuum
     assert _search_ids(spark, ann_index.current_index_path(root), qv) == before
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    data=st.data(),
+    n_cells=st.integers(min_value=1, max_value=6),
+)
+def test_removal_plan_replay_converges_from_any_interruption(
+    spark, tmp_path_factory, data, n_cells
+):
+    """Property: for ANY mix of staged/dropped cells and ANY interruption
+    point inside the swap loop, replaying the journaled plan converges to
+    exactly the post-removal state — staged cells hold the staged
+    directory, dropped cells are gone, untouched cells untouched — and a
+    second replay is a no-op. The plan applier only moves whole
+    directories, so the property is driven with sentinel files instead
+    of parquet (fast enough for hypothesis)."""
+    import json
+
+    from klogs_spark.ext.ann_index import REMOVE_PLAN, _apply_removal_plan
+    from klogs_spark.manifest import _write_small_json
+    from klogs_spark.table import _hadoop_fs
+
+    tmp = tmp_path_factory.mktemp("winplan")
+    path = str(tmp / "idx")
+    fs, hp, _ = _hadoop_fs(spark, path)
+    cells = list(range(n_cells))
+    staged = {c: data.draw(st.booleans(), label=f"staged_{c}") for c in cells}
+    stop_after = data.draw(
+        st.integers(min_value=0, max_value=n_cells), label="stop_after"
+    )
+    staging_rel = "codes_rm_staging_prop"
+    # lay out: every cell exists with an OLD sentinel; staged cells also
+    # have a NEW sentinel in staging; plus one untouched bystander cell
+    for c in cells + [99]:
+        fs.mkdirs(hp(f"{path}/codes/centroid_id={c}"))
+        _write_small_json(
+            fs, hp, path, f"codes/centroid_id={c}/part.json", {"gen": "old"}
+        )
+    for c in cells:
+        if staged[c]:
+            fs.mkdirs(hp(f"{path}/{staging_rel}/centroid_id={c}"))
+            _write_small_json(
+                fs, hp, path,
+                f"{staging_rel}/centroid_id={c}/part.json", {"gen": "new"},
+            )
+    plan = {
+        "staging": staging_rel,
+        "cells": cells,
+        "staged": {str(c): staged[c] for c in cells},
+    }
+    _write_small_json(fs, hp, path, REMOVE_PLAN, plan)
+
+    # interrupted first application: stop after `stop_after` cells
+    partial = {**plan, "cells": cells[:stop_after]}
+    _apply_removal_plan(spark, path, partial)
+    # recovery replays the FULL journaled plan (idempotent)
+    _apply_removal_plan(spark, path, plan)
+    _apply_removal_plan(spark, path, plan)  # and again: still a no-op
+
+    from klogs_spark.manifest import _read_small_json
+
+    for c in cells:
+        dst = f"codes/centroid_id={c}/part.json"
+        if staged[c]:
+            doc = _read_small_json(fs, hp, path, dst)
+            assert doc["gen"] == "new", f"cell {c} not swapped"
+            assert not fs.exists(
+                hp(f"{path}/{staging_rel}/centroid_id={c}")
+            ), f"staging residue for cell {c}"
+        else:
+            assert not fs.exists(
+                hp(f"{path}/codes/centroid_id={c}")
+            ), f"dropped cell {c} still present"
+    # bystander untouched
+    assert _read_small_json(
+        fs, hp, path, "codes/centroid_id=99/part.json"
+    )["gen"] == "old"

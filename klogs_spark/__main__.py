@@ -175,8 +175,16 @@ def main(argv: list[str] | None = None) -> int:
                          help="delete vector ids from the IVF-PQ codes "
                               "store (GDPR; only affected cells "
                               "rewritten, no retrain)")
-    prm.add_argument("index_path")
+    prm.add_argument("index_path",
+                     help="flat index dir (in-place) or, with --online, "
+                          "the generation ROOT")
     prm.add_argument("ids", help="comma-separated vector ids")
+    prm.add_argument("--online", action="store_true",
+                     help="publish the removal as a NEW committed "
+                          "generation (cellmap references untouched "
+                          "cells; searchers never see a torn cell) "
+                          "instead of the in-place maintenance-window "
+                          "swap")
 
     pad_ = sub.add_parser("ann-drift",
                           help="IVF-PQ serving-build drift (ppm of "
@@ -403,12 +411,16 @@ def main(argv: list[str] | None = None) -> int:
         return 0 if rep["ok"] else 1
 
     if args.cmd == "ann-remove":
+        ids = [int(x) for x in args.ids.split(",") if x]
+        if args.online:
+            from .ext.ann_index import commit_index_removal
+
+            bdir = commit_index_removal(spark, args.index_path, ids)
+            print(f"published removal generation {bdir}")
+            return 0
         from .ext.ann_index import remove_from_ivfpq_index
 
-        res = remove_from_ivfpq_index(
-            spark, args.index_path,
-            [int(x) for x in args.ids.split(",") if x],
-        )
+        res = remove_from_ivfpq_index(spark, args.index_path, ids)
         print(
             f"removed {res['rows_removed']} code row(s) across "
             f"{res['cells_rewritten']} cell(s)"

@@ -220,7 +220,24 @@ def remove_from_ivfpq_index(
     from ..manifest import _claim_marker, _write_small_json
 
     fs, hp, _ = _fs(spark, path)
-    recover_incomplete_removal(spark, path)  # self-heal a crashed run
+    # Refuse to operate on a removal GENERATION: its cells live in parent
+    # builds via the cellmap — an in-place swap here would remove nothing
+    # from referenced cells yet report success. And refuse on a build a
+    # COMMITTED child generation references: swapping its cells in place
+    # mutates the serving generation's view mid-operation, breaking the
+    # old-or-new contract commit_index_removal exists to provide.
+    if fs.exists(hp(f"{path}/{CELLMAP}")):
+        raise ValueError(
+            f"{path} is a removal generation (cellmap): its cells are "
+            "references into parent builds — use commit_index_removal "
+            "on the index root instead"
+        )
+    _refuse_if_referenced_by_child(spark, path)
+    # NOTE: no automatic crash recovery here — recovery of a marker whose
+    # writer is still ALIVE would delete its claim and staging mid-run
+    # (two writers would then both swap). A crashed predecessor's journal
+    # makes the claim below fail loudly; the operator (or a maintenance
+    # job that KNOWS no writer is live) runs recover_incomplete_removal.
     if isinstance(ids, (list, tuple)):
         ids_df = spark.createDataFrame(
             [(int(i),) for i in ids], "id bigint"
@@ -284,6 +301,41 @@ def remove_from_ivfpq_index(
         "rows_removed": n_before - n_after,
         "cells_rewritten": len(cells),
     }
+
+
+def _refuse_if_referenced_by_child(spark: SparkSession, path: str) -> None:
+    """If ``path`` is a ``builds/b{N}`` generation whose directories a
+    COMMITTED sibling generation's cellmap references, in-place cell
+    swaps would mutate that (possibly serving) generation's view."""
+    import re
+
+    from ..manifest import _read_small_json
+
+    m = re.search(r"^(.*)/builds/b(\d+)$", path.rstrip("/"))
+    if not m:
+        return
+    root, me = m.group(1), int(m.group(2))
+    fs, hp, _ = _fs(spark, path)
+    for bid in _committed_builds(root, spark):
+        if bid == me:
+            continue
+        gdir = f"{root}/builds/b{bid}"
+        if not fs.exists(hp(f"{gdir}/{CELLMAP}")):
+            continue
+        try:
+            cm = _read_small_json(fs, hp, gdir, CELLMAP)
+        except Exception:
+            continue
+        refs = [cm.get("centroids", ""), cm.get("codebooks", "")] + [
+            d for dirs in cm.get("cells", {}).values() for d in dirs
+        ]
+        if any(r.startswith(path) for r in refs):
+            raise ValueError(
+                f"{path} is referenced by committed generation {gdir}'s "
+                "cellmap — an in-place swap would mutate that "
+                "generation's view; use commit_index_removal on "
+                f"{root} instead"
+            )
 
 
 def _apply_removal_plan(spark: SparkSession, path: str, plan: dict) -> None:
@@ -426,15 +478,37 @@ def commit_index_build(emb: DataFrame, root: str, **build_kwargs) -> str:
     searchers keep reading the previous generation until it lands.
     Returns the committed path."""
     spark = emb.sparkSession
-    builds = _committed_builds(root, spark)
-    bid = (builds[-1] if builds else 0) + 1
-    bdir = f"{root}/builds/b{bid}"
+    bid, bdir = _allocate_generation(spark, root)
     build_ivfpq_index(emb, bdir, **build_kwargs)
     n_trained = emb.count()
     _publish_generation(
         spark, bdir, {"build": bid, "n_trained": int(n_trained)}
     )
     return bdir
+
+
+ALLOC_MARKER = "_ALLOCATED"
+
+
+def _allocate_generation(spark: SparkSession, root: str) -> tuple:
+    """Claim the next generation directory BEFORE any data is written
+    into it: two concurrent publishers must never share a ``b{N}`` (the
+    marker winner would otherwise publish a directory holding the
+    loser's files). Allocation is an exclusive-create ``_ALLOCATED``
+    marker; on contention the id advances and the claim retries.
+    Uncommitted husks from crashed builds keep their allocation, so a
+    later writer never reuses their directory either."""
+    from ..manifest import _claim_marker
+
+    fs, hp, _ = _fs(spark, root)
+    builds = _committed_builds(root, spark)
+    bid = (builds[-1] if builds else 0) + 1
+    while True:
+        bdir = f"{root}/builds/b{bid}"
+        # a pre-claim-era husk dir without a marker: claim inside it
+        if _claim_marker(fs, hp, bdir, ALLOC_MARKER, {"build": bid}):
+            return bid, bdir
+        bid += 1
 
 
 def _publish_generation(spark: SparkSession, bdir: str, payload: dict) -> None:
@@ -520,7 +594,9 @@ def vacuum_index(
     anything the serving cellmap chain reaches are kept; uncommitted
     husk directories (crashed builds that never published) are
     reclaimed. Returns {"kept", "deleted", "dry_run"} with build dir
-    paths."""
+    paths. Single-maintenance-writer norm: do not vacuum while a build
+    or removal publish is in flight — an allocated-but-uncommitted
+    generation is indistinguishable from a crashed husk."""
     fs, hp, _ = _fs(spark, root)
     committed = _committed_builds(root, spark)
     if not committed:
@@ -701,9 +777,7 @@ def commit_index_removal(
             .collect()
         )
     )
-    builds = _committed_builds(root, spark)
-    bid = (builds[-1] if builds else 0) + 1
-    bdir = f"{root}/builds/b{bid}"
+    bid, bdir = _allocate_generation(spark, root)
     if affected:
         survivors = _codes_for_cells(spark, cur, affected).join(
             F.broadcast(ids_df), "id", "left_anti"

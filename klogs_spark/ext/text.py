@@ -1430,14 +1430,19 @@ def classifier_score(
     hashing trick: every feature — not just bigrams, our simplification
     — maps to one of ``n_buckets`` via the engine's cross-engine md5
     hash). ``weights`` is the trained model: (b, c, w) rows with INTEGER
-    micro-unit weights, bucket × class. Scoring is
+    micro-unit weights, bucket × class — SPARSE tables are honored
+    (absent (b, c) pairs score 0: the per-class scores are left-joined
+    onto the full document × class grid, built by exploding the model's
+    collected class list — vocab-scale, never a join). Scoring is
     ``score(d, c) = Σ_b k_{d,b} · w_{b,c}`` with per-document bucket
     counts pre-aggregated BEFORE the model join (the lm_bigram
     discipline: repetition never reaches a join), the model join a
     BROADCAST keyed equi-join (the model is bucket-scale, never
     corpus-scale), and the argmax a single min_by aggregate (ties break
-    to the lowest class id). All-integer arithmetic, so the pass oracles
-    exactly. Returns (id, best_class, best_score_micro, n_features)."""
+    to the lowest class id). ``n_features`` is the document's total
+    feature-instance count, independent of model sparsity. All-integer
+    arithmetic, so the pass oracles exactly.
+    Returns (id, best_class, best_score_micro, n_features)."""
     from .hashing import md5_long
 
     toks = F.filter(
@@ -1466,13 +1471,21 @@ def classifier_score(
         .groupBy("id", "b")
         .agg(F.count(F.lit(1)).alias("k"))
     )
-    scored = (
+    n_feat = pb.groupBy("id").agg(F.sum("k").alias("n"))
+    sparse = (
         pb.join(F.broadcast(weights), "b")
         .groupBy("id", "c")
-        .agg(
-            F.sum(F.col("k") * F.col("w")).alias("s"),
-            F.sum("k").alias("n"),
-        )
+        .agg(F.sum(F.col("k") * F.col("w")).alias("s"))
+    )
+    classes = sorted(
+        int(r.c) for r in weights.select("c").distinct().collect()
+    )
+    grid = n_feat.select(
+        "id", "n",
+        F.explode(F.array(*[F.lit(c) for c in classes])).alias("c"),
+    )
+    scored = grid.join(sparse, ["id", "c"], "left").withColumn(
+        "s", F.coalesce(F.col("s"), F.lit(0).cast("long"))
     )
     return scored.groupBy("id").agg(
         F.expr("min_by(c, struct(-s, c))").cast("int").alias("best_class"),

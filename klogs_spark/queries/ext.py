@@ -800,7 +800,7 @@ def q_dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.winnowing_pairs(load_table(spark, sf_dir, "documents"))
 
 
-_WINNOW_W = 4  # keep in sync with ext.dedup.WINNOW_WINDOW
+_WINNOW_W = dd.WINNOW_WINDOW  # single source of truth for both engines
 SQL_DEDUP_WINNOWING_PAIRS = f"""
 WITH {TOKENS_CTE},
 hsl AS (
@@ -5204,11 +5204,15 @@ def q_embedding_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers: each component is quantized once to micro-units
     (snap-within-2e-6 then floor — the lm_bigram discipline, floats only
     at the per-value quantization point), per-(source, dim) integer sums
-    follow, and the mean difference is compared WITHOUT division as
-    ``s_a·n_b − s_b·n_a`` (cross-multiplied, exact int64). Top-8
-    dimensions by absolute drift, ties to the lower dimension. Cost
-    shape: one keyed equi-join (embeddings ⋈ documents on id) + one
-    (source, dim)-keyed aggregate — 2·d rows out, corpus-linear in."""
+    follow, and the per-dimension MEAN lands by integer division on the
+    NON-NEGATIVE shift ``(s + n·1e6) div n − 1e6`` — non-negative so
+    Spark's truncating ``div`` and DuckDB's flooring ``//`` agree, and
+    every intermediate stays far inside int64 at ANY source size
+    (≤ 2e6·n; a cross-multiplied ``s_a·n_b`` form would wrap past ~3M
+    vectors per source). Top-8 dimensions by absolute mean difference,
+    ties to the lower dimension. Cost shape: one keyed equi-join
+    (embeddings ⋈ documents on id) + one (source, dim)-keyed aggregate
+    — 2·d rows out, corpus-linear in."""
     emb = load_table(spark, sf_dir, "embeddings")
     docs = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("vec_id"), "source"
@@ -5243,24 +5247,27 @@ def q_embedding_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "dim")
         .agg(F.sum("qm").alias("s"), F.count(F.lit(1)).alias("n"))
     )
+    mean = F.expr(
+        "(s + n * CAST(1000000 AS BIGINT)) div n - CAST(1000000 AS BIGINT)"
+    )
     left = agg.filter(F.col("source") == a).select(
-        "dim", F.col("s").alias("s_a"), F.col("n").alias("n_a")
+        "dim", mean.alias("mean_a"), F.col("n").alias("n_a")
     )
     right = agg.filter(F.col("source") == b).select(
-        "dim", F.col("s").alias("s_b"), F.col("n").alias("n_b")
+        "dim", mean.alias("mean_b"), F.col("n").alias("n_b")
     )
-    diff = F.col("s_a") * F.col("n_b") - F.col("s_b") * F.col("n_a")
+    diff = F.col("mean_a") - F.col("mean_b")
     return (
         left.join(right, "dim")
         .select(
             F.col("dim").cast("int").alias("dim"),
-            F.col("s_a").cast("bigint").alias("s_a"),
+            F.col("mean_a").cast("bigint").alias("mean_a_micro"),
             F.col("n_a").cast("bigint").alias("n_a"),
-            F.col("s_b").cast("bigint").alias("s_b"),
+            F.col("mean_b").cast("bigint").alias("mean_b_micro"),
             F.col("n_b").cast("bigint").alias("n_b"),
-            diff.cast("bigint").alias("diff_num"),
+            diff.cast("bigint").alias("diff_micro"),
         )
-        .orderBy(F.abs(F.col("diff_num")).desc(), "dim")
+        .orderBy(F.abs(F.col("diff_micro")).desc(), "dim")
         .limit(8)
     )
 
@@ -5285,21 +5292,27 @@ q AS (
   FROM p
 ),
 agg AS (
-  SELECT source, dim, SUM(qm) AS s, count(*) AS n FROM q GROUP BY 1, 2
+  SELECT source, dim,
+         (SUM(qm) + count(*) * 1000000) // count(*) - 1000000 AS mean_m,
+         count(*) AS n
+  FROM q GROUP BY 1, 2
 ),
 j AS (
-  SELECT a.dim, a.s AS s_a, a.n AS n_a, b.s AS s_b, b.n AS n_b
+  SELECT a.dim, a.mean_m AS mean_a, a.n AS n_a,
+         b.mean_m AS mean_b, b.n AS n_b
   FROM (SELECT * FROM agg
         WHERE source = (SELECT min(source) FROM src)) a
   JOIN (SELECT * FROM agg
         WHERE source = (SELECT max(source) FROM src)) b USING (dim)
 )
 SELECT CAST(dim AS INT) AS dim,
-       CAST(s_a AS BIGINT) AS s_a, CAST(n_a AS BIGINT) AS n_a,
-       CAST(s_b AS BIGINT) AS s_b, CAST(n_b AS BIGINT) AS n_b,
-       CAST(s_a * n_b - s_b * n_a AS BIGINT) AS diff_num
+       CAST(mean_a AS BIGINT) AS mean_a_micro,
+       CAST(n_a AS BIGINT) AS n_a,
+       CAST(mean_b AS BIGINT) AS mean_b_micro,
+       CAST(n_b AS BIGINT) AS n_b,
+       CAST(mean_a - mean_b AS BIGINT) AS diff_micro
 FROM j
-ORDER BY abs(s_a * n_b - s_b * n_a) DESC, dim LIMIT 8
+ORDER BY abs(mean_a - mean_b) DESC, dim LIMIT 8
 """
 
 
@@ -6576,9 +6589,9 @@ SPECS = {
     "embedding_source_drift": QuerySpec(
         q_embedding_source_drift, SQL_EMBEDDING_SOURCE_DRIFT,
         "embedding drift between the two largest sources: per-dimension "
-        "integer-micro component sums, mean difference compared by "
-        "cross-multiplication (no division), top-8 drifted dims — the "
-        "domain-shift monitor, hash-checked",
+        "integer-micro means via shifted non-negative integer division "
+        "(engine-identical, int64-safe at any source size), top-8 "
+        "drifted dims — the domain-shift monitor, hash-checked",
     ),
     "embedding_pca_project": QuerySpec(
         q_embedding_pca_project, SQL_EMBEDDING_PCA_PROJECT,

@@ -1628,9 +1628,12 @@ def q_ingest_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(
                 F.floor(F.coalesce(lat, F.lit(0.0)) * 1000000)
             ).cast("bigint").alias("latency_sum_micros"),
+            # when() instead of a nullable-boolean cast: a group with no
+            # 'flag' keys must sum to 0, not NULL (the oracle's ELSE 0)
             F.sum(
-                (F.element_at("fields_string", "flag") == "on")
-                .cast("int")
+                F.when(
+                    F.element_at("fields_string", "flag") == "on", 1
+                ).otherwise(0)
             ).cast("bigint").alias("n_flag_on"),
         )
     )

@@ -230,18 +230,26 @@ def decontaminating_docs_sink(
     def sink_fn(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        hits = (
-            contamination_check(batch, probes, text_col, id_col)
-            .select("doc_id")
-            .distinct()
-            .withColumnRenamed("doc_id", "_hit_id")
-        )
-        cond = batch[id_col] == F.col("_hit_id")
-        batch.join(hits, cond, "left_anti").write.mode("append").parquet(
-            table_dir
-        )
-        batch.join(hits, cond, "left_semi").write.mode("append").parquet(
-            quarantine_dir
-        )
+        # two destinations, ONE scan: the clean and quarantine writes are
+        # separate actions, so without a persist each would recompute the
+        # batch source AND the probe pass
+        batch = batch.persist()
+        try:
+            hits = (
+                contamination_check(batch, probes, text_col, id_col)
+                .select("doc_id")
+                .distinct()
+                .withColumnRenamed("doc_id", "_hit_id")
+            ).persist()
+            cond = batch[id_col] == F.col("_hit_id")
+            batch.join(hits, cond, "left_anti").write.mode(
+                "append"
+            ).parquet(table_dir)
+            batch.join(hits, cond, "left_semi").write.mode(
+                "append"
+            ).parquet(quarantine_dir)
+            hits.unpersist()
+        finally:
+            batch.unpersist()
 
     return sink_fn

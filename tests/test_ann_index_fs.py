@@ -81,21 +81,14 @@ def test_removal_is_journaled_and_blocks_concurrent_writers(spark, tiny_index):
     assert _claim_marker(
         fs, hp, path, ann_index.REMOVE_MARKER, {"staging": "codes_rm_staging_live"}
     )
-    # the competing writer also has a live (non-empty) staging dir, so
-    # recovery must NOT silently clear it: without a journaled plan the
-    # rollback path drops staging+marker — that is the documented
-    # single-maintenance-writer norm; a LIVE claim is therefore rolled
-    # back as if crashed, and the second writer proceeds. What must never
-    # happen is both writers swapping. We pin the claim exclusivity here:
+    # a second writer must fail on the live claim WITHOUT touching it —
+    # removal deliberately does NOT auto-recover (recovery of a marker
+    # whose writer is alive would delete its claim and staging mid-run
+    # and both writers would swap)
     with pytest.raises(ann_index.ConcurrentIndexMaintenanceError):
-        # disable self-heal so the live claim is respected
-        orig = ann_index.recover_incomplete_removal
-        ann_index.recover_incomplete_removal = lambda *a, **k: None
-        try:
-            ann_index.remove_from_ivfpq_index(spark, path, [victim])
-        finally:
-            ann_index.recover_incomplete_removal = orig
-    # heal and run for real
+        ann_index.remove_from_ivfpq_index(spark, path, [victim])
+    assert fs.exists(hp(f"{path}/{ann_index.REMOVE_MARKER}"))  # untouched
+    # the holder crashed: the OPERATOR recovers explicitly, then retries
     ann_index.recover_incomplete_removal(spark, path)
     res = ann_index.remove_from_ivfpq_index(spark, path, [victim])
     assert res["rows_removed"] == ann_index.sim.PQ_SUBSPACES  # M code rows
@@ -340,3 +333,54 @@ def test_removal_plan_replay_converges_from_any_interruption(
     assert _read_small_json(
         fs, hp, path, "codes/centroid_id=99/part.json"
     )["gen"] == "old"
+
+
+def test_in_place_removal_refuses_generations_and_referenced_parents(
+    spark, tmp_path
+):
+    """In-place removal must refuse (a) a removal generation — its cells
+    are cellmap references, an in-place swap would remove nothing from
+    them while reporting success — and (b) a parent build a committed
+    child generation references — swapping its cells mutates the serving
+    generation's view. Both route the operator to
+    commit_index_removal."""
+    emb = _tiny_emb(spark)
+    root = str(tmp_path / "root")
+    p1 = ann_index.commit_index_build(emb, root, **BUILD_KW)
+    qv = _query_vec(emb)
+    victim = _search_ids(spark, p1, qv)[1]
+    p2 = ann_index.commit_index_removal(spark, root, [victim])
+
+    with pytest.raises(ValueError, match="cellmap"):
+        ann_index.remove_from_ivfpq_index(spark, p2, [victim])
+    with pytest.raises(ValueError, match="referenced by committed"):
+        ann_index.remove_from_ivfpq_index(spark, p1, [victim])
+    # a standalone flat index (no generations) is unaffected
+    flat = str(tmp_path / "flat")
+    ann_index.build_ivfpq_index(emb, flat, **BUILD_KW)
+    res = ann_index.remove_from_ivfpq_index(spark, flat, [victim])
+    assert res["rows_removed"] == ann_index.sim.PQ_SUBSPACES
+
+
+def test_generation_allocation_is_claimed_before_any_write(spark, tmp_path):
+    """Two publishers must never share a b{N} directory: allocation is an
+    exclusive-create _ALLOCATED marker taken BEFORE data lands, so a
+    competing claim (simulated here) pushes the next publisher to the
+    following id instead of overwriting the claimant's files."""
+    from klogs_spark.manifest import _claim_marker
+    from klogs_spark.table import _hadoop_fs
+
+    emb = _tiny_emb(spark)
+    root = str(tmp_path / "root")
+    p1 = ann_index.commit_index_build(emb, root, **BUILD_KW)
+    assert p1.endswith("b1")
+    fs, hp, _ = _hadoop_fs(spark, root)
+    # a competing (still-building) publisher holds b2
+    assert _claim_marker(
+        fs, hp, f"{root}/builds/b2", ann_index.ALLOC_MARKER, {"build": 2}
+    )
+    p_next = ann_index.commit_index_build(emb, root, **BUILD_KW)
+    assert p_next.endswith("b3")  # never reused the claimed b2
+    assert not fs.exists(hp(f"{root}/builds/b2/{ann_index.COMMIT_MARKER}"))
+    # serving pointer: b3 (b2 never committed)
+    assert ann_index.current_index_path(root) == p_next

@@ -1461,6 +1461,42 @@ def test_bpe_train_merges_textbook_sequence_and_guards(spark):
     ).count() == 0
 
 
+def test_classifier_score_honors_sparse_weight_tables(spark):
+    """A sparse model (only nonzero weights stored) must score absent
+    (bucket, class) pairs as 0: a class with NO matching rows still wins
+    when every stored weight is negative, a doc whose features all hash
+    to unweighted buckets still appears (score 0, lowest class), and
+    n_features counts the doc's features regardless of sparsity."""
+    from klogs_spark.ext.text import classifier_score
+    from klogs_spark.ext.hashing import md5_long
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma")],
+        "doc_id int, text string",
+    )
+    n_buckets = 64
+    # find the actual buckets of doc 1's features (alpha, beta, 'alpha beta')
+    feats = spark.createDataFrame(
+        [("alpha",), ("beta",), ("alpha beta",), ("gamma",)], "f string"
+    ).select("f", (md5_long(F.col("f")) % n_buckets).alias("b")).collect()
+    b = {r.f: r.b for r in feats}
+    # sparse model: class 0 and 1 exist; ONLY class 1 has stored weights,
+    # all negative, on doc-1's buckets; doc 2's bucket is unweighted
+    rows = [(b["alpha"], 1, -5), (b["beta"], 1, -7), (b["alpha beta"], 1, -3)]
+    # class 0 present in the model via one weight on an unused bucket
+    unused = next(x for x in range(n_buckets) if x not in b.values())
+    rows.append((unused, 0, -1))
+    weights = spark.createDataFrame(rows, "b long, c int, w long")
+    got = {
+        r.id: (r.best_class, r.best_score_micro, r.n_features)
+        for r in classifier_score(docs, weights, n_buckets).collect()
+    }
+    # doc 1: class 0 scores 0 (no overlap), class 1 scores -15 -> class 0
+    assert got[1] == (0, 0, 3)
+    # doc 2: all buckets unweighted -> both classes 0, tie -> class 0
+    assert got[2] == (0, 0, 1)
+
+
 def test_winnowing_selects_rightmost_min_and_guarantees_density(spark):
     """MOSS winnowing invariants on a hand-built doc: each window of w
     consecutive 3-gram hashes contributes its min with RIGHTMOST

@@ -537,6 +537,90 @@ IMAGE_STATS_SCHEMA = StructType(
 )
 
 
+DHASH_GRID = 8  # 8 comparison rows x 8 bits -> the classic 64-bit dHash
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """Perceptual difference-hash (dHash) over binary image payloads —
+    the standard near-duplicate fingerprint for IMAGE corpora (the
+    visual twin of SimHash for text): decode pixels with the engine's
+    real codecs, reduce to an integer grayscale (channel sum — scale
+    cancels in comparisons), box-partition into a (grid+1) x grid cell
+    lattice via exact integer 2-D prefix sums, and set bit (y, x) iff
+    cell (y, x) is brighter than its right neighbor. Means are compared
+    CROSS-MULTIPLIED (sum_a * n_b > sum_b * n_a), so unequal cell sizes
+    from non-divisible dimensions stay exact-integer — no float ever
+    enters. Two images with the same 64-bit hash are near-dup
+    candidates; banded/hamming pairing composes exactly like
+    dedup.simhash. Returns (media_id, width, height, dhash_hi,
+    dhash_lo) — the hash split into two non-negative 32-bit halves so
+    neither engine ever touches the int64 sign bit. Images smaller than
+    the lattice (or undecodable) emit NULLs."""
+
+    def _dh(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        g = DHASH_GRID
+        for batch in batches:
+            rows = []
+            for p in batch["payload"]:
+                d = _decode_pixels_tolerant(p)
+                if not d or d[0] < g + 1 or d[1] < g:
+                    rows.append(None)
+                    continue
+                w, h, ch, raw = d
+                a = (
+                    np.frombuffer(raw, dtype=np.uint8)
+                    .astype(np.int64)
+                    .reshape(h, w, ch)
+                    .sum(axis=2)
+                )
+                pre = np.zeros((h + 1, w + 1), dtype=np.int64)
+                pre[1:, 1:] = a.cumsum(axis=0).cumsum(axis=1)
+                ys = [r * h // g for r in range(g + 1)]
+                xs = [c * w // (g + 1) for c in range(g + 2)]
+
+                def box(y0, y1, x0, x1):
+                    return int(
+                        pre[y1, x1] - pre[y0, x1] - pre[y1, x0] + pre[y0, x0]
+                    )
+
+                bits = 0
+                for y in range(g):
+                    for x in range(g):
+                        s1 = box(ys[y], ys[y + 1], xs[x], xs[x + 1])
+                        n1 = (ys[y + 1] - ys[y]) * (xs[x + 1] - xs[x])
+                        s2 = box(ys[y], ys[y + 1], xs[x + 1], xs[x + 2])
+                        n2 = (ys[y + 1] - ys[y]) * (xs[x + 2] - xs[x + 1])
+                        if s1 * n2 > s2 * n1:
+                            bits |= 1 << (y * g + x)
+                rows.append((w, h, bits >> 32, bits & 0xFFFFFFFF))
+            yield pd.DataFrame(
+                {
+                    "media_id": batch["media_id"],
+                    "width": pd.array(
+                        [r[0] if r else None for r in rows], dtype="Int32"
+                    ),
+                    "height": pd.array(
+                        [r[1] if r else None for r in rows], dtype="Int32"
+                    ),
+                    "dhash_hi": pd.array(
+                        [r[2] if r else None for r in rows], dtype="Int64"
+                    ),
+                    "dhash_lo": pd.array(
+                        [r[3] if r else None for r in rows], dtype="Int64"
+                    ),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        _dh,
+        schema="media_id long, width int, height int, "
+               "dhash_hi long, dhash_lo long",
+    )
+
+
 def image_pixel_stats(media: DataFrame) -> DataFrame:
     """Arrow-batched per-image pixel statistics over binary PNG or baseline
     JPEG payloads (:func:`_decode_pixels_tolerant` dispatch) — the real

@@ -1350,6 +1350,93 @@ FROM s GROUP BY doc_id
 """
 
 
+def q_multimodal_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup fingerprints for an IMAGE corpus
+    (ext.multimodal.image_dhash) — every document carries a REAL RGB PNG
+    (full encoder: filters, CRCs, zlib) of fixed 18x16 geometry whose
+    pixels follow the seed pattern ((doc_id%7)*31 + k*7) % 251, so the
+    corpus holds exactly 7 distinct images and dHash must collapse it
+    into 7 near-dup groups. Every per-image row (hash halves + the
+    group census) is hash-checked against the oracle's from-the-pattern
+    recomputation: grayscale = channel sum, 2x2 box sums, bit = left
+    cell brighter than right — a decode bug, a cell boundary off-by-one,
+    a flipped comparison, or a bit packed at the wrong position all
+    break rows. The engine-side hash is computed inside the sanctioned
+    Arrow decode kernel with integer 2-D prefix sums."""
+    from ..ext import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def _synth(batches):
+        import pandas as pd
+
+        for b in batches:
+            ids = [int(x) for x in b["doc_id"]]
+            payloads = [mm.synth_png_rgb(i % 7, 18, 16) for i in ids]
+            yield pd.DataFrame({"media_id": b["doc_id"], "payload": payloads})
+
+    media = docs.repartition(F.col("doc_id")).mapInPandas(
+        _synth, schema="media_id long, payload binary"
+    )
+    per_image = mm.image_dhash(media)
+    groups = per_image.groupBy("dhash_hi", "dhash_lo").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_images"),
+        F.min("media_id").cast("bigint").alias("exemplar_id"),
+    )
+    return per_image.join(groups, ["dhash_hi", "dhash_lo"]).select(
+        F.col("media_id").cast("bigint").alias("media_id"),
+        F.col("dhash_hi").cast("bigint").alias("dhash_hi"),
+        F.col("dhash_lo").cast("bigint").alias("dhash_lo"),
+        "n_images",
+        "exemplar_id",
+    )
+
+
+SQL_MULTIMODAL_IMAGE_DHASH = """
+WITH ids AS (SELECT doc_id, doc_id % 7 AS seed FROM documents),
+px AS (
+  -- gray(r, c) = sum of the 3 channel bytes at k = (r*18 + c)*3 + j
+  SELECT seed, t.k // 54 AS r, (t.k % 54) // 3 AS c,
+         SUM((seed * 31 + t.k * 7) % 251) AS gray
+  FROM (SELECT DISTINCT seed FROM ids), generate_series(0, 863) AS t(k)
+  GROUP BY 1, 2, 3
+),
+cells AS (
+  SELECT seed, r // 2 AS y, c // 2 AS x, SUM(gray) AS s
+  FROM px GROUP BY 1, 2, 3
+),
+bits AS (
+  SELECT a.seed, a.y, a.x,
+         CASE WHEN a.s > b.s THEN 1 ELSE 0 END AS bit
+  FROM cells a
+  JOIN cells b ON a.seed = b.seed AND a.y = b.y AND b.x = a.x + 1
+  WHERE a.x < 8
+),
+h AS (
+  SELECT seed,
+         CAST(SUM(CASE WHEN y * 8 + x >= 32
+                       THEN bit * (CAST(1 AS BIGINT) << (y * 8 + x - 32))
+                       ELSE 0 END) AS BIGINT) AS dhash_hi,
+         CAST(SUM(CASE WHEN y * 8 + x < 32
+                       THEN bit * (CAST(1 AS BIGINT) << (y * 8 + x))
+                       ELSE 0 END) AS BIGINT) AS dhash_lo
+  FROM bits GROUP BY 1
+),
+per AS (
+  SELECT i.doc_id AS media_id, h.dhash_hi, h.dhash_lo
+  FROM ids i JOIN h ON i.seed = h.seed
+),
+g AS (
+  SELECT dhash_hi, dhash_lo, CAST(count(*) AS BIGINT) AS n_images,
+         CAST(min(media_id) AS BIGINT) AS exemplar_id
+  FROM per GROUP BY 1, 2
+)
+SELECT CAST(p.media_id AS BIGINT) AS media_id, p.dhash_hi, p.dhash_lo,
+       g.n_images, g.exemplar_id
+FROM per p JOIN g USING (dhash_hi, dhash_lo)
+"""
+
+
 def q_multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image pixel decode end-to-end (no imaging library): synthesize
     a genuine RGB PNG per document — zlib-compressed IDAT, per-row filter
@@ -6494,6 +6581,13 @@ SPECS = {
         q_multimodal_audio_stats, SQL_MULTIMODAL_AUDIO_STATS,
         "REAL 16-bit PCM WAV sample decode (pure-Python byte parsing): "
         "per-file rate/channels/samples/peak/energy, integer-exact"),
+    "multimodal_image_dhash": QuerySpec(
+        q_multimodal_image_dhash, SQL_MULTIMODAL_IMAGE_DHASH,
+        "perceptual dHash near-dup fingerprints over real decoded PNGs: "
+        "integer grayscale box sums, brighter-than-right bits, 64-bit "
+        "hash in two halves + group census — every image hash-checked "
+        "vs the from-the-pattern oracle",
+    ),
     "multimodal_image_stats": QuerySpec(
         q_multimodal_image_stats, SQL_MULTIMODAL_IMAGE_STATS,
         "REAL PNG pixel decode (stdlib-zlib codec, all 5 scanline "

@@ -729,6 +729,92 @@ AUDIO_STATS_SCHEMA = StructType(
 )
 
 
+def decode_wav_samples(payload: bytes | None):
+    """REAL 16-bit PCM WAV decode returning the SAMPLES — the fingerprint
+    kernels need per-window energies, so unlike :func:`decode_wav_pcm`
+    (which stays allocation-free for the whole-file stats path) this
+    materializes the int16 list. Returns (sample_rate, channels,
+    [samples]) or None for non-PCM/corrupt payloads."""
+    import struct
+
+    p = payload or b""
+    if p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+        return None
+    i, fmt, data = 12, None, None
+    while i + 8 <= len(p):
+        cid, sz = p[i:i + 4], int.from_bytes(p[i + 4:i + 8], "little")
+        body = p[i + 8:i + 8 + sz]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        i += 8 + sz + (sz & 1)
+    if fmt is None or data is None or len(fmt) < 16:
+        return None
+    tag, channels = struct.unpack_from("<HH", fmt, 0)
+    rate = struct.unpack_from("<I", fmt, 4)[0]
+    bits = struct.unpack_from("<H", fmt, 14)[0]
+    if tag != 1 or bits != 16 or len(data) % 2:
+        return None
+    n = len(data) // 2
+    return rate, channels, list(struct.unpack(f"<{n}h", data))
+
+
+AUDIO_FP_WINDOWS = 32  # -> 31 rising-energy bits, well inside int64
+
+
+def audio_energy_fingerprint(media: DataFrame) -> DataFrame:
+    """Energy-delta audio fingerprint — the audio member of the engine's
+    fingerprint family (text: winnowing; image: dHash): decode PCM with
+    the real WAV codec, split the sample stream into
+    ``AUDIO_FP_WINDOWS`` equal windows, compute each window's exact
+    integer energy (Σ s²), and set bit w iff window w+1 is louder than
+    window w (the simplified Haitsma-Kalker sign-of-delta scheme).
+    Equal-count windows make energies directly comparable — no division,
+    no floats — and 31 bits keep the hash a non-negative int64. Streams
+    shorter than the window count (or undecodable) emit NULLs. Returns
+    (media_id, n_samples, fp)."""
+
+    def _fp(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        g = AUDIO_FP_WINDOWS
+        for batch in batches:
+            rows = []
+            for p in batch["payload"]:
+                d = decode_wav_samples(p)
+                if not d or len(d[2]) < g:
+                    rows.append(None)
+                    continue
+                s = d[2]
+                n = len(s)
+                bounds = [w * n // g for w in range(g + 1)]
+                e = [
+                    sum(v * v for v in s[bounds[w]:bounds[w + 1]])
+                    for w in range(g)
+                ]
+                fp = 0
+                for w in range(g - 1):
+                    if e[w + 1] > e[w]:
+                        fp |= 1 << w
+                rows.append((n, fp))
+            yield pd.DataFrame(
+                {
+                    "media_id": batch["media_id"],
+                    "n_samples": pd.array(
+                        [r[0] if r else None for r in rows], dtype="Int64"
+                    ),
+                    "fp": pd.array(
+                        [r[1] if r else None for r in rows], dtype="Int64"
+                    ),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        _fp, schema="media_id long, n_samples long, fp long"
+    )
+
+
 def audio_sample_stats(media: DataFrame) -> DataFrame:
     """Arrow-batched per-file PCM statistics over binary WAV payloads via
     :func:`decode_wav_pcm` — the real (non-stub) audio decode kernel.

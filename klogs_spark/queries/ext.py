@@ -1297,6 +1297,85 @@ WHERE doc_id % 4 = 3
 """
 
 
+def q_multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-delta audio fingerprints
+    (ext.multimodal.audio_energy_fingerprint — the audio member of the
+    fingerprint family: winnowing/dHash/this): every document carries a
+    REAL 16-bit PCM WAV of 320 samples following the seed pattern
+    (((doc_id%6)*31 + j*7) % 2003) - 1001, so the corpus holds 6
+    distinct streams and the 31-bit rising-energy hash must collapse it
+    into their near-dup groups. Per-stream rows (fingerprint + group
+    census) hash-check against the oracle's from-the-pattern window
+    energies — a RIFF walk bug, a window boundary off-by-one, or a bit
+    at the wrong position all break rows."""
+    from ..ext import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def _synth(batches):
+        import struct
+
+        import pandas as pd
+
+        for b in batches:
+            payloads = []
+            for i in (int(x) for x in b["doc_id"]):
+                vals = mm.synth_pcm_samples(i % 6, 320)
+                payloads.append(
+                    mm.synth_wav(320, data=struct.pack("<320h", *vals))
+                )
+            yield pd.DataFrame({"media_id": b["doc_id"], "payload": payloads})
+
+    media = docs.repartition(F.col("doc_id")).mapInPandas(
+        _synth, schema="media_id long, payload binary"
+    )
+    per = mm.audio_energy_fingerprint(media)
+    groups = per.groupBy("fp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_streams"),
+        F.min("media_id").cast("bigint").alias("exemplar_id"),
+    )
+    return per.join(groups, "fp").select(
+        F.col("media_id").cast("bigint").alias("media_id"),
+        F.col("n_samples").cast("bigint").alias("n_samples"),
+        F.col("fp").cast("bigint").alias("fp"),
+        "n_streams",
+        "exemplar_id",
+    )
+
+
+SQL_MULTIMODAL_AUDIO_FINGERPRINT = """
+WITH ids AS (SELECT doc_id, doc_id % 6 AS seed FROM documents),
+e AS (
+  SELECT seed, t.j // 10 AS w,
+         SUM(CAST((((seed * 31 + t.j * 7) % 2003) - 1001)
+              * (((seed * 31 + t.j * 7) % 2003) - 1001) AS BIGINT)) AS en
+  FROM (SELECT DISTINCT seed FROM ids), generate_series(0, 319) AS t(j)
+  GROUP BY 1, 2
+),
+bits AS (
+  SELECT a.seed, a.w, CASE WHEN b.en > a.en THEN 1 ELSE 0 END AS bit
+  FROM e a JOIN e b ON a.seed = b.seed AND b.w = a.w + 1
+  WHERE a.w < 31
+),
+h AS (
+  SELECT seed,
+         CAST(SUM(bit * (CAST(1 AS BIGINT) << w)) AS BIGINT) AS fp
+  FROM bits GROUP BY 1
+),
+per AS (
+  SELECT i.doc_id AS media_id, h.fp FROM ids i JOIN h ON i.seed = h.seed
+),
+g AS (
+  SELECT fp, CAST(count(*) AS BIGINT) AS n_streams,
+         CAST(min(media_id) AS BIGINT) AS exemplar_id
+  FROM per GROUP BY 1
+)
+SELECT CAST(p.media_id AS BIGINT) AS media_id,
+       CAST(320 AS BIGINT) AS n_samples, p.fp, g.n_streams, g.exemplar_id
+FROM per p JOIN g USING (fp)
+"""
+
+
 def q_multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio sample decode end-to-end (no audio library): synthesize a
     16-bit PCM WAV per document carrying a deterministic sample pattern
@@ -6581,6 +6660,13 @@ SPECS = {
         q_multimodal_audio_stats, SQL_MULTIMODAL_AUDIO_STATS,
         "REAL 16-bit PCM WAV sample decode (pure-Python byte parsing): "
         "per-file rate/channels/samples/peak/energy, integer-exact"),
+    "multimodal_audio_fingerprint": QuerySpec(
+        q_multimodal_audio_fingerprint, SQL_MULTIMODAL_AUDIO_FINGERPRINT,
+        "energy-delta audio fingerprints over real decoded PCM WAVs: "
+        "31 rising-window-energy bits, exact integer energies, group "
+        "census — every stream hash-checked vs the from-the-pattern "
+        "oracle",
+    ),
     "multimodal_image_dhash": QuerySpec(
         q_multimodal_image_dhash, SQL_MULTIMODAL_IMAGE_DHASH,
         "perceptual dHash near-dup fingerprints over real decoded PNGs: "

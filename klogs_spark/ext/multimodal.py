@@ -815,6 +815,140 @@ def audio_energy_fingerprint(media: DataFrame) -> DataFrame:
     )
 
 
+def _riff_chunk(cid: bytes, body: bytes) -> bytes:
+    """RIFF chunk with the spec's even-byte padding."""
+    return (
+        cid + len(body).to_bytes(4, "little") + body
+        + (b"\x00" if len(body) & 1 else b"")
+    )
+
+
+def _riff_list(kind: bytes, body: bytes) -> bytes:
+    return _riff_chunk(b"LIST", kind + body)
+
+
+def synth_avi_mjpeg(
+    frames: list, width: int, height: int, fps: int = 10
+) -> bytes:
+    """Minimal REAL MJPEG AVI container: RIFF('AVI ') holding an hdrl
+    LIST (avih main header + strl/strh/strf video stream headers, MJPG
+    fourcc) and a movi LIST with one ``00dc`` chunk per JPEG frame —
+    the classic motion-JPEG layout every AVI demuxer understands. Frame
+    chunks carry whole baseline JPEGs (odd sizes padded per the RIFF
+    even-byte rule)."""
+    import struct
+
+    avih = struct.pack(
+        "<14I", 1_000_000 // fps, 0, 0, 0x10, len(frames), 0, 1, 0,
+        width, height, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII",
+        b"vids", b"MJPG", 0, 0, 0, 0, 1, fps, 0, len(frames), 0,
+        0xFFFFFFFF, 0,
+    ) + struct.pack("<4H", 0, 0, width, height)
+    strf = struct.pack(
+        "<IiiHH4sIiiII",
+        40, width, height, 1, 24, b"MJPG", width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", avih)
+        + _riff_list(
+            b"strl",
+            _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf),
+        ),
+    )
+    movi = _riff_list(
+        b"movi", b"".join(_riff_chunk(b"00dc", f) for f in frames)
+    )
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def decode_avi_mjpeg_frames(payload: bytes | None):
+    """REAL AVI demux — pure Python RIFF walk (the WAV walker's sibling):
+    find the ``movi`` LIST, return every ``..dc`` compressed-frame chunk's
+    bytes in stream order. None for non-AVI/corrupt payloads (the
+    corrupt-row contract). The frames themselves decode through
+    jpeg_lite — container and codec are both engine-real."""
+    p = payload or b""
+    if p[:4] != b"RIFF" or p[8:12] != b"AVI ":
+        return None
+    frames: list = []
+
+    def walk(buf: bytes) -> None:
+        i = 0
+        while i + 8 <= len(buf):
+            cid = buf[i:i + 4]
+            sz = int.from_bytes(buf[i + 4:i + 8], "little")
+            body = buf[i + 8:i + 8 + sz]
+            if cid == b"LIST":
+                kind, inner = body[:4], body[4:]
+                if kind == b"movi":
+                    j = 0
+                    while j + 8 <= len(inner):
+                        fcid = inner[j:j + 4]
+                        fsz = int.from_bytes(inner[j + 4:j + 8], "little")
+                        if fcid[2:4] == b"dc":
+                            frames.append(bytes(inner[j + 8:j + 8 + fsz]))
+                        j += 8 + fsz + (fsz & 1)
+                else:
+                    walk(inner)
+            i += 8 + sz + (sz & 1)
+
+    walk(p[12:])
+    return frames or None
+
+
+def video_frame_pixel_stats(media: DataFrame) -> DataFrame:
+    """Per-FRAME pixel statistics over MJPEG AVI payloads: demux the
+    container (:func:`decode_avi_mjpeg_frames`), decode every frame
+    through the real JPEG path, and emit one row per frame — the actual
+    video-decode pass a multimodal pipeline runs, not a metadata stub.
+    Output rows = Σ frames (mapInPandas legitimately expands row
+    counts); all stats exact integers. Undecodable containers emit
+    nothing; an undecodable FRAME inside a good container emits a NULL
+    row at its index (frame-level corruption stays visible)."""
+
+    def _stats(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for batch in batches:
+            mids, idxs, ws, hs, nv, sv = [], [], [], [], [], []
+            for mid, p in zip(batch["media_id"], batch["payload"]):
+                frames = decode_avi_mjpeg_frames(p)
+                if frames is None:
+                    continue
+                for fi, fb in enumerate(frames):
+                    d = _decode_pixels_tolerant(fb)
+                    mids.append(mid)
+                    idxs.append(fi)
+                    if d is None:
+                        ws.append(None); hs.append(None)
+                        nv.append(None); sv.append(None)
+                    else:
+                        w, h, ch, raw = d
+                        ws.append(w); hs.append(h)
+                        nv.append(len(raw)); sv.append(sum(raw))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(mids, dtype="Int64"),
+                    "frame_idx": pd.array(idxs, dtype="Int32"),
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "n_vals": pd.array(nv, dtype="Int64"),
+                    "sum_vals": pd.array(sv, dtype="Int64"),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        _stats,
+        schema="media_id long, frame_idx int, width int, height int, "
+               "n_vals long, sum_vals long",
+    )
+
+
 def audio_sample_stats(media: DataFrame) -> DataFrame:
     """Arrow-batched per-file PCM statistics over binary WAV payloads via
     :func:`decode_wav_pcm` — the real (non-stub) audio decode kernel.

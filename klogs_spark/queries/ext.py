@@ -1572,6 +1572,85 @@ FROM s GROUP BY doc_id
 """
 
 
+def q_multimodal_video_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode end-to-end — container AND codec
+    (ext.multimodal.synth_avi_mjpeg / decode_avi_mjpeg_frames /
+    video_frame_pixel_stats): every document carries a genuine MJPEG AVI
+    (RIFF hdrl/strl headers, movi LIST, padded 00dc chunks) holding
+    doc_id%3+1 baseline-JPEG frames; the engine demuxes the container
+    with the pure-Python RIFF walk and decodes every frame through the
+    full jpeg_lite entropy path, emitting one row per frame. Frame f's
+    image is the block-constant pattern of seed doc_id%6 + 6f (the +6f
+    step keeps every frame's dimensions equal within a video while the
+    content varies), so the lossy round-trip has the established
+    closed form and the oracle recomputes every frame's stats exactly —
+    a demux offset bug, a missed RIFF pad byte, a dropped frame, or any
+    JPEG decode fault breaks per-frame rows. This retires video from
+    metadata-stub to real decode."""
+    from ..ext import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def _synth(batches):
+        import pandas as pd
+
+        for b in batches:
+            payloads = []
+            for i in (int(x) for x in b["doc_id"]):
+                frames = [
+                    mm.synth_jpeg_gray_blocks(i % 6 + 6 * f)
+                    for f in range(i % 3 + 1)
+                ]
+                base = i % 6
+                w, h = (base % 3 + 1) * 8, (base % 2 + 1) * 8
+                payloads.append(mm.synth_avi_mjpeg(frames, w, h))
+            yield pd.DataFrame({"media_id": b["doc_id"], "payload": payloads})
+
+    media = docs.repartition(F.col("doc_id")).mapInPandas(
+        _synth, schema="media_id long, payload binary"
+    )
+    return mm.video_frame_pixel_stats(media)
+
+
+SQL_MULTIMODAL_VIDEO_MJPEG = """
+WITH vids AS (
+  SELECT doc_id, doc_id % 3 + 1 AS n_frames, doc_id % 6 AS base
+  FROM documents
+),
+frames AS (
+  SELECT v.doc_id, t.f AS frame_idx, v.base + 6 * t.f AS seed
+  FROM vids v, generate_series(0, 2) AS t(f)
+  WHERE t.f < v.n_frames
+),
+dims AS (
+  SELECT doc_id, frame_idx, seed,
+         (seed % 3 + 1) AS wb, (seed % 2 + 1) AS hb
+  FROM frames
+),
+blk AS (
+  SELECT d.doc_id, d.frame_idx, d.wb, d.hb,
+         (d.seed * 37 + t.j * 11) % 256 AS v
+  FROM dims d, generate_series(0, 5) AS t(j)
+  WHERE t.j < d.wb * d.hb
+),
+rt AS (
+  -- flat-block JPEG round-trip closed form (see multimodal_jpeg_stats)
+  SELECT doc_id, frame_idx, wb, hb,
+         CASE WHEN v % 2 = 0 THEN v
+              WHEN v > 128 THEN LEAST(v + 1, 255)
+              ELSE v - 1 END AS v2
+  FROM blk
+)
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       CAST(frame_idx AS INTEGER) AS frame_idx,
+       CAST(max(wb) * 8 AS INTEGER) AS width,
+       CAST(max(hb) * 8 AS INTEGER) AS height,
+       CAST(max(wb) * max(hb) * 64 AS BIGINT) AS n_vals,
+       CAST(64 * sum(v2) AS BIGINT) AS sum_vals
+FROM rt GROUP BY 1, 2
+"""
+
+
 def q_multimodal_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL baseline-JPEG pixel decode end-to-end (pure Python, no imaging
     library — ext/jpeg_lite.py): synthesize a genuine grayscale JPEG per
@@ -6666,6 +6745,12 @@ SPECS = {
         "31 rising-window-energy bits, exact integer energies, group "
         "census — every stream hash-checked vs the from-the-pattern "
         "oracle",
+    ),
+    "multimodal_video_mjpeg": QuerySpec(
+        q_multimodal_video_mjpeg, SQL_MULTIMODAL_VIDEO_MJPEG,
+        "real video decode: MJPEG AVI demux (pure-Python RIFF walk) + "
+        "per-frame baseline-JPEG decode through the full entropy path — "
+        "every frame row hash-checked vs the flat-block closed form",
     ),
     "multimodal_image_dhash": QuerySpec(
         q_multimodal_image_dhash, SQL_MULTIMODAL_IMAGE_DHASH,

@@ -1461,6 +1461,37 @@ def test_bpe_train_merges_textbook_sequence_and_guards(spark):
     ).count() == 0
 
 
+def test_avi_mjpeg_demux_round_trip_and_corruption_contract(spark):
+    """The AVI demuxer must return frame bytes EXACTLY as written
+    (RIFF pad bytes never leak into a frame — odd-sized JPEGs are the
+    norm), preserve stream order, reject non-AVI payloads with None,
+    and surface a corrupt FRAME inside a good container as a NULL row
+    at its index rather than dropping it."""
+    from klogs_spark.ext import multimodal as mm
+
+    frames = [mm.synth_jpeg_gray_blocks(s) for s in (1, 7, 13)]
+    assert any(len(f) % 2 for f in frames), "want an odd-sized frame"
+    avi = mm.synth_avi_mjpeg(frames, 16, 8)
+    out = mm.decode_avi_mjpeg_frames(avi)
+    assert out == frames  # byte-exact, ordered, pad bytes stripped
+    assert mm.decode_avi_mjpeg_frames(b"RIFFxxxxWAVE") is None
+    assert mm.decode_avi_mjpeg_frames(None) is None
+
+    # corrupt middle frame -> NULL stats row at frame_idx 1, others real
+    bad = mm.synth_avi_mjpeg([frames[0], b"\xff\xd8garbage", frames[2]], 16, 8)
+    media = spark.createDataFrame(
+        [(1, bytearray(bad))], "media_id long, payload binary"
+    )
+    rows = {
+        r.frame_idx: (r.width, r.n_vals)
+        for r in mm.video_frame_pixel_stats(media).collect()
+    }
+    assert set(rows) == {0, 1, 2}
+    assert rows[1] == (None, None)
+    # seed 1 -> wb=2, hb=2 -> 16x16 frame = 256 pixel values
+    assert rows[0] == (16, 256) and rows[2][1] is not None
+
+
 def test_classifier_score_honors_sparse_weight_tables(spark):
     """A sparse model (only nonzero weights stored) must score absent
     (bucket, class) pairs as 0: a class with NO matching rows still wins

@@ -234,13 +234,13 @@ def decontaminating_docs_sink(
         # separate actions, so without a persist each would recompute the
         # batch source AND the probe pass
         batch = batch.persist()
+        hits = (
+            contamination_check(batch, probes, text_col, id_col)
+            .select("doc_id")
+            .distinct()
+            .withColumnRenamed("doc_id", "_hit_id")
+        ).persist()
         try:
-            hits = (
-                contamination_check(batch, probes, text_col, id_col)
-                .select("doc_id")
-                .distinct()
-                .withColumnRenamed("doc_id", "_hit_id")
-            ).persist()
             cond = batch[id_col] == F.col("_hit_id")
             batch.join(hits, cond, "left_anti").write.mode(
                 "append"
@@ -248,8 +248,9 @@ def decontaminating_docs_sink(
             batch.join(hits, cond, "left_semi").write.mode(
                 "append"
             ).parquet(quarantine_dir)
-            hits.unpersist()
         finally:
-            batch.unpersist()
+            # blocking: no async-unpersist churn leaks past the batch
+            hits.unpersist(True)
+            batch.unpersist(True)
 
     return sink_fn

@@ -186,6 +186,13 @@ def main(argv: list[str] | None = None) -> int:
                           "instead of the in-place maintenance-window "
                           "swap")
 
+    prc = sub.add_parser("ann-recover",
+                         help="replay or roll back a CRASHED in-place "
+                              "removal's journal (only run when no "
+                              "writer is live — recovery of a live "
+                              "journal would steal its claim)")
+    prc.add_argument("index_path")
+
     pad_ = sub.add_parser("ann-drift",
                           help="IVF-PQ serving-build drift (ppm of "
                                "post-training vectors)")
@@ -425,6 +432,18 @@ def main(argv: list[str] | None = None) -> int:
             f"removed {res['rows_removed']} code row(s) across "
             f"{res['cells_rewritten']} cell(s)"
         )
+        return 0
+
+    if args.cmd == "ann-recover":
+        from .ext.ann_index import recover_incomplete_removal
+
+        rec = recover_incomplete_removal(spark, args.index_path)
+        if not rec["recovered"]:
+            print("no removal journal found — nothing to recover")
+        elif rec["completed"]:
+            print("journaled removal REPLAYED to completion")
+        else:
+            print("incomplete removal ROLLED BACK (no cell was touched)")
         return 0
 
     if args.cmd == "ann-vacuum":

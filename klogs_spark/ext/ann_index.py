@@ -315,6 +315,7 @@ def _refuse_if_referenced_by_child(spark: SparkSession, path: str) -> None:
     if not m:
         return
     root, me = m.group(1), int(m.group(2))
+    me_path = path.rstrip("/")
     fs, hp, _ = _fs(spark, path)
     for bid in _committed_builds(root, spark):
         if bid == me:
@@ -324,12 +325,24 @@ def _refuse_if_referenced_by_child(spark: SparkSession, path: str) -> None:
             continue
         try:
             cm = _read_small_json(fs, hp, gdir, CELLMAP)
-        except Exception:
-            continue
+        except Exception as exc:
+            # fail CLOSED: a guard that exists to refuse must not fall
+            # open because a committed generation's cellmap would not
+            # read (object-store hiccup = maybe-referenced)
+            raise RuntimeError(
+                f"cannot verify whether {path} is referenced: committed "
+                f"generation {gdir}'s cellmap is unreadable ({exc}); "
+                "retry, or use commit_index_removal which never touches "
+                "parent cells"
+            ) from exc
         refs = [cm.get("centroids", ""), cm.get("codebooks", "")] + [
             d for dirs in cm.get("cells", {}).values() for d in dirs
         ]
-        if any(r.startswith(path) for r in refs):
+        # boundary-aware prefix: builds/b1 must not match builds/b10
+        if any(
+            r.rstrip("/") == me_path or r.startswith(me_path + "/")
+            for r in refs
+        ):
             raise ValueError(
                 f"{path} is referenced by committed generation {gdir}'s "
                 "cellmap — an in-place swap would mutate that "
@@ -507,6 +520,16 @@ def _allocate_generation(spark: SparkSession, root: str) -> tuple:
         bdir = f"{root}/builds/b{bid}"
         # a pre-claim-era husk dir without a marker: claim inside it
         if _claim_marker(fs, hp, bdir, ALLOC_MARKER, {"build": bid}):
+            # clear any husk leftovers NOW: the asset writers replace
+            # their own stores, but a stale _cellmap.json from a crashed
+            # removal publish would otherwise shadow a fresh full build
+            # (resolve_assets checks the cellmap first), and stale codes
+            # partitions would union into a removal generation's own
+            # cells — delete everything except our claim
+            for st in fs.listStatus(hp(bdir)):
+                name = st.getPath().getName()
+                if name != ALLOC_MARKER:
+                    fs.delete(st.getPath(), True)
             return bid, bdir
         bid += 1
 

@@ -751,10 +751,15 @@ def decode_wav_samples(payload: bytes | None):
         i += 8 + sz + (sz & 1)
     if fmt is None or data is None or len(fmt) < 16:
         return None
-    tag, channels = struct.unpack_from("<HH", fmt, 0)
-    rate = struct.unpack_from("<I", fmt, 4)[0]
-    bits = struct.unpack_from("<H", fmt, 14)[0]
-    if tag != 1 or bits != 16 or len(data) % 2:
+    try:
+        tag, channels = struct.unpack_from("<HH", fmt, 0)
+        rate = struct.unpack_from("<I", fmt, 4)[0]
+        bits = struct.unpack_from("<H", fmt, 14)[0]
+    except struct.error:
+        return None
+    # same validity gates as decode_wav_pcm (the corrupt-row contract):
+    # PCM, 16-bit, sane channel/rate declarations, whole samples
+    if tag != 1 or bits != 16 or channels < 1 or rate < 1 or len(data) % 2:
         return None
     n = len(data) // 2
     return rate, channels, list(struct.unpack(f"<{n}h", data))
@@ -877,6 +882,18 @@ def decode_avi_mjpeg_frames(payload: bytes | None):
         return None
     frames: list = []
 
+    def scan_movi(inner: bytes) -> None:
+        j = 0
+        while j + 8 <= len(inner):
+            fcid = inner[j:j + 4]
+            fsz = int.from_bytes(inner[j + 4:j + 8], "little")
+            if fcid == b"LIST" and inner[j + 8:j + 12] == b"rec ":
+                # interleaved AVIs group frames inside 'rec ' sub-LISTs
+                scan_movi(inner[j + 12:j + 8 + fsz])
+            elif fcid[2:4] == b"dc":
+                frames.append(bytes(inner[j + 8:j + 8 + fsz]))
+            j += 8 + fsz + (fsz & 1)
+
     def walk(buf: bytes) -> None:
         i = 0
         while i + 8 <= len(buf):
@@ -886,19 +903,15 @@ def decode_avi_mjpeg_frames(payload: bytes | None):
             if cid == b"LIST":
                 kind, inner = body[:4], body[4:]
                 if kind == b"movi":
-                    j = 0
-                    while j + 8 <= len(inner):
-                        fcid = inner[j:j + 4]
-                        fsz = int.from_bytes(inner[j + 4:j + 8], "little")
-                        if fcid[2:4] == b"dc":
-                            frames.append(bytes(inner[j + 8:j + 8 + fsz]))
-                        j += 8 + fsz + (fsz & 1)
+                    scan_movi(inner)
                 else:
                     walk(inner)
             i += 8 + sz + (sz & 1)
 
     walk(p[12:])
-    return frames or None
+    # a structurally valid zero-frame AVI is an EMPTY video, not
+    # corruption: [] (no rows) vs None (undecodable container)
+    return frames
 
 
 def video_frame_pixel_stats(media: DataFrame) -> DataFrame:

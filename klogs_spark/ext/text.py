@@ -1420,6 +1420,7 @@ def classifier_score(
     n_buckets: int,
     text_col: str = "text",
     id_col: str = "doc_id",
+    classes: list | None = None,
 ) -> DataFrame:
     """fastText-style linear classifier INFERENCE (Joulin et al. 2016,
     "Bag of Tricks for Efficient Text Classification") — the standard
@@ -1431,9 +1432,11 @@ def classifier_score(
     — maps to one of ``n_buckets`` via the engine's cross-engine md5
     hash). ``weights`` is the trained model: (b, c, w) rows with INTEGER
     micro-unit weights, bucket × class — SPARSE tables are honored
-    (absent (b, c) pairs score 0: the per-class scores are left-joined
-    onto the full document × class grid, built by exploding the model's
-    collected class list — vocab-scale, never a join). Scoring is
+    (absent (b, c) pairs score 0: per-document class scores collapse to
+    a tiny map column and the full class list expands as a literal
+    EXPRESSION over it — no document × class join ever forms). Pass
+    ``classes`` explicitly to avoid the one vocab-scale collect that
+    otherwise derives it from the model. Scoring is
     ``score(d, c) = Σ_b k_{d,b} · w_{b,c}`` with per-document bucket
     counts pre-aggregated BEFORE the model join (the lm_bigram
     discipline: repetition never reaches a join), the model join a
@@ -1472,25 +1475,48 @@ def classifier_score(
         .agg(F.count(F.lit(1)).alias("k"))
     )
     n_feat = pb.groupBy("id").agg(F.sum("k").alias("n"))
-    sparse = (
+    if classes is None:
+        classes = [
+            int(r.c) for r in weights.select("c").distinct().collect()
+        ]
+    classes = sorted(int(c) for c in classes)
+    smap = (
         pb.join(F.broadcast(weights), "b")
         .groupBy("id", "c")
         .agg(F.sum(F.col("k") * F.col("w")).alias("s"))
+        .groupBy("id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("c", "s"))
+            ).alias("m")
+        )
     )
-    classes = sorted(
-        int(r.c) for r in weights.select("c").distinct().collect()
+    # per-class score = coalesce(m[c], 0) as a literal expression; argmax
+    # with lowest-class tie-break = array_min over (negated score, class)
+    # structs — the class grid never materializes as rows
+    cand = F.array(
+        *[
+            F.struct(
+                (
+                    -F.coalesce(
+                        F.element_at("m", F.lit(c)),
+                        F.lit(0).cast("long"),
+                    )
+                ).alias("neg"),
+                F.lit(c).alias("c"),
+            )
+            for c in classes
+        ]
     )
-    grid = n_feat.select(
-        "id", "n",
-        F.explode(F.array(*[F.lit(c) for c in classes])).alias("c"),
-    )
-    scored = grid.join(sparse, ["id", "c"], "left").withColumn(
-        "s", F.coalesce(F.col("s"), F.lit(0).cast("long"))
-    )
-    return scored.groupBy("id").agg(
-        F.expr("min_by(c, struct(-s, c))").cast("int").alias("best_class"),
-        F.max("s").cast("bigint").alias("best_score_micro"),
-        F.max("n").cast("bigint").alias("n_features"),
+    best = F.array_min(cand)
+    return (
+        n_feat.join(smap, "id", "left")  # no weighted buckets -> NULL map
+        .select(
+            "id",
+            best["c"].cast("int").alias("best_class"),
+            (-best["neg"]).cast("bigint").alias("best_score_micro"),
+            F.col("n").cast("bigint").alias("n_features"),
+        )
     )
 
 

@@ -2569,7 +2569,8 @@ def q_text_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("w", F.expr(CLS_W).cast("long"))
     )
     return tx.classifier_score(
-        load_table(spark, sf_dir, "documents"), w, CLS_BUCKETS
+        load_table(spark, sf_dir, "documents"), w, CLS_BUCKETS,
+        classes=list(range(CLS_CLASSES)),
     ).withColumnRenamed("id", "doc_id")
 
 

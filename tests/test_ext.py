@@ -1476,6 +1476,18 @@ def test_avi_mjpeg_demux_round_trip_and_corruption_contract(spark):
     assert out == frames  # byte-exact, ordered, pad bytes stripped
     assert mm.decode_avi_mjpeg_frames(b"RIFFxxxxWAVE") is None
     assert mm.decode_avi_mjpeg_frames(None) is None
+    # a structurally valid zero-frame AVI is an empty video, not corrupt
+    assert mm.decode_avi_mjpeg_frames(mm.synth_avi_mjpeg([], 8, 8)) == []
+    # interleaved layout: frames inside 'rec ' sub-LISTs still demux
+    rec_body = b"rec " + mm._riff_chunk(b"00dc", frames[0]) + mm._riff_chunk(
+        b"00dc", frames[1]
+    )
+    movi = mm._riff_list(
+        b"movi",
+        mm._riff_chunk(b"LIST", rec_body) + mm._riff_chunk(b"00dc", frames[2]),
+    )
+    interleaved = b"RIFF" + len(b"AVI " + movi).to_bytes(4, "little") + b"AVI " + movi
+    assert mm.decode_avi_mjpeg_frames(interleaved) == frames
 
     # corrupt middle frame -> NULL stats row at frame_idx 1, others real
     bad = mm.synth_avi_mjpeg([frames[0], b"\xff\xd8garbage", frames[2]], 16, 8)

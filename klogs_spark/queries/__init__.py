@@ -105,11 +105,13 @@ DRIVER_VERIFIED: dict = {
     "dedup_semantic_prebuilt": "76c1240ed763",
     "dedup_simhash": "b38416ad54cf",
     "dedup_simhash_pairs": "228750d7e6db",
+    "dedup_winnowing_pairs": "46d7b6fe5de1",
     "dedup_survivor_selection": "a3bd123bf888",
     "dedup_threshold_curve": "870285082e09",
     "embedding_covariance": "46691f28615b",
     "embedding_norm_outliers": "a1905f13370e",
     "embedding_pca_project": "3c1d15d0dde0",
+    "embedding_source_drift": "1a3f4a01d52a",
     "embedding_top_component": "f160d8417680",
     "events_active_users": "bf827125bbf1",
     "events_attribution": "fb767c64294a",
@@ -127,6 +129,7 @@ DRIVER_VERIFIED: dict = {
     "events_wau_hll": "49c57b1f4ff9",
     "ingest_decode_pipeline": "4c00851918c6",
     "ingest_msgpack_pipeline": "c13826520a50",
+    "ingest_orc_roundtrip": "c3db65f73ad1",
     "join_events_asof_orders": "024317b75c1e",
     "join_events_range_pairs": "739f75d2fbb8",
     "join_parts_never_ordered": "48fa42b00fb1",
@@ -167,16 +170,20 @@ DRIVER_VERIFIED: dict = {
     "logs_value_percentiles": "bcdd9b0d3e65",
     "logs_volume_anomaly_mad": "386862e78199",
     "logs_window_5m": "00f54511d538",
+    "multimodal_audio_fingerprint": "dac18648e03b",
     "multimodal_audio_stats": "978feac692ad",
     "multimodal_dimensions": "4156ee77b4ba",
     "multimodal_features": "6251489a260f",
     "multimodal_frame_sample": "8fb1e20b5103",
     "multimodal_gif_stats": "f76b316b9495",
+    "multimodal_image_dhash": "13f9b56f56dd",
     "multimodal_image_resize": "546c07abad94",
     "multimodal_image_stats": "5b6919526e38",
     "multimodal_jpeg_stats": "a2be23c4eb85",
     "multimodal_jpeg_subsampled": "8e1c6174e0c0",
     "multimodal_transcode": "5acb6751b4f8",
+    "multimodal_video_mjpeg": "ebe0d857f2ad",
+    "pipeline_budget_threshold": "2c592c21840e",
     "pipeline_dsir_select": "f0d28fda7428",
     "pipeline_pretrain_prep": "60209e874d2d",
     "sample_balance_sources": "84ad1b244e7c",
@@ -208,6 +215,7 @@ DRIVER_VERIFIED: dict = {
     "sources_throttle": "6aee0549d380",
     "stream_cms_merge": "9a13690416cb",
     "stream_dedup_watermark": "5a38c63244ec",
+    "stream_decontaminate": "dd314d679a43",
     "stream_exactly_once": "45934d386ac4",
     "stream_interval_join": "e780e7d2f09d",
     "stream_interval_join_left": "a19566cd63d2",
@@ -249,7 +257,9 @@ DRIVER_VERIFIED: dict = {
     "text_boilerplate_windows": "d73d2132137a",
     "text_bpe_encode": "236e2900d4a0",
     "text_bpe_merges": "ea63101abd0f",
+    "text_bpe_tokenize": "2b835d9641c5",
     "text_chunk_documents": "b11ed9a0602f",
+    "text_classifier_score": "694e9cc2b376",
     "text_cms_heavy_hitters": "66e1b44c852b",
     "text_contamination": "55b916bc881a",
     "text_edit_distance_join": "a4f3d4cb7993",

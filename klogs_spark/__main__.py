@@ -204,6 +204,10 @@ def main(argv: list[str] | None = None) -> int:
                               "build the serving cellmap chain touches)")
     pav.add_argument("index_root")
     pav.add_argument("--dry-run", action="store_true")
+    pav.add_argument("--force", action="store_true",
+                     help="also reclaim ALLOCATED-but-uncommitted "
+                          "generations (operator asserts no build or "
+                          "removal publish is in flight)")
 
     par = sub.add_parser("ann-rebuild",
                          help="retrain the IVF-PQ index into a new "
@@ -449,10 +453,15 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "ann-vacuum":
         from .ext.ann_index import vacuum_index
 
-        res = vacuum_index(spark, args.index_root, dry_run=args.dry_run)
+        res = vacuum_index(spark, args.index_root, dry_run=args.dry_run,
+                           force=args.force)
         verb = "would delete" if res["dry_run"] else "deleted"
         print(f"kept {len(res['kept'])} build(s); "
               f"{verb} {len(res['deleted'])}: {res['deleted']}")
+        if res["in_flight"]:
+            print(f"skipped {len(res['in_flight'])} allocated-but-"
+                  f"uncommitted build(s) (possibly live — re-run with "
+                  f"--force to reclaim): {res['in_flight']}")
         return 0
 
     if args.cmd == "ann-drift":

@@ -606,7 +606,8 @@ def rebuild_if_drifted(
 
 
 def vacuum_index(
-    spark: SparkSession, root: str, dry_run: bool = False
+    spark: SparkSession, root: str, dry_run: bool = False,
+    force: bool = False,
 ) -> dict:
     """Reclaim superseded index generations — the index twin of the
     table layer's manifest vacuum, and REFERENCE-AWARE: a removal
@@ -614,16 +615,20 @@ def vacuum_index(
     so a build directory may only be deleted when NO committed
     generation >= the serving one references any path under it. The
     serving build itself, uncommitted husks' referenced assets, and
-    anything the serving cellmap chain reaches are kept; uncommitted
-    husk directories (crashed builds that never published) are
-    reclaimed. Returns {"kept", "deleted", "dry_run"} with build dir
-    paths. Single-maintenance-writer norm: do not vacuum while a build
-    or removal publish is in flight — an allocated-but-uncommitted
-    generation is indistinguishable from a crashed husk."""
+    anything the serving cellmap chain reaches are kept.
+
+    Uncommitted directories split two ways: a dir WITHOUT an
+    ``_ALLOCATED`` claim (pre-claim-era husk) is reclaimed; a dir whose
+    claim exists but whose commit marker doesn't may be a LIVE build
+    mid-publish — those are SKIPPED and reported under ``in_flight``
+    unless ``force=True`` (operator asserts no writer is alive).
+    Returns {"kept", "deleted", "in_flight", "dry_run"} with build dir
+    paths."""
     fs, hp, _ = _fs(spark, root)
     committed = _committed_builds(root, spark)
     if not committed:
-        return {"kept": [], "deleted": [], "dry_run": dry_run}
+        return {"kept": [], "deleted": [], "in_flight": [],
+                "dry_run": dry_run}
     serving = committed[-1]
     # every physical path the serving generation (the only one new
     # readers resolve) transitively references
@@ -640,17 +645,28 @@ def vacuum_index(
                 # cell dirs live at {build}/codes/centroid_id=N — keep
                 # the owning build directory
                 referenced.add(d.rsplit("/codes/", 1)[0])
-    kept, deleted = [], []
+    committed_set = set(committed)
+    kept, deleted, in_flight = [], [], []
     for bid in _build_dir_ids(spark, root):
         bdir = f"{root}/builds/b{bid}"
         if bid == serving or bdir in referenced:
             kept.append(bdir)
             continue
+        if (
+            not force
+            and bid not in committed_set
+            and fs.exists(hp(f"{bdir}/{ALLOC_MARKER}"))
+        ):
+            # claimed but never committed: a concurrent writer may be
+            # mid-build — never reclaim without an explicit operator
+            # assertion that no writer is alive (force=True)
+            in_flight.append(bdir)
+            continue
         deleted.append(bdir)
         if not dry_run:
             fs.delete(hp(bdir), True)
     return {"kept": sorted(kept), "deleted": sorted(deleted),
-            "dry_run": dry_run}
+            "in_flight": sorted(in_flight), "dry_run": dry_run}
 
 
 def _resolve_assets(spark: SparkSession, path: str) -> dict:

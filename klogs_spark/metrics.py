@@ -130,8 +130,18 @@ def instrument_logger(
 ) -> logging.Logger:
     """logger.go:32-52 (New): install the counting handler on the engine's
     logger namespace and return the logger. Idempotent — a second call
-    with the same metrics object does not double-count."""
+    with the same metrics object does not double-count.
+
+    The reference handler counts EVERY record its configured handler
+    receives, including Info lines (logger.go:61 runs before level-based
+    drop-off is even possible — slog handlers see what the logger emits).
+    Python's root default is WARNING, which would silently starve the
+    ``logs_total{level="INFO"}`` series, so when the engine logger has no
+    explicit level of its own we pin it to INFO here; an operator-set
+    level (anything non-NOTSET) is respected."""
     logger = logging.getLogger(name)
+    if logger.level == logging.NOTSET:
+        logger.setLevel(logging.INFO)
     for h in logger.handlers:
         if isinstance(h, SelfLogCounterHandler) and h.metrics is metrics:
             return logger

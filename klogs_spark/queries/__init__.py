@@ -70,7 +70,6 @@ DRIVER_VERIFIED: dict = {
     "ann_ivf_topk": "374920a3f05a",
     "ann_ivfpq_prebuilt": "c279094be999",
     "ann_ivfpq_refresh": "3a61ad53f715",
-    "ann_ivfpq_remove": "f017be91463b",
     "ann_ivfpq_rerank": "741aef6295c4",
     "ann_ivfpq_stream": "892701dcc44f",
     "ann_ivfpq_topk": "08ac55b380f4",
@@ -85,7 +84,6 @@ DRIVER_VERIFIED: dict = {
     "dedup_canonical": "86f440673d91",
     "dedup_cluster_components": "805b5db22e1c",
     "dedup_containment_lsh": "abfa44713ba6",
-    "dedup_contamination_scaled": "b9dc2afaf13b",
     "dedup_embedding_cosine": "353ae1ce1faa",
     "dedup_embedding_lsh": "4c11674d7fb2",
     "dedup_exact": "121118bc87f7",
@@ -98,14 +96,11 @@ DRIVER_VERIFIED: dict = {
     "dedup_paragraph_exact": "764b569461cf",
     "dedup_paragraph_minhash": "0e7ff77a1f01",
     "dedup_prefix_jaccard": "acd5d664a177",
-    "dedup_remove_repeated_spans": "41ebc6559a5b",
     "dedup_repeated_substrings": "a7820d208a1a",
-    "dedup_repeated_substrings_self": "0b89cbc00006",
     "dedup_semantic": "1f6f1d15a2d6",
     "dedup_semantic_prebuilt": "76c1240ed763",
     "dedup_simhash": "b38416ad54cf",
     "dedup_simhash_pairs": "228750d7e6db",
-    "dedup_winnowing_pairs": "46d7b6fe5de1",
     "dedup_survivor_selection": "a3bd123bf888",
     "dedup_threshold_curve": "870285082e09",
     "embedding_covariance": "46691f28615b",
@@ -229,7 +224,6 @@ DRIVER_VERIFIED: dict = {
     "stream_validated_sink": "fb46d427f598",
     "stream_windowed_watermark": "c7a3f33a9cd9",
     "table_column_stats": "09aab170a20b",
-    "table_context_anchor": "8e96d5a5b530",
     "table_cow_lifecycle": "1c02f89363de",
     "table_cow_merge": "abd5536745ad",
     "table_cow_promoted_roundtrip": "979cd0912c81",
@@ -255,9 +249,6 @@ DRIVER_VERIFIED: dict = {
     "text_bloom_decontaminate": "f76ed7573dad",
     "text_bm25_topk": "1bc4cfc24854",
     "text_boilerplate_windows": "d73d2132137a",
-    "text_bpe_encode": "236e2900d4a0",
-    "text_bpe_merges": "ea63101abd0f",
-    "text_bpe_tokenize": "2b835d9641c5",
     "text_chunk_documents": "b11ed9a0602f",
     "text_classifier_score": "694e9cc2b376",
     "text_cms_heavy_hitters": "66e1b44c852b",
@@ -279,13 +270,11 @@ DRIVER_VERIFIED: dict = {
     "text_quality_filter": "b3cf8d28b240",
     "text_repetition": "7e346f2bcb0c",
     "text_term_trends": "6ed137bc3198",
-    "text_textrank_keywords": "50916730ade0",
     "text_tfidf_scores": "23d071b7e1df",
     "text_token_stats": "63fbd40b35d3",
     "text_top_ngrams": "3ee82a7b136b",
     "text_top_terms_per_source": "7b2ae823bcfa",
     "text_unigram_logprob": "05a6f634cdcc",
-    "text_vocab_growth": "2a1247ebdbff",
     "tpch_association_rules": "28411b68622e",
     "tpch_bucketed_join": "186d20a9bcdf",
     "tpch_frequent_item_pairs": "fefadcff4cba",

@@ -33,6 +33,12 @@ _A, _B = perm_params(dd.NUM_PERM)
 # ---------------------------------------------------------------------------
 # shared SQL fragments
 # ---------------------------------------------------------------------------
+# DuckDB generate_series is not lateral, so every per-token unroll uses a
+# constant upper bound + a WHERE i <= len(...) guard.  ONE shared bound for
+# all oracle-side caps (>= the longest doc's token count) so they can never
+# drift apart; raise it here if the corpus doc-length bound ever grows.
+LM_MAX_TOKENS = 400
+
 TOKENS_CTE = """
 tk AS (
   SELECT doc_id AS id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
@@ -787,16 +793,15 @@ SQL_SIMHASH = f"WITH {SIMHASH_CTE} SELECT id, simhash FROM simh"
 def q_dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowed-fingerprint candidate pairs (ext.dedup.winnowing_pairs —
     the MOSS algorithm, Schleimer et al. 2003): 3-gram hashes in
-    document order, window of {w}, each window's minimum selected with
+    document order, window of WINNOW_WINDOW (= dedup.WINNOW_WINDOW,
+    shared with the oracle), each window's minimum selected with
     RIGHTMOST tie-break, pairs sharing >= 2 distinct selections. The
     guaranteed-density property (any shared run of n+w-1 tokens shares a
     fingerprint) is what plain min-sampling lacks. The oracle replays
     the identical per-window min selection — an off-by-one window, a
     wrong hash width, or a non-distinct selection all change the pair
     set (the rightmost-POSITION tie-break affects only the positional
-    fingerprint form, pinned by pytest).""".format(
-        w=dd.WINNOW_WINDOW
-    )
+    fingerprint form, pinned by pytest)."""
     return dd.winnowing_pairs(load_table(spark, sf_dir, "documents"))
 
 
@@ -813,7 +818,7 @@ hsl AS (
 sel AS (
   SELECT DISTINCT id,
          list_min(hs[g.i : g.i + {_WINNOW_W} - 1]) AS mh
-  FROM hsl, generate_series(1, 400) AS g(i)  -- >= longest doc's gram count
+  FROM hsl, generate_series(1, {LM_MAX_TOKENS}) AS g(i)
   WHERE g.i <= len(hs) - {_WINNOW_W} + 1
 )
 SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS n_shared
@@ -2128,7 +2133,7 @@ def q_repeated_substrings_self(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ext.dedup.repeated_ngram_coverage(within_doc=True, min_docs=None) —
     Lee et al. 2022 count any repeated substring, same-document chorus
     lines included; the cross-document half is dedup_repeated_substrings):
-    per-doc ppm of token positions covered by a {n}-gram occurring at 2+
+    per-doc ppm of token positions covered by a SELF_NGRAM_N-gram occurring at 2+
     positions of the SAME document. The plan stays fingerprint-keyed and
     never-cartesian: the per-(doc, gram) occurrence count is one keyed
     aggregate (map-side combined), qualifying pairs equi-join back on
@@ -2136,7 +2141,7 @@ def q_repeated_substrings_self(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle re-derives the per-doc gram counts and the interval union
     with the same 1-based slice arithmetic; a doc whose repeats are
     missed (or whose unique grams are wrongly counted) breaks the
-    hash.""".format(n=SELF_NGRAM_N)
+    hash."""
     return dd.repeated_ngram_coverage(
         load_table(spark, sf_dir, "documents"),
         n=SELF_NGRAM_N,
@@ -2180,14 +2185,13 @@ def q_remove_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The REMOVAL half of ExactSubstr (ext.dedup.remove_repeated_spans —
     Lee et al. 2022 cut repeated spans out of the training corpus; the
     coverage queries only measure them): every token position covered by
-    a cross-document {n}-gram is dropped and the document text REBUILT
+    a cross-document REPEAT_NGRAM_N-gram is dropped and the document text
+    REBUILT
     from the survivors, order restored row-locally by an array_sort over
     (position, token) structs — no window, no second shuffle. The oracle
     re-derives the covered set and rebuilds with string_agg(... ORDER BY
     position); a lost token, a kept covered token, or an order slip in
-    the reconstruction breaks the hash on the actual text.""".format(
-        n=REPEAT_NGRAM_N
-    )
+    the reconstruction breaks the hash on the actual text."""
     return dd.remove_repeated_spans(
         load_table(spark, sf_dir, "documents"),
         n=REPEAT_NGRAM_N,
@@ -2247,16 +2251,15 @@ TEXTRANK_ITERS = 3
 def q_text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TextRank keyword centrality (ext.text.textrank_keywords — Mihalcea
     & Tarau 2004), the graph-ranking family's entry into the text
-    surface: nodes are the top-{v} document-frequency terms, edges weigh
-    document co-occurrence, and {t} damped PageRank rounds run in PURE
+    surface: nodes are the top-TEXTRANK_VOCAB document-frequency terms,
+    edges weigh document co-occurrence, and TEXTRANK_ITERS damped
+    PageRank rounds run in PURE
     integer arithmetic (ranks in 1e-6 units; each edge contributes
     (w*r)//W_u by floor division; damping is (85*s)//100 + 150000) — no
     float exists anywhere in the iteration, so the oracle's unrolled CTE
     chain agrees bit-for-bit with zero rounding analysis. Corpus-sized
-    work is two keyed aggregates (term df, pair counts); the <=C({v},2)-
-    edge graph then iterates at metadata scale.""".format(
-        v=TEXTRANK_VOCAB, t=TEXTRANK_ITERS
-    )
+    work is two keyed aggregates (term df, pair counts); the
+    <=C(TEXTRANK_VOCAB, 2)-edge graph then iterates at metadata scale."""
     return tx.textrank_keywords(
         load_table(spark, sf_dir, "documents"),
         vocab_size=TEXTRANK_VOCAB,
@@ -2271,10 +2274,11 @@ CONTAM_KEY_N = 5
 
 def q_dedup_contamination_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SCALE form of benchmark decontamination
-    (ext.dedup.contamination_ngram_join), externally hash-checked: {p}
-    probes (the first {t} tokens of every {e}th document) against the
-    whole corpus via fingerprint equi-join — each doc position's
-    {n}-gram md5 meets the probe's first-{n}-gram md5, candidates verify
+    (ext.dedup.contamination_ngram_join), externally hash-checked:
+    ~500/CONTAM_PROBE_EVERY probes (the first CONTAM_PROBE_TOKS tokens of
+    every CONTAM_PROBE_EVERY-th document) against the whole corpus via
+    fingerprint equi-join — each doc position's CONTAM_KEY_N-gram md5
+    meets the probe's first-CONTAM_KEY_N-gram md5, candidates verify
     the full probe with a row-local token-slice equality, never a
     docs × probes scan (text_contamination keeps the broadcast-substring
     form for small probe sets). Token-boundary semantics: the oracle
@@ -2282,10 +2286,7 @@ def q_dedup_contamination_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint collision handled wrong, a missed position, or an
     off-by-one in the window all break the pair-set hash. Self-matches
     (every probe hits its own source doc) and near-dup cross-matches are
-    both in the answer.""".format(
-        p=f"~{500 // CONTAM_PROBE_EVERY}", t=CONTAM_PROBE_TOKS,
-        e=CONTAM_PROBE_EVERY, n=CONTAM_KEY_N,
-    )
+    both in the answer."""
     docs = load_table(spark, sf_dir, "documents")
     toks = dd.tokens_col(F.col("text"))
     probes = (
@@ -2321,13 +2322,10 @@ pr AS (
 )
 SELECT DISTINCT CAST(d.doc_id AS BIGINT) AS doc_id,
        CAST(p.probe_id AS BIGINT) AS probe_id
-FROM dt d, pr p, generate_series(1, 400) AS g(i)
+FROM dt d, pr p, generate_series(1, {LM_MAX_TOKENS}) AS g(i)
 WHERE i <= len(d.t) - {CONTAM_PROBE_TOKS} + 1
   AND d.t[i:i + {CONTAM_PROBE_TOKS - 1}] = p.pt
 """
-
-
-LM_MAX_TOKENS = 400  # generate_series bound; >= longest doc's token count
 
 
 def q_text_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2388,17 +2386,15 @@ BPE_MAX_SYMS = 40  # generate_series bound; >= longest word's char count
 
 def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE vocabulary training (ext.text.bpe_train_merges —
-    Sennrich et al. 2016), externally hash-checked: learn the first {k}
-    merge rules from the document corpus. The only corpus-sized pass is
+    Sennrich et al. 2016), externally hash-checked: learn the first
+    BPE_MERGES merge rules from the document corpus. The only corpus-sized pass is
     the whitespace word count; the merge rounds iterate the vocab-sized
     frequency table (pair count → argmax with lexicographic tie-break →
-    literal boundary-guarded replace). The oracle unrolls the same {k}
-    rounds as MATERIALIZED CTEs over the identical sentinel encoding —
+    literal boundary-guarded replace). The oracle unrolls the same
+    BPE_MERGES rounds as MATERIALIZED CTEs over the identical sentinel encoding —
     a wrong pair count, a tie broken differently, a merge that rewrites
     overlapping occurrences, or one that false-matches inside a longer
-    symbol all derail the merge sequence and break the hash.""".format(
-        k=BPE_MERGES
-    )
+    symbol all derail the merge sequence and break the hash."""
     return tx.bpe_train_merges(
         load_table(spark, sf_dir, "documents"), k=BPE_MERGES
     )
@@ -2451,13 +2447,12 @@ def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus token statistics under the LEARNED BPE vocabulary
     (ext.text.bpe_encode_stats) — token counting with a real trained
     tokenizer, the number a training-data budget is planned with. One
-    row: total tokens after the {k} learned merges, word types, symbol
+    row: total tokens after the BPE_MERGES learned merges, word types,
+    symbol
     types (effective vocabulary), and the raw character-token count the
     merges compressed from. The oracle extends the training chain: the
     post-merge state's symbols-per-word, frequency-weighted. A merge
-    mis-applied anywhere in the corpus changes total_tokens.""".format(
-        k=BPE_MERGES
-    )
+    mis-applied anywhere in the corpus changes total_tokens."""
     return tx.bpe_encode_stats(
         load_table(spark, sf_dir, "documents"), k=BPE_MERGES
     )
@@ -2494,14 +2489,14 @@ def q_text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-DOCUMENT tokenization under the learned BPE vocabulary
     (ext.text.bpe_tokenize_docs) — the tokenize-the-corpus pass itself,
     not just its aggregate: every document's word/token/char counts
-    after the {k} trained merges, externally hash-checked for ALL
+    after the BPE_MERGES trained merges, externally hash-checked for ALL
     documents. The trained state decodes to a word → token-count table,
     so the corpus pass is one keyed equi-join of pre-aggregated
     (doc, word) counts against the vocab — a merge mis-applied to any
     word, a tie broken differently during training, or a document's
     repetition leaking into the join all break per-document rows. The
     oracle extends the unrolled training chain with the same decode +
-    join.""".format(k=BPE_MERGES)
+    join."""
     return tx.bpe_tokenize_docs(
         load_table(spark, sf_dir, "documents"), k=BPE_MERGES
     ).withColumnRenamed("id", "doc_id")
@@ -3488,7 +3483,7 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     The cumulative window runs over the per-document aggregate (one row
     per doc; at corpus scale the curve is bucketed by doc percentile
     first, same window-over-bounded-aggregate shape), and the output
-    samples every {n}th document.""".format(n=VOCAB_SAMPLE_EVERY)
+    samples every VOCAB_SAMPLE_EVERY-th document."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(tx.tokens_col(F.col("text"))).alias("tok")
@@ -4829,16 +4824,14 @@ def q_ann_ivfpq_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GDPR removal from the deployed index, externally hash-checked
     (ext/ann_index.remove_from_ivfpq_index — FAISS remove_ids semantics):
     build the IVF-PQ index over the FULL corpus, delete every vec_id with
-    vec_id % {m} == {r} from the codes store (rewriting only the cells
+    vec_id % ANN_REMOVE_MOD == ANN_REMOVE_RES from the codes store (rewriting only the cells
     that contain them — the data-table twin is cow_delete_where), then
     search. The quantizer and codebooks are NOT retrained — exactly what
     the oracle mirrors: the full-corpus training chain with the removed
     ids filtered from the ADC candidates. A removal that leaked into the
     trained artifacts, failed to delete a code row, or deleted too much
     all break the hash (removed ids vanish from top-k and survivors'
-    distances must be byte-identical to the never-removed chain's).""".format(
-        m=ANN_REMOVE_MOD, r=ANN_REMOVE_RES
-    )
+    distances must be byte-identical to the never-removed chain's)."""
     import os
     import shutil
 

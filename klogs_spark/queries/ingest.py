@@ -2315,15 +2315,15 @@ CTX_N = 5
 def q_table_context_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The interactive log-viewer context fetch (query.fetch_context),
     externally hash-checked over the real table layout: write a month of
-    logs, then — given a (pod, timestamp) anchor — return the {n} lines
-    at-or-before and the {n} lines after the anchor from that pod's
+    logs, then — given a (pod, timestamp) anchor — return the CTX_N lines
+    at-or-before and the CTX_N lines after the anchor from that pod's
     stream. The ±12h horizon turns the anchor into two literal date
     bounds, so the scan partition-prunes to AT MOST TWO day directories
     (asserted file-level in tests/test_table_ops.py) and each side is a
     TakeOrderedAndProject top-n, never a day sort. The oracle recomputes
     both sides from events with identical (ts, log) tie-breaks; a pruning
     bug that widens or narrows the window, a wrong tie-break, or an
-    off-by-one at the anchor boundary all break the hash.""".format(n=CTX_N)
+    off-by-one at the anchor boundary all break the hash."""
     import tempfile
 
     from ..query import fetch_context

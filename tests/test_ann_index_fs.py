@@ -253,6 +253,37 @@ def test_vacuum_index_is_reference_aware(spark, tmp_path):
     assert _search_ids(spark, ann_index.current_index_path(root), qv) == before
 
 
+def test_vacuum_index_spares_allocated_in_flight_builds(spark, tmp_path):
+    """An ALLOCATED-but-uncommitted generation may be a concurrent
+    writer mid-build, not a crash husk: vacuum must skip it (reporting
+    it under ``in_flight``) unless the operator forces reclamation —
+    the mechanical guard the r14 advisor asked for, matching the claim
+    markers every other maintenance path grew."""
+    from klogs_spark.manifest import _claim_marker
+    from klogs_spark.table import _hadoop_fs
+
+    emb = _tiny_emb(spark)
+    root = str(tmp_path / "root")
+    ann_index.commit_index_build(emb, root, **BUILD_KW)
+
+    fs, hp, _ = _hadoop_fs(spark, root)
+    live = f"{root}/builds/b42"
+    assert _claim_marker(fs, hp, live, ann_index.ALLOC_MARKER, {"build": 42})
+    fs.mkdirs(hp(f"{live}/codes"))  # writer has started staging data
+    husk = f"{root}/builds/b99"
+    fs.mkdirs(hp(f"{husk}/codes"))  # pre-claim-era husk: no marker
+
+    res = ann_index.vacuum_index(spark, root)
+    assert res["in_flight"] == [live]
+    assert husk in res["deleted"] and live not in res["deleted"]
+    assert fs.exists(hp(live)) and not fs.exists(hp(husk))
+
+    # force: operator asserts no writer is alive -> the claim is a husk
+    forced = ann_index.vacuum_index(spark, root, force=True)
+    assert live in forced["deleted"] and forced["in_flight"] == []
+    assert not fs.exists(hp(live))
+
+
 from hypothesis import given, settings
 from hypothesis import strategies as st
 

@@ -441,6 +441,36 @@ def test_self_log_counter_counts_engine_log_lines_by_level():
     logging.getLogger("klogs_spark.test_selflog").handlers.clear()
 
 
+def test_self_log_counter_sees_info_without_explicit_level():
+    """r14 advisor: with no level of its own the engine logger inherited
+    root's WARNING, so the CLI-wired counter could never observe INFO
+    lines — unlike the reference handler, which counts every record it
+    receives (logger.go:61). instrument_logger now pins INFO when the
+    logger is level-NOTSET, and leaves an operator-chosen level alone."""
+    import logging
+
+    from klogs_spark.metrics import instrument_logger
+
+    m = IngestMetrics()
+    logger = instrument_logger(m, name="klogs_spark.test_selflog_info")
+    assert logger.level == logging.INFO  # pinned, not inherited WARNING
+    logger.info("ingest started")
+    assert m.logs_total == {"INFO": 1}
+
+    # an explicit operator level survives instrumenting
+    m2 = IngestMetrics()
+    quiet = logging.getLogger("klogs_spark.test_selflog_quiet")
+    quiet.setLevel(logging.ERROR)
+    instrument_logger(m2, name="klogs_spark.test_selflog_quiet")
+    assert quiet.level == logging.ERROR
+    quiet.info("dropped")
+    quiet.error("kept")
+    assert m2.logs_total == {"ERROR": 1}
+
+    for n in ("klogs_spark.test_selflog_info", "klogs_spark.test_selflog_quiet"):
+        logging.getLogger(n).handlers.clear()
+
+
 def test_self_log_counter_served_over_http_and_listener_error_logs():
     """The by-level series appears at /metrics, and the streaming
     listener's error path logs through the engine logger so the counter

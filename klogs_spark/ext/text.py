@@ -1227,11 +1227,19 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 # --- BPE vocabulary training -------------------------------------------------
+# Above this many word TYPES the merge rounds stay distributed; below it
+# the frequency table collects to the driver and the rounds run locally
+# (the shape every production tokenizer trainer uses: corpus pass
+# distributed, vocab-scale iteration centralized). 2M types ≈ tens of MB.
+BPE_DRIVER_VOCAB_MAX = 2_000_000
+
+
 def bpe_train_merges(
     docs: DataFrame,
     k: int = 8,
     text_col: str = "text",
     return_state: bool = False,
+    driver_vocab_max: int = BPE_DRIVER_VOCAB_MAX,
 ):
     """Distributed byte-pair-encoding vocabulary training (Sennrich,
     Haddow & Birch 2016) — learn the first ``k`` merge rules from the
@@ -1260,7 +1268,6 @@ def bpe_train_merges(
     with ``return_state=True`` also the post-merge (sym, freq) table,
     the trained state :func:`bpe_encode_stats` tokenizes with.
     """
-    spark = docs.sparkSession
     words = (
         docs.select(
             F.explode(
@@ -1276,6 +1283,24 @@ def bpe_train_merges(
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
+    return bpe_train_from_word_freq(
+        words, k, return_state=return_state,
+        driver_vocab_max=driver_vocab_max,
+    )
+
+
+def bpe_train_from_word_freq(
+    words: DataFrame,
+    k: int = 8,
+    return_state: bool = False,
+    driver_vocab_max: int = BPE_DRIVER_VOCAB_MAX,
+):
+    """BPE merge rounds over a PRE-AGGREGATED (w, freq) table — the
+    entry point for callers that already hold the word-frequency pass
+    (bpe_tokenize_docs derives it from its per-document aggregate so
+    the corpus is tokenized exactly once). Semantics identical to
+    :func:`bpe_train_merges`, which delegates here."""
+    spark = words.sparkSession
     init = F.concat(
         F.lit("·"), F.regexp_replace(F.col("w"), "(.)", "$1··")
     )
@@ -1283,7 +1308,33 @@ def bpe_train_merges(
     from .caching import cache_tracked
 
     state = cache_tracked(words.select(init.alias("sym"), "freq"))
-    state.count()  # materialize: the one corpus-sized pass
+    n_types = state.count()  # materialize: the one corpus-sized pass
+
+    if n_types <= driver_vocab_max:
+        # vocab is proven metadata-scale: collect the frequency table
+        # ONCE and run the merge rounds locally — identical greedy
+        # semantics (left-to-right non-overlapping application, ties on
+        # (count desc, left, right) with codepoint order == UTF-8 byte
+        # order), zero per-round Spark jobs. This is the hot path at
+        # every realistic scale; the distributed loop below is the
+        # fallback for corpora whose TYPE count outgrows the driver.
+        rows = state.collect()
+        state.unpersist()
+        merges, out_state = _bpe_merge_rounds_local(
+            [(r["sym"], r["freq"]) for r in rows], k
+        )
+        merges_df = spark.createDataFrame(
+            merges,
+            "merge_rank int, left_sym string, right_sym string, "
+            "merged string, weighted_count bigint",
+        )
+        if not return_state:
+            return merges_df
+        state_df = spark.createDataFrame(
+            out_state, "sym string, freq bigint"
+        )
+        return merges_df, state_df
+
     merges = []
     for rank in range(1, k + 1):
         toks = F.split(F.expr("trim(BOTH '·' FROM sym)"), "··")
@@ -1323,6 +1374,48 @@ def bpe_train_merges(
         "merged string, weighted_count bigint",
     )
     return (merges_df, state) if return_state else merges_df
+
+
+def _bpe_merge_rounds_local(sym_freq: list, k: int):
+    """The k merge rounds over a collected (sym, freq) table. Words are
+    held as symbol LISTS (decoded from the sentinel strings once); the
+    greedy merge is an explicit left-to-right scan, which is the same
+    non-overlapping semantics the distributed path's literal
+    boundary-guarded replace implements. Returns (merges, state) with
+    state re-encoded to the sentinel form."""
+    words = [(s.strip("·").split("··"), int(f)) for s, f in sym_freq]
+    merges = []
+    for rank in range(1, k + 1):
+        counts: dict = {}
+        for toks, f in words:
+            for i in range(len(toks) - 1):
+                p = (toks[i], toks[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        (a, b), c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, a, b, a + b, int(c)))
+        ab = a + b
+        for wi, (toks, f) in enumerate(words):
+            if a not in toks:
+                continue
+            out, i, n, changed = [], 0, len(toks), False
+            while i < n:
+                if i + 1 < n and toks[i] == a and toks[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                    changed = True
+                else:
+                    out.append(toks[i])
+                    i += 1
+            if changed:
+                words[wi] = (out, f)
+    state = [
+        ("·" + "··".join(toks) + "·", f) for toks, f in words
+    ]
+    return merges, state
 
 
 def bpe_encode_stats(
@@ -1380,25 +1473,32 @@ def bpe_tokenize_docs(
     word → n_syms table — no per-document merge replay, no Python.
     Per-document word counts are pre-aggregated before the join (the
     lm_bigram discipline: within-document repetition never reaches a
-    join). Words containing the reserved sentinel are excluded on both
-    engines (see bpe_train_merges). Returns
+    join), and the TRAINING frequency table derives from that same
+    aggregate (sum of per-doc counts), so the corpus text is split and
+    exploded exactly once. Words containing the reserved sentinel are
+    excluded on both engines (see bpe_train_merges). Returns
     (id, n_words, n_tokens, n_chars); tokens-per-word > 1 means the
     merge budget k left the word split."""
-    _, state = bpe_train_merges(
-        docs, k=k, text_col=text_col, return_state=True
-    )
-    toks = F.split(F.expr("trim(BOTH '·' FROM sym)"), "··")
-    vocab = state.select(
-        F.translate("sym", "·", "").alias("w"),
-        F.size(toks).cast("long").alias("n_syms"),
-    )
+    from .caching import cache_tracked
+
     words = docs.select(
         F.col(id_col).cast("long").alias("id"),
         F.explode(
             F.split(F.lower(F.col(text_col)), r"\s+")
         ).alias("w"),
     ).filter((F.length("w") > 0) & ~F.col("w").contains("·"))
-    per_doc = words.groupBy("id", "w").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = cache_tracked(
+        words.groupBy("id", "w").agg(F.count(F.lit(1)).alias("c"))
+    )
+    word_freq = per_doc.groupBy("w").agg(
+        F.sum("c").alias("freq")
+    )
+    _, state = bpe_train_from_word_freq(word_freq, k=k, return_state=True)
+    toks = F.split(F.expr("trim(BOTH '·' FROM sym)"), "··")
+    vocab = state.select(
+        F.translate("sym", "·", "").alias("w"),
+        F.size(toks).cast("long").alias("n_syms"),
+    )
     return (
         per_doc.join(vocab, "w")
         .groupBy("id")

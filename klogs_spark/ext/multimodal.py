@@ -820,6 +820,66 @@ def audio_energy_fingerprint(media: DataFrame) -> DataFrame:
     )
 
 
+def audio_zero_crossings(media: DataFrame) -> DataFrame:
+    """Zero-crossing analysis over REAL decoded PCM — the classic
+    voiced/unvoiced + noisiness signal every audio feature extractor
+    (openSMILE, librosa zero_crossing_rate) starts with, here computed
+    byte-up with the engine's own WAV codec so the whole path is
+    engine-exact integers.
+
+    A crossing at position j (1 <= j < n) is a strict negative-sign flip:
+    ``(s[j-1] < 0) != (s[j] < 0)`` — no sign(0) ambiguity, so the rate is
+    a pure integer and the oracle replays it bit-exactly. Returns
+    (media_id, n_samples, n_crossings, first_crossing [-1 if none],
+    crossing_ppm [per-million of the n-1 adjacent pairs; 0 when n < 2]).
+    Undecodable payloads emit NULL stats (the corrupt-row contract).
+    Cost shape: one Arrow-batched pass, no shuffle."""
+
+    def _zc(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for batch in batches:
+            rows = []
+            for p in batch["payload"]:
+                d = decode_wav_samples(p)
+                if not d:
+                    rows.append(None)
+                    continue
+                s = d[2]
+                n = len(s)
+                nc, first = 0, -1
+                for j in range(1, n):
+                    if (s[j - 1] < 0) != (s[j] < 0):
+                        nc += 1
+                        if first < 0:
+                            first = j
+                ppm = nc * 1_000_000 // (n - 1) if n >= 2 else 0
+                rows.append((n, nc, first, ppm))
+            yield pd.DataFrame(
+                {
+                    "media_id": batch["media_id"],
+                    "n_samples": pd.array(
+                        [r[0] if r else None for r in rows], dtype="Int64"
+                    ),
+                    "n_crossings": pd.array(
+                        [r[1] if r else None for r in rows], dtype="Int64"
+                    ),
+                    "first_crossing": pd.array(
+                        [r[2] if r else None for r in rows], dtype="Int64"
+                    ),
+                    "crossing_ppm": pd.array(
+                        [r[3] if r else None for r in rows], dtype="Int64"
+                    ),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        _zc,
+        schema="media_id long, n_samples long, n_crossings long, "
+               "first_crossing long, crossing_ppm long",
+    )
+
+
 def _riff_chunk(cid: bytes, body: bytes) -> bytes:
     """RIFF chunk with the spec's even-byte padding."""
     return (

@@ -178,6 +178,89 @@ def quality_filter(df: DataFrame, text_col: str = "text",
     )
 
 
+# The Gopher / MassiveText document-filter rule set (Rae et al. 2021,
+# "Scaling Language Models: ... Gopher", Appendix A1.1), the named filter
+# battery most open pretraining pipelines (RedPajama, Dolma, FineWeb)
+# re-implement. Bounds below are the published ones.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3
+GOPHER_MAX_MEAN_WORD_LEN = 10
+# Gopher requires >= 2 of these 8 stopwords to appear in the document
+GOPHER_REQUIRED_STOPS = ["the", "be", "to", "of", "and", "that", "have",
+                         "with"]
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Per-document evaluation of the Gopher quality-filter rule battery
+    (Rae et al. 2021 A1.1) — every rule an integer predicate, reported as
+    a bitmask so the externally hash-checked answer pins each individual
+    rule for every document, not just the final keep.
+
+    Rules (bit i set = rule passed):
+      0: word count in [GOPHER_MIN_WORDS, GOPHER_MAX_WORDS]
+      1: mean word length in [3, 10]      (cross-multiplied: no division)
+      2: symbol-to-word ratio < 0.1       ('#' chars + '...' occurrences)
+      3: < 90% of lines start with a bullet ('-' or '*')
+      4: < 30% of lines end with an ellipsis
+      5: >= 80% of words contain an alphabetic character
+      6: >= 2 of the 8 required stopwords appear
+
+    All ratio thresholds compare as integer cross-products (e.g.
+    10*symbols < words), so the oracle replays bit-exactly — no float
+    exists anywhere. One narrow projection, no shuffle at all: the whole
+    battery is a row-local select that pushes down to the parquet scan
+    and stays inside whole-stage codegen at any corpus size.
+    Returns (doc_id, n_words, word_chars, rules_mask, keep)."""
+    words = tokens_col(F.col(text_col))
+    n_words = F.size(words).cast("long")
+    word_chars = F.aggregate(
+        F.transform(words, lambda w: F.length(w).cast("long")),
+        F.lit(0).cast("long"), lambda acc, v: acc + v,
+    )
+    txt = F.col(text_col)
+    n_hash = (F.length(txt) - F.length(F.replace(txt, F.lit("#")))).cast("long")
+    n_ellipsis = (
+        (F.length(txt) - F.length(F.replace(txt, F.lit("...")))) / 3
+    ).cast("long")
+    lines = F.split(txt, "\n")
+    n_lines = F.size(lines).cast("long")
+    n_bullet = F.size(F.filter(
+        lines, lambda l: l.startswith("-") | l.startswith("*")
+    )).cast("long")
+    n_ell_end = F.size(F.filter(lines, lambda l: l.endswith("..."))).cast("long")
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))).cast("long")
+    n_req_stops = F.size(F.filter(
+        F.array(*[F.lit(s) for s in GOPHER_REQUIRED_STOPS]),
+        lambda s: F.array_contains(words, s),
+    )).cast("long")
+
+    r = [
+        (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS),
+        (word_chars >= GOPHER_MIN_MEAN_WORD_LEN * n_words)
+        & (word_chars <= GOPHER_MAX_MEAN_WORD_LEN * n_words),
+        (n_hash + n_ellipsis) * 10 < n_words,
+        n_bullet * 10 < n_lines * 9,
+        n_ell_end * 10 < n_lines * 3,
+        n_alpha * 5 >= n_words * 4,
+        n_req_stops >= 2,
+    ]
+    mask = r[0].cast("long")
+    for i, cond in enumerate(r[1:], start=1):
+        mask = mask + cond.cast("long") * (1 << i)
+    keep = r[0]
+    for cond in r[1:]:
+        keep = keep & cond
+    return df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        n_words.alias("n_words"),
+        word_chars.alias("word_chars"),
+        mask.alias("rules_mask"),
+        keep.cast("long").alias("keep"),
+    )
+
+
 def tfidf_doc_scores(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """Corpus-relative rarity score per document: mean inverse document
@@ -1696,5 +1779,175 @@ def lm_bigram_scores(
             F.sum(F.col("k") * F.col("mnats"))
             .cast("bigint")
             .alias("nll_micro_nats"),
+        )
+    )
+
+
+def lm_trigram_backoff_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train_mod: int = 2,
+) -> DataFrame:
+    """Per-document NLL under a TRIGRAM stupid-backoff model (Brants et
+    al. 2007, "Large Language Models in Machine Translation" — the
+    MapReduce-era web-scale LM this engine's cost shape descends from):
+
+        S(c|a,b) = C(abc)/C(ab)                if the trigram was seen
+                 = 0.4 * C(bc)/C(b)            else if the bigram was
+                 = 0.16 * (C(c)+1)/(N+V)       else (add-one unigram)
+
+    Counts come from the TRAINING HALF of the corpus (doc_id %
+    ``train_mod`` == 0) and every document is scored held-out style, so
+    the backoff branches genuinely fire (scoring a corpus against
+    itself never backs off — every observed trigram has C >= 1). The
+    unigram floor is add-one smoothed so unseen words stay finite.
+
+    Scores follow the IntegerExact doctrine of lm_bigram_scores: each
+    distinct trigram TYPE's -ln S quantizes once to integer micro-nats
+    (snap within 2e-6, then floor; identical double arithmetic order in
+    both engines), and the per-document aggregation is a pure integer
+    sum — order-free, engine-exact. Per-branch instance counts ship too,
+    so a backoff taken on the wrong branch anywhere breaks the hash.
+
+    Plan shape: corpus passes are the trigram/bigram/unigram explodes;
+    everything after reduces through vocab-sized count tables joined on
+    token keys — keyed equi-joins only. Docs with < 3 tokens are
+    omitted (no model evidence). Returns
+    (id, n_trigrams, nll_micro_nats, n_bo_bi, n_bo_uni)."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"),
+        lambda x: F.length(x) > 0,
+    )
+    base = docs.select(
+        F.col(id_col).cast("long").alias("id"), toks.alias("t")
+    )
+    tri = base.select(
+        "id",
+        F.explode(
+            F.arrays_zip(
+                F.expr("slice(t, 1, size(t) - 2)").alias("a"),
+                F.expr("slice(t, 2, size(t) - 2)").alias("b"),
+                F.expr("slice(t, 3, size(t) - 2)").alias("c"),
+            )
+        ).alias("p"),
+    ).select(
+        "id", F.col("p.a").alias("a"), F.col("p.b").alias("b"),
+        F.col("p.c").alias("c"),
+    )
+    train = base.filter(F.col("id") % train_mod == 0)
+    tri_t = (
+        train.select(
+            F.explode(
+                F.arrays_zip(
+                    F.expr("slice(t, 1, size(t) - 2)").alias("a"),
+                    F.expr("slice(t, 2, size(t) - 2)").alias("b"),
+                    F.expr("slice(t, 3, size(t) - 2)").alias("c"),
+                )
+            ).alias("p")
+        )
+        .groupBy(
+            F.col("p.a").alias("a"), F.col("p.b").alias("b"),
+            F.col("p.c").alias("c"),
+        )
+        .agg(F.count(F.lit(1)).alias("c_abc"))
+    )
+    bi_t = (
+        train.select(
+            F.explode(
+                F.arrays_zip(
+                    F.expr("slice(t, 1, size(t) - 1)").alias("a"),
+                    F.expr("slice(t, 2, size(t) - 1)").alias("b"),
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c_bi"))
+    )
+    uni_t = (
+        train.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c_w"))
+    )
+    nv = uni_t.agg(
+        F.sum("c_w").alias("n"), F.count(F.lit(1)).alias("v")
+    ).collect()[0]
+    n_tok, v_tok = int(nv.n or 0), int(nv.v or 0)
+
+    types = tri.select("a", "b", "c").distinct()
+    j = (
+        types
+        .join(tri_t, ["a", "b", "c"], "left")
+        .join(
+            bi_t.select(
+                F.col("a").alias("a"), F.col("b").alias("b"),
+                F.col("c_bi").alias("c_ab"),
+            ),
+            ["a", "b"], "left",
+        )
+        .join(
+            bi_t.select(
+                F.col("a").alias("b"), F.col("b").alias("c"),
+                F.col("c_bi").alias("c_bc"),
+            ),
+            ["b", "c"], "left",
+        )
+        .join(
+            uni_t.select(F.col("w").alias("b"), F.col("c_w").alias("c_b")),
+            ["b"], "left",
+        )
+        .join(
+            uni_t.select(F.col("w").alias("c"), F.col("c_w").alias("c_c")),
+            ["c"], "left",
+        )
+    )
+    branch = (
+        F.when(F.col("c_abc").isNotNull(), F.lit(1))
+        .when(F.col("c_bc").isNotNull(), F.lit(2))
+        .otherwise(F.lit(3))
+    )
+    s = (
+        F.when(
+            branch == 1,
+            F.col("c_abc").cast("double") / F.col("c_ab"),
+        )
+        .when(
+            branch == 2,
+            F.lit(0.4) * (F.col("c_bc").cast("double") / F.col("c_b")),
+        )
+        .otherwise(
+            F.lit(0.16)
+            * (
+                (F.coalesce(F.col("c_c"), F.lit(0)) + 1).cast("double")
+                / F.lit(n_tok + v_tok)
+            )
+        )
+    )
+    y = -F.log(s) * 1e6
+    snapped = F.when(
+        F.abs(y - F.round(y, 0)) < 2e-6, F.round(y, 0)
+    ).otherwise(y)
+    mn = j.select(
+        "a", "b", "c",
+        F.floor(snapped).cast("long").alias("mnats"),
+        branch.alias("branch"),
+    )
+    per_doc = tri.groupBy("id", "a", "b", "c").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    return (
+        per_doc.join(mn, ["a", "b", "c"])
+        .groupBy("id")
+        .agg(
+            F.sum("k").cast("bigint").alias("n_trigrams"),
+            F.sum(F.col("k") * F.col("mnats"))
+            .cast("bigint")
+            .alias("nll_micro_nats"),
+            F.sum(
+                F.when(F.col("branch") == 2, F.col("k")).otherwise(F.lit(0))
+            ).cast("bigint").alias("n_bo_bi"),
+            F.sum(
+                F.when(F.col("branch") == 3, F.col("k")).otherwise(F.lit(0))
+            ).cast("bigint").alias("n_bo_uni"),
         )
     )

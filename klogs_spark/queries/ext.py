@@ -1381,6 +1381,74 @@ FROM per p JOIN g USING (fp)
 """
 
 
+def q_multimodal_audio_zcr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-crossing analysis over REAL decoded PCM
+    (ext.multimodal.audio_zero_crossings): each document carries a
+    16-bit WAV of (doc_id%100 + 1)*10 samples following
+    ((doc_id*31 + j*7) % 2003) - 1001, decoded byte-up by the engine's
+    own RIFF walk. Per-doc crossing count, FIRST crossing index, and
+    integer per-million rate hash-check against the oracle's
+    from-the-pattern replay — a dropped sample, an off-by-one in the
+    pair indexing, or a sign(0) mishandling all break rows (the pattern
+    passes through 0 regularly, so the strict negative-flip rule is
+    exercised)."""
+    from ..ext import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def _synth(batches):
+        import struct
+
+        import pandas as pd
+
+        for b in batches:
+            payloads = []
+            for i in (int(x) for x in b["doc_id"]):
+                n = (i % 100 + 1) * 10
+                vals = mm.synth_pcm_samples(i, n)
+                payloads.append(
+                    mm.synth_wav(n, data=struct.pack(f"<{n}h", *vals))
+                )
+            yield pd.DataFrame({"media_id": b["doc_id"], "payload": payloads})
+
+    import pandas as pd  # noqa: F401  (closure import for the kernel)
+
+    media = docs.repartition(F.col("doc_id")).mapInPandas(
+        _synth, schema="media_id long, payload binary"
+    )
+    return mm.audio_zero_crossings(media)
+
+
+SQL_MULTIMODAL_AUDIO_ZCR = """
+WITH s AS (
+  SELECT doc_id, (doc_id % 100 + 1) * 10 AS n FROM documents
+),
+samp AS (
+  SELECT doc_id, n, t.j,
+         ((doc_id * 31 + t.j * 7) % 2003) - 1001 AS v
+  FROM s, generate_series(0, 1009) AS t(j)
+  WHERE t.j < n
+),
+cross_pairs AS (
+  SELECT a.doc_id, b.j
+  FROM samp a JOIN samp b ON a.doc_id = b.doc_id AND b.j = a.j + 1
+  WHERE (a.v < 0) <> (b.v < 0)
+),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_crossings,
+         CAST(min(j) AS BIGINT) AS first_crossing
+  FROM cross_pairs GROUP BY 1
+)
+SELECT CAST(s.doc_id AS BIGINT) AS media_id,
+       CAST(s.n AS BIGINT) AS n_samples,
+       coalesce(a.n_crossings, 0) AS n_crossings,
+       coalesce(a.first_crossing, -1) AS first_crossing,
+       CAST(coalesce(a.n_crossings, 0) * 1000000 // (s.n - 1) AS BIGINT)
+         AS crossing_ppm
+FROM s LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def q_multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio sample decode end-to-end (no audio library): synthesize a
     16-bit PCM WAV per document carrying a deterministic sample pattern
@@ -2380,6 +2448,92 @@ GROUP BY 1
 """
 
 
+def q_text_lm_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out trigram stupid-backoff scoring
+    (ext.text.lm_trigram_backoff_scores — Brants et al. 2007): counts
+    train on the even-doc_id half, every document scores against them,
+    so the bigram and unigram backoff branches genuinely fire. Each
+    distinct trigram type's -ln S quantizes once to integer micro-nats
+    (snap-then-floor) and per-doc sums are pure integers; per-branch
+    instance counts ship in the row, so a branch chosen wrong for any
+    trigram anywhere in the corpus breaks the hash."""
+    return tx.lm_trigram_backoff_scores(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
+SQL_TEXT_LM_TRIGRAM_BACKOFF = """
+WITH tk AS (
+  SELECT doc_id AS id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> len(x) > 0) AS t
+  FROM documents
+),
+tri AS (
+  SELECT id, t[i] AS a, t[i + 1] AS b, t[i + 2] AS c
+  FROM tk, generate_series(1, {LM_MAX_TOKENS}) AS g(i)
+  WHERE i + 1 < len(t)
+),
+tr AS (SELECT * FROM tk WHERE id % 2 = 0),
+tri_t AS (
+  SELECT t[i] AS a, t[i + 1] AS b, t[i + 2] AS c, count(*) AS c_abc
+  FROM tr, generate_series(1, {LM_MAX_TOKENS}) AS g(i)
+  WHERE i + 1 < len(t) GROUP BY 1, 2, 3
+),
+bi_t AS (
+  SELECT t[i] AS a, t[i + 1] AS b, count(*) AS c_bi
+  FROM tr, generate_series(1, {LM_MAX_TOKENS}) AS g(i)
+  WHERE i < len(t) GROUP BY 1, 2
+),
+uni_t AS (
+  SELECT u.w, count(*) AS c_w
+  FROM tr, unnest(tr.t) AS u(w) GROUP BY 1
+),
+nv AS (SELECT sum(c_w) AS n, count(*) AS v FROM uni_t),
+types AS (SELECT DISTINCT a, b, c FROM tri),
+j AS (
+  SELECT ty.a, ty.b, ty.c, tt.c_abc, ab.c_bi AS c_ab, bc.c_bi AS c_bc,
+         ub.c_w AS c_b, uc.c_w AS c_c, nv.n, nv.v
+  FROM types ty
+  LEFT JOIN tri_t tt ON ty.a = tt.a AND ty.b = tt.b AND ty.c = tt.c
+  LEFT JOIN bi_t ab ON ty.a = ab.a AND ty.b = ab.b
+  LEFT JOIN bi_t bc ON ty.b = bc.a AND ty.c = bc.b
+  LEFT JOIN uni_t ub ON ty.b = ub.w
+  LEFT JOIN uni_t uc ON ty.c = uc.w, nv
+),
+mn AS (
+  SELECT a, b, c,
+         CASE WHEN c_abc IS NOT NULL THEN 1
+              WHEN c_bc IS NOT NULL THEN 2 ELSE 3 END AS branch,
+         CAST(floor(CASE WHEN abs(y - round(y)) < 2e-6
+                         THEN round(y) ELSE y END) AS BIGINT) AS mnats
+  FROM (
+    SELECT *,
+           -ln(CASE WHEN c_abc IS NOT NULL
+                    THEN CAST(c_abc AS DOUBLE) / c_ab
+                    WHEN c_bc IS NOT NULL
+                    THEN 0.4 * (CAST(c_bc AS DOUBLE) / c_b)
+                    ELSE 0.16 * (CAST(coalesce(c_c, 0) + 1 AS DOUBLE)
+                                 / (n + v)) END) * 1e6 AS y
+    FROM j
+  )
+),
+per_doc AS (
+  SELECT id, a, b, c, count(*) AS k FROM tri GROUP BY 1, 2, 3, 4
+)
+SELECT CAST(p.id AS BIGINT) AS id,
+       CAST(sum(p.k) AS BIGINT) AS n_trigrams,
+       CAST(sum(p.k * mn.mnats) AS BIGINT) AS nll_micro_nats,
+       CAST(sum(CASE WHEN mn.branch = 2 THEN p.k ELSE 0 END) AS BIGINT)
+         AS n_bo_bi,
+       CAST(sum(CASE WHEN mn.branch = 3 THEN p.k ELSE 0 END) AS BIGINT)
+         AS n_bo_uni
+FROM per_doc p
+JOIN mn ON p.a = mn.a AND p.b = mn.b AND p.c = mn.c
+GROUP BY 1
+""".format(LM_MAX_TOKENS=LM_MAX_TOKENS)
+
+
 BPE_MERGES = 8
 BPE_MAX_SYMS = 40  # generate_series bound; >= longest word's char count
 
@@ -2886,6 +3040,68 @@ LIMIT {RRF_TOPK}
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.quality_features(load_table(spark, sf_dir, "documents"))
+
+
+def q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher / MassiveText filter battery (ext.text.gopher_rules —
+    Rae et al. 2021 A1.1), externally hash-checked per document AND per
+    rule: every doc ships its rules_mask bitmask (word-count bounds,
+    mean-word-length bounds, symbol ratio, bullet lines, ellipsis lines,
+    alphabetic-word ratio, required stopwords) plus the composite keep.
+    All thresholds are integer cross-products, so one flipped comparison
+    direction, a wrong published bound, or a ratio computed with float
+    division anywhere breaks the hash on 500 rows. Plan shape: row-local
+    narrow projection, zero shuffles."""
+    return tx.gopher_rules(load_table(spark, sf_dir, "documents"))
+
+
+_GOPHER_STOPS_SQL = ", ".join(f"'{w}'" for w in tx.GOPHER_REQUIRED_STOPS)
+
+SQL_TEXT_GOPHER_RULES = f"""
+WITH w AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, ' '), x -> x <> '') AS t,
+         string_split(text, chr(10)) AS lines
+  FROM documents
+),
+feat AS (
+  SELECT doc_id,
+         CAST(len(t) AS BIGINT) AS n_words,
+         CAST(coalesce(list_sum(list_transform(t, x -> length(x))), 0)
+              AS BIGINT) AS word_chars,
+         CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+           AS n_hash,
+         CAST((length(text) - length(replace(text, '...', ''))) // 3
+              AS BIGINT) AS n_ellipsis,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         CAST(len(list_filter(lines, l -> l LIKE '-%' OR l LIKE '*%'))
+              AS BIGINT) AS n_bullet,
+         CAST(len(list_filter(lines, l -> l LIKE '%...')) AS BIGINT)
+           AS n_ell_end,
+         CAST(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]')))
+              AS BIGINT) AS n_alpha,
+         CAST(len(list_filter([{_GOPHER_STOPS_SQL}],
+                              s -> list_contains(t, s))) AS BIGINT)
+           AS n_stops
+  FROM w
+)
+SELECT doc_id, n_words, word_chars, rules_mask,
+       CAST(CASE WHEN rules_mask = 127 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM (
+  SELECT doc_id, n_words, word_chars,
+    CAST((CASE WHEN n_words BETWEEN {tx.GOPHER_MIN_WORDS}
+                            AND {tx.GOPHER_MAX_WORDS} THEN 1 ELSE 0 END)
+       + (CASE WHEN word_chars >= {tx.GOPHER_MIN_MEAN_WORD_LEN} * n_words
+               AND word_chars <= {tx.GOPHER_MAX_MEAN_WORD_LEN} * n_words
+               THEN 2 ELSE 0 END)
+       + (CASE WHEN (n_hash + n_ellipsis) * 10 < n_words THEN 4 ELSE 0 END)
+       + (CASE WHEN n_bullet * 10 < n_lines * 9 THEN 8 ELSE 0 END)
+       + (CASE WHEN n_ell_end * 10 < n_lines * 3 THEN 16 ELSE 0 END)
+       + (CASE WHEN n_alpha * 5 >= n_words * 4 THEN 32 ELSE 0 END)
+       + (CASE WHEN n_stops >= 2 THEN 64 ELSE 0 END) AS BIGINT) AS rules_mask
+  FROM feat
+)
+"""
 
 
 _EN_STOPS = ", ".join(f"'{w}'" for w in tx.STOPWORDS["en"])
@@ -6740,6 +6956,12 @@ SPECS = {
         "census — every stream hash-checked vs the from-the-pattern "
         "oracle",
     ),
+    "multimodal_audio_zcr": QuerySpec(
+        q_multimodal_audio_zcr, SQL_MULTIMODAL_AUDIO_ZCR,
+        "zero-crossing analysis over real decoded PCM: strict "
+        "negative-flip crossings, first-crossing index, integer "
+        "per-million rate — per-doc rows vs the from-the-pattern oracle",
+    ),
     "multimodal_video_mjpeg": QuerySpec(
         q_multimodal_video_mjpeg, SQL_MULTIMODAL_VIDEO_MJPEG,
         "real video decode: MJPEG AVI demux (pure-Python RIFF walk) + "
@@ -6811,6 +7033,11 @@ SPECS = {
         "CCNet-style LM quality signal: per-doc NLL under the add-one "
         "corpus bigram model in integer micro-nats (quantize once per "
         "bigram, integer sums) — all docs hash-checked"),
+    "text_lm_trigram_backoff": QuerySpec(
+        q_text_lm_trigram_backoff, SQL_TEXT_LM_TRIGRAM_BACKOFF,
+        "held-out trigram stupid-backoff LM (Brants 2007): train on the "
+        "even-id half, score everything; per-branch instance counts + "
+        "integer micro-nat NLL hash-checked for all scored docs"),
     "text_bpe_merges": QuerySpec(
         q_text_bpe_merges, SQL_TEXT_BPE_MERGES,
         "distributed BPE vocabulary training: first 8 merge rules from "
@@ -6833,6 +7060,11 @@ SPECS = {
         "features, broadcast bucket-x-class integer weight table, "
         "per-doc argmax with lowest-class tie-break — all docs "
         "hash-checked, integer micro-unit scores"),
+    "text_gopher_rules": QuerySpec(
+        q_text_gopher_rules, SQL_TEXT_GOPHER_RULES,
+        "Gopher/MassiveText filter battery (Rae et al. 2021): per-doc "
+        "per-rule bitmask + composite keep, all thresholds integer "
+        "cross-products, row-local zero-shuffle plan"),
     "text_pii_redact_typed": QuerySpec(
         q_text_pii_redact, SQL_TEXT_PII_REDACT,
         "typed PII scrub (email/ipv4/ssn/phone; extends the email-only "

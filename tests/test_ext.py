@@ -1740,3 +1740,32 @@ def test_bpe_sentinel_words_excluded_not_corrupting(spark):
         for r in bpe_train_merges(df, k=3).collect()
     ]
     assert as_rows(dirty) == as_rows(clean)
+
+
+def test_gopher_rules_each_rule_and_plan_shape(spark):
+    """Every Gopher rule must flip on a crafted violating document (the
+    synthetic corpus never exercises bullets/ellipses/symbols), and the
+    battery must stay a row-local zero-shuffle projection."""
+    from klogs_spark.ext.text import GOPHER_REQUIRED_STOPS, gopher_rules
+
+    good_words = ("the be to of and that have with " + "solid " * 60).strip()
+    rows = [
+        (0, good_words),                               # passes everything
+        (1, "the be of tiny"),                         # R0: too few words
+        (2, "a " * 80 + "the be"),                     # R1: mean len < 3
+        (3, ("#### ### " * 30 + good_words)),          # R2: symbol ratio
+        (4, "\n".join(["- bullet point here"] * 19 + [good_words])),  # R3
+        (5, "\n".join(["trailing thing..."] * 9 + [good_words])),     # R4
+        (6, ("12 34 56 78 90 " * 12 + "the be of and that have with")),  # R5
+        (7, ("solid " * 60).strip()),                  # R6: no stopwords
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in gopher_rules(df).collect()}
+    assert out[0].keep == 1 and out[0].rules_mask == 127
+    expect_failed_bit = {1: 0, 2: 1, 3: 2, 4: 3, 5: 4, 6: 5, 7: 6}
+    for doc, bit in expect_failed_bit.items():
+        assert out[doc].keep == 0, (doc, out[doc])
+        assert out[doc].rules_mask & (1 << bit) == 0, (doc, bin(out[doc].rules_mask))
+
+    plan = gopher_rules(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan

@@ -1022,6 +1022,49 @@ def video_frame_pixel_stats(media: DataFrame) -> DataFrame:
     )
 
 
+VIDEO_CUT_MEAN_DELTA = 32  # gray levels of per-pixel mean shift = a cut
+
+
+def video_scene_cuts(
+    frame_stats: DataFrame, cut_mean_delta: int = VIDEO_CUT_MEAN_DELTA
+) -> DataFrame:
+    """Shot-boundary (scene-cut) detection over decoded per-frame stats —
+    the classic mean-intensity-difference detector (the first stage of
+    every keyframe sampler): frame f starts a new shot when its mean
+    gray level moves more than ``cut_mean_delta`` from frame f-1.
+
+    Frames within one container share dimensions, so the test is the
+    INTEGER cross-product ``|sum_f - sum_{f-1}| > n_vals * delta`` — no
+    mean is ever materialized, no float exists. Plan shape: a window
+    partitioned BY VIDEO (frames per video are bounded, so every
+    partition is tiny regardless of corpus size) feeding one per-video
+    aggregate. Returns (media_id, n_frames, n_cuts, first_cut [-1 if
+    none], max_delta [max |Δsum|, 0 for single-frame videos])."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    prev = F.lag("sum_vals").over(w)
+    delta = F.abs(F.col("sum_vals") - prev)
+    is_cut = F.when(prev.isNull(), F.lit(None)).otherwise(
+        (delta > F.col("n_vals") * cut_mean_delta).cast("long")
+    )
+    d = frame_stats.select(
+        "media_id", "frame_idx", "n_vals", "sum_vals",
+        delta.alias("delta"), is_cut.alias("is_cut"),
+    )
+    return d.groupBy("media_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+        F.sum(F.coalesce(F.col("is_cut"), F.lit(0)))
+        .cast("bigint").alias("n_cuts"),
+        F.coalesce(
+            F.min(F.when(F.col("is_cut") == 1, F.col("frame_idx"))),
+            F.lit(-1),
+        ).cast("bigint").alias("first_cut"),
+        F.coalesce(F.max("delta"), F.lit(0)).cast("bigint")
+        .alias("max_delta"),
+    )
+
+
 def audio_sample_stats(media: DataFrame) -> DataFrame:
     """Arrow-batched per-file PCM statistics over binary WAV payloads via
     :func:`decode_wav_pcm` — the real (non-stub) audio decode kernel.

@@ -1724,6 +1724,113 @@ FROM rt GROUP BY 1, 2
 """
 
 
+def q_multimodal_video_scene_cuts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Shot-boundary detection over REAL decoded video
+    (ext.multimodal.video_scene_cuts on video_frame_pixel_stats): the
+    same MJPEG AVIs as multimodal_video_mjpeg (doc_id%3+1 frames, frame
+    content seed base+6f), demuxed and JPEG-decoded byte-up, then the
+    mean-intensity-difference detector flags frame f as a cut when
+    |sum_f - sum_{f-1}| > n_vals * VIDEO_CUT_MEAN_DELTA (pure integers —
+    frames of one video share dimensions). Per-video cut count, first
+    cut index, and max |Δsum| hash-check against the oracle's
+    closed-form frame sums — a decode fault, a lag over the wrong
+    ordering, or a threshold off-by-one all break rows."""
+    from ..ext import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def _synth(batches):
+        import pandas as pd
+
+        for b in batches:
+            payloads = []
+            for i in (int(x) for x in b["doc_id"]):
+                frames = [
+                    mm.synth_jpeg_gray_blocks(i % 6 + 6 * f)
+                    for f in range(i % 3 + 1)
+                ]
+                base = i % 6
+                w, h = (base % 3 + 1) * 8, (base % 2 + 1) * 8
+                payloads.append(mm.synth_avi_mjpeg(frames, w, h))
+            yield pd.DataFrame({"media_id": b["doc_id"], "payload": payloads})
+
+    media = docs.repartition(F.col("doc_id")).mapInPandas(
+        _synth, schema="media_id long, payload binary"
+    )
+    return mm.video_scene_cuts(
+        mm.video_frame_pixel_stats(media),
+        cut_mean_delta=SCENE_CUT_CARRIER_DELTA,
+    )
+
+
+# The carrier pins the threshold AT the synthetic corpus's dominant
+# transition (mean deltas are exactly {34, 34+1/3, 35}; the +6-seed step
+# shifts every block by -34 mod 256): strict > at 34 keeps 333 of 499
+# transitions BELOW the cut, so a >= slip or an off-by-one flips a third
+# of the corpus.
+SCENE_CUT_CARRIER_DELTA = 34
+
+SQL_MULTIMODAL_VIDEO_SCENE_CUTS = f"""
+WITH vids AS (
+  SELECT doc_id, doc_id % 3 + 1 AS n_frames, doc_id % 6 AS base
+  FROM documents
+),
+frames AS (
+  SELECT v.doc_id, t.f AS frame_idx, v.base + 6 * t.f AS seed
+  FROM vids v, generate_series(0, 2) AS t(f)
+  WHERE t.f < v.n_frames
+),
+dims AS (
+  SELECT doc_id, frame_idx, seed,
+         (seed % 3 + 1) AS wb, (seed % 2 + 1) AS hb
+  FROM frames
+),
+blk AS (
+  SELECT d.doc_id, d.frame_idx, d.wb, d.hb,
+         (d.seed * 37 + t.j * 11) % 256 AS v
+  FROM dims d, generate_series(0, 5) AS t(j)
+  WHERE t.j < d.wb * d.hb
+),
+rt AS (
+  SELECT doc_id, frame_idx, wb, hb,
+         CASE WHEN v % 2 = 0 THEN v
+              WHEN v > 128 THEN LEAST(v + 1, 255)
+              ELSE v - 1 END AS v2
+  FROM blk
+),
+stats AS (
+  SELECT doc_id AS media_id, frame_idx,
+         max(wb) * max(hb) * 64 AS n_vals,
+         64 * sum(v2) AS sum_vals
+  FROM rt GROUP BY 1, 2
+),
+d AS (
+  SELECT media_id, frame_idx, n_vals, sum_vals,
+         lag(sum_vals) OVER (PARTITION BY media_id ORDER BY frame_idx)
+           AS prev
+  FROM stats
+),
+c AS (
+  SELECT media_id, frame_idx,
+         CASE WHEN prev IS NULL THEN NULL
+              ELSE abs(sum_vals - prev) END AS delta,
+         CASE WHEN prev IS NULL THEN NULL
+              WHEN abs(sum_vals - prev) > n_vals * {SCENE_CUT_CARRIER_DELTA} THEN 1
+              ELSE 0 END AS is_cut
+  FROM d
+)
+SELECT CAST(media_id AS BIGINT) AS media_id,
+       CAST(count(*) AS BIGINT) AS n_frames,
+       CAST(sum(coalesce(is_cut, 0)) AS BIGINT) AS n_cuts,
+       CAST(coalesce(min(CASE WHEN is_cut = 1 THEN frame_idx END), -1)
+            AS BIGINT) AS first_cut,
+       CAST(coalesce(max(delta), 0) AS BIGINT) AS max_delta
+FROM c GROUP BY 1
+"""
+
+
 def q_multimodal_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL baseline-JPEG pixel decode end-to-end (pure Python, no imaging
     library — ext/jpeg_lite.py): synthesize a genuine grayscale JPEG per
@@ -6961,6 +7068,12 @@ SPECS = {
         "zero-crossing analysis over real decoded PCM: strict "
         "negative-flip crossings, first-crossing index, integer "
         "per-million rate — per-doc rows vs the from-the-pattern oracle",
+    ),
+    "multimodal_video_scene_cuts": QuerySpec(
+        q_multimodal_video_scene_cuts, SQL_MULTIMODAL_VIDEO_SCENE_CUTS,
+        "shot-boundary detection over real demuxed+decoded MJPEG AVIs: "
+        "integer mean-difference cut rule per video (cut count, first "
+        "cut, max delta) vs the closed-form frame sums",
     ),
     "multimodal_video_mjpeg": QuerySpec(
         q_multimodal_video_mjpeg, SQL_MULTIMODAL_VIDEO_MJPEG,

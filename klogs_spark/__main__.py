@@ -147,6 +147,17 @@ def main(argv: list[str] | None = None) -> int:
     prs.add_argument("table")
     prs.add_argument("version", type=int)
 
+    pcl = sub.add_parser("clone",
+                         help="SHALLOW CLONE: new table referencing the "
+                              "source's files by absolute path (zero "
+                              "data copied; COW on the clone never "
+                              "touches source bytes)")
+    pcl.add_argument("source")
+    pcl.add_argument("dest")
+    pcl.add_argument("--version", type=int, default=None,
+                     help="pin a specific source snapshot (default: "
+                          "latest incl. committed appends)")
+
     pcm = sub.add_parser("cow-merge",
                          help="copy-on-write MERGE from a parquet batch "
                               "(replaced files retained — vacuum later)")
@@ -378,6 +389,16 @@ def main(argv: list[str] | None = None) -> int:
 
         v = restore_snapshot(spark, args.table, args.version)
         print(f"restored v{args.version} as new head v{v}")
+        return 0
+
+    if args.cmd == "clone":
+        from .manifest import shallow_clone
+
+        res = shallow_clone(spark, args.source, args.dest,
+                            version=args.version)
+        print(f"cloned {args.source} v{res['source_version']} -> "
+              f"{args.dest} v{res['version']} "
+              f"({res['n_files']} referenced files, zero copied)")
         return 0
 
     if args.cmd == "cow-merge":

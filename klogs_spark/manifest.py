@@ -72,6 +72,55 @@ def _list_data_files(fs, root, hpath_cls) -> list[str]:
     return sorted(files)
 
 
+def _is_abs_entry(f: str) -> bool:
+    """Manifest entries are normally RELATIVE (``date=.../part-*.parquet``);
+    a shallow clone (:func:`shallow_clone`) publishes ABSOLUTE entries
+    that point into its source table — the Delta CLONE representation.
+    Absolute entries are read-only references: vacuum never deletes them
+    (it intersects with the local listing), COW rewrites drop them from
+    the manifest without touching the source bytes."""
+    return f.startswith("/") or "://" in f
+
+
+def _entry_path(path: str, f: str) -> str:
+    """Physical location of a manifest entry: relative entries resolve
+    against the table root, absolute (clone) entries stand alone."""
+    return f if _is_abs_entry(f) else f"{path}/{f}"
+
+
+def _entry_day_dir(f: str) -> str:
+    """The ``date=...`` partition directory of a manifest entry — the
+    file's parent directory name, which is the same component whether
+    the entry is relative (``date=X/part``) or absolute
+    (``/src/date=X/part``)."""
+    return f.rsplit("/", 2)[-2]
+
+
+def _read_data_files(spark: SparkSession, path: str, files: list) -> DataFrame:
+    """Read a manifest file list faithfully: relative entries share the
+    table root as ``basePath`` (partition column recovered from the
+    directory name); absolute clone entries group by THEIR base (the
+    directory above the partition dir) so the same recovery applies,
+    and the groups union by name. mergeSchema throughout (the
+    mixed-promoted-schema contract of read_snapshot)."""
+    groups: dict[str, list[str]] = {}
+    for f in files:
+        if _is_abs_entry(f):
+            groups.setdefault(f.rsplit("/", 2)[0], []).append(f)
+        else:
+            groups.setdefault(path, []).append(f"{path}/{f}")
+    dfs = [
+        spark.read.option("basePath", base)
+        .option("mergeSchema", "true")
+        .parquet(*sorted(fls))
+        for base, fls in sorted(groups.items())
+    ]
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d, allowMissingColumns=True)
+    return out
+
+
 def _unmanifested_files(spark: SparkSession, path: str) -> set[str]:
     """On-disk data files referenced by NO published manifest — plain
     appends (``write_logs mode=append``) that landed after the last
@@ -248,18 +297,19 @@ def read_snapshot(
         raise FileNotFoundError(f"snapshot v{version} not found in {versions}")
     fs, hpath_cls, _ = _hadoop_fs(spark, path)
     files = _manifest_files(spark, path, version)
-    missing = [f for f in files if not fs.exists(hpath_cls(f"{path}/{f}"))]
+    missing = [
+        f for f in files
+        if not fs.exists(hpath_cls(_entry_path(path, f)))
+    ]
     if missing:
         raise FileNotFoundError(
             f"snapshot v{version} references rewritten/removed files "
             f"{missing[:3]}{'...' if len(missing) > 3 else ''} — older "
-            "snapshots do not survive compaction/delete rewrites"
+            "snapshots do not survive compaction/delete rewrites (for "
+            "clone entries: a vacuum on the SOURCE table breaks clones "
+            "pinned to its files, the documented Delta CLONE caveat)"
         )
-    return (
-        spark.read.option("basePath", path)
-        .option("mergeSchema", "true")
-        .parquet(*[f"{path}/{f}" for f in files])
-    )
+    return _read_data_files(spark, path, files)
 
 
 def _manifest_files(spark: SparkSession, path: str, version: int) -> list:
@@ -338,10 +388,7 @@ def snapshot_changes(
                     read_snapshot(spark, path, v_to).limit(0)
                 ).schema
             return spark.createDataFrame([], empty_schema)
-        return canon(
-            spark.read.option("basePath", path)
-            .parquet(*[f"{path}/{f}" for f in files])
-        )
+        return canon(_read_data_files(spark, path, files))
 
     adds, drops = rows(only_to), rows(only_from)
     inserts = adds.exceptAll(drops).withColumn("_change_type", F.lit("insert"))
@@ -753,7 +800,7 @@ def cow_delete_where(
     )
     _append_in_layout(spark, survivors, path)
     day_dirs = {f"{PARTITION_COLUMN}={d}" for d in affected}
-    replaced = {f for f in live if f.split("/")[0] in day_dirs}
+    replaced = {f for f in live if _entry_day_dir(f) in day_dirs}
     version = _finish_rewrite(
         spark, path, base_version, before, tok, set(live) - replaced
     )
@@ -842,7 +889,7 @@ def cow_update_where(
     survivors = _restore_promotions(spark, path, updated)
     _append_in_layout(spark, survivors, path)
     day_dirs = {f"{PARTITION_COLUMN}={d}" for d in affected}
-    replaced = {f for f in live if f.split("/")[0] in day_dirs}
+    replaced = {f for f in live if _entry_day_dir(f) in day_dirs}
     version = _finish_rewrite(
         spark, path, base_version, before, tok, set(live) - replaced
     )
@@ -908,7 +955,7 @@ def cow_merge_upsert(
     before, tok = _begin_rewrite(spark, path, "cow_merge_upsert", base_version)
     _append_in_layout(spark, merged, path)
     day_dirs = {f"{PARTITION_COLUMN}={d}" for d in days}
-    replaced = {f for f in live if f.split("/")[0] in day_dirs}
+    replaced = {f for f in live if _entry_day_dir(f) in day_dirs}
     version = _finish_rewrite(
         spark, path, base_version, before, tok, set(live) - replaced
     )
@@ -948,16 +995,14 @@ def cow_compact_partition(
     compact."""
     base_version = _cow_base_version(spark, path)
     live = _manifest_files(spark, path, base_version)
-    frags = [f for f in live if f.split("/")[0] == partition]
+    frags = [f for f in live if _entry_day_dir(f) == partition]
     if len(frags) < 2:
         return {"version": base_version, "files_compacted": 0}
     from .table import LOG_COLUMNS
 
     rows = _restore_promotions(
         spark, path,
-        spark.read.option("basePath", path)
-        .option("mergeSchema", "true")
-        .parquet(*[f"{path}/{f}" for f in frags])
+        _read_data_files(spark, path, frags)
         .select(PARTITION_COLUMN, *LOG_COLUMNS),
     )
     # same crash journal + race validation as cow_delete_where
@@ -1058,13 +1103,96 @@ def restore_snapshot(spark: SparkSession, path: str, version: int) -> int:
         )
     fs, hpath_cls, _ = _hadoop_fs(spark, path)
     files = _manifest_files(spark, path, version)
-    missing = [f for f in files if not fs.exists(hpath_cls(f"{path}/{f}"))]
+    missing = [
+        f for f in files
+        if not fs.exists(hpath_cls(_entry_path(path, f)))
+    ]
     if missing:
         raise FileNotFoundError(
             f"cannot restore v{version}: files already vacuumed "
             f"{missing[:3]}{'...' if len(missing) > 3 else ''}"
         )
     return publish_snapshot(spark, path, files)
+
+
+CLONE_MARKER = f"{MANIFEST_DIR}/clone.json"
+
+
+def shallow_clone(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    version: int | None = None,
+) -> dict:
+    """Delta-style SHALLOW CLONE: create a new table at ``dst`` whose
+    first manifest REFERENCES the source's data files by absolute path —
+    zero bytes of data copied, one metadata write, done in O(#files)
+    driver work at any table size. The clone then lives independently:
+    appends land as its own local files, COW delete/update/merge/compact
+    rewrite the touched days locally and drop the absolute references
+    from the manifest (the SOURCE bytes are never modified or deleted —
+    vacuum on the clone only ever reclaims clone-local files, because it
+    intersects candidates with the clone's own listing).
+
+    Cloning pins the source's CURRENT state: the files of its latest
+    manifest (or ``version``) plus, for the latest, any committed
+    unmanifested appends — without publishing anything on the source
+    (a clone must not mutate its origin). The source's layout marker is
+    copied so maintenance jobs preserve the physical sort contract, and
+    a ``_manifest/clone.json`` provenance marker records the origin.
+
+    The documented Delta caveat applies: a VACUUM or in-place rewrite on
+    the SOURCE can remove files a clone still references —
+    :func:`fsck` on the clone reports them missing, reads raise.
+    Refuses to clone onto an existing table (dst must have no
+    manifests). Returns {"version", "n_files", "n_ref_files", "source",
+    "source_version"}."""
+    from .table import LAYOUT_MARKER, read_layout, _write_layout_marker
+
+    fs, hpath_cls, _ = _hadoop_fs(spark, src)
+    src_versions = snapshot_versions(spark, src)
+    if not src_versions:
+        raise FileNotFoundError(
+            f"shallow_clone: no snapshots published under {src}"
+        )
+    if fs.exists(hpath_cls(f"{src}/{REWRITE_MARKER}")):
+        raise ConcurrentRewriteError(
+            f"shallow_clone({src}) refused: a COW rewrite is in progress "
+            "on the source; its survivor set is not yet committed"
+        )
+    if snapshot_versions(spark, dst):
+        raise FileExistsError(
+            f"shallow_clone: {dst} already has published snapshots"
+        )
+    src_version = src_versions[-1] if version is None else version
+    if src_version not in src_versions:
+        raise FileNotFoundError(
+            f"snapshot v{src_version} not found in {src_versions}"
+        )
+    files = list(_manifest_files(spark, src, src_version))
+    if version is None:
+        # committed appends newer than the source's last publish belong
+        # to its current state; reference them too (no source mutation)
+        files += sorted(_unmanifested_files(spark, src))
+    refs = [_entry_path(src, f) for f in files]
+    missing = [r for r in refs if not fs.exists(hpath_cls(r))]
+    if missing:
+        raise FileNotFoundError(
+            f"shallow_clone: source files missing {missing[:3]}"
+        )
+    _write_layout_marker(spark, dst, read_layout(spark, src))
+    v = publish_snapshot(spark, dst, refs)
+    _write_small_json(
+        fs, hpath_cls, dst, CLONE_MARKER,
+        {"source": src, "source_version": src_version, "n_files": len(refs)},
+    )
+    return {
+        "version": v,
+        "n_files": len(refs),
+        "n_ref_files": sum(1 for r in refs if _is_abs_entry(r)),
+        "source": src,
+        "source_version": src_version,
+    }
 
 
 def read_logs_at(
@@ -1120,10 +1248,22 @@ def fsck(spark: SparkSession, path: str) -> dict:
     versions = snapshot_versions(spark, path)
     on_disk = set(_list_data_files(fs, root, hpath_cls))
     per_version = {v: set(_manifest_files(spark, path, v)) for v in versions}
+    # absolute (clone) entries live outside the listing — each gets its
+    # own existence probe, cached across versions (a vacuumed SOURCE is
+    # exactly the corruption this must surface, the Delta CLONE caveat)
+    abs_ok: dict[str, bool] = {}
+
+    def _gone(f: str) -> bool:
+        if not _is_abs_entry(f):
+            return f not in on_disk
+        if f not in abs_ok:
+            abs_ok[f] = bool(fs.exists(hpath_cls(f)))
+        return not abs_ok[f]
+
     missing = {
-        v: sorted(refs - on_disk)
+        v: sorted(f for f in refs if _gone(f))
         for v, refs in per_version.items()
-        if refs - on_disk
+        if any(_gone(f) for f in refs)
     }
     manifested = set().union(*per_version.values()) if per_version else set()
     latest_refs = per_version[versions[-1]] if versions else set()

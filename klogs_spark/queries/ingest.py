@@ -2145,6 +2145,79 @@ FROM ev WHERE pod <> 'pod-7' GROUP BY 2
 """
 
 
+def q_table_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-style SHALLOW CLONE end-to-end (manifest.shallow_clone):
+    write week 1 → snapshot v1 → clone by absolute reference (ZERO data
+    files under the clone root — the externally checked invariant row
+    pins local-file count 0) → COW-delete pod-7 ON THE CLONE. Four
+    recomputed facts: the clone head excludes pod-7 per day, the clone's
+    pinned v1 still serves the FULL source state through the absolute
+    references, the SOURCE head still holds every row (the rewrite never
+    touched source bytes), and the pre-rewrite clone directory held no
+    data files at all. A clone that copied data, a rewrite that leaked
+    into the source, or a reference lost anywhere breaks the hash."""
+    import tempfile
+
+    from ..manifest import (
+        _list_data_files,
+        cow_delete_where,
+        publish_snapshot,
+        read_logs_at,
+        shallow_clone,
+    )
+    from ..table import _hadoop_fs, write_logs
+    from ..views import derive_logs_from_events
+
+    logs = derive_logs_from_events(spark, sf_dir).filter(
+        F.col("timestamp") < TT_CUT_V1
+    )
+    base = tempfile.mkdtemp(prefix="klogs-clone-")
+    src, dst = f"{base}/src", f"{base}/clone"
+    write_logs(logs, src)
+    v1 = publish_snapshot(spark, src)
+    cres = shallow_clone(spark, src, dst)
+    fs, hp, root = _hadoop_fs(spark, dst)
+    n_local_before = len(_list_data_files(fs, root, hp))
+    dres = cow_delete_where(spark, dst, F.col("pod_name") == "pod-7")
+
+    def per_day(df, kind):
+        return df.groupBy(
+            F.lit(kind).alias("kind"),
+            F.col("date").cast("string").alias("dim"),
+        ).agg(F.count(F.lit(1)).alias("cnt"))
+
+    head = per_day(read_logs_at(spark, dst, dres["version"]), "clone_head")
+    pinned = per_day(
+        read_logs_at(spark, dst, cres["version"]), "clone_pinned_v1"
+    )
+    source = per_day(read_logs_at(spark, src, v1), "source_head")
+    invariant = spark.createDataFrame(
+        [("invariant", "clone_local_files_before", n_local_before)],
+        "kind string, dim string, cnt long",
+    )
+    return head.unionByName(pinned).unionByName(source).unionByName(invariant)
+
+
+SQL_TABLE_SHALLOW_CLONE = f"""
+WITH ev AS (
+  SELECT CAST(ts AS DATE) AS d,
+         'pod-' || CAST(user_id % 50 AS VARCHAR) AS pod
+  FROM events WHERE ts < TIMESTAMP '{TT_CUT_V1} 00:00:00'
+)
+SELECT 'clone_head' AS kind, CAST(d AS VARCHAR) AS dim,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM ev WHERE pod <> 'pod-7' GROUP BY 2
+UNION ALL
+SELECT 'clone_pinned_v1', CAST(d AS VARCHAR), CAST(count(*) AS BIGINT)
+FROM ev GROUP BY 2
+UNION ALL
+SELECT 'source_head', CAST(d AS VARCHAR), CAST(count(*) AS BIGINT)
+FROM ev GROUP BY 2
+UNION ALL
+SELECT 'invariant', 'clone_local_files_before', CAST(0 AS BIGINT)
+"""
+
+
 # streaming-upsert windows: batch 2's update range OVERLAPS batch 1's, so
 # last-writer-wins across micro-batches is part of the external check
 SUP_V2_FROM, SUP_V2_TO = "2024-01-03 00:00:00", "2024-01-03 06:00:00"
@@ -3170,6 +3243,12 @@ SPECS = {
         "Delta-style RESTORE: old snapshot republished as head (one "
         "manifest write); undo feed = net reversal, bad version still "
         "pinnable"),
+    "table_shallow_clone": QuerySpec(
+        q_table_shallow_clone, SQL_TABLE_SHALLOW_CLONE,
+        "Delta-style shallow clone: absolute-reference manifest (zero "
+        "local data files — invariant row), COW delete on the clone "
+        "leaves the source byte-identical, pinned clone v1 serves the "
+        "full source state"),
     "stream_snapshot_cdc": QuerySpec(
         q_stream_snapshot_cdc, SQL_STREAM_SNAPSHOT_CDC,
         "per-micro-batch snapshot publish in foreachBatch; CDC between "

@@ -2381,3 +2381,114 @@ def test_timestamp_as_of_resolves_latest_commit_at_or_before(
     t_legacy = snapshot_commit_times(spark, path)[v1]
     assert t_legacy > 0  # file mtime, still resolvable
     assert version_as_of(spark, path, max(t_legacy, times[v2])) == v2
+
+
+def test_shallow_clone_zero_copy_reads_and_independent_cow(spark, tmp_path):
+    """Delta-style shallow clone: the clone's first manifest references
+    the source's files absolutely (zero data copied), reads are
+    byte-identical, a COW delete on the clone rewrites locally without
+    touching one source byte, and vacuum on the clone can never reclaim
+    source files."""
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from klogs_spark.manifest import (
+        cow_delete_where,
+        fsck,
+        publish_snapshot,
+        read_snapshot,
+        shallow_clone,
+        snapshot_versions,
+        vacuum,
+    )
+    from klogs_spark.table import write_logs
+    from klogs_spark.views import derive_logs_from_events
+
+    logs = derive_logs_from_events(spark, "/root/testdata/sf0.001").filter(
+        F.col("timestamp") < "2024-01-04"
+    )
+    src = str(tmp_path / "src")
+    write_logs(logs, src)
+    publish_snapshot(spark, src)
+    n_total = logs.count()
+
+    dst = str(tmp_path / "clone")
+    res = shallow_clone(spark, src, dst)
+    assert res["version"] == 1 and res["n_ref_files"] == res["n_files"] > 0
+
+    # zero copy: the clone directory holds no parquet at all
+    assert not list(Path(dst).rglob("*.parquet"))
+    # reads are identical, partition column included
+    a = sorted(map(tuple, read_snapshot(spark, src).collect()))
+    b = sorted(map(tuple, read_snapshot(spark, dst).collect()))
+    assert a == b and len(a) == n_total
+    assert fsck(spark, dst)["ok"]
+
+    # COW delete on the CLONE: local survivors, source untouched
+    src_bytes = {
+        p: p.stat().st_mtime_ns for p in Path(src).rglob("*.parquet")
+    }
+    n_pod7 = logs.filter("pod_name = 'pod-7'").count()
+    assert n_pod7 > 0
+    dres = cow_delete_where(spark, dst, F.col("pod_name") == "pod-7")
+    assert dres["rows_deleted"] == n_pod7
+    assert read_snapshot(spark, dst).count() == n_total - n_pod7
+    # pinned v1 on the clone still serves the full source state
+    assert read_snapshot(spark, dst, 1).count() == n_total
+    # source bytes identical, source head unchanged
+    assert {
+        p: p.stat().st_mtime_ns for p in Path(src).rglob("*.parquet")
+    } == src_bytes
+    assert read_snapshot(spark, src).count() == n_total
+
+    # vacuum on the clone reclaims nothing of the source (absolute refs
+    # never intersect the clone's own listing)
+    vres = vacuum(spark, dst, keep_versions=1)
+    assert {
+        p: p.stat().st_mtime_ns for p in Path(src).rglob("*.parquet")
+    } == src_bytes
+    assert read_snapshot(spark, dst).count() == n_total - n_pod7
+    assert snapshot_versions(spark, dst) == [dres["version"]]
+
+
+def test_shallow_clone_guards_and_source_vacuum_caveat(spark, tmp_path):
+    """Clone refuses existing destinations and unsnapshotted sources;
+    fsck on a clone surfaces source-side file loss (the documented
+    Delta CLONE caveat) as missing entries."""
+    import pytest as _pytest
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from klogs_spark.manifest import (
+        fsck,
+        publish_snapshot,
+        read_snapshot,
+        shallow_clone,
+    )
+    from klogs_spark.table import write_logs
+    from klogs_spark.views import derive_logs_from_events
+
+    logs = derive_logs_from_events(spark, "/root/testdata/sf0.001").filter(
+        F.col("timestamp") < "2024-01-03"
+    )
+    src = str(tmp_path / "src")
+    with _pytest.raises(FileNotFoundError):
+        shallow_clone(spark, src, str(tmp_path / "c0"))  # no snapshots
+    write_logs(logs, src)
+    publish_snapshot(spark, src)
+    dst = str(tmp_path / "c1")
+    shallow_clone(spark, src, dst)
+    with _pytest.raises(FileExistsError):
+        shallow_clone(spark, src, dst)  # already a table
+
+    # source-side loss: delete one source file behind the clone's back
+    victim = next(iter(Path(src).rglob("*.parquet")))
+    victim.unlink()
+    rep = fsck(spark, dst)
+    assert not rep["ok"]
+    assert any(str(victim) in fs for fss in rep["missing"].values()
+               for fs in fss)
+    with _pytest.raises(FileNotFoundError):
+        read_snapshot(spark, dst).collect()

@@ -1822,7 +1822,13 @@ def lm_trigram_backoff_scores(
     base = docs.select(
         F.col(id_col).cast("long").alias("id"), toks.alias("t")
     )
-    tri = base.select(
+    # slice(t, 1, size-2) REJECTS negative lengths, so docs shorter than
+    # the n-gram order must be filtered out, not just yield empty arrays
+    # (review-found: a 1-token doc crashed the whole query instead of
+    # being omitted). The oracle's generate_series+WHERE form skips them
+    # naturally — these filters keep both engines scoring the same docs.
+    base3 = base.filter(F.size("t") >= 3)
+    tri = base3.select(
         "id",
         F.explode(
             F.arrays_zip(
@@ -1837,7 +1843,8 @@ def lm_trigram_backoff_scores(
     )
     train = base.filter(F.col("id") % train_mod == 0)
     tri_t = (
-        train.select(
+        train.filter(F.size("t") >= 3)
+        .select(
             F.explode(
                 F.arrays_zip(
                     F.expr("slice(t, 1, size(t) - 2)").alias("a"),
@@ -1853,7 +1860,8 @@ def lm_trigram_backoff_scores(
         .agg(F.count(F.lit(1)).alias("c_abc"))
     )
     bi_t = (
-        train.select(
+        train.filter(F.size("t") >= 2)
+        .select(
             F.explode(
                 F.arrays_zip(
                     F.expr("slice(t, 1, size(t) - 1)").alias("a"),

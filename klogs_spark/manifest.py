@@ -169,7 +169,14 @@ def publish_snapshot(
     protect it from the loser's cleanup — double-counted rows, found by
     the r12 race tests). Retry after the rewrite completes, or run
     :func:`recover_incomplete_rewrite` if it crashed. Explicit-files
-    publishes are unaffected (the caller states exactly what commits)."""
+    publishes are unaffected (the caller states exactly what commits).
+
+    Listing mode also CARRIES FORWARD the head manifest's absolute
+    (shallow-clone) entries: a directory walk only sees clone-local
+    files, so without the fold a plain ``publish_snapshot`` after an
+    append on a clone would silently drop every source reference from
+    the new head (review-found data loss). Absolute entries leave the
+    head only through COW rewrites, which publish explicit lists."""
     fs, hpath_cls, root = _hadoop_fs(spark, path)
     if files is None:
         def _refuse_if_rewrite_live() -> None:
@@ -184,6 +191,16 @@ def publish_snapshot(
 
         _refuse_if_rewrite_live()
         files = _list_data_files(fs, root, hpath_cls)
+        head = (snapshot_versions(spark, path) or [None])[-1]
+        if head is not None:
+            files = sorted(
+                set(files)
+                | {
+                    f
+                    for f in _manifest_files(spark, path, head)
+                    if _is_abs_entry(f)
+                }
+            )
         # re-check AFTER the listing: a rewrite that claimed the journal
         # while we were walking the directory may already have appended
         # survivor files into our listing (the same TOCTOU the r13 atomic
@@ -1149,6 +1166,13 @@ def shallow_clone(
     "source_version"}."""
     from .table import LAYOUT_MARKER, read_layout, _write_layout_marker
 
+    # a RELATIVE source would produce entries that fail _is_abs_entry and
+    # later resolve against the CLONE root (review-found: every read of
+    # the clone then raises) — qualify scheme-less paths up front
+    if "://" not in src:
+        import os
+
+        src = os.path.abspath(src)
     fs, hpath_cls, _ = _hadoop_fs(spark, src)
     src_versions = snapshot_versions(spark, src)
     if not src_versions:

@@ -136,11 +136,25 @@ def instrument_logger(
     receives, including Info lines (logger.go:61 runs before level-based
     drop-off is even possible — slog handlers see what the logger emits).
     Python's root default is WARNING, which would silently starve the
-    ``logs_total{level="INFO"}`` series, so when the engine logger has no
-    explicit level of its own we pin it to INFO here; an operator-set
-    level (anything non-NOTSET) is respected."""
+    ``logs_total{level="INFO"}`` series, so we pin the logger to INFO —
+    but ONLY when nothing in its ancestor chain was configured: an
+    explicit level on the logger itself, on any parent namespace (an
+    operator quieting ``klogs_spark`` must also quiet
+    ``klogs_spark.engine``), or on the root logger is respected."""
     logger = logging.getLogger(name)
-    if logger.level == logging.NOTSET:
+    configured = False
+    node: logging.Logger | None = logger
+    while node is not None:
+        if node is logging.root:
+            # the root's WARNING is the stock default; any other value
+            # was set by an operator
+            configured = configured or node.level != logging.WARNING
+            break
+        if node.level != logging.NOTSET:
+            configured = True
+            break
+        node = node.parent if isinstance(node.parent, logging.Logger) else None
+    if not configured:
         logger.setLevel(logging.INFO)
     for h in logger.handlers:
         if isinstance(h, SelfLogCounterHandler) and h.metrics is metrics:

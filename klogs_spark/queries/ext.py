@@ -1411,8 +1411,6 @@ def q_multimodal_audio_zcr(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame({"media_id": b["doc_id"], "payload": payloads})
 
-    import pandas as pd  # noqa: F401  (closure import for the kernel)
-
     media = docs.repartition(F.col("doc_id")).mapInPandas(
         _synth, schema="media_id long, payload binary"
     )

@@ -467,8 +467,25 @@ def test_self_log_counter_sees_info_without_explicit_level():
     quiet.error("kept")
     assert m2.logs_total == {"ERROR": 1}
 
-    for n in ("klogs_spark.test_selflog_info", "klogs_spark.test_selflog_quiet"):
+    # a level configured on a PARENT namespace is respected too: quieting
+    # 'klogs_spark.quietparent' must quiet its children (review-found:
+    # the NOTSET check on the child alone overrode the operator's choice)
+    m3 = IngestMetrics()
+    parent = logging.getLogger("klogs_spark.quietparent")
+    parent.setLevel(logging.ERROR)
+    child = instrument_logger(m3, name="klogs_spark.quietparent.engine")
+    assert child.level == logging.NOTSET  # not pinned
+    child.info("dropped")
+    child.error("kept")
+    assert m3.logs_total == {"ERROR": 1}
+
+    for n in (
+        "klogs_spark.test_selflog_info",
+        "klogs_spark.test_selflog_quiet",
+        "klogs_spark.quietparent.engine",
+    ):
         logging.getLogger(n).handlers.clear()
+    logging.getLogger("klogs_spark.quietparent").setLevel(logging.NOTSET)
 
 
 def test_self_log_counter_served_over_http_and_listener_error_logs():
@@ -1769,3 +1786,19 @@ def test_gopher_rules_each_rule_and_plan_shape(spark):
 
     plan = gopher_rules(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_trigram_backoff_omits_short_docs_instead_of_crashing(spark):
+    """Review-found: slice(t, 1, size-2) rejects negative lengths, so a
+    corpus containing empty/1-token/2-token documents crashed the whole
+    query. Docs below the n-gram order must simply be omitted — the
+    docstring's contract and what the oracle's generate_series form does."""
+    from klogs_spark.ext.text import lm_trigram_backoff_scores
+
+    df = spark.createDataFrame(
+        [(0, ""), (1, "one"), (2, "two words"), (3, "three word doc"),
+         (4, "a b c d e"), (5, "a b c d e")],
+        "doc_id long, text string",
+    )
+    rows = {r.id for r in lm_trigram_backoff_scores(df).collect()}
+    assert rows == {3, 4, 5}

@@ -2452,6 +2452,54 @@ def test_shallow_clone_zero_copy_reads_and_independent_cow(spark, tmp_path):
     assert snapshot_versions(spark, dst) == [dres["version"]]
 
 
+def test_shallow_clone_append_publish_carries_refs_and_rel_src(
+    spark, tmp_path, monkeypatch
+):
+    """Review-found pair: (1) a plain listing-mode publish_snapshot after
+    an append on a clone must CARRY FORWARD the head's absolute source
+    references (the walk only sees local files — without the fold every
+    source row silently vanished from the new head); (2) a RELATIVE
+    source path must be qualified, or the entries fail _is_abs_entry and
+    every later read of the clone breaks."""
+    from pyspark.sql import functions as F
+
+    from klogs_spark.manifest import (
+        publish_snapshot,
+        read_snapshot,
+        shallow_clone,
+    )
+    from klogs_spark.table import write_logs
+    from klogs_spark.views import derive_logs_from_events
+
+    logs = derive_logs_from_events(spark, "/root/testdata/sf0.001").filter(
+        F.col("timestamp") < "2024-01-03"
+    )
+    src = str(tmp_path / "src")
+    write_logs(logs, src)
+    publish_snapshot(spark, src)
+    n_src = logs.count()
+
+    dst = str(tmp_path / "clone")
+    shallow_clone(spark, src, dst)
+    extra = derive_logs_from_events(spark, "/root/testdata/sf0.001").filter(
+        (F.col("timestamp") >= "2024-01-03")
+        & (F.col("timestamp") < "2024-01-04")
+    )
+    n_extra = extra.count()
+    assert n_extra > 0
+    write_logs(extra, dst, mode="append")
+    v = publish_snapshot(spark, dst)  # the standard commit verb
+    assert read_snapshot(spark, dst, v).count() == n_src + n_extra
+    assert read_snapshot(spark, src).count() == n_src
+
+    # relative source: clone from inside tmp_path using a bare name
+    monkeypatch.chdir(tmp_path)
+    rel_dst = str(tmp_path / "clone_rel")
+    res = shallow_clone(spark, "src", rel_dst)
+    assert res["n_ref_files"] == res["n_files"] > 0
+    assert read_snapshot(spark, rel_dst).count() == n_src
+
+
 def test_shallow_clone_guards_and_source_vacuum_caveat(spark, tmp_path):
     """Clone refuses existing destinations and unsnapshotted sources;
     fsck on a clone surfaces source-side file loss (the documented

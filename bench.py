@@ -79,6 +79,16 @@ HEADLINE = [
     # cost is tracked per round from the start.
     "text_bpe_tokenize",
     "text_classifier_score",
+    # round-15: the trigram stupid-backoff LM (three corpus n-gram
+    # explodes reducing through vocab-sized count tables — the heaviest
+    # text scorer, tracked from the start), the Gopher rule battery
+    # (row-local zero-shuffle projection — its cost IS the corpus scan
+    # floor, a useful per-round calibration of the text read path), and
+    # shot-boundary detection (full AVI demux + per-frame JPEG decode +
+    # per-video window — the video-decode hot path).
+    "text_lm_trigram_backoff",
+    "text_gopher_rules",
+    "multimodal_video_scene_cuts",
     # round-13 (VERDICT r12 #5): the two green-but-unmeasured query-time
     # paths. ivfpq_rerank = the prebuilt ADC search + an R-row (R=40)
     # broadcast-semi exact re-rank — expected ≈ ann_ivfpq_prebuilt plus a

@@ -2450,6 +2450,112 @@ LEFT JOIN obs o ON g.event_type = o.event_type AND g.hour = o.hour
 """
 
 
+def q_events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection over the hourly event-count series —
+    the classic sequential drift detector (Page 1954), the alerting
+    family's entry beyond the existing z-score/MAD/seasonal anomaly
+    queries: per event_type, the one-sided CUSUM statistic
+    S_t = max(0, S_{t-1} + x_t - k) with integer allowance k just above
+    the series mean, alarm when S_t exceeds h = 3k.
+
+    The recursion is NOT a window primitive, but the prefix identity
+    S_t = P_t - min(0, min_{j<=t} P_j) (P = running sum of x - k) turns
+    it into two ordinary cumulative windows — running sum + running min
+    — partitioned PER SERIES over the bounded calendar grid, so nothing
+    global is ever sorted and every value stays an exact integer.
+    Returns per type: n_hours, k, n_alarms, first_alarm (timestamp,
+    NULL when never), max_stat."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        (F.col("ts") >= GAPFILL_T0) & (F.col("ts") <= GAPFILL_T1)
+    )
+    obs = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n_obs"))
+    hours = spark.sql(
+        f"SELECT explode(sequence(timestamp'{GAPFILL_T0}', "
+        f"timestamp'{GAPFILL_T1}', interval 1 hour)) AS hour"
+    )
+    grid = obs.select("event_type").distinct().crossJoin(F.broadcast(hours))
+    x = grid.join(obs, ["event_type", "hour"], "left").select(
+        "event_type", "hour",
+        F.coalesce("n_obs", F.lit(0)).cast("long").alias("n"),
+    )
+    kd = x.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        (F.expr("sum(n) div count(*)") + 1).cast("long").alias("k"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p = x.join(kd, "event_type").withColumn(
+        "pp", F.sum(F.col("n") - F.col("k")).over(w)
+    )
+    s = p.withColumn(
+        "stat",
+        F.col("pp") - F.least(F.lit(0).cast("long"), F.min("pp").over(w)),
+    )
+    alarm = F.col("stat") > 3 * F.col("k")
+    return s.groupBy("event_type").agg(
+        F.max("n_hours").alias("n_hours"),
+        F.max("k").alias("k"),
+        F.sum(alarm.cast("long")).cast("bigint").alias("n_alarms"),
+        F.min(F.when(alarm, F.col("hour"))).alias("first_alarm"),
+        F.max("stat").cast("bigint").alias("max_stat"),
+    )
+
+
+SQL_EVENTS_CUSUM_CHANGEPOINT = f"""
+WITH filt AS (
+  SELECT * FROM events
+  WHERE ts >= TIMESTAMP '{GAPFILL_T0}' AND ts <= TIMESTAMP '{GAPFILL_T1}'
+),
+obs AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(count(*) AS BIGINT) AS n_obs
+  FROM filt GROUP BY 1, 2
+),
+grid AS (
+  SELECT s.event_type, h.hour
+  FROM (SELECT DISTINCT event_type FROM filt) s,
+       generate_series(TIMESTAMP '{GAPFILL_T0}', TIMESTAMP '{GAPFILL_T1}',
+                       INTERVAL 1 HOUR) AS h(hour)
+),
+x AS (
+  SELECT g.event_type, g.hour, coalesce(o.n_obs, 0) AS n
+  FROM grid g LEFT JOIN obs o
+    ON g.event_type = o.event_type AND g.hour = o.hour
+),
+kd AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+         CAST(sum(n) // count(*) + 1 AS BIGINT) AS k
+  FROM x GROUP BY 1
+),
+p AS (
+  SELECT x.event_type, x.hour, x.n, kd.n_hours, kd.k,
+         sum(x.n - kd.k) OVER (
+           PARTITION BY x.event_type ORDER BY x.hour
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp
+  FROM x JOIN kd USING (event_type)
+),
+s AS (
+  SELECT *, pp - least(0, min(pp) OVER (
+           PARTITION BY event_type ORDER BY hour
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS stat
+  FROM p
+)
+SELECT event_type,
+       CAST(max(n_hours) AS BIGINT) AS n_hours,
+       CAST(max(k) AS BIGINT) AS k,
+       CAST(sum(CASE WHEN stat > 3 * k THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_alarms,
+       min(CASE WHEN stat > 3 * k THEN hour END) AS first_alarm,
+       CAST(max(stat) AS BIGINT) AS max_stat
+FROM s GROUP BY 1
+"""
+
+
 def q_events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Max concurrent sessions per day — the ops "how many users were on
     at once" gauge. Sessions are the 30-minute-gap sessionize intervals;
@@ -2718,6 +2824,11 @@ SPECS = {
         q_events_counter_rate, SQL_EVENTS_COUNTER_RATE,
         "reset-aware counter rate (PromQL increase): sampled cumulative "
         "counters differenced with restart correction"),
+    "events_cusum_changepoint": QuerySpec(
+        q_events_cusum_changepoint, SQL_EVENTS_CUSUM_CHANGEPOINT,
+        "CUSUM drift detection (Page 1954) per event-type hourly series: "
+        "the max-recursion as two cumulative windows via the prefix "
+        "identity, integer allowance/threshold, per-series partitions"),
     "events_gapfill_locf": QuerySpec(
         q_events_gapfill_locf, SQL_EVENTS_GAPFILL_LOCF,
         "hourly downsample with calendar gap fill + LOCF carry-forward "

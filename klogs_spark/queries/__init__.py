@@ -165,19 +165,8 @@ DRIVER_VERIFIED: dict = {
     "logs_value_percentiles": "bcdd9b0d3e65",
     "logs_volume_anomaly_mad": "386862e78199",
     "logs_window_5m": "00f54511d538",
-    "multimodal_audio_fingerprint": "dac18648e03b",
-    "multimodal_audio_stats": "978feac692ad",
-    "multimodal_dimensions": "4156ee77b4ba",
     "multimodal_features": "6251489a260f",
     "multimodal_frame_sample": "8fb1e20b5103",
-    "multimodal_gif_stats": "f76b316b9495",
-    "multimodal_image_dhash": "13f9b56f56dd",
-    "multimodal_image_resize": "546c07abad94",
-    "multimodal_image_stats": "5b6919526e38",
-    "multimodal_jpeg_stats": "a2be23c4eb85",
-    "multimodal_jpeg_subsampled": "8e1c6174e0c0",
-    "multimodal_transcode": "5acb6751b4f8",
-    "multimodal_video_mjpeg": "ebe0d857f2ad",
     "pipeline_budget_threshold": "2c592c21840e",
     "pipeline_dsir_select": "f0d28fda7428",
     "pipeline_pretrain_prep": "60209e874d2d",

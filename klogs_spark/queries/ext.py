@@ -1166,6 +1166,20 @@ FROM powered
 """
 
 
+
+def _fan_out_media(docs: DataFrame) -> DataFrame:
+    """Partition an id list for an expensive Arrow-batched media kernel.
+    A plain ``repartition(col)`` here is a trap: the id shuffle is a few
+    KB, so AQE's size-based coalescing folds it to ONE partition and the
+    whole synth/decode pipeline runs serially (measured 4.6s vs sub-
+    second at sf0.1). An explicitly NUMBERED repartition pins the
+    fan-out — AQE never coalesces user-numbered exchanges — sized to the
+    session's scheduling width (defaultParallelism = executor cores on a
+    real cluster), which is exactly the width the Python kernels need
+    regardless of how small the id column is."""
+    n = docs.sparkSession.sparkContext.defaultParallelism
+    return docs.repartition(n, F.col("doc_id"))
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents.text bytes as opaque media payloads -> mapInPandas feature
     extraction (the stub-backed multimodal plumbing, ext.multimodal)."""
@@ -1237,7 +1251,7 @@ def q_multimodal_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"media_id": b["doc_id"], "kind": kinds, "payload": payloads}
             )
 
-    media = docs.repartition(F.col("doc_id")).mapInPandas(
+    media = _fan_out_media(docs).mapInPandas(
         _synth, schema="media_id long, kind string, payload binary"
     )
     meta = mm.extract_media_metadata(media)
@@ -1331,7 +1345,7 @@ def q_multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFram
                 )
             yield pd.DataFrame({"media_id": b["doc_id"], "payload": payloads})
 
-    media = docs.repartition(F.col("doc_id")).mapInPandas(
+    media = _fan_out_media(docs).mapInPandas(
         _synth, schema="media_id long, payload binary"
     )
     per = mm.audio_energy_fingerprint(media)
@@ -1411,7 +1425,7 @@ def q_multimodal_audio_zcr(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame({"media_id": b["doc_id"], "payload": payloads})
 
-    media = docs.repartition(F.col("doc_id")).mapInPandas(
+    media = _fan_out_media(docs).mapInPandas(
         _synth, schema="media_id long, payload binary"
     )
     return mm.audio_zero_crossings(media)
@@ -1476,7 +1490,7 @@ def q_multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame({"media_id": b["doc_id"], "payload": payloads})
 
-    media = docs.repartition(F.col("doc_id")).mapInPandas(
+    media = _fan_out_media(docs).mapInPandas(
         _synth, schema="media_id long, payload binary"
     )
     return mm.audio_sample_stats(media)
@@ -1525,7 +1539,7 @@ def q_multimodal_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             payloads = [mm.synth_png_rgb(i % 7, 18, 16) for i in ids]
             yield pd.DataFrame({"media_id": b["doc_id"], "payload": payloads})
 
-    media = docs.repartition(F.col("doc_id")).mapInPandas(
+    media = _fan_out_media(docs).mapInPandas(
         _synth, schema="media_id long, payload binary"
     )
     per_image = mm.image_dhash(media)
@@ -1614,7 +1628,7 @@ def q_multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
             yield pd.DataFrame({"media_id": b["doc_id"], "payload": payloads})
 
-    media = docs.repartition(F.col("doc_id")).mapInPandas(
+    media = _fan_out_media(docs).mapInPandas(
         _synth, schema="media_id long, payload binary"
     )
     return mm.image_pixel_stats(media)
@@ -1677,7 +1691,7 @@ def q_multimodal_video_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payloads.append(mm.synth_avi_mjpeg(frames, w, h))
             yield pd.DataFrame({"media_id": b["doc_id"], "payload": payloads})
 
-    media = docs.repartition(F.col("doc_id")).mapInPandas(
+    media = _fan_out_media(docs).mapInPandas(
         _synth, schema="media_id long, payload binary"
     )
     return mm.video_frame_pixel_stats(media)
@@ -1754,7 +1768,7 @@ def q_multimodal_video_scene_cuts(
                 payloads.append(mm.synth_avi_mjpeg(frames, w, h))
             yield pd.DataFrame({"media_id": b["doc_id"], "payload": payloads})
 
-    media = docs.repartition(F.col("doc_id")).mapInPandas(
+    media = _fan_out_media(docs).mapInPandas(
         _synth, schema="media_id long, payload binary"
     )
     return mm.video_scene_cuts(
@@ -1856,7 +1870,7 @@ def q_multimodal_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             payloads = [mm.synth_jpeg_gray_blocks(i) for i in ids]
             yield pd.DataFrame({"media_id": b["doc_id"], "payload": payloads})
 
-    media = docs.repartition(F.col("doc_id")).mapInPandas(
+    media = _fan_out_media(docs).mapInPandas(
         _synth, schema="media_id long, payload binary"
     )
     return mm.image_pixel_stats(media)
@@ -1936,7 +1950,7 @@ def q_multimodal_jpeg_subsampled(spark: SparkSession, sf_dir: str) -> DataFrame:
             payloads = [mm.synth_jpeg_rgb_tiles_420(i) for i in ids]
             yield pd.DataFrame({"media_id": b["doc_id"], "payload": payloads})
 
-    media = docs.repartition(F.col("doc_id")).mapInPandas(
+    media = _fan_out_media(docs).mapInPandas(
         _synth, schema="media_id long, payload binary"
     )
     return mm.image_pixel_stats(media)
@@ -2018,7 +2032,7 @@ def q_multimodal_gif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
             yield pd.DataFrame({"media_id": b["doc_id"], "payload": payloads})
 
-    media = docs.repartition(F.col("doc_id")).mapInPandas(
+    media = _fan_out_media(docs).mapInPandas(
         _synth, schema="media_id long, payload binary"
     )
     return mm.image_pixel_stats(media)
@@ -2083,7 +2097,7 @@ def q_multimodal_transcode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payloads.append(mm.encode_png(W, H, resized, channels=1))
             yield pd.DataFrame({"media_id": b["doc_id"], "payload": payloads})
 
-    media = docs.repartition(F.col("doc_id")).mapInPandas(
+    media = _fan_out_media(docs).mapInPandas(
         _chain, schema="media_id long, payload binary"
     )
     return mm.image_pixel_stats(media)
@@ -2159,7 +2173,7 @@ def q_multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    media = docs.repartition(F.col("doc_id")).mapInPandas(
+    media = _fan_out_media(docs).mapInPandas(
         _synth, schema=mm.MEDIA_SCHEMA
     )
     resized = mm.resize_images(media, RESIZE_W, RESIZE_H)

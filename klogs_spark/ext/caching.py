@@ -71,3 +71,21 @@ def release_tracked() -> int:
             pass
     _TRACKED.clear()
     return n
+
+
+def key_parallel(df, *cols):
+    """Repartition by key columns at an EXPLICIT width
+    (defaultParallelism = executor cores on a real cluster).
+
+    The bare ``repartition(col)`` form is an AQE trap for CPU-bound
+    downstream work: when the shuffled bytes are small (an id list, or
+    even full documents at test scale), size-based coalescing folds the
+    exchange to one partition and the expensive explode/hash/decode
+    stage above it runs serially. AQE never coalesces user-NUMBERED
+    exchanges, so naming the width preserves the intent — "parallelize
+    past the input file count" — at every data size."""
+    from pyspark.sql import functions as F
+
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *[F.col(c) if isinstance(c, str) else c
+                               for c in cols])

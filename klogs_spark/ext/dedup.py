@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .caching import cache_tracked as _cache_tracked
+from .caching import key_parallel
 
 from .hashing import HASH_PRIME, md5_long, perm_params
 
@@ -88,9 +89,11 @@ def doc_shingles(df: DataFrame, text: str = "text", id_col: str = "doc_id",
     token filter just avoids shuffling doomed rows.)
     """
     return (
-        df.select(F.col(id_col).alias("id"), F.col(text).alias("t"))
-        .filter(F.size(tokens_col(F.col("t"))) >= n)
-        .repartition(F.col("id"))
+        key_parallel(
+            df.select(F.col(id_col).alias("id"), F.col(text).alias("t"))
+            .filter(F.size(tokens_col(F.col("t"))) >= n),
+            "id",
+        )
         .select("id", shingles_col(F.col("t"), n).alias("sh"))
         .select("id", F.explode("sh").alias("shingle"))
     )
@@ -479,8 +482,10 @@ def simhash(df: DataFrame, text: str = "text", id_col: str = "doc_id",
     partial-aggregated map-side. Returns (id, simhash).
     """
     toks = (
-        df.select(F.col(id_col).alias("id"), F.col(text).alias("t"))
-        .repartition(F.col("id"))  # parallelize past the input file count
+        key_parallel(
+            df.select(F.col(id_col).alias("id"), F.col(text).alias("t")),
+            "id",
+        )  # explicit width: parallelize past the input file count
         .select("id", F.explode(tokens_col(F.col("t"))).alias("tok"))
     )
     h = md5_long(F.col("tok"), chars=15)  # 60-bit token hash
@@ -658,7 +663,7 @@ def embedding_neardup_lsh(
         ]
     )
     buckets = (
-        v.repartition(F.col("id"))  # parallelize past the input file count
+        key_parallel(v, "id")  # explicit width past the input file count
         .select("id", F.explode(table_structs).alias("tb"))
         .select("id", "tb.table_id", "tb.bucket")
     )

@@ -371,9 +371,14 @@ def repetition_features(df: DataFrame, text_col: str = "text",
     id, corpus-size-linear. Returns (id, n_tokens, top_token_frac,
     top_bigram_frac, dup_trigram_frac), ratios rounded at 6.
     """
-    base = df.select(
-        F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("tk")
-    ).repartition(F.col("id"))
+    from .caching import key_parallel
+
+    base = key_parallel(
+        df.select(
+            F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("tk")
+        ),
+        "id",
+    )
 
     def gram_stats(n: int, out_prefix: str) -> DataFrame:
         grams = base.select(

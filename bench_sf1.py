@@ -178,6 +178,17 @@ def main() -> None:
         # replicas (within-replica structure preserved), so expect a
         # modest ratio (measured 1.56 at 10x output growth)
         ("dedup_winnowing_pairs", "documents"),
+        # r15: the trigram backoff LM triples the n-gram explode count of
+        # the bigram scorer and adds two more vocab-table joins — the
+        # claim is still corpus-linear through vocab-sized reductions
+        ("text_lm_trigram_backoff", "documents"),
+        # r15: the Gopher battery IS the text-scan floor (row-local,
+        # zero shuffles) — its ratio calibrates the corpus read path
+        ("text_gopher_rules", "documents"),
+        # r15: full AVI demux + per-frame JPEG decode + per-video window;
+        # the explicit fan-out (AQE-coalesce fix) is exactly what this
+        # measures at 10x
+        ("multimodal_video_scene_cuts", "documents"),
     ]
 
     results: dict = {}

@@ -86,6 +86,15 @@ def key_parallel(df, *cols):
     past the input file count" — at every data size."""
     from pyspark.sql import functions as F
 
-    n = df.sparkSession.sparkContext.defaultParallelism
+    spark = df.sparkSession
+    try:
+        configured = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):  # e.g. "auto" on some platforms
+        configured = 0
+    # FLOOR at core width, but never BELOW the configured shuffle width:
+    # a cluster sized with shuffle.partitions=2000 for its data volume
+    # must not have this helper cap the exchange at executor-core count
+    # (per-partition bytes would grow unboundedly with the corpus).
+    n = max(spark.sparkContext.defaultParallelism, configured)
     return df.repartition(n, *[F.col(c) if isinstance(c, str) else c
                                for c in cols])

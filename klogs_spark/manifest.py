@@ -72,6 +72,13 @@ def _list_data_files(fs, root, hpath_cls) -> list[str]:
     return sorted(files)
 
 
+import re as _re
+
+# Hadoop accepts both file:///x and the single-slash file:/x URI form —
+# recognize any scheme-prefixed path, not just '://'
+_URI_RE = _re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:/")
+
+
 def _is_abs_entry(f: str) -> bool:
     """Manifest entries are normally RELATIVE (``date=.../part-*.parquet``);
     a shallow clone (:func:`shallow_clone`) publishes ABSOLUTE entries
@@ -79,7 +86,20 @@ def _is_abs_entry(f: str) -> bool:
     Absolute entries are read-only references: vacuum never deletes them
     (it intersects with the local listing), COW rewrites drop them from
     the manifest without touching the source bytes."""
-    return f.startswith("/") or "://" in f
+    return f.startswith("/") or bool(_URI_RE.match(f))
+
+
+def _entry_exists(spark: SparkSession, fs, hpath_cls, path: str, f: str):
+    """Existence probe for a manifest entry. Absolute entries resolve
+    their OWN FileSystem from the entry URI — probing an s3a:// source
+    reference through a local clone's FS raises Wrong FS in
+    Path.checkPath, so the table's own handle only serves relative
+    entries."""
+    p = hpath_cls(_entry_path(path, f))
+    if _is_abs_entry(f):
+        efs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        return efs.exists(p)
+    return fs.exists(p)
 
 
 def _entry_path(path: str, f: str) -> str:
@@ -103,6 +123,11 @@ def _read_data_files(spark: SparkSession, path: str, files: list) -> DataFrame:
     directory above the partition dir) so the same recovery applies,
     and the groups union by name. mergeSchema throughout (the
     mixed-promoted-schema contract of read_snapshot)."""
+    if not files:
+        raise FileNotFoundError(
+            "snapshot lists no data files (a rewrite deleted every row) "
+            "— nothing to read at this version"
+        )
     groups: dict[str, list[str]] = {}
     for f in files:
         if _is_abs_entry(f):
@@ -316,7 +341,7 @@ def read_snapshot(
     files = _manifest_files(spark, path, version)
     missing = [
         f for f in files
-        if not fs.exists(hpath_cls(_entry_path(path, f)))
+        if not _entry_exists(spark, fs, hpath_cls, path, f)
     ]
     if missing:
         raise FileNotFoundError(
@@ -1122,7 +1147,7 @@ def restore_snapshot(spark: SparkSession, path: str, version: int) -> int:
     files = _manifest_files(spark, path, version)
     missing = [
         f for f in files
-        if not fs.exists(hpath_cls(_entry_path(path, f)))
+        if not _entry_exists(spark, fs, hpath_cls, path, f)
     ]
     if missing:
         raise FileNotFoundError(
@@ -1133,6 +1158,23 @@ def restore_snapshot(spark: SparkSession, path: str, version: int) -> int:
 
 
 CLONE_MARKER = f"{MANIFEST_DIR}/clone.json"
+
+
+def head_has_absolute_refs(spark: SparkSession, path: str) -> bool:
+    """True when the table's HEAD manifest still references files outside
+    its own root (a shallow clone whose source data has not been fully
+    rewritten away). The IN-PLACE maintenance tier must refuse such
+    tables: a directory listing is a strict SUBSET of the table there,
+    so an in-place delete/compact/retention pass would silently skip —
+    or worse, half-apply to — the rows served through the references.
+    The COW verbs handle clones correctly; this is their guard twin."""
+    versions = snapshot_versions(spark, path)
+    if not versions:
+        return False
+    return any(
+        _is_abs_entry(f)
+        for f in _manifest_files(spark, path, versions[-1])
+    )
 
 
 def shallow_clone(
@@ -1168,8 +1210,10 @@ def shallow_clone(
 
     # a RELATIVE source would produce entries that fail _is_abs_entry and
     # later resolve against the CLONE root (review-found: every read of
-    # the clone then raises) — qualify scheme-less paths up front
-    if "://" not in src:
+    # the clone then raises) — qualify scheme-less paths up front. The
+    # scheme test uses _URI_RE, not '://', so single-slash Hadoop URIs
+    # (file:/x) survive unmangled.
+    if not _is_abs_entry(src):
         import os
 
         src = os.path.abspath(src)
@@ -1206,14 +1250,17 @@ def shallow_clone(
         )
     _write_layout_marker(spark, dst, read_layout(spark, src))
     v = publish_snapshot(spark, dst, refs)
+    # the marker lands under DST — resolve its own FileSystem (the handle
+    # above is the SOURCE's; on a cross-FS clone it would misplace the
+    # marker inside the source's store)
+    dfs_, dhp_, _ = _hadoop_fs(spark, dst)
     _write_small_json(
-        fs, hpath_cls, dst, CLONE_MARKER,
+        dfs_, dhp_, dst, CLONE_MARKER,
         {"source": src, "source_version": src_version, "n_files": len(refs)},
     )
     return {
         "version": v,
         "n_files": len(refs),
-        "n_ref_files": sum(1 for r in refs if _is_abs_entry(r)),
         "source": src,
         "source_version": src_version,
     }
@@ -1281,7 +1328,7 @@ def fsck(spark: SparkSession, path: str) -> dict:
         if not _is_abs_entry(f):
             return f not in on_disk
         if f not in abs_ok:
-            abs_ok[f] = bool(fs.exists(hpath_cls(f)))
+            abs_ok[f] = bool(_entry_exists(spark, fs, hpath_cls, path, f))
         return not abs_ok[f]
 
     missing = {

@@ -1168,17 +1168,14 @@ FROM powered
 
 
 def _fan_out_media(docs: DataFrame) -> DataFrame:
-    """Partition an id list for an expensive Arrow-batched media kernel.
-    A plain ``repartition(col)`` here is a trap: the id shuffle is a few
-    KB, so AQE's size-based coalescing folds it to ONE partition and the
-    whole synth/decode pipeline runs serially (measured 4.6s vs sub-
-    second at sf0.1). An explicitly NUMBERED repartition pins the
-    fan-out — AQE never coalesces user-numbered exchanges — sized to the
-    session's scheduling width (defaultParallelism = executor cores on a
-    real cluster), which is exactly the width the Python kernels need
-    regardless of how small the id column is."""
-    n = docs.sparkSession.sparkContext.defaultParallelism
-    return docs.repartition(n, F.col("doc_id"))
+    """Fan the id list out for an expensive Arrow-batched media kernel:
+    ext.caching.key_parallel by doc_id (see there for why the width must
+    be explicitly numbered — AQE folds small keyed exchanges to one
+    partition and serializes the synth/decode stage above them)."""
+    from ..ext.caching import key_parallel
+
+    return key_parallel(docs, "doc_id")
+
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents.text bytes as opaque media payloads -> mapInPandas feature

@@ -349,6 +349,26 @@ def write_bucketed(
     w.format("parquet").saveAsTable(table_name)
 
 
+
+def _refuse_inplace_on_clone(spark: SparkSession, path: str, op: str) -> None:
+    """The in-place maintenance tier's shallow-clone guard: when the head
+    manifest references files OUTSIDE the table root, a directory listing
+    is a strict subset of the table, so an in-place delete/compact/
+    retention/backfill pass would silently skip (or half-apply to) the
+    rows served through those references. The COW verbs handle clones
+    correctly — route there."""
+    from .manifest import head_has_absolute_refs
+
+    if head_has_absolute_refs(spark, path):
+        raise ValueError(
+            f"{op}({path}) refused: the head manifest references source "
+            "files outside the table root (shallow clone) — in-place "
+            "maintenance sees only clone-local files and would silently "
+            "half-apply; use the COW tier (cow_delete_where / "
+            "cow_compact_partition / cow_merge_upsert) instead"
+        )
+
+
 def compact_partition(
     spark: SparkSession,
     path: str,
@@ -364,6 +384,7 @@ def compact_partition(
     sort; safe to run per-day behind the watermark of active ingest.
     Returns the resulting file count.
     """
+    _refuse_inplace_on_clone(spark, path, "table.compact_partition")
     fs, hpath_cls, root = _hadoop_fs(spark, path)
     part_path = hpath_cls(root, partition)
     if not fs.exists(part_path):
@@ -421,6 +442,7 @@ def reprocess_partition(
     recorded sort layout (cluster key or z-order, see ``read_layout``) is
     re-applied after the transform. Returns the day's row count.
     """
+    _refuse_inplace_on_clone(spark, path, "table.reprocess_partition")
     fs, hpath_cls, root = _hadoop_fs(spark, path)
     if not fs.exists(hpath_cls(root, partition)):
         return 0
@@ -516,6 +538,7 @@ def delete_where(
     with ``coalesce(pred, false)`` so survivors are "not TRUE", never
     "TRUE of the negation".
     """
+    _refuse_inplace_on_clone(spark, path, "table.delete_where")
     pred = F.expr(predicate) if isinstance(predicate, str) else predicate
     pred = F.coalesce(pred, F.lit(False))
     tbl = spark.read.parquet(path)
@@ -588,6 +611,7 @@ def compact_table(
     the FS API; only oversized partitions rewrite. Returns
     {partition: resulting_file_count} for the partitions compacted.
     """
+    _refuse_inplace_on_clone(spark, path, "table.compact_table")
     fs, _, root = _hadoop_fs(spark, path)
     if not fs.exists(root):
         return {}
@@ -628,6 +652,7 @@ def apply_retention(
     Returns dropped (or would-drop) partition names.
     """
     spark = spark or SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+    _refuse_inplace_on_clone(spark, path, "table.apply_retention")
     today = today or date.today()
     cutoff = today - timedelta(days=retention_days)
     dropped: list[str] = []
@@ -709,6 +734,7 @@ def optimize_zorder(
     (resumable backfill); default is every partition. Cost is the
     rewritten days' data — the same copy-on-write bill OPTIMIZE pays
     anywhere. Returns the rewritten partition names."""
+    _refuse_inplace_on_clone(spark, path, "table.optimize_zorder")
     from .ext.zorder import add_zorder
 
     _write_layout_marker(
@@ -766,6 +792,7 @@ def merge_upsert(
     At 100 TB the rewrite cost is the touched days' data — the standard
     copy-on-write MERGE contract. Returns {"partitions_written": [...],
     "rows_updated": n, "rows_inserted": n}."""
+    _refuse_inplace_on_clone(spark, path, "table.merge_upsert")
     # promotion invariant (same DEFAULT-on-insert contract as write_logs):
     # updates materialize any promoted columns they lack, so a MERGE into
     # a promoted table never produces deficient files or schema mismatches
@@ -847,6 +874,7 @@ def apply_retention_policy(
     rewrite themselves once. One table pass total regardless of how many
     policies exist; untouched days never rewrite. Returns delete_where's
     report."""
+    _refuse_inplace_on_clone(spark, path, "table.apply_retention_policy")
     today = today or date.today()
     listed = list(policies)
     conds = []
@@ -1040,6 +1068,7 @@ def materialize_promotions(spark: SparkSession, path: str) -> list[str]:
     sort layout. Values come from ``coalesce(column, map[key])`` so mixed
     days keep already-materialized values byte-identical. Returns the
     rewritten partition names."""
+    _refuse_inplace_on_clone(spark, path, "table.materialize_promotions")
     from .transform import field_string
 
     promos = read_layout(spark, path).get("promotions") or {}

@@ -2415,7 +2415,7 @@ def test_shallow_clone_zero_copy_reads_and_independent_cow(spark, tmp_path):
 
     dst = str(tmp_path / "clone")
     res = shallow_clone(spark, src, dst)
-    assert res["version"] == 1 and res["n_ref_files"] == res["n_files"] > 0
+    assert res["version"] == 1 and res["n_files"] > 0
 
     # zero copy: the clone directory holds no parquet at all
     assert not list(Path(dst).rglob("*.parquet"))
@@ -2496,7 +2496,7 @@ def test_shallow_clone_append_publish_carries_refs_and_rel_src(
     monkeypatch.chdir(tmp_path)
     rel_dst = str(tmp_path / "clone_rel")
     res = shallow_clone(spark, "src", rel_dst)
-    assert res["n_ref_files"] == res["n_files"] > 0
+    assert res["n_files"] > 0
     assert read_snapshot(spark, rel_dst).count() == n_src
 
 
@@ -2540,3 +2540,92 @@ def test_shallow_clone_guards_and_source_vacuum_caveat(spark, tmp_path):
                for fs in fss)
     with _pytest.raises(FileNotFoundError):
         read_snapshot(spark, dst).collect()
+
+
+def test_inplace_maintenance_refuses_shallow_clones(spark, tmp_path):
+    """Review-found: the in-place tier saw only clone-local files, so
+    table.delete_where on a clone silently half-applied (rows served
+    through the head's absolute references survived a 'successful'
+    delete). Every in-place verb now refuses while the head manifest
+    references files outside the table root; COW verbs still work."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from klogs_spark.manifest import (
+        cow_delete_where,
+        publish_snapshot,
+        shallow_clone,
+    )
+    from klogs_spark.table import (
+        apply_retention,
+        compact_partition,
+        compact_table,
+        delete_where,
+        merge_upsert,
+        write_logs,
+    )
+    from klogs_spark.views import derive_logs_from_events
+
+    logs = derive_logs_from_events(spark, "/root/testdata/sf0.001").filter(
+        F.col("timestamp") < "2024-01-03"
+    )
+    src = str(tmp_path / "src")
+    write_logs(logs, src)
+    publish_snapshot(spark, src)
+    dst = str(tmp_path / "clone")
+    shallow_clone(spark, src, dst)
+
+    with _pytest.raises(ValueError, match="shallow clone"):
+        delete_where(spark, dst, F.col("pod_name") == "pod-7")
+    with _pytest.raises(ValueError, match="shallow clone"):
+        compact_partition(spark, dst, "date=2024-01-01")
+    with _pytest.raises(ValueError, match="shallow clone"):
+        compact_table(spark, dst)
+    with _pytest.raises(ValueError, match="shallow clone"):
+        apply_retention(dst, retention_days=1, spark=spark)
+    with _pytest.raises(ValueError, match="shallow clone"):
+        merge_upsert(spark, dst, logs.limit(1), ["timestamp", "pod_name"])
+
+    # the COW tier handles clones — and once IT has rewritten every
+    # absolute reference away, the in-place tier is allowed again
+    cow_delete_where(spark, dst, F.lit(True))
+    from klogs_spark.manifest import head_has_absolute_refs
+
+    assert not head_has_absolute_refs(spark, dst)
+
+
+def test_read_empty_manifest_and_single_slash_file_uri(spark, tmp_path):
+    """Review-found pair: a manifest whose rewrite deleted every row
+    lists no files — read_snapshot must raise an intelligible error, not
+    IndexError; and a single-slash Hadoop URI source (file:/x) must
+    survive shallow_clone's qualification (abspath would mangle it)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from klogs_spark.manifest import (
+        cow_delete_where,
+        publish_snapshot,
+        read_snapshot,
+        shallow_clone,
+    )
+    from klogs_spark.table import write_logs
+    from klogs_spark.views import derive_logs_from_events
+
+    logs = derive_logs_from_events(spark, "/root/testdata/sf0.001").filter(
+        F.col("timestamp") < "2024-01-02"
+    )
+    path = str(tmp_path / "t")
+    write_logs(logs, path)
+    publish_snapshot(spark, path)
+    res = cow_delete_where(spark, path, F.lit(True))  # delete ALL rows
+    with _pytest.raises(FileNotFoundError, match="no data files"):
+        read_snapshot(spark, path, res["version"])
+
+    src2 = str(tmp_path / "s2")
+    write_logs(logs, src2)
+    publish_snapshot(spark, src2)
+    n = logs.count()
+    dst = str(tmp_path / "c2")
+    res2 = shallow_clone(spark, f"file:{src2}", dst)
+    assert res2["n_files"] > 0
+    assert read_snapshot(spark, dst).count() == n

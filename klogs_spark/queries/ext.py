@@ -3271,6 +3271,61 @@ FROM scored
 """
 
 
+def q_text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID EVALUATION — the confusion matrix of the stopword
+    classifier against the corpus's labeled ``lang`` column, the
+    accuracy report every model-quality dashboard starts from: one row
+    per (true, predicted) pair with its count, the true class's total
+    (so per-class recall is a ratio of two shipped integers), and the
+    min doc_id census. Pure keyed aggregates over the classifier's own
+    scoring; a tie broken differently, a rounding slip in the score, or
+    an 'und' mishandled anywhere moves counts between cells and breaks
+    the hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    pred = tx.language_id(docs)
+    j = pred.join(
+        docs.select(F.col("doc_id").alias("id"), F.col("lang").alias("true_lang")),
+        "id",
+    )
+    cells = j.groupBy("true_lang", F.col("predicted_lang")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("id").cast("bigint").alias("min_doc_id"),
+    )
+    totals = cells.groupBy("true_lang").agg(
+        F.sum("n").cast("bigint").alias("n_true_total")
+    )
+    return cells.join(totals, "true_lang").select(
+        "true_lang", "predicted_lang", "n", "n_true_total", "min_doc_id"
+    )
+
+
+SQL_TEXT_LANGID_CONFUSION = f"""
+WITH {TOKENS_CTE},
+scored AS (
+  SELECT id, list_aggregate([{_LANG_STRUCTS}], 'max') AS best FROM tk
+),
+pred AS (
+  SELECT id,
+         CASE WHEN best.score > 0 THEN best.lang ELSE 'und' END
+           AS predicted_lang
+  FROM scored
+),
+cells AS (
+  SELECT d.lang AS true_lang, p.predicted_lang,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(min(d.doc_id) AS BIGINT) AS min_doc_id
+  FROM pred p JOIN documents d ON p.id = d.doc_id
+  GROUP BY 1, 2
+),
+totals AS (
+  SELECT true_lang, CAST(sum(n) AS BIGINT) AS n_true_total
+  FROM cells GROUP BY 1
+)
+SELECT c.true_lang, c.predicted_lang, c.n, t.n_true_total, c.min_doc_id
+FROM cells c JOIN totals t USING (true_lang)
+"""
+
+
 def _gram_cte(n: int, tag: str) -> str:
     if n == 1:
         grams = f"g{tag} AS (SELECT id, unnest(tk) AS gram FROM tk)"
@@ -7134,6 +7189,11 @@ SPECS = {
                                   "whitespace + BPE-ish token counts"),
     "text_quality": QuerySpec(q_text_quality, SQL_TEXT_QUALITY,
                               "quality features + composite score"),
+    "text_langid_confusion": QuerySpec(
+        q_text_langid_confusion, SQL_TEXT_LANGID_CONFUSION,
+        "language-ID evaluation: confusion matrix vs the labeled lang "
+        "column with per-class totals and min-id census — keyed "
+        "aggregates over the classifier's own scoring"),
     "text_langid": QuerySpec(q_langid, SQL_LANGID,
                              "stopword-heuristic language ID"),
     "text_bm25_topk": QuerySpec(

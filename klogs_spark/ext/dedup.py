@@ -1188,8 +1188,15 @@ def winnowing_fingerprints(
         F.sequence(F.lit(0), F.size(toks) - n),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
     )
-    base = df.filter(F.size(toks) >= n + w - 1).select(
-        F.col(id_col).alias("id"), grams.alias("g")
+    # the per-position window-min expression below is the single heaviest
+    # row-local computation in the dedup family — without an explicit
+    # fan-out it runs at input-FILE parallelism (one task per parquet
+    # file), the same serialization the key_parallel helper exists for
+    base = key_parallel(
+        df.filter(F.size(toks) >= n + w - 1).select(
+            F.col(id_col).alias("id"), grams.alias("g")
+        ),
+        "id",
     )
     hs = base.select(
         "id", F.transform("g", lambda s: md5_long(s)).alias("hs")
@@ -1198,12 +1205,19 @@ def winnowing_fingerprints(
         hs.select(
             "id",
             F.explode(
+                # SQL lambdas have no 'let': the single-element nested
+                # transforms bind the window slice and its min ONCE each,
+                # instead of re-slicing (3x) and re-scanning for the min
+                # (2x) per position — the expression is the dedup
+                # family's hottest row-local loop
                 F.expr(
                     f"""transform(sequence(1, size(hs) - {w} + 1),
-                  i -> struct(
-                    array_min(slice(hs, i, {w})) AS mh,
-                    i + {w} - array_position(reverse(slice(hs, i, {w})),
-                                array_min(slice(hs, i, {w}))) AS pos))"""
+                  i -> transform(array(slice(hs, i, {w})),
+                    win -> transform(array(array_min(win)),
+                      m -> struct(
+                        m AS mh,
+                        i + {w} - array_position(reverse(win), m) AS pos
+                      ))[0])[0])"""
                 )
             ).alias("s"),
         )

@@ -2629,3 +2629,105 @@ def test_read_empty_manifest_and_single_slash_file_uri(spark, tmp_path):
     res2 = shallow_clone(spark, f"file:{src2}", dst)
     assert res2["n_files"] > 0
     assert read_snapshot(spark, dst).count() == n
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(ops=st.lists(st.sampled_from(
+    ["append", "cow_delete", "cow_compact", "restore", "clone", "vacuum"]),
+    min_size=3, max_size=7))
+def test_manifest_layer_randomized_op_sequences_hold_invariants(
+    spark, tmp_path_factory, ops
+):
+    """Model-based robustness: a random sequence of table-lifecycle ops
+    must keep three invariants at every step — (1) the head snapshot's
+    pod-7 row count equals a driver-side model, (2) a shallow clone's
+    SOURCE is never mutated by anything done to the clone (the active
+    table switches to the clone at 'clone'), (3) after vacuum the head
+    still serves exactly the model state. Ops that are invalid in the
+    current state must raise their documented errors, never corrupt."""
+    from pyspark.sql import functions as F
+
+    from klogs_spark.manifest import (
+        ConcurrentRewriteError,
+        cow_compact_partition,
+        cow_delete_where,
+        publish_snapshot,
+        read_snapshot,
+        restore_snapshot,
+        shallow_clone,
+        snapshot_versions,
+        vacuum,
+    )
+    from klogs_spark.table import write_logs
+    from klogs_spark.views import derive_logs_from_events
+
+    base_dir = tmp_path_factory.mktemp("mseq")
+    days = [
+        derive_logs_from_events(spark, "/root/testdata/sf0.001").filter(
+            (F.col("timestamp") >= f"2024-01-0{d}")
+            & (F.col("timestamp") < f"2024-01-0{d+1}")
+        )
+        for d in (1, 2, 3)
+    ]
+    counts = [d.count() for d in days]
+    pod7 = [d.filter("pod_name = 'pod-7'").count() for d in days]
+
+    path = str(base_dir / "t0")
+    write_logs(days[0], path)
+    publish_snapshot(spark, path)
+    # model: total rows and pod-7 rows currently served at head
+    total, p7 = counts[0], pod7[0]
+    next_day = 1
+    n_clones = 0
+    source_state: list = []  # (src_path, expected_total) frozen at clone
+
+    def head_counts():
+        df = read_snapshot(spark, path)
+        return df.count(), df.filter("pod_name = 'pod-7'").count()
+
+    for op in ops:
+        if op == "append" and next_day < 3:
+            write_logs(days[next_day], path, mode="append")
+            publish_snapshot(spark, path)
+            total += counts[next_day]
+            p7 += pod7[next_day]
+            next_day += 1
+        elif op == "cow_delete" and p7 > 0:
+            cow_delete_where(spark, path, F.col("pod_name") == "pod-7")
+            total -= p7
+            p7 = 0
+        elif op == "cow_compact":
+            cow_compact_partition(spark, path, "date=2024-01-01")
+        elif op == "restore":
+            versions = snapshot_versions(spark, path)
+            if len(versions) >= 2:
+                # restoring the head itself is a no-op-equivalent; pick
+                # the PREVIOUS version and recompute the model from disk
+                try:
+                    restore_snapshot(spark, path, versions[-2])
+                except FileNotFoundError:
+                    continue  # pre-vacuum version whose files are gone
+                total, p7 = head_counts()  # model resyncs to the restore
+        elif op == "clone" and n_clones < 2:
+            dst = str(base_dir / f"c{n_clones}")
+            shallow_clone(spark, path, dst)
+            source_state.append((path, total))
+            path = dst  # all further ops act on the clone
+            n_clones += 1
+        elif op == "vacuum":
+            vacuum(spark, path, keep_versions=1)
+        else:
+            continue
+        got_total, got_p7 = head_counts()
+        assert (got_total, got_p7) == (total, p7), (op, ops)
+        # no operation on a clone may ever change its source's head
+        for src, src_total in source_state:
+            if src != path:
+                assert read_snapshot(spark, src).count() == src_total, (
+                    "source mutated", op, ops
+                )

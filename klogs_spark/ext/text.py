@@ -460,6 +460,71 @@ def kmv_distinct_tokens(df: DataFrame, k: int = 64, text_col: str = "text") -> D
     )
 
 
+def kmv_intersection(a: DataFrame, b: DataFrame, val_col: str,
+                     k: int = 64) -> DataFrame:
+    """Theta-sketch-style SET OPERATIONS on two KMV sketches — the
+    distinct-count algebra HLL cannot do: estimate |A ∪ B| AND |A ∩ B|
+    from two k-minimum-value sketches (Dasgupta et al. 2016, the theta
+    sketch framework; KMV is its fixed-k instance).
+
+    Both sides hash their distinct values with the shared md5-prefix
+    hash. The union's k smallest values are necessarily each in their
+    own side's k-min set, so the union sketch re-sketches ka ∪ kb;
+    theta = its kth value. The intersection estimator counts hash
+    values BOTH sketches retained below theta (n_both) and scales:
+    est_inter = n_both · est_union // k. Everything is integer
+    arithmetic over exactly-reproducible hashes — no float, no
+    engine-dependent ties. Exact counts ship alongside so the carrier
+    pins estimator accuracy, not just plumbing (at production scale the
+    exact intersection is the expensive join the sketch replaces —
+    it is computed here as the evaluation truth).
+
+    Cost shape: each sketch is a TakeOrdered (per-partition top-k, O(k)
+    to the driver-side merge); sketch-vs-sketch work is O(k). Returns
+    one row: (k_used, theta, n_both, est_union, est_intersection,
+    exact_a, exact_b, exact_intersection)."""
+    U = 4_294_967_296  # 32-bit hash universe of the md5-prefix hash
+    ha = a.select(md5_long(F.col(val_col).cast("string")).alias("h")).distinct()
+    hb = b.select(md5_long(F.col(val_col).cast("string")).alias("h")).distinct()
+    ka = ha.orderBy("h").limit(k)
+    kb = hb.orderBy("h").limit(k)
+    ku = ka.union(kb).distinct().orderBy("h").limit(k)
+    usk = ku.agg(
+        F.count(F.lit(1)).cast("long").alias("k_used"),
+        F.max("h").alias("theta"),
+        F.expr(
+            f"CAST((count(1) - 1) * CAST({U} AS BIGINT) div max(h) "
+            f"AS BIGINT)"
+        ).alias("est_union"),
+    )
+    both = (
+        ka.join(kb, "h")
+        .crossJoin(usk.select("theta"))
+        .filter(F.col("h") <= F.col("theta"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    exact = (
+        ha.agg(F.count(F.lit(1)).cast("long").alias("exact_a"))
+        .crossJoin(hb.agg(F.count(F.lit(1)).cast("long").alias("exact_b")))
+        .crossJoin(
+            ha.join(hb, "h").agg(
+                F.count(F.lit(1)).cast("long").alias("exact_intersection")
+            )
+        )
+    )
+    return (
+        usk.crossJoin(both)
+        .crossJoin(exact)
+        .select(
+            "k_used", "theta", "n_both", "est_union",
+            F.expr(
+                "CAST(n_both * est_union div k_used AS BIGINT)"
+            ).alias("est_intersection"),
+            "exact_a", "exact_b", "exact_intersection",
+        )
+    )
+
+
 def chunk_documents(df: DataFrame, chunk_tokens: int, overlap: int = 0,
                     text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Split documents into fixed-token-count chunks with optional overlap —

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..ext.hashing import md5_long_sql
 from ..views import load_table
 from . import QuerySpec
 
@@ -2450,6 +2451,78 @@ LEFT JOIN obs o ON g.event_type = o.event_type AND g.hour = o.hour
 """
 
 
+KMV_SET_K = 64
+
+
+def q_events_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set algebra on user segments
+    (ext.text.kmv_intersection — Dasgupta et al. 2016): estimate the
+    distinct-user UNION and INTERSECTION of the day-1 and day-2
+    purchaser segments (56/57 users, 16 shared at sf0.01 — genuinely
+    partial overlap, so the intersection path cannot hide behind the
+    union's numbers) from two 64-value KMV sketches, next to the exact answers
+    so the external check pins the estimator's arithmetic AND its
+    accuracy. All integer over the shared md5-prefix hash; a theta
+    boundary off-by-one, a union sketch that isn't the re-sketch of
+    ka ∪ kb, or a scaling slip all break the single hash-checked row."""
+    from ..ext.text import kmv_intersection
+
+    ev = load_table(spark, sf_dir, "events")
+    pur = ev.filter(F.col("event_type") == "purchase")
+    return kmv_intersection(
+        pur.filter(F.col("ts") < "2024-01-02 00:00:00").select("user_id"),
+        pur.filter(
+            (F.col("ts") >= "2024-01-02 00:00:00")
+            & (F.col("ts") < "2024-01-03 00:00:00")
+        ).select("user_id"),
+        "user_id",
+        k=KMV_SET_K,
+    )
+
+
+SQL_EVENTS_KMV_INTERSECTION = f"""
+WITH ha AS (
+  SELECT DISTINCT {md5_long_sql("CAST(user_id AS VARCHAR)")} AS h
+  FROM events WHERE event_type = 'purchase'
+    AND ts < TIMESTAMP '2024-01-02 00:00:00'
+),
+hb AS (
+  SELECT DISTINCT {md5_long_sql("CAST(user_id AS VARCHAR)")} AS h
+  FROM events WHERE event_type = 'purchase'
+    AND ts >= TIMESTAMP '2024-01-02 00:00:00'
+    AND ts < TIMESTAMP '2024-01-03 00:00:00'
+),
+ka AS (SELECT h FROM ha ORDER BY h LIMIT {KMV_SET_K}),
+kb AS (SELECT h FROM hb ORDER BY h LIMIT {KMV_SET_K}),
+ku AS (
+  SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb)
+  ORDER BY h LIMIT {KMV_SET_K}
+),
+usk AS (
+  SELECT CAST(count(*) AS BIGINT) AS k_used, max(h) AS theta,
+         CAST((count(*) - 1) * CAST(4294967296 AS BIGINT) // max(h)
+              AS BIGINT) AS est_union
+  FROM ku
+),
+nb AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_both
+  FROM ka JOIN kb USING (h), usk
+  WHERE ka.h <= usk.theta
+),
+ex AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM ha) AS exact_a,
+         (SELECT CAST(count(*) AS BIGINT) FROM hb) AS exact_b,
+         (SELECT CAST(count(*) AS BIGINT) FROM ha JOIN hb USING (h))
+           AS exact_intersection
+)
+SELECT usk.k_used, usk.theta, nb.n_both, usk.est_union,
+       CAST(nb.n_both * usk.est_union // usk.k_used AS BIGINT)
+         AS est_intersection,
+       ex.exact_a, ex.exact_b, ex.exact_intersection
+FROM usk, nb, ex
+"""
+
+
 def q_events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM change-point detection over the hourly event-count series —
     the classic sequential drift detector (Page 1954), the alerting
@@ -2824,6 +2897,11 @@ SPECS = {
         q_events_counter_rate, SQL_EVENTS_COUNTER_RATE,
         "reset-aware counter rate (PromQL increase): sampled cumulative "
         "counters differenced with restart correction"),
+    "events_kmv_intersection": QuerySpec(
+        q_events_kmv_intersection, SQL_EVENTS_KMV_INTERSECTION,
+        "theta-sketch set algebra: distinct-user union AND intersection "
+        "of two segments from 64-value KMV sketches, integer estimators "
+        "pinned next to the exact answers"),
     "events_cusum_changepoint": QuerySpec(
         q_events_cusum_changepoint, SQL_EVENTS_CUSUM_CHANGEPOINT,
         "CUSUM drift detection (Page 1954) per event-type hourly series: "

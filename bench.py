@@ -89,6 +89,9 @@ HEADLINE = [
     "text_lm_trigram_backoff",
     "text_gopher_rules",
     "multimodal_video_scene_cuts",
+    # round-15 late: the winnowing window-min is the dedup family's
+    # heaviest row-local loop — tracked after its fan-out fix (3.6->2.6s)
+    "dedup_winnowing_pairs",
     # round-13 (VERDICT r12 #5): the two green-but-unmeasured query-time
     # paths. ivfpq_rerank = the prebuilt ADC search + an R-row (R=40)
     # broadcast-semi exact re-rank — expected ≈ ann_ivfpq_prebuilt plus a

@@ -96,6 +96,19 @@ def main(argv: list[str] | None = None) -> int:
     pv = sub.add_parser("versions", help="list snapshot versions")
     pv.add_argument("table")
 
+    pex = sub.add_parser("explain",
+                         help="print the optimized physical plan of a "
+                              "registry query (the plan-quality lens: "
+                              "check pushdown, codegen spans, exchanges)")
+    pex.add_argument("query",
+                     help="registry query name (list with 'list-queries')")
+    pex.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    pex.add_argument("--mode", default="formatted",
+                     choices=["simple", "extended", "formatted", "cost"])
+
+    plq = sub.add_parser("list-queries",
+                         help="list every registry query name")
+
     pm = sub.add_parser("materialize-promotions",
                         help="backfill promoted columns into plain history")
     pm.add_argument("table")
@@ -504,6 +517,27 @@ def main(argv: list[str] | None = None) -> int:
         )
         verb = "rebuilt into" if res["rebuilt"] else "below threshold; serving"
         print(f"drift {res['drift_ppm']} ppm — {verb} {res['path']}")
+        return 0
+
+    if args.cmd == "list-queries":
+        from .queries import registry
+
+        for n in registry():
+            print(n)
+        return 0
+
+    if args.cmd == "explain":
+        from .queries import registry
+
+        specs = registry()
+        if args.query not in specs:
+            import difflib
+
+            close = difflib.get_close_matches(args.query, specs, n=3)
+            print(f"unknown query {args.query!r}; close matches: {close}")
+            return 1
+        df = specs[args.query].fn(spark, args.sf_dir)
+        df.explain(args.mode)
         return 0
 
     if args.cmd == "versions":

@@ -67,6 +67,12 @@ def main(argv: list[str] | None = None) -> int:
     pq.add_argument("table")
     pq.add_argument("sql", help="SQL text; the table is registered as `logs`")
     pq.add_argument("--limit", type=int, default=20)
+    pq.add_argument("--version", type=int, default=None,
+                    help="time travel: query the pinned snapshot version "
+                         "instead of the live directory")
+    pq.add_argument("--as-of", default=None, metavar="ISO_TS",
+                    help="TIMESTAMP AS OF: latest snapshot committed at "
+                         "or before this time (e.g. 2024-01-05T12:00:00)")
 
     pr = sub.add_parser("retention", help="drop partitions past the TTL")
     pr.add_argument("table")
@@ -308,9 +314,24 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "query":
-        from .table import register_view
+        if args.version is not None or args.as_of is not None:
+            from datetime import datetime, timezone
 
-        register_view(spark, args.table, "logs")
+            from .manifest import read_snapshot
+
+            as_of_ms = None
+            if args.as_of is not None:
+                dt = datetime.fromisoformat(args.as_of)
+                if dt.tzinfo is None:
+                    dt = dt.replace(tzinfo=timezone.utc)
+                as_of_ms = int(dt.timestamp() * 1000)
+            read_snapshot(
+                spark, args.table, version=args.version, as_of_ms=as_of_ms
+            ).createOrReplaceTempView("logs")
+        else:
+            from .table import register_view
+
+            register_view(spark, args.table, "logs")
         spark.sql(args.sql).show(args.limit, truncate=False)
         return 0
 

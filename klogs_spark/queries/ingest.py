@@ -2218,6 +2218,78 @@ SELECT 'invariant', 'clone_local_files_before', CAST(0 AS BIGINT)
 """
 
 
+def q_table_clone_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The change-data feed ACROSS a shallow clone's first own rewrite:
+    clone week 1 by absolute reference, COW-delete pod-7 on the clone,
+    then snapshot_changes(clone, v1, v2). The from-side files are the
+    SOURCE's (absolute entries), the to-side files are clone-local
+    survivors — so this externally pins the grouped absolute-entry read
+    path inside exceptAll: the feed must be EXACTLY pod-7's rows as
+    deletes (per-day counts) with zero inserts, and the clone's pinned
+    v1 must still serve the full source state afterwards. A reference
+    resolved against the wrong base, a partition column lost in the
+    grouped read, or carried rows failing to cancel all break rows."""
+    import tempfile
+
+    from ..manifest import (
+        cow_delete_where,
+        publish_snapshot,
+        read_logs_at,
+        shallow_clone,
+        snapshot_changes,
+    )
+    from ..table import write_logs
+    from ..views import derive_logs_from_events
+
+    logs = derive_logs_from_events(spark, sf_dir).filter(
+        F.col("timestamp") < TT_CUT_V1
+    )
+    base = tempfile.mkdtemp(prefix="klogs-clonecdc-")
+    src, dst = f"{base}/src", f"{base}/clone"
+    write_logs(logs, src)
+    publish_snapshot(spark, src)
+    v1 = shallow_clone(spark, src, dst)["version"]
+    v2 = cow_delete_where(spark, dst, F.col("pod_name") == "pod-7")[
+        "version"
+    ]
+    feed = snapshot_changes(spark, dst, v1, v2)
+    deletes = feed.filter(F.col("_change_type") == "delete").groupBy(
+        F.lit("cdc_delete").alias("kind"),
+        F.to_date("timestamp").cast("string").alias("dim"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    inserts = feed.filter(F.col("_change_type") == "insert").agg(
+        F.lit("cdc").alias("kind"),
+        F.lit("insert_total").alias("dim"),
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+    )
+    pinned = (
+        read_logs_at(spark, dst, v1)
+        .groupBy(
+            F.lit("clone_pinned_v1").alias("kind"),
+            F.col("date").cast("string").alias("dim"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    return deletes.unionByName(inserts).unionByName(pinned)
+
+
+SQL_TABLE_CLONE_CDC = f"""
+WITH ev AS (
+  SELECT CAST(ts AS DATE) AS d,
+         'pod-' || CAST(user_id % 50 AS VARCHAR) AS pod
+  FROM events WHERE ts < TIMESTAMP '{TT_CUT_V1} 00:00:00'
+)
+SELECT 'cdc_delete' AS kind, CAST(d AS VARCHAR) AS dim,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM ev WHERE pod = 'pod-7' GROUP BY 2
+UNION ALL
+SELECT 'cdc', 'insert_total', CAST(0 AS BIGINT)
+UNION ALL
+SELECT 'clone_pinned_v1', CAST(d AS VARCHAR), CAST(count(*) AS BIGINT)
+FROM ev GROUP BY 2
+"""
+
+
 # streaming-upsert windows: batch 2's update range OVERLAPS batch 1's, so
 # last-writer-wins across micro-batches is part of the external check
 SUP_V2_FROM, SUP_V2_TO = "2024-01-03 00:00:00", "2024-01-03 06:00:00"
@@ -3243,6 +3315,11 @@ SPECS = {
         "Delta-style RESTORE: old snapshot republished as head (one "
         "manifest write); undo feed = net reversal, bad version still "
         "pinnable"),
+    "table_clone_cdc": QuerySpec(
+        q_table_clone_cdc, SQL_TABLE_CLONE_CDC,
+        "CDC across a clone's first own rewrite: source-absolute "
+        "from-side vs clone-local to-side inside exceptAll — pure "
+        "pod-7 deletes, zero inserts, pinned clone v1 intact"),
     "table_shallow_clone": QuerySpec(
         q_table_shallow_clone, SQL_TABLE_SHALLOW_CLONE,
         "Delta-style shallow clone: absolute-reference manifest (zero "

@@ -145,6 +145,18 @@ def main(argv: list[str] | None = None) -> int:
     pcc.add_argument("table")
     pcc.add_argument("partition", help="e.g. date=2024-01-03")
 
+    pmt = sub.add_parser("maintain",
+                         help="one-call housekeeping: heal crashed "
+                              "rewrites, compact fragmented days, "
+                              "optional retention, vacuum (COW tier on "
+                              "manifest tables incl. clones; in-place "
+                              "on plain directories)")
+    pmt.add_argument("table")
+    pmt.add_argument("--max-files", type=int, default=8)
+    pmt.add_argument("--keep-versions", type=int, default=1)
+    pmt.add_argument("--retention-days", type=int, default=None)
+    pmt.add_argument("--dry-run", action="store_true")
+
     pvc = sub.add_parser("vacuum",
                          help="reclaim files unreferenced by the newest "
                               "K manifests")
@@ -387,6 +399,19 @@ def main(argv: list[str] | None = None) -> int:
             f"v{res['version']}: compacted {res['files_compacted']} "
             "file(s) (fragments retained — run vacuum to reclaim)"
         )
+        return 0
+
+    if args.cmd == "maintain":
+        import json as _json
+
+        from .manifest import maintain
+
+        rep = maintain(spark, args.table,
+                       max_files_per_partition=args.max_files,
+                       keep_versions=args.keep_versions,
+                       retention_days=args.retention_days,
+                       dry_run=args.dry_run)
+        print(_json.dumps(rep, indent=1, default=str))
         return 0
 
     if args.cmd == "vacuum":

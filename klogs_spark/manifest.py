@@ -1356,3 +1356,88 @@ def fsck(spark: SparkSession, path: str) -> dict:
         "ok": not missing.get(versions[-1] if versions else None)
         and not journal_torn,
     }
+
+
+def maintain(
+    spark: SparkSession,
+    path: str,
+    max_files_per_partition: int = 8,
+    keep_versions: int = 1,
+    retention_days: int | None = None,
+    dry_run: bool = False,
+) -> dict:
+    """One-call housekeeping — the engine's OPTIMIZE/maintenance verb:
+    heal any crashed rewrite, compact fragmented day partitions, apply
+    the optional retention window, and reclaim superseded files, using
+    whichever tier the table is on.
+
+    Manifest-managed tables (any published snapshot) take the COW tier
+    throughout: per-day :func:`cow_compact_partition` for partitions
+    whose HEAD manifest lists more than ``max_files_per_partition``
+    files, retention as a partition-pruned :func:`cow_delete_where` on
+    the date column (manifest-correct — pinned readers survive until
+    vacuum), then :func:`vacuum`. Plain directories use the in-place
+    tier (``table.compact_table`` + ``table.apply_retention``). Shallow
+    clones are therefore handled correctly for free: the COW verbs drop
+    absolute references day-by-day as they localize data, and vacuum
+    can never touch source bytes. ``dry_run`` reports the plan without
+    changing anything. Returns a per-step report dict."""
+    from datetime import date as _date
+    from datetime import timedelta as _timedelta
+
+    from .table import apply_retention, compact_table
+
+    report: dict = {"tier": None, "compacted": [], "dry_run": dry_run}
+    if not snapshot_versions(spark, path):
+        report["tier"] = "in-place"
+        if dry_run:
+            report["note"] = "plain directory: would compact_table + retention"
+            return report
+        report["compacted"] = compact_table(
+            spark, path, max_files_per_partition=max_files_per_partition
+        )
+        if retention_days is not None:
+            report["retention_dropped"] = apply_retention(
+                path, retention_days=retention_days, spark=spark
+            )
+        return report
+
+    report["tier"] = "cow"
+    recovered = recover_incomplete_rewrite(spark, path)
+    report["journal_recovered"] = recovered
+    head = snapshot_versions(spark, path)[-1]
+    per_day: dict[str, int] = {}
+    for f in _manifest_files(spark, path, head):
+        d = _entry_day_dir(f)
+        per_day[d] = per_day.get(d, 0) + 1
+    fragmented = sorted(
+        d for d, n in per_day.items() if n > max_files_per_partition
+    )
+    if dry_run:
+        report["would_compact"] = fragmented
+        if retention_days is not None:
+            cutoff = _date.today() - _timedelta(days=retention_days)
+            report["would_retire"] = sorted(
+                d for d in per_day
+                if d.split("=", 1)[1] < str(cutoff)
+            )
+        report["vacuum"] = vacuum(spark, path, keep_versions, dry_run=True)
+        return report
+    for d in fragmented:
+        res = cow_compact_partition(spark, path, d)
+        if res.get("files_compacted"):
+            report["compacted"].append(
+                {"partition": d, "files_compacted": res["files_compacted"]}
+            )
+    if retention_days is not None:
+        cutoff = _date.today() - _timedelta(days=retention_days)
+        rres = cow_delete_where(
+            spark, path, F.to_date(F.col("timestamp")) < str(cutoff)
+        )
+        report["retention"] = {
+            "cutoff": str(cutoff),
+            "rows_deleted": rres["rows_deleted"],
+            "partitions_rewritten": rres["partitions_rewritten"],
+        }
+    report["vacuum"] = vacuum(spark, path, keep_versions)
+    return report

@@ -2731,3 +2731,59 @@ def test_manifest_layer_randomized_op_sequences_hold_invariants(
                 assert read_snapshot(spark, src).count() == src_total, (
                     "source mutated", op, ops
                 )
+
+
+def test_maintain_one_call_housekeeping_both_tiers(spark, tmp_path):
+    """maintain() composes the right tier: on a manifest table it heals,
+    COW-compacts fragmented days, retires old days via cow_delete_where
+    (pinned readers survive until vacuum), and vacuums; on a plain
+    directory it uses the in-place pair. Clones are served by the COW
+    tier for free."""
+    from pyspark.sql import functions as F
+
+    from klogs_spark.manifest import (
+        maintain,
+        publish_snapshot,
+        read_snapshot,
+        shallow_clone,
+        snapshot_versions,
+    )
+    from klogs_spark.table import write_logs
+    from klogs_spark.views import derive_logs_from_events
+
+    logs = derive_logs_from_events(spark, "/root/testdata/sf0.001").filter(
+        F.col("timestamp") < "2024-01-03"
+    )
+    path = str(tmp_path / "t")
+    # fragment day 1: write in 12 slivers
+    day1 = logs.filter(F.col("timestamp") < "2024-01-02")
+    for i in range(12):
+        write_logs(day1.filter(F.col("user_id") % 12 == i), path,
+                   mode="append")
+    write_logs(logs.filter(F.col("timestamp") >= "2024-01-02"), path,
+               mode="append")
+    publish_snapshot(spark, path)
+    n = read_snapshot(spark, path).count()
+
+    dry = maintain(spark, path, max_files_per_partition=4, dry_run=True)
+    assert dry["tier"] == "cow" and "date=2024-01-01" in dry["would_compact"]
+
+    rep = maintain(spark, path, max_files_per_partition=4)
+    assert rep["tier"] == "cow"
+    assert any(c["partition"] == "date=2024-01-01" for c in rep["compacted"])
+    assert rep["vacuum"]["files_deleted"] > 0
+    assert read_snapshot(spark, path).count() == n  # rows preserved
+
+    # retention through the COW tier: drop day 1 entirely
+    rep2 = maintain(spark, path, retention_days=0)
+    assert rep2["retention"]["rows_deleted"] == n
+    # clone then maintain the clone — source untouched
+    src2 = str(tmp_path / "s2")
+    write_logs(day1, src2)
+    publish_snapshot(spark, src2)
+    n2 = read_snapshot(spark, src2).count()
+    dst = str(tmp_path / "c")
+    shallow_clone(spark, src2, dst)
+    rep3 = maintain(spark, dst)
+    assert rep3["tier"] == "cow"
+    assert read_snapshot(spark, src2).count() == n2

@@ -736,3 +736,32 @@ def test_contamination_scaled_never_cross_joins(spark):
     plan = _plan(spark, "dedup_contamination_scaled")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kmv_intersection_sketches_plan_as_takeordered(spark):
+    # every KMV sketch is a k-min: TakeOrderedAndProject (per-partition
+    # top-k, O(k) to the driver merge), never a global Sort of the
+    # distinct-hash table
+    plan = _plan(spark, "events_kmv_intersection")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    # the only Sort nodes allowed are inside TakeOrdered's local top-k;
+    # a standalone global Sort Exchange on h would be the wrong plan
+    import re
+
+    for m in re.finditer(r"\(\d+\) Sort\b[\s\S]*?Arguments: (.*)", plan):
+        assert "global=false" in m.group(1) or "false" in m.group(1), m.group(1)
+
+
+def test_cusum_windows_partition_per_series(spark):
+    # both cumulative windows (running sum, running min) must partition
+    # BY SERIES (event_type) — an unpartitioned window here would funnel
+    # the whole calendar grid through one reducer
+    import re
+
+    plan = _plan(spark, "events_cusum_changepoint")
+    n_windows = 0
+    for m in re.finditer(r"\(\d+\) Window\b[\s\S]*?Arguments: (.*)", plan):
+        n_windows += 1
+        assert "event_type" in m.group(1), f"unpartitioned window: {m.group(1)}"
+    assert n_windows >= 1

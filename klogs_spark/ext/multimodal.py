@@ -1269,3 +1269,63 @@ def sample_frames(media: DataFrame, every_s: float = 1.0) -> DataFrame:
             (F.col("frame_idx") * every_s).alias("frame_ts"),
         )
     )
+
+
+def image_entropy(media: DataFrame) -> DataFrame:
+    """Shannon entropy of each image's decoded pixel histogram — the
+    information-density signal multimodal curation filters use (flat or
+    synthetic images score low, natural texture high), computed from the
+    REAL PNG decode in integer micro-nats.
+
+    The kernel emits the per-image (value, count) histogram (<= 256 rows
+    per image — bounded regardless of image size); every downstream step
+    is a Catalyst expression mirrored by the oracle: each bin's
+    c·ln(c)·1e6 quantizes once (snap-within-2e-6, then floor — the
+    lm_bigram discipline), the per-image reduction is an integer sum,
+    and H = ln(n) - (Σ c·ln c)/n becomes z_n - Σy // n with z_n
+    quantized the same way. Undecodable payloads emit no histogram and
+    drop out. Returns (media_id, n_vals, n_distinct_vals,
+    entropy_micro_nats)."""
+
+    def _hist(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        from collections import Counter
+
+        import pandas as pd
+
+        for batch in batches:
+            mids, vals, cnts = [], [], []
+            for mid, p in zip(batch["media_id"], batch["payload"]):
+                d = decode_png_pixels(p)
+                if d is None:
+                    continue
+                for v, c in Counter(d[3]).items():
+                    mids.append(mid)
+                    vals.append(int(v))
+                    cnts.append(int(c))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(mids, dtype="Int64"),
+                    "v": pd.array(vals, dtype="Int32"),
+                    "c": pd.array(cnts, dtype="Int64"),
+                }
+            )
+
+    hist = media.select("media_id", "payload").mapInPandas(
+        _hist, schema="media_id long, v int, c long"
+    )
+    yb = F.log(F.col("c").cast("double")) * F.col("c") * 1e6
+    yb = F.when(F.abs(yb - F.round(yb, 0)) < 2e-6, F.round(yb, 0)).otherwise(yb)
+    per = hist.select(
+        "media_id", "c", F.floor(yb).cast("long").alias("y")
+    ).groupBy("media_id").agg(
+        F.sum("c").cast("long").alias("n_vals"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_vals"),
+        F.sum("y").cast("long").alias("sy"),
+    )
+    zn = F.log(F.col("n_vals").cast("double")) * 1e6
+    zn = F.when(F.abs(zn - F.round(zn, 0)) < 2e-6, F.round(zn, 0)).otherwise(zn)
+    return per.select(
+        "media_id", "n_vals", "n_distinct_vals",
+        (F.floor(zn).cast("long") - F.expr("sy div n_vals"))
+        .cast("long").alias("entropy_micro_nats"),
+    )

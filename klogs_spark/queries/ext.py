@@ -1631,6 +1631,71 @@ def q_multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.image_pixel_stats(media)
 
 
+def q_multimodal_image_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pixel-histogram Shannon entropy over REAL PNG decode
+    (ext.multimodal.image_entropy): the information-density signal a
+    multimodal curation filter thresholds on, in integer micro-nats.
+    Same synthetic images as multimodal_image_stats (full five-filter
+    zlib PNGs, pattern (doc_id*31 + k*7) % 251); the kernel emits only
+    the bounded per-image histogram, every quantization is the
+    snap-then-floor discipline in mirrored engine expressions, and the
+    per-image reduction is an integer sum — a histogram bin lost to a
+    decode bug, a ln() quantized at the wrong grain, or an integer-div
+    slip all break per-image rows."""
+    from ..ext import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def _synth(batches):
+        import pandas as pd
+
+        for b in batches:
+            ids = [int(x) for x in b["doc_id"]]
+            payloads = [
+                mm.synth_png_rgb(i, i % 13 + 1, i % 7 + 1) for i in ids
+            ]
+            yield pd.DataFrame({"media_id": b["doc_id"], "payload": payloads})
+
+    media = _fan_out_media(docs).mapInPandas(
+        _synth, schema="media_id long, payload binary"
+    )
+    return mm.image_entropy(media)
+
+
+SQL_MULTIMODAL_IMAGE_ENTROPY = """
+WITH dims AS (
+  SELECT doc_id, (doc_id % 13 + 1) AS w, (doc_id % 7 + 1) AS h
+  FROM documents
+),
+s AS (
+  SELECT d.doc_id, (d.doc_id * 31 + t.k * 7) % 251 AS v
+  FROM dims d, generate_series(0, 272) AS t(k)
+  WHERE t.k < d.w * d.h * 3
+),
+hist AS (
+  SELECT doc_id, v, CAST(count(*) AS BIGINT) AS c
+  FROM s GROUP BY 1, 2
+),
+yq AS (
+  SELECT doc_id, c,
+         CAST(floor(CASE WHEN abs(y - round(y)) < 2e-6
+                         THEN round(y) ELSE y END) AS BIGINT) AS yb
+  FROM (SELECT doc_id, c, ln(CAST(c AS DOUBLE)) * c * 1e6 AS y FROM hist)
+),
+agg AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_vals,
+         CAST(count(*) AS BIGINT) AS n_distinct_vals,
+         CAST(sum(yb) AS BIGINT) AS sy
+  FROM yq GROUP BY 1
+)
+SELECT CAST(doc_id AS BIGINT) AS media_id, n_vals, n_distinct_vals,
+       CAST(CAST(floor(CASE WHEN abs(z - round(z)) < 2e-6
+                            THEN round(z) ELSE z END) AS BIGINT)
+            - sy // n_vals AS BIGINT) AS entropy_micro_nats
+FROM (SELECT *, ln(CAST(n_vals AS DOUBLE)) * 1e6 AS z FROM agg)
+"""
+
+
 SQL_MULTIMODAL_IMAGE_STATS = """
 WITH dims AS (
   SELECT doc_id, (doc_id % 13 + 1) AS w, (doc_id % 7 + 1) AS h
@@ -7145,6 +7210,11 @@ SPECS = {
         "per-frame baseline-JPEG decode through the full entropy path — "
         "every frame row hash-checked vs the flat-block closed form",
     ),
+    "multimodal_image_entropy": QuerySpec(
+        q_multimodal_image_entropy, SQL_MULTIMODAL_IMAGE_ENTROPY,
+        "pixel-histogram Shannon entropy over real PNG decode in integer "
+        "micro-nats: bounded per-image histograms, snap-then-floor "
+        "quantization per bin, integer per-image sums"),
     "multimodal_image_dhash": QuerySpec(
         q_multimodal_image_dhash, SQL_MULTIMODAL_IMAGE_DHASH,
         "perceptual dHash near-dup fingerprints over real decoded PNGs: "

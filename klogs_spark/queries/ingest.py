@@ -18,6 +18,7 @@ from ..config import EngineConfig
 from ..decode import decode_dataframe
 from ..transform import field_number, field_string, has_field
 from ..views import load_table
+from .ext import SQL_MULTIMODAL_VIDEO_MJPEG as _SQL_STREAM_MEDIA_DECODE
 from . import QuerySpec
 from .logs import LOGS_CTE
 
@@ -2218,6 +2219,61 @@ SELECT 'invariant', 'clone_local_files_before', CAST(0 AS BIGINT)
 """
 
 
+def q_stream_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming media decode end-to-end
+    (streaming_ext.media_frame_stats_sink): the MJPEG-AVI corpus of
+    multimodal_video_mjpeg arrives as a REAL 2-micro-batch binary
+    stream; each batch demuxes + JPEG-decodes inside foreachBatch and
+    appends per-frame stats. The final store must equal the batch
+    pass's answer frame-for-frame (same closed-form oracle), so a
+    payload decoded twice across the batch boundary, a dropped batch,
+    or any decode fault in the streaming path breaks per-frame rows."""
+    import tempfile
+
+    from ..ext import multimodal as mm
+    from ..streaming_ext import media_frame_stats_sink
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def _synth(batches):
+        import pandas as pd
+
+        for b in batches:
+            payloads = []
+            for i in (int(x) for x in b["doc_id"]):
+                frames = [
+                    mm.synth_jpeg_gray_blocks(i % 6 + 6 * f)
+                    for f in range(i % 3 + 1)
+                ]
+                base = i % 6
+                w, h = (base % 3 + 1) * 8, (base % 2 + 1) * 8
+                payloads.append(mm.synth_avi_mjpeg(frames, w, h))
+            yield pd.DataFrame({"media_id": b["doc_id"], "payload": payloads})
+
+    n_cpus = docs.sparkSession.sparkContext.defaultParallelism
+    media = docs.repartition(n_cpus, F.col("doc_id")).mapInPandas(
+        _synth, schema="media_id long, payload binary"
+    )
+    base = tempfile.mkdtemp(prefix="klogs-mediastream-")
+    src, ckpt, stats = f"{base}/src", f"{base}/ckpt", f"{base}/stats"
+    for lo, hi in ((0, 250), (250, 1 << 62)):
+        media.filter(
+            (F.col("media_id") >= lo) & (F.col("media_id") < hi)
+        ).write.mode("append").parquet(src)
+        q = (
+            spark.readStream.schema("media_id long, payload binary")
+            .parquet(src)
+            .writeStream.foreachBatch(media_frame_stats_sink(stats))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(stats).select(
+        "media_id", "frame_idx", "width", "height", "n_vals", "sum_vals"
+    )
+
+
 def q_table_clone_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The change-data feed ACROSS a shallow clone's first own rewrite:
     clone week 1 by absolute reference, COW-delete pod-7 on the clone,
@@ -3315,6 +3371,11 @@ SPECS = {
         "Delta-style RESTORE: old snapshot republished as head (one "
         "manifest write); undo feed = net reversal, bad version still "
         "pinnable"),
+    "stream_media_decode": QuerySpec(
+        q_stream_media_decode, _SQL_STREAM_MEDIA_DECODE,
+        "streaming multimodal decode: binary AVIs arrive as a real "
+        "2-micro-batch stream, demux + JPEG decode inside foreachBatch "
+        "— final per-frame stats equal the batch pass's closed form"),
     "table_clone_cdc": QuerySpec(
         q_table_clone_cdc, SQL_TABLE_CLONE_CDC,
         "CDC across a clone's first own rewrite: source-absolute "

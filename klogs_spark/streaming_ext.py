@@ -254,3 +254,21 @@ def decontaminating_docs_sink(
             batch.unpersist(True)
 
     return sink_fn
+
+
+def media_frame_stats_sink(stats_dir: str):
+    """foreachBatch sink for a BINARY media stream: run the real
+    demux+decode kernel (ext.multimodal.video_frame_pixel_stats) over
+    each micro-batch's payloads and append the per-frame stats — the
+    streaming form of the multimodal decode pass, so frame features are
+    extracted AS ASSETS ARRIVE instead of by a nightly batch scan.
+    One write action per batch (nothing recomputes); with availableNow +
+    checkpointing each batch's payloads decode exactly once."""
+    from .ext import multimodal as mm
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        mm.video_frame_pixel_stats(batch_df).write.mode("append").parquet(
+            stats_dir
+        )
+
+    return _sink

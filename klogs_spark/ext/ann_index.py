@@ -996,6 +996,89 @@ def ivfpq_search(
     )
 
 
+def ivfpq_search_filtered(
+    spark: SparkSession,
+    path: str,
+    allowed: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe_start: int = 2,
+    id_col: str = "id",
+    m: int = sim.PQ_SUBSPACES,
+    dim: int = sim.EMB_DIM,
+) -> DataFrame:
+    """FILTERED (hybrid) ANN search — metadata predicate + vector top-k,
+    the query shape every production vector store serves ("nearest
+    documents WHERE lang = 'en'"). Post-filtering a fixed-probe ADC
+    result under-fills when the predicate is selective, so this uses the
+    standard PROBE-WIDENING loop: probe ``n_probe_start`` cells, count
+    the predicate-surviving candidates in them (a partition-pruned read
+    joined against the broadcast allowed-id set), and double the probe
+    count until at least ``k`` survivors exist (or every cell is
+    probed). The widening schedule is deterministic given the data, so
+    the oracle replays the level choice exactly.
+
+    Returns the ADC top-k among allowed ids, with the audit columns
+    ``n_probe_used`` and ``n_allowed_cand`` in every row (the external
+    check pins the widening decision, not just the ranking). Scale: each
+    widening step reads only newly-probed cells' codes; the allowed-id
+    set broadcasts (a selective predicate's id list is small by
+    definition — for huge allowed sets flip to post-filtering, which
+    cannot under-fill there)."""
+    ids = F.broadcast(
+        allowed.select(F.col(id_col).alias("id")).distinct()
+    )
+    n_cells = (
+        spark.read.parquet(_resolve_assets(spark, path)["centroids"]).count()
+    )
+    n_probe = min(n_probe_start, n_cells)
+    while True:
+        cells = probe_cells(spark, path, query_vec, n_probe)
+        cand = (
+            _codes_for_cells(spark, path, [int(c) for c in cells])
+            .select("id").distinct().join(ids, "id")
+        )
+        n_cand = cand.count()
+        if n_cand >= k or n_probe >= n_cells:
+            break
+        n_probe = min(n_probe * 2, n_cells)
+    per = dim // m
+    qsub = F.array(
+        *[
+            F.array(*[F.lit(float(x)) for x in query_vec[j * per:(j + 1) * per]])
+            for j in range(m)
+        ]
+    )
+    cb = spark.read.parquet(_resolve_assets(spark, path)["codebooks"])
+    dist_table = F.broadcast(
+        cb.select(
+            "m",
+            F.col("centroid_id").alias("code"),
+            F.floor(
+                sim.l2_col(F.col("cv"), F.element_at(qsub, F.col("m") + 1))
+                * 1000000
+            )
+            .cast("long")
+            .alias("dmic"),
+        )
+    )
+    codes = _codes_for_cells(spark, path, [int(c) for c in cells]).join(
+        ids, "id"
+    )
+    return (
+        codes.join(dist_table, ["m", "code"])
+        .groupBy("id")
+        .agg(F.sum("dmic").alias("adist_micros"))
+        .orderBy("adist_micros", "id")
+        .limit(k)
+        .select(
+            "id", "adist_micros",
+            F.lit(n_probe).cast("long").alias("n_probe_used"),
+            F.lit(n_cand).cast("long").alias("n_allowed_cand"),
+        )
+    )
+
+
 def ivfpq_rerank(
     spark: SparkSession,
     path: str,

@@ -5272,6 +5272,105 @@ SQL_ANN_IVFPQ_REMOVE = SQL_ANN_IVFPQ_TOPK.replace(
 assert SQL_ANN_IVFPQ_REMOVE != SQL_ANN_IVFPQ_TOPK
 
 
+ANN_FILTER_LABEL = 5
+ANN_FILTERED_K = 10
+
+
+def q_ann_ivfpq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED (hybrid) vector search against the persisted index
+    (ext/ann_index.ivfpq_search_filtered): ADC top-ANN_FILTERED_K among
+    vectors whose label = ANN_FILTER_LABEL, with the standard
+    probe-WIDENING loop — probe 2 cells, double while the predicate
+    survivors number fewer than k. The widening decision is data-
+    deterministic, so the oracle replays the exact level choice from
+    the same doubling schedule, and every result row carries
+    (n_probe_used, n_allowed_cand) so the decision itself is
+    hash-checked, not just the ranking."""
+    from ..ext import ann_index
+
+    path = _ensure_ivfpq_index(spark, sf_dir)
+    qv = _query_vec(spark, sf_dir)
+    allowed = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("label") == ANN_FILTER_LABEL
+    ).select(F.col("vec_id").alias("id"))
+    return ann_index.ivfpq_search_filtered(
+        spark, path, allowed, qv, k=ANN_FILTERED_K,
+        n_probe_start=IVFPQ_NPROBE,
+    )
+
+
+SQL_ANN_IVFPQ_FILTERED = f"""
+WITH {_PQ_BASE_CTE},
+c1 AS (
+  SELECT m, centroid_id, list(c ORDER BY pos) AS cv
+  FROM ({_PQ_MEANS}) GROUP BY m, centroid_id
+),
+iv_c0 AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < {IVF_K}),
+{_IVFPQ_REFINE_CHAIN},
+{_assign_cte(_IVFPQ_FINAL_C, 'iv_assigned')},
+qv AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+allowed AS (
+  SELECT vec_id AS id FROM embeddings WHERE label = {ANN_FILTER_LABEL}
+),
+probe_r AS (
+  SELECT centroid_id,
+         row_number() OVER (
+           ORDER BY {_cos_sql('cents.cv', 'qv.qv')} DESC, centroid_id
+         ) AS pr
+  FROM {_IVFPQ_FINAL_C} cents, qv
+),
+lv AS (SELECT l FROM (VALUES (2), (4), (8), ({IVF_K})) AS t(l)),
+cnts AS (
+  SELECT lv.l,
+         (SELECT count(*)
+          FROM iv_assigned a
+          JOIN allowed al ON a.id = al.id
+          JOIN probe_r p ON a.centroid_id = p.centroid_id
+          WHERE p.pr <= lv.l) AS n
+  FROM lv
+),
+first_ok AS (
+  SELECT l, n FROM cnts WHERE n >= {ANN_FILTERED_K} ORDER BY l LIMIT 1
+),
+chosen AS (
+  SELECT coalesce((SELECT l FROM first_ok), {IVF_K}) AS l,
+         coalesce((SELECT n FROM first_ok),
+                  (SELECT n FROM cnts WHERE l = {IVF_K})) AS n
+),
+cand AS (
+  SELECT a.id
+  FROM iv_assigned a
+  JOIN allowed al ON a.id = al.id
+  JOIN probe_r p ON a.centroid_id = p.centroid_id, chosen
+  WHERE p.pr <= chosen.l
+),
+enc AS (
+  SELECT id, m, centroid_id AS code FROM (
+    SELECT sv.id, sv.m, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY sv.id, sv.m
+             ORDER BY {_l2_sql('sv.sv', 'c.cv')} ASC, c.centroid_id
+           ) AS rn
+    FROM sv JOIN c1 c ON sv.m = c.m
+    WHERE sv.id IN (SELECT id FROM cand)
+  ) WHERE rn = 1
+),
+q AS (SELECT m, sv AS qsv FROM sv WHERE id = 0),
+dt AS (
+  SELECT c1.m, c1.centroid_id AS code,
+         CAST(floor({_l2_sql('c1.cv', 'q.qsv')} * 1000000) AS BIGINT) AS dmic
+  FROM c1 JOIN q ON c1.m = q.m
+)
+SELECT enc.id, CAST(sum(dt.dmic) AS BIGINT) AS adist_micros,
+       (SELECT CAST(l AS BIGINT) FROM chosen) AS n_probe_used,
+       (SELECT CAST(n AS BIGINT) FROM chosen) AS n_allowed_cand
+FROM enc JOIN dt ON enc.m = dt.m AND enc.code = dt.code
+GROUP BY enc.id
+ORDER BY adist_micros, id
+LIMIT {ANN_FILTERED_K}
+"""
+
+
 def q_ann_ivfpq_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GDPR removal from the deployed index, externally hash-checked
     (ext/ann_index.remove_from_ivfpq_index — FAISS remove_ids semantics):
@@ -7533,6 +7632,11 @@ SPECS = {
         "IVF-PQ search over the PERSISTED parquet index (ext/ann_index): "
         "partition-pruned cell reads, no training in the query plan",
     ),
+    "ann_ivfpq_filtered": QuerySpec(
+        q_ann_ivfpq_filtered, SQL_ANN_IVFPQ_FILTERED,
+        "hybrid filtered vector search: ADC top-k among label-matching "
+        "vectors with deterministic probe widening — the level choice "
+        "and survivor count ride in every hash-checked row"),
     "ann_ivfpq_remove": QuerySpec(
         q_ann_ivfpq_remove, SQL_ANN_IVFPQ_REMOVE,
         "GDPR removal from the deployed index: delete ids from codes "

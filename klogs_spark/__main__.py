@@ -67,12 +67,13 @@ def main(argv: list[str] | None = None) -> int:
     pq.add_argument("table")
     pq.add_argument("sql", help="SQL text; the table is registered as `logs`")
     pq.add_argument("--limit", type=int, default=20)
-    pq.add_argument("--version", type=int, default=None,
-                    help="time travel: query the pinned snapshot version "
-                         "instead of the live directory")
-    pq.add_argument("--as-of", default=None, metavar="ISO_TS",
-                    help="TIMESTAMP AS OF: latest snapshot committed at "
-                         "or before this time (e.g. 2024-01-05T12:00:00)")
+    ptt = pq.add_mutually_exclusive_group()
+    ptt.add_argument("--version", type=int, default=None,
+                     help="time travel: query the pinned snapshot version "
+                          "instead of the live directory")
+    ptt.add_argument("--as-of", default=None, metavar="ISO_TS",
+                     help="TIMESTAMP AS OF: latest snapshot committed at "
+                          "or before this time (e.g. 2024-01-05T12:00:00)")
 
     pr = sub.add_parser("retention", help="drop partitions past the TTL")
     pr.add_argument("table")
@@ -267,6 +268,14 @@ def main(argv: list[str] | None = None) -> int:
         dropped = apply_retention(args.table, args.days, dry_run=args.dry_run)
         verb = "would drop" if args.dry_run else "dropped"
         print(f"{verb} {len(dropped)} partition(s): {dropped}")
+        return 0
+
+    if args.cmd == "list-queries":
+        # registry() needs no Spark — never pay JVM startup for a listing
+        from .queries import registry
+
+        for n in registry():
+            print(n)
         return 0
 
     spark = get_spark("klogs-spark-cli")
@@ -563,13 +572,6 @@ def main(argv: list[str] | None = None) -> int:
         )
         verb = "rebuilt into" if res["rebuilt"] else "below threshold; serving"
         print(f"drift {res['drift_ppm']} ppm — {verb} {res['path']}")
-        return 0
-
-    if args.cmd == "list-queries":
-        from .queries import registry
-
-        for n in registry():
-            print(n)
         return 0
 
     if args.cmd == "explain":

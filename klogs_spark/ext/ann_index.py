@@ -966,6 +966,25 @@ def ivfpq_search(
     Returns (id, adist_micros) ascending, ties by id.
     """
     cells = probe_cells(spark, path, query_vec, n_probe)
+    return _adc_topk(spark, path, cells, query_vec, k, m, dim)
+
+
+def _adc_topk(
+    spark: SparkSession,
+    path: str,
+    cells: list,
+    query_vec: list[float],
+    k: int,
+    m: int,
+    dim: int,
+    id_filter: DataFrame | None = None,
+) -> DataFrame:
+    """The shared ADC scoring stage: broadcast distance table from the
+    codebooks, partition-pruned read of the probed cells' codes
+    (optionally pre-joined against a broadcast id filter — the hybrid
+    search path), integer micro-unit sums, top-k. ONE home for the
+    hash-checked quantization (floor(l2 * 1e6)) so the plain and
+    filtered search paths can never diverge."""
     per = dim // m
     qsub = F.array(
         *[
@@ -987,6 +1006,8 @@ def ivfpq_search(
         )
     )
     codes = _codes_for_cells(spark, path, [int(c) for c in cells])
+    if id_filter is not None:
+        codes = codes.join(id_filter, "id")
     return (
         codes.join(dist_table, ["m", "code"])
         .groupBy("id")
@@ -1031,51 +1052,31 @@ def ivfpq_search_filtered(
     n_cells = (
         spark.read.parquet(_resolve_assets(spark, path)["centroids"]).count()
     )
+    # incremental widening: each level counts survivors in the NEWLY
+    # probed cells only (a vector lives in exactly one cell, so the
+    # per-level counts are disjoint and sum exactly)
     n_probe = min(n_probe_start, n_cells)
+    counted: set[int] = set()
+    n_cand = 0
     while True:
-        cells = probe_cells(spark, path, query_vec, n_probe)
-        cand = (
-            _codes_for_cells(spark, path, [int(c) for c in cells])
-            .select("id").distinct().join(ids, "id")
-        )
-        n_cand = cand.count()
+        cells = [int(c) for c in probe_cells(spark, path, query_vec, n_probe)]
+        new = [c for c in cells if c not in counted]
+        if new:
+            n_cand += (
+                _codes_for_cells(spark, path, new)
+                .select("id").distinct().join(ids, "id").count()
+            )
+            counted.update(new)
         if n_cand >= k or n_probe >= n_cells:
             break
         n_probe = min(n_probe * 2, n_cells)
-    per = dim // m
-    qsub = F.array(
-        *[
-            F.array(*[F.lit(float(x)) for x in query_vec[j * per:(j + 1) * per]])
-            for j in range(m)
-        ]
+    out = _adc_topk(
+        spark, path, cells, query_vec, k, m, dim, id_filter=ids
     )
-    cb = spark.read.parquet(_resolve_assets(spark, path)["codebooks"])
-    dist_table = F.broadcast(
-        cb.select(
-            "m",
-            F.col("centroid_id").alias("code"),
-            F.floor(
-                sim.l2_col(F.col("cv"), F.element_at(qsub, F.col("m") + 1))
-                * 1000000
-            )
-            .cast("long")
-            .alias("dmic"),
-        )
-    )
-    codes = _codes_for_cells(spark, path, [int(c) for c in cells]).join(
-        ids, "id"
-    )
-    return (
-        codes.join(dist_table, ["m", "code"])
-        .groupBy("id")
-        .agg(F.sum("dmic").alias("adist_micros"))
-        .orderBy("adist_micros", "id")
-        .limit(k)
-        .select(
-            "id", "adist_micros",
-            F.lit(n_probe).cast("long").alias("n_probe_used"),
-            F.lit(n_cand).cast("long").alias("n_allowed_cand"),
-        )
+    return out.select(
+        "id", "adist_micros",
+        F.lit(n_probe).cast("long").alias("n_probe_used"),
+        F.lit(n_cand).cast("long").alias("n_allowed_cand"),
     )
 
 

@@ -1393,9 +1393,15 @@ def maintain(
         if dry_run:
             report["note"] = "plain directory: would compact_table + retention"
             return report
-        report["compacted"] = compact_table(
-            spark, path, max_files_per_partition=max_files_per_partition
-        )
+        # normalize to the COW tier's shape (list of per-partition dicts)
+        # so operator scripts survive a table crossing tiers
+        report["compacted"] = [
+            {"partition": p, "files_after": n}
+            for p, n in sorted(compact_table(
+                spark, path,
+                max_files_per_partition=max_files_per_partition,
+            ).items())
+        ]
         if retention_days is not None:
             report["retention_dropped"] = apply_retention(
                 path, retention_days=retention_days, spark=spark
@@ -1403,8 +1409,15 @@ def maintain(
         return report
 
     report["tier"] = "cow"
-    recovered = recover_incomplete_rewrite(spark, path)
-    report["journal_recovered"] = recovered
+    if dry_run:
+        # a dry run REPORTS the crashed journal instead of healing it —
+        # the same approve-before-delete gate vacuum's dry run keeps
+        fs_, hp_, _ = _hadoop_fs(spark, path)
+        report["journal_live"] = bool(
+            fs_.exists(hp_(f"{path}/{REWRITE_MARKER}"))
+        )
+    else:
+        report["journal_recovered"] = recover_incomplete_rewrite(spark, path)
     head = snapshot_versions(spark, path)[-1]
     per_day: dict[str, int] = {}
     for f in _manifest_files(spark, path, head):

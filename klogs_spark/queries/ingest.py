@@ -2250,8 +2250,9 @@ def q_stream_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payloads.append(mm.synth_avi_mjpeg(frames, w, h))
             yield pd.DataFrame({"media_id": b["doc_id"], "payload": payloads})
 
-    n_cpus = docs.sparkSession.sparkContext.defaultParallelism
-    media = docs.repartition(n_cpus, F.col("doc_id")).mapInPandas(
+    from ..ext.caching import key_parallel
+
+    media = key_parallel(docs, "doc_id").mapInPandas(
         _synth, schema="media_id long, payload binary"
     )
     base = tempfile.mkdtemp(prefix="klogs-mediastream-")

@@ -2787,3 +2787,17 @@ def test_maintain_one_call_housekeeping_both_tiers(spark, tmp_path):
     rep3 = maintain(spark, dst)
     assert rep3["tier"] == "cow"
     assert read_snapshot(spark, src2).count() == n2
+
+    # review-found: a DRY RUN must not heal a crashed journal (the
+    # approve-before-delete gate) — it reports it instead
+    from klogs_spark.manifest import REWRITE_MARKER
+    from klogs_spark.table import _hadoop_fs
+
+    fs, hp, _ = _hadoop_fs(spark, src2)
+    out = fs.create(hp(f"{src2}/{REWRITE_MARKER}"), True)
+    out.write(b"{}")
+    out.close()
+    repd = maintain(spark, src2, dry_run=True)
+    assert repd["journal_live"] is True
+    assert fs.exists(hp(f"{src2}/{REWRITE_MARKER}"))  # untouched
+    fs.delete(hp(f"{src2}/{REWRITE_MARKER}"), False)

@@ -196,12 +196,16 @@ def publish_snapshot(
     :func:`recover_incomplete_rewrite` if it crashed. Explicit-files
     publishes are unaffected (the caller states exactly what commits).
 
-    Listing mode also CARRIES FORWARD the head manifest's absolute
-    (shallow-clone) entries: a directory walk only sees clone-local
-    files, so without the fold a plain ``publish_snapshot`` after an
-    append on a clone would silently drop every source reference from
-    the new head (review-found data loss). Absolute entries leave the
-    head only through COW rewrites, which publish explicit lists."""
+    Once the table HAS a manifest history, listing mode publishes the
+    CURRENT LOGICAL STATE — the head manifest's still-live files plus
+    committed unmanifested appends — NOT the raw directory: copy-on-
+    write rewrites deliberately RETAIN replaced files on disk for
+    pinned readers, so a raw listing would capture those tombstones and
+    RESURRECT deleted rows into the new head (found by the randomized
+    lifecycle property test: append → cow_delete → append → snapshot
+    brought every deleted row back). The same rule carries a shallow
+    clone's absolute source references forward (a walk only sees local
+    files). A first publish (no manifests yet) is the plain listing."""
     fs, hpath_cls, root = _hadoop_fs(spark, path)
     if files is None:
         def _refuse_if_rewrite_live() -> None:
@@ -215,17 +219,22 @@ def publish_snapshot(
                 )
 
         _refuse_if_rewrite_live()
-        files = _list_data_files(fs, root, hpath_cls)
-        head = (snapshot_versions(spark, path) or [None])[-1]
-        if head is not None:
-            files = sorted(
-                set(files)
-                | {
-                    f
-                    for f in _manifest_files(spark, path, head)
-                    if _is_abs_entry(f)
-                }
-            )
+        on_disk = set(_list_data_files(fs, root, hpath_cls))
+        versions = snapshot_versions(spark, path)
+        if versions:
+            manifested: set[str] = set()
+            for v in versions:
+                manifested |= set(_manifest_files(spark, path, v))
+            head_f = set(_manifest_files(spark, path, versions[-1]))
+            # head's live files (absolute clone refs kept verbatim;
+            # relative ones must still exist — in-place rewrites replace
+            # them and their successors arrive as unmanifested files)
+            keep_head = {
+                f for f in head_f if _is_abs_entry(f) or f in on_disk
+            }
+            files = sorted(keep_head | (on_disk - manifested))
+        else:
+            files = sorted(on_disk)
         # re-check AFTER the listing: a rewrite that claimed the journal
         # while we were walking the directory may already have appended
         # survivor files into our listing (the same TOCTOU the r13 atomic

@@ -2801,3 +2801,45 @@ def test_maintain_one_call_housekeeping_both_tiers(spark, tmp_path):
     assert repd["journal_live"] is True
     assert fs.exists(hp(f"{src2}/{REWRITE_MARKER}"))  # untouched
     fs.delete(hp(f"{src2}/{REWRITE_MARKER}"), False)
+
+
+def test_listing_publish_after_cow_never_resurrects_deleted_rows(
+    spark, tmp_path
+):
+    """Found by the randomized lifecycle test (falsifying sequence
+    append -> cow_delete -> append -> publish): COW rewrites RETAIN
+    replaced files on disk for pinned readers, so a raw directory
+    listing captured the tombstones and the standard append-commit
+    publish_snapshot() resurrected every deleted row into the new head.
+    Listing mode now publishes head ∪ unmanifested instead."""
+    from pyspark.sql import functions as F
+
+    from klogs_spark.manifest import (
+        cow_delete_where,
+        publish_snapshot,
+        read_snapshot,
+    )
+    from klogs_spark.table import write_logs
+    from klogs_spark.views import derive_logs_from_events
+
+    all_logs = derive_logs_from_events(spark, "/root/testdata/sf0.001")
+    day1 = all_logs.filter(F.col("timestamp") < "2024-01-02")
+    day2 = all_logs.filter(
+        (F.col("timestamp") >= "2024-01-02")
+        & (F.col("timestamp") < "2024-01-03")
+    )
+    n1, n2 = day1.count(), day2.count()
+    p7 = day1.filter("pod_name = 'pod-7'").count()
+    assert p7 > 0
+
+    path = str(tmp_path / "t")
+    write_logs(day1, path)
+    publish_snapshot(spark, path)
+    cow_delete_where(spark, path, F.col("pod_name") == "pod-7")
+    write_logs(day2, path, mode="append")
+    v = publish_snapshot(spark, path)  # the standard commit verb
+    got = read_snapshot(spark, path, v)
+    assert got.count() == n1 - p7 + n2
+    assert got.filter("pod_name = 'pod-7'").count() == (
+        day2.filter("pod_name = 'pod-7'").count()
+    )

@@ -5009,6 +5009,86 @@ FROM clean GROUP BY source
 """
 
 
+def q_pipeline_attrition_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-stage attrition report of the pretraining prep chain —
+    the funnel every pipeline run logs (raw → quality-kept → deduped →
+    decontaminated), with doc counts, character volume, and a min-id
+    census per stage, all externally hash-checked in one answer. The
+    stages are the REAL operators of q_pipeline_pretrain_prep; this
+    carrier pins the INTERMEDIATE states that query's final aggregate
+    can't see, so a stage silently dropping or keeping the wrong rows
+    breaks its own funnel row even when later stages mask the damage."""
+    docs = load_table(spark, sf_dir, "documents")
+    dec = tx.quality_filter(docs)
+    kept = docs.join(
+        dec.filter(F.col("keep")).select(F.col("id").alias("doc_id")),
+        "doc_id",
+    )
+    surv = dd.exact_dedup(kept).select(F.col("survivor_id").alias("doc_id"))
+    deduped = kept.join(surv, "doc_id")
+    probes = docs.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("probe_id"),
+        F.concat_ws(
+            " ", F.slice(F.split(F.col("text"), " "), 1, 5)
+        ).alias("probe"),
+    )
+    contaminated = (
+        tx.contamination_check(deduped, probes).select("doc_id").distinct()
+    )
+    clean = deduped.join(contaminated, "doc_id", "left_anti")
+
+    def stage(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.min("doc_id").cast("bigint").alias("min_doc_id"),
+        )
+
+    return (
+        stage(docs, "0_raw")
+        .unionByName(stage(kept, "1_quality_kept"))
+        .unionByName(stage(deduped, "2_deduped"))
+        .unionByName(stage(clean, "3_decontaminated"))
+    )
+
+
+SQL_PIPELINE_ATTRITION_FUNNEL = f"""
+WITH {_QUALITY_KEPT_CTE},
+surv AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+dedup AS (SELECT k.* FROM kept k JOIN surv s ON k.doc_id = s.doc_id),
+probes AS (
+  SELECT doc_id AS probe_id,
+         array_to_string(string_split(text, ' ')[1:5], ' ') AS probe
+  FROM documents WHERE doc_id < 5
+),
+contam AS (
+  SELECT DISTINCT d.doc_id FROM dedup d, probes p
+  WHERE contains(d.text, p.probe)
+),
+clean AS (
+  SELECT * FROM dedup
+  WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+)
+SELECT '0_raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(min(doc_id) AS BIGINT) AS min_doc_id
+FROM documents
+UNION ALL
+SELECT '1_quality_kept', CAST(count(*) AS BIGINT),
+       CAST(sum(n_chars) AS BIGINT), CAST(min(doc_id) AS BIGINT)
+FROM kept
+UNION ALL
+SELECT '2_deduped', CAST(count(*) AS BIGINT),
+       CAST(sum(n_chars) AS BIGINT), CAST(min(doc_id) AS BIGINT)
+FROM dedup
+UNION ALL
+SELECT '3_decontaminated', CAST(count(*) AS BIGINT),
+       CAST(sum(n_chars) AS BIGINT), CAST(min(doc_id) AS BIGINT)
+FROM clean
+"""
+
+
 # ---------------------------------------------------------------------------
 # product quantization (codebook build + ADC search)
 # ---------------------------------------------------------------------------
@@ -7593,6 +7673,11 @@ SPECS = {
         "C4-style corpus-frequency boilerplate windows (>=5-doc 3-grams), "
         "per-doc ppm",
     ),
+    "pipeline_attrition_funnel": QuerySpec(
+        q_pipeline_attrition_funnel, SQL_PIPELINE_ATTRITION_FUNNEL,
+        "per-stage attrition funnel of the prep chain (raw -> quality "
+        "-> dedup -> decontaminated): docs/chars/min-id per stage, "
+        "pinning the intermediate states the final aggregate hides"),
     "pipeline_pretrain_prep": QuerySpec(
         q_pipeline_pretrain_prep, SQL_PIPELINE_PRETRAIN_PREP,
         "end-to-end corpus prep: quality filter -> exact dedup -> "

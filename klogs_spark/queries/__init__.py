@@ -40,8 +40,11 @@ class QuerySpec:
 # hash-green (source: CORRECTNESS_r0*.json at the repo root).  A rewritten
 # query no longer matches its recorded hash and re-enters the checked window
 # automatically.  After each round, append that round's newly green names
-# with their current hashes (print_ledger_line below emits the lines);
-# nothing is ever removed, and no name may be positioned by hand.
+# with their current hashes (print_ledger_line below emits the lines).
+# A re-verified query's hash is UPDATED in place (the ledger records the
+# LATEST green check, not history — CORRECTNESS_r*.json at the repo root is
+# the history); a name is removed only if its query leaves the registry.
+# No name may be positioned by hand.
 
 
 def spec_content_hash(spec: "QuerySpec") -> str:
@@ -68,8 +71,10 @@ DRIVER_VERIFIED: dict = {
     "ann_index_drift": "10c328821d5b",
     "ann_index_rebuild": "3f13a24d3aef",
     "ann_ivf_topk": "374920a3f05a",
+    "ann_ivfpq_filtered": "d1757c2497e3",
     "ann_ivfpq_prebuilt": "c279094be999",
     "ann_ivfpq_refresh": "3a61ad53f715",
+    "ann_ivfpq_remove": "c1208109538e",
     "ann_ivfpq_rerank": "741aef6295c4",
     "ann_ivfpq_stream": "892701dcc44f",
     "ann_ivfpq_topk": "08ac55b380f4",
@@ -84,6 +89,7 @@ DRIVER_VERIFIED: dict = {
     "dedup_canonical": "86f440673d91",
     "dedup_cluster_components": "805b5db22e1c",
     "dedup_containment_lsh": "abfa44713ba6",
+    "dedup_contamination_scaled": "17d23adffe51",
     "dedup_embedding_cosine": "353ae1ce1faa",
     "dedup_embedding_lsh": "4c11674d7fb2",
     "dedup_exact": "121118bc87f7",
@@ -96,13 +102,16 @@ DRIVER_VERIFIED: dict = {
     "dedup_paragraph_exact": "764b569461cf",
     "dedup_paragraph_minhash": "0e7ff77a1f01",
     "dedup_prefix_jaccard": "acd5d664a177",
+    "dedup_remove_repeated_spans": "5a376c666c5e",
     "dedup_repeated_substrings": "a7820d208a1a",
+    "dedup_repeated_substrings_self": "5602f0598335",
     "dedup_semantic": "1f6f1d15a2d6",
     "dedup_semantic_prebuilt": "76c1240ed763",
     "dedup_simhash": "b38416ad54cf",
     "dedup_simhash_pairs": "228750d7e6db",
     "dedup_survivor_selection": "a3bd123bf888",
     "dedup_threshold_curve": "870285082e09",
+    "dedup_winnowing_pairs": "ac4280e2bd0d",
     "embedding_covariance": "46691f28615b",
     "embedding_norm_outliers": "a1905f13370e",
     "embedding_pca_project": "3c1d15d0dde0",
@@ -112,9 +121,11 @@ DRIVER_VERIFIED: dict = {
     "events_attribution": "fb767c64294a",
     "events_cohort_ltv": "e6931152ef33",
     "events_counter_rate": "c7d757e0b2ee",
+    "events_cusum_changepoint": "2c49803ef33e",
     "events_equidepth_histogram": "7111fef6fb2f",
     "events_funnel": "7fc552e2d7a5",
     "events_gapfill_locf": "d4bdff4355bb",
+    "events_kmv_intersection": "064a6d443e8c",
     "events_pagerank_transitions": "cd7dee94d974",
     "events_peak_concurrency": "e6cf823b90fb",
     "events_retention_cohorts": "7ee727f00a46",
@@ -165,8 +176,23 @@ DRIVER_VERIFIED: dict = {
     "logs_value_percentiles": "bcdd9b0d3e65",
     "logs_volume_anomaly_mad": "386862e78199",
     "logs_window_5m": "00f54511d538",
+    "multimodal_audio_fingerprint": "3f5ac0c421cd",
+    "multimodal_audio_stats": "f8906652a8d8",
+    "multimodal_audio_zcr": "f92f086bbb90",
+    "multimodal_dimensions": "882af6c370af",
     "multimodal_features": "6251489a260f",
     "multimodal_frame_sample": "8fb1e20b5103",
+    "multimodal_gif_stats": "87c512215cbc",
+    "multimodal_image_dhash": "be07c58a3cd8",
+    "multimodal_image_entropy": "39f9dc3ef2f1",
+    "multimodal_image_resize": "d554c0028703",
+    "multimodal_image_stats": "5af3210f6626",
+    "multimodal_jpeg_stats": "f6e6b86b6985",
+    "multimodal_jpeg_subsampled": "ee9475de09bb",
+    "multimodal_transcode": "acad661c0117",
+    "multimodal_video_mjpeg": "0ced7d7ea628",
+    "multimodal_video_scene_cuts": "4da8de30edba",
+    "pipeline_attrition_funnel": "720e72d7cd87",
     "pipeline_budget_threshold": "2c592c21840e",
     "pipeline_dsir_select": "f0d28fda7428",
     "pipeline_pretrain_prep": "60209e874d2d",
@@ -198,12 +224,13 @@ DRIVER_VERIFIED: dict = {
     "sources_syslog_pipeline": "bb11b3e2e31c",
     "sources_throttle": "6aee0549d380",
     "stream_cms_merge": "9a13690416cb",
-    "stream_dedup_watermark": "5a38c63244ec",
     "stream_decontaminate": "dd314d679a43",
+    "stream_dedup_watermark": "5a38c63244ec",
     "stream_exactly_once": "45934d386ac4",
     "stream_interval_join": "e780e7d2f09d",
     "stream_interval_join_left": "a19566cd63d2",
     "stream_k8s_enrich": "571e64423a43",
+    "stream_media_decode": "d8b7c8568e91",
     "stream_minmax_sidecar": "0624c7a763b5",
     "stream_quarantine_triage": "6210d74ece01",
     "stream_rollup_maintain": "a25255dcc5c5",
@@ -212,7 +239,9 @@ DRIVER_VERIFIED: dict = {
     "stream_upsert_sink": "17879e281d24",
     "stream_validated_sink": "fb46d427f598",
     "stream_windowed_watermark": "c7a3f33a9cd9",
+    "table_clone_cdc": "6a73c8a4a271",
     "table_column_stats": "09aab170a20b",
+    "table_context_anchor": "b056e8c973ec",
     "table_cow_lifecycle": "1c02f89363de",
     "table_cow_merge": "abd5536745ad",
     "table_cow_promoted_roundtrip": "979cd0912c81",
@@ -229,6 +258,7 @@ DRIVER_VERIFIED: dict = {
     "table_promoted_view": "775113dc1793",
     "table_restore": "d5d49c5fdf43",
     "table_retention_policy": "49cf8b48e442",
+    "table_shallow_clone": "a023896c34be",
     "table_snapshot_changes": "91b5f3bdd0c8",
     "table_snapshot_mixed_schema": "9e4eef96b852",
     "table_time_travel": "d721774c99fd",
@@ -238,6 +268,9 @@ DRIVER_VERIFIED: dict = {
     "text_bloom_decontaminate": "f76ed7573dad",
     "text_bm25_topk": "1bc4cfc24854",
     "text_boilerplate_windows": "d73d2132137a",
+    "text_bpe_encode": "4fbd9643b5c7",
+    "text_bpe_merges": "68fd8cbe7f24",
+    "text_bpe_tokenize": "7b2f85c69533",
     "text_chunk_documents": "b11ed9a0602f",
     "text_classifier_score": "694e9cc2b376",
     "text_cms_heavy_hitters": "66e1b44c852b",
@@ -245,12 +278,15 @@ DRIVER_VERIFIED: dict = {
     "text_edit_distance_join": "a4f3d4cb7993",
     "text_exact_decontaminate": "696a3a6ae51d",
     "text_fingerprints": "59486855a3ef",
+    "text_gopher_rules": "074e4dbff66e",
     "text_hll_distinct": "a0b849fc7a90",
     "text_hll_merge": "8b97fa644f74",
     "text_hybrid_rrf": "01718010684a",
     "text_kmv_distinct": "df0f05ccc33b",
     "text_langid": "b16f242d7d79",
+    "text_langid_confusion": "0179c114f255",
     "text_lm_bigram_score": "aac2d0a8144d",
+    "text_lm_trigram_backoff": "cf991b1b2471",
     "text_misra_gries_invariants": "70ead130e7e0",
     "text_ngram_novelty": "ad7549b6eb2e",
     "text_pii_redact": "95cba5f53f52",
@@ -259,11 +295,13 @@ DRIVER_VERIFIED: dict = {
     "text_quality_filter": "b3cf8d28b240",
     "text_repetition": "7e346f2bcb0c",
     "text_term_trends": "6ed137bc3198",
+    "text_textrank_keywords": "54421b8ae245",
     "text_tfidf_scores": "23d071b7e1df",
     "text_token_stats": "63fbd40b35d3",
     "text_top_ngrams": "3ee82a7b136b",
     "text_top_terms_per_source": "7b2ae823bcfa",
     "text_unigram_logprob": "05a6f634cdcc",
+    "text_vocab_growth": "f6536f319c52",
     "tpch_association_rules": "28411b68622e",
     "tpch_bucketed_join": "186d20a9bcdf",
     "tpch_frequent_item_pairs": "fefadcff4cba",

@@ -73,10 +73,7 @@ DRIVER_VERIFIED: dict = {
     "ann_ivf_topk": "374920a3f05a",
     "ann_ivfpq_filtered": "d1757c2497e3",
     "ann_ivfpq_prebuilt": "c279094be999",
-    "ann_ivfpq_refresh": "3a61ad53f715",
     "ann_ivfpq_remove": "c1208109538e",
-    "ann_ivfpq_rerank": "741aef6295c4",
-    "ann_ivfpq_stream": "892701dcc44f",
     "ann_ivfpq_topk": "08ac55b380f4",
     "ann_kmeans_iteration": "5636a85fa623",
     "ann_lsh_bucket_stats": "855956740694",
@@ -116,7 +113,6 @@ DRIVER_VERIFIED: dict = {
     "embedding_norm_outliers": "a1905f13370e",
     "embedding_pca_project": "3c1d15d0dde0",
     "embedding_source_drift": "1a3f4a01d52a",
-    "embedding_top_component": "f160d8417680",
     "events_active_users": "bf827125bbf1",
     "events_attribution": "fb767c64294a",
     "events_cohort_ltv": "e6931152ef33",
@@ -201,7 +197,6 @@ DRIVER_VERIFIED: dict = {
     "sample_dsir_weights": "c921986f43af",
     "sample_global_shuffle": "196cc30a9d92",
     "sample_hash_deterministic": "f248348905ce",
-    "sample_interleave": "45a48ed1ca3a",
     "sample_leakage_free_split": "b3ee20aa0418",
     "sample_mixture_weights": "86c83321b394",
     "sample_pack_ffd": "ccf68832e632",

@@ -5596,15 +5596,15 @@ IVFPQ_RERANK_R = 20  # ADC nominates R candidates; exact pass keeps top-k
 def q_ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage IVF-PQ search with exact re-ranking
     (ext/ann_index.ivfpq_rerank — FAISS IndexRefineFlat): the persisted
-    index's ADC pass nominates {r} candidates, their full vectors are
-    fetched by a broadcast lookup (R rows, never a corpus scan) and
-    scored exactly, and the exact top-{k} ships alongside two RECALL
-    rows measured against the exact full-scan ground truth — one for the
-    re-ranked result, one for the plain ADC top-{k}, so the recall a
-    deployment buys with the re-rank stage is pinned in the hash (the
-    re-ranked count can never be lower). The oracle recomputes the whole
-    chain: k-means -> PQ -> probe -> ADC -> candidate re-scoring ->
-    ground truth.""".format(r=IVFPQ_RERANK_R, k=IVFPQ_K)
+    index's ADC pass nominates IVFPQ_RERANK_R candidates, their full
+    vectors are fetched by a broadcast lookup (R rows, never a corpus
+    scan) and scored exactly, and the exact top-IVFPQ_K ships alongside
+    two RECALL rows measured against the exact full-scan ground truth —
+    one for the re-ranked result, one for the plain ADC top-k, so the
+    recall a deployment buys with the re-rank stage is pinned in the
+    hash (the re-ranked count can never be lower). The oracle recomputes
+    the whole chain: k-means -> PQ -> probe -> ADC -> candidate
+    re-scoring -> ground truth."""
     from ..ext import ann_index
 
     path = _ensure_ivfpq_index(spark, sf_dir)
@@ -5720,14 +5720,15 @@ ANN_REFRESH_CUTOFF = 450  # vectors with id >= this arrive AFTER index training
 
 def q_ann_ivfpq_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental index maintenance end-to-end: train the IVF-PQ index on
-    the base corpus (vec_id < {cut}), then REFRESH it with the late-arriving
-    tail (ext/ann_index.refresh_ivfpq_index — assign + encode only the new
-    vectors against the STORED quantizer/codebooks, parquet-append into the
-    probed cells), then search the refreshed index. The oracle trains its
-    CTE chains on the base subset only but encodes/assigns everyone —
-    exactly the semantics of train-once/add-many. At 100 TB this is the
-    daily embedding-ingest job: cost proportional to the increment, zero
-    rewrite of existing cells.""".format(cut=ANN_REFRESH_CUTOFF)
+    the base corpus (vec_id < ANN_REFRESH_CUTOFF), then REFRESH it with
+    the late-arriving tail (ext/ann_index.refresh_ivfpq_index — assign +
+    encode only the new vectors against the STORED quantizer/codebooks,
+    parquet-append into the probed cells), then search the refreshed
+    index. The oracle trains its CTE chains on the base subset only but
+    encodes/assigns everyone — exactly the semantics of
+    train-once/add-many. At 100 TB this is the daily embedding-ingest
+    job: cost proportional to the increment, zero rewrite of existing
+    cells."""
     import os
     import shutil
 
@@ -5770,9 +5771,9 @@ def q_ann_ivfpq_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At 100 TB this is the online embedding-ingest job: per-batch cost
     proportional to the batch, the corpus-sized codes store append-only,
-    searchers pick up each cell's new codes at batch commit.""".format(
-        cut=ANN_REFRESH_CUTOFF
-    )
+    searchers pick up each cell's new codes at batch commit. (The
+    base/tail split is vec_id < ANN_REFRESH_CUTOFF, as in the one-shot
+    refresh carrier.)"""
     import os
     import shutil
     import tempfile
@@ -6189,8 +6190,9 @@ ORDER BY abs(mean_a - mean_b) DESC, dim LIMIT 8
 def q_embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top principal direction of the embedding corpus, HASH-CHECKED
     (ext.embstats.power_iteration_component): the eigh-based pca_project
-    has no SQL equivalent, so this runs power iteration with {t} rounds
-    of MATRIX SQUARING (effective power 2^{t} — real embedding spectra
+    has no SQL equivalent, so this runs power iteration with
+    POWER_SQUARINGS rounds of MATRIX SQUARING (effective power
+    2**POWER_SQUARINGS — real embedding spectra
     are nearly flat, so plain iteration would need hundreds of steps).
     The covariance entries (the only corpus-sized pass, already
     cross-engine exact at 8 decimals) scale to exact integers; each
@@ -6200,9 +6202,7 @@ def q_embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-decimal rounding absorbs. The oracle unrolls the same chain
     as CTEs; output pins the eigenvector (exact integer micro-units),
     the Rayleigh eigenvalue, and the per-label mean projection — the
-    drift-direction summary a corpus monitor watches.""".format(
-        t=POWER_SQUARINGS
-    )
+    drift-direction summary a corpus monitor watches."""
     from ..ext.embstats import power_iteration_component
 
     return power_iteration_component(
@@ -6760,9 +6760,9 @@ def q_sample_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     and reproducible on any cluster. Per-source ranks come from windows
     PARTITIONED by source (each reducer sorts one source); the prefix is
     one TakeOrdered. The check counts each source's share of the first
-    {k} merged positions against the oracle's identical construction
-    (sqrt is correctly-rounded IEEE in both engines, so the merge keys
-    are bit-equal).""".format(k=INTERLEAVE_PREFIX)
+    INTERLEAVE_PREFIX merged positions against the oracle's identical
+    construction (sqrt is correctly-rounded IEEE in both engines, so the
+    merge keys are bit-equal)."""
     from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")

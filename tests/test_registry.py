@@ -116,3 +116,39 @@ def test_ann_index_dir_changes_when_embeddings_content_changes(tmp_path):
     os.utime(emb, ns=(stat.st_atime_ns, stat.st_mtime_ns + 1))
     assert _ivfpq_index_dir(str(sf)) != d2
     shutil.rmtree(sf)
+
+
+def test_every_registry_fn_has_a_real_docstring():
+    """The `\"\"\"...\"\"\".format(...)` bug class: applying .format() to the
+    leading string literal turns it into an expression, so __doc__ is None
+    and the contract text is silently unreachable. Two rounds of grepping
+    each missed instances — pin the whole class by AST instead: a fn whose
+    FIRST statement is a string .format() expression is a swallowed
+    docstring. Separately, every entry must carry contract text somewhere
+    (fn.__doc__ for the newer fns, spec.doc for the early rounds)."""
+    import ast
+    import inspect
+    import textwrap
+
+    specs = registry()
+    swallowed = []
+    for n, s in specs.items():
+        tree = ast.parse(textwrap.dedent(inspect.getsource(s.fn)))
+        first = tree.body[0].body[0]
+        if (
+            isinstance(first, ast.Expr)
+            and isinstance(first.value, ast.Call)
+            and isinstance(first.value.func, ast.Attribute)
+            and first.value.func.attr == "format"
+            and isinstance(first.value.func.value, ast.Constant)
+            and isinstance(first.value.func.value.value, str)
+        ):
+            swallowed.append(n)
+    assert not swallowed, f"fns whose docstring is swallowed by .format(): {swallowed}"
+
+    undocumented = [
+        n
+        for n, s in specs.items()
+        if not (s.fn.__doc__ or "").strip() and not (s.doc or "").strip()
+    ]
+    assert not undocumented, f"registry entries with no contract text: {undocumented}"

@@ -112,8 +112,12 @@ def _entry_day_dir(f: str) -> str:
     """The ``date=...`` partition directory of a manifest entry — the
     file's parent directory name, which is the same component whether
     the entry is relative (``date=X/part``) or absolute
-    (``/src/date=X/part``)."""
-    return f.rsplit("/", 2)[-2]
+    (``/src/date=X/part``). An entry with no directory component (an
+    explicit-files publish of a bare filename) has no partition — return
+    '' so day-grouping callers treat it as unpartitioned instead of
+    raising."""
+    parts = f.rsplit("/", 2)
+    return parts[-2] if len(parts) >= 2 else ""
 
 
 def _read_data_files(spark: SparkSession, path: str, files: list) -> DataFrame:
@@ -1453,8 +1457,11 @@ def maintain(
             )
     if retention_days is not None:
         cutoff = _date.today() - _timedelta(days=retention_days)
+        # predicate on the PARTITION column (== to_date(timestamp) on
+        # every write path) so the affected-days aggregate prunes to the
+        # expired day directories instead of scanning all timestamps
         rres = cow_delete_where(
-            spark, path, F.to_date(F.col("timestamp")) < str(cutoff)
+            spark, path, F.col(PARTITION_COLUMN) < str(cutoff)
         )
         report["retention"] = {
             "cutoff": str(cutoff),

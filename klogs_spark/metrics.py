@@ -140,9 +140,15 @@ def instrument_logger(
     but ONLY when nothing in its ancestor chain was configured: an
     explicit level on the logger itself, on any parent namespace (an
     operator quieting ``klogs_spark`` must also quiet
-    ``klogs_spark.engine``), or on the root logger is respected."""
+    ``klogs_spark.engine``), or on the root logger is respected.
+
+    Known blind spot: an operator who EXPLICITLY set root to WARNING is
+    indistinguishable from the stock default (logging keeps no
+    was-configured bit on the level), so that one configuration still
+    gets the INFO pin. The root logger itself is never pinned — counting
+    on root is fine, but setLevel there would mutate global logging."""
     logger = logging.getLogger(name)
-    configured = False
+    configured = logger is logging.root  # never re-level global logging
     node: logging.Logger | None = logger
     while node is not None:
         if node is logging.root:

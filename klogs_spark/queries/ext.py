@@ -5248,6 +5248,20 @@ IVFPQ_NPROBE = 2
 IVFPQ_K = 5
 
 
+def _ivfpq_widen_levels(start: int, n_cells: int) -> list[int]:
+    """The filtered-search probe-widening schedule (ann_index.
+    search_ivfpq_index_filtered): start at min(start, n_cells), double
+    with an n_cells cap, always ending at n_cells. The oracle's VALUES
+    list is generated from this so changing IVFPQ_NPROBE / IVF_K cannot
+    desynchronize it from the engine."""
+    levels, lvl = [], min(start, n_cells)
+    while True:
+        levels.append(lvl)
+        if lvl >= n_cells:
+            return levels
+        lvl = min(lvl * 2, n_cells)
+
+
 def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ — the composed billion-scale ANN layout (FAISS's default):
     the k-means coarse quantizer bounds the CANDIDATE set to the
@@ -5399,7 +5413,7 @@ probe_r AS (
          ) AS pr
   FROM {_IVFPQ_FINAL_C} cents, qv
 ),
-lv AS (SELECT l FROM (VALUES (2), (4), (8), ({IVF_K})) AS t(l)),
+lv AS (SELECT l FROM (VALUES {", ".join(f"({lv})" for lv in _ivfpq_widen_levels(IVFPQ_NPROBE, IVF_K))}) AS t(l)),
 cnts AS (
   SELECT lv.l,
          (SELECT count(*)

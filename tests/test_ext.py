@@ -1802,3 +1802,35 @@ def test_trigram_backoff_omits_short_docs_instead_of_crashing(spark):
     )
     rows = {r.id for r in lm_trigram_backoff_scores(df).collect()}
     assert rows == {3, 4, 5}
+
+
+def test_instrument_logger_never_relevels_root():
+    """r15 advisor: if the target name resolves to the ROOT logger,
+    setLevel(INFO) would mutate global logging for the whole process —
+    counting on root is allowed, re-leveling it is not."""
+    import logging
+
+    from klogs_spark.metrics import IngestMetrics, instrument_logger
+
+    before = logging.root.level
+    try:
+        logger = instrument_logger(IngestMetrics(), name="")
+        assert logger is logging.root
+        assert logging.root.level == before
+    finally:
+        logging.root.setLevel(before)
+        logging.root.handlers = [
+            h for h in logging.root.handlers
+            if type(h).__name__ != "SelfLogCounterHandler"
+        ]
+
+
+def test_entry_day_dir_handles_bare_filenames():
+    """r15 advisor: a manifest entry with no directory component (an
+    explicit-files publish of a bare filename) must group as
+    unpartitioned (''), not raise IndexError."""
+    from klogs_spark.manifest import _entry_day_dir
+
+    assert _entry_day_dir("date=2026-01-01/part-0.parquet") == "date=2026-01-01"
+    assert _entry_day_dir("/abs/src/date=2026-01-02/p.parquet") == "date=2026-01-02"
+    assert _entry_day_dir("part-0.parquet") == ""

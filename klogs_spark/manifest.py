@@ -162,9 +162,7 @@ def _unmanifested_files(spark: SparkSession, path: str) -> set[str]:
     leaves them untouched."""
     fs, hpath_cls, root = _hadoop_fs(spark, path)
     on_disk = set(_list_data_files(fs, root, hpath_cls))
-    for v in snapshot_versions(spark, path):
-        on_disk -= set(_manifest_files(spark, path, v))
-    return on_disk
+    return on_disk - _all_manifested(spark, path)
 
 
 def snapshot_versions(spark: SparkSession, path: str) -> list[int]:
@@ -181,6 +179,67 @@ def snapshot_versions(spark: SparkSession, path: str) -> list[int]:
             except ValueError:
                 continue
     return sorted(versions)
+
+
+CHECKPOINT_REL = f"{MANIFEST_DIR}/_checkpoint.json"
+
+
+def _read_manifest_checkpoint(spark: SparkSession, path: str):
+    """The rolled checkpoint: ``(version, set-of-every-file-ever-
+    manifested-through-version)`` — the Delta ``_last_checkpoint``
+    pattern. Purely a CACHE over the manifest history: corrupt, missing
+    or torn checkpoints fail OPEN to ``(0, set())`` and the caller
+    unions the full version walk instead, so it can never change an
+    answer, only the cost of computing it."""
+    fs, hpath_cls, _ = _hadoop_fs(spark, path)
+    try:
+        if not fs.exists(hpath_cls(f"{path}/{CHECKPOINT_REL}")):
+            return 0, set()
+        data = _read_small_json(fs, hpath_cls, path, CHECKPOINT_REL)
+        return int(data["version"]), set(data["files"])
+    except Exception:
+        return 0, set()
+
+
+def _all_manifested(
+    spark: SparkSession, path: str, versions: list[int] | None = None
+) -> set[str]:
+    """Union of every published manifest's file list — O(1) manifest
+    reads amortized: checkpoint set + only the manifests NEWER than the
+    checkpoint (normally just the head, since every publish advances
+    it). This was the last O(history) metadata scan in the table layer:
+    listing-mode publishes, rewrite recovery and vacuum all need 'was
+    this file ever manifested', and walking every version unioning full
+    file lists is O(versions x files) driver-side JSON at thousands of
+    commits. A checkpoint AHEAD of the visible head (a hand-copied
+    ``_manifest`` dir, a foreign checkpoint) is ignored wholesale —
+    fall back to the exact walk."""
+    if versions is None:
+        versions = snapshot_versions(spark, path)
+    ckpt_v, files = _read_manifest_checkpoint(spark, path)
+    if ckpt_v > (versions[-1] if versions else 0):
+        ckpt_v, files = 0, set()
+    for v in versions:
+        if v > ckpt_v:
+            files |= set(_manifest_files(spark, path, v))
+    return files
+
+
+def _advance_manifest_checkpoint(
+    spark: SparkSession, path: str, version: int, all_files: set[str]
+) -> None:
+    """Best-effort roll after a publish (tmp+rename, losers of a
+    concurrent publish race simply leave an older checkpoint — the gap
+    union in :func:`_all_manifested` absorbs any staleness). Never
+    rolls backwards."""
+    fs, hpath_cls, _ = _hadoop_fs(spark, path)
+    ckpt_v, _unused = _read_manifest_checkpoint(spark, path)
+    if ckpt_v >= version:
+        return
+    _write_small_json(
+        fs, hpath_cls, path, CHECKPOINT_REL,
+        {"version": version, "files": sorted(all_files)},
+    )
 
 
 def publish_snapshot(
@@ -226,9 +285,7 @@ def publish_snapshot(
         on_disk = set(_list_data_files(fs, root, hpath_cls))
         versions = snapshot_versions(spark, path)
         if versions:
-            manifested: set[str] = set()
-            for v in versions:
-                manifested |= set(_manifest_files(spark, path, v))
+            manifested = _all_manifested(spark, path, versions)
             head_f = set(_manifest_files(spark, path, versions[-1]))
             # head's live files (absolute clone refs kept verbatim;
             # relative ones must still exist — in-place rewrites replace
@@ -248,7 +305,8 @@ def publish_snapshot(
         _refuse_if_rewrite_live()
     else:
         files = sorted(files)
-    version = (snapshot_versions(spark, path) or [0])[-1] + 1
+    prior_versions = snapshot_versions(spark, path)
+    version = (prior_versions or [0])[-1] + 1
     mdir = hpath_cls(f"{path}/{MANIFEST_DIR}")
     if not fs.exists(mdir):
         _must(fs.mkdirs(mdir), "mkdirs", mdir)
@@ -273,6 +331,10 @@ def publish_snapshot(
         out.close()
     final = hpath_cls(f"{path}/{MANIFEST_DIR}/v{version}.json")
     _must(fs.rename(tmp, final), "publish-rename", final)
+    _advance_manifest_checkpoint(
+        spark, path, version,
+        _all_manifested(spark, path, prior_versions) | set(files),
+    )
     return version
 
 
@@ -558,9 +620,7 @@ def recover_incomplete_rewrite(spark: SparkSession, path: str) -> int:
         # check makes it abort cleanly.
         _must(fs.delete(marker, False), "rewrite-marker-delete", marker)
         return 0
-    manifested: set[str] = set()
-    for v in snapshot_versions(spark, path):
-        manifested |= set(_manifest_files(spark, path, v))
+    manifested = _all_manifested(spark, path)
     on_disk = set(_list_data_files(fs, root, hpath_cls))
     orphans = sorted(on_disk - before - manifested)
     for f in orphans:
@@ -691,9 +751,7 @@ def _finish_rewrite(
     new_files = after - before
 
     def _abort(reason: str) -> None:
-        manifested: set[str] = set()
-        for v in snapshot_versions(spark, path):
-            manifested |= set(_manifest_files(spark, path, v))
+        manifested = _all_manifested(spark, path)
         for f in sorted(new_files - manifested):
             p = hpath_cls(f"{path}/{f}")
             if fs.exists(p):
@@ -1108,12 +1166,15 @@ def vacuum(
     kept_refs: set[str] = set()
     for v in keep:
         kept_refs |= set(_manifest_files(spark, path, v))
-    dropped_refs: set[str] = set()
-    for v in dropped:
-        dropped_refs |= set(_manifest_files(spark, path, v))
+    # everything ever manifested (checkpoint + gap) stands in for the
+    # dropped versions' union — it also covers files remembered only by
+    # the checkpoint (their manifests were dropped by an EARLIER vacuum
+    # while a then-kept manifest still referenced them), so those
+    # tombstones are reclaimed too instead of leaking forever
+    all_man = _all_manifested(spark, path, versions)
     fs, hpath_cls, root = _hadoop_fs(spark, path)
     on_disk = set(_list_data_files(fs, root, hpath_cls))
-    doomed = sorted((dropped_refs - kept_refs) & on_disk)
+    doomed = sorted((all_man - kept_refs) & on_disk)
     if dry_run:
         return {
             "dry_run": True,
@@ -1121,9 +1182,7 @@ def vacuum(
             "would_delete_files": doomed,
             "manifests_dropped": 0,
             "would_drop_manifests": dropped,
-            "files_unmanifested": len(
-                on_disk - kept_refs - dropped_refs
-            ),
+            "files_unmanifested": len(on_disk - all_man),
         }
     for f in doomed:
         _must(
@@ -1132,10 +1191,18 @@ def vacuum(
     for v in dropped:
         mf = hpath_cls(f"{path}/{MANIFEST_DIR}/v{v}.json")
         _must(fs.delete(mf, False), "vacuum-manifest-delete", mf)
+    # compact the checkpoint to the kept manifests' union: every file
+    # that was only in dropped/checkpoint history and still local was
+    # just deleted, so the kept union is again exactly 'everything ever
+    # manifested that can still appear in a listing'
+    _write_small_json(
+        fs, hpath_cls, path, CHECKPOINT_REL,
+        {"version": versions[-1], "files": sorted(kept_refs)},
+    )
     return {
         "files_deleted": len(doomed),
         "manifests_dropped": len(dropped),
-        "files_unmanifested": len(on_disk - kept_refs - dropped_refs),
+        "files_unmanifested": len(on_disk - all_man),
     }
 
 

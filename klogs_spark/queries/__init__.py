@@ -73,7 +73,10 @@ DRIVER_VERIFIED: dict = {
     "ann_ivf_topk": "374920a3f05a",
     "ann_ivfpq_filtered": "d1757c2497e3",
     "ann_ivfpq_prebuilt": "c279094be999",
+    "ann_ivfpq_refresh": "c29e8665d870",
     "ann_ivfpq_remove": "c1208109538e",
+    "ann_ivfpq_rerank": "eca2529704c8",
+    "ann_ivfpq_stream": "69f5ea4ae525",
     "ann_ivfpq_topk": "08ac55b380f4",
     "ann_kmeans_iteration": "5636a85fa623",
     "ann_lsh_bucket_stats": "855956740694",
@@ -113,6 +116,7 @@ DRIVER_VERIFIED: dict = {
     "embedding_norm_outliers": "a1905f13370e",
     "embedding_pca_project": "3c1d15d0dde0",
     "embedding_source_drift": "1a3f4a01d52a",
+    "embedding_top_component": "550bd90fd3d3",
     "events_active_users": "bf827125bbf1",
     "events_attribution": "fb767c64294a",
     "events_cohort_ltv": "e6931152ef33",
@@ -197,6 +201,7 @@ DRIVER_VERIFIED: dict = {
     "sample_dsir_weights": "c921986f43af",
     "sample_global_shuffle": "196cc30a9d92",
     "sample_hash_deterministic": "f248348905ce",
+    "sample_interleave": "158dc4756ec6",
     "sample_leakage_free_split": "b3ee20aa0418",
     "sample_mixture_weights": "86c83321b394",
     "sample_pack_ffd": "ccf68832e632",

@@ -207,6 +207,23 @@ def main() -> None:
     calibration = round(cal, 3)
     print(f"# calibration: {calibration}s", file=sys.stderr)
 
+    # shuffle-path calibration: a fixed repartition job timed next to the
+    # CPU probe. The CPU-only probe cannot normalize SHUFFLE-path drift
+    # (serializer, disk, page cache) — r15 and r16 driver captures each
+    # looked like uniform 12-75% regressions and needed a judge bench
+    # re-run to adjudicate as box drift. Two probes separate the axes:
+    # cpu-probe flat + shuffle-probe up = shuffle-path drift, both flat =
+    # real code regression in the queries that moved.
+    shuf = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(4_000_000).repartition(64, "id").selectExpr(
+            "sum(id % 97)"
+        ).collect()
+        shuf = min(shuf, time.perf_counter() - t0)
+    shuffle_calibration = round(shuf, 3)
+    print(f"# shuffle calibration: {shuffle_calibration}s", file=sys.stderr)
+
     # Materialized-table section: write the logs view ONCE as the engine's
     # native table (daily partitions + cluster-key sort), then time the
     # canonical klogs filters against real storage — this is the layout the
@@ -533,6 +550,7 @@ def main() -> None:
         "comparable_r4_subtotal_sec": comparable,
         "comparable_r8_subtotal_sec": comparable_r8,
         "box_calibration_sec": calibration,
+        "box_shuffle_calibration_sec": shuffle_calibration,
         "timing": "best-of-N per query (single-shot swings up to "
                   "+/-50% on this box with unchanged code); "
                   "'value' includes queries newly added to the "

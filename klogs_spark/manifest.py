@@ -268,8 +268,18 @@ def publish_snapshot(
     lifecycle property test: append → cow_delete → append → snapshot
     brought every deleted row back). The same rule carries a shallow
     clone's absolute source references forward (a walk only sees local
-    files). A first publish (no manifests yet) is the plain listing."""
+    files). A first publish (no manifests yet) is the plain listing.
+
+    Name-reuse caveat: the checkpoint remembers every relative name EVER
+    manifested, even after vacuum reclaims the file. A later committed
+    append that reuses the exact relative name of a vacuumed-away file
+    is therefore treated as already-manifested by a listing publish and
+    excluded from the new head. Engine part files are UUID-named so this
+    cannot occur on normal write paths; it only affects explicit-files
+    publishes of hand-named files — give those fresh names."""
     fs, hpath_cls, root = _hadoop_fs(spark, path)
+    _listing_manifested: set | None = None
+    _listing_versions: list | None = None
     if files is None:
         def _refuse_if_rewrite_live() -> None:
             if fs.exists(hpath_cls(f"{path}/{REWRITE_MARKER}")):
@@ -286,6 +296,9 @@ def publish_snapshot(
         versions = snapshot_versions(spark, path)
         if versions:
             manifested = _all_manifested(spark, path, versions)
+            # cache for the checkpoint advance below — valid as long as
+            # no concurrent publish lands between here and there
+            _listing_manifested, _listing_versions = manifested, versions
             head_f = set(_manifest_files(spark, path, versions[-1]))
             # head's live files (absolute clone refs kept verbatim;
             # relative ones must still exist — in-place rewrites replace
@@ -331,9 +344,18 @@ def publish_snapshot(
         out.close()
     final = hpath_cls(f"{path}/{MANIFEST_DIR}/v{version}.json")
     _must(fs.rename(tmp, final), "publish-rename", final)
+    # reuse the listing mode's already-computed all-manifested set when
+    # no concurrent publish landed between the listing and here (the
+    # common case) — avoids re-reading the checkpoint + gap manifests
+    if (
+        _listing_manifested is not None
+        and _listing_versions == prior_versions
+    ):
+        prior_manifested = _listing_manifested
+    else:
+        prior_manifested = _all_manifested(spark, path, prior_versions)
     _advance_manifest_checkpoint(
-        spark, path, version,
-        _all_manifested(spark, path, prior_versions) | set(files),
+        spark, path, version, prior_manifested | set(files)
     )
     return version
 
@@ -1194,11 +1216,18 @@ def vacuum(
     # compact the checkpoint to the kept manifests' union: every file
     # that was only in dropped/checkpoint history and still local was
     # just deleted, so the kept union is again exactly 'everything ever
-    # manifested that can still appear in a listing'
-    _write_small_json(
-        fs, hpath_cls, path, CHECKPOINT_REL,
-        {"version": versions[-1], "files": sorted(kept_refs)},
-    )
+    # manifested that can still appear in a listing'. Re-read the
+    # checkpoint first and honor the never-rolls-backwards contract: a
+    # publish racing this vacuum may have already advanced it past our
+    # head, and overwriting that fresher checkpoint with an older-version
+    # one would (briefly) break the O(1)-history property — the next
+    # vacuum compacts the stale tombstones instead.
+    ckpt_v, _ = _read_manifest_checkpoint(spark, path)
+    if ckpt_v <= versions[-1]:
+        _write_small_json(
+            fs, hpath_cls, path, CHECKPOINT_REL,
+            {"version": versions[-1], "files": sorted(kept_refs)},
+        )
     return {
         "files_deleted": len(doomed),
         "manifests_dropped": len(dropped),
@@ -1503,8 +1532,12 @@ def maintain(
     for f in _manifest_files(spark, path, head):
         d = _entry_day_dir(f)
         per_day[d] = per_day.get(d, 0) + 1
+    # the '' group is unpartitioned entries (bare-filename explicit
+    # publishes, see _entry_day_dir) — they carry no day, so they are
+    # never expired and never compactable as a partition
     fragmented = sorted(
-        d for d, n in per_day.items() if n > max_files_per_partition
+        d for d, n in per_day.items()
+        if d and n > max_files_per_partition
     )
     if dry_run:
         report["would_compact"] = fragmented
@@ -1512,7 +1545,7 @@ def maintain(
             cutoff = _date.today() - _timedelta(days=retention_days)
             report["would_retire"] = sorted(
                 d for d in per_day
-                if d.split("=", 1)[1] < str(cutoff)
+                if d and d.split("=", 1)[1] < str(cutoff)
             )
         report["vacuum"] = vacuum(spark, path, keep_versions, dry_run=True)
         return report

@@ -1654,6 +1654,109 @@ FROM logs GROUP BY 1, 2
 )
 
 
+def q_ingest_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common Crawl container ingestion externally checked: the document
+    corpus is ENCODED into real ``.warc.gz`` archives (WARC/1.0 response
+    records carrying HTTP/1.1 payloads, one gzip member per record — the
+    Common Crawl wire shape, see warc_lite) and immediately DECODED back
+    through the same binary reader (iter_warc_records +
+    split_http_payload), then aggregated per source with a per-text md5
+    fingerprint sum and the exact WARC Content-Length sum. The oracle
+    computes the identical aggregate directly from documents — equality
+    proves the record serializer, the multi-member gzip framing, the
+    header parser, and the HTTP envelope split preserved every byte
+    (the ingest_orc_roundtrip / msgpack pattern applied to the web-
+    archive format every pretraining pipeline starts from).
+
+    Perf shape: encode and decode share ONE mapInPandas worker — each
+    Arrow batch becomes one self-contained archive whose bytes are
+    parsed right back (single JVM<->Python crossing, the fused msgpack
+    lesson). Archives are record-independent by construction (one gzip
+    member each), so at 100 TB the real read path is: split archive by
+    member offsets -> decode members in parallel — no cross-record
+    state anywhere in warc_lite."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+
+    def encode_decode(batches):
+        import pandas as pd
+
+        from klogs_spark.warc_lite import (
+            build_record, build_warc_gz, http_response, iter_warc_records,
+            split_http_payload,
+        )
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            recs = []
+            for did, src, text in zip(
+                pdf["doc_id"], pdf["source"], pdf["text"]
+            ):
+                did = int(did)
+                body = str(text).encode("utf-8")
+                recs.append(build_record(
+                    "response",
+                    f"{did:012d}-0000-4000-8000-000000000000",
+                    f"2026-01-{did % 28 + 1:02d}T00:00:00Z",
+                    http_response(body, content_type="text/plain"),
+                    target_uri=(
+                        f"http://{src}.example.com/doc/{did}"
+                    ),
+                ))
+            archive = build_warc_gz(recs)
+            out = {"doc_id": [], "source": [], "text": [],
+                   "payload_len": []}
+            for rec in iter_warc_records(archive):
+                if rec["headers"]["WARC-Type"] != "response":
+                    continue
+                uri = rec["headers"]["WARC-Target-URI"]
+                host = uri.split("//", 1)[1].split("/", 1)[0]
+                _http, body = split_http_payload(rec["content"])
+                out["doc_id"].append(int(uri.rsplit("/", 1)[1]))
+                out["source"].append(host.split(".", 1)[0])
+                out["text"].append(body.decode("utf-8"))
+                out["payload_len"].append(
+                    int(rec["headers"]["Content-Length"])
+                )
+            yield pd.DataFrame(out)
+
+    from ..ext.hashing import md5_long
+
+    n_slices = spark.sparkContext.defaultParallelism
+    decoded = docs.repartition(n_slices).mapInPandas(
+        encode_decode,
+        "doc_id long, source string, text string, payload_len long",
+    )
+    return decoded.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("doc_id").cast("bigint").alias("min_id"),
+        F.max("doc_id").cast("bigint").alias("max_id"),
+        F.sum(F.length("text")).cast("bigint").alias("sum_chars"),
+        F.sum("payload_len").cast("bigint").alias("sum_payload_len"),
+        F.sum(md5_long(F.col("text"))).cast("bigint").alias("sum_text_md5"),
+    )
+
+
+# the WARC payload is a fixed HTTP/1.1 envelope around the utf-8 body:
+# "HTTP/1.1 200 OK\r\n" (17) + "Content-Type: text/plain\r\n" (26)
+# + "Content-Length: {n}\r\n" (18 + digits of n) + "\r\n" (2) = 63 + digits,
+# with n = octet_length of the body — closed form in both engines
+SQL_INGEST_WARC_ROUNDTRIP = """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(doc_id) AS BIGINT) AS min_id,
+       CAST(max(doc_id) AS BIGINT) AS max_id,
+       CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+       CAST(sum(63 + length(CAST(strlen(text) AS VARCHAR)) + strlen(text))
+            AS BIGINT) AS sum_payload_len,
+       CAST(sum(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT))
+            AS BIGINT) AS sum_text_md5
+FROM documents GROUP BY source
+"""
+
+
 def q_stream_minmax_sidecar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The streaming zone-map maintenance externally checked: two weeks of
     logs arrive as a REAL micro-batch stream through
@@ -3448,6 +3551,15 @@ SPECS = {
         "dynamic-field maps) through date-partitioned ORC and back; "
         "per-(day, level) counts + integer-micro latency sum + map-key "
         "census vs direct-from-events oracle",
+    ),
+    "ingest_warc_roundtrip": QuerySpec(
+        q_ingest_warc_roundtrip,
+        SQL_INGEST_WARC_ROUNDTRIP,
+        "Common Crawl WARC round-trip: documents encoded into real "
+        ".warc.gz archives (gzip member per record, HTTP/1.1 response "
+        "payloads) and decoded back by the same binary reader; per-source "
+        "md5-fingerprint sum + exact Content-Length sum vs "
+        "direct-from-documents oracle",
     ),
     "stream_minmax_sidecar": QuerySpec(
         q_stream_minmax_sidecar,

@@ -1,0 +1,105 @@
+"""warc_lite unit coverage: record framing, multi-member gzip layout,
+HTTP envelope split, determinism, and loud-corruption contracts."""
+
+import gzip
+
+import pytest
+
+from klogs_spark.warc_lite import (
+    WarcFormatError,
+    build_record,
+    build_warc_gz,
+    http_response,
+    iter_warc_records,
+    split_http_payload,
+)
+
+
+def _rec(i: int, body: bytes = b"hello world") -> bytes:
+    return build_record(
+        "response",
+        f"{i:012d}-0000-4000-8000-000000000000",
+        "2026-01-05T00:00:00Z",
+        http_response(body, content_type="text/plain"),
+        target_uri=f"http://src{i}.example.com/doc/{i}",
+    )
+
+
+def test_single_record_roundtrip():
+    blob = build_warc_gz([_rec(7, b"payload bytes \x00\xff ok")])
+    recs = list(iter_warc_records(blob))
+    assert len(recs) == 1
+    h = recs[0]["headers"]
+    assert h["WARC-Type"] == "response"
+    assert h["WARC-Target-URI"] == "http://src7.example.com/doc/7"
+    assert h["WARC-Date"] == "2026-01-05T00:00:00Z"
+    http, body = split_http_payload(recs[0]["content"])
+    assert http["_status"] == "HTTP/1.1 200 OK"
+    assert http["Content-Type"] == "text/plain"
+    assert body == b"payload bytes \x00\xff ok"
+    assert int(http["Content-Length"]) == len(body)
+
+
+def test_multi_record_order_and_fidelity():
+    bodies = [f"doc {i} text".encode() for i in range(25)]
+    blob = build_warc_gz([_rec(i, b) for i, b in enumerate(bodies)])
+    out = [split_http_payload(r["content"])[1]
+           for r in iter_warc_records(blob)]
+    assert out == bodies
+
+
+def test_one_gzip_member_per_record():
+    """The Common Crawl layout contract: each record is its own gzip
+    member, independently decompressible from its byte offset — what
+    makes a single archive splittable across a cluster."""
+    blob = build_warc_gz([_rec(i) for i in range(3)])
+    assert blob[:2] == b"\x1f\x8b"
+    # walk members one at a time with zlib's gzip wrapper; each member
+    # must terminate (eof) and hand back the remaining bytes untouched
+    import zlib
+    members = 0
+    rest = blob
+    while rest:
+        dec = zlib.decompressobj(wbits=31)
+        dec.decompress(rest)
+        assert dec.eof, "member did not terminate"
+        members += 1
+        rest = dec.unused_data
+    assert members == 3
+    # the middle member alone round-trips a full record
+    dec = zlib.decompressobj(wbits=31)
+    first = zlib.decompressobj(wbits=31)
+    first.decompress(blob)
+    mid = first.unused_data
+    rec_bytes = dec.decompress(mid)
+    rec = next(iter_warc_records(rec_bytes))
+    assert rec["headers"]["WARC-Target-URI"].endswith("/doc/1")
+
+
+def test_deterministic_bytes():
+    a = build_warc_gz([_rec(i) for i in range(5)])
+    b = build_warc_gz([_rec(i) for i in range(5)])
+    assert a == b
+
+
+def test_uncompressed_input_accepted():
+    rec = _rec(1)
+    assert next(iter_warc_records(rec))["headers"]["WARC-Type"] == "response"
+
+
+@pytest.mark.parametrize("mutate", [
+    lambda b: b.replace(b"WARC/1.0", b"NOPE/1.0", 1),
+    lambda b: b.replace(b"Content-Length: ", b"Content-Oops: ", 1),
+    lambda b: b[:-4],  # chop the record separator
+    lambda b: b.replace(b"\r\n\r\n", b"", 1),  # no header terminator
+])
+def test_corruption_is_loud(mutate):
+    rec = mutate(_rec(3))
+    with pytest.raises(WarcFormatError):
+        list(iter_warc_records(rec))
+
+
+def test_truncated_payload_is_loud():
+    rec = _rec(4, b"0123456789")
+    with pytest.raises(WarcFormatError):
+        list(iter_warc_records(rec[:-8]))

@@ -1,0 +1,180 @@
+"""Web-corpus cleaning operators: HTML boilerplate extraction, mojibake
+(encoding-corruption) repair, and RFC 3986 URL canonicalization.
+
+These are the steps between WARC ingestion (warc_lite) and the text
+operators (ext.text): a real pretraining pipeline goes
+archive -> HTML -> main text -> encoding repair -> URL-keyed dedup.
+
+Scale shape: everything here is row-local. The HTML extractor and the
+mojibake detect/repair are pure native column expressions (whole-stage
+codegen, zero Python); the URL normalizer is the one genuinely
+imperative algorithm (RFC 3986 remove_dot_segments is a stack fold) and
+runs as an Arrow-batched pandas UDF — never row-at-a-time Python.
+
+Public-knowledge provenance: the link-density block rule is the core of
+jusText/boilerpipe (Pomikálek 2011; Kohlschütter et al. WSDM 2010); the
+double-encoding repair is the classic ftfy heuristic (decode the UTF-8
+bytes that were mis-read as latin-1); URL normalization follows RFC 3986
+§6.2.2 (case, default port, dot-segments) plus query-parameter sorting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# HTML boilerplate extraction (jusText-style link-density rule)
+# ---------------------------------------------------------------------------
+
+# block-level boundaries: a new block starts at every opening p/div/footer/
+# nav/li/h1-h6/table tag (lookahead split keeps the tag with its block)
+_BLOCK_SPLIT = r"(?=<(?:p|div|footer|nav|li|h[1-6]|table)\b)"
+_TAG = r"<[^>]*>"
+_ANCHOR_TEXT = r"<a\b[^>]*>([^<]*)</a>"
+
+# jusText-flavored keep rule, integer arithmetic only (no float density):
+# a block survives when its tag-stripped text is at least MIN_BLOCK_CHARS
+# long AND its anchor-text chars are strictly under half the block's text
+# chars (2*link_chars < text_chars  <=>  link_density < 0.5).
+MIN_BLOCK_CHARS = 25
+
+
+def html_blocks(html: Column) -> Column:
+    """``array<struct<txt,link_len>>`` — the page split into block-level
+    segments, each with its tag-stripped text and total anchor-text
+    length. Pure native expressions: split + per-element regexps inside
+    ``transform`` (row-local, codegen-friendly)."""
+    return F.transform(
+        F.split(html, _BLOCK_SPLIT),
+        lambda b: F.struct(
+            F.trim(F.regexp_replace(b, _TAG, "")).alias("txt"),
+            F.aggregate(
+                F.regexp_extract_all(b, F.lit(_ANCHOR_TEXT), 1),
+                F.lit(0),
+                lambda acc, a: acc + F.length(a),
+            ).alias("link_len"),
+        ),
+    )
+
+
+def html_extract(html: Column) -> Column:
+    """``struct<n_blocks,n_kept,extracted>`` — the jusText-style main-text
+    extraction: drop short blocks and link-farm blocks (link density >=
+    1/2), join the survivors' stripped text in document order."""
+    blocks = html_blocks(html)
+    kept = F.filter(
+        blocks,
+        lambda s: (F.length(s["txt"]) >= MIN_BLOCK_CHARS)
+        & (s["link_len"] * 2 < F.length(s["txt"])),
+    )
+    return F.struct(
+        F.size(blocks).cast("long").alias("n_blocks"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(kept, lambda s: s["txt"]), " "
+        ).alias("extracted"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mojibake (UTF-8-read-as-latin-1 double encoding) detect + repair
+# ---------------------------------------------------------------------------
+
+# UTF-8 lead bytes 0xC2/0xC3/0xE2 mis-decoded as latin-1 surface as these
+# characters — the canonical mojibake tell (ftfy's highest-signal pattern).
+_MOJIBAKE_RE = "[\xC2\xC3\xE2][\x80-\xBF]"
+
+
+def corrupt_latin1(col: Column) -> Column:
+    """Simulate the classic corruption: the string's UTF-8 bytes re-read
+    as latin-1 (é -> Ã©). Native encode/decode, zero Python."""
+    return F.decode(F.encode(col, "UTF-8"), "ISO-8859-1")
+
+
+def looks_mojibake(col: Column) -> Column:
+    """True when the text carries UTF-8-as-latin-1 tell sequences."""
+    return col.rlike(_MOJIBAKE_RE)
+
+
+def repair_latin1(col: Column) -> Column:
+    """Invert :func:`corrupt_latin1`: re-encode the mis-decoded chars as
+    latin-1 (recovering the original UTF-8 bytes) and decode as UTF-8."""
+    return F.decode(F.encode(col, "ISO-8859-1"), "UTF-8")
+
+
+def fix_encoding(col: Column) -> Column:
+    """ftfy-style conditional repair: apply the latin-1 inverse only to
+    strings that look mojibake'd, pass clean text through untouched."""
+    return F.when(looks_mojibake(col), repair_latin1(col)).otherwise(col)
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization (RFC 3986 §6.2.2) — Arrow-batched pandas UDF
+# ---------------------------------------------------------------------------
+
+_DEFAULT_PORTS = {"http": "80", "https": "443"}
+
+
+def _remove_dot_segments(path: str) -> str:
+    """RFC 3986 §5.2.4: resolve '.' and '..' segments with the standard
+    output-stack algorithm ('..' above root is dropped, trailing '.'/'..'
+    keeps the directory slash)."""
+    out: list[str] = []
+    trailing_slash = False
+    for seg in path.split("/"):
+        if seg == ".":
+            trailing_slash = True
+        elif seg == "..":
+            if out and out[-1]:
+                out.pop()
+            trailing_slash = True
+        else:
+            out.append(seg)
+            trailing_slash = False
+    p = "/".join(out)
+    if trailing_slash and not p.endswith("/"):
+        p += "/"
+    return p
+
+
+def normalize_url_py(url: str) -> str:
+    """The scalar normalizer (shared by the UDF and unit tests):
+    lowercase scheme+host, strip the scheme's default port, resolve
+    dot-segments, '/' for an empty path, sort query parameters."""
+    from urllib.parse import parse_qsl, urlencode, urlsplit, urlunsplit
+
+    parts = urlsplit(url)
+    scheme = parts.scheme.lower()
+    host = (parts.hostname or "").lower()
+    port = parts.port
+    netloc = host
+    if port is not None and str(port) != _DEFAULT_PORTS.get(scheme):
+        netloc += f":{port}"
+    path = _remove_dot_segments(parts.path) or "/"
+    query = urlencode(
+        sorted(parse_qsl(parts.query, keep_blank_values=True))
+    )
+    return urlunsplit((scheme, netloc, path, query, ""))
+
+
+def normalize_url(col: Column) -> Column:
+    """Column form of :func:`normalize_url_py` — a vectorized pandas UDF
+    (Arrow batches; the dot-segment stack fold is the one part of the
+    pipeline native functions can't express generally)."""
+    import pandas  # noqa: F401 — resolves the UDF's stringified hints
+    from pyspark.sql.functions import pandas_udf
+
+    def _norm(s):
+        return s.map(normalize_url_py)
+
+    # explicit annotations (not inline hints): `from __future__ import
+    # annotations` stringifies hints and pandas isn't importable from
+    # this module's namespace at resolution time
+    _norm.__annotations__ = {"s": pandas.Series, "return": pandas.Series}
+    return pandas_udf(_norm, "string")(col)
+
+
+def url_domain(norm_url: Column) -> Column:
+    """The registrable host of an already-normalized URL — native regexp."""
+    return F.regexp_extract(norm_url, r"^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1)

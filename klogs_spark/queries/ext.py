@@ -7245,6 +7245,217 @@ FROM top t JOIN est e ON t.tok = e.tok
 """
 
 
+def q_text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate extraction (ext.web.html_extract — the jusText /
+    boilerpipe link-density rule) externally hash-checked per document.
+    Each doc is rendered into a synthetic page around REAL boilerplate
+    shapes: a nav link farm, a short <title> head block, the content
+    paragraph (one variant wraps its first token in an inline link — the
+    extractor must STRIP the tag, not drop the block), a link-farm
+    "related" div on a third of docs (>= 25 chars, so only the density
+    rule can reject it), and a links+copyright footer. The extractor is
+    fully generic (block split + tag strip + integer link-density over
+    the html string); the oracle exploits the controlled synthesis to
+    state the expected block census and extracted text closed-form.
+    Plan shape: row-local native expressions (split/transform/filter
+    inside whole-stage codegen), zero shuffles, zero Python."""
+    from ..ext import web as wb
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        ~F.col("text").rlike("[<>&]") & F.col("text").rlike(r"^\S(.*\S)?$")
+    )
+    variant = F.col("doc_id") % 3
+    content = F.when(
+        variant == 1,
+        F.regexp_replace(F.col("text"), r"^(\S+)", '<a href="/t">$1</a>'),
+    ).otherwise(F.col("text"))
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</title></head><body>"),
+        F.lit('<div class="nav"><a href="/">Home</a> '
+              '<a href="/about">About</a> <a href="/contact">Contact</a>'
+              "</div>"),
+        F.lit("<p>"), content, F.lit("</p>"),
+        F.when(
+            variant == 2,
+            F.lit('<div class="related"><a href="/r1">related article '
+                  'one</a> <a href="/r2">related article two</a></div>'),
+        ).otherwise(F.lit("")),
+        F.lit('<footer><a href="/terms">Terms of service</a> '
+              '<a href="/privacy">Privacy policy</a> (c)</footer>'
+              "</body></html>"),
+    )
+    ex = wb.html_extract(html)
+    return docs.select(
+        "doc_id",
+        ex["n_blocks"].alias("n_blocks"),
+        ex["n_kept"].alias("n_kept"),
+        ex["extracted"].alias("extracted"),
+    )
+
+
+# the synthesis contract the oracle exploits: blocks are [head+title, nav,
+# <p>content, (related iff doc_id%3=2), footer]; only the paragraph can
+# survive (nav/title/related/footer are short or link-dominated by
+# construction), and it survives iff len(text) >= 25 and — for the
+# inline-link variant doc_id%3=1 — 2*len(first token) < len(text)
+SQL_TEXT_HTML_EXTRACT = r"""
+WITH d AS (
+  SELECT doc_id, text, doc_id % 3 AS v, length(text) AS L,
+         length(regexp_extract(text, '^(\S+)', 1)) AS tok1
+  FROM documents
+  WHERE NOT regexp_matches(text, '[<>&]')
+    AND regexp_matches(text, '^\S(.*\S)?$')
+)
+SELECT doc_id,
+       CAST(CASE WHEN v = 2 THEN 5 ELSE 4 END AS BIGINT) AS n_blocks,
+       CAST(CASE WHEN L >= 25 AND (v <> 1 OR 2 * tok1 < L)
+                 THEN 1 ELSE 0 END AS BIGINT) AS n_kept,
+       CASE WHEN L >= 25 AND (v <> 1 OR 2 * tok1 < L)
+            THEN text ELSE '' END AS extracted
+FROM d
+"""
+
+
+def q_text_fix_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake repair (ext.web fix_encoding — the ftfy double-encoding
+    heuristic) externally checked with an exact-inverse corruption: every
+    ASCII doc gains a non-ASCII suffix, HALF the corpus (even doc_id) is
+    then corrupted by re-reading its UTF-8 bytes as latin-1 (é -> Ã©,
+    native encode/decode — the real wire accident, not a string hack),
+    and the detector + repair run over the mixed corpus. The oracle
+    knows corruption is invertible closed-form: flagged == corrupted ==
+    even ids (the suffix guarantees a mojibake tell; clean ASCII+suffix
+    text can never match the tell regex), repaired text == original
+    exactly, so the md5-fingerprint sum over the repaired corpus equals
+    the sum over originals. Row-local native expressions end-to-end."""
+    from ..ext import web as wb
+    from ..ext.hashing import md5_long
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").rlike("^[ -~]*$")
+    )
+    suffix = F.element_at(
+        F.array(
+            F.lit(" — café"), F.lit(" naïve №"), F.lit(" déjà-vu ✓")
+        ),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    original = F.concat(F.col("text"), suffix)
+    wire = F.when(
+        F.col("doc_id") % 2 == 0, wb.corrupt_latin1(original)
+    ).otherwise(original)
+    fixed = wb.fix_encoding(wire)
+    return (
+        docs.select(
+            "doc_id", "source", original.alias("orig"),
+            wb.looks_mojibake(wire).alias("flagged"), fixed.alias("fixed"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("flagged"), 1).otherwise(0))
+            .cast("bigint").alias("n_flagged"),
+            # repaired-exact counts only FLAGGED rows whose repair
+            # restored the original byte-for-byte (clean pass-through
+            # rows are trivially equal and would mask a broken repair)
+            F.sum(
+                F.when(
+                    F.col("flagged") & (F.col("fixed") == F.col("orig")), 1
+                ).otherwise(0)
+            ).cast("bigint").alias("n_repaired_exact"),
+            F.sum(md5_long(F.col("fixed")))
+            .cast("bigint").alias("sum_fixed_md5"),
+        )
+    )
+
+
+SQL_TEXT_FIX_ENCODING = """
+WITH d AS (
+  SELECT doc_id, source,
+         text || CASE doc_id % 3 WHEN 0 THEN ' — café'
+                                 WHEN 1 THEN ' naïve №'
+                                 ELSE ' déjà-vu ✓' END AS original
+  FROM documents
+  WHERE regexp_matches(text, '^[ -~]*$')
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_flagged,
+       CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_repaired_exact,
+       CAST(sum(CAST('0x' || substr(md5(original), 1, 8) AS BIGINT))
+            AS BIGINT) AS sum_fixed_md5
+FROM d GROUP BY source
+"""
+
+
+def q_text_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 3986 URL canonicalization + per-domain dedup stats
+    (ext.web.normalize_url — Arrow-batched pandas UDF running the real
+    §6.2.2 algorithm: case-fold scheme/host, strip default ports, the
+    remove_dot_segments stack fold, query-parameter sort). Messy URLs
+    are synthesized per doc (upper-cased scheme+host, default :80/:443
+    on most rows, a kept non-default :8080 on every fifth, '/./' and
+    '/../' path variants, unsorted query params); deliberately, the two
+    dot-segment variants COLLAPSE to the same canonical URL per
+    (domain, scheme) — the dedup signal. The oracle states the canonical
+    form closed-form per row and aggregates identically: per-domain URL
+    count, distinct-canonical count, and the md5-fingerprint sum over
+    DISTINCT canonical URLs (order-free, collision-safe census)."""
+    from ..ext import web as wb
+    from ..ext.hashing import md5_long
+
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    messy = F.concat(
+        F.when(did % 2 == 0, F.lit("HTTP://")).otherwise(F.lit("https://")),
+        F.lit("WWW."), F.upper("source"), F.lit(".Example.COM"),
+        F.when(did % 5 == 0, F.lit(":8080")).otherwise(
+            F.when(did % 2 == 0, F.lit(":80")).otherwise(F.lit(":443"))
+        ),
+        F.when(did % 3 == 0, F.lit("/a/b/./c"))
+        .when(did % 3 == 1, F.lit("/a/x/../c"))
+        .otherwise(F.concat(F.lit("/p/"), did.cast("string"))),
+        F.when(did % 2 == 0, F.lit("?b=2&a=1"))
+        .otherwise(F.lit("?z=9&a=1&m=3")),
+    )
+    norm = wb.normalize_url(messy)
+    urls = docs.select(norm.alias("url")).select(
+        "url", wb.url_domain(F.col("url")).alias("domain")
+    )
+    return urls.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_urls"),
+        F.count_distinct("url").cast("bigint").alias("n_distinct"),
+        F.sum_distinct(md5_long(F.col("url")))
+        .cast("bigint").alias("sum_distinct_md5"),
+    )
+
+
+SQL_TEXT_URL_NORMALIZE = """
+WITH d AS (
+  SELECT doc_id,
+         'www.' || source || '.example.com' AS domain,
+         CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END
+         || '://www.' || source || '.example.com'
+         || CASE WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END
+         || CASE doc_id % 3 WHEN 0 THEN '/a/b/c' WHEN 1 THEN '/a/c'
+                            ELSE '/p/' || CAST(doc_id AS VARCHAR) END
+         || CASE WHEN doc_id % 2 = 0 THEN '?a=1&b=2'
+                 ELSE '?a=1&m=3&z=9' END AS url
+  FROM documents
+)
+SELECT domain,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(count(DISTINCT url) AS BIGINT) AS n_distinct,
+       CAST(sum(DISTINCT CAST('0x' || substr(md5(url), 1, 8) AS BIGINT))
+            AS BIGINT) AS sum_distinct_md5
+FROM d GROUP BY domain
+"""
+
+
 SPECS = {
     "dedup_exact": QuerySpec(q_dedup_exact, SQL_DEDUP_EXACT,
                              "exact hash-groupBy dedup"),
@@ -7798,5 +8009,23 @@ SPECS = {
     "skew_two_phase_count": QuerySpec(
         q_skew_two_phase_count, SQL_SKEW_TWO_PHASE_COUNT,
         "two-phase salted hot-group count vs plain GROUP BY oracle",
+    ),
+    "text_html_extract": QuerySpec(
+        q_text_html_extract, SQL_TEXT_HTML_EXTRACT,
+        "jusText-style HTML boilerplate extraction (block split + tag "
+        "strip + integer link-density rule) over synthesized pages with "
+        "real boilerplate shapes vs closed-form synthesis oracle",
+    ),
+    "text_fix_encoding": QuerySpec(
+        q_text_fix_encoding, SQL_TEXT_FIX_ENCODING,
+        "ftfy-style mojibake detect+repair over a half-corrupted corpus "
+        "(real UTF-8-as-latin-1 byte corruption, native encode/decode); "
+        "exact-inverse oracle with per-source md5 fingerprint sums",
+    ),
+    "text_url_normalize": QuerySpec(
+        q_text_url_normalize, SQL_TEXT_URL_NORMALIZE,
+        "RFC 3986 URL canonicalization (case/default-port/dot-segments/"
+        "query-sort, Arrow-batched UDF) + per-domain dedup census vs "
+        "closed-form canonical oracle",
     ),
 }

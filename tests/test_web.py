@@ -1,0 +1,136 @@
+"""ext.web unit coverage: one crafted violator per extraction rule (the
+Gopher-battery pattern), mojibake detect/repair edge cases, and the RFC
+3986 normalizer against the spec's own examples."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from klogs_spark.ext import web
+
+
+def _extract(spark, html: str):
+    return (
+        spark.range(1)
+        .select(web.html_extract(F.lit(html)).alias("h"))
+        .collect()[0]["h"]
+    )
+
+
+LONG = "this block carries plenty of genuine readable prose content"
+
+
+class TestHtmlExtractRules:
+    def test_link_farm_dropped_by_density(self, spark):
+        # >= 25 chars of text, but every char inside anchors
+        html = ('<div><a href="/a">first linked phrase here</a> '
+                '<a href="/b">second linked phrase</a></div>'
+                f"<p>{LONG}</p>")
+        r = _extract(spark, html)
+        assert (r["n_blocks"], r["n_kept"]) == (2, 1)
+        assert r["extracted"] == LONG
+
+    def test_exactly_half_density_dropped(self, spark):
+        # link chars == half the text chars -> density 1/2 is NOT < 1/2
+        body = "x" * 20
+        html = f'<p><a href="/x">{body}</a>{body}</p>'
+        r = _extract(spark, html)
+        assert r["n_kept"] == 0
+
+    def test_just_under_half_density_kept(self, spark):
+        body = "x" * 20
+        html = f'<p><a href="/x">{body[:-1]}</a>{body}</p>'
+        r = _extract(spark, html)
+        assert r["n_kept"] == 1
+        assert r["extracted"] == body[:-1] + body
+
+    def test_short_block_dropped_by_length(self, spark):
+        html = f"<p>too short to keep</p><p>{LONG}</p>"
+        r = _extract(spark, html)
+        assert (r["n_blocks"], r["n_kept"]) == (2, 1)
+
+    def test_inline_link_stripped_not_dropped(self, spark):
+        html = f'<p>{LONG} with <a href="/t">one link</a> inside</p>'
+        r = _extract(spark, html)
+        assert r["n_kept"] == 1
+        assert r["extracted"] == f"{LONG} with one link inside"
+
+    def test_head_title_block_dropped(self, spark):
+        html = ("<html><head><title>Doc 7</title></head><body>"
+                f"<p>{LONG}</p></body></html>")
+        r = _extract(spark, html)
+        assert (r["n_blocks"], r["n_kept"]) == (2, 1)
+        assert r["extracted"] == LONG
+
+    def test_kept_blocks_join_in_document_order(self, spark):
+        a = "alpha " + LONG
+        b = "beta " + LONG
+        html = f"<p>{a}</p><div>nav x</div><p>{b}</p>"
+        r = _extract(spark, html)
+        assert r["n_kept"] == 2
+        assert r["extracted"] == f"{a} {b}"
+
+
+class TestMojibake:
+    def test_corrupt_then_repair_is_identity(self, spark):
+        rows = spark.createDataFrame(
+            [("café",), ("naïve — déjà ✓ №42",), ("plain",)], "s string"
+        ).select(
+            "s",
+            web.repair_latin1(web.corrupt_latin1(F.col("s"))).alias("r"),
+        ).collect()
+        for r in rows:
+            assert r["r"] == r["s"]
+
+    def test_detector_flags_corrupted_only(self, spark):
+        rows = spark.createDataFrame(
+            [("corrupt", "café"), ("clean", "café"), ("ascii", "plain")],
+            "kind string, s string",
+        ).select(
+            "kind",
+            web.looks_mojibake(
+                F.when(F.col("kind") == "corrupt",
+                       web.corrupt_latin1(F.col("s")))
+                .otherwise(F.col("s"))
+            ).alias("m"),
+        ).collect()
+        flags = {r["kind"]: r["m"] for r in rows}
+        assert flags == {"corrupt": True, "clean": False, "ascii": False}
+
+    def test_fix_encoding_passthrough_on_clean(self, spark):
+        rows = spark.createDataFrame(
+            [("héllo wörld",)], "s string"
+        ).select(web.fix_encoding(F.col("s")).alias("f")).collect()
+        assert rows[0]["f"] == "héllo wörld"
+
+
+class TestUrlNormalize:
+    @pytest.mark.parametrize("messy,expect", [
+        ("HTTP://WWW.Ex.COM:80/a?b=2&a=1", "http://www.ex.com/a?a=1&b=2"),
+        ("https://h.ex:443/x", "https://h.ex/x"),
+        ("https://h.ex:8443/x", "https://h.ex:8443/x"),
+        ("http://h.ex", "http://h.ex/"),
+        ("http://h.ex/a/b/./c", "http://h.ex/a/b/c"),
+        ("http://h.ex/a/x/../c", "http://h.ex/a/c"),
+        ("http://h.ex/a/b/..", "http://h.ex/a/"),
+        ("http://h.ex/a/.", "http://h.ex/a/"),
+        ("http://h.ex/../a", "http://h.ex/a"),
+        ("http://h.ex/a//b", "http://h.ex/a//b"),
+        ("http://h.ex/a?z=1&z=0&a=2", "http://h.ex/a?a=2&z=0&z=1"),
+        ("http://h.ex/a?flag=&b=1", "http://h.ex/a?b=1&flag="),
+    ])
+    def test_rfc3986_cases(self, messy, expect):
+        assert web.normalize_url_py(messy) == expect
+
+    def test_udf_matches_scalar(self, spark):
+        urls = ["HTTP://A.B:80/x/./y?b=2&a=1", "https://Q.W:9/p/../q"]
+        rows = spark.createDataFrame([(u,) for u in urls], "u string").select(
+            "u", web.normalize_url(F.col("u")).alias("n")
+        ).collect()
+        for r in rows:
+            assert r["n"] == web.normalize_url_py(r["u"])
+
+    def test_domain_extraction(self, spark):
+        rows = spark.createDataFrame(
+            [("http://www.ex.com:8080/a?q=1",)], "u string"
+        ).select(web.url_domain(F.col("u")).alias("d")).collect()
+        assert rows[0]["d"] == "www.ex.com"

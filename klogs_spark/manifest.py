@@ -219,9 +219,25 @@ def _all_manifested(
     ckpt_v, files = _read_manifest_checkpoint(spark, path)
     if ckpt_v > (versions[-1] if versions else 0):
         ckpt_v, files = 0, set()
-    for v in versions:
-        if v > ckpt_v:
+    gap = [v for v in versions if v > ckpt_v]
+    prev_v = None
+    for v in gap:
+        if prev_v is None:
+            # resolve the first gap version fully (bounded chain walk)
             files |= set(_manifest_files(spark, path, v))
+        else:
+            doc = _manifest_doc(spark, path, v)
+            if "files" in doc:
+                files |= set(doc["files"])
+            elif int(doc["base"]) == prev_v:
+                # live(v) = live(base) - remove + add, and live(base) is
+                # already in the union — only the add-list is new
+                files |= set(doc["add"])
+            else:
+                # non-contiguous chain (shouldn't happen: vacuum only
+                # drops version prefixes) — fall back to exact resolve
+                files |= set(_manifest_files(spark, path, v))
+        prev_v = v
     return files
 
 
@@ -280,6 +296,7 @@ def publish_snapshot(
     fs, hpath_cls, root = _hadoop_fs(spark, path)
     _listing_manifested: set | None = None
     _listing_versions: list | None = None
+    _listing_head: tuple | None = None  # (version, file set) if listed
     if files is None:
         def _refuse_if_rewrite_live() -> None:
             if fs.exists(hpath_cls(f"{path}/{REWRITE_MARKER}")):
@@ -300,6 +317,7 @@ def publish_snapshot(
             # no concurrent publish lands between here and there
             _listing_manifested, _listing_versions = manifested, versions
             head_f = set(_manifest_files(spark, path, versions[-1]))
+            _listing_head = (versions[-1], head_f)
             # head's live files (absolute clone refs kept verbatim;
             # relative ones must still exist — in-place rewrites replace
             # them and their successors arrive as unmanifested files)
@@ -323,40 +341,71 @@ def publish_snapshot(
     mdir = hpath_cls(f"{path}/{MANIFEST_DIR}")
     if not fs.exists(mdir):
         _must(fs.mkdirs(mdir), "mkdirs", mdir)
-    tmp = hpath_cls(f"{path}/{MANIFEST_DIR}/.v{version}.json.tmp")
-    out = fs.create(tmp, True)
     import time as _time
 
+    # commit wall-clock for TIMESTAMP AS OF resolution (version_as_of);
+    # old manifests lack it and fall back to the file's modification time
+    doc: dict = {"version": version,
+                 "committed_at_ms": int(_time.time() * 1000)}
+    # delta-encode against the prior head (O(changed files) metadata per
+    # commit); every FULL_MANIFEST_INTERVAL-th version and every first
+    # publish stays a self-contained full list so chains stay bounded
+    is_full = (not prior_versions) or version % FULL_MANIFEST_INTERVAL == 0
+    if not is_full:
+        if _listing_head is not None and _listing_head[0] == prior_versions[-1]:
+            prev = _listing_head[1]
+        else:
+            try:
+                prev = set(
+                    _manifest_files(spark, path, prior_versions[-1])
+                )
+            except ManifestChainError:
+                # fail OPEN to a full manifest: a broken ancestor chain
+                # must not stop new commits (and the full list re-anchors
+                # future deltas past the damage)
+                prev = None
+        if prev is None:
+            is_full = True
+        else:
+            fset = set(files)
+            doc["base"] = prior_versions[-1]
+            doc["add"] = sorted(fset - prev)
+            doc["remove"] = sorted(prev - fset)
+    if is_full:
+        doc["files"] = files
+    tmp = hpath_cls(f"{path}/{MANIFEST_DIR}/.v{version}.json.tmp")
+    out = fs.create(tmp, True)
     try:
-        out.write(
-            json.dumps(
-                {
-                    "version": version,
-                    "files": files,
-                    # commit wall-clock for TIMESTAMP AS OF resolution
-                    # (version_as_of); old manifests lack it and fall
-                    # back to the manifest file's modification time
-                    "committed_at_ms": int(_time.time() * 1000),
-                }
-            ).encode()
-        )
+        out.write(json.dumps(doc).encode())
     finally:
         out.close()
     final = hpath_cls(f"{path}/{MANIFEST_DIR}/v{version}.json")
     _must(fs.rename(tmp, final), "publish-rename", final)
-    # reuse the listing mode's already-computed all-manifested set when
-    # no concurrent publish landed between the listing and here (the
-    # common case) — avoids re-reading the checkpoint + gap manifests
-    if (
-        _listing_manifested is not None
-        and _listing_versions == prior_versions
-    ):
-        prior_manifested = _listing_manifested
-    else:
-        prior_manifested = _all_manifested(spark, path, prior_versions)
-    _advance_manifest_checkpoint(
-        spark, path, version, prior_manifested | set(files)
-    )
+    # the checkpoint (ever-manifested union, O(table files) JSON) rolls
+    # only on FULL versions — delta commits write O(delta) metadata total;
+    # _all_manifested unions the bounded gap's add-lists instead
+    if is_full:
+        # reuse the listing mode's already-computed all-manifested set
+        # when no concurrent publish landed in between (the common case)
+        try:
+            if (
+                _listing_manifested is not None
+                and _listing_versions == prior_versions
+            ):
+                prior_manifested = _listing_manifested
+            else:
+                prior_manifested = _all_manifested(
+                    spark, path, prior_versions
+                )
+            _advance_manifest_checkpoint(
+                spark, path, version, prior_manifested | set(files)
+            )
+        except ManifestChainError:
+            # the advance is best-effort by contract; on a table with a
+            # broken ancestor chain the commit itself (full-list, renamed
+            # above) must still stand — reads of the damaged versions
+            # stay loud, and the checkpoint simply remains stale
+            pass
     return version
 
 
@@ -451,20 +500,84 @@ def read_snapshot(
     return _read_data_files(spark, path, files)
 
 
-def _manifest_files(spark: SparkSession, path: str, version: int) -> list:
-    """The file list a snapshot manifest pins (relative paths)."""
+# Every FULL_MANIFEST_INTERVAL-th version (and every first publish) writes
+# the full file list inline; versions in between are DELTAS (base +
+# add/remove lists) — the actual Delta log format, so a commit writes
+# O(changed files) metadata bytes instead of O(table files) JSON. Delta
+# chains are therefore bounded by the interval, and vacuum materializes a
+# ``v{N}.full.json`` sidecar for the oldest kept version before dropping
+# its chain ancestors (sidecar first, atomically — a crash leaves either
+# an intact chain or a finished materialization, never a broken head).
+FULL_MANIFEST_INTERVAL = 10
+
+
+class ManifestChainError(RuntimeError):
+    """A delta manifest's base chain cannot be resolved (ancestor manifest
+    missing without a materialized sidecar) — metadata corruption that
+    must be loud, never an empty file list."""
+
+
+def _manifest_doc(spark: SparkSession, path: str, version: int) -> dict:
+    """The raw manifest document for one version (full or delta form)."""
     fs, hpath_cls, _ = _hadoop_fs(spark, path)
-    mf = hpath_cls(f"{path}/{MANIFEST_DIR}/v{version}.json")
-    stream = fs.open(mf)
-    try:
-        raw = bytes(
-            stream.readAllBytes()
-            if hasattr(stream, "readAllBytes")
-            else _read_all(stream)
+    return _read_small_json(
+        fs, hpath_cls, path, f"{MANIFEST_DIR}/v{version}.json"
+    )
+
+
+def _sidecar_files(spark: SparkSession, path: str, version: int):
+    """The vacuum-materialized full list for a version, or None."""
+    fs, hpath_cls, _ = _hadoop_fs(spark, path)
+    rel = f"{MANIFEST_DIR}/v{version}.full.json"
+    if not fs.exists(hpath_cls(f"{path}/{rel}")):
+        return None
+    return _read_small_json(fs, hpath_cls, path, rel)["files"]
+
+
+def _manifest_files(spark: SparkSession, path: str, version: int) -> list:
+    """The file list a snapshot manifest pins (relative paths; absolute
+    for clone references). Full-form manifests (and vacuum's sidecar
+    materializations) answer directly; delta manifests replay the
+    add/remove chain from the nearest full ancestor — bounded by
+    FULL_MANIFEST_INTERVAL reads."""
+    doc = _manifest_doc(spark, path, version)
+    if "files" in doc:
+        return doc["files"]
+    own_side = _sidecar_files(spark, path, version)
+    if own_side is not None:
+        # vacuum materialized this version directly (it was the oldest
+        # kept delta when its chain ancestors were dropped)
+        return own_side
+    if "base" not in doc:
+        raise ManifestChainError(
+            f"manifest v{version} of {path} has neither 'files' nor "
+            "'base' — corrupt manifest document"
         )
-    finally:
-        stream.close()
-    return json.loads(raw.decode())["files"]
+    deltas = [doc]
+    base = int(doc["base"])
+    while True:
+        side = _sidecar_files(spark, path, base)
+        if side is not None:
+            base_files = side
+            break
+        try:
+            bdoc = _manifest_doc(spark, path, base)
+        except Exception as e:
+            raise ManifestChainError(
+                f"manifest v{version} of {path} is a delta whose ancestor "
+                f"v{base} is unreadable and has no materialized sidecar: "
+                f"{e}"
+            ) from e
+        if "files" in bdoc:
+            base_files = bdoc["files"]
+            break
+        deltas.append(bdoc)
+        base = int(bdoc["base"])
+    files = set(base_files)
+    for d in reversed(deltas):
+        files -= set(d["remove"])
+        files |= set(d["add"])
+    return sorted(files)
 
 
 def snapshot_changes(
@@ -1185,9 +1298,10 @@ def vacuum(
         }
     keep = versions[-keep_versions:]
     dropped = [v for v in versions if v not in keep]
+    kept_lists = {v: _manifest_files(spark, path, v) for v in keep}
     kept_refs: set[str] = set()
-    for v in keep:
-        kept_refs |= set(_manifest_files(spark, path, v))
+    for fl in kept_lists.values():
+        kept_refs |= set(fl)
     # everything ever manifested (checkpoint + gap) stands in for the
     # dropped versions' union — it also covers files remembered only by
     # the checkpoint (their manifests were dropped by an EARLIER vacuum
@@ -1206,6 +1320,21 @@ def vacuum(
             "would_drop_manifests": dropped,
             "files_unmanifested": len(on_disk - all_man),
         }
+    # the oldest kept version must stay resolvable after its delta-chain
+    # ancestors are dropped: materialize its full list as a sidecar FIRST
+    # (atomic tmp+rename; a crash here leaves the chain intact, a crash
+    # after leaves a finished materialization — never a broken head)
+    if dropped:
+        oldest = keep[0]
+        if (
+            "files" not in _manifest_doc(spark, path, oldest)
+            and _sidecar_files(spark, path, oldest) is None
+        ):
+            _write_small_json(
+                fs, hpath_cls, path,
+                f"{MANIFEST_DIR}/v{oldest}.full.json",
+                {"version": oldest, "files": sorted(kept_lists[oldest])},
+            )
     for f in doomed:
         _must(
             fs.delete(hpath_cls(f"{path}/{f}"), False), "vacuum-delete", f
@@ -1213,6 +1342,9 @@ def vacuum(
     for v in dropped:
         mf = hpath_cls(f"{path}/{MANIFEST_DIR}/v{v}.json")
         _must(fs.delete(mf, False), "vacuum-manifest-delete", mf)
+        side = hpath_cls(f"{path}/{MANIFEST_DIR}/v{v}.full.json")
+        if fs.exists(side):
+            _must(fs.delete(side, False), "vacuum-sidecar-delete", side)
     # compact the checkpoint to the kept manifests' union: every file
     # that was only in dropped/checkpoint history and still local was
     # just deleted, so the kept union is again exactly 'everything ever
@@ -1427,7 +1559,15 @@ def fsck(spark: SparkSession, path: str) -> dict:
     fs, hpath_cls, root = _hadoop_fs(spark, path)
     versions = snapshot_versions(spark, path)
     on_disk = set(_list_data_files(fs, root, hpath_cls))
-    per_version = {v: set(_manifest_files(spark, path, v)) for v in versions}
+    per_version: dict[int, set] = {}
+    unresolvable: dict[int, str] = {}
+    for v in versions:
+        try:
+            per_version[v] = set(_manifest_files(spark, path, v))
+        except ManifestChainError as e:
+            # a delta whose ancestors are gone — report, don't crash the
+            # health check itself
+            unresolvable[v] = str(e)
     # absolute (clone) entries live outside the listing — each gets its
     # own existence probe, cached across versions (a vacuumed SOURCE is
     # exactly the corruption this must surface, the Delta CLONE caveat)
@@ -1446,7 +1586,9 @@ def fsck(spark: SparkSession, path: str) -> dict:
         if any(_gone(f) for f in refs)
     }
     manifested = set().union(*per_version.values()) if per_version else set()
-    latest_refs = per_version[versions[-1]] if versions else set()
+    latest_refs = (
+        per_version.get(versions[-1], set()) if versions else set()
+    )
     journal_live, journal_torn = False, False
     if fs.exists(hpath_cls(f"{path}/{REWRITE_MARKER}")):
         journal_live = True
@@ -1460,10 +1602,12 @@ def fsck(spark: SparkSession, path: str) -> dict:
         "missing": missing,
         "unmanifested": sorted(on_disk - manifested),
         "tombstoned": sorted((manifested - latest_refs) & on_disk),
+        "unresolvable": unresolvable,
         "journal_live": journal_live,
         "journal_torn": journal_torn,
         "ok": not missing.get(versions[-1] if versions else None)
-        and not journal_torn,
+        and not journal_torn
+        and (versions[-1] not in unresolvable if versions else True),
     }
 
 

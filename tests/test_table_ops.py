@@ -2639,8 +2639,11 @@ from hypothesis import strategies as st
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(ops=st.lists(st.sampled_from(
     ["append", "cow_delete", "cow_compact", "restore", "clone", "vacuum",
-     "publish", "maintain"]),
-    min_size=3, max_size=7))
+     "publish", "maintain",
+     # failure injections (r16 judge task): crash artifacts and corrupt
+     # metadata interleaved with real ops — invariants must still hold
+     "corrupt_ckpt", "torn_vacuum", "crash_rewrite"]),
+    min_size=3, max_size=8))
 def test_manifest_layer_randomized_op_sequences_hold_invariants(
     spark, tmp_path_factory, ops
 ):
@@ -2654,7 +2657,15 @@ def test_manifest_layer_randomized_op_sequences_hold_invariants(
     be a logical no-op — the r15 resurrect bug class); 'maintain' is the
     one-call housekeeping verb (rows preserved). Ops that are invalid in
     the current state must raise their documented errors, never
-    corrupt."""
+    corrupt.
+
+    Failure injections (r16): 'corrupt_ckpt' scribbles garbage over the
+    manifest checkpoint (a pure cache — every answer must survive);
+    'torn_vacuum' leaves the artifact of a vacuum that crashed right
+    after materializing the oldest-kept sidecar (a redundant sidecar
+    must be harmless); 'crash_rewrite' claims a COW journal and abandons
+    it, then runs recover_incomplete_rewrite — the crash + operator-
+    recovery pair interleaved with everything else."""
     from pyspark.sql import functions as F
 
     from klogs_spark.manifest import (
@@ -2735,6 +2746,48 @@ def test_manifest_layer_randomized_op_sequences_hold_invariants(
             # clones refuse in-place verbs but maintain routes through
             # the COW tier, which is clone-safe
             maintain(spark, path, max_files_per_partition=2)
+        elif op == "corrupt_ckpt":
+            # the checkpoint is a pure cache: garbage must change nothing
+            import klogs_spark.manifest as M
+            from klogs_spark.table import _hadoop_fs
+
+            fs, hp, _ = _hadoop_fs(spark, path)
+            out = fs.create(hp(f"{path}/{M.CHECKPOINT_REL}"), True)
+            out.write(b"not json \x00 garbage")
+            out.close()
+        elif op == "torn_vacuum":
+            # crash artifact: vacuum died right after materializing the
+            # oldest-kept sidecar, before deleting anything — a redundant
+            # sidecar must be harmless to every later op
+            import klogs_spark.manifest as M
+
+            vs = snapshot_versions(spark, path)
+            if len(vs) >= 2:
+                head = vs[-1]
+                if (
+                    "files" not in M._manifest_doc(spark, path, head)
+                    and M._sidecar_files(spark, path, head) is None
+                ):
+                    from klogs_spark.table import _hadoop_fs
+
+                    fs, hp, _ = _hadoop_fs(spark, path)
+                    M._write_small_json(
+                        fs, hp, path,
+                        f"{M.MANIFEST_DIR}/v{head}.full.json",
+                        {"version": head,
+                         "files": M._manifest_files(spark, path, head)},
+                    )
+        elif op == "crash_rewrite":
+            # a rewrite claims the journal and crashes before appending
+            # survivors; the operator then runs recovery — the pair must
+            # be a no-op for served state
+            import klogs_spark.manifest as M
+
+            M._begin_rewrite(
+                spark, path, "crash_sim",
+                M._cow_base_version(spark, path),
+            )
+            assert M.recover_incomplete_rewrite(spark, path) >= 0
         else:
             continue
         got_total, got_p7 = head_counts()
@@ -2889,7 +2942,14 @@ def test_manifest_checkpoint_long_history_publish_is_o1_versions(
     versions = M.snapshot_versions(spark, path)
     assert len(versions) >= 26
     ck_v, ck_files = M._read_manifest_checkpoint(spark, path)
-    assert ck_v == versions[-1]
+    # r17: delta-encoded manifests — the checkpoint (O(table files)
+    # JSON) rolls only on FULL versions so each delta commit writes
+    # O(changed files) metadata; the gap stays bounded by the interval
+    assert ck_v == max(
+        v for v in versions
+        if v == 1 or v % M.FULL_MANIFEST_INTERVAL == 0
+    )
+    assert versions[-1] - ck_v < M.FULL_MANIFEST_INTERVAL
     # exactness: checkpoint+gap union == full walk union
     exact = set()
     for v in versions:
@@ -2969,3 +3029,143 @@ def test_manifest_checkpoint_is_a_pure_cache(spark, tmp_path):
         ).encode()
     )
     assert M._all_manifested(spark, path) == exact
+
+
+def _mk_published_table(spark, tmp_path, name="t", n_publishes=3):
+    """A manifest table with `n_publishes` sliver-append commits."""
+    from pyspark.sql import functions as F
+
+    import klogs_spark.manifest as M
+    from klogs_spark.table import write_logs
+    from klogs_spark.views import derive_logs_from_events
+
+    logs = derive_logs_from_events(spark, "/root/testdata/sf0.001").filter(
+        F.col("timestamp") < "2024-01-02"
+    )
+    path = str(tmp_path / name)
+    for i in range(n_publishes):
+        write_logs(logs.filter(F.col("user_id") % n_publishes == i), path,
+                   mode="append")
+        M.publish_snapshot(spark, path)
+    return path, logs.count()
+
+
+def test_manifest_delta_format_writes_o_delta_bytes(spark, tmp_path):
+    """r16 judge task: v1 and every FULL_MANIFEST_INTERVAL-th version are
+    self-contained full lists; every other commit is a delta document
+    (base + add/remove) whose size is O(changed files), and resolution
+    replays the chain exactly."""
+    import klogs_spark.manifest as M
+
+    path, n = _mk_published_table(spark, tmp_path, n_publishes=3)
+    d1 = M._manifest_doc(spark, path, 1)
+    d2 = M._manifest_doc(spark, path, 2)
+    d3 = M._manifest_doc(spark, path, 3)
+    assert "files" in d1 and "base" not in d1
+    for d, base in ((d2, 1), (d3, 2)):
+        assert "files" not in d
+        assert d["base"] == base
+        assert d["add"] and d["remove"] == []
+    # resolution == full union of the chain
+    assert set(M._manifest_files(spark, path, 3)) == (
+        set(d1["files"]) | set(d2["add"]) | set(d3["add"])
+    )
+    assert M.read_snapshot(spark, path).count() == n
+    # a COW delete's manifest removes the replaced files as a delta
+    from pyspark.sql import functions as F
+
+    res = M.cow_delete_where(spark, path, F.col("pod_name") == "pod-7")
+    d4 = M._manifest_doc(spark, path, res["version"])
+    assert "files" not in d4 and d4["remove"]
+
+
+def test_manifest_mixed_format_upgrade(spark, tmp_path):
+    """Old tables (every manifest a full list, pre-delta format) stay
+    readable, and the FIRST new-format commit on top of them is a delta
+    against the old full head."""
+    import json as _json
+
+    import klogs_spark.manifest as M
+    from klogs_spark.table import _hadoop_fs, write_logs
+    from klogs_spark.views import derive_logs_from_events
+    from pyspark.sql import functions as F
+
+    path, n = _mk_published_table(spark, tmp_path, n_publishes=3)
+    fs, hp, _ = _hadoop_fs(spark, path)
+    # rewrite history the way the OLD code wrote it: full list per
+    # version, no checkpoint
+    for v in M.snapshot_versions(spark, path):
+        files = M._manifest_files(spark, path, v)
+        out = fs.create(hp(f"{path}/{M.MANIFEST_DIR}/v{v}.json"), True)
+        out.write(_json.dumps({"version": v, "files": files}).encode())
+        out.close()
+    fs.delete(hp(f"{path}/{M.CHECKPOINT_REL}"), False)
+
+    assert M.read_snapshot(spark, path).count() == n
+    logs = derive_logs_from_events(spark, "/root/testdata/sf0.001").filter(
+        (F.col("timestamp") >= "2024-01-02")
+        & (F.col("timestamp") < "2024-01-03")
+    )
+    write_logs(logs, path, mode="append")
+    v = M.publish_snapshot(spark, path)
+    doc = M._manifest_doc(spark, path, v)
+    assert doc["base"] == v - 1 and "files" not in doc
+    assert M.read_snapshot(spark, path).count() == n + logs.count()
+
+
+def test_vacuum_materializes_sidecar_for_oldest_kept_delta(spark, tmp_path):
+    """Dropping a delta version's chain ancestors must not strand it:
+    vacuum writes v{N}.full.json BEFORE deleting, and both the kept
+    versions and a restore to the oldest kept keep working."""
+    import klogs_spark.manifest as M
+    from klogs_spark.table import _hadoop_fs
+
+    path, n = _mk_published_table(spark, tmp_path, n_publishes=4)
+    n3 = M.read_snapshot(spark, path, 3).count()  # v4 adds the last sliver
+    assert 0 < n3 < n
+    rep = M.vacuum(spark, path, keep_versions=2)
+    assert rep["manifests_dropped"] == 2
+    keep = M.snapshot_versions(spark, path)
+    assert keep == [3, 4]
+    fs, hp, _ = _hadoop_fs(spark, path)
+    assert fs.exists(hp(f"{path}/{M.MANIFEST_DIR}/v3.full.json"))
+    assert M.read_snapshot(spark, path).count() == n
+    # oldest kept resolves through the sidecar and restores cleanly
+    assert M.read_snapshot(spark, path, 3).count() == n3
+    M.restore_snapshot(spark, path, 3)
+    assert M.read_snapshot(spark, path).count() == n3
+    # a second vacuum drops the materialized version and its sidecar
+    M.vacuum(spark, path, keep_versions=1)
+    assert not fs.exists(hp(f"{path}/{M.MANIFEST_DIR}/v3.full.json"))
+
+
+def test_manifest_broken_chain_is_loud_and_commits_fail_open(
+    spark, tmp_path
+):
+    """A delta whose ancestor manifest was destroyed (outside vacuum —
+    real corruption) must raise ManifestChainError on read, show up in
+    fsck as unresolvable, and NOT block new commits: the next publish
+    falls back to a self-contained full manifest that re-anchors the
+    chain."""
+    import pytest as _pytest
+
+    import klogs_spark.manifest as M
+    from klogs_spark.table import _hadoop_fs
+
+    path, n = _mk_published_table(spark, tmp_path, n_publishes=3)
+    head = M.snapshot_versions(spark, path)[-1]
+    head_files = M._manifest_files(spark, path, head)
+    fs, hp, _ = _hadoop_fs(spark, path)
+    assert fs.delete(hp(f"{path}/{M.MANIFEST_DIR}/v1.json"), False)
+
+    with _pytest.raises(M.ManifestChainError):
+        M._manifest_files(spark, path, head)
+    report = M.fsck(spark, path)
+    assert head in report["unresolvable"] and not report["ok"]
+
+    # explicit-files publish fails open to a full manifest
+    v = M.publish_snapshot(spark, path, files=head_files)
+    doc = M._manifest_doc(spark, path, v)
+    assert "files" in doc
+    assert M.read_snapshot(spark, path).count() == n
+    assert M.fsck(spark, path)["ok"]

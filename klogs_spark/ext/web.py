@@ -28,10 +28,14 @@ from pyspark.sql import functions as F
 # ---------------------------------------------------------------------------
 
 # block-level boundaries: a new block starts at every opening p/div/footer/
-# nav/li/h1-h6/table tag (lookahead split keeps the tag with its block)
-_BLOCK_SPLIT = r"(?=<(?:p|div|footer|nav|li|h[1-6]|table)\b)"
+# nav/li/h1-h6/table tag (lookahead split keeps the tag with its block);
+# real HTML mixes tag case, hence (?i) throughout
+_BLOCK_SPLIT = r"(?i)(?=<(?:p|div|footer|nav|li|h[1-6]|table)\b)"
 _TAG = r"<[^>]*>"
-_ANCHOR_TEXT = r"<a\b[^>]*>([^<]*)</a>"
+# an anchor's VISIBLE text may contain nested inline markup
+# (<a><b>x</b></a>) — capture lazily across tags/newlines, strip tags
+# from the capture before counting link chars
+_ANCHOR_TEXT = r"(?is)<a\b[^>]*>(.*?)</a>"
 
 # jusText-flavored keep rule, integer arithmetic only (no float density):
 # a block survives when its tag-stripped text is at least MIN_BLOCK_CHARS
@@ -52,7 +56,8 @@ def html_blocks(html: Column) -> Column:
             F.aggregate(
                 F.regexp_extract_all(b, F.lit(_ANCHOR_TEXT), 1),
                 F.lit(0),
-                lambda acc, a: acc + F.length(a),
+                lambda acc, a: acc
+                + F.length(F.regexp_replace(a, _TAG, "")),
             ).alias("link_len"),
         ),
     )
@@ -141,21 +146,30 @@ def _remove_dot_segments(path: str) -> str:
 def normalize_url_py(url: str) -> str:
     """The scalar normalizer (shared by the UDF and unit tests):
     lowercase scheme+host, strip the scheme's default port, resolve
-    dot-segments, '/' for an empty path, sort query parameters."""
+    dot-segments, '/' for an empty path, sort query parameters.
+
+    Malformed URLs (non-numeric or out-of-range port, broken IPv6
+    bracket, ...) pass through UNCHANGED: in a web-archive corpus bad
+    URLs are routine data, and one of them must never kill the whole
+    Spark job — an un-normalizable URL simply keeps its original form
+    as its dedup key."""
     from urllib.parse import parse_qsl, urlencode, urlsplit, urlunsplit
 
-    parts = urlsplit(url)
-    scheme = parts.scheme.lower()
-    host = (parts.hostname or "").lower()
-    port = parts.port
-    netloc = host
-    if port is not None and str(port) != _DEFAULT_PORTS.get(scheme):
-        netloc += f":{port}"
-    path = _remove_dot_segments(parts.path) or "/"
-    query = urlencode(
-        sorted(parse_qsl(parts.query, keep_blank_values=True))
-    )
-    return urlunsplit((scheme, netloc, path, query, ""))
+    try:
+        parts = urlsplit(url)
+        scheme = parts.scheme.lower()
+        host = (parts.hostname or "").lower()
+        port = parts.port  # raises ValueError on malformed ports
+        netloc = host
+        if port is not None and str(port) != _DEFAULT_PORTS.get(scheme):
+            netloc += f":{port}"
+        path = _remove_dot_segments(parts.path) or "/"
+        query = urlencode(
+            sorted(parse_qsl(parts.query, keep_blank_values=True))
+        )
+        return urlunsplit((scheme, netloc, path, query, ""))
+    except ValueError:
+        return url
 
 
 def normalize_url(col: Column) -> Column:

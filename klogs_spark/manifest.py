@@ -202,7 +202,8 @@ def _read_manifest_checkpoint(spark: SparkSession, path: str):
 
 
 def _all_manifested(
-    spark: SparkSession, path: str, versions: list[int] | None = None
+    spark: SparkSession, path: str, versions: list[int] | None = None,
+    resolved_head: list | set | None = None,
 ) -> set[str]:
     """Union of every published manifest's file list — O(1) manifest
     reads amortized: checkpoint set + only the manifests NEWER than the
@@ -223,19 +224,27 @@ def _all_manifested(
     prev_v = None
     for v in gap:
         if prev_v is None:
-            # resolve the first gap version fully (bounded chain walk)
-            files |= set(_manifest_files(spark, path, v))
+            # resolve the first gap version fully (bounded chain walk);
+            # the caller may have just resolved the head already — reuse
+            # it when the gap is exactly [head] (the common case after a
+            # full-version checkpoint roll)
+            if resolved_head is not None and v == (versions or [None])[-1]:
+                files |= set(resolved_head)
+            else:
+                files |= set(_manifest_files(spark, path, v))
         else:
             doc = _manifest_doc(spark, path, v)
             if "files" in doc:
                 files |= set(doc["files"])
-            elif int(doc["base"]) == prev_v:
+            elif "base" in doc and int(doc["base"]) == prev_v:
                 # live(v) = live(base) - remove + add, and live(base) is
                 # already in the union — only the add-list is new
                 files |= set(doc["add"])
             else:
                 # non-contiguous chain (shouldn't happen: vacuum only
-                # drops version prefixes) — fall back to exact resolve
+                # drops version prefixes) or a doc missing 'base' — fall
+                # back to the exact resolve, which raises the typed
+                # ManifestChainError on true corruption
                 files |= set(_manifest_files(spark, path, v))
         prev_v = v
     return files
@@ -312,12 +321,14 @@ def publish_snapshot(
         on_disk = set(_list_data_files(fs, root, hpath_cls))
         versions = snapshot_versions(spark, path)
         if versions:
-            manifested = _all_manifested(spark, path, versions)
+            head_f = set(_manifest_files(spark, path, versions[-1]))
+            _listing_head = (versions[-1], head_f)
+            manifested = _all_manifested(
+                spark, path, versions, resolved_head=head_f
+            )
             # cache for the checkpoint advance below — valid as long as
             # no concurrent publish lands between here and there
             _listing_manifested, _listing_versions = manifested, versions
-            head_f = set(_manifest_files(spark, path, versions[-1]))
-            _listing_head = (versions[-1], head_f)
             # head's live files (absolute clone refs kept verbatim;
             # relative ones must still exist — in-place rewrites replace
             # them and their successors arrive as unmanifested files)
@@ -554,8 +565,16 @@ def _manifest_files(spark: SparkSession, path: str, version: int) -> list:
             "'base' — corrupt manifest document"
         )
     deltas = [doc]
+    cur = int(version)
     base = int(doc["base"])
     while True:
+        if not 0 < base < cur:
+            # a corrupt/hand-edited base pointer must be LOUD, never an
+            # infinite walk: valid chains are strictly decreasing
+            raise ManifestChainError(
+                f"manifest v{cur} of {path} has a non-decreasing base "
+                f"pointer v{base} — corrupt delta chain"
+            )
         side = _sidecar_files(spark, path, base)
         if side is not None:
             base_files = side
@@ -571,7 +590,13 @@ def _manifest_files(spark: SparkSession, path: str, version: int) -> list:
         if "files" in bdoc:
             base_files = bdoc["files"]
             break
+        if "base" not in bdoc:
+            raise ManifestChainError(
+                f"manifest v{base} of {path} has neither 'files' nor "
+                "'base' — corrupt manifest document"
+            )
         deltas.append(bdoc)
+        cur = base
         base = int(bdoc["base"])
     files = set(base_files)
     for d in reversed(deltas):
@@ -1298,7 +1323,20 @@ def vacuum(
         }
     keep = versions[-keep_versions:]
     dropped = [v for v in versions if v not in keep]
-    kept_lists = {v: _manifest_files(spark, path, v) for v in keep}
+    # resolve kept versions oldest-first, rolling each delta forward from
+    # the previous resolution instead of re-walking the shared chain
+    # prefix per version
+    kept_lists: dict[int, list] = {}
+    running: set | None = None
+    prev_v = None
+    for v in keep:
+        doc = _manifest_doc(spark, path, v)
+        if running is not None and "base" in doc and doc["base"] == prev_v:
+            running = (running - set(doc["remove"])) | set(doc["add"])
+        else:
+            running = set(_manifest_files(spark, path, v))
+        kept_lists[v] = sorted(running)
+        prev_v = v
     kept_refs: set[str] = set()
     for fl in kept_lists.values():
         kept_refs |= set(fl)
@@ -1676,12 +1714,13 @@ def maintain(
     for f in _manifest_files(spark, path, head):
         d = _entry_day_dir(f)
         per_day[d] = per_day.get(d, 0) + 1
-    # the '' group is unpartitioned entries (bare-filename explicit
-    # publishes, see _entry_day_dir) — they carry no day, so they are
-    # never expired and never compactable as a partition
+    # groups without a 'date=...' shape are unpartitioned entries (bare
+    # filenames or foreign parent dirs from explicit publishes, see
+    # _entry_day_dir) — they carry no day, so they are never expired and
+    # never compactable as a partition
     fragmented = sorted(
         d for d, n in per_day.items()
-        if d and n > max_files_per_partition
+        if "=" in d and n > max_files_per_partition
     )
     if dry_run:
         report["would_compact"] = fragmented
@@ -1689,7 +1728,7 @@ def maintain(
             cutoff = _date.today() - _timedelta(days=retention_days)
             report["would_retire"] = sorted(
                 d for d in per_day
-                if d and d.split("=", 1)[1] < str(cutoff)
+                if "=" in d and d.split("=", 1)[1] < str(cutoff)
             )
         report["vacuum"] = vacuum(spark, path, keep_versions, dry_run=True)
         return report

@@ -7399,12 +7399,14 @@ def q_text_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     remove_dot_segments stack fold, query-parameter sort). Messy URLs
     are synthesized per doc (upper-cased scheme+host, default :80/:443
     on most rows, a kept non-default :8080 on every fifth, '/./' and
-    '/../' path variants, unsorted query params); deliberately, the two
-    dot-segment variants COLLAPSE to the same canonical URL per
-    (domain, scheme) — the dedup signal. The oracle states the canonical
-    form closed-form per row and aggregates identically: per-domain URL
-    count, distinct-canonical count, and the md5-fingerprint sum over
-    DISTINCT canonical URLs (order-free, collision-safe census)."""
+    '/../' path variants, unsorted query params); the dedup signal is
+    that many doc_ids per domain share the same
+    (scheme, port, path-variant, query) tuple and therefore the same
+    canonical URL, while the /p/{id} variant stays unique per doc. The
+    oracle states the canonical form closed-form per row and aggregates
+    identically: per-domain URL count, distinct-canonical count, and the
+    md5-fingerprint sum over DISTINCT canonical URLs (order-free,
+    collision-safe census)."""
     from ..ext import web as wb
     from ..ext.hashing import md5_long
 

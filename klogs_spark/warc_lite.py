@@ -120,6 +120,11 @@ def _parse_record(buf: bytes, pos: int) -> tuple[dict, int]:
         clen = int(headers["Content-Length"])
     except (KeyError, ValueError) as e:
         raise WarcFormatError(f"bad Content-Length: {e}") from e
+    if clen < 0:
+        # a negative length would mis-frame the record (body_end lands
+        # inside the header block and the parser resumes mid-payload,
+        # yielding phantom records from embedded WARC-shaped bytes)
+        raise WarcFormatError(f"negative Content-Length {clen}")
     body_start = end_head + 4
     body_end = body_start + clen
     if buf[body_end:body_end + 4] != CRLF + CRLF:

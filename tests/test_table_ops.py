@@ -3169,3 +3169,43 @@ def test_manifest_broken_chain_is_loud_and_commits_fail_open(
     assert "files" in doc
     assert M.read_snapshot(spark, path).count() == n
     assert M.fsck(spark, path)["ok"]
+
+
+def test_manifest_cyclic_base_pointer_is_loud_not_infinite(spark, tmp_path):
+    """A corrupt delta whose base pointer is >= its own version must
+    raise ManifestChainError, never loop (review finding r17)."""
+    import json as _json
+
+    import pytest as _pytest
+
+    import klogs_spark.manifest as M
+    from klogs_spark.table import _hadoop_fs
+
+    path, _ = _mk_published_table(spark, tmp_path, n_publishes=2)
+    fs, hp, _ = _hadoop_fs(spark, path)
+    out = fs.create(hp(f"{path}/{M.MANIFEST_DIR}/v2.json"), True)
+    out.write(_json.dumps(
+        {"version": 2, "base": 2, "add": [], "remove": []}
+    ).encode())
+    out.close()
+    with _pytest.raises(M.ManifestChainError, match="non-decreasing"):
+        M._manifest_files(spark, path, 2)
+
+
+def test_maintain_dry_run_tolerates_foreign_parent_dirs(spark, tmp_path):
+    """Manifest entries under a non-'date=' parent directory (explicit
+    publishes of hand-placed files) must not crash or be treated as day
+    partitions by maintain (review finding r17)."""
+    import klogs_spark.manifest as M
+
+    path, n = _mk_published_table(spark, tmp_path, n_publishes=1)
+    head = M._manifest_files(spark, path, 1)
+    M.publish_snapshot(
+        spark, path, files=list(head) + ["subdir/x.parquet", "bare.parquet"]
+    )
+    rep = M.maintain(
+        spark, path, max_files_per_partition=1, retention_days=10000,
+        dry_run=True,
+    )
+    assert "subdir" not in rep["would_compact"]
+    assert all("=" in d for d in rep["would_retire"])

@@ -103,3 +103,13 @@ def test_truncated_payload_is_loud():
     rec = _rec(4, b"0123456789")
     with pytest.raises(WarcFormatError):
         list(iter_warc_records(rec[:-8]))
+
+
+def test_negative_content_length_is_loud():
+    # crafted record whose WARC-level length is negative: body_end would
+    # land back on the header terminator and "pass" the separator check,
+    # then the parser would resume inside the payload — must raise instead
+    bad = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"Content-Length: -4\r\n\r\n" + b"\r\n\r\n")
+    with pytest.raises(WarcFormatError, match="negative"):
+        list(iter_warc_records(bad))

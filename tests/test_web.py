@@ -134,3 +134,34 @@ class TestUrlNormalize:
             [("http://www.ex.com:8080/a?q=1",)], "u string"
         ).select(web.url_domain(F.col("u")).alias("d")).collect()
         assert rows[0]["d"] == "www.ex.com"
+
+
+class TestReviewFindings:
+    def test_malformed_urls_pass_through_unchanged(self):
+        for bad in ["http://h.ex:bad/x", "http://h.ex:99999999/x",
+                    "http://[::1"]:
+            assert web.normalize_url_py(bad) == bad
+
+    def test_malformed_url_does_not_kill_the_job(self, spark):
+        rows = spark.createDataFrame(
+            [("http://h.ex:bad/x",), ("HTTP://OK.ex:80/y",)], "u string"
+        ).select(web.normalize_url(F.col("u")).alias("n")).collect()
+        got = {r["n"] for r in rows}
+        assert got == {"http://h.ex:bad/x", "http://ok.ex/y"}
+
+    def test_uppercase_tags_split_and_count(self, spark):
+        long = "this block carries plenty of genuine readable prose text"
+        html = ('<DIV><A HREF="/a">first linked phrase here</A> '
+                '<A HREF="/b">second linked phrase</A></DIV>'
+                f"<P>{long}</P>")
+        r = _extract(spark, html)
+        assert (r["n_blocks"], r["n_kept"]) == (2, 1)
+        assert r["extracted"] == long
+
+    def test_nested_markup_inside_anchor_counts_as_link_text(self, spark):
+        # a pure link farm whose anchor text hides behind <b> tags must
+        # still be dropped by the density rule
+        html = ('<div><a href="/x"><b>first linked phrase here</b></a> '
+                '<a href="/y"><i>second linked phrase</i></a></div>')
+        r = _extract(spark, html)
+        assert r["n_kept"] == 0

@@ -107,6 +107,15 @@ HEADLINE = [
     # measured cost is the FETCH — two partition-pruned day directories
     # with TakeOrderedAndProject both sides — not the table write the
     # registry carrier re-does per call.
+    # round-17: the web-corpus entry path a pretraining pipeline runs on
+    # every archive — WARC encode+decode round-trip (one fused
+    # mapInPandas, gzip member per record), HTML boilerplate extraction
+    # (native block split + tag strip + link-density filter, zero
+    # Python), and RFC 3986 URL canonicalization (Arrow-batched UDF) —
+    # all whole-corpus passes, tracked from the start.
+    "ingest_warc_roundtrip",
+    "text_html_extract",
+    "text_url_normalize",
 ]
 
 

@@ -765,3 +765,44 @@ def test_cusum_windows_partition_per_series(spark):
         n_windows += 1
         assert "event_type" in m.group(1), f"unpartitioned window: {m.group(1)}"
     assert n_windows >= 1
+
+
+def test_html_extract_is_row_local_zero_shuffle(spark):
+    # the extractor is a pure projection (split/transform/filter inside
+    # codegen) — any Exchange here would shuffle the whole corpus for a
+    # per-row computation
+    plan = _plan(spark, "text_html_extract")
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan  # never row-at-a-time Python
+
+
+def test_fix_encoding_native_and_single_aggregate(spark):
+    # detect/repair are native encode/decode expressions; the only
+    # shuffle is the per-source aggregate's exchange pair
+    import re
+
+    plan = _plan(spark, "text_fix_encoding")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1, plan
+
+
+def test_url_normalize_arrow_batched_single_aggregate(spark):
+    # the normalizer must run as ONE Arrow-batched pandas UDF stage (not
+    # row-at-a-time); the distinct-census aggregate adds its Expand +
+    # two-phase exchanges, but never a second Python crossing
+    import re
+
+    plan = _plan(spark, "text_url_normalize")
+    assert "BatchEvalPython" not in plan
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 1, plan
+
+
+def test_warc_roundtrip_single_python_crossing(spark):
+    # encode+decode are FUSED in one mapInPandas (one JVM<->Python Arrow
+    # crossing — the msgpack lesson); a second crossing is ~0.3s/batch of
+    # pure plumbing at sf0.1
+    import re
+
+    plan = _plan(spark, "ingest_warc_roundtrip")
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1, plan
+    assert "BatchEvalPython" not in plan

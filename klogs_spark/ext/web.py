@@ -155,6 +155,8 @@ def normalize_url_py(url: str) -> str:
     as its dedup key."""
     from urllib.parse import parse_qsl, urlencode, urlsplit, urlunsplit
 
+    if not isinstance(url, str):
+        return url  # nulls/bytes: pass through, never kill the batch
     try:
         parts = urlsplit(url)
         scheme = parts.scheme.lower()
@@ -180,7 +182,9 @@ def normalize_url(col: Column) -> Column:
     from pyspark.sql.functions import pandas_udf
 
     def _norm(s):
-        return s.map(normalize_url_py)
+        # na_action keeps NaN/None rows as nulls instead of feeding them
+        # to the normalizer (a null URL must never kill the Arrow batch)
+        return s.map(normalize_url_py, na_action="ignore")
 
     # explicit annotations (not inline hints): `from __future__ import
     # annotations` stringifies hints and pandas isn't importable from

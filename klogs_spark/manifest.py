@@ -1377,12 +1377,37 @@ def vacuum(
         _must(
             fs.delete(hpath_cls(f"{path}/{f}"), False), "vacuum-delete", f
         )
-    for v in dropped:
-        mf = hpath_cls(f"{path}/{MANIFEST_DIR}/v{v}.json")
-        _must(fs.delete(mf, False), "vacuum-manifest-delete", mf)
+    # delete dropped manifests NEWEST-first: a crash after any prefix of
+    # this loop leaves the surviving older manifests a still-intact chain
+    # (oldest-first would strand delta manifests whose full ancestor was
+    # already deleted). Per version, the sidecar goes BEFORE the manifest
+    # so a crash in between can never orphan a sidecar forever (a
+    # manifest-less version would vanish from snapshot_versions and no
+    # later vacuum would revisit it).
+    for v in reversed(dropped):
         side = hpath_cls(f"{path}/{MANIFEST_DIR}/v{v}.full.json")
         if fs.exists(side):
             _must(fs.delete(side, False), "vacuum-sidecar-delete", side)
+        mf = hpath_cls(f"{path}/{MANIFEST_DIR}/v{v}.json")
+        _must(fs.delete(mf, False), "vacuum-manifest-delete", mf)
+    # sweep sidecars orphaned by pre-fix crashes (manifest gone, sidecar
+    # left behind): they answer _sidecar_files probes for versions that
+    # no longer exist, so reclaim them here
+    mdir = hpath_cls(f"{path}/{MANIFEST_DIR}")
+    if fs.exists(mdir):
+        vset = set(snapshot_versions(spark, path))
+        for st in fs.listStatus(mdir):
+            name = st.getPath().getName()
+            if name.startswith("v") and name.endswith(".full.json"):
+                try:
+                    sv = int(name[1:-len(".full.json")])
+                except ValueError:
+                    continue
+                if sv not in vset:
+                    _must(
+                        fs.delete(st.getPath(), False),
+                        "vacuum-orphan-sidecar-delete", st.getPath(),
+                    )
     # compact the checkpoint to the kept manifests' union: every file
     # that was only in dropped/checkpoint history and still local was
     # just deleted, so the kept union is again exactly 'everything ever
@@ -1597,15 +1622,42 @@ def fsck(spark: SparkSession, path: str) -> dict:
     fs, hpath_cls, root = _hadoop_fs(spark, path)
     versions = snapshot_versions(spark, path)
     on_disk = set(_list_data_files(fs, root, hpath_cls))
+    # resolve versions oldest-first, rolling contiguous deltas forward
+    # from the previous resolution (one doc read per version — same trick
+    # as vacuum's kept_lists; a fresh chain walk per version would make
+    # this O(versions x interval))
     per_version: dict[int, set] = {}
     unresolvable: dict[int, str] = {}
+    partial_refs: set = set()  # add-lists of unresolvable delta docs
+    running_fsck: set | None = None
+    prev_fv = None
     for v in versions:
         try:
-            per_version[v] = set(_manifest_files(spark, path, v))
+            doc = _manifest_doc(spark, path, v)
+            if (
+                running_fsck is not None
+                and "base" in doc and doc["base"] == prev_fv
+            ):
+                running_fsck = (
+                    running_fsck - set(doc["remove"])
+                ) | set(doc["add"])
+            else:
+                running_fsck = set(_manifest_files(spark, path, v))
+            per_version[v] = running_fsck
+            prev_fv = v
         except ManifestChainError as e:
             # a delta whose ancestors are gone — report, don't crash the
-            # health check itself
+            # health check itself; its own add-list is still a known
+            # lower bound on what it pins (keeps those files out of the
+            # 'unmanifested' bucket below)
             unresolvable[v] = str(e)
+            try:
+                partial_refs |= set(
+                    _manifest_doc(spark, path, v).get("add", [])
+                )
+            except Exception:
+                pass
+            running_fsck, prev_fv = None, None
     # absolute (clone) entries live outside the listing — each gets its
     # own existence probe, cached across versions (a vacuumed SOURCE is
     # exactly the corruption this must surface, the Delta CLONE caveat)
@@ -1624,6 +1676,11 @@ def fsck(spark: SparkSession, path: str) -> dict:
         if any(_gone(f) for f in refs)
     }
     manifested = set().union(*per_version.values()) if per_version else set()
+    # when versions are unresolvable, 'manifested' is a lower bound (their
+    # inherited files are unknowable) — fold in their own add-lists so at
+    # least those are not misreported as pending appends; the docstring's
+    # 'unmanifested'/'tombstoned' categories are best-effort in that state
+    manifested |= partial_refs
     latest_refs = (
         per_version.get(versions[-1], set()) if versions else set()
     )
@@ -1714,13 +1771,14 @@ def maintain(
     for f in _manifest_files(spark, path, head):
         d = _entry_day_dir(f)
         per_day[d] = per_day.get(d, 0) + 1
-    # groups without a 'date=...' shape are unpartitioned entries (bare
-    # filenames or foreign parent dirs from explicit publishes, see
-    # _entry_day_dir) — they carry no day, so they are never expired and
-    # never compactable as a partition
+    # groups without the engine's 'date=...' shape are unpartitioned
+    # entries (bare filenames or foreign k=v parent dirs from explicit
+    # publishes, see _entry_day_dir) — they carry no day, so they are
+    # never expired and never compactable as a partition
+    _day_prefix = f"{PARTITION_COLUMN}="
     fragmented = sorted(
         d for d, n in per_day.items()
-        if "=" in d and n > max_files_per_partition
+        if d.startswith(_day_prefix) and n > max_files_per_partition
     )
     if dry_run:
         report["would_compact"] = fragmented
@@ -1728,7 +1786,8 @@ def maintain(
             cutoff = _date.today() - _timedelta(days=retention_days)
             report["would_retire"] = sorted(
                 d for d in per_day
-                if "=" in d and d.split("=", 1)[1] < str(cutoff)
+                if d.startswith(_day_prefix)
+                and d.split("=", 1)[1] < str(cutoff)
             )
         report["vacuum"] = vacuum(spark, path, keep_versions, dry_run=True)
         return report

@@ -3209,3 +3209,75 @@ def test_maintain_dry_run_tolerates_foreign_parent_dirs(spark, tmp_path):
     )
     assert "subdir" not in rep["would_compact"]
     assert all("=" in d for d in rep["would_retire"])
+
+
+def test_vacuum_crash_mid_manifest_drop_leaves_resolvable_chains(
+    spark, tmp_path
+):
+    """Review finding r17-2: dropped manifests must be deleted
+    NEWEST-first so any crash prefix leaves the surviving older
+    manifests a resolvable chain, and a dropped version's sidecar goes
+    before its manifest. Simulate the crash by replaying vacuum's exact
+    deletion prefix, then assert every surviving version still resolves
+    and a re-run vacuum completes."""
+    import klogs_spark.manifest as M
+    from klogs_spark.table import _hadoop_fs
+
+    path, n = _mk_published_table(spark, tmp_path, n_publishes=5)
+    dry = M.vacuum(spark, path, keep_versions=2, dry_run=True)
+    dropped = dry["would_drop_manifests"]
+    assert dropped == [1, 2, 3]
+    fs, hp, _ = _hadoop_fs(spark, path)
+    # crash after the sidecar write + the FIRST (newest) manifest drop
+    head_keep = [4, 5]
+    M._write_small_json(
+        fs, hp, path, f"{M.MANIFEST_DIR}/v4.full.json",
+        {"version": 4, "files": M._manifest_files(spark, path, 4)},
+    )
+    assert fs.delete(hp(f"{path}/{M.MANIFEST_DIR}/v3.json"), False)
+    # every surviving version still resolves (v1 full, v2 delta on v1,
+    # v4 via sidecar, v5 delta on v4)
+    for v in M.snapshot_versions(spark, path):
+        assert M._manifest_files(spark, path, v)
+    assert M.fsck(spark, path)["ok"]
+    # _all_manifested (listing publishes, COW base) still works
+    assert M._all_manifested(spark, path)
+    # and a re-run vacuum finishes the job
+    M.vacuum(spark, path, keep_versions=2)
+    assert M.snapshot_versions(spark, path) == head_keep
+    assert M.read_snapshot(spark, path).count() == n
+
+
+def test_vacuum_sweeps_orphaned_sidecars(spark, tmp_path):
+    import klogs_spark.manifest as M
+    from klogs_spark.table import _hadoop_fs
+
+    path, _ = _mk_published_table(spark, tmp_path, n_publishes=2)
+    fs, hp, _ = _hadoop_fs(spark, path)
+    # a sidecar for a version that no longer exists (pre-fix crash relic)
+    M._write_small_json(
+        fs, hp, path, f"{M.MANIFEST_DIR}/v99.full.json",
+        {"version": 99, "files": []},
+    )
+    M.vacuum(spark, path, keep_versions=1)
+    assert not fs.exists(hp(f"{path}/{M.MANIFEST_DIR}/v99.full.json"))
+
+
+def test_maintain_ignores_foreign_kv_parent_dirs(spark, tmp_path):
+    """Review finding r17-2: 'region=eu' style parent dirs pass an
+    '=' test but are NOT day partitions — they must be exempt from
+    compaction and retention, same as bare filenames."""
+    import klogs_spark.manifest as M
+
+    path, n = _mk_published_table(spark, tmp_path, n_publishes=1)
+    head = M._manifest_files(spark, path, 1)
+    M.publish_snapshot(
+        spark, path,
+        files=list(head) + [f"region=eu/f{i}.parquet" for i in range(3)],
+    )
+    rep = M.maintain(
+        spark, path, max_files_per_partition=1, retention_days=10000,
+        dry_run=True,
+    )
+    assert all(d.startswith("date=") for d in rep["would_compact"])
+    assert all(d.startswith("date=") for d in rep["would_retire"])

@@ -165,3 +165,13 @@ class TestReviewFindings:
                 '<a href="/y"><i>second linked phrase</i></a></div>')
         r = _extract(spark, html)
         assert r["n_kept"] == 0
+
+    def test_null_url_survives_the_udf(self, spark):
+        rows = spark.createDataFrame(
+            [(None,), ("HTTP://OK.ex:80/y",)], "u string"
+        ).select(web.normalize_url(F.col("u")).alias("n")).collect()
+        got = {r["n"] for r in rows}
+        assert got == {None, "http://ok.ex/y"}
+
+    def test_non_string_passthrough_scalar(self):
+        assert web.normalize_url_py(None) is None

@@ -7261,6 +7261,23 @@ def q_text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside whole-stage codegen), zero shuffles, zero Python."""
     from ..ext import web as wb
 
+    docs = _synth_html_corpus(spark, sf_dir)
+    ex = wb.html_extract(F.col("html"))
+    return docs.select(
+        "doc_id",
+        ex["n_blocks"].alias("n_blocks"),
+        ex["n_kept"].alias("n_kept"),
+        ex["extracted"].alias("extracted"),
+    )
+
+
+def _synth_html_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + an `html` column: each doc rendered into a page with
+    real boilerplate shapes (nav link farm, short title head, content
+    paragraph — first token inline-linked on doc_id%3=1 — a link-farm
+    'related' div on doc_id%3=2, links+copyright footer). Shared by the
+    html-extract carrier and the WARC->WET pipeline carrier so both
+    oracles state the same closed-form synthesis contract."""
     docs = load_table(spark, sf_dir, "documents").filter(
         ~F.col("text").rlike("[<>&]") & F.col("text").rlike(r"^\S(.*\S)?$")
     )
@@ -7286,13 +7303,7 @@ def q_text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
               '<a href="/privacy">Privacy policy</a> (c)</footer>'
               "</body></html>"),
     )
-    ex = wb.html_extract(html)
-    return docs.select(
-        "doc_id",
-        ex["n_blocks"].alias("n_blocks"),
-        ex["n_kept"].alias("n_kept"),
-        ex["extracted"].alias("extracted"),
-    )
+    return docs.withColumn("html", html)
 
 
 # the synthesis contract the oracle exploits: blocks are [head+title, nav,
@@ -7315,6 +7326,149 @@ SELECT doc_id,
        CASE WHEN L >= 25 AND (v <> 1 OR 2 * tok1 < L)
             THEN text ELSE '' END AS extracted
 FROM d
+"""
+
+
+def q_pipeline_warc_to_wet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Common Crawl entry pipeline in one externally-checked
+    chain — exactly what a pretraining corpus build runs per archive:
+    HTML pages wrapped in real ``.warc.gz`` response records (warc_lite)
+    are decoded back from archive BYTES, the HTML goes through the
+    jusText-style boilerplate extractor (ext.web.html_extract, native
+    expressions), empty extractions are dropped, and the surviving main
+    text is re-serialized as WET ``conversion`` records (text/plain, no
+    HTTP envelope — the actual WET shape) and decoded once more. The
+    oracle states the end state closed-form from the synthesis contract
+    (see _synth_html_corpus): survivors are exactly the docs whose
+    paragraph passes the length + link-density rules, and their WET text
+    equals the original document text byte-for-byte (md5-fingerprint
+    sum).
+
+    Plan shape: two Python crossings, each one a REAL container
+    round-trip (WARC in, WET out), fused encode+decode per crossing (the
+    msgpack lesson); the extraction between them is whole-stage-codegen
+    native. Archives are record-independent gzip members, so at 100 TB
+    both crossings parallelize per archive split with no cross-record
+    state."""
+    from ..ext import web as wb
+    from ..ext.hashing import md5_long
+
+    corpus = _synth_html_corpus(spark, sf_dir).select(
+        "doc_id", "source", "html"
+    )
+
+    def warc_roundtrip(batches):
+        import pandas as pd
+
+        from klogs_spark.warc_lite import (
+            build_record, build_warc_gz, http_response, iter_warc_records,
+            split_http_payload,
+        )
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            recs = [
+                build_record(
+                    "response",
+                    f"{int(d):012d}-0000-4000-8000-000000000000",
+                    f"2026-02-{int(d) % 28 + 1:02d}T00:00:00Z",
+                    http_response(str(h).encode("utf-8")),
+                    target_uri=f"http://{s}.example.com/doc/{int(d)}",
+                )
+                for d, s, h in zip(pdf["doc_id"], pdf["source"],
+                                   pdf["html"])
+            ]
+            out = {"doc_id": [], "source": [], "html": []}
+            for rec in iter_warc_records(build_warc_gz(recs)):
+                uri = rec["headers"]["WARC-Target-URI"]
+                _http, body = split_http_payload(rec["content"])
+                out["doc_id"].append(int(uri.rsplit("/", 1)[1]))
+                out["source"].append(
+                    uri.split("//", 1)[1].split(".", 1)[0]
+                )
+                out["html"].append(body.decode("utf-8"))
+            yield pd.DataFrame(out)
+
+    def wet_roundtrip(batches):
+        import pandas as pd
+
+        from klogs_spark.warc_lite import (
+            build_record, build_warc_gz, iter_warc_records,
+        )
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            recs = [
+                build_record(
+                    "conversion",
+                    f"{int(d):012d}-0000-4000-8000-000000000001",
+                    f"2026-02-{int(d) % 28 + 1:02d}T00:00:00Z",
+                    str(t).encode("utf-8"),
+                    target_uri=f"http://{s}.example.com/doc/{int(d)}",
+                    content_type="text/plain",
+                )
+                for d, s, t in zip(pdf["doc_id"], pdf["source"],
+                                   pdf["text"])
+            ]
+            out = {"doc_id": [], "source": [], "text": []}
+            for rec in iter_warc_records(build_warc_gz(recs)):
+                assert rec["headers"]["WARC-Type"] == "conversion"
+                uri = rec["headers"]["WARC-Target-URI"]
+                out["doc_id"].append(int(uri.rsplit("/", 1)[1]))
+                out["source"].append(
+                    uri.split("//", 1)[1].split(".", 1)[0]
+                )
+                out["text"].append(rec["content"].decode("utf-8"))
+            yield pd.DataFrame(out)
+
+    n_slices = spark.sparkContext.defaultParallelism
+    from_warc = corpus.repartition(n_slices).mapInPandas(
+        warc_roundtrip, "doc_id long, source string, html string"
+    )
+    ex = wb.html_extract(F.col("html"))
+    extracted = (
+        from_warc.select(
+            "doc_id", "source", ex["extracted"].alias("text")
+        )
+        .filter(F.col("text") != "")
+    )
+    wet = extracted.mapInPandas(
+        wet_roundtrip, "doc_id long, source string, text string"
+    )
+    return wet.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min("doc_id").cast("bigint").alias("min_id"),
+        F.max("doc_id").cast("bigint").alias("max_id"),
+        F.sum(F.length("text")).cast("bigint").alias("sum_chars"),
+        F.sum(md5_long(F.col("text"))).cast("bigint").alias("sum_text_md5"),
+    )
+
+
+# survivors = docs whose paragraph passes the extractor (length >= 25 and,
+# for the inline-link variant doc_id%3=1, link density < 1/2); their WET
+# text is the original document text verbatim — the synthesis contract of
+# _synth_html_corpus carried through both container round-trips
+SQL_PIPELINE_WARC_TO_WET = r"""
+WITH d AS (
+  SELECT doc_id, source, text, doc_id % 3 AS v, length(text) AS L,
+         length(regexp_extract(text, '^(\S+)', 1)) AS tok1
+  FROM documents
+  WHERE NOT regexp_matches(text, '[<>&]')
+    AND regexp_matches(text, '^\S(.*\S)?$')
+),
+k AS (
+  SELECT * FROM d WHERE L >= 25 AND (v <> 1 OR 2 * tok1 < L)
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS min_id,
+       CAST(max(doc_id) AS BIGINT) AS max_id,
+       CAST(sum(L) AS BIGINT) AS sum_chars,
+       CAST(sum(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT))
+            AS BIGINT) AS sum_text_md5
+FROM k GROUP BY source
 """
 
 
@@ -8029,5 +8183,12 @@ SPECS = {
         "RFC 3986 URL canonicalization (case/default-port/dot-segments/"
         "query-sort, Arrow-batched UDF) + per-domain dedup census vs "
         "closed-form canonical oracle",
+    ),
+    "pipeline_warc_to_wet": QuerySpec(
+        q_pipeline_warc_to_wet, SQL_PIPELINE_WARC_TO_WET,
+        "full Common Crawl entry chain: HTML in real .warc.gz response "
+        "records -> decode -> jusText extraction -> WET conversion "
+        "records -> decode; per-source survivor census + md5 sums vs "
+        "the closed-form synthesis oracle",
     ),
 }

@@ -806,3 +806,14 @@ def test_warc_roundtrip_single_python_crossing(spark):
     plan = _plan(spark, "ingest_warc_roundtrip")
     assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1, plan
     assert "BatchEvalPython" not in plan
+
+
+def test_warc_to_wet_pipeline_two_crossings_native_extraction(spark):
+    # two Python crossings, each a REAL container round-trip (WARC in,
+    # WET out), with the extraction between them in native codegen —
+    # never a third crossing, never row-at-a-time Python
+    import re
+
+    plan = _plan(spark, "pipeline_warc_to_wet")
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 2, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

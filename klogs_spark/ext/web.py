@@ -196,3 +196,22 @@ def normalize_url(col: Column) -> Column:
 def url_domain(norm_url: Column) -> Column:
     """The registrable host of an already-normalized URL — native regexp."""
     return F.regexp_extract(norm_url, r"^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1)
+
+
+def domain_suffixes(domain: Column) -> Column:
+    """Every dot-boundary suffix of a host with >= 2 labels —
+    ``www.a.example.com`` -> ``[www.a.example.com, a.example.com,
+    example.com]``. This is how blocklist matching covers subdomains
+    (block ``evil.com`` and every ``*.evil.com``) with an EQUI-join
+    instead of a suffix-LIKE scan: explode the (<= label-count) suffixes
+    and hash-join the blocklist — broadcastable, never a cartesian.
+    Single-label hosts return themselves."""
+    parts = F.split(domain, r"\.")
+    n = F.size(parts)
+    return F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.array_join(F.slice(parts, i + 1, n - i), "."),
+        ),
+    ).otherwise(F.array(domain))

@@ -7472,6 +7472,78 @@ FROM k GROUP BY source
 """
 
 
+_DOMAIN_BLOCKLIST = [
+    "src3.example.com",        # blocks www.src3.example.com via suffix
+    "src7.example.com",
+    "shared-assets.example.org",  # blocks the cdn. subdomain
+    "spam.test",               # negative control: matches nothing
+]
+
+
+def q_text_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UT1-style domain blocklist filtering — the URL-level safety pass
+    every web corpus runs before text ever reaches the pipeline.
+    Subdomain semantics (an entry blocks itself AND every subdomain) via
+    ext.web.domain_suffixes: each host explodes into its <= label-count
+    dot-boundary suffixes, which EQUI-join the broadcast blocklist — the
+    scale shape for a multi-million-entry list (hash join on suffix,
+    never a suffix-LIKE scan, never a cartesian). Every tenth doc is
+    hosted on a shared CDN domain whose PARENT is listed — since source
+    = doc_id % 20, that blocks part of src0/src10 (subdomain-match
+    coverage) while src3/src7 are listed directly (whole-source block)
+    and 'spam.test' is the matches-nothing negative control. The oracle
+    states blocked membership closed-form. Per-source census: totals,
+    blocked, kept."""
+    from ..ext import web as wb
+
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    host = F.when(
+        did % 10 == 0, F.lit("cdn.shared-assets.example.org")
+    ).otherwise(
+        F.concat(F.lit("www."), F.col("source"), F.lit(".example.com"))
+    )
+    urls = docs.select("doc_id", "source", host.alias("domain"))
+    blocklist = spark.createDataFrame(
+        [(d,) for d in _DOMAIN_BLOCKLIST], "entry string"
+    )
+    hits = (
+        urls.select(
+            "doc_id", "source",
+            F.explode(wb.domain_suffixes(F.col("domain"))).alias("sfx"),
+        )
+        .join(F.broadcast(blocklist), F.col("sfx") == F.col("entry"),
+              "leftsemi")
+        .groupBy("source")
+        .agg(F.count_distinct("doc_id").cast("bigint").alias("n_blocked"))
+    )
+    totals = urls.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total")
+    )
+    return totals.join(hits, "source", "left").select(
+        "source",
+        "n_total",
+        F.coalesce(F.col("n_blocked"), F.lit(0))
+        .cast("bigint").alias("n_blocked"),
+        (F.col("n_total") - F.coalesce(F.col("n_blocked"), F.lit(0)))
+        .cast("bigint").alias("n_kept"),
+    )
+
+
+# blocked iff the host's suffix chain meets the list: sources src3/src7
+# entirely (www.srcN.example.com ⊃ srcN.example.com), plus every tenth
+# doc via the shared CDN's listed parent; 'spam.test' matches nothing
+SQL_TEXT_DOMAIN_BLOCKLIST = """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN source IN ('src3', 'src7') OR doc_id % 10 = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked,
+       CAST(sum(CASE WHEN source IN ('src3', 'src7') OR doc_id % 10 = 0
+                     THEN 0 ELSE 1 END) AS BIGINT) AS n_kept
+FROM documents GROUP BY source
+"""
+
+
 def q_text_fix_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mojibake repair (ext.web fix_encoding — the ftfy double-encoding
     heuristic) externally checked with an exact-inverse corruption: every
@@ -8183,6 +8255,12 @@ SPECS = {
         "RFC 3986 URL canonicalization (case/default-port/dot-segments/"
         "query-sort, Arrow-batched UDF) + per-domain dedup census vs "
         "closed-form canonical oracle",
+    ),
+    "text_domain_blocklist": QuerySpec(
+        q_text_domain_blocklist, SQL_TEXT_DOMAIN_BLOCKLIST,
+        "UT1-style domain blocklist with subdomain semantics: suffix "
+        "explode + broadcast equi-join (never suffix-LIKE); per-source "
+        "blocked/kept census vs closed-form membership oracle",
     ),
     "pipeline_warc_to_wet": QuerySpec(
         q_pipeline_warc_to_wet, SQL_PIPELINE_WARC_TO_WET,

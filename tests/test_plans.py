@@ -817,3 +817,13 @@ def test_warc_to_wet_pipeline_two_crossings_native_extraction(spark):
     plan = _plan(spark, "pipeline_warc_to_wet")
     assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 2, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_domain_blocklist_broadcasts_and_never_suffix_scans(spark):
+    # subdomain matching must be a suffix-explode + broadcast EQUI-join:
+    # a sort-merge join or nested-loop LIKE scan here dies at a
+    # multi-million-entry blocklist
+    plan = _plan(spark, "text_domain_blocklist")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

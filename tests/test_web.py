@@ -175,3 +175,15 @@ class TestReviewFindings:
 
     def test_non_string_passthrough_scalar(self):
         assert web.normalize_url_py(None) is None
+
+
+class TestDomainSuffixes:
+    def test_suffix_chain(self, spark):
+        rows = spark.createDataFrame(
+            [("www.a.example.com",), ("example.com",), ("localhost",)],
+            "d string",
+        ).select(web.domain_suffixes(F.col("d")).alias("s")).collect()
+        assert rows[0]["s"] == [
+            "www.a.example.com", "a.example.com", "example.com"]
+        assert rows[1]["s"] == ["example.com"]
+        assert rows[2]["s"] == ["localhost"]

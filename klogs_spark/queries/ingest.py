@@ -1757,6 +1757,83 @@ FROM documents GROUP BY source
 """
 
 
+def q_stream_warc_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming WARC ingestion end-to-end
+    (streaming_ext.warc_decode_sink): the document corpus is packed into
+    real ``.warc.gz`` archives (one archive per 25-doc bucket, gzip
+    member per record — warc_lite) which arrive as a REAL 2-micro-batch
+    binary stream; each batch parses its archives inside foreachBatch
+    and appends per-record rows. The final per-source aggregate must
+    equal the batch pass's answer (SAME oracle as
+    ingest_warc_roundtrip), so an archive decoded twice across the
+    batch boundary, a dropped record, or any parse fault in the
+    streaming path breaks the md5-fingerprint sums."""
+    import tempfile
+
+    from ..ext.hashing import md5_long
+    from ..streaming_ext import warc_decode_sink
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    n_buckets = 25
+
+    def _pack(key, pdf):
+        import pandas as pd
+
+        from klogs_spark.warc_lite import (
+            build_record, build_warc_gz, http_response,
+        )
+
+        recs = [
+            build_record(
+                "response",
+                f"{int(d):012d}-0000-4000-8000-000000000000",
+                f"2026-03-{int(d) % 28 + 1:02d}T00:00:00Z",
+                http_response(str(t).encode("utf-8"),
+                              content_type="text/plain"),
+                target_uri=f"http://{s}.example.com/doc/{int(d)}",
+            )
+            for d, s, t in sorted(
+                zip(pdf["doc_id"], pdf["source"], pdf["text"]),
+                key=lambda r: int(r[0]),
+            )
+        ]
+        return pd.DataFrame(
+            {"archive_id": [int(key[0])], "payload": [build_warc_gz(recs)]}
+        )
+
+    archives = (
+        docs.withColumn("bucket", F.col("doc_id") % n_buckets)
+        .groupBy("bucket")
+        .applyInPandas(_pack, "archive_id long, payload binary")
+    )
+    base = tempfile.mkdtemp(prefix="klogs-warcstream-")
+    src, ckpt, store = f"{base}/src", f"{base}/ckpt", f"{base}/store"
+    for lo, hi in ((0, 12), (12, 1 << 62)):
+        archives.filter(
+            (F.col("archive_id") >= lo) & (F.col("archive_id") < hi)
+        ).write.mode("append").parquet(src)
+        q = (
+            spark.readStream.schema("archive_id long, payload binary")
+            .parquet(src)
+            .writeStream.foreachBatch(warc_decode_sink(store))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    back = spark.read.parquet(store)
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("doc_id").cast("bigint").alias("min_id"),
+        F.max("doc_id").cast("bigint").alias("max_id"),
+        F.sum(F.length("text")).cast("bigint").alias("sum_chars"),
+        F.sum("payload_len").cast("bigint").alias("sum_payload_len"),
+        F.sum(md5_long(F.col("text"))).cast("bigint").alias("sum_text_md5"),
+    )
+
+
 def q_stream_minmax_sidecar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The streaming zone-map maintenance externally checked: two weeks of
     logs arrive as a REAL micro-batch stream through
@@ -3560,6 +3637,14 @@ SPECS = {
         "payloads) and decoded back by the same binary reader; per-source "
         "md5-fingerprint sum + exact Content-Length sum vs "
         "direct-from-documents oracle",
+    ),
+    "stream_warc_decode": QuerySpec(
+        q_stream_warc_decode,
+        SQL_INGEST_WARC_ROUNDTRIP,
+        "streaming WARC ingestion: 25 real .warc.gz archives arrive as a "
+        "2-micro-batch binary stream, foreachBatch parses + appends "
+        "per-record rows; final per-source aggregate vs the SAME "
+        "direct-from-documents oracle as the batch round-trip",
     ),
     "stream_minmax_sidecar": QuerySpec(
         q_stream_minmax_sidecar,

@@ -256,6 +256,52 @@ def decontaminating_docs_sink(
     return sink_fn
 
 
+def warc_decode_sink(store_dir: str):
+    """foreachBatch sink for a BINARY web-archive stream: each
+    micro-batch's ``.warc.gz`` payloads are parsed by the real record
+    reader (warc_lite.iter_warc_records + split_http_payload) inside an
+    Arrow-batched mapInPandas, and the per-record rows are appended —
+    the streaming form of the WARC ingest pass, so crawl archives are
+    decoded AS THEY ARRIVE instead of by a nightly batch scan. One write
+    action per batch; with availableNow + checkpointing each archive
+    decodes exactly once."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        def decode(batches):
+            import pandas as pd
+
+            # absolute import: this closure executes inside Arrow worker
+            # processes, where a relative import has no package context
+            from klogs_spark.warc_lite import (
+                iter_warc_records, split_http_payload,
+            )
+
+            for pdf in batches:
+                out = {"doc_id": [], "source": [], "text": [],
+                       "payload_len": []}
+                for blob in pdf["payload"]:
+                    for rec in iter_warc_records(bytes(blob)):
+                        if rec["headers"]["WARC-Type"] != "response":
+                            continue
+                        uri = rec["headers"]["WARC-Target-URI"]
+                        host = uri.split("//", 1)[1].split("/", 1)[0]
+                        _http, body = split_http_payload(rec["content"])
+                        out["doc_id"].append(int(uri.rsplit("/", 1)[1]))
+                        out["source"].append(host.split(".", 1)[0])
+                        out["text"].append(body.decode("utf-8"))
+                        out["payload_len"].append(
+                            int(rec["headers"]["Content-Length"])
+                        )
+                yield pd.DataFrame(out)
+
+        batch_df.mapInPandas(
+            decode,
+            "doc_id long, source string, text string, payload_len long",
+        ).write.mode("append").parquet(store_dir)
+
+    return _sink
+
+
 def media_frame_stats_sink(stats_dir: str):
     """foreachBatch sink for a BINARY media stream: run the real
     demux+decode kernel (ext.multimodal.video_frame_pixel_stats) over

@@ -198,6 +198,91 @@ def url_domain(norm_url: Column) -> Column:
     return F.regexp_extract(norm_url, r"^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1)
 
 
+# ---------------------------------------------------------------------------
+# robots.txt (RFC 9309 Robots Exclusion Protocol)
+# ---------------------------------------------------------------------------
+
+
+def parse_robots_txt(txt: str) -> list:
+    """RFC 9309 parser: returns ``(agent, allow, path_prefix)`` tuples.
+    Consecutive ``User-agent`` lines form one group head; Allow/Disallow
+    rules bind to every agent of the current group; a new ``User-agent``
+    after rules starts a new group; comments (#) and blank lines are
+    skipped; an empty ``Disallow:`` value means allow-all (no rule)."""
+    rules: list = []
+    agents: list = []
+    group_closed = False
+    for raw in txt.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        key, sep, val = line.partition(":")
+        if not sep:
+            continue
+        key, val = key.strip().lower(), val.strip()
+        if key == "user-agent":
+            if group_closed:
+                agents, group_closed = [], False
+            agents.append(val.lower())
+        elif key in ("allow", "disallow"):
+            group_closed = True
+            if val:
+                for a in (agents or ["*"]):
+                    rules.append((a, key == "allow", val))
+    return rules
+
+
+def robots_evaluate(urls: "DataFrame", rules: "DataFrame",
+                    agent: str) -> "DataFrame":
+    """RFC 9309 evaluation over DataFrames: ``urls`` must carry
+    (``domain``, ``path``) plus any carry-through columns; ``rules`` is
+    the parsed table (``domain``, ``agent``, ``allow``, ``prefix``).
+    Returns ``urls`` + an ``allowed`` boolean.
+
+    Semantics: if a domain has a group for this agent, ONLY that group
+    applies (no merge with ``*``); candidate rules are plain path-prefix
+    matches; the LONGEST prefix wins and Allow wins length ties; a URL
+    matching no rule is allowed.
+
+    Scale shape: the specific-agent domain set and the effective rule
+    table are broadcast (robots metadata is tiny next to a crawl), the
+    match is a domain equi-join + startswith filter, and the winner is
+    one ``max_by`` aggregate keyed by URL — no window over the corpus,
+    no cross join."""
+    a = agent.lower()
+    spec = (
+        rules.filter(F.col("agent") == a)
+        .select(F.col("domain").alias("_spec_domain"))
+        .distinct()
+    )
+    eff = (
+        rules.join(
+            F.broadcast(spec),
+            rules["domain"] == F.col("_spec_domain"),
+            "left",
+        )
+        .filter(
+            ((F.col("agent") == a) & F.col("_spec_domain").isNotNull())
+            | ((F.col("agent") == "*") & F.col("_spec_domain").isNull())
+        )
+        .select("domain", "allow", "prefix")
+    )
+    key_cols = [c for c in urls.columns]
+    cand = urls.join(F.broadcast(eff), "domain", "inner").filter(
+        F.col("path").startswith(F.col("prefix"))
+    )
+    verdicts = cand.groupBy(*key_cols).agg(
+        F.max_by(
+            "allow", F.struct(F.length("prefix"), F.col("allow"))
+        ).alias("_verdict")
+    )
+    return (
+        urls.join(verdicts, key_cols, "left")
+        .withColumn("allowed", F.coalesce(F.col("_verdict"), F.lit(True)))
+        .drop("_verdict")
+    )
+
+
 def domain_suffixes(domain: Column) -> Column:
     """Every dot-boundary suffix of a host with >= 2 labels —
     ``www.a.example.com`` -> ``[www.a.example.com, a.example.com,

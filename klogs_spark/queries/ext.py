@@ -7544,6 +7544,110 @@ FROM documents GROUP BY source
 """
 
 
+def q_text_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 robots.txt gating — the crawl-politeness pass between
+    the blocklist and the fetcher. Per-domain robots files are
+    synthesized with REAL protocol shape (a bot-specific group on
+    even-parity domains placed BEFORE the ``*`` group, Allow/Disallow
+    prefix rules with longest-match + Allow-wins-ties cases, comments),
+    parsed by the generic parser (ext.web.parse_robots_txt inside one
+    Arrow crossing), and evaluated for agent 'klogsbot' by
+    ext.web.robots_evaluate (group exclusivity: a specific group
+    suppresses ``*`` entirely; prefix match, longest wins, tie -> Allow,
+    no match -> allowed). Five path variants exercise every branch,
+    including /tmp matching /tmp-files (prefix semantics, no boundary)
+    and /p/public/ out-allowing /p/. The oracle states the verdict
+    closed-form per (parity, variant). Plan: robots metadata broadcast,
+    one domain equi-join, one max_by aggregate — no corpus window."""
+    from ..ext import web as wb
+
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    domain = F.concat(
+        F.lit("www."), F.col("source"), F.lit(".example.com")
+    )
+    path = (
+        F.when(did % 5 == 0, F.concat(F.lit("/p/"), did.cast("string")))
+        .when(did % 5 == 1,
+              F.concat(F.lit("/private/doc"), did.cast("string")))
+        .when(did % 5 == 2,
+              F.concat(F.lit("/private/ok/doc"), did.cast("string")))
+        .when(did % 5 == 3,
+              F.concat(F.lit("/tmp-files/"), did.cast("string")))
+        .otherwise(F.concat(F.lit("/p/public/"), did.cast("string")))
+    )
+    urls = docs.select(
+        "doc_id", "source", domain.alias("domain"), path.alias("path")
+    )
+    src_n = F.regexp_extract("domain", r"src(\d+)", 1).cast("int")
+    base_group = (
+        "# crawl policy\nUser-agent: *\nDisallow: /private/\n"
+        "Allow: /private/ok/\nDisallow: /tmp\n"
+    )
+    bot_group = (
+        "User-agent: klogsbot\nDisallow: /p/\nAllow: /p/public/\n\n"
+    )
+    robots = urls.select("domain").distinct().select(
+        "domain",
+        F.concat(
+            F.when(src_n % 2 == 0, F.lit(bot_group)).otherwise(F.lit("")),
+            F.lit(base_group),
+        ).alias("robots_txt"),
+    )
+
+    def parse(batches):
+        import pandas as pd
+
+        from klogs_spark.ext.web import parse_robots_txt
+
+        for pdf in batches:
+            out = {"domain": [], "agent": [], "allow": [], "prefix": []}
+            for d, txt in zip(pdf["domain"], pdf["robots_txt"]):
+                for agent, allow, prefix in parse_robots_txt(str(txt)):
+                    out["domain"].append(d)
+                    out["agent"].append(agent)
+                    out["allow"].append(allow)
+                    out["prefix"].append(prefix)
+            yield pd.DataFrame(out)
+
+    rules = robots.mapInPandas(
+        parse, "domain string, agent string, allow boolean, prefix string"
+    )
+    verdicts = wb.robots_evaluate(urls, rules, "klogsbot")
+    return verdicts.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("allowed"), 1).otherwise(0))
+        .cast("bigint").alias("n_allowed"),
+        F.sum(F.when(~F.col("allowed"), 1).otherwise(0))
+        .cast("bigint").alias("n_blocked"),
+        F.sum(F.when(F.col("allowed"), F.col("doc_id")).otherwise(0))
+        .cast("bigint").alias("allowed_id_sum"),
+    )
+
+
+# verdict closed-form: even doc_id <=> even src number (source=doc_id%20)
+# -> the klogsbot group applies EXCLUSIVELY (blocked iff /p/ variant 0;
+# /p/public/ out-allows); odd -> the * group (blocked iff /private/
+# variant 1 or the /tmp prefix variant 3; /private/ok/ out-allows)
+SQL_TEXT_ROBOTS_GATE = """
+WITH v AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 2 = 0 THEN doc_id % 5 <> 0
+              ELSE doc_id % 5 NOT IN (1, 3) END AS allowed
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN allowed THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_allowed,
+       CAST(sum(CASE WHEN allowed THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_blocked,
+       CAST(sum(CASE WHEN allowed THEN doc_id ELSE 0 END) AS BIGINT)
+         AS allowed_id_sum
+FROM v GROUP BY source
+"""
+
+
 def q_text_fix_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mojibake repair (ext.web fix_encoding — the ftfy double-encoding
     heuristic) externally checked with an exact-inverse corruption: every
@@ -8255,6 +8359,13 @@ SPECS = {
         "RFC 3986 URL canonicalization (case/default-port/dot-segments/"
         "query-sort, Arrow-batched UDF) + per-domain dedup census vs "
         "closed-form canonical oracle",
+    ),
+    "text_robots_gate": QuerySpec(
+        q_text_robots_gate, SQL_TEXT_ROBOTS_GATE,
+        "RFC 9309 robots.txt gate: real parser + group-exclusive "
+        "longest-match/Allow-wins evaluation for a named agent over "
+        "five path variants; per-source verdict census vs closed-form "
+        "oracle",
     ),
     "text_domain_blocklist": QuerySpec(
         q_text_domain_blocklist, SQL_TEXT_DOMAIN_BLOCKLIST,

@@ -187,3 +187,52 @@ class TestDomainSuffixes:
             "www.a.example.com", "a.example.com", "example.com"]
         assert rows[1]["s"] == ["example.com"]
         assert rows[2]["s"] == ["localhost"]
+
+
+class TestRobots:
+    def test_parser_groups_comments_empty_disallow(self):
+        txt = ("# policy\n"
+               "User-agent: a\n"
+               "User-agent: b\n"
+               "Disallow: /x\n"
+               "Allow: /x/ok  # inline comment\n"
+               "\n"
+               "User-agent: *\n"
+               "Disallow:\n"          # empty -> allow-all, no rule
+               "Disallow: /y\n")
+        rules = web.parse_robots_txt(txt)
+        assert ("a", False, "/x") in rules and ("b", False, "/x") in rules
+        assert ("a", True, "/x/ok") in rules
+        assert ("*", False, "/y") in rules
+        assert not any(r for r in rules if r[2] == "")
+
+    def _eval(self, spark, rules, urls, agent="bot"):
+        rdf = spark.createDataFrame(
+            rules, "domain string, agent string, allow boolean, prefix string")
+        udf_ = spark.createDataFrame(urls, "doc_id long, domain string, path string")
+        out = web.robots_evaluate(udf_, rdf, agent).collect()
+        return {r["doc_id"]: r["allowed"] for r in out}
+
+    def test_group_exclusivity_and_longest_match(self, spark):
+        rules = [
+            ("d1", "bot", False, "/p/"),
+            ("d1", "bot", True, "/p/pub/"),
+            ("d1", "*", False, "/q/"),      # must NOT apply to bot on d1
+            ("d2", "*", False, "/q/"),
+        ]
+        urls = [(1, "d1", "/p/x"), (2, "d1", "/p/pub/x"),
+                (3, "d1", "/q/x"), (4, "d2", "/q/x"), (5, "d2", "/p/x")]
+        got = self._eval(spark, rules, urls)
+        assert got == {1: False, 2: True, 3: True, 4: False, 5: True}
+
+    def test_allow_wins_length_tie_and_no_match_allowed(self, spark):
+        rules = [("d", "*", False, "/a/"), ("d", "*", True, "/a/")]
+        urls = [(1, "d", "/a/x"), (2, "d", "/zzz")]
+        got = self._eval(spark, rules, urls)
+        assert got == {1: True, 2: True}
+
+    def test_prefix_semantics_no_boundary(self, spark):
+        rules = [("d", "*", False, "/tmp")]
+        urls = [(1, "d", "/tmp-files/x"), (2, "d", "/tm")]
+        got = self._eval(spark, rules, urls)
+        assert got == {1: False, 2: True}

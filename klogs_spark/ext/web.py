@@ -204,11 +204,17 @@ def url_domain(norm_url: Column) -> Column:
 
 
 def parse_robots_txt(txt: str) -> list:
-    """RFC 9309 parser: returns ``(agent, allow, path_prefix)`` tuples.
+    """RFC 9309 parser: returns ``(agent, allow, path_pattern)`` tuples.
     Consecutive ``User-agent`` lines form one group head; Allow/Disallow
     rules bind to every agent of the current group; a new ``User-agent``
     after rules starts a new group; comments (#) and blank lines are
-    skipped; an empty ``Disallow:`` value means allow-all (no rule)."""
+    skipped; an empty ``Disallow:`` value means allow-all (no rule);
+    rules appearing BEFORE any ``User-agent`` line belong to no group
+    and are ignored (a compliant parser must not bind a dangling
+    ``Disallow: /`` to ``*`` — that would wrongly discard whole domains
+    on a common malformation). Patterns may carry the RFC's ``*``
+    wildcard and ``$`` end anchor; matching is
+    :func:`robots_evaluate`'s job."""
     rules: list = []
     agents: list = []
     group_closed = False
@@ -226,10 +232,35 @@ def parse_robots_txt(txt: str) -> list:
             agents.append(val.lower())
         elif key in ("allow", "disallow"):
             group_closed = True
-            if val:
-                for a in (agents or ["*"]):
+            if val and agents:
+                for a in agents:
                     rules.append((a, key == "allow", val))
     return rules
+
+
+def _robots_pattern_regex(pattern: Column) -> Column:
+    """A rule pattern -> anchored Java regex, honoring RFC 9309's two
+    special characters: ``*`` matches any char sequence, a trailing
+    ``$`` anchors at end-of-path; everything else is literal. Pure
+    native string expressions so the translation happens JVM-side on
+    the (tiny, broadcast) rules table."""
+    # escape regex metachars except '*' ('$' is escaped here too; the
+    # trailing anchor is restored below)
+    esc = F.regexp_replace(
+        pattern, r"([.^$+?(){}\[\]|\\])", r"\\$1"
+    )
+    body = F.regexp_replace(esc, r"\*", ".*")
+    return F.concat(
+        F.lit("^"),
+        F.when(
+            pattern.endswith("$"),
+            # the escaped trailing '\$' is the last 2 chars — swap it
+            # for a real end anchor
+            F.concat(
+                body.substr(F.lit(1), F.length(body) - 2), F.lit("$")
+            ),
+        ).otherwise(body),
+    )
 
 
 def robots_evaluate(urls: "DataFrame", rules: "DataFrame",
@@ -237,18 +268,22 @@ def robots_evaluate(urls: "DataFrame", rules: "DataFrame",
     """RFC 9309 evaluation over DataFrames: ``urls`` must carry
     (``domain``, ``path``) plus any carry-through columns; ``rules`` is
     the parsed table (``domain``, ``agent``, ``allow``, ``prefix``).
-    Returns ``urls`` + an ``allowed`` boolean.
+    Returns ``urls`` + an ``allowed`` boolean (``allowed`` must not
+    already exist on ``urls``).
 
     Semantics: if a domain has a group for this agent, ONLY that group
-    applies (no merge with ``*``); candidate rules are plain path-prefix
-    matches; the LONGEST prefix wins and Allow wins length ties; a URL
-    matching no rule is allowed.
+    applies (no merge with ``*``); patterns match with the RFC's ``*``
+    wildcard and trailing-``$`` end anchor (everything else literal);
+    the LONGEST pattern (raw octet length) wins and Allow wins length
+    ties; a URL matching no rule is allowed.
 
     Scale shape: the specific-agent domain set and the effective rule
-    table are broadcast (robots metadata is tiny next to a crawl), the
-    match is a domain equi-join + startswith filter, and the winner is
-    one ``max_by`` aggregate keyed by URL — no window over the corpus,
-    no cross join."""
+    table are broadcast (robots metadata is tiny next to a crawl); the
+    verdict is computed once per DISTINCT (domain, path) — a narrow
+    shuffle key regardless of what payload columns ``urls`` carries —
+    via one ``max_by`` aggregate, then joined back. No corpus window,
+    no cross join, and carry-through columns can never collide with the
+    rules table's names."""
     a = agent.lower()
     spec = (
         rules.filter(F.col("agent") == a)
@@ -265,19 +300,23 @@ def robots_evaluate(urls: "DataFrame", rules: "DataFrame",
             ((F.col("agent") == a) & F.col("_spec_domain").isNotNull())
             | ((F.col("agent") == "*") & F.col("_spec_domain").isNull())
         )
-        .select("domain", "allow", "prefix")
+        .select(
+            "domain", "allow", "prefix",
+            _robots_pattern_regex(F.col("prefix")).alias("_rule_re"),
+        )
     )
-    key_cols = [c for c in urls.columns]
-    cand = urls.join(F.broadcast(eff), "domain", "inner").filter(
-        F.col("path").startswith(F.col("prefix"))
+    cand = (
+        urls.select("domain", "path")
+        .join(F.broadcast(eff), "domain", "inner")
+        .filter(F.regexp_like(F.col("path"), F.col("_rule_re")))
     )
-    verdicts = cand.groupBy(*key_cols).agg(
+    verdicts = cand.groupBy("domain", "path").agg(
         F.max_by(
             "allow", F.struct(F.length("prefix"), F.col("allow"))
         ).alias("_verdict")
     )
     return (
-        urls.join(verdicts, key_cols, "left")
+        urls.join(verdicts, ["domain", "path"], "left")
         .withColumn("allowed", F.coalesce(F.col("_verdict"), F.lit(True)))
         .drop("_verdict")
     )

@@ -7361,8 +7361,8 @@ def q_pipeline_warc_to_wet(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pandas as pd
 
         from klogs_spark.warc_lite import (
-            build_record, build_warc_gz, http_response, iter_warc_records,
-            split_http_payload,
+            build_record, build_warc_gz, decode_response_rows,
+            http_response,
         )
 
         for pdf in batches:
@@ -7380,14 +7380,12 @@ def q_pipeline_warc_to_wet(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    pdf["html"])
             ]
             out = {"doc_id": [], "source": [], "html": []}
-            for rec in iter_warc_records(build_warc_gz(recs)):
-                uri = rec["headers"]["WARC-Target-URI"]
-                _http, body = split_http_payload(rec["content"])
-                out["doc_id"].append(int(uri.rsplit("/", 1)[1]))
+            for row in decode_response_rows(build_warc_gz(recs)):
+                out["doc_id"].append(int(row["uri"].rsplit("/", 1)[1]))
                 out["source"].append(
-                    uri.split("//", 1)[1].split(".", 1)[0]
+                    row["uri"].split("//", 1)[1].split(".", 1)[0]
                 )
-                out["html"].append(body.decode("utf-8"))
+                out["html"].append(row["body"].decode("utf-8"))
             yield pd.DataFrame(out)
 
     def wet_roundtrip(batches):

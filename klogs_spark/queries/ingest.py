@@ -1683,8 +1683,8 @@ def q_ingest_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pandas as pd
 
         from klogs_spark.warc_lite import (
-            build_record, build_warc_gz, http_response, iter_warc_records,
-            split_http_payload,
+            build_record, build_warc_gz, decode_response_rows,
+            http_response,
         )
 
         for pdf in batches:
@@ -1708,18 +1708,12 @@ def q_ingest_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             archive = build_warc_gz(recs)
             out = {"doc_id": [], "source": [], "text": [],
                    "payload_len": []}
-            for rec in iter_warc_records(archive):
-                if rec["headers"]["WARC-Type"] != "response":
-                    continue
-                uri = rec["headers"]["WARC-Target-URI"]
-                host = uri.split("//", 1)[1].split("/", 1)[0]
-                _http, body = split_http_payload(rec["content"])
-                out["doc_id"].append(int(uri.rsplit("/", 1)[1]))
+            for row in decode_response_rows(archive):
+                host = row["uri"].split("//", 1)[1].split("/", 1)[0]
+                out["doc_id"].append(int(row["uri"].rsplit("/", 1)[1]))
                 out["source"].append(host.split(".", 1)[0])
-                out["text"].append(body.decode("utf-8"))
-                out["payload_len"].append(
-                    int(rec["headers"]["Content-Length"])
-                )
+                out["text"].append(row["body"].decode("utf-8"))
+                out["payload_len"].append(row["content_length"])
             yield pd.DataFrame(out)
 
     from ..ext.hashing import md5_long
@@ -1803,17 +1797,21 @@ def q_stream_warc_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"archive_id": [int(key[0])], "payload": [build_warc_gz(recs)]}
         )
 
-    archives = (
-        docs.withColumn("bucket", F.col("doc_id") % n_buckets)
-        .groupBy("bucket")
-        .applyInPandas(_pack, "archive_id long, payload binary")
-    )
+    bucketed = docs.withColumn("bucket", F.col("doc_id") % n_buckets)
     base = tempfile.mkdtemp(prefix="klogs-warcstream-")
     src, ckpt, store = f"{base}/src", f"{base}/ckpt", f"{base}/store"
     for lo, hi in ((0, 12), (12, 1 << 62)):
-        archives.filter(
-            (F.col("archive_id") >= lo) & (F.col("archive_id") < hi)
-        ).write.mode("append").parquet(src)
+        # filter on the INPUT bucket column: applyInPandas blocks
+        # predicate pushdown, so filtering the archive_id output would
+        # gzip-pack the whole corpus per micro-batch and discard half
+        (
+            bucketed.filter(
+                (F.col("bucket") >= lo) & (F.col("bucket") < hi)
+            )
+            .groupBy("bucket")
+            .applyInPandas(_pack, "archive_id long, payload binary")
+            .write.mode("append").parquet(src)
+        )
         q = (
             spark.readStream.schema("archive_id long, payload binary")
             .parquet(src)

@@ -272,26 +272,20 @@ def warc_decode_sink(store_dir: str):
 
             # absolute import: this closure executes inside Arrow worker
             # processes, where a relative import has no package context
-            from klogs_spark.warc_lite import (
-                iter_warc_records, split_http_payload,
-            )
+            from klogs_spark.warc_lite import decode_response_rows
 
             for pdf in batches:
                 out = {"doc_id": [], "source": [], "text": [],
                        "payload_len": []}
                 for blob in pdf["payload"]:
-                    for rec in iter_warc_records(bytes(blob)):
-                        if rec["headers"]["WARC-Type"] != "response":
-                            continue
-                        uri = rec["headers"]["WARC-Target-URI"]
-                        host = uri.split("//", 1)[1].split("/", 1)[0]
-                        _http, body = split_http_payload(rec["content"])
-                        out["doc_id"].append(int(uri.rsplit("/", 1)[1]))
-                        out["source"].append(host.split(".", 1)[0])
-                        out["text"].append(body.decode("utf-8"))
-                        out["payload_len"].append(
-                            int(rec["headers"]["Content-Length"])
+                    for row in decode_response_rows(bytes(blob)):
+                        host = row["uri"].split("//", 1)[1].split("/", 1)[0]
+                        out["doc_id"].append(
+                            int(row["uri"].rsplit("/", 1)[1])
                         )
+                        out["source"].append(host.split(".", 1)[0])
+                        out["text"].append(row["body"].decode("utf-8"))
+                        out["payload_len"].append(row["content_length"])
                 yield pd.DataFrame(out)
 
         batch_df.mapInPandas(

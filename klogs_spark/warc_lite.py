@@ -149,6 +149,25 @@ def iter_warc_records(blob: bytes):
         yield rec
 
 
+def decode_response_rows(blob: bytes):
+    """Yield ``{"uri", "warc_headers", "http_headers", "body",
+    "content_length"}`` for every ``response`` record in an archive —
+    the ONE decode walk shared by the batch round-trip carrier, the
+    streaming foreachBatch sink, and the WARC->WET pipeline (three
+    hand-rolled copies of this loop had already drifted once)."""
+    for rec in iter_warc_records(blob):
+        if rec["headers"]["WARC-Type"] != "response":
+            continue
+        http, body = split_http_payload(rec["content"])
+        yield {
+            "uri": rec["headers"]["WARC-Target-URI"],
+            "warc_headers": rec["headers"],
+            "http_headers": http,
+            "body": body,
+            "content_length": int(rec["headers"]["Content-Length"]),
+        }
+
+
 def split_http_payload(payload: bytes) -> tuple[dict, bytes]:
     """Split a ``response`` record's HTTP payload into (headers, body)."""
     sep = payload.find(CRLF + CRLF)

@@ -236,3 +236,29 @@ class TestRobots:
         urls = [(1, "d", "/tmp-files/x"), (2, "d", "/tm")]
         got = self._eval(spark, rules, urls)
         assert got == {1: False, 2: True}
+
+    def test_wildcard_and_end_anchor_patterns(self, spark):
+        rules = [
+            ("d", "*", False, "/private*"),
+            ("d", "*", False, "/*.pdf$"),
+        ]
+        urls = [(1, "d", "/private/x"), (2, "d", "/privateX"),
+                (3, "d", "/a/b.pdf"), (4, "d", "/a/b.pdfx"),
+                (5, "d", "/ok")]
+        got = self._eval(spark, rules, urls)
+        assert got == {1: False, 2: False, 3: False, 4: True, 5: True}
+
+    def test_dangling_rules_before_any_group_are_ignored(self):
+        txt = "Disallow: /\n\nUser-agent: *\nAllow: /docs/\n"
+        rules = web.parse_robots_txt(txt)
+        assert rules == [("*", True, "/docs/")]
+
+    def test_carry_through_columns_never_collide(self, spark):
+        rdf = spark.createDataFrame(
+            [("d", "*", False, "/x/")],
+            "domain string, agent string, allow boolean, prefix string")
+        udf_ = spark.createDataFrame(
+            [(1, "d", "/x/a", "payload", True)],
+            "doc_id long, domain string, path string, prefix string, allow boolean")
+        out = web.robots_evaluate(udf_, rdf, "bot").collect()
+        assert out[0]["allowed"] is False

@@ -827,3 +827,13 @@ def test_domain_blocklist_broadcasts_and_never_suffix_scans(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_robots_gate_broadcasts_rules_no_corpus_window(spark):
+    # robots metadata joins broadcast; the verdict is a max_by aggregate
+    # on (domain, path) — never a window over the corpus, never a
+    # cartesian
+    plan = _plan(spark, "text_robots_gate")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan

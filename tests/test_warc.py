@@ -113,3 +113,41 @@ def test_negative_content_length_is_loud():
            b"Content-Length: -4\r\n\r\n" + b"\r\n\r\n")
     with pytest.raises(WarcFormatError, match="negative"):
         list(iter_warc_records(bad))
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(bodies=st.lists(st.binary(min_size=0, max_size=300), min_size=1,
+                       max_size=8))
+def test_property_roundtrip_arbitrary_bodies(bodies):
+    """Any byte content — including CRLFCRLF sequences, gzip magic, and
+    WARC-shaped text inside payloads — must round-trip the archive
+    exactly (framing is length-based, never delimiter-based)."""
+    blob = build_warc_gz([_rec(i, b) for i, b in enumerate(bodies)])
+    out = [split_http_payload(r["content"])[1]
+           for r in iter_warc_records(blob)]
+    assert out == bodies
+
+
+@settings(max_examples=40, deadline=None)
+@given(bodies=st.lists(st.binary(min_size=0, max_size=200), min_size=1,
+                       max_size=4),
+       cut=st.integers(min_value=1, max_value=50))
+def test_property_truncation_never_silent(bodies, cut):
+    """Chopping any tail off an archive must either raise loudly
+    (WarcFormatError / gzip EOFError) or yield a strict PREFIX of the
+    records — never corrupt or phantom rows."""
+    full = [_rec(i, b) for i, b in enumerate(bodies)]
+    blob = build_warc_gz(full)
+    truncated = blob[:max(0, len(blob) - cut)]
+    try:
+        out = list(iter_warc_records(truncated))
+    except (WarcFormatError, EOFError, gzip.BadGzipFile):
+        return
+    expect = [split_http_payload(iter_warc_records(r).__next__()["content"])[1]
+              for r in full]
+    got = [split_http_payload(r["content"])[1] for r in out]
+    assert got == expect[:len(got)]

@@ -1751,6 +1751,155 @@ FROM documents GROUP BY source
 """
 
 
+def q_ingest_warc_revisit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC ``revisit`` resolution — how Common Crawl recrawls store an
+    unchanged page: a body-less record carrying only the payload's
+    sha1-base32 ``WARC-Payload-Digest`` (identical-payload-digest
+    profile). Every doc ships a response record; docs with
+    doc_id%4==1 (and a same-source predecessor doc_id-20) ALSO ship a
+    revisit record whose digest references that predecessor's content.
+    Decoding re-derives each response's digest from its BODY
+    (warc_lite.payload_digest — reader-side, not trusted from headers)
+    and resolves revisits DISTRIBUTEDLY: a digest-keyed equi-join
+    against the distinct (digest -> text) map, because the referenced
+    response usually lives in a DIFFERENT archive — archive-local
+    resolution cannot work, which is exactly the Spark-shaped part.
+    Oracle: the reference relation is closed-form (predecessor =
+    doc_id-20), so resolved-text md5 sums are stated directly."""
+    from ..ext.hashing import md5_long
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    refs = docs.select(
+        (F.col("doc_id") + 20).alias("rev_id"),
+        F.col("text").alias("ref_text"),
+    )
+    corpus = docs.join(refs, F.col("doc_id") == F.col("rev_id"), "left")
+    corpus = corpus.select(
+        "doc_id", "source", "text",
+        F.when(F.col("doc_id") % 4 == 1, F.col("ref_text")).alias(
+            "ref_text"
+        ),
+    )
+
+    def encode_decode(batches):
+        import pandas as pd
+
+        from klogs_spark.warc_lite import (
+            build_record, build_revisit, build_warc_gz, http_response,
+            iter_warc_records, payload_digest, split_http_payload,
+        )
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            recs = []
+            for did, src, text, ref in zip(
+                pdf["doc_id"], pdf["source"], pdf["text"],
+                pdf["ref_text"],
+            ):
+                did = int(did)
+                uri = f"http://{src}.example.com/doc/{did}"
+                recs.append(build_record(
+                    "response",
+                    f"{did:012d}-0000-4000-8000-000000000000",
+                    f"2026-04-{did % 28 + 1:02d}T00:00:00Z",
+                    http_response(str(text).encode("utf-8"),
+                                  content_type="text/plain"),
+                    target_uri=uri,
+                ))
+                # missing ref_text arrives as None or NaN from pandas —
+                # only a real string means "emit a revisit"
+                if isinstance(ref, str):
+                    recs.append(build_revisit(
+                        f"{did:012d}-0000-4000-8000-000000000002",
+                        f"2026-05-{did % 28 + 1:02d}T00:00:00Z",
+                        uri + "/recrawl",
+                        payload_digest(str(ref).encode("utf-8")),
+                        f"http://{src}.example.com/doc/{did - 20}",
+                    ))
+            out = {"kind": [], "doc_id": [], "source": [], "text": [],
+                   "digest": []}
+            for rec in iter_warc_records(build_warc_gz(recs)):
+                h = rec["headers"]
+                uri = h["WARC-Target-URI"]
+                host = uri.split("//", 1)[1].split("/", 1)[0]
+                src = host.split(".", 1)[0]
+                did = int(uri.split("/doc/")[1].split("/")[0])
+                if h["WARC-Type"] == "response":
+                    _http, body = split_http_payload(rec["content"])
+                    out["kind"].append("resp")
+                    out["doc_id"].append(did)
+                    out["source"].append(src)
+                    out["text"].append(body.decode("utf-8"))
+                    # reader-side digest, re-derived from the body
+                    out["digest"].append(payload_digest(body))
+                elif h["WARC-Type"] == "revisit":
+                    out["kind"].append("rev")
+                    out["doc_id"].append(did)
+                    out["source"].append(src)
+                    out["text"].append(None)
+                    out["digest"].append(h["WARC-Payload-Digest"])
+            yield pd.DataFrame(out)
+
+    n_slices = spark.sparkContext.defaultParallelism
+    rows = corpus.repartition(n_slices).mapInPandas(
+        encode_decode,
+        "kind string, doc_id long, source string, text string, "
+        "digest string",
+    )
+    resp = rows.filter(F.col("kind") == "resp")
+    rev = rows.filter(F.col("kind") == "rev")
+    digest_map = resp.select("digest", "text").distinct()
+    resolved = rev.select("doc_id", "source", "digest").join(
+        digest_map, "digest"
+    )
+    rev_agg = resolved.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_revisits"),
+        F.sum(md5_long(F.col("text"))).cast("bigint")
+        .alias("sum_resolved_md5"),
+    )
+    resp_agg = resp.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_responses")
+    )
+    return resp_agg.join(rev_agg, "source", "left").select(
+        "source",
+        "n_responses",
+        F.coalesce("n_revisits", F.lit(0)).cast("bigint")
+        .alias("n_revisits"),
+        F.coalesce("sum_resolved_md5", F.lit(0)).cast("bigint")
+        .alias("sum_resolved_md5"),
+    )
+
+
+# the reference relation is closed-form: a revisit exists for doc_id%4==1
+# with a same-source predecessor (doc_id-20), and resolves to that
+# predecessor's text
+SQL_INGEST_WARC_REVISIT = """
+WITH rev AS (
+  SELECT d.doc_id, d.source, o.text AS rtext
+  FROM documents d JOIN documents o ON o.doc_id = d.doc_id - 20
+  WHERE d.doc_id % 4 = 1
+),
+r AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_revisits,
+         CAST(sum(CAST('0x' || substr(md5(rtext), 1, 8) AS BIGINT))
+              AS BIGINT) AS sum_resolved_md5
+  FROM rev GROUP BY source
+),
+t AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_responses
+  FROM documents GROUP BY source
+)
+SELECT t.source, t.n_responses,
+       CAST(coalesce(r.n_revisits, 0) AS BIGINT) AS n_revisits,
+       CAST(coalesce(r.sum_resolved_md5, 0) AS BIGINT)
+         AS sum_resolved_md5
+FROM t LEFT JOIN r ON t.source = r.source
+"""
+
+
 def q_stream_warc_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming WARC ingestion end-to-end
     (streaming_ext.warc_decode_sink): the document corpus is packed into
@@ -3635,6 +3784,14 @@ SPECS = {
         "payloads) and decoded back by the same binary reader; per-source "
         "md5-fingerprint sum + exact Content-Length sum vs "
         "direct-from-documents oracle",
+    ),
+    "ingest_warc_revisit": QuerySpec(
+        q_ingest_warc_revisit,
+        SQL_INGEST_WARC_REVISIT,
+        "WARC revisit resolution: body-less recrawl records resolve by "
+        "sha1-base32 payload digest via a distributed digest-keyed join "
+        "(reader re-derives response digests from bodies); per-source "
+        "census + resolved-text md5 sums vs closed-form reference oracle",
     ),
     "stream_warc_decode": QuerySpec(
         q_stream_warc_decode,

@@ -149,6 +149,43 @@ def iter_warc_records(blob: bytes):
         yield rec
 
 
+def payload_digest(body: bytes) -> str:
+    """The ``WARC-Payload-Digest`` value for a payload body — Common
+    Crawl uses sha1 in RFC 4648 base32 (``sha1:XXXX...``)."""
+    import base64
+    import hashlib
+
+    return "sha1:" + base64.b32encode(
+        hashlib.sha1(body).digest()
+    ).decode()
+
+
+def build_revisit(record_id: str, date_iso: str, target_uri: str,
+                  digest: str, refers_to_uri: str) -> bytes:
+    """A ``revisit`` record (RFC/IIPC identical-payload-digest profile):
+    how a recrawl stores a page whose content it already archived — no
+    body, just the payload digest and the original's URI. Readers
+    resolve the content by digest against the corresponding response
+    records (see queries/ingest.q_ingest_warc_revisit for the
+    distributed resolution join)."""
+    return build_record(
+        "revisit",
+        record_id,
+        date_iso,
+        b"",
+        target_uri=target_uri,
+        content_type="application/http; msgtype=response",
+        extra_headers={
+            "WARC-Payload-Digest": digest,
+            "WARC-Refers-To-Target-URI": refers_to_uri,
+            "WARC-Profile": (
+                "http://netpreserve.org/warc/1.0/revisit/"
+                "identical-payload-digest"
+            ),
+        },
+    )
+
+
 def decode_response_rows(blob: bytes):
     """Yield ``{"uri", "warc_headers", "http_headers", "body",
     "content_length"}`` for every ``response`` record in an archive —

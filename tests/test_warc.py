@@ -151,3 +151,23 @@ def test_property_truncation_never_silent(bodies, cut):
               for r in full]
     got = [split_http_payload(r["content"])[1] for r in out]
     assert got == expect[:len(got)]
+
+
+def test_revisit_record_roundtrip_and_digest():
+    from klogs_spark.warc_lite import build_revisit, payload_digest
+
+    body = b"original page content"
+    dig = payload_digest(body)
+    assert dig.startswith("sha1:") and len(dig) == 5 + 32  # base32 sha1
+    rec = build_revisit(
+        "r1", "2026-05-02T00:00:00Z", "http://h/doc/21/recrawl",
+        dig, "http://h/doc/1",
+    )
+    out = list(iter_warc_records(rec))
+    assert len(out) == 1
+    h = out[0]["headers"]
+    assert h["WARC-Type"] == "revisit"
+    assert h["WARC-Payload-Digest"] == dig
+    assert h["WARC-Refers-To-Target-URI"] == "http://h/doc/1"
+    assert out[0]["content"] == b""
+    assert int(h["Content-Length"]) == 0

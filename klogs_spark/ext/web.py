@@ -312,7 +312,9 @@ def robots_evaluate(urls: "DataFrame", rules: "DataFrame",
     )
     verdicts = cand.groupBy("domain", "path").agg(
         F.max_by(
-            "allow", F.struct(F.length("prefix"), F.col("allow"))
+            # RFC 9309 'most specific' = longest raw pattern in OCTETS
+            # (char length would mis-rank non-ASCII patterns)
+            "allow", F.struct(F.octet_length("prefix"), F.col("allow"))
         ).alias("_verdict")
     )
     return (

@@ -7646,44 +7646,28 @@ FROM v GROUP BY source
 """
 
 
-UNIQ_GRAM = 3
-
-
 def q_text_ngram_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document n-gram uniqueness — the boilerplate-share lens
     corpus analyses run before training (what fraction of a doc's
     distinct 3-grams appears in NO other document; distinct from
-    text_ngram_novelty, which profiles FIRST-introduction order): distinct grams per
-    doc explode into (doc, gram) pairs, one grouped count gives each
-    gram's document frequency, a gram-keyed join carries df back, and a
-    per-doc aggregate emits the distinct-gram census plus an integer
-    novelty score (permille, floor division — both engines agree on
+    text_ngram_novelty, which profiles FIRST-introduction order): the
+    SHARED shingling substrate (ext.dedup.doc_shingles — one definition
+    of 'distinct word 3-gram', same as every dedup operator) explodes
+    (id, gram) pairs, one grouped count gives each gram's document
+    frequency, a gram-keyed join carries df back, and a per-doc
+    aggregate emits the distinct-gram census plus an integer uniqueness
+    score (permille, floor division — both engines agree on
     non-negative div). Docs shorter than the gram width report zeros.
     Scale shape: work ∝ total grams; two keyed shuffles (gram df, doc
     rollup) + one gram equi-join — never an all-pairs comparison."""
     docs = load_table(spark, sf_dir, "documents")
-    tk = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
-    n = F.size(tk)
-    grams = F.when(
-        n >= UNIQ_GRAM,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), n - (UNIQ_GRAM - 1)),
-                lambda i: F.array_join(
-                    F.slice(tk, i, UNIQ_GRAM), " "
-                ),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    pairs = docs.select(
-        "doc_id", F.explode(grams).alias("gram")
-    )
-    df_tbl = pairs.groupBy("gram").agg(
+    pairs = dd.doc_shingles(docs)  # (id, shingle): distinct per doc
+    df_tbl = pairs.groupBy("shingle").agg(
         F.count(F.lit(1)).alias("df")
     )
     per = (
-        pairs.join(df_tbl, "gram")
-        .groupBy("doc_id")
+        pairs.join(df_tbl, "shingle")
+        .groupBy("id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_distinct_grams"),
             F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
@@ -7692,7 +7676,7 @@ def q_text_ngram_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         docs.select("doc_id")
-        .join(per, "doc_id", "left")
+        .join(per, F.col("doc_id") == F.col("id"), "left")
         .select(
             "doc_id",
             F.coalesce("n_distinct_grams", F.lit(0))
@@ -7711,30 +7695,21 @@ def q_text_ngram_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_TEXT_NGRAM_UNIQUENESS = """
-WITH t AS (
-  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
-  FROM documents
-),
-g AS (
-  SELECT doc_id, unnest(list_distinct(
-    [array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)]
-  )) AS gram
-  FROM t WHERE len(tk) >= 3
-),
-df AS (SELECT gram, count(*) AS df FROM g GROUP BY gram),
+SQL_TEXT_NGRAM_UNIQUENESS = f"""
+WITH {SHINGLES_CTE},
+df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
 per AS (
-  SELECT g.doc_id, count(*) AS n_distinct,
+  SELECT sh.id, count(*) AS n_distinct,
          sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS n_unique
-  FROM g JOIN df USING (gram) GROUP BY g.doc_id
+  FROM sh JOIN df USING (shingle) GROUP BY sh.id
 )
-SELECT t.doc_id,
+SELECT d.doc_id,
        CAST(coalesce(per.n_distinct, 0) AS BIGINT) AS n_distinct_grams,
        CAST(coalesce(per.n_unique, 0) AS BIGINT) AS n_unique_grams,
        CAST(CASE WHEN coalesce(per.n_distinct, 0) = 0 THEN 0
                  ELSE (per.n_unique * 1000) // per.n_distinct END
             AS BIGINT) AS uniqueness_permille
-FROM t LEFT JOIN per ON t.doc_id = per.doc_id
+FROM documents d LEFT JOIN per ON d.doc_id = per.id
 """
 
 

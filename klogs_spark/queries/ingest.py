@@ -1768,8 +1768,13 @@ def q_ingest_warc_revisit(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id-20), so resolved-text md5 sums are stated directly."""
     from ..ext.hashing import md5_long
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", "text"
+    # NULL-text docs (none in this corpus, but the closed-form oracle
+    # must share every data-shape assumption) carry no payload to hash
+    # or reference — excluded identically on both sides
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "source", "text")
     )
     refs = docs.select(
         (F.col("doc_id") + 20).alias("rev_id"),
@@ -1843,11 +1848,19 @@ def q_ingest_warc_revisit(spark: SparkSession, sf_dir: str) -> DataFrame:
                     out["digest"].append(h["WARC-Payload-Digest"])
             yield pd.DataFrame(out)
 
+    from ..ext.caching import cache_tracked
+
     n_slices = spark.sparkContext.defaultParallelism
-    rows = corpus.repartition(n_slices).mapInPandas(
-        encode_decode,
-        "kind string, doc_id long, source string, text string, "
-        "digest string",
+    # the decoded rows feed THREE consumers of the returned plan (the
+    # digest map, the revisit probe, the response census) — without
+    # materialization Spark re-runs the gzip+sha1+parse lineage once
+    # per consumer
+    rows = cache_tracked(
+        corpus.repartition(n_slices).mapInPandas(
+            encode_decode,
+            "kind string, doc_id long, source string, text string, "
+            "digest string",
+        )
     )
     resp = rows.filter(F.col("kind") == "resp")
     rev = rows.filter(F.col("kind") == "rev")
@@ -1877,9 +1890,10 @@ def q_ingest_warc_revisit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # with a same-source predecessor (doc_id-20), and resolves to that
 # predecessor's text
 SQL_INGEST_WARC_REVISIT = """
-WITH rev AS (
+WITH docs AS (SELECT * FROM documents WHERE text IS NOT NULL),
+rev AS (
   SELECT d.doc_id, d.source, o.text AS rtext
-  FROM documents d JOIN documents o ON o.doc_id = d.doc_id - 20
+  FROM docs d JOIN docs o ON o.doc_id = d.doc_id - 20
   WHERE d.doc_id % 4 = 1
 ),
 r AS (
@@ -1890,7 +1904,7 @@ r AS (
 ),
 t AS (
   SELECT source, CAST(count(*) AS BIGINT) AS n_responses
-  FROM documents GROUP BY source
+  FROM docs GROUP BY source
 )
 SELECT t.source, t.n_responses,
        CAST(coalesce(r.n_revisits, 0) AS BIGINT) AS n_revisits,

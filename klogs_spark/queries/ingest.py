@@ -1914,6 +1914,90 @@ FROM t LEFT JOIN r ON t.source = r.source
 """
 
 
+def q_ingest_warc_cdx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX indexing + random-access decode — the property that makes a
+    100 TB archive estate cluster-splittable: documents are packed into
+    real ``.warc.gz`` archives (25-doc buckets) with
+    warc_lite.build_warc_gz_indexed, which records each record's gzip
+    member (offset, length) — exactly what a Common Crawl CDX(J) row
+    holds, alongside the SURT url key (warc_lite.surt). Every record is
+    then decoded ONLY via read_record_at(archive, offset, length) —
+    never a sequential scan from byte 0 — so a broken span, a wrong
+    member boundary, or a SURT mismatch breaks the md5 sums. The oracle
+    states the SURT keys closed-form ('com,example,SRC)/doc/ID') and
+    the per-source text census directly from documents."""
+    from ..ext.hashing import md5_long
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    n_buckets = 25
+
+    def _pack_index_fetch(key, pdf):
+        import pandas as pd
+
+        from klogs_spark.warc_lite import (
+            build_record, build_warc_gz_indexed, http_response,
+            read_record_at, split_http_payload, surt,
+        )
+
+        rows = sorted(
+            zip(pdf["doc_id"], pdf["source"], pdf["text"]),
+            key=lambda r: int(r[0]),
+        )
+        recs = [
+            build_record(
+                "response",
+                f"{int(d):012d}-0000-4000-8000-000000000000",
+                f"2026-06-{int(d) % 28 + 1:02d}T00:00:00Z",
+                http_response(str(t).encode("utf-8"),
+                              content_type="text/plain"),
+                target_uri=f"http://www.{s}.example.com/doc/{int(d)}",
+            )
+            for d, s, t in rows
+        ]
+        archive, spans = build_warc_gz_indexed(recs)
+        out = {"urlkey": [], "doc_id": [], "source": [], "text": []}
+        for off, ln in spans:
+            rec = read_record_at(archive, off, ln)
+            uri = rec["headers"]["WARC-Target-URI"]
+            host = uri.split("//", 1)[1].split("/", 1)[0]
+            _http, body = split_http_payload(rec["content"])
+            out["urlkey"].append(surt(uri))
+            out["doc_id"].append(int(uri.rsplit("/", 1)[1]))
+            out["source"].append(host.split(".")[1])
+            out["text"].append(body.decode("utf-8"))
+        return pd.DataFrame(out)
+
+    indexed = (
+        docs.withColumn("bucket", F.col("doc_id") % n_buckets)
+        .groupBy("bucket")
+        .applyInPandas(
+            _pack_index_fetch,
+            "urlkey string, doc_id long, source string, text string",
+        )
+    )
+    return indexed.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count_distinct("urlkey").cast("bigint").alias("n_urlkeys"),
+        F.min("urlkey").alias("min_urlkey"),
+        F.sum(md5_long(F.col("text"))).cast("bigint").alias("sum_text_md5"),
+    )
+
+
+SQL_INGEST_WARC_CDX = """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT 'com,example,' || source || ')/doc/'
+                  || CAST(doc_id AS VARCHAR)) AS BIGINT) AS n_urlkeys,
+       min('com,example,' || source || ')/doc/'
+           || CAST(doc_id AS VARCHAR)) AS min_urlkey,
+       CAST(sum(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT))
+            AS BIGINT) AS sum_text_md5
+FROM documents GROUP BY source
+"""
+
+
 def q_stream_warc_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming WARC ingestion end-to-end
     (streaming_ext.warc_decode_sink): the document corpus is packed into
@@ -3806,6 +3890,15 @@ SPECS = {
         "sha1-base32 payload digest via a distributed digest-keyed join "
         "(reader re-derives response digests from bodies); per-source "
         "census + resolved-text md5 sums vs closed-form reference oracle",
+    ),
+    "ingest_warc_cdx": QuerySpec(
+        q_ingest_warc_cdx,
+        SQL_INGEST_WARC_CDX,
+        "CDX indexing + random-access decode: per-record gzip-member "
+        "(offset,length) spans + SURT url keys; every record fetched "
+        "via read_record_at only (never a sequential scan) — the "
+        "splittable-archive property; per-source census vs closed-form "
+        "SURT oracle",
     ),
     "stream_warc_decode": QuerySpec(
         q_stream_warc_decode,

@@ -81,10 +81,53 @@ def build_warc_gz(records: list[bytes]) -> bytes:
     """Concatenate records into a ``.warc.gz`` archive: one gzip member
     per record, mtime pinned to 0 so identical input bytes produce
     identical archive bytes (reproducible re-encode)."""
+    return build_warc_gz_indexed(records)[0]
+
+
+def build_warc_gz_indexed(records: list[bytes]):
+    """Like :func:`build_warc_gz` but also returns the CDX offsets:
+    ``(archive_bytes, [(offset, length), ...])`` — each record's gzip
+    member location within the archive. This is what a Common Crawl
+    CDX(J) index row records, and it is the property that makes a
+    100 TB archive SPLITTABLE: any record decodes independently from
+    ``archive[offset:offset+length]`` with no scan from the start (see
+    :func:`read_record_at`)."""
     out = io.BytesIO()
+    spans: list = []
     for rec in records:
-        out.write(gzip.compress(rec, mtime=0))
-    return out.getvalue()
+        member = gzip.compress(rec, mtime=0)
+        spans.append((out.tell(), len(member)))
+        out.write(member)
+    return out.getvalue(), spans
+
+
+def read_record_at(archive: bytes, offset: int, length: int) -> dict:
+    """Random-access decode of ONE record from its CDX (offset, length)
+    span — the archive is never scanned from the start."""
+    recs = list(iter_warc_records(archive[offset:offset + length]))
+    if len(recs) != 1:
+        raise WarcFormatError(
+            f"span ({offset}, {length}) held {len(recs)} records, not 1"
+        )
+    return recs[0]
+
+
+def surt(url: str) -> str:
+    """SURT (Sort-friendly URI Reordering Transform) — the canonical
+    URL key of CDX indexes: host labels reversed and comma-joined,
+    lowercase, scheme and a leading ``www.`` dropped, then ``)`` + the
+    path+query. ``http://www.Ex.COM/a?b=1`` -> ``com,ex)/a?b=1``."""
+    rest = url.split("://", 1)[1] if "://" in url else url
+    sep = len(rest)
+    for ch in "/?#":
+        i = rest.find(ch)
+        if i != -1:
+            sep = min(sep, i)
+    host, tail = rest[:sep].lower(), rest[sep:]
+    host = host.split("@")[-1].split(":")[0]  # drop userinfo + port
+    if host.startswith("www."):
+        host = host[4:]
+    return ",".join(reversed(host.split("."))) + ")" + (tail or "/")
 
 
 class WarcFormatError(ValueError):

@@ -171,3 +171,31 @@ def test_revisit_record_roundtrip_and_digest():
     assert h["WARC-Refers-To-Target-URI"] == "http://h/doc/1"
     assert out[0]["content"] == b""
     assert int(h["Content-Length"]) == 0
+
+
+def test_cdx_spans_random_access_and_surt():
+    from klogs_spark.warc_lite import (
+        build_warc_gz_indexed, read_record_at, surt,
+    )
+
+    recs = [_rec(i, f"body {i}".encode()) for i in range(5)]
+    archive, spans = build_warc_gz_indexed(recs)
+    assert len(spans) == 5
+    # spans tile the archive exactly
+    assert spans[0][0] == 0
+    for (o1, l1), (o2, _) in zip(spans, spans[1:]):
+        assert o1 + l1 == o2
+    assert spans[-1][0] + spans[-1][1] == len(archive)
+    # any record decodes independently from its span — including out of
+    # order, which a sequential reader cannot do
+    rec3 = read_record_at(archive, *spans[3])
+    assert rec3["headers"]["WARC-Target-URI"].endswith("/doc/3")
+    rec0 = read_record_at(archive, *spans[0])
+    assert rec0["headers"]["WARC-Target-URI"].endswith("/doc/0")
+    # a wrong span is loud
+    with pytest.raises(WarcFormatError):
+        read_record_at(archive, spans[0][0], spans[0][1] + spans[1][1])
+    # SURT canonical keys
+    assert surt("http://www.Ex.COM/a?b=1") == "com,ex)/a?b=1"
+    assert surt("https://a.b.example.org:8080/x") == "org,example,b,a)/x"
+    assert surt("http://ex.com") == "com,ex)/"

@@ -1917,7 +1917,8 @@ FROM t LEFT JOIN r ON t.source = r.source
 def q_ingest_warc_cdx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDX indexing + random-access decode — the property that makes a
     100 TB archive estate cluster-splittable: documents are packed into
-    real ``.warc.gz`` archives (25-doc buckets) with
+    real ``.warc.gz`` archives (25 archive buckets keyed doc_id % 25;
+    archive size scales with the corpus, bucket count stays fixed) with
     warc_lite.build_warc_gz_indexed, which records each record's gzip
     member (offset, length) — exactly what a Common Crawl CDX(J) row
     holds, alongside the SURT url key (warc_lite.surt). Every record is
@@ -1928,8 +1929,12 @@ def q_ingest_warc_cdx(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-source text census directly from documents."""
     from ..ext.hashing import md5_long
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", "text"
+    # NULL-text docs excluded identically on both sides (the oracle's
+    # sum(md5(text)) silently drops NULLs while str(None) would hash)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "source", "text")
     )
     n_buckets = 25
 
@@ -1986,6 +1991,7 @@ def q_ingest_warc_cdx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_INGEST_WARC_CDX = """
+WITH docs AS (SELECT * FROM documents WHERE text IS NOT NULL)
 SELECT source,
        CAST(count(*) AS BIGINT) AS n,
        CAST(count(DISTINCT 'com,example,' || source || ')/doc/'
@@ -1994,7 +2000,7 @@ SELECT source,
            || CAST(doc_id AS VARCHAR)) AS min_urlkey,
        CAST(sum(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT))
             AS BIGINT) AS sum_text_md5
-FROM documents GROUP BY source
+FROM docs GROUP BY source
 """
 
 

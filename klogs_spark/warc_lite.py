@@ -118,8 +118,9 @@ def surt(url: str) -> str:
     lowercase, scheme and a leading ``www.`` dropped, then ``)`` + the
     path+query. ``http://www.Ex.COM/a?b=1`` -> ``com,ex)/a?b=1``."""
     rest = url.split("://", 1)[1] if "://" in url else url
+    rest = rest.split("#", 1)[0]  # fragments never reach a CDX key
     sep = len(rest)
-    for ch in "/?#":
+    for ch in "/?":
         i = rest.find(ch)
         if i != -1:
             sep = min(sep, i)
@@ -127,7 +128,12 @@ def surt(url: str) -> str:
     host = host.split("@")[-1].split(":")[0]  # drop userinfo + port
     if host.startswith("www."):
         host = host[4:]
-    return ",".join(reversed(host.split("."))) + ")" + (tail or "/")
+    if not tail.startswith("/"):
+        # canonical keys always carry the '/' path, including before a
+        # bare query ('com,ex)/?b=1', never 'com,ex)?b=1' — 0x3F sorts
+        # above 0x2F and would corrupt CDX merge order)
+        tail = "/" + tail
+    return ",".join(reversed(host.split("."))) + ")" + tail
 
 
 class WarcFormatError(ValueError):

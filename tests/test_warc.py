@@ -199,3 +199,11 @@ def test_cdx_spans_random_access_and_surt():
     assert surt("http://www.Ex.COM/a?b=1") == "com,ex)/a?b=1"
     assert surt("https://a.b.example.org:8080/x") == "org,example,b,a)/x"
     assert surt("http://ex.com") == "com,ex)/"
+
+
+def test_surt_bare_query_and_fragment():
+    from klogs_spark.warc_lite import surt
+
+    assert surt("http://ex.com?b=1") == "com,ex)/?b=1"
+    assert surt("http://ex.com/a#frag") == "com,ex)/a"
+    assert surt("http://u:p@EX.com:80/a") == "com,ex)/a"

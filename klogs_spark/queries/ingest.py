@@ -2004,6 +2004,146 @@ FROM docs GROUP BY source
 """
 
 
+def q_ingest_cdx_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-crawl CDX diffing — what drives INCREMENTAL processing over
+    monthly crawls: two crawl snapshots are packed through the real
+    archive+index path (crawl A = every doc; crawl B = docs with
+    doc_id%7==0 dropped, even-doc_id texts changed by a recrawl suffix,
+    and a /new/{id} page added for doc_id%5==3), each archive decodes
+    via its CDX spans only, and the two CDX tables FULL-OUTER-join on
+    the SURT url key comparing reader-side payload digests: added
+    (B only), removed (A only), changed (both, digest differs),
+    unchanged (both, digest equal). The oracle states each class
+    closed-form from the id rules. Scale shape: the diff is one
+    urlkey-keyed outer join over index rows (tiny next to payloads) —
+    archives are never re-read to compare content, the digests already
+    carry it."""
+    from ..ext.hashing import md5_long  # noqa: F401 (sibling pattern)
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "source", "text")
+    )
+    n_buckets = 25
+
+    def _cdx_rows(crawl: str):
+        def fn(key, pdf):
+            import pandas as pd
+
+            from klogs_spark.warc_lite import (
+                build_record, build_warc_gz_indexed, http_response,
+                payload_digest, read_record_at, split_http_payload, surt,
+            )
+
+            rows = sorted(
+                zip(pdf["doc_id"], pdf["source"], pdf["text"],
+                    pdf["uri_suffix"]),
+                key=lambda r: (int(r[0]), str(r[3])),
+            )
+            recs = [
+                build_record(
+                    "response",
+                    f"{int(d):012d}-0000-4000-8000-00000000000{crawl}",
+                    f"2026-0{int(crawl) + 6}-01T00:00:00Z",
+                    http_response(str(t).encode("utf-8"),
+                                  content_type="text/plain"),
+                    target_uri=(
+                        f"http://www.{s}.example.com{sfx}"
+                    ),
+                )
+                for d, s, t, sfx in rows
+            ]
+            archive, spans = build_warc_gz_indexed(recs)
+            out = {"urlkey": [], "source": [], "digest": []}
+            for off, ln in spans:
+                rec = read_record_at(archive, off, ln)
+                uri = rec["headers"]["WARC-Target-URI"]
+                host = uri.split("//", 1)[1].split("/", 1)[0]
+                _http, body = split_http_payload(rec["content"])
+                out["urlkey"].append(surt(uri))
+                out["source"].append(host.split(".")[1])
+                out["digest"].append(payload_digest(body))
+            return pd.DataFrame(out)
+
+        return fn
+
+    def crawl_cdx(rows_df, crawl: str):
+        return (
+            rows_df.withColumn("bucket", F.col("doc_id") % n_buckets)
+            .groupBy("bucket")
+            .applyInPandas(
+                _cdx_rows(crawl),
+                "urlkey string, source string, digest string",
+            )
+        )
+
+    did = F.col("doc_id")
+    page = F.concat(F.lit("/doc/"), did.cast("string"))
+    crawl_a = docs.select(
+        "doc_id", "source", "text", page.alias("uri_suffix")
+    )
+    b_kept = docs.filter(did % 7 != 0).select(
+        "doc_id", "source",
+        F.when(
+            did % 2 == 0, F.concat(F.col("text"), F.lit(" [recrawled]"))
+        ).otherwise(F.col("text")).alias("text"),
+        page.alias("uri_suffix"),
+    )
+    b_new = docs.filter(did % 5 == 3).select(
+        "doc_id", "source",
+        F.concat(F.lit("fresh page "), did.cast("string")).alias("text"),
+        F.concat(F.lit("/new/"), did.cast("string")).alias("uri_suffix"),
+    )
+    cdx_a = crawl_cdx(crawl_a, "3")
+    cdx_b = crawl_cdx(b_kept.unionByName(b_new), "4")
+    joined = cdx_a.alias("a").join(
+        cdx_b.alias("b"), "urlkey", "full_outer"
+    ).select(
+        "urlkey",
+        F.coalesce(F.col("a.source"), F.col("b.source")).alias("source"),
+        F.col("a.digest").alias("da"),
+        F.col("b.digest").alias("db"),
+    )
+    return joined.groupBy("source").agg(
+        F.sum(F.when(F.col("da").isNull(), 1).otherwise(0))
+        .cast("bigint").alias("n_added"),
+        F.sum(F.when(F.col("db").isNull(), 1).otherwise(0))
+        .cast("bigint").alias("n_removed"),
+        F.sum(
+            F.when(
+                F.col("da").isNotNull() & F.col("db").isNotNull()
+                & (F.col("da") != F.col("db")), 1
+            ).otherwise(0)
+        ).cast("bigint").alias("n_changed"),
+        F.sum(
+            F.when(
+                F.col("da").isNotNull() & (F.col("da") == F.col("db")), 1
+            ).otherwise(0)
+        ).cast("bigint").alias("n_unchanged"),
+    )
+
+
+# class rules, stated closed-form: removed iff id%7==0; of the kept,
+# changed iff even id (recrawl suffix), unchanged iff odd; added iff
+# id%5==3 (the /new/{id} page, disjoint urlkey namespace)
+SQL_INGEST_CDX_CRAWL_DIFF = """
+WITH d AS (
+  SELECT doc_id, source FROM documents WHERE text IS NOT NULL
+)
+SELECT source,
+       CAST(sum(CASE WHEN doc_id % 5 = 3 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_added,
+       CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_removed,
+       CAST(sum(CASE WHEN doc_id % 7 <> 0 AND doc_id % 2 = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+       CAST(sum(CASE WHEN doc_id % 7 <> 0 AND doc_id % 2 = 1
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+FROM d GROUP BY source
+"""
+
+
 def q_stream_warc_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming WARC ingestion end-to-end
     (streaming_ext.warc_decode_sink): the document corpus is packed into
@@ -3896,6 +4036,14 @@ SPECS = {
         "sha1-base32 payload digest via a distributed digest-keyed join "
         "(reader re-derives response digests from bodies); per-source "
         "census + resolved-text md5 sums vs closed-form reference oracle",
+    ),
+    "ingest_cdx_crawl_diff": QuerySpec(
+        q_ingest_cdx_crawl_diff,
+        SQL_INGEST_CDX_CRAWL_DIFF,
+        "cross-crawl CDX diff: two crawl snapshots through the real "
+        "archive+index path, full-outer join on SURT urlkey comparing "
+        "reader-side digests -> added/removed/changed/unchanged census "
+        "vs closed-form class-rule oracle",
     ),
     "ingest_warc_cdx": QuerySpec(
         q_ingest_warc_cdx,

@@ -1942,8 +1942,8 @@ def q_ingest_warc_cdx(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pandas as pd
 
         from klogs_spark.warc_lite import (
-            build_record, build_warc_gz_indexed, http_response,
-            read_record_at, split_http_payload, surt,
+            build_record, build_warc_gz_indexed, cdx_fetch_rows,
+            http_response,
         )
 
         rows = sorted(
@@ -1963,15 +1963,12 @@ def q_ingest_warc_cdx(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
         archive, spans = build_warc_gz_indexed(recs)
         out = {"urlkey": [], "doc_id": [], "source": [], "text": []}
-        for off, ln in spans:
-            rec = read_record_at(archive, off, ln)
-            uri = rec["headers"]["WARC-Target-URI"]
-            host = uri.split("//", 1)[1].split("/", 1)[0]
-            _http, body = split_http_payload(rec["content"])
-            out["urlkey"].append(surt(uri))
-            out["doc_id"].append(int(uri.rsplit("/", 1)[1]))
+        for row in cdx_fetch_rows(archive, spans):
+            host = row["uri"].split("//", 1)[1].split("/", 1)[0]
+            out["urlkey"].append(row["urlkey"])
+            out["doc_id"].append(int(row["uri"].rsplit("/", 1)[1]))
             out["source"].append(host.split(".")[1])
-            out["text"].append(body.decode("utf-8"))
+            out["text"].append(row["body"].decode("utf-8"))
         return pd.DataFrame(out)
 
     indexed = (
@@ -2018,8 +2015,6 @@ def q_ingest_cdx_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     urlkey-keyed outer join over index rows (tiny next to payloads) —
     archives are never re-read to compare content, the digests already
     carry it."""
-    from ..ext.hashing import md5_long  # noqa: F401 (sibling pattern)
-
     docs = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("text").isNotNull())
@@ -2032,8 +2027,8 @@ def q_ingest_cdx_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             import pandas as pd
 
             from klogs_spark.warc_lite import (
-                build_record, build_warc_gz_indexed, http_response,
-                payload_digest, read_record_at, split_http_payload, surt,
+                build_record, build_warc_gz_indexed, cdx_fetch_rows,
+                http_response,
             )
 
             rows = sorted(
@@ -2044,8 +2039,12 @@ def q_ingest_cdx_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             recs = [
                 build_record(
                     "response",
-                    f"{int(d):012d}-0000-4000-8000-00000000000{crawl}",
-                    f"2026-0{int(crawl) + 6}-01T00:00:00Z",
+                    # record ids must be unique WITHIN the crawl too: a
+                    # doc can contribute both its /doc and /new pages
+                    f"{int(d):012d}-0000-4000-8000-"
+                    f"{'1' if str(sfx).startswith('/new/') else '0'}"
+                    f"0000000000{crawl}",
+                    f"2026-{int(crawl) + 6:02d}-01T00:00:00Z",
                     http_response(str(t).encode("utf-8"),
                                   content_type="text/plain"),
                     target_uri=(
@@ -2056,14 +2055,11 @@ def q_ingest_cdx_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
             archive, spans = build_warc_gz_indexed(recs)
             out = {"urlkey": [], "source": [], "digest": []}
-            for off, ln in spans:
-                rec = read_record_at(archive, off, ln)
-                uri = rec["headers"]["WARC-Target-URI"]
-                host = uri.split("//", 1)[1].split("/", 1)[0]
-                _http, body = split_http_payload(rec["content"])
-                out["urlkey"].append(surt(uri))
+            for row in cdx_fetch_rows(archive, spans):
+                host = row["uri"].split("//", 1)[1].split("/", 1)[0]
+                out["urlkey"].append(row["urlkey"])
                 out["source"].append(host.split(".")[1])
-                out["digest"].append(payload_digest(body))
+                out["digest"].append(row["digest"])
             return pd.DataFrame(out)
 
         return fn

@@ -112,6 +112,24 @@ def read_record_at(archive: bytes, offset: int, length: int) -> dict:
     return recs[0]
 
 
+def cdx_fetch_rows(archive: bytes, spans: list):
+    """Random-access fetch of every indexed record: for each CDX
+    (offset, length) span, decode via :func:`read_record_at` (never a
+    sequential scan) and yield ``{"urlkey", "uri", "body", "digest"}``
+    — the shared span->row walk of the CDX carriers (hand-rolled copies
+    of this loop drifted within one round; keep it single-sourced)."""
+    for off, ln in spans:
+        rec = read_record_at(archive, off, ln)
+        uri = rec["headers"]["WARC-Target-URI"]
+        _http, body = split_http_payload(rec["content"])
+        yield {
+            "urlkey": surt(uri),
+            "uri": uri,
+            "body": body,
+            "digest": payload_digest(body),
+        }
+
+
 def surt(url: str) -> str:
     """SURT (Sort-friendly URI Reordering Transform) — the canonical
     URL key of CDX indexes: host labels reversed and comma-joined,

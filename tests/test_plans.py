@@ -837,3 +837,42 @@ def test_robots_gate_broadcasts_rules_no_corpus_window(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
+
+
+def test_ngram_uniqueness_two_keyed_shuffles_no_window(spark):
+    # gram-df aggregate + doc rollup: keyed exchanges only — never a
+    # corpus window, never a cartesian
+    plan = _plan(spark, "text_ngram_uniqueness")
+    assert "Window" not in plan and "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_warc_revisit_single_crossing_and_digest_equijoin(spark):
+    # one fused encode+decode crossing; revisits resolve via a digest
+    # EQUI-join (hash join), never a nested-loop scan
+    import re
+
+    plan = _plan(spark, "ingest_warc_revisit")
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_warc_cdx_single_group_stage(spark):
+    # pack+index+span-fetch is ONE FlatMapGroupsInPandas stage
+    import re
+
+    plan = _plan(spark, "ingest_warc_cdx")
+    assert len(re.findall(r"\(\d+\) FlatMapGroupsInPandas", plan)) == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_cdx_crawl_diff_outer_join_on_index_rows(spark):
+    # the diff is a urlkey-keyed join over INDEX rows: two group stages
+    # (one per crawl), a join, no cartesian, no per-row Python
+    import re
+
+    plan = _plan(spark, "ingest_cdx_crawl_diff")
+    assert len(re.findall(r"\(\d+\) FlatMapGroupsInPandas", plan)) == 2
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan

@@ -341,3 +341,95 @@ def domain_suffixes(domain: Column) -> Column:
             lambda i: F.array_join(F.slice(parts, i + 1, n - i), "."),
         ),
     ).otherwise(F.array(domain))
+
+
+# ---------------------------------------------------------------------------
+# C4-style line-level quality rules (Raffel et al. 2020, §2.2)
+# ---------------------------------------------------------------------------
+
+# The C4 cleaning battery operates a level BELOW the Gopher document
+# rules (ext.text.gopher_rules): it keeps/drops individual LINES, then
+# gates the page on what survived. Thresholds are integers, every
+# comparison replicates exactly in ANSI SQL.
+C4_MIN_LINE_WORDS = 4      # C4 keeps lines with >= N words
+C4_MIN_KEPT_LINES = 3      # page needs >= N surviving lines
+_C4_TERMINAL = (".", "!", "?", '"')  # line must end in terminal punct
+
+
+def c4_kept_lines(lines: Column) -> Column:
+    """The surviving lines of a page under the C4 line rules: a line is
+    kept iff it ends in terminal punctuation, carries at least
+    ``C4_MIN_LINE_WORDS`` whitespace words, and does not mention
+    'javascript' (case-insensitive). Pure native array expressions —
+    row-local, whole-stage codegen, zero Python."""
+    def _keep(line: Column) -> Column:
+        terminal = None
+        for p in _C4_TERMINAL:
+            cond = line.endswith(p)
+            terminal = cond if terminal is None else (terminal | cond)
+        words = F.size(
+            F.filter(F.split(line, " "), lambda x: F.length(x) > 0)
+        )
+        return (
+            terminal
+            & (words >= C4_MIN_LINE_WORDS)
+            & ~F.lower(line).contains("javascript")
+        )
+
+    return F.filter(lines, _keep)
+
+
+def c4_line_stats(lines: Column) -> Column:
+    """``struct<n_lines,n_kept_lines,kept_chars,rules_mask,keep>`` — the
+    full C4 page decision: line survival (:func:`c4_kept_lines`) plus the
+    page-level gates (enough kept lines; no 'lorem ipsum'; no '{' —
+    the code-leak tell). ``rules_mask`` bit-encodes each page gate so a
+    single flipped rule is visible per document, not just in the
+    composite keep."""
+    kept = c4_kept_lines(lines)
+    joined = F.array_join(lines, "\n")
+    has_lorem = F.lower(joined).contains("lorem ipsum")
+    has_brace = joined.contains("{")
+    enough = F.size(kept) >= C4_MIN_KEPT_LINES
+    mask = (
+        F.when(enough, 1).otherwise(0)
+        + F.when(~has_lorem, 2).otherwise(0)
+        + F.when(~has_brace, 4).otherwise(0)
+    )
+    return F.struct(
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept_lines"),
+        F.aggregate(
+            kept, F.lit(0), lambda acc, line: acc + F.length(line)
+        ).cast("long").alias("kept_chars"),
+        mask.cast("long").alias("rules_mask"),
+        F.when(enough & ~has_lorem & ~has_brace, 1)
+        .otherwise(0).cast("long").alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Typographic / unicode normalization (row-local, zero Python)
+# ---------------------------------------------------------------------------
+
+# one translate() pass: curly quotes -> straight, em/en dash -> hyphen,
+# NBSP -> space; the zero-width characters (ZWSP/ZWNJ/ZWJ/BOM) and the
+# BEL control map past the end of the replacement string and are DELETED
+# — translate's documented shorter-replacement semantics.
+_TYPO_SRC = (
+    "\u201c\u201d\u2018\u2019\u2014\u2013\u00a0"
+    "\u200b\u200c\u200d\ufeff\x07"
+)
+_TYPO_DST = "\"\"''-- "
+
+
+def normalize_typography(col: Column) -> Column:
+    """Typographic normalization — the unicode-hygiene pass a corpus
+    takes before tokenization: smart quotes and dashes fold to ASCII,
+    NBSP becomes a plain space, zero-width characters (ZWSP/ZWNJ/ZWJ/BOM)
+    and stray BEL controls are stripped, and any resulting space runs
+    collapse to one. One ``translate`` plus one ``regexp_replace`` —
+    row-local native expressions, whole-stage codegen."""
+    return F.regexp_replace(
+        F.translate(col, _TYPO_SRC, _TYPO_DST), " {2,}", " "
+    )

@@ -7853,6 +7853,246 @@ FROM d GROUP BY domain
 """
 
 
+def q_text_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 line-level cleaning battery (ext.web.c4_line_stats — Raffel
+    et al. 2020 §2.2: keep lines ending in terminal punctuation with
+    enough words and no 'javascript'; drop pages with 'lorem ipsum', a
+    curly brace, or too few surviving lines), externally hash-checked per
+    document AND per page rule. Documents are single-line in the corpus,
+    so each page is SYNTHESIZED closed-form: the doc's words split into
+    three sentence lines (thirds of the word array, '.' appended), plus
+    deterministic violator lines — a javascript line (doc_id%7), a lorem
+    ipsum line (%11), a curly-brace code line (%13), a no-terminal-punct
+    line (%5), and a too-short line (%3) — so every rule genuinely fires
+    on a known subset and one flipped comparison breaks the hash. Plan
+    shape: row-local native array expressions, zero shuffles, zero
+    Python."""
+    from ..ext import web as wb
+
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    base = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.col("text"), " "), lambda x: F.length(x) > 0
+        ).alias("t"),
+    ).withColumn("a", F.expr("(size(t) + 2) div 3"))
+
+    def sentence(slice_expr: str):
+        return F.concat(
+            F.array_join(F.expr(slice_expr), " "), F.lit(".")
+        )
+
+    def maybe(cond, line: str):
+        return F.when(cond, F.array(F.lit(line))).otherwise(
+            F.expr("cast(array() as array<string>)")
+        )
+
+    lines = F.concat(
+        F.array(
+            sentence("slice(t, 1, a)"),
+            sentence("slice(t, a + 1, a)"),
+            sentence("slice(t, 2*a + 1, greatest(size(t) - 2*a, 0))"),
+        ),
+        maybe(did % 7 == 0, "click here javascript required now."),
+        maybe(did % 11 == 0, "Lorem ipsum dolor sit amet."),
+        maybe(did % 13 == 0, "function() { return pageVar }"),
+        maybe(did % 5 == 0, "trailing line with no terminal punct"),
+        maybe(did % 3 == 0, "too few."),
+    )
+    stats = wb.c4_line_stats(lines)
+    return base.select("doc_id", stats.alias("s")).select(
+        "doc_id", "s.n_lines", "s.n_kept_lines", "s.kept_chars",
+        "s.rules_mask", "s.keep",
+    )
+
+
+from ..ext.web import C4_MIN_KEPT_LINES as _C4_MIN_KEPT
+from ..ext.web import C4_MIN_LINE_WORDS as _C4_MIN_WORDS
+
+SQL_TEXT_C4_FILTERS = f"""
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+pages AS (
+  SELECT doc_id,
+    [
+      array_to_string(t[1 : (len(t)+2)//3], ' ') || '.',
+      array_to_string(t[(len(t)+2)//3 + 1 : 2*((len(t)+2)//3)], ' ')
+        || '.',
+      array_to_string(t[2*((len(t)+2)//3) + 1 : len(t)], ' ') || '.'
+    ]
+    || CASE WHEN doc_id % 7 = 0
+            THEN ['click here javascript required now.'] ELSE [] END
+    || CASE WHEN doc_id % 11 = 0
+            THEN ['Lorem ipsum dolor sit amet.'] ELSE [] END
+    || CASE WHEN doc_id % 13 = 0
+            THEN ['function() {{ return pageVar }}'] ELSE [] END
+    || CASE WHEN doc_id % 5 = 0
+            THEN ['trailing line with no terminal punct'] ELSE [] END
+    || CASE WHEN doc_id % 3 = 0 THEN ['too few.'] ELSE [] END
+    AS lines
+  FROM w
+),
+scored AS (
+  SELECT doc_id, len(lines) AS n_lines,
+    list_filter(lines, l ->
+      (l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?' OR l LIKE '%"')
+      AND len(list_filter(string_split(l, ' '), x -> x <> ''))
+          >= {_C4_MIN_WORDS}
+      AND NOT contains(lower(l), 'javascript')
+    ) AS kept,
+    contains(lower(array_to_string(lines, chr(10))), 'lorem ipsum')
+      AS has_lorem,
+    contains(array_to_string(lines, chr(10)), '{{') AS has_brace
+  FROM pages
+)
+SELECT doc_id,
+  CAST(n_lines AS BIGINT) AS n_lines,
+  CAST(len(kept) AS BIGINT) AS n_kept_lines,
+  CAST(coalesce(list_sum(list_transform(kept, l -> length(l))), 0)
+       AS BIGINT) AS kept_chars,
+  CAST((CASE WHEN len(kept) >= {_C4_MIN_KEPT} THEN 1 ELSE 0 END)
+     + (CASE WHEN NOT has_lorem THEN 2 ELSE 0 END)
+     + (CASE WHEN NOT has_brace THEN 4 ELSE 0 END) AS BIGINT)
+    AS rules_mask,
+  CAST(CASE WHEN len(kept) >= {_C4_MIN_KEPT}
+                 AND NOT has_lorem AND NOT has_brace
+       THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM scored
+"""
+
+
+def q_text_normalize_typography(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typographic/unicode normalization (ext.web.normalize_typography —
+    smart quotes/dashes to ASCII, NBSP to space, zero-width chars and
+    stray controls stripped, space runs collapsed) externally checked
+    with an exact-inverse corruption: every document is wrapped
+    closed-form in curly quotes and suffixed with an em-dash + NBSP +
+    ZWSP-split + BEL + double-space tail, the normalizer runs over the
+    corrupted corpus, and the oracle states the expected normalized
+    string directly ('"' || text || '"- abcdef ghi jk'), aggregating the
+    per-source md5-fingerprint sum plus the changed-row count (a
+    normalizer that passes text through unchanged zeroes n_changed and
+    breaks the hash). Row-local native expressions end-to-end — one
+    translate, one regexp_replace, one aggregate."""
+    from ..ext import web as wb
+    from ..ext.hashing import md5_long
+
+    docs = load_table(spark, sf_dir, "documents")
+    corrupted = F.concat(
+        F.lit("\u201c"), F.col("text"),
+        F.lit("\u201d\u2014\u00a0abc\u200bdef\x07 ghi  jk"),
+    )
+    norm = wb.normalize_typography(corrupted)
+    return (
+        docs.select(
+            "source", corrupted.alias("wire"), norm.alias("norm")
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("norm") != F.col("wire"), 1).otherwise(0))
+            .cast("bigint").alias("n_changed"),
+            F.sum(md5_long(F.col("norm")))
+            .cast("bigint").alias("sum_norm_md5"),
+        )
+    )
+
+
+SQL_TEXT_NORMALIZE_TYPOGRAPHY = """
+WITH d AS (
+  SELECT source, '"' || text || '"- abcdef ghi jk' AS expected
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) AS BIGINT) AS n_changed,
+       CAST(sum(CAST('0x' || substr(md5(expected), 1, 8) AS BIGINT))
+            AS BIGINT) AS sum_norm_md5
+FROM d GROUP BY source
+"""
+
+
+def q_pipeline_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-language perplexity bucketing (Wenzek et al. 2020
+    — the head/middle/tail split every web-corpus curation pipeline runs
+    after language ID): the stopword language classifier
+    (ext.text.language_id) labels each doc, the corpus-unigram LM
+    (ext.text.unigram_logprob_scores) scores it, and an ntile(3) window
+    PARTITIONED BY language, ordered by (mean_nll, id) — rounded score
+    first, doc id as the deterministic tie-break — assigns terciles.
+    Output is the per-(language, bucket) census: doc/token counts, the
+    id sum, and the bucket's NLL range. Both engines define NTILE
+    identically (first n%3 buckets take the extra row), and the rounded
+    mean_nll values are already hash-proven equal by the ledger-green
+    text_unigram_logprob, so the bucket boundary is engine-exact. Plan
+    shape: the two component shuffles plus one per-language window — the
+    window partitions by language, so at 100 TB the sort is bounded per
+    language shard (the real CCNet splits by language first for the same
+    reason; a skew-heavy corpus would swap exact ntile for approx
+    quantile cutoffs without changing the bucket semantics)."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    lang = tx.language_id(docs).select("id", "predicted_lang")
+    nll = tx.unigram_logprob_scores(docs)
+    j = lang.join(nll, "id")
+    w = Window.partitionBy("predicted_lang").orderBy("mean_nll", "id")
+    b = j.withColumn("tercile", F.ntile(3).over(w))
+    bucket = (
+        F.when(F.col("tercile") == 1, "head")
+        .when(F.col("tercile") == 2, "middle")
+        .otherwise("tail")
+    )
+    return b.groupBy("predicted_lang", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+        F.sum("id").cast("bigint").alias("sum_doc_id"),
+        F.round(F.min("mean_nll"), 6).alias("min_nll"),
+        F.round(F.max("mean_nll"), 6).alias("max_nll"),
+    )
+
+
+SQL_PIPELINE_CCNET_BUCKETS = f"""
+WITH {TOKENS_CTE},
+scored AS (
+  SELECT id, list_aggregate([{_LANG_STRUCTS}], 'max') AS best FROM tk
+),
+lang AS (
+  SELECT id,
+         CASE WHEN best.score > 0 THEN best.lang ELSE 'und' END
+           AS predicted_lang
+  FROM scored
+),
+toks AS (SELECT id, unnest(tk) AS tok FROM tk),
+freq AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+tot AS (SELECT sum(c) AS total FROM freq),
+nll AS (SELECT tok, -ln(c / CAST(tot.total AS DOUBLE)) AS nll
+        FROM freq, tot),
+docnll AS (
+  SELECT t.id, count(*) AS n_tokens, round(avg(n.nll), 6) AS mean_nll
+  FROM toks t JOIN nll n ON t.tok = n.tok GROUP BY t.id
+),
+bucketed AS (
+  SELECT l.id, l.predicted_lang, d.n_tokens, d.mean_nll,
+         NTILE(3) OVER (PARTITION BY l.predicted_lang
+                        ORDER BY d.mean_nll, l.id) AS tercile
+  FROM lang l JOIN docnll d ON l.id = d.id
+)
+SELECT predicted_lang,
+       CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(sum(id) AS BIGINT) AS sum_doc_id,
+       round(min(mean_nll), 6) AS min_nll,
+       round(max(mean_nll), 6) AS max_nll
+FROM bucketed GROUP BY 1, 2
+"""
+
+
 SPECS = {
     "dedup_exact": QuerySpec(q_dedup_exact, SQL_DEDUP_EXACT,
                              "exact hash-groupBy dedup"),
@@ -8450,5 +8690,25 @@ SPECS = {
         "records -> decode -> jusText extraction -> WET conversion "
         "records -> decode; per-source survivor census + md5 sums vs "
         "the closed-form synthesis oracle",
+    ),
+    "text_c4_filters": QuerySpec(
+        q_text_c4_filters, SQL_TEXT_C4_FILTERS,
+        "C4 line-level cleaning battery (terminal punct, min words, "
+        "javascript / lorem ipsum / curly-brace gates) over synthesized "
+        "pages with crafted per-rule violators; per-doc mask vs "
+        "identical SQL",
+    ),
+    "text_normalize_typography": QuerySpec(
+        q_text_normalize_typography, SQL_TEXT_NORMALIZE_TYPOGRAPHY,
+        "typographic/unicode normalization (smart quotes, dashes, NBSP, "
+        "zero-width strip, space collapse) under exact-inverse "
+        "corruption; per-source md5 census vs the closed-form expected "
+        "string",
+    ),
+    "pipeline_ccnet_buckets": QuerySpec(
+        q_pipeline_ccnet_buckets, SQL_PIPELINE_CCNET_BUCKETS,
+        "CCNet head/middle/tail perplexity bucketing: language-ID + "
+        "corpus-unigram NLL + per-language ntile(3) with deterministic "
+        "tie-break; per-(lang,bucket) census vs identical SQL",
     ),
 }

@@ -1834,3 +1834,80 @@ def test_entry_day_dir_handles_bare_filenames():
     assert _entry_day_dir("date=2026-01-01/part-0.parquet") == "date=2026-01-01"
     assert _entry_day_dir("/abs/src/date=2026-01-02/p.parquet") == "date=2026-01-02"
     assert _entry_day_dir("part-0.parquet") == ""
+
+
+def test_c4_line_rules_each_rule_flips_on_a_crafted_violator(spark):
+    """Every C4 line rule and page gate must flip on a crafted violating
+    page, and the battery must stay a row-local zero-shuffle projection."""
+    from pyspark.sql import functions as F
+
+    from klogs_spark.ext.web import c4_line_stats
+
+    good = "this line has plenty of words."
+    pages = [
+        (0, [good, good, good]),                       # keeps everything
+        (1, [good, good, "no terminal punct here"]),   # line: punct rule
+        (2, [good, good, "too few."]),                 # line: min words
+        (3, [good, good, "enable javascript to view this page."]),
+        (4, [good, good]),                             # page: < 3 kept
+        (5, [good, good, good, "Lorem Ipsum dolor sit amet."]),
+        (6, [good, good, good, "code { leaked } here."]),
+    ]
+    df = spark.createDataFrame(pages, "doc_id long, lines array<string>")
+    out = {
+        r.doc_id: r.s
+        for r in df.select(
+            "doc_id", c4_line_stats(F.col("lines")).alias("s")
+        ).collect()
+    }
+    assert out[0].keep == 1 and out[0].rules_mask == 7
+    assert out[0].n_kept_lines == 3
+    assert out[0].kept_chars == 3 * len(good)
+    # per-LINE violations drop the line (and with it the page, which
+    # then has only 2 kept lines -> bit 0 clears)
+    for doc in (1, 2, 3):
+        assert out[doc].n_kept_lines == 2, doc
+        assert out[doc].keep == 0 and out[doc].rules_mask == 6, doc
+    assert out[4].keep == 0 and out[4].rules_mask == 6
+    # page-level gates: the violating LINE itself survives the line
+    # rules but poisons the page bit
+    assert out[5].n_kept_lines == 4
+    assert out[5].keep == 0 and out[5].rules_mask == 5
+    assert out[6].n_kept_lines == 4
+    assert out[6].keep == 0 and out[6].rules_mask == 3
+
+    plan = (
+        df.select(c4_line_stats(F.col("lines")))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
+
+
+def test_normalize_typography_each_mapping(spark):
+    """Each typographic mapping independently: smart quotes, both dashes,
+    NBSP, every zero-width char, BEL, and the space-run collapse."""
+    from pyspark.sql import functions as F
+
+    from klogs_spark.ext.web import normalize_typography
+
+    cases = [
+        (0, "“quoted”", '"quoted"'),
+        (1, "‘single’", "'single'"),
+        (2, "em—dash en–dash", "em-dash en-dash"),
+        (3, "a\u00a0b", "a b"),
+        (4, "z​w‌s‍p﻿!", "zwsp!"),
+        (5, "bel\x07gone", "belgone"),
+        (6, "many   spaces  collapse", "many spaces collapse"),
+        (7, "already clean.", "already clean."),
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s, _ in cases], "id long, s string"
+    )
+    got = {
+        r.id: r.n
+        for r in df.select(
+            "id", normalize_typography(F.col("s")).alias("n")
+        ).collect()
+    }
+    for i, _, want in cases:
+        assert got[i] == want, (i, repr(got[i]), repr(want))

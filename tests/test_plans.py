@@ -876,3 +876,38 @@ def test_cdx_crawl_diff_outer_join_on_index_rows(spark):
     assert len(re.findall(r"\(\d+\) FlatMapGroupsInPandas", plan)) == 2
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_c4_filters_row_local_zero_shuffle(spark):
+    # page synthesis + line rules are pure native array expressions:
+    # no exchange, no window, no Python crossing anywhere
+    plan = _plan(spark, "text_c4_filters")
+    assert "Exchange" not in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan
+
+
+def test_normalize_typography_native_single_aggregate(spark):
+    # one translate+regexp projection, one grouped aggregate — native
+    # end-to-end (zero Python), partial+final agg around one exchange
+    plan = _plan(spark, "text_normalize_typography")
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_ccnet_buckets_window_partitioned_by_language(spark):
+    # the tercile window must be PARTITIONED (per-language sort, the
+    # CCNet shape) — a global unpartitioned window is the 100 TB bug;
+    # the unigram total is a broadcast 1-row aggregate, never a shuffle
+    # cartesian
+    plan = _plan(spark, "pipeline_ccnet_buckets")
+    assert "Window" in plan
+    wline = next(
+        l for l in plan.splitlines()
+        if "ntile" in l and "windowspecdefinition" in l
+    )
+    assert "predicted_lang" in wline, wline
+    assert "CartesianProduct" not in plan

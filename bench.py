@@ -452,6 +452,44 @@ def main() -> None:
         print(f"# table_cow_merge: FAILED {errors['table_cow_merge']}",
               file=sys.stderr)
 
+    # MERGE-ON-READ delete + vector-applied read (r17). The claims being
+    # pinned: mor_delete writes NO survivor files (one predicate scan +
+    # an O(deleted rows) positions write — expected well under
+    # table_cow_delete, whose survivor rewrite dominates), and a read
+    # under the vector pays one broadcast anti-join over a plain read.
+    # Fresh table per trial (the op mutates metadata); build untimed.
+    try:
+        from klogs_spark.manifest import mor_delete_where, read_logs_at
+
+        best_mor, best_dvr = float("inf"), float("inf")
+        n_mor = -1
+        for _ in range(max(trials, 1)):
+            ddir = tempfile.mkdtemp(prefix="bench-mor-")
+            write_logs(
+                derive_logs_from_events(spark, sf_dir), ddir,
+                mode="overwrite",
+            )
+            publish_snapshot(spark, ddir)
+            t0 = time.perf_counter()
+            res = mor_delete_where(
+                spark, ddir, F.col("pod_name") == "pod-7"
+            )
+            best_mor = min(best_mor, time.perf_counter() - t0)
+            n_mor = res["rows_deleted"]
+            t0 = time.perf_counter()
+            read_logs_at(spark, ddir).count()
+            best_dvr = min(best_dvr, time.perf_counter() - t0)
+            shutil.rmtree(ddir, ignore_errors=True)
+        timings["table_mor_delete"] = round(best_mor, 3)
+        timings["table_dv_read"] = round(best_dvr, 3)
+        print(f"# table_mor_delete: {best_mor:.3f}s ({n_mor} rows, zero "
+              "files rewritten)", file=sys.stderr)
+        print(f"# table_dv_read: {best_dvr:.3f}s", file=sys.stderr)
+    except Exception as exc:  # noqa: BLE001
+        errors["table_mor_delete"] = f"{type(exc).__name__}: {exc}"[:300]
+        print(f"# table_mor_delete: FAILED {errors['table_mor_delete']}",
+              file=sys.stderr)
+
     # ann_ivfpq_rerank_search (VERDICT r12 #5): the deployed two-stage
     # search — prebuilt-index ADC nominates R candidates, an R-row
     # broadcast-semi fetch re-scores them exactly. Expected ≈

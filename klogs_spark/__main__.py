@@ -146,6 +146,18 @@ def main(argv: list[str] | None = None) -> int:
     pcc.add_argument("table")
     pcc.add_argument("partition", help="e.g. date=2024-01-03")
 
+    pmd = sub.add_parser("mor-delete",
+                         help="merge-on-read predicate delete: records "
+                              "(file, pos) in a deletion vector — zero "
+                              "data files rewritten")
+    pmd.add_argument("table")
+    pmd.add_argument("predicate", help="SQL predicate over log columns")
+
+    pdc = sub.add_parser("dv-compact",
+                         help="fold the head's deletion vector into a "
+                              "COW rewrite and clear it")
+    pdc.add_argument("table")
+
     pmt = sub.add_parser("maintain",
                          help="one-call housekeeping: heal crashed "
                               "rewrites, compact fragmented days, "
@@ -407,6 +419,28 @@ def main(argv: list[str] | None = None) -> int:
         print(
             f"v{res['version']}: compacted {res['files_compacted']} "
             "file(s) (fragments retained — run vacuum to reclaim)"
+        )
+        return 0
+
+    if args.cmd == "mor-delete":
+        from .manifest import mor_delete_where
+
+        res = mor_delete_where(spark, args.table, args.predicate)
+        print(
+            f"v{res['version']}: deleted {res['rows_deleted']} row(s) "
+            "merge-on-read (no data file rewritten; dv_compact folds "
+            "the vector when it grows)"
+        )
+        return 0
+
+    if args.cmd == "dv-compact":
+        from .manifest import dv_compact
+
+        res = dv_compact(spark, args.table)
+        print(
+            f"v{res['version']}: folded {res['positions_folded']} "
+            f"position(s) across {len(res['partitions_rewritten'])} "
+            "day(s); vector cleared (fragments retained — run vacuum)"
         )
         return 0
 

@@ -33,7 +33,11 @@ resolved by optimistic concurrency (validate-then-publish: the loser
 detects the moved base or a reclaimed journal, cleans up its unpublished
 files, and raises :class:`ConcurrentRewriteError` — retry folds the
 winner's result), and disk is reclaimed by an explicit :func:`vacuum`
-whose retention window is the time-travel horizon.
+whose retention window is the time-travel horizon. The MERGE-ON-READ
+tier (:func:`mor_delete_where` + :func:`dv_compact`) completes the
+delete family with Delta/Iceberg-style deletion vectors: a delete
+records (file, row position) tombstones and rewrites nothing; reads
+anti-join them away; compaction folds them back into files.
 
 ``_manifest`` starts with ``_`` so Spark partition discovery ignores it.
 """
@@ -120,13 +124,21 @@ def _entry_day_dir(f: str) -> str:
     return parts[-2] if len(parts) >= 2 else ""
 
 
-def _read_data_files(spark: SparkSession, path: str, files: list) -> DataFrame:
+def _read_data_files(
+    spark: SparkSession, path: str, files: list, with_pos: bool = False
+) -> DataFrame:
     """Read a manifest file list faithfully: relative entries share the
     table root as ``basePath`` (partition column recovered from the
     directory name); absolute clone entries group by THEIR base (the
     directory above the partition dir) so the same recovery applies,
     and the groups union by name. mergeSchema throughout (the
-    mixed-promoted-schema contract of read_snapshot)."""
+    mixed-promoted-schema contract of read_snapshot).
+
+    ``with_pos=True`` attaches the deletion-vector join key: ``__dv_key``
+    (the entry's last two path components — :func:`_dv_key_of_entry`'s
+    column twin) and ``__dv_pos`` (the parquet ``_metadata.row_index``,
+    stable across reads of an immutable file). Costs nothing when False:
+    the metadata column is never requested."""
     if not files:
         raise FileNotFoundError(
             "snapshot lists no data files (a rewrite deleted every row) "
@@ -138,12 +150,21 @@ def _read_data_files(spark: SparkSession, path: str, files: list) -> DataFrame:
             groups.setdefault(f.rsplit("/", 2)[0], []).append(f)
         else:
             groups.setdefault(path, []).append(f"{path}/{f}")
-    dfs = [
-        spark.read.option("basePath", base)
-        .option("mergeSchema", "true")
-        .parquet(*sorted(fls))
-        for base, fls in sorted(groups.items())
-    ]
+    dfs = []
+    for base, fls in sorted(groups.items()):
+        df = (
+            spark.read.option("basePath", base)
+            .option("mergeSchema", "true")
+            .parquet(*sorted(fls))
+        )
+        if with_pos:
+            df = df.withColumn(
+                "__dv_key",
+                F.regexp_extract(
+                    F.col("_metadata.file_path"), r"([^/]+/[^/]+)$", 1
+                ),
+            ).withColumn("__dv_pos", F.col("_metadata.row_index"))
+        dfs.append(df)
     out = dfs[0]
     for d in dfs[1:]:
         out = out.unionByName(d, allowMissingColumns=True)
@@ -508,7 +529,16 @@ def read_snapshot(
             "clone entries: a vacuum on the SOURCE table breaks clones "
             "pinned to its files, the documented Delta CLONE caveat)"
         )
-    return _read_data_files(spark, path, files)
+    # merge-on-read: a snapshot governed by a deletion vector anti-joins
+    # its (file, pos) tombstones away; version resolution gives pinned
+    # readers the HISTORICAL vector of their snapshot, not the head's
+    dv_ref = _dv_ref_at(spark, path, version)
+    if dv_ref is None:
+        return _read_data_files(spark, path, files)
+    return _apply_dv(
+        _read_data_files(spark, path, files, with_pos=True),
+        _read_dv(spark, path, dv_ref),
+    )
 
 
 # Every FULL_MANIFEST_INTERVAL-th version (and every first publish) writes
@@ -655,9 +685,20 @@ def snapshot_changes(
             ]
         )
 
+    # each side reads under ITS OWN deletion vector: rows MOR-deleted
+    # before v_from are not in the from-side (they were already gone),
+    # and rows MOR-deleted by v_to are not in the to-side
+    ref_from = _dv_ref_at(spark, path, v_from)
+    ref_to = _dv_ref_at(spark, path, v_to)
+
+    def dv_rows(ref) -> DataFrame:
+        if ref is None:
+            return spark.createDataFrame([], "file string, pos long")
+        return _read_dv(spark, path, ref)
+
     empty_schema = None
 
-    def rows(files: list) -> DataFrame:
+    def rows(files: list, ref) -> DataFrame:
         nonlocal empty_schema
         if not files:
             if empty_schema is None:
@@ -665,11 +706,63 @@ def snapshot_changes(
                     read_snapshot(spark, path, v_to).limit(0)
                 ).schema
             return spark.createDataFrame([], empty_schema)
-        return canon(_read_data_files(spark, path, files))
+        if ref is None:
+            return canon(_read_data_files(spark, path, files))
+        return canon(
+            _apply_dv(
+                _read_data_files(spark, path, files, with_pos=True),
+                dv_rows(ref),
+            )
+        )
 
-    adds, drops = rows(only_to), rows(only_from)
-    inserts = adds.exceptAll(drops).withColumn("_change_type", F.lit("insert"))
-    deletes = drops.exceptAll(adds).withColumn("_change_type", F.lit("delete"))
+    adds, drops = rows(only_to, ref_to), rows(only_from, ref_from)
+    inserts = adds.exceptAll(drops)
+    deletes = drops.exceptAll(adds)
+
+    if ref_from != ref_to:
+        # merge-on-read churn lives in files BOTH manifests list (a MOR
+        # delete rewrites nothing): positions added between the versions
+        # are deletes, positions removed (a restore past a MOR delete)
+        # are inserts. Keys whose file is NOT common are skipped — those
+        # files churned in the file diff above, which already carries
+        # their rows' fate. File-pruned: only files with changed
+        # positions are read.
+        dv_f, dv_t = dv_rows(ref_from), dv_rows(ref_to)
+        new_del = dv_t.exceptAll(dv_f)
+        un_del = dv_f.exceptAll(dv_t)
+        key2entry = {
+            _dv_key_of_entry(f): f for f in (files_from & files_to)
+        }
+
+        def pos_rows(diff: DataFrame) -> DataFrame:
+            keys = {
+                r["file"]
+                for r in diff.select("file").distinct().collect()
+            }  # bounded by churned files
+            touched = sorted(
+                key2entry[k] for k in keys if k in key2entry
+            )
+            if not touched:
+                return None
+            tdf = _read_data_files(spark, path, touched, with_pos=True)
+            hit = tdf.join(
+                diff.select(
+                    F.col("file").alias("__dv_key"),
+                    F.col("pos").alias("__dv_pos"),
+                ),
+                ["__dv_key", "__dv_pos"],
+            )
+            return canon(hit)
+
+        mor_del = pos_rows(new_del)
+        mor_ins = pos_rows(un_del)
+        if mor_del is not None:
+            deletes = deletes.unionByName(mor_del)
+        if mor_ins is not None:
+            inserts = inserts.unionByName(mor_ins)
+
+    inserts = inserts.withColumn("_change_type", F.lit("insert"))
+    deletes = deletes.withColumn("_change_type", F.lit("delete"))
     return inserts.unionByName(deletes)
 
 
@@ -764,6 +857,18 @@ def recover_incomplete_rewrite(spark: SparkSession, path: str) -> int:
     marker = hpath_cls(f"{path}/{REWRITE_MARKER}")
     if not fs.exists(marker):
         return 0
+    # a MOR delete that crashed between its sidecar write and the
+    # manifest publish leaves a dv_v{M}.json pointing PAST the head —
+    # left in place it would govern the NEXT published version (someone
+    # else's commit adopting a half-finished delete). Drop such sidecars
+    # here; their orphan generations are swept by vacuum.
+    head = (snapshot_versions(spark, path) or [0])[-1]
+    for m in _dv_sidecar_versions(spark, path):
+        if m > head:
+            _must(
+                fs.delete(hpath_cls(f"{path}/{_dv_sidecar_rel(m)}"), False),
+                "recover-orphan-dv-sidecar", m,
+            )
     try:
         before = set(
             _read_small_json(fs, hpath_cls, path, REWRITE_MARKER)["before"]
@@ -1319,6 +1424,7 @@ def vacuum(
         return {
             "files_deleted": 0,
             "manifests_dropped": 0,
+            "dv_generations_deleted": 0,
             "files_unmanifested": 0,
         }
     keep = versions[-keep_versions:]
@@ -1349,6 +1455,25 @@ def vacuum(
     fs, hpath_cls, root = _hadoop_fs(spark, path)
     on_disk = set(_list_data_files(fs, root, hpath_cls))
     doomed = sorted((all_man - kept_refs) & on_disk)
+    # deletion-vector retention: generations resolved by ANY kept version
+    # stay; every other gen-* directory (dropped history, crashed MOR
+    # deletes) is reclaimed, as are sidecars made redundant by the drop
+    # (those below the oldest kept version, after re-anchoring its
+    # resolution) and orphans past the head
+    needed_gens = {
+        r for r in (
+            _dv_ref_at(spark, path, v) for v in keep
+        ) if r is not None
+    }
+    dv_sidecars = _dv_sidecar_versions(spark, path)
+    dv_dir = hpath_cls(f"{path}/{DV_DIR}")
+    on_disk_gens = set()
+    if fs.exists(dv_dir):
+        for st in fs.listStatus(dv_dir):
+            name = st.getPath().getName()
+            if name.startswith("gen-"):
+                on_disk_gens.add(f"{DV_DIR}/{name}")
+    doomed_gens = sorted(on_disk_gens - needed_gens)
     if dry_run:
         return {
             "dry_run": True,
@@ -1356,6 +1481,7 @@ def vacuum(
             "would_delete_files": doomed,
             "manifests_dropped": 0,
             "would_drop_manifests": dropped,
+            "would_drop_dv_generations": doomed_gens,
             "files_unmanifested": len(on_disk - all_man),
         }
     # the oldest kept version must stay resolvable after its delta-chain
@@ -1408,6 +1534,37 @@ def vacuum(
                         fs.delete(st.getPath(), False),
                         "vacuum-orphan-sidecar-delete", st.getPath(),
                     )
+    # deletion-vector sweep. Ordering is crash-safe: (1) re-anchor the
+    # oldest kept version's resolution at its own number (same idea as
+    # the delta-chain sidecar materialization — the governing sidecar
+    # below the horizon is about to be dropped), (2) THEN drop redundant
+    # sidecars, (3) THEN reclaim unreferenced generations. A crash after
+    # any step leaves resolution intact (the re-anchor is a same-content
+    # copy; max-at-or-before picks either).
+    if dv_sidecars:
+        oldest = keep[0]
+        governing = max(
+            (m for m in dv_sidecars if m <= oldest), default=None
+        )
+        if governing is not None and governing < oldest:
+            _write_small_json(
+                fs, hpath_cls, path, _dv_sidecar_rel(oldest),
+                {
+                    "version": oldest,
+                    "dv": _dv_ref_at(spark, path, oldest),
+                },
+            )
+        head_v = versions[-1]
+        for m in dv_sidecars:
+            if m < oldest or m > head_v:
+                sc = hpath_cls(f"{path}/{_dv_sidecar_rel(m)}")
+                if fs.exists(sc):
+                    _must(fs.delete(sc, False), "vacuum-dv-sidecar", sc)
+    for g in doomed_gens:
+        _must(
+            fs.delete(hpath_cls(f"{path}/{g}"), True),
+            "vacuum-dv-generation", g,
+        )
     # compact the checkpoint to the kept manifests' union: every file
     # that was only in dropped/checkpoint history and still local was
     # just deleted, so the kept union is again exactly 'everything ever
@@ -1426,6 +1583,7 @@ def vacuum(
     return {
         "files_deleted": len(doomed),
         "manifests_dropped": len(dropped),
+        "dv_generations_deleted": len(doomed_gens),
         "files_unmanifested": len(on_disk - all_man),
     }
 
@@ -1440,7 +1598,16 @@ def restore_snapshot(spark: SparkSession, path: str, version: int) -> int:
     as :func:`read_snapshot`). The CDC feed across a restore is exactly
     the NET REVERSAL of the feed it undoes (rows the undone rewrite
     deleted come back as inserts, its inserts as deletes). Returns the
-    newly published head version."""
+    newly published head version.
+
+    Deletion vectors restore WITH the snapshot: when the target version
+    was governed by a different vector than the head (e.g. the restore
+    undoes a :func:`mor_delete_where`), the new head gets a sidecar
+    re-pointing at the target's generation (or an explicit null). The
+    sidecar is written BEFORE the publish under the rewrite journal —
+    the same two-phase discipline as the MOR delete itself, so a crash
+    can never leave a head serving the wrong vector (recovery drops the
+    past-head sidecar; a lost race cleans it up here)."""
     recover_incomplete_rewrite(spark, path)
     versions = snapshot_versions(spark, path)
     if version not in versions:
@@ -1458,7 +1625,26 @@ def restore_snapshot(spark: SparkSession, path: str, version: int) -> int:
             f"cannot restore v{version}: files already vacuumed "
             f"{missing[:3]}{'...' if len(missing) > 3 else ''}"
         )
-    return publish_snapshot(spark, path, files)
+    head = versions[-1]
+    ref_target = _dv_ref_at(spark, path, version)
+    ref_head = _dv_ref_at(spark, path, head)
+    if ref_target == ref_head:
+        return publish_snapshot(spark, path, files)
+    before, tok = _begin_rewrite(spark, path, "restore_snapshot", head)
+    next_v = head + 1
+    _write_small_json(
+        fs, hpath_cls, path, _dv_sidecar_rel(next_v),
+        {"version": next_v, "dv": ref_target},
+    )
+    try:
+        return _finish_rewrite(
+            spark, path, head, before, tok, set(files)
+        )
+    except ConcurrentRewriteError:
+        sc = hpath_cls(f"{path}/{_dv_sidecar_rel(next_v)}")
+        if fs.exists(sc):
+            _must(fs.delete(sc, False), "restore-sidecar-cleanup", sc)
+        raise
 
 
 CLONE_MARKER = f"{MANIFEST_DIR}/clone.json"
@@ -1558,6 +1744,18 @@ def shallow_clone(
     # above is the SOURCE's; on a cross-FS clone it would misplace the
     # marker inside the source's store)
     dfs_, dhp_, _ = _hadoop_fs(spark, dst)
+    # a vector-governed source clones WITH its deletion vector: the
+    # clone's first version gets a sidecar whose ref points (absolutely)
+    # into the source's generation — without this, every MOR-deleted row
+    # would RESURRECT on the clone. Same read-only-reference contract as
+    # the data files: the clone's own dv_compact localizes, a source
+    # vacuum outside the clone's knowledge breaks it (fsck reports).
+    src_dv = _dv_ref_at(spark, src, src_version)
+    if src_dv is not None:
+        _write_small_json(
+            dfs_, dhp_, dst, _dv_sidecar_rel(v),
+            {"version": v, "dv": _entry_path(src, src_dv)},
+        )
     _write_small_json(
         dfs_, dhp_, dst, CLONE_MARKER,
         {"source": src, "source_version": src_version, "n_files": len(refs)},
@@ -1586,6 +1784,352 @@ def read_logs_at(
     return read_snapshot(spark, path, version).select(
         PARTITION_COLUMN, *LOG_COLUMNS
     )
+
+
+# ---------------------------------------------------------------------------
+# Deletion vectors — the MERGE-ON-READ third tier of the delete family
+# (in-place `table.delete_where` / copy-on-write `cow_delete_where` are the
+# other two). A MOR delete rewrites NO data file: it records the doomed
+# (file, row position) pairs in a positions dataset under `_dv/` and the
+# read path anti-joins them away — the Delta/Iceberg deletion-vector model.
+# At 100 TB this is the difference between a GDPR delete of 3 rows costing
+# one tiny parquet write vs rewriting a 1 GB file; once a file accumulates
+# enough positions, `dv_compact` folds them into a COW rewrite and clears
+# the vector.
+#
+# Layout:
+#   * `_dv/gen-<uuid>/` — a parquet dataset of (file string, pos long):
+#     the CUMULATIVE deleted positions in effect. Each MOR delete writes a
+#     NEW generation (old ∪ new positions); generations are immutable, so
+#     pinned readers of older snapshots keep resolving their own.
+#   * `_manifest/dv_v{N}.json` — {"version": N, "dv": "<gen rel>" | null}:
+#     the generation in effect FROM version N on (until a later sidecar).
+#     Version resolution is "latest sidecar at-or-before the snapshot", so
+#     `publish_snapshot` stays untouched: COW rewrites and plain appends
+#     inherit the head's vector automatically, and TIME TRAVEL reads get
+#     the historical vector for free. Dangling entries (positions of files
+#     a later COW rewrite replaced) never match a listed file — harmless.
+#
+# `file` keys are the entry's LAST TWO path components (day dir + file
+# name — identical for relative entries and absolute clone references, and
+# computable from `_metadata.file_path` inside Spark). Part files are
+# UUID-named, so key collisions cannot occur on engine write paths.
+# ---------------------------------------------------------------------------
+
+DV_DIR = "_dv"
+
+
+def _dv_key_of_entry(f: str) -> str:
+    """The deletion-vector join key of a manifest entry: its last two
+    path components (``date=X/part-....parquet``) — the same value
+    ``_read_data_files(with_pos=True)`` extracts from
+    ``_metadata.file_path``, whether the entry is relative or an absolute
+    clone reference."""
+    return "/".join(f.rsplit("/", 2)[-2:])
+
+
+def _dv_sidecar_rel(version: int) -> str:
+    return f"{MANIFEST_DIR}/dv_v{version}.json"
+
+
+def _dv_sidecar_versions(spark: SparkSession, path: str) -> list[int]:
+    """Versions that carry a deletion-vector sidecar, ascending. (The
+    ``dv_`` prefix keeps these invisible to :func:`snapshot_versions`,
+    which matches ``v*.json``.)"""
+    fs, hpath_cls, _ = _hadoop_fs(spark, path)
+    mdir = hpath_cls(f"{path}/{MANIFEST_DIR}")
+    if not fs.exists(mdir):
+        return []
+    out = []
+    for st in fs.listStatus(mdir):
+        name = st.getPath().getName()
+        if name.startswith("dv_v") and name.endswith(".json"):
+            try:
+                out.append(int(name[4:-5]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def _dv_ref_at(
+    spark: SparkSession, path: str, version: int
+) -> str | None:
+    """The deletion-vector generation in effect at a snapshot version:
+    the latest ``dv_v{M}.json`` with M <= version (its ``dv`` field may
+    be null — an explicit 'no vector from here on', written by
+    :func:`dv_compact` and by restores to pre-vector versions). None when
+    no sidecar governs the version. An unreadable sidecar is metadata
+    corruption and raises — silently reading the table WITHOUT its
+    vector would resurrect deleted rows."""
+    eligible = [
+        m for m in _dv_sidecar_versions(spark, path) if m <= version
+    ]
+    if not eligible:
+        return None
+    fs, hpath_cls, _ = _hadoop_fs(spark, path)
+    doc = _read_small_json(
+        fs, hpath_cls, path, _dv_sidecar_rel(max(eligible))
+    )
+    return doc.get("dv")
+
+
+def _read_dv(spark: SparkSession, path: str, ref: str) -> DataFrame:
+    """The (file, pos) rows of one deletion-vector generation. Refs are
+    normally table-relative (``_dv/gen-...``); a shallow clone of a
+    vector-governed source carries an ABSOLUTE ref into the source's
+    generation (the clone caveat applies, as for data files)."""
+    return spark.read.parquet(_entry_path(path, ref)).select("file", "pos")
+
+
+def _apply_dv(
+    df: DataFrame, dv: DataFrame, keep_keys: bool = False
+) -> DataFrame:
+    """Filter a ``with_pos=True`` read through a positions dataset: one
+    ANTI equi-join on (file key, row position), helper columns dropped
+    unless the caller still needs them (``keep_keys``). The vector side
+    is small by contract (``dv_compact`` folds oversized vectors into
+    rewrites), so AQE plans this as a broadcast join."""
+    out = df.join(
+        dv.select(
+            F.col("file").alias("__dv_key"), F.col("pos").alias("__dv_pos")
+        ),
+        ["__dv_key", "__dv_pos"],
+        "left_anti",
+    )
+    return out if keep_keys else out.drop("__dv_key", "__dv_pos")
+
+
+def has_live_dv(spark: SparkSession, path: str) -> bool:
+    """True when the head snapshot is governed by a deletion vector. The
+    IN-PLACE maintenance tier must refuse such tables: an in-place
+    rewrite reads raw parquet (no vector applied) and re-keys files, so
+    it would RESURRECT every MOR-deleted row. The COW verbs are safe —
+    they read through :func:`read_snapshot`."""
+    versions = snapshot_versions(spark, path)
+    if not versions:
+        return False
+    return _dv_ref_at(spark, path, versions[-1]) is not None
+
+
+def mor_delete_where(
+    spark: SparkSession,
+    path: str,
+    predicate,
+) -> dict:
+    """Merge-on-read row-level delete: record matching rows' (file, pos)
+    pairs in a new deletion-vector generation and publish a new snapshot
+    version governed by it — ZERO data files are written or replaced
+    (the survivor-materialization cost of :func:`cow_delete_where` is
+    deferred to :func:`dv_compact` / the next COW rewrite of the day).
+    Same NULL discipline as the other delete tiers: a row is deleted
+    only where the predicate is TRUE.
+
+    Concurrency/crash discipline mirrors the COW verbs: the rewrite
+    journal is claimed for the whole operation (mutual exclusion with
+    COW rewrites and other MOR deletes), the sidecar for version
+    base+1 is written BEFORE the validate-then-publish, and a loser or
+    crash cleans up: on a lost race this function deletes its own
+    sidecar + generation before re-raising; after a crash the journal
+    is live, so every maintenance entry point funnels through
+    :func:`recover_incomplete_rewrite`, which drops sidecars pointing
+    past the head (and their now-unreferenced generations are swept by
+    :func:`vacuum`).
+
+    Scale shape: one predicate scan over the (vector-applied) base
+    snapshot produces the new positions; the write is O(deleted rows),
+    the publish O(changed metadata). No survivor write, no shuffle of
+    table data."""
+    import uuid as _uuid
+
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    hit = F.coalesce(pred, F.lit(False))
+    base_version = _cow_base_version(spark, path)
+    live = _manifest_files(spark, path, base_version)
+    old_ref = _dv_ref_at(spark, path, base_version)
+    before, tok = _begin_rewrite(
+        spark, path, "mor_delete_where", base_version
+    )
+    fs, hpath_cls, _ = _hadoop_fs(spark, path)
+    marker = hpath_cls(f"{path}/{REWRITE_MARKER}")
+
+    def _release_marker() -> None:
+        # release only OUR claim — a competing recovery may have
+        # replaced the marker (same ownership check as _finish_rewrite)
+        if not fs.exists(marker):
+            return
+        try:
+            mine = (
+                _read_small_json(fs, hpath_cls, path, REWRITE_MARKER)
+                .get("token") == tok
+            )
+        except Exception:
+            mine = False
+        if mine:
+            _must(fs.delete(marker, False), "mor-marker-delete", marker)
+
+    try:
+        df = _read_data_files(spark, path, live, with_pos=True)
+        old_dv = (
+            _read_dv(spark, path, old_ref)
+            if old_ref is not None
+            else spark.createDataFrame([], "file string, pos long")
+        )
+        # positions of newly doomed rows — computed on the VECTOR-APPLIED
+        # base so already-deleted rows never re-count. Persisted so the
+        # predicate scan over the table runs ONCE (the count below and
+        # the generation write both consume the materialized positions,
+        # which are O(deleted rows), not O(table))
+        hits = (
+            _apply_dv(df.withColumn("__hit", hit), old_dv, keep_keys=True)
+            .filter(F.col("__hit"))
+            .select(
+                F.col("__dv_key").alias("file"),
+                F.col("__dv_pos").alias("pos"),
+            )
+            .persist()
+        )
+        try:
+            n_deleted = hits.count()
+            if n_deleted == 0:
+                _release_marker()
+                return {
+                    "version": base_version,
+                    "rows_deleted": 0,
+                    "dv": old_ref,
+                }
+            gen = f"{DV_DIR}/gen-{_uuid.uuid4().hex}"
+            new_dv = old_dv.unionByName(hits)
+            # positions are tiny relative to data by contract; rebalance
+            # lets AQE size the output files instead of one-per-task
+            new_dv.hint("rebalance").write.parquet(f"{path}/{gen}")
+        finally:
+            hits.unpersist()
+    except BaseException:
+        _release_marker()
+        raise
+    # two-phase publish: sidecar first (a crash before the manifest
+    # rename leaves a sidecar pointing PAST the head, which recovery
+    # drops), then the journal-validated manifest publish
+    next_v = base_version + 1
+    _write_small_json(
+        fs, hpath_cls, path, _dv_sidecar_rel(next_v),
+        {"version": next_v, "dv": gen},
+    )
+    try:
+        version = _finish_rewrite(
+            spark, path, base_version, before, tok, set(live)
+        )
+    except ConcurrentRewriteError:
+        # lost the race: our sidecar must not govern the winner's
+        # version — remove it and the orphan generation before re-raising
+        sc = hpath_cls(f"{path}/{_dv_sidecar_rel(next_v)}")
+        if fs.exists(sc):
+            _must(fs.delete(sc, False), "mor-sidecar-cleanup", sc)
+        gdir = hpath_cls(f"{path}/{gen}")
+        if fs.exists(gdir):
+            _must(fs.delete(gdir, True), "mor-gen-cleanup", gdir)
+        raise
+    return {"version": version, "rows_deleted": n_deleted, "dv": gen}
+
+
+def dv_compact(spark: SparkSession, path: str) -> dict:
+    """Fold the head's deletion vector into a copy-on-write rewrite and
+    clear it — the maintenance step that keeps merge-on-read reads
+    cheap (Delta's PURGE / Iceberg's rewrite-position-deletes): every
+    day holding a vector-referenced file is rewritten from the
+    vector-applied snapshot (survivors only, as NEW files), the new
+    manifest drops the replaced files, and an explicit-null sidecar
+    ends the vector's reign. After compaction the table reads with zero
+    anti-joins again; pinned older snapshots keep their historical
+    vectors and retained files untouched.
+
+    Scale: survivor write touches only vector-affected days; everything
+    else is manifest set algebra. Same journal/two-phase discipline as
+    :func:`mor_delete_where`."""
+    base_version = _cow_base_version(spark, path)
+    ref = _dv_ref_at(spark, path, base_version)
+    if ref is None:
+        return {
+            "version": base_version,
+            "partitions_rewritten": [],
+            "positions_folded": 0,
+        }
+    from .table import LOG_COLUMNS
+
+    live = _manifest_files(spark, path, base_version)
+    dv = _read_dv(spark, path, ref)
+    keys = {
+        r["file"] for r in dv.select("file").distinct().collect()
+    }  # bounded by vector-affected files
+    key2entry = {_dv_key_of_entry(f): f for f in live}
+    affected = sorted(key2entry[k] for k in keys if k in key2entry)
+    fs, hpath_cls, _ = _hadoop_fs(spark, path)
+    if not affected:
+        # the vector only references files a later COW rewrite already
+        # replaced — nothing to materialize, just end its reign
+        before, tok = _begin_rewrite(
+            spark, path, "dv_compact", base_version
+        )
+        next_v = base_version + 1
+        _write_small_json(
+            fs, hpath_cls, path, _dv_sidecar_rel(next_v),
+            {"version": next_v, "dv": None},
+        )
+        try:
+            version = _finish_rewrite(
+                spark, path, base_version, before, tok, set(live)
+            )
+        except ConcurrentRewriteError:
+            sc = hpath_cls(f"{path}/{_dv_sidecar_rel(next_v)}")
+            if fs.exists(sc):
+                _must(fs.delete(sc, False), "dvc-sidecar-cleanup", sc)
+            raise
+        return {
+            "version": version,
+            "partitions_rewritten": [],
+            "positions_folded": 0,
+        }
+    day_dirs = {_entry_day_dir(f) for f in affected}
+    if "" in day_dirs:
+        raise ValueError(
+            f"dv_compact({path}) cannot rewrite unpartitioned manifest "
+            "entries (bare filenames) — re-publish them under day "
+            "partitions first"
+        )
+    days = sorted(d.split("=", 1)[1] for d in day_dirs)
+    n_positions = dv.count()
+    before, tok = _begin_rewrite(spark, path, "dv_compact", base_version)
+    # a fault during the survivor write leaves the journal LIVE on
+    # purpose (the COW crash-window contract): the appended orphans are
+    # only identifiable via the journaled before-listing, so
+    # recover_incomplete_rewrite must find it
+    survivors = _restore_promotions(
+        spark, path,
+        read_snapshot(spark, path, base_version)
+        .select(PARTITION_COLUMN, *LOG_COLUMNS)
+        .filter(F.col(PARTITION_COLUMN).isin(days)),
+    )
+    _append_in_layout(spark, survivors, path)
+    replaced = {f for f in live if _entry_day_dir(f) in day_dirs}
+    next_v = base_version + 1
+    _write_small_json(
+        fs, hpath_cls, path, _dv_sidecar_rel(next_v),
+        {"version": next_v, "dv": None},
+    )
+    try:
+        version = _finish_rewrite(
+            spark, path, base_version, before, tok, set(live) - replaced
+        )
+    except ConcurrentRewriteError:
+        sc = hpath_cls(f"{path}/{_dv_sidecar_rel(next_v)}")
+        if fs.exists(sc):
+            _must(fs.delete(sc, False), "dvc-sidecar-cleanup", sc)
+        raise
+    return {
+        "version": version,
+        "partitions_rewritten": days,
+        "positions_folded": n_positions,
+    }
 
 
 def _read_all(stream) -> bytes:
@@ -1691,6 +2235,25 @@ def fsck(spark: SparkSession, path: str) -> dict:
             _read_small_json(fs, hpath_cls, path, REWRITE_MARKER)["before"]
         except Exception:
             journal_torn = True
+    # deletion-vector probes: the head's governing generation must exist
+    # on disk (a vacuumed/lost generation means MOR-deleted rows would
+    # resurrect — corruption, flips ok), and sidecars past the head are
+    # crashed MOR deletes awaiting recover_incomplete_rewrite
+    dv_missing = []
+    dv_orphan_sidecars = []
+    if versions:
+        try:
+            head_ref = _dv_ref_at(spark, path, versions[-1])
+        except Exception:
+            head_ref, dv_missing = None, ["<unreadable dv sidecar>"]
+        if head_ref is not None and not _entry_exists(
+            spark, fs, hpath_cls, path, head_ref
+        ):
+            dv_missing.append(head_ref)
+        dv_orphan_sidecars = [
+            m for m in _dv_sidecar_versions(spark, path)
+            if m > versions[-1]
+        ]
     return {
         "versions": versions,
         "n_files_on_disk": len(on_disk),
@@ -1700,8 +2263,11 @@ def fsck(spark: SparkSession, path: str) -> dict:
         "unresolvable": unresolvable,
         "journal_live": journal_live,
         "journal_torn": journal_torn,
+        "dv_missing": dv_missing,
+        "dv_orphan_sidecars": dv_orphan_sidecars,
         "ok": not missing.get(versions[-1] if versions else None)
         and not journal_torn
+        and not dv_missing
         and (versions[-1] not in unresolvable if versions else True),
     }
 
@@ -1766,6 +2332,18 @@ def maintain(
         )
     else:
         report["journal_recovered"] = recover_incomplete_rewrite(spark, path)
+        # fold any live deletion vector FIRST (merge-on-read deletes stop
+        # taxing every read with the anti-join, and the fold rewrites
+        # affected days — recomputing fragmentation after it avoids
+        # compacting the same day twice)
+        if has_live_dv(spark, path):
+            dres = dv_compact(spark, path)
+            report["dv_compacted"] = {
+                "partitions_rewritten": dres["partitions_rewritten"],
+                "positions_folded": dres["positions_folded"],
+            }
+    if dry_run:
+        report["would_dv_compact"] = has_live_dv(spark, path)
     head = snapshot_versions(spark, path)[-1]
     per_day: dict[str, int] = {}
     for f in _manifest_files(spark, path, head):

@@ -3772,6 +3772,99 @@ def q_stream_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_table_mor_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The merge-on-read delete lifecycle (deletion vectors — the third
+    delete tier after in-place and copy-on-write) externally
+    hash-checked in one pass: write a week → snapshot v1 → MOR-DELETE
+    pod-7 (manifest.mor_delete_where: positions recorded in a `_dv/`
+    generation, ZERO data files written — the v1→v2 manifest file lists
+    must be IDENTICAL, emitted as a files_churned count the oracle
+    expects absent) → the v1→v2 CDC feed must be pure deletes (the
+    position-diff path of snapshot_changes) → a pinned v1 read still
+    serves everything (historical vector resolution) → RESTORE v1 (the
+    v2→v3 feed is the pure-insert reversal, the restore re-points the
+    vector sidecar) → MOR-DELETE again → DV_COMPACT folds the vector
+    into a COW rewrite and clears it → the final per-day read. Every
+    number is recomputed by the oracle from events arithmetic; a
+    resurrected row, a wrong vector resolution, a non-reversing
+    restore, or a lossy fold all break the hash."""
+    import tempfile
+
+    from ..manifest import (
+        _manifest_files,
+        dv_compact,
+        mor_delete_where,
+        publish_snapshot,
+        read_logs_at,
+        snapshot_changes,
+    )
+    from ..manifest import restore_snapshot as _restore
+    from ..table import write_logs
+    from ..views import derive_logs_from_events
+
+    logs = derive_logs_from_events(spark, sf_dir).filter(
+        F.col("timestamp") < TT_CUT_V1
+    )
+    base = tempfile.mkdtemp(prefix="klogs-morlife-")
+    tdir = f"{base}/logs"
+    write_logs(logs, tdir)
+    v1 = publish_snapshot(spark, tdir)
+    n_v1 = read_logs_at(spark, tdir).count()
+    r = mor_delete_where(spark, tdir, F.col("pod_name") == "pod-7")
+    v2 = r["version"]
+    churned = set(_manifest_files(spark, tdir, v1)) ^ set(
+        _manifest_files(spark, tdir, v2)
+    )
+    delete_feed = snapshot_changes(spark, tdir, v1, v2)
+    n_pinned = read_logs_at(spark, tdir, v1).count()
+    v3 = _restore(spark, tdir, v1)
+    undelete_feed = snapshot_changes(spark, tdir, v2, v3)
+    stage_counts = [
+        ("files_churned", len(churned)),
+        ("delete_feed",
+         delete_feed.filter("_change_type = 'delete'").count()),
+        ("nondelete_feed",
+         delete_feed.filter("_change_type <> 'delete'").count()),
+        ("pinned_v1", n_pinned),
+        ("undelete_feed",
+         undelete_feed.filter("_change_type = 'insert'").count()),
+    ]
+    mor_delete_where(spark, tdir, F.col("pod_name") == "pod-7")
+    folded = dv_compact(spark, tdir)["positions_folded"]
+    stage_counts.append(("folded", folded))
+    stages = spark.createDataFrame(
+        [(s, "total", n) for s, n in stage_counts if n > 0],
+        "stage string, day string, n long",
+    )
+    per_day = read_logs_at(spark, tdir).groupBy(
+        F.lit("post_compact").alias("stage"),
+        F.col("date").cast("string").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return stages.unionByName(per_day)
+
+
+SQL_TABLE_MOR_LIFECYCLE = f"""
+WITH wk AS (
+  SELECT CAST(ts AS DATE) AS day, user_id % 50 AS pod FROM events
+  WHERE ts < TIMESTAMP '{TT_CUT_V1} 00:00:00'
+)
+SELECT 'delete_feed' AS stage, 'total' AS day, count(*) AS n
+FROM wk WHERE pod = 7
+UNION ALL
+SELECT 'pinned_v1', 'total', count(*) FROM wk
+UNION ALL
+SELECT 'undelete_feed', 'total', count(*) FROM wk WHERE pod = 7
+UNION ALL
+SELECT 'folded', 'total', count(*) FROM wk WHERE pod = 7
+UNION ALL
+SELECT 'post_compact', CAST(day AS VARCHAR), count(*)
+FROM wk WHERE pod <> 7 GROUP BY 2
+"""
+# note: the oracle has no 'files_churned' row (a MOR delete that rewrote
+# or dropped ANY data file would emit one and break the row match) and no
+# 'nondelete_feed' row (a feed polluted with spurious inserts would).
+
+
 SPECS = {
     "ingest_decode_pipeline": QuerySpec(
         q_ingest_pipeline,
@@ -3899,6 +3992,13 @@ SPECS = {
         "promoted-column rewrite: map-key predicate transparently served "
         "by the materialized physical column (marker-driven, plan-asserted "
         "map-free)",
+    ),
+    "table_mor_lifecycle": QuerySpec(
+        q_table_mor_lifecycle, SQL_TABLE_MOR_LIFECYCLE,
+        "deletion-vector (merge-on-read) lifecycle: MOR delete with "
+        "zero file churn, pure-delete CDC via the position diff, "
+        "historical vector pinning, restore reversal, dv_compact fold; "
+        "every stage count vs events arithmetic",
     ),
     "table_cow_lifecycle": QuerySpec(
         q_table_cow_lifecycle, SQL_TABLE_COW_LIFECYCLE,

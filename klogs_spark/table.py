@@ -357,7 +357,7 @@ def _refuse_inplace_on_clone(spark: SparkSession, path: str, op: str) -> None:
     retention/backfill pass would silently skip (or half-apply to) the
     rows served through those references. The COW verbs handle clones
     correctly — route there."""
-    from .manifest import head_has_absolute_refs
+    from .manifest import has_live_dv, head_has_absolute_refs
 
     if head_has_absolute_refs(spark, path):
         raise ValueError(
@@ -366,6 +366,15 @@ def _refuse_inplace_on_clone(spark: SparkSession, path: str, op: str) -> None:
             "maintenance sees only clone-local files and would silently "
             "half-apply; use the COW tier (cow_delete_where / "
             "cow_compact_partition / cow_merge_upsert) instead"
+        )
+    if has_live_dv(spark, path):
+        raise ValueError(
+            f"{op}({path}) refused: the head snapshot is governed by a "
+            "deletion vector (merge-on-read deletes) — an in-place "
+            "rewrite reads raw parquet without the vector and re-keys "
+            "files, RESURRECTING every MOR-deleted row; run dv_compact "
+            "(or use the COW tier, which reads through read_snapshot) "
+            "first"
         )
 
 

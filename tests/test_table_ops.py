@@ -2639,7 +2639,7 @@ from hypothesis import strategies as st
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(ops=st.lists(st.sampled_from(
     ["append", "cow_delete", "cow_compact", "restore", "clone", "vacuum",
-     "publish", "maintain",
+     "publish", "maintain", "mor_delete", "dv_compact",
      # failure injections (r16 judge task): crash artifacts and corrupt
      # metadata interleaved with real ops — invariants must still hold
      "corrupt_ckpt", "torn_vacuum", "crash_rewrite"]),
@@ -2672,7 +2672,9 @@ def test_manifest_layer_randomized_op_sequences_hold_invariants(
         ConcurrentRewriteError,
         cow_compact_partition,
         cow_delete_where,
+        dv_compact,
         maintain,
+        mor_delete_where,
         publish_snapshot,
         read_snapshot,
         restore_snapshot,
@@ -2718,6 +2720,16 @@ def test_manifest_layer_randomized_op_sequences_hold_invariants(
             cow_delete_where(spark, path, F.col("pod_name") == "pod-7")
             total -= p7
             p7 = 0
+        elif op == "mor_delete" and p7 > 0:
+            # merge-on-read: same served state as cow_delete, zero data
+            # files touched — every later op must honor the vector
+            # (publish inheritance, restore re-pointing, vacuum gen
+            # retention, maintain folding, clone-of-a-vectored head)
+            mor_delete_where(spark, path, F.col("pod_name") == "pod-7")
+            total -= p7
+            p7 = 0
+        elif op == "dv_compact":
+            dv_compact(spark, path)  # fold + clear; served state fixed
         elif op == "cow_compact":
             cow_compact_partition(spark, path, "date=2024-01-01")
         elif op == "restore":
@@ -3281,3 +3293,334 @@ def test_maintain_ignores_foreign_kv_parent_dirs(spark, tmp_path):
     )
     assert all(d.startswith("date=") for d in rep["would_compact"])
     assert all(d.startswith("date=") for d in rep["would_retire"])
+
+
+# ---------------------------------------------------------------------------
+# Deletion vectors (merge-on-read deletes) — the third delete tier
+# ---------------------------------------------------------------------------
+
+
+def _dv_table(spark, logs_df, tmp_path):
+    from klogs_spark.manifest import publish_snapshot
+
+    path = str(tmp_path / "logs")
+    write_logs(logs_df, path)
+    v1 = publish_snapshot(spark, path)
+    return path, v1
+
+
+def _data_file_mtimes(path):
+    import glob
+    import os
+
+    return {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{path}/date=*/*.parquet")
+    }
+
+
+def test_mor_delete_touches_no_data_files_and_pins_history(
+    spark, logs_df, tmp_path
+):
+    from klogs_spark.manifest import (
+        has_live_dv,
+        mor_delete_where,
+        read_logs_at,
+    )
+
+    path, v1 = _dv_table(spark, logs_df, tmp_path)
+    n1 = read_logs_at(spark, path).count()
+    before = _data_file_mtimes(path)
+    res = mor_delete_where(spark, path, F.col("pod_name") == "pod-1")
+    n_pod1 = logs_df.filter("pod_name = 'pod-1'").count()
+    assert res["rows_deleted"] == n_pod1 > 0
+    assert res["version"] == v1 + 1
+    # the whole point of merge-on-read: zero data files written/replaced
+    assert _data_file_mtimes(path) == before
+    head = read_logs_at(spark, path)
+    assert head.count() == n1 - n_pod1
+    assert head.filter("pod_name = 'pod-1'").count() == 0
+    # pinned reader of v1 still sees everything
+    assert read_logs_at(spark, path, v1).count() == n1
+    assert has_live_dv(spark, path)
+
+
+def test_mor_delete_null_predicate_rows_survive_and_deletes_accumulate(
+    spark, logs_df, tmp_path
+):
+    from klogs_spark.manifest import mor_delete_where, read_logs_at
+
+    path, v1 = _dv_table(spark, logs_df, tmp_path)
+    n1 = read_logs_at(spark, path).count()
+    # element_at on a missing key is NULL -> NULL predicate must KEEP
+    r1 = mor_delete_where(
+        spark, path,
+        F.element_at("fields_number", "missing_key") > 1e9,
+    )
+    assert r1["rows_deleted"] == 0
+    assert r1["version"] == v1  # no-op publishes nothing
+    r2 = mor_delete_where(spark, path, "pod_name = 'pod-0'")
+    r3 = mor_delete_where(spark, path, "pod_name = 'pod-2'")
+    assert r3["version"] == r2["version"] + 1
+    n0 = logs_df.filter("pod_name = 'pod-0'").count()
+    n2 = logs_df.filter("pod_name = 'pod-2'").count()
+    assert read_logs_at(spark, path).count() == n1 - n0 - n2
+    # intermediate version resolves only ITS vector (historical reads)
+    assert read_logs_at(spark, path, r2["version"]).count() == n1 - n0
+
+
+def test_inplace_tier_refuses_live_deletion_vector(
+    spark, logs_df, tmp_path
+):
+    from klogs_spark.manifest import mor_delete_where
+    from klogs_spark.table import delete_where
+
+    path, _ = _dv_table(spark, logs_df, tmp_path)
+    mor_delete_where(spark, path, "pod_name = 'pod-1'")
+    with pytest.raises(ValueError, match="deletion vector"):
+        delete_where(spark, path, F.col("pod_name") == "pod-0")
+
+
+def test_mor_cdc_pure_deletes_and_restore_reverses(
+    spark, logs_df, tmp_path
+):
+    from klogs_spark.manifest import (
+        mor_delete_where,
+        read_logs_at,
+        restore_snapshot,
+        snapshot_changes,
+    )
+
+    path, v1 = _dv_table(spark, logs_df, tmp_path)
+    n1 = read_logs_at(spark, path).count()
+    res = mor_delete_where(spark, path, "pod_name = 'pod-1'")
+    v2 = res["version"]
+    feed = snapshot_changes(spark, path, v1, v2)
+    by_type = {
+        r["_change_type"]: r["n"]
+        for r in feed.groupBy("_change_type")
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert by_type == {"delete": res["rows_deleted"]}
+    assert (
+        feed.filter("pod_name <> 'pod-1'").count() == 0
+    ), "only the deleted pod's rows may appear in the feed"
+    # restore undoes the MOR delete: head is whole again, feed reverses
+    v3 = restore_snapshot(spark, path, v1)
+    assert read_logs_at(spark, path).count() == n1
+    feed2 = snapshot_changes(spark, path, v2, v3)
+    by_type2 = {
+        r["_change_type"]: r["n"]
+        for r in feed2.groupBy("_change_type")
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert by_type2 == {"insert": res["rows_deleted"]}
+
+
+def test_cow_rewrite_after_mor_delete_materializes_survivors(
+    spark, logs_df, tmp_path
+):
+    from klogs_spark.manifest import (
+        cow_compact_partition,
+        mor_delete_where,
+        read_logs_at,
+    )
+
+    path, _ = _dv_table(spark, logs_df, tmp_path)
+    n1 = read_logs_at(spark, path).count()
+    res = mor_delete_where(spark, path, "pod_name = 'pod-1'")
+    day = "date=2026-01-01"
+    cow_compact_partition(spark, path, day)
+    # head unchanged row-wise, and the compacted files PHYSICALLY lack
+    # the MOR-deleted rows (the rewrite read through the vector)
+    head = read_logs_at(spark, path)
+    assert head.count() == n1 - res["rows_deleted"]
+    assert head.filter("pod_name = 'pod-1'").count() == 0
+
+
+def test_dv_compact_folds_vector_and_clears_pointer(
+    spark, logs_df, tmp_path
+):
+    from klogs_spark.manifest import (
+        dv_compact,
+        has_live_dv,
+        mor_delete_where,
+        read_logs_at,
+    )
+
+    path, _ = _dv_table(spark, logs_df, tmp_path)
+    n1 = read_logs_at(spark, path).count()
+    res = mor_delete_where(spark, path, "pod_name = 'pod-1'")
+    rep = dv_compact(spark, path)
+    assert rep["positions_folded"] == res["rows_deleted"]
+    assert rep["partitions_rewritten"] == ["2026-01-01"]
+    assert not has_live_dv(spark, path)
+    head = read_logs_at(spark, path)
+    assert head.count() == n1 - res["rows_deleted"]
+    assert head.filter("pod_name = 'pod-1'").count() == 0
+    # idempotent: a vector-free table is a no-op
+    rep2 = dv_compact(spark, path)
+    assert rep2["positions_folded"] == 0
+
+
+def test_vacuum_dv_retention_keeps_pinned_generations(
+    spark, logs_df, tmp_path
+):
+    import glob
+
+    from klogs_spark.manifest import (
+        _dv_sidecar_versions,
+        mor_delete_where,
+        read_logs_at,
+        vacuum,
+    )
+
+    path, v1 = _dv_table(spark, logs_df, tmp_path)
+    n1 = read_logs_at(spark, path).count()
+    r2 = mor_delete_where(spark, path, "pod_name = 'pod-1'")
+    r3 = mor_delete_where(spark, path, "pod_name = 'pod-2'")
+    assert len(glob.glob(f"{path}/_dv/gen-*")) == 2
+    # horizon covers both vector versions: nothing swept
+    rep = vacuum(spark, path, keep_versions=2)
+    assert rep["dv_generations_deleted"] == 0
+    assert read_logs_at(spark, path, r2["version"]).count() == n1 - r2[
+        "rows_deleted"
+    ]
+    # horizon shrinks to the head: the older generation is reclaimed,
+    # the surviving sidecar re-anchors at the oldest kept version
+    rep2 = vacuum(spark, path, keep_versions=1)
+    assert rep2["dv_generations_deleted"] == 1
+    assert len(glob.glob(f"{path}/_dv/gen-*")) == 1
+    assert _dv_sidecar_versions(spark, path) == [r3["version"]]
+    assert (
+        read_logs_at(spark, path).count()
+        == n1 - r2["rows_deleted"] - r3["rows_deleted"]
+    )
+
+
+def test_crashed_mor_delete_recovery_drops_orphan_sidecar(
+    spark, logs_df, tmp_path
+):
+    import json
+    import os
+
+    from klogs_spark.manifest import (
+        MANIFEST_DIR,
+        REWRITE_MARKER,
+        _dv_sidecar_versions,
+        fsck,
+        has_live_dv,
+        recover_incomplete_rewrite,
+        snapshot_versions,
+    )
+
+    path, v1 = _dv_table(spark, logs_df, tmp_path)
+    # simulate the crash window: sidecar for v2 written, journal live,
+    # manifest publish never happened
+    head = snapshot_versions(spark, path)[-1]
+    orphan = f"{path}/{MANIFEST_DIR}/dv_v{head + 1}.json"
+    with open(orphan, "w") as f:
+        json.dump({"version": head + 1, "dv": "_dv/gen-crashed"}, f)
+    with open(f"{path}/{REWRITE_MARKER}", "w") as f:
+        json.dump({"op": "mor_delete_where", "before": [], "token": "t"}, f)
+    rep = fsck(spark, path)
+    assert rep["dv_orphan_sidecars"] == [head + 1]
+    recover_incomplete_rewrite(spark, path)
+    assert _dv_sidecar_versions(spark, path) == []
+    assert not os.path.exists(orphan)
+    # the next published version is NOT governed by the crashed delete
+    assert not has_live_dv(spark, path)
+
+
+def test_fsck_flags_missing_dv_generation(spark, logs_df, tmp_path):
+    import shutil
+
+    from klogs_spark.manifest import fsck, mor_delete_where
+
+    path, _ = _dv_table(spark, logs_df, tmp_path)
+    res = mor_delete_where(spark, path, "pod_name = 'pod-1'")
+    assert fsck(spark, path)["ok"]
+    shutil.rmtree(f"{path}/{res['dv']}")
+    rep = fsck(spark, path)
+    assert rep["dv_missing"] == [res["dv"]]
+    assert not rep["ok"]
+
+
+def test_maintain_folds_live_vector(spark, logs_df, tmp_path):
+    from klogs_spark.manifest import (
+        has_live_dv,
+        maintain,
+        mor_delete_where,
+        read_logs_at,
+    )
+
+    path, _ = _dv_table(spark, logs_df, tmp_path)
+    n1 = read_logs_at(spark, path).count()
+    res = mor_delete_where(spark, path, "pod_name = 'pod-1'")
+    plan = maintain(spark, path, dry_run=True)
+    assert plan["would_dv_compact"] is True
+    rep = maintain(spark, path)
+    assert rep["dv_compacted"]["positions_folded"] == res["rows_deleted"]
+    assert not has_live_dv(spark, path)
+    assert read_logs_at(spark, path).count() == n1 - res["rows_deleted"]
+
+
+def test_shallow_clone_inherits_deletion_vector(spark, logs_df, tmp_path):
+    from klogs_spark.manifest import (
+        dv_compact,
+        has_live_dv,
+        mor_delete_where,
+        read_logs_at,
+        shallow_clone,
+    )
+
+    src = str(tmp_path / "src")
+    write_logs(logs_df, src)
+    from klogs_spark.manifest import publish_snapshot
+
+    publish_snapshot(spark, src)
+    n1 = read_logs_at(spark, src).count()
+    res = mor_delete_where(spark, src, "pod_name = 'pod-1'")
+    dst = str(tmp_path / "clone")
+    shallow_clone(spark, src, dst)
+    # the clone serves the source's VECTOR-APPLIED state — without the
+    # sidecar copy every MOR-deleted row would resurrect here
+    got = read_logs_at(spark, dst)
+    assert got.count() == n1 - res["rows_deleted"]
+    assert got.filter("pod_name = 'pod-1'").count() == 0
+    assert has_live_dv(spark, dst)
+    # localizing the vector on the clone never touches the source
+    src_mtimes = _data_file_mtimes(src)
+    dv_compact(spark, dst)
+    assert not has_live_dv(spark, dst)
+    assert read_logs_at(spark, dst).count() == n1 - res["rows_deleted"]
+    assert _data_file_mtimes(src) == src_mtimes
+    assert has_live_dv(spark, src)  # source keeps ITS vector
+
+
+def test_dv_read_plans_broadcast_anti_join_with_pushdown(
+    spark, logs_df, tmp_path
+):
+    """The merge-on-read read path's 100 TB shape: the vector applies as
+    a BROADCAST LeftAnti join (positions are small by the dv_compact
+    contract — a shuffle anti-join here would re-shuffle the table for a
+    3-row GDPR delete), and a partition-column predicate still reaches
+    the scan's partition filters through the join."""
+    from klogs_spark.manifest import (
+        mor_delete_where,
+        publish_snapshot,
+        read_logs_at,
+    )
+
+    path = str(tmp_path / "logs")
+    write_logs(logs_df, path)
+    publish_snapshot(spark, path)
+    mor_delete_where(spark, path, "pod_name = 'pod-1'")
+    df = read_logs_at(spark, path).filter(F.col("date") == "2026-01-01")
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "PartitionFilters: [isnotnull(date" in plan
+    assert "2026-01-01" in plan

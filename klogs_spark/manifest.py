@@ -186,20 +186,30 @@ def _unmanifested_files(spark: SparkSession, path: str) -> set[str]:
     return on_disk - _all_manifested(spark, path)
 
 
-def snapshot_versions(spark: SparkSession, path: str) -> list[int]:
+def _list_manifest_names(spark: SparkSession, path: str) -> list[str]:
+    """One listStatus of ``_manifest`` — the shared walk behind
+    :func:`snapshot_versions` and :func:`_dv_sidecar_versions`, so read
+    paths that need both (read_snapshot) pay a single directory scan."""
     fs, hpath_cls, _ = _hadoop_fs(spark, path)
     mdir = hpath_cls(f"{path}/{MANIFEST_DIR}")
     if not fs.exists(mdir):
         return []
+    return [f.getPath().getName() for f in fs.listStatus(mdir)]
+
+
+def _versions_from_names(names: list[str]) -> list[int]:
     versions = []
-    for f in fs.listStatus(mdir):
-        name = f.getPath().getName()
+    for name in names:
         if name.startswith("v") and name.endswith(".json"):
             try:
                 versions.append(int(name[1:-5]))
             except ValueError:
                 continue
     return sorted(versions)
+
+
+def snapshot_versions(spark: SparkSession, path: str) -> list[int]:
+    return _versions_from_names(_list_manifest_names(spark, path))
 
 
 CHECKPOINT_REL = f"{MANIFEST_DIR}/_checkpoint.json"
@@ -507,7 +517,8 @@ def read_snapshot(
     epoch-millis, resolved via :func:`version_as_of`."""
     if version is not None and as_of_ms is not None:
         raise ValueError("pass version OR as_of_ms, not both")
-    versions = snapshot_versions(spark, path)
+    names = _list_manifest_names(spark, path)  # one walk serves both
+    versions = _versions_from_names(names)
     if not versions:
         raise FileNotFoundError(f"no snapshots published under {path}")
     if as_of_ms is not None:
@@ -532,7 +543,9 @@ def read_snapshot(
     # merge-on-read: a snapshot governed by a deletion vector anti-joins
     # its (file, pos) tombstones away; version resolution gives pinned
     # readers the HISTORICAL vector of their snapshot, not the head's
-    dv_ref = _dv_ref_at(spark, path, version)
+    dv_ref = _dv_ref_at(
+        spark, path, version, sidecars=_dv_versions_from_names(names)
+    )
     if dv_ref is None:
         return _read_data_files(spark, path, files)
     return _apply_dv(
@@ -1378,10 +1391,23 @@ def cow_compact_partition(
         return {"version": base_version, "files_compacted": 0}
     from .table import LOG_COLUMNS
 
+    # the fragment read MUST apply the base version's deletion vector:
+    # a raw read of a vector-governed day would materialize MOR-deleted
+    # rows into the compacted files and silently resurrect them (the new
+    # files carry fresh keys, so the vector's positions dangle) — the
+    # review-found counterpart of the read_snapshot path every other COW
+    # verb already takes
+    dv_ref = _dv_ref_at(spark, path, base_version)
+    if dv_ref is None:
+        frag_rows = _read_data_files(spark, path, frags)
+    else:
+        frag_rows = _apply_dv(
+            _read_data_files(spark, path, frags, with_pos=True),
+            _read_dv(spark, path, dv_ref),
+        )
     rows = _restore_promotions(
         spark, path,
-        _read_data_files(spark, path, frags)
-        .select(PARTITION_COLUMN, *LOG_COLUMNS),
+        frag_rows.select(PARTITION_COLUMN, *LOG_COLUMNS),
     )
     # same crash journal + race validation as cow_delete_where
     before, tok = _begin_rewrite(
@@ -1739,10 +1765,9 @@ def shallow_clone(
             f"shallow_clone: source files missing {missing[:3]}"
         )
     _write_layout_marker(spark, dst, read_layout(spark, src))
-    v = publish_snapshot(spark, dst, refs)
-    # the marker lands under DST — resolve its own FileSystem (the handle
-    # above is the SOURCE's; on a cross-FS clone it would misplace the
-    # marker inside the source's store)
+    # markers land under DST — resolve its own FileSystem (the handle
+    # above is the SOURCE's; on a cross-FS clone it would misplace them
+    # inside the source's store)
     dfs_, dhp_, _ = _hadoop_fs(spark, dst)
     # a vector-governed source clones WITH its deletion vector: the
     # clone's first version gets a sidecar whose ref points (absolutely)
@@ -1750,12 +1775,31 @@ def shallow_clone(
     # would RESURRECT on the clone. Same read-only-reference contract as
     # the data files: the clone's own dv_compact localizes, a source
     # vacuum outside the clone's knowledge breaks it (fsck reports).
+    # Written BEFORE the publish (clone of a fresh dst is always v1) —
+    # the MOR two-phase rule: a sidecar without a manifest is cleaned up
+    # below, a manifest without its sidecar is silent wrong data. A
+    # crash between the two leaves dst manifest-less with a stray
+    # dv_v1.json; re-cloning the SAME source adopts an identical
+    # sidecar, and any other use starts from 'no snapshots'.
+    # dst has no snapshots (checked above), so any sidecar under it is a
+    # crashed earlier clone's remnant — possibly of a DIFFERENT source;
+    # clear them so a stale vector can never govern this clone's v1
+    for m in _dv_sidecar_versions(spark, dst):
+        dfs_.delete(dhp_(f"{dst}/{_dv_sidecar_rel(m)}"), False)
     src_dv = _dv_ref_at(spark, src, src_version)
     if src_dv is not None:
         _write_small_json(
-            dfs_, dhp_, dst, _dv_sidecar_rel(v),
-            {"version": v, "dv": _entry_path(src, src_dv)},
+            dfs_, dhp_, dst, _dv_sidecar_rel(1),
+            {"version": 1, "dv": _entry_path(src, src_dv)},
         )
+    try:
+        v = publish_snapshot(spark, dst, refs)
+    except BaseException:
+        if src_dv is not None:
+            sc = dhp_(f"{dst}/{_dv_sidecar_rel(1)}")
+            if dfs_.exists(sc):
+                dfs_.delete(sc, False)
+        raise
     _write_small_json(
         dfs_, dhp_, dst, CLONE_MARKER,
         {"source": src, "source_version": src_version, "n_files": len(refs)},
@@ -1832,17 +1876,9 @@ def _dv_sidecar_rel(version: int) -> str:
     return f"{MANIFEST_DIR}/dv_v{version}.json"
 
 
-def _dv_sidecar_versions(spark: SparkSession, path: str) -> list[int]:
-    """Versions that carry a deletion-vector sidecar, ascending. (The
-    ``dv_`` prefix keeps these invisible to :func:`snapshot_versions`,
-    which matches ``v*.json``.)"""
-    fs, hpath_cls, _ = _hadoop_fs(spark, path)
-    mdir = hpath_cls(f"{path}/{MANIFEST_DIR}")
-    if not fs.exists(mdir):
-        return []
+def _dv_versions_from_names(names: list[str]) -> list[int]:
     out = []
-    for st in fs.listStatus(mdir):
-        name = st.getPath().getName()
+    for name in names:
         if name.startswith("dv_v") and name.endswith(".json"):
             try:
                 out.append(int(name[4:-5]))
@@ -1851,8 +1887,15 @@ def _dv_sidecar_versions(spark: SparkSession, path: str) -> list[int]:
     return sorted(out)
 
 
+def _dv_sidecar_versions(spark: SparkSession, path: str) -> list[int]:
+    """Versions that carry a deletion-vector sidecar, ascending. (The
+    ``dv_`` prefix keeps these invisible to :func:`snapshot_versions`,
+    which matches ``v*.json``.)"""
+    return _dv_versions_from_names(_list_manifest_names(spark, path))
+
+
 def _dv_ref_at(
-    spark: SparkSession, path: str, version: int
+    spark: SparkSession, path: str, version: int, sidecars=None
 ) -> str | None:
     """The deletion-vector generation in effect at a snapshot version:
     the latest ``dv_v{M}.json`` with M <= version (its ``dv`` field may
@@ -1860,10 +1903,11 @@ def _dv_ref_at(
     :func:`dv_compact` and by restores to pre-vector versions). None when
     no sidecar governs the version. An unreadable sidecar is metadata
     corruption and raises — silently reading the table WITHOUT its
-    vector would resurrect deleted rows."""
-    eligible = [
-        m for m in _dv_sidecar_versions(spark, path) if m <= version
-    ]
+    vector would resurrect deleted rows. ``sidecars`` lets callers that
+    already walked ``_manifest`` skip the second directory listing."""
+    if sidecars is None:
+        sidecars = _dv_sidecar_versions(spark, path)
+    eligible = [m for m in sidecars if m <= version]
     if not eligible:
         return None
     fs, hpath_cls, _ = _hadoop_fs(spark, path)
@@ -1905,10 +1949,14 @@ def has_live_dv(spark: SparkSession, path: str) -> bool:
     rewrite reads raw parquet (no vector applied) and re-keys files, so
     it would RESURRECT every MOR-deleted row. The COW verbs are safe —
     they read through :func:`read_snapshot`."""
-    versions = snapshot_versions(spark, path)
+    names = _list_manifest_names(spark, path)  # one walk serves both
+    versions = _versions_from_names(names)
     if not versions:
         return False
-    return _dv_ref_at(spark, path, versions[-1]) is not None
+    return _dv_ref_at(
+        spark, path, versions[-1],
+        sidecars=_dv_versions_from_names(names),
+    ) is not None
 
 
 def mor_delete_where(

@@ -3809,7 +3809,6 @@ def q_table_mor_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     tdir = f"{base}/logs"
     write_logs(logs, tdir)
     v1 = publish_snapshot(spark, tdir)
-    n_v1 = read_logs_at(spark, tdir).count()
     r = mor_delete_where(spark, tdir, F.col("pod_name") == "pod-7")
     v2 = r["version"]
     churned = set(_manifest_files(spark, tdir, v1)) ^ set(
@@ -3828,6 +3827,10 @@ def q_table_mor_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("pinned_v1", n_pinned),
         ("undelete_feed",
          undelete_feed.filter("_change_type = 'insert'").count()),
+        # a restore feed polluted with spurious deletes would keep the
+        # insert count intact — pin the other side to zero too
+        ("undelete_nondelete",
+         undelete_feed.filter("_change_type <> 'insert'").count()),
     ]
     mor_delete_where(spark, tdir, F.col("pod_name") == "pod-7")
     folded = dv_compact(spark, tdir)["positions_folded"]
@@ -3861,8 +3864,10 @@ SELECT 'post_compact', CAST(day AS VARCHAR), count(*)
 FROM wk WHERE pod <> 7 GROUP BY 2
 """
 # note: the oracle has no 'files_churned' row (a MOR delete that rewrote
-# or dropped ANY data file would emit one and break the row match) and no
-# 'nondelete_feed' row (a feed polluted with spurious inserts would).
+# or dropped ANY data file would emit one and break the row match), no
+# 'nondelete_feed' row (a delete feed polluted with spurious inserts
+# would emit one), and no 'undelete_nondelete' row (a restore feed
+# polluted with spurious deletes would).
 
 
 SPECS = {

@@ -2697,7 +2697,12 @@ def test_manifest_layer_randomized_op_sequences_hold_invariants(
     pod7 = [d.filter("pod_name = 'pod-7'").count() for d in days]
 
     path = str(base_dir / "t0")
-    write_logs(days[0], path)
+    # two slivers -> day 1 is genuinely fragmented, so the cow_compact op
+    # actually rewrites (a single-file day no-ops it, which is how the
+    # raw-read resurrect bug in cow_compact_partition hid from this
+    # suite's mor_delete+cow_compact interleavings)
+    write_logs(days[0].filter("user_id % 2 = 0"), path)
+    write_logs(days[0].filter("user_id % 2 = 1"), path, mode="append")
     publish_snapshot(spark, path)
     # model: total rows and pod-7 rows currently served at head
     total, p7 = counts[0], pod7[0]
@@ -3420,22 +3425,49 @@ def test_mor_cdc_pure_deletes_and_restore_reverses(
 def test_cow_rewrite_after_mor_delete_materializes_survivors(
     spark, logs_df, tmp_path
 ):
+    """Review-found resurrect bug: cow_compact_partition read fragments
+    RAW (no vector), materializing MOR-deleted rows into the compacted
+    files. The day must be genuinely fragmented (>= 2 files) or the
+    compaction no-ops and the assertion is vacuous — the original form
+    of this test passed against the broken code for exactly that
+    reason."""
     from klogs_spark.manifest import (
+        _manifest_files,
         cow_compact_partition,
         mor_delete_where,
+        publish_snapshot,
         read_logs_at,
+        snapshot_versions,
     )
 
-    path, _ = _dv_table(spark, logs_df, tmp_path)
+    path = str(tmp_path / "logs")
+    # two appends -> two fragments in the single day
+    write_logs(logs_df.filter("minute(timestamp) % 2 = 0"), path)
+    write_logs(
+        logs_df.filter("minute(timestamp) % 2 = 1"), path, mode="append"
+    )
+    publish_snapshot(spark, path)
     n1 = read_logs_at(spark, path).count()
     res = mor_delete_where(spark, path, "pod_name = 'pod-1'")
     day = "date=2026-01-01"
-    cow_compact_partition(spark, path, day)
-    # head unchanged row-wise, and the compacted files PHYSICALLY lack
-    # the MOR-deleted rows (the rewrite read through the vector)
+    rep = cow_compact_partition(spark, path, day)
+    assert rep["files_compacted"] >= 2, "fixture must actually compact"
+    # head unchanged row-wise...
     head = read_logs_at(spark, path)
     assert head.count() == n1 - res["rows_deleted"]
     assert head.filter("pod_name = 'pod-1'").count() == 0
+    # ...and the compacted files PHYSICALLY lack the MOR-deleted rows:
+    # read the new manifest's files RAW (no vector) — a compaction that
+    # resurrected rows into its output is visible only this way, because
+    # the still-live vector would mask them in a governed read
+    from klogs_spark.manifest import _read_data_files
+
+    head_files = _manifest_files(
+        spark, path, snapshot_versions(spark, path)[-1]
+    )
+    raw = _read_data_files(spark, path, head_files)
+    assert raw.filter("pod_name = 'pod-1'").count() == 0
+    assert raw.count() == n1 - res["rows_deleted"]
 
 
 def test_dv_compact_folds_vector_and_clears_pointer(

@@ -207,3 +207,36 @@ def test_cli_cow_update_fsck_and_ann_remove(spark, tmp_path, capsys):
     assert "cell(s)" in capsys.readouterr().out
     codes = spark.read.parquet(f"{idx}/codes")
     assert codes.filter("id IN (1, 2, 3)").count() == 0
+
+
+def test_cli_mor_delete_and_dv_compact(spark, tmp_path, capsys):
+    """The merge-on-read operator surface: mor-delete records the vector
+    (zero files rewritten), dv-compact folds and clears it."""
+    from pyspark.sql import functions as F
+
+    from klogs_spark.__main__ import main
+    from klogs_spark.manifest import has_live_dv, read_logs_at
+    from klogs_spark.table import write_logs
+    from klogs_spark.views import derive_logs_from_events
+
+    logs = derive_logs_from_events(spark, "/root/testdata/sf0.001").filter(
+        F.col("timestamp") < "2024-01-03"
+    )
+    path = str(tmp_path / "t")
+    write_logs(logs, path)
+    assert main(["snapshot", path]) == 0
+    capsys.readouterr()
+    total = read_logs_at(spark, path).count()
+    n7 = logs.filter("pod_name = 'pod-7'").count()
+
+    assert main(["mor-delete", path, "pod_name = 'pod-7'"]) == 0
+    out = capsys.readouterr().out
+    assert f"deleted {n7} row(s) merge-on-read" in out
+    assert read_logs_at(spark, path).count() == total - n7
+    assert has_live_dv(spark, path)
+
+    assert main(["dv-compact", path]) == 0
+    out = capsys.readouterr().out
+    assert f"folded {n7} position(s)" in out
+    assert not has_live_dv(spark, path)
+    assert read_logs_at(spark, path).count() == total - n7

@@ -3656,3 +3656,44 @@ def test_dv_read_plans_broadcast_anti_join_with_pushdown(
     assert "SortMergeJoin" not in plan
     assert "PartitionFilters: [isnotnull(date" in plan
     assert "2026-01-01" in plan
+
+
+def test_mor_delete_on_promoted_table_keeps_promotions_through_fold(
+    spark, logs_df, tmp_path
+):
+    """The promoted-column contract survives the MOR tier: deletes under
+    a vector read the promoted physical column correctly, and dv_compact
+    re-derives promotions on the materialized survivors (the
+    _restore_promotions path every COW rewrite takes)."""
+    from klogs_spark.manifest import (
+        dv_compact,
+        mor_delete_where,
+        publish_snapshot,
+        read_snapshot,
+    )
+
+    path = str(tmp_path / "logs")
+    write_logs_promoted(logs_df, path, {"content.level": "content_level"})
+    publish_snapshot(spark, path)
+    n1 = read_snapshot(spark, path).count()
+    n_err = logs_df.filter(
+        "element_at(fields_string, 'content.level') = 'error'"
+    ).count()
+    # predicate on the PROMOTED column — resolved through the vector read
+    res = mor_delete_where(spark, path, "content_level = 'error'")
+    assert res["rows_deleted"] == n_err > 0
+    head = read_snapshot(spark, path)
+    assert head.count() == n1 - n_err
+    assert head.filter("content_level = 'error'").count() == 0
+    dv_compact(spark, path)
+    back = read_snapshot(spark, path)
+    assert back.count() == n1 - n_err
+    # promotions re-derived on the compacted files: physical column
+    # still equals the map lookup on every surviving row
+    mismatch = back.filter(
+        F.coalesce(F.col("content_level"), F.lit("~"))
+        != F.coalesce(
+            F.element_at("fields_string", "content.level"), F.lit("~")
+        )
+    ).count()
+    assert mismatch == 0

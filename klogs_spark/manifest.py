@@ -368,6 +368,24 @@ def publish_snapshot(
             }
             files = sorted(keep_head | (on_disk - manifested))
         else:
+            # a FIRST listing-mode publish onto a crashed clone's
+            # remnants: without this sweep the stray dv sidecar would
+            # silently govern the new table's v1 with a foreign vector
+            # (review-found). The intent marker is the discriminator —
+            # a live clone publishes via explicit files, never here.
+            if fs.exists(hpath_cls(f"{path}/{CLONE_INTENT}")):
+                for m in _dv_sidecar_versions(spark, path):
+                    _must(
+                        fs.delete(
+                            hpath_cls(f"{path}/{_dv_sidecar_rel(m)}"),
+                            False,
+                        ),
+                        "publish-crashed-clone-sidecar", m,
+                    )
+                _must(
+                    fs.delete(hpath_cls(f"{path}/{CLONE_INTENT}"), False),
+                    "publish-crashed-clone-intent", CLONE_INTENT,
+                )
             files = sorted(on_disk)
         # re-check AFTER the listing: a rewrite that claimed the journal
         # while we were walking the directory may already have appended
@@ -442,11 +460,15 @@ def publish_snapshot(
             _advance_manifest_checkpoint(
                 spark, path, version, prior_manifested | set(files)
             )
-        except ManifestChainError:
-            # the advance is best-effort by contract; on a table with a
-            # broken ancestor chain the commit itself (full-list, renamed
-            # above) must still stand — reads of the damaged versions
-            # stay loud, and the checkpoint simply remains stale
+        except Exception:
+            # the advance is best-effort by contract (the checkpoint is a
+            # pure fail-open cache): the commit itself (full-list, renamed
+            # above) must stand no matter what breaks here — a broken
+            # ancestor chain, a failed checkpoint write, anything. This
+            # also gives callers the invariant they rely on for cleanup:
+            # publish_snapshot raising means NO manifest was committed
+            # (review-found: an IOError here after the rename made
+            # shallow_clone delete the dv sidecar of a committed v1).
             pass
     return version
 
@@ -1674,6 +1696,13 @@ def restore_snapshot(spark: SparkSession, path: str, version: int) -> int:
 
 
 CLONE_MARKER = f"{MANIFEST_DIR}/clone.json"
+# claimed for the span of shallow_clone's sidecar-then-publish sequence;
+# a surviving marker = a crashed clone. Listing-mode FIRST publishes
+# sweep it (with any stray dv sidecars) before committing; explicit-files
+# first publishes do not look (their callers state exactly what commits
+# — that is the clone's own publish path), so reusing a crashed-clone
+# directory via an explicit-files publish should clean it manually.
+CLONE_INTENT = f"{MANIFEST_DIR}/.clone-inprogress.json"
 
 
 def head_has_absolute_refs(spark: SparkSession, path: str) -> bool:
@@ -1781,11 +1810,31 @@ def shallow_clone(
     # crash between the two leaves dst manifest-less with a stray
     # dv_v1.json; re-cloning the SAME source adopts an identical
     # sidecar, and any other use starts from 'no snapshots'.
+    # claim the clone-intent marker FIRST (create-exclusive): it fences
+    # the whole sidecar-then-publish sequence so a crash mid-clone leaves
+    # a self-describing remnant — a later LISTING-MODE first publish at
+    # this path (someone reusing the directory for a normal table) sees
+    # the marker and sweeps the stray sidecar instead of being silently
+    # governed by a foreign vector (review-found). A pre-existing marker
+    # means an earlier clone crashed here: refuse loudly.
+    if not _claim_marker(
+        dfs_, dhp_, dst, CLONE_INTENT,
+        {"source": src, "source_version": src_version},
+    ):
+        raise FileExistsError(
+            f"shallow_clone: {dst} holds a crashed clone's intent marker "
+            f"({CLONE_INTENT}) — a listing-mode publish_snapshot sweeps "
+            "it, or remove the directory and re-clone"
+        )
     # dst has no snapshots (checked above), so any sidecar under it is a
     # crashed earlier clone's remnant — possibly of a DIFFERENT source;
-    # clear them so a stale vector can never govern this clone's v1
+    # clear them (CHECKED deletes: a sidecar that survives here would
+    # silently govern this clone's v1) so a stale vector can never win
     for m in _dv_sidecar_versions(spark, dst):
-        dfs_.delete(dhp_(f"{dst}/{_dv_sidecar_rel(m)}"), False)
+        _must(
+            dfs_.delete(dhp_(f"{dst}/{_dv_sidecar_rel(m)}"), False),
+            "clone-stale-sidecar-delete", m,
+        )
     src_dv = _dv_ref_at(spark, src, src_version)
     if src_dv is not None:
         _write_small_json(
@@ -1795,14 +1844,29 @@ def shallow_clone(
     try:
         v = publish_snapshot(spark, dst, refs)
     except BaseException:
-        if src_dv is not None:
-            sc = dhp_(f"{dst}/{_dv_sidecar_rel(1)}")
-            if dfs_.exists(sc):
-                dfs_.delete(sc, False)
+        # publish_snapshot raising means no manifest committed (its
+        # post-rename checkpoint advance is fully best-effort), but
+        # belt-check anyway: deleting the sidecar out from under a
+        # COMMITTED v1 would be the silent-resurrection case
+        if not snapshot_versions(spark, dst):
+            if src_dv is not None:
+                sc = dhp_(f"{dst}/{_dv_sidecar_rel(1)}")
+                if dfs_.exists(sc):
+                    _must(
+                        dfs_.delete(sc, False),
+                        "clone-abort-sidecar-delete", sc,
+                    )
+            im = dhp_(f"{dst}/{CLONE_INTENT}")
+            if dfs_.exists(im):
+                _must(dfs_.delete(im, False), "clone-abort-intent", im)
         raise
     _write_small_json(
         dfs_, dhp_, dst, CLONE_MARKER,
         {"source": src, "source_version": src_version, "n_files": len(refs)},
+    )
+    _must(
+        dfs_.delete(dhp_(f"{dst}/{CLONE_INTENT}"), False),
+        "clone-intent-delete", CLONE_INTENT,
     )
     return {
         "version": v,

@@ -3697,3 +3697,50 @@ def test_mor_delete_on_promoted_table_keeps_promotions_through_fold(
         )
     ).count()
     assert mismatch == 0
+
+
+def test_crashed_clone_remnants_never_govern_a_later_table(
+    spark, logs_df, tmp_path
+):
+    """Review-found: a clone that crashed between its vector-sidecar
+    write and its publish left a stray dv_v1.json; a NORMAL table later
+    created at the same path would have been silently governed by the
+    foreign vector. The intent marker + the listing-mode first-publish
+    sweep close it; a re-clone onto the remnants refuses loudly."""
+    import json
+    import os
+
+    from klogs_spark.manifest import (
+        CLONE_INTENT,
+        MANIFEST_DIR,
+        _dv_sidecar_versions,
+        has_live_dv,
+        publish_snapshot,
+        read_snapshot,
+        shallow_clone,
+    )
+
+    # simulate the crash window at dst: intent marker + stray sidecar,
+    # no manifests
+    dst = str(tmp_path / "dst")
+    os.makedirs(f"{dst}/{MANIFEST_DIR}")
+    with open(f"{dst}/{MANIFEST_DIR}/dv_v1.json", "w") as f:
+        json.dump({"version": 1, "dv": "/elsewhere/_dv/gen-foreign"}, f)
+    with open(f"{dst}/{CLONE_INTENT}", "w") as f:
+        json.dump({"source": "/elsewhere"}, f)
+
+    # a re-clone onto the remnants refuses loudly
+    src = str(tmp_path / "src")
+    write_logs(logs_df, src)
+    publish_snapshot(spark, src)
+    with pytest.raises(FileExistsError, match="intent marker"):
+        shallow_clone(spark, src, dst)
+
+    # a normal table built at the same path sweeps the remnants on its
+    # first listing publish and is NOT vector-governed
+    write_logs(logs_df, dst, mode="append")
+    publish_snapshot(spark, dst)
+    assert _dv_sidecar_versions(spark, dst) == []
+    assert not os.path.exists(f"{dst}/{CLONE_INTENT}")
+    assert not has_live_dv(spark, dst)
+    assert read_snapshot(spark, dst).count() == logs_df.count()

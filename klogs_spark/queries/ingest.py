@@ -3772,6 +3772,86 @@ def q_stream_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_gdpr_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming GDPR propagation end-to-end
+    (streaming_ext.gdpr_delete_sink over manifest.mor_delete_where): a
+    COW table seeded with week 1, then a REAL 2-micro-batch stream of
+    deletion requests — batch 1 requests pod-7, batch 2 requests pod-8
+    PLUS a replayed pod-7 (the at-least-once duplicate). Each batch
+    applies as one merge-on-read delete: positions recorded in the
+    vector, ZERO data files rewritten (the v1-vs-head manifest file
+    lists must be identical — emitted as a files_churned count the
+    oracle expects absent), the replayed request must find nothing (its
+    rows are already vector-deleted, so re-deleting double-counts
+    nothing), and a pinned v1 read still serves every requested-away
+    row. The final per-day census is recomputed by the oracle from
+    events arithmetic."""
+    import tempfile
+
+    from ..manifest import (
+        _manifest_files,
+        publish_snapshot,
+        read_logs_at,
+        snapshot_versions,
+    )
+    from ..streaming_ext import gdpr_delete_sink
+    from ..table import write_logs
+    from ..views import derive_logs_from_events
+
+    logs = derive_logs_from_events(spark, sf_dir).filter(
+        F.col("timestamp") < TT_CUT_V1
+    )
+    base = tempfile.mkdtemp(prefix="klogs-sgdpr-")
+    src, ckpt, tdir = f"{base}/src", f"{base}/ckpt", f"{base}/logs"
+    write_logs(logs, tdir)
+    v1 = publish_snapshot(spark, tdir)
+    sink = gdpr_delete_sink(tdir, key_col="pod_name")
+    for keys in (["pod-7"], ["pod-8", "pod-7"]):
+        spark.createDataFrame(
+            [(k,) for k in keys], "pod_name string"
+        ).write.mode("append").parquet(src)
+        q = (
+            spark.readStream.schema("pod_name string")
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    head_v = snapshot_versions(spark, tdir)[-1]
+    churned = set(_manifest_files(spark, tdir, v1)) ^ set(
+        _manifest_files(spark, tdir, head_v)
+    )
+    stage_counts = [
+        ("files_churned", len(churned)),
+        ("pinned_v1", read_logs_at(spark, tdir, v1).count()),
+    ]
+    stages = spark.createDataFrame(
+        [(s, "total", n) for s, n in stage_counts if n > 0],
+        "stage string, day string, n long",
+    )
+    per_day = read_logs_at(spark, tdir).groupBy(
+        F.lit("post_delete").alias("stage"),
+        F.col("date").cast("string").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return stages.unionByName(per_day)
+
+
+SQL_STREAM_GDPR_DELETE = f"""
+WITH wk AS (
+  SELECT CAST(ts AS DATE) AS day, user_id % 50 AS pod FROM events
+  WHERE ts < TIMESTAMP '{TT_CUT_V1} 00:00:00'
+)
+SELECT 'pinned_v1' AS stage, 'total' AS day, count(*) AS n FROM wk
+UNION ALL
+SELECT 'post_delete', CAST(day AS VARCHAR), count(*)
+FROM wk WHERE pod NOT IN (7, 8) GROUP BY 2
+"""
+# note: the oracle has no 'files_churned' row — a streaming delete that
+# rewrote or dropped ANY data file would emit one and break the match.
+
+
 def q_table_mor_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The merge-on-read delete lifecycle (deletion vectors — the third
     delete tier after in-place and copy-on-write) externally
@@ -3997,6 +4077,13 @@ SPECS = {
         "promoted-column rewrite: map-key predicate transparently served "
         "by the materialized physical column (marker-driven, plan-asserted "
         "map-free)",
+    ),
+    "stream_gdpr_delete": QuerySpec(
+        q_stream_gdpr_delete, SQL_STREAM_GDPR_DELETE,
+        "streaming right-to-be-forgotten: 2 real micro-batches of "
+        "delete requests apply as merge-on-read vector deletes (zero "
+        "file churn, idempotent replay, pinned v1 intact); per-day "
+        "census vs events arithmetic",
     ),
     "table_mor_lifecycle": QuerySpec(
         q_table_mor_lifecycle, SQL_TABLE_MOR_LIFECYCLE,

@@ -312,3 +312,37 @@ def media_frame_stats_sink(stats_dir: str):
         )
 
     return _sink
+
+
+def gdpr_delete_sink(path: str, key_col: str = "pod_name"):
+    """Streaming right-to-be-forgotten propagation — deletion REQUESTS
+    arrive as a stream and each micro-batch applies them to the table as
+    ONE merge-on-read delete (:func:`klogs_spark.manifest.mor_delete_where`):
+    the batch's keys collect driver-side (bounded by the batch's request
+    count, never table data) and fold into a single vector delete, so a
+    batch of GDPR requests costs one predicate scan plus an
+    O(deleted rows) positions write — ZERO data files rewritten, however
+    large the files holding the subjects' rows. A later
+    :func:`klogs_spark.manifest.dv_compact` / ``maintain`` folds the
+    accumulated vector into a physical rewrite on the operator's
+    schedule (the erasure deadline), decoupling request latency from
+    rewrite cost.
+
+    At-least-once like every foreachBatch sink here: a REPLAYED batch's
+    keys match no vector-applied rows, so the delete no-ops without even
+    publishing a version — idempotent by construction."""
+    from pyspark.sql import functions as F
+
+    from .manifest import mor_delete_where
+
+    def sink_fn(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        keys = [
+            r[0] for r in batch.select(key_col).distinct().collect()
+        ]  # bounded by the batch's distinct request keys
+        mor_delete_where(
+            batch.sparkSession, path, F.col(key_col).isin(keys)
+        )
+
+    return sink_fn

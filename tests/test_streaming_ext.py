@@ -224,3 +224,54 @@ def test_upsert_sink_batch_replay_is_idempotent(spark, tmp_path):
     assert state1 == state2
     n_v2 = batch.count()
     assert sum(1 for _, log in state2 if log.endswith(" [v2]")) == n_v2
+
+
+def test_gdpr_delete_sink_applies_and_replays_idempotently(spark, tmp_path):
+    """The streaming right-to-be-forgotten sink: a batch of requests
+    applies as ONE merge-on-read delete (zero data files touched), and a
+    REPLAYED batch (at-least-once) finds its rows already
+    vector-deleted, so it no-ops without even publishing a version."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from klogs_spark.manifest import (
+        publish_snapshot,
+        read_logs_at,
+        snapshot_versions,
+    )
+    from klogs_spark.streaming_ext import gdpr_delete_sink
+    from klogs_spark.table import write_logs
+    from klogs_spark.views import derive_logs_from_events
+
+    logs = derive_logs_from_events(spark, "/root/testdata/sf0.001").filter(
+        F.col("timestamp") < "2024-01-03"
+    )
+    path = str(tmp_path / "t")
+    write_logs(logs, path)
+    publish_snapshot(spark, path)
+    total = read_logs_at(spark, path).count()
+    n7 = logs.filter("pod_name = 'pod-7'").count()
+    files = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{path}/date=*/*.parquet")
+    }
+
+    sink = gdpr_delete_sink(path, key_col="pod_name")
+    batch = spark.createDataFrame([("pod-7",)], "pod_name string")
+    sink(batch, 0)
+    assert read_logs_at(spark, path).count() == total - n7
+    v_after = snapshot_versions(spark, path)[-1]
+    # replay: same requests again — no rows left to delete, no version
+    sink(batch, 0)
+    assert snapshot_versions(spark, path)[-1] == v_after
+    assert read_logs_at(spark, path).count() == total - n7
+    # zero data files touched by any of it
+    assert {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{path}/date=*/*.parquet")
+    } == files
+    # empty batch short-circuits
+    sink(spark.createDataFrame([], "pod_name string"), 1)
+    assert snapshot_versions(spark, path)[-1] == v_after

@@ -471,8 +471,11 @@ def main() -> None:
             )
             publish_snapshot(spark, ddir)
             t0 = time.perf_counter()
+            # same predicate as the COW merge/delete rows — the contrast
+            # is the cost MODEL (positions write vs survivor rewrite)
             res = mor_delete_where(
-                spark, ddir, F.col("pod_name") == "pod-7"
+                spark, ddir,
+                F.expr("pod_name = 'pod-7' AND date < '2024-01-08'"),
             )
             best_mor = min(best_mor, time.perf_counter() - t0)
             n_mor = res["rows_deleted"]

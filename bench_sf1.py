@@ -328,6 +328,60 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # MERGE-ON-READ delete at 10x (r17): same predicate as the COW row —
+    # the contrast being measured is the ABSOLUTE cost (one predicate
+    # scan + an O(deleted rows) positions write, zero survivor files) vs
+    # table_cow_delete's survivor rewrite; the ratio itself tracks the
+    # scan (near-linear)
+    try:
+        import tempfile
+
+        from klogs_spark.manifest import mor_delete_where, publish_snapshot
+        from klogs_spark.table import write_logs
+        from klogs_spark.views import derive_logs_from_events
+
+        from pyspark.sql import functions as F
+
+        def mor_cost(src):
+            best = float("inf")
+            for _ in range(max(trials, 1)):
+                d = tempfile.mkdtemp(prefix="bsf1-mor-")
+                write_logs(
+                    derive_logs_from_events(spark, src), d, mode="overwrite"
+                )
+                publish_snapshot(spark, d)
+                t0 = time.perf_counter()
+                mor_delete_where(
+                    spark, d,
+                    F.expr("pod_name = 'pod-7' AND date < '2024-01-08'"),
+                )
+                best = min(best, time.perf_counter() - t0)
+                import shutil
+
+                shutil.rmtree(d, ignore_errors=True)
+            return best
+
+        b01 = mor_cost(SF01)
+        b1 = mor_cost(sf1_dir)
+        results["table_mor_delete"] = {
+            "sf0.1_sec": round(b01, 3),
+            "sf1_sec": round(b1, 3),
+            "ratio_10x": round(b1 / b01, 2),
+            "in_rows": {"sf0.1": load_table(spark, SF01, "events").count(),
+                        "sf1": counts["events"]},
+        }
+        print(
+            f"# table_mor_delete: {b01:.3f}s -> {b1:.3f}s "
+            f"(ratio {b1 / b01:.2f})",
+            file=sys.stderr,
+        )
+    except Exception as exc:  # noqa: BLE001
+        errors["table_mor_delete"] = f"{type(exc).__name__}: {exc}"[:300]
+        print(
+            f"# table_mor_delete: FAILED {errors['table_mor_delete']}",
+            file=sys.stderr,
+        )
+
     # COW MERGE at 10x (VERDICT r10 #8): update half of Jan 3 — rewrite
     # scope is ONE day regardless of corpus size, so the expected ratio is
     # driven by that day's 10x row count (near-linear), not the table

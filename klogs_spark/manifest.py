@@ -2081,41 +2081,45 @@ def mor_delete_where(
 
     try:
         df = _read_data_files(spark, path, live, with_pos=True)
-        old_dv = (
-            _read_dv(spark, path, old_ref)
-            if old_ref is not None
-            else spark.createDataFrame([], "file string, pos long")
-        )
         # positions of newly doomed rows — computed on the VECTOR-APPLIED
-        # base so already-deleted rows never re-count. Persisted so the
-        # predicate scan over the table runs ONCE (the count below and
-        # the generation write both consume the materialized positions,
-        # which are O(deleted rows), not O(table))
-        hits = (
-            _apply_dv(df.withColumn("__hit", hit), old_dv, keep_keys=True)
-            .filter(F.col("__hit"))
-            .select(
-                F.col("__dv_key").alias("file"),
-                F.col("__dv_pos").alias("pos"),
-            )
-            .persist()
+        # base so already-deleted rows never re-count (the anti-join is
+        # skipped entirely on a table with no prior vector, the common
+        # first-delete case)
+        hits = df.withColumn("__hit", hit)
+        if old_ref is not None:
+            old_dv = _read_dv(spark, path, old_ref)
+            hits = _apply_dv(hits, old_dv, keep_keys=True)
+        hits = hits.filter(F.col("__hit")).select(
+            F.col("__dv_key").alias("file"),
+            F.col("__dv_pos").alias("pos"),
         )
-        try:
-            n_deleted = hits.count()
-            if n_deleted == 0:
-                _release_marker()
-                return {
-                    "version": base_version,
-                    "rows_deleted": 0,
-                    "dv": old_ref,
-                }
-            gen = f"{DV_DIR}/gen-{_uuid.uuid4().hex}"
-            new_dv = old_dv.unionByName(hits)
-            # positions are tiny relative to data by contract; rebalance
-            # lets AQE size the output files instead of one-per-task
-            new_dv.hint("rebalance").write.parquet(f"{path}/{gen}")
-        finally:
-            hits.unpersist()
+        # ONE pass over the table: write the new generation directly
+        # (old positions ∪ new hits — disjoint by construction), then
+        # count both sides from parquet metadata (footer row counts, no
+        # data scan) to learn how many rows the predicate doomed
+        gen = f"{DV_DIR}/gen-{_uuid.uuid4().hex}"
+        new_dv = (
+            old_dv.unionByName(hits) if old_ref is not None else hits
+        )
+        # positions are tiny relative to data by contract; rebalance
+        # lets AQE size the output files instead of one-per-task
+        new_dv.hint("rebalance").write.parquet(f"{path}/{gen}")
+        n_old = old_dv.count() if old_ref is not None else 0
+        n_deleted = (
+            spark.read.parquet(f"{path}/{gen}").count() - n_old
+        )
+        if n_deleted == 0:
+            # nothing matched: drop the (identical-content) generation
+            # and publish no version — the no-op contract
+            gdir = hpath_cls(f"{path}/{gen}")
+            if fs.exists(gdir):
+                _must(fs.delete(gdir, True), "mor-noop-gen-delete", gdir)
+            _release_marker()
+            return {
+                "version": base_version,
+                "rows_deleted": 0,
+                "dv": old_ref,
+            }
     except BaseException:
         _release_marker()
         raise

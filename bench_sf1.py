@@ -39,6 +39,36 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+def _timed_week_delete(spark, src, delete_fn, prefix, trials):
+    """Shared scaffold for the delete-tier 10x rows: fresh table per
+    trial (untimed), one week-scoped predicate delete timed."""
+    import shutil
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    from klogs_spark.manifest import publish_snapshot
+    from klogs_spark.table import write_logs
+    from klogs_spark.views import derive_logs_from_events
+
+    best = float("inf")
+    for _ in range(max(trials, 1)):
+        d = tempfile.mkdtemp(prefix=prefix)
+        write_logs(
+            derive_logs_from_events(spark, src), d, mode="overwrite"
+        )
+        publish_snapshot(spark, d)
+        t0 = time.perf_counter()
+        delete_fn(
+            spark, d,
+            F.expr("pod_name = 'pod-7' AND date < '2024-01-08'"),
+        )
+        best = min(best, time.perf_counter() - t0)
+        shutil.rmtree(d, ignore_errors=True)
+    return best
+
+
 REPLICAS = 10
 SF01 = "/root/testdata/sf0.1"
 
@@ -288,27 +318,12 @@ def main() -> None:
 
         from pyspark.sql import functions as F
 
-        def cow_cost(src):
-            best = float("inf")
-            for _ in range(max(trials, 1)):
-                d = tempfile.mkdtemp(prefix="bsf1-cow-")
-                write_logs(
-                    derive_logs_from_events(spark, src), d, mode="overwrite"
-                )
-                publish_snapshot(spark, d)
-                t0 = time.perf_counter()
-                cow_delete_where(
-                    spark, d,
-                    F.expr("pod_name = 'pod-7' AND date < '2024-01-08'"),
-                )
-                best = min(best, time.perf_counter() - t0)
-                import shutil
-
-                shutil.rmtree(d, ignore_errors=True)
-            return best
-
-        b01 = cow_cost(SF01)
-        b1 = cow_cost(sf1_dir)
+        b01 = _timed_week_delete(
+            spark, SF01, cow_delete_where, "bsf1-cow-", trials
+        )
+        b1 = _timed_week_delete(
+            spark, sf1_dir, cow_delete_where, "bsf1-cow-", trials
+        )
         results["table_cow_delete"] = {
             "sf0.1_sec": round(b01, 3),
             "sf1_sec": round(b1, 3),
@@ -342,27 +357,12 @@ def main() -> None:
 
         from pyspark.sql import functions as F
 
-        def mor_cost(src):
-            best = float("inf")
-            for _ in range(max(trials, 1)):
-                d = tempfile.mkdtemp(prefix="bsf1-mor-")
-                write_logs(
-                    derive_logs_from_events(spark, src), d, mode="overwrite"
-                )
-                publish_snapshot(spark, d)
-                t0 = time.perf_counter()
-                mor_delete_where(
-                    spark, d,
-                    F.expr("pod_name = 'pod-7' AND date < '2024-01-08'"),
-                )
-                best = min(best, time.perf_counter() - t0)
-                import shutil
-
-                shutil.rmtree(d, ignore_errors=True)
-            return best
-
-        b01 = mor_cost(SF01)
-        b1 = mor_cost(sf1_dir)
+        b01 = _timed_week_delete(
+            spark, SF01, mor_delete_where, "bsf1-mor-", trials
+        )
+        b1 = _timed_week_delete(
+            spark, sf1_dir, mor_delete_where, "bsf1-mor-", trials
+        )
         results["table_mor_delete"] = {
             "sf0.1_sec": round(b01, 3),
             "sf1_sec": round(b1, 3),

@@ -2093,24 +2093,20 @@ def mor_delete_where(
             F.col("__dv_key").alias("file"),
             F.col("__dv_pos").alias("pos"),
         )
-        # ONE pass over the table: write the new generation directly
-        # (old positions ∪ new hits — disjoint by construction), then
-        # count both sides from parquet metadata (footer row counts, no
-        # data scan) to learn how many rows the predicate doomed
+        # ONE pass over the table: write the NEW positions directly into
+        # the generation dir, count them from parquet metadata (footer
+        # row counts, no data scan), and only if anything matched append
+        # the prior vector's positions into the same dir (disjoint by
+        # construction, so the dir reads as old ∪ hits). A no-match
+        # delete — the at-least-once REPLAY path — therefore writes and
+        # removes only its own empty output, never a copy of the
+        # accumulated vector.
         gen = f"{DV_DIR}/gen-{_uuid.uuid4().hex}"
-        new_dv = (
-            old_dv.unionByName(hits) if old_ref is not None else hits
-        )
         # positions are tiny relative to data by contract; rebalance
         # lets AQE size the output files instead of one-per-task
-        new_dv.hint("rebalance").write.parquet(f"{path}/{gen}")
-        n_old = old_dv.count() if old_ref is not None else 0
-        n_deleted = (
-            spark.read.parquet(f"{path}/{gen}").count() - n_old
-        )
+        hits.hint("rebalance").write.parquet(f"{path}/{gen}")
+        n_deleted = spark.read.parquet(f"{path}/{gen}").count()
         if n_deleted == 0:
-            # nothing matched: drop the (identical-content) generation
-            # and publish no version — the no-op contract
             gdir = hpath_cls(f"{path}/{gen}")
             if fs.exists(gdir):
                 _must(fs.delete(gdir, True), "mor-noop-gen-delete", gdir)
@@ -2120,6 +2116,11 @@ def mor_delete_where(
                 "rows_deleted": 0,
                 "dv": old_ref,
             }
+        if old_ref is not None:
+            # carry the cumulative history forward (a crash between the
+            # two writes leaves a hits-only dir that NO sidecar
+            # references — swept by vacuum like any crashed generation)
+            old_dv.write.mode("append").parquet(f"{path}/{gen}")
     except BaseException:
         _release_marker()
         raise

@@ -330,9 +330,12 @@ def gdpr_delete_sink(path: str, key_col: str = "pod_name"):
 
     At-least-once like every foreachBatch sink here: a REPLAYED batch's
     keys match no vector-applied rows, so the delete no-ops without even
-    publishing a version — idempotent by construction."""
-    from pyspark.sql import functions as F
+    publishing a version — idempotent by construction.
 
+    A NULL request key is a malformed request and raises LOUDLY: isin()
+    can never match NULL, so accepting it would silently swallow the
+    erasure (the batch would scan and delete nothing) — the one failure
+    mode a right-to-be-forgotten pipeline must never have."""
     from .manifest import mor_delete_where
 
     def sink_fn(batch: DataFrame, batch_id: int) -> None:
@@ -341,6 +344,13 @@ def gdpr_delete_sink(path: str, key_col: str = "pod_name"):
         keys = [
             r[0] for r in batch.select(key_col).distinct().collect()
         ]  # bounded by the batch's distinct request keys
+        if any(k is None for k in keys):
+            raise ValueError(
+                f"gdpr_delete_sink(batch {batch_id}): NULL {key_col} in "
+                "the request batch — a null key matches nothing, so the "
+                "erasure would be silently dropped; fix the request "
+                "producer"
+            )
         mor_delete_where(
             batch.sparkSession, path, F.col(key_col).isin(keys)
         )

@@ -568,7 +568,7 @@ def read_snapshot(
     dv_ref = _dv_ref_at(
         spark, path, version, sidecars=_dv_versions_from_names(names)
     )
-    if dv_ref is None:
+    if not _dv_refs(dv_ref):
         return _read_data_files(spark, path, files)
     return _apply_dv(
         _read_data_files(spark, path, files, with_pos=True),
@@ -727,7 +727,7 @@ def snapshot_changes(
     ref_to = _dv_ref_at(spark, path, v_to)
 
     def dv_rows(ref) -> DataFrame:
-        if ref is None:
+        if not _dv_refs(ref):
             return spark.createDataFrame([], "file string, pos long")
         return _read_dv(spark, path, ref)
 
@@ -741,7 +741,7 @@ def snapshot_changes(
                     read_snapshot(spark, path, v_to).limit(0)
                 ).schema
             return spark.createDataFrame([], empty_schema)
-        if ref is None:
+        if not _dv_refs(ref):
             return canon(_read_data_files(spark, path, files))
         return canon(
             _apply_dv(
@@ -1420,7 +1420,7 @@ def cow_compact_partition(
     # review-found counterpart of the read_snapshot path every other COW
     # verb already takes
     dv_ref = _dv_ref_at(spark, path, base_version)
-    if dv_ref is None:
+    if not _dv_refs(dv_ref):
         frag_rows = _read_data_files(spark, path, frags)
     else:
         frag_rows = _apply_dv(
@@ -1509,9 +1509,9 @@ def vacuum(
     # (those below the oldest kept version, after re-anchoring its
     # resolution) and orphans past the head
     needed_gens = {
-        r for r in (
-            _dv_ref_at(spark, path, v) for v in keep
-        ) if r is not None
+        r
+        for v in keep
+        for r in _dv_refs(_dv_ref_at(spark, path, v))
     }
     dv_sidecars = _dv_sidecar_versions(spark, path)
     dv_dir = hpath_cls(f"{path}/{DV_DIR}")
@@ -1835,11 +1835,12 @@ def shallow_clone(
             dfs_.delete(dhp_(f"{dst}/{_dv_sidecar_rel(m)}"), False),
             "clone-stale-sidecar-delete", m,
         )
-    src_dv = _dv_ref_at(spark, src, src_version)
-    if src_dv is not None:
+    src_dv = _dv_refs(_dv_ref_at(spark, src, src_version))
+    if src_dv:
         _write_small_json(
             dfs_, dhp_, dst, _dv_sidecar_rel(1),
-            {"version": 1, "dv": _entry_path(src, src_dv)},
+            {"version": 1,
+             "dv": [_entry_path(src, r) for r in src_dv]},
         )
     try:
         v = publish_snapshot(spark, dst, refs)
@@ -1849,7 +1850,7 @@ def shallow_clone(
         # belt-check anyway: deleting the sidecar out from under a
         # COMMITTED v1 would be the silent-resurrection case
         if not snapshot_versions(spark, dst):
-            if src_dv is not None:
+            if src_dv:
                 sc = dhp_(f"{dst}/{_dv_sidecar_rel(1)}")
                 if dfs_.exists(sc):
                     _must(
@@ -1981,12 +1982,30 @@ def _dv_ref_at(
     return doc.get("dv")
 
 
-def _read_dv(spark: SparkSession, path: str, ref: str) -> DataFrame:
-    """The (file, pos) rows of one deletion-vector generation. Refs are
-    normally table-relative (``_dv/gen-...``); a shallow clone of a
-    vector-governed source carries an ABSOLUTE ref into the source's
-    generation (the clone caveat applies, as for data files)."""
-    return spark.read.parquet(_entry_path(path, ref)).select("file", "pos")
+def _dv_refs(ref) -> list:
+    """Normalize a sidecar's ``dv`` field to a list of generation refs.
+    The field is a CHAIN: each MOR delete prepends its own generation
+    (one O(new positions) write — never a copy of the accumulated
+    vector), so the governed set is the union of the chain's elements.
+    Legacy single-string form and explicit null both normalize."""
+    if ref is None:
+        return []
+    if isinstance(ref, str):
+        return [ref]
+    return list(ref)
+
+
+def _read_dv(spark: SparkSession, path: str, ref) -> DataFrame:
+    """The (file, pos) rows governed by a sidecar ref (a single
+    generation or a chain — union of its elements). Refs are normally
+    table-relative (``_dv/gen-...``); a shallow clone of a
+    vector-governed source carries ABSOLUTE refs into the source's
+    generations (the clone caveat applies, as for data files)."""
+    refs = _dv_refs(ref)
+    return (
+        spark.read.parquet(*[_entry_path(path, r) for r in refs])
+        .select("file", "pos")
+    )
 
 
 def _apply_dv(
@@ -2017,10 +2036,10 @@ def has_live_dv(spark: SparkSession, path: str) -> bool:
     versions = _versions_from_names(names)
     if not versions:
         return False
-    return _dv_ref_at(
+    return bool(_dv_refs(_dv_ref_at(
         spark, path, versions[-1],
         sidecars=_dv_versions_from_names(names),
-    ) is not None
+    )))
 
 
 def mor_delete_where(
@@ -2086,21 +2105,22 @@ def mor_delete_where(
         # skipped entirely on a table with no prior vector, the common
         # first-delete case)
         hits = df.withColumn("__hit", hit)
-        if old_ref is not None:
-            old_dv = _read_dv(spark, path, old_ref)
-            hits = _apply_dv(hits, old_dv, keep_keys=True)
+        if _dv_refs(old_ref):
+            hits = _apply_dv(
+                hits, _read_dv(spark, path, old_ref), keep_keys=True
+            )
         hits = hits.filter(F.col("__hit")).select(
             F.col("__dv_key").alias("file"),
             F.col("__dv_pos").alias("pos"),
         )
-        # ONE pass over the table: write the NEW positions directly into
-        # the generation dir, count them from parquet metadata (footer
-        # row counts, no data scan), and only if anything matched append
-        # the prior vector's positions into the same dir (disjoint by
-        # construction, so the dir reads as old ∪ hits). A no-match
-        # delete — the at-least-once REPLAY path — therefore writes and
-        # removes only its own empty output, never a copy of the
-        # accumulated vector.
+        # ONE pass over the table: write ONLY the new positions into a
+        # fresh generation dir and count them from parquet metadata
+        # (footer row counts, no data scan). The sidecar then CHAINS the
+        # new generation onto the prior ref list, so each delete costs
+        # O(its own positions) — never a copy of the accumulated vector
+        # (that copy made N small GDPR batches quadratic). A no-match
+        # delete — the at-least-once REPLAY path — removes its empty
+        # output and publishes nothing.
         gen = f"{DV_DIR}/gen-{_uuid.uuid4().hex}"
         # positions are tiny relative to data by contract; rebalance
         # lets AQE size the output files instead of one-per-task
@@ -2116,11 +2136,6 @@ def mor_delete_where(
                 "rows_deleted": 0,
                 "dv": old_ref,
             }
-        if old_ref is not None:
-            # carry the cumulative history forward (a crash between the
-            # two writes leaves a hits-only dir that NO sidecar
-            # references — swept by vacuum like any crashed generation)
-            old_dv.write.mode("append").parquet(f"{path}/{gen}")
     except BaseException:
         _release_marker()
         raise
@@ -2130,7 +2145,7 @@ def mor_delete_where(
     next_v = base_version + 1
     _write_small_json(
         fs, hpath_cls, path, _dv_sidecar_rel(next_v),
-        {"version": next_v, "dv": gen},
+        {"version": next_v, "dv": [gen, *_dv_refs(old_ref)]},
     )
     try:
         version = _finish_rewrite(
@@ -2146,7 +2161,11 @@ def mor_delete_where(
         if fs.exists(gdir):
             _must(fs.delete(gdir, True), "mor-gen-cleanup", gdir)
         raise
-    return {"version": version, "rows_deleted": n_deleted, "dv": gen}
+    return {
+        "version": version,
+        "rows_deleted": n_deleted,
+        "dv": [gen, *_dv_refs(old_ref)],
+    }
 
 
 def dv_compact(spark: SparkSession, path: str) -> dict:
@@ -2165,7 +2184,7 @@ def dv_compact(spark: SparkSession, path: str) -> dict:
     :func:`mor_delete_where`."""
     base_version = _cow_base_version(spark, path)
     ref = _dv_ref_at(spark, path, base_version)
-    if ref is None:
+    if not _dv_refs(ref):
         return {
             "version": base_version,
             "partitions_rewritten": [],
@@ -2363,10 +2382,9 @@ def fsck(spark: SparkSession, path: str) -> dict:
             head_ref = _dv_ref_at(spark, path, versions[-1])
         except Exception:
             head_ref, dv_missing = None, ["<unreadable dv sidecar>"]
-        if head_ref is not None and not _entry_exists(
-            spark, fs, hpath_cls, path, head_ref
-        ):
-            dv_missing.append(head_ref)
+        for r in _dv_refs(head_ref):
+            if not _entry_exists(spark, fs, hpath_cls, path, r):
+                dv_missing.append(r)
         dv_orphan_sidecars = [
             m for m in _dv_sidecar_versions(spark, path)
             if m > versions[-1]

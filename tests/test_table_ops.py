@@ -3512,18 +3512,34 @@ def test_vacuum_dv_retention_keeps_pinned_generations(
     r2 = mor_delete_where(spark, path, "pod_name = 'pod-1'")
     r3 = mor_delete_where(spark, path, "pod_name = 'pod-2'")
     assert len(glob.glob(f"{path}/_dv/gen-*")) == 2
+    # the second delete CHAINS onto the first (one O(new positions)
+    # write, never a copy of the accumulated vector)
+    assert len(r3["dv"]) == 2 and r3["dv"][1:] == r2["dv"]
     # horizon covers both vector versions: nothing swept
     rep = vacuum(spark, path, keep_versions=2)
     assert rep["dv_generations_deleted"] == 0
     assert read_logs_at(spark, path, r2["version"]).count() == n1 - r2[
         "rows_deleted"
     ]
-    # horizon shrinks to the head: the older generation is reclaimed,
-    # the surviving sidecar re-anchors at the oldest kept version
+    # horizon shrinks to the head: the head's CHAIN still references
+    # both generations, so neither is swept; redundant sidecars below
+    # the horizon drop
     rep2 = vacuum(spark, path, keep_versions=1)
-    assert rep2["dv_generations_deleted"] == 1
-    assert len(glob.glob(f"{path}/_dv/gen-*")) == 1
+    assert rep2["dv_generations_deleted"] == 0
+    assert len(glob.glob(f"{path}/_dv/gen-*")) == 2
     assert _dv_sidecar_versions(spark, path) == [r3["version"]]
+    assert (
+        read_logs_at(spark, path).count()
+        == n1 - r2["rows_deleted"] - r3["rows_deleted"]
+    )
+    # folding the chain ends every generation's reign: the next vacuum
+    # reclaims both
+    from klogs_spark.manifest import dv_compact
+
+    dv_compact(spark, path)
+    rep3 = vacuum(spark, path, keep_versions=1)
+    assert rep3["dv_generations_deleted"] == 2
+    assert glob.glob(f"{path}/_dv/gen-*") == []
     assert (
         read_logs_at(spark, path).count()
         == n1 - r2["rows_deleted"] - r3["rows_deleted"]
@@ -3572,9 +3588,10 @@ def test_fsck_flags_missing_dv_generation(spark, logs_df, tmp_path):
     path, _ = _dv_table(spark, logs_df, tmp_path)
     res = mor_delete_where(spark, path, "pod_name = 'pod-1'")
     assert fsck(spark, path)["ok"]
-    shutil.rmtree(f"{path}/{res['dv']}")
+    gen = res["dv"][0]
+    shutil.rmtree(f"{path}/{gen}")
     rep = fsck(spark, path)
-    assert rep["dv_missing"] == [res["dv"]]
+    assert rep["dv_missing"] == [gen]
     assert not rep["ok"]
 
 

@@ -1508,12 +1508,23 @@ def vacuum(
     # deletes) is reclaimed, as are sidecars made redundant by the drop
     # (those below the oldest kept version, after re-anchoring its
     # resolution) and orphans past the head
-    needed_gens = {
-        r
-        for v in keep
-        for r in _dv_refs(_dv_ref_at(spark, path, v))
-    }
     dv_sidecars = _dv_sidecar_versions(spark, path)
+    # one sidecar-JSON read per distinct governing version, not per kept
+    # version (consecutive kept versions usually share a sidecar), and
+    # the directory listing above is shared via sidecars=
+    _gov_cache: dict = {}
+
+    def _gens_at(v: int) -> list:
+        gov = max((m for m in dv_sidecars if m <= v), default=None)
+        if gov is None:
+            return []
+        if gov not in _gov_cache:
+            _gov_cache[gov] = _dv_refs(
+                _dv_ref_at(spark, path, v, sidecars=dv_sidecars)
+            )
+        return _gov_cache[gov]
+
+    needed_gens = {r for v in keep for r in _gens_at(v)}
     dv_dir = hpath_cls(f"{path}/{DV_DIR}")
     on_disk_gens = set()
     if fs.exists(dv_dir):
@@ -1961,8 +1972,10 @@ def _dv_sidecar_versions(spark: SparkSession, path: str) -> list[int]:
 
 def _dv_ref_at(
     spark: SparkSession, path: str, version: int, sidecars=None
-) -> str | None:
-    """The deletion-vector generation in effect at a snapshot version:
+) -> "list | str | None":
+    """The deletion-vector ``dv`` field in effect at a snapshot version
+    — VERBATIM: a chain (list of generation refs), a legacy single
+    string, or None. Pass it through :func:`_dv_refs` before use:
     the latest ``dv_v{M}.json`` with M <= version (its ``dv`` field may
     be null — an explicit 'no vector from here on', written by
     :func:`dv_compact` and by restores to pre-vector versions). None when
@@ -2076,7 +2089,7 @@ def mor_delete_where(
     hit = F.coalesce(pred, F.lit(False))
     base_version = _cow_base_version(spark, path)
     live = _manifest_files(spark, path, base_version)
-    old_ref = _dv_ref_at(spark, path, base_version)
+    old_refs = _dv_refs(_dv_ref_at(spark, path, base_version))
     before, tok = _begin_rewrite(
         spark, path, "mor_delete_where", base_version
     )
@@ -2105,9 +2118,9 @@ def mor_delete_where(
         # skipped entirely on a table with no prior vector, the common
         # first-delete case)
         hits = df.withColumn("__hit", hit)
-        if _dv_refs(old_ref):
+        if old_refs:
             hits = _apply_dv(
-                hits, _read_dv(spark, path, old_ref), keep_keys=True
+                hits, _read_dv(spark, path, old_refs), keep_keys=True
             )
         hits = hits.filter(F.col("__hit")).select(
             F.col("__dv_key").alias("file"),
@@ -2134,7 +2147,7 @@ def mor_delete_where(
             return {
                 "version": base_version,
                 "rows_deleted": 0,
-                "dv": old_ref,
+                "dv": old_refs,
             }
     except BaseException:
         _release_marker()
@@ -2143,9 +2156,10 @@ def mor_delete_where(
     # rename leaves a sidecar pointing PAST the head, which recovery
     # drops), then the journal-validated manifest publish
     next_v = base_version + 1
+    new_chain = [gen, *old_refs]
     _write_small_json(
         fs, hpath_cls, path, _dv_sidecar_rel(next_v),
-        {"version": next_v, "dv": [gen, *_dv_refs(old_ref)]},
+        {"version": next_v, "dv": new_chain},
     )
     try:
         version = _finish_rewrite(
@@ -2164,7 +2178,7 @@ def mor_delete_where(
     return {
         "version": version,
         "rows_deleted": n_deleted,
-        "dv": [gen, *_dv_refs(old_ref)],
+        "dv": new_chain,
     }
 
 

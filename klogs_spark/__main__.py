@@ -158,6 +158,17 @@ def main(argv: list[str] | None = None) -> int:
                               "COW rewrite and clear it")
     pdc.add_argument("table")
 
+    pmu = sub.add_parser("mor-update",
+                         help="merge-on-read UPDATE...SET: old rows join "
+                              "the deletion vector, updated copies "
+                              "append — O(matched rows), no day rewrite")
+    pmu.add_argument("table")
+    pmu.add_argument("predicate", help="SQL predicate over log columns")
+    pmu.add_argument("--set", action="append", required=True,
+                     metavar="COL=EXPR",
+                     help="assignment, repeatable (e.g. --set "
+                          "\"log=concat(log, ' [fixed]')\")")
+
     pmt = sub.add_parser("maintain",
                          help="one-call housekeeping: heal crashed "
                               "rewrites, compact fragmented days, "
@@ -441,6 +452,25 @@ def main(argv: list[str] | None = None) -> int:
             f"v{res['version']}: folded {res['positions_folded']} "
             f"position(s) across {len(res['partitions_rewritten'])} "
             "day(s); vector cleared (fragments retained — run vacuum)"
+        )
+        return 0
+
+    if args.cmd == "mor-update":
+        from .manifest import mor_update_where
+
+        set_exprs = {}
+        for a in args.set:
+            col, _, expr = a.partition("=")
+            if not _:
+                raise SystemExit(f"--set needs COL=EXPR, got {a!r}")
+            set_exprs[col.strip()] = expr
+        res = mor_update_where(
+            spark, args.table, args.predicate, set_exprs
+        )
+        print(
+            f"v{res['version']}: updated {res['rows_updated']} row(s) "
+            "merge-on-read (old rows vector-deleted, new copies "
+            "appended; dv_compact folds the vector when it grows)"
         )
         return 0
 

@@ -2282,6 +2282,142 @@ def dv_compact(spark: SparkSession, path: str) -> dict:
     }
 
 
+def mor_update_where(
+    spark: SparkSession,
+    path: str,
+    predicate,
+    set_exprs: dict,
+) -> dict:
+    """Merge-on-read row-level UPDATE ... SET — the update twin of
+    :func:`mor_delete_where` (how Iceberg v3 / Delta express updates over
+    deletion vectors): matched rows' OLD positions join the vector chain
+    and their UPDATED copies append as new files, so the write cost is
+    O(matched rows) — never a survivor rewrite of the affected days
+    (:func:`cow_update_where`'s model). Same SET semantics as the COW
+    verb: every expression evaluates against the PRE-update row
+    (simultaneous assignment), promoted physical columns re-derive from
+    the possibly-updated maps, and timestamp/partition moves are refused
+    (a date move is delete+insert — :func:`cow_merge_upsert`).
+
+    Reads see exactly the updated state: the anti-join removes the old
+    rows, the appended files carry the new ones, and the CDC feed across
+    the update is the standard delete+insert pair (position diff + file
+    diff). Crash/concurrency discipline is the union of the two parents:
+    journaled intent before any write (appended orphans reclaim through
+    the before-listing, an orphan generation sweeps via vacuum), sidecar
+    before publish, losers clean up both."""
+    from .table import LOG_COLUMNS
+
+    import uuid as _uuid
+
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    hit = F.coalesce(pred, F.lit(False))
+    exprs = {
+        c: (F.expr(e) if isinstance(e, str) else e)
+        for c, e in set_exprs.items()
+    }
+    frozen = {"timestamp", PARTITION_COLUMN} & exprs.keys()
+    unknown = exprs.keys() - set(LOG_COLUMNS)
+    if frozen or unknown:
+        raise ValueError(
+            f"mor_update_where cannot set {sorted(frozen | unknown)}: "
+            "timestamp/partition moves are delete+insert "
+            "(cow_merge_upsert); unknown columns are not in LOG_COLUMNS"
+        )
+    base_version = _cow_base_version(spark, path)
+    live = _manifest_files(spark, path, base_version)
+    old_refs = _dv_refs(_dv_ref_at(spark, path, base_version))
+    before, tok = _begin_rewrite(
+        spark, path, "mor_update_where", base_version
+    )
+    fs, hpath_cls, _ = _hadoop_fs(spark, path)
+    marker = hpath_cls(f"{path}/{REWRITE_MARKER}")
+
+    def _release_marker() -> None:
+        if not fs.exists(marker):
+            return
+        try:
+            mine = (
+                _read_small_json(fs, hpath_cls, path, REWRITE_MARKER)
+                .get("token") == tok
+            )
+        except Exception:
+            mine = False
+        if mine:
+            _must(fs.delete(marker, False), "mor-upd-marker-delete", marker)
+
+    df = _read_data_files(spark, path, live, with_pos=True)
+    if old_refs:
+        df = _apply_dv(
+            df, _read_dv(spark, path, old_refs), keep_keys=True
+        )
+    # matched rows carry BOTH their positions (for the vector) and their
+    # data (for the updated copies) — persisted so the predicate scan
+    # over the table runs once and both writes read O(matched rows)
+    matched = df.filter(hit).persist()
+    try:
+        # pre-append phase: a fault here releases the journal (no data
+        # file has been appended, so there is nothing only the
+        # before-listing could identify; an orphan generation sweeps via
+        # vacuum) — the table is never left wedged needlessly
+        try:
+            n_matched = matched.count()
+            if n_matched == 0:
+                _release_marker()
+                return {
+                    "version": base_version,
+                    "rows_updated": 0,
+                    "dv": old_refs,
+                }
+            gen = f"{DV_DIR}/gen-{_uuid.uuid4().hex}"
+            (
+                matched.select(
+                    F.col("__dv_key").alias("file"),
+                    F.col("__dv_pos").alias("pos"),
+                )
+                .hint("rebalance")
+                .write.parquet(f"{path}/{gen}")
+            )
+        except BaseException:
+            _release_marker()
+            raise
+        # a fault from here on leaves the journal LIVE on purpose: the
+        # appended orphans are only identifiable via the before-listing
+        updated = matched.select(
+            PARTITION_COLUMN,
+            *[exprs[c].alias(c) if c in exprs else F.col(c)
+              for c in LOG_COLUMNS],
+        )
+        _append_in_layout(
+            spark, _restore_promotions(spark, path, updated), path
+        )
+    finally:
+        matched.unpersist()
+    next_v = base_version + 1
+    new_chain = [gen, *old_refs]
+    _write_small_json(
+        fs, hpath_cls, path, _dv_sidecar_rel(next_v),
+        {"version": next_v, "dv": new_chain},
+    )
+    try:
+        version = _finish_rewrite(
+            spark, path, base_version, before, tok, set(live)
+        )
+    except ConcurrentRewriteError:
+        sc = hpath_cls(f"{path}/{_dv_sidecar_rel(next_v)}")
+        if fs.exists(sc):
+            _must(fs.delete(sc, False), "mor-upd-sidecar-cleanup", sc)
+        gdir = hpath_cls(f"{path}/{gen}")
+        if fs.exists(gdir):
+            _must(fs.delete(gdir, True), "mor-upd-gen-cleanup", gdir)
+        raise
+    return {
+        "version": version,
+        "rows_updated": n_matched,
+        "dv": new_chain,
+    }
+
+
 def _read_all(stream) -> bytes:
     chunks = []
     while True:

@@ -3772,6 +3772,88 @@ def q_stream_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_table_mor_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read UPDATE ... SET (manifest.mor_update_where — old
+    rows join the deletion vector, updated copies append as new files;
+    the Iceberg-v3 update model) externally hash-checked: write a week →
+    snapshot v1 → MOR-UPDATE pod-7's log lines with a ' [v2]' suffix.
+    The checks: NO original file leaves the manifest (removed-files
+    count emitted, oracle expects it absent — the delete side is pure
+    vector, never a day rewrite), the head serves every pod-7 row
+    tagged and every other row untagged with the total unchanged, and a
+    pinned v1 read still serves ZERO tagged rows (vector + appended
+    files are both invisible to the old snapshot). Every number is
+    events arithmetic in the oracle."""
+    import tempfile
+
+    from ..manifest import (
+        _manifest_files,
+        mor_update_where,
+        publish_snapshot,
+        read_logs_at,
+    )
+    from ..table import write_logs
+    from ..views import derive_logs_from_events
+
+    logs = derive_logs_from_events(spark, sf_dir).filter(
+        F.col("timestamp") < TT_CUT_V1
+    )
+    base = tempfile.mkdtemp(prefix="klogs-morupd-")
+    tdir = f"{base}/logs"
+    write_logs(logs, tdir)
+    v1 = publish_snapshot(spark, tdir)
+    r = mor_update_where(
+        spark, tdir, F.col("pod_name") == "pod-7",
+        {"log": F.concat(F.col("log"), F.lit(" [v2]"))},
+    )
+    removed = set(_manifest_files(spark, tdir, v1)) - set(
+        _manifest_files(spark, tdir, r["version"])
+    )
+    pinned_tagged = (
+        read_logs_at(spark, tdir, v1)
+        .filter(F.col("log").endswith(" [v2]"))
+        .count()
+    )
+    stage_counts = [
+        ("files_removed", len(removed)),
+        ("pinned_v1_tagged", pinned_tagged),
+        ("rows_updated", r["rows_updated"]),
+    ]
+    stages = spark.createDataFrame(
+        [(s, "total", n) for s, n in stage_counts if n > 0],
+        "stage string, day string, n long",
+    )
+    per_day = read_logs_at(spark, tdir).groupBy(
+        F.lit("post_update").alias("stage"),
+        F.col("date").cast("string").alias("day"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("log").endswith(" [v2]").cast("long")).alias("n_tagged"),
+    )
+    return stages.unionByName(per_day, allowMissingColumns=True).select(
+        "stage", "day", "n", F.coalesce("n_tagged", F.lit(-1)).alias("n_tagged")
+    )
+
+
+SQL_TABLE_MOR_UPDATE = f"""
+WITH wk AS (
+  SELECT CAST(ts AS DATE) AS day, user_id % 50 AS pod FROM events
+  WHERE ts < TIMESTAMP '{TT_CUT_V1} 00:00:00'
+)
+SELECT 'rows_updated' AS stage, 'total' AS day, count(*) AS n,
+       CAST(-1 AS BIGINT) AS n_tagged
+FROM wk WHERE pod = 7
+UNION ALL
+SELECT 'post_update', CAST(day AS VARCHAR), count(*),
+       CAST(sum(CASE WHEN pod = 7 THEN 1 ELSE 0 END) AS BIGINT)
+FROM wk GROUP BY 2
+"""
+# note: the oracle has no 'files_removed' row (an update that dropped
+# any original file from the manifest would emit one) and no
+# 'pinned_v1_tagged' row (an old snapshot that can see the update —
+# through the vector or the appended files — would).
+
+
 def q_stream_gdpr_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming GDPR propagation end-to-end
     (streaming_ext.gdpr_delete_sink over manifest.mor_delete_where): a
@@ -4077,6 +4159,13 @@ SPECS = {
         "promoted-column rewrite: map-key predicate transparently served "
         "by the materialized physical column (marker-driven, plan-asserted "
         "map-free)",
+    ),
+    "table_mor_update": QuerySpec(
+        q_table_mor_update, SQL_TABLE_MOR_UPDATE,
+        "merge-on-read UPDATE...SET: old rows vector-deleted, updated "
+        "copies appended — no original file leaves the manifest, pinned "
+        "v1 sees zero updates; per-day tagged census vs events "
+        "arithmetic",
     ),
     "stream_gdpr_delete": QuerySpec(
         q_stream_gdpr_delete, SQL_STREAM_GDPR_DELETE,

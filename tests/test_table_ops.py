@@ -2639,7 +2639,7 @@ from hypothesis import strategies as st
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(ops=st.lists(st.sampled_from(
     ["append", "cow_delete", "cow_compact", "restore", "clone", "vacuum",
-     "publish", "maintain", "mor_delete", "dv_compact",
+     "publish", "maintain", "mor_delete", "dv_compact", "mor_update",
      # failure injections (r16 judge task): crash artifacts and corrupt
      # metadata interleaved with real ops — invariants must still hold
      "corrupt_ckpt", "torn_vacuum", "crash_rewrite"]),
@@ -2675,6 +2675,7 @@ def test_manifest_layer_randomized_op_sequences_hold_invariants(
         dv_compact,
         maintain,
         mor_delete_where,
+        mor_update_where,
         publish_snapshot,
         read_snapshot,
         restore_snapshot,
@@ -2735,6 +2736,13 @@ def test_manifest_layer_randomized_op_sequences_hold_invariants(
             p7 = 0
         elif op == "dv_compact":
             dv_compact(spark, path)  # fold + clear; served state fixed
+        elif op == "mor_update":
+            # tag pod-3's log lines: row/pod-7 counts are invariant
+            # (old rows vector-deleted, tagged copies appended)
+            mor_update_where(
+                spark, path, F.col("pod_name") == "pod-3",
+                {"log": F.concat(F.col("log"), F.lit(" [u]"))},
+            )
         elif op == "cow_compact":
             cow_compact_partition(spark, path, "date=2024-01-01")
         elif op == "restore":
@@ -3761,3 +3769,68 @@ def test_crashed_clone_remnants_never_govern_a_later_table(
     assert not os.path.exists(f"{dst}/{CLONE_INTENT}")
     assert not has_live_dv(spark, dst)
     assert read_snapshot(spark, dst).count() == logs_df.count()
+
+
+def test_mor_update_appends_copies_and_pins_history(
+    spark, logs_df, tmp_path
+):
+    """Merge-on-read UPDATE: old rows join the vector, updated copies
+    append — no original file is touched or dropped, the head serves the
+    new values, a pinned v1 sees none of it, the CDC feed is the
+    delete+insert pair, and promoted columns re-derive when the SET
+    touches their source map."""
+    from klogs_spark.manifest import (
+        _manifest_files,
+        mor_update_where,
+        publish_snapshot,
+        read_snapshot,
+        snapshot_changes,
+        snapshot_versions,
+    )
+
+    path = str(tmp_path / "logs")
+    write_logs_promoted(logs_df, path, {"content.level": "content_level"})
+    v1 = publish_snapshot(spark, path)
+    n1 = read_snapshot(spark, path).count()
+    mt = _data_file_mtimes(path)
+    files_v1 = set(_manifest_files(spark, path, v1))
+    n_err = logs_df.filter(
+        "element_at(fields_string, 'content.level') = 'error'"
+    ).count()
+    # SET rewrites the source MAP — the promoted column must follow
+    res = mor_update_where(
+        spark, path, "content_level = 'error'",
+        {"fields_string": F.map_from_arrays(
+            F.array(F.lit("content.level")), F.array(F.lit("fixed"))
+        )},
+    )
+    assert res["rows_updated"] == n_err > 0
+    head = read_snapshot(spark, path)
+    assert head.count() == n1
+    assert head.filter("content_level = 'error'").count() == 0
+    assert head.filter("content_level = 'fixed'").count() == n_err
+    # no original file touched or dropped; update files are additions
+    assert all(
+        _data_file_mtimes(path)[f] == t for f, t in mt.items()
+    )
+    head_files = set(
+        _manifest_files(spark, path, snapshot_versions(spark, path)[-1])
+    )
+    assert files_v1 <= head_files
+    # pinned v1 unchanged
+    v1_df = read_snapshot(spark, path, v1)
+    assert v1_df.filter("content_level = 'fixed'").count() == 0
+    assert v1_df.count() == n1
+    # CDC across the update: the delete+insert pair, counts equal
+    feed = snapshot_changes(spark, path, v1, res["version"])
+    by = {
+        r["_change_type"]: r["n"]
+        for r in feed.groupBy("_change_type")
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert by == {"delete": n_err, "insert": n_err}
+    # frozen columns refuse
+    with pytest.raises(ValueError, match="cannot set"):
+        mor_update_where(
+            spark, path, "true", {"timestamp": F.current_timestamp()}
+        )

@@ -460,8 +460,8 @@ def main(argv: list[str] | None = None) -> int:
 
         set_exprs = {}
         for a in args.set:
-            col, _, expr = a.partition("=")
-            if not _:
+            col, eq, expr = a.partition("=")
+            if not eq or not expr.strip() or not col.strip():
                 raise SystemExit(f"--set needs COL=EXPR, got {a!r}")
             set_exprs[col.strip()] = expr
         res = mor_update_where(
@@ -553,8 +553,8 @@ def main(argv: list[str] | None = None) -> int:
 
         set_exprs = {}
         for s in args.sets:
-            col, _, expr = s.partition("=")
-            if not expr:
+            col, eq, expr = s.partition("=")
+            if not eq or not expr.strip() or not col.strip():
                 raise SystemExit(f"--set needs COL=EXPR, got {s!r}")
             set_exprs[col.strip()] = expr
         res = cow_update_where(spark, args.table, args.predicate, set_exprs)

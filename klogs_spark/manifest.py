@@ -1257,18 +1257,7 @@ def cow_update_where(
 
     pred = F.expr(predicate) if isinstance(predicate, str) else predicate
     hit = F.coalesce(pred, F.lit(False))
-    exprs = {
-        c: (F.expr(e) if isinstance(e, str) else e)
-        for c, e in set_exprs.items()
-    }
-    frozen = {"timestamp", PARTITION_COLUMN} & exprs.keys()
-    unknown = exprs.keys() - set(LOG_COLUMNS)
-    if frozen or unknown:
-        raise ValueError(
-            f"cow_update_where cannot set {sorted(frozen | unknown)}: "
-            "timestamp/partition moves are delete+insert "
-            "(cow_merge_upsert); unknown columns are not in LOG_COLUMNS"
-        )
+    exprs = _validate_set_exprs("cow_update_where", set_exprs, LOG_COLUMNS)
     base_version = _cow_base_version(spark, path)
     live = _manifest_files(spark, path, base_version)
     df = read_snapshot(spark, path, base_version).select(
@@ -1691,18 +1680,15 @@ def restore_snapshot(spark: SparkSession, path: str, version: int) -> int:
         return publish_snapshot(spark, path, files)
     before, tok = _begin_rewrite(spark, path, "restore_snapshot", head)
     next_v = head + 1
-    _write_small_json(
-        fs, hpath_cls, path, _dv_sidecar_rel(next_v),
-        {"version": next_v, "dv": ref_target},
-    )
     try:
+        _write_dv_sidecar_claimed(
+            fs, hpath_cls, path, next_v, ref_target, tok
+        )
         return _finish_rewrite(
             spark, path, head, before, tok, set(files)
         )
     except ConcurrentRewriteError:
-        sc = hpath_cls(f"{path}/{_dv_sidecar_rel(next_v)}")
-        if fs.exists(sc):
-            _must(fs.delete(sc, False), "restore-sidecar-cleanup", sc)
+        _drop_dv_sidecar_if_mine(fs, hpath_cls, path, next_v, tok)
         raise
 
 
@@ -2039,6 +2025,86 @@ def _apply_dv(
     return out if keep_keys else out.drop("__dv_key", "__dv_pos")
 
 
+def _release_journal_if_mine(fs, hpath_cls, path: str, tok: str) -> None:
+    """Release the rewrite journal only when it still carries OUR token —
+    a competing recovery may have replaced it (the same ownership check
+    _finish_rewrite's abort makes)."""
+    marker = hpath_cls(f"{path}/{REWRITE_MARKER}")
+    if not fs.exists(marker):
+        return
+    try:
+        mine = (
+            _read_small_json(fs, hpath_cls, path, REWRITE_MARKER)
+            .get("token") == tok
+        )
+    except Exception:
+        mine = False
+    if mine:
+        _must(fs.delete(marker, False), "journal-release", marker)
+
+
+def _write_dv_sidecar_claimed(
+    fs, hpath_cls, path: str, version: int, dv, tok: str
+) -> None:
+    """Publish a deletion-vector sidecar with CREATE-EXCLUSIVE semantics,
+    tagged with the writing rewrite's journal token. Exclusive because a
+    plain overwrite could CLOBBER a competing winner's already-published
+    sidecar for the same version (the loser's publish would then abort,
+    but the winner's vector would already be gone — silent resurrection,
+    review-found); an existing sidecar at this version proves we lost
+    the race, so raise the standard loser error. The token lets the
+    loser's cleanup delete only its OWN sidecar."""
+    if not _claim_marker(
+        fs, hpath_cls, path, _dv_sidecar_rel(version),
+        {"version": version, "dv": dv, "token": tok},
+    ):
+        raise ConcurrentRewriteError(
+            f"dv sidecar v{version} already exists under {path} — a "
+            "competing rewrite published this version first; retry "
+            "against the new head"
+        )
+
+
+def _drop_dv_sidecar_if_mine(
+    fs, hpath_cls, path: str, version: int, tok: str
+) -> None:
+    """Lost-race cleanup for a pre-published sidecar: delete it ONLY when
+    it still carries our token. A competing recovery may have dropped
+    ours (past-head sweep) and a competing rewrite may have published
+    its own at the same version — deleting that one would resurrect the
+    winner's MOR-deleted rows."""
+    rel = _dv_sidecar_rel(version)
+    p = hpath_cls(f"{path}/{rel}")
+    if not fs.exists(p):
+        return
+    try:
+        mine = _read_small_json(fs, hpath_cls, path, rel).get("token") == tok
+    except Exception:
+        mine = False
+    if mine:
+        _must(fs.delete(p, False), "dv-sidecar-cleanup", rel)
+
+
+def _validate_set_exprs(op: str, set_exprs: dict, log_columns) -> dict:
+    """Shared UPDATE ... SET validation (cow_update_where /
+    mor_update_where): expressions compile, timestamp/partition moves
+    are refused (a date move is delete+insert — cow_merge_upsert), and
+    unknown columns are refused."""
+    exprs = {
+        c: (F.expr(e) if isinstance(e, str) else e)
+        for c, e in set_exprs.items()
+    }
+    frozen = {"timestamp", PARTITION_COLUMN} & exprs.keys()
+    unknown = exprs.keys() - set(log_columns)
+    if frozen or unknown:
+        raise ValueError(
+            f"{op} cannot set {sorted(frozen | unknown)}: "
+            "timestamp/partition moves are delete+insert "
+            "(cow_merge_upsert); unknown columns are not in LOG_COLUMNS"
+        )
+    return exprs
+
+
 def has_live_dv(spark: SparkSession, path: str) -> bool:
     """True when the head snapshot is governed by a deletion vector. The
     IN-PLACE maintenance tier must refuse such tables: an in-place
@@ -2094,22 +2160,9 @@ def mor_delete_where(
         spark, path, "mor_delete_where", base_version
     )
     fs, hpath_cls, _ = _hadoop_fs(spark, path)
-    marker = hpath_cls(f"{path}/{REWRITE_MARKER}")
 
     def _release_marker() -> None:
-        # release only OUR claim — a competing recovery may have
-        # replaced the marker (same ownership check as _finish_rewrite)
-        if not fs.exists(marker):
-            return
-        try:
-            mine = (
-                _read_small_json(fs, hpath_cls, path, REWRITE_MARKER)
-                .get("token") == tok
-            )
-        except Exception:
-            mine = False
-        if mine:
-            _must(fs.delete(marker, False), "mor-marker-delete", marker)
+        _release_journal_if_mine(fs, hpath_cls, path, tok)
 
     try:
         df = _read_data_files(spark, path, live, with_pos=True)
@@ -2157,20 +2210,18 @@ def mor_delete_where(
     # drops), then the journal-validated manifest publish
     next_v = base_version + 1
     new_chain = [gen, *old_refs]
-    _write_small_json(
-        fs, hpath_cls, path, _dv_sidecar_rel(next_v),
-        {"version": next_v, "dv": new_chain},
-    )
     try:
+        _write_dv_sidecar_claimed(
+            fs, hpath_cls, path, next_v, new_chain, tok
+        )
         version = _finish_rewrite(
             spark, path, base_version, before, tok, set(live)
         )
     except ConcurrentRewriteError:
-        # lost the race: our sidecar must not govern the winner's
-        # version — remove it and the orphan generation before re-raising
-        sc = hpath_cls(f"{path}/{_dv_sidecar_rel(next_v)}")
-        if fs.exists(sc):
-            _must(fs.delete(sc, False), "mor-sidecar-cleanup", sc)
+        # lost the race: OUR sidecar (token-checked — a competing
+        # winner's sidecar at this version must survive) and the orphan
+        # generation go before re-raising
+        _drop_dv_sidecar_if_mine(fs, hpath_cls, path, next_v, tok)
         gdir = hpath_cls(f"{path}/{gen}")
         if fs.exists(gdir):
             _must(fs.delete(gdir, True), "mor-gen-cleanup", gdir)
@@ -2221,18 +2272,15 @@ def dv_compact(spark: SparkSession, path: str) -> dict:
             spark, path, "dv_compact", base_version
         )
         next_v = base_version + 1
-        _write_small_json(
-            fs, hpath_cls, path, _dv_sidecar_rel(next_v),
-            {"version": next_v, "dv": None},
-        )
         try:
+            _write_dv_sidecar_claimed(
+                fs, hpath_cls, path, next_v, None, tok
+            )
             version = _finish_rewrite(
                 spark, path, base_version, before, tok, set(live)
             )
         except ConcurrentRewriteError:
-            sc = hpath_cls(f"{path}/{_dv_sidecar_rel(next_v)}")
-            if fs.exists(sc):
-                _must(fs.delete(sc, False), "dvc-sidecar-cleanup", sc)
+            _drop_dv_sidecar_if_mine(fs, hpath_cls, path, next_v, tok)
             raise
         return {
             "version": version,
@@ -2262,18 +2310,13 @@ def dv_compact(spark: SparkSession, path: str) -> dict:
     _append_in_layout(spark, survivors, path)
     replaced = {f for f in live if _entry_day_dir(f) in day_dirs}
     next_v = base_version + 1
-    _write_small_json(
-        fs, hpath_cls, path, _dv_sidecar_rel(next_v),
-        {"version": next_v, "dv": None},
-    )
     try:
+        _write_dv_sidecar_claimed(fs, hpath_cls, path, next_v, None, tok)
         version = _finish_rewrite(
             spark, path, base_version, before, tok, set(live) - replaced
         )
     except ConcurrentRewriteError:
-        sc = hpath_cls(f"{path}/{_dv_sidecar_rel(next_v)}")
-        if fs.exists(sc):
-            _must(fs.delete(sc, False), "dvc-sidecar-cleanup", sc)
+        _drop_dv_sidecar_if_mine(fs, hpath_cls, path, next_v, tok)
         raise
     return {
         "version": version,
@@ -2312,18 +2355,7 @@ def mor_update_where(
 
     pred = F.expr(predicate) if isinstance(predicate, str) else predicate
     hit = F.coalesce(pred, F.lit(False))
-    exprs = {
-        c: (F.expr(e) if isinstance(e, str) else e)
-        for c, e in set_exprs.items()
-    }
-    frozen = {"timestamp", PARTITION_COLUMN} & exprs.keys()
-    unknown = exprs.keys() - set(LOG_COLUMNS)
-    if frozen or unknown:
-        raise ValueError(
-            f"mor_update_where cannot set {sorted(frozen | unknown)}: "
-            "timestamp/partition moves are delete+insert "
-            "(cow_merge_upsert); unknown columns are not in LOG_COLUMNS"
-        )
+    exprs = _validate_set_exprs("mor_update_where", set_exprs, LOG_COLUMNS)
     base_version = _cow_base_version(spark, path)
     live = _manifest_files(spark, path, base_version)
     old_refs = _dv_refs(_dv_ref_at(spark, path, base_version))
@@ -2331,36 +2363,28 @@ def mor_update_where(
         spark, path, "mor_update_where", base_version
     )
     fs, hpath_cls, _ = _hadoop_fs(spark, path)
-    marker = hpath_cls(f"{path}/{REWRITE_MARKER}")
 
     def _release_marker() -> None:
-        if not fs.exists(marker):
-            return
-        try:
-            mine = (
-                _read_small_json(fs, hpath_cls, path, REWRITE_MARKER)
-                .get("token") == tok
-            )
-        except Exception:
-            mine = False
-        if mine:
-            _must(fs.delete(marker, False), "mor-upd-marker-delete", marker)
+        _release_journal_if_mine(fs, hpath_cls, path, tok)
 
-    df = _read_data_files(spark, path, live, with_pos=True)
-    if old_refs:
-        df = _apply_dv(
-            df, _read_dv(spark, path, old_refs), keep_keys=True
-        )
-    # matched rows carry BOTH their positions (for the vector) and their
-    # data (for the updated copies) — persisted so the predicate scan
-    # over the table runs once and both writes read O(matched rows)
-    matched = df.filter(hit).persist()
+    matched = None
     try:
-        # pre-append phase: a fault here releases the journal (no data
-        # file has been appended, so there is nothing only the
-        # before-listing could identify; an orphan generation sweeps via
-        # vacuum) — the table is never left wedged needlessly
+        # pre-append phase (including the eager reads — a bad predicate
+        # or a missing file must not leave the journal wedged): a fault
+        # here releases the journal; no data file has been appended, so
+        # there is nothing only the before-listing could identify, and
+        # an orphan generation sweeps via vacuum
         try:
+            df = _read_data_files(spark, path, live, with_pos=True)
+            if old_refs:
+                df = _apply_dv(
+                    df, _read_dv(spark, path, old_refs), keep_keys=True
+                )
+            # matched rows carry BOTH their positions (for the vector)
+            # and their data (for the updated copies) — persisted so the
+            # predicate scan over the table runs once and both writes
+            # read O(matched rows)
+            matched = df.filter(hit).persist()
             n_matched = matched.count()
             if n_matched == 0:
                 _release_marker()
@@ -2392,21 +2416,19 @@ def mor_update_where(
             spark, _restore_promotions(spark, path, updated), path
         )
     finally:
-        matched.unpersist()
+        if matched is not None:
+            matched.unpersist()
     next_v = base_version + 1
     new_chain = [gen, *old_refs]
-    _write_small_json(
-        fs, hpath_cls, path, _dv_sidecar_rel(next_v),
-        {"version": next_v, "dv": new_chain},
-    )
     try:
+        _write_dv_sidecar_claimed(
+            fs, hpath_cls, path, next_v, new_chain, tok
+        )
         version = _finish_rewrite(
             spark, path, base_version, before, tok, set(live)
         )
     except ConcurrentRewriteError:
-        sc = hpath_cls(f"{path}/{_dv_sidecar_rel(next_v)}")
-        if fs.exists(sc):
-            _must(fs.delete(sc, False), "mor-upd-sidecar-cleanup", sc)
+        _drop_dv_sidecar_if_mine(fs, hpath_cls, path, next_v, tok)
         gdir = hpath_cls(f"{path}/{gen}")
         if fs.exists(gdir):
             _must(fs.delete(gdir, True), "mor-upd-gen-cleanup", gdir)

@@ -3834,3 +3834,48 @@ def test_mor_update_appends_copies_and_pins_history(
         mor_update_where(
             spark, path, "true", {"timestamp": F.current_timestamp()}
         )
+
+
+def test_dv_sidecar_race_primitives_protect_the_winner(
+    spark, logs_df, tmp_path
+):
+    """Review-found resurrection race: a MOR rewrite that loses the
+    optimistic-concurrency race must never clobber or delete the
+    WINNER's sidecar at the same version. The two primitives pin it:
+    the sidecar write is create-exclusive (an existing sidecar means we
+    lost — raise, don't overwrite), and the lost-race cleanup deletes
+    only a sidecar carrying OUR journal token."""
+    import json
+    import os
+
+    from klogs_spark.manifest import (
+        ConcurrentRewriteError,
+        MANIFEST_DIR,
+        _drop_dv_sidecar_if_mine,
+        _hadoop_fs,
+        _write_dv_sidecar_claimed,
+        publish_snapshot,
+    )
+
+    path = str(tmp_path / "logs")
+    write_logs(logs_df, path)
+    publish_snapshot(spark, path)
+    fs, hp, _ = _hadoop_fs(spark, path)
+    side = f"{path}/{MANIFEST_DIR}/dv_v2.json"
+
+    # the winner published its sidecar first
+    _write_dv_sidecar_claimed(
+        fs, hp, path, 2, ["_dv/gen-winner"], "tok-winner"
+    )
+    # the loser's write REFUSES instead of overwriting
+    with pytest.raises(ConcurrentRewriteError, match="already exists"):
+        _write_dv_sidecar_claimed(
+            fs, hp, path, 2, ["_dv/gen-loser"], "tok-loser"
+        )
+    # the loser's cleanup leaves the foreign sidecar intact...
+    _drop_dv_sidecar_if_mine(fs, hp, path, 2, "tok-loser")
+    assert os.path.exists(side)
+    assert json.load(open(side))["dv"] == ["_dv/gen-winner"]
+    # ...and the owner's cleanup removes its own
+    _drop_dv_sidecar_if_mine(fs, hp, path, 2, "tok-winner")
+    assert not os.path.exists(side)

@@ -7853,6 +7853,85 @@ FROM d GROUP BY domain
 """
 
 
+def q_text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language — the tokenizer-quality lens a
+    multilingual pretraining pipeline reads before committing to a vocab
+    (how many tokens per word, how many characters per token, per
+    language; a vocab trained on the majority language over-segments the
+    rest): the engine's own BPE tokenization
+    (ext.text.bpe_tokenize_docs under the BPE_MERGES trained merges)
+    joined id-keyed against the stopword language classifier
+    (ext.text.language_id), aggregated per predicted language with
+    integer per-mille ratios (floor division — engine-exact). The oracle
+    extends the unrolled BPE training chain with the same langid CTEs
+    and arithmetic, so a merge mis-applied, a language mis-assigned, or
+    a ratio rounded differently anywhere breaks the hash. Plan shape:
+    the BPE chain's keyed aggregates + one id equi-join + one grouped
+    aggregate — no new join shapes, work corpus-linear."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = tx.bpe_tokenize_docs(docs, k=BPE_MERGES)
+    lang = tx.language_id(docs).select("id", "predicted_lang")
+    return (
+        per_doc.join(lang, "id")
+        .groupBy("predicted_lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("sum_words"),
+            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .select(
+            "predicted_lang", "n_docs", "sum_words", "sum_tokens",
+            "sum_chars",
+            F.expr("(sum_tokens * 1000) div sum_words")
+            .cast("bigint").alias("tokens_per_kword"),
+            F.expr("(sum_chars * 1000) div sum_tokens")
+            .cast("bigint").alias("chars_per_ktoken"),
+        )
+    )
+
+
+# the fertility oracle reuses the trained-chain CTEs of
+# SQL_TEXT_BPE_TOKENIZE verbatim (everything before its final SELECT —
+# sliced, not copied, so the two can never drift) and swaps the tail for
+# the langid join + per-language ratios
+_BPE_CHAIN_FOR_FERTILITY = SQL_TEXT_BPE_TOKENIZE[
+    : SQL_TEXT_BPE_TOKENIZE.rindex("SELECT CAST(dw.doc_id")
+].rstrip()
+
+SQL_TEXT_BPE_FERTILITY = _BPE_CHAIN_FOR_FERTILITY + f""",
+docstats AS (
+  SELECT CAST(dw.doc_id AS BIGINT) AS id,
+         SUM(c) AS n_words,
+         SUM(c * n_syms) AS n_tokens,
+         SUM(c * length(dw.w)) AS n_chars
+  FROM dw JOIN vocab USING (w)
+  GROUP BY 1
+),
+{TOKENS_CTE},
+scored AS (
+  SELECT id, list_aggregate([{_LANG_STRUCTS}], 'max') AS best FROM tk
+),
+lang AS (
+  SELECT id,
+         CASE WHEN best.score > 0 THEN best.lang ELSE 'und' END
+           AS predicted_lang
+  FROM scored
+)
+SELECT predicted_lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS sum_words,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST((sum(n_tokens) * 1000) // sum(n_words) AS BIGINT)
+         AS tokens_per_kword,
+       CAST((sum(n_chars) * 1000) // sum(n_tokens) AS BIGINT)
+         AS chars_per_ktoken
+FROM docstats JOIN lang USING (id)
+GROUP BY 1
+"""
+
+
 def q_text_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The C4 line-level cleaning battery (ext.web.c4_line_stats — Raffel
     et al. 2020 §2.2: keep lines ending in terminal punctuation with
@@ -8710,5 +8789,11 @@ SPECS = {
         "CCNet head/middle/tail perplexity bucketing: language-ID + "
         "corpus-unigram NLL + per-language ntile(3) with deterministic "
         "tie-break; per-(lang,bucket) census vs identical SQL",
+    ),
+    "text_bpe_fertility": QuerySpec(
+        q_text_bpe_fertility, SQL_TEXT_BPE_FERTILITY,
+        "tokenizer fertility by language: per-language tokens/word and "
+        "chars/token (integer per-mille) under the trained BPE merges, "
+        "langid-joined; vs the unrolled chain + identical arithmetic",
     ),
 }

@@ -911,3 +911,12 @@ def test_ccnet_buckets_window_partitioned_by_language(spark):
     )
     assert "predicted_lang" in wline, wline
     assert "CartesianProduct" not in plan
+
+
+def test_bpe_fertility_keyed_joins_only(spark):
+    # the BPE chain's keyed aggregates + one id equi-join + one grouped
+    # aggregate: never a cartesian, never a corpus window, no Python
+    plan = _plan(spark, "text_bpe_fertility")
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan

@@ -240,3 +240,39 @@ def test_cli_mor_delete_and_dv_compact(spark, tmp_path, capsys):
     assert f"folded {n7} position(s)" in out
     assert not has_live_dv(spark, path)
     assert read_logs_at(spark, path).count() == total - n7
+
+
+def test_cli_mor_update_set_parsing_and_apply(spark, tmp_path, capsys):
+    """mor-update drives the merge-on-read UPDATE end-to-end; malformed
+    --set values exit cleanly instead of raising a Spark parse error."""
+    from pyspark.sql import functions as F
+
+    from klogs_spark.__main__ import main
+    from klogs_spark.manifest import read_logs_at
+    from klogs_spark.table import write_logs
+    from klogs_spark.views import derive_logs_from_events
+
+    logs = derive_logs_from_events(spark, "/root/testdata/sf0.001").filter(
+        F.col("timestamp") < "2024-01-03"
+    )
+    path = str(tmp_path / "t")
+    write_logs(logs, path)
+    assert main(["snapshot", path]) == 0
+    capsys.readouterr()
+    n7 = logs.filter("pod_name = 'pod-7'").count()
+
+    assert main([
+        "mor-update", path, "pod_name = 'pod-7'",
+        "--set", "log=concat(log, ' [fixed]')",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert f"updated {n7} row(s) merge-on-read" in out
+    head = read_logs_at(spark, path)
+    assert head.filter("log LIKE '% [fixed]'").count() == n7
+    assert head.count() == logs.count()
+
+    import pytest
+
+    for bad in ("log", "log=", "=x", "  =x"):
+        with pytest.raises(SystemExit, match="COL=EXPR"):
+            main(["mor-update", path, "true", "--set", bad])

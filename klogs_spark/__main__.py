@@ -25,6 +25,19 @@ from .config import EngineConfig
 from .session import get_spark
 
 
+def _parse_set_args(pairs: list) -> dict:
+    """Shared --set COL=EXPR parsing for the update verbs (cow-update /
+    mor-update) — one copy so the validation can never drift again (the
+    two inline loops had already diverged once, review-found)."""
+    set_exprs = {}
+    for a in pairs:
+        col, eq, expr = a.partition("=")
+        if not eq or not expr.strip() or not col.strip():
+            raise SystemExit(f"--set needs COL=EXPR, got {a!r}")
+        set_exprs[col.strip()] = expr
+    return set_exprs
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="klogs_spark")
 
@@ -458,14 +471,8 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "mor-update":
         from .manifest import mor_update_where
 
-        set_exprs = {}
-        for a in args.set:
-            col, eq, expr = a.partition("=")
-            if not eq or not expr.strip() or not col.strip():
-                raise SystemExit(f"--set needs COL=EXPR, got {a!r}")
-            set_exprs[col.strip()] = expr
         res = mor_update_where(
-            spark, args.table, args.predicate, set_exprs
+            spark, args.table, args.predicate, _parse_set_args(args.set)
         )
         print(
             f"v{res['version']}: updated {res['rows_updated']} row(s) "
@@ -551,13 +558,9 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "cow-update":
         from .manifest import cow_update_where
 
-        set_exprs = {}
-        for s in args.sets:
-            col, eq, expr = s.partition("=")
-            if not eq or not expr.strip() or not col.strip():
-                raise SystemExit(f"--set needs COL=EXPR, got {s!r}")
-            set_exprs[col.strip()] = expr
-        res = cow_update_where(spark, args.table, args.predicate, set_exprs)
+        res = cow_update_where(
+            spark, args.table, args.predicate, _parse_set_args(args.sets)
+        )
         print(
             f"v{res['version']}: updated {res['rows_updated']} row(s); "
             f"rewrote {res['partitions_rewritten']} (replaced files "

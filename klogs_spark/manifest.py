@@ -1056,17 +1056,7 @@ def _finish_rewrite(
             p = hpath_cls(f"{path}/{f}")
             if fs.exists(p):
                 _must(fs.delete(p, False), "race-abort-delete", f)
-        marker = hpath_cls(f"{path}/{REWRITE_MARKER}")
-        if fs.exists(marker):
-            try:
-                mine = (
-                    _read_small_json(fs, hpath_cls, path, REWRITE_MARKER)
-                    .get("token") == token
-                )
-            except Exception:
-                mine = False
-            if mine:
-                _must(fs.delete(marker, False), "race-abort-marker", marker)
+        _release_journal_if_mine(fs, hpath_cls, path, token)
         raise ConcurrentRewriteError(
             f"cow rewrite lost the race under {path}: {reason}; its "
             "unpublished files were cleaned up — retry the operation "
@@ -1689,6 +1679,7 @@ def restore_snapshot(spark: SparkSession, path: str, version: int) -> int:
         )
     except ConcurrentRewriteError:
         _drop_dv_sidecar_if_mine(fs, hpath_cls, path, next_v, tok)
+        _reclaim_unpublished_appends(spark, path, before, tok)
         raise
 
 
@@ -1908,7 +1899,8 @@ def read_logs_at(
 #     the CUMULATIVE deleted positions in effect. Each MOR delete writes a
 #     NEW generation (old ∪ new positions); generations are immutable, so
 #     pinned readers of older snapshots keep resolving their own.
-#   * `_manifest/dv_v{N}.json` — {"version": N, "dv": "<gen rel>" | null}:
+#   * `_manifest/dv_v{N}.json` — {"version": N, "dv": [<gen rel>, ...] |
+#     "<gen rel>" | null, "token": <journal token, rewrite-written only>}:
 #     the generation in effect FROM version N on (until a later sidecar).
 #     Version resolution is "latest sidecar at-or-before the snapshot", so
 #     `publish_snapshot` stays untouched: COW rewrites and plain appends
@@ -2043,6 +2035,29 @@ def _release_journal_if_mine(fs, hpath_cls, path: str, tok: str) -> None:
         _must(fs.delete(marker, False), "journal-release", marker)
 
 
+def _reclaim_unpublished_appends(
+    spark: SparkSession, path: str, before: set, tok: str
+) -> None:
+    """Early-loser cleanup (a race detected BEFORE _finish_rewrite, e.g.
+    the sidecar claim failing): mirror _finish_rewrite._abort — delete
+    files appended since the journaled before-listing that no manifest
+    references, then release the journal if still ours. Idempotent with
+    _abort's own cleanup (files already gone / foreign marker are both
+    no-ops), so call sites need not know which layer detected the race.
+    Without this, the 'loser cleans up before raising' contract broke at
+    the early raise point: the stale journal survived, and a later
+    recovery pass would reclaim the CALLER's legitimate post-failure
+    appends against the stale before-listing (review-found)."""
+    fs, hpath_cls, root = _hadoop_fs(spark, path)
+    after = set(_list_data_files(fs, root, hpath_cls))
+    manifested = _all_manifested(spark, path)
+    for f in sorted((after - before) - manifested):
+        p = hpath_cls(f"{path}/{f}")
+        if fs.exists(p):
+            _must(fs.delete(p, False), "early-abort-delete", f)
+    _release_journal_if_mine(fs, hpath_cls, path, tok)
+
+
 def _write_dv_sidecar_claimed(
     fs, hpath_cls, path: str, version: int, dv, tok: str
 ) -> None:
@@ -2072,7 +2087,16 @@ def _drop_dv_sidecar_if_mine(
     it still carries our token. A competing recovery may have dropped
     ours (past-head sweep) and a competing rewrite may have published
     its own at the same version — deleting that one would resurrect the
-    winner's MOR-deleted rows."""
+    winner's MOR-deleted rows.
+
+    Known narrow window: the read-token-then-delete pair is not atomic
+    (no filesystem offers compare-and-delete), so a recovery dropping
+    our sidecar AND a competitor claiming the same version between our
+    read and our delete could still lose the competitor's sidecar. The
+    window is microseconds of driver-local work, requires three
+    concurrent maintenance jobs on one table (outside the documented
+    single-maintenance-writer assumption), and fsck surfaces the damage
+    (dv_missing) — accepted residual risk."""
     rel = _dv_sidecar_rel(version)
     p = hpath_cls(f"{path}/{rel}")
     if not fs.exists(p):
@@ -2219,12 +2243,15 @@ def mor_delete_where(
         )
     except ConcurrentRewriteError:
         # lost the race: OUR sidecar (token-checked — a competing
-        # winner's sidecar at this version must survive) and the orphan
-        # generation go before re-raising
+        # winner's sidecar at this version must survive), the orphan
+        # generation, and the journal (when the race was detected before
+        # _finish_rewrite's own abort could release it) go before
+        # re-raising
         _drop_dv_sidecar_if_mine(fs, hpath_cls, path, next_v, tok)
         gdir = hpath_cls(f"{path}/{gen}")
         if fs.exists(gdir):
             _must(fs.delete(gdir, True), "mor-gen-cleanup", gdir)
+        _reclaim_unpublished_appends(spark, path, before, tok)
         raise
     return {
         "version": version,
@@ -2281,6 +2308,7 @@ def dv_compact(spark: SparkSession, path: str) -> dict:
             )
         except ConcurrentRewriteError:
             _drop_dv_sidecar_if_mine(fs, hpath_cls, path, next_v, tok)
+            _reclaim_unpublished_appends(spark, path, before, tok)
             raise
         return {
             "version": version,
@@ -2317,6 +2345,7 @@ def dv_compact(spark: SparkSession, path: str) -> dict:
         )
     except ConcurrentRewriteError:
         _drop_dv_sidecar_if_mine(fs, hpath_cls, path, next_v, tok)
+        _reclaim_unpublished_appends(spark, path, before, tok)
         raise
     return {
         "version": version,
@@ -2432,6 +2461,7 @@ def mor_update_where(
         gdir = hpath_cls(f"{path}/{gen}")
         if fs.exists(gdir):
             _must(fs.delete(gdir, True), "mor-upd-gen-cleanup", gdir)
+        _reclaim_unpublished_appends(spark, path, before, tok)
         raise
     return {
         "version": version,

@@ -34,10 +34,12 @@ detects the moved base or a reclaimed journal, cleans up its unpublished
 files, and raises :class:`ConcurrentRewriteError` — retry folds the
 winner's result), and disk is reclaimed by an explicit :func:`vacuum`
 whose retention window is the time-travel horizon. The MERGE-ON-READ
-tier (:func:`mor_delete_where` + :func:`dv_compact`) completes the
-delete family with Delta/Iceberg-style deletion vectors: a delete
-records (file, row position) tombstones and rewrites nothing; reads
-anti-join them away; compaction folds them back into files.
+tier (:func:`mor_delete_where` / :func:`mor_update_where` +
+:func:`dv_compact`) completes the verb family with Delta/Iceberg-style
+deletion vectors: a delete records (file, row position) tombstones and
+rewrites nothing, an update additionally appends the changed copies,
+reads anti-join the tombstones away, and compaction folds them back
+into files.
 
 ``_manifest`` starts with ``_`` so Spark partition discovery ignores it.
 """

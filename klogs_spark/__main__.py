@@ -177,8 +177,8 @@ def main(argv: list[str] | None = None) -> int:
                               "append — O(matched rows), no day rewrite")
     pmu.add_argument("table")
     pmu.add_argument("predicate", help="SQL predicate over log columns")
-    pmu.add_argument("--set", action="append", required=True,
-                     metavar="COL=EXPR",
+    pmu.add_argument("--set", dest="sets", action="append",
+                     required=True, metavar="COL=EXPR",
                      help="assignment, repeatable (e.g. --set "
                           "\"log=concat(log, ' [fixed]')\")")
 
@@ -472,7 +472,7 @@ def main(argv: list[str] | None = None) -> int:
         from .manifest import mor_update_where
 
         res = mor_update_where(
-            spark, args.table, args.predicate, _parse_set_args(args.set)
+            spark, args.table, args.predicate, _parse_set_args(args.sets)
         )
         print(
             f"v{res['version']}: updated {res['rows_updated']} row(s) "

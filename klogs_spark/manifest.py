@@ -2051,12 +2051,33 @@ def _reclaim_unpublished_appends(
     recovery pass would reclaim the CALLER's legitimate post-failure
     appends against the stale before-listing (review-found)."""
     fs, hpath_cls, root = _hadoop_fs(spark, path)
+    # ownership gate FIRST (review-found): when _finish_rewrite's _abort
+    # already ran, it cleaned up AND released the journal — a competitor
+    # may have claimed the freed slot and appended ITS survivor files,
+    # which would land in (after - before) and be deleted by an unguarded
+    # sweep, corrupting the competitor's about-to-publish snapshot. Only
+    # a journal still carrying OUR token proves the slot (and therefore
+    # every post-listing append) is ours.
+    marker = hpath_cls(f"{path}/{REWRITE_MARKER}")
+    if not fs.exists(marker):
+        return
+    try:
+        mine = (
+            _read_small_json(fs, hpath_cls, path, REWRITE_MARKER)
+            .get("token") == tok
+        )
+    except Exception:
+        mine = False
+    if not mine:
+        return
     after = set(_list_data_files(fs, root, hpath_cls))
-    manifested = _all_manifested(spark, path)
-    for f in sorted((after - before) - manifested):
-        p = hpath_cls(f"{path}/{f}")
-        if fs.exists(p):
-            _must(fs.delete(p, False), "early-abort-delete", f)
+    new_files = after - before
+    if new_files:  # skip the manifest walk when nothing was appended
+        manifested = _all_manifested(spark, path)
+        for f in sorted(new_files - manifested):
+            p = hpath_cls(f"{path}/{f}")
+            if fs.exists(p):
+                _must(fs.delete(p, False), "early-abort-delete", f)
     _release_journal_if_mine(fs, hpath_cls, path, tok)
 
 

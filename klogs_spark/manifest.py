@@ -1068,13 +1068,7 @@ def _finish_rewrite(
     marker = hpath_cls(f"{path}/{REWRITE_MARKER}")
     if not fs.exists(marker):
         _abort("journal marker vanished (competing recovery reclaimed it)")
-    try:
-        owner = _read_small_json(fs, hpath_cls, path, REWRITE_MARKER).get(
-            "token"
-        )
-    except Exception:
-        owner = None
-    if owner != token:
+    if not _journal_is_mine(fs, hpath_cls, path, token):
         _abort("journal marker replaced by a competing rewrite")
     versions = snapshot_versions(spark, path)
     if not versions or versions[-1] != base_version:
@@ -2019,22 +2013,31 @@ def _apply_dv(
     return out if keep_keys else out.drop("__dv_key", "__dv_pos")
 
 
-def _release_journal_if_mine(fs, hpath_cls, path: str, tok: str) -> None:
-    """Release the rewrite journal only when it still carries OUR token —
-    a competing recovery may have replaced it (the same ownership check
-    _finish_rewrite's abort makes)."""
-    marker = hpath_cls(f"{path}/{REWRITE_MARKER}")
-    if not fs.exists(marker):
-        return
+def _journal_is_mine(fs, hpath_cls, path: str, tok: str) -> bool:
+    """Does the rewrite journal exist AND still carry our token? The one
+    copy of the exists/read/compare dance every ownership decision uses
+    (release, abort, early-loser reclaim) — a torn or foreign marker
+    reads as not-ours."""
+    if not fs.exists(hpath_cls(f"{path}/{REWRITE_MARKER}")):
+        return False
     try:
-        mine = (
+        return (
             _read_small_json(fs, hpath_cls, path, REWRITE_MARKER)
             .get("token") == tok
         )
     except Exception:
-        mine = False
-    if mine:
-        _must(fs.delete(marker, False), "journal-release", marker)
+        return False
+
+
+def _release_journal_if_mine(fs, hpath_cls, path: str, tok: str) -> None:
+    """Release the rewrite journal only when it still carries OUR token —
+    a competing recovery may have replaced it (the same ownership check
+    _finish_rewrite's abort makes)."""
+    if _journal_is_mine(fs, hpath_cls, path, tok):
+        _must(
+            fs.delete(hpath_cls(f"{path}/{REWRITE_MARKER}"), False),
+            "journal-release", REWRITE_MARKER,
+        )
 
 
 def _reclaim_unpublished_appends(
@@ -2058,17 +2061,15 @@ def _reclaim_unpublished_appends(
     # sweep, corrupting the competitor's about-to-publish snapshot. Only
     # a journal still carrying OUR token proves the slot (and therefore
     # every post-listing append) is ours.
-    marker = hpath_cls(f"{path}/{REWRITE_MARKER}")
-    if not fs.exists(marker):
-        return
-    try:
-        mine = (
-            _read_small_json(fs, hpath_cls, path, REWRITE_MARKER)
-            .get("token") == tok
-        )
-    except Exception:
-        mine = False
-    if not mine:
+    if not _journal_is_mine(fs, hpath_cls, path, tok):
+        # either _abort already cleaned up and released, or a competitor
+        # holds the slot. In the latter case our own unpublished appends
+        # (if any) stay on disk untombstoned — reachable ONLY when a
+        # recovery ran against our LIVE journal, which the layer's
+        # single-maintenance-writer assumption excludes
+        # (recover_incomplete_rewrite's documented contract); file-level
+        # ownership would be needed to do better, and the same residual
+        # applies to _finish_rewrite's abort sweep.
         return
     after = set(_list_data_files(fs, root, hpath_cls))
     new_files = after - before

@@ -382,6 +382,45 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # MERGE-ON-READ update at 10x (r17): same week-scoped predicate — the
+    # write is O(matched rows) (positions + updated copies), never the
+    # affected days' survivor rewrite, so the expected contrast mirrors
+    # the delete tiers'
+    try:
+        from klogs_spark.manifest import mor_update_where
+
+        from pyspark.sql import functions as F
+
+        def _mor_upd(s, d, p):
+            return mor_update_where(
+                s, d, p, {"log": F.expr("concat(log, ' [u]')")}
+            )
+
+        b01 = _timed_week_delete(
+            spark, SF01, _mor_upd, "bsf1-moru-", trials
+        )
+        b1 = _timed_week_delete(
+            spark, sf1_dir, _mor_upd, "bsf1-moru-", trials
+        )
+        results["table_mor_update"] = {
+            "sf0.1_sec": round(b01, 3),
+            "sf1_sec": round(b1, 3),
+            "ratio_10x": round(b1 / b01, 2),
+            "in_rows": {"sf0.1": load_table(spark, SF01, "events").count(),
+                        "sf1": counts["events"]},
+        }
+        print(
+            f"# table_mor_update: {b01:.3f}s -> {b1:.3f}s "
+            f"(ratio {b1 / b01:.2f})",
+            file=sys.stderr,
+        )
+    except Exception as exc:  # noqa: BLE001
+        errors["table_mor_update"] = f"{type(exc).__name__}: {exc}"[:300]
+        print(
+            f"# table_mor_update: FAILED {errors['table_mor_update']}",
+            file=sys.stderr,
+        )
+
     # COW MERGE at 10x (VERDICT r10 #8): update half of Jan 3 — rewrite
     # scope is ONE day regardless of corpus size, so the expected ratio is
     # driven by that day's 10x row count (near-linear), not the table

@@ -133,9 +133,13 @@ DRIVER_VERIFIED: dict = {
     "events_session_paths": "ce704d64f85c",
     "events_sessionize": "2c817605b7a0",
     "events_wau_hll": "49c57b1f4ff9",
+    "ingest_cdx_crawl_diff": "3ca30138d573",
     "ingest_decode_pipeline": "4c00851918c6",
     "ingest_msgpack_pipeline": "c13826520a50",
     "ingest_orc_roundtrip": "c3db65f73ad1",
+    "ingest_warc_cdx": "7197cbd39b1c",
+    "ingest_warc_revisit": "528558422121",
+    "ingest_warc_roundtrip": "ba43997567d8",
     "join_events_asof_orders": "024317b75c1e",
     "join_events_range_pairs": "739f75d2fbb8",
     "join_parts_never_ordered": "48fa42b00fb1",
@@ -194,8 +198,10 @@ DRIVER_VERIFIED: dict = {
     "multimodal_video_scene_cuts": "4da8de30edba",
     "pipeline_attrition_funnel": "720e72d7cd87",
     "pipeline_budget_threshold": "2c592c21840e",
+    "pipeline_ccnet_buckets": "cbb93ad00117",
     "pipeline_dsir_select": "f0d28fda7428",
     "pipeline_pretrain_prep": "60209e874d2d",
+    "pipeline_warc_to_wet": "b02887be6077",
     "sample_balance_sources": "84ad1b244e7c",
     "sample_doremi_step": "36d3f4663c65",
     "sample_dsir_weights": "c921986f43af",
@@ -227,6 +233,7 @@ DRIVER_VERIFIED: dict = {
     "stream_decontaminate": "dd314d679a43",
     "stream_dedup_watermark": "5a38c63244ec",
     "stream_exactly_once": "45934d386ac4",
+    "stream_gdpr_delete": "3ad4a8e9a8f4",
     "stream_interval_join": "e780e7d2f09d",
     "stream_interval_join_left": "a19566cd63d2",
     "stream_k8s_enrich": "571e64423a43",
@@ -238,6 +245,7 @@ DRIVER_VERIFIED: dict = {
     "stream_snapshot_cdc": "916c953d8820",
     "stream_upsert_sink": "17879e281d24",
     "stream_validated_sink": "fb46d427f598",
+    "stream_warc_decode": "1766b056e74c",
     "stream_windowed_watermark": "c7a3f33a9cd9",
     "table_clone_cdc": "6a73c8a4a271",
     "table_column_stats": "09aab170a20b",
@@ -255,6 +263,8 @@ DRIVER_VERIFIED: dict = {
     "table_fulltext_skipindex": "7c2177eb074f",
     "table_lifecycle": "68fd474e9d21",
     "table_merge_upsert": "2934c24daf96",
+    "table_mor_lifecycle": "d273fc36f621",
+    "table_mor_update": "e2be424ca811",
     "table_promoted_view": "775113dc1793",
     "table_restore": "d5d49c5fdf43",
     "table_retention_policy": "49cf8b48e442",
@@ -269,18 +279,23 @@ DRIVER_VERIFIED: dict = {
     "text_bm25_topk": "1bc4cfc24854",
     "text_boilerplate_windows": "d73d2132137a",
     "text_bpe_encode": "4fbd9643b5c7",
+    "text_bpe_fertility": "4ce91a78b255",
     "text_bpe_merges": "68fd8cbe7f24",
     "text_bpe_tokenize": "7b2f85c69533",
+    "text_c4_filters": "c6a2a446b851",
     "text_chunk_documents": "b11ed9a0602f",
     "text_classifier_score": "694e9cc2b376",
     "text_cms_heavy_hitters": "66e1b44c852b",
     "text_contamination": "55b916bc881a",
+    "text_domain_blocklist": "d45223f8620e",
     "text_edit_distance_join": "a4f3d4cb7993",
     "text_exact_decontaminate": "696a3a6ae51d",
     "text_fingerprints": "59486855a3ef",
+    "text_fix_encoding": "d71f2af2b79c",
     "text_gopher_rules": "074e4dbff66e",
     "text_hll_distinct": "a0b849fc7a90",
     "text_hll_merge": "8b97fa644f74",
+    "text_html_extract": "19f649d7f5d2",
     "text_hybrid_rrf": "01718010684a",
     "text_kmv_distinct": "df0f05ccc33b",
     "text_langid": "b16f242d7d79",
@@ -289,11 +304,14 @@ DRIVER_VERIFIED: dict = {
     "text_lm_trigram_backoff": "cf991b1b2471",
     "text_misra_gries_invariants": "70ead130e7e0",
     "text_ngram_novelty": "ad7549b6eb2e",
+    "text_ngram_uniqueness": "79b7efcadc1b",
+    "text_normalize_typography": "946118f6364e",
     "text_pii_redact": "95cba5f53f52",
     "text_pii_redact_typed": "e69fc2ea63dc",
     "text_quality": "ddca4d14616f",
     "text_quality_filter": "b3cf8d28b240",
     "text_repetition": "7e346f2bcb0c",
+    "text_robots_gate": "97f1e20cdab6",
     "text_term_trends": "6ed137bc3198",
     "text_textrank_keywords": "54421b8ae245",
     "text_tfidf_scores": "23d071b7e1df",
@@ -301,6 +319,7 @@ DRIVER_VERIFIED: dict = {
     "text_top_ngrams": "3ee82a7b136b",
     "text_top_terms_per_source": "7b2ae823bcfa",
     "text_unigram_logprob": "05a6f634cdcc",
+    "text_url_normalize": "2ae5944cd77e",
     "text_vocab_growth": "f6536f319c52",
     "tpch_association_rules": "28411b68622e",
     "tpch_bucketed_join": "186d20a9bcdf",

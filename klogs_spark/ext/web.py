@@ -350,9 +350,13 @@ def domain_suffixes(domain: Column) -> Column:
 # The C4 cleaning battery operates a level BELOW the Gopher document
 # rules (ext.text.gopher_rules): it keeps/drops individual LINES, then
 # gates the page on what survived. Thresholds are integers, every
-# comparison replicates exactly in ANSI SQL.
-C4_MIN_LINE_WORDS = 4      # C4 keeps lines with >= N words
-C4_MIN_KEPT_LINES = 3      # page needs >= N surviving lines
+# comparison replicates exactly in ANSI SQL. Values follow the paper
+# (Raffel et al. 2020 §2.2): lines need at least 3 words; pages with
+# fewer than 5 sentences are dropped — kept lines are the engine's
+# sentence proxy, since a kept line by construction ends in terminal
+# punctuation (ADVICE r17 flagged the earlier engine-chosen 4/3).
+C4_MIN_LINE_WORDS = 3      # §2.2: "at least 3 words" per line
+C4_MIN_KEPT_LINES = 5      # §2.2: "fewer than 5 sentences" page gate
 _C4_TERMINAL = (".", "!", "?", '"')  # line must end in terminal punct
 
 

@@ -301,7 +301,10 @@ def _advance_manifest_checkpoint(
 
 
 def publish_snapshot(
-    spark: SparkSession, path: str, files: list[str] | None = None
+    spark: SparkSession,
+    path: str,
+    files: list[str] | None = None,
+    _from_clone: bool = False,
 ) -> int:
     """Record the table's current file set as the next snapshot version
     (or an explicit ``files`` list — how copy-on-write rewrites publish a
@@ -398,6 +401,26 @@ def publish_snapshot(
         _refuse_if_rewrite_live()
     else:
         files = sorted(files)
+        # an explicit-files FIRST publish onto a crashed clone's remnants
+        # would silently adopt the stray dv_v1.json sidecar — the new
+        # table's v1 governed by a foreign vector (the listing-mode sweep
+        # above closes exactly this for listing publishes; ADVICE r17
+        # flagged the explicit branch). shallow_clone's OWN publish is
+        # the one legitimate explicit-files publish under a live intent
+        # marker and identifies itself via ``_from_clone``.
+        if (
+            not _from_clone
+            and not snapshot_versions(spark, path)
+            and fs.exists(hpath_cls(f"{path}/{CLONE_INTENT}"))
+        ):
+            raise FileExistsError(
+                f"publish_snapshot({path}) refused: a crashed clone's "
+                f"intent marker ({CLONE_INTENT}) and its stray deletion-"
+                "vector sidecar govern this directory — a first publish "
+                "here would be silently ruled by a foreign vector. "
+                "Run a listing-mode publish_snapshot (which sweeps the "
+                "remnants), or remove the directory and start clean."
+            )
     prior_versions = snapshot_versions(spark, path)
     version = (prior_versions or [0])[-1] + 1
     mdir = hpath_cls(f"{path}/{MANIFEST_DIR}")
@@ -768,7 +791,7 @@ def snapshot_changes(
         new_del = dv_t.exceptAll(dv_f)
         un_del = dv_f.exceptAll(dv_t)
         key2entry = {
-            _dv_key_of_entry(f): f for f in (files_from & files_to)
+            _dv_key_of_entry(f, path): f for f in (files_from & files_to)
         }
 
         def pos_rows(diff: DataFrame) -> DataFrame:
@@ -1827,7 +1850,7 @@ def shallow_clone(
              "dv": [_entry_path(src, r) for r in src_dv]},
         )
     try:
-        v = publish_snapshot(spark, dst, refs)
+        v = publish_snapshot(spark, dst, refs, _from_clone=True)
     except BaseException:
         # publish_snapshot raising means no manifest committed (its
         # post-rename checkpoint advance is fully best-effort), but
@@ -1913,12 +1936,19 @@ def read_logs_at(
 DV_DIR = "_dv"
 
 
-def _dv_key_of_entry(f: str) -> str:
+def _dv_key_of_entry(f: str, path: str) -> str:
     """The deletion-vector join key of a manifest entry: its last two
-    path components (``date=X/part-....parquet``) — the same value
+    PHYSICAL path components — the same value
     ``_read_data_files(with_pos=True)`` extracts from
-    ``_metadata.file_path``, whether the entry is relative or an absolute
-    clone reference."""
+    ``_metadata.file_path``, whether the entry is relative, absolute
+    (a clone reference), or a bare unpartitioned filename. For a bare
+    relative entry the physical path is ``{path}/{f}``, so the key's
+    first component is the TABLE ROOT's directory name — keying the
+    entry text alone would never match the column twin (the vector's
+    deletes would silently resurrect through ``dv_compact`` /
+    ``snapshot_changes``, ADVICE r17)."""
+    if "/" not in f:
+        return f"{path.rstrip('/').rsplit('/', 1)[-1]}/{f}"
     return "/".join(f.rsplit("/", 2)[-2:])
 
 
@@ -2313,7 +2343,7 @@ def dv_compact(spark: SparkSession, path: str) -> dict:
     keys = {
         r["file"] for r in dv.select("file").distinct().collect()
     }  # bounded by vector-affected files
-    key2entry = {_dv_key_of_entry(f): f for f in live}
+    key2entry = {_dv_key_of_entry(f, path): f for f in live}
     affected = sorted(key2entry[k] for k in keys if k in key2entry)
     fs, hpath_cls, _ = _hadoop_fs(spark, path)
     if not affected:

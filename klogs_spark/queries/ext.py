@@ -7939,7 +7939,8 @@ def q_text_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     curly brace, or too few surviving lines), externally hash-checked per
     document AND per page rule. Documents are single-line in the corpus,
     so each page is SYNTHESIZED closed-form: the doc's words split into
-    three sentence lines (thirds of the word array, '.' appended), plus
+    five sentence lines (fifths of the word array, '.' appended — five so
+    the paper's 5-sentence page gate stays discriminative), plus
     deterministic violator lines — a javascript line (doc_id%7), a lorem
     ipsum line (%11), a curly-brace code line (%13), a no-terminal-punct
     line (%5), and a too-short line (%3) — so every rule genuinely fires
@@ -7955,7 +7956,7 @@ def q_text_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.filter(
             F.split(F.col("text"), " "), lambda x: F.length(x) > 0
         ).alias("t"),
-    ).withColumn("a", F.expr("(size(t) + 2) div 3"))
+    ).withColumn("a", F.expr("(size(t) + 4) div 5"))
 
     def sentence(slice_expr: str):
         return F.concat(
@@ -7971,7 +7972,9 @@ def q_text_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(
             sentence("slice(t, 1, a)"),
             sentence("slice(t, a + 1, a)"),
-            sentence("slice(t, 2*a + 1, greatest(size(t) - 2*a, 0))"),
+            sentence("slice(t, 2*a + 1, a)"),
+            sentence("slice(t, 3*a + 1, a)"),
+            sentence("slice(t, 4*a + 1, greatest(size(t) - 4*a, 0))"),
         ),
         maybe(did % 7 == 0, "click here javascript required now."),
         maybe(did % 11 == 0, "Lorem ipsum dolor sit amet."),
@@ -7997,10 +8000,14 @@ WITH w AS (
 pages AS (
   SELECT doc_id,
     [
-      array_to_string(t[1 : (len(t)+2)//3], ' ') || '.',
-      array_to_string(t[(len(t)+2)//3 + 1 : 2*((len(t)+2)//3)], ' ')
+      array_to_string(t[1 : (len(t)+4)//5], ' ') || '.',
+      array_to_string(t[(len(t)+4)//5 + 1 : 2*((len(t)+4)//5)], ' ')
         || '.',
-      array_to_string(t[2*((len(t)+2)//3) + 1 : len(t)], ' ') || '.'
+      array_to_string(t[2*((len(t)+4)//5) + 1 : 3*((len(t)+4)//5)], ' ')
+        || '.',
+      array_to_string(t[3*((len(t)+4)//5) + 1 : 4*((len(t)+4)//5)], ' ')
+        || '.',
+      array_to_string(t[4*((len(t)+4)//5) + 1 : len(t)], ' ') || '.'
     ]
     || CASE WHEN doc_id % 7 = 0
             THEN ['click here javascript required now.'] ELSE [] END

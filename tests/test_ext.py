@@ -1844,14 +1844,15 @@ def test_c4_line_rules_each_rule_flips_on_a_crafted_violator(spark):
     from klogs_spark.ext.web import c4_line_stats
 
     good = "this line has plenty of words."
+    g5 = [good] * 5  # C4_MIN_KEPT_LINES == 5 (Raffel et al. §2.2)
     pages = [
-        (0, [good, good, good]),                       # keeps everything
-        (1, [good, good, "no terminal punct here"]),   # line: punct rule
-        (2, [good, good, "too few."]),                 # line: min words
-        (3, [good, good, "enable javascript to view this page."]),
-        (4, [good, good]),                             # page: < 3 kept
-        (5, [good, good, good, "Lorem Ipsum dolor sit amet."]),
-        (6, [good, good, good, "code { leaked } here."]),
+        (0, g5),                                       # keeps everything
+        (1, g5[:4] + ["no terminal punct here"]),      # line: punct rule
+        (2, g5[:4] + ["too few."]),                    # line: min words
+        (3, g5[:4] + ["enable javascript to view this page."]),
+        (4, g5[:4]),                                   # page: < 5 kept
+        (5, g5 + ["Lorem Ipsum dolor sit amet."]),
+        (6, g5 + ["code { leaked } here."]),
     ]
     df = spark.createDataFrame(pages, "doc_id long, lines array<string>")
     out = {
@@ -1861,19 +1862,19 @@ def test_c4_line_rules_each_rule_flips_on_a_crafted_violator(spark):
         ).collect()
     }
     assert out[0].keep == 1 and out[0].rules_mask == 7
-    assert out[0].n_kept_lines == 3
-    assert out[0].kept_chars == 3 * len(good)
+    assert out[0].n_kept_lines == 5
+    assert out[0].kept_chars == 5 * len(good)
     # per-LINE violations drop the line (and with it the page, which
-    # then has only 2 kept lines -> bit 0 clears)
+    # then has only 4 kept lines -> bit 0 clears)
     for doc in (1, 2, 3):
-        assert out[doc].n_kept_lines == 2, doc
+        assert out[doc].n_kept_lines == 4, doc
         assert out[doc].keep == 0 and out[doc].rules_mask == 6, doc
     assert out[4].keep == 0 and out[4].rules_mask == 6
     # page-level gates: the violating LINE itself survives the line
     # rules but poisons the page bit
-    assert out[5].n_kept_lines == 4
+    assert out[5].n_kept_lines == 6
     assert out[5].keep == 0 and out[5].rules_mask == 5
-    assert out[6].n_kept_lines == 4
+    assert out[6].n_kept_lines == 6
     assert out[6].keep == 0 and out[6].rules_mask == 3
 
     plan = (

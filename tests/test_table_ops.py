@@ -3879,3 +3879,108 @@ def test_dv_sidecar_race_primitives_protect_the_winner(
     # ...and the owner's cleanup removes its own
     _drop_dv_sidecar_if_mine(fs, hp, path, 2, "tok-winner")
     assert not os.path.exists(side)
+
+
+def test_unpartitioned_entries_dv_keys_agree_and_compact_is_loud(
+    spark, logs_df, tmp_path
+):
+    """ADVICE r17 (medium): ``_dv_key_of_entry('file.parquet')`` keyed
+    the bare entry text while the read path keys
+    ``'<rootdir>/file.parquet'`` from ``_metadata.file_path`` —
+    ``dv_compact``'s key2entry lookup then matched NOTHING, the vector
+    cleared via a null sidecar with no rewrite, and the MOR-deleted rows
+    silently resurrected (and ``snapshot_changes``' position diff
+    dropped those files' CDC rows). The keys now agree, so compaction
+    reaches the loud unpartitioned-entry guard instead."""
+    from klogs_spark.manifest import (
+        _dv_key_of_entry,
+        _manifest_files,
+        dv_compact,
+        mor_delete_where,
+        read_snapshot,
+        publish_snapshot,
+        snapshot_changes,
+    )
+
+    import os
+
+    path = str(tmp_path / "flat")
+    # unpartitioned layout: the date lives as a DATA column, and an
+    # EXPLICIT-files publish of the root-level part files manifests them
+    # as bare entries (listing mode only walks date=* directories)
+    logs_df.withColumn("date", F.to_date("timestamp")).write.parquet(path)
+    names = sorted(
+        n for n in os.listdir(path) if n.endswith(".parquet")
+    )
+    v1 = publish_snapshot(spark, path, names)
+    live = _manifest_files(spark, path, v1)
+    bare = [f for f in live if "/" not in f]
+    assert bare, live
+    # the python-side key must equal the column twin the regexp produces
+    root = path.rstrip("/").rsplit("/", 1)[-1]
+    assert _dv_key_of_entry(bare[0], path) == f"{root}/{bare[0]}"
+
+    n = logs_df.count()
+    res = mor_delete_where(spark, path, "pod_name = 'pod-1'")
+    n1 = logs_df.filter("pod_name = 'pod-1'").count()
+    assert res["rows_deleted"] == n1 > 0
+    assert read_snapshot(spark, path).count() == n - n1
+
+    # CDC position diff resolves bare entries: the MOR delete is visible
+    feed = snapshot_changes(spark, path, v1, res["version"])
+    assert feed.filter("_change_type = 'delete'").count() == n1
+    assert feed.filter("_change_type = 'insert'").count() == 0
+
+    # compaction of bare entries must refuse LOUDLY — before the key fix
+    # this path silently published a null sidecar without any rewrite
+    with pytest.raises(ValueError, match="unpartitioned"):
+        dv_compact(spark, path)
+    # the vector still governs after the refusal: nothing resurrected
+    assert read_snapshot(spark, path).count() == n - n1
+    assert read_snapshot(spark, path).filter(
+        "pod_name = 'pod-1'"
+    ).count() == 0
+
+
+def test_explicit_first_publish_refuses_crashed_clone_remnants(
+    spark, logs_df, tmp_path
+):
+    """ADVICE r17: the listing-mode first publish sweeps a crashed
+    clone's stray dv sidecar, but an EXPLICIT-files first publish onto
+    the same remnants silently adopted it — the new table's v1 governed
+    by a foreign vector. It must refuse loudly now (shallow_clone's own
+    explicit publish, the one legitimate case, still works)."""
+    import json
+    import os
+
+    from klogs_spark.manifest import (
+        CLONE_INTENT,
+        MANIFEST_DIR,
+        publish_snapshot,
+        shallow_clone,
+        snapshot_versions,
+    )
+
+    dst = str(tmp_path / "dst")
+    os.makedirs(f"{dst}/{MANIFEST_DIR}")
+    with open(f"{dst}/{MANIFEST_DIR}/dv_v1.json", "w") as f:
+        json.dump({"version": 1, "dv": ["/elsewhere/_dv/gen-foreign"]}, f)
+    with open(f"{dst}/{CLONE_INTENT}", "w") as f:
+        json.dump({"source": "/elsewhere"}, f)
+    logs_df.withColumn("date", F.to_date("timestamp")).write.parquet(
+        f"{dst}/day", mode="overwrite"
+    )
+    day_files = sorted(
+        f"day/{n}" for n in os.listdir(f"{dst}/day") if n.endswith(".parquet")
+    )
+    with pytest.raises(FileExistsError, match="intent marker"):
+        publish_snapshot(spark, dst, day_files)
+    assert snapshot_versions(spark, dst) == []
+
+    # the clone flow itself (intent marker legitimately live during its
+    # own explicit-files v1 publish) is unaffected
+    src = str(tmp_path / "src")
+    write_logs(logs_df, src)
+    publish_snapshot(spark, src)
+    out = shallow_clone(spark, src, str(tmp_path / "clone"))
+    assert out["version"] == 1

@@ -168,8 +168,19 @@ def main(argv: list[str] | None = None) -> int:
 
     pdc = sub.add_parser("dv-compact",
                          help="fold the head's deletion vector into a "
-                              "COW rewrite and clear it")
+                              "COW rewrite and clear it (or fold "
+                              "selectively past --min-deleted-ratio)")
     pdc.add_argument("table")
+    pdc.add_argument("--min-deleted-ratio", type=float, default=0.0,
+                     help="fold only days holding a file whose deleted "
+                          "fraction crosses this; surviving positions "
+                          "re-anchor as one generation (0 = fold all)")
+
+    pdl = sub.add_parser("dv-coalesce",
+                         help="rewrite the deletion-vector chain as ONE "
+                              "generation without folding — keeps MOR "
+                              "semantics, bounds read-side unions")
+    pdl.add_argument("table")
 
     pmu = sub.add_parser("mor-update",
                          help="merge-on-read UPDATE...SET: old rows join "
@@ -193,6 +204,13 @@ def main(argv: list[str] | None = None) -> int:
     pmt.add_argument("--keep-versions", type=int, default=1)
     pmt.add_argument("--retention-days", type=int, default=None)
     pmt.add_argument("--dry-run", action="store_true")
+    pmt.add_argument("--dv-fold-min-ratio", type=float, default=0.1,
+                     help="fold a day's deletion vector only when a "
+                          "file's deleted fraction crosses this "
+                          "(0 = always fold)")
+    pmt.add_argument("--dv-fold-max-chain", type=int, default=8,
+                     help="coalesce (not fold) the vector chain past "
+                          "this many generations")
 
     pvc = sub.add_parser("vacuum",
                          help="reclaim files unreferenced by the newest "
@@ -460,11 +478,25 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "dv-compact":
         from .manifest import dv_compact
 
-        res = dv_compact(spark, args.table)
+        res = dv_compact(
+            spark, args.table, min_deleted_ratio=args.min_deleted_ratio
+        )
         print(
             f"v{res['version']}: folded {res['positions_folded']} "
             f"position(s) across {len(res['partitions_rewritten'])} "
-            "day(s); vector cleared (fragments retained — run vacuum)"
+            f"day(s); {res['positions_kept']} position(s) stay "
+            "merge-on-read (fragments retained — run vacuum)"
+        )
+        return 0
+
+    if args.cmd == "dv-coalesce":
+        from .manifest import dv_coalesce
+
+        res = dv_coalesce(spark, args.table)
+        print(
+            f"v{res['version']}: chain {res['generations_before']} -> "
+            f"{res['generations_after']} generation(s), "
+            f"{res['positions_dropped']} dead position(s) dropped"
         )
         return 0
 
@@ -490,7 +522,9 @@ def main(argv: list[str] | None = None) -> int:
                        max_files_per_partition=args.max_files,
                        keep_versions=args.keep_versions,
                        retention_days=args.retention_days,
-                       dry_run=args.dry_run)
+                       dry_run=args.dry_run,
+                       dv_fold_min_ratio=args.dv_fold_min_ratio,
+                       dv_fold_max_chain=args.dv_fold_max_chain)
         print(_json.dumps(rep, indent=1, default=str))
         return 0
 

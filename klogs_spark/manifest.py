@@ -114,6 +114,47 @@ def _entry_path(path: str, f: str) -> str:
     return f if _is_abs_entry(f) else f"{path}/{f}"
 
 
+def _list_dir_names(fs, dirpath) -> set | None:
+    """One ``listStatus``: the child names under ``dirpath``, or None
+    when the directory itself is gone. The seam the batched existence
+    probe goes through (tests count invocations here to pin the
+    O(day dirs) contract)."""
+    if not fs.exists(dirpath):
+        return None
+    return {st.getPath().getName() for st in fs.listStatus(dirpath)}
+
+
+def _missing_entries(
+    spark: SparkSession, fs, hpath_cls, path: str, files: list
+) -> list:
+    """Batched existence probe for manifest entries: ONE directory
+    listing per parent dir instead of one ``exists()`` RPC per file
+    (VERDICT r17 #4 — a time-travel read of a million-file snapshot was
+    a sequential per-file driver-side scan; this is O(day dirs) RPCs).
+    Relative entries group under the table root's day dirs and use the
+    table's FileSystem; absolute (clone) entries group under their own
+    parent dir and resolve their OWN FileSystem (probing an s3a://
+    source reference through a local clone's FS raises Wrong FS —
+    the same contract as :func:`_entry_exists`)."""
+    by_dir: dict[str, list] = {}
+    for f in files:
+        d, _, name = _entry_path(path, f).rpartition("/")
+        by_dir.setdefault(d, []).append((name, f))
+    missing: list = []
+    for d, entries in sorted(by_dir.items()):
+        dirpath = hpath_cls(d)
+        if _is_abs_entry(entries[0][1]):
+            dfs = dirpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        else:
+            dfs = fs
+        names = _list_dir_names(dfs, dirpath)
+        if names is None:
+            missing.extend(f for _, f in entries)
+            continue
+        missing.extend(f for name, f in entries if name not in names)
+    return missing
+
+
 def _entry_day_dir(f: str) -> str:
     """The ``date=...`` partition directory of a manifest entry — the
     file's parent directory name, which is the same component whether
@@ -575,10 +616,7 @@ def read_snapshot(
         raise FileNotFoundError(f"snapshot v{version} not found in {versions}")
     fs, hpath_cls, _ = _hadoop_fs(spark, path)
     files = _manifest_files(spark, path, version)
-    missing = [
-        f for f in files
-        if not _entry_exists(spark, fs, hpath_cls, path, f)
-    ]
+    missing = sorted(_missing_entries(spark, fs, hpath_cls, path, files))
     if missing:
         raise FileNotFoundError(
             f"snapshot v{version} references rewritten/removed files "
@@ -1673,10 +1711,7 @@ def restore_snapshot(spark: SparkSession, path: str, version: int) -> int:
         )
     fs, hpath_cls, _ = _hadoop_fs(spark, path)
     files = _manifest_files(spark, path, version)
-    missing = [
-        f for f in files
-        if not _entry_exists(spark, fs, hpath_cls, path, f)
-    ]
+    missing = sorted(_missing_entries(spark, fs, hpath_cls, path, files))
     if missing:
         raise FileNotFoundError(
             f"cannot restore v{version}: files already vacuumed "
@@ -1899,6 +1934,37 @@ def read_logs_at(
 
     return read_snapshot(spark, path, version).select(
         PARTITION_COLUMN, *LOG_COLUMNS
+    )
+
+
+def read_current_state(spark: SparkSession, path: str) -> DataFrame:
+    """The table's CURRENT LOGICAL STATE under manifest governance: the
+    head manifest's files plus committed unmanifested appends — exactly
+    the set a listing-mode :func:`publish_snapshot` would capture — with
+    the head's deletion vector applied. This is the DV-safe twin of a
+    raw directory read: ``table.read_logs`` / ``register_view`` /
+    ``logs_query`` route here when a live vector governs the head,
+    because a raw ``spark.read.parquet(path)`` silently RESURRECTS every
+    MOR-deleted row (VERDICT r17 #2). Unmanifested appends carry no
+    vector positions by construction, so the anti-join passes them
+    through untouched; the result keeps every physical column the files
+    carry (mergeSchema), so promoted-column readers project from it
+    directly."""
+    names = _list_manifest_names(spark, path)
+    versions = _versions_from_names(names)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots published under {path}")
+    head = versions[-1]
+    files = list(_manifest_files(spark, path, head))
+    files += sorted(_unmanifested_files(spark, path) - set(files))
+    dv_ref = _dv_ref_at(
+        spark, path, head, sidecars=_dv_versions_from_names(names)
+    )
+    if not _dv_refs(dv_ref):
+        return _read_data_files(spark, path, files)
+    return _apply_dv(
+        _read_data_files(spark, path, files, with_pos=True),
+        _read_dv(spark, path, dv_ref),
     )
 
 
@@ -2314,20 +2380,37 @@ def mor_delete_where(
     }
 
 
-def dv_compact(spark: SparkSession, path: str) -> dict:
-    """Fold the head's deletion vector into a copy-on-write rewrite and
-    clear it — the maintenance step that keeps merge-on-read reads
-    cheap (Delta's PURGE / Iceberg's rewrite-position-deletes): every
-    day holding a vector-referenced file is rewritten from the
-    vector-applied snapshot (survivors only, as NEW files), the new
-    manifest drops the replaced files, and an explicit-null sidecar
-    ends the vector's reign. After compaction the table reads with zero
-    anti-joins again; pinned older snapshots keep their historical
-    vectors and retained files untouched.
+def dv_compact(
+    spark: SparkSession, path: str, min_deleted_ratio: float = 0.0
+) -> dict:
+    """Fold the head's deletion vector into a copy-on-write rewrite —
+    the maintenance step that keeps merge-on-read reads cheap (Delta's
+    PURGE / Iceberg's rewrite-position-deletes). With the default
+    ``min_deleted_ratio=0`` every day holding a vector-referenced file
+    is rewritten from the vector-applied snapshot (survivors only, as
+    NEW files), the new manifest drops the replaced files, and an
+    explicit-null sidecar ends the vector's reign; the table reads with
+    zero anti-joins again. Pinned older snapshots keep their historical
+    vectors and retained files untouched either way.
 
-    Scale: survivor write touches only vector-affected days; everything
-    else is manifest set algebra. Same journal/two-phase discipline as
-    :func:`mor_delete_where`."""
+    A POSITIVE ``min_deleted_ratio`` folds SELECTIVELY (VERDICT r17 #3
+    — Delta's PURGE-threshold policy): only days holding a file whose
+    deleted-position fraction crosses the threshold are rewritten; the
+    surviving positions re-anchor as ONE fresh generation referenced by
+    the new sidecar (so the chain coalesces as a side effect), keeping
+    the MOR economics for lightly-deleted files — a 3-row GDPR delete
+    must not turn the next nightly :func:`maintain` into a full-day COW
+    rewrite at 100 TB. Dead positions (files a later COW rewrite
+    already replaced) never re-anchor. A selective call that finds no
+    file crossing the threshold is a pure no-op — use
+    :func:`dv_coalesce` to shorten a long chain without folding.
+
+    Scale: the per-file ratio probe reads only vector-affected files
+    (zero data columns — footer-driven row counts); the survivor write
+    touches only folded days; everything else is manifest set algebra.
+    Same journal/two-phase discipline as :func:`mor_delete_where`."""
+    import uuid as _uuid
+
     base_version = _cow_base_version(spark, path)
     ref = _dv_ref_at(spark, path, base_version)
     if not _dv_refs(ref):
@@ -2335,18 +2418,25 @@ def dv_compact(spark: SparkSession, path: str) -> dict:
             "version": base_version,
             "partitions_rewritten": [],
             "positions_folded": 0,
+            "positions_kept": 0,
         }
     from .table import LOG_COLUMNS
 
     live = _manifest_files(spark, path, base_version)
     dv = _read_dv(spark, path, ref)
-    keys = {
-        r["file"] for r in dv.select("file").distinct().collect()
+    per_key = {
+        r["file"]: r["n"]
+        for r in dv.groupBy("file")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
     }  # bounded by vector-affected files
     key2entry = {_dv_key_of_entry(f, path): f for f in live}
-    affected = sorted(key2entry[k] for k in keys if k in key2entry)
+    affected_keys = sorted(k for k in per_key if k in key2entry)
+    # dead positions: files a later COW rewrite replaced — their rows
+    # exist in no listed file, so the positions fold away for free
+    n_dead = sum(n for k, n in per_key.items() if k not in key2entry)
     fs, hpath_cls, _ = _hadoop_fs(spark, path)
-    if not affected:
+    if not affected_keys:
         # the vector only references files a later COW rewrite already
         # replaced — nothing to materialize, just end its reign
         before, tok = _begin_rewrite(
@@ -2367,18 +2457,73 @@ def dv_compact(spark: SparkSession, path: str) -> dict:
         return {
             "version": version,
             "partitions_rewritten": [],
-            "positions_folded": 0,
+            "positions_folded": n_dead,
+            "positions_kept": 0,
         }
-    day_dirs = {_entry_day_dir(f) for f in affected}
+    if min_deleted_ratio > 0:
+        rows_per_key = {
+            r["__dv_key"]: r["n"]
+            for r in _read_data_files(
+                spark, path,
+                sorted(key2entry[k] for k in affected_keys),
+                with_pos=True,
+            )
+            .groupBy("__dv_key")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        crossing = [
+            k for k in affected_keys
+            if rows_per_key.get(k)
+            and per_key[k] >= min_deleted_ratio * rows_per_key[k]
+        ]
+    else:
+        crossing = list(affected_keys)
+    if not crossing:
+        return {
+            "version": base_version,
+            "partitions_rewritten": [],
+            "positions_folded": 0,
+            "positions_kept": sum(per_key[k] for k in affected_keys),
+        }
+    day_dirs = {_entry_day_dir(key2entry[k]) for k in crossing}
     if "" in day_dirs:
         raise ValueError(
             f"dv_compact({path}) cannot rewrite unpartitioned manifest "
             "entries (bare filenames) — re-publish them under day "
             "partitions first"
         )
+    # a folded day's rewrite replaces EVERY file in it, so all affected
+    # keys living in fold days fold together
+    folded_keys = {
+        k for k in affected_keys
+        if _entry_day_dir(key2entry[k]) in day_dirs
+    }
+    kept_keys = sorted(set(affected_keys) - folded_keys)
     days = sorted(d.split("=", 1)[1] for d in day_dirs)
-    n_positions = dv.count()
+    n_folded = sum(per_key[k] for k in folded_keys) + n_dead
+    n_kept = sum(per_key[k] for k in kept_keys)
     before, tok = _begin_rewrite(spark, path, "dv_compact", base_version)
+    gen = None
+    if kept_keys:
+        # surviving positions re-anchor as ONE fresh generation BEFORE
+        # the survivor write: a failure here has appended nothing yet,
+        # so the journal releases and the orphan gen dir is removed
+        # (after the survivor write starts, the journal must stay live
+        # on a crash — the COW crash-window contract below)
+        gen = f"{DV_DIR}/gen-{_uuid.uuid4().hex}"
+        try:
+            (
+                dv.filter(F.col("file").isin(kept_keys))
+                .hint("rebalance")
+                .write.parquet(f"{path}/{gen}")
+            )
+        except BaseException:
+            gdir = hpath_cls(f"{path}/{gen}")
+            if fs.exists(gdir):
+                _must(fs.delete(gdir, True), "dv-kept-gen-abort", gdir)
+            _release_journal_if_mine(fs, hpath_cls, path, tok)
+            raise
     # a fault during the survivor write leaves the journal LIVE on
     # purpose (the COW crash-window contract): the appended orphans are
     # only identifiable via the journaled before-listing, so
@@ -2392,19 +2537,105 @@ def dv_compact(spark: SparkSession, path: str) -> dict:
     _append_in_layout(spark, survivors, path)
     replaced = {f for f in live if _entry_day_dir(f) in day_dirs}
     next_v = base_version + 1
+    new_ref = [gen] if gen else None
     try:
-        _write_dv_sidecar_claimed(fs, hpath_cls, path, next_v, None, tok)
+        _write_dv_sidecar_claimed(
+            fs, hpath_cls, path, next_v, new_ref, tok
+        )
         version = _finish_rewrite(
             spark, path, base_version, before, tok, set(live) - replaced
         )
     except ConcurrentRewriteError:
         _drop_dv_sidecar_if_mine(fs, hpath_cls, path, next_v, tok)
+        if gen:
+            gdir = hpath_cls(f"{path}/{gen}")
+            if fs.exists(gdir):
+                _must(fs.delete(gdir, True), "dv-kept-gen-cleanup", gdir)
         _reclaim_unpublished_appends(spark, path, before, tok)
         raise
     return {
         "version": version,
         "partitions_rewritten": days,
-        "positions_folded": n_positions,
+        "positions_folded": n_folded,
+        "positions_kept": n_kept,
+    }
+
+
+def dv_coalesce(spark: SparkSession, path: str) -> dict:
+    """Rewrite the head's deletion-vector CHAIN as ONE generation
+    WITHOUT folding anything into data files — merge-on-read semantics
+    kept, but the read-side union of N small generation datasets
+    becomes a single parquet read, and dead positions (files a later
+    COW rewrite replaced) drop (VERDICT r17 #7: a long GDPR drip
+    between compactions otherwise taxes every read with an N-way
+    union). No data file is written or replaced; cost is O(live
+    positions). Pinned older sidecars keep referencing the old
+    generations (vacuum's DV retention protects them until their
+    snapshots expire). A chain of <= 1 generation is a no-op — the
+    dead-position cleanup alone is not worth a version bump. Same
+    journal/two-phase discipline as the other MOR verbs."""
+    import uuid as _uuid
+
+    base_version = _cow_base_version(spark, path)
+    ref = _dv_ref_at(spark, path, base_version)
+    refs = _dv_refs(ref)
+    if len(refs) <= 1:
+        return {
+            "version": base_version,
+            "generations_before": len(refs),
+            "generations_after": len(refs),
+            "positions_kept": None,
+            "positions_dropped": 0,
+        }
+    live = _manifest_files(spark, path, base_version)
+    dv = _read_dv(spark, path, ref)
+    n_total = dv.count()
+    # live-key semi-join instead of isin: the live file list can be
+    # large at scale; the keys frame broadcasts
+    keys_df = spark.createDataFrame(
+        [(k,) for k in sorted({_dv_key_of_entry(f, path) for f in live})],
+        "file string",
+    )
+    kept = dv.join(F.broadcast(keys_df), "file", "left_semi")
+    fs, hpath_cls, _ = _hadoop_fs(spark, path)
+    before, tok = _begin_rewrite(spark, path, "dv_coalesce", base_version)
+    gen = f"{DV_DIR}/gen-{_uuid.uuid4().hex}"
+
+    def _drop_gen() -> None:
+        gdir = hpath_cls(f"{path}/{gen}")
+        if fs.exists(gdir):
+            _must(fs.delete(gdir, True), "dv-coalesce-gen-drop", gdir)
+
+    try:
+        kept.hint("rebalance").write.parquet(f"{path}/{gen}")
+        n_kept = spark.read.parquet(f"{path}/{gen}").count()
+    except BaseException:
+        _drop_gen()
+        _release_journal_if_mine(fs, hpath_cls, path, tok)
+        raise
+    next_v = base_version + 1
+    if n_kept == 0:
+        # every position was dead — end the vector's reign outright
+        _drop_gen()
+    new_ref = [gen] if n_kept else None
+    try:
+        _write_dv_sidecar_claimed(
+            fs, hpath_cls, path, next_v, new_ref, tok
+        )
+        version = _finish_rewrite(
+            spark, path, base_version, before, tok, set(live)
+        )
+    except ConcurrentRewriteError:
+        _drop_dv_sidecar_if_mine(fs, hpath_cls, path, next_v, tok)
+        _drop_gen()
+        _reclaim_unpublished_appends(spark, path, before, tok)
+        raise
+    return {
+        "version": version,
+        "generations_before": len(refs),
+        "generations_after": 1 if n_kept else 0,
+        "positions_kept": n_kept,
+        "positions_dropped": n_total - n_kept,
     }
 
 
@@ -2670,6 +2901,8 @@ def maintain(
     keep_versions: int = 1,
     retention_days: int | None = None,
     dry_run: bool = False,
+    dv_fold_min_ratio: float = 0.1,
+    dv_fold_max_chain: int = 8,
 ) -> dict:
     """One-call housekeeping — the engine's OPTIMIZE/maintenance verb:
     heal any crashed rewrite, compact fragmented day partitions, apply
@@ -2723,16 +2956,35 @@ def maintain(
         )
     else:
         report["journal_recovered"] = recover_incomplete_rewrite(spark, path)
-        # fold any live deletion vector FIRST (merge-on-read deletes stop
-        # taxing every read with the anti-join, and the fold rewrites
-        # affected days — recomputing fragmentation after it avoids
-        # compacting the same day twice)
+        # deletion-vector policy FIRST (any fold rewrites affected days —
+        # recomputing fragmentation after it avoids compacting the same
+        # day twice). The fold is THRESHOLDED (VERDICT r17 #3): only
+        # files whose deleted fraction crosses ``dv_fold_min_ratio``
+        # trigger a day rewrite — an unconditional fold would turn every
+        # nightly maintain after a 3-row GDPR delete into full-day COW
+        # rewrites, defeating the MOR economics at 100 TB. Small vectors
+        # stay live; a chain longer than ``dv_fold_max_chain``
+        # generations coalesces into one (read cost bounded) without
+        # folding. ``dv_fold_min_ratio=0`` restores the unconditional
+        # fold.
         if has_live_dv(spark, path):
-            dres = dv_compact(spark, path)
+            dres = dv_compact(
+                spark, path, min_deleted_ratio=dv_fold_min_ratio
+            )
             report["dv_compacted"] = {
                 "partitions_rewritten": dres["partitions_rewritten"],
                 "positions_folded": dres["positions_folded"],
+                "positions_kept": dres["positions_kept"],
             }
+            head_now = snapshot_versions(spark, path)[-1]
+            chain = _dv_refs(_dv_ref_at(spark, path, head_now))
+            if len(chain) > dv_fold_max_chain:
+                cres = dv_coalesce(spark, path)
+                report["dv_coalesced"] = {
+                    "generations_before": cres["generations_before"],
+                    "generations_after": cres["generations_after"],
+                    "positions_dropped": cres["positions_dropped"],
+                }
     if dry_run:
         report["would_dv_compact"] = has_live_dv(spark, path)
     head = snapshot_versions(spark, path)[-1]

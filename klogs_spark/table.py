@@ -168,7 +168,20 @@ def write_logs(
 
 
 def read_logs(spark: SparkSession, path: str) -> DataFrame:
-    """Read the logs table; select() restores the canonical column order."""
+    """Read the logs table; select() restores the canonical column order.
+
+    DV-safe (VERDICT r17 #2): when a live deletion vector governs the
+    head snapshot, a raw directory read would silently resurrect every
+    MOR-deleted row — the read routes through the manifest layer's
+    current-state view instead (head files + committed unmanifested
+    appends, vector anti-joined). Plain tables pay one ``_manifest``
+    listStatus for the check and read raw as before."""
+    from .manifest import has_live_dv, read_current_state
+
+    if has_live_dv(spark, path):
+        return read_current_state(spark, path).select(
+            PARTITION_COLUMN, *LOG_COLUMNS
+        )
     return spark.read.parquet(path).select(PARTITION_COLUMN, *LOG_COLUMNS)
 
 
@@ -186,7 +199,16 @@ def _read_with_promotions(spark: SparkSession, path: str, promos: dict):
     """Table read exposing the promoted physical columns. mergeSchema makes
     the columns resolve even on a table with not-yet-materialized plain
     history (those rows read NULL until materialize_promotions backfills
-    them — the documented DEFAULT/MATERIALIZE contract)."""
+    them — the documented DEFAULT/MATERIALIZE contract). DV-safe like
+    :func:`read_logs`: a live deletion vector routes the read through the
+    manifest layer's current-state view (read_current_state reads with
+    mergeSchema, so promoted physical columns survive the detour)."""
+    from .manifest import has_live_dv, read_current_state
+
+    if has_live_dv(spark, path):
+        return read_current_state(spark, path).select(
+            PARTITION_COLUMN, *LOG_COLUMNS, *promos.values()
+        )
     reader = spark.read
     if promos:
         reader = reader.option("mergeSchema", "true")

@@ -3984,3 +3984,293 @@ def test_explicit_first_publish_refuses_crashed_clone_remnants(
     publish_snapshot(spark, src)
     out = shallow_clone(spark, src, str(tmp_path / "clone"))
     assert out["version"] == 1
+
+
+def test_plain_reads_are_dv_aware(spark, logs_df, tmp_path):
+    """VERDICT r17 #2: table.read_logs / register_view / logs_query on a
+    DV-governed table used to read raw parquet and silently resurrect
+    MOR-deleted rows. They now route through the manifest layer's
+    current-state view: deleted rows stay gone, promoted columns still
+    serve, and a committed-but-unpublished append remains visible (the
+    current state is what a listing publish would capture, not just the
+    head manifest)."""
+    from klogs_spark.manifest import mor_delete_where, publish_snapshot
+    from klogs_spark.table import logs_query, read_logs, register_view
+
+    path = str(tmp_path / "logs")
+    write_logs_promoted(logs_df, path, {"content.level": "content_level"})
+    publish_snapshot(spark, path)
+    n = logs_df.count()
+    n1 = logs_df.filter("pod_name = 'pod-1'").count()
+    res = mor_delete_where(spark, path, "pod_name = 'pod-1'")
+    assert res["rows_deleted"] == n1 > 0
+
+    got = read_logs(spark, path)
+    assert got.count() == n - n1
+    assert got.filter("pod_name = 'pod-1'").count() == 0
+
+    register_view(spark, path, "dv_logs")
+    assert spark.sql("SELECT count(*) c FROM dv_logs").first().c == n - n1
+    assert (
+        spark.sql(
+            "SELECT count(*) c FROM dv_logs WHERE pod_name = 'pod-1'"
+        ).first().c
+        == 0
+    )
+    # the promoted physical column survives the manifest detour
+    assert (
+        spark.sql(
+            "SELECT count(*) c FROM dv_logs WHERE content_level = 'error'"
+        ).first().c
+        == logs_df.filter(
+            "pod_name <> 'pod-1' "
+            "and fields_string['content.level'] = 'error'"
+        ).count()
+    )
+
+    q = logs_query(spark, path).where_field_eq("content.level", "info")
+    assert q.df.filter("pod_name = 'pod-1'").count() == 0
+
+    # an append committed AFTER the last publish is current state and
+    # must stay visible through the DV-safe route
+    extra = logs_df.filter("pod_name = 'pod-2'").limit(3)
+    write_logs(extra, path)
+    assert read_logs(spark, path).count() == n - n1 + 3
+
+
+def _two_day_logs(spark):
+    from datetime import datetime
+
+    rows = [
+        (datetime(2026, 1, d, h, m, 0), "prod", "ns", "app",
+         f"pod-{m % 3}", "c", "h",
+         {"content.level": "error" if m % 2 else "info"},
+         {"v": float(m)}, f"line {d}:{h}:{m}")
+        for d in (1, 2)
+        for h in range(2)
+        for m in range(10)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "timestamp timestamp, cluster string, namespace string, app string, "
+        "pod_name string, container_name string, host string, "
+        "fields_string map<string,string>, fields_number map<string,double>, "
+        "log string",
+    )
+
+
+def test_maintain_thresholded_fold_keeps_tiny_vector(
+    spark, logs_df, tmp_path
+):
+    """VERDICT r17 #3: maintain() used to fold ANY live vector — a 3-row
+    GDPR delete turned the nightly maintain into full-day COW rewrites.
+    The fold is now thresholded: a tiny vector survives maintain (zero
+    data files rewritten, reads stay correct), while a heavy vector
+    still folds."""
+    from klogs_spark.manifest import (
+        has_live_dv,
+        maintain,
+        mor_delete_where,
+        publish_snapshot,
+        read_logs_at,
+    )
+
+    path = str(tmp_path / "logs")
+    write_logs(logs_df, path)
+    publish_snapshot(spark, path)
+    n = logs_df.count()
+    # a tiny delete: 1 row of 20 (5% < 10% default threshold)
+    res = mor_delete_where(
+        spark, path, "pod_name = 'pod-1' and minute(timestamp) = 1 "
+        "and hour(timestamp) = 0"
+    )
+    assert res["rows_deleted"] == 1
+    files_before = _data_file_mtimes(path)
+    rep = maintain(spark, path)
+    # the vector SURVIVED: no day rewritten for it, no fold
+    assert rep["dv_compacted"]["partitions_rewritten"] == []
+    assert rep["dv_compacted"]["positions_folded"] == 0
+    assert rep["dv_compacted"]["positions_kept"] == 1
+    assert has_live_dv(spark, path)
+    assert _data_file_mtimes(path) == files_before
+    assert read_logs_at(spark, path).count() == n - 1
+
+    # pile on a heavy delete: now the fraction crosses and maintain folds
+    res2 = mor_delete_where(spark, path, "pod_name = 'pod-0'")
+    rep2 = maintain(spark, path)
+    assert rep2["dv_compacted"]["positions_folded"] == (
+        1 + res2["rows_deleted"]
+    )
+    assert rep2["dv_compacted"]["positions_kept"] == 0
+    assert not has_live_dv(spark, path)
+    assert read_logs_at(spark, path).count() == n - 1 - res2["rows_deleted"]
+
+
+def test_dv_compact_selective_fold_keeps_light_day_mor(spark, tmp_path):
+    """Selective dv_compact: with two days — one heavily deleted, one
+    holding a single tombstone — a thresholded compact rewrites only the
+    heavy day and re-anchors the light day's position as one fresh
+    generation; reads stay correct throughout and the light day's files
+    are untouched."""
+    import glob
+
+    from klogs_spark.manifest import (
+        _dv_ref_at,
+        _dv_refs,
+        dv_compact,
+        has_live_dv,
+        mor_delete_where,
+        publish_snapshot,
+        read_logs_at,
+    )
+
+    df = _two_day_logs(spark)
+    path = str(tmp_path / "logs")
+    write_logs(df, path)
+    publish_snapshot(spark, path)
+    n = df.count()
+    # heavy on day 1 (6/20 rows), tiny on day 2 (1/20 rows)
+    r1 = mor_delete_where(
+        spark, path, "pod_name = 'pod-1' and date = '2026-01-01'"
+    )
+    r2 = mor_delete_where(
+        spark, path,
+        "pod_name = 'pod-1' and date = '2026-01-02' "
+        "and hour(timestamp) = 0 and minute(timestamp) = 1",
+    )
+    assert r1["rows_deleted"] == 6 and r2["rows_deleted"] == 1
+    day2_files = set(glob.glob(f"{path}/date=2026-01-02/*.parquet"))
+    res = dv_compact(spark, path, min_deleted_ratio=0.1)
+    assert res["partitions_rewritten"] == ["2026-01-01"]
+    assert res["positions_folded"] == 6
+    assert res["positions_kept"] == 1
+    # the light day still reads merge-on-read, correctly, from ONE gen
+    assert has_live_dv(spark, path)
+    chain = _dv_refs(_dv_ref_at(spark, path, res["version"]))
+    assert len(chain) == 1
+    assert set(glob.glob(f"{path}/date=2026-01-02/*.parquet")) == day2_files
+    head = read_logs_at(spark, path)
+    assert head.count() == n - 7
+    assert head.filter(
+        "pod_name = 'pod-1' and date = '2026-01-01'"
+    ).count() == 0
+    # full fold afterwards clears everything
+    res2 = dv_compact(spark, path)
+    assert res2["positions_folded"] == 1
+    assert not has_live_dv(spark, path)
+    assert read_logs_at(spark, path).count() == n - 7
+
+
+def test_dv_coalesce_collapses_chain_without_folding(
+    spark, logs_df, tmp_path
+):
+    """VERDICT r17 #7: a GDPR drip of N tiny MOR deletes builds an
+    N-generation chain that every read unions. dv_coalesce rewrites the
+    chain as ONE generation with identical read results, touching no
+    data file; maintain() triggers it automatically past
+    dv_fold_max_chain."""
+    from klogs_spark.manifest import (
+        _dv_ref_at,
+        _dv_refs,
+        dv_coalesce,
+        has_live_dv,
+        maintain,
+        mor_delete_where,
+        publish_snapshot,
+        read_logs_at,
+        snapshot_versions,
+    )
+
+    path = str(tmp_path / "logs")
+    write_logs(logs_df, path)
+    publish_snapshot(spark, path)
+    n = logs_df.count()
+    # drip: one tombstone per delete, 3 deletes -> 3-generation chain
+    for m in (1, 4, 7):
+        r = mor_delete_where(
+            spark, path,
+            f"pod_name = 'pod-1' and minute(timestamp) = {m} "
+            "and hour(timestamp) = 0",
+        )
+        assert r["rows_deleted"] == 1
+    head = snapshot_versions(spark, path)[-1]
+    assert len(_dv_refs(_dv_ref_at(spark, path, head))) == 3
+    files_before = _data_file_mtimes(path)
+    res = dv_coalesce(spark, path)
+    assert res["generations_before"] == 3
+    assert res["generations_after"] == 1
+    assert res["positions_kept"] == 3
+    assert res["positions_dropped"] == 0
+    assert _data_file_mtimes(path) == files_before
+    assert len(
+        _dv_refs(_dv_ref_at(spark, path, res["version"]))
+    ) == 1
+    assert has_live_dv(spark, path)
+    got = read_logs_at(spark, path)
+    assert got.count() == n - 3
+    assert got.filter(
+        "pod_name = 'pod-1' and hour(timestamp) = 0"
+    ).count() == 0
+    # a second coalesce is a no-op (chain already 1)
+    res2 = dv_coalesce(spark, path)
+    assert res2["generations_before"] == 1
+    assert res2["version"] == res["version"]
+
+    # maintain coalesces automatically when the chain outgrows the cap
+    for m in (2, 5):
+        mor_delete_where(
+            spark, path,
+            f"pod_name = 'pod-2' and minute(timestamp) = {m} "
+            "and hour(timestamp) = 0",
+        )
+    rep = maintain(
+        spark, path, dv_fold_min_ratio=0.5, dv_fold_max_chain=2
+    )
+    assert rep["dv_compacted"]["positions_folded"] == 0
+    assert rep["dv_coalesced"]["generations_before"] == 3
+    assert rep["dv_coalesced"]["generations_after"] == 1
+    assert has_live_dv(spark, path)
+    assert read_logs_at(spark, path).count() == n - 5
+
+
+def test_snapshot_existence_probe_is_one_listing_per_day_dir(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r17 #4: read_snapshot probed file existence one
+    driver-side exists() RPC PER FILE — sequential death at millions of
+    files. The probe now goes through _list_dir_names once per parent
+    directory; this pins the O(day dirs) contract by counting
+    invocations of that seam (2 days x many files -> 2 listings), and
+    re-checks that a vacuumed-away file still raises the same error."""
+    import klogs_spark.manifest as M
+
+    df = _two_day_logs(spark)
+    path = str(tmp_path / "logs")
+    # fragment each day into several files
+    for i in range(4):
+        write_logs(df.filter(F.minute("timestamp") % 4 == i), path)
+    v1 = M.publish_snapshot(spark, path)
+    files = M._manifest_files(spark, path, v1)
+    assert len(files) >= 8 and len({f.split("/")[0] for f in files}) == 2
+
+    calls = []
+    real = M._list_dir_names
+
+    def counting(fs, dirpath):
+        calls.append(str(dirpath))
+        return real(fs, dirpath)
+
+    monkeypatch.setattr(M, "_list_dir_names", counting)
+    assert M.read_snapshot(spark, path, v1).count() == df.count()
+    assert len(calls) == 2, calls  # one listing per day dir, not per file
+
+    # the missing-file contract survives the batching
+    import os
+
+    victim = f"{path}/{files[0]}"
+    os.rename(victim, victim + ".gone")
+    try:
+        with pytest.raises(FileNotFoundError, match="rewritten/removed"):
+            M.read_snapshot(spark, path, v1).count()
+    finally:
+        os.rename(victim + ".gone", victim)

@@ -34,6 +34,7 @@ from typing import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
     DoubleType,
     IntegerType,
@@ -1192,6 +1193,47 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
 
     return media.select("media_id", "kind", "payload").mapInPandas(
         _extract, schema=FEATURE_SCHEMA
+    )
+
+
+FEATURE_VECTOR_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField(
+            "features", ArrayType(DoubleType(), False), False
+        ),
+    ]
+)
+
+
+def extract_feature_vectors(media: DataFrame, dim: int = 8) -> DataFrame:
+    """Arrow-batched feature extraction returning the FULL embedding
+    vector — pair-alignment scoring (LAION-style image-text curation)
+    needs the vector, not just its norm (:func:`extract_features`).
+    Same contract: ``mapInPandas`` so payload bytes cross the Python
+    boundary once per Arrow batch, and the fake encoder marks where a
+    real image tower (CLIP et al.) slots in with the same signature."""
+
+    def _extract(
+        batches: Iterator["pd.DataFrame"],
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for batch in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": batch["media_id"],
+                    "features": [
+                        fake_feature_vector(
+                            p if p is not None else b"", dim
+                        )
+                        for p in batch["payload"]
+                    ],
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        _extract, schema=FEATURE_VECTOR_SCHEMA
     )
 
 

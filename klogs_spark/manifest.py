@@ -440,8 +440,10 @@ def publish_snapshot(
         # listing completed is safe — its survivors land after our walk
         # and are not in `files`.
         _refuse_if_rewrite_live()
+        prior_versions = snapshot_versions(spark, path)
     else:
         files = sorted(files)
+        prior_versions = snapshot_versions(spark, path)
         # an explicit-files FIRST publish onto a crashed clone's remnants
         # would silently adopt the stray dv_v1.json sidecar — the new
         # table's v1 governed by a foreign vector (the listing-mode sweep
@@ -451,7 +453,7 @@ def publish_snapshot(
         # marker and identifies itself via ``_from_clone``.
         if (
             not _from_clone
-            and not snapshot_versions(spark, path)
+            and not prior_versions
             and fs.exists(hpath_cls(f"{path}/{CLONE_INTENT}"))
         ):
             raise FileExistsError(
@@ -462,7 +464,6 @@ def publish_snapshot(
                 "Run a listing-mode publish_snapshot (which sweeps the "
                 "remnants), or remove the directory and start clean."
             )
-    prior_versions = snapshot_versions(spark, path)
     version = (prior_versions or [0])[-1] + 1
     mdir = hpath_cls(f"{path}/{MANIFEST_DIR}")
     if not fs.exists(mdir):
@@ -1937,29 +1938,55 @@ def read_logs_at(
     )
 
 
-def read_current_state(spark: SparkSession, path: str) -> DataFrame:
-    """The table's CURRENT LOGICAL STATE under manifest governance: the
-    head manifest's files plus committed unmanifested appends — exactly
-    the set a listing-mode :func:`publish_snapshot` would capture — with
-    the head's deletion vector applied. This is the DV-safe twin of a
-    raw directory read: ``table.read_logs`` / ``register_view`` /
-    ``logs_query`` route here when a live vector governs the head,
-    because a raw ``spark.read.parquet(path)`` silently RESURRECTS every
-    MOR-deleted row (VERDICT r17 #2). Unmanifested appends carry no
-    vector positions by construction, so the anti-join passes them
-    through untouched; the result keeps every physical column the files
-    carry (mergeSchema), so promoted-column readers project from it
-    directly."""
+def _current_state_files(
+    spark: SparkSession, path: str
+) -> tuple[list, object]:
+    """``(files, dv_ref)`` of the table's CURRENT LOGICAL STATE — the
+    same computation a listing-mode :func:`publish_snapshot` performs:
+    the head manifest's still-live files (absolute clone refs and bare
+    explicit entries kept verbatim; relative day entries must still be
+    on disk, because in-place rewrites replace them and their successors
+    arrive as unmanifested files) plus committed unmanifested appends,
+    and the head's deletion-vector ref. Raises when no snapshot is
+    published. The file list is also the pruning seam for
+    sidecar-indexed scans (``table.field_range_scan``)."""
     names = _list_manifest_names(spark, path)
     versions = _versions_from_names(names)
     if not versions:
         raise FileNotFoundError(f"no snapshots published under {path}")
     head = versions[-1]
-    files = list(_manifest_files(spark, path, head))
-    files += sorted(_unmanifested_files(spark, path) - set(files))
+    fs, hpath_cls, root = _hadoop_fs(spark, path)
+    on_disk = set(_list_data_files(fs, root, hpath_cls))
+    head_f = set(_manifest_files(spark, path, head))
+    manifested = _all_manifested(
+        spark, path, versions, resolved_head=head_f
+    )
+    keep_head = {
+        f for f in head_f
+        if _is_abs_entry(f) or "/" not in f or f in on_disk
+    }
+    files = sorted(keep_head | (on_disk - manifested))
     dv_ref = _dv_ref_at(
         spark, path, head, sidecars=_dv_versions_from_names(names)
     )
+    return files, dv_ref
+
+
+def read_current_state(spark: SparkSession, path: str) -> DataFrame:
+    """The table's CURRENT LOGICAL STATE under manifest governance —
+    exactly the rows a listing-mode :func:`publish_snapshot` would
+    capture, with the head's deletion vector applied. This is the safe
+    twin of a raw directory read: ``table.read_logs`` /
+    ``register_view`` / ``logs_query`` route here whenever the table has
+    a published manifest, because a raw ``spark.read.parquet(path)``
+    silently RESURRECTS every MOR-deleted row on a vector-governed head
+    (VERDICT r17 #2) and double-reads COW-retained tombstone files after
+    a copy-on-write rewrite. Unmanifested appends carry no vector
+    positions by construction, so the anti-join passes them through
+    untouched; the result keeps every physical column the files carry
+    (mergeSchema), so promoted-column readers project from it
+    directly."""
+    files, dv_ref = _current_state_files(spark, path)
     if not _dv_refs(dv_ref):
         return _read_data_files(spark, path, files)
     return _apply_dv(
@@ -2020,6 +2047,25 @@ def _dv_key_of_entry(f: str, path: str) -> str:
 
 def _dv_sidecar_rel(version: int) -> str:
     return f"{MANIFEST_DIR}/dv_v{version}.json"
+
+
+def _dv_keep_keys(spark: SparkSession, dv: DataFrame, keys) -> DataFrame:
+    """Restrict a positions dataset to the given file keys with a
+    broadcast left-semi join — never a giant IN literal (the key list
+    can reach thousands of files under a wide GDPR drip)."""
+    keys_df = spark.createDataFrame(
+        [(k,) for k in sorted(keys)], "file string"
+    )
+    return dv.join(F.broadcast(keys_df), "file", "left_semi")
+
+
+def _drop_gen_dir(fs, hpath_cls, path: str, gen: str, label: str) -> None:
+    """Checked removal of a deletion-vector generation directory if it
+    exists — the shared cleanup of every MOR verb's abort/lost-race
+    path."""
+    gdir = hpath_cls(f"{path}/{gen}")
+    if fs.exists(gdir):
+        _must(fs.delete(gdir, True), label, gdir)
 
 
 def _dv_versions_from_names(names: list[str]) -> list[int]:
@@ -2337,9 +2383,7 @@ def mor_delete_where(
         hits.hint("rebalance").write.parquet(f"{path}/{gen}")
         n_deleted = spark.read.parquet(f"{path}/{gen}").count()
         if n_deleted == 0:
-            gdir = hpath_cls(f"{path}/{gen}")
-            if fs.exists(gdir):
-                _must(fs.delete(gdir, True), "mor-noop-gen-delete", gdir)
+            _drop_gen_dir(fs, hpath_cls, path, gen, "mor-noop-gen-delete")
             _release_marker()
             return {
                 "version": base_version,
@@ -2368,9 +2412,7 @@ def mor_delete_where(
         # _finish_rewrite's own abort could release it) go before
         # re-raising
         _drop_dv_sidecar_if_mine(fs, hpath_cls, path, next_v, tok)
-        gdir = hpath_cls(f"{path}/{gen}")
-        if fs.exists(gdir):
-            _must(fs.delete(gdir, True), "mor-gen-cleanup", gdir)
+        _drop_gen_dir(fs, hpath_cls, path, gen, "mor-gen-cleanup")
         _reclaim_unpublished_appends(spark, path, before, tok)
         raise
     return {
@@ -2381,7 +2423,10 @@ def mor_delete_where(
 
 
 def dv_compact(
-    spark: SparkSession, path: str, min_deleted_ratio: float = 0.0
+    spark: SparkSession,
+    path: str,
+    min_deleted_ratio: float = 0.0,
+    dry_run: bool = False,
 ) -> dict:
     """Fold the head's deletion vector into a copy-on-write rewrite —
     the maintenance step that keeps merge-on-read reads cheap (Delta's
@@ -2437,6 +2482,14 @@ def dv_compact(
     n_dead = sum(n for k, n in per_key.items() if k not in key2entry)
     fs, hpath_cls, _ = _hadoop_fs(spark, path)
     if not affected_keys:
+        if dry_run:
+            return {
+                "version": base_version,
+                "partitions_rewritten": [],
+                "positions_folded": n_dead,
+                "positions_kept": 0,
+                "dry_run": True,
+            }
         # the vector only references files a later COW rewrite already
         # replaced — nothing to materialize, just end its reign
         before, tok = _begin_rewrite(
@@ -2503,6 +2556,16 @@ def dv_compact(
     days = sorted(d.split("=", 1)[1] for d in day_dirs)
     n_folded = sum(per_key[k] for k in folded_keys) + n_dead
     n_kept = sum(per_key[k] for k in kept_keys)
+    if dry_run:
+        # the full would-be plan, nothing mutated — maintain's dry run
+        # reports this instead of a bare has-vector boolean (review r18)
+        return {
+            "version": base_version,
+            "partitions_rewritten": days,
+            "positions_folded": n_folded,
+            "positions_kept": n_kept,
+            "dry_run": True,
+        }
     before, tok = _begin_rewrite(spark, path, "dv_compact", base_version)
     gen = None
     if kept_keys:
@@ -2514,14 +2577,12 @@ def dv_compact(
         gen = f"{DV_DIR}/gen-{_uuid.uuid4().hex}"
         try:
             (
-                dv.filter(F.col("file").isin(kept_keys))
+                _dv_keep_keys(spark, dv, kept_keys)
                 .hint("rebalance")
                 .write.parquet(f"{path}/{gen}")
             )
         except BaseException:
-            gdir = hpath_cls(f"{path}/{gen}")
-            if fs.exists(gdir):
-                _must(fs.delete(gdir, True), "dv-kept-gen-abort", gdir)
+            _drop_gen_dir(fs, hpath_cls, path, gen, "dv-kept-gen-abort")
             _release_journal_if_mine(fs, hpath_cls, path, tok)
             raise
     # a fault during the survivor write leaves the journal LIVE on
@@ -2548,9 +2609,9 @@ def dv_compact(
     except ConcurrentRewriteError:
         _drop_dv_sidecar_if_mine(fs, hpath_cls, path, next_v, tok)
         if gen:
-            gdir = hpath_cls(f"{path}/{gen}")
-            if fs.exists(gdir):
-                _must(fs.delete(gdir, True), "dv-kept-gen-cleanup", gdir)
+            _drop_gen_dir(
+                fs, hpath_cls, path, gen, "dv-kept-gen-cleanup"
+            )
         _reclaim_unpublished_appends(spark, path, before, tok)
         raise
     return {
@@ -2590,33 +2651,23 @@ def dv_coalesce(spark: SparkSession, path: str) -> dict:
     live = _manifest_files(spark, path, base_version)
     dv = _read_dv(spark, path, ref)
     n_total = dv.count()
-    # live-key semi-join instead of isin: the live file list can be
-    # large at scale; the keys frame broadcasts
-    keys_df = spark.createDataFrame(
-        [(k,) for k in sorted({_dv_key_of_entry(f, path) for f in live})],
-        "file string",
+    kept = _dv_keep_keys(
+        spark, dv, {_dv_key_of_entry(f, path) for f in live}
     )
-    kept = dv.join(F.broadcast(keys_df), "file", "left_semi")
     fs, hpath_cls, _ = _hadoop_fs(spark, path)
     before, tok = _begin_rewrite(spark, path, "dv_coalesce", base_version)
     gen = f"{DV_DIR}/gen-{_uuid.uuid4().hex}"
-
-    def _drop_gen() -> None:
-        gdir = hpath_cls(f"{path}/{gen}")
-        if fs.exists(gdir):
-            _must(fs.delete(gdir, True), "dv-coalesce-gen-drop", gdir)
-
     try:
         kept.hint("rebalance").write.parquet(f"{path}/{gen}")
         n_kept = spark.read.parquet(f"{path}/{gen}").count()
     except BaseException:
-        _drop_gen()
+        _drop_gen_dir(fs, hpath_cls, path, gen, "dv-coalesce-gen-drop")
         _release_journal_if_mine(fs, hpath_cls, path, tok)
         raise
     next_v = base_version + 1
     if n_kept == 0:
         # every position was dead — end the vector's reign outright
-        _drop_gen()
+        _drop_gen_dir(fs, hpath_cls, path, gen, "dv-coalesce-gen-drop")
     new_ref = [gen] if n_kept else None
     try:
         _write_dv_sidecar_claimed(
@@ -2627,7 +2678,7 @@ def dv_coalesce(spark: SparkSession, path: str) -> dict:
         )
     except ConcurrentRewriteError:
         _drop_dv_sidecar_if_mine(fs, hpath_cls, path, next_v, tok)
-        _drop_gen()
+        _drop_gen_dir(fs, hpath_cls, path, gen, "dv-coalesce-gen-drop")
         _reclaim_unpublished_appends(spark, path, before, tok)
         raise
     return {
@@ -2743,9 +2794,7 @@ def mor_update_where(
         )
     except ConcurrentRewriteError:
         _drop_dv_sidecar_if_mine(fs, hpath_cls, path, next_v, tok)
-        gdir = hpath_cls(f"{path}/{gen}")
-        if fs.exists(gdir):
-            _must(fs.delete(gdir, True), "mor-upd-gen-cleanup", gdir)
+        _drop_gen_dir(fs, hpath_cls, path, gen, "mor-upd-gen-cleanup")
         _reclaim_unpublished_appends(spark, path, before, tok)
         raise
     return {
@@ -2986,7 +3035,36 @@ def maintain(
                     "positions_dropped": cres["positions_dropped"],
                 }
     if dry_run:
-        report["would_dv_compact"] = has_live_dv(spark, path)
+        # preview the ACTUAL deletion-vector decision at the configured
+        # threshold, not a bare has-vector boolean (review r18: the old
+        # report said True for a 1-row vector the real run keeps live)
+        if has_live_dv(spark, path):
+            plan = dv_compact(
+                spark, path,
+                min_deleted_ratio=dv_fold_min_ratio,
+                dry_run=True,
+            )
+            report["would_dv_compact"] = (
+                bool(plan["partitions_rewritten"])
+                or plan["positions_folded"] > 0
+            )
+            report["dv_fold_plan"] = {
+                "partitions_rewritten": plan["partitions_rewritten"],
+                "positions_folded": plan["positions_folded"],
+                "positions_kept": plan["positions_kept"],
+            }
+            chain = _dv_refs(
+                _dv_ref_at(spark, path, snapshot_versions(spark, path)[-1])
+            )
+            # a real fold leaves at most one generation, so coalesce
+            # only triggers when the fold plan rewrites nothing
+            report["would_dv_coalesce"] = (
+                not plan["partitions_rewritten"]
+                and len(chain) > dv_fold_max_chain
+            )
+        else:
+            report["would_dv_compact"] = False
+            report["would_dv_coalesce"] = False
     head = snapshot_versions(spark, path)[-1]
     per_day: dict[str, int] = {}
     for f in _manifest_files(spark, path, head):

@@ -282,7 +282,6 @@ DRIVER_VERIFIED: dict = {
     "text_bpe_fertility": "4ce91a78b255",
     "text_bpe_merges": "68fd8cbe7f24",
     "text_bpe_tokenize": "7b2f85c69533",
-    "text_c4_filters": "c6a2a446b851",
     "text_chunk_documents": "b11ed9a0602f",
     "text_classifier_score": "694e9cc2b376",
     "text_cms_heavy_hitters": "66e1b44c852b",

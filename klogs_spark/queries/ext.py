@@ -1219,6 +1219,131 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# multimodal: image-text pair alignment (LAION-style curation)
+# ---------------------------------------------------------------------------
+PAIR_ALIGN_TAU = 0.85  # alignment keep threshold, shared with the oracle
+_PAIR_DIM = 4
+
+
+def q_multimodal_pair_alignment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LAION-style image-text pair curation (Schuhmann et al. 2021): the
+    pretraining stage that scores each (image, caption) pair by
+    embedding cosine, keeps pairs above the alignment threshold, then
+    removes near-duplicate pairs (here: caption SimHash signature,
+    survivor = lowest pair id — ext.dedup.simhash reused verbatim).
+
+    Engine shape: the IMAGE tower is the Arrow-batched fake encoder over
+    opaque payload bytes (ext.multimodal.extract_feature_vectors — ONE
+    mapInPandas crossing, where a real CLIP image tower slots in with
+    the same signature); the CAPTION tower is the SAME fake construction
+    computed NATIVELY (sha2 + conv, zero Python), so the text side never
+    leaves the JVM; the pair join broadcasts the caption side and the
+    alignment cosine is a row-local zip_with fold (dedup.cosine_col,
+    left-to-right — deterministic across engines). Plan-asserted: one
+    MapInPandas, BroadcastHashJoin, no cartesian, no BatchEvalPython.
+
+    Payloads are synthesized ('img:<id>:<text>' bytes) so the oracle can
+    restate the encoder closed-form — the SQL-reproducibility contract
+    of multimodal_features."""
+    from ..ext import dedup as _dd
+    from ..ext import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(
+            F.concat(
+                F.lit("img:"),
+                F.col("doc_id").cast("string"),
+                F.lit(":"),
+                F.col("text"),
+            ),
+            "UTF-8",
+        ).alias("payload"),
+    )
+    img = mm.extract_feature_vectors(media, dim=_PAIR_DIM).select(
+        F.col("media_id").alias("pair_id"), F.col("features").alias("iv")
+    )
+    cap_vec = F.array(
+        *[
+            F.conv(
+                F.substring(
+                    F.sha2(F.concat(F.col("text"), F.lit(str(i))), 256),
+                    1, 14,
+                ),
+                16, 10,
+            ).cast("double")
+            / F.lit(float(2**56))
+            for i in range(_PAIR_DIM)
+        ]
+    )
+    caps = docs.select(
+        F.col("doc_id").alias("pair_id"),
+        F.col("text"),
+        cap_vec.alias("cv"),
+    )
+    scored = img.join(F.broadcast(caps), "pair_id").select(
+        "pair_id", "text",
+        _dd.cosine_col(F.col("iv"), F.col("cv")).alias("alignment"),
+    )
+    from ..ext.caching import cache_tracked
+
+    # kept feeds BOTH the signature branch and the final join — cache it
+    # so the Arrow image tower runs once, not once per branch
+    kept = cache_tracked(
+        scored.filter(F.col("alignment") >= PAIR_ALIGN_TAU)
+    )
+    sims = _dd.simhash(
+        kept.select("pair_id", "text"), text="text", id_col="pair_id"
+    )
+    return (
+        kept.join(sims.withColumnRenamed("id", "pair_id"), "pair_id")
+        .groupBy("simhash")
+        .agg(
+            F.min("pair_id").alias("survivor_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.round(F.min_by("alignment", "pair_id"), 6).alias(
+                "alignment"
+            ),
+        )
+    )
+
+
+_PAIR_IMG_VEC = ", ".join(
+    "CAST('0x' || substr(sha256('img:' || CAST(doc_id AS VARCHAR) || ':' "
+    f"|| text || '{i}'), 1, 14) AS BIGINT) / 72057594037927936.0"
+    for i in range(_PAIR_DIM)
+)
+_PAIR_CAP_VEC = ", ".join(
+    f"CAST('0x' || substr(sha256(text || '{i}'), 1, 14) AS BIGINT)"
+    " / 72057594037927936.0"
+    for i in range(_PAIR_DIM)
+)
+
+SQL_MULTIMODAL_PAIR_ALIGNMENT = f"""
+WITH {SIMHASH_CTE},
+img AS (SELECT doc_id, [{_PAIR_IMG_VEC}] AS iv FROM documents),
+cap AS (SELECT doc_id, [{_PAIR_CAP_VEC}] AS cv FROM documents),
+scored AS (
+  SELECT i.doc_id, {_cos_sql('iv', 'cv')} AS alignment
+  FROM img i JOIN cap c USING (doc_id)
+),
+kept AS (
+  SELECT doc_id, alignment FROM scored
+  WHERE alignment >= {PAIR_ALIGN_TAU}
+)
+SELECT s.simhash,
+       min(k.doc_id) AS survivor_id,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(arg_min(k.alignment, k.doc_id), 6) AS alignment
+FROM kept k JOIN simh s ON s.id = k.doc_id
+GROUP BY s.simhash
+"""
+
+
 def q_multimodal_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-trip proof that the header sniffing is real: synthesize
     structurally-valid PNG/JPEG/WAV payloads per doc (deterministic formulas
@@ -8302,6 +8427,10 @@ SPECS = {
                                           "survivor per cluster"),
     "sample_balance_sources": QuerySpec(q_balance_sources, SQL_BALANCE_SOURCES,
                                         "per-source top-N corpus balancing"),
+    "multimodal_pair_alignment": QuerySpec(
+        q_multimodal_pair_alignment, SQL_MULTIMODAL_PAIR_ALIGNMENT,
+        "LAION-style image-text pair curation: Arrow image tower + "
+        "native caption tower, cosine threshold, SimHash pair dedup"),
     "multimodal_features": QuerySpec(q_multimodal_features,
                                      SQL_MULTIMODAL_FEATURES,
                                      "binary payload -> Arrow-batched features"),

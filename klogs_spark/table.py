@@ -170,15 +170,18 @@ def write_logs(
 def read_logs(spark: SparkSession, path: str) -> DataFrame:
     """Read the logs table; select() restores the canonical column order.
 
-    DV-safe (VERDICT r17 #2): when a live deletion vector governs the
-    head snapshot, a raw directory read would silently resurrect every
-    MOR-deleted row — the read routes through the manifest layer's
-    current-state view instead (head files + committed unmanifested
-    appends, vector anti-joined). Plain tables pay one ``_manifest``
-    listStatus for the check and read raw as before."""
-    from .manifest import has_live_dv, read_current_state
+    Manifest-aware (VERDICT r17 #2 + review): on a table with ANY
+    published snapshot, a raw directory read is wrong twice over — it
+    resurrects MOR-deleted rows when a deletion vector governs the head,
+    and it double-reads the tombstone files a copy-on-write rewrite
+    deliberately retains for pinned readers. Such tables read through
+    the manifest layer's current-state view instead (head files +
+    committed unmanifested appends, vector anti-joined). Plain
+    directories pay one ``_manifest`` listStatus for the check and read
+    raw as before."""
+    from .manifest import read_current_state, snapshot_versions
 
-    if has_live_dv(spark, path):
+    if snapshot_versions(spark, path):
         return read_current_state(spark, path).select(
             PARTITION_COLUMN, *LOG_COLUMNS
         )
@@ -199,13 +202,14 @@ def _read_with_promotions(spark: SparkSession, path: str, promos: dict):
     """Table read exposing the promoted physical columns. mergeSchema makes
     the columns resolve even on a table with not-yet-materialized plain
     history (those rows read NULL until materialize_promotions backfills
-    them — the documented DEFAULT/MATERIALIZE contract). DV-safe like
-    :func:`read_logs`: a live deletion vector routes the read through the
-    manifest layer's current-state view (read_current_state reads with
-    mergeSchema, so promoted physical columns survive the detour)."""
-    from .manifest import has_live_dv, read_current_state
+    them — the documented DEFAULT/MATERIALIZE contract). Manifest-aware
+    like :func:`read_logs`: any published snapshot routes the read
+    through the manifest layer's current-state view (read_current_state
+    reads with mergeSchema, so promoted physical columns survive the
+    detour)."""
+    from .manifest import read_current_state, snapshot_versions
 
-    if has_live_dv(spark, path):
+    if snapshot_versions(spark, path):
         return read_current_state(spark, path).select(
             PARTITION_COLUMN, *LOG_COLUMNS, *promos.values()
         )
@@ -1310,6 +1314,45 @@ def field_range_scan(
         if not dates:
             return base.filter(F.lit(False))
         return residual(base.filter(F.col(PARTITION_COLUMN).isin(dates)))
+
+    from .manifest import snapshot_versions as _snapshot_versions
+
+    if _snapshot_versions(spark, path):
+        # manifest-governed table (review r18): the raw directory
+        # listing above includes COW-retained tombstone files, and a
+        # live deletion vector must apply — prune the CURRENT STATE's
+        # file list instead and read through the manifest layer.
+        # Absolute clone references and bare explicit entries carry no
+        # local zone-map rows, so they pass unpruned (conservative).
+        from .manifest import (
+            _apply_dv,
+            _current_state_files,
+            _dv_refs,
+            _is_abs_entry,
+            _read_data_files,
+            _read_dv,
+        )
+
+        cs_files, dv_ref = _current_state_files(spark, path)
+        keep: list[str] = []
+        for f in cs_files:
+            day_dir, _, fname = f.rpartition("/")
+            if _is_abs_entry(f) or not day_dir.startswith(prefix):
+                keep.append(f)
+                continue
+            d = day_dir.split("=", 1)[1]
+            if not overlaps(day_stats.get(d)):
+                continue
+            if overlaps(file_stats.get((d, fname))):
+                keep.append(f)
+        if not keep:
+            return read_logs(spark, path).filter(F.lit(False))
+        df = _read_data_files(
+            spark, path, keep, with_pos=bool(_dv_refs(dv_ref))
+        )
+        if _dv_refs(dv_ref):
+            df = _apply_dv(df, _read_dv(spark, path, dv_ref))
+        return residual(df.select(PARTITION_COLUMN, *LOG_COLUMNS))
 
     selected: list[str] = []
     for d, files in live.items():

@@ -920,3 +920,39 @@ def test_bpe_fertility_keyed_joins_only(spark):
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_simhash_pairs_joins_on_block_key_only(spark):
+    """The bucketed SimHash pair scan (a top-5 bench row) must equi-join
+    on the (block_id, block_val) pigeonhole key with the id ordering as
+    a post-join condition — a silent regression to the all-pairs
+    a.id < b.id form plans as a nested loop, the O(n^2) bug the blocks
+    exist to prevent (VERDICT r17 #6)."""
+    plan = _plan(spark, "dedup_simhash_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+    key_lines = [
+        l for l in plan.splitlines()
+        if "keys" in l.lower() and "block_val" in l
+    ]
+    assert key_lines, plan  # the equi-join keys carry the block key
+    assert any("block_id" in l for l in key_lines), key_lines
+
+
+def test_pair_alignment_one_arrow_pass_broadcast_captions(spark):
+    """Image-text pair curation: exactly ONE Arrow crossing (the image
+    tower mapInPandas), caption tower stays native, captions broadcast
+    onto the image side, no cartesian, no row-at-a-time Python."""
+    import re
+
+    plan = _plan(spark, "multimodal_pair_alignment")
+    # count PHYSICAL nodes: the cached kept-subtree prints its plan text
+    # once per InMemoryRelation mention, but a node id is unique
+    nodes = set(re.findall(r"\((\d+)\) MapInPandas", plan))
+    assert len(nodes) == 1, plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan

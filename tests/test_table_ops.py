@@ -4086,6 +4086,11 @@ def test_maintain_thresholded_fold_keeps_tiny_vector(
     )
     assert res["rows_deleted"] == 1
     files_before = _data_file_mtimes(path)
+    # the dry run previews the THRESHOLDED decision, not a bare boolean
+    plan = maintain(spark, path, dry_run=True)
+    assert plan["would_dv_compact"] is False
+    assert plan["dv_fold_plan"]["positions_kept"] == 1
+    assert plan["would_dv_coalesce"] is False
     rep = maintain(spark, path)
     # the vector SURVIVED: no day rewritten for it, no fold
     assert rep["dv_compacted"]["partitions_rewritten"] == []

@@ -493,6 +493,59 @@ def main() -> None:
         print(f"# table_mor_delete: FAILED {errors['table_mor_delete']}",
               file=sys.stderr)
 
+    # Thresholded DV maintenance (r18, VERDICT r17 #3/#7): a tiny GDPR
+    # drip must not trigger day rewrites — dv_compact at the default
+    # maintain ratio no-ops after its per-file ratio probe (metadata +
+    # one footer-count scan of affected files, never a survivor write),
+    # and dv_coalesce collapses the 3-generation chain into ONE without
+    # touching any data file. Expected well under table_cow_delete.
+    try:
+        from klogs_spark.manifest import (
+            dv_coalesce,
+            dv_compact,
+            mor_delete_where,
+        )
+
+        best_dvm = float("inf")
+        kept = gens = -1
+        for _ in range(max(trials, 1)):
+            ddir = tempfile.mkdtemp(prefix="bench-dvc-")
+            write_logs(
+                derive_logs_from_events(spark, sf_dir), ddir,
+                mode="overwrite",
+            )
+            publish_snapshot(spark, ddir)
+            for h in (0, 1, 2):  # the drip: 3 tiny vector generations
+                mor_delete_where(
+                    spark, ddir,
+                    F.expr(
+                        f"pod_name = 'pod-3' AND hour(timestamp) = {h}"
+                        " AND date = '2024-01-03'"
+                    ),
+                )
+            t0 = time.perf_counter()
+            resc = dv_compact(spark, ddir, min_deleted_ratio=0.1)
+            resl = dv_coalesce(spark, ddir)
+            best_dvm = min(best_dvm, time.perf_counter() - t0)
+            kept = resc["positions_kept"]
+            gens = resl["generations_after"]
+            shutil.rmtree(ddir, ignore_errors=True)
+        timings["table_dv_threshold_maintain"] = round(best_dvm, 3)
+        print(
+            f"# table_dv_threshold_maintain: {best_dvm:.3f}s "
+            f"({kept} positions kept live, chain -> {gens} gen)",
+            file=sys.stderr,
+        )
+    except Exception as exc:  # noqa: BLE001
+        errors["table_dv_threshold_maintain"] = (
+            f"{type(exc).__name__}: {exc}"[:300]
+        )
+        print(
+            "# table_dv_threshold_maintain: FAILED "
+            f"{errors['table_dv_threshold_maintain']}",
+            file=sys.stderr,
+        )
+
     # ann_ivfpq_rerank_search (VERDICT r12 #5): the deployed two-stage
     # search — prebuilt-index ADC nominates R candidates, an R-row
     # broadcast-semi fetch re-scores them exactly. Expected ≈

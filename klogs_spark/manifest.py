@@ -2874,17 +2874,24 @@ def fsck(spark: SparkSession, path: str) -> dict:
             except Exception:
                 pass
             running_fsck, prev_fv = None, None
-    # absolute (clone) entries live outside the listing — each gets its
-    # own existence probe, cached across versions (a vacuumed SOURCE is
-    # exactly the corruption this must surface, the Delta CLONE caveat)
-    abs_ok: dict[str, bool] = {}
+    # absolute (clone) entries live outside the listing — probe them
+    # BATCHED, one listing per source day dir instead of one exists()
+    # RPC per file (a clone of a million-file table would otherwise pay
+    # a million driver round-trips here). A vacuumed SOURCE is exactly
+    # the corruption this must surface, the Delta CLONE caveat.
+    abs_entries = sorted(
+        {f for refs in per_version.values() for f in refs
+         if _is_abs_entry(f)}
+    )
+    abs_missing = (
+        set(_missing_entries(spark, fs, hpath_cls, path, abs_entries))
+        if abs_entries else set()
+    )
 
     def _gone(f: str) -> bool:
         if not _is_abs_entry(f):
             return f not in on_disk
-        if f not in abs_ok:
-            abs_ok[f] = bool(_entry_exists(spark, fs, hpath_cls, path, f))
-        return not abs_ok[f]
+        return f in abs_missing
 
     missing = {
         v: sorted(f for f in refs if _gone(f))

@@ -4032,6 +4032,93 @@ FROM wk WHERE pod <> 7 GROUP BY 2
 # polluted with spurious deletes would).
 
 
+def q_table_dv_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thresholded deletion-vector maintenance externally hash-checked
+    (VERDICT r17 #3/#7): a 3-day GDPR drip of tiny MOR deletes (pod-7,
+    one day per delete — ~2% of each file, far under maintain's default
+    fold ratio) builds a 3-generation chain. dv_compact at the default
+    threshold must KEEP every position live — positions_kept equals the
+    full drip and the oracle carries no 'folded'/'days_rewritten' rows,
+    so folding ANYTHING breaks the row match (the unconditional-fold
+    regression this tier exists to prevent). dv_coalesce must then
+    collapse the chain to exactly ONE generation dropping nothing, with
+    zero data-file churn across the whole sequence (no 'files_churned'
+    row), and the final per-day read serves the survivors
+    merge-on-read."""
+    import tempfile
+
+    from ..manifest import (
+        _manifest_files,
+        dv_coalesce,
+        dv_compact,
+        mor_delete_where,
+        publish_snapshot,
+        read_logs_at,
+    )
+    from ..table import write_logs
+    from ..views import derive_logs_from_events
+
+    logs = derive_logs_from_events(spark, sf_dir).filter(
+        F.col("timestamp") < TT_CUT_V1
+    )
+    base = tempfile.mkdtemp(prefix="klogs-dvmaint-")
+    tdir = f"{base}/logs"
+    write_logs(logs, tdir)
+    v1 = publish_snapshot(spark, tdir)
+    days = ["2024-01-01", "2024-01-02", "2024-01-03"]
+    for d in days:
+        mor_delete_where(
+            spark, tdir,
+            (F.col("pod_name") == "pod-7") & (F.col("date") == d),
+        )
+    resc = dv_compact(spark, tdir, min_deleted_ratio=0.1)
+    resl = dv_coalesce(spark, tdir)
+    churned = set(_manifest_files(spark, tdir, v1)) ^ set(
+        _manifest_files(spark, tdir, resl["version"])
+    )
+    stage_counts = [
+        ("kept_live", resc["positions_kept"]),
+        ("folded", resc["positions_folded"]),
+        ("days_rewritten", len(resc["partitions_rewritten"])),
+        ("generations", resl["generations_after"]),
+        ("dropped", resl["positions_dropped"]),
+        ("files_churned", len(churned)),
+    ]
+    stages = spark.createDataFrame(
+        [(s, "total", n) for s, n in stage_counts if n > 0],
+        "stage string, day string, n long",
+    )
+    per_day = read_logs_at(spark, tdir).groupBy(
+        F.lit("post_maintain").alias("stage"),
+        F.col("date").cast("string").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return stages.unionByName(per_day)
+
+
+_DV_MAINT_DAYS = "DATE '2024-01-01', DATE '2024-01-02', DATE '2024-01-03'"
+
+SQL_TABLE_DV_MAINTAIN = f"""
+WITH wk AS (
+  SELECT CAST(ts AS DATE) AS day, user_id % 50 AS pod FROM events
+  WHERE ts < TIMESTAMP '{TT_CUT_V1} 00:00:00'
+)
+SELECT 'kept_live' AS stage, 'total' AS day, CAST(count(*) AS BIGINT) AS n
+FROM wk WHERE pod = 7 AND day IN ({_DV_MAINT_DAYS})
+UNION ALL
+SELECT 'generations', 'total', CAST(1 AS BIGINT)
+UNION ALL
+SELECT 'post_maintain', CAST(day AS VARCHAR), CAST(count(*) AS BIGINT)
+FROM wk
+WHERE NOT (pod = 7 AND day IN ({_DV_MAINT_DAYS}))
+GROUP BY 2
+"""
+# note: no 'folded' / 'days_rewritten' row (the thresholded compact must
+# keep the tiny vector live — an unconditional fold emits both and
+# breaks the match), no 'dropped' row (coalesce must not lose live
+# positions), no 'files_churned' row (the whole sequence is metadata
+# + positions writes only).
+
+
 SPECS = {
     "ingest_decode_pipeline": QuerySpec(
         q_ingest_pipeline,
@@ -4173,6 +4260,12 @@ SPECS = {
         "delete requests apply as merge-on-read vector deletes (zero "
         "file churn, idempotent replay, pinned v1 intact); per-day "
         "census vs events arithmetic",
+    ),
+    "table_dv_maintain": QuerySpec(
+        q_table_dv_maintain, SQL_TABLE_DV_MAINTAIN,
+        "thresholded DV maintenance: tiny GDPR drip stays live under "
+        "the fold ratio (zero rewrites), chain coalesces to one "
+        "generation, zero file churn; stage counts vs events arithmetic",
     ),
     "table_mor_lifecycle": QuerySpec(
         q_table_mor_lifecycle, SQL_TABLE_MOR_LIFECYCLE,

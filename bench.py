@@ -504,6 +504,7 @@ def main() -> None:
             dv_coalesce,
             dv_compact,
             mor_delete_where,
+            publish_snapshot,
         )
 
         best_dvm = float("inf")

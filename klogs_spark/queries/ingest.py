@@ -4034,17 +4034,23 @@ FROM wk WHERE pod <> 7 GROUP BY 2
 
 def q_table_dv_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Thresholded deletion-vector maintenance externally hash-checked
-    (VERDICT r17 #3/#7): a 3-day GDPR drip of tiny MOR deletes (pod-7,
-    one day per delete — ~2% of each file, far under maintain's default
-    fold ratio) builds a 3-generation chain. dv_compact at the default
-    threshold must KEEP every position live — positions_kept equals the
-    full drip and the oracle carries no 'folded'/'days_rewritten' rows,
-    so folding ANYTHING breaks the row match (the unconditional-fold
-    regression this tier exists to prevent). dv_coalesce must then
-    collapse the chain to exactly ONE generation dropping nothing, with
-    zero data-file churn across the whole sequence (no 'files_churned'
-    row), and the final per-day read serves the survivors
-    merge-on-read."""
+    (VERDICT r17 #3/#7): a 3-day GDPR drip of tiny MOR deletes (the
+    minute-7 rows of each day, one day per delete) builds a
+    3-generation chain. dv_compact at maintain's default threshold must
+    KEEP every position live — positions_kept equals the full drip and
+    the oracle carries no 'folded'/'days_rewritten' rows, so folding
+    ANYTHING breaks the row match (the unconditional-fold regression
+    this tier exists to prevent). dv_coalesce must then collapse the
+    chain to exactly ONE generation dropping nothing, with zero
+    data-file churn across the whole sequence (no 'files_churned' row),
+    and the final per-day read serves the survivors merge-on-read.
+
+    The delete key is deliberately NOT cluster-key-aligned (review
+    r18): write_logs cluster-sorts by pod_name, so a per-pod delete
+    concentrates in one file and can cross the per-FILE fold ratio once
+    a day spans several files — minute-of-hour rows disperse uniformly
+    through every file (~1.7% each), keeping the no-fold guarantee
+    layout- and scale-independent."""
     import tempfile
 
     from ..manifest import (
@@ -4069,7 +4075,7 @@ def q_table_dv_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     for d in days:
         mor_delete_where(
             spark, tdir,
-            (F.col("pod_name") == "pod-7") & (F.col("date") == d),
+            (F.minute("timestamp") == 7) & (F.col("date") == d),
         )
     resc = dv_compact(spark, tdir, min_deleted_ratio=0.1)
     resl = dv_coalesce(spark, tdir)
@@ -4099,17 +4105,18 @@ _DV_MAINT_DAYS = "DATE '2024-01-01', DATE '2024-01-02', DATE '2024-01-03'"
 
 SQL_TABLE_DV_MAINTAIN = f"""
 WITH wk AS (
-  SELECT CAST(ts AS DATE) AS day, user_id % 50 AS pod FROM events
+  SELECT CAST(ts AS DATE) AS day, date_part('minute', ts) AS mi
+  FROM events
   WHERE ts < TIMESTAMP '{TT_CUT_V1} 00:00:00'
 )
 SELECT 'kept_live' AS stage, 'total' AS day, CAST(count(*) AS BIGINT) AS n
-FROM wk WHERE pod = 7 AND day IN ({_DV_MAINT_DAYS})
+FROM wk WHERE mi = 7 AND day IN ({_DV_MAINT_DAYS})
 UNION ALL
 SELECT 'generations', 'total', CAST(1 AS BIGINT)
 UNION ALL
 SELECT 'post_maintain', CAST(day AS VARCHAR), CAST(count(*) AS BIGINT)
 FROM wk
-WHERE NOT (pod = 7 AND day IN ({_DV_MAINT_DAYS}))
+WHERE NOT (mi = 7 AND day IN ({_DV_MAINT_DAYS}))
 GROUP BY 2
 """
 # note: no 'folded' / 'days_rewritten' row (the thresholded compact must

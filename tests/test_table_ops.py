@@ -2640,6 +2640,7 @@ from hypothesis import strategies as st
 @given(ops=st.lists(st.sampled_from(
     ["append", "cow_delete", "cow_compact", "restore", "clone", "vacuum",
      "publish", "maintain", "mor_delete", "dv_compact", "mor_update",
+     "dv_compact_thresh", "dv_coalesce",
      # failure injections (r16 judge task): crash artifacts and corrupt
      # metadata interleaved with real ops — invariants must still hold
      "corrupt_ckpt", "torn_vacuum", "crash_rewrite"]),
@@ -2672,6 +2673,7 @@ def test_manifest_layer_randomized_op_sequences_hold_invariants(
         ConcurrentRewriteError,
         cow_compact_partition,
         cow_delete_where,
+        dv_coalesce,
         dv_compact,
         maintain,
         mor_delete_where,
@@ -2736,6 +2738,13 @@ def test_manifest_layer_randomized_op_sequences_hold_invariants(
             p7 = 0
         elif op == "dv_compact":
             dv_compact(spark, path)  # fold + clear; served state fixed
+        elif op == "dv_compact_thresh":
+            # selective fold at maintain's default ratio — served state
+            # fixed whether it folds, keeps the vector live, or no-ops
+            dv_compact(spark, path, min_deleted_ratio=0.1)
+        elif op == "dv_coalesce":
+            # chain -> one generation, MOR semantics kept, zero churn
+            dv_coalesce(spark, path)
         elif op == "mor_update":
             # tag pod-3's log lines: row/pod-7 counts are invariant
             # (old rows vector-deleted, tagged copies appended)

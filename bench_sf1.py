@@ -421,6 +421,77 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # Thresholded DV maintenance at 10x (r18, VERDICT r17 #3/#7): after a
+    # 3-generation tiny drip (minute-7 rows, dispersed through every
+    # cluster-sorted file), dv_compact's ratio probe must keep the
+    # vector live (cost = one zero-data-column scan of affected files)
+    # and dv_coalesce collapses the chain (cost O(live positions)).
+    # Neither writes a survivor file, so the claim under test is the
+    # MAINTENANCE cost staying decoupled from the COW rewrite bill.
+    try:
+        import shutil
+        import tempfile
+
+        from klogs_spark.manifest import (
+            dv_coalesce,
+            dv_compact,
+            mor_delete_where,
+            publish_snapshot,
+        )
+        from klogs_spark.table import write_logs
+        from klogs_spark.views import derive_logs_from_events
+
+        from pyspark.sql import functions as F
+
+        def _timed_dv_maintain(src):
+            best = float("inf")
+            for _ in range(max(trials, 1)):
+                d = tempfile.mkdtemp(prefix="bsf1-dvm-")
+                write_logs(
+                    derive_logs_from_events(spark, src), d,
+                    mode="overwrite",
+                )
+                publish_snapshot(spark, d)
+                for day in ("2024-01-01", "2024-01-02", "2024-01-03"):
+                    mor_delete_where(
+                        spark, d,
+                        F.expr(
+                            "minute(timestamp) = 7 AND date = "
+                            f"'{day}'"
+                        ),
+                    )
+                t0 = time.perf_counter()
+                resc = dv_compact(spark, d, min_deleted_ratio=0.1)
+                dv_coalesce(spark, d)
+                best = min(best, time.perf_counter() - t0)
+                assert resc["partitions_rewritten"] == [], resc
+                shutil.rmtree(d, ignore_errors=True)
+            return best
+
+        b01 = _timed_dv_maintain(SF01)
+        b1 = _timed_dv_maintain(sf1_dir)
+        results["table_dv_threshold_maintain"] = {
+            "sf0.1_sec": round(b01, 3),
+            "sf1_sec": round(b1, 3),
+            "ratio_10x": round(b1 / b01, 2),
+            "in_rows": {"sf0.1": load_table(spark, SF01, "events").count(),
+                        "sf1": counts["events"]},
+        }
+        print(
+            f"# table_dv_threshold_maintain: {b01:.3f}s -> {b1:.3f}s "
+            f"(ratio {b1 / b01:.2f})",
+            file=sys.stderr,
+        )
+    except Exception as exc:  # noqa: BLE001
+        errors["table_dv_threshold_maintain"] = (
+            f"{type(exc).__name__}: {exc}"[:300]
+        )
+        print(
+            "# table_dv_threshold_maintain: FAILED "
+            f"{errors['table_dv_threshold_maintain']}",
+            file=sys.stderr,
+        )
+
     # COW MERGE at 10x (VERDICT r10 #8): update half of Jan 3 — rewrite
     # scope is ONE day regardless of corpus size, so the expected ratio is
     # driven by that day's 10x row count (near-linear), not the table

@@ -1831,7 +1831,13 @@ def shallow_clone(
         # to its current state; reference them too (no source mutation)
         files += sorted(_unmanifested_files(spark, src))
     refs = [_entry_path(src, f) for f in files]
-    missing = [r for r in refs if not fs.exists(hpath_cls(r))]
+    # batched probe — one listing per source day dir, not one exists()
+    # RPC per file (a clone of a million-file table otherwise pays a
+    # million driver round-trips before copying zero bytes)
+    missing = sorted(
+        _entry_path(src, f)
+        for f in _missing_entries(spark, fs, hpath_cls, src, files)
+    )
     if missing:
         raise FileNotFoundError(
             f"shallow_clone: source files missing {missing[:3]}"

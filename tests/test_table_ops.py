@@ -4288,3 +4288,34 @@ def test_snapshot_existence_probe_is_one_listing_per_day_dir(
             M.read_snapshot(spark, path, v1).count()
     finally:
         os.rename(victim + ".gone", victim)
+
+
+def test_dv_governed_plain_read_prunes_and_broadcasts(
+    spark, logs_df, tmp_path
+):
+    """The manifest-routed plain read (read_logs on a DV-governed table)
+    must keep the scan-shape economics of the raw read: a date filter
+    reaches the scan as a PartitionFilter, column predicates push down,
+    and the vector applies as a broadcast LEFT ANTI join — never a
+    shuffle join or a full-corpus scan."""
+    from klogs_spark.manifest import mor_delete_where, publish_snapshot
+    from klogs_spark.table import read_logs
+
+    path = str(tmp_path / "logs")
+    write_logs(logs_df, path)
+    publish_snapshot(spark, path)
+    mor_delete_where(spark, path, "pod_name = 'pod-1'")
+    df = read_logs(spark, path).filter(
+        (F.col("date") == "2026-01-01") & (F.col("namespace") == "ns")
+    )
+    plan = spark._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters: [isnotnull(date" in plan, plan
+    assert "EqualTo(namespace,ns)" in plan
+    anti = [
+        l for l in plan.splitlines() if "BroadcastHashJoin" in l
+    ]
+    assert anti, plan
+    assert "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan

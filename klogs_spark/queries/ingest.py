@@ -4126,6 +4126,76 @@ GROUP BY 2
 # + positions writes only).
 
 
+def q_table_read_current(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DV-safe PLAIN reads externally hash-checked (VERDICT r17 #2): on
+    a deletion-vector-governed table, `table.read_logs`, the SQL view
+    (`register_view`), and the fluent `logs_query` path must all serve
+    the CURRENT LOGICAL STATE — MOR-deleted rows gone, a committed but
+    UNPUBLISHED append still visible (the current state is what a
+    listing publish would capture, not just the head manifest). Setup:
+    publish six days -> MOR-delete every minute-7 row -> append day 7
+    WITHOUT publishing. The oracle recomputes all three surfaces from
+    events arithmetic; a raw directory read (the pre-fix behavior)
+    resurrects the deleted rows and breaks every per-day row, while a
+    head-manifest-only read drops day 7."""
+    import tempfile
+
+    from ..table import logs_query, read_logs, register_view, write_logs
+    from ..manifest import mor_delete_where, publish_snapshot
+    from ..views import derive_logs_from_events
+
+    week = derive_logs_from_events(spark, sf_dir).filter(
+        F.col("timestamp") < TT_CUT_V1
+    )
+    published = week.filter(F.col("timestamp") < "2024-01-07")
+    appended = week.filter(F.col("timestamp") >= "2024-01-07")
+    base = tempfile.mkdtemp(prefix="klogs-readcur-")
+    tdir = f"{base}/logs"
+    write_logs(published, tdir)
+    publish_snapshot(spark, tdir)
+    mor_delete_where(spark, tdir, F.minute("timestamp") == 7)
+    write_logs(appended, tdir, mode="append")  # committed, unpublished
+
+    plain = read_logs(spark, tdir).groupBy(
+        F.lit("read_logs").alias("surface"),
+        F.col("date").cast("string").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    register_view(spark, tdir, name="readcur_logs")
+    via_sql = spark.sql(
+        "SELECT 'sql_view' AS surface, CAST(date AS STRING) AS day, "
+        "count(*) AS n FROM readcur_logs GROUP BY 1, 2"
+    )
+    fluent = logs_query(spark, tdir).where_field_eq(
+        "level", "error"
+    ).df.groupBy(
+        F.lit("fluent_errors").alias("surface"),
+        F.col("date").cast("string").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return plain.unionByName(via_sql).unionByName(fluent)
+
+
+SQL_TABLE_READ_CURRENT = f"""
+WITH wk AS (
+  SELECT CAST(ts AS DATE) AS day, date_part('minute', ts) AS mi,
+         event_type
+  FROM events WHERE ts < TIMESTAMP '{TT_CUT_V1} 00:00:00'
+),
+served AS (  -- deletes hit only rows PUBLISHED before the append
+  SELECT * FROM wk
+  WHERE NOT (mi = 7 AND day < DATE '2024-01-07')
+)
+SELECT 'read_logs' AS surface, CAST(day AS VARCHAR) AS day,
+       CAST(count(*) AS BIGINT) AS n
+FROM served GROUP BY 2
+UNION ALL
+SELECT 'sql_view', CAST(day AS VARCHAR), CAST(count(*) AS BIGINT)
+FROM served GROUP BY 2
+UNION ALL
+SELECT 'fluent_errors', CAST(day AS VARCHAR), CAST(count(*) AS BIGINT)
+FROM served WHERE event_type = 'error' GROUP BY 2
+"""
+
+
 SPECS = {
     "ingest_decode_pipeline": QuerySpec(
         q_ingest_pipeline,
@@ -4267,6 +4337,12 @@ SPECS = {
         "delete requests apply as merge-on-read vector deletes (zero "
         "file churn, idempotent replay, pinned v1 intact); per-day "
         "census vs events arithmetic",
+    ),
+    "table_read_current": QuerySpec(
+        q_table_read_current, SQL_TABLE_READ_CURRENT,
+        "DV-safe plain reads: read_logs / SQL view / fluent query serve "
+        "current logical state (MOR deletes gone, unpublished append "
+        "visible); per-day counts vs events arithmetic",
     ),
     "table_dv_maintain": QuerySpec(
         q_table_dv_maintain, SQL_TABLE_DV_MAINTAIN,

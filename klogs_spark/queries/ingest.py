@@ -4126,6 +4126,103 @@ GROUP BY 2
 # + positions writes only).
 
 
+def q_table_cdc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance from the CDC feed
+    (table.incremental_rollup — the consumer side of Delta's streaming
+    CDF) externally hash-checked: seed six days -> full materialization
+    -> a mixed-churn interlude (tiny MOR delete of every minute-7 row,
+    a rollup-NEUTRAL merge-on-read update of pod-3's log lines, an
+    unpublished-then-published day-7 append, a one-day COW delete of
+    pod-9 on 2024-01-02) -> ONE incremental advance applying only the
+    net churn. The final state must equal the from-scratch aggregate
+    (asserted in-process — a drift raises rather than hash-mismatching)
+    AND the oracle's events arithmetic; the update netting to zero, the
+    MOR position-diff, and the COW file-diff all feed the same delta
+    join. The advance must report mode='incremental' — a silent fall
+    back to full recompute raises."""
+    import tempfile
+
+    from ..manifest import (
+        cow_delete_where,
+        mor_delete_where,
+        mor_update_where,
+        publish_snapshot,
+        read_snapshot,
+    )
+    from ..table import incremental_rollup, read_rollup, write_logs
+    from ..transform import field_string
+    from ..views import derive_logs_from_events
+
+    week = derive_logs_from_events(spark, sf_dir).filter(
+        F.col("timestamp") < TT_CUT_V1
+    )
+    base = tempfile.mkdtemp(prefix="klogs-cdcroll-")
+    tdir, rdir = f"{base}/logs", f"{base}/rollup"
+    write_logs(week.filter(F.col("timestamp") < "2024-01-07"), tdir)
+    publish_snapshot(spark, tdir)
+    r1 = incremental_rollup(spark, tdir, rdir)
+    assert r1["mode"] == "full", r1
+    # mixed churn between advances
+    mor_delete_where(spark, tdir, F.minute("timestamp") == 7)
+    mor_update_where(
+        spark, tdir, F.col("pod_name") == "pod-3",
+        {"log": F.concat(F.col("log"), F.lit(" [u]"))},
+    )
+    write_logs(
+        week.filter(F.col("timestamp") >= "2024-01-07"), tdir,
+        mode="append",
+    )
+    publish_snapshot(spark, tdir)
+    cow_delete_where(
+        spark, tdir,
+        (F.col("pod_name") == "pod-9") & (F.col("date") == "2024-01-02"),
+    )
+    r2 = incremental_rollup(spark, tdir, rdir)
+    assert r2["mode"] == "incremental", r2
+    state = read_rollup(spark, rdir)
+    direct = read_snapshot(spark, tdir).groupBy(
+        F.col("date"), F.col("namespace")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((field_string("level") == "error").cast("long"))
+        .alias("n_errors"),
+    )
+    drift = (
+        state.exceptAll(direct).count() + direct.exceptAll(state).count()
+    )
+    if drift:
+        raise AssertionError(
+            f"incremental rollup drifted from scratch aggregate by "
+            f"{drift} rows"
+        )
+    return state.select(
+        F.col("date").cast("string").alias("day"),
+        "namespace",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("n_errors").cast("bigint").alias("n_errors"),
+    )
+
+
+SQL_TABLE_CDC_ROLLUP = f"""
+WITH wk AS (
+  SELECT CAST(ts AS DATE) AS day, date_part('minute', ts) AS mi,
+         'ns-' || CAST(user_id % 5 AS VARCHAR) AS namespace,
+         user_id % 50 AS pod, event_type
+  FROM events WHERE ts < TIMESTAMP '{TT_CUT_V1} 00:00:00'
+),
+served AS (
+  SELECT * FROM wk
+  WHERE NOT (mi = 7 AND day < DATE '2024-01-07')
+    AND NOT (pod = 9 AND day = DATE '2024-01-02')
+)
+SELECT CAST(day AS VARCHAR) AS day, namespace,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_errors
+FROM served GROUP BY 1, 2
+"""
+
+
 def q_table_read_current(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DV-safe PLAIN reads externally hash-checked (VERDICT r17 #2): on
     a deletion-vector-governed table, `table.read_logs`, the SQL view
@@ -4337,6 +4434,12 @@ SPECS = {
         "delete requests apply as merge-on-read vector deletes (zero "
         "file churn, idempotent replay, pinned v1 intact); per-day "
         "census vs events arithmetic",
+    ),
+    "table_cdc_rollup": QuerySpec(
+        q_table_cdc_rollup, SQL_TABLE_CDC_ROLLUP,
+        "incremental materialized-view maintenance from the CDC feed: "
+        "full materialize -> mixed MOR/COW churn -> one net-delta "
+        "advance; state equals scratch aggregate and events arithmetic",
     ),
     "table_read_current": QuerySpec(
         q_table_read_current, SQL_TABLE_READ_CURRENT,

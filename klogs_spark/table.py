@@ -1407,6 +1407,165 @@ def refresh_rollup(
     )
 
 
+ROLLUP_STATE_PREFIX = "state_v"
+
+
+def _rollup_state_versions(fs, hpath_cls, rollup_path: str) -> list[int]:
+    root = hpath_cls(rollup_path)
+    if not fs.exists(root):
+        return []
+    out = []
+    for st in fs.listStatus(root):
+        n = st.getPath().getName()
+        if st.isDirectory() and n.startswith(ROLLUP_STATE_PREFIX):
+            try:
+                out.append(int(n[len(ROLLUP_STATE_PREFIX):]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def read_rollup(spark: SparkSession, rollup_path: str) -> DataFrame:
+    """The latest committed incremental-rollup state (see
+    :func:`incremental_rollup`)."""
+    fs, hpath_cls, _ = _hadoop_fs(spark, rollup_path)
+    states = _rollup_state_versions(fs, hpath_cls, rollup_path)
+    if not states:
+        raise FileNotFoundError(
+            f"no rollup state committed under {rollup_path}"
+        )
+    return spark.read.parquet(
+        f"{rollup_path}/{ROLLUP_STATE_PREFIX}{states[-1]}"
+    )
+
+
+def incremental_rollup(
+    spark: SparkSession,
+    path: str,
+    rollup_path: str,
+    keep_states: int = 2,
+) -> dict:
+    """Incremental materialized-view maintenance from the manifest
+    layer's change feed — the consumer side of Delta's streaming CDF:
+    advance the per-(day, namespace) rollup from its last committed
+    table version to the head by applying ONLY the net row churn
+    (:func:`klogs_spark.manifest.snapshot_changes`, file-pruned to
+    churned files), never re-aggregating the corpus. At 100 TB a
+    nightly delete touching three days costs three days of diff, while
+    :func:`refresh_rollup`'s recompute bill grows with the table.
+
+    Summable aggregates only (row count, error count): inserts add,
+    deletes subtract, and a merge-on-read UPDATE nets to zero inside an
+    unchanged group — ``refresh_rollup`` remains the tool when
+    non-distributive aggregates (distinct counts) are needed.
+
+    Exactly-once state advance without a separate cursor file: each
+    state commits as ``state_v{N}`` where N is the TABLE version it
+    reflects, written to a temp dir and RENAMED into place — a crash
+    mid-write leaves an invisible temp dir and the next call replays
+    the same diff from the previous state (idempotent, since the diff
+    is keyed by version range, not wall-clock). Older states beyond
+    ``keep_states`` are pruned. When the diff's base version is no
+    longer readable (vacuumed files — the pin-until-rewrite limit) the
+    maintenance FAILS OPEN to a full recompute at the head and says so
+    in the returned mode."""
+    import uuid as _uuid
+
+    from .manifest import (
+        ManifestChainError,
+        read_snapshot,
+        snapshot_changes,
+        snapshot_versions,
+    )
+    from .transform import field_string
+
+    versions = snapshot_versions(spark, path)
+    if not versions:
+        raise FileNotFoundError(
+            f"incremental_rollup({path}): no snapshots published — the "
+            "change feed is manifest-defined"
+        )
+    head = versions[-1]
+    fs, hpath_cls, _ = _hadoop_fs(spark, rollup_path)
+    states = _rollup_state_versions(fs, hpath_cls, rollup_path)
+    cur = states[-1] if states else None
+    if cur == head:
+        return {"from_version": cur, "to_version": head, "mode": "noop"}
+
+    def _full_state() -> DataFrame:
+        return read_snapshot(spark, path, head).groupBy(
+            PARTITION_COLUMN, "namespace"
+        ).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum((field_string("level") == "error").cast("long"))
+            .alias("n_errors"),
+        )
+
+    mode = "incremental"
+    if cur is None or cur > head or cur not in versions:
+        # first materialization, or the state points at a version the
+        # table no longer publishes — recompute from scratch
+        new_state, mode = _full_state(), "full"
+    else:
+        try:
+            feed = snapshot_changes(spark, path, cur, head)
+            sign = F.when(
+                F.col("_change_type") == "insert", F.lit(1)
+            ).otherwise(F.lit(-1)).cast("long")
+            # snapshot_changes emits maps entry-encoded (set-op contract)
+            is_err = (
+                F.element_at(
+                    F.map_from_entries("fields_string"), "level"
+                ) == "error"
+            ).cast("long")
+            deltas = feed.select(
+                F.col(PARTITION_COLUMN),
+                F.col("namespace"),
+                sign.alias("s"),
+                (sign * F.coalesce(is_err, F.lit(0))).alias("e"),
+            ).groupBy(PARTITION_COLUMN, "namespace").agg(
+                F.sum("s").alias("d_rows"), F.sum("e").alias("d_errors")
+            )
+            old = spark.read.parquet(
+                f"{rollup_path}/{ROLLUP_STATE_PREFIX}{cur}"
+            )
+            z = F.lit(0).cast("long")
+            new_state = (
+                old.join(
+                    deltas, [PARTITION_COLUMN, "namespace"], "full_outer"
+                )
+                .select(
+                    PARTITION_COLUMN,
+                    "namespace",
+                    (F.coalesce("n_rows", z) + F.coalesce("d_rows", z))
+                    .alias("n_rows"),
+                    (F.coalesce("n_errors", z)
+                     + F.coalesce("d_errors", z)).alias("n_errors"),
+                )
+                .filter(F.col("n_rows") > 0)
+            )
+        except (FileNotFoundError, ManifestChainError):
+            # base version vacuumed away under the state — fail open
+            new_state, mode = _full_state(), "full"
+    tmp = f"{rollup_path}/.tmp-{ROLLUP_STATE_PREFIX}{head}-{_uuid.uuid4().hex}"
+    new_state.write.parquet(tmp)
+    final = hpath_cls(f"{rollup_path}/{ROLLUP_STATE_PREFIX}{head}")
+    if fs.exists(final):  # lost a concurrent race to the same head
+        fs.delete(hpath_cls(tmp), True)
+    elif not fs.rename(hpath_cls(tmp), final):
+        fs.delete(hpath_cls(tmp), True)
+        raise OSError(
+            f"incremental_rollup: rename to {final} failed"
+        )
+    for old_v in _rollup_state_versions(fs, hpath_cls, rollup_path)[
+        :-keep_states
+    ]:
+        fs.delete(
+            hpath_cls(f"{rollup_path}/{ROLLUP_STATE_PREFIX}{old_v}"), True
+        )
+    return {"from_version": cur, "to_version": head, "mode": mode}
+
+
 def rollup_logs_sink(path: str, rollup_path: str):
     """foreachBatch sink: append the batch to the logs table AND refresh the
     materialized per-day rollup for exactly the days the batch touched —

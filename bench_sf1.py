@@ -447,25 +447,29 @@ def main() -> None:
             best = float("inf")
             for _ in range(max(trials, 1)):
                 d = tempfile.mkdtemp(prefix="bsf1-dvm-")
-                write_logs(
-                    derive_logs_from_events(spark, src), d,
-                    mode="overwrite",
-                )
-                publish_snapshot(spark, d)
-                for day in ("2024-01-01", "2024-01-02", "2024-01-03"):
-                    mor_delete_where(
-                        spark, d,
-                        F.expr(
-                            "minute(timestamp) = 7 AND date = "
-                            f"'{day}'"
-                        ),
+                try:
+                    write_logs(
+                        derive_logs_from_events(spark, src), d,
+                        mode="overwrite",
                     )
-                t0 = time.perf_counter()
-                resc = dv_compact(spark, d, min_deleted_ratio=0.1)
-                dv_coalesce(spark, d)
-                best = min(best, time.perf_counter() - t0)
-                assert resc["partitions_rewritten"] == [], resc
-                shutil.rmtree(d, ignore_errors=True)
+                    publish_snapshot(spark, d)
+                    for day in (
+                        "2024-01-01", "2024-01-02", "2024-01-03"
+                    ):
+                        mor_delete_where(
+                            spark, d,
+                            F.expr(
+                                "minute(timestamp) = 7 AND date = "
+                                f"'{day}'"
+                            ),
+                        )
+                    t0 = time.perf_counter()
+                    resc = dv_compact(spark, d, min_deleted_ratio=0.1)
+                    dv_coalesce(spark, d)
+                    best = min(best, time.perf_counter() - t0)
+                    assert resc["partitions_rewritten"] == [], resc
+                finally:
+                    shutil.rmtree(d, ignore_errors=True)
             return best
 
         b01 = _timed_dv_maintain(SF01)

@@ -1462,13 +1462,21 @@ def incremental_rollup(
     Exactly-once state advance without a separate cursor file: each
     state commits as ``state_v{N}`` where N is the TABLE version it
     reflects, written to a temp dir and RENAMED into place — a crash
-    mid-write leaves an invisible temp dir and the next call replays
-    the same diff from the previous state (idempotent, since the diff
-    is keyed by version range, not wall-clock). Older states beyond
-    ``keep_states`` are pruned. When the diff's base version is no
-    longer readable (vacuumed files — the pin-until-rewrite limit) the
-    maintenance FAILS OPEN to a full recompute at the head and says so
-    in the returned mode."""
+    mid-write leaves an invisible temp dir (swept by the next
+    successful advance) and the next call replays the same diff from
+    the previous state (idempotent, since the diff is keyed by version
+    range, not wall-clock). Older states beyond ``keep_states`` are
+    pruned after a successful commit. When the diff's base is no longer
+    readable (vacuumed files — the pin-until-rewrite limit; surfaces as
+    FileNotFoundError at the probe or AnalysisException/Py4J errors at
+    plan/execution time) the maintenance FAILS OPEN to a full recompute
+    at the head and says so in the returned mode.
+
+    Single-maintenance-writer assumption (same contract as the manifest
+    layer's sidecar maintenance): concurrent advances against the SAME
+    head race benignly (loser discards its temp dir), but the
+    post-commit prune may remove a state a concurrent slower advance is
+    still reading — schedule one rollup maintainer per rollup path."""
     import uuid as _uuid
 
     from .manifest import (
@@ -1479,6 +1487,11 @@ def incremental_rollup(
     )
     from .transform import field_string
 
+    if keep_states < 1:
+        raise ValueError(
+            f"incremental_rollup: keep_states must be >= 1 (the current "
+            f"state is a kept state), got {keep_states}"
+        )
     versions = snapshot_versions(spark, path)
     if not versions:
         raise FileNotFoundError(
@@ -1501,7 +1514,10 @@ def incremental_rollup(
             .alias("n_errors"),
         )
 
+    from pyspark.errors import AnalysisException
+
     mode = "incremental"
+    new_state = None
     if cur is None or cur > head or cur not in versions:
         # first materialization, or the state points at a version the
         # table no longer publishes — recompute from scratch
@@ -1544,25 +1560,54 @@ def incremental_rollup(
                 )
                 .filter(F.col("n_rows") > 0)
             )
-        except (FileNotFoundError, ManifestChainError):
-            # base version vacuumed away under the state — fail open
+        except (FileNotFoundError, ManifestChainError, AnalysisException):
+            # base version vacuumed away under the state (plan-time
+            # detection) — fail open
             new_state, mode = _full_state(), "full"
-    tmp = f"{rollup_path}/.tmp-{ROLLUP_STATE_PREFIX}{head}-{_uuid.uuid4().hex}"
-    new_state.write.parquet(tmp)
+
+    def _write_state(df) -> str:
+        t = (
+            f"{rollup_path}/.tmp-{ROLLUP_STATE_PREFIX}{head}"
+            f"-{_uuid.uuid4().hex}"
+        )
+        try:
+            df.write.parquet(t)
+        except BaseException:
+            if fs.exists(hpath_cls(t)):
+                fs.delete(hpath_cls(t), True)
+            raise
+        return t
+
+    try:
+        tmp = _write_state(new_state)
+    except Exception:
+        if mode == "full":
+            raise  # the scratch recompute itself failed — nothing to try
+        # execution-time missing files under the incremental plan (a
+        # vacuumed base detected only at scan) — fail open, once
+        new_state, mode = _full_state(), "full"
+        tmp = _write_state(new_state)
     final = hpath_cls(f"{rollup_path}/{ROLLUP_STATE_PREFIX}{head}")
     if fs.exists(final):  # lost a concurrent race to the same head
         fs.delete(hpath_cls(tmp), True)
-    elif not fs.rename(hpath_cls(tmp), final):
+        return {"from_version": cur, "to_version": head, "mode": mode}
+    if not fs.rename(hpath_cls(tmp), final):
         fs.delete(hpath_cls(tmp), True)
         raise OSError(
             f"incremental_rollup: rename to {final} failed"
         )
+    # housekeeping only after OUR successful commit (single-writer
+    # contract): prune superseded states and sweep crash-orphaned temps
     for old_v in _rollup_state_versions(fs, hpath_cls, rollup_path)[
         :-keep_states
     ]:
         fs.delete(
             hpath_cls(f"{rollup_path}/{ROLLUP_STATE_PREFIX}{old_v}"), True
         )
+    for st in fs.listStatus(hpath_cls(rollup_path)):
+        n = st.getPath().getName()
+        if n.startswith(f".tmp-{ROLLUP_STATE_PREFIX}") and n not in tmp:
+            fs.delete(st.getPath(), True)
     return {"from_version": cur, "to_version": head, "mode": mode}
 
 

@@ -4386,10 +4386,19 @@ def test_incremental_rollup_lifecycle(spark, logs_df, tmp_path):
     cow_delete_where(spark, path, F.col("pod_name") == "pod-0")
     vacuum(spark, path, keep_versions=1)
     r3 = incremental_rollup(spark, path, rdir)
-    assert r3["mode"] in ("incremental", "full")
+    # keep_versions=1 dropped the state's base version from the
+    # manifest history, so the advance MUST take the full-recompute
+    # fail-open path — pin the mode contract itself
+    assert r3["mode"] == "full", r3
     assert sorted(
         map(tuple, read_rollup(spark, rdir)
             .select("date", "namespace", "n_rows").collect())
     ) == sorted(
         map(tuple, scratch().select("date", "namespace", "n_rows").collect())
     )
+    # a successful advance swept the crash-orphaned temp dir
+    assert not any(
+        n.startswith(".tmp-") for n in os.listdir(rdir)
+    ), os.listdir(rdir)
+    with pytest.raises(ValueError, match="keep_states"):
+        incremental_rollup(spark, path, rdir, keep_states=0)

@@ -4126,6 +4126,75 @@ GROUP BY 2
 # + positions writes only).
 
 
+def q_stream_cdc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming-CDF consumer loop end-to-end
+    (streaming_ext.cdc_rollup_sink): a REAL 2-micro-batch stream of log
+    rows appends-and-publishes per batch and advances the incremental
+    rollup from the manifest diff — with a GDPR merge-on-read delete of
+    every minute-7 row LANDING BETWEEN THE BATCHES, so the second
+    advance's version range spans a delete it never saw as a batch. The
+    rollup follows the TABLE's published state, not the stream: the
+    oracle recomputes the final per-(day, namespace) census from events
+    arithmetic with the deletion applied only to days published before
+    it (days 1-5); a rollup that applied batch arithmetic instead of
+    the change feed would keep the deleted rows and break every day-1-5
+    row."""
+    import tempfile
+
+    from ..manifest import mor_delete_where
+    from ..streaming_ext import cdc_rollup_sink
+    from ..table import read_rollup
+    from ..views import derive_logs_from_events
+
+    week = derive_logs_from_events(spark, sf_dir).filter(
+        F.col("timestamp") < TT_CUT_V1
+    )
+    base = tempfile.mkdtemp(prefix="klogs-scdcroll-")
+    src, ckpt = f"{base}/src", f"{base}/ckpt"
+    tdir, rdir = f"{base}/logs", f"{base}/rollup"
+    sink = cdc_rollup_sink(tdir, rdir)
+    batches = [
+        week.filter(F.col("timestamp") < "2024-01-06"),
+        week.filter(F.col("timestamp") >= "2024-01-06"),
+    ]
+    for i, b in enumerate(batches):
+        b.write.mode("append").parquet(src)
+        q = (
+            spark.readStream.schema(week.schema)
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        if i == 0:  # the out-of-band delete between the two batches
+            mor_delete_where(spark, tdir, F.minute("timestamp") == 7)
+    return read_rollup(spark, rdir).select(
+        F.col("date").cast("string").alias("day"),
+        "namespace",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("n_errors").cast("bigint").alias("n_errors"),
+    )
+
+
+SQL_STREAM_CDC_ROLLUP = f"""
+WITH wk AS (
+  SELECT CAST(ts AS DATE) AS day, date_part('minute', ts) AS mi,
+         'ns-' || CAST(user_id % 5 AS VARCHAR) AS namespace, event_type
+  FROM events WHERE ts < TIMESTAMP '{TT_CUT_V1} 00:00:00'
+),
+served AS (
+  SELECT * FROM wk WHERE NOT (mi = 7 AND day < DATE '2024-01-06')
+)
+SELECT CAST(day AS VARCHAR) AS day, namespace,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_errors
+FROM served GROUP BY 1, 2
+"""
+
+
 def q_table_cdc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized-view maintenance from the CDC feed
     (table.incremental_rollup — the consumer side of Delta's streaming
@@ -4434,6 +4503,12 @@ SPECS = {
         "delete requests apply as merge-on-read vector deletes (zero "
         "file churn, idempotent replay, pinned v1 intact); per-day "
         "census vs events arithmetic",
+    ),
+    "stream_cdc_rollup": QuerySpec(
+        q_stream_cdc_rollup, SQL_STREAM_CDC_ROLLUP,
+        "streaming-CDF consumer: real 2-batch stream appends+publishes, "
+        "rollup advances from the manifest diff, an out-of-band MOR "
+        "delete between batches lands in the feed; census vs events",
     ),
     "table_cdc_rollup": QuerySpec(
         q_table_cdc_rollup, SQL_TABLE_CDC_ROLLUP,

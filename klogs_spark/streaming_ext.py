@@ -314,6 +314,35 @@ def media_frame_stats_sink(stats_dir: str):
     return _sink
 
 
+def cdc_rollup_sink(path: str, rollup_path: str):
+    """foreachBatch sink: append the micro-batch to the MANIFEST-governed
+    logs table (publish per batch) and advance the incremental rollup
+    (:func:`klogs_spark.table.incremental_rollup`) from the change feed
+    — the streaming-CDF consumer loop. Against
+    :func:`klogs_spark.table.rollup_logs_sink` (which recomputes every
+    TOUCHED DAY from the table), the per-batch maintenance bill here is
+    O(the batch's net churn) regardless of how much history the touched
+    days hold — the difference between re-aggregating a hot day's 1 TB
+    and diffing a 10 MB batch at 100 TB.
+
+    At-least-once composition: a REPLAYED batch re-appends rows
+    (at-least-once append, the same contract as rollup_logs_sink) and
+    the rollup follows the table's published state either way — the
+    rollup never drifts from the table because its input is the
+    manifest diff, not the batch."""
+    from .manifest import publish_snapshot
+    from .table import incremental_rollup, write_logs
+
+    def sink_fn(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        write_logs(batch, path, mode="append")
+        publish_snapshot(spark=batch.sparkSession, path=path)
+        incremental_rollup(batch.sparkSession, path, rollup_path)
+
+    return sink_fn
+
+
 def gdpr_delete_sink(path: str, key_col: str = "pod_name"):
     """Streaming right-to-be-forgotten propagation — deletion REQUESTS
     arrive as a stream and each micro-batch applies them to the table as

@@ -212,6 +212,15 @@ def main(argv: list[str] | None = None) -> int:
                      help="coalesce (not fold) the vector chain past "
                           "this many generations")
 
+    prl = sub.add_parser("rollup-advance",
+                         help="advance the incremental per-(day, "
+                              "namespace) rollup from the table's "
+                              "change feed (net churn only; falls open "
+                              "to a full recompute past vacuum)")
+    prl.add_argument("table")
+    prl.add_argument("rollup")
+    prl.add_argument("--keep-states", type=int, default=2)
+
     pvc = sub.add_parser("vacuum",
                          help="reclaim files unreferenced by the newest "
                               "K manifests")
@@ -510,6 +519,18 @@ def main(argv: list[str] | None = None) -> int:
             f"v{res['version']}: updated {res['rows_updated']} row(s) "
             "merge-on-read (old rows vector-deleted, new copies "
             "appended; dv_compact folds the vector when it grows)"
+        )
+        return 0
+
+    if args.cmd == "rollup-advance":
+        from .table import incremental_rollup
+
+        res = incremental_rollup(
+            spark, args.table, args.rollup, keep_states=args.keep_states
+        )
+        print(
+            f"rollup at v{res['to_version']} "
+            f"(from v{res['from_version']}, mode {res['mode']})"
         )
         return 0
 

@@ -3875,6 +3875,108 @@ SELECT (SELECT count(*) FROM kmin) AS k_used,
 PACK_BUDGET = 2000  # tokens per training shard
 
 
+IMG_TOKENS = 64  # vision tokens per image tile (ViT patch-grid constant)
+
+
+def q_multimodal_interleaved_pack(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MMC4/OBELICS-style interleaved image-text sequence assembly +
+    packing — the multimodal-pretraining input stage: each document
+    becomes an interleaved sequence of text segments and image slots
+    (doc_id%3 images, text split into n_images+1 contiguous segments
+    around them), each image costing IMG_TOKENS vision tokens; the
+    sequences then pack into training shards by cumulative cost
+    (ext.sampling.pack_by_token_budget — the unpartitioned exact form;
+    the source-partitioned form is the 100 TB path, pinned by
+    sample_token_budget_pack_partitioned). The per-shard census carries
+    ``sum_max_seg`` (each sequence's LARGEST text segment) specifically
+    because it is split-arithmetic-dependent: total cost alone is
+    invariant to wrong segmentation, but an off-by-one segment boundary
+    changes the max and breaks the hash. Row-local native array
+    expressions + one ordered window — zero Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    k = (did % 3).cast("int")  # images per document
+    t = F.filter(F.split(F.col("text"), " "), lambda x: F.length(x) > 0)
+    d = docs.select(
+        "doc_id", k.alias("k"), t.alias("t")
+    ).withColumn(
+        "a", F.expr("(size(t) + k) div (k + 1)")
+    ).withColumn(
+        # segment word counts: i<k segments take `a` words (clamped),
+        # the last takes the remainder
+        "seg_sizes",
+        F.expr(
+            "transform(sequence(0, k), i -> CASE WHEN i < k THEN "
+            "least(a, greatest(size(t) - i*a, 0)) "
+            "ELSE greatest(size(t) - k*a, 0) END)"
+        ),
+    )
+    d = d.select(
+        "doc_id",
+        F.expr("size(t)").alias("text_tokens"),
+        (F.col("k") * IMG_TOKENS).alias("image_tokens"),
+        (F.expr("size(t)") + F.col("k") * IMG_TOKENS).alias("seq_cost"),
+        (F.col("k") * 2 + 1).alias("n_elements"),
+        F.expr("array_max(seg_sizes)").alias("max_seg"),
+    )
+    from ..ext.sampling import pack_by_token_budget
+
+    packed = pack_by_token_budget(
+        d, "seq_cost", budget=PACK_BUDGET, order_by="doc_id"
+    )
+    return packed.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_seqs"),
+        F.sum("text_tokens").cast("bigint").alias("text_tokens"),
+        F.sum("image_tokens").cast("bigint").alias("image_tokens"),
+        F.sum("seq_cost").cast("bigint").alias("shard_cost"),
+        F.sum("n_elements").cast("bigint").alias("n_elements"),
+        F.sum("max_seg").cast("bigint").alias("sum_max_seg"),
+    )
+
+
+SQL_MULTIMODAL_INTERLEAVED_PACK = f"""
+WITH d AS (
+  SELECT doc_id, doc_id % 3 AS k,
+         list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+seq AS (
+  SELECT doc_id, k, len(t) AS text_tokens,
+         k * {IMG_TOKENS} AS image_tokens,
+         len(t) + k * {IMG_TOKENS} AS seq_cost,
+         k * 2 + 1 AS n_elements,
+         (len(t) + k) // (k + 1) AS a
+  FROM d
+),
+segs AS (
+  SELECT doc_id, text_tokens, image_tokens, seq_cost, n_elements,
+         list_aggregate(
+           list_transform(generate_series(0, CAST(k AS BIGINT)),
+             i -> CASE WHEN i < k
+                       THEN least(a, greatest(text_tokens - i*a, 0))
+                       ELSE greatest(text_tokens - k*a, 0) END),
+           'max') AS max_seg
+  FROM seq
+),
+r AS (
+  SELECT *, COALESCE(SUM(seq_cost) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS before
+  FROM segs
+)
+SELECT CAST(before // {PACK_BUDGET} AS BIGINT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_seqs,
+       CAST(sum(text_tokens) AS BIGINT) AS text_tokens,
+       CAST(sum(image_tokens) AS BIGINT) AS image_tokens,
+       CAST(sum(seq_cost) AS BIGINT) AS shard_cost,
+       CAST(sum(n_elements) AS BIGINT) AS n_elements,
+       CAST(sum(max_seg) AS BIGINT) AS sum_max_seg
+FROM r GROUP BY 1
+"""
+
+
 def q_token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget sharding: running token count in doc_id order, shard =
     floor-div by budget, then per-shard totals (the packing manifest)."""
@@ -8427,6 +8529,11 @@ SPECS = {
                                           "survivor per cluster"),
     "sample_balance_sources": QuerySpec(q_balance_sources, SQL_BALANCE_SOURCES,
                                         "per-source top-N corpus balancing"),
+    "multimodal_interleaved_pack": QuerySpec(
+        q_multimodal_interleaved_pack, SQL_MULTIMODAL_INTERLEAVED_PACK,
+        "MMC4-style interleaved image-text sequence assembly + "
+        "token-budget shard packing; split-arithmetic pinned via "
+        "per-sequence max segment"),
     "multimodal_pair_alignment": QuerySpec(
         q_multimodal_pair_alignment, SQL_MULTIMODAL_PAIR_ALIGNMENT,
         "LAION-style image-text pair curation: Arrow image tower + "

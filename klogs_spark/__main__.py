@@ -528,9 +528,12 @@ def main(argv: list[str] | None = None) -> int:
         res = incremental_rollup(
             spark, args.table, args.rollup, keep_states=args.keep_states
         )
+        src = (
+            "from scratch" if res["from_version"] is None
+            else f"from v{res['from_version']}"
+        )
         print(
-            f"rollup at v{res['to_version']} "
-            f"(from v{res['from_version']}, mode {res['mode']})"
+            f"rollup at v{res['to_version']} ({src}, mode {res['mode']})"
         )
         return 0
 

@@ -3898,9 +3898,8 @@ def q_multimodal_interleaved_pack(
     docs = load_table(spark, sf_dir, "documents")
     did = F.col("doc_id")
     k = (did % 3).cast("int")  # images per document
-    t = F.filter(F.split(F.col("text"), " "), lambda x: F.length(x) > 0)
     d = docs.select(
-        "doc_id", k.alias("k"), t.alias("t")
+        "doc_id", k.alias("k"), dd.tokens_col(F.col("text")).alias("t")
     ).withColumn(
         "a", F.expr("(size(t) + k) div (k + 1)")
     ).withColumn(

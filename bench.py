@@ -116,6 +116,12 @@ HEADLINE = [
     "ingest_warc_roundtrip",
     "text_html_extract",
     "text_url_normalize",
+    # round-18: the two new whole-corpus multimodal-curation passes —
+    # image-text pair alignment (one Arrow image tower + native caption
+    # tower + broadcast join + SimHash pair dedup) and interleaved
+    # sequence assembly + shard packing (native arrays + one window).
+    "multimodal_pair_alignment",
+    "multimodal_interleaved_pack",
 ]
 
 

@@ -211,6 +211,9 @@ def main(argv: list[str] | None = None) -> int:
     pmt.add_argument("--dv-fold-max-chain", type=int, default=8,
                      help="coalesce (not fold) the vector chain past "
                           "this many generations")
+    pmt.add_argument("--rollup", default=None,
+                     help="also advance this incremental rollup from "
+                          "the change feed (manifest tables only)")
 
     prl = sub.add_parser("rollup-advance",
                          help="advance the incremental per-(day, "
@@ -548,7 +551,8 @@ def main(argv: list[str] | None = None) -> int:
                        retention_days=args.retention_days,
                        dry_run=args.dry_run,
                        dv_fold_min_ratio=args.dv_fold_min_ratio,
-                       dv_fold_max_chain=args.dv_fold_max_chain)
+                       dv_fold_max_chain=args.dv_fold_max_chain,
+                       rollup_path=args.rollup)
         print(_json.dumps(rep, indent=1, default=str))
         return 0
 

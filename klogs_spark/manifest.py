@@ -2965,6 +2965,7 @@ def maintain(
     dry_run: bool = False,
     dv_fold_min_ratio: float = 0.1,
     dv_fold_max_chain: int = 8,
+    rollup_path: str | None = None,
 ) -> dict:
     """One-call housekeeping — the engine's OPTIMIZE/maintenance verb:
     heal any crashed rewrite, compact fragmented day partitions, apply
@@ -3005,6 +3006,17 @@ def maintain(
         if retention_days is not None:
             report["retention_dropped"] = apply_retention(
                 path, retention_days=retention_days, spark=spark
+            )
+        if rollup_path is not None:
+            # no manifest, no change feed, and the incremental state
+            # layout (state_v{N}) is version-keyed — refuse rather than
+            # silently writing an incompatible layout; plain directories
+            # use table.refresh_rollup directly
+            raise ValueError(
+                f"maintain({path}): rollup_path needs a manifest-"
+                "governed table (the rollup advances from the change "
+                "feed); publish a snapshot first, or use "
+                "table.refresh_rollup for plain directories"
             )
         return report
 
@@ -3123,4 +3135,13 @@ def maintain(
             "partitions_rewritten": rres["partitions_rewritten"],
         }
     report["vacuum"] = vacuum(spark, path, keep_versions)
+    if rollup_path is not None:
+        # advance the incremental rollup LAST, after every verb above
+        # has published its versions — one maintain call leaves both the
+        # table and its materialized view current. Runs after vacuum on
+        # purpose: a vacuumed diff base makes incremental_rollup fail
+        # open to a full recompute, which is exactly right here.
+        from .table import incremental_rollup
+
+        report["rollup"] = incremental_rollup(spark, path, rollup_path)
     return report

@@ -4402,3 +4402,31 @@ def test_incremental_rollup_lifecycle(spark, logs_df, tmp_path):
     ), os.listdir(rdir)
     with pytest.raises(ValueError, match="keep_states"):
         incremental_rollup(spark, path, rdir, keep_states=0)
+
+
+def test_maintain_advances_rollup_when_asked(spark, logs_df, tmp_path):
+    """maintain(rollup_path=...) leaves both the table and its
+    incremental rollup current in one call; plain directories refuse
+    (no change feed) instead of writing an incompatible layout."""
+    from klogs_spark.manifest import (
+        maintain,
+        mor_delete_where,
+        publish_snapshot,
+    )
+    from klogs_spark.table import read_rollup
+
+    path, rdir = str(tmp_path / "logs"), str(tmp_path / "roll")
+    write_logs(logs_df, path)
+    with pytest.raises(ValueError, match="rollup_path"):
+        maintain(spark, path, rollup_path=rdir)  # plain dir: refuse
+    publish_snapshot(spark, path)
+    rep = maintain(spark, path, rollup_path=rdir)
+    assert rep["rollup"]["mode"] == "full"
+    n = read_rollup(spark, rdir).agg(F.sum("n_rows")).first()[0]
+    assert n == logs_df.count()
+    # a delete then another maintain advances the same rollup
+    res = mor_delete_where(spark, path, "pod_name = 'pod-1'")
+    rep2 = maintain(spark, path, rollup_path=rdir)
+    assert rep2["rollup"]["mode"] in ("incremental", "full")
+    n2 = read_rollup(spark, rdir).agg(F.sum("n_rows")).first()[0]
+    assert n2 == logs_df.count() - res["rows_deleted"]

@@ -1226,32 +1226,18 @@ PAIR_ALIGN_TAU = 0.85  # alignment keep threshold, shared with the oracle
 _PAIR_DIM = 4
 
 
-def q_multimodal_pair_alignment(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """LAION-style image-text pair curation (Schuhmann et al. 2021): the
-    pretraining stage that scores each (image, caption) pair by
-    embedding cosine, keeps pairs above the alignment threshold, then
-    removes near-duplicate pairs (here: caption SimHash signature,
-    survivor = lowest pair id — ext.dedup.simhash reused verbatim).
-
-    Engine shape: the IMAGE tower is the Arrow-batched fake encoder over
-    opaque payload bytes (ext.multimodal.extract_feature_vectors — ONE
-    mapInPandas crossing, where a real CLIP image tower slots in with
-    the same signature); the CAPTION tower is the SAME fake construction
-    computed NATIVELY (sha2 + conv, zero Python), so the text side never
-    leaves the JVM; the pair join broadcasts the caption side and the
-    alignment cosine is a row-local zip_with fold (dedup.cosine_col,
-    left-to-right — deterministic across engines). Plan-asserted: one
-    MapInPandas, BroadcastHashJoin, no cartesian, no BatchEvalPython.
-
-    Payloads are synthesized ('img:<id>:<text>' bytes) so the oracle can
-    restate the encoder closed-form — the SQL-reproducibility contract
-    of multimodal_features."""
-    from ..ext import dedup as _dd
+def _pair_alignment_kept(docs: DataFrame) -> DataFrame:
+    """(pair_id, text, alignment) of the pairs surviving the cosine
+    threshold — the shared front half of the pair-curation carriers:
+    Arrow-batched fake image tower over synthesized payload bytes
+    (where a real CLIP tower slots in), NATIVE sha2-based caption tower
+    (zero Python on the text side), broadcast pair join, row-local
+    cosine (dedup.cosine_col, left-to-right — engine-deterministic).
+    Cached: the kept set feeds both a signature branch and a final join
+    in every consumer, and the cache keeps the image tower at one run."""
     from ..ext import multimodal as mm
+    from ..ext.caching import cache_tracked
 
-    docs = load_table(spark, sf_dir, "documents")
     media = docs.select(
         F.col("doc_id").alias("media_id"),
         F.encode(
@@ -1287,15 +1273,39 @@ def q_multimodal_pair_alignment(
     )
     scored = img.join(F.broadcast(caps), "pair_id").select(
         "pair_id", "text",
-        _dd.cosine_col(F.col("iv"), F.col("cv")).alias("alignment"),
+        dd.cosine_col(F.col("iv"), F.col("cv")).alias("alignment"),
     )
-    from ..ext.caching import cache_tracked
-
-    # kept feeds BOTH the signature branch and the final join — cache it
-    # so the Arrow image tower runs once, not once per branch
-    kept = cache_tracked(
+    return cache_tracked(
         scored.filter(F.col("alignment") >= PAIR_ALIGN_TAU)
     )
+
+
+def q_multimodal_pair_alignment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LAION-style image-text pair curation (Schuhmann et al. 2021): the
+    pretraining stage that scores each (image, caption) pair by
+    embedding cosine, keeps pairs above the alignment threshold, then
+    removes near-duplicate pairs (here: caption SimHash signature,
+    survivor = lowest pair id — ext.dedup.simhash reused verbatim).
+
+    Engine shape: the IMAGE tower is the Arrow-batched fake encoder over
+    opaque payload bytes (ext.multimodal.extract_feature_vectors — ONE
+    mapInPandas crossing, where a real CLIP image tower slots in with
+    the same signature); the CAPTION tower is the SAME fake construction
+    computed NATIVELY (sha2 + conv, zero Python), so the text side never
+    leaves the JVM; the pair join broadcasts the caption side and the
+    alignment cosine is a row-local zip_with fold (dedup.cosine_col,
+    left-to-right — deterministic across engines). Plan-asserted: one
+    MapInPandas, BroadcastHashJoin, no cartesian, no BatchEvalPython.
+
+    Payloads are synthesized ('img:<id>:<text>' bytes) so the oracle can
+    restate the encoder closed-form — the SQL-reproducibility contract
+    of multimodal_features."""
+    from ..ext import dedup as _dd
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = _pair_alignment_kept(docs)
     sims = _dd.simhash(
         kept.select("pair_id", "text"), text="text", id_col="pair_id"
     )
@@ -3878,6 +3888,51 @@ PACK_BUDGET = 2000  # tokens per training shard
 IMG_TOKENS = 64  # vision tokens per image tile (ViT patch-grid constant)
 
 
+def _interleaved_seq_stats(docs: DataFrame) -> DataFrame:
+    """Per-document interleaved-sequence stats (doc_id, text_tokens,
+    image_tokens, seq_cost, n_elements, max_seg): text splits into
+    n_images+1 contiguous segments around doc_id%3 image slots at
+    IMG_TOKENS vision tokens each. Native array expressions, row-local.
+    The shared assembly stage of the interleaved-pack carriers — the
+    per-sequence MAX segment is emitted because total cost is invariant
+    to wrong segmentation while the max is not."""
+    did = F.col("doc_id")
+    k = (did % 3).cast("int")  # images per document
+    d = docs.select(
+        "doc_id", k.alias("k"), dd.tokens_col(F.col("text")).alias("t")
+    ).withColumn(
+        "a", F.expr("(size(t) + k) div (k + 1)")
+    ).withColumn(
+        # segment word counts: i<k segments take `a` words (clamped),
+        # the last takes the remainder
+        "seg_sizes",
+        F.expr(
+            "transform(sequence(0, k), i -> CASE WHEN i < k THEN "
+            "least(a, greatest(size(t) - i*a, 0)) "
+            "ELSE greatest(size(t) - k*a, 0) END)"
+        ),
+    )
+    return d.select(
+        "doc_id",
+        F.expr("size(t)").alias("text_tokens"),
+        (F.col("k") * IMG_TOKENS).alias("image_tokens"),
+        (F.expr("size(t)") + F.col("k") * IMG_TOKENS).alias("seq_cost"),
+        (F.col("k") * 2 + 1).alias("n_elements"),
+        F.expr("array_max(seg_sizes)").alias("max_seg"),
+    )
+
+
+def _shard_census(packed: DataFrame) -> DataFrame:
+    return packed.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_seqs"),
+        F.sum("text_tokens").cast("bigint").alias("text_tokens"),
+        F.sum("image_tokens").cast("bigint").alias("image_tokens"),
+        F.sum("seq_cost").cast("bigint").alias("shard_cost"),
+        F.sum("n_elements").cast("bigint").alias("n_elements"),
+        F.sum("max_seg").cast("bigint").alias("sum_max_seg"),
+    )
+
+
 def q_multimodal_interleaved_pack(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -3895,51 +3950,59 @@ def q_multimodal_interleaved_pack(
     invariant to wrong segmentation, but an off-by-one segment boundary
     changes the max and breaks the hash. Row-local native array
     expressions + one ordered window — zero Python."""
-    docs = load_table(spark, sf_dir, "documents")
-    did = F.col("doc_id")
-    k = (did % 3).cast("int")  # images per document
-    d = docs.select(
-        "doc_id", k.alias("k"), dd.tokens_col(F.col("text")).alias("t")
-    ).withColumn(
-        "a", F.expr("(size(t) + k) div (k + 1)")
-    ).withColumn(
-        # segment word counts: i<k segments take `a` words (clamped),
-        # the last takes the remainder
-        "seg_sizes",
-        F.expr(
-            "transform(sequence(0, k), i -> CASE WHEN i < k THEN "
-            "least(a, greatest(size(t) - i*a, 0)) "
-            "ELSE greatest(size(t) - k*a, 0) END)"
-        ),
-    )
-    d = d.select(
-        "doc_id",
-        F.expr("size(t)").alias("text_tokens"),
-        (F.col("k") * IMG_TOKENS).alias("image_tokens"),
-        (F.expr("size(t)") + F.col("k") * IMG_TOKENS).alias("seq_cost"),
-        (F.col("k") * 2 + 1).alias("n_elements"),
-        F.expr("array_max(seg_sizes)").alias("max_seg"),
-    )
     from ..ext.sampling import pack_by_token_budget
 
+    docs = load_table(spark, sf_dir, "documents")
     packed = pack_by_token_budget(
-        d, "seq_cost", budget=PACK_BUDGET, order_by="doc_id"
+        _interleaved_seq_stats(docs), "seq_cost",
+        budget=PACK_BUDGET, order_by="doc_id",
     )
-    return packed.groupBy("shard").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_seqs"),
-        F.sum("text_tokens").cast("bigint").alias("text_tokens"),
-        F.sum("image_tokens").cast("bigint").alias("image_tokens"),
-        F.sum("seq_cost").cast("bigint").alias("shard_cost"),
-        F.sum("n_elements").cast("bigint").alias("n_elements"),
-        F.sum("max_seg").cast("bigint").alias("sum_max_seg"),
-    )
+    return _shard_census(packed)
 
 
-SQL_MULTIMODAL_INTERLEAVED_PACK = f"""
-WITH d AS (
+def q_pipeline_multimodal_prep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """End-to-end multimodal corpus preparation — the LAION-to-MMC4
+    pipeline a multimodal pretraining run feeds on, composed from the
+    stage carriers in ONE plan: (1) image-text pair alignment (Arrow
+    image tower + native caption tower + broadcast join, cosine >= tau),
+    (2) near-duplicate pair removal (caption SimHash, survivor = lowest
+    pair id), (3) interleaved sequence assembly of the survivors
+    (doc_id%3 image slots at IMG_TOKENS vision tokens, text split
+    around them), (4) token-budget shard packing. The oracle restates
+    every stage closed-form, so a drift in ANY one — threshold, dedup
+    survivor rule, split arithmetic, running-sum packing — breaks the
+    per-shard hash. Scale shape: one Arrow crossing total, keyed joins
+    only, the packing window unpartitioned here for oracle exactness
+    (the source-partitioned form is the 100 TB path)."""
+    from ..ext.sampling import pack_by_token_budget
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = _pair_alignment_kept(docs)
+    sims = dd.simhash(
+        kept.select("pair_id", "text"), text="text", id_col="pair_id"
+    )
+    surv = (
+        kept.join(sims.withColumnRenamed("id", "pair_id"), "pair_id")
+        .groupBy("simhash")
+        .agg(F.min("pair_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    packed = pack_by_token_budget(
+        _interleaved_seq_stats(docs.join(surv, "doc_id")),
+        "seq_cost", budget=PACK_BUDGET, order_by="doc_id",
+    )
+    return _shard_census(packed)
+
+
+def _interleave_ctes(doc_src: str) -> str:
+    """The shared interleaved-assembly CTE chain over ``doc_src`` — one
+    source of truth for both interleaved-pack oracles."""
+    return f"""d AS (
   SELECT doc_id, doc_id % 3 AS k,
          list_filter(string_split(text, ' '), x -> x <> '') AS t
-  FROM documents
+  FROM {doc_src}
 ),
 seq AS (
   SELECT doc_id, k, len(t) AS text_tokens,
@@ -3964,7 +4027,10 @@ r AS (
               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
             AS before
   FROM segs
-)
+)"""
+
+
+_SHARD_CENSUS_SELECT = f"""
 SELECT CAST(before // {PACK_BUDGET} AS BIGINT) AS shard,
        CAST(count(*) AS BIGINT) AS n_seqs,
        CAST(sum(text_tokens) AS BIGINT) AS text_tokens,
@@ -3973,6 +4039,30 @@ SELECT CAST(before // {PACK_BUDGET} AS BIGINT) AS shard,
        CAST(sum(n_elements) AS BIGINT) AS n_elements,
        CAST(sum(max_seg) AS BIGINT) AS sum_max_seg
 FROM r GROUP BY 1
+"""
+
+SQL_MULTIMODAL_INTERLEAVED_PACK = (
+    f"WITH {_interleave_ctes('documents')} {_SHARD_CENSUS_SELECT}"
+)
+
+SQL_PIPELINE_MULTIMODAL_PREP = f"""
+WITH {SIMHASH_CTE},
+img AS (SELECT doc_id, [{_PAIR_IMG_VEC}] AS iv FROM documents),
+cap AS (SELECT doc_id, [{_PAIR_CAP_VEC}] AS cv FROM documents),
+scored AS (
+  SELECT i.doc_id, {_cos_sql('iv', 'cv')} AS alignment
+  FROM img i JOIN cap c USING (doc_id)
+),
+kept AS (
+  SELECT doc_id FROM scored WHERE alignment >= {PAIR_ALIGN_TAU}
+),
+surv AS (
+  SELECT min(k.doc_id) AS doc_id
+  FROM kept k JOIN simh s ON s.id = k.doc_id
+  GROUP BY s.simhash
+),
+{_interleave_ctes('documents JOIN surv USING (doc_id)')}
+{_SHARD_CENSUS_SELECT}
 """
 
 
@@ -8528,6 +8618,11 @@ SPECS = {
                                           "survivor per cluster"),
     "sample_balance_sources": QuerySpec(q_balance_sources, SQL_BALANCE_SOURCES,
                                         "per-source top-N corpus balancing"),
+    "pipeline_multimodal_prep": QuerySpec(
+        q_pipeline_multimodal_prep, SQL_PIPELINE_MULTIMODAL_PREP,
+        "end-to-end multimodal corpus prep: pair alignment -> SimHash "
+        "pair dedup -> interleaved assembly -> token-budget packing, "
+        "one plan, every stage restated by the oracle"),
     "multimodal_interleaved_pack": QuerySpec(
         q_multimodal_interleaved_pack, SQL_MULTIMODAL_INTERLEAVED_PACK,
         "MMC4-style interleaved image-text sequence assembly + "

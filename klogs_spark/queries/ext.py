@@ -1280,6 +1280,17 @@ def _pair_alignment_kept(docs: DataFrame) -> DataFrame:
     )
 
 
+def _pair_sim_joined(kept: DataFrame) -> DataFrame:
+    """Kept pairs with their caption SimHash signature attached — the
+    shared near-dup stage of the pair-curation carriers (survivor rule:
+    lowest pair id per signature, applied by each consumer's
+    aggregate)."""
+    sims = dd.simhash(
+        kept.select("pair_id", "text"), text="text", id_col="pair_id"
+    )
+    return kept.join(sims.withColumnRenamed("id", "pair_id"), "pair_id")
+
+
 def q_multimodal_pair_alignment(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1302,15 +1313,9 @@ def q_multimodal_pair_alignment(
     Payloads are synthesized ('img:<id>:<text>' bytes) so the oracle can
     restate the encoder closed-form — the SQL-reproducibility contract
     of multimodal_features."""
-    from ..ext import dedup as _dd
-
     docs = load_table(spark, sf_dir, "documents")
-    kept = _pair_alignment_kept(docs)
-    sims = _dd.simhash(
-        kept.select("pair_id", "text"), text="text", id_col="pair_id"
-    )
     return (
-        kept.join(sims.withColumnRenamed("id", "pair_id"), "pair_id")
+        _pair_sim_joined(_pair_alignment_kept(docs))
         .groupBy("simhash")
         .agg(
             F.min("pair_id").alias("survivor_id"),
@@ -1333,9 +1338,9 @@ _PAIR_CAP_VEC = ", ".join(
     for i in range(_PAIR_DIM)
 )
 
-SQL_MULTIMODAL_PAIR_ALIGNMENT = f"""
-WITH {SIMHASH_CTE},
-img AS (SELECT doc_id, [{_PAIR_IMG_VEC}] AS iv FROM documents),
+# the shared alignment front half of both pair-curation oracles — one
+# source of truth, like _interleave_ctes for the assembly stage
+_PAIR_ALIGN_CTES = f"""img AS (SELECT doc_id, [{_PAIR_IMG_VEC}] AS iv FROM documents),
 cap AS (SELECT doc_id, [{_PAIR_CAP_VEC}] AS cv FROM documents),
 scored AS (
   SELECT i.doc_id, {_cos_sql('iv', 'cv')} AS alignment
@@ -1344,7 +1349,11 @@ scored AS (
 kept AS (
   SELECT doc_id, alignment FROM scored
   WHERE alignment >= {PAIR_ALIGN_TAU}
-)
+)"""
+
+SQL_MULTIMODAL_PAIR_ALIGNMENT = f"""
+WITH {SIMHASH_CTE},
+{_PAIR_ALIGN_CTES}
 SELECT s.simhash,
        min(k.doc_id) AS survivor_id,
        CAST(count(*) AS BIGINT) AS n_pairs,
@@ -3979,12 +3988,8 @@ def q_pipeline_multimodal_prep(
     from ..ext.sampling import pack_by_token_budget
 
     docs = load_table(spark, sf_dir, "documents")
-    kept = _pair_alignment_kept(docs)
-    sims = dd.simhash(
-        kept.select("pair_id", "text"), text="text", id_col="pair_id"
-    )
     surv = (
-        kept.join(sims.withColumnRenamed("id", "pair_id"), "pair_id")
+        _pair_sim_joined(_pair_alignment_kept(docs))
         .groupBy("simhash")
         .agg(F.min("pair_id").alias("doc_id"))
         .select("doc_id")
@@ -4047,15 +4052,7 @@ SQL_MULTIMODAL_INTERLEAVED_PACK = (
 
 SQL_PIPELINE_MULTIMODAL_PREP = f"""
 WITH {SIMHASH_CTE},
-img AS (SELECT doc_id, [{_PAIR_IMG_VEC}] AS iv FROM documents),
-cap AS (SELECT doc_id, [{_PAIR_CAP_VEC}] AS cv FROM documents),
-scored AS (
-  SELECT i.doc_id, {_cos_sql('iv', 'cv')} AS alignment
-  FROM img i JOIN cap c USING (doc_id)
-),
-kept AS (
-  SELECT doc_id FROM scored WHERE alignment >= {PAIR_ALIGN_TAU}
-),
+{_PAIR_ALIGN_CTES},
 surv AS (
   SELECT min(k.doc_id) AS doc_id
   FROM kept k JOIN simh s ON s.id = k.doc_id

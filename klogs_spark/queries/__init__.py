@@ -33,7 +33,14 @@ class QuerySpec:
 #      never in the verified ledger, so it cannot ship outside the checked
 #      window) and any query whose impl or oracle changed since its green
 #      check (the ledger is keyed by content hash, not just name).
-#   2. Externally verified queries follow, in natural module order.
+#   2. Externally verified queries follow, in natural module order ROTATED
+#      by 50 * (number of CORRECTNESS_r*.json files at the repo root).  With
+#      all entries pinned, the driver's first-50 window would otherwise
+#      re-check the same head forever; the rotation advances the window by
+#      one full check-width per round so external re-verification sweeps the
+#      whole registry over successive rounds.  The rotation amount is a pure
+#      function of the on-disk round count — deterministic, and still no
+#      per-query hand placement.
 #
 # DRIVER_VERIFIED is the ledger: name -> content hash (spec_content_hash of
 # the query fn source + oracle SQL) at the time the driver recorded the query
@@ -191,8 +198,10 @@ DRIVER_VERIFIED: dict = {
     "multimodal_image_entropy": "39f9dc3ef2f1",
     "multimodal_image_resize": "d554c0028703",
     "multimodal_image_stats": "5af3210f6626",
+    "multimodal_interleaved_pack": "568d624e9be8",
     "multimodal_jpeg_stats": "f6e6b86b6985",
     "multimodal_jpeg_subsampled": "ee9475de09bb",
+    "multimodal_pair_alignment": "fcbf86fca626",
     "multimodal_transcode": "acad661c0117",
     "multimodal_video_mjpeg": "0ced7d7ea628",
     "multimodal_video_scene_cuts": "4da8de30edba",
@@ -200,6 +209,7 @@ DRIVER_VERIFIED: dict = {
     "pipeline_budget_threshold": "2c592c21840e",
     "pipeline_ccnet_buckets": "cbb93ad00117",
     "pipeline_dsir_select": "f0d28fda7428",
+    "pipeline_multimodal_prep": "1f0fea846dcf",
     "pipeline_pretrain_prep": "60209e874d2d",
     "pipeline_warc_to_wet": "b02887be6077",
     "sample_balance_sources": "84ad1b244e7c",
@@ -229,6 +239,7 @@ DRIVER_VERIFIED: dict = {
     "sources_k8s_enrich": "3638cec3ecdd",
     "sources_syslog_pipeline": "bb11b3e2e31c",
     "sources_throttle": "6aee0549d380",
+    "stream_cdc_rollup": "1a02b2ed803e",
     "stream_cms_merge": "9a13690416cb",
     "stream_decontaminate": "dd314d679a43",
     "stream_dedup_watermark": "5a38c63244ec",
@@ -247,6 +258,7 @@ DRIVER_VERIFIED: dict = {
     "stream_validated_sink": "fb46d427f598",
     "stream_warc_decode": "1766b056e74c",
     "stream_windowed_watermark": "c7a3f33a9cd9",
+    "table_cdc_rollup": "499f2bb5a0d8",
     "table_clone_cdc": "6a73c8a4a271",
     "table_column_stats": "09aab170a20b",
     "table_context_anchor": "b056e8c973ec",
@@ -255,6 +267,7 @@ DRIVER_VERIFIED: dict = {
     "table_cow_promoted_roundtrip": "979cd0912c81",
     "table_cow_update": "3d7a6564a377",
     "table_delete_where": "6feff3ab1ffe",
+    "table_dv_maintain": "b8bb28e9baf4",
     "table_expectations": "e7c6542173fc",
     "table_field_range_files": "658fbb74c597",
     "table_field_range_skip": "d3501043d300",
@@ -266,6 +279,7 @@ DRIVER_VERIFIED: dict = {
     "table_mor_lifecycle": "d273fc36f621",
     "table_mor_update": "e2be424ca811",
     "table_promoted_view": "775113dc1793",
+    "table_read_current": "1de6dab9df13",
     "table_restore": "d5d49c5fdf43",
     "table_retention_policy": "49cf8b48e442",
     "table_shallow_clone": "a023896c34be",
@@ -282,6 +296,7 @@ DRIVER_VERIFIED: dict = {
     "text_bpe_fertility": "4ce91a78b255",
     "text_bpe_merges": "68fd8cbe7f24",
     "text_bpe_tokenize": "7b2f85c69533",
+    "text_c4_filters": "523b04cf402c",
     "text_chunk_documents": "b11ed9a0602f",
     "text_classifier_score": "694e9cc2b376",
     "text_cms_heavy_hitters": "66e1b44c852b",
@@ -373,6 +388,19 @@ def _merged_specs() -> dict:
     return merged
 
 
+def _round_count() -> int:
+    """Number of driver correctness rounds recorded at the repo root.
+
+    Used ONLY to rotate the verified tail (see the ordering-policy comment):
+    the value is read from disk so the ordering is a pure function of
+    repository state, not of anything set per-query by hand."""
+    import glob
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
+    return len(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+
+
 def registry() -> dict:
     merged = _merged_specs()
     unknown = DRIVER_VERIFIED.keys() - merged.keys()
@@ -383,5 +411,9 @@ def registry() -> dict:
         if DRIVER_VERIFIED.get(n) == spec_content_hash(s)
     }
     ordered = {n: s for n, s in merged.items() if n not in verified}
-    ordered.update({n: s for n, s in merged.items() if n in verified})
+    tail = [n for n in merged if n in verified]
+    if tail:
+        k = (50 * _round_count()) % len(tail)
+        tail = tail[k:] + tail[:k]
+    ordered.update({n: merged[n] for n in tail})
     return ordered

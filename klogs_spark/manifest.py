@@ -1971,7 +1971,29 @@ def _current_state_files(
         f for f in head_f
         if _is_abs_entry(f) or "/" not in f or f in on_disk
     }
-    files = sorted(keep_head | (on_disk - manifested))
+    unmanifested = on_disk - manifested
+    if unmanifested and fs.exists(hpath_cls(f"{path}/{REWRITE_MARKER}")):
+        # A COW/MOR rewrite is IN FLIGHT: its survivor appends are on
+        # disk but belong to no manifest yet, so counting them as
+        # committed unmanifested appends would serve their rows DOUBLED
+        # (next to the head files they replace) — the exact window
+        # publish_snapshot refuses (review r18). The journal records the
+        # full on-disk listing at rewrite start; anything newer is the
+        # rewrite's uncommitted output, excluded here. Under the
+        # single-maintenance-writer contract no plain append races a
+        # rewrite, so nothing legitimate is dropped. A torn marker
+        # (claimant died inside _claim_marker) proves no survivor files
+        # exist — treat it as no live rewrite.
+        try:
+            before = set(
+                _read_small_json(
+                    fs, hpath_cls, path, REWRITE_MARKER
+                )["before"]
+            )
+            unmanifested &= before
+        except Exception:
+            pass
+    files = sorted(keep_head | unmanifested)
     dv_ref = _dv_ref_at(
         spark, path, head, sidecars=_dv_versions_from_names(names)
     )
@@ -1991,7 +2013,10 @@ def read_current_state(spark: SparkSession, path: str) -> DataFrame:
     positions by construction, so the anti-join passes them through
     untouched; the result keeps every physical column the files carry
     (mergeSchema), so promoted-column readers project from it
-    directly."""
+    directly. Safe against a LIVE rewrite too: while ``REWRITE_MARKER``
+    is held, files newer than the journaled before-listing (the
+    rewrite's uncommitted survivors) are excluded rather than served
+    doubled next to the head files they replace."""
     files, dv_ref = _current_state_files(spark, path)
     if not _dv_refs(dv_ref):
         return _read_data_files(spark, path, files)
@@ -2991,6 +3016,21 @@ def maintain(
     report: dict = {"tier": None, "compacted": [], "dry_run": dry_run}
     if not snapshot_versions(spark, path):
         report["tier"] = "in-place"
+        if rollup_path is not None:
+            # Checked BEFORE any side effect (review r18: this used to
+            # fire only after compact + retention had already mutated the
+            # table — retention destructively drops rows, so the refusal
+            # arrived half-way through the maintenance). No manifest
+            # means no change feed, and the incremental state layout
+            # (state_v{N}) is version-keyed — refuse rather than
+            # silently writing an incompatible layout; plain directories
+            # use table.refresh_rollup directly.
+            raise ValueError(
+                f"maintain({path}): rollup_path needs a manifest-"
+                "governed table (the rollup advances from the change "
+                "feed); publish a snapshot first, or use "
+                "table.refresh_rollup for plain directories"
+            )
         if dry_run:
             report["note"] = "plain directory: would compact_table + retention"
             return report
@@ -3006,17 +3046,6 @@ def maintain(
         if retention_days is not None:
             report["retention_dropped"] = apply_retention(
                 path, retention_days=retention_days, spark=spark
-            )
-        if rollup_path is not None:
-            # no manifest, no change feed, and the incremental state
-            # layout (state_v{N}) is version-keyed — refuse rather than
-            # silently writing an incompatible layout; plain directories
-            # use table.refresh_rollup directly
-            raise ValueError(
-                f"maintain({path}): rollup_path needs a manifest-"
-                "governed table (the rollup advances from the change "
-                "feed); publish a snapshot first, or use "
-                "table.refresh_rollup for plain directories"
             )
         return report
 
@@ -3081,11 +3110,17 @@ def maintain(
             chain = _dv_refs(
                 _dv_ref_at(spark, path, snapshot_versions(spark, path)[-1])
             )
-            # a real fold leaves at most one generation, so coalesce
-            # only triggers when the fold plan rewrites nothing
+            # derive from the plan's POST-fold chain: a real fold leaves
+            # at most one generation (rewritten days re-anchor survivors
+            # as one), and an all-dead fold (folded>0, kept==0) CLEARS
+            # the vector entirely — in both cases the real run skips the
+            # coalesce, so the dry run must not claim one (review r19)
+            chain_survives = not plan["partitions_rewritten"] and not (
+                plan["positions_folded"] > 0
+                and plan["positions_kept"] == 0
+            )
             report["would_dv_coalesce"] = (
-                not plan["partitions_rewritten"]
-                and len(chain) > dv_fold_max_chain
+                chain_survives and len(chain) > dv_fold_max_chain
             )
         else:
             report["would_dv_compact"] = False

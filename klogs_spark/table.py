@@ -1408,6 +1408,31 @@ def refresh_rollup(
 
 
 ROLLUP_STATE_PREFIX = "state_v"
+ROLLUP_LOCK = ".rollup-inprogress.json"
+
+
+class ConcurrentRollupError(IOError):
+    """An incremental-rollup advance found another advance's live lock
+    under the rollup path and aborted WITHOUT reading or writing any
+    state — the loud-loser half of the enforced single-maintenance-
+    writer contract (a silent race could read a state the winner's
+    post-commit prune deletes mid-scan). Retry after the holder
+    finishes, or :func:`release_rollup_lock` if it crashed."""
+
+
+def release_rollup_lock(spark: SparkSession, rollup_path: str) -> bool:
+    """Release a crashed advance's ``.rollup-inprogress.json`` lock.
+    Safe by construction: states commit via temp-dir + atomic rename,
+    so a crashed holder left at most an invisible ``.tmp-`` dir (swept
+    by the next successful advance) — never a torn state. Returns
+    whether a lock was actually removed. Only call once the holder is
+    confirmed dead; releasing a LIVE holder's lock re-opens the
+    prune-vs-reader race the lock exists to prevent."""
+    fs, hpath_cls, _ = _hadoop_fs(spark, rollup_path)
+    lock = hpath_cls(f"{rollup_path}/{ROLLUP_LOCK}")
+    if not fs.exists(lock):
+        return False
+    return bool(fs.delete(lock, False))
 
 
 def _rollup_state_versions(fs, hpath_cls, rollup_path: str) -> list[int]:
@@ -1436,6 +1461,27 @@ def read_rollup(spark: SparkSession, rollup_path: str) -> DataFrame:
         )
     return spark.read.parquet(
         f"{rollup_path}/{ROLLUP_STATE_PREFIX}{states[-1]}"
+    )
+
+
+def _is_missing_file_error(exc: BaseException) -> bool:
+    """Execution-time vacuumed-base detection for
+    :func:`incremental_rollup`'s fail-open path: Spark surfaces a file
+    deleted under a running scan as java.io.FileNotFoundException
+    wrapped in Py4JJavaError/SparkException, or (plan-time, late) as
+    AnalysisException PATH_NOT_FOUND. Anything else — disk full,
+    permissions, transient executor loss — must propagate: a silent
+    full-corpus recompute would spend one whole aggregation before the
+    real error resurfaced on the retry (review r18)."""
+    from pyspark.errors import AnalysisException
+
+    if isinstance(exc, (FileNotFoundError, AnalysisException)):
+        return True
+    s = str(exc)
+    return (
+        "FileNotFoundException" in s
+        or "PATH_NOT_FOUND" in s
+        or "does not exist" in s
     )
 
 
@@ -1472,20 +1518,19 @@ def incremental_rollup(
     plan/execution time) the maintenance FAILS OPEN to a full recompute
     at the head and says so in the returned mode.
 
-    Single-maintenance-writer assumption (same contract as the manifest
-    layer's sidecar maintenance): concurrent advances against the SAME
-    head race benignly (loser discards its temp dir), but the
-    post-commit prune may remove a state a concurrent slower advance is
-    still reading — schedule one rollup maintainer per rollup path."""
+    Single-writer ENFORCED (VERDICT r18 #6 — it used to be convention
+    only, and the post-commit prune could delete a state a slower
+    concurrent advance was reading): each advance claims
+    ``{rollup_path}/.rollup-inprogress.json`` with the manifest layer's
+    create-exclusive marker primitive and releases it when done; a
+    second concurrent advance aborts loudly with
+    :class:`ConcurrentRollupError` instead of racing the prune. A
+    crashed advance leaves the lock behind — states commit by atomic
+    rename, so recovery is simply :func:`release_rollup_lock` once the
+    crash is confirmed."""
     import uuid as _uuid
 
-    from .manifest import (
-        ManifestChainError,
-        read_snapshot,
-        snapshot_changes,
-        snapshot_versions,
-    )
-    from .transform import field_string
+    from .manifest import _claim_marker, snapshot_versions
 
     if keep_states < 1:
         raise ValueError(
@@ -1499,6 +1544,44 @@ def incremental_rollup(
             "change feed is manifest-defined"
         )
     head = versions[-1]
+    fs, hpath_cls, _ = _hadoop_fs(spark, rollup_path)
+    if not _claim_marker(
+        fs, hpath_cls, rollup_path, ROLLUP_LOCK,
+        {"op": "incremental_rollup", "table": path, "head": head,
+         "token": _uuid.uuid4().hex},
+    ):
+        raise ConcurrentRollupError(
+            f"incremental_rollup({rollup_path}) refused: another advance "
+            f"holds {ROLLUP_LOCK}; if that maintainer crashed, "
+            "release_rollup_lock reclaims the slot (committed states are "
+            "rename-atomic, so no state repair is needed)"
+        )
+    try:
+        return _advance_rollup(
+            spark, path, rollup_path, keep_states, versions, head
+        )
+    finally:
+        fs.delete(hpath_cls(f"{rollup_path}/{ROLLUP_LOCK}"), False)
+
+
+def _advance_rollup(
+    spark: SparkSession,
+    path: str,
+    rollup_path: str,
+    keep_states: int,
+    versions: list,
+    head: int,
+) -> dict:
+    """The lock-held body of :func:`incremental_rollup`."""
+    import uuid as _uuid
+
+    from .manifest import (
+        ManifestChainError,
+        read_snapshot,
+        snapshot_changes,
+    )
+    from .transform import field_string
+
     fs, hpath_cls, _ = _hadoop_fs(spark, rollup_path)
     states = _rollup_state_versions(fs, hpath_cls, rollup_path)
     cur = states[-1] if states else None
@@ -1580,9 +1663,11 @@ def incremental_rollup(
 
     try:
         tmp = _write_state(new_state)
-    except Exception:
+    except Exception as exc:
         if mode == "full":
             raise  # the scratch recompute itself failed — nothing to try
+        if not _is_missing_file_error(exc):
+            raise
         # execution-time missing files under the incremental plan (a
         # vacuumed base detected only at scan) — fail open, once
         new_state, mode = _full_state(), "full"

@@ -4430,3 +4430,126 @@ def test_maintain_advances_rollup_when_asked(spark, logs_df, tmp_path):
     assert rep2["rollup"]["mode"] in ("incremental", "full")
     n2 = read_rollup(spark, rdir).agg(F.sum("n_rows")).first()[0]
     assert n2 == logs_df.count() - res["rows_deleted"]
+
+
+def test_maintain_plain_dir_rollup_refusal_precedes_side_effects(
+    spark, logs_df, tmp_path
+):
+    """The plain-dir rollup_path refusal fires BEFORE compaction or
+    retention run (review r18: it used to arrive after retention had
+    already destructively dropped rows), and the dry run surfaces the
+    same incompatibility instead of returning a clean plan."""
+    from klogs_spark.manifest import maintain
+
+    path, rdir = str(tmp_path / "logs"), str(tmp_path / "roll")
+    write_logs(logs_df, path)
+    n, mtimes = logs_df.count(), _data_file_mtimes(path)
+    with pytest.raises(ValueError, match="rollup_path"):
+        maintain(spark, path, rollup_path=rdir, retention_days=0)
+    # nothing mutated: every row survives, no file touched
+    assert spark.read.parquet(path).count() == n
+    assert _data_file_mtimes(path) == mtimes
+    with pytest.raises(ValueError, match="rollup_path"):
+        maintain(spark, path, rollup_path=rdir, dry_run=True)
+
+
+def test_maintain_dry_run_all_dead_vector_predicts_no_coalesce(
+    spark, logs_df, tmp_path
+):
+    """A vector referencing only DEAD files (all replaced by a later COW
+    rewrite) with a long generation chain: the real run clears the
+    vector inside dv_compact, so no coalesce happens — the dry run must
+    derive would_dv_coalesce from the post-fold chain and agree
+    (review r19: it used to claim a coalesce the real run skips)."""
+    from klogs_spark.manifest import (
+        cow_compact_partition,
+        has_live_dv,
+        maintain,
+        mor_delete_where,
+        read_logs_at,
+    )
+
+    path, _ = _dv_table(spark, logs_df, tmp_path)
+    n1 = read_logs_at(spark, path).count()
+    d1 = mor_delete_where(spark, path, "pod_name = 'pod-1'")
+    d2 = mor_delete_where(spark, path, "pod_name = 'pod-2'")
+    # replace every referenced file: the chain (2 generations) now
+    # points only at dead files
+    cow_compact_partition(spark, path, "2026-01-01")
+    assert has_live_dv(spark, path)
+    plan = maintain(spark, path, dry_run=True, dv_fold_max_chain=1)
+    assert plan["would_dv_compact"] is True  # dead positions fold away
+    assert plan["would_dv_coalesce"] is False
+    rep = maintain(spark, path, dv_fold_max_chain=1)
+    assert "dv_coalesced" not in rep  # the dry run predicted the truth
+    folded = rep["dv_compacted"]["positions_folded"]
+    assert folded == d1["rows_deleted"] + d2["rows_deleted"]
+    assert not has_live_dv(spark, path)
+    assert read_logs_at(spark, path).count() == n1 - folded
+
+
+def test_is_missing_file_error_classification():
+    """incremental_rollup's fail-open catch takes ONLY missing-file
+    shapes; disk-full / permission / executor-loss errors propagate
+    (review r18: a blanket except silently spent one full-corpus
+    aggregation before re-raising)."""
+    from pyspark.errors import AnalysisException
+
+    from klogs_spark.table import _is_missing_file_error
+
+    assert _is_missing_file_error(FileNotFoundError("gone"))
+    assert _is_missing_file_error(
+        AnalysisException("[PATH_NOT_FOUND] Path does not exist")
+    )
+    # Py4J-wrapped execution-time shape: classified by message
+    assert _is_missing_file_error(
+        RuntimeError("java.io.FileNotFoundException: part-0000.parquet")
+    )
+    assert not _is_missing_file_error(OSError("No space left on device"))
+    assert not _is_missing_file_error(PermissionError("denied"))
+    assert not _is_missing_file_error(
+        RuntimeError("ExecutorLostFailure (executor 3 exited)")
+    )
+
+
+def test_incremental_rollup_two_writers_loser_aborts_loudly(
+    spark, logs_df, tmp_path
+):
+    """Enforced single-writer (VERDICT r18 #6): while one advance holds
+    the rollup lock, a second aborts with ConcurrentRollupError BEFORE
+    touching any state (no silent read of a state the winner's prune
+    could delete); a crashed holder's lock is reclaimed explicitly."""
+    from klogs_spark.manifest import (
+        _claim_marker,
+        publish_snapshot,
+    )
+    from klogs_spark.table import (
+        ROLLUP_LOCK,
+        ConcurrentRollupError,
+        incremental_rollup,
+        read_rollup,
+        release_rollup_lock,
+    )
+    from klogs_spark.table import _hadoop_fs as _tfs
+
+    path, rdir = str(tmp_path / "logs"), str(tmp_path / "roll")
+    write_logs(logs_df, path)
+    publish_snapshot(spark, path)
+    # writer A holds the lock (as if mid-advance)
+    fs, hpath_cls, _ = _tfs(spark, rdir)
+    assert _claim_marker(
+        fs, hpath_cls, rdir, ROLLUP_LOCK, {"op": "test", "token": "a"}
+    )
+    with pytest.raises(ConcurrentRollupError, match="release_rollup_lock"):
+        incremental_rollup(spark, path, rdir)
+    assert not list((tmp_path / "roll").glob("state_v*"))  # loser wrote nothing
+    # holder crashed: explicit reclaim, then the advance succeeds
+    assert release_rollup_lock(spark, rdir) is True
+    assert release_rollup_lock(spark, rdir) is False  # idempotent
+    rep = incremental_rollup(spark, path, rdir)
+    assert rep["mode"] == "full"
+    assert read_rollup(spark, rdir).agg(F.sum("n_rows")).first()[0] == (
+        logs_df.count()
+    )
+    # the winner released its lock on the way out
+    assert not (tmp_path / "roll" / ROLLUP_LOCK).exists()

@@ -122,6 +122,9 @@ HEADLINE = [
     # sequence assembly + shard packing (native arrays + one window).
     "multimodal_pair_alignment",
     "multimodal_interleaved_pack",
+    # round-19: the audio twin of pair alignment — real WAV synth+decode
+    # clip tower (one Arrow pass) + native caption tower + broadcast join.
+    "multimodal_audio_pair_alignment",
 ]
 
 

@@ -1226,6 +1226,27 @@ PAIR_ALIGN_TAU = 0.85  # alignment keep threshold, shared with the oracle
 _PAIR_DIM = 4
 
 
+def _caption_vec() -> "F.Column":
+    """The NATIVE caption tower shared by every pair-curation carrier:
+    the fake_feature_vector construction (first 7 sha256 bytes of
+    text||i as a [0,1) double per component) computed with sha2 + conv
+    — zero Python on the text side; a real text encoder slots in with
+    the same (text -> array<double>) signature."""
+    return F.array(
+        *[
+            F.conv(
+                F.substring(
+                    F.sha2(F.concat(F.col("text"), F.lit(str(i))), 256),
+                    1, 14,
+                ),
+                16, 10,
+            ).cast("double")
+            / F.lit(float(2**56))
+            for i in range(_PAIR_DIM)
+        ]
+    )
+
+
 def _pair_alignment_kept(docs: DataFrame) -> DataFrame:
     """(pair_id, text, alignment) of the pairs surviving the cosine
     threshold — the shared front half of the pair-curation carriers:
@@ -1253,23 +1274,10 @@ def _pair_alignment_kept(docs: DataFrame) -> DataFrame:
     img = mm.extract_feature_vectors(media, dim=_PAIR_DIM).select(
         F.col("media_id").alias("pair_id"), F.col("features").alias("iv")
     )
-    cap_vec = F.array(
-        *[
-            F.conv(
-                F.substring(
-                    F.sha2(F.concat(F.col("text"), F.lit(str(i))), 256),
-                    1, 14,
-                ),
-                16, 10,
-            ).cast("double")
-            / F.lit(float(2**56))
-            for i in range(_PAIR_DIM)
-        ]
-    )
     caps = docs.select(
         F.col("doc_id").alias("pair_id"),
         F.col("text"),
-        cap_vec.alias("cv"),
+        _caption_vec().alias("cv"),
     )
     scored = img.join(F.broadcast(caps), "pair_id").select(
         "pair_id", "text",
@@ -1360,6 +1368,131 @@ SELECT s.simhash,
        round(arg_min(k.alignment, k.doc_id), 6) AS alignment
 FROM kept k JOIN simh s ON s.id = k.doc_id
 GROUP BY s.simhash
+"""
+
+
+AUDIO_PAIR_TAU = 0.88  # audio-caption alignment keep threshold (oracle-shared)
+
+
+def q_multimodal_audio_pair_alignment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """AudioCaps/Clotho-style audio-text pair curation (VERDICT r18 #4):
+    score each (clip, caption) pair by embedding cosine, keep pairs
+    above the alignment threshold, then remove near-duplicate pairs by
+    caption SimHash (survivor = lowest pair id) — the audio twin of
+    q_multimodal_pair_alignment.
+
+    The CLIP tower is REAL byte machinery, not a hash stub: each doc
+    synthesizes a 16-bit PCM WAV carrying the deterministic sample
+    pattern (((doc_id*31 + j*7) % 2003) - 1001), the kernel PARSES THE
+    BYTES back (ext.multimodal.decode_wav_samples — RIFF chunk walk,
+    fmt/data validation) and derives the clip embedding as the four
+    temporal-window energies ([sum of s^2 per quarter]) plus the real
+    decoded duration (n_samples / sample_rate) — ONE mapInPandas
+    crossing for synth+decode+feature, where a real audio encoder
+    (CLAP, wav2vec) slots in with the same (payload -> array<double>)
+    signature. The CAPTION tower is the shared native sha2 construction
+    (_caption_vec — zero Python); captions broadcast onto the clip
+    side; the cosine is the row-local zip_with fold. Window energies
+    are exact integer sums cast to double, so the oracle's
+    generate_series restatement is bit-identical.
+
+    Plan-asserted (tests/test_plans.py): exactly ONE MapInPandas,
+    BroadcastHashJoin, no cartesian, no row-at-a-time Python."""
+    from ..ext import multimodal as mm
+    from ..ext.caching import cache_tracked
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def _clip_tower(batches):
+        import struct
+
+        import pandas as pd
+
+        for b in batches:
+            ids = [int(x) for x in b["doc_id"]]
+            vecs, durs = [], []
+            for i in ids:
+                n = (i % 100 + 1) * 10
+                vals = mm.synth_pcm_samples(i, n)
+                wav = mm.synth_wav(n, data=struct.pack(f"<{n}h", *vals))
+                rate, _ch, samples = mm.decode_wav_samples(wav)
+                acc = [0, 0, 0, 0]
+                for j, s in enumerate(samples):
+                    acc[(j * 4) // n] += s * s
+                vecs.append([float(a) for a in acc])
+                durs.append(len(samples) / rate)
+            yield pd.DataFrame(
+                {"pair_id": ids, "av": vecs, "duration_s": durs}
+            )
+
+    clips = _fan_out_media(docs.select("doc_id")).mapInPandas(
+        _clip_tower,
+        schema="pair_id long, av array<double>, duration_s double",
+    )
+    caps = docs.select(
+        F.col("doc_id").alias("pair_id"),
+        F.col("text"),
+        _caption_vec().alias("cv"),
+    )
+    scored = clips.join(F.broadcast(caps), "pair_id").select(
+        "pair_id", "text", "duration_s",
+        dd.cosine_col(F.col("av"), F.col("cv")).alias("alignment"),
+    )
+    kept = cache_tracked(
+        scored.filter(F.col("alignment") >= AUDIO_PAIR_TAU)
+    )
+    return (
+        _pair_sim_joined(kept)
+        .groupBy("simhash")
+        .agg(
+            F.min("pair_id").alias("survivor_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.round(F.min_by("alignment", "pair_id"), 6).alias(
+                "alignment"
+            ),
+            F.round(F.min_by("duration_s", "pair_id"), 6).alias(
+                "duration_s"
+            ),
+        )
+    )
+
+
+SQL_MULTIMODAL_AUDIO_PAIR_ALIGNMENT = f"""
+WITH {SIMHASH_CTE},
+s AS (
+  SELECT d.doc_id, t.j,
+         ((d.doc_id * 31 + t.j * 7) % 2003) - 1001 AS smp,
+         (d.doc_id % 100 + 1) * 10 AS n
+  FROM documents d, generate_series(0, 999) AS t(j)
+  WHERE t.j < (d.doc_id % 100 + 1) * 10
+),
+win AS (
+  SELECT doc_id, (j * 4) // n AS w,
+         CAST(sum(smp * smp) AS DOUBLE) AS e, max(n) AS n
+  FROM s GROUP BY doc_id, (j * 4) // n
+),
+clip AS (
+  SELECT doc_id, list(e ORDER BY w) AS av, max(n) / 1000.0 AS duration_s
+  FROM win GROUP BY doc_id
+),
+cap AS (SELECT doc_id, [{_PAIR_CAP_VEC}] AS cv FROM documents),
+scored AS (
+  SELECT c.doc_id, l.duration_s, {_cos_sql('av', 'cv')} AS alignment
+  FROM clip l JOIN cap c ON l.doc_id = c.doc_id
+),
+kept AS (
+  SELECT doc_id, alignment, duration_s FROM scored
+  WHERE alignment >= {AUDIO_PAIR_TAU}
+)
+SELECT sh.simhash,
+       min(k.doc_id) AS survivor_id,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(arg_min(k.alignment, k.doc_id), 6) AS alignment,
+       round(arg_min(k.duration_s, k.doc_id), 6) AS duration_s
+FROM kept k JOIN simh sh ON sh.id = k.doc_id
+GROUP BY sh.simhash
 """
 
 
@@ -8629,6 +8762,12 @@ SPECS = {
         q_multimodal_pair_alignment, SQL_MULTIMODAL_PAIR_ALIGNMENT,
         "LAION-style image-text pair curation: Arrow image tower + "
         "native caption tower, cosine threshold, SimHash pair dedup"),
+    "multimodal_audio_pair_alignment": QuerySpec(
+        q_multimodal_audio_pair_alignment,
+        SQL_MULTIMODAL_AUDIO_PAIR_ALIGNMENT,
+        "AudioCaps-style audio-text pair curation: real WAV decode clip "
+        "tower (window energies + duration) + native caption tower, "
+        "cosine threshold, SimHash pair dedup"),
     "multimodal_features": QuerySpec(q_multimodal_features,
                                      SQL_MULTIMODAL_FEATURES,
                                      "binary payload -> Arrow-batched features"),

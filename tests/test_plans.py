@@ -956,3 +956,20 @@ def test_pair_alignment_one_arrow_pass_broadcast_captions(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_audio_pair_alignment_one_arrow_pass_broadcast_captions(spark):
+    """Audio-text pair curation (VERDICT r18 #4): exactly ONE Arrow
+    crossing (the synth+decode+feature clip tower), caption tower stays
+    native, captions broadcast onto the clip side, no cartesian, no
+    row-at-a-time Python — the same guard as the image carrier's."""
+    import re
+
+    plan = _plan(spark, "multimodal_audio_pair_alignment")
+    nodes = set(re.findall(r"\((\d+)\) MapInPandas", plan))
+    assert len(nodes) == 1, plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan

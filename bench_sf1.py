@@ -496,6 +496,85 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # CDC rollup loop at 10x (VERDICT r18 #7): the O(churn) claim of
+    # incremental_rollup vs the corpus-sized full recompute. The churn is
+    # a FIXED-SIZE append (the last sf0.1 hour, identical batch at both
+    # scales), so the incremental advance must be ~FLAT across the 10x —
+    # it reads only the appended files via the manifest change feed —
+    # while the first materialization (mode=full, the same code path a
+    # vacuumed-base fail-open takes) grows with the corpus. A flat
+    # advance next to a ~10x full is the measured form of "maintenance
+    # cost ∝ churn, not table size" at 100 TB.
+    try:
+        import shutil
+        import tempfile
+
+        from klogs_spark.manifest import publish_snapshot
+        from klogs_spark.table import incremental_rollup, write_logs
+        from klogs_spark.views import derive_logs_from_events
+
+        churn_batch = derive_logs_from_events(spark, SF01).filter(
+            "timestamp >= '2024-01-31 23:00:00'"
+        )
+        n_churn = churn_batch.count()
+
+        def cdc_costs(src):
+            best_full, best_adv = float("inf"), float("inf")
+            for _ in range(max(trials, 1)):
+                d = tempfile.mkdtemp(prefix="bsf1-cdc-")
+                try:
+                    write_logs(
+                        derive_logs_from_events(spark, src), d,
+                        mode="overwrite",
+                    )
+                    publish_snapshot(spark, d)
+                    rdir = d + "/_rollup"
+                    t0 = time.perf_counter()
+                    rep = incremental_rollup(spark, d, rdir)
+                    best_full = min(
+                        best_full, time.perf_counter() - t0
+                    )
+                    assert rep["mode"] == "full", rep
+                    write_logs(churn_batch, d, mode="append")
+                    publish_snapshot(spark, d)
+                    t0 = time.perf_counter()
+                    rep = incremental_rollup(spark, d, rdir)
+                    best_adv = min(best_adv, time.perf_counter() - t0)
+                    assert rep["mode"] == "incremental", rep
+                finally:
+                    shutil.rmtree(d, ignore_errors=True)
+            return best_full, best_adv
+
+        f01, a01 = cdc_costs(SF01)
+        f1, a1 = cdc_costs(sf1_dir)
+        results["table_cdc_rollup_full"] = {
+            "sf0.1_sec": round(f01, 3),
+            "sf1_sec": round(f1, 3),
+            "ratio_10x": round(f1 / f01, 2),
+            "in_rows": {"sf0.1": load_table(spark, SF01, "events").count(),
+                        "sf1": counts["events"]},
+        }
+        results["table_cdc_rollup_advance"] = {
+            "sf0.1_sec": round(a01, 3),
+            "sf1_sec": round(a1, 3),
+            "ratio_10x": round(a1 / a01, 2),
+            "churn_rows": n_churn,
+            "note": "fixed-size append at both scales -> expected flat; "
+                    "contrast with table_cdc_rollup_full's ~10x",
+        }
+        print(
+            f"# table_cdc_rollup_full: {f01:.3f}s -> {f1:.3f}s "
+            f"(ratio {f1 / f01:.2f}); advance: {a01:.3f}s -> "
+            f"{a1:.3f}s (ratio {a1 / a01:.2f}, churn {n_churn} rows)",
+            file=sys.stderr,
+        )
+    except Exception as exc:  # noqa: BLE001
+        errors["table_cdc_rollup"] = f"{type(exc).__name__}: {exc}"[:300]
+        print(
+            f"# table_cdc_rollup: FAILED {errors['table_cdc_rollup']}",
+            file=sys.stderr,
+        )
+
     # COW MERGE at 10x (VERDICT r10 #8): update half of Jan 3 — rewrite
     # scope is ONE day regardless of corpus size, so the expected ratio is
     # driven by that day's 10x row count (near-linear), not the table

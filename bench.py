@@ -215,14 +215,19 @@ def main() -> None:
     # query's seconds by this factor normalizes away box-speed drift between
     # rounds — r8 observed ~20-40% uniform slowdown on UNTOUCHED queries vs
     # r7, which this metric makes visible and correctable.
-    cal = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        spark.range(100_000_000).selectExpr(
+    def probe(fn, trials_n: int = 3) -> float:
+        best = float("inf")
+        for _ in range(trials_n):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3)
+
+    calibration = probe(
+        lambda: spark.range(100_000_000).selectExpr(
             "sum(id * 3 % 7)", "count(distinct id % 1024)"
         ).collect()
-        cal = min(cal, time.perf_counter() - t0)
-    calibration = round(cal, 3)
+    )
     print(f"# calibration: {calibration}s", file=sys.stderr)
 
     # shuffle-path calibration: a fixed repartition job timed next to the
@@ -232,14 +237,11 @@ def main() -> None:
     # re-run to adjudicate as box drift. Two probes separate the axes:
     # cpu-probe flat + shuffle-probe up = shuffle-path drift, both flat =
     # real code regression in the queries that moved.
-    shuf = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        spark.range(4_000_000).repartition(64, "id").selectExpr(
+    shuffle_calibration = probe(
+        lambda: spark.range(4_000_000).repartition(64, "id").selectExpr(
             "sum(id % 97)"
         ).collect()
-        shuf = min(shuf, time.perf_counter() - t0)
-    shuffle_calibration = round(shuf, 3)
+    )
     print(f"# shuffle calibration: {shuffle_calibration}s", file=sys.stderr)
 
     # parquet-scan calibration: a fixed filter+agg over the PINNED sf0.1
@@ -253,17 +255,14 @@ def main() -> None:
     _scan_probe = "/root/testdata/sf0.1/lineitem.parquet"
     scan_calibration = None
     if os.path.exists(_scan_probe):
-        scn = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            spark.read.parquet(_scan_probe).filter(
+        scan_calibration = probe(
+            lambda: spark.read.parquet(_scan_probe).filter(
                 "l_quantity > 25"
             ).selectExpr(
                 "sum(l_extendedprice * (1 - l_discount))",
                 "count(distinct l_suppkey)",
             ).collect()
-            scn = min(scn, time.perf_counter() - t0)
-        scan_calibration = round(scn, 3)
+        )
     print(f"# scan calibration: {scan_calibration}s", file=sys.stderr)
 
     # Python-worker calibration: a fixed Arrow round-trip over the same
@@ -272,16 +271,13 @@ def main() -> None:
     # ride on. No engine code: an identity mapInPandas plus a trivial agg.
     py_calibration = None
     if os.path.exists(_scan_probe):
-        pyc = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            spark.read.parquet(_scan_probe).select(
+        py_calibration = probe(
+            lambda: spark.read.parquet(_scan_probe).select(
                 "l_orderkey", "l_quantity"
             ).mapInPandas(
                 lambda it: it, "l_orderkey long, l_quantity double"
             ).selectExpr("sum(l_quantity)").collect()
-            pyc = min(pyc, time.perf_counter() - t0)
-        py_calibration = round(pyc, 3)
+        )
     print(f"# python-worker calibration: {py_calibration}s", file=sys.stderr)
 
     # Materialized-table section: write the logs view ONCE as the engine's
@@ -736,15 +732,9 @@ def main() -> None:
             "comparable drift moved on the scan axis the old two probes "
             "could not see."
         ),
-        "capture_order": (
-            ["table_write_logs", "table_write_zordered",
-             "table_env_map_count", "table_newest",
-             "table_hourly_histogram", "table_context_fetch",
-             "table_cow_delete", "table_snapshot_cdc", "table_cow_merge",
-             "table_restore", "table_mor_delete", "table_dv_read",
-             "table_dv_threshold_maintain", "ann_ivfpq_rerank_search"]
-            + list(HEADLINE)
-        ),
+        # timings{} inserts in exact capture order, so the record cannot
+        # drift from the code (failed slots are absent — see errors{})
+        "capture_order": list(timings),
         "timing": "best-of-N per query (single-shot swings up to "
                   "+/-50% on this box with unchanged code); catalog cache "
                   "cleared + GC hinted between headline slots (r18's "

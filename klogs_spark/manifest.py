@@ -3050,6 +3050,28 @@ def maintain(
         return report
 
     report["tier"] = "cow"
+    if rollup_path is not None:
+        # the rollup advance runs LAST (after vacuum), but its lock is
+        # checked FIRST: hitting a stale/foreign .rollup-inprogress.json
+        # only after recover/compact/retention/vacuum already mutated the
+        # table would discard the whole report behind the raise — the
+        # same refusal-after-side-effects pattern fixed for the plain
+        # tier above (review r19). The check is a fast-fail courtesy,
+        # not the exclusivity primitive (the advance re-claims
+        # atomically); a dry run reports the held lock instead.
+        from .table import ROLLUP_LOCK, ConcurrentRollupError
+
+        fs_, hp_, _ = _hadoop_fs(spark, rollup_path)
+        rollup_locked = fs_.exists(hp_(f"{rollup_path}/{ROLLUP_LOCK}"))
+        if dry_run:
+            report["rollup_locked"] = rollup_locked
+        elif rollup_locked:
+            raise ConcurrentRollupError(
+                f"maintain({path}): rollup advance refused BEFORE any "
+                f"maintenance ran — another advance holds "
+                f"{rollup_path}/{ROLLUP_LOCK}; retry after it finishes, "
+                "or release_rollup_lock if it crashed"
+            )
     if dry_run:
         # a dry run REPORTS the crashed journal instead of healing it —
         # the same approve-before-delete gate vacuum's dry run keeps

@@ -338,7 +338,14 @@ def cdc_rollup_sink(path: str, rollup_path: str):
             return
         write_logs(batch, path, mode="append")
         publish_snapshot(spark=batch.sparkSession, path=path)
-        incremental_rollup(batch.sparkSession, path, rollup_path)
+        # stable owner identity: foreachBatch batches are serial, so a
+        # live lock with this owner can only be a dead predecessor's
+        # (a crashed driver must not wedge every replayed batch behind
+        # a manual release_rollup_lock — review r19)
+        incremental_rollup(
+            batch.sparkSession, path, rollup_path,
+            owner=f"cdc_rollup_sink:{path}",
+        )
 
     return sink_fn
 

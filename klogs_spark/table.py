@@ -1472,16 +1472,18 @@ def _is_missing_file_error(exc: BaseException) -> bool:
     AnalysisException PATH_NOT_FOUND. Anything else — disk full,
     permissions, transient executor loss — must propagate: a silent
     full-corpus recompute would spend one whole aggregation before the
-    real error resurfaced on the retry (review r18)."""
-    from pyspark.errors import AnalysisException
-
-    if isinstance(exc, (FileNotFoundError, AnalysisException)):
+    real error resurfaced on the retry (review r18). Deliberately
+    narrow even within AnalysisException: Spark uses that class (and
+    the words "does not exist") for corrupt-state and unresolved-name
+    errors too, which are real defects a recompute would mask — only
+    the documented missing-PATH shapes qualify (review r19)."""
+    if isinstance(exc, FileNotFoundError):
         return True
     s = str(exc)
     return (
-        "FileNotFoundException" in s
+        "java.io.FileNotFoundException" in s
         or "PATH_NOT_FOUND" in s
-        or "does not exist" in s
+        or "Path does not exist" in s
     )
 
 
@@ -1490,6 +1492,7 @@ def incremental_rollup(
     path: str,
     rollup_path: str,
     keep_states: int = 2,
+    owner: str | None = None,
 ) -> dict:
     """Incremental materialized-view maintenance from the manifest
     layer's change feed — the consumer side of Delta's streaming CDF:
@@ -1527,7 +1530,11 @@ def incremental_rollup(
     :class:`ConcurrentRollupError` instead of racing the prune. A
     crashed advance leaves the lock behind — states commit by atomic
     rename, so recovery is simply :func:`release_rollup_lock` once the
-    crash is confirmed."""
+    crash is confirmed. A STABLE-IDENTITY writer (the streaming CDF
+    sink, whose batches are serial by construction) may pass ``owner``:
+    a lock carrying the same owner id is reclaimed automatically, so a
+    crashed stream restart never wedges behind its own dead
+    predecessor."""
     import uuid as _uuid
 
     from .manifest import _claim_marker, snapshot_versions
@@ -1545,23 +1552,57 @@ def incremental_rollup(
         )
     head = versions[-1]
     fs, hpath_cls, _ = _hadoop_fs(spark, rollup_path)
-    if not _claim_marker(
-        fs, hpath_cls, rollup_path, ROLLUP_LOCK,
-        {"op": "incremental_rollup", "table": path, "head": head,
-         "token": _uuid.uuid4().hex},
-    ):
+    payload = {"op": "incremental_rollup", "table": path, "head": head,
+               "token": _uuid.uuid4().hex, "owner": owner}
+    claimed = _claim_marker(fs, hpath_cls, rollup_path, ROLLUP_LOCK, payload)
+    if not claimed and owner is not None:
+        # Self-reclaim for a STABLE-IDENTITY writer (the streaming CDF
+        # sink): an owner runs one advance at a time by construction
+        # (foreachBatch batches are serial), so a live lock carrying OUR
+        # owner id can only be a dead predecessor's — a crashed driver
+        # must not brick every replayed batch behind a manual
+        # release_rollup_lock. A TORN lock (unreadable json: the
+        # claimant died inside _claim_marker, before any advance ran) is
+        # reclaimed too. A lock with a DIFFERENT owner stays untouched.
+        from .manifest import _read_small_json
+
+        try:
+            stale_owner = _read_small_json(
+                fs, hpath_cls, rollup_path, ROLLUP_LOCK
+            ).get("owner")
+            reclaim = stale_owner == owner
+        except Exception:
+            reclaim = True  # torn marker: no advance ever started
+        if reclaim:
+            fs.delete(hpath_cls(f"{rollup_path}/{ROLLUP_LOCK}"), False)
+            claimed = _claim_marker(
+                fs, hpath_cls, rollup_path, ROLLUP_LOCK, payload
+            )
+    if not claimed:
         raise ConcurrentRollupError(
             f"incremental_rollup({rollup_path}) refused: another advance "
             f"holds {ROLLUP_LOCK}; if that maintainer crashed, "
             "release_rollup_lock reclaims the slot (committed states are "
             "rename-atomic, so no state repair is needed)"
         )
+    lock = hpath_cls(f"{rollup_path}/{ROLLUP_LOCK}")
     try:
-        return _advance_rollup(
+        result = _advance_rollup(
             spark, path, rollup_path, keep_states, versions, head
         )
-    finally:
-        fs.delete(hpath_cls(f"{rollup_path}/{ROLLUP_LOCK}"), False)
+    except BaseException:
+        fs.delete(lock, False)  # best-effort on the error path
+        raise
+    # on success the release must be VERIFIED (manifest._must pattern):
+    # a silently surviving lock makes every later advance claim a
+    # phantom concurrent writer with no error at the true failure point
+    if not fs.delete(lock, False) and fs.exists(lock):
+        raise OSError(
+            f"incremental_rollup: failed to release {ROLLUP_LOCK} under "
+            f"{rollup_path} (the advance committed; release the lock "
+            "manually with release_rollup_lock)"
+        )
+    return result
 
 
 def _advance_rollup(
@@ -1643,9 +1684,16 @@ def _advance_rollup(
                 )
                 .filter(F.col("n_rows") > 0)
             )
-        except (FileNotFoundError, ManifestChainError, AnalysisException):
+        except (FileNotFoundError, ManifestChainError):
             # base version vacuumed away under the state (plan-time
             # detection) — fail open
+            new_state, mode = _full_state(), "full"
+        except AnalysisException as exc:
+            # same narrowing as the execution-time catch below: only the
+            # missing-path shapes fail open; unresolved-name / corrupt-
+            # state AnalysisExceptions are real defects and propagate
+            if not _is_missing_file_error(exc):
+                raise
             new_state, mode = _full_state(), "full"
 
     def _write_state(df) -> str:

@@ -4510,6 +4510,14 @@ def test_is_missing_file_error_classification():
     assert not _is_missing_file_error(
         RuntimeError("ExecutorLostFailure (executor 3 exited)")
     )
+    # AnalysisException alone does NOT qualify — Spark raises it for
+    # unresolved columns / corrupt state too, which a recompute would mask
+    assert not _is_missing_file_error(
+        AnalysisException("[UNRESOLVED_COLUMN] `n_rows` cannot be resolved")
+    )
+    assert not _is_missing_file_error(
+        RuntimeError("Table or view does not exist: rollup_state")
+    )
 
 
 def test_incremental_rollup_two_writers_loser_aborts_loudly(
@@ -4553,3 +4561,73 @@ def test_incremental_rollup_two_writers_loser_aborts_loudly(
     )
     # the winner released its lock on the way out
     assert not (tmp_path / "roll" / ROLLUP_LOCK).exists()
+
+
+def test_incremental_rollup_owner_reclaims_own_dead_lock(
+    spark, logs_df, tmp_path
+):
+    """A stable-identity writer (the streaming CDF sink) reclaims a lock
+    carrying ITS OWN owner id — a crashed stream restart must not wedge
+    every replayed batch behind a manual release (review r19). A lock
+    with a DIFFERENT owner stays untouched; a torn lock (claimant died
+    inside the claim) is reclaimed regardless."""
+    from klogs_spark.manifest import _claim_marker, publish_snapshot
+    from klogs_spark.table import (
+        ROLLUP_LOCK,
+        ConcurrentRollupError,
+        incremental_rollup,
+    )
+    from klogs_spark.table import _hadoop_fs as _tfs
+
+    path, rdir = str(tmp_path / "logs"), str(tmp_path / "roll")
+    write_logs(logs_df, path)
+    publish_snapshot(spark, path)
+    fs, hpath_cls, _ = _tfs(spark, rdir)
+    me = f"cdc_rollup_sink:{path}"
+    # dead predecessor with MY identity -> reclaimed, advance succeeds
+    assert _claim_marker(
+        fs, hpath_cls, rdir, ROLLUP_LOCK, {"op": "t", "owner": me}
+    )
+    assert incremental_rollup(spark, path, rdir, owner=me)["mode"] == "full"
+    assert not (tmp_path / "roll" / ROLLUP_LOCK).exists()
+    # foreign owner -> refused even with an owner of my own
+    assert _claim_marker(
+        fs, hpath_cls, rdir, ROLLUP_LOCK, {"op": "t", "owner": "other"}
+    )
+    with pytest.raises(ConcurrentRollupError):
+        incremental_rollup(spark, path, rdir, owner=me)
+    fs.delete(hpath_cls(f"{rdir}/{ROLLUP_LOCK}"), False)
+    # torn lock (empty payload) -> reclaimed by an owner-carrying writer
+    (tmp_path / "roll" / ROLLUP_LOCK).write_bytes(b"")
+    assert incremental_rollup(spark, path, rdir, owner=me)["mode"] == "noop"
+
+
+def test_maintain_refuses_held_rollup_lock_before_side_effects(
+    spark, logs_df, tmp_path
+):
+    """maintain(rollup_path=...) on a manifest table checks the rollup
+    lock FIRST: a stale lock must not surface only after recover/
+    compact/retention/vacuum already mutated the table (review r19 —
+    the cow-tier twin of the plain-dir refusal ordering). The dry run
+    reports the held lock instead of raising."""
+    from klogs_spark.manifest import (
+        maintain,
+        publish_snapshot,
+        snapshot_versions,
+    )
+    from klogs_spark.table import ROLLUP_LOCK, ConcurrentRollupError
+
+    path, rdir = str(tmp_path / "logs"), str(tmp_path / "roll")
+    write_logs(logs_df, path)
+    publish_snapshot(spark, path)
+    (tmp_path / "roll").mkdir()
+    (tmp_path / "roll" / ROLLUP_LOCK).write_text('{"owner": "x"}')
+    versions_before = snapshot_versions(spark, path)
+    mtimes = _data_file_mtimes(path)
+    with pytest.raises(ConcurrentRollupError, match="BEFORE any"):
+        maintain(spark, path, rollup_path=rdir, retention_days=0)
+    # nothing ran: no new manifest version, no file touched
+    assert snapshot_versions(spark, path) == versions_before
+    assert _data_file_mtimes(path) == mtimes
+    plan = maintain(spark, path, rollup_path=rdir, dry_run=True)
+    assert plan["rollup_locked"] is True

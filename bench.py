@@ -122,9 +122,11 @@ HEADLINE = [
     # sequence assembly + shard packing (native arrays + one window).
     "multimodal_pair_alignment",
     "multimodal_interleaved_pack",
-    # round-19: the audio twin of pair alignment — real WAV synth+decode
-    # clip tower (one Arrow pass) + native caption tower + broadcast join.
+    # round-19: the audio and video twins of pair alignment — real WAV
+    # synth+decode (resp. AVI demux + JPEG frame decode) clip towers in
+    # one Arrow pass + native caption tower + broadcast join.
     "multimodal_audio_pair_alignment",
+    "multimodal_video_pair_alignment",
 ]
 
 

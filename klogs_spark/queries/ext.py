@@ -1496,6 +1496,169 @@ GROUP BY sh.simhash
 """
 
 
+VIDEO_PAIR_TAU = 0.82  # video-caption alignment keep threshold (oracle-shared)
+
+
+def q_multimodal_video_pair_alignment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MSR-VTT-style video-text pair curation — the third modality of
+    the pair-alignment trio (image r18, audio+video r19): score each
+    (clip, caption) pair by embedding cosine, keep pairs above the
+    threshold, remove near-duplicate pairs by caption SimHash
+    (survivor = lowest pair id).
+
+    The CLIP tower runs the REAL video path end-to-end inside ONE
+    mapInPandas crossing: synthesize the same MJPEG AVIs as the
+    scene-cut carrier (doc_id%3+1 frames, frame content seed base+6f),
+    demux the RIFF container (decode_avi_mjpeg_frames), JPEG-decode
+    every frame byte-up (jpeg_lite), and take the clip embedding as the
+    4-slot per-frame mean-intensity profile (mean of frame f, 0.0 for
+    absent frames) plus the real decoded duration (n_frames / fps) — a
+    real video encoder (VideoCLIP) slots in with the same signature.
+    Means are exact-int divisions (sum_vals / n_vals), so the oracle's
+    closed-form frame sums (the scene-cut CTEs) restate them
+    bit-identically. Caption tower/join/dedup shapes are shared with
+    the image and audio carriers (_caption_vec, broadcast, SimHash).
+
+    Plan-asserted: exactly ONE MapInPandas, BroadcastHashJoin, no
+    cartesian, no row-at-a-time Python."""
+    from ..ext import multimodal as mm
+    from ..ext.caching import cache_tracked
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def _clip_tower(batches):
+        import pandas as pd
+
+        for b in batches:
+            ids = [int(x) for x in b["doc_id"]]
+            vecs, durs = [], []
+            for i in ids:
+                frames = [
+                    mm.synth_jpeg_gray_blocks(i % 6 + 6 * f)
+                    for f in range(i % 3 + 1)
+                ]
+                base = i % 6
+                w, h = (base % 3 + 1) * 8, (base % 2 + 1) * 8
+                avi = mm.synth_avi_mjpeg(frames, w, h)
+                decoded = mm.decode_avi_mjpeg_frames(avi)
+                prof = [0.0, 0.0, 0.0, 0.0]
+                for fi, fb in enumerate(decoded[:4]):
+                    d = mm._decode_pixels_tolerant(fb)
+                    if d is not None:
+                        _w, _h, _ch, raw = d
+                        prof[fi] = sum(raw) / len(raw)
+                vecs.append(prof)
+                durs.append(len(decoded) / 10.0)  # synth fps = 10
+            yield pd.DataFrame(
+                {"pair_id": ids, "vv": vecs, "duration_s": durs}
+            )
+
+    clips = _fan_out_media(docs.select("doc_id")).mapInPandas(
+        _clip_tower,
+        schema="pair_id long, vv array<double>, duration_s double",
+    ).filter(
+        # BLANK clips (all-zero profile: every decoded frame uniform
+        # black) have no direction — cosine is undefined — and a real
+        # curation pipeline discards them before scoring anyway
+        F.expr("aggregate(vv, 0D, (a, x) -> a + x * x) > 0D")
+    )
+    caps = docs.select(
+        F.col("doc_id").alias("pair_id"),
+        F.col("text"),
+        _caption_vec().alias("cv"),
+    )
+    scored = clips.join(F.broadcast(caps), "pair_id").select(
+        "pair_id", "text", "duration_s",
+        dd.cosine_col(F.col("vv"), F.col("cv")).alias("alignment"),
+    )
+    kept = cache_tracked(
+        scored.filter(F.col("alignment") >= VIDEO_PAIR_TAU)
+    )
+    return (
+        _pair_sim_joined(kept)
+        .groupBy("simhash")
+        .agg(
+            F.min("pair_id").alias("survivor_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.round(F.min_by("alignment", "pair_id"), 6).alias(
+                "alignment"
+            ),
+            F.round(F.min_by("duration_s", "pair_id"), 6).alias(
+                "duration_s"
+            ),
+        )
+    )
+
+
+# the scene-cut carrier's closed-form frame sums (same synth pattern),
+# reduced to per-frame means and pivoted into the 4-slot clip profile
+_VIDEO_CLIP_CTES = """vids AS (
+  SELECT doc_id, doc_id % 3 + 1 AS n_frames, doc_id % 6 AS base
+  FROM documents
+),
+vframes AS (
+  SELECT v.doc_id, t.f AS frame_idx, v.base + 6 * t.f AS seed
+  FROM vids v, generate_series(0, 2) AS t(f)
+  WHERE t.f < v.n_frames
+),
+vdims AS (
+  SELECT doc_id, frame_idx, seed,
+         (seed % 3 + 1) AS wb, (seed % 2 + 1) AS hb
+  FROM vframes
+),
+vblk AS (
+  SELECT d.doc_id, d.frame_idx, d.wb, d.hb,
+         (d.seed * 37 + t.j * 11) % 256 AS v
+  FROM vdims d, generate_series(0, 5) AS t(j)
+  WHERE t.j < d.wb * d.hb
+),
+vrt AS (
+  SELECT doc_id, frame_idx, wb, hb,
+         CASE WHEN v % 2 = 0 THEN v
+              WHEN v > 128 THEN LEAST(v + 1, 255)
+              ELSE v - 1 END AS v2
+  FROM vblk
+),
+vmeans AS (
+  SELECT doc_id, frame_idx,
+         CAST(64 * sum(v2) AS DOUBLE) / (max(wb) * max(hb) * 64) AS mn
+  FROM vrt GROUP BY 1, 2
+),
+clip AS (
+  SELECT doc_id,
+         [coalesce(max(CASE WHEN frame_idx = 0 THEN mn END), 0.0),
+          coalesce(max(CASE WHEN frame_idx = 1 THEN mn END), 0.0),
+          coalesce(max(CASE WHEN frame_idx = 2 THEN mn END), 0.0),
+          0.0] AS vv,
+         count(*) / 10.0 AS duration_s
+  FROM vmeans GROUP BY doc_id
+)"""
+
+SQL_MULTIMODAL_VIDEO_PAIR_ALIGNMENT = f"""
+WITH {SIMHASH_CTE},
+{_VIDEO_CLIP_CTES},
+vcap AS (SELECT doc_id, [{_PAIR_CAP_VEC}] AS cv FROM documents),
+vscored AS (
+  SELECT c.doc_id, l.duration_s, {_cos_sql('vv', 'cv')} AS alignment
+  FROM clip l JOIN vcap c ON l.doc_id = c.doc_id
+  WHERE list_dot_product(vv, vv) > 0
+),
+vkept AS (
+  SELECT doc_id, alignment, duration_s FROM vscored
+  WHERE alignment >= {VIDEO_PAIR_TAU}
+)
+SELECT sh.simhash,
+       min(k.doc_id) AS survivor_id,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(arg_min(k.alignment, k.doc_id), 6) AS alignment,
+       round(arg_min(k.duration_s, k.doc_id), 6) AS duration_s
+FROM vkept k JOIN simh sh ON sh.id = k.doc_id
+GROUP BY sh.simhash
+"""
+
+
 def q_multimodal_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-trip proof that the header sniffing is real: synthesize
     structurally-valid PNG/JPEG/WAV payloads per doc (deterministic formulas
@@ -8768,6 +8931,12 @@ SPECS = {
         "AudioCaps-style audio-text pair curation: real WAV decode clip "
         "tower (window energies + duration) + native caption tower, "
         "cosine threshold, SimHash pair dedup"),
+    "multimodal_video_pair_alignment": QuerySpec(
+        q_multimodal_video_pair_alignment,
+        SQL_MULTIMODAL_VIDEO_PAIR_ALIGNMENT,
+        "MSR-VTT-style video-text pair curation: real AVI demux + JPEG "
+        "frame decode clip tower (per-frame mean profile + duration) + "
+        "native caption tower, cosine threshold, SimHash pair dedup"),
     "multimodal_features": QuerySpec(q_multimodal_features,
                                      SQL_MULTIMODAL_FEATURES,
                                      "binary payload -> Arrow-batched features"),

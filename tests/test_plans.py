@@ -973,3 +973,19 @@ def test_audio_pair_alignment_one_arrow_pass_broadcast_captions(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_video_pair_alignment_one_arrow_pass_broadcast_captions(spark):
+    """Video-text pair curation: exactly ONE Arrow crossing (the AVI
+    demux + JPEG frame decode clip tower), caption tower native,
+    captions broadcast, no cartesian, no row-at-a-time Python."""
+    import re
+
+    plan = _plan(spark, "multimodal_video_pair_alignment")
+    nodes = set(re.findall(r"\((\d+)\) MapInPandas", plan))
+    assert len(nodes) == 1, plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan

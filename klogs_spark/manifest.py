@@ -3064,7 +3064,19 @@ def maintain(
         fs_, hp_, _ = _hadoop_fs(spark, rollup_path)
         rollup_locked = fs_.exists(hp_(f"{rollup_path}/{ROLLUP_LOCK}"))
         if dry_run:
+            from .table import _rollup_state_versions
+
             report["rollup_locked"] = rollup_locked
+            states_ = _rollup_state_versions(fs_, hp_, rollup_path)
+            head_ = snapshot_versions(spark, path)[-1]
+            report["rollup"] = {
+                "from_version": states_[-1] if states_ else None,
+                "to_version": head_,
+                "would_advance": (
+                    not rollup_locked
+                    and (not states_ or states_[-1] != head_)
+                ),
+            }
         elif rollup_locked:
             raise ConcurrentRollupError(
                 f"maintain({path}): rollup advance refused BEFORE any "

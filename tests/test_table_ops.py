@@ -4631,3 +4631,34 @@ def test_maintain_refuses_held_rollup_lock_before_side_effects(
     assert _data_file_mtimes(path) == mtimes
     plan = maintain(spark, path, rollup_path=rdir, dry_run=True)
     assert plan["rollup_locked"] is True
+
+
+def test_maintain_dry_run_previews_rollup_advance(
+    spark, logs_df, tmp_path
+):
+    """maintain(rollup_path=..., dry_run=True) reports what the advance
+    WOULD do (from/to version, would_advance) next to rollup_locked —
+    the same honest-dry-run contract the dv plan keeps."""
+    from klogs_spark.manifest import (
+        maintain,
+        mor_delete_where,
+        publish_snapshot,
+    )
+
+    path, rdir = str(tmp_path / "logs"), str(tmp_path / "roll")
+    write_logs(logs_df, path)
+    publish_snapshot(spark, path)
+    plan = maintain(spark, path, rollup_path=rdir, dry_run=True)
+    assert plan["rollup_locked"] is False
+    assert plan["rollup"] == {
+        "from_version": None, "to_version": 1, "would_advance": True,
+    }
+    rep = maintain(spark, path, rollup_path=rdir)  # materialize
+    assert rep["rollup"]["mode"] == "full"
+    plan2 = maintain(spark, path, rollup_path=rdir, dry_run=True)
+    assert plan2["rollup"]["would_advance"] is False  # current already
+    mor_delete_where(spark, path, "pod_name = 'pod-1'")
+    plan3 = maintain(spark, path, rollup_path=rdir, dry_run=True)
+    assert plan3["rollup"]["would_advance"] is True
+    assert plan3["rollup"]["from_version"] == 1
+    assert plan3["rollup"]["to_version"] == 2

@@ -513,8 +513,10 @@ def main() -> None:
         from klogs_spark.table import incremental_rollup, write_logs
         from klogs_spark.views import derive_logs_from_events
 
+        # the last two hours of the 31-day window (events end Jan 30
+        # 23:59) — a small FIXED batch regardless of scale
         churn_batch = derive_logs_from_events(spark, SF01).filter(
-            "timestamp >= '2024-01-31 23:00:00'"
+            "timestamp >= '2024-01-30 22:00:00'"
         )
         n_churn = churn_batch.count()
 
@@ -553,6 +555,12 @@ def main() -> None:
             "ratio_10x": round(f1 / f01, 2),
             "in_rows": {"sf0.1": load_table(spark, SF01, "events").count(),
                         "sf1": counts["events"]},
+            "note": "one whole-corpus aggregate: the scan term grows "
+                    "linearly with in_rows but is still small against "
+                    "fixed job overhead at 1M rows on 32 cores — the "
+                    "structural contrast with the advance is what it "
+                    "READS (the whole table vs only the appended churn "
+                    "files), visible in in_rows vs churn_rows",
         }
         results["table_cdc_rollup_advance"] = {
             "sf0.1_sec": round(a01, 3),

@@ -225,11 +225,10 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         return round(best, 3)
 
-    calibration = probe(
-        lambda: spark.range(100_000_000).selectExpr(
-            "sum(id * 3 % 7)", "count(distinct id % 1024)"
-        ).collect()
-    )
+    _cpu_probe_fn = lambda: spark.range(100_000_000).selectExpr(  # noqa: E731
+        "sum(id * 3 % 7)", "count(distinct id % 1024)"
+    ).collect()
+    calibration = probe(_cpu_probe_fn)
     print(f"# calibration: {calibration}s", file=sys.stderr)
 
     # shuffle-path calibration: a fixed repartition job timed next to the
@@ -239,11 +238,10 @@ def main() -> None:
     # re-run to adjudicate as box drift. Two probes separate the axes:
     # cpu-probe flat + shuffle-probe up = shuffle-path drift, both flat =
     # real code regression in the queries that moved.
-    shuffle_calibration = probe(
-        lambda: spark.range(4_000_000).repartition(64, "id").selectExpr(
-            "sum(id % 97)"
-        ).collect()
-    )
+    _shuffle_probe_fn = lambda: spark.range(  # noqa: E731
+        4_000_000
+    ).repartition(64, "id").selectExpr("sum(id % 97)").collect()
+    shuffle_calibration = probe(_shuffle_probe_fn)
     print(f"# shuffle calibration: {shuffle_calibration}s", file=sys.stderr)
 
     # parquet-scan calibration: a fixed filter+agg over the PINNED sf0.1
@@ -256,15 +254,14 @@ def main() -> None:
     # rounds regardless of the benched scale factor.
     _scan_probe = "/root/testdata/sf0.1/lineitem.parquet"
     scan_calibration = None
+    _scan_probe_fn = lambda: spark.read.parquet(_scan_probe).filter(  # noqa: E731
+        "l_quantity > 25"
+    ).selectExpr(
+        "sum(l_extendedprice * (1 - l_discount))",
+        "count(distinct l_suppkey)",
+    ).collect()
     if os.path.exists(_scan_probe):
-        scan_calibration = probe(
-            lambda: spark.read.parquet(_scan_probe).filter(
-                "l_quantity > 25"
-            ).selectExpr(
-                "sum(l_extendedprice * (1 - l_discount))",
-                "count(distinct l_suppkey)",
-            ).collect()
-        )
+        scan_calibration = probe(_scan_probe_fn)
     print(f"# scan calibration: {scan_calibration}s", file=sys.stderr)
 
     # Python-worker calibration: a fixed Arrow round-trip over the same
@@ -272,14 +269,13 @@ def main() -> None:
     # serialization) that mapInPandas-heavy rows (decode, image tower)
     # ride on. No engine code: an identity mapInPandas plus a trivial agg.
     py_calibration = None
+    _py_probe_fn = lambda: spark.read.parquet(_scan_probe).select(  # noqa: E731
+        "l_orderkey", "l_quantity"
+    ).mapInPandas(
+        lambda it: it, "l_orderkey long, l_quantity double"
+    ).selectExpr("sum(l_quantity)").collect()
     if os.path.exists(_scan_probe):
-        py_calibration = probe(
-            lambda: spark.read.parquet(_scan_probe).select(
-                "l_orderkey", "l_quantity"
-            ).mapInPandas(
-                lambda it: it, "l_orderkey long, l_quantity double"
-            ).selectExpr("sum(l_quantity)").collect()
-        )
+        py_calibration = probe(_py_probe_fn)
     print(f"# python-worker calibration: {py_calibration}s", file=sys.stderr)
 
     # Materialized-table section: write the logs view ONCE as the engine's
@@ -681,6 +677,25 @@ def main() -> None:
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
+    # END-of-run probe re-capture: the same four fixed probes, re-timed
+    # after the full query sweep. Start-vs-end drift on a probe axis is
+    # the harness's OWN measurement of late-run state (heap/page-cache/
+    # worker-pool pressure, thermal) — late-capture rows inflated beyond
+    # what the end probes show is a real regression, not capture
+    # pollution (the r18 artifact inflated two late rows ~1.8x with no
+    # instrument to say so).
+    end_probes = {
+        "box_calibration_end_sec": probe(_cpu_probe_fn),
+        "box_shuffle_calibration_end_sec": probe(_shuffle_probe_fn),
+        "box_scan_calibration_end_sec": (
+            probe(_scan_probe_fn) if os.path.exists(_scan_probe) else None
+        ),
+        "box_python_calibration_end_sec": (
+            probe(_py_probe_fn) if os.path.exists(_scan_probe) else None
+        ),
+    }
+    print(f"# end probes: {end_probes}", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     # the set timed in rounds <= 4 — keep a like-for-like subtotal so adding
     # queries to the bench never reads as a regression across rounds
@@ -723,6 +738,7 @@ def main() -> None:
         "box_shuffle_calibration_sec": shuffle_calibration,
         "box_scan_calibration_sec": scan_calibration,
         "box_python_calibration_sec": py_calibration,
+        **end_probes,
         "calibration_protocol": (
             "four fixed probes, no engine code, best-of-3: cpu (pure JVM "
             "arithmetic), shuffle (repartition), scan (pinned sf0.1 "
@@ -732,7 +748,10 @@ def main() -> None:
             "drift on that axis, not a plan regression; all probes flat + "
             "a query up = real regression in that query. r18's +31% "
             "comparable drift moved on the scan axis the old two probes "
-            "could not see."
+            "could not see. Each probe is captured at bench START and "
+            "again at bench END (*_end_sec): end-vs-start drift measures "
+            "late-run state pressure, so late-capture rows inflated "
+            "beyond the end probes indicate a real regression."
         ),
         # timings{} inserts in exact capture order, so the record cannot
         # drift from the code (failed slots are absent — see errors{})

@@ -2640,7 +2640,7 @@ from hypothesis import strategies as st
 @given(ops=st.lists(st.sampled_from(
     ["append", "cow_delete", "cow_compact", "restore", "clone", "vacuum",
      "publish", "maintain", "mor_delete", "dv_compact", "mor_update",
-     "dv_compact_thresh", "dv_coalesce",
+     "dv_compact_thresh", "dv_coalesce", "rollup_advance",
      # failure injections (r16 judge task): crash artifacts and corrupt
      # metadata interleaved with real ops — invariants must still hold
      "corrupt_ckpt", "torn_vacuum", "crash_rewrite"]),
@@ -2822,6 +2822,22 @@ def test_manifest_layer_randomized_op_sequences_hold_invariants(
                 M._cow_base_version(spark, path),
             )
             assert M.recover_incomplete_rewrite(spark, path) >= 0
+        elif op == "rollup_advance":
+            # the streaming-CDF consumer interleaved with every other
+            # lifecycle op: after an advance (incremental from the
+            # change feed, or fail-open full when vacuum/restore broke
+            # the diff base) the rollup's global row count must equal
+            # the model — a diff that double-counts a COW rewrite's
+            # carried rows, misses a MOR delete, or mis-signs a change
+            # type breaks this immediately
+            from klogs_spark.table import incremental_rollup, read_rollup
+
+            incremental_rollup(spark, path, path + "_rollup")
+            got = (
+                read_rollup(spark, path + "_rollup")
+                .agg(F.sum("n_rows")).first()[0] or 0
+            )
+            assert got == total, ("rollup drift", got, total, ops)
         else:
             continue
         got_total, got_p7 = head_counts()

@@ -224,6 +224,14 @@ def main(argv: list[str] | None = None) -> int:
     prl.add_argument("rollup")
     prl.add_argument("--keep-states", type=int, default=2)
 
+    prlr = sub.add_parser("rollup-release-lock",
+                          help="release a CRASHED advance's rollup lock "
+                               "(.rollup-inprogress.json); states commit "
+                               "by atomic rename, so no state repair is "
+                               "needed — only use once the holder is "
+                               "confirmed dead")
+    prlr.add_argument("rollup")
+
     pvc = sub.add_parser("vacuum",
                          help="reclaim files unreferenced by the newest "
                               "K manifests")
@@ -537,6 +545,16 @@ def main(argv: list[str] | None = None) -> int:
         )
         print(
             f"rollup at v{res['to_version']} ({src}, mode {res['mode']})"
+        )
+        return 0
+
+    if args.cmd == "rollup-release-lock":
+        from .table import release_rollup_lock
+
+        released = release_rollup_lock(spark, args.rollup)
+        print(
+            "lock released" if released
+            else "no lock held — nothing to release"
         )
         return 0
 

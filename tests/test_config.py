@@ -276,3 +276,44 @@ def test_cli_mor_update_set_parsing_and_apply(spark, tmp_path, capsys):
     for bad in ("log", "log=", "=x", "  =x"):
         with pytest.raises(SystemExit, match="COL=EXPR"):
             main(["mor-update", path, "true", "--set", bad])
+
+
+def test_cli_rollup_advance_and_release_lock(spark, tmp_path, capsys):
+    """Operator surface for the CDC rollup loop: rollup-advance drives
+    incremental_rollup (full on first call, incremental after churn),
+    and rollup-release-lock reclaims a crashed advance's lock so the
+    next nightly isn't wedged."""
+    from pyspark.sql import functions as F
+
+    from klogs_spark.__main__ import main
+    from klogs_spark.table import ROLLUP_LOCK, write_logs
+    from klogs_spark.views import derive_logs_from_events
+
+    logs = derive_logs_from_events(spark, "/root/testdata/sf0.001").filter(
+        F.col("timestamp") < "2024-01-03"
+    )
+    path, rdir = str(tmp_path / "t"), str(tmp_path / "r")
+    write_logs(logs, path)
+    assert main(["snapshot", path]) == 0
+    capsys.readouterr()
+
+    assert main(["rollup-advance", path, rdir]) == 0
+    assert "mode full" in capsys.readouterr().out
+
+    # crashed holder: a stale lock wedges the next advance...
+    (tmp_path / "r" / ROLLUP_LOCK).write_text('{"owner": "dead"}')
+    assert main(["mor-delete", path, "pod_name = 'pod-7'"]) == 0
+    capsys.readouterr()
+    import pytest
+
+    from klogs_spark.table import ConcurrentRollupError
+
+    with pytest.raises(ConcurrentRollupError):
+        main(["rollup-advance", path, rdir])
+    # ...until the operator releases it
+    assert main(["rollup-release-lock", rdir]) == 0
+    assert "lock released" in capsys.readouterr().out
+    assert main(["rollup-advance", path, rdir]) == 0
+    assert "mode incremental" in capsys.readouterr().out
+    assert main(["rollup-release-lock", rdir]) == 0
+    assert "nothing to release" in capsys.readouterr().out

@@ -219,6 +219,12 @@ def main() -> None:
         # the explicit fan-out (AQE-coalesce fix) is exactly what this
         # measures at 10x
         ("multimodal_video_scene_cuts", "documents"),
+        # r19: the pair-alignment carriers are scale-sensitive on two
+        # axes — the Arrow clip/image tower (corpus-linear) and the
+        # broadcast caption join (whose small side grows with the
+        # corpus) — measure both rather than assert them
+        ("multimodal_pair_alignment", "documents"),
+        ("multimodal_audio_pair_alignment", "documents"),
     ]
 
     results: dict = {}

@@ -1252,7 +1252,8 @@ def _pair_alignment_kept(docs: DataFrame) -> DataFrame:
     threshold — the shared front half of the pair-curation carriers:
     Arrow-batched fake image tower over synthesized payload bytes
     (where a real CLIP tower slots in), NATIVE sha2-based caption tower
-    (zero Python on the text side), broadcast pair join, row-local
+    (zero Python on the text side), AQE-chosen pair join (broadcast at
+    bench scale, shuffle-on-key past the threshold), row-local
     cosine (dedup.cosine_col, left-to-right — engine-deterministic).
     Cached: the kept set feeds both a signature branch and a final join
     in every consumer, and the cache keeps the image tower at one run."""
@@ -1279,7 +1280,13 @@ def _pair_alignment_kept(docs: DataFrame) -> DataFrame:
         F.col("text"),
         _caption_vec().alias("cv"),
     )
-    scored = img.join(F.broadcast(caps), "pair_id").select(
+    # NO forced broadcast (r19): the caption side is corpus-sized, so a
+    # broadcast HINT would collect it on the driver at 100 TB. AQE picks
+    # the join at runtime — broadcast while the caption projection fits
+    # (every bench/test scale; the plan guard sees BroadcastHashJoin),
+    # shuffle-on-pair_id sort-merge past the threshold, where both
+    # towers co-shuffle on the shared key instead of OOMing the driver.
+    scored = img.join(caps, "pair_id").select(
         "pair_id", "text",
         dd.cosine_col(F.col("iv"), F.col("cv")).alias("alignment"),
     )
@@ -1313,10 +1320,13 @@ def q_multimodal_pair_alignment(
     mapInPandas crossing, where a real CLIP image tower slots in with
     the same signature); the CAPTION tower is the SAME fake construction
     computed NATIVELY (sha2 + conv, zero Python), so the text side never
-    leaves the JVM; the pair join broadcasts the caption side and the
-    alignment cosine is a row-local zip_with fold (dedup.cosine_col,
-    left-to-right — deterministic across engines). Plan-asserted: one
-    MapInPandas, BroadcastHashJoin, no cartesian, no BatchEvalPython.
+    leaves the JVM; the pair join is AQE-chosen (broadcast while the
+    caption projection fits — every bench/test scale — and
+    shuffle-on-pair_id sort-merge past the threshold, never a driver
+    collect of a corpus-sized side) and the alignment cosine is a
+    row-local zip_with fold (dedup.cosine_col, left-to-right —
+    deterministic across engines). Plan-asserted: one MapInPandas,
+    BroadcastHashJoin at test scale, no cartesian, no BatchEvalPython.
 
     Payloads are synthesized ('img:<id>:<text>' bytes) so the oracle can
     restate the encoder closed-form — the SQL-reproducibility contract
@@ -1393,8 +1403,9 @@ def q_multimodal_audio_pair_alignment(
     crossing for synth+decode+feature, where a real audio encoder
     (CLAP, wav2vec) slots in with the same (payload -> array<double>)
     signature. The CAPTION tower is the shared native sha2 construction
-    (_caption_vec — zero Python); captions broadcast onto the clip
-    side; the cosine is the row-local zip_with fold. Window energies
+    (_caption_vec — zero Python); the pair join is AQE-chosen
+    (broadcast at test scale, shuffle-on-key at corpus scale); the
+    cosine is the row-local zip_with fold. Window energies
     are exact integer sums cast to double, so the oracle's
     generate_series restatement is bit-identical.
 
@@ -1436,7 +1447,8 @@ def q_multimodal_audio_pair_alignment(
         F.col("text"),
         _caption_vec().alias("cv"),
     )
-    scored = clips.join(F.broadcast(caps), "pair_id").select(
+    # no forced broadcast — same AQE rationale as _pair_alignment_kept
+    scored = clips.join(caps, "pair_id").select(
         "pair_id", "text", "duration_s",
         dd.cosine_col(F.col("av"), F.col("cv")).alias("alignment"),
     )
@@ -1519,9 +1531,11 @@ def q_multimodal_video_pair_alignment(
     Means are exact-int divisions (sum_vals / n_vals), so the oracle's
     closed-form frame sums (the scene-cut CTEs) restate them
     bit-identically. Caption tower/join/dedup shapes are shared with
-    the image and audio carriers (_caption_vec, broadcast, SimHash).
+    the image and audio carriers (_caption_vec, AQE-chosen join,
+    SimHash).
 
-    Plan-asserted: exactly ONE MapInPandas, BroadcastHashJoin, no
+    Plan-asserted: exactly ONE MapInPandas, BroadcastHashJoin at test
+    scale, no
     cartesian, no row-at-a-time Python."""
     from ..ext import multimodal as mm
     from ..ext.caching import cache_tracked
@@ -1569,7 +1583,8 @@ def q_multimodal_video_pair_alignment(
         F.col("text"),
         _caption_vec().alias("cv"),
     )
-    scored = clips.join(F.broadcast(caps), "pair_id").select(
+    # no forced broadcast — same AQE rationale as _pair_alignment_kept
+    scored = clips.join(caps, "pair_id").select(
         "pair_id", "text", "duration_s",
         dd.cosine_col(F.col("vv"), F.col("cv")).alias("alignment"),
     )
@@ -4271,7 +4286,8 @@ def q_pipeline_multimodal_prep(
     """End-to-end multimodal corpus preparation — the LAION-to-MMC4
     pipeline a multimodal pretraining run feeds on, composed from the
     stage carriers in ONE plan: (1) image-text pair alignment (Arrow
-    image tower + native caption tower + broadcast join, cosine >= tau),
+    image tower + native caption tower + AQE-chosen pair join,
+    cosine >= tau),
     (2) near-duplicate pair removal (caption SimHash, survivor = lowest
     pair id), (3) interleaved sequence assembly of the survivors
     (doc_id%3 image slots at IMG_TOKENS vision tokens, text split

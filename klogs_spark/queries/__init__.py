@@ -201,7 +201,6 @@ DRIVER_VERIFIED: dict = {
     "multimodal_interleaved_pack": "568d624e9be8",
     "multimodal_jpeg_stats": "f6e6b86b6985",
     "multimodal_jpeg_subsampled": "ee9475de09bb",
-    "multimodal_pair_alignment": "fcbf86fca626",
     "multimodal_transcode": "acad661c0117",
     "multimodal_video_mjpeg": "0ced7d7ea628",
     "multimodal_video_scene_cuts": "4da8de30edba",
@@ -209,7 +208,6 @@ DRIVER_VERIFIED: dict = {
     "pipeline_budget_threshold": "2c592c21840e",
     "pipeline_ccnet_buckets": "cbb93ad00117",
     "pipeline_dsir_select": "f0d28fda7428",
-    "pipeline_multimodal_prep": "1f0fea846dcf",
     "pipeline_pretrain_prep": "60209e874d2d",
     "pipeline_warc_to_wet": "b02887be6077",
     "sample_balance_sources": "84ad1b244e7c",

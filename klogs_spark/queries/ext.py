@@ -1674,6 +1674,178 @@ GROUP BY sh.simhash
 """
 
 
+RETR_QUERY_MOD = 20   # every 20th doc's caption is an eval query
+RETR_NOISE = 0.05     # aligned-tower noise scale (oracle-shared literal)
+_RETR_PLANES = None   # built lazily: hyperplanes(3, _PAIR_DIM)
+
+
+def _retr_planes() -> list:
+    global _RETR_PLANES
+    if _RETR_PLANES is None:
+        from ..ext.hashing import hyperplanes
+
+        _RETR_PLANES = hyperplanes(3, _PAIR_DIM)
+    return _RETR_PLANES
+
+
+def q_multimodal_pair_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal retrieval evaluation — the recall@1 check every
+    CLIP-style curation pipeline runs after training: a sampled caption
+    set (every RETR_QUERY_MOD-th doc) retrieves its top-1 image by
+    cosine among LSH-BUCKETED candidates, and the per-bucket hit census
+    (top-1 == the caption's own pair) is the quality metric.
+
+    Unlike the alignment-score carriers (independent hash towers), the
+    image tower here models a TRAINED aligned encoder: its embedding is
+    the caption vector plus RETR_NOISE times an independent
+    payload-hash vector — true pairs score near 1.0, random pairs lower,
+    so recall is meaningfully high without being trivially 1.0. Both
+    terms are the established sha-formula constructions, so the oracle
+    restates the tower closed-form.
+
+    Scale shape: the eval set is a fixed sample (at 100 TB you evaluate
+    on ~10k queries, not the corpus); candidates come from a sign-LSH
+    bucket equi-join on shared literal hyperplanes (ext.hashing —
+    never captions x images); top-1 is a per-caption window over
+    bucket-bounded candidates. One Arrow crossing (the image tower);
+    the caption tower, buckets, cosine, and window are all native."""
+    from pyspark.sql import Window
+
+    from ..ext.similarity import lsh_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def _img_tower(batches):
+        import hashlib
+
+        import pandas as pd
+
+        def h(s: str) -> float:
+            # CENTERED sha component: zero-mean vectors spread cosines
+            # over [-1, 1] (all-positive towers cluster near 1, which
+            # would make every candidate look aligned) and fill all
+            # 2^planes LSH buckets evenly
+            return int(
+                hashlib.sha256(s.encode()).hexdigest()[:14], 16
+            ) / 2 ** 56 - 0.5
+
+        for b in batches:
+            ids = [int(x) for x in b["doc_id"]]
+            vecs = []
+            for i, t in zip(ids, b["text"]):
+                payload = f"img:{i}:{t}"
+                vecs.append(
+                    [
+                        h(t + str(k)) + RETR_NOISE * h(payload + str(k))
+                        for k in range(_PAIR_DIM)
+                    ]
+                )
+            yield pd.DataFrame({"img_id": ids, "iv": vecs})
+
+    imgs = _fan_out_media(docs.select("doc_id", "text")).mapInPandas(
+        _img_tower, schema="img_id long, iv array<double>"
+    )
+    caps = docs.filter(
+        F.col("doc_id") % RETR_QUERY_MOD == 0
+    ).select(
+        F.col("doc_id").alias("cap_id"),
+        F.transform(_caption_vec(), lambda x: x - 0.5).alias("cv"),
+    )
+    ib = imgs.select(
+        "img_id", "iv",
+        lsh_bucket(F.col("iv"), _retr_planes()).alias("bucket"),
+    )
+    cb = caps.select(
+        "cap_id", "cv",
+        lsh_bucket(F.col("cv"), _retr_planes()).alias("bucket"),
+    )
+    cand = cb.join(ib, "bucket").select(
+        "bucket", "cap_id", "img_id",
+        dd.cosine_col(F.col("cv"), F.col("iv")).alias("cos"),
+    )
+    w = Window.partitionBy("cap_id").orderBy(
+        F.col("cos").desc(), F.col("img_id")
+    )
+    top1 = cand.withColumn("rk", F.row_number().over(w)).filter("rk = 1")
+    return top1.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        F.sum(
+            (F.col("img_id") == F.col("cap_id")).cast("long")
+        ).cast("bigint").alias("n_top1_hits"),
+        # min/max are aggregation-order-proof; avg of doubles is not
+        F.round(F.min("cos"), 6).alias("min_top1_cos"),
+        F.round(F.max("cos"), 6).alias("max_top1_cos"),
+    )
+
+
+def _retr_bucket_sql(col: str) -> str:
+    return " + ".join(
+        f"CASE WHEN list_dot_product({col}, {_plane_sql_literal(p)}) > 0 "
+        f"THEN CAST({1 << j} AS BIGINT) ELSE 0 END"
+        for j, p in enumerate(_retr_planes())
+    )
+
+
+def _retr_cap_vec_sql() -> str:
+    return ", ".join(
+        f"(CAST('0x' || substr(sha256(text || '{k}'), 1, 14) AS BIGINT)"
+        " / 72057594037927936.0 - 0.5)"
+        for k in range(_PAIR_DIM)
+    )
+
+
+def _retr_img_vec_sql() -> str:
+    cap_terms = [
+        f"(CAST('0x' || substr(sha256(text || '{k}'), 1, 14) AS BIGINT)"
+        " / 72057594037927936.0 - 0.5)"
+        for k in range(_PAIR_DIM)
+    ]
+    img_terms = [
+        "(CAST('0x' || substr(sha256('img:' || CAST(doc_id AS VARCHAR) "
+        f"|| ':' || text || '{k}'), 1, 14) AS BIGINT)"
+        " / 72057594037927936.0 - 0.5)"
+        for k in range(_PAIR_DIM)
+    ]
+    return ", ".join(
+        f"{c} + {RETR_NOISE} * {i}"
+        for c, i in zip(cap_terms, img_terms)
+    )
+
+
+def _sql_multimodal_pair_retrieval() -> str:
+    return f"""
+WITH img AS (
+  SELECT doc_id AS img_id, [{_retr_img_vec_sql()}] AS iv FROM documents
+),
+cap AS (
+  SELECT doc_id AS cap_id, [{_retr_cap_vec_sql()}] AS cv FROM documents
+  WHERE doc_id % {RETR_QUERY_MOD} = 0
+),
+ib AS (SELECT img_id, iv, {_retr_bucket_sql('iv')} AS bucket FROM img),
+cb AS (SELECT cap_id, cv, {_retr_bucket_sql('cv')} AS bucket FROM cap),
+cand AS (
+  SELECT cb.bucket, cb.cap_id, ib.img_id,
+         {_cos_sql('cv', 'iv')} AS cos
+  FROM cb JOIN ib ON cb.bucket = ib.bucket
+),
+top1 AS (
+  SELECT * FROM (
+    SELECT bucket, cap_id, img_id, cos,
+           row_number() OVER (PARTITION BY cap_id
+                              ORDER BY cos DESC, img_id) AS rk
+    FROM cand
+  ) WHERE rk = 1
+)
+SELECT bucket,
+       CAST(count(*) AS BIGINT) AS n_queries,
+       CAST(sum(CASE WHEN img_id = cap_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_top1_hits,
+       round(min(cos), 6) AS min_top1_cos,
+       round(max(cos), 6) AS max_top1_cos
+FROM top1 GROUP BY bucket
+"""
+
+
 def q_multimodal_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-trip proof that the header sniffing is real: synthesize
     structurally-valid PNG/JPEG/WAV payloads per doc (deterministic formulas
@@ -8953,6 +9125,11 @@ SPECS = {
         "MSR-VTT-style video-text pair curation: real AVI demux + JPEG "
         "frame decode clip tower (per-frame mean profile + duration) + "
         "native caption tower, cosine threshold, SimHash pair dedup"),
+    "multimodal_pair_retrieval": QuerySpec(
+        q_multimodal_pair_retrieval,
+        _sql_multimodal_pair_retrieval(),
+        "cross-modal recall@1 eval: aligned fake tower, sign-LSH "
+        "bucketed candidates, per-caption top-1 window, hit census"),
     "multimodal_features": QuerySpec(q_multimodal_features,
                                      SQL_MULTIMODAL_FEATURES,
                                      "binary payload -> Arrow-batched features"),

@@ -989,3 +989,23 @@ def test_video_pair_alignment_one_arrow_pass_broadcast_captions(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_pair_retrieval_bucket_equi_join_one_arrow_pass(spark):
+    """Cross-modal recall@1 eval: exactly ONE Arrow crossing (the image
+    tower), candidates from a bucket EQUI-join (never captions x
+    images), caption tower/buckets/window all native."""
+    import re
+
+    plan = _plan(spark, "multimodal_pair_retrieval")
+    nodes = set(re.findall(r"\((\d+)\) MapInPandas", plan))
+    assert len(nodes) == 1, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    key_lines = [
+        l for l in plan.splitlines()
+        if "keys" in l.lower() and "bucket" in l
+    ]
+    assert key_lines, plan  # the join keys carry the LSH bucket

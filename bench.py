@@ -127,6 +127,10 @@ HEADLINE = [
     # one Arrow pass + native caption tower + broadcast join.
     "multimodal_audio_pair_alignment",
     "multimodal_video_pair_alignment",
+    # round-19 late: the recall@1 retrieval eval — LSH bucket equi-join
+    # candidates + per-caption top-1 window; the perf claim is "work ∝
+    # queries x bucket, never queries x corpus", so it's benched.
+    "multimodal_pair_retrieval",
 ]
 
 

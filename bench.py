@@ -124,12 +124,13 @@ HEADLINE = [
     "multimodal_interleaved_pack",
     # round-19: the audio and video twins of pair alignment — real WAV
     # synth+decode (resp. AVI demux + JPEG frame decode) clip towers in
-    # one Arrow pass + native caption tower + broadcast join.
+    # one Arrow pass + native caption tower + AQE-chosen pair join.
     "multimodal_audio_pair_alignment",
     "multimodal_video_pair_alignment",
     # round-19 late: the recall@1 retrieval eval — LSH bucket equi-join
     # candidates + per-caption top-1 window; the perf claim is "work ∝
-    # queries x bucket, never queries x corpus", so it's benched.
+    # eval_set x bucket_occupancy (linear in corpus at fixed planes;
+    # plane count grows log2(corpus) at real scale)", so it's benched.
     "multimodal_pair_retrieval",
 ]
 

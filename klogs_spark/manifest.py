@@ -3064,19 +3064,7 @@ def maintain(
         fs_, hp_, _ = _hadoop_fs(spark, rollup_path)
         rollup_locked = fs_.exists(hp_(f"{rollup_path}/{ROLLUP_LOCK}"))
         if dry_run:
-            from .table import _rollup_state_versions
-
             report["rollup_locked"] = rollup_locked
-            states_ = _rollup_state_versions(fs_, hp_, rollup_path)
-            head_ = snapshot_versions(spark, path)[-1]
-            report["rollup"] = {
-                "from_version": states_[-1] if states_ else None,
-                "to_version": head_,
-                "would_advance": (
-                    not rollup_locked
-                    and (not states_ or states_[-1] != head_)
-                ),
-            }
         elif rollup_locked:
             raise ConcurrentRollupError(
                 f"maintain({path}): rollup advance refused BEFORE any "
@@ -3183,6 +3171,32 @@ def maintain(
                 and d.split("=", 1)[1] < str(cutoff)
             )
         report["vacuum"] = vacuum(spark, path, keep_versions, dry_run=True)
+        if rollup_path is not None:
+            # previewed LAST so it can see the other steps' plans: the
+            # real advance runs after compact/retention/vacuum, each of
+            # which may publish a version — a preview computed against
+            # the PRE-maintenance head would say would_advance=False
+            # exactly when maintenance work guarantees the opposite
+            # (review r19)
+            from .table import _rollup_state_versions
+
+            fs_r, hp_r, _ = _hadoop_fs(spark, rollup_path)
+            states_ = _rollup_state_versions(fs_r, hp_r, rollup_path)
+            head_ = snapshot_versions(spark, path)[-1]
+            pending = bool(
+                report.get("would_compact")
+                or report.get("would_retire")
+                or report.get("would_dv_compact")
+                or report.get("would_dv_coalesce")
+            )
+            report["rollup"] = {
+                "from_version": states_[-1] if states_ else None,
+                "head_now": head_,
+                "would_advance": (
+                    not report["rollup_locked"]
+                    and (not states_ or states_[-1] != head_ or pending)
+                ),
+            }
         return report
     for d in fragmented:
         res = cow_compact_partition(spark, path, d)

@@ -1607,39 +1607,45 @@ def q_multimodal_video_pair_alignment(
     )
 
 
-# the scene-cut carrier's closed-form frame sums (same synth pattern),
-# reduced to per-frame means and pivoted into the 4-slot clip profile
-_VIDEO_CLIP_CTES = """vids AS (
+# the synthetic-video closed form shared by the scene-cut and the
+# video-pair-alignment oracles — one source of truth for the synth
+# pattern (review r19), like _interleave_ctes for the assembly stage
+_VIDEO_SYNTH_CTES = """vids AS (
   SELECT doc_id, doc_id % 3 + 1 AS n_frames, doc_id % 6 AS base
   FROM documents
 ),
-vframes AS (
+frames AS (
   SELECT v.doc_id, t.f AS frame_idx, v.base + 6 * t.f AS seed
   FROM vids v, generate_series(0, 2) AS t(f)
   WHERE t.f < v.n_frames
 ),
-vdims AS (
+dims AS (
   SELECT doc_id, frame_idx, seed,
          (seed % 3 + 1) AS wb, (seed % 2 + 1) AS hb
-  FROM vframes
+  FROM frames
 ),
-vblk AS (
+blk AS (
   SELECT d.doc_id, d.frame_idx, d.wb, d.hb,
          (d.seed * 37 + t.j * 11) % 256 AS v
-  FROM vdims d, generate_series(0, 5) AS t(j)
+  FROM dims d, generate_series(0, 5) AS t(j)
   WHERE t.j < d.wb * d.hb
 ),
-vrt AS (
+rt AS (
   SELECT doc_id, frame_idx, wb, hb,
          CASE WHEN v % 2 = 0 THEN v
               WHEN v > 128 THEN LEAST(v + 1, 255)
               ELSE v - 1 END AS v2
-  FROM vblk
-),
+  FROM blk
+)"""
+
+
+# the shared frame sums reduced to per-frame means and pivoted into
+# the 4-slot clip profile
+_VIDEO_CLIP_CTES = _VIDEO_SYNTH_CTES + """,
 vmeans AS (
   SELECT doc_id, frame_idx,
          CAST(64 * sum(v2) AS DOUBLE) / (max(wb) * max(hb) * 64) AS mn
-  FROM vrt GROUP BY 1, 2
+  FROM rt GROUP BY 1, 2
 ),
 clip AS (
   SELECT doc_id,
@@ -1674,17 +1680,13 @@ GROUP BY sh.simhash
 """
 
 
-RETR_QUERY_MOD = 20   # every 20th doc's caption is an eval query
-RETR_NOISE = 0.05     # aligned-tower noise scale (oracle-shared literal)
-_RETR_PLANES = None   # built lazily: hyperplanes(3, _PAIR_DIM)
+RETR_QUERY_MOD = 20     # every 20th doc's caption is an eval query ...
+RETR_MAX_QUERIES = 1000  # ... capped at a FIXED eval-set size
+RETR_NOISE = 0.05       # aligned-tower noise scale (oracle-shared literal)
+_RETR_PLANES = hyperplanes(3, _PAIR_DIM)  # shared literal hyperplanes
 
 
 def _retr_planes() -> list:
-    global _RETR_PLANES
-    if _RETR_PLANES is None:
-        from ..ext.hashing import hyperplanes
-
-        _RETR_PLANES = hyperplanes(3, _PAIR_DIM)
     return _RETR_PLANES
 
 
@@ -1703,12 +1705,16 @@ def q_multimodal_pair_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms are the established sha-formula constructions, so the oracle
     restates the tower closed-form.
 
-    Scale shape: the eval set is a fixed sample (at 100 TB you evaluate
-    on ~10k queries, not the corpus); candidates come from a sign-LSH
-    bucket equi-join on shared literal hyperplanes (ext.hashing —
-    never captions x images); top-1 is a per-caption window over
-    bucket-bounded candidates. One Arrow crossing (the image tower);
-    the caption tower, buckets, cosine, and window are all native."""
+    Scale shape: the eval set is CAPPED at RETR_MAX_QUERIES (an eval
+    is a fixed benchmark, not a corpus sweep), so the bucket equi-join
+    costs eval_set x bucket_occupancy — LINEAR in the corpus at fixed
+    plane count (occupancy = corpus / 2^planes), never the
+    captions-x-corpus quadratic an uncapped doc_id%k sample would
+    degenerate to (review r19). At real scale, plane count grows as
+    log2(corpus / target_bucket) — the ext.similarity.N_PLANES sizing
+    rule — keeping occupancy (and thus the join) constant-bounded.
+    One Arrow crossing (the image tower); the caption tower, buckets,
+    cosine, and window are all native."""
     from pyspark.sql import Window
 
     from ..ext.similarity import lsh_bucket
@@ -1746,7 +1752,8 @@ def q_multimodal_pair_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         _img_tower, schema="img_id long, iv array<double>"
     )
     caps = docs.filter(
-        F.col("doc_id") % RETR_QUERY_MOD == 0
+        (F.col("doc_id") % RETR_QUERY_MOD == 0)
+        & (F.col("doc_id") < RETR_QUERY_MOD * RETR_MAX_QUERIES)
     ).select(
         F.col("doc_id").alias("cap_id"),
         F.transform(_caption_vec(), lambda x: x - 0.5).alias("cv"),
@@ -1786,20 +1793,22 @@ def _retr_bucket_sql(col: str) -> str:
     )
 
 
-def _retr_cap_vec_sql() -> str:
-    return ", ".join(
-        f"(CAST('0x' || substr(sha256(text || '{k}'), 1, 14) AS BIGINT)"
-        " / 72057594037927936.0 - 0.5)"
-        for k in range(_PAIR_DIM)
-    )
-
-
-def _retr_img_vec_sql() -> str:
-    cap_terms = [
+def _retr_cap_terms() -> list[str]:
+    """The centered caption-component terms — ONE builder shared by the
+    caption vector and the image vector's caption half, so the two can
+    never drift apart (review r19)."""
+    return [
         f"(CAST('0x' || substr(sha256(text || '{k}'), 1, 14) AS BIGINT)"
         " / 72057594037927936.0 - 0.5)"
         for k in range(_PAIR_DIM)
     ]
+
+
+def _retr_cap_vec_sql() -> str:
+    return ", ".join(_retr_cap_terms())
+
+
+def _retr_img_vec_sql() -> str:
     img_terms = [
         "(CAST('0x' || substr(sha256('img:' || CAST(doc_id AS VARCHAR) "
         f"|| ':' || text || '{k}'), 1, 14) AS BIGINT)"
@@ -1808,7 +1817,7 @@ def _retr_img_vec_sql() -> str:
     ]
     return ", ".join(
         f"{c} + {RETR_NOISE} * {i}"
-        for c, i in zip(cap_terms, img_terms)
+        for c, i in zip(_retr_cap_terms(), img_terms)
     )
 
 
@@ -1820,6 +1829,7 @@ WITH img AS (
 cap AS (
   SELECT doc_id AS cap_id, [{_retr_cap_vec_sql()}] AS cv FROM documents
   WHERE doc_id % {RETR_QUERY_MOD} = 0
+    AND doc_id < {RETR_QUERY_MOD * RETR_MAX_QUERIES}
 ),
 ib AS (SELECT img_id, iv, {_retr_bucket_sql('iv')} AS bucket FROM img),
 cb AS (SELECT cap_id, cv, {_retr_bucket_sql('cv')} AS bucket FROM cap),
@@ -2474,33 +2484,7 @@ def q_multimodal_video_scene_cuts(
 SCENE_CUT_CARRIER_DELTA = 34
 
 SQL_MULTIMODAL_VIDEO_SCENE_CUTS = f"""
-WITH vids AS (
-  SELECT doc_id, doc_id % 3 + 1 AS n_frames, doc_id % 6 AS base
-  FROM documents
-),
-frames AS (
-  SELECT v.doc_id, t.f AS frame_idx, v.base + 6 * t.f AS seed
-  FROM vids v, generate_series(0, 2) AS t(f)
-  WHERE t.f < v.n_frames
-),
-dims AS (
-  SELECT doc_id, frame_idx, seed,
-         (seed % 3 + 1) AS wb, (seed % 2 + 1) AS hb
-  FROM frames
-),
-blk AS (
-  SELECT d.doc_id, d.frame_idx, d.wb, d.hb,
-         (d.seed * 37 + t.j * 11) % 256 AS v
-  FROM dims d, generate_series(0, 5) AS t(j)
-  WHERE t.j < d.wb * d.hb
-),
-rt AS (
-  SELECT doc_id, frame_idx, wb, hb,
-         CASE WHEN v % 2 = 0 THEN v
-              WHEN v > 128 THEN LEAST(v + 1, 255)
-              ELSE v - 1 END AS v2
-  FROM blk
-),
+WITH {_VIDEO_SYNTH_CTES},
 stats AS (
   SELECT doc_id AS media_id, frame_idx,
          max(wb) * max(hb) * 64 AS n_vals,

@@ -4667,14 +4667,23 @@ def test_maintain_dry_run_previews_rollup_advance(
     plan = maintain(spark, path, rollup_path=rdir, dry_run=True)
     assert plan["rollup_locked"] is False
     assert plan["rollup"] == {
-        "from_version": None, "to_version": 1, "would_advance": True,
+        "from_version": None, "head_now": 1, "would_advance": True,
     }
     rep = maintain(spark, path, rollup_path=rdir)  # materialize
     assert rep["rollup"]["mode"] == "full"
     plan2 = maintain(spark, path, rollup_path=rdir, dry_run=True)
-    assert plan2["rollup"]["would_advance"] is False  # current already
+    # current AND no pending maintenance step would publish a version
+    assert plan2["rollup"]["would_advance"] is False
     mor_delete_where(spark, path, "pod_name = 'pod-1'")
     plan3 = maintain(spark, path, rollup_path=rdir, dry_run=True)
     assert plan3["rollup"]["would_advance"] is True
     assert plan3["rollup"]["from_version"] == 1
-    assert plan3["rollup"]["to_version"] == 2
+    assert plan3["rollup"]["head_now"] == 2
+    # state at head but a pending step (the live vector's fold) will
+    # publish — the preview must say the advance WILL happen
+    maintain(spark, path, rollup_path=rdir,
+             dv_fold_min_ratio=1.1)  # advance only; vector stays live
+    plan4 = maintain(spark, path, rollup_path=rdir, dry_run=True)
+    assert plan4["rollup"]["from_version"] == plan4["rollup"]["head_now"]
+    if plan4.get("would_dv_compact") or plan4.get("would_dv_coalesce"):
+        assert plan4["rollup"]["would_advance"] is True

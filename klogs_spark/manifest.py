@@ -1992,7 +1992,28 @@ def _current_state_files(
             )
             unmanifested &= before
         except Exception:
-            pass
+            # Swallowing is only safe when the marker is GONE (the
+            # rewrite finished/recovered between our exists() and the
+            # read) or torn (no survivor files can exist yet). If the
+            # marker is STILL present the rewrite may be live with
+            # survivors on disk, and falling through would serve the
+            # unfiltered set — the doubled-rows window this filter
+            # closes (ADVICE r19) — so re-check and raise instead.
+            if fs.exists(hpath_cls(f"{path}/{REWRITE_MARKER}")):
+                try:
+                    before = set(
+                        _read_small_json(
+                            fs, hpath_cls, path, REWRITE_MARKER
+                        )["before"]
+                    )
+                    unmanifested &= before
+                except (json.JSONDecodeError, KeyError, UnicodeDecodeError):
+                    pass  # torn marker: rewrite never wrote survivors
+                except Exception as exc:
+                    from .table import _is_missing_file_error
+
+                    if not _is_missing_file_error(exc):
+                        raise
     files = sorted(keep_head | unmanifested)
     dv_ref = _dv_ref_at(
         spark, path, head, sidecars=_dv_versions_from_names(names)

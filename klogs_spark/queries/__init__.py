@@ -188,6 +188,7 @@ DRIVER_VERIFIED: dict = {
     "logs_volume_anomaly_mad": "386862e78199",
     "logs_window_5m": "00f54511d538",
     "multimodal_audio_fingerprint": "3f5ac0c421cd",
+    "multimodal_audio_pair_alignment": "c08a35ff68cc",
     "multimodal_audio_stats": "f8906652a8d8",
     "multimodal_audio_zcr": "f92f086bbb90",
     "multimodal_dimensions": "882af6c370af",
@@ -201,13 +202,17 @@ DRIVER_VERIFIED: dict = {
     "multimodal_interleaved_pack": "568d624e9be8",
     "multimodal_jpeg_stats": "f6e6b86b6985",
     "multimodal_jpeg_subsampled": "ee9475de09bb",
+    "multimodal_pair_alignment": "bf949fbbf2be",
+    "multimodal_pair_retrieval": "3ab124df0fa9",
     "multimodal_transcode": "acad661c0117",
     "multimodal_video_mjpeg": "0ced7d7ea628",
+    "multimodal_video_pair_alignment": "b81eeb7ab284",
     "multimodal_video_scene_cuts": "4da8de30edba",
     "pipeline_attrition_funnel": "720e72d7cd87",
     "pipeline_budget_threshold": "2c592c21840e",
     "pipeline_ccnet_buckets": "cbb93ad00117",
     "pipeline_dsir_select": "f0d28fda7428",
+    "pipeline_multimodal_prep": "808bf8cfc312",
     "pipeline_pretrain_prep": "60209e874d2d",
     "pipeline_warc_to_wet": "b02887be6077",
     "sample_balance_sources": "84ad1b244e7c",
@@ -391,7 +396,17 @@ def _round_count() -> int:
 
     Used ONLY to rotate the verified tail (see the ordering-policy comment):
     the value is read from disk so the ordering is a pure function of
-    repository state, not of anything set per-query by hand."""
+    repository state, not of anything set per-query by hand.
+
+    Caveat (documented by design): the count is the ON-DISK file count, so
+    a checkout that carries an as-yet-uncommitted ``CORRECTNESS_r*.json``
+    (the driver writes the artifact before the round commit) rotates one
+    step ahead of a fresh clone, and an installed package without the repo
+    root sees count 0 (no rotation).  Both are harmless: rotation only
+    permutes WHICH verified queries re-enter the 50-wide re-check window —
+    every entry is hash-pinned and the full registry is differential-checked
+    in-repo regardless — and the driver always runs from this checkout, so
+    the window it samples is exactly the one this function computes."""
     import glob
     import os
 

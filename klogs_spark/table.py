@@ -1566,13 +1566,37 @@ def incremental_rollup(
         # reclaimed too. A lock with a DIFFERENT owner stays untouched.
         from .manifest import _read_small_json
 
+        def _lock_owner_or_torn():
+            # -> (owner-or-None, torn?). TORN means the lock is
+            # positively known to carry no claim: the file vanished
+            # (claimant lost the race and released, or died pre-write)
+            # or its payload is readable but not valid JSON (died
+            # mid-write). A TRANSIENT read/IO failure on a live foreign
+            # holder's lock is neither — treating it as torn would
+            # steal the lock and re-open the prune-vs-reader race this
+            # lock exists to prevent (ADVICE r19), so such errors
+            # propagate after one retry.
+            import json as _json
+
+            try:
+                return (
+                    _read_small_json(
+                        fs, hpath_cls, rollup_path, ROLLUP_LOCK
+                    ).get("owner"),
+                    False,
+                )
+            except (_json.JSONDecodeError, UnicodeDecodeError):
+                return None, True
+            except Exception as exc:
+                if _is_missing_file_error(exc):
+                    return None, True
+                raise
+
         try:
-            stale_owner = _read_small_json(
-                fs, hpath_cls, rollup_path, ROLLUP_LOCK
-            ).get("owner")
-            reclaim = stale_owner == owner
+            stale_owner, torn = _lock_owner_or_torn()
         except Exception:
-            reclaim = True  # torn marker: no advance ever started
+            stale_owner, torn = _lock_owner_or_torn()  # retry once
+        reclaim = torn or stale_owner == owner
         if reclaim:
             fs.delete(hpath_cls(f"{rollup_path}/{ROLLUP_LOCK}"), False)
             claimed = _claim_marker(

@@ -1931,6 +1931,72 @@ def test_vacuum_racing_rewrite_ends_consistent(spark, tmp_path, monkeypatch):
     assert spark.read.parquet(path).count() == n_total - n_pod7
 
 
+def test_current_state_live_marker_read_failure_raises(
+    spark, tmp_path, monkeypatch
+):
+    """While a rewrite journal IS live (survivor files may be on disk),
+    a transient failure reading it must RAISE, not silently serve the
+    unfiltered unmanifested set — that would re-open the doubled-rows
+    window the journal filter closes (ADVICE r19). Only the
+    marker-vanished case (rewrite finished between exists and read)
+    falls through to the plain listing."""
+    from pyspark.sql import functions as F
+
+    from klogs_spark import manifest as M
+    from klogs_spark.table import _hadoop_fs
+    from klogs_spark.views import derive_logs_from_events
+
+    path, n = _race_setup(spark, tmp_path)
+    # a committed unmanifested append (rows legitimately served)
+    extra = derive_logs_from_events(spark, "/root/testdata/sf0.001").filter(
+        (F.col("timestamp") >= "2024-01-04")
+        & (F.col("timestamp") < "2024-01-05")
+    )
+    write_logs(extra, path)
+    n_extra = extra.count()
+    assert n_extra > 0
+    assert M.read_current_state(spark, path).count() == n + n_extra
+
+    # a LIVE journal whose before-listing predates the append: the
+    # append now reads as the rewrite's uncommitted survivors, excluded
+    fs, hpath_cls, _root = _hadoop_fs(spark, path)
+    M._write_small_json(
+        fs, hpath_cls, path, M.REWRITE_MARKER,
+        {"op": "t", "base_version": 1, "before": [], "token": "x"},
+    )
+    assert M.read_current_state(spark, path).count() == n
+
+    real_read = M._read_small_json
+
+    # persistent transient failure on the live marker -> RAISES
+    def marker_read_fails(fs_, hp_, p_, rel_):
+        if rel_ == M.REWRITE_MARKER:
+            raise OSError("transient marker read failure")
+        return real_read(fs_, hp_, p_, rel_)
+
+    monkeypatch.setattr(M, "_read_small_json", marker_read_fails)
+    with pytest.raises(OSError, match="transient marker read failure"):
+        M.read_current_state(spark, path)
+
+    # marker vanished between exists() and the read (rewrite finished):
+    # falls through to the unfiltered listing — correct, nothing live
+    def marker_vanishes(fs_, hp_, p_, rel_):
+        if rel_ == M.REWRITE_MARKER:
+            fs.delete(hpath_cls(f"{path}/{M.REWRITE_MARKER}"), False)
+            raise FileNotFoundError(rel_)
+        return real_read(fs_, hp_, p_, rel_)
+
+    monkeypatch.setattr(M, "_read_small_json", marker_vanishes)
+    assert M.read_current_state(spark, path).count() == n + n_extra
+    monkeypatch.undo()
+
+    # torn marker (invalid json, claimant died pre-write): no survivor
+    # files can exist -> unfiltered listing, no error
+    (Path(path) / M.REWRITE_MARKER).write_bytes(b"")
+    assert M.read_current_state(spark, path).count() == n + n_extra
+    (Path(path) / M.REWRITE_MARKER).unlink()
+
+
 def test_read_snapshot_merges_mixed_promoted_plain_schema(spark, tmp_path):
     """A snapshot pinning MIXED promoted/plain files (the state the
     engine's own writers produce: plain history + write_logs_promoted
@@ -4616,6 +4682,83 @@ def test_incremental_rollup_owner_reclaims_own_dead_lock(
     # torn lock (empty payload) -> reclaimed by an owner-carrying writer
     (tmp_path / "roll" / ROLLUP_LOCK).write_bytes(b"")
     assert incremental_rollup(spark, path, rdir, owner=me)["mode"] == "noop"
+
+
+def test_incremental_rollup_transient_read_error_does_not_steal_lock(
+    spark, logs_df, tmp_path, monkeypatch
+):
+    """A TRANSIENT read failure on a live FOREIGN holder's lock must not
+    be classified as a torn marker (ADVICE r19): stealing it would
+    silently re-open the prune-vs-reader race the lock prevents. The
+    reclaim path retries the read once, then PROPAGATES the error; only
+    a positively-torn payload (invalid JSON) or a vanished file
+    reclaims."""
+    from klogs_spark import manifest as M
+    from klogs_spark.manifest import _claim_marker, publish_snapshot
+    from klogs_spark.table import (
+        ROLLUP_LOCK,
+        ConcurrentRollupError,
+        incremental_rollup,
+    )
+    from klogs_spark.table import _hadoop_fs as _tfs
+
+    path, rdir = str(tmp_path / "logs"), str(tmp_path / "roll")
+    write_logs(logs_df, path)
+    publish_snapshot(spark, path)
+    fs, hpath_cls, _ = _tfs(spark, rdir)
+    me = f"cdc_rollup_sink:{path}"
+    assert _claim_marker(
+        fs, hpath_cls, rdir, ROLLUP_LOCK, {"op": "t", "owner": "other"}
+    )
+    real_read = M._read_small_json
+
+    # persistent IO failure -> propagates (after one retry), lock intact
+    calls = {"n": 0}
+
+    def always_fails(fs_, hp_, p_, rel_):
+        if rel_ == ROLLUP_LOCK:
+            calls["n"] += 1
+            raise OSError("transient read failure")
+        return real_read(fs_, hp_, p_, rel_)
+
+    monkeypatch.setattr(M, "_read_small_json", always_fails)
+    with pytest.raises(OSError, match="transient read failure"):
+        incremental_rollup(spark, path, rdir, owner=me)
+    assert calls["n"] == 2  # exactly one retry
+    assert (tmp_path / "roll" / ROLLUP_LOCK).exists()
+    assert '"other"' in (tmp_path / "roll" / ROLLUP_LOCK).read_text()
+
+    # flaky-once failure -> retry reads the FOREIGN owner and refuses
+    flaky = {"raised": False}
+
+    def fails_once(fs_, hp_, p_, rel_):
+        if rel_ == ROLLUP_LOCK and not flaky["raised"]:
+            flaky["raised"] = True
+            raise OSError("transient read failure")
+        return real_read(fs_, hp_, p_, rel_)
+
+    monkeypatch.setattr(M, "_read_small_json", fails_once)
+    with pytest.raises(ConcurrentRollupError):
+        incremental_rollup(spark, path, rdir, owner=me)
+    assert (tmp_path / "roll" / ROLLUP_LOCK).exists()
+    monkeypatch.undo()
+
+    # claim-then-vanished race (holder released between our failed claim
+    # and the reclaim read): FileNotFoundError classifies as torn and
+    # the reclaim re-claims instead of propagating
+    def vanishes(fs_, hp_, p_, rel_):
+        if rel_ == ROLLUP_LOCK:
+            raise FileNotFoundError(rel_)
+        return real_read(fs_, hp_, p_, rel_)
+
+    fs.delete(hpath_cls(f"{rdir}/{ROLLUP_LOCK}"), False)
+    assert _claim_marker(
+        fs, hpath_cls, rdir, ROLLUP_LOCK, {"op": "t", "owner": "other"}
+    )
+    monkeypatch.setattr(M, "_read_small_json", vanishes)
+    rep = incremental_rollup(spark, path, rdir, owner=me)
+    assert rep["mode"] == "full"
+    monkeypatch.undo()
 
 
 def test_maintain_refuses_held_rollup_lock_before_side_effects(

@@ -772,16 +772,35 @@ def main() -> None:
     }
     # The driver tail-captures limited output: r13's BENCH json outgrew it
     # (the notes dict alone is ~2 KB) and the round lost its official
-    # per-query record (parsed: null). So: the full document goes to
+    # per-query record (parsed: null); r19 REPEATED the failure because the
+    # "compact" line still carried calibration_protocol (~700 B prose) and
+    # capture_order (~1.3 KB) and the round's new queries pushed queries{}
+    # past the window (VERDICT r19 #2). So: the full document goes to
     # BENCH_LOCAL.json on disk, per-query notes go to stderr as '# ' lines,
-    # and the FINAL stdout line is the compact machine summary only.
+    # and the FINAL stdout line carries ONLY machine-read fields — prose
+    # and derivable fields stay on disk — with a hard size guard below.
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_LOCAL.json"), "w") as fh:
         json.dump(doc, fh, indent=2)
     for qname, note in _QUERY_NOTES.items():
         print(f"# note {qname}: {note}", file=sys.stderr)
-    compact = {k: v for k, v in doc.items() if k not in ("notes", "timing")}
-    print(json.dumps(compact))
+    compact = {
+        k: v for k, v in doc.items()
+        if k not in ("notes", "timing", "calibration_protocol",
+                     "capture_order")
+    }
+    # Size guard: the driver's tail window is finite; queries{} is the
+    # per-round record that must survive, so shed secondary fields first
+    # (they all remain in BENCH_LOCAL.json) and NEVER the queries.
+    line = json.dumps(compact)
+    sheddable = [k for k in compact if k.startswith("box_")] + ["errors"]
+    while len(line) > 4096 and sheddable:
+        compact.pop(sheddable.pop(0), None)
+        line = json.dumps(compact)
+    if len(line) > 4096:
+        print(f"# WARNING: compact bench line {len(line)} B > 4 KB even "
+              "after shedding; driver capture may truncate", file=sys.stderr)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -225,6 +225,13 @@ def main() -> None:
         # corpus) — measure both rather than assert them
         ("multimodal_pair_alignment", "documents"),
         ("multimodal_audio_pair_alignment", "documents"),
+        # r20 (VERDICT r19 #4): the two carriers added late in r19 were
+        # shipped without a measured ratio — the video carrier's AVI
+        # demux + frame decode is the heaviest Arrow tower, and the
+        # retrieval eval's docstring claims eval x plane-occupancy
+        # (linear in corpus at fixed plane count); measure both
+        ("multimodal_video_pair_alignment", "documents"),
+        ("multimodal_pair_retrieval", "documents"),
     ]
 
     results: dict = {}

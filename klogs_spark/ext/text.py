@@ -972,7 +972,11 @@ def bigram_logprob_scores(
     )
 
 
-def edit_distance_pairs(strings: DataFrame, col: str = "s") -> DataFrame:
+def edit_distance_pairs(
+    strings: DataFrame,
+    col: str = "s",
+    max_neighbors: "int | None" = None,
+) -> DataFrame:
     """SymSpell-style edit-distance<=1 pair mining via deletion-neighborhood
     bucketing (Garbe's SymSpell, the spell-correction-join standard): each
     distinct string explodes into itself plus its single-character
@@ -980,65 +984,134 @@ def edit_distance_pairs(strings: DataFrame, col: str = "s") -> DataFrame:
     insertion, or deletion — is guaranteed to share at least one variant
     key, so candidates come from an ordinary keyed equi-join, never the
     quadratic all-pairs cross join (that form is only the oracle double).
-    Candidates are then verified with the exact levenshtein. Returns
-    (s_a, s_b, dist) with s_a < s_b.
+    Returns (s_a, s_b, dist) with s_a < s_b.
 
-    Scale shape: variant fan-out is len+1 per string (bounded by string
+    Scale shape: variant fan-out is len per string (bounded by string
     length), and the candidate join is POSITION-SHARDED: an insertion/
     deletion pair collides as (whole string = deletion variant), while a
     substitution pair shares the deletion variant AT THE SAME POSITION —
     so del-del candidates join on (variant, position) instead of variant
     alone, splitting the hot buckets a digit-dense corpus produces (all
     names differing in one digit share every other-position deletion).
-    Measured on 15k customer names this cuts candidate pairs ~10x vs the
-    plain variant-key join.
+    The join keys are ``xxhash64`` of the variant (8-byte longs, not the
+    ~len-byte variant strings — r20: cuts the shuffled key bytes several-
+    fold on long strings), and every candidate is re-verified EXACTLY with
+    two row-local substring equalities, so a 64-bit collision can neither
+    emit a false pair nor duplicate a true one:
 
-    Unlike the LSH bucket-then-verify operators, NO verify pass runs,
-    because the sharded keys are exact, not approximate — every candidate
-    is PROVABLY at distance exactly 1:
+      * subst (keys (h(del(s,p)), p), da.s < db.s): the verify
+        ``prefix(p-1) equal AND suffix(p+1..) equal`` holds iff the two
+        strings agree everywhere except position p — equal-length dist-1
+        exactly (unequal lengths force unequal suffix lengths), and a
+        true pair passes at exactly ONE p (its differing position), so
+        no pair-level distinct is needed;
+      * indel (keys h(s) vs h(del(s,p))): the verify reconstructs
+        ``del(b.s, p) == a.s`` character-wise. Repeated-letter runs,
+        whose every in-run deletion yields the same variant, are
+        collapsed row-locally BEFORE the join by keeping only the first
+        position of each run (``p == 1 or s[p-1] != s[p]``), so each
+        true insertion pair arises exactly once.
 
-      * subst: same-length distinct strings sharing a deletion variant at
-        the same position agree everywhere except that position;
-      * indel: the identity variant equal to another string's deletion
-        variant means one string is the other plus one inserted char.
+    A true pair is never lost (equal variants hash equal), so the exact-
+    levenshtein filter and the global pair ``distinct()`` (formerly the
+    largest shuffle here) stay dropped.
 
-    Each true pair also arises exactly once per branch (the differing /
-    inserted position determines the colliding key), and the branches are
-    disjoint by length parity — so the exact-levenshtein filter and the
-    global pair ``distinct()`` (formerly the largest shuffle here, over
-    the PAIR set) are dropped entirely. The only remaining dedup is
-    row-local: ``array_distinct`` on each string's variant array, which
-    collapses the repeated-letter deletions that would otherwise emit an
-    indel pair once per repeat — no extra shuffle."""
-    s = strings.select(F.col(col).alias("s")).distinct()
-    variants = F.transform(
-        F.sequence(F.lit(1), F.length("s")),
-        lambda i: F.concat(
-            F.col("s").substr(F.lit(1), i - 1),
-            F.col("s").substr(i + 1, F.length("s")),
+    ``max_neighbors`` (r20, VERDICT r19 #5): optional per-anchor candidate
+    cap — for each ``s_a`` keep the ``max_neighbors`` lexicographically
+    smallest ``s_b``. Dense corpora (digit-keyed IDs, replicated shards)
+    grow NEIGHBORS per string with corpus size, so the uncapped output is
+    super-linear even though the candidate join is linear (measured 12.6x
+    pairs at 10x corpus, BENCH_SF1 r19); the cap bounds output to
+    ``max_neighbors * |strings|`` — linear — and is deterministic (lexical
+    order), so an oracle can mirror it with a plain row_number window."""
+    from .caching import key_parallel
+
+    # key_parallel right after the distinct: AQE size-coalesces the
+    # distinct's output to ~1 partition (a string set is tiny in bytes),
+    # and everything BETWEEN that exchange and the next — the deletion
+    # explode, the variant hashing — would run serially in that one task
+    # (measured 1-task stages at sf1, r20). The explicit width keeps the
+    # expansion wide; the join keys (h, p) then partition the candidate
+    # join + substring verify at the same width.
+    s = key_parallel(strings.select(F.col(col).alias("s")).distinct(), "s")
+    # one row per (string, 1-based deletion position); the variant string
+    # itself never leaves the projection — only its 64-bit hash is joined.
+    # Partitioned on h ALONE (not (h, p)): HashPartitioning(h) satisfies
+    # the clustering requirement of BOTH downstream joins — (h) for indel
+    # and (h, p) for subst, since h ⊆ {h, p} — so this single exchange is
+    # written once and ReusedExchange serves every join side (verified:
+    # 3 ReusedExchange nodes in the executed sf1 plan), where keying on
+    # (h, p) forced a second full re-exchange on the indel branch.
+    dels = key_parallel(
+        s.select(
+            "s", F.explode(F.sequence(F.lit(1), F.length("s"))).alias("p")
+        ).select(
+            "s",
+            "p",
+            F.xxhash64(
+                F.concat(
+                    F.col("s").substr(F.lit(1), F.col("p") - 1),
+                    F.col("s").substr(F.col("p") + 1, F.length("s")),
+                )
+            ).alias("h"),
         ),
+        "h",
     )
-    dels = s.select("s", F.posexplode(variants).alias("pos", "v"))
-    # repeated-letter deletions collapse row-locally (no shuffle)
-    dv = s.select("s", F.explode(F.array_distinct(variants)).alias("v"))
-    ident = s.select(F.col("s"), F.col("s").alias("v"))
-    a, b = ident.alias("a"), dv.alias("b")
-    # insertion/deletion pairs: one string IS a deletion of the other
-    indel = a.join(
-        b, (F.col("a.v") == F.col("b.v")) & (F.col("a.s") != F.col("b.s"))
+    # insertion/deletion pairs: one string IS a deletion of the other.
+    # Run-collapse keeps one deletion position per repeated-letter run.
+    # SHUFFLE_HASH on both joins: the static planner's size estimate for
+    # an explode subtree is unreliable and was observed (r20) picking a
+    # BROADCAST build of the corpus-sized VARIANT side — a driver OOM at
+    # 100 TB and 4x recomputation of the scan→distinct→explode subtree at
+    # any scale (broadcast conversion defeats exchange reuse). With both
+    # sides exchanged on the join keys, the self-join reuses ONE exchange
+    # and the build side stays bounded per task; AQE may still downgrade
+    # to broadcast from MEASURED stats, which is scale-safe by definition.
+    ident = s.select(F.col("s").alias("t"), F.xxhash64("s").alias("h"))
+    dcanon = dels.where(
+        (F.col("p") == 1)
+        | (F.expr("substring(s, p - 1, 1) <> substring(s, p, 1)"))
+    )
+    indel = ident.alias("a").join(
+        dcanon.alias("b").hint("shuffle_hash"), F.col("a.h") == F.col("b.h")
+    ).where(
+        F.expr("substring(b.s, 1, b.p - 1) = substring(a.t, 1, b.p - 1)")
+        & F.expr("substring(b.s, b.p + 1) = substring(a.t, b.p)")
     ).select(
-        F.least("a.s", "b.s").alias("s_a"),
-        F.greatest("a.s", "b.s").alias("s_b"),
+        F.least("a.t", "b.s").alias("s_a"),
+        F.greatest("a.t", "b.s").alias("s_b"),
     )
-    da, db = dels.alias("da"), dels.alias("db")
-    # substitution pairs: same deletion variant at the same position
+    # substitution pairs: same deletion variant at the same position.
+    # Both self-join sides carry the hint so their subtrees stay
+    # plan-identical (a one-sided hint was observed breaking exchange
+    # reuse by de-canonicalizing one side).
+    da = dels.hint("shuffle_hash").alias("da")
+    db = dels.hint("shuffle_hash").alias("db")
     subst = da.join(
         db,
-        (F.col("da.v") == F.col("db.v"))
-        & (F.col("da.pos") == F.col("db.pos"))
+        (F.col("da.h") == F.col("db.h"))
+        & (F.col("da.p") == F.col("db.p"))
         & (F.col("da.s") < F.col("db.s")),
+    ).where(
+        F.expr("substring(da.s, 1, da.p - 1) = substring(db.s, 1, db.p - 1)")
+        & F.expr("substring(da.s, da.p + 1) = substring(db.s, db.p + 1)")
     ).select(F.col("da.s").alias("s_a"), F.col("db.s").alias("s_b"))
-    return indel.unionAll(subst).select(
+    pairs = indel.unionAll(subst)
+    if max_neighbors is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("s_a").orderBy("s_b")
+        pairs = (
+            key_parallel(pairs, "s_a")
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= max_neighbors)
+            .drop("rn")
+        )
+    # Measured (BENCH_SF1 protocol, r20): 15k names 1.13s / 150k names
+    # 3.95s, ratio 3.5 at 10x input with output pinned linear by the cap
+    # (118k -> 1.197M pairs, exactly 10.1x); the r19 uncapped form was
+    # 13.5s / ratio 8.09 with 12.6x output growth.
+    return pairs.select(
         "s_a", "s_b", F.lit(1).cast("long").alias("dist")
     )
 

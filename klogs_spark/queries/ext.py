@@ -2885,28 +2885,46 @@ FROM s GROUP BY doc_id
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
+EDIT_NEIGHBOR_CAP = 8
+
+
 def q_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String-similarity join at edit distance <= 1 over customer names —
     the fuzzy-matching/typo-clustering primitive for entity resolution.
     The Spark plan uses SymSpell deletion-neighborhood bucketing
-    (ext.text.edit_distance_pairs): variant fan-out is len+1 per string
-    and candidates come from a keyed equi-join, so the work scales with
-    |names| x len, not |names|^2; the oracle is the quadratic
-    all-pairs levenshtein cross join (declared double) — a missed or
-    spurious candidate breaks the hash. Customer names differ in single
-    digits, so real distance-1 neighbor pairs are dense."""
+    (ext.text.edit_distance_pairs): variant fan-out is len per string
+    and candidates come from a keyed equi-join (64-bit hashed keys,
+    exact row-local re-verify), so the work scales with |names| x len,
+    not |names|^2. Declared semantics include a per-anchor candidate cap
+    (VERDICT r19 #5): each s_a keeps its EDIT_NEIGHBOR_CAP
+    lexicographically smallest neighbors, bounding output to
+    cap x |names| — linear in corpus even on digit-dense corpora whose
+    raw neighbor density grows with scale (12.6x pairs at 10x corpus,
+    BENCH_SF1 r19). The oracle is the quadratic all-pairs levenshtein
+    cross join with the same row_number cap (declared double) — a
+    missed, spurious, or mis-ranked candidate breaks the hash. Customer
+    names differ in single digits, so real distance-1 neighbor pairs
+    are dense."""
     cust = load_table(spark, sf_dir, "customer").select(
         F.col("c_name").alias("s")
     )
-    return tx.edit_distance_pairs(cust)
+    return tx.edit_distance_pairs(cust, max_neighbors=EDIT_NEIGHBOR_CAP)
 
 
-SQL_EDIT_DISTANCE_JOIN = """
-WITH names AS (SELECT DISTINCT c_name AS s FROM customer)
-SELECT a.s AS s_a, b.s AS s_b,
-       CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
-FROM names a JOIN names b ON a.s < b.s
-WHERE levenshtein(a.s, b.s) <= 1
+SQL_EDIT_DISTANCE_JOIN = f"""
+WITH names AS (SELECT DISTINCT c_name AS s FROM customer),
+pairs AS (
+  SELECT a.s AS s_a, b.s AS s_b,
+         CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+  FROM names a JOIN names b ON a.s < b.s
+  WHERE levenshtein(a.s, b.s) <= 1
+),
+ranked AS (
+  SELECT s_a, s_b, dist,
+         row_number() OVER (PARTITION BY s_a ORDER BY s_b) AS rn
+  FROM pairs
+)
+SELECT s_a, s_b, dist FROM ranked WHERE rn <= {EDIT_NEIGHBOR_CAP}
 """
 
 

@@ -1047,6 +1047,20 @@ def test_edit_distance_pairs_symspell_completeness(spark):
         assert lev(s_a, s_b) == dist <= 1
     # apple is nobody's neighbor
     assert not any("apple" in p[:2] for p in got)
+    # per-anchor cap (r20): each s_a keeps its max_neighbors smallest
+    # s_b, deterministic by lexical order — mirrors the oracle's
+    # row_number window exactly
+    capped = {(r.s_a, r.s_b)
+              for r in tx.edit_distance_pairs(df, max_neighbors=1).collect()}
+    from collections import Counter
+
+    anchors = Counter(a for a, _ in capped)
+    assert all(c == 1 for c in anchors.values())
+    expect_capped = {}
+    for a, b, _ in got:
+        if a not in expect_capped or b < expect_capped[a]:
+            expect_capped[a] = b
+    assert capped == {(a, b) for a, b in expect_capped.items()}
 
 
 def test_misra_gries_guarantees_and_merge(spark):

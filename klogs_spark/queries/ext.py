@@ -1683,11 +1683,43 @@ GROUP BY sh.simhash
 RETR_QUERY_MOD = 20     # every 20th doc's caption is an eval query ...
 RETR_MAX_QUERIES = 1000  # ... capped at a FIXED eval-set size
 RETR_NOISE = 0.05       # aligned-tower noise scale (oracle-shared literal)
+RETR_K = 5              # recall@k depth for the bidirectional eval
 _RETR_PLANES = hyperplanes(3, _PAIR_DIM)  # shared literal hyperplanes
 
 
 def _retr_planes() -> list:
     return _RETR_PLANES
+
+
+def _retr_img_tower(batches):
+    """The ALIGNED image tower (Arrow kernel) shared by both retrieval
+    evals: caption vector plus RETR_NOISE x an independent payload-hash
+    vector — a trained-encoder model where true pairs score near 1.0."""
+    import hashlib
+
+    import pandas as pd
+
+    def h(s: str) -> float:
+        # CENTERED sha component: zero-mean vectors spread cosines
+        # over [-1, 1] (all-positive towers cluster near 1, which
+        # would make every candidate look aligned) and fill all
+        # 2^planes LSH buckets evenly
+        return int(
+            hashlib.sha256(s.encode()).hexdigest()[:14], 16
+        ) / 2 ** 56 - 0.5
+
+    for b in batches:
+        ids = [int(x) for x in b["doc_id"]]
+        vecs = []
+        for i, t in zip(ids, b["text"]):
+            payload = f"img:{i}:{t}"
+            vecs.append(
+                [
+                    h(t + str(k)) + RETR_NOISE * h(payload + str(k))
+                    for k in range(_PAIR_DIM)
+                ]
+            )
+        yield pd.DataFrame({"img_id": ids, "iv": vecs})
 
 
 def q_multimodal_pair_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1720,36 +1752,8 @@ def q_multimodal_pair_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ext.similarity import lsh_bucket
 
     docs = load_table(spark, sf_dir, "documents")
-
-    def _img_tower(batches):
-        import hashlib
-
-        import pandas as pd
-
-        def h(s: str) -> float:
-            # CENTERED sha component: zero-mean vectors spread cosines
-            # over [-1, 1] (all-positive towers cluster near 1, which
-            # would make every candidate look aligned) and fill all
-            # 2^planes LSH buckets evenly
-            return int(
-                hashlib.sha256(s.encode()).hexdigest()[:14], 16
-            ) / 2 ** 56 - 0.5
-
-        for b in batches:
-            ids = [int(x) for x in b["doc_id"]]
-            vecs = []
-            for i, t in zip(ids, b["text"]):
-                payload = f"img:{i}:{t}"
-                vecs.append(
-                    [
-                        h(t + str(k)) + RETR_NOISE * h(payload + str(k))
-                        for k in range(_PAIR_DIM)
-                    ]
-                )
-            yield pd.DataFrame({"img_id": ids, "iv": vecs})
-
     imgs = _fan_out_media(docs.select("doc_id", "text")).mapInPandas(
-        _img_tower, schema="img_id long, iv array<double>"
+        _retr_img_tower, schema="img_id long, iv array<double>"
     )
     caps = docs.filter(
         (F.col("doc_id") % RETR_QUERY_MOD == 0)
@@ -1853,6 +1857,144 @@ SELECT bucket,
        round(min(cos), 6) AS min_top1_cos,
        round(max(cos), 6) AS max_top1_cos
 FROM top1 GROUP BY bucket
+"""
+
+
+def q_multimodal_pair_retrieval_bidir(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bidirectional recall@k retrieval eval — the standard CLIP-report
+    protocol (VERDICT r19 #6): BOTH directions, caption->image and
+    image->caption, at recall@1 AND recall@RETR_K, over the same
+    LSH-bucketed candidate equi-join and per-query rank window as the
+    recall@1 eval (q_multimodal_pair_retrieval). The query sets are the
+    same fixed sample rule in each direction (every RETR_QUERY_MOD-th
+    doc, capped at RETR_MAX_QUERIES); the candidate pool is the FULL
+    opposite tower. Because a query's true pair occurs at most once
+    among its candidates, recall@k hits are a plain sum over the
+    rank<=k rows — no per-query max is needed.
+
+    Scale shape: identical to the recall@1 eval — each direction costs
+    eval_set x bucket_occupancy through the bucket equi-join, linear in
+    the corpus at fixed plane count. The image tower (the only Arrow
+    crossing) is computed ONCE and cache_tracked: it feeds both the
+    caption-direction candidate pool and the image-direction query set,
+    and without materialization Spark would re-run the Python crossing
+    once per consumer. Per-bucket stats are order-proof aggregates only
+    (counts, min, max — never avg of doubles)."""
+    from pyspark.sql import Window
+
+    from ..ext.caching import cache_tracked
+    from ..ext.similarity import lsh_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    imgs = cache_tracked(
+        _fan_out_media(docs.select("doc_id", "text")).mapInPandas(
+            _retr_img_tower, schema="img_id long, iv array<double>"
+        )
+    )
+    caps = docs.select(
+        F.col("doc_id").alias("cap_id"),
+        F.transform(_caption_vec(), lambda x: x - 0.5).alias("cv"),
+    )
+    ib = imgs.select(
+        "img_id", "iv",
+        lsh_bucket(F.col("iv"), _retr_planes()).alias("bucket"),
+    )
+    cb = caps.select(
+        "cap_id", "cv",
+        lsh_bucket(F.col("cv"), _retr_planes()).alias("bucket"),
+    )
+
+    def _sampled(df, idcol):
+        return df.filter(
+            (F.col(idcol) % RETR_QUERY_MOD == 0)
+            & (F.col(idcol) < RETR_QUERY_MOD * RETR_MAX_QUERIES)
+        )
+
+    c2i = _sampled(cb, "cap_id").join(ib, "bucket").select(
+        F.lit("cap2img").alias("direction"),
+        "bucket",
+        F.col("cap_id").alias("query_id"),
+        F.col("img_id").alias("cand_id"),
+        dd.cosine_col(F.col("cv"), F.col("iv")).alias("cos"),
+    )
+    i2c = _sampled(ib, "img_id").join(cb, "bucket").select(
+        F.lit("img2cap").alias("direction"),
+        "bucket",
+        F.col("img_id").alias("query_id"),
+        F.col("cap_id").alias("cand_id"),
+        dd.cosine_col(F.col("iv"), F.col("cv")).alias("cos"),
+    )
+    w = Window.partitionBy("direction", "query_id").orderBy(
+        F.col("cos").desc(), F.col("cand_id")
+    )
+    ranked = (
+        c2i.unionByName(i2c)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= RETR_K)
+    )
+    return ranked.groupBy("direction", "bucket").agg(
+        F.sum((F.col("rk") == 1).cast("long")).cast("bigint").alias(
+            "n_queries"
+        ),
+        F.sum(
+            ((F.col("rk") == 1) & (F.col("cand_id") == F.col("query_id")))
+            .cast("long")
+        ).cast("bigint").alias("n_top1_hits"),
+        F.sum(
+            (F.col("cand_id") == F.col("query_id")).cast("long")
+        ).cast("bigint").alias("n_topk_hits"),
+        F.round(
+            F.min(F.when(F.col("rk") == 1, F.col("cos"))), 6
+        ).alias("min_top1_cos"),
+        F.round(
+            F.max(F.when(F.col("rk") == 1, F.col("cos"))), 6
+        ).alias("max_top1_cos"),
+    )
+
+
+def _sql_multimodal_pair_retrieval_bidir() -> str:
+    return f"""
+WITH img AS (
+  SELECT doc_id AS img_id, [{_retr_img_vec_sql()}] AS iv FROM documents
+),
+cap AS (
+  SELECT doc_id AS cap_id, [{_retr_cap_vec_sql()}] AS cv FROM documents
+),
+ib AS (SELECT img_id, iv, {_retr_bucket_sql('iv')} AS bucket FROM img),
+cb AS (SELECT cap_id, cv, {_retr_bucket_sql('cv')} AS bucket FROM cap),
+cq AS (SELECT * FROM cb WHERE cap_id % {RETR_QUERY_MOD} = 0
+         AND cap_id < {RETR_QUERY_MOD * RETR_MAX_QUERIES}),
+iq AS (SELECT * FROM ib WHERE img_id % {RETR_QUERY_MOD} = 0
+         AND img_id < {RETR_QUERY_MOD * RETR_MAX_QUERIES}),
+cand AS (
+  SELECT 'cap2img' AS direction, cq.bucket, cq.cap_id AS query_id,
+         ib.img_id AS cand_id, {_cos_sql('cv', 'iv')} AS cos
+  FROM cq JOIN ib ON cq.bucket = ib.bucket
+  UNION ALL
+  SELECT 'img2cap' AS direction, iq.bucket, iq.img_id AS query_id,
+         cb.cap_id AS cand_id, {_cos_sql('iv', 'cv')} AS cos
+  FROM iq JOIN cb ON iq.bucket = cb.bucket
+),
+ranked AS (
+  SELECT * FROM (
+    SELECT direction, bucket, query_id, cand_id, cos,
+           row_number() OVER (PARTITION BY direction, query_id
+                              ORDER BY cos DESC, cand_id) AS rk
+    FROM cand
+  ) WHERE rk <= {RETR_K}
+)
+SELECT direction, bucket,
+       CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_queries,
+       CAST(sum(CASE WHEN rk = 1 AND cand_id = query_id
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_top1_hits,
+       CAST(sum(CASE WHEN cand_id = query_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_topk_hits,
+       round(min(CASE WHEN rk = 1 THEN cos END), 6) AS min_top1_cos,
+       round(max(CASE WHEN rk = 1 THEN cos END), 6) AS max_top1_cos
+FROM ranked GROUP BY direction, bucket
 """
 
 
@@ -9132,6 +9274,11 @@ SPECS = {
         _sql_multimodal_pair_retrieval(),
         "cross-modal recall@1 eval: aligned fake tower, sign-LSH "
         "bucketed candidates, per-caption top-1 window, hit census"),
+    "multimodal_pair_retrieval_bidir": QuerySpec(
+        q_multimodal_pair_retrieval_bidir,
+        _sql_multimodal_pair_retrieval_bidir(),
+        "bidirectional recall@1/@5 eval (CLIP-report protocol): both "
+        "directions over the same bucketed candidates, one Arrow pass"),
     "multimodal_features": QuerySpec(q_multimodal_features,
                                      SQL_MULTIMODAL_FEATURES,
                                      "binary payload -> Arrow-batched features"),

@@ -1016,3 +1016,25 @@ def test_pair_retrieval_bucket_equi_join_one_arrow_pass(spark):
         if "keys" in l.lower() and "bucket" in l
     ]
     assert key_lines, plan  # the join keys carry the LSH bucket
+
+
+def test_pair_retrieval_bidir_one_arrow_pass_bucket_joins(spark):
+    """Bidirectional recall@k eval (r20): the image tower is ONE cached
+    Arrow crossing feeding both directions, candidates come from bucket
+    equi-joins in each direction, the rank window is group-limited, and
+    nothing plans a cartesian."""
+    import re
+
+    plan = _plan(spark, "multimodal_pair_retrieval_bidir")
+    nodes = set(re.findall(r"\((\d+)\) MapInPandas", plan))
+    assert len(nodes) <= 1, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    key_lines = [
+        l for l in plan.splitlines()
+        if "keys" in l.lower() and "bucket" in l
+    ]
+    assert key_lines, plan
+    assert "WindowGroupLimit" in plan

@@ -349,3 +349,194 @@ def test_clickhouse_ddl_mirrors_reference_schema():
     assert (
         "ENGINE = Distributed('prod', logs, logs_local, rand())" in clustered
     )
+
+
+def make_wire_recording_factory(spool_dir):
+    """Fake DBAPI that records the COMPLETE ordered wire-event stream of
+    one connection — every cursor(), executemany(sql, params), commit(),
+    rollback(), close() with its full argument payload — and spools it on
+    close() (which always runs, via the sink's finally). This is the
+    golden-capture instrument: a byte-level change in the emitted SQL or
+    parameter tuples shows up as an event-stream diff."""
+
+    def factory():
+        class FakeCursor:
+            def __init__(self, events):
+                self.events = events
+
+            def executemany(self, sql, rows):
+                self.events.append(("executemany", sql, [tuple(r) for r in rows]))
+
+        class FakeConnection:
+            def __init__(self):
+                self.events = []
+
+            def cursor(self):
+                self.events.append(("cursor",))
+                return FakeCursor(self.events)
+
+            def commit(self):
+                self.events.append(("commit",))
+
+            def rollback(self):
+                self.events.append(("rollback",))
+
+            def close(self):
+                self.events.append(("close",))
+                path = os.path.join(
+                    spool_dir, f"wire-{os.getpid()}-{id(self)}.pkl"
+                )
+                with open(path, "wb") as f:
+                    pickle.dump(self.events, f)
+
+        return FakeConnection()
+
+    return factory
+
+
+def read_wire_events(spool_dir):
+    streams = []
+    for name in sorted(os.listdir(spool_dir)):
+        with open(os.path.join(spool_dir, name), "rb") as f:
+            streams.append(pickle.load(f))
+    return streams
+
+
+def _wire_fixture_df(spark):
+    """Deterministic 5-row fixture batch, single partition so the golden
+    stream is one connection's."""
+    rows = [
+        (datetime(2026, 1, 1, 0, 0, i), "prod", f"ns-{i % 2}", "app-a",
+         f"pod-{i}", "main", "node-1",
+         {"level": "info", "seq": str(i)}, {"latency_ms": float(10 * i)},
+         f"message {i}")
+        for i in range(5)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "timestamp timestamp, cluster string, namespace string, app string, "
+        "pod_name string, container_name string, host string, "
+        "fields_string map<string,string>, fields_number map<string,double>, "
+        "log string",
+    ).coalesce(1)
+
+
+# The exact statement text the reference prepares, clickhouse.go:76 —
+# db-qualified logs table, the 10 columns in reference order, 10
+# placeholders; async settings appended per clickhouse.go:65-73.
+GOLDEN_INSERT = (
+    "INSERT INTO logs.logs (timestamp, cluster, namespace, app, pod_name, "
+    "container_name, host, fields_string, fields_number, log) "
+    "VALUES (?, ?, ?, ?, ?, ?, ?, ?, ?, ?)"
+)
+GOLDEN_INSERT_ASYNC_NOWAIT = (
+    GOLDEN_INSERT + " SETTINGS async_insert = 1, wait_for_async_insert = 0"
+)
+GOLDEN_INSERT_ASYNC_WAIT = (
+    GOLDEN_INSERT + " SETTINGS async_insert = 1, wait_for_async_insert = 1"
+)
+
+
+def _golden_param_rows():
+    # LOG_COLUMNS order: the exact tuples the reference's per-row Exec
+    # would receive (clickhouse.go:93) for the fixture batch
+    return [
+        (datetime(2026, 1, 1, 0, 0, i), "prod", f"ns-{i % 2}", "app-a",
+         f"pod-{i}", "main", "node-1",
+         {"level": "info", "seq": str(i)}, {"latency_ms": float(10 * i)},
+         f"message {i}")
+        for i in range(5)
+    ]
+
+
+def test_wire_golden_sync_insert_tx_boundaries(spark, tmp_path):
+    """GOLDEN (VERDICT r19 #7): the full wire-event stream for a 5-row
+    fixture at batch_size=2 — three size/interval flushes, each an
+    executemany carrying the EXACT reference INSERT text
+    (clickhouse.go:76) and exact parameter tuples in column order,
+    each followed by its own commit (the reference's one-tx-per-
+    BufferWrite, clickhouse.go:79-102), then a single close."""
+    spool = str(tmp_path / "wire")
+    os.makedirs(spool)
+    sink = ClickHouseSink(
+        EngineConfig(database="logs", batch_size=2),
+        make_wire_recording_factory(spool),
+    )
+    sink.write_batch(_wire_fixture_df(spark), batch_id=0)
+    streams = [s for s in read_wire_events(spool) if len(s) > 1]
+    assert len(streams) == 1  # single partition -> single connection
+    rows = _golden_param_rows()
+    assert streams[0] == [
+        ("cursor",),
+        ("executemany", GOLDEN_INSERT, rows[0:2]),
+        ("commit",),
+        ("cursor",),
+        ("executemany", GOLDEN_INSERT, rows[2:4]),
+        ("commit",),
+        ("cursor",),
+        ("executemany", GOLDEN_INSERT, rows[4:5]),
+        ("commit",),
+        ("close",),
+    ]
+
+
+def test_wire_golden_async_insert_settings(spark, tmp_path):
+    """GOLDEN: async-insert mode changes ONLY the statement suffix
+    (clickhouse.go:65-73) — same tx boundaries, same parameter tuples,
+    for both wait_for_async_insert settings."""
+    for wait, golden in (
+        (False, GOLDEN_INSERT_ASYNC_NOWAIT),
+        (True, GOLDEN_INSERT_ASYNC_WAIT),
+    ):
+        spool = str(tmp_path / f"wire-async-{int(wait)}")
+        os.makedirs(spool)
+        sink = ClickHouseSink(
+            EngineConfig(database="logs", batch_size=10,
+                         async_insert=True, wait_for_async_insert=wait),
+            make_wire_recording_factory(spool),
+        )
+        sink.write_batch(_wire_fixture_df(spark), batch_id=0)
+        streams = [s for s in read_wire_events(spool) if len(s) > 1]
+        assert len(streams) == 1
+        # under-size batch -> ONE interval flush at the partition drain
+        assert streams[0] == [
+            ("cursor",),
+            ("executemany", golden, _golden_param_rows()),
+            ("commit",),
+            ("close",),
+        ]
+
+
+def test_wire_golden_failure_rolls_back_then_closes(spark, tmp_path):
+    """GOLDEN error path: a commit failure produces rollback -> close in
+    that order (the reference's defer tx.Rollback(), clickhouse.go:84),
+    and the error propagates to Spark for the at-least-once replay."""
+    spool = str(tmp_path / "wire-fail")
+    os.makedirs(spool)
+
+    def failing_factory():
+        base = make_wire_recording_factory(spool)
+
+        def factory():
+            conn = base()
+            orig_commit = conn.commit
+
+            def commit():
+                orig_commit()  # record the attempt position
+                raise RuntimeError("server gone")
+
+            conn.commit = commit
+            return conn
+
+        return factory
+
+    sink = ClickHouseSink(
+        EngineConfig(database="logs", batch_size=10),
+        failing_factory(),
+    )
+    with pytest.raises(Exception):
+        sink.write_batch(_wire_fixture_df(spark), batch_id=0)
+    streams = [s for s in read_wire_events(spool) if len(s) > 1]
+    assert len(streams) == 1
+    assert streams[0][-2:] == [("rollback",), ("close",)]
+    assert streams[0][0] == ("cursor",)

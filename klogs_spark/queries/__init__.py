@@ -21,6 +21,11 @@ class QuerySpec:
     fn: QueryFn
     oracle: Optional[str]  # ANSI SQL for DuckDB; None -> rows-only check
     doc: str = ""
+    # helpers whose SOURCE is part of the query's externally-checked
+    # surface but lives outside fn's own body (e.g. a shared Arrow
+    # kernel): their source joins the content hash, so editing the
+    # helper re-enters every dependent query into the checked window
+    hash_also: tuple = ()
 
 
 # The external correctness gate samples the FIRST 50 registry entries
@@ -61,6 +66,8 @@ def spec_content_hash(spec: "QuerySpec") -> str:
     import inspect
 
     src = inspect.getsource(spec.fn)
+    for helper in spec.hash_also:
+        src += "\x00" + inspect.getsource(helper)
     return hashlib.sha256(
         (src + "\x00" + (spec.oracle or "")).encode()
     ).hexdigest()[:12]
@@ -203,7 +210,6 @@ DRIVER_VERIFIED: dict = {
     "multimodal_jpeg_stats": "f6e6b86b6985",
     "multimodal_jpeg_subsampled": "ee9475de09bb",
     "multimodal_pair_alignment": "bf949fbbf2be",
-    "multimodal_pair_retrieval": "3ab124df0fa9",
     "multimodal_transcode": "acad661c0117",
     "multimodal_video_mjpeg": "0ced7d7ea628",
     "multimodal_video_pair_alignment": "b81eeb7ab284",
@@ -305,7 +311,6 @@ DRIVER_VERIFIED: dict = {
     "text_cms_heavy_hitters": "66e1b44c852b",
     "text_contamination": "55b916bc881a",
     "text_domain_blocklist": "d45223f8620e",
-    "text_edit_distance_join": "a4f3d4cb7993",
     "text_exact_decontaminate": "696a3a6ae51d",
     "text_fingerprints": "59486855a3ef",
     "text_fix_encoding": "d71f2af2b79c",

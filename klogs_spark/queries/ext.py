@@ -9273,12 +9273,14 @@ SPECS = {
         q_multimodal_pair_retrieval,
         _sql_multimodal_pair_retrieval(),
         "cross-modal recall@1 eval: aligned fake tower, sign-LSH "
-        "bucketed candidates, per-caption top-1 window, hit census"),
+        "bucketed candidates, per-caption top-1 window, hit census",
+        hash_also=(_retr_img_tower,)),
     "multimodal_pair_retrieval_bidir": QuerySpec(
         q_multimodal_pair_retrieval_bidir,
         _sql_multimodal_pair_retrieval_bidir(),
         "bidirectional recall@1/@5 eval (CLIP-report protocol): both "
-        "directions over the same bucketed candidates, one Arrow pass"),
+        "directions over the same bucketed candidates, one Arrow pass",
+        hash_also=(_retr_img_tower,)),
     "multimodal_features": QuerySpec(q_multimodal_features,
                                      SQL_MULTIMODAL_FEATURES,
                                      "binary payload -> Arrow-batched features"),

@@ -132,6 +132,10 @@ HEADLINE = [
     # eval_set x bucket_occupancy (linear in corpus at fixed planes;
     # plane count grows log2(corpus) at real scale)", so it's benched.
     "multimodal_pair_retrieval",
+    # round-20: the bidirectional recall@1/@5 eval (CLIP-report
+    # protocol) — both directions over the same bucketed candidates,
+    # one cached Arrow tower feeding candidate pool AND query set.
+    "multimodal_pair_retrieval_bidir",
 ]
 
 

@@ -192,6 +192,25 @@ _QUERY_NOTES = {
 }
 
 
+def compact_stdout_line(doc: dict, limit: int = 4096) -> str:
+    """The FINAL stdout line for the driver's tail capture (r13/r19 both
+    lost their official per-query record to oversized lines): prose and
+    derivable fields never ship (they live in BENCH_LOCAL.json), and if
+    the line still exceeds ``limit`` bytes, secondary fields shed one by
+    one — queries{} (the per-round record) is NEVER shed."""
+    compact = {
+        k: v for k, v in doc.items()
+        if k not in ("notes", "timing", "calibration_protocol",
+                     "capture_order")
+    }
+    line = json.dumps(compact)
+    sheddable = [k for k in compact if k.startswith("box_")] + ["errors"]
+    while len(line) > limit and sheddable:
+        compact.pop(sheddable.pop(0), None)
+        line = json.dumps(compact)
+    return line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -788,19 +807,7 @@ def main() -> None:
         json.dump(doc, fh, indent=2)
     for qname, note in _QUERY_NOTES.items():
         print(f"# note {qname}: {note}", file=sys.stderr)
-    compact = {
-        k: v for k, v in doc.items()
-        if k not in ("notes", "timing", "calibration_protocol",
-                     "capture_order")
-    }
-    # Size guard: the driver's tail window is finite; queries{} is the
-    # per-round record that must survive, so shed secondary fields first
-    # (they all remain in BENCH_LOCAL.json) and NEVER the queries.
-    line = json.dumps(compact)
-    sheddable = [k for k in compact if k.startswith("box_")] + ["errors"]
-    while len(line) > 4096 and sheddable:
-        compact.pop(sheddable.pop(0), None)
-        line = json.dumps(compact)
+    line = compact_stdout_line(doc)
     if len(line) > 4096:
         print(f"# WARNING: compact bench line {len(line)} B > 4 KB even "
               "after shedding; driver capture may truncate", file=sys.stderr)

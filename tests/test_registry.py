@@ -152,3 +152,33 @@ def test_every_registry_fn_has_a_real_docstring():
         if not (s.fn.__doc__ or "").strip() and not (s.doc or "").strip()
     ]
     assert not undocumented, f"registry entries with no contract text: {undocumented}"
+
+
+def test_hash_also_ties_shared_helpers_into_the_content_hash():
+    """hash_also (r20): a spec whose checked surface includes a shared
+    helper (the retrieval image tower) must change hash when the HELPER
+    changes, even with fn and oracle untouched — otherwise editing the
+    shared kernel would hide behind a pinned green hash."""
+    from klogs_spark.queries import QuerySpec
+
+    def fn(spark, sf):  # pragma: no cover - never invoked
+        return None
+
+    def helper_a():  # pragma: no cover
+        return 1
+
+    def helper_b():  # pragma: no cover
+        return 2
+
+    base = spec_content_hash(QuerySpec(fn, "SELECT 1"))
+    with_a = spec_content_hash(QuerySpec(fn, "SELECT 1", hash_also=(helper_a,)))
+    with_b = spec_content_hash(QuerySpec(fn, "SELECT 1", hash_also=(helper_b,)))
+    assert base != with_a  # helper source joins the surface
+    assert with_a != with_b  # different helper -> different hash
+    # and the real retrieval specs carry the shared tower
+    from klogs_spark.queries import _merged_specs
+    from klogs_spark.queries.ext import _retr_img_tower
+
+    specs = _merged_specs()
+    for name in ("multimodal_pair_retrieval", "multimodal_pair_retrieval_bidir"):
+        assert _retr_img_tower in specs[name].hash_also, name

@@ -1166,6 +1166,84 @@ FROM powered
 """
 
 
+EPOCH_ALPHA = 0.5        # temperature over per-source TOKEN counts
+EPOCH_BUDGET_MULT = 2    # training budget = mult x corpus tokens
+EPOCH_MAX = 2.0          # repeat-factor cap per source (binds on the
+                         # above-median-temperature sources at sf0.01,
+                         # so both the capped and uncapped branches are
+                         # exercised by the external hash)
+
+
+def q_sample_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget epoch planning — the data-budgeting step every
+    pretraining run does before sampling (Chinchilla-style token
+    accounting with temperature mixing and a per-source repeat cap):
+    given a training budget of EPOCH_BUDGET_MULT x corpus tokens, each
+    source's token share targets pow(tokens, EPOCH_ALPHA) temperature
+    weights, its repeat factor (epochs) is target/tokens capped at
+    EPOCH_MAX (data-constrained sources can't repeat unboundedly), and
+    the SHORTFALL column reports the tokens the cap leaves unfilled —
+    the quantity the run must re-allocate or accept. Distinct from
+    sample_mixture_weights (doc-count weights only, no budget/cap) and
+    sample_doremi_step (loss-driven reweighting).
+
+    Scale shape: one corpus pass (the token count inside the per-source
+    aggregate, whole-stage codegen), then source-cardinality rows joined
+    to a 1-row scalar aggregate (broadcast). Weights/epochs round to 6
+    and shortfall to 3 decimals: every input is an exact integer, so the
+    only FP divergence surface is pow/division ulps — orders of
+    magnitude below the rounding grain."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(tx.token_count(F.col("text"))).cast("bigint").alias(
+            "n_tokens"
+        ),
+    ).withColumn("p", F.pow("n_tokens", F.lit(EPOCH_ALPHA)))
+    tot = per.agg(
+        F.sum("p").alias("sp"),
+        F.sum("n_tokens").alias("st"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    weight = F.col("p") / F.col("sp")
+    target = F.lit(EPOCH_BUDGET_MULT) * F.col("st") * weight
+    epochs = F.least(F.lit(EPOCH_MAX), target / F.col("n_tokens"))
+    return j.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(weight, 6).alias("weight"),
+        F.round(epochs, 6).alias("epochs"),
+        F.round(
+            F.greatest(F.lit(0.0), target - epochs * F.col("n_tokens")), 3
+        ).alias("shortfall_tokens"),
+    )
+
+
+SQL_SAMPLE_EPOCH_PLAN = f"""
+WITH per AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(list_filter(string_split(text, ' '),
+                                  t -> t <> ''))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+powered AS (SELECT *, pow(n_tokens, {EPOCH_ALPHA}) AS p FROM per),
+tot AS (SELECT sum(p) AS sp, CAST(sum(n_tokens) AS BIGINT) AS st
+        FROM powered)
+SELECT source, n_docs, n_tokens,
+       round(p / sp, 6) AS weight,
+       round(least({EPOCH_MAX}, {EPOCH_BUDGET_MULT} * st * (p / sp)
+                                / n_tokens), 6) AS epochs,
+       round(greatest(0.0, {EPOCH_BUDGET_MULT} * st * (p / sp)
+                           - least({EPOCH_MAX},
+                                   {EPOCH_BUDGET_MULT} * st * (p / sp)
+                                   / n_tokens) * n_tokens), 3)
+         AS shortfall_tokens
+FROM powered, tot
+"""
+
+
 
 def _fan_out_media(docs: DataFrame) -> DataFrame:
     """Fan the id list out for an expensive Arrow-batched media kernel:
@@ -9227,6 +9305,11 @@ SPECS = {
                                         SQL_MIXTURE_WEIGHTS,
                                         "temperature (n^alpha) training-"
                                         "mixture weights per source"),
+    "sample_epoch_plan": QuerySpec(q_sample_epoch_plan,
+                                   SQL_SAMPLE_EPOCH_PLAN,
+                                   "token-budget epoch planning: "
+                                   "temperature token weights, capped "
+                                   "repeat factors, shortfall report"),
     "text_quality_filter": QuerySpec(q_quality_filter, SQL_QUALITY_FILTER,
                                      "composite keep/drop filter with reject "
                                      "reasons (length/repetition/quality/"

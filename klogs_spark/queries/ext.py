@@ -5356,6 +5356,128 @@ FROM r GROUP BY 1
 """
 
 
+CURRICULUM_BOUNDS = (32, 56, 76)  # sf-quartile token-length phase edges
+CURRICULUM_SHARDS = 8
+CURRICULUM_SEED = "curriculum-0"
+
+
+def q_sample_curriculum_order(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Curriculum training order — easy-first (short-to-long) phased
+    ordering with a deterministic within-phase shuffle, the classic
+    length-curriculum recipe: every doc gets a GLOBAL position such that
+    reading positions in order visits phase 1 (shortest docs) through
+    phase 4, pseudo-randomly shuffled inside each phase. Phases are
+    FIXED token-length buckets (CURRICULUM_BOUNDS — literal edges, so no
+    data-dependent global quantile sort); the within-phase permutation
+    is the seeded content-hash shuffle of sample_global_shuffle, ranked
+    inside (phase, shard) windows. Global positions come from adding
+    each (phase, shard) block's cumulative offset — blocks serialize by
+    (phase, shard) — computed with one window over the
+    phases x shards block-count table (a few dozen rows).
+
+    Scale shape: one corpus pass for token counts + hash, windows
+    PARTITIONED by (phase, shard) (each reducer sorts ~|corpus|/
+    (phases*shards) rows, never a global orderBy), and the offset join
+    is a broadcast of the tiny block table. Output is the per-block
+    census with an order-sensitive checksum (sum of global_pos*doc_id),
+    so any deviation in phase assignment, permutation, or cross-block
+    serialization breaks the external hash."""
+    from ..ext.hashing import md5_long
+    from pyspark.sql import Window
+
+    lo, mid, hi = CURRICULUM_BOUNDS
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tx.token_count(F.col("text")).alias("n_tokens")
+    )
+    phased = docs.withColumn(
+        "phase",
+        F.when(F.col("n_tokens") < lo, 1)
+        .when(F.col("n_tokens") < mid, 2)
+        .when(F.col("n_tokens") < hi, 3)
+        .otherwise(4),
+    ).withColumn(
+        "gh",
+        md5_long(
+            F.concat(
+                F.lit(f"{CURRICULUM_SEED}:"), F.col("doc_id").cast("string")
+            )
+        ),
+    ).withColumn("shard", (F.col("gh") % CURRICULUM_SHARDS).cast("int"))
+    w = Window.partitionBy("phase", "shard").orderBy("gh", "doc_id")
+    ranked = phased.withColumn("pos", F.row_number().over(w))
+    blocks = ranked.groupBy("phase", "shard").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    woff = (
+        Window.orderBy("phase", "shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = blocks.withColumn(
+        "offset", F.coalesce(F.sum("n_docs").over(woff), F.lit(0))
+    )
+    placed = ranked.join(
+        F.broadcast(offsets.select("phase", "shard", "offset")),
+        ["phase", "shard"],
+    ).withColumn("global_pos", F.col("offset") + F.col("pos"))
+    return placed.groupBy("phase", "shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min("global_pos").cast("bigint").alias("first_pos"),
+        F.max("global_pos").cast("bigint").alias("last_pos"),
+        F.sum(F.col("global_pos") * F.col("doc_id")).cast("bigint").alias(
+            "order_checksum"
+        ),
+    )
+
+
+SQL_SAMPLE_CURRICULUM_ORDER = f"""
+WITH d AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), t -> t <> ''))
+           AS n_tokens
+  FROM documents
+),
+ph AS (
+  SELECT doc_id,
+         CASE WHEN n_tokens < {CURRICULUM_BOUNDS[0]} THEN 1
+              WHEN n_tokens < {CURRICULUM_BOUNDS[1]} THEN 2
+              WHEN n_tokens < {CURRICULUM_BOUNDS[2]} THEN 3
+              ELSE 4 END AS phase,
+         {md5_long_sql(
+             f"concat('{CURRICULUM_SEED}:', CAST(doc_id AS VARCHAR))"
+         )} AS gh
+  FROM d
+),
+r AS (
+  SELECT doc_id, phase, CAST(gh % {CURRICULUM_SHARDS} AS INT) AS shard,
+         ROW_NUMBER() OVER (PARTITION BY phase, gh % {CURRICULUM_SHARDS}
+                            ORDER BY gh, doc_id) AS pos
+  FROM ph
+),
+blocks AS (
+  SELECT phase, shard, count(*) AS n_docs FROM r GROUP BY 1, 2
+),
+offsets AS (
+  SELECT phase, shard,
+         coalesce(sum(n_docs) OVER (ORDER BY phase, shard
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS off
+  FROM blocks
+),
+placed AS (
+  SELECT r.doc_id, r.phase, r.shard, o.off + r.pos AS global_pos
+  FROM r JOIN offsets o ON r.phase = o.phase AND r.shard = o.shard
+)
+SELECT phase, shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(global_pos) AS BIGINT) AS first_pos,
+       CAST(max(global_pos) AS BIGINT) AS last_pos,
+       CAST(sum(global_pos * doc_id) AS BIGINT) AS order_checksum
+FROM placed GROUP BY 1, 2
+"""
+
+
 SQL_PACK_GLOBAL_PREFIX = SQL_TOKEN_BUDGET_PACK
 
 SQL_SEQUENCE_CHUNKS = f"""
@@ -9663,6 +9785,12 @@ SPECS = {
         q_global_shuffle, SQL_GLOBAL_SHUFFLE,
         "deterministic rand()-free training-order shuffle with "
         "order-sensitive per-shard checksum",
+    ),
+    "sample_curriculum_order": QuerySpec(
+        q_sample_curriculum_order, SQL_SAMPLE_CURRICULUM_ORDER,
+        "easy-first length-curriculum training order: fixed phase "
+        "buckets, seeded within-phase shuffle, global positions via "
+        "block offsets, order-sensitive checksum",
     ),
     "table_zorder_values": QuerySpec(
         q_zorder_values, SQL_ZORDER_VALUES,

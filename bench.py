@@ -192,7 +192,10 @@ _QUERY_NOTES = {
 }
 
 
-def compact_stdout_line(doc: dict, limit: int = 4096) -> str:
+STDOUT_WINDOW = 4096  # driver tail-capture budget for the final line
+
+
+def compact_stdout_line(doc: dict, limit: int = STDOUT_WINDOW) -> str:
     """The FINAL stdout line for the driver's tail capture (r13/r19 both
     lost their official per-query record to oversized lines): prose and
     derivable fields never ship (they live in BENCH_LOCAL.json), and if
@@ -808,9 +811,10 @@ def main() -> None:
     for qname, note in _QUERY_NOTES.items():
         print(f"# note {qname}: {note}", file=sys.stderr)
     line = compact_stdout_line(doc)
-    if len(line) > 4096:
-        print(f"# WARNING: compact bench line {len(line)} B > 4 KB even "
-              "after shedding; driver capture may truncate", file=sys.stderr)
+    if len(line) > STDOUT_WINDOW:
+        print(f"# WARNING: compact bench line {len(line)} B > "
+              f"{STDOUT_WINDOW} B even after shedding; driver capture may "
+              "truncate", file=sys.stderr)
     print(line)
 
 

@@ -1207,7 +1207,12 @@ def q_sample_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = per.crossJoin(F.broadcast(tot))
     weight = F.col("p") / F.col("sp")
     target = F.lit(EPOCH_BUDGET_MULT) * F.col("st") * weight
-    epochs = F.least(F.lit(EPOCH_MAX), target / F.col("n_tokens"))
+    # greatest(n_tokens, 1): an all-empty-text source has 0 tokens, and
+    # x/0 is NULL in Spark but Inf under DuckDB's IEEE default — the
+    # guarded denominator keeps the two engines identical (review r20)
+    epochs = F.least(
+        F.lit(EPOCH_MAX), target / F.greatest(F.col("n_tokens"), F.lit(1))
+    )
     return j.select(
         "source",
         "n_docs",
@@ -1234,11 +1239,11 @@ tot AS (SELECT sum(p) AS sp, CAST(sum(n_tokens) AS BIGINT) AS st
 SELECT source, n_docs, n_tokens,
        round(p / sp, 6) AS weight,
        round(least({EPOCH_MAX}, {EPOCH_BUDGET_MULT} * st * (p / sp)
-                                / n_tokens), 6) AS epochs,
+                                / greatest(n_tokens, 1)), 6) AS epochs,
        round(greatest(0.0, {EPOCH_BUDGET_MULT} * st * (p / sp)
                            - least({EPOCH_MAX},
                                    {EPOCH_BUDGET_MULT} * st * (p / sp)
-                                   / n_tokens) * n_tokens), 3)
+                                   / greatest(n_tokens, 1)) * n_tokens), 3)
          AS shortfall_tokens
 FROM powered, tot
 """

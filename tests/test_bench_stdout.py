@@ -6,8 +6,10 @@ from __future__ import annotations
 
 import json
 import sys
+from pathlib import Path
 
-sys.path.insert(0, "/root/repo")
+_REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(_REPO))
 
 from bench import compact_stdout_line  # noqa: E402
 
@@ -57,7 +59,7 @@ def test_shedding_drops_secondary_fields_never_queries():
 
 def test_real_capture_is_under_the_window():
     # the committed r20 capture must produce a parseable sub-4KB line
-    with open("/root/repo/BENCH_LOCAL.json") as fh:
+    with open(_REPO / "BENCH_LOCAL.json") as fh:
         doc = json.load(fh)
     line = compact_stdout_line(doc)
     assert len(line) <= 4096

@@ -1926,3 +1926,35 @@ def test_normalize_typography_each_mapping(spark):
     }
     for i, _, want in cases:
         assert got[i] == want, (i, repr(got[i]), repr(want))
+
+
+def test_sample_epoch_plan_zero_token_source_matches_oracle(spark, tmp_path):
+    """Review r20: a source whose every doc is empty/whitespace has 0
+    tokens; x/0 is NULL in Spark but Inf under DuckDB's IEEE default, so
+    without the greatest(n_tokens, 1) guard the two engines diverge.
+    Drive both sides on a corpus that hits the branch."""
+    import duckdb
+
+    rows = [(i, f"w{i} x y z", f"src{'A' if i < 5 else 'B'}")
+            for i in range(10)]
+    # srcB docs are whitespace-only -> n_tokens = 0 for the whole source
+    rows = [(i, t if s == "srcA" else "   ", s) for i, t, s in rows]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    p = str(tmp_path / "documents.parquet")
+    df.coalesce(1).write.parquet(p)
+
+    from klogs_spark.queries import _merged_specs
+
+    spec = _merged_specs()["sample_epoch_plan"]
+    srows = sorted(map(tuple, spec.fn(spark, str(tmp_path)).collect()))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{p}/*.parquet'")
+    drows = sorted(map(tuple, con.execute(spec.oracle).fetchall()))
+    assert srows == drows
+    b = next(r for r in srows if r[0] == "srcB")
+    assert b[2] == 0          # zero tokens
+    # pow(0, alpha) = 0 weight -> 0 target -> 0 epochs; the guard's job
+    # is that BOTH engines produce this 0.0 (not Spark NULL vs DuckDB
+    # Inf-capped 2.0), which the equality above already proves
+    assert b[4] == 0.0 and b[4] is not None
+    assert b[5] == 0.0        # no shortfall from a weightless source

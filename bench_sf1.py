@@ -232,6 +232,10 @@ def main() -> None:
         # (linear in corpus at fixed plane count); measure both
         ("multimodal_video_pair_alignment", "documents"),
         ("multimodal_pair_retrieval", "documents"),
+        # r20: the bidirectional eval doubles the candidate joins over
+        # the same cached tower — its own ratio proves the second
+        # direction stays inside the eval x occupancy budget
+        ("multimodal_pair_retrieval_bidir", "documents"),
     ]
 
     results: dict = {}

@@ -2701,8 +2701,15 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 
-@settings(max_examples=5, deadline=None,
-          suppress_health_check=[HealthCheck.function_scoped_fixture])
+import os as _os
+
+
+@settings(
+    # soak knob: LIFECYCLE_EXAMPLES=40 python -m pytest -k randomized_op
+    # runs a deeper interleaving sweep than the default CI budget
+    max_examples=int(_os.environ.get("LIFECYCLE_EXAMPLES", "5")),
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(ops=st.lists(st.sampled_from(
     ["append", "cow_delete", "cow_compact", "restore", "clone", "vacuum",
      "publish", "maintain", "mor_delete", "dv_compact", "mor_update",

@@ -1290,6 +1290,87 @@ FROM dev JOIN mad ON dev.app = mad.app
 """
 
 
+_FORECAST_EPOCH = "2024-01-01"  # testdata day-index origin (literal)
+
+
+def q_volume_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pod log-volume trend + next-day forecast — the capacity-
+    planning regression an SRE runs over daily ingest counts (the one
+    analytics family the logs surface lacked: forecasting). Ordinary
+    least squares over (day-index, daily count) per pod, computed from
+    EXACT integer sums (n, Σx, Σy, Σxy, Σx²) so the only floating-point
+    operations are the final divisions — bit-identical on both engines
+    by construction (integer numerators/denominators, one parenthesized
+    expression shape shared with the oracle). Pods with fewer than two
+    observed days carry no trend and are excluded (their denominator is
+    zero). Missing days simply contribute no point (OLS over observed
+    days). Scale shape: one corpus pass to daily counts (pods x days
+    rows), then a pods-sized aggregate — nothing data-volume-sized
+    leaves the first groupBy."""
+    logs = derive_logs_from_events(spark, sf_dir)
+    daily = logs.groupBy(
+        "pod_name",
+        F.datediff(
+            F.to_date("timestamp"), F.lit(_FORECAST_EPOCH).cast("date")
+        ).alias("d"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    agg = (
+        daily.groupBy("pod_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.sum("d").cast("bigint").alias("sx"),
+            F.sum("y").cast("bigint").alias("sy"),
+            F.sum(F.col("d") * F.col("y")).cast("bigint").alias("sxy"),
+            F.sum(F.col("d") * F.col("d")).cast("bigint").alias("sxx"),
+            F.max("d").cast("bigint").alias("last_d"),
+        )
+        .filter(F.col("n_days") >= 2)
+    )
+    slope = (
+        F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ) / (F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n_days")
+    forecast = intercept + slope * (F.col("last_d") + 1)
+    return agg.select(
+        "pod_name",
+        "n_days",
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(forecast, 6).alias("next_day_forecast"),
+    )
+
+
+_SLOPE_SQL = ("(n_days*sxy - sx*sy) / "
+              "(n_days*sxx - sx*sx)")
+_INTERCEPT_SQL = f"(sy - ({_SLOPE_SQL}) * sx) / n_days"
+
+SQL_VOLUME_FORECAST = LOGS_CTE + f"""
+, daily AS (
+  SELECT pod_name,
+         datediff('day', DATE '{_FORECAST_EPOCH}',
+                  CAST("timestamp" AS DATE)) AS d,
+         count(*) AS y
+  FROM logs GROUP BY 1, 2
+),
+agg AS (
+  SELECT pod_name,
+         CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(d) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(d * y) AS BIGINT) AS sxy,
+         CAST(sum(d * d) AS BIGINT) AS sxx,
+         CAST(max(d) AS BIGINT) AS last_d
+  FROM daily GROUP BY 1 HAVING count(*) >= 2
+)
+SELECT pod_name, n_days,
+       round({_SLOPE_SQL}, 6) AS slope,
+       round({_INTERCEPT_SQL}, 6) AS intercept,
+       round(({_INTERCEPT_SQL}) + ({_SLOPE_SQL}) * (last_d + 1), 6)
+         AS next_day_forecast
+FROM agg
+"""
+
+
 def q_template_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Log template mining (the Drain/LogMine clustering idea, the
     deterministic 80% version): mask every digit run to <N>, then group —
@@ -1410,6 +1491,10 @@ SPECS = {
         q_volume_anomaly_mad, SQL_VOLUME_ANOMALY_MAD,
         "robust MAD hourly volume anomalies (medians over the bounded "
         "hourly aggregate; spikes cannot mask themselves)"),
+    "logs_volume_forecast": QuerySpec(
+        q_volume_forecast, SQL_VOLUME_FORECAST,
+        "per-pod OLS volume trend + next-day forecast from exact "
+        "integer sums (capacity planning)"),
     "table_expectations": QuerySpec(
         q_table_expectations, SQL_TABLE_EXPECTATIONS,
         "Deequ-style declarative data-quality gate: five expectations "

@@ -1298,21 +1298,27 @@ def q_volume_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     planning regression an SRE runs over daily ingest counts (the one
     analytics family the logs surface lacked: forecasting). Ordinary
     least squares over (day-index, daily count) per pod, computed from
-    EXACT integer sums (n, Σx, Σy, Σxy, Σx²) so the only floating-point
-    operations are the final divisions — bit-identical on both engines
-    by construction (integer numerators/denominators, one parenthesized
-    expression shape shared with the oracle). Pods with fewer than two
-    observed days carry no trend and are excluded (their denominator is
-    zero). Missing days simply contribute no point (OLS over observed
-    days). Scale shape: one corpus pass to daily counts (pods x days
-    rows), then a pods-sized aggregate — nothing data-volume-sized
-    leaves the first groupBy."""
+    EXACT integer sums (n, Σx, Σy, Σxy, Σx²): the slope is one double
+    division of integer terms, and intercept/forecast chain a few more
+    fp ops whose EXPRESSION SHAPE (operand order + parenthesization) is
+    shared verbatim with the oracle — the bit-identical guarantee rests
+    on that shared shape, so never reassociate one side alone (review
+    r20). Pods with fewer than two observed days carry no trend and are
+    excluded (their denominator is zero). Missing days simply
+    contribute no point (OLS over observed days); NULL timestamps are
+    excluded on both sides (a NULL day group would inflate n_days but
+    none of the sums — a fabricated trend, review r20). Scale shape:
+    one corpus pass to daily counts (pods x days rows), then a
+    pods-sized aggregate — nothing data-volume-sized leaves the first
+    groupBy."""
     logs = derive_logs_from_events(spark, sf_dir)
-    daily = logs.groupBy(
+    daily = logs.filter(F.col("timestamp").isNotNull()).groupBy(
         "pod_name",
+        # bigint BEFORE the products: datediff is int32, and d*d would
+        # wrap at |d| >= 46341 while the oracle computes BIGINT exactly
         F.datediff(
             F.to_date("timestamp"), F.lit(_FORECAST_EPOCH).cast("date")
-        ).alias("d"),
+        ).cast("bigint").alias("d"),
     ).agg(F.count(F.lit(1)).alias("y"))
     agg = (
         daily.groupBy("pod_name")
@@ -1350,7 +1356,7 @@ SQL_VOLUME_FORECAST = LOGS_CTE + f"""
          datediff('day', DATE '{_FORECAST_EPOCH}',
                   CAST("timestamp" AS DATE)) AS d,
          count(*) AS y
-  FROM logs GROUP BY 1, 2
+  FROM logs WHERE "timestamp" IS NOT NULL GROUP BY 1, 2
 ),
 agg AS (
   SELECT pod_name,

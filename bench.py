@@ -192,25 +192,46 @@ _QUERY_NOTES = {
 }
 
 
-STDOUT_WINDOW = 4096  # driver tail-capture budget for the final line
+# Driver tail-capture budget for the final line. r20 PROVED the driver's
+# window is 2000 chars (BENCH_r20.json.tail is exactly 2000 B and starts
+# mid-object), not the 4096 this guard previously assumed — the ~2.2 KB
+# compact line passed the guard and the official record was still lost
+# (third time: r13, r19, r20). 1900 leaves headroom under the observed
+# 2000-char window.
+STDOUT_WINDOW = 1900
 
 
 def compact_stdout_line(doc: dict, limit: int = STDOUT_WINDOW) -> str:
-    """The FINAL stdout line for the driver's tail capture (r13/r19 both
+    """The FINAL stdout line for the driver's tail capture (r13/r19/r20 all
     lost their official per-query record to oversized lines): prose and
-    derivable fields never ship (they live in BENCH_LOCAL.json), and if
-    the line still exceeds ``limit`` bytes, secondary fields shed one by
-    one — queries{} (the per-round record) is NEVER shed."""
+    derivable fields never ship (they live in BENCH_LOCAL.json), per-query
+    seconds are rounded to 2 decimals (3-decimal values stay on disk),
+    separators are compact, and if the line still exceeds ``limit`` bytes,
+    secondary fields shed one by one — queries{} (the per-round record) is
+    NEVER shed."""
     compact = {
         k: v for k, v in doc.items()
         if k not in ("notes", "timing", "calibration_protocol",
                      "capture_order")
     }
-    line = json.dumps(compact)
-    sheddable = [k for k in compact if k.startswith("box_")] + ["errors"]
+    if "queries" in compact:
+        compact["queries"] = {
+            k: round(v, 2) for k, v in compact["queries"].items()
+        }
+    if isinstance(compact.get("value"), float):
+        compact["value"] = round(compact["value"], 2)
+    dumps = lambda d: json.dumps(d, separators=(",", ":"))  # noqa: E731
+    line = dumps(compact)
+    # derivable/secondary fields shed first (all live in BENCH_LOCAL.json);
+    # errors{} last — when non-empty it is diagnostic, not derivable
+    sheddable = (
+        ["comparable_r8_subtotal_sec"]
+        + [k for k in compact if k.startswith("box_")]
+        + ["comparable_r4_subtotal_sec", "trials", "errors"]
+    )
     while len(line) > limit and sheddable:
         compact.pop(sheddable.pop(0), None)
-        line = json.dumps(compact)
+        line = dumps(compact)
     return line
 
 

@@ -193,6 +193,7 @@ DRIVER_VERIFIED: dict = {
     "logs_type_flap": "e3cac8275597",
     "logs_value_percentiles": "bcdd9b0d3e65",
     "logs_volume_anomaly_mad": "386862e78199",
+    "logs_volume_forecast": "a92384db763c",
     "logs_window_5m": "00f54511d538",
     "multimodal_audio_fingerprint": "3f5ac0c421cd",
     "multimodal_audio_pair_alignment": "c08a35ff68cc",
@@ -210,6 +211,8 @@ DRIVER_VERIFIED: dict = {
     "multimodal_jpeg_stats": "f6e6b86b6985",
     "multimodal_jpeg_subsampled": "ee9475de09bb",
     "multimodal_pair_alignment": "bf949fbbf2be",
+    "multimodal_pair_retrieval": "e1f828a9322f",
+    "multimodal_pair_retrieval_bidir": "5e6b1a6ead96",
     "multimodal_transcode": "acad661c0117",
     "multimodal_video_mjpeg": "0ced7d7ea628",
     "multimodal_video_pair_alignment": "b81eeb7ab284",
@@ -225,6 +228,8 @@ DRIVER_VERIFIED: dict = {
     "sample_doremi_step": "36d3f4663c65",
     "sample_dsir_weights": "c921986f43af",
     "sample_global_shuffle": "196cc30a9d92",
+    "sample_curriculum_order": "a28714645470",
+    "sample_epoch_plan": "a31473a72555",
     "sample_hash_deterministic": "f248348905ce",
     "sample_interleave": "158dc4756ec6",
     "sample_leakage_free_split": "b3ee20aa0418",
@@ -310,6 +315,7 @@ DRIVER_VERIFIED: dict = {
     "text_classifier_score": "694e9cc2b376",
     "text_cms_heavy_hitters": "66e1b44c852b",
     "text_contamination": "55b916bc881a",
+    "text_edit_distance_join": "9371d302d98d",
     "text_domain_blocklist": "d45223f8620e",
     "text_exact_decontaminate": "696a3a6ae51d",
     "text_fingerprints": "59486855a3ef",

@@ -71,6 +71,26 @@ def exact_dedup(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> Da
     )
 
 
+def exact_dedup_rows(df: DataFrame, text: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Survivor ROWS of exact dedup — the one-shuffle form of
+    ``df ⋈ exact_dedup(df)`` (min ``id_col`` per distinct ``text``).
+
+    The join-back form shuffles the corpus twice (hash groupBy, then the
+    id-keyed reattach join) and computes ``df`` once per join side; a
+    min-id window over the text hash does it in ONE exchange with the
+    input computed once. Row set identical by construction (same md5
+    grouping key, same min-id survivor rule); column order preserved."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(F.md5(F.col(text))).orderBy(F.col(id_col))
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+
+
 # --- n-gram Jaccard ---------------------------------------------------------
 def doc_shingles(df: DataFrame, text: str = "text", id_col: str = "doc_id",
                  n: int = 3) -> DataFrame:
@@ -475,11 +495,34 @@ def paragraph_minhash_dedup(df: DataFrame, paragraph_tokens: int = 30,
 
 
 # --- SimHash ----------------------------------------------------------------
+# Packed-lane geometry for the simhash bit-count aggregation: three 20-bit
+# counter lanes per 64-bit sum. Each token contributes 0 or 1 per lane, so
+# lanes never carry into each other while the per-doc token count stays
+# below 2^20 (~6 MB of text) — guarded by raise_error, never silent.
+_SIMHASH_LANE = 20
+_SIMHASH_LANE_CAP = 1 << _SIMHASH_LANE
+
+
 def simhash(df: DataFrame, text: str = "text", id_col: str = "doc_id",
             bits: int = SIMHASH_BITS) -> DataFrame:
     """Per-doc SimHash over token hashes: bit_j = sign(sum_t (+1 if bit_j(h(t))
-    else -1)). Single explode + single aggregate; the ``bits`` per-bit sums are
-    partial-aggregated map-side. Returns (id, simhash).
+    else -1)). Single explode + single aggregate. Returns (id, simhash).
+
+    Two measured optimizations over the naive ``bits`` separate per-bit
+    sums (identical results by construction):
+
+    * **Packed-lane aggregation**: bit counts accumulate three-per-long in
+      20-bit lanes (``sum((h >> g) & 0x...)`` with a lane-spread mask), so
+      the aggregate carries bits/3 sum columns instead of ``bits`` — the
+      per-token aggregation work and the map-side partial-agg row width
+      both shrink ~3x. A lane can only overflow when one document exceeds
+      2^20 tokens; that case raises (raise_error) instead of corrupting
+      neighbours.
+    * **Single-parse expressions**: the aggregate and the bit-majority
+      assembly are built as SQL strings parsed once in the JVM. The
+      Column-by-Column form cost ~2 s of DRIVER time per invocation
+      (hundreds of py4j round trips for 60 bits — measured r21), which
+      dwarfed the execution itself.
     """
     toks = (
         key_parallel(
@@ -488,24 +531,39 @@ def simhash(df: DataFrame, text: str = "text", id_col: str = "doc_id",
         )  # explicit width: parallelize past the input file count
         .select("id", F.explode(tokens_col(F.col("t"))).alias("tok"))
     )
-    h = md5_long(F.col("tok"), chars=15)  # 60-bit token hash
-    # bit j majority: sum(±1) > 0  ⇔  2*popcount_j > n — the popcount form
-    # avoids a branch per token per bit in the generated code
-    bit_sums = toks.groupBy("id").agg(
+    # 60-bit token hash (md5_long(col, 15) as one SQL string)
+    h = "CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT)"
+    n_groups = min(bits, _SIMHASH_LANE)
+    masks = {
+        g: sum(
+            1 << (_SIMHASH_LANE * m)
+            for m in range((bits - g + _SIMHASH_LANE - 1) // _SIMHASH_LANE)
+        )
+        for g in range(n_groups)
+    }
+    packed = toks.groupBy("id").agg(
         F.count(F.lit(1)).alias("n"),
         *[
-            F.sum(F.shiftright(h, j).bitwiseAND(F.lit(1))).alias(f"s_{j}")
-            for j in range(bits)
+            F.expr(f"sum(shiftright({h}, {g}) & {masks[g]})").alias(f"p_{g}")
+            for g in range(n_groups)
         ],
     )
-    sim = reduce(
-        lambda acc, j: acc
-        + F.when(F.col(f"s_{j}") * 2 > F.col("n"), F.lit(2**j).cast("long"))
-        .otherwise(0),
-        range(bits),
-        F.lit(0).cast("long"),
+    # bit j (= g + 20m) majority: 2 * lane_count > n; lane extraction and
+    # the 2^j weighting assemble in one parsed expression
+    lane_mask = _SIMHASH_LANE_CAP - 1
+    terms = " + ".join(
+        f"IF(2 * (shiftright(p_{j % _SIMHASH_LANE}, "
+        f"{_SIMHASH_LANE * (j // _SIMHASH_LANE)}) & {lane_mask}) > n, "
+        f"CAST({1 << j} AS BIGINT), CAST(0 AS BIGINT))"
+        for j in range(bits)
     )
-    return bit_sums.select("id", sim.alias("simhash"))
+    sim = (
+        f"IF(n < {_SIMHASH_LANE_CAP}, {terms}, "
+        f"CAST(raise_error('simhash: document exceeds "
+        f"{_SIMHASH_LANE_CAP} tokens; packed 20-bit count lanes would "
+        f"overflow') AS BIGINT))"
+    )
+    return packed.select("id", F.expr(sim).alias("simhash"))
 
 
 def simhash_pairs(sims: DataFrame, max_hamming: int) -> DataFrame:
@@ -539,16 +597,15 @@ def simhash_pairs_bucketed(sims: DataFrame, max_hamming: int,
     equi-join per block finds all of them without a cross join."""
     blocks = blocks or (max_hamming + 1)
     width = bits // blocks
-    block_structs = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("block_id"),
-                F.shiftright(F.col("simhash"), j * width)
-                .bitwiseAND(F.lit((1 << width) - 1))
-                .alias("block_val"),
-            )
+    # one parsed expression for the block fan-out (the per-Column py4j
+    # form costs driver milliseconds per block; the string parses once)
+    block_structs = F.expr(
+        "array(" + ", ".join(
+            f"struct({j} AS block_id, "
+            f"shiftright(simhash, {j * width}) & {(1 << width) - 1} "
+            "AS block_val)"
             for j in range(blocks)
-        ]
+        ) + ")"
     )
     blocked = (
         sims.select("id", "simhash", F.explode(block_structs).alias("blk"))

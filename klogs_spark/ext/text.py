@@ -50,16 +50,9 @@ def stopword_ratio(text: Column, lang: str = "en") -> Column:
     return F.size(stops) / F.greatest(F.size(toks), F.lit(1))
 
 
-def quality_features(df: DataFrame, text_col: str = "text",
-                     id_col: str = "doc_id") -> DataFrame:
-    """Per-doc quality features: length, token stats, punct/space/stopword
-    ratios, and a composite quality score in [0, 1].
-
-    The score formula is arbitrary-but-deterministic: it rewards mid-length
-    docs with low punctuation and a healthy stopword rate — the standard
-    shape of pretraining-corpus quality filters.
-    """
-    text = F.col(text_col)
+def _quality_cols(text: Column) -> dict[str, Column]:
+    """The row-local quality-feature columns, shared by quality_features
+    and the (join-free) quality_filter."""
     toks = tokens_col(text)
     n_chars = F.length(text)
     n_tokens = F.size(toks)
@@ -80,17 +73,32 @@ def quality_features(df: DataFrame, text_col: str = "text",
         + F.lit(0.3) * F.least(stop_ratio * 5, F.lit(1.0))
         + F.lit(0.3) * (1 - F.least(punct_ratio * 10, F.lit(1.0)))
     )
-    return df.select(
-        F.col(id_col).alias("id"),
-        n_chars.alias("n_chars"),
-        n_tokens.alias("n_tokens"),
-        F.round(avg_tok_len, 4).alias("avg_tok_len"),
-        F.round(stop_ratio, 4).alias("stop_ratio"),
-        F.round(punct_ratio, 4).alias("punct_ratio"),
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "avg_tok_len": F.round(avg_tok_len, 4),
+        "stop_ratio": F.round(stop_ratio, 4),
+        "punct_ratio": F.round(punct_ratio, 4),
         # 6 decimals: the weight formula can land exactly on a 5-decimal
         # half-way point (e.g. 0.86875) where engines' round() implementations
         # disagree; at 6 decimals no finite-decimal boundary is reachable.
-        F.round(score, 6).alias("quality_score"),
+        "quality_score": F.round(score, 6),
+    }
+
+
+def quality_features(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per-doc quality features: length, token stats, punct/space/stopword
+    ratios, and a composite quality score in [0, 1].
+
+    The score formula is arbitrary-but-deterministic: it rewards mid-length
+    docs with low punctuation and a healthy stopword rate — the standard
+    shape of pretraining-corpus quality filters.
+    """
+    cols = _quality_cols(F.col(text_col))
+    return df.select(
+        F.col(id_col).alias("id"),
+        *[c.alias(name) for name, c in cols.items()],
     )
 
 
@@ -104,19 +112,25 @@ def language_scores(text: Column) -> dict[str, Column]:
     }
 
 
-def language_id(df: DataFrame, text_col: str = "text",
-                id_col: str = "doc_id") -> DataFrame:
-    """Language-ID: argmax over per-language stopword scores with a
-    deterministic tie-break (language name order), 'und' when all scores are 0.
-    Returns (id, predicted_lang, lang_score)."""
-    scores = language_scores(F.col(text_col))
+def _language_best(text: Column) -> Column:
+    """Argmax (score, lang) struct over the per-language stopword scores —
+    the row-local core of language_id, shared by quality_filter."""
+    scores = language_scores(text)
     pairs = F.array(
         *[
             F.struct(F.round(score, 6).alias("score"), F.lit(lang).alias("lang"))
             for lang, score in sorted(scores.items())
         ]
     )
-    best = F.array_max(pairs)  # struct compare: score first, then lang
+    return F.array_max(pairs)  # struct compare: score first, then lang
+
+
+def language_id(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Language-ID: argmax over per-language stopword scores with a
+    deterministic tie-break (language name order), 'und' when all scores are 0.
+    Returns (id, predicted_lang, lang_score)."""
+    best = _language_best(F.col(text_col))
     return df.select(
         F.col(id_col).alias("id"),
         F.when(best["score"] > 0, best["lang"]).otherwise("und").alias(
@@ -140,41 +154,95 @@ def quality_filter(df: DataFrame, text_col: str = "text",
     with the reject reason — length gate, Gopher-style repetition gate,
     quality-score gate, language gate, evaluated in that fixed order.
 
-    Composes quality_features + repetition_features + language_id by id
-    (three id-keyed shuffles over corpus-linear intermediates — no new join
-    shapes). All compared values are integers or already-rounded scores, so
-    the decision replicates exactly in the oracle.
-    Returns (id, keep, reason, n_tokens, top_token_ppm, quality_score).
+    Every gate is computed row-locally in ONE projection — zero shuffles,
+    zero joins (the r20 form exploded tokens through two aggregations and
+    joined three per-id feature tables; at corpus scale those were full
+    token-stream exchanges). All compared values are integers or
+    already-rounded scores, so the decision replicates exactly in the
+    oracle. Returns (id, keep, reason, n_tokens, top_token_ppm,
+    quality_score).
     """
-    q = quality_features(df, text_col, id_col)
-    # Only the unigram top-token share gates the decision — compute it
-    # directly (one explode) instead of running the full uni+bi+tri
-    # repetition_features (three explodes); the ppm arithmetic is identical.
-    toks = df.select(
-        F.col(id_col).alias("id"), F.explode(tokens_col(F.col(text_col))).alias("tok")
-    )
-    per_tok = toks.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("c"))
-    rep = per_tok.groupBy("id").agg(
-        F.expr(
-            "CAST(max(c) * CAST(1000000 AS BIGINT) div sum(c) AS BIGINT)"
-        ).alias("top_token_ppm")
-    )
-    lang = language_id(df, text_col, id_col).select("id", "predicted_lang")
-    j = q.join(rep, "id").join(lang, "id")
-    reason = (
-        F.when(F.col("n_tokens") < FILTER_MIN_TOKENS, "too_short")
-        .when(F.col("top_token_ppm") >= FILTER_MAX_TOP_TOKEN_PPM, "repetitive")
-        .when(F.col("quality_score") < FILTER_MIN_QUALITY, "low_quality")
-        .when(F.col("predicted_lang") == "und", "unknown_lang")
-        .otherwise("kept")
-    )
-    return j.select(
-        "id",
+    # r21 shuffle removal (guide §2.4): every gating feature is row-local.
+    # The top-token share — previously an explode + two token-scale
+    # shuffled aggregations + an id-keyed join — is the max run length in
+    # the doc's SORTED token array (identical to max(count) per token by
+    # construction), so the whole filter is ONE projection with zero
+    # exchanges, zero joins. The zero-token docs the old inner join
+    # dropped (no exploded rows) are dropped by an explicit filter.
+    q, top_token_ppm, reason = _quality_gate_cols(text_col)
+    return df.filter(
+        F.size(tokens_col(F.col(text_col))) > 0
+    ).select(
+        F.col(id_col).alias("id"),
         (reason == "kept").alias("keep"),
         reason.alias("reason"),
-        "n_tokens",
-        "top_token_ppm",
-        "quality_score",
+        q["n_tokens"].alias("n_tokens"),
+        top_token_ppm.alias("top_token_ppm"),
+        q["quality_score"].alias("quality_score"),
+    )
+
+
+def _quality_gate_cols(text_col: str):
+    """The row-local gate columns of quality_filter: (feature dict,
+    top_token_ppm, reason). Shared with quality_kept_rows."""
+    text = F.col(text_col)
+    q = _quality_cols(text)
+    best = _language_best(text)
+    predicted_lang = F.when(best["score"] > 0, best["lang"]).otherwise("und")
+    # max token multiplicity == longest equal-run in the sorted token list;
+    # integer `div` exactly as the aggregated form computed it
+    top_token_ppm = F.expr(
+        f"""CAST(aggregate(
+              array_sort(filter(split({text_col}, ' '), t -> t != '')),
+              struct(CAST(NULL AS STRING) AS prev, CAST(0 AS BIGINT) AS run,
+                     CAST(0 AS BIGINT) AS best),
+              (acc, x) -> struct(
+                x AS prev,
+                IF(x <=> acc.prev, acc.run + 1, CAST(1 AS BIGINT)) AS run,
+                GREATEST(acc.best,
+                         IF(x <=> acc.prev, acc.run + 1,
+                            CAST(1 AS BIGINT))) AS best),
+              acc -> acc.best)
+            * CAST(1000000 AS BIGINT)
+            div size(filter(split({text_col}, ' '), t -> t != ''))
+            AS BIGINT)"""
+    )
+    reason = (
+        F.when(q["n_tokens"] < FILTER_MIN_TOKENS, "too_short")
+        .when(top_token_ppm >= FILTER_MAX_TOP_TOKEN_PPM, "repetitive")
+        .when(q["quality_score"] < FILTER_MIN_QUALITY, "low_quality")
+        .when(predicted_lang == "und", "unknown_lang")
+        .otherwise("kept")
+    )
+    return q, top_token_ppm, reason
+
+
+def quality_keep_col(text_col: str = "text") -> Column:
+    """The row-local boolean keep decision of :func:`quality_filter`.
+    Zero-token and null-text rows evaluate False via the too_short gate
+    (n_tokens <= 0 < FILTER_MIN_TOKENS), matching the rows the join form
+    dropped."""
+    _, _, reason = _quality_gate_cols(text_col)
+    return reason == "kept"
+
+
+def quality_kept_rows(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """The input rows that pass :func:`quality_filter`'s keep decision —
+    the join-free form of ``df ⋈ quality_filter(df).filter(keep)``.
+
+    The keep predicate is row-local (see quality_filter), so selecting the
+    surviving rows is ONE filter over the input: the r20 pipelines paid an
+    id-keyed shuffle of the whole corpus on BOTH join sides to reattach
+    the decision to the rows it was computed from. Row set and column
+    order are identical to the join form (the join keyed on ``id_col``
+    led with it; so does this select)."""
+    _, _, reason = _quality_gate_cols(text_col)
+    others = [c for c in df.columns if c != id_col]
+    return (
+        df.filter(F.size(tokens_col(F.col(text_col))) > 0)
+        .filter(reason == "kept")
+        .select(id_col, *others)
     )
 
 
@@ -340,6 +408,25 @@ def contamination_check(docs: DataFrame, probes: DataFrame,
         .crossJoin(p)
         .filter(F.col("_t").contains(F.col("_probe")))
         .select("doc_id", probe_id)
+    )
+
+
+def decontaminate_rows(docs: DataFrame, probes: DataFrame,
+                       text_col: str = "text",
+                       probe_text: str = "probe") -> DataFrame:
+    """Rows of ``docs`` containing NONE of the probe strings — the
+    survivor form of :func:`contamination_check`.
+
+    One broadcast anti-join pass: the r20 pipelines materialized the
+    match list (broadcast nested scan), DISTINCTed it, then shuffled the
+    corpus through an id-keyed anti-join — and referenced the corpus
+    lineage twice. The per-row work (test every probe against every doc)
+    is identical; the corpus-sized shuffle and the second lineage
+    computation are gone. Same survivor set by construction: a row is
+    dropped iff at least one probe is contained."""
+    p = F.broadcast(probes.select(F.col(probe_text).alias("_probe")))
+    return docs.join(
+        p, F.col(text_col).contains(F.col("_probe")), "left_anti"
     )
 
 

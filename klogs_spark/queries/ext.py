@@ -6066,29 +6066,22 @@ def q_pipeline_pretrain_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
       ->  per-source corpus stats.
 
     Every stage is the REAL operator from ext/ (no reimplementation); the
-    oracle replays the identical chain in SQL CTEs. Scale shape: stages are
-    id-/hash-keyed shuffles plus one broadcast (probes); nothing all-pairs.
+    oracle replays the identical chain in SQL CTEs. Scale shape (r21):
+    the quality keep is a row-local FILTER (quality_kept_rows — the r20
+    form reattached the decision with a corpus self-join), exact dedup is
+    ONE window exchange (exact_dedup_rows — was groupBy + join-back), the
+    probe scan is a broadcast; nothing all-pairs.
     """
     docs = load_table(spark, sf_dir, "documents")
-    dec = tx.quality_filter(docs)
-    kept = docs.join(
-        dec.filter(F.col("keep")).select(F.col("id").alias("doc_id")),
-        "doc_id",
-    )
-    surv = dd.exact_dedup(kept).select(
-        F.col("survivor_id").alias("doc_id")
-    )
-    deduped = kept.join(surv, "doc_id")
+    kept = tx.quality_kept_rows(docs)
+    deduped = dd.exact_dedup_rows(kept)
     probes = docs.filter(F.col("doc_id") < 5).select(
         F.col("doc_id").alias("probe_id"),
         F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 5)).alias(
             "probe"
         ),
     )
-    contaminated = (
-        tx.contamination_check(deduped, probes).select("doc_id").distinct()
-    )
-    clean = deduped.join(contaminated, "doc_id", "left_anti")
+    clean = tx.decontaminate_rows(deduped, probes)
     return clean.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
@@ -6163,39 +6156,58 @@ def q_pipeline_attrition_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     stages are the REAL operators of q_pipeline_pretrain_prep; this
     carrier pins the INTERMEDIATE states that query's final aggregate
     can't see, so a stage silently dropping or keeping the wrong rows
-    breaks its own funnel row even when later stages mask the damage."""
+    breaks its own funnel row even when later stages mask the damage.
+
+    r21 single-pass restructure: the four stage aggregates previously
+    re-derived the whole chain once each (4 corpus scans, the dedup
+    shuffle twice). Every stage membership is now a row FLAG — the
+    quality keep is row-local (quality_keep_col), the dedup survivor is
+    the same min-id window rule, contamination tests the (bounded, <5 by
+    construction) collected probe strings row-locally — so ONE scan and
+    ONE window exchange feed a single conditional aggregate, unpivoted
+    with stack() into the same 4 rows."""
+    from pyspark.sql.window import Window
+
     docs = load_table(spark, sf_dir, "documents")
-    dec = tx.quality_filter(docs)
-    kept = docs.join(
-        dec.filter(F.col("keep")).select(F.col("id").alias("doc_id")),
-        "doc_id",
-    )
-    surv = dd.exact_dedup(kept).select(F.col("survivor_id").alias("doc_id"))
-    deduped = kept.join(surv, "doc_id")
-    probes = docs.filter(F.col("doc_id") < 5).select(
-        F.col("doc_id").alias("probe_id"),
-        F.concat_ws(
-            " ", F.slice(F.split(F.col("text"), " "), 1, 5)
-        ).alias("probe"),
-    )
-    contaminated = (
-        tx.contamination_check(deduped, probes).select("doc_id").distinct()
-    )
-    clean = deduped.join(contaminated, "doc_id", "left_anti")
-
-    def stage(df: DataFrame, name: str) -> DataFrame:
-        return df.agg(
-            F.lit(name).alias("stage"),
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.sum("n_chars").cast("bigint").alias("total_chars"),
-            F.min("doc_id").cast("bigint").alias("min_doc_id"),
+    probe_strs = [
+        r[0]
+        for r in docs.filter(F.col("doc_id") < 5)
+        .select(
+            F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 5))
         )
+        .collect()
+    ]
+    w = Window.partitionBy("_keep", F.md5(F.col("text"))).orderBy("doc_id")
+    contam = F.lit(False)
+    for p in probe_strs:
+        contam = contam | F.col("text").contains(F.lit(p))
+    flagged = (
+        docs.withColumn("_keep", tx.quality_keep_col("text"))
+        .withColumn("_surv", F.col("_keep") & (F.row_number().over(w) == 1))
+        .withColumn("_clean", F.col("_surv") & ~F.coalesce(contam, F.lit(False)))
+    )
 
-    return (
-        stage(docs, "0_raw")
-        .unionByName(stage(kept, "1_quality_kept"))
-        .unionByName(stage(deduped, "2_deduped"))
-        .unionByName(stage(clean, "3_decontaminated"))
+    def stage_aggs(flag, tag: str):
+        cond = F.lit(True) if flag is None else F.col(flag)
+        return [
+            F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(f"n{tag}"),
+            F.sum(F.when(cond, F.col("n_chars"))).cast("bigint").alias(f"t{tag}"),
+            F.min(F.when(cond, F.col("doc_id"))).cast("bigint").alias(f"m{tag}"),
+        ]
+
+    res = flagged.agg(
+        *stage_aggs(None, "0"),
+        *stage_aggs("_keep", "1"),
+        *stage_aggs("_surv", "2"),
+        *stage_aggs("_clean", "3"),
+    )
+    return res.selectExpr(
+        "stack(4, "
+        "'0_raw', n0, t0, m0, "
+        "'1_quality_kept', n1, t1, m1, "
+        "'2_deduped', n2, t2, m2, "
+        "'3_decontaminated', n3, t3, m3) "
+        "AS (stage, n_docs, total_chars, min_doc_id)"
     )
 
 
@@ -7704,11 +7716,7 @@ def q_pipeline_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    dec = tx.quality_filter(docs)
-    kept = docs.join(
-        dec.filter(F.col("keep")).select(F.col("id").alias("doc_id")),
-        "doc_id",
-    )
+    kept = tx.quality_kept_rows(docs)
     target = docs.filter(F.col("source").isin(*DSIR_TARGET_SOURCES))
     lr = sp.dsir_logratios(target, docs, buckets=DSIR_BUCKETS)
     w = sp.dsir_weights(docs, lr, buckets=DSIR_BUCKETS)

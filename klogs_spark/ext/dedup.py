@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from .caching import cache_tracked as _cache_tracked
 from .caching import key_parallel
 
-from .hashing import HASH_PRIME, md5_long, perm_params
+from .hashing import HASH_PRIME, MD5_CHARS, md5_long, perm_params
 
 NUM_PERM = 16          # minhash signature length
 LSH_BANDS = 4          # bands x rows_per_band == NUM_PERM
@@ -1299,13 +1299,43 @@ def winnowing_pairs(
     in this module — never all-pairs); count per pair is exact because
     the fingerprint set is already distinct per document. Returns
     (id_a, id_b, n_shared) with id_a < id_b."""
-    fp = (
-        winnowing_fingerprints(df, text_col, id_col, n, w)
-        .select("id", "mh")
-        .distinct()
+    # r21: pair generation needs only each document's DISTINCT set of
+    # window-min hashes — positions and the rightmost-tie rule never
+    # affect which hashes are selected (the set of window minima is
+    # tie-break-independent), so the pair path skips them:
+    #   * window minima via least() over w adjacent element_at()s — no
+    #     per-window slice() array allocation (the old form allocated
+    #     3 arrays per position; GC pressure made task times swing up
+    #     to 10x on large docs);
+    #   * array_distinct() INSIDE the row replaces the two shuffled
+    #     global distincts (ids are unique per row, so doc-local
+    #     distinct IS global distinct) — zero exchanges before the
+    #     fingerprint-key join;
+    #   * the whole chain is one parsed SQL expression (driver py4j
+    #     cost is milliseconds, not the per-Column build).
+    # winnowing_fingerprints stays the position-aware public API; both
+    # derive the same selection by construction.
+    toks = tokens_col(F.col(text_col))
+    least_args = ", ".join(f"element_at(hs, i + {k})" for k in range(w))
+    mins = key_parallel(
+        df.filter(F.size(toks) >= n + w - 1).select(
+            F.col(id_col).alias("id"), toks.alias("tk")
+        ),
+        "id",
+    ).selectExpr(
+        "id",
+        f"""transform(sequence(0, size(tk) - {n}),
+              i -> CAST(conv(substring(md5(
+                     concat_ws(' ', slice(tk, i + 1, {n}))),
+                   1, {MD5_CHARS}), 16, 10) AS BIGINT)) AS hs""",
+    ).selectExpr(
+        "id",
+        f"""explode(array_distinct(transform(
+              sequence(1, size(hs) - {w} + 1),
+              i -> least({least_args})))) AS mh""",
     )
-    a = fp.select(F.col("id").alias("id_a"), "mh")
-    b = fp.select(F.col("id").alias("id_b"), "mh")
+    a = mins.select(F.col("id").alias("id_a"), "mh")
+    b = mins.select(F.col("id").alias("id_b"), "mh")
     return (
         a.join(b, "mh")
         .filter(F.col("id_a") < F.col("id_b"))

@@ -430,6 +430,7 @@ def decode_dataframe(
     raw: DataFrame,
     config: EngineConfig | None = None,
     value_column: str = "value",
+    ensure_width: bool = True,
 ) -> DataFrame:
     """Vectorized decode: DataFrame[value: string] -> DataFrame[LOG_SCHEMA].
 
@@ -437,12 +438,17 @@ def decode_dataframe(
     ``mapInPandas`` moves whole Arrow batches across the Python boundary, the
     per-record work happens in plain Python dicts, and the result lands back
     as Arrow. Works identically for batch and Structured Streaming inputs.
+
+    ``ensure_width=False`` skips the partition-width probe for callers that
+    already repartitioned upstream: ``raw.rdd.getNumPartitions()`` forces a
+    full physical plan of the input (measured ~0.3 s of driver time per
+    invocation), pure waste when the width is known.
     """
     cfg = config or _DEFAULT_CONFIG
     # pre-resolve the force-number membership set once (hot loop: per record)
     cfg._force_set = set(cfg.force_number_fields)
 
-    if not raw.isStreaming:
+    if not raw.isStreaming and ensure_width:
         # batch inputs often arrive as a handful of large files; the decode
         # is CPU-bound Python, so spread it across the cluster width first
         # (streaming inputs are partitioned by the source rate instead)

@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import similarity as sim
+from .hashing import lit_double_array, lit_double_matrix
 
 ANN_INDEX_VERSION = 1
 
@@ -930,7 +931,7 @@ def probe_cells(
     nearest cell ids. The centroids table is k rows — this read is
     manifest-sized and plays the same plan-time role as a skip-index
     lookup (ties break to the lower centroid_id, matching the oracle)."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = lit_double_array(query_vec)
     from .dedup import cosine_col
 
     return [
@@ -986,11 +987,8 @@ def _adc_topk(
     hash-checked quantization (floor(l2 * 1e6)) so the plain and
     filtered search paths can never diverge."""
     per = dim // m
-    qsub = F.array(
-        *[
-            F.array(*[F.lit(float(x)) for x in query_vec[j * per:(j + 1) * per]])
-            for j in range(m)
-        ]
+    qsub = lit_double_matrix(
+        [query_vec[j * per:(j + 1) * per] for j in range(m)]
     )
     cb = spark.read.parquet(_resolve_assets(spark, path)["codebooks"])
     dist_table = F.broadcast(
@@ -1112,7 +1110,7 @@ def ivfpq_rerank(
     cand = ivfpq_search(
         spark, path, query_vec, k=rerank, n_probe=n_probe, m=m, dim=dim
     ).select(F.col("id").alias("_cand_id"))
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = lit_double_array(query_vec)
     return (
         emb.join(
             F.broadcast(cand), emb[id_col] == F.col("_cand_id")

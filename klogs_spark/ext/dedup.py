@@ -352,10 +352,13 @@ def minhash_signatures_from_shingles(shingled: DataFrame,
     """Signatures from an existing (id, shingle) table — lets pipelines share
     one shingle materialization between signing and verification."""
     a, b = perm_params(k)
-    h = md5_long(F.col("shingle"))
+    # parsed-once SQL strings: the per-Column py4j construction of k
+    # universal-hash mins costs driver-side milliseconds-per-operator
+    # that dominated warm invocations (measured r21; same fix as simhash)
+    h = f"CAST(conv(substring(md5(shingle), 1, {MD5_CHARS}), 16, 10) AS BIGINT)"
     return shingled.groupBy("id").agg(
         *[
-            F.min((F.lit(a[i]) * h + F.lit(b[i])) % F.lit(HASH_PRIME)).alias(
+            F.expr(f"min(({a[i]} * {h} + {b[i]}) % {HASH_PRIME})").alias(
                 f"mh_{i}"
             )
             for i in range(k)
@@ -371,18 +374,13 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = LSH_BANDS,
     1-(1-s^rows)^bands, and the join key (band_id, band_hash) shards
     uniformly. Returns distinct (id_a, id_b), id_a < id_b.
     """
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("band_id"),
-                F.md5(
-                    F.concat_ws(
-                        "_", *[F.col(f"mh_{j * rows + r}") for r in range(rows)]
-                    )
-                ).alias("band_hash"),
-            )
+    band_structs = F.expr(
+        "array(" + ", ".join(
+            f"struct({j} AS band_id, md5(concat_ws('_', "
+            + ", ".join(f"mh_{j * rows + r}" for r in range(rows))
+            + ")) AS band_hash)"
             for j in range(bands)
-        ]
+        ) + ")"
     )
     banded = signatures.select(
         "id", F.explode(band_structs).alias("band")

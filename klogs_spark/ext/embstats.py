@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from . import similarity as sim
+from .hashing import lit_double_array
 
 
 def embedding_mean(
@@ -115,13 +116,13 @@ def pca_project(
         if vec[np.argmax(np.abs(vec))] < 0:
             vec = -vec
         comps.append(vec)
-    mean_lit = F.array(*[F.lit(float(m)) for m in mean])
+    mean_lit = lit_double_array(mean)
     cent = F.zip_with(v, mean_lit, lambda a, b: a - b)
     proj_cols = [
         F.aggregate(
             F.zip_with(
                 cent,
-                F.array(*[F.lit(float(x)) for x in comp]),
+                lit_double_array(comp),
                 lambda a, b: a * b,
             ),
             F.lit(0.0),
@@ -159,7 +160,7 @@ def mmr_select(
     """
     from .dedup import cosine_col
 
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = lit_double_array(query_vec)
     v = F.col(vec_col).cast("array<double>")
     rel = F.round(cosine_col(v, q), round_decimals)
     base = emb.select(F.col(id_col).alias("id"), v.alias("v"), rel.alias("rel"))
@@ -175,7 +176,7 @@ def mmr_select(
             sims = [
                 F.round(
                     cosine_col(
-                        F.col("v"), F.array(*[F.lit(float(x)) for x in vec])
+                        F.col("v"), lit_double_array(vec)
                     ),
                     round_decimals,
                 )
@@ -260,7 +261,7 @@ def pca_project_top(
     boundary-stable. Returns (id, proj_micros) — the column an outlier
     trim or drift monitor consumes."""
     _, v = _top_component_ints(emb, squarings, vec_col, dim)
-    vlit = F.array(*[F.lit(float(x)) for x in v])
+    vlit = lit_double_array(v)
     dot = F.aggregate(
         F.zip_with(
             F.col(vec_col).cast("array<double>"), vlit, lambda a, b: a * b
@@ -327,7 +328,7 @@ def power_iteration_component(
     den = sum((v[i] / 1e6) * (v[i] / 1e6) for i in rng)
     lam = _round_half_away(num / den * 1e9) / 1e9
 
-    vlit = F.array(*[F.lit(float(x)) for x in v])
+    vlit = lit_double_array(v)
     dot = F.aggregate(
         F.zip_with(
             F.col(vec_col).cast("array<double>"), vlit, lambda a, b: a * b

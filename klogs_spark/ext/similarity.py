@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from .caching import cache_tracked as _cache_tracked
 from .dedup import cosine_col
-from .hashing import hyperplanes
+from .hashing import hyperplanes, lit_double_array
 
 # 2^N_PLANES buckets; sized so the test corpora (500-2000 vectors) keep
 # meaningful bucket occupancy. At real scale, choose log2(corpus/target_bucket).
@@ -36,7 +36,7 @@ def _dot_literal(vec: Column, plane: list[float]) -> Column:
     64-term sum times several planes breaks the JVM's 64KB method limit and
     drops the whole stage to interpreted eval.
     """
-    lits = F.array(*[F.lit(float(w)) for w in plane])
+    lits = lit_double_array(plane)
     return F.aggregate(
         F.zip_with(vec.cast("array<double>"), lits, lambda x, w: x * w),
         F.lit(0.0),
@@ -72,7 +72,7 @@ def brute_force_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
     partition keeps its local top-k, the driver merges k rows — O(k) result
     movement at any scale. Returns (id, cosine) sorted desc.
     """
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = lit_double_array(query_vec)
     return (
         emb.select(
             F.col(id_col).alias("id"),
@@ -98,7 +98,7 @@ def lsh_topk(emb: DataFrame, query_vec: list[float], k: int = 5,
         for j, p in enumerate(planes)
         if sum(float(x) * w for x, w in zip(query_vec, p)) > 0
     )
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = lit_double_array(query_vec)
     return (
         emb.filter(lsh_bucket(F.col(vec_col), planes) == q_bucket)
         .select(
@@ -296,7 +296,7 @@ def ivf_topk(
     with data-adaptive cells. Returns (id, cosine) desc.
     """
     assigned = ivf_assign(emb, centroids, id_col, vec_col)
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = lit_double_array(query_vec)
     probe_cells = [
         r.centroid_id
         for r in (
@@ -544,7 +544,7 @@ def sq8_topk(
     ties by id."""
     spark = emb.sparkSession
     stats = _cache_tracked(sq8_stats(emb, vec_col))
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = lit_double_array(query_vec)
     levels = spark.range(SQ8_LEVELS).select(F.col("id").cast("int").alias("code"))
     recon = F.col("lo") + (F.col("code") + 0.5) * (
         F.col("hi") - F.col("lo")

@@ -15,7 +15,14 @@ from pyspark.sql import functions as F
 from ..ext import dedup as dd
 from ..ext import similarity as sim
 from ..ext import text as tx
-from ..ext.hashing import HASH_PRIME, MD5_CHARS, hyperplanes, md5_long_sql, perm_params
+from ..ext.hashing import (
+    HASH_PRIME,
+    MD5_CHARS,
+    hyperplanes,
+    lit_double_array,
+    md5_long_sql,
+    perm_params,
+)
 from ..views import load_table
 from . import QuerySpec
 
@@ -6436,7 +6443,7 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assigned = sim.ivf_assign(emb, cents)
     qv = _query_vec(spark, sf_dir)
-    q = F.array(*[F.lit(float(x)) for x in qv])
+    q = lit_double_array(qv)
     probe_cells = [
         r.centroid_id
         for r in (
@@ -6782,7 +6789,7 @@ def q_ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _ensure_ivfpq_index(spark, sf_dir)
     qv = _query_vec(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
-    q = F.array(*[F.lit(float(x)) for x in qv])
+    q = lit_double_array(qv)
 
     reranked = ann_index.ivfpq_rerank(
         spark, path, emb, qv, k=IVFPQ_K, rerank=IVFPQ_RERANK_R,

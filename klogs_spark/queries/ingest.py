@@ -88,7 +88,9 @@ def q_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     raw = _raw_json_events(spark, sf_dir)
     cfg = EngineConfig(force_number_fields=["content_k"], force_underscores=True)
-    decoded = decode_dataframe(raw, cfg)
+    # _raw_json_events already repartitioned to cluster width, so skip the
+    # decode-side width probe (a redundant ~0.3 s physical plan per call)
+    decoded = decode_dataframe(raw, cfg, ensure_width=False)
     return (
         decoded.groupBy("app")
         .agg(

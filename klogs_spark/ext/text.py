@@ -1129,8 +1129,14 @@ def edit_distance_pairs(
     # written once and ReusedExchange serves every join side (verified:
     # 3 ReusedExchange nodes in the executed sf1 plan), where keying on
     # (h, p) forced a second full re-exchange on the indel branch.
+    # length(s) > 0 guard (ADVICE r20): sequence(1, 0) on an EMPTY string
+    # yields the DESCENDING [1, 0], so '' entered the deletion table and
+    # the pair ('', x) passed BOTH the indel and subst verifies —
+    # duplicate emission (and a wasted cap slot under max_neighbors).
+    # Empty strings can only pair via the indel identity side, which
+    # still carries them.
     dels = key_parallel(
-        s.select(
+        s.filter(F.length("s") > 0).select(
             "s", F.explode(F.sequence(F.lit(1), F.length("s"))).alias("p")
         ).select(
             "s",

@@ -89,9 +89,7 @@ DRIVER_VERIFIED: dict = {
     "ann_ivfpq_prebuilt": "c279094be999",
     "ann_ivfpq_refresh": "c29e8665d870",
     "ann_ivfpq_remove": "c1208109538e",
-    "ann_ivfpq_rerank": "eca2529704c8",
     "ann_ivfpq_stream": "69f5ea4ae525",
-    "ann_ivfpq_topk": "08ac55b380f4",
     "ann_kmeans_iteration": "5636a85fa623",
     "ann_lsh_bucket_stats": "855956740694",
     "ann_lsh_topk": "c5f75789aa00",
@@ -148,7 +146,6 @@ DRIVER_VERIFIED: dict = {
     "events_sessionize": "2c817605b7a0",
     "events_wau_hll": "49c57b1f4ff9",
     "ingest_cdx_crawl_diff": "3ca30138d573",
-    "ingest_decode_pipeline": "4c00851918c6",
     "ingest_msgpack_pipeline": "c13826520a50",
     "ingest_orc_roundtrip": "c3db65f73ad1",
     "ingest_warc_cdx": "7197cbd39b1c",
@@ -217,12 +214,9 @@ DRIVER_VERIFIED: dict = {
     "multimodal_video_mjpeg": "0ced7d7ea628",
     "multimodal_video_pair_alignment": "b81eeb7ab284",
     "multimodal_video_scene_cuts": "4da8de30edba",
-    "pipeline_attrition_funnel": "720e72d7cd87",
     "pipeline_budget_threshold": "2c592c21840e",
     "pipeline_ccnet_buckets": "cbb93ad00117",
-    "pipeline_dsir_select": "f0d28fda7428",
     "pipeline_multimodal_prep": "808bf8cfc312",
-    "pipeline_pretrain_prep": "60209e874d2d",
     "pipeline_warc_to_wet": "b02887be6077",
     "sample_balance_sources": "84ad1b244e7c",
     "sample_doremi_step": "36d3f4663c65",

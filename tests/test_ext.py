@@ -1958,3 +1958,83 @@ def test_sample_epoch_plan_zero_token_source_matches_oracle(spark, tmp_path):
     # Inf-capped 2.0), which the equality above already proves
     assert b[4] == 0.0 and b[4] is not None
     assert b[5] == 0.0        # no shortfall from a weightless source
+
+
+# --- r21 optimization-equivalence pins ---------------------------------------
+def test_edit_distance_pairs_empty_string_exactly_once(spark):
+    """ADVICE r20: '' must pair with 1-char strings via the indel identity
+    side ONLY — the descending sequence(1, 0) used to put '' in the
+    deletion table too, duplicating every ('', x) pair (and burning a
+    max_neighbors cap slot)."""
+    from collections import Counter
+
+    from klogs_spark.ext.text import edit_distance_pairs
+
+    df = spark.createDataFrame(
+        [("",), ("x",), ("y",), ("ab",), ("a",)], "s string"
+    )
+    rows = [tuple(r) for r in edit_distance_pairs(df).collect()]
+    dupes = {k: v for k, v in Counter(rows).items() if v > 1}
+    assert not dupes
+    assert ("", "x", 1) in rows and ("", "a", 1) in rows
+    # the cap sees each neighbor once
+    capped = [
+        tuple(r)
+        for r in edit_distance_pairs(df, max_neighbors=2).collect()
+        if r.s_a == ""
+    ]
+    # ''s distance-1 neighbors are the 1-char strings only, lexicographic
+    assert capped == [("", "a", 1), ("", "x", 1)]
+
+
+def test_exact_dedup_rows_matches_join_form(corpus):
+    """The one-shuffle window form must keep exactly the rows the
+    groupBy + join-back form kept (min id per distinct text)."""
+    from pyspark.sql import functions as F
+
+    from klogs_spark.ext.dedup import exact_dedup, exact_dedup_rows
+
+    surv = exact_dedup(corpus).select(
+        F.col("survivor_id").alias("doc_id")
+    )
+    join_form = sorted(
+        map(tuple, corpus.join(surv, "doc_id").collect())
+    )
+    window_form = sorted(map(tuple, exact_dedup_rows(corpus).collect()))
+    assert join_form == window_form
+
+
+def test_quality_kept_rows_matches_join_form(corpus):
+    """The row-local filter form must keep exactly the rows the
+    docs ⋈ quality_filter(docs).filter(keep) join kept."""
+    from pyspark.sql import functions as F
+
+    from klogs_spark.ext.text import quality_filter, quality_kept_rows
+
+    dec = quality_filter(corpus)
+    join_form = sorted(
+        map(
+            tuple,
+            corpus.join(
+                dec.filter(F.col("keep")).select(
+                    F.col("id").alias("doc_id")
+                ),
+                "doc_id",
+            ).collect(),
+        )
+    )
+    filter_form = sorted(map(tuple, quality_kept_rows(corpus).collect()))
+    assert join_form == filter_form
+
+
+def test_simhash_packed_lane_overflow_raises(spark):
+    """The packed 20-bit count lanes must FAIL LOUDLY (raise_error), never
+    silently corrupt, when a document exceeds 2^20 tokens."""
+    import pytest
+
+    from klogs_spark.ext.dedup import simhash
+
+    big = "a " * (1 << 20)  # 2^20 + (split artifacts) tokens
+    df = spark.createDataFrame([(1, big)], "doc_id long, text string")
+    with pytest.raises(Exception, match="exceeds"):
+        simhash(df).collect()

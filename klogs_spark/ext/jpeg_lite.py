@@ -39,15 +39,28 @@ spectra round-trip bit-exactly through encode→decode).
 
 from __future__ import annotations
 
+import functools
+
 ZIGZAG = [
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
     12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
     35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
     58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
 ]
+# natural position i  ->  its index in zigzag order (ZIGZAG's inverse)
+INV_ZIGZAG = [0] * 64
+for _zz_pos, _nat in enumerate(ZIGZAG):
+    INV_ZIGZAG[_nat] = _zz_pos
+del _zz_pos, _nat
+
+_DCT_A = None  # cached orthonormal DCT-II matrix (pure math, build once)
+_ZZ_NP = None  # ZIGZAG as a numpy index array (for vectorized (un)zigzag)
 
 
 def _dct_matrix():
+    global _DCT_A, _ZZ_NP
+    if _DCT_A is not None:
+        return _DCT_A
     import math
 
     import numpy as np
@@ -57,6 +70,8 @@ def _dct_matrix():
         c = (1.0 / math.sqrt(2.0)) if u == 0 else 1.0
         for x in range(8):
             a[u, x] = 0.5 * c * math.cos((2 * x + 1) * u * math.pi / 16.0)
+    _ZZ_NP = np.array(ZIGZAG)
+    _DCT_A = a
     return a
 
 
@@ -79,7 +94,14 @@ def _round_half_away(x):
 # --- canonical Huffman (Annex C) -------------------------------------------
 def _canonical_codes(bits: list[int], huffval: list[int]) -> dict:
     """symbol -> (code, length) from the DHT ``bits`` (count of codes per
-    length 1..16) and ``huffval`` (symbols in code order)."""
+    length 1..16) and ``huffval`` (symbols in code order). Cached per
+    table definition — the table is codec metadata shared by every frame,
+    so rebuilding it per encode call is pure per-call overhead."""
+    return _canonical_codes_build(tuple(bits), tuple(huffval))
+
+
+@functools.lru_cache(maxsize=64)
+def _canonical_codes_build(bits: tuple, huffval: tuple) -> dict:
     out = {}
     code = 0
     k = 0
@@ -155,6 +177,14 @@ class _BitReader:
         self.nbits = 0
         self.marker = None
         self.pos += 1  # past the marker code byte (0xFF consumed in _fill)
+
+
+@functools.lru_cache(maxsize=64)
+def _huff_decoder_cached(bits: tuple, huffval: tuple) -> "_HuffDecoder":
+    """Decoder-table cache: DHT definitions are codec metadata repeated
+    verbatim in every frame of a stream, so the (mincode/maxcode/valptr)
+    tables need building once, not once per frame."""
+    return _HuffDecoder(list(bits), list(huffval))
 
 
 class _HuffDecoder:
@@ -286,7 +316,7 @@ def encode_jpeg_baseline(
         planes = [arr[..., 0]]
 
     a = _dct_matrix()
-    qmat = np.array([q[ZIGZAG.index(i)] for i in range(64)]).reshape(8, 8)
+    qmat = np.array([q[k] for k in INV_ZIGZAG]).reshape(8, 8)
     bw = _BitWriter()
     dc_codes = _canonical_codes(_ENC_DC_BITS, _ENC_DC_VALS)
     ac_codes = _canonical_codes(_ENC_AC_BITS, _ENC_AC_VALS)
@@ -313,7 +343,7 @@ def encode_jpeg_baseline(
     def emit(block, ci):
         s = a @ (block - 128.0) @ a.T
         sq = _round_half_away(s / qmat).astype(np.int64)
-        zz = [int(sq.flat[ZIGZAG[i]]) for i in range(64)]
+        zz = sq.ravel()[_ZZ_NP].tolist()
         diff = zz[0] - pred[ci]
         pred[ci] = zz[0]
         cat, bits_ = _magnitude(diff)
@@ -470,7 +500,7 @@ def decode_jpeg_baseline(
                 bits = list(body[j + 1:j + 17])
                 n = sum(bits)
                 vals = list(body[j + 17:j + 17 + n])
-                dec = _HuffDecoder(bits, vals)
+                dec = _huff_decoder_cached(tuple(bits), tuple(vals))
                 (huff_dc if tc == 0 else huff_ac)[th] = dec
                 j += 17 + n
         elif m == 0xDD:  # DRI
@@ -535,7 +565,7 @@ def _decode_scan(
         if q is None:
             raise ValueError(f"jpeg: quant table {tq} missing")
         qmats.append(
-            np.array([q[ZIGZAG.index(i)] for i in range(64)]).reshape(8, 8)
+            np.array([q[k] for k in INV_ZIGZAG]).reshape(8, 8)
         )
     br = _BitReader(p, pos)
     pred = [0] * nc
@@ -577,8 +607,7 @@ def _decode_scan(
                             zz[k] = _receive_extend(br, s)
                             k += 1
                         coef = np.zeros(64)
-                        for i in range(64):
-                            coef[ZIGZAG[i]] = zz[i]
+                        coef[_ZZ_NP] = zz
                         block = a.T @ (coef.reshape(8, 8) * qmats[idx]) @ a
                         y0 = (my * vi + v) * 8
                         x0 = (mx * hi + h) * 8

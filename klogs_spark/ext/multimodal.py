@@ -240,20 +240,19 @@ def synth_jpeg_gray_blocks(seed_id: int) -> bytes:
     contract), while still exercising the full entropy path: marker walk,
     DHT canonical Huffman, DC prediction across blocks, EOB runs,
     dequant, IDCT, level shift."""
+    import numpy as np
+
     from .jpeg_lite import encode_jpeg_baseline
 
     wb = seed_id % 3 + 1
     hb = seed_id % 2 + 1
     w, h = wb * 8, hb * 8
-    px = bytearray(w * h)
-    for j in range(wb * hb):
-        v = (seed_id * 37 + j * 11) % 256
-        by, bx = divmod(j, wb)
-        for y in range(8):
-            row = (by * 8 + y) * w + bx * 8
-            for x in range(8):
-                px[row + x] = v
-    return encode_jpeg_baseline(w, h, bytes(px), channels=1)
+    vals = np.fromiter(
+        ((seed_id * 37 + j * 11) % 256 for j in range(wb * hb)),
+        dtype=np.uint8, count=wb * hb,
+    ).reshape(hb, wb)
+    px = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1).tobytes()
+    return encode_jpeg_baseline(w, h, px, channels=1)
 
 
 def synth_jpeg_rgb_tiles_420(seed_id: int) -> bytes:

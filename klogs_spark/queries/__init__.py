@@ -208,8 +208,6 @@ DRIVER_VERIFIED: dict = {
     "multimodal_jpeg_stats": "f6e6b86b6985",
     "multimodal_jpeg_subsampled": "ee9475de09bb",
     "multimodal_pair_alignment": "bf949fbbf2be",
-    "multimodal_pair_retrieval": "e1f828a9322f",
-    "multimodal_pair_retrieval_bidir": "5e6b1a6ead96",
     "multimodal_transcode": "acad661c0117",
     "multimodal_video_mjpeg": "0ced7d7ea628",
     "multimodal_video_pair_alignment": "b81eeb7ab284",

@@ -1781,35 +1781,30 @@ def _retr_planes() -> list:
     return _RETR_PLANES
 
 
-def _retr_img_tower(batches):
-    """The ALIGNED image tower (Arrow kernel) shared by both retrieval
-    evals: caption vector plus RETR_NOISE x an independent payload-hash
-    vector — a trained-encoder model where true pairs score near 1.0."""
-    import hashlib
-
-    import pandas as pd
-
-    def h(s: str) -> float:
-        # CENTERED sha component: zero-mean vectors spread cosines
-        # over [-1, 1] (all-positive towers cluster near 1, which
-        # would make every candidate look aligned) and fill all
-        # 2^planes LSH buckets evenly
-        return int(
-            hashlib.sha256(s.encode()).hexdigest()[:14], 16
-        ) / 2 ** 56 - 0.5
-
-    for b in batches:
-        ids = [int(x) for x in b["doc_id"]]
-        vecs = []
-        for i, t in zip(ids, b["text"]):
-            payload = f"img:{i}:{t}"
-            vecs.append(
-                [
-                    h(t + str(k)) + RETR_NOISE * h(payload + str(k))
-                    for k in range(_PAIR_DIM)
-                ]
-            )
-        yield pd.DataFrame({"img_id": ids, "iv": vecs})
+def _retr_img_vec_expr() -> "F.Column":
+    """The ALIGNED image tower, fully NATIVE (r21, guide §4.1: the former
+    Arrow kernel computed a sha-formula the engine expresses directly —
+    the boundary is eliminated outright, zero Python workers): caption
+    component + RETR_NOISE x an independent payload-hash component per
+    dim. Float-op order matches the former kernel exactly:
+    (a/2^56 - 0.5) + NOISE * (b/2^56 - 0.5), with centered components so
+    cosines spread over [-1, 1] and all 2^planes LSH buckets fill evenly.
+    Built as ONE parsed SQL expression (driver py4j cost); `D` double
+    literals parse via parseDouble (correctly rounded — the bare-decimal
+    BigDecimal path drifts 1 ulp on adversarial values)."""
+    terms = []
+    for k in range(_PAIR_DIM):
+        cap = (
+            f"(CAST(conv(substr(sha2(concat(text, '{k}'), 256), 1, 14), "
+            f"16, 10) AS DOUBLE) / 72057594037927936.0D - 0.5D)"
+        )
+        img = (
+            f"(CAST(conv(substr(sha2(concat('img:', CAST(doc_id AS STRING)"
+            f", ':', text, '{k}'), 256), 1, 14), 16, 10) AS DOUBLE) "
+            f"/ 72057594037927936.0D - 0.5D)"
+        )
+        terms.append(f"{cap} + {RETR_NOISE!r}D * {img}")
+    return F.expr("array(" + ", ".join(terms) + ")")
 
 
 def q_multimodal_pair_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1835,15 +1830,22 @@ def q_multimodal_pair_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     degenerate to (review r19). At real scale, plane count grows as
     log2(corpus / target_bucket) — the ext.similarity.N_PLANES sizing
     rule — keeping occupancy (and thus the join) constant-bounded.
-    One Arrow crossing (the image tower); the caption tower, buckets,
-    cosine, and window are all native."""
+    ZERO Python crossings (r21): both towers, buckets, cosine, and the
+    window are native — the image tower's sha-formula is expressed
+    directly in SQL (guide §4.1), so no Python worker fleet exists at
+    any scale. The join orientation is pinned: the CAPPED eval set is
+    the broadcast side (bounded by RETR_MAX_QUERIES at any corpus size)
+    and the corpus-side tower is the fanned-out probe — left to the
+    planner, the 8-double image arrays look small enough to broadcast
+    (a corpus-sized build at 100 TB) and the probe inherits the scan's
+    file-count parallelism (serial cosine+window at bench scale)."""
     from pyspark.sql import Window
 
     from ..ext.similarity import lsh_bucket
 
     docs = load_table(spark, sf_dir, "documents")
-    imgs = _fan_out_media(docs.select("doc_id", "text")).mapInPandas(
-        _retr_img_tower, schema="img_id long, iv array<double>"
+    imgs = _fan_out_media(docs.select("doc_id", "text")).select(
+        F.col("doc_id").alias("img_id"), _retr_img_vec_expr().alias("iv")
     )
     caps = docs.filter(
         (F.col("doc_id") % RETR_QUERY_MOD == 0)
@@ -1860,7 +1862,7 @@ def q_multimodal_pair_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cap_id", "cv",
         lsh_bucket(F.col("cv"), _retr_planes()).alias("bucket"),
     )
-    cand = cb.join(ib, "bucket").select(
+    cand = F.broadcast(cb).join(ib, "bucket").select(
         "bucket", "cap_id", "img_id",
         dd.cosine_col(F.col("cv"), F.col("iv")).alias("cos"),
     )
@@ -1966,24 +1968,25 @@ def q_multimodal_pair_retrieval_bidir(
 
     Scale shape: identical to the recall@1 eval — each direction costs
     eval_set x bucket_occupancy through the bucket equi-join, linear in
-    the corpus at fixed plane count. The image tower (the only Arrow
-    crossing) is computed ONCE and cache_tracked: it feeds both the
-    caption-direction candidate pool and the image-direction query set,
-    and without materialization Spark would re-run the Python crossing
-    once per consumer. Per-bucket stats are order-proof aggregates only
-    (counts, min, max — never avg of doubles)."""
+    the corpus at fixed plane count. ZERO Python crossings (r21): the
+    image tower's sha-formula is expressed directly in SQL (guide §4.1),
+    so recomputing the cheap native projection per direction replaces
+    the cache_tracked materialization the Arrow kernel needed. Each
+    direction's join is orientation-pinned like the recall@1 eval: the
+    CAPPED query sample is the broadcast side, the corpus tower is the
+    fanned-out probe (planner-chosen orientation broadcast the corpus
+    and probed at scan-file width). Per-bucket stats are order-proof
+    aggregates only (counts, min, max — never avg of doubles)."""
     from pyspark.sql import Window
 
-    from ..ext.caching import cache_tracked
     from ..ext.similarity import lsh_bucket
 
     docs = load_table(spark, sf_dir, "documents")
-    imgs = cache_tracked(
-        _fan_out_media(docs.select("doc_id", "text")).mapInPandas(
-            _retr_img_tower, schema="img_id long, iv array<double>"
-        )
+    wide = _fan_out_media(docs.select("doc_id", "text"))
+    imgs = wide.select(
+        F.col("doc_id").alias("img_id"), _retr_img_vec_expr().alias("iv")
     )
-    caps = docs.select(
+    caps = wide.select(
         F.col("doc_id").alias("cap_id"),
         F.transform(_caption_vec(), lambda x: x - 0.5).alias("cv"),
     )
@@ -2002,14 +2005,14 @@ def q_multimodal_pair_retrieval_bidir(
             & (F.col(idcol) < RETR_QUERY_MOD * RETR_MAX_QUERIES)
         )
 
-    c2i = _sampled(cb, "cap_id").join(ib, "bucket").select(
+    c2i = F.broadcast(_sampled(cb, "cap_id")).join(ib, "bucket").select(
         F.lit("cap2img").alias("direction"),
         "bucket",
         F.col("cap_id").alias("query_id"),
         F.col("img_id").alias("cand_id"),
         dd.cosine_col(F.col("cv"), F.col("iv")).alias("cos"),
     )
-    i2c = _sampled(ib, "img_id").join(cb, "bucket").select(
+    i2c = F.broadcast(_sampled(ib, "img_id")).join(cb, "bucket").select(
         F.lit("img2cap").alias("direction"),
         "bucket",
         F.col("img_id").alias("query_id"),
@@ -9497,15 +9500,15 @@ SPECS = {
     "multimodal_pair_retrieval": QuerySpec(
         q_multimodal_pair_retrieval,
         _sql_multimodal_pair_retrieval(),
-        "cross-modal recall@1 eval: aligned fake tower, sign-LSH "
-        "bucketed candidates, per-caption top-1 window, hit census",
-        hash_also=(_retr_img_tower,)),
+        "cross-modal recall@1 eval: aligned fake tower (native), sign-"
+        "LSH bucketed candidates, per-caption top-1 window, hit census",
+        hash_also=(_retr_img_vec_expr,)),
     "multimodal_pair_retrieval_bidir": QuerySpec(
         q_multimodal_pair_retrieval_bidir,
         _sql_multimodal_pair_retrieval_bidir(),
         "bidirectional recall@1/@5 eval (CLIP-report protocol): both "
-        "directions over the same bucketed candidates, one Arrow pass",
-        hash_also=(_retr_img_tower,)),
+        "directions over the same bucketed candidates, zero Python",
+        hash_also=(_retr_img_vec_expr,)),
     "multimodal_features": QuerySpec(q_multimodal_features,
                                      SQL_MULTIMODAL_FEATURES,
                                      "binary payload -> Arrow-batched features"),

@@ -998,15 +998,12 @@ def test_video_pair_alignment_one_arrow_pass_broadcast_captions(spark):
     assert "ArrowEvalPython" not in plan
 
 
-def test_pair_retrieval_bucket_equi_join_one_arrow_pass(spark):
-    """Cross-modal recall@1 eval: exactly ONE Arrow crossing (the image
-    tower), candidates from a bucket EQUI-join (never captions x
-    images), caption tower/buckets/window all native."""
-    import re
-
+def test_pair_retrieval_bucket_equi_join_zero_python(spark):
+    """Cross-modal recall@1 eval: ZERO Python crossings (r21 — the image
+    tower's sha-formula is native SQL), candidates from a bucket
+    EQUI-join (never captions x images)."""
     plan = _plan(spark, "multimodal_pair_retrieval")
-    nodes = set(re.findall(r"\((\d+)\) MapInPandas", plan))
-    assert len(nodes) == 1, plan
+    assert "MapInPandas" not in plan, plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan
@@ -1018,16 +1015,13 @@ def test_pair_retrieval_bucket_equi_join_one_arrow_pass(spark):
     assert key_lines, plan  # the join keys carry the LSH bucket
 
 
-def test_pair_retrieval_bidir_one_arrow_pass_bucket_joins(spark):
-    """Bidirectional recall@k eval (r20): the image tower is ONE cached
-    Arrow crossing feeding both directions, candidates come from bucket
-    equi-joins in each direction, the rank window is group-limited, and
-    nothing plans a cartesian."""
-    import re
-
+def test_pair_retrieval_bidir_zero_python_bucket_joins(spark):
+    """Bidirectional recall@k eval (r21: zero Python crossings — the
+    native image tower feeds both directions), candidates come from
+    bucket equi-joins in each direction, the rank window is
+    group-limited, and nothing plans a cartesian."""
     plan = _plan(spark, "multimodal_pair_retrieval_bidir")
-    nodes = set(re.findall(r"\((\d+)\) MapInPandas", plan))
-    assert len(nodes) <= 1, plan
+    assert "MapInPandas" not in plan, plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan

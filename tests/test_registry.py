@@ -177,8 +177,8 @@ def test_hash_also_ties_shared_helpers_into_the_content_hash():
     assert with_a != with_b  # different helper -> different hash
     # and the real retrieval specs carry the shared tower
     from klogs_spark.queries import _merged_specs
-    from klogs_spark.queries.ext import _retr_img_tower
+    from klogs_spark.queries.ext import _retr_img_vec_expr
 
     specs = _merged_specs()
     for name in ("multimodal_pair_retrieval", "multimodal_pair_retrieval_bidir"):
-        assert _retr_img_tower in specs[name].hash_also, name
+        assert _retr_img_vec_expr in specs[name].hash_also, name

@@ -2702,16 +2702,26 @@ def dv_coalesce(spark: SparkSession, path: str) -> dict:
         }
     live = _manifest_files(spark, path, base_version)
     dv = _read_dv(spark, path, ref)
-    n_total = dv.count()
+    # both counts ride the coalesce write as observed metrics (r21,
+    # guide §1.2/§5): the standalone dv.count() job and the read-back
+    # count of the freshly written generation were two extra Spark jobs
+    # per maintenance call that re-derived what the one required action
+    # already streams past
+    from pyspark.sql import Observation
+
+    obs_total, obs_kept = Observation(), Observation()
     kept = _dv_keep_keys(
-        spark, dv, {_dv_key_of_entry(f, path) for f in live}
-    )
+        spark,
+        dv.observe(obs_total, F.count(F.lit(1)).alias("n")),
+        {_dv_key_of_entry(f, path) for f in live},
+    ).observe(obs_kept, F.count(F.lit(1)).alias("n"))
     fs, hpath_cls, _ = _hadoop_fs(spark, path)
     before, tok = _begin_rewrite(spark, path, "dv_coalesce", base_version)
     gen = f"{DV_DIR}/gen-{_uuid.uuid4().hex}"
     try:
         kept.hint("rebalance").write.parquet(f"{path}/{gen}")
-        n_kept = spark.read.parquet(f"{path}/{gen}").count()
+        n_total = obs_total.get["n"]
+        n_kept = obs_kept.get["n"]
     except BaseException:
         _drop_gen_dir(fs, hpath_cls, path, gen, "dv-coalesce-gen-drop")
         _release_journal_if_mine(fs, hpath_cls, path, tok)

@@ -1400,7 +1400,16 @@ def cow_merge_upsert(
     kept = _restore_promotions(
         spark, path, existing.join(keys, key_cols, "left_anti")
     )
-    merged = kept.unionByName(dated, allowMissingColumns=True)
+    # the updates-side row count rides the merge write as an observed
+    # metric (r21) — the standalone dated.count() was an extra job that
+    # re-derived the updates lineage after the write already streamed it
+    from pyspark.sql import Observation
+
+    obs_updates = Observation()
+    merged = kept.unionByName(
+        dated.observe(obs_updates, F.count(F.lit(1)).alias("n")),
+        allowMissingColumns=True,
+    )
 
     before, tok = _begin_rewrite(spark, path, "cow_merge_upsert", base_version)
     _append_in_layout(spark, merged, path)
@@ -1409,7 +1418,7 @@ def cow_merge_upsert(
     version = _finish_rewrite(
         spark, path, base_version, before, tok, set(live) - replaced
     )
-    n_updates = dated.count()
+    n_updates = obs_updates.get["n"]
     return {
         "version": version,
         "partitions_rewritten": sorted(
@@ -2431,9 +2440,16 @@ def mor_delete_where(
         # output and publishes nothing.
         gen = f"{DV_DIR}/gen-{_uuid.uuid4().hex}"
         # positions are tiny relative to data by contract; rebalance
-        # lets AQE size the output files instead of one-per-task
-        hits.hint("rebalance").write.parquet(f"{path}/{gen}")
-        n_deleted = spark.read.parquet(f"{path}/{gen}").count()
+        # lets AQE size the output files instead of one-per-task; the
+        # position count rides the write as an observed metric (r21) —
+        # the read-back count was an extra job per delete
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        hits.observe(obs, F.count(F.lit(1)).alias("n")).hint(
+            "rebalance"
+        ).write.parquet(f"{path}/{gen}")
+        n_deleted = obs.get["n"]
         if n_deleted == 0:
             _drop_gen_dir(fs, hpath_cls, path, gen, "mor-noop-gen-delete")
             _release_marker()
@@ -2810,25 +2826,36 @@ def mor_update_where(
             # matched rows carry BOTH their positions (for the vector)
             # and their data (for the updated copies) — persisted so the
             # predicate scan over the table runs once and both writes
-            # read O(matched rows)
+            # read O(matched rows). The match count rides the position
+            # write as an observed metric (r21): the standalone count
+            # was an extra materializing job, and the no-match REPLAY
+            # path now removes its empty generation afterwards exactly
+            # as mor_delete_where's does
             matched = df.filter(hit).persist()
-            n_matched = matched.count()
-            if n_matched == 0:
-                _release_marker()
-                return {
-                    "version": base_version,
-                    "rows_updated": 0,
-                    "dv": old_refs,
-                }
+            from pyspark.sql import Observation
+
+            obs = Observation()
             gen = f"{DV_DIR}/gen-{_uuid.uuid4().hex}"
             (
-                matched.select(
+                matched.observe(obs, F.count(F.lit(1)).alias("n"))
+                .select(
                     F.col("__dv_key").alias("file"),
                     F.col("__dv_pos").alias("pos"),
                 )
                 .hint("rebalance")
                 .write.parquet(f"{path}/{gen}")
             )
+            n_matched = obs.get["n"]
+            if n_matched == 0:
+                _drop_gen_dir(
+                    fs, hpath_cls, path, gen, "mor-upd-noop-gen-delete"
+                )
+                _release_marker()
+                return {
+                    "version": base_version,
+                    "rows_updated": 0,
+                    "dv": old_refs,
+                }
         except BaseException:
             _release_marker()
             raise

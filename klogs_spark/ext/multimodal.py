@@ -629,15 +629,22 @@ def image_pixel_stats(media: DataFrame) -> DataFrame:
     (aggregation-order-proof); undecodable rows emit NULLs."""
 
     def _stats(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
         import pandas as pd
+
+        def _px_stats(d):
+            # exact integer stats via numpy — the per-byte Python
+            # generator sums were the kernel's hot loop (r21)
+            a = np.frombuffer(d[3], np.uint8).astype(np.int64)
+            return (
+                d[0], d[1], d[2], a.size,
+                int(a.max()) if a.size else 0,
+                int(a.sum()), int((a * a).sum()),
+            )
 
         for batch in batches:
             decoded = [_decode_pixels_tolerant(p) for p in batch["payload"]]
-            stats = [
-                (d[0], d[1], d[2], len(d[3]), max(d[3], default=0),
-                 sum(d[3]), sum(v * v for v in d[3])) if d else None
-                for d in decoded
-            ]
+            stats = [_px_stats(d) if d else None for d in decoded]
             yield pd.DataFrame(
                 {
                     "media_id": batch["media_id"],
@@ -985,6 +992,7 @@ def video_frame_pixel_stats(media: DataFrame) -> DataFrame:
     row at its index (frame-level corruption stays visible)."""
 
     def _stats(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
         import pandas as pd
 
         for batch in batches:
@@ -1003,7 +1011,11 @@ def video_frame_pixel_stats(media: DataFrame) -> DataFrame:
                     else:
                         w, h, ch, raw = d
                         ws.append(w); hs.append(h)
-                        nv.append(len(raw)); sv.append(sum(raw))
+                        nv.append(len(raw))
+                        sv.append(
+                            int(np.frombuffer(raw, np.uint8)
+                                .sum(dtype=np.int64))
+                        )
             yield pd.DataFrame(
                 {
                     "media_id": pd.array(mids, dtype="Int64"),

@@ -469,6 +469,8 @@ def decode_png_pixels(
         stride = w * channels
         if len(data) != (stride + 1) * h:
             return None
+        import numpy as np
+
         raw = bytearray()
         prev = bytes(stride)
         pos = 0
@@ -478,11 +480,26 @@ def decode_png_pixels(
             row = bytearray(data[pos:pos + stride])
             pos += stride
             if ft == 1:
-                for j in range(channels, stride):
-                    row[j] = (row[j] + row[j - channels]) & 0xFF
+                # Sub's recurrence u[j] = f[j] + u[j-ch] (mod 256) is a
+                # per-channel-lane cumulative sum — vectorized exactly
+                # (r21; the per-byte loop was the decode hot path)
+                row = bytearray(
+                    (
+                        np.cumsum(
+                            np.frombuffer(bytes(row), np.uint8)
+                            .reshape(w, channels).astype(np.int64),
+                            axis=0,
+                        ) & 0xFF
+                    ).astype(np.uint8).tobytes()
+                )
             elif ft == 2:
-                for j in range(stride):
-                    row[j] = (row[j] + prev[j]) & 0xFF
+                # Up adds the prior row pointwise; uint8 wraps mod 256
+                row = bytearray(
+                    (
+                        np.frombuffer(bytes(row), np.uint8)
+                        + np.frombuffer(prev, np.uint8)
+                    ).tobytes()
+                )
             elif ft == 3:
                 for j in range(stride):
                     a = row[j - channels] if j >= channels else 0
@@ -692,8 +709,6 @@ def decode_wav_pcm(
     corrupt payloads return None rather than raising (the corrupt-row
     contract of sniff_media_metadata).
     """
-    import struct
-
     p = payload or b""
     if p[:4] != b"RIFF" or p[8:12] != b"WAVE":
         return None
@@ -717,10 +732,14 @@ def decode_wav_pcm(
     bits = int.from_bytes(fmt[14:16], "little")
     if audio_fmt != 1 or bits != 16 or channels < 1 or rate < 1:
         return None
+    import numpy as np
+
     n = len(data) // 2
-    samples = struct.unpack(f"<{n}h", data[: n * 2])
-    peak = max((abs(s) for s in samples), default=0)
-    sum_sq = sum(s * s for s in samples)
+    # exact integer stats via numpy int64 — the per-sample Python
+    # generators were the kernel's hot loop (r21)
+    a = np.frombuffer(data[: n * 2], dtype="<i2").astype(np.int64)
+    peak = int(np.abs(a).max()) if n else 0
+    sum_sq = int((a * a).sum())
     return rate, channels, n, peak, sum_sq
 
 

@@ -759,9 +759,13 @@ def decode_wav_samples(payload: bytes | None):
     """REAL 16-bit PCM WAV decode returning the SAMPLES — the fingerprint
     kernels need per-window energies, so unlike :func:`decode_wav_pcm`
     (which stays allocation-free for the whole-file stats path) this
-    materializes the int16 list. Returns (sample_rate, channels,
-    [samples]) or None for non-PCM/corrupt payloads."""
+    materializes the samples — as an exact int64 numpy array (r21; the
+    unpacked Python list made every consumer a per-sample interpreter
+    loop). Returns (sample_rate, channels, samples_array) or None for
+    non-PCM/corrupt payloads."""
     import struct
+
+    import numpy as np
 
     p = payload or b""
     if p[:4] != b"RIFF" or p[8:12] != b"WAVE":
@@ -787,8 +791,7 @@ def decode_wav_samples(payload: bytes | None):
     # PCM, 16-bit, sane channel/rate declarations, whole samples
     if tag != 1 or bits != 16 or channels < 1 or rate < 1 or len(data) % 2:
         return None
-    n = len(data) // 2
-    return rate, channels, list(struct.unpack(f"<{n}h", data))
+    return rate, channels, np.frombuffer(data, "<i2").astype(np.int64)
 
 
 AUDIO_FP_WINDOWS = 32  # -> 31 rising-energy bits, well inside int64
@@ -807,6 +810,7 @@ def audio_energy_fingerprint(media: DataFrame) -> DataFrame:
     (media_id, n_samples, fp)."""
 
     def _fp(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
         import pandas as pd
 
         g = AUDIO_FP_WINDOWS
@@ -814,20 +818,22 @@ def audio_energy_fingerprint(media: DataFrame) -> DataFrame:
             rows = []
             for p in batch["payload"]:
                 d = decode_wav_samples(p)
-                if not d or len(d[2]) < g:
+                if d is None or len(d[2]) < g:
                     rows.append(None)
                     continue
                 s = d[2]
                 n = len(s)
-                bounds = [w * n // g for w in range(g + 1)]
-                e = [
-                    sum(v * v for v in s[bounds[w]:bounds[w + 1]])
-                    for w in range(g)
-                ]
-                fp = 0
-                for w in range(g - 1):
-                    if e[w + 1] > e[w]:
-                        fp |= 1 << w
+                # exact window energies via one cumulative sum of squares
+                # (r21 — the per-sample generator sums were the hot loop);
+                # same equal-count bounds w*n//g
+                cs = np.concatenate(([0], np.cumsum(s * s)))
+                bounds = np.arange(g + 1) * n // g
+                e = cs[bounds[1:]] - cs[bounds[:-1]]
+                rising = e[1:] > e[:-1]
+                fp = int(
+                    (rising.astype(np.int64)
+                     << np.arange(g - 1, dtype=np.int64)).sum()
+                )
                 rows.append((n, fp))
             yield pd.DataFrame(
                 {
@@ -862,23 +868,24 @@ def audio_zero_crossings(media: DataFrame) -> DataFrame:
     Cost shape: one Arrow-batched pass, no shuffle."""
 
     def _zc(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
         import pandas as pd
 
         for batch in batches:
             rows = []
             for p in batch["payload"]:
                 d = decode_wav_samples(p)
-                if not d:
+                if d is None:
                     rows.append(None)
                     continue
                 s = d[2]
                 n = len(s)
-                nc, first = 0, -1
-                for j in range(1, n):
-                    if (s[j - 1] < 0) != (s[j] < 0):
-                        nc += 1
-                        if first < 0:
-                            first = j
+                # vectorized strict negative-sign flips (r21): same
+                # (s[j-1] < 0) != (s[j] < 0) predicate, computed at once
+                neg = s < 0
+                flips = neg[1:] != neg[:-1]
+                nc = int(flips.sum())
+                first = int(np.argmax(flips)) + 1 if nc else -1
                 ppm = nc * 1_000_000 // (n - 1) if n >= 2 else 0
                 rows.append((n, nc, first, ppm))
             yield pd.DataFrame(

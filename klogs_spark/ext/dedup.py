@@ -108,14 +108,18 @@ def doc_shingles(df: DataFrame, text: str = "text", id_col: str = "doc_id",
     query at sf0.1. (explode alone would drop empty arrays anyway; the
     token filter just avoids shuffling doomed rows.)
     """
-    return (
-        key_parallel(
-            df.select(F.col(id_col).alias("id"), F.col(text).alias("t"))
-            .filter(F.size(tokens_col(F.col("t"))) >= n),
-            "id",
-        )
-        .select("id", shingles_col(F.col("t"), n).alias("sh"))
-        .select("id", F.explode("sh").alias("shingle"))
+    return key_parallel(
+        df.select(F.col(id_col).alias("id"), F.col(text).alias("t"))
+        .filter(F.size(tokens_col(F.col("t"))) >= n),
+        "id",
+    ).select(
+        # explode of the INLINE expression (r21): exploding a
+        # materialized array column makes InferFiltersFromGenerate add
+        # size(sh) > 0 on the alias, which collapses into the scan-side
+        # filter below the exchange — the full shingle build then ran
+        # twice, serially, inside the single-file scan task (measured
+        # 4.2 s vs 0.4 s at sf0.1). The inline form infers no filter.
+        "id", F.explode(shingles_col(F.col("t"), n)).alias("shingle")
     )
 
 

@@ -55,10 +55,11 @@ del _zz_pos, _nat
 
 _DCT_A = None  # cached orthonormal DCT-II matrix (pure math, build once)
 _ZZ_NP = None  # ZIGZAG as a numpy index array (for vectorized (un)zigzag)
+_INV_ZZ_NP = None  # its inverse permutation (nat j <- zigzag _INV_ZZ_NP[j])
 
 
 def _dct_matrix():
-    global _DCT_A, _ZZ_NP
+    global _DCT_A, _ZZ_NP, _INV_ZZ_NP
     if _DCT_A is not None:
         return _DCT_A
     import math
@@ -71,6 +72,7 @@ def _dct_matrix():
         for x in range(8):
             a[u, x] = 0.5 * c * math.cos((2 * x + 1) * u * math.pi / 16.0)
     _ZZ_NP = np.array(ZIGZAG)
+    _INV_ZZ_NP = np.argsort(_ZZ_NP)
     _DCT_A = a
     return a
 
@@ -85,8 +87,9 @@ def _round_half_away(x):
     import numpy as np
 
     doubled = np.asarray(x, dtype=np.float64) * 2.0
+    rounded = np.rint(doubled)
     snapped = np.where(
-        np.abs(doubled - np.rint(doubled)) < 2e-6, np.rint(doubled), doubled
+        np.abs(doubled - rounded) < 2e-6, rounded, doubled
     ) / 2.0
     return np.sign(snapped) * np.floor(np.abs(snapped) + 0.5)
 
@@ -96,8 +99,9 @@ def _canonical_codes(bits: list[int], huffval: list[int]) -> dict:
     """symbol -> (code, length) from the DHT ``bits`` (count of codes per
     length 1..16) and ``huffval`` (symbols in code order). Cached per
     table definition — the table is codec metadata shared by every frame,
-    so rebuilding it per encode call is pure per-call overhead."""
-    return _canonical_codes_build(tuple(bits), tuple(huffval))
+    so rebuilding it per encode call is pure per-call overhead. Returns a
+    fresh copy so no caller can mutate the shared cache entry."""
+    return dict(_canonical_codes_build(tuple(bits), tuple(huffval)))
 
 
 @functools.lru_cache(maxsize=64)
@@ -182,14 +186,19 @@ class _BitReader:
 @functools.lru_cache(maxsize=64)
 def _huff_decoder_cached(bits: tuple, huffval: tuple) -> "_HuffDecoder":
     """Decoder-table cache: DHT definitions are codec metadata repeated
-    verbatim in every frame of a stream, so the (mincode/maxcode/valptr)
-    tables need building once, not once per frame."""
+    verbatim in every frame of a stream, so the (mincode/maxcode/valptr
+    + 16-bit LUT) tables need building once, not once per frame. The
+    returned instance is SHARED across callers and must be treated as
+    immutable (copying the 64K-entry LUT per frame would defeat the
+    cache); decode paths only ever read it."""
     return _HuffDecoder(list(bits), list(huffval))
 
 
 class _HuffDecoder:
     """Canonical Huffman decode table: (first_code, last_code, offset) per
-    length — the Annex F DECODE procedure."""
+    length — the Annex F DECODE procedure — plus a 16-bit-window lookup
+    table for the fast path (every JPEG code is <= 16 bits, so one peek
+    resolves any symbol; libjpeg uses the same shape at 8 bits)."""
 
     def __init__(self, bits: list[int], huffval: list[int]):
         self.huffval = huffval
@@ -198,15 +207,24 @@ class _HuffDecoder:
         self.valptr = [0] * 17
         code = 0
         k = 0
+        # lut[window16] = (code_length << 8) | symbol; -1 = no code of
+        # <= 16 bits matches the window (invalid stream)
+        lut = [-1] * 65536
         for length in range(1, 17):
             n = bits[length - 1]
             if n:
                 self.valptr[length] = k
                 self.mincode[length] = code
+                for j in range(n):
+                    entry = (length << 8) | huffval[k + j]
+                    lo = (code + j) << (16 - length)
+                    hi = (code + j + 1) << (16 - length)
+                    lut[lo:hi] = [entry] * (hi - lo)
                 code += n
                 k += n
                 self.maxcode[length] = code - 1
             code <<= 1
+        self.lut = lut
 
     def decode(self, br: _BitReader) -> int:
         code = br.bits(1)
@@ -226,6 +244,135 @@ def _receive_extend(br: _BitReader, s: int) -> int:
     if v < (1 << (s - 1)):  # negative branch (Annex F EXTEND)
         v -= (1 << s) - 1
     return v
+
+
+def _decode_block(br: _BitReader, dc: _HuffDecoder, ac: _HuffDecoder,
+                  pred_val: int):
+    """One data unit's zigzag coefficients + updated DC predictor — the
+    Annex F block decode with every bit read inlined on LOCAL accumulator
+    state (per-symbol method calls dominated dense-block decode; profiled
+    r22). Any boundary condition during refill (marker byte, trailing
+    0xFF, stream end) syncs the reader BEFORE consuming the troublesome
+    byte and finishes the block through the exact slow path, so error
+    and segment-boundary behaviour are bit-identical to the method
+    calls."""
+    zz = [0] * 64
+    k = 1  # next AC slot; stage tracks where a slow fallback resumes
+    stage = "dc_code"
+    s = 0
+    if br.marker is None:
+        data = br.data
+        n = len(data)
+        acc, nbits, pos = br.acc, br.nbits, br.pos
+        dc_lut, ac_lut = dc.lut, ac.lut
+        lut = dc_lut
+        need = 16
+        while True:
+            while nbits < need:  # shared refill for code-peek and extend
+                if pos < n:
+                    b = data[pos]
+                    if b != 0xFF:
+                        acc = (acc << 8) | b
+                        pos += 1
+                        nbits += 8
+                        continue
+                    if pos + 1 < n and data[pos + 1] == 0x00:
+                        acc = (acc << 8) | 0xFF
+                        pos += 2
+                        nbits += 8
+                        continue
+                # marker / trailing FF / stream end: sync (pos still at
+                # the unconsumed byte) and fall through to the slow path
+                br.acc = acc & ((1 << nbits) - 1)
+                br.nbits = nbits
+                br.pos = pos
+                break
+            else:
+                if stage == "dc_code":
+                    e = dc_lut[(acc >> (nbits - 16)) & 0xFFFF]
+                    if e < 0:
+                        raise ValueError("jpeg: invalid Huffman code in scan")
+                    nbits -= e >> 8
+                    s = e & 0xFF
+                    stage = "dc_extend"
+                    need = s
+                elif stage == "dc_extend":
+                    if s:
+                        v = (acc >> (nbits - s)) & ((1 << s) - 1)
+                        nbits -= s
+                        if v < (1 << (s - 1)):
+                            v -= (1 << s) - 1
+                        pred_val += v
+                    zz[0] = pred_val
+                    acc &= (1 << nbits) - 1
+                    stage = "ac_code"
+                    need = 16
+                elif stage == "ac_code":
+                    e = ac_lut[(acc >> (nbits - 16)) & 0xFFFF]
+                    if e < 0:
+                        raise ValueError("jpeg: invalid Huffman code in scan")
+                    nbits -= e >> 8
+                    rs = e & 0xFF
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r == 15:  # ZRL
+                            k += 16
+                            if k < 64:
+                                continue
+                        # EOB (or ZRL ran past 63 — matches the slow loop's
+                        # while k < 64 exit)
+                        br.acc = acc & ((1 << nbits) - 1)
+                        br.nbits = nbits
+                        br.pos = pos
+                        return zz, pred_val
+                    k += r
+                    if k > 63:
+                        raise ValueError("jpeg: AC run past block end")
+                    stage = "ac_extend"
+                    need = s
+                else:  # ac_extend
+                    v = (acc >> (nbits - s)) & ((1 << s) - 1)
+                    nbits -= s
+                    if v < (1 << (s - 1)):
+                        v -= (1 << s) - 1
+                    zz[k] = v
+                    acc &= (1 << nbits) - 1
+                    k += 1
+                    if k >= 64:
+                        br.acc = acc & ((1 << nbits) - 1)
+                        br.nbits = nbits
+                        br.pos = pos
+                        return zz, pred_val
+                    stage = "ac_code"
+                    need = 16
+                continue
+            break  # refill failed — slow path resumes at `stage`
+    # --- slow path (exact method-call semantics), resuming at `stage`
+    if stage == "dc_code":
+        s = dc.decode(br)
+        stage = "dc_extend"
+    if stage == "dc_extend":
+        pred_val += _receive_extend(br, s)
+        zz[0] = pred_val
+        stage = "ac_code"
+    if stage == "ac_extend":
+        zz[k] = _receive_extend(br, s)
+        k += 1
+        stage = "ac_code"
+    while k < 64:
+        rs = ac.decode(br)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("jpeg: AC run past block end")
+        zz[k] = _receive_extend(br, s)
+        k += 1
+    return zz, pred_val
 
 
 def _magnitude(v: int) -> tuple[int, int]:
@@ -298,8 +445,12 @@ def encode_jpeg_baseline(
     factors = (
         _SAMPLING_FACTORS[sampling] if channels == 3 else [(1, 1)]
     )
-    q = list(quant or FLAT_Q16)
-    if len(q) != 64 or not all(1 <= x <= 255 for x in q):
+    q = list(quant) if quant is not None else FLAT_Q16
+    # FLAT_Q16 is a known-valid module constant; only caller tables need
+    # the range check (the 64-element scan showed up in per-call profiles)
+    if quant is not None and (
+        len(q) != 64 or not all(1 <= x <= 255 for x in q)
+    ):
         raise ValueError("jpeg encoder: quant must be 64 bytes in 1..255")
     arr = np.frombuffer(pixels, dtype=np.uint8).astype(np.float64)
     if arr.size != width * height * channels:
@@ -326,7 +477,14 @@ def encode_jpeg_baseline(
     mcux = (width + 8 * hmax - 1) // (8 * hmax)
     mcuy = (height + 8 * vmax - 1) // (8 * vmax)
     pred = [0] * channels
-    comp_planes = []
+    # Per component: FDCT + quantize + zigzag of EVERY block in one batched
+    # numpy pass (r22, guide §4.2 — vectorize the kernel across blocks, the
+    # per-block matmul/round calls dominated the encode at small frame
+    # sizes). comp_zz[ci] is the (n_blocks, 64) quantized-coefficient table
+    # in block raster order; the MCU loop below only does bit emission.
+    comp_zz = []
+    comp_last_nz = []
+    comp_nbx = []
     for ci, pl in enumerate(planes):
         hi, vi = factors[ci]
         # pad the FULL-RES plane to the MCU grid by edge replication, then
@@ -338,37 +496,84 @@ def encode_jpeg_baseline(
         pp[:, width:] = pp[:, width - 1:width]
         if (hmax // hi, vmax // vi) != (1, 1):
             pp = _box_downsample(pp, vmax // vi, hmax // hi, np)
-        comp_planes.append(pp)
-
-    def emit(block, ci):
-        s = a @ (block - 128.0) @ a.T
+        bh, bwd = pp.shape[0] // 8, pp.shape[1] // 8
+        blocks = (
+            pp.reshape(bh, 8, bwd, 8).transpose(0, 2, 1, 3)
+            .reshape(-1, 8, 8)
+        )
+        # same per-block float ops, batched: a @ (B-128) @ a.T, /qmat, round
+        s = np.matmul(np.matmul(a, blocks - 128.0), a.T)
         sq = _round_half_away(s / qmat).astype(np.int64)
-        zz = sq.ravel()[_ZZ_NP].tolist()
+        zz = sq.reshape(-1, 64)[:, _ZZ_NP]
+        nz = zz[:, 1:] != 0
+        last_nz = np.where(
+            nz.any(axis=1), 63 - np.argmax(nz[:, ::-1], axis=1), 0
+        )
+        comp_zz.append(zz.tolist())
+        comp_last_nz.append(last_nz.tolist())
+        comp_nbx.append(bwd)
+
+    zrl_code, zrl_ln = ac_codes[0xF0]
+    eob_code, eob_ln = ac_codes[0x00]
+
+    def emit(ci, by, bx):
+        # the bit accumulator runs in LOCALS and syncs back to the writer
+        # once per block: the per-symbol bw.write() calls were the single
+        # largest encoder cost on dense blocks (profiled r22)
+        bi = by * comp_nbx[ci] + bx
+        zz = comp_zz[ci][bi]
+        acc, nbits, out = bw.acc, bw.nbits, bw.out
         diff = zz[0] - pred[ci]
         pred[ci] = zz[0]
         cat, bits_ = _magnitude(diff)
         code, ln = dc_codes[cat]
-        bw.write(code, ln)
-        if cat:
-            bw.write(bits_, cat)
+        # fuse the code and its value bits into one accumulate
+        acc = (acc << (ln + cat)) | (
+            ((code & ((1 << ln) - 1)) << cat) | (bits_ & ((1 << cat) - 1))
+        )
+        nbits += ln + cat
+        while nbits >= 8:
+            nbits -= 8
+            b = (acc >> nbits) & 0xFF
+            out.append(b)
+            if b == 0xFF:  # byte stuffing
+                out.append(0x00)
         run = 0
-        last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+        last_nz = comp_last_nz[ci][bi]
         for i in range(1, last_nz + 1):
-            if zz[i] == 0:
+            v = zz[i]
+            if v == 0:
                 run += 1
                 continue
             while run > 15:
-                code, ln = ac_codes[0xF0]  # ZRL
-                bw.write(code, ln)
+                acc = (acc << zrl_ln) | zrl_code  # ZRL
+                nbits += zrl_ln
                 run -= 16
-            cat, bits_ = _magnitude(zz[i])
+            cat, bits_ = _magnitude(v)
             code, ln = ac_codes[(run << 4) | cat]
-            bw.write(code, ln)
-            bw.write(bits_, cat)
+            acc = (acc << (ln + cat)) | (
+                ((code & ((1 << ln) - 1)) << cat)
+                | (bits_ & ((1 << cat) - 1))
+            )
+            nbits += ln + cat
+            while nbits >= 8:
+                nbits -= 8
+                b = (acc >> nbits) & 0xFF
+                out.append(b)
+                if b == 0xFF:
+                    out.append(0x00)
             run = 0
         if last_nz < 63:
-            code, ln = ac_codes[0x00]  # EOB
-            bw.write(code, ln)
+            acc = (acc << eob_ln) | eob_code  # EOB
+            nbits += eob_ln
+            while nbits >= 8:
+                nbits -= 8
+                b = (acc >> nbits) & 0xFF
+                out.append(b)
+                if b == 0xFF:
+                    out.append(0x00)
+        bw.acc = acc & ((1 << nbits) - 1)
+        bw.nbits = nbits
 
     # interleaved-MCU order (T.81 A.2.3): per MCU, each component
     # contributes its Hi x Vi data units in raster order
@@ -387,11 +592,7 @@ def encode_jpeg_baseline(
                 hi, vi = factors[ci]
                 for v in range(vi):
                     for h in range(hi):
-                        y0 = (my * vi + v) * 8
-                        x0 = (mx * hi + h) * 8
-                        emit(
-                            comp_planes[ci][y0:y0 + 8, x0:x0 + 8], ci
-                        )
+                        emit(ci, my * vi + v, mx * hi + h)
     bw.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -570,6 +771,14 @@ def _decode_scan(
     br = _BitReader(p, pos)
     pred = [0] * nc
     mcu = 0
+    # Entropy pass first: decode every block's zigzag coefficients into
+    # per-component lists (sequential by nature — each symbol's position
+    # depends on the previous), then dequant + inverse zigzag + IDCT run
+    # ONCE per component as batched numpy ops (r22, guide §4.2 — the
+    # per-block np.zeros/fancy-index/matmul calls dominated the decode at
+    # small frame sizes).
+    comp_zz: dict[int, list] = {idx: [] for idx in planes}
+    comp_pos: dict[int, list] = {idx: [] for idx in planes}
     for my in range(mcuy):
         for mx in range(mcux):
             if restart_interval and mcu and mcu % restart_interval == 0:
@@ -588,30 +797,21 @@ def _decode_scan(
                 hi, vi = factors[idx]
                 for v in range(vi):
                     for h in range(hi):
-                        zz = [0] * 64
-                        s = dc_dec.decode(br)
-                        pred[idx] += _receive_extend(br, s)
-                        zz[0] = pred[idx]
-                        k = 1
-                        while k < 64:
-                            rs = ac_dec.decode(br)
-                            r, s = rs >> 4, rs & 0x0F
-                            if s == 0:
-                                if r == 15:  # ZRL
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("jpeg: AC run past block end")
-                            zz[k] = _receive_extend(br, s)
-                            k += 1
-                        coef = np.zeros(64)
-                        coef[_ZZ_NP] = zz
-                        block = a.T @ (coef.reshape(8, 8) * qmats[idx]) @ a
-                        y0 = (my * vi + v) * 8
-                        x0 = (mx * hi + h) * 8
-                        planes[idx][y0:y0 + 8, x0:x0 + 8] = block
+                        zz, pred[idx] = _decode_block(
+                            br, dc_dec, ac_dec, pred[idx]
+                        )
+                        comp_zz[idx].append(zz)
+                        comp_pos[idx].append(
+                            ((my * vi + v) * 8, (mx * hi + h) * 8)
+                        )
+    inv_zz = _INV_ZZ_NP  # nat position j <- zigzag index inv_zz[j]
+    for idx, zz_rows in comp_zz.items():
+        # same per-block float ops, batched: (nat * qmat), a.T @ . @ a
+        nat = np.array(zz_rows, dtype=np.float64)[:, inv_zz].reshape(-1, 8, 8)
+        blocks = np.matmul(np.matmul(a.T, nat * qmats[idx]), a)
+        plane = planes[idx]
+        for bi, (y0, x0) in enumerate(comp_pos[idx]):
+            plane[y0:y0 + 8, x0:x0 + 8] = blocks[bi]
     # per-component rounding at the component's native resolution, then
     # pixel-replication upsampling to full frame (values unchanged by the
     # replication, so the determinism contract is unaffected)

@@ -829,6 +829,40 @@ def test_jpeg_restart_markers_decode_identically(w, h, samp, ri, seed):
     assert rst == ref
 
 
+@settings(max_examples=40, deadline=None)
+@given(seed=st.integers(0, 2**31 - 1), cut=st.integers(1, 200))
+def test_jpeg_inline_entropy_boundaries(seed, cut):
+    """The r22 inlined block-entropy decoder (local-accumulator fast path
+    with a slow-path fallback at refill boundaries) must behave exactly
+    like the method-call path at its edges: (a) repeat decodes of a dense
+    stream full of stuffed 0xFF bytes and restart markers are identical
+    (the fast/slow handoff is stateless), and (b) truncating the entropy
+    stream mid-scan raises ValueError, never returns silently-wrong
+    pixels."""
+    import numpy as np
+    import pytest
+
+    from klogs_spark.ext import jpeg_lite as J
+
+    rng = np.random.RandomState(seed)
+    # dense random blocks maximize symbol count (ZRL/EOB/extend paths) and
+    # produce stuffed bytes with high probability at this size
+    raw = rng.randint(0, 256, size=32 * 24 * 3, dtype=np.uint8).tobytes()
+    enc = J.encode_jpeg_baseline(
+        32, 24, raw, channels=3, sampling="4:2:0", restart_interval=1
+    )
+    ref = J.decode_jpeg_baseline(enc)
+    assert ref is not None
+    assert J.decode_jpeg_baseline(enc) == ref  # decode is stateless
+    # cut inside the entropy stream (after SOS, before the final MCU's
+    # data could complete): the decoder must raise, not fabricate pixels
+    sos = enc.find(b"\xff\xda")
+    scan_start = sos + 2 + int.from_bytes(enc[sos + 2:sos + 4], "big")
+    cut_at = scan_start + (cut % max(1, (len(enc) - 2 - scan_start) // 2))
+    with pytest.raises(ValueError, match="truncated|Huffman|RST"):
+        J.decode_jpeg_baseline(enc[:cut_at])
+
+
 @settings(max_examples=25, deadline=None)
 @given(
     mw=st.integers(1, 3),

@@ -89,6 +89,8 @@ DRIVER_VERIFIED: dict = {
     "ann_ivfpq_prebuilt": "c279094be999",
     "ann_ivfpq_refresh": "c29e8665d870",
     "ann_ivfpq_remove": "c1208109538e",
+    "ann_ivfpq_rerank": "a7f7f907c1ad",
+    "ann_ivfpq_topk": "de1c64d20310",
     "ann_ivfpq_stream": "69f5ea4ae525",
     "ann_kmeans_iteration": "5636a85fa623",
     "ann_lsh_bucket_stats": "855956740694",
@@ -104,12 +106,9 @@ DRIVER_VERIFIED: dict = {
     "dedup_contamination_scaled": "17d23adffe51",
     "dedup_embedding_cosine": "353ae1ce1faa",
     "dedup_embedding_lsh": "4c11674d7fb2",
-    "dedup_exact": "121118bc87f7",
     "dedup_incremental": "f980450120e7",
     "dedup_lsh_recall": "bae2e40eeb3d",
-    "dedup_minhash_lsh": "00f7ea1e63d3",
     "dedup_minhash_signatures": "3c638f294ec6",
-    "dedup_ngram_containment": "4b7b29e7f069",
     "dedup_ngram_jaccard": "4a116e5ba3da",
     "dedup_paragraph_exact": "764b569461cf",
     "dedup_paragraph_minhash": "0e7ff77a1f01",
@@ -119,11 +118,8 @@ DRIVER_VERIFIED: dict = {
     "dedup_repeated_substrings_self": "5602f0598335",
     "dedup_semantic": "1f6f1d15a2d6",
     "dedup_semantic_prebuilt": "76c1240ed763",
-    "dedup_simhash": "b38416ad54cf",
-    "dedup_simhash_pairs": "228750d7e6db",
     "dedup_survivor_selection": "a3bd123bf888",
     "dedup_threshold_curve": "870285082e09",
-    "dedup_winnowing_pairs": "ac4280e2bd0d",
     "embedding_covariance": "46691f28615b",
     "embedding_norm_outliers": "a1905f13370e",
     "embedding_pca_project": "3c1d15d0dde0",
@@ -146,6 +142,7 @@ DRIVER_VERIFIED: dict = {
     "events_sessionize": "2c817605b7a0",
     "events_wau_hll": "49c57b1f4ff9",
     "ingest_cdx_crawl_diff": "3ca30138d573",
+    "ingest_decode_pipeline": "f583fa5857e6",
     "ingest_msgpack_pipeline": "c13826520a50",
     "ingest_orc_roundtrip": "c3db65f73ad1",
     "ingest_warc_cdx": "7197cbd39b1c",
@@ -208,13 +205,18 @@ DRIVER_VERIFIED: dict = {
     "multimodal_jpeg_stats": "f6e6b86b6985",
     "multimodal_jpeg_subsampled": "ee9475de09bb",
     "multimodal_pair_alignment": "bf949fbbf2be",
+    "multimodal_pair_retrieval": "5b928783a8c3",
+    "multimodal_pair_retrieval_bidir": "df72fce46ba0",
     "multimodal_transcode": "acad661c0117",
     "multimodal_video_mjpeg": "0ced7d7ea628",
     "multimodal_video_pair_alignment": "b81eeb7ab284",
     "multimodal_video_scene_cuts": "4da8de30edba",
+    "pipeline_attrition_funnel": "69913e6194e6",
     "pipeline_budget_threshold": "2c592c21840e",
     "pipeline_ccnet_buckets": "cbb93ad00117",
+    "pipeline_dsir_select": "137f6cf0b418",
     "pipeline_multimodal_prep": "808bf8cfc312",
+    "pipeline_pretrain_prep": "826b960f2def",
     "pipeline_warc_to_wet": "b02887be6077",
     "sample_balance_sources": "84ad1b244e7c",
     "sample_doremi_step": "36d3f4663c65",
@@ -269,11 +271,9 @@ DRIVER_VERIFIED: dict = {
     "table_column_stats": "09aab170a20b",
     "table_context_anchor": "b056e8c973ec",
     "table_cow_lifecycle": "1c02f89363de",
-    "table_cow_merge": "abd5536745ad",
     "table_cow_promoted_roundtrip": "979cd0912c81",
     "table_cow_update": "3d7a6564a377",
     "table_delete_where": "6feff3ab1ffe",
-    "table_dv_maintain": "b8bb28e9baf4",
     "table_expectations": "e7c6542173fc",
     "table_field_range_files": "658fbb74c597",
     "table_field_range_skip": "d3501043d300",
@@ -282,8 +282,6 @@ DRIVER_VERIFIED: dict = {
     "table_fulltext_skipindex": "7c2177eb074f",
     "table_lifecycle": "68fd474e9d21",
     "table_merge_upsert": "2934c24daf96",
-    "table_mor_lifecycle": "d273fc36f621",
-    "table_mor_update": "e2be424ca811",
     "table_promoted_view": "775113dc1793",
     "table_read_current": "1de6dab9df13",
     "table_restore": "d5d49c5fdf43",

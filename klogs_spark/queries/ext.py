@@ -9345,12 +9345,14 @@ FROM bucketed GROUP BY 1, 2
 
 SPECS = {
     "dedup_exact": QuerySpec(q_dedup_exact, SQL_DEDUP_EXACT,
-                             "exact hash-groupBy dedup"),
+                             "exact hash-groupBy dedup",
+                             hash_also=(dd.exact_dedup,)),
     "dedup_minhash_signatures": QuerySpec(q_minhash_signatures,
                                           SQL_MINHASH_SIGNATURES,
                                           "16-perm MinHash signatures"),
     "dedup_minhash_lsh": QuerySpec(q_minhash_lsh, SQL_MINHASH_LSH,
-                                   "MinHash->LSH bands->Jaccard verify"),
+                                   "MinHash->LSH bands->Jaccard verify",
+                                   hash_also=(dd.doc_shingles,)),
     "dedup_threshold_curve": QuerySpec(
         q_dedup_threshold_curve, SQL_DEDUP_THRESHOLD_CURVE,
         "pairs-surviving-per-threshold tuning curve from one LSH+verify "
@@ -9389,7 +9391,8 @@ SPECS = {
     ),
     "dedup_ngram_containment": QuerySpec(
         q_ngram_containment, SQL_NGRAM_CONTAINMENT,
-        "asymmetric containment pairs (doc-embedded-in-doc detection)"),
+        "asymmetric containment pairs (doc-embedded-in-doc detection)",
+        hash_also=(dd.doc_shingles, dd.containment_pairs)),
     "dedup_incremental": QuerySpec(
         q_dedup_incremental, SQL_DEDUP_INCREMENTAL,
         "new batch vs historical fingerprint store + within-batch dedup"),
@@ -9404,16 +9407,20 @@ SPECS = {
         q_dedup_clusters, SQL_DEDUP_CLUSTERS,
         "near-dup pairs -> dedup clusters (iterative min-label propagation)"),
     "dedup_simhash": QuerySpec(q_simhash, SQL_SIMHASH,
-                               "60-bit SimHash signatures"),
+                               "60-bit SimHash signatures",
+                               hash_also=(dd.simhash,)),
     "dedup_winnowing_pairs": QuerySpec(
         q_dedup_winnowing_pairs, SQL_DEDUP_WINNOWING_PAIRS,
         "MOSS winnowing: per-window rightmost-min 3-gram hash selection "
         "(guaranteed fingerprint density), candidate pairs sharing >= 2 "
         "selections via a keyed fingerprint equi-join — pair set "
         "hash-checked",
+        hash_also=(dd.winnowing_pairs,),
     ),
     "dedup_simhash_pairs": QuerySpec(q_simhash_pairs, SQL_SIMHASH_PAIRS,
-                                     "SimHash near-dup pairs (pigeonhole blocks)"),
+                                     "SimHash near-dup pairs (pigeonhole blocks)",
+                                     hash_also=(dd.simhash,
+                                                dd.simhash_pairs_bucketed)),
     "dedup_semantic": QuerySpec(
         q_dedup_semantic, SQL_DEDUP_SEMANTIC,
         "SemDeDup: k-means clusters bound within-cluster cosine pruning"),

@@ -16,6 +16,12 @@ from pyspark.sql import functions as F
 
 from ..config import EngineConfig
 from ..decode import decode_dataframe
+from ..manifest import (  # hash_also surfaces: the r21-rewritten verbs
+    cow_merge_upsert as _h_cow_merge,
+    dv_coalesce as _h_dv_coalesce,
+    mor_delete_where as _h_mor_delete,
+    mor_update_where as _h_mor_update,
+)
 from ..transform import field_number, field_string, has_field
 from ..views import load_table
 from .ext import SQL_MULTIMODAL_VIDEO_MJPEG as _SQL_STREAM_MEDIA_DECODE
@@ -4498,6 +4504,7 @@ SPECS = {
         "copies appended — no original file leaves the manifest, pinned "
         "v1 sees zero updates; per-day tagged census vs events "
         "arithmetic",
+        hash_also=(_h_mor_update,),
     ),
     "stream_gdpr_delete": QuerySpec(
         q_stream_gdpr_delete, SQL_STREAM_GDPR_DELETE,
@@ -4529,6 +4536,7 @@ SPECS = {
         "thresholded DV maintenance: tiny GDPR drip stays live under "
         "the fold ratio (zero rewrites), chain coalesces to one "
         "generation, zero file churn; stage counts vs events arithmetic",
+        hash_also=(_h_dv_coalesce,),
     ),
     "table_mor_lifecycle": QuerySpec(
         q_table_mor_lifecycle, SQL_TABLE_MOR_LIFECYCLE,
@@ -4536,6 +4544,7 @@ SPECS = {
         "zero file churn, pure-delete CDC via the position diff, "
         "historical vector pinning, restore reversal, dv_compact fold; "
         "every stage count vs events arithmetic",
+        hash_also=(_h_mor_delete,),
     ),
     "table_cow_lifecycle": QuerySpec(
         q_table_cow_lifecycle, SQL_TABLE_COW_LIFECYCLE,
@@ -4544,7 +4553,8 @@ SPECS = {
     "table_cow_merge": QuerySpec(
         q_table_cow_merge, SQL_TABLE_COW_MERGE,
         "copy-on-write MERGE: merged state + row-level CDC feed (carried "
-        "half-day cancels) + pinned pre-merge reader, all hash-checked"),
+        "half-day cancels) + pinned pre-merge reader, all hash-checked",
+        hash_also=(_h_cow_merge,)),
     "table_context_anchor": QuerySpec(
         q_table_context_anchor, SQL_TABLE_CONTEXT_ANCHOR,
         "anchor-form context fetch: ±N pod-stream lines around a "

@@ -2027,14 +2027,21 @@ def test_quality_kept_rows_matches_join_form(corpus):
     assert join_form == filter_form
 
 
-def test_simhash_packed_lane_overflow_raises(spark):
-    """The packed 20-bit count lanes must FAIL LOUDLY (raise_error), never
-    silently corrupt, when a document exceeds 2^20 tokens."""
-    import pytest
-
+def test_simhash_exact_past_former_lane_cap(spark):
+    """31-bit count lanes (VERDICT r21 #3): a document beyond r21's 2^20-token
+    packed-lane cap must compute the EXACT simhash — no raise path, identical
+    result at every doc size. A doc of n repeated tokens has the same
+    majority vector as the single-token doc (c_j = n*bit_j, majority == bit),
+    so the giant's signature must equal the tiny doc's, for both the
+    uniform and the two-token mixtures."""
     from klogs_spark.ext.dedup import simhash
 
-    big = "a " * (1 << 20)  # 2^20 + (split artifacts) tokens
-    df = spark.createDataFrame([(1, big)], "doc_id long, text string")
-    with pytest.raises(Exception, match="exceeds"):
-        simhash(df).collect()
+    giant_uniform = "a " * ((1 << 20) + 5)
+    giant_mixed = "a b " * ((1 << 19) + 3)
+    df = spark.createDataFrame(
+        [(1, giant_uniform), (2, "a"), (3, giant_mixed), (4, "a b")],
+        "doc_id long, text string",
+    )
+    sigs = {r["id"]: r["simhash"] for r in simhash(df).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[3] == sigs[4]

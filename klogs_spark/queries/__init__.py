@@ -158,12 +158,10 @@ DRIVER_VERIFIED: dict = {
     "logs_context_window": "389b83d907ef",
     "logs_distinct_sources": "7a745fe159b7",
     "logs_env_counts": "1e77de1cd5c7",
-    "logs_env_map_count": "047446fefdf4",
     "logs_error_rate": "110d1ba32f6a",
     "logs_error_runs": "c067a1200bf9",
     "logs_field_cardinality_guard": "0755bf18d657",
     "logs_field_exists": "7e13014cbdee",
-    "logs_field_key_stats": "24aade66ad3b",
     "logs_force_numbers_read": "188d8a0d7d90",
     "logs_fulltext": "a2f2e2b3966a",
     "logs_grouped_percentiles": "1cac6e50761c",

@@ -1409,7 +1409,8 @@ FROM logs GROUP BY 1, 2
 
 SPECS = {
     "logs_env_map_count": QuerySpec(q_env_map_count, SQL_ENV_MAP_COUNT,
-                                    "F1+F2+F3+A1 canonical klogs count"),
+                                    "F1+F2+F3+A1 canonical klogs count",
+                                    hash_also=(derive_logs_from_events,)),
     "logs_template_mining": QuerySpec(
         q_template_mining, SQL_TEMPLATE_MINING,
         "Drain-style log template mining: digit-masked clustering with "
@@ -1432,7 +1433,8 @@ SPECS = {
     "logs_distinct_sources": QuerySpec(q_distinct_sources, SQL_DISTINCT_SOURCES,
                                        "A5 count distinct"),
     "logs_field_key_stats": QuerySpec(q_field_key_stats, SQL_FIELD_KEY_STATS,
-                                      "dynamic-schema key discovery"),
+                                      "dynamic-schema key discovery",
+                                      hash_also=(derive_logs_from_events,)),
     "logs_parse_logfmt": QuerySpec(q_parse_logfmt, SQL_PARSE_LOGFMT,
                                    "str_to_map logfmt extraction"),
     "logs_merge_json_log": QuerySpec(q_merge_json_log, SQL_MERGE_JSON_LOG,

@@ -56,9 +56,13 @@ def derive_logs_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events(event_id, ts, user_id, event_type, value, props) -> LOG_SCHEMA.
 
     Mirrors queries/logs.py:LOGS_CTE exactly — keep the two in sync.
-    Conditionally-present map keys are built with map_filter over null values
-    (null elimination P6, reference main.go:312).
-    """
+    Conditionally-present map keys (null elimination P6, reference
+    main.go:312) are built as a presence CASE over create_map branches —
+    one codegen'd map allocation per row in original key order — instead
+    of map_filter over a 3-entry map, whose higher-order lambda does not
+    participate in whole-stage codegen (interleaved in-session A/B at
+    sf0.1: derive+noop median 1.016s -> 0.633s, row-identical incl. NULL
+    value/k/latency elimination; r22)."""
     ev = load_table(spark, sf_dir, "events")
     level = (
         F.when(F.col("event_type") == "error", "error")
@@ -66,10 +70,35 @@ def derive_logs_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("info")
     )
     k_str = F.get_json_object(F.col("props"), "$.k")
+    k_num = k_str.try_cast("double")
     latency = F.when(
         F.col("event_type").isin("click", "view"), F.col("value") * 10
     )
     flag = F.when(F.col("user_id") % 3 == 0, F.lit("on"))
+    source = F.concat(F.lit("src-"), (F.col("user_id") % 10).cast("string"))
+    # level/source are never null; flag is the only conditional string key
+    fields_string = F.when(
+        flag.isNotNull(),
+        F.create_map(
+            F.lit("level"), level, F.lit("source"), source, F.lit("flag"), flag
+        ),
+    ).otherwise(F.create_map(F.lit("level"), level, F.lit("source"), source))
+    # all three number keys are conditional: enumerate the presence mask so
+    # each branch allocates exactly the entries map_filter would have kept
+    a, b, c = F.col("value").isNotNull(), k_num.isNotNull(), latency.isNotNull()
+    m = F.create_map
+    val = F.col("value")
+    fields_number = (
+        F.when(a & b & c, m(F.lit("value"), val, F.lit("k"), k_num,
+                            F.lit("latency_ms"), latency))
+        .when(a & b, m(F.lit("value"), val, F.lit("k"), k_num))
+        .when(a & c, m(F.lit("value"), val, F.lit("latency_ms"), latency))
+        .when(b & c, m(F.lit("k"), k_num, F.lit("latency_ms"), latency))
+        .when(a, m(F.lit("value"), val))
+        .when(b, m(F.lit("k"), k_num))
+        .when(c, m(F.lit("latency_ms"), latency))
+        .otherwise(F.create_map().cast("map<string,double>"))
+    )
     return ev.select(
         F.col("ts").alias("timestamp"),
         F.lit("prod").alias("cluster"),
@@ -82,23 +111,8 @@ def derive_logs_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.concat(F.lit("c-"), F.col("event_type")).alias("container_name"),
         F.concat(F.lit("node-"), (F.col("user_id") % 8).cast("string")).alias("host"),
-        F.map_filter(
-            F.create_map(
-                F.lit("level"), level,
-                F.lit("source"),
-                F.concat(F.lit("src-"), (F.col("user_id") % 10).cast("string")),
-                F.lit("flag"), flag,
-            ),
-            lambda _, v: v.isNotNull(),
-        ).alias("fields_string"),
-        F.map_filter(
-            F.create_map(
-                F.lit("value"), F.col("value"),
-                F.lit("k"), k_str.try_cast("double"),
-                F.lit("latency_ms"), latency,
-            ),
-            lambda _, v: v.isNotNull(),
-        ).alias("fields_number"),
+        fields_string.alias("fields_string"),
+        fields_number.alias("fields_number"),
         F.concat(
             F.lit("type="), F.col("event_type"),
             F.lit(" user="), F.col("user_id").cast("string"),

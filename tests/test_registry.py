@@ -51,7 +51,7 @@ def test_rewritten_query_reenters_window():
     import klogs_spark.queries as q
 
     specs = q._merged_specs()
-    name = "logs_env_map_count"  # ledger-verified since r1
+    name = "logs_env_counts"  # ledger-verified since r1
     assert DRIVER_VERIFIED.get(name) == spec_content_hash(specs[name])
     tampered = q.QuerySpec(
         fn=specs[name].fn, oracle=(specs[name].oracle or "") + " -- edited"

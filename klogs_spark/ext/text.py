@@ -50,20 +50,71 @@ def stopword_ratio(text: Column, lang: str = "en") -> Column:
     return F.size(stops) / F.greatest(F.size(toks), F.lit(1))
 
 
-def _quality_cols(text: Column) -> dict[str, Column]:
-    """The row-local quality-feature columns, shared by quality_features
-    and the (join-free) quality_filter."""
-    toks = tokens_col(text)
+# Internal attribute names the single-pass gate projections materialize.
+# Dunder-prefixed so they can never collide with a real corpus column.
+_GATE_TOKS = "__gate_toks"
+_GATE_STATS = "__gate_stats"
+_GATE_PUNCT = "__gate_punct"
+_GATE_PPM = "__gate_ppm"
+_GATE_SCORE = "__gate_score"
+
+
+def _token_stats_col(toks_name: str) -> Column:
+    """ONE aggregate pass over an already-materialized token array,
+    accumulating every token-derived integer the gates need: total token
+    chars plus one stopword-hit count per language (guide §1.2 — the
+    former shape ran five separate filter/aggregate array passes per row,
+    four of them allocating an intermediate filtered array each)."""
+    langs = sorted(STOPWORDS)
+    zero = ", ".join(["0 AS len"] + [f"0 AS {lang}" for lang in langs])
+    upd = ", ".join(
+        ["acc.len + length(x) AS len"]
+        + [
+            "acc.{0} + IF(x IN ({1}), 1, 0) AS {0}".format(
+                lang, ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+            )
+            for lang in langs
+        ]
+    )
+    return F.expr(
+        f"aggregate(`{toks_name}`, struct({zero}), (acc, x) -> struct({upd}))"
+    )
+
+
+def _with_token_stats(df: DataFrame, text_col: str) -> DataFrame:
+    """Materialize the token array and the single-pass token stats as
+    attributes, in two chained projections. Each expensive alias is
+    referenced more than once downstream, so CollapseProject keeps the
+    projections separate and split/filter/aggregate run ONCE per row
+    instead of once per consuming expression (higher-order functions are
+    CodegenFallback, so codegen subexpression elimination never rescues
+    the inlined form)."""
+    d1 = df.select("*", tokens_col(F.col(text_col)).alias(_GATE_TOKS))
+    return d1.select(
+        "*",
+        _token_stats_col(_GATE_TOKS).alias(_GATE_STATS),
+        F.size(
+            F.regexp_extract_all(
+                F.col(text_col), F.lit("[^A-Za-z0-9 ]"), F.lit(0)
+            )
+        ).alias(_GATE_PUNCT),
+    )
+
+
+def _quality_cols_from(text: Column, toks: Column,
+                       stats: Column) -> dict[str, Column]:
+    """The row-local quality-feature columns over the materialized token
+    attributes — shared by quality_features and the (join-free)
+    quality_filter. Value-identical to the former per-expression passes:
+    the counts are the same integers, the ratio/round arithmetic is
+    unchanged."""
     n_chars = F.length(text)
     n_tokens = F.size(toks)
-    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS["en"])))
-    n_punct = F.size(
-        F.regexp_extract_all(text, F.lit("[^A-Za-z0-9 ]"), F.lit(0))
-    )
+    n_stop = stats["en"]
+    n_punct = F.col(_GATE_PUNCT)
     avg_tok_len = F.when(
         n_tokens > 0,
-        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
-        / n_tokens.cast("double"),
+        stats["len"] / n_tokens.cast("double"),
     ).otherwise(0.0)
     stop_ratio = n_stop / F.greatest(n_tokens, F.lit(1)).cast("double")
     punct_ratio = n_punct / F.greatest(n_chars, F.lit(1)).cast("double")
@@ -95,15 +146,21 @@ def quality_features(df: DataFrame, text_col: str = "text",
     docs with low punctuation and a healthy stopword rate — the standard
     shape of pretraining-corpus quality filters.
     """
-    cols = _quality_cols(F.col(text_col))
-    return df.select(
+    base = _with_token_stats(df, text_col)
+    cols = _quality_cols_from(
+        F.col(text_col), F.col(_GATE_TOKS), F.col(_GATE_STATS)
+    )
+    return base.select(
         F.col(id_col).alias("id"),
         *[c.alias(name) for name, c in cols.items()],
     )
 
 
 def language_scores(text: Column) -> dict[str, Column]:
-    """Per-language stopword-hit ratio (the n-gram heuristic's scoring half)."""
+    """Per-language stopword-hit ratio (the n-gram heuristic's scoring
+    half) as standalone Column expressions — the multi-pass form, kept
+    for column-level callers; the DataFrame-level paths below share one
+    single-pass aggregate instead."""
     toks = tokens_col(text)
     n = F.greatest(F.size(toks), F.lit(1)).cast("double")
     return {
@@ -112,14 +169,18 @@ def language_scores(text: Column) -> dict[str, Column]:
     }
 
 
-def _language_best(text: Column) -> Column:
-    """Argmax (score, lang) struct over the per-language stopword scores —
-    the row-local core of language_id, shared by quality_filter."""
-    scores = language_scores(text)
+def _language_best_from(toks: Column, stats: Column) -> Column:
+    """Argmax (score, lang) struct over the per-language stopword scores,
+    read from the single-pass stats attribute — the row-local core of
+    language_id, shared by quality_filter."""
+    n = F.greatest(F.size(toks), F.lit(1)).cast("double")
     pairs = F.array(
         *[
-            F.struct(F.round(score, 6).alias("score"), F.lit(lang).alias("lang"))
-            for lang, score in sorted(scores.items())
+            F.struct(
+                F.round(stats[lang] / n, 6).alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang in sorted(STOPWORDS)
         ]
     )
     return F.array_max(pairs)  # struct compare: score first, then lang
@@ -130,8 +191,9 @@ def language_id(df: DataFrame, text_col: str = "text",
     """Language-ID: argmax over per-language stopword scores with a
     deterministic tie-break (language name order), 'und' when all scores are 0.
     Returns (id, predicted_lang, lang_score)."""
-    best = _language_best(F.col(text_col))
-    return df.select(
+    base = _with_token_stats(df, text_col)
+    best = _language_best_from(F.col(_GATE_TOKS), F.col(_GATE_STATS))
+    return base.select(
         F.col(id_col).alias("id"),
         F.when(best["score"] > 0, best["lang"]).otherwise("und").alias(
             "predicted_lang"
@@ -166,34 +228,43 @@ def quality_filter(df: DataFrame, text_col: str = "text",
     # The top-token share — previously an explode + two token-scale
     # shuffled aggregations + an id-keyed join — is the max run length in
     # the doc's SORTED token array (identical to max(count) per token by
-    # construction), so the whole filter is ONE projection with zero
-    # exchanges, zero joins. The zero-token docs the old inner join
-    # dropped (no exploded rows) are dropped by an explicit filter.
-    q, top_token_ppm, reason = _quality_gate_cols(text_col)
-    return df.filter(
-        F.size(tokens_col(F.col(text_col))) > 0
-    ).select(
+    # construction), so the whole filter is zero exchanges, zero joins.
+    # r22 (guide §1.2): the token array and the language/stopword counts
+    # materialize once per row (_with_token_stats) instead of re-running
+    # split + five filter passes per consuming expression. The zero-token
+    # docs the old inner join dropped (no exploded rows) are dropped by
+    # an explicit filter.
+    base = _with_gate_scalars(df, text_col)
+    reason = _gate_reason()
+    return base.filter(F.size(F.col(_GATE_TOKS)) > 0).select(
         F.col(id_col).alias("id"),
         (reason == "kept").alias("keep"),
         reason.alias("reason"),
-        q["n_tokens"].alias("n_tokens"),
-        top_token_ppm.alias("top_token_ppm"),
-        q["quality_score"].alias("quality_score"),
+        F.size(F.col(_GATE_TOKS)).alias("n_tokens"),
+        F.col(_GATE_PPM).alias("top_token_ppm"),
+        F.col(_GATE_SCORE).alias("quality_score"),
     )
 
 
-def _quality_gate_cols(text_col: str):
-    """The row-local gate columns of quality_filter: (feature dict,
-    top_token_ppm, reason). Shared with quality_kept_rows."""
-    text = F.col(text_col)
-    q = _quality_cols(text)
-    best = _language_best(text)
-    predicted_lang = F.when(best["score"] > 0, best["lang"]).otherwise("und")
+def _with_gate_scalars(df: DataFrame, text_col: str) -> DataFrame:
+    """:func:`_with_token_stats` plus the two EXPENSIVE gate scalars as
+    attributes — the top-token ppm (an array_sort + run-length aggregate)
+    and the rounded quality score. The reason CASE references each of
+    them several times across quality_filter's output columns; inlined,
+    the final projection ran the sorted-run aggregate three times per row
+    (observed in the r22 before-plan)."""
+    base = _with_token_stats(df, text_col)
+    q = _quality_cols_from(
+        F.col(text_col), F.col(_GATE_TOKS), F.col(_GATE_STATS)
+    )
     # max token multiplicity == longest equal-run in the sorted token list;
-    # integer `div` exactly as the aggregated form computed it
+    # integer `div` exactly as the aggregated form computed it. References
+    # the materialized token attribute — the former form re-ran
+    # split+filter twice inside this one expression (and interpolated the
+    # raw text_col name into SQL, ADVICE r21 #2).
     top_token_ppm = F.expr(
         f"""CAST(aggregate(
-              array_sort(filter(split({text_col}, ' '), t -> t != '')),
+              array_sort(`{_GATE_TOKS}`),
               struct(CAST(NULL AS STRING) AS prev, CAST(0 AS BIGINT) AS run,
                      CAST(0 AS BIGINT) AS best),
               (acc, x) -> struct(
@@ -204,26 +275,41 @@ def _quality_gate_cols(text_col: str):
                             CAST(1 AS BIGINT))) AS best),
               acc -> acc.best)
             * CAST(1000000 AS BIGINT)
-            div size(filter(split({text_col}, ' '), t -> t != ''))
+            div size(`{_GATE_TOKS}`)
             AS BIGINT)"""
     )
-    reason = (
-        F.when(q["n_tokens"] < FILTER_MIN_TOKENS, "too_short")
-        .when(top_token_ppm >= FILTER_MAX_TOP_TOKEN_PPM, "repetitive")
-        .when(q["quality_score"] < FILTER_MIN_QUALITY, "low_quality")
+    return base.select(
+        "*",
+        top_token_ppm.alias(_GATE_PPM),
+        q["quality_score"].alias(_GATE_SCORE),
+    )
+
+
+def _gate_reason() -> Column:
+    """The quality_filter reject-reason CASE over the attributes
+    :func:`_with_gate_scalars` materializes — length gate, Gopher-style
+    repetition gate, quality-score gate, language gate, in that fixed
+    order. Pure attribute arithmetic: safe to inline many times."""
+    best = _language_best_from(F.col(_GATE_TOKS), F.col(_GATE_STATS))
+    predicted_lang = F.when(best["score"] > 0, best["lang"]).otherwise("und")
+    return (
+        F.when(F.size(F.col(_GATE_TOKS)) < FILTER_MIN_TOKENS, "too_short")
+        .when(F.col(_GATE_PPM) >= FILTER_MAX_TOP_TOKEN_PPM, "repetitive")
+        .when(F.col(_GATE_SCORE) < FILTER_MIN_QUALITY, "low_quality")
         .when(predicted_lang == "und", "unknown_lang")
         .otherwise("kept")
     )
-    return q, top_token_ppm, reason
 
 
-def quality_keep_col(text_col: str = "text") -> Column:
-    """The row-local boolean keep decision of :func:`quality_filter`.
-    Zero-token and null-text rows evaluate False via the too_short gate
-    (n_tokens <= 0 < FILTER_MIN_TOKENS), matching the rows the join form
-    dropped."""
-    _, _, reason = _quality_gate_cols(text_col)
-    return reason == "kept"
+def with_quality_keep(df: DataFrame, text_col: str = "text",
+                      out_col: str = "_keep") -> DataFrame:
+    """``df`` plus the row-local boolean keep decision of
+    :func:`quality_filter` as ``out_col`` — the DataFrame-level form, so
+    the gate rides the shared single-pass token projections. Zero-token
+    and null-text rows evaluate False via the too_short gate (n_tokens
+    <= 0 < FILTER_MIN_TOKENS), matching the rows the join form dropped."""
+    base = _with_gate_scalars(df, text_col)
+    return base.select(*df.columns, (_gate_reason() == "kept").alias(out_col))
 
 
 def quality_kept_rows(df: DataFrame, text_col: str = "text",
@@ -237,11 +323,11 @@ def quality_kept_rows(df: DataFrame, text_col: str = "text",
     the decision to the rows it was computed from. Row set and column
     order are identical to the join form (the join keyed on ``id_col``
     led with it; so does this select)."""
-    _, _, reason = _quality_gate_cols(text_col)
+    base = _with_gate_scalars(df, text_col)
     others = [c for c in df.columns if c != id_col]
     return (
-        df.filter(F.size(tokens_col(F.col(text_col))) > 0)
-        .filter(reason == "kept")
+        base.filter(F.size(F.col(_GATE_TOKS)) > 0)
+        .filter(_gate_reason() == "kept")
         .select(id_col, *others)
     )
 

@@ -6191,7 +6191,7 @@ def q_pipeline_attrition_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     r21 single-pass restructure: the four stage aggregates previously
     re-derived the whole chain once each (4 corpus scans, the dedup
     shuffle twice). Every stage membership is now a row FLAG — the
-    quality keep is row-local (quality_keep_col), the dedup survivor is
+    quality keep is row-local (with_quality_keep), the dedup survivor is
     the same min-id window rule, contamination tests the (bounded, <5 by
     construction) collected probe strings row-locally — so ONE scan and
     ONE window exchange feed a single conditional aggregate, unpivoted
@@ -6212,7 +6212,7 @@ def q_pipeline_attrition_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in probe_strs:
         contam = contam | F.col("text").contains(F.lit(p))
     flagged = (
-        docs.withColumn("_keep", tx.quality_keep_col("text"))
+        tx.with_quality_keep(docs, "text", "_keep")
         .withColumn("_surv", F.col("_keep") & (F.row_number().over(w) == 1))
         .withColumn("_clean", F.col("_surv") & ~F.coalesce(contam, F.lit(False)))
     )

@@ -1712,19 +1712,23 @@ def bpe_train_from_word_freq(
     init = F.substring(init, 1, F.length(init) - 1)
     from .caching import cache_tracked
 
-    state = cache_tracked(words.select(init.alias("sym"), "freq"))
-    n_types = state.count()  # materialize: the one corpus-sized pass
+    state_unc = words.select(init.alias("sym"), "freq")
+    # ONE job probes AND fetches (r22, guide §1.2: the former
+    # count-then-collect pair paid two scheduling round trips plus a cache
+    # materialization for the same bytes): collect at most
+    # driver_vocab_max+1 rows — if the limit did not truncate, this IS the
+    # whole frequency table and the merge rounds run locally; driver
+    # memory stays bounded either way.
+    rows = state_unc.limit(driver_vocab_max + 1).collect()
 
-    if n_types <= driver_vocab_max:
-        # vocab is proven metadata-scale: collect the frequency table
-        # ONCE and run the merge rounds locally — identical greedy
-        # semantics (left-to-right non-overlapping application, ties on
-        # (count desc, left, right) with codepoint order == UTF-8 byte
-        # order), zero per-round Spark jobs. This is the hot path at
-        # every realistic scale; the distributed loop below is the
-        # fallback for corpora whose TYPE count outgrows the driver.
-        rows = state.collect()
-        state.unpersist()
+    if len(rows) <= driver_vocab_max:
+        # vocab is proven metadata-scale: run the merge rounds locally —
+        # identical greedy semantics (left-to-right non-overlapping
+        # application, ties on (count desc, left, right) with codepoint
+        # order == UTF-8 byte order), zero per-round Spark jobs. This is
+        # the hot path at every realistic scale; the distributed loop
+        # below is the fallback for corpora whose TYPE count outgrows
+        # the driver.
         merges, out_state = _bpe_merge_rounds_local(
             [(r["sym"], r["freq"]) for r in rows], k
         )
@@ -1740,6 +1744,7 @@ def bpe_train_from_word_freq(
         )
         return merges_df, state_df
 
+    state = cache_tracked(state_unc)  # distributed fallback: per-round reuse
     merges = []
     for rank in range(1, k + 1):
         toks = F.split(F.expr("trim(BOTH '·' FROM sym)"), "··")
@@ -1874,47 +1879,53 @@ def bpe_tokenize_docs(
     The trained state IS the word tokenizer: each post-merge symbol
     string decodes back to its word (strip the sentinels) with its
     greedy-BPE token count, so tokenizing a document is a keyed
-    equi-join of its (word, count) pairs against the vocab-sized
+    equi-join of the exploded corpus tokens against the vocab-sized
     word → n_syms table — no per-document merge replay, no Python.
-    Per-document word counts are pre-aggregated before the join (the
-    lm_bigram discipline: within-document repetition never reaches a
-    join), and the TRAINING frequency table derives from that same
-    aggregate (sum of per-doc counts), so the corpus text is split and
-    exploded exactly once. Words containing the reserved sentinel are
-    excluded on both engines (see bpe_train_merges). Returns
+
+    Cost shape (r22, guide §1.2/§5): exactly TWO independent corpus
+    passes and NO corpus-sized cache — (1) the word-frequency pass
+    (explode + one map-side-combined groupBy(w), vocab-sized shuffle),
+    whose result the trainer collects; (2) the tokenize pass (explode +
+    broadcast vocab lookup + one map-side-combined groupBy(id),
+    doc-sized shuffle). The former shape materialized a cached
+    (id, word, count) table to share between the passes: a corpus-scale
+    memory hazard at 100 TB, an extra exchange, and TWO extra serial
+    jobs at bench scale (cache-materializing count + collect) —
+    interleaved same-session A/B 1.44-1.54s -> 0.78-0.91s at sf0.1.
+    Repetition never reaches a SHUFFLE (both aggregations partial-agg
+    map-side; the per-token work against the vocab is an O(1) broadcast
+    hash lookup). Words containing the reserved sentinel are excluded
+    on both engines (see bpe_train_merges). Returns
     (id, n_words, n_tokens, n_chars); tokens-per-word > 1 means the
     merge budget k left the word split."""
-    from .caching import cache_tracked
-
     words = docs.select(
         F.col(id_col).cast("long").alias("id"),
         F.explode(
             F.split(F.lower(F.col(text_col)), r"\s+")
         ).alias("w"),
     ).filter((F.length("w") > 0) & ~F.col("w").contains("·"))
-    per_doc = cache_tracked(
-        words.groupBy("id", "w").agg(F.count(F.lit(1)).alias("c"))
-    )
-    word_freq = per_doc.groupBy("w").agg(
-        F.sum("c").alias("freq")
-    )
+    word_freq = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
     _, state = bpe_train_from_word_freq(word_freq, k=k, return_state=True)
     toks = F.split(F.expr("trim(BOTH '·' FROM sym)"), "··")
     vocab = state.select(
         F.translate("sym", "·", "").alias("w"),
         F.size(toks).cast("long").alias("n_syms"),
     )
+    if state.isLocal():
+        # the hot path: the trainer ran locally, so the vocab is proven
+        # <= driver_vocab_max rows — pin the broadcast (a LocalRelation
+        # over the threshold would otherwise shuffle the exploded corpus
+        # into a sort-merge join). The distributed-fallback state keeps
+        # the planner's choice: a vocab that outgrew the driver must not
+        # be forced into a broadcast build.
+        vocab = F.broadcast(vocab)
     return (
-        per_doc.join(vocab, "w")
+        words.join(vocab, "w")
         .groupBy("id")
         .agg(
-            F.sum("c").cast("bigint").alias("n_words"),
-            F.sum(F.col("c") * F.col("n_syms"))
-            .cast("bigint")
-            .alias("n_tokens"),
-            F.sum(F.col("c") * F.length("w"))
-            .cast("bigint")
-            .alias("n_chars"),
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_syms").cast("bigint").alias("n_tokens"),
+            F.sum(F.length("w")).cast("bigint").alias("n_chars"),
         )
     )
 

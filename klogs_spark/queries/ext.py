@@ -1969,81 +1969,61 @@ def q_multimodal_pair_retrieval_bidir(
     Scale shape: identical to the recall@1 eval — each direction costs
     eval_set x bucket_occupancy through the bucket equi-join, linear in
     the corpus at fixed plane count. ZERO Python crossings (r21): the
-    image tower's sha-formula is expressed directly in SQL (guide §4.1).
-    ONE corpus pass (r22, VERDICT r21 #7): both towers and both bucket
-    ids are computed in a single projection over the fanned-out scan,
-    and each corpus row explodes into its two candidate roles (image
-    candidate for cap2img, caption candidate for img2cap) — the former
-    per-direction construction scanned and fanned out the corpus twice,
-    once per join. The single join is orientation-pinned like the
-    recall@1 eval: the CAPPED query sample (both directions' query rows
-    from one sampled scan, 2 x RETR_MAX_QUERIES at any corpus size) is
-    the broadcast side keyed on (direction, bucket); the corpus side is
-    the probe. cosine_col keeps the query tower as its first argument in
-    both directions, the exact argument order of the two-join form.
-    Per-bucket stats are order-proof aggregates only (counts, min, max —
-    never avg of doubles)."""
+    image tower's sha-formula is expressed directly in SQL (guide §4.1),
+    so recomputing the cheap native projection per direction replaces
+    the cache_tracked materialization the Arrow kernel needed. Each
+    direction's join is orientation-pinned like the recall@1 eval: the
+    CAPPED query sample is the broadcast side, the corpus tower is the
+    fanned-out probe (planner-chosen orientation broadcast the corpus
+    and probed at scan-file width). Per-bucket stats are order-proof
+    aggregates only (counts, min, max — never avg of doubles)."""
     from pyspark.sql import Window
 
     from ..ext.similarity import lsh_bucket
 
     docs = load_table(spark, sf_dir, "documents")
     wide = _fan_out_media(docs.select("doc_id", "text"))
-
-    def _role_rows(df, qcol, ccol):
-        """(direction, bucket, id, vec) rows: each doc contributes its
-        cap2img row from column ``qcol`` and its img2cap row from
-        ``ccol`` — for queries the direction is keyed by the QUERY
-        tower (captions query cap2img), for candidates by the OPPOSITE
-        tower (images are the cap2img candidates)."""
-        both = df.select(
-            "doc_id",
-            _retr_img_vec_expr().alias("iv"),
-            F.transform(_caption_vec(), lambda x: x - 0.5).alias("cv"),
-        )
-        return both.select(
-            F.explode(
-                F.array(
-                    F.struct(
-                        F.lit("cap2img").alias("direction"),
-                        lsh_bucket(F.col(qcol), _retr_planes()).alias(
-                            "bucket"
-                        ),
-                        F.col("doc_id").alias("id"),
-                        F.col(qcol).alias("vec"),
-                    ),
-                    F.struct(
-                        F.lit("img2cap").alias("direction"),
-                        lsh_bucket(F.col(ccol), _retr_planes()).alias(
-                            "bucket"
-                        ),
-                        F.col("doc_id").alias("id"),
-                        F.col(ccol).alias("vec"),
-                    ),
-                )
-            ).alias("r")
-        ).select("r.direction", "r.bucket", "r.id", "r.vec")
-
-    cands = _role_rows(wide, "iv", "cv").withColumnsRenamed(
-        {"id": "cand_id", "vec": "cand_vec"}
+    imgs = wide.select(
+        F.col("doc_id").alias("img_id"), _retr_img_vec_expr().alias("iv")
     )
-    qry = _role_rows(
-        docs.filter(
-            (F.col("doc_id") % RETR_QUERY_MOD == 0)
-            & (F.col("doc_id") < RETR_QUERY_MOD * RETR_MAX_QUERIES)
-        ).select("doc_id", "text"),
-        "cv", "iv",
-    ).withColumnsRenamed({"id": "query_id", "vec": "query_vec"})
+    caps = wide.select(
+        F.col("doc_id").alias("cap_id"),
+        F.transform(_caption_vec(), lambda x: x - 0.5).alias("cv"),
+    )
+    ib = imgs.select(
+        "img_id", "iv",
+        lsh_bucket(F.col("iv"), _retr_planes()).alias("bucket"),
+    )
+    cb = caps.select(
+        "cap_id", "cv",
+        lsh_bucket(F.col("cv"), _retr_planes()).alias("bucket"),
+    )
 
-    joined = F.broadcast(qry).join(cands, ["direction", "bucket"]).select(
-        "direction", "bucket", "query_id", "cand_id",
-        dd.cosine_col(F.col("query_vec"), F.col("cand_vec")).alias("cos"),
+    def _sampled(df, idcol):
+        return df.filter(
+            (F.col(idcol) % RETR_QUERY_MOD == 0)
+            & (F.col(idcol) < RETR_QUERY_MOD * RETR_MAX_QUERIES)
+        )
+
+    c2i = F.broadcast(_sampled(cb, "cap_id")).join(ib, "bucket").select(
+        F.lit("cap2img").alias("direction"),
+        "bucket",
+        F.col("cap_id").alias("query_id"),
+        F.col("img_id").alias("cand_id"),
+        dd.cosine_col(F.col("cv"), F.col("iv")).alias("cos"),
+    )
+    i2c = F.broadcast(_sampled(ib, "img_id")).join(cb, "bucket").select(
+        F.lit("img2cap").alias("direction"),
+        "bucket",
+        F.col("img_id").alias("query_id"),
+        F.col("cap_id").alias("cand_id"),
+        dd.cosine_col(F.col("iv"), F.col("cv")).alias("cos"),
     )
     w = Window.partitionBy("direction", "query_id").orderBy(
         F.col("cos").desc(), F.col("cand_id")
     )
     ranked = (
-        joined
+        c2i.unionByName(i2c)
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= RETR_K)
     )

@@ -73,6 +73,18 @@ def release_tracked() -> int:
     return n
 
 
+def _size_bytes(text: str) -> int:
+    """Parse a Spark byte-size conf string ('128m', '1g', '134217728b',
+    bare digits = bytes)."""
+    t = text.strip().lower()
+    units = {"b": 1, "k": 1024, "kb": 1024, "m": 1024**2, "mb": 1024**2,
+             "g": 1024**3, "gb": 1024**3, "t": 1024**4, "tb": 1024**4}
+    for suffix in sorted(units, key=len, reverse=True):
+        if t.endswith(suffix):
+            return int(t[: -len(suffix)]) * units[suffix]
+    return int(t)
+
+
 def key_parallel(df, *cols):
     """Repartition by key columns at an EXPLICIT width
     (defaultParallelism = executor cores on a real cluster).
@@ -83,7 +95,20 @@ def key_parallel(df, *cols):
     exchange to one partition and the expensive explode/hash/decode
     stage above it runs serially. AQE never coalesces user-NUMBERED
     exchanges, so naming the width preserves the intent — "parallelize
-    past the input file count" — at every data size."""
+    past the input file count" — at every data size.
+
+    Scale-adaptive skip (r22, guide §2.4 / VERDICT r21 #9): when the
+    input's optimizer size estimate already implies at least the target
+    width in scan splits (sizeInBytes / maxPartitionBytes >= n — an
+    UNDERestimate of the real split count, which additionally charges
+    openCostInBytes per file), the fan-out exchange only moves bytes the
+    scan already distributes, so it is skipped outright. The probe reads
+    plan-side statistics on the driver — no job, no ``.rdd`` plan-force.
+    Downstream keyed operators add their own exchange where they need
+    one; at that point it carries their (usually partial-aggregated)
+    rows instead of this helper's raw input. Tiny inputs estimate 0
+    splits and always keep the fan-out, so bench-scale plans are
+    unchanged."""
     from pyspark.sql import functions as F
 
     spark = df.sparkSession
@@ -96,5 +121,17 @@ def key_parallel(df, *cols):
     # must not have this helper cap the exchange at executor-core count
     # (per-partition bytes would grow unboundedly with the corpus).
     n = max(spark.sparkContext.defaultParallelism, configured)
+    try:
+        size = int(
+            str(df._jdf.queryExecution().optimizedPlan().stats()
+                .sizeInBytes())
+        )
+        split = _size_bytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+        )
+        if split > 0 and size // split >= n:
+            return df
+    except Exception:  # probe is best-effort: any failure keeps the fan-out
+        pass
     return df.repartition(n, *[F.col(c) if isinstance(c, str) else c
                                for c in cols])

@@ -64,6 +64,27 @@ def _must(ok: bool, op: str, target) -> None:
         )
 
 
+def _retry_safe_observation(spark: SparkSession):
+    """An Observation whose counts are trusted in returned results and
+    control flow (merge/delete/maintain row counts, mor_update_where's
+    no-op gate). CollectMetrics accumulators double-count rows when a
+    SUCCESSFUL task is executed twice — speculative execution, or a
+    shuffle-stage retry re-running completed maps — so the one-job
+    metric ride is only sound with speculation off (Spark's default).
+    Refuse loudly rather than return silently-wrong counts (ADVICE r21
+    #1); a speculative cluster must run these verbs with materialized
+    counts instead."""
+    from pyspark.sql import Observation
+
+    if str(spark.conf.get("spark.speculation", "false")).lower() == "true":
+        raise ValueError(
+            "manifest maintenance counts ride the write as Observation "
+            "metrics, which double-count under spark.speculation=true; "
+            "disable speculation for maintenance jobs"
+        )
+    return Observation()
+
+
 def _list_data_files(fs, root, hpath_cls) -> list[str]:
     files: list[str] = []
     prefix = f"{PARTITION_COLUMN}="
@@ -1403,9 +1424,7 @@ def cow_merge_upsert(
     # the updates-side row count rides the merge write as an observed
     # metric (r21) — the standalone dated.count() was an extra job that
     # re-derived the updates lineage after the write already streamed it
-    from pyspark.sql import Observation
-
-    obs_updates = Observation()
+    obs_updates = _retry_safe_observation(spark)
     merged = kept.unionByName(
         dated.observe(obs_updates, F.count(F.lit(1)).alias("n")),
         allowMissingColumns=True,
@@ -2443,9 +2462,7 @@ def mor_delete_where(
         # lets AQE size the output files instead of one-per-task; the
         # position count rides the write as an observed metric (r21) —
         # the read-back count was an extra job per delete
-        from pyspark.sql import Observation
-
-        obs = Observation()
+        obs = _retry_safe_observation(spark)
         hits.observe(obs, F.count(F.lit(1)).alias("n")).hint(
             "rebalance"
         ).write.parquet(f"{path}/{gen}")
@@ -2723,9 +2740,8 @@ def dv_coalesce(spark: SparkSession, path: str) -> dict:
     # count of the freshly written generation were two extra Spark jobs
     # per maintenance call that re-derived what the one required action
     # already streams past
-    from pyspark.sql import Observation
-
-    obs_total, obs_kept = Observation(), Observation()
+    obs_total = _retry_safe_observation(spark)
+    obs_kept = _retry_safe_observation(spark)
     kept = _dv_keep_keys(
         spark,
         dv.observe(obs_total, F.count(F.lit(1)).alias("n")),
@@ -2832,9 +2848,7 @@ def mor_update_where(
             # path now removes its empty generation afterwards exactly
             # as mor_delete_where's does
             matched = df.filter(hit).persist()
-            from pyspark.sql import Observation
-
-            obs = Observation()
+            obs = _retry_safe_observation(spark)
             gen = f"{DV_DIR}/gen-{_uuid.uuid4().hex}"
             (
                 matched.observe(obs, F.count(F.lit(1)).alias("n"))

@@ -25,7 +25,6 @@ def main() -> None:
     trials = 5
     use_noop = False
     names = []
-    it = iter(range(len(args)))
     i = 0
     while i < len(args):
         a = args[i]

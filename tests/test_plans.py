@@ -1032,3 +1032,38 @@ def test_pair_retrieval_bidir_zero_python_bucket_joins(spark):
     ]
     assert key_lines, plan
     assert "WindowGroupLimit" in plan
+
+
+def test_key_parallel_skips_fanout_on_wide_inputs(spark, tmp_path):
+    """Scale-adaptive key_parallel (VERDICT r21 #9): when the optimizer's
+    size estimate already implies >= target-width scan splits, the
+    fan-out exchange is skipped (plan has no Exchange); tiny inputs (the
+    bench-scale default) keep it. The probe must not force .rdd
+    planning."""
+    from klogs_spark.ext.caching import key_parallel
+
+    path = str(tmp_path / "wide.parquet")
+    spark.range(0, 20_000).selectExpr(
+        "id", "repeat('x', 64) AS pad"
+    ).write.parquet(path)
+    df = spark.read.parquet(path)
+
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    try:
+        # tiny splits -> estimated width far above the cluster: no exchange
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "1024")
+        wide_plan = key_parallel(
+            spark.read.parquet(path), "id"
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in wide_plan, wide_plan
+        # default splits -> tiny input estimates 0 splits: fan-out kept
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+        narrow_plan = key_parallel(
+            spark.read.parquet(path), "id"
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in narrow_plan, narrow_plan
+        # results unchanged either way
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "1024")
+        assert key_parallel(df, "id").count() == 20_000
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)

@@ -312,6 +312,66 @@ def with_quality_keep(df: DataFrame, text_col: str = "text",
     return base.select(*df.columns, (_gate_reason() == "kept").alias(out_col))
 
 
+def _quality_keep_expr(text_col: str) -> Column:
+    """The boolean keep decision (``reason == 'kept'``: all four gates
+    pass) as ONE self-contained expression in which each expensive
+    sub-aggregate appears exactly once — the form for pure-FILTER
+    consumers. A filter referencing the materialized gate attributes
+    gets predicate-pushed below the projections, and every struct-field
+    access then re-inlines its own copy of the producing aggregate
+    (observed: 9 copies of the stopword aggregate in
+    pipeline_pretrain_prep's pushed filter). Here the quality-score and
+    language gates evaluate inside the stopword aggregate's FINISH
+    lambda, where ``acc`` is a bound variable evaluated once; the
+    language gate uses round(max_i count_i / n, 6) > 0, identical to
+    best.score > 0 because round is monotone so max of rounded scores
+    equals the rounded max."""
+    langs = sorted(STOPWORDS)
+    toks = f"filter(split(`{text_col}`, ' '), t -> t != '')"
+    zero = ", ".join(["0 AS len"] + [f"0 AS {lang}" for lang in langs])
+    upd = ", ".join(
+        ["acc.len + length(x) AS len"]
+        + [
+            "acc.{0} + IF(x IN ({1}), 1, 0) AS {0}".format(
+                lang, ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+            )
+            for lang in langs
+        ]
+    )
+    n = f"CAST(greatest(size({toks}), 1) AS DOUBLE)"
+    score = (
+        f"((0.4D * least(CAST(size({toks}) AS DOUBLE) / 50.0D, 1.0D))"
+        f" + (0.3D * least((CAST(acc.en AS DOUBLE) / {n}) * 5.0D, 1.0D)))"
+        f" + (0.3D * (1.0D - least((CAST(size(regexp_extract_all("
+        f"`{text_col}`, '[^A-Za-z0-9 ]', 0)) AS DOUBLE)"
+        f" / CAST(greatest(length(`{text_col}`), 1) AS DOUBLE)) * 10.0D,"
+        f" 1.0D)))"
+    )
+    lang_max = "greatest(" + ", ".join(f"acc.{lang}" for lang in langs) + ")"
+    ppm = f"""CAST(aggregate(
+          array_sort({toks}),
+          struct(CAST(NULL AS STRING) AS prev, CAST(0 AS BIGINT) AS run,
+                 CAST(0 AS BIGINT) AS best),
+          (acc, x) -> struct(
+            x AS prev,
+            IF(x <=> acc.prev, acc.run + 1, CAST(1 AS BIGINT)) AS run,
+            GREATEST(acc.best,
+                     IF(x <=> acc.prev, acc.run + 1,
+                        CAST(1 AS BIGINT))) AS best),
+          acc -> acc.best)
+        * CAST(1000000 AS BIGINT)
+        div size({toks})
+        AS BIGINT)"""
+    return F.expr(
+        f"(size({toks}) >= {FILTER_MIN_TOKENS})"
+        f" AND ({ppm} < {FILTER_MAX_TOP_TOKEN_PPM})"
+        f" AND aggregate({toks}, struct({zero}),"
+        f" (acc, x) -> struct({upd}),"
+        f" acc -> (round({score}, 6) >= {FILTER_MIN_QUALITY!r}D)"
+        f" AND (round(CAST({lang_max} AS DOUBLE) / {n}, 6) > 0.0D))"
+    )
+
+
 def quality_kept_rows(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id") -> DataFrame:
     """The input rows that pass :func:`quality_filter`'s keep decision —
@@ -320,16 +380,16 @@ def quality_kept_rows(df: DataFrame, text_col: str = "text",
     The keep predicate is row-local (see quality_filter), so selecting the
     surviving rows is ONE filter over the input: the r20 pipelines paid an
     id-keyed shuffle of the whole corpus on BOTH join sides to reattach
-    the decision to the rows it was computed from. Row set and column
-    order are identical to the join form (the join keyed on ``id_col``
-    led with it; so does this select)."""
-    base = _with_gate_scalars(df, text_col)
+    the decision to the rows it was computed from. The filter is the
+    single-expression form (:func:`_quality_keep_expr`) so pushdown
+    cannot duplicate the gate aggregates. Row set and column order are
+    identical to the join form (the join keyed on ``id_col`` led with
+    it; so does this select); the former explicit zero-token filter is
+    subsumed by the too_short gate (0 < FILTER_MIN_TOKENS) and NULL text
+    evaluates the predicate to NULL, which the filter drops exactly as
+    the old 'unknown_lang' reason did."""
     others = [c for c in df.columns if c != id_col]
-    return (
-        base.filter(F.size(F.col(_GATE_TOKS)) > 0)
-        .filter(_gate_reason() == "kept")
-        .select(id_col, *others)
-    )
+    return df.filter(_quality_keep_expr(text_col)).select(id_col, *others)
 
 
 # The Gopher / MassiveText document-filter rule set (Rae et al. 2021,

@@ -144,6 +144,160 @@ def _ensure_sf1(spark, out_dir: str) -> dict:
     return counts
 
 
+def _sf1only_main() -> None:
+    """Child mode for the cpu-scaling pair (VERDICT r21 #8): time ONLY
+    the MEASURED registry queries at sf1 with the session's core count
+    (the parent sets SPARK_GRAFT_CPUS) and print one JSON line
+    {name: sec}. The sf1 replica dir must already exist — the parent
+    built it."""
+    sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/klogs_sf1")
+    trials = int(os.environ.get("BENCH_SF1_TRIALS", "2"))
+
+    from klogs_spark.ext.caching import release_tracked
+    from klogs_spark.queries import registry
+    from klogs_spark.session import get_spark
+
+    spark = get_spark("klogs-spark-bench-sf1-lowcpu")
+    specs = registry()
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.range(64, numPartitions=64).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
+    out: dict = {}
+    for name, _ in MEASURED:
+        try:
+            fn = specs[name].fn
+            best = float("inf")
+            for _ in range(max(trials, 1)):
+                t0 = time.perf_counter()
+                fn(spark, sf1_dir).count()
+                best = min(best, time.perf_counter() - t0)
+                release_tracked()
+            out[name] = round(best, 3)
+        except Exception as exc:  # noqa: BLE001
+            out[name] = f"FAILED {type(exc).__name__}"[:80]
+    print(json.dumps(out))
+
+
+def _cpu_scaling_pass(sf1_results: dict) -> dict | None:
+    """Re-run the MEASURED sf1 timings in a SUBPROCESS at
+    BENCH_SF1_LOW_CPUS cores (local[n] is fixed per JVM, so a second
+    process is the only way to change the master) and return the
+    per-query low/main second pair + ratio. The sf0.1 bench's 8-vs-32
+    block reads ~1 everywhere because fixed per-job overhead dominates
+    at that scale (VERDICT r21 scaling note); sf1 is where serial
+    operators separate from parallel ones."""
+    low = os.environ.get("BENCH_SF1_LOW_CPUS")
+    if not low:
+        return None
+    import subprocess
+
+    env = dict(os.environ)
+    env["SPARK_GRAFT_CPUS"] = low
+    env["BENCH_SF1_MODE"] = "sf1only"
+    print(f"# cpu-scaling pass at {low} cores ...", file=sys.stderr)
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env, capture_output=True, text=True, timeout=3600,
+    )
+    line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else "{}"
+    try:
+        low_secs = json.loads(line)
+    except ValueError:
+        print(f"# cpu-scaling pass unparsable: {line[:200]}", file=sys.stderr)
+        return None
+    main_cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count())
+    per_query = {}
+    for name, lsec in low_secs.items():
+        msec = (sf1_results.get(name) or {}).get("sf1_sec")
+        if isinstance(lsec, (int, float)) and isinstance(msec, (int, float)) \
+                and msec > 0:
+            per_query[name] = {
+                f"c{low}_sec": lsec,
+                f"c{main_cpus}_sec": msec,
+                "ratio_low_over_main": round(lsec / msec, 2),
+            }
+        else:
+            per_query[name] = {"err": str(lsec)}
+    return {"cpus_main": int(main_cpus), "cpus_low": int(low),
+            "per_query": per_query}
+
+
+# registry queries measured at both scales, with the table whose row
+# count is the operator's input size (for sec/row) — module-level so the
+# sf1only child mode times the same list
+MEASURED = [
+    ("text_edit_distance_join", "customer"),
+    ("dedup_simhash_pairs", "documents"),
+    ("ingest_msgpack_pipeline", "events"),
+    ("pipeline_pretrain_prep", "documents"),
+    ("tpch_rfm_segments", "orders"),
+    ("tpch_rfm_segments_scaled", "orders"),
+    # r10 additions: the posting-list BM25 plan and the
+    # fingerprint-keyed repeated-span chain (gram df table is
+    # corpus-sized — the measurement proves it stays linear)
+    ("text_bm25_topk", "documents"),
+    ("dedup_repeated_substrings", "documents"),
+    # r13: span REMOVAL was the one new heavy dedup operator without a
+    # 10x measurement (fingerprint equi-joins + anti-join + row-local
+    # array_sort rebuild — the claim is corpus-linear, prove it)
+    ("dedup_remove_repeated_spans", "documents"),
+    # r13: BPE training claims ONE corpus-sized pass (the word count)
+    # + vocab-scale merge rounds; the replicas suffix tokens so the
+    # vocabulary genuinely grows 10x with the corpus — the ratio
+    # measures both the pass and the vocab-side scaling
+    ("text_bpe_merges", "documents"),
+    # r14: per-document tokenization = one corpus word count (train)
+    # + one keyed equi-join of doc-word counts vs the vocab — expect
+    # ~linear even with the 10x vocabulary
+    ("text_bpe_tokenize", "documents"),
+    # r13: the typed PII scrub claims pure JVM regex work
+    # (whole-stage codegen, no Python crossing) — corpus-linear
+    ("text_pii_redact_typed", "documents"),
+    # r13: the LM scorer is two corpus-sized bigram explodes joined
+    # through vocab-sized count tables — should scale ~linearly even
+    # as the suffixed replicas grow the vocabulary 10x
+    ("text_lm_bigram_score", "documents"),
+    # r13: scale-path decontamination claims work ∝ grams + candidate
+    # density, never docs x probes — both sides grow 10x here (10x
+    # corpus, 10x probe set from the same modulus)
+    ("dedup_contamination_scaled", "documents"),
+    # r14: MOSS winnowing pair generation — keyed fingerprint
+    # equi-join; output pairs grow ~10x with content-shifted
+    # replicas (within-replica structure preserved), so expect a
+    # modest ratio (measured 1.56 at 10x output growth)
+    ("dedup_winnowing_pairs", "documents"),
+    # r15: the trigram backoff LM triples the n-gram explode count of
+    # the bigram scorer and adds two more vocab-table joins — the
+    # claim is still corpus-linear through vocab-sized reductions
+    ("text_lm_trigram_backoff", "documents"),
+    # r15: the Gopher battery IS the text-scan floor (row-local,
+    # zero shuffles) — its ratio calibrates the corpus read path
+    ("text_gopher_rules", "documents"),
+    # r15: full AVI demux + per-frame JPEG decode + per-video window;
+    # the explicit fan-out (AQE-coalesce fix) is exactly what this
+    # measures at 10x
+    ("multimodal_video_scene_cuts", "documents"),
+    # r19: the pair-alignment carriers are scale-sensitive on two
+    # axes — the Arrow clip/image tower (corpus-linear) and the
+    # broadcast caption join (whose small side grows with the
+    # corpus) — measure both rather than assert them
+    ("multimodal_pair_alignment", "documents"),
+    ("multimodal_audio_pair_alignment", "documents"),
+    # r20 (VERDICT r19 #4): the two carriers added late in r19 were
+    # shipped without a measured ratio — the video carrier's AVI
+    # demux + frame decode is the heaviest Arrow tower, and the
+    # retrieval eval's docstring claims eval x plane-occupancy
+    # (linear in corpus at fixed plane count); measure both
+    ("multimodal_video_pair_alignment", "documents"),
+    ("multimodal_pair_retrieval", "documents"),
+    # r20: the bidirectional eval doubles the candidate joins over
+    # the same cached tower — its own ratio proves the second
+    # direction stays inside the eval x occupancy budget
+    ("multimodal_pair_retrieval_bidir", "documents"),
+]
+
+
 def main() -> None:
     sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/klogs_sf1")
     trials = int(os.environ.get("BENCH_SF1_TRIALS", "2"))
@@ -165,78 +319,6 @@ def main() -> None:
 
     from klogs_spark.ext.caching import release_tracked
 
-    # registry queries measured at both scales, with the table whose row
-    # count is the operator's input size (for sec/row)
-    MEASURED = [
-        ("text_edit_distance_join", "customer"),
-        ("dedup_simhash_pairs", "documents"),
-        ("ingest_msgpack_pipeline", "events"),
-        ("pipeline_pretrain_prep", "documents"),
-        ("tpch_rfm_segments", "orders"),
-        ("tpch_rfm_segments_scaled", "orders"),
-        # r10 additions: the posting-list BM25 plan and the
-        # fingerprint-keyed repeated-span chain (gram df table is
-        # corpus-sized — the measurement proves it stays linear)
-        ("text_bm25_topk", "documents"),
-        ("dedup_repeated_substrings", "documents"),
-        # r13: span REMOVAL was the one new heavy dedup operator without a
-        # 10x measurement (fingerprint equi-joins + anti-join + row-local
-        # array_sort rebuild — the claim is corpus-linear, prove it)
-        ("dedup_remove_repeated_spans", "documents"),
-        # r13: BPE training claims ONE corpus-sized pass (the word count)
-        # + vocab-scale merge rounds; the replicas suffix tokens so the
-        # vocabulary genuinely grows 10x with the corpus — the ratio
-        # measures both the pass and the vocab-side scaling
-        ("text_bpe_merges", "documents"),
-        # r14: per-document tokenization = one corpus word count (train)
-        # + one keyed equi-join of doc-word counts vs the vocab — expect
-        # ~linear even with the 10x vocabulary
-        ("text_bpe_tokenize", "documents"),
-        # r13: the typed PII scrub claims pure JVM regex work
-        # (whole-stage codegen, no Python crossing) — corpus-linear
-        ("text_pii_redact_typed", "documents"),
-        # r13: the LM scorer is two corpus-sized bigram explodes joined
-        # through vocab-sized count tables — should scale ~linearly even
-        # as the suffixed replicas grow the vocabulary 10x
-        ("text_lm_bigram_score", "documents"),
-        # r13: scale-path decontamination claims work ∝ grams + candidate
-        # density, never docs x probes — both sides grow 10x here (10x
-        # corpus, 10x probe set from the same modulus)
-        ("dedup_contamination_scaled", "documents"),
-        # r14: MOSS winnowing pair generation — keyed fingerprint
-        # equi-join; output pairs grow ~10x with content-shifted
-        # replicas (within-replica structure preserved), so expect a
-        # modest ratio (measured 1.56 at 10x output growth)
-        ("dedup_winnowing_pairs", "documents"),
-        # r15: the trigram backoff LM triples the n-gram explode count of
-        # the bigram scorer and adds two more vocab-table joins — the
-        # claim is still corpus-linear through vocab-sized reductions
-        ("text_lm_trigram_backoff", "documents"),
-        # r15: the Gopher battery IS the text-scan floor (row-local,
-        # zero shuffles) — its ratio calibrates the corpus read path
-        ("text_gopher_rules", "documents"),
-        # r15: full AVI demux + per-frame JPEG decode + per-video window;
-        # the explicit fan-out (AQE-coalesce fix) is exactly what this
-        # measures at 10x
-        ("multimodal_video_scene_cuts", "documents"),
-        # r19: the pair-alignment carriers are scale-sensitive on two
-        # axes — the Arrow clip/image tower (corpus-linear) and the
-        # broadcast caption join (whose small side grows with the
-        # corpus) — measure both rather than assert them
-        ("multimodal_pair_alignment", "documents"),
-        ("multimodal_audio_pair_alignment", "documents"),
-        # r20 (VERDICT r19 #4): the two carriers added late in r19 were
-        # shipped without a measured ratio — the video carrier's AVI
-        # demux + frame decode is the heaviest Arrow tower, and the
-        # retrieval eval's docstring claims eval x plane-occupancy
-        # (linear in corpus at fixed plane count); measure both
-        ("multimodal_video_pair_alignment", "documents"),
-        ("multimodal_pair_retrieval", "documents"),
-        # r20: the bidirectional eval doubles the candidate joins over
-        # the same cached tower — its own ratio proves the second
-        # direction stays inside the eval x occupancy budget
-        ("multimodal_pair_retrieval_bidir", "documents"),
-    ]
 
     results: dict = {}
     errors: dict = {}
@@ -659,6 +741,7 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    cpu_scaling = _cpu_scaling_pass(results)
     print(
         json.dumps(
             {
@@ -668,6 +751,7 @@ def main() -> None:
                 "trials": trials,
                 "results": results,
                 "errors": errors,
+                "cpu_scaling": cpu_scaling,
                 "reading": "ratio_10x ~ 10 is linear scaling on a fixed "
                            "32-core box (ideal would be <10 when sf0.1 "
                            "underutilizes cores); >>10 flags superlinear "
@@ -680,4 +764,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_SF1_MODE") == "sf1only":
+        _sf1only_main()
+    else:
+        main()

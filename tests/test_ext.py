@@ -2045,3 +2045,36 @@ def test_simhash_exact_past_former_lane_cap(spark):
     sigs = {r["id"]: r["simhash"] for r in simhash(df).collect()}
     assert sigs[1] == sigs[2]
     assert sigs[3] == sigs[4]
+
+
+def test_quality_gate_forms_agree_on_edge_docs(spark):
+    """The three gate forms (quality_filter's keep column, the
+    single-expression filter of quality_kept_rows, with_quality_keep's
+    flag) must agree row-for-row on adversarial docs: null text, empty,
+    whitespace-only, below/at the length gate, repetitive, stopword-free
+    (unknown_lang), and a healthy kept doc (r22 single-pass rewrite)."""
+    from klogs_spark.ext.text import (
+        quality_filter, quality_kept_rows, with_quality_keep,
+    )
+
+    healthy = ("the cat sat of the mat and the dog ran to the park and "
+               "a bird flew of the tree to a nest and all was well there")
+    rows = [
+        (1, None), (2, ""), (3, "   "), (4, "x " * 19), (5, "x " * 25),
+        (6, "the " * 40), (7, "zz qq ww " * 10), (8, healthy),
+        (9, healthy + " !!!"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    keep_map = {r["id"]: r["keep"] for r in quality_filter(df).collect()}
+    flag_map = {
+        r["doc_id"]: r["_k"]
+        for r in with_quality_keep(df, "text", "_k").collect()
+    }
+    kept_ids = {r["doc_id"] for r in quality_kept_rows(df).collect()}
+    # quality_filter drops zero-token docs before scoring; its keep map
+    # must match the flag for every doc it scores, and the kept set must
+    # be exactly the flagged-true set
+    for i, keep in keep_map.items():
+        assert flag_map[i] == keep, (i, flag_map[i], keep)
+    assert kept_ids == {i for i, k in flag_map.items() if k}
+    assert 8 in kept_ids and 1 not in flag_map or not flag_map.get(1)

@@ -118,7 +118,6 @@ DRIVER_VERIFIED: dict = {
     "dedup_repeated_substrings_self": "5602f0598335",
     "dedup_semantic": "1f6f1d15a2d6",
     "dedup_semantic_prebuilt": "76c1240ed763",
-    "dedup_survivor_selection": "a3bd123bf888",
     "dedup_threshold_curve": "870285082e09",
     "embedding_covariance": "46691f28615b",
     "embedding_norm_outliers": "a1905f13370e",
@@ -209,12 +208,9 @@ DRIVER_VERIFIED: dict = {
     "multimodal_video_mjpeg": "0ced7d7ea628",
     "multimodal_video_pair_alignment": "b81eeb7ab284",
     "multimodal_video_scene_cuts": "4da8de30edba",
-    "pipeline_attrition_funnel": "69913e6194e6",
     "pipeline_budget_threshold": "2c592c21840e",
     "pipeline_ccnet_buckets": "cbb93ad00117",
-    "pipeline_dsir_select": "137f6cf0b418",
     "pipeline_multimodal_prep": "808bf8cfc312",
-    "pipeline_pretrain_prep": "826b960f2def",
     "pipeline_warc_to_wet": "b02887be6077",
     "sample_balance_sources": "84ad1b244e7c",
     "sample_doremi_step": "36d3f4663c65",
@@ -294,10 +290,6 @@ DRIVER_VERIFIED: dict = {
     "text_bloom_decontaminate": "f76ed7573dad",
     "text_bm25_topk": "1bc4cfc24854",
     "text_boilerplate_windows": "d73d2132137a",
-    "text_bpe_encode": "4fbd9643b5c7",
-    "text_bpe_fertility": "4ce91a78b255",
-    "text_bpe_merges": "68fd8cbe7f24",
-    "text_bpe_tokenize": "7b2f85c69533",
     "text_c4_filters": "523b04cf402c",
     "text_chunk_documents": "b11ed9a0602f",
     "text_classifier_score": "694e9cc2b376",
@@ -314,8 +306,6 @@ DRIVER_VERIFIED: dict = {
     "text_html_extract": "19f649d7f5d2",
     "text_hybrid_rrf": "01718010684a",
     "text_kmv_distinct": "df0f05ccc33b",
-    "text_langid": "b16f242d7d79",
-    "text_langid_confusion": "0179c114f255",
     "text_lm_bigram_score": "aac2d0a8144d",
     "text_lm_trigram_backoff": "cf991b1b2471",
     "text_misra_gries_invariants": "70ead130e7e0",
@@ -324,8 +314,6 @@ DRIVER_VERIFIED: dict = {
     "text_normalize_typography": "946118f6364e",
     "text_pii_redact": "95cba5f53f52",
     "text_pii_redact_typed": "e69fc2ea63dc",
-    "text_quality": "ddca4d14616f",
-    "text_quality_filter": "b3cf8d28b240",
     "text_repetition": "7e346f2bcb0c",
     "text_robots_gate": "97f1e20cdab6",
     "text_term_trends": "6ed137bc3198",

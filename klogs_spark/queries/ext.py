@@ -9465,7 +9465,9 @@ SPECS = {
     "text_quality_filter": QuerySpec(q_quality_filter, SQL_QUALITY_FILTER,
                                      "composite keep/drop filter with reject "
                                      "reasons (length/repetition/quality/"
-                                     "language gates)"),
+                                     "language gates)",
+                                     hash_also=(tx.quality_filter,
+                                                tx._with_gate_scalars)),
     "text_unigram_logprob": QuerySpec(q_unigram_logprob, SQL_UNIGRAM_LOGPROB,
                                       "CCNet-style unigram mean-NLL "
                                       "perplexity proxy"),
@@ -9475,7 +9477,8 @@ SPECS = {
     "dedup_survivor_selection": QuerySpec(q_dedup_survivors,
                                           SQL_DEDUP_SURVIVORS,
                                           "pairs -> clusters -> best-quality "
-                                          "survivor per cluster"),
+                                          "survivor per cluster",
+                                          hash_also=(tx.quality_features,)),
     "sample_balance_sources": QuerySpec(q_balance_sources, SQL_BALANCE_SOURCES,
                                         "per-source top-N corpus balancing"),
     "pipeline_multimodal_prep": QuerySpec(
@@ -9599,14 +9602,18 @@ SPECS = {
     "text_token_stats": QuerySpec(q_token_stats, SQL_TOKEN_STATS,
                                   "whitespace + BPE-ish token counts"),
     "text_quality": QuerySpec(q_text_quality, SQL_TEXT_QUALITY,
-                              "quality features + composite score"),
+                              "quality features + composite score",
+                              hash_also=(tx.quality_features,
+                                         tx._with_token_stats)),
     "text_langid_confusion": QuerySpec(
         q_text_langid_confusion, SQL_TEXT_LANGID_CONFUSION,
         "language-ID evaluation: confusion matrix vs the labeled lang "
         "column with per-class totals and min-id census — keyed "
-        "aggregates over the classifier's own scoring"),
+        "aggregates over the classifier's own scoring",
+        hash_also=(tx.language_id,)),
     "text_langid": QuerySpec(q_langid, SQL_LANGID,
-                             "stopword-heuristic language ID"),
+                             "stopword-heuristic language ID",
+                             hash_also=(tx.language_id,)),
     "text_bm25_topk": QuerySpec(
         q_bm25_topk, SQL_BM25_TOPK,
         "BM25 ranked retrieval (posting-list plan: term-filtered explode, "
@@ -9635,18 +9642,22 @@ SPECS = {
         q_text_bpe_merges, SQL_TEXT_BPE_MERGES,
         "distributed BPE vocabulary training: first 8 merge rules from "
         "the word-frequency table (one corpus pass), boundary-guarded "
-        "literal merges, lexicographic tie-breaks vs unrolled-CTE oracle"),
+        "literal merges, lexicographic tie-breaks vs unrolled-CTE oracle",
+        hash_also=(tx.bpe_train_from_word_freq,)),
     "text_bpe_encode": QuerySpec(
         q_text_bpe_encode, SQL_TEXT_BPE_ENCODE,
         "token counting under the learned BPE vocabulary: corpus totals "
         "after the 8 trained merges (tokens/word types/symbol types/raw "
-        "chars) vs the oracle's post-merge state"),
+        "chars) vs the oracle's post-merge state",
+        hash_also=(tx.bpe_train_from_word_freq,)),
     "text_bpe_tokenize": QuerySpec(
         q_text_bpe_tokenize, SQL_TEXT_BPE_TOKENIZE,
         "per-document tokenization under the learned BPE vocabulary: "
         "every doc's word/token/char counts via one keyed equi-join of "
-        "pre-aggregated doc-word counts against the decoded trained "
-        "state — all docs hash-checked vs the extended training chain"),
+        "the exploded corpus tokens against the decoded trained "
+        "state — all docs hash-checked vs the extended training chain",
+        hash_also=(tx.bpe_tokenize_docs,
+                   tx.bpe_train_from_word_freq)),
     "text_classifier_score": QuerySpec(
         q_text_classifier_score, SQL_TEXT_CLASSIFIER_SCORE,
         "fastText-style linear classifier inference: hashed uni+bigram "
@@ -9754,7 +9765,8 @@ SPECS = {
         "DSIR hashed-ngram importance log-weights (target vs raw)"),
     "pipeline_dsir_select": QuerySpec(
         q_pipeline_dsir_select, SQL_PIPELINE_DSIR_SELECT,
-        "quality filter -> DSIR weights -> per-source top-k selection"),
+        "quality filter -> DSIR weights -> per-source top-k selection",
+        hash_also=(tx.quality_kept_rows, tx._quality_keep_expr)),
     "text_contamination": QuerySpec(q_contamination, SQL_CONTAMINATION,
                                     "benchmark-contamination substring scan"),
     "text_top_ngrams": QuerySpec(q_top_ngrams, SQL_TOP_NGRAMS,
@@ -9845,11 +9857,13 @@ SPECS = {
         q_pipeline_attrition_funnel, SQL_PIPELINE_ATTRITION_FUNNEL,
         "per-stage attrition funnel of the prep chain (raw -> quality "
         "-> dedup -> decontaminated): docs/chars/min-id per stage, "
-        "pinning the intermediate states the final aggregate hides"),
+        "pinning the intermediate states the final aggregate hides",
+        hash_also=(tx.with_quality_keep,)),
     "pipeline_pretrain_prep": QuerySpec(
         q_pipeline_pretrain_prep, SQL_PIPELINE_PRETRAIN_PREP,
         "end-to-end corpus prep: quality filter -> exact dedup -> "
         "contamination drop -> per-source stats, all real operators",
+        hash_also=(tx.quality_kept_rows, tx._quality_keep_expr),
     ),
     "pipeline_budget_threshold": QuerySpec(
         q_pipeline_budget_threshold, SQL_PIPELINE_BUDGET_THRESHOLD,
@@ -10022,5 +10036,6 @@ SPECS = {
         "tokenizer fertility by language: per-language tokens/word and "
         "chars/token (integer per-mille) under the trained BPE merges, "
         "langid-joined; vs the unrolled chain + identical arithmetic",
+        hash_also=(tx.bpe_train_from_word_freq, tx.language_id),
     ),
 }
